@@ -1,13 +1,323 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.api.RunContext
+import graft.config.TransformConfig
+import graft.runtime.Registries
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2 (+ the LLM-data-pipeline supersets), each with a DuckDB
+ * oracle in `oracleSql` where SQL-expressible. Queries are built THROUGH
+ * the engine's transforms (not raw DataFrame calls) so the correctness gate
+ * exercises the actual library paths.
+ *
+ * Determinism rules for oracle parity:
+ *  - money/quantity sums go through DECIMAL casts (order-independent exact
+ *    arithmetic in both engines); other double aggregates are round()ed.
+ *  - every ranked/dedup operator gets a total tie-break order.
+ *  - raw timestamp columns are not projected (parquet ns-vs-us typing);
+ *    derived window bounds are whole-second and safe.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private val transforms = Registries.transforms()
+
+  private def ctx(s: SparkSession) = RunContext(s, "sparkentry", "verify")
+  private def t(typ: String, opts: (String, String)*): TransformConfig =
+    TransformConfig(s"$typ-q", typ, opts.toMap)
+  private def ap(df: DataFrame, tc: TransformConfig): DataFrame =
+    transforms.get(tc.transformType).apply(df, tc, ctx(df.sparkSession))
+  /** Read a testdata table. The events table stores TIMESTAMP(NANOS) which
+    * Spark 4 rejects outright; read nanos as long (legacy conf) and convert
+    * to a microsecond TimestampType (truncation — matching DuckDB's
+    * ns→us cast semantics in the oracles). */
+  private def tab(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else df
+  }
+
+  /** Flagship: lineitem pricing-summary pipeline (filter → aggregate) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.4 aggregation transformer (9 fns + expression aggregates) ----
+    "q1_agg" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
+      t("aggregation",
+        "groupBy" -> "l_returnflag,l_linestatus",
+        "aggregations" -> ("sum_qty:sum(cast(l_quantity as decimal(12,2)))," +
+          "sum_base_price:sum(cast(l_extendedprice as decimal(12,2)))," +
+          "min_price:min(l_extendedprice),max_price:max(l_extendedprice)," +
+          "count_order:count(*)")))),
+    "q2_agg_expr" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
+      t("aggregation",
+        "groupBy" -> "l_returnflag",
+        "aggregations" -> ("revenue:sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2))))," +
+          "charge:sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2))) * (1 + cast(l_tax as decimal(4,2))))")))),
+    "q3_agg_distinct" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
+      t("aggregation",
+        "groupBy" -> "l_returnflag",
+        "aggregations" -> ("n_parts:count(distinct l_partkey)," +
+          "n_supp:count(distinct l_suppkey),n_rows:count(*)")))),
+    "q4_agg_collect" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
+      t("aggregation",
+        "groupBy" -> "l_returnflag",
+        "aggregations" -> "statuses:array_sort(collect_set(l_linestatus))"))),
+    "q5_rollup" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
+      t("aggregation",
+        "groupBy" -> "l_returnflag,l_linestatus",
+        "groupingSets" -> "rollup",
+        "aggregations" -> "n_rows:count(*),sum_qty:sum(cast(l_quantity as decimal(12,2)))"))),
+
+    // ---- §2.2 filter transformer ----
+    "q6_filter" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
+      t("filter", "condition" ->
+        "l_quantity >= 45 AND l_returnflag = 'R' AND l_linestatus IN ('F')"))
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_returnflag")),
+
+    // ---- §2.2 map transformer (scalar fn surface: string/date/case/cast) ----
+    "q7_map" -> ((s, dir) => ap(tab(s, dir, "orders"),
+      t("map", "project" -> "true", "keep" -> "o_orderkey",
+        "expressions" -> ("order_year:year(o_orderdate)," +
+          "order_month:month(o_orderdate)," +
+          "status_tag:concat(upper(o_orderstatus), '-', substring(o_orderpriority, 1, 1))," +
+          "is_high:CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END," +
+          "price_dec:cast(o_totalprice as decimal(12,2))")))),
+
+    // ---- §2.3 join transformer (inner/left/right/full + broadcast) ----
+    "q8_join_inner" -> ((s, dir) => {
+      tab(s, dir, "customer").createOrReplaceTempView("v_customer_q8")
+      ap(tab(s, dir, "orders"),
+        t("join", "rightDataset" -> "v_customer_q8", "joinType" -> "inner",
+          "leftKey" -> "o_custkey", "rightKey" -> "c_custkey", "broadcast" -> "true",
+          "selectColumns" -> "o_orderkey,o_custkey,c_name,c_mktsegment,o_orderstatus"))
+    }),
+    "q9_join_left" -> ((s, dir) => {
+      tab(s, dir, "orders").createOrReplaceTempView("v_orders_q9")
+      ap(tab(s, dir, "customer"),
+        t("join", "rightDataset" -> "v_orders_q9", "joinType" -> "left",
+          "leftKey" -> "c_custkey", "rightKey" -> "o_custkey",
+          "selectColumns" -> "c_custkey,c_name,o_orderkey,o_orderstatus"))
+    }),
+    "q10_join_semi_anti" -> ((s, dir) => {
+      tab(s, dir, "orders").filter("o_totalprice > 300000")
+        .createOrReplaceTempView("v_bigorders_q10")
+      val semi = ap(tab(s, dir, "customer"),
+        t("join", "rightDataset" -> "v_bigorders_q10", "joinType" -> "left_semi",
+          "leftKey" -> "c_custkey", "rightKey" -> "o_custkey"))
+      semi.select("c_custkey", "c_name")
+    }),
+    "q11_join_multikey" -> ((s, dir) => {
+      // self-equi-join on composite key: order lines joined to the per-order
+      // per-supplier aggregate (USING-style keys, no dup columns)
+      val agg = ap(tab(s, dir, "lineitem"),
+        t("aggregation", "groupBy" -> "l_orderkey,l_suppkey",
+          "aggregations" -> "supp_order_qty:sum(cast(l_quantity as decimal(12,2)))"))
+      agg.createOrReplaceTempView("v_liagg_q11")
+      ap(tab(s, dir, "lineitem").filter("l_linenumber = 1"),
+        t("join", "rightDataset" -> "v_liagg_q11", "joinType" -> "inner",
+          "joinKeys" -> "l_orderkey,l_suppkey",
+          "selectColumns" -> "l_orderkey,l_suppkey,l_quantity,supp_order_qty"))
+    }),
+
+    // ---- §2.5 windowing transformer (tumbling/sliding/session + extra keys) ----
+    "q12_window_tumbling" -> ((s, dir) => ap(tab(s, dir, "events"),
+      t("windowing", "timeColumn" -> "ts", "windowType" -> "tumbling",
+        "windowDuration" -> "1 hour", "groupBy" -> "event_type",
+        "aggregations" -> "n_events:count(*),sum_value:round(sum(value), 2)"))),
+    "q13_window_sliding" -> ((s, dir) => ap(tab(s, dir, "events"),
+      t("windowing", "timeColumn" -> "ts", "windowType" -> "sliding",
+        "windowDuration" -> "1 hour", "slideDuration" -> "30 minutes",
+        "aggregations" -> "n_events:count(*),sum_value:round(sum(value), 2)"))),
+    "q14_window_session" -> ((s, dir) => ap(tab(s, dir, "events"),
+      t("windowing", "timeColumn" -> "ts", "windowType" -> "session",
+        "gapDuration" -> "30 minutes", "groupBy" -> "user_id",
+        "aggregations" -> "n_events:count(*),sum_value:round(sum(value), 2)"))),
+
+    // ---- §2.5 analytic windows (window_rank superset) ----
+    "q15_window_rank" -> ((s, dir) => ap(tab(s, dir, "orders"),
+      t("window_rank", "partitionBy" -> "o_custkey",
+        "orderBy" -> "o_totalprice desc,o_orderkey", "function" -> "row_number",
+        "alias" -> "rn", "topK" -> "3"))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")),
+
+    // ---- §2.6 supersets: sort/limit/union/dedup/distinct ----
+    "q16_sort_limit" -> ((s, dir) => {
+      val sorted = ap(tab(s, dir, "orders"),
+        t("sort", "orderBy" -> "o_totalprice desc,o_orderkey", "global" -> "true"))
+      ap(sorted, t("limit", "n" -> "100"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+    "q17_union" -> ((s, dir) => {
+      tab(s, dir, "orders").filter("o_orderpriority = '1-URGENT'")
+        .createOrReplaceTempView("v_urgent_q17")
+      val highValue = tab(s, dir, "orders").filter("o_totalprice > 250000")
+      ap(highValue, t("union", "rightDataset" -> "v_urgent_q17", "distinct" -> "true"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    }),
+    "q18_dedup_keyed" -> ((s, dir) => ap(tab(s, dir, "orders"),
+      t("dedup", "columns" -> "o_custkey", "orderBy" -> "o_orderdate,o_orderkey"))
+      .select("o_custkey", "o_orderkey", "o_orderstatus")),
+    "q19_distinct" -> ((s, dir) => ap(
+      tab(s, dir, "lineitem").select("l_returnflag", "l_linestatus"),
+      t("dedup"))),
+
+    // ---- §2.2 scalar surface: JSON extraction (kafka-payload shape) ----
+    "q20_json_extract" -> ((s, dir) => ap(tab(s, dir, "events"),
+      t("map", "project" -> "true", "keep" -> "event_id",
+        "expressions" -> "k_val:cast(get_json_object(props, '$.k') as int)"))
+      .filter("k_val >= 50")),
+
+    // ---- §2.8 data-quality metrics (one-pass null/dup profile) ----
+    "q21_quality_metrics" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      tab(s, dir, "documents").agg(
+        count(lit(1)).as("total_rows"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("null_lang"),
+        countDistinct(col("text")).as("distinct_text"))
+    }),
+
+    // ---- §3 pipeline executor end-to-end (filter → map → aggregation fold) ----
+    "q22_pipeline" -> ((s, dir) => {
+      import graft.config._
+      val cfg = PipelineConfig(
+        pipelineId = "verify-pipeline",
+        source = SourceConfig("file", Map("path" -> s"$dir/lineitem.parquet", "format" -> "parquet")),
+        transformations = List(
+          TransformConfig("f", "filter", Map("condition" -> "l_quantity > 10")),
+          TransformConfig("m", "map", Map("expressions" ->
+            "disc_price:cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2)))")),
+          TransformConfig("a", "aggregation", Map(
+            "groupBy" -> "l_returnflag,l_linestatus",
+            "aggregations" -> "revenue:sum(disc_price),n_rows:count(*)"))),
+        sink = SinkConfig("file", Map("path" -> "/tmp/graft-unused")))
+      new graft.runtime.PipelineExecutor().compose(cfg)(s)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+         min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q2_agg_expr" ->
+      """SELECT l_returnflag,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS charge
+         FROM lineitem GROUP BY l_returnflag""",
+    "q3_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q4_agg_collect" ->
+      """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses
+         FROM lineitem GROUP BY l_returnflag""",
+    "q5_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q6_filter" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_returnflag
+         FROM lineitem
+         WHERE l_quantity >= 45 AND l_returnflag = 'R' AND l_linestatus IN ('F')""",
+    "q7_map" ->
+      """SELECT o_orderkey, year(o_orderdate) AS order_year,
+         month(o_orderdate) AS order_month,
+         concat(upper(o_orderstatus), '-', substring(o_orderpriority, 1, 1)) AS status_tag,
+         CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS is_high,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec
+         FROM orders""",
+    "q8_join_inner" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_orderstatus
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q9_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderstatus
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey""",
+    "q10_join_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""",
+    "q11_join_multikey" ->
+      """SELECT l.l_orderkey, l.l_suppkey, l.l_quantity, a.supp_order_qty
+         FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) l
+         JOIN (SELECT l_orderkey, l_suppkey,
+                      sum(CAST(l_quantity AS DECIMAL(12,2))) AS supp_order_qty
+               FROM lineitem GROUP BY l_orderkey, l_suppkey) a
+         USING (l_orderkey, l_suppkey)""",
+    "q12_window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS window_start,
+         (time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour')::TIMESTAMP AS window_end,
+         event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2, 3""",
+    "q13_window_sliding" ->
+      """WITH x AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value FROM events),
+         w AS (SELECT b - (k * INTERVAL '30 minutes') AS ws, value
+               FROM x CROSS JOIN (SELECT unnest([0, 1]) AS k))
+         SELECT ws::TIMESTAMP AS window_start,
+                (ws + INTERVAL '1 hour')::TIMESTAMP AS window_end,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM w GROUP BY 1, 2""",
+    "q14_window_session" ->
+      """WITH l AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), s AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM l
+         )
+         SELECT min(ts)::TIMESTAMP AS window_start,
+                (max(ts) + INTERVAL '30 minutes')::TIMESTAMP AS window_end,
+                user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sid""",
+    "q15_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "q16_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q17_union" ->
+      """SELECT DISTINCT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM (SELECT * FROM orders WHERE o_totalprice > 250000
+               UNION ALL
+               SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')""",
+    "q18_dedup_keyed" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus FROM (
+           SELECT o_custkey, o_orderkey, o_orderstatus,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS rn
+           FROM orders) WHERE rn = 1""",
+    "q19_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q20_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+         FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50""",
+    "q21_quality_metrics" ->
+      """SELECT count(*) AS total_rows,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+         count(DISTINCT text) AS distinct_text
+         FROM documents""",
+    "q22_pipeline" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag, l_linestatus"""
+  )
 }

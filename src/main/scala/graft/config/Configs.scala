@@ -1,0 +1,95 @@
+package graft.config
+
+/**
+ * Unified pipeline-config model ("dialect C" of the reference — the one its
+ * tests, shipped YAMLs, and docs/CONFIGURATION.md agree on), with dialect A's
+ * `executionMode` kept as an optional field.
+ *
+ * Reference shape: src/test/scala/com/etl/benchmark/BatchPerformanceSpec.scala:88-128,
+ * docs/CONFIGURATION.md and the shipped pipeline YAMLs. Re-expressed as a plain Scala ADT;
+ * the pipeline itself is declarative — it only ever composes a Spark
+ * LogicalPlan, never executes driver-side loops.
+ */
+sealed trait ExecutionMode
+object ExecutionMode {
+  case object Batch extends ExecutionMode
+  case object MicroBatch extends ExecutionMode
+  def parse(s: String): ExecutionMode = s.trim.toLowerCase match {
+    case "batch"                       => Batch
+    case "micro-batch" | "microbatch" | "streaming" => MicroBatch
+    case other => throw new IllegalArgumentException(s"unknown executionMode: $other")
+  }
+}
+
+sealed trait WriteMode
+object WriteMode {
+  case object Append    extends WriteMode
+  case object Overwrite extends WriteMode
+  case object Upsert    extends WriteMode
+  def parse(s: String): WriteMode = s.trim.toLowerCase match {
+    case "append"    => Append
+    case "overwrite" => Overwrite
+    case "upsert"    => Upsert
+    case other => throw new IllegalArgumentException(s"unknown writeMode: $other")
+  }
+}
+
+final case class SourceConfig(
+    sourceType: String,
+    options: Map[String, String] = Map.empty,
+    schemaPath: Option[String] = None)
+
+final case class TransformConfig(
+    name: String,
+    transformType: String,
+    options: Map[String, String] = Map.empty)
+
+final case class SinkConfig(
+    sinkType: String,
+    options: Map[String, String] = Map.empty,
+    writeMode: WriteMode = WriteMode.Append,
+    partitionBy: List[String] = Nil)
+
+/** Per-column null-check action (docs/CONFIGURATION.md:452-461: fail | quarantine). */
+sealed trait NullAction
+object NullAction {
+  case object Fail       extends NullAction
+  case object Quarantine extends NullAction
+  def parse(s: String): NullAction = s.trim.toLowerCase match {
+    case "fail"       => Fail
+    case "quarantine" => Quarantine
+    case other => throw new IllegalArgumentException(s"unknown null-check action: $other")
+  }
+}
+final case class NullCheck(column: String, action: NullAction = NullAction.Quarantine)
+final case class DuplicateCheck(columns: List[String] = Nil, action: NullAction = NullAction.Quarantine)
+
+final case class QualityConfig(
+    schemaValidation: Boolean = false,
+    nullChecks: List[NullCheck] = Nil,
+    duplicateCheck: Option[DuplicateCheck] = None,
+    quarantinePath: Option[String] = None)
+
+/** Tuning knobs the reference documents but never wires (SURVEY §4) — we wire them. */
+final case class PerformanceConfig(
+    repartition: Option[Int] = None,
+    cacheIntermediate: Boolean = false,
+    shufflePartitions: Option[Int] = None)
+
+final case class StreamingConfig(
+    checkpointLocation: Option[String] = None,
+    watermarkColumn: Option[String] = None,
+    watermarkDelay: Option[String] = None,
+    trigger: Option[String] = None, // "availableNow" | "processingTime=5 seconds"
+    outputMode: String = "append")
+
+final case class PipelineConfig(
+    pipelineId: String,
+    name: String = "",
+    source: SourceConfig,
+    transformations: List[TransformConfig] = Nil,
+    sink: SinkConfig,
+    executionMode: ExecutionMode = ExecutionMode.Batch,
+    quality: Option[QualityConfig] = None,
+    performance: Option[PerformanceConfig] = None,
+    streaming: Option[StreamingConfig] = None)

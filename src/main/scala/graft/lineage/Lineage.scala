@@ -1,0 +1,57 @@
+package graft.lineage
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.config.{PipelineConfig, TransformConfig}
+
+/**
+ * Lineage metadata carried as an in-band `_lineage` JSON column.
+ * Reference: core/LineageMetadata.scala:13-20, lineage/LineageTracker.scala.
+ *
+ * The reference re-reads the column per transformer with
+ * `input.select("_lineage").first()` — a full Spark job per step
+ * (AggregationTransformer.scala:143; SURVEY §3.4). The transformation chain
+ * is known statically from the config, so we build it driver-side and stamp
+ * the column ONCE with a constant `lit()` right before the sink: identical
+ * observable output, zero extra jobs, and the constant folds in codegen.
+ */
+final case class LineageMetadata(
+    sourceSystem: String,
+    extractionTimestamp: Long,
+    transformationChain: Seq[String],
+    pipelineId: String,
+    runId: String) {
+  def toJson: String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    s"""{"sourceSystem":${q(sourceSystem)},"extractionTimestamp":$extractionTimestamp,""" +
+      s""""transformationChain":[${transformationChain.map(q).mkString(",")}],""" +
+      s""""pipelineId":${q(pipelineId)},"runId":${q(runId)}}"""
+  }
+}
+
+object Lineage {
+  /** `aggregation(groupBy=category)`-style step labels, matching the
+    * reference's chain entries (AggregationTransformer.scala:149). */
+  def step(t: TransformConfig): String = {
+    val detail = t.transformType match {
+      case "aggregation" => t.options.get("groupBy").map(g => s"groupBy=$g").getOrElse("global")
+      case "filter"      => t.options.getOrElse("condition", "")
+      case "join"        => s"type=${t.options.getOrElse("joinType", "inner")}"
+      case "windowing"   => s"window=${t.options.getOrElse("windowDuration", t.options.getOrElse("gapDuration", ""))}"
+      case _             => ""
+    }
+    if (detail.isEmpty) t.transformType else s"${t.transformType}($detail)"
+  }
+
+  def forPipeline(config: PipelineConfig, runId: String, extractionTs: Long): LineageMetadata =
+    LineageMetadata(
+      sourceSystem = config.source.sourceType,
+      extractionTimestamp = extractionTs,
+      transformationChain = config.transformations.map(step),
+      pipelineId = config.pipelineId,
+      runId = runId)
+
+  def stamp(df: DataFrame, meta: LineageMetadata): DataFrame =
+    df.withColumn("_lineage", lit(meta.toJson))
+}

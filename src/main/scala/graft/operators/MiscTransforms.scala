@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+import graft.api.{Transform, RunContext, ConfigException}
+import graft.config.{TransformConfig, ExprUtils}
+
+/**
+ * Superset transformers the reference lacks entirely (SURVEY §2.6: no sort /
+ * limit / union / dedup in its product surface) — all zero-Catalyst-work
+ * DataFrame compositions.
+ */
+
+/** sort — global orderBy. A full range-shuffle; at scale prefer
+  * sortWithinPartitions (`global=false`) unless a total order is required. */
+object SortTransform extends Transform {
+  val transformType = "sort"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "orderBy")
+    val cols = ExprUtils.splitTopLevel(config.options("orderBy")).map(parseOrder)
+    if (config.options.get("global").forall(_.toBoolean)) input.orderBy(cols: _*)
+    else input.sortWithinPartitions(cols: _*)
+  }
+  private[operators] def parseOrder(item: String): Column = {
+    val parts = item.trim.split("\\s+")
+    if (parts.length > 1 && parts.last.equalsIgnoreCase("desc"))
+      expr(parts.dropRight(1).mkString(" ")).desc
+    else if (parts.length > 1 && parts.last.equalsIgnoreCase("asc"))
+      expr(parts.dropRight(1).mkString(" ")).asc
+    else expr(item.trim)
+  }
+}
+
+/** limit — df.limit(n). Catalyst plans CollectLimit/GlobalLimit with
+  * partial per-partition limits, so it never materializes the full input. */
+object LimitTransform extends Transform {
+  val transformType = "limit"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "n")
+    input.limit(config.options("n").toInt)
+  }
+}
+
+/** union — unionByName with another registered temp view;
+  * allowMissingColumns option fills gaps with nulls. */
+object UnionTransform extends Transform {
+  val transformType = "union"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "rightDataset")
+    val right = input.sparkSession.table(config.options("rightDataset"))
+    val missing = config.options.get("allowMissingColumns").exists(_.toBoolean)
+    val unioned = input.unionByName(right, missing)
+    if (config.options.get("distinct").exists(_.toBoolean)) unioned.distinct() else unioned
+  }
+}
+
+/**
+ * dedup — exact deduplication.
+ * No `columns` → whole-row distinct. With `columns` and no `orderBy` →
+ * dropDuplicates(cols) (arbitrary survivor, matches reference's semantics).
+ * With `orderBy` → deterministic survivor via row_number()=1 over
+ * partitionBy(cols).orderBy(...): one shuffle on the dedup keys, same cost
+ * as dropDuplicates but reproducible — required for oracle checks and for
+ * idempotent re-runs at scale.
+ */
+object DedupTransform extends Transform {
+  val transformType = "dedup"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    (config.options.get("columns").map(ExprUtils.parseColumns), config.options.get("orderBy")) match {
+      case (None, _) => input.distinct()
+      case (Some(cols), None) => input.dropDuplicates(cols)
+      case (Some(cols), Some(order)) =>
+        val w = W.partitionBy(cols.map(col): _*)
+          .orderBy(ExprUtils.splitTopLevel(order).map(SortTransform.parseOrder): _*)
+        input.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.api.{Transform, RunContext, ConfigException}
+import graft.config.{TransformConfig, ExprUtils}
+
+/**
+ * windowing — time-window bucketing + aggregation.
+ * Reference: transformer/WindowingTransformer.scala:50-85 (tumbling/sliding).
+ * We also implement the two features the reference declares but never ships
+ * (SURVEY §2.5): extra groupBy keys alongside the window
+ * (docs/CONFIGURATION.md:236) and session windows (spec FR-011) via
+ * Spark's session_window(). Output flattens window.start/window.end to
+ * window_start/window_end (the shape the reference's sink tables use,
+ * quickstart.md:144-148); `flatten=false` keeps the struct.
+ */
+object WindowTransform extends Transform {
+  val transformType = "windowing"
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "timeColumn", "aggregations")
+    val ts = col(config.options("timeColumn"))
+    val windowType = config.options.getOrElse("windowType", "tumbling")
+    val bucket: Column = windowType match {
+      case "tumbling" =>
+        window(ts, config.options.getOrElse("windowDuration",
+          throw new ConfigException(s"windowing '${config.name}': windowDuration required")))
+      case "sliding" =>
+        val dur = config.options.getOrElse("windowDuration",
+          throw new ConfigException(s"windowing '${config.name}': windowDuration required"))
+        val slide = config.options.getOrElse("slideDuration",
+          throw new ConfigException(s"windowing '${config.name}': sliding windows require slideDuration"))
+        window(ts, dur, slide)
+      case "session" =>
+        session_window(ts, config.options.getOrElse("gapDuration",
+          throw new ConfigException(s"windowing '${config.name}': session windows require gapDuration")))
+      case other =>
+        throw new ConfigException(s"windowing '${config.name}': unknown windowType '$other'")
+    }
+    val extraKeys = config.options.get("groupBy").map(ExprUtils.parseColumns).getOrElse(Nil)
+    val aggs = ExprUtils.parseAggregations(config.options("aggregations"))
+    val winCol = if (windowType == "session") "session_window" else "window"
+    val agged = input
+      .groupBy(bucket.as(winCol) +: extraKeys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    if (config.options.get("flatten").forall(_.toBoolean)) {
+      val rest = agged.columns.filter(_ != winCol).map(col)
+      agged.select(
+        col(s"$winCol.start").as("window_start") +:
+        col(s"$winCol.end").as("window_end") +: rest.toIndexedSeq: _*)
+    } else agged
+  }
+}
+
+/**
+ * window_rank — analytic-window superset (SURVEY §2.5): row_number / rank /
+ * dense_rank / lag / lead over Window.partitionBy(...).orderBy(...), with
+ * optional `topK` per-partition filter (the benchmark's top-N-per-group
+ * shape, QueryPlanAnalysisSpec.scala:312-340). One shuffle on the partition
+ * keys; the topK filter happens before any further wide op.
+ */
+object WindowRankTransform extends Transform {
+  val transformType = "window_rank"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "orderBy")
+    val partCols = config.options.get("partitionBy").map(ExprUtils.parseColumns).getOrElse(Nil)
+    val orderExprs = ExprUtils.splitTopLevel(config.options("orderBy")).map(parseOrder)
+    val w0 = if (partCols.isEmpty) W.partitionBy() else W.partitionBy(partCols.map(col): _*)
+    val w = w0.orderBy(orderExprs: _*)
+    val fn = config.options.getOrElse("function", "row_number") match {
+      case "row_number" => row_number()
+      case "rank"       => rank()
+      case "dense_rank" => dense_rank()
+      case "percent_rank" => percent_rank()
+      case "ntile"      => ntile(config.options.getOrElse("n", "4").toInt)
+      case other        => throw new ConfigException(s"window_rank: unknown function '$other'")
+    }
+    val alias = config.options.getOrElse("alias", "rank")
+    val ranked = input.withColumn(alias, fn.over(w))
+    config.options.get("topK") match {
+      case Some(k) => ranked.filter(col(alias) <= k.toInt)
+      case None    => ranked
+    }
+  }
+  private def parseOrder(item: String): Column = {
+    val parts = item.trim.split("\\s+")
+    if (parts.length > 1 && parts.last.equalsIgnoreCase("desc"))
+      expr(parts.dropRight(1).mkString(" ")).desc
+    else if (parts.length > 1 && parts.last.equalsIgnoreCase("asc"))
+      expr(parts.dropRight(1).mkString(" ")).asc
+    else expr(item.trim)
+  }
+}

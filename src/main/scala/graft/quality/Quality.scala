@@ -1,0 +1,124 @@
+package graft.quality
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.RunContext
+import graft.config.{QualityConfig, NullCheck, NullAction}
+
+/** Recursive StructType diff: missing/extra columns, type mismatches
+  * (descending into struct/array/map), nullability violations.
+  * Reference: quality/SchemaValidator.scala:34-96. Pure driver-side schema
+  * work — no data scan. */
+object SchemaValidator {
+  final case class SchemaIssue(path: String, issue: String)
+
+  def validate(actual: StructType, expected: StructType): List[SchemaIssue] =
+    diff(actual, expected, "")
+
+  private def diff(actual: StructType, expected: StructType, prefix: String): List[SchemaIssue] = {
+    val issues = List.newBuilder[SchemaIssue]
+    val actualMap = actual.fields.map(f => f.name -> f).toMap
+    val expectedMap = expected.fields.map(f => f.name -> f).toMap
+    expected.fields.foreach { ef =>
+      actualMap.get(ef.name) match {
+        case None => issues += SchemaIssue(prefix + ef.name, "missing column")
+        case Some(af) =>
+          issues ++= diffType(af.dataType, ef.dataType, prefix + ef.name)
+          if (af.nullable && !ef.nullable)
+            issues += SchemaIssue(prefix + ef.name, "nullable but expected non-nullable")
+      }
+    }
+    actual.fields.foreach { af =>
+      if (!expectedMap.contains(af.name))
+        issues += SchemaIssue(prefix + af.name, "unexpected extra column")
+    }
+    issues.result()
+  }
+
+  private def diffType(actual: DataType, expected: DataType, path: String): List[SchemaIssue] =
+    (actual, expected) match {
+      case (a: StructType, e: StructType) => diff(a, e, path + ".")
+      case (a: ArrayType, e: ArrayType)   => diffType(a.elementType, e.elementType, path + "[]")
+      case (a: MapType, e: MapType) =>
+        diffType(a.keyType, e.keyType, path + ".key") :::
+        diffType(a.valueType, e.valueType, path + ".value")
+      case (a, e) if a == e => Nil
+      case (a, e) => List(SchemaIssue(path, s"type mismatch: $a vs expected $e"))
+    }
+}
+
+final case class QualityReport(
+    totalRows: Long,
+    nullViolations: Map[String, Long],
+    duplicateRows: Long) {
+  def nullRate(column: String): Double =
+    if (totalRows == 0) 0.0 else nullViolations.getOrElse(column, 0L).toDouble / totalRows
+  def duplicateRate: Double = if (totalRows == 0) 0.0 else duplicateRows.toDouble / totalRows
+}
+
+/**
+ * One-pass data-quality metrics. The reference runs a separate
+ * filter().count() job per checked column plus a distinct().count()
+ * (quality/DataQualityChecker.scala:61-96) — O(columns) full scans. Here all
+ * null counters collapse into ONE aggregation job, and the duplicate count
+ * is a groupBy-count over the checked columns — two scans total regardless
+ * of column count, both partial-aggregated map-side.
+ */
+object QualityChecker {
+
+  def checkQuality(df: DataFrame, nullColumns: Seq[String], dupColumns: Seq[String] = Nil): QualityReport = {
+    val aggs = count(lit(1)).as("__total") +:
+      nullColumns.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"))
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getLong(0)
+    val nulls = nullColumns.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap
+    val dupCols = if (dupColumns.nonEmpty) dupColumns else df.columns.toSeq
+    val distinct = df.select(dupCols.map(col): _*).distinct().count()
+    QualityReport(total, nulls, total - distinct)
+  }
+
+  /** Single validity predicate for the configured null checks (conjunction
+    * of IS NOT NULL). Reference: quality/DataQualityChecker.scala:139-153. */
+  def validPredicate(checks: Seq[NullCheck]): org.apache.spark.sql.Column =
+    checks.map(nc => col(nc.column).isNotNull).reduceOption(_ && _).getOrElse(lit(true))
+
+  /**
+   * Split into (valid, invalid) in ONE scan: the reference filters the
+   * source twice (PipelineExecutor.scala:107-117 → two full re-reads). We
+   * compute the predicate once as a column on a cached projection, so the
+   * source is read once and both branches reuse it. Caller must unpersist.
+   */
+  def splitValidInvalid(df: DataFrame, checks: Seq[NullCheck]): (DataFrame, DataFrame) = {
+    val marked = df.withColumn("__valid", validPredicate(checks)).cache()
+    (marked.filter(col("__valid")).drop("__valid"),
+     marked.filter(!col("__valid")).drop("__valid"))
+  }
+}
+
+/**
+ * Quarantine writer — invalid rows appended as parquet with audit columns
+ * (quarantine_timestamp, pipeline_id, run_id, validation_errors).
+ * Reference: quality/QuarantineWriter.scala:26-91 (+ the validation_errors
+ * column its docs promise but code lacks, docs/CONFIGURATION.md:485-490).
+ */
+object QuarantineWriter {
+  def write(invalid: DataFrame, path: String, ctx: RunContext, checks: Seq[NullCheck]): Unit = {
+    val errorsCol = concat_ws("; ",
+      checks.map(nc => when(col(nc.column).isNull, lit(s"null value in column '${nc.column}'"))): _*)
+    invalid
+      .withColumn("validation_errors", errorsCol)
+      .withColumn("quarantine_timestamp", current_timestamp())
+      .withColumn("pipeline_id", lit(ctx.pipelineId))
+      .withColumn("run_id", lit(ctx.runId))
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  def read(path: String, ctx: RunContext, pipelineId: Option[String] = None,
+           runId: Option[String] = None): DataFrame = {
+    val df = ctx.spark.read.parquet(path)
+    val f1 = pipelineId.map(p => df.filter(col("pipeline_id") === p)).getOrElse(df)
+    runId.map(r => f1.filter(col("run_id") === r)).getOrElse(f1)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.runtime
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api._
+import graft.config._
+import graft.lineage.Lineage
+import graft.quality.{QualityChecker, QuarantineWriter}
+
+final case class ExecutionMetrics(
+    pipelineId: String,
+    runId: String,
+    status: String, // SUCCESS | FAILED
+    recordsExtracted: Long,
+    recordsLoaded: Long,
+    recordsFailed: Long,
+    durationMs: Long,
+    error: Option[String] = None)
+
+/**
+ * Batch pipeline executor: source → fold(transforms) → sink.
+ * Reference: pipeline/PipelineExecutor.scala:23-164.
+ *
+ * Execution-model differences from the reference (SURVEY §3.4), all
+ * behavior-preserving:
+ *  - ONE Spark action per pipeline (the sink write). The reference runs
+ *    count() three+ times, recomputing the whole lineage each time; we get
+ *    row counts from `Observation` metrics attached to the same plan, so a
+ *    10 GB pipeline reads its input once, not four times.
+ *  - Lineage is stamped once at sink time from driver-side state (constant
+ *    folded by codegen), not re-read per transformer with first().
+ *  - Performance knobs the reference parses but ignores are wired:
+ *    shufflePartitions → session conf, repartition → df.repartition,
+ *    cacheIntermediate → persist.
+ */
+final class PipelineExecutor(
+    sources: Registry[Source] = Registries.sources(),
+    transforms: Registry[Transform] = Registries.transforms(),
+    sinks: Registry[Sink] = Registries.sinks()) {
+
+  def execute(config: PipelineConfig)(implicit spark: SparkSession): ExecutionMetrics = {
+    val runId = UUID.randomUUID().toString
+    val ctx = RunContext(spark, config.pipelineId, runId)
+    val t0 = System.nanoTime()
+    try {
+      config.performance.flatMap(_.shufflePartitions).foreach(n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+
+      val plan = buildPlan(config, ctx)
+      val inObs = new Observation(s"graft_in_$runId")
+      val outObs = new Observation(s"graft_out_$runId")
+      val observed = plan.in.observe(inObs, count(lit(1)).as("rows"))
+      val transformed = plan.rest(observed).observe(outObs, count(lit(1)).as("rows"))
+      val stamped =
+        if (config.sink.options.get("lineage").exists(_.toBoolean))
+          Lineage.stamp(transformed, Lineage.forPipeline(config, runId, System.currentTimeMillis()))
+        else transformed
+
+      val sink = sinks.get(config.sink.sinkType)
+      val errs = sink.validate(config.sink)
+      if (errs.nonEmpty) throw new ConfigException(errs.mkString("; "))
+      sink.write(stamped, config.sink, ctx)
+
+      val extracted = inObs.get.get("rows").map(_.toString.toLong).getOrElse(-1L)
+      val loaded = outObs.get.get("rows").map(_.toString.toLong).getOrElse(-1L)
+      ExecutionMetrics(config.pipelineId, runId, "SUCCESS",
+        extracted, loaded, plan.failedRows, (System.nanoTime() - t0) / 1000000)
+    } catch {
+      case e: Throwable =>
+        ExecutionMetrics(config.pipelineId, runId, "FAILED", -1, -1, -1,
+          (System.nanoTime() - t0) / 1000000, Option(e.getMessage))
+    }
+  }
+
+  /** Library-composition entry (reference §3.3): build the full lazy
+    * DataFrame for a pipeline without writing — used by tests, the verify
+    * gate, and anyone embedding the engine. */
+  def compose(config: PipelineConfig)(implicit spark: SparkSession): DataFrame = {
+    val ctx = RunContext(spark, config.pipelineId, "compose")
+    val plan = buildPlan(config, ctx)
+    plan.rest(plan.in)
+  }
+
+  private final case class Plan(in: DataFrame, rest: DataFrame => DataFrame, failedRows: Long)
+
+  /** Compose the lazy plan: read, optional quality gate, transform fold. */
+  private def buildPlan(config: PipelineConfig, ctx: RunContext)(implicit spark: SparkSession): Plan = {
+    val source = sources.get(config.source.sourceType)
+    val sErrs = source.validate(config.source)
+    if (sErrs.nonEmpty) throw new ConfigException(sErrs.mkString("; "))
+    var df = source.read(config.source)
+
+    // quality gate: split valid/invalid in one scan, quarantine or fail
+    var failedRows = 0L
+    config.quality.foreach { q =>
+      val failChecks = q.nullChecks.filter(_.action == NullAction.Fail)
+      val quarChecks = q.nullChecks.filter(_.action == NullAction.Quarantine)
+      if (failChecks.nonEmpty) {
+        val bad = df.filter(!QualityChecker.validPredicate(failChecks)).limit(1).count()
+        if (bad > 0) throw new GraftException(
+          s"quality gate: null values in fail-action columns ${failChecks.map(_.column).mkString(", ")}")
+      }
+      if (quarChecks.nonEmpty) {
+        val (valid, invalid) = QualityChecker.splitValidInvalid(df, quarChecks)
+        val path = q.quarantinePath.getOrElse(s"/tmp/graft-quarantine/${config.pipelineId}")
+        failedRows = invalid.count()
+        if (failedRows > 0) QuarantineWriter.write(invalid, path, ctx, quarChecks)
+        df = valid
+      }
+    }
+
+    config.performance.flatMap(_.repartition).foreach(n => df = df.repartition(n))
+    if (config.performance.exists(_.cacheIntermediate)) df = df.persist()
+
+    val rest = (observed: DataFrame) =>
+      config.transformations.foldLeft(observed) { (d, tc) =>
+        val t = transforms.get(tc.transformType)
+        val tErrs = t.validate(tc, d.schema)
+        if (tErrs.nonEmpty) throw new ConfigException(tErrs.mkString("; "))
+        t.apply(d, tc, ctx)
+      }
+    Plan(df, rest, failedRows)
+  }
+}

@@ -1,0 +1,38 @@
+package graft.runtime
+
+import graft.api.{Registry, Source, Transform, Sink}
+import graft.operators._
+import graft.sinks._
+import graft.sources._
+
+/** Built-in component registries (reference: pipeline/{Extractor,Transformer,
+  * Loader}Registry.scala) — type-string dispatch + user register(). */
+object Registries {
+  def sources(): Registry[Source] = new Registry[Source]("source", Map(
+    FileSource.sourceType      -> FileSource,
+    "s3"                       -> FileSource, // alias: s3a:// path with file semantics
+    KafkaSource.sourceType     -> KafkaSource,
+    KafkaFileSource.sourceType -> KafkaFileSource,
+    "postgres"                 -> new JdbcSource("postgres", "org.postgresql.Driver"),
+    "mysql"                    -> new JdbcSource("mysql", "com.mysql.cj.jdbc.Driver")))
+
+  def transforms(): Registry[Transform] = new Registry[Transform]("transform", Map(
+    FilterTransform.transformType     -> FilterTransform,
+    MapTransform.transformType        -> MapTransform,
+    AggregateTransform.transformType  -> AggregateTransform,
+    JoinTransform.transformType       -> JoinTransform,
+    WindowTransform.transformType     -> WindowTransform,
+    WindowRankTransform.transformType -> WindowRankTransform,
+    SortTransform.transformType       -> SortTransform,
+    LimitTransform.transformType      -> LimitTransform,
+    UnionTransform.transformType      -> UnionTransform,
+    DedupTransform.transformType      -> DedupTransform))
+
+  def sinks(): Registry[Sink] = new Registry[Sink]("sink", Map(
+    FileSink.sinkType      -> FileSink,
+    "s3"                   -> FileSink,
+    KafkaSink.sinkType     -> KafkaSink,
+    KafkaFileSink.sinkType -> KafkaFileSink,
+    "postgres"             -> new JdbcSink("postgres", "postgres"),
+    "mysql"                -> new JdbcSink("mysql", "mysql")))
+}

@@ -1,0 +1,108 @@
+package graft.sinks
+
+import java.sql.Connection
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+import graft.api.{Sink, RunContext, LoadResult, ConfigException}
+import graft.config.{SinkConfig, WriteMode, ExprUtils}
+
+/**
+ * Upsert SQL generation, separated from execution so it unit-tests without
+ * drivers. Reference: loader/PostgresLoader.scala:141-185 (ON CONFLICT),
+ * loader/MySQLLoader.scala:169-173 (ON DUPLICATE KEY UPDATE).
+ *
+ * Strategy (same as the reference, hardened): write the batch to a staging
+ * table via parallel JDBC, then one transactional driver-side
+ * INSERT…SELECT…ON CONFLICT — idempotent, so re-running a batch (or a
+ * streaming epoch via foreachBatch) is exactly-once-ish on a keyed table.
+ */
+object UpsertSql {
+  def postgres(table: String, staging: String, columns: Seq[String], keys: Seq[String]): String = {
+    val cols = columns.mkString(", ")
+    val updates = columns.filterNot(keys.contains)
+      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    val action = if (updates.isEmpty) "DO NOTHING" else s"DO UPDATE SET $updates"
+    s"INSERT INTO $table ($cols) SELECT $cols FROM $staging " +
+      s"ON CONFLICT (${keys.mkString(", ")}) $action"
+  }
+  def mysql(table: String, staging: String, columns: Seq[String], keys: Seq[String]): String = {
+    val cols = columns.mkString(", ")
+    val updates = columns.filterNot(keys.contains)
+      .map(c => s"$c = VALUES($c)").mkString(", ")
+    s"INSERT INTO $table ($cols) SELECT $cols FROM $staging " +
+      s"ON DUPLICATE KEY UPDATE $updates"
+  }
+}
+
+/** Seam for driver-side SQL so tests can intercept without a real database. */
+trait SqlExecutor {
+  def execute(url: String, props: java.util.Properties, statements: Seq[String]): Unit
+}
+object JdbcSqlExecutor extends SqlExecutor {
+  def execute(url: String, props: java.util.Properties, statements: Seq[String]): Unit = {
+    val conn: Connection = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try { statements.foreach(st.execute); conn.commit() }
+      catch { case e: Throwable => conn.rollback(); throw e }
+      finally st.close()
+    } finally conn.close()
+  }
+}
+
+/**
+ * jdbc (postgres | mysql) sink — append/overwrite via Spark's parallel JDBC
+ * writer (`batchsize` controls rows per round-trip, reference default 1000);
+ * upsert via staging table + dialect SQL. Reference:
+ * loader/PostgresLoader.scala:54-185, loader/MySQLLoader.scala:27-184.
+ */
+final class JdbcSink(val sinkType: String, dialect: String,
+                     sqlExecutor: SqlExecutor = JdbcSqlExecutor) extends Sink {
+
+  def write(data: DataFrame, config: SinkConfig, ctx: RunContext): LoadResult = {
+    val errs = validate(config)
+    if (errs.nonEmpty) throw new ConfigException(errs.mkString("; "))
+    val url = config.options("url")
+    val table = config.options.getOrElse("dbtable", config.options("table"))
+    val passthrough = (config.options -- Seq("url", "dbtable", "table", "primaryKey"))
+      .updated("batchsize", config.options.getOrElse("batchsize", "1000"))
+
+    config.writeMode match {
+      case WriteMode.Append =>
+        data.write.format("jdbc").mode(SaveMode.Append)
+          .options(passthrough).option("url", url).option("dbtable", table).save()
+      case WriteMode.Overwrite =>
+        data.write.format("jdbc").mode(SaveMode.Overwrite)
+          .options(passthrough).option("url", url).option("dbtable", table).save()
+      case WriteMode.Upsert =>
+        val keys = ExprUtils.parseColumns(config.options.getOrElse("primaryKey",
+          throw new ConfigException(s"$sinkType sink: upsert requires 'primaryKey'")))
+        val staging = s"${table}_staging_${ctx.runId.replace("-", "").take(12)}"
+        data.write.format("jdbc").mode(SaveMode.Overwrite)
+          .options(passthrough).option("url", url).option("dbtable", staging).save()
+        val sql = dialect match {
+          case "postgres" => UpsertSql.postgres(table, staging, data.columns.toSeq, keys)
+          case "mysql"    => UpsertSql.mysql(table, staging, data.columns.toSeq, keys)
+          case other      => throw new ConfigException(s"no upsert dialect for '$other'")
+        }
+        val props = new java.util.Properties()
+        config.options.get("user").foreach(props.setProperty("user", _))
+        config.options.get("password").foreach(props.setProperty("password", _))
+        sqlExecutor.execute(url, props, Seq(sql, s"DROP TABLE $staging"))
+    }
+    LoadResult(recordsWritten = -1L)
+  }
+
+  override def validate(config: SinkConfig): List[String] = {
+    val errs = List.newBuilder[String]
+    if (!config.options.contains("url")) errs += s"$sinkType sink: missing 'url'"
+    else if (!config.options("url").startsWith("jdbc:")) errs += s"$sinkType sink: url must start with jdbc:"
+    if (!config.options.contains("dbtable") && !config.options.contains("table"))
+      errs += s"$sinkType sink: missing 'dbtable'"
+    if (config.writeMode == WriteMode.Upsert && !config.options.contains("primaryKey"))
+      errs += s"$sinkType sink: upsert requires 'primaryKey'"
+    errs.result()
+  }
+}

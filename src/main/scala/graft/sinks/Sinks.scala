@@ -1,0 +1,81 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.api.{Sink, RunContext, LoadResult, ConfigException, LoadException}
+import graft.config.{SinkConfig, WriteMode, ExprUtils}
+
+/**
+ * file — parquet | json | csv | orc with compression, partitionBy
+ * (Hive-style dirs → partition pruning for downstream readers), and output
+ * file-count control. Reference: loader/S3Loader.scala:27-119.
+ *
+ * Scale notes: `partitionBy` is what enables partition pruning at read time;
+ * `maxRecordsPerFile` bounds file sizes without collapsing parallelism, and
+ * is preferred over the reference's `coalesce` knob (which serializes the
+ * final stage); both are supported.
+ */
+object FileSink extends Sink {
+  val sinkType = "file"
+  def write(data: DataFrame, config: SinkConfig, ctx: RunContext): LoadResult = {
+    val path = config.options.getOrElse("path",
+      throw new ConfigException("file sink: 'path' option required"))
+    val format = config.options.getOrElse("format", "parquet").toLowerCase
+    val mode = config.writeMode match {
+      case WriteMode.Append    => SaveMode.Append
+      case WriteMode.Overwrite => SaveMode.Overwrite
+      case WriteMode.Upsert =>
+        throw new ConfigException("file sink: upsert not supported (use a keyed store)")
+    }
+    val out = config.options.get("coalesce").map(n => data.coalesce(n.toInt)).getOrElse(data)
+    var writer = out.write.format(format).mode(mode)
+      .options(config.options -- Seq("path", "format", "coalesce"))
+    if (config.partitionBy.nonEmpty) writer = writer.partitionBy(config.partitionBy: _*)
+    writer.save(path)
+    LoadResult(recordsWritten = -1L) // counts flow via Observation, not an extra action
+  }
+  override def validate(config: SinkConfig): List[String] =
+    if (config.options.contains("path")) Nil else List("file sink: missing 'path'")
+}
+
+/**
+ * kafka — key/value projection then write.format("kafka").
+ * Reference: loader/KafkaLoader.scala:26-98 — if keyColumn/valueColumn are
+ * configured cast those to string; else key=null, value=to_json(struct(*)).
+ * [[KafkaFileSink]] is the connector-free test double (JSON lines out).
+ */
+object KafkaSink extends Sink {
+  val sinkType = "kafka"
+  def prepare(data: DataFrame, config: SinkConfig): DataFrame = {
+    (config.options.get("keyColumn"), config.options.get("valueColumn")) match {
+      case (Some(k), Some(v)) =>
+        data.select(col(k).cast("string").as("key"), col(v).cast("string").as("value"))
+      case _ =>
+        data.select(lit(null).cast("string").as("key"), to_json(struct(data.columns.map(col): _*)).as("value"))
+    }
+  }
+  def write(data: DataFrame, config: SinkConfig, ctx: RunContext): LoadResult = {
+    if (config.writeMode != WriteMode.Append)
+      throw new ConfigException("kafka sink: only append is supported")
+    val topic = config.options.getOrElse("topic",
+      throw new ConfigException("kafka sink: 'topic' option required"))
+    prepare(data, config).write.format("kafka")
+      .options(config.options -- Seq("topic", "keyColumn", "valueColumn"))
+      .option("topic", topic)
+      .save()
+    LoadResult(recordsWritten = -1L)
+  }
+}
+
+/** kafka-file — test double: writes the kafka-prepared `value` column as
+  * text lines (the same stand-in shape the sources read). */
+object KafkaFileSink extends Sink {
+  val sinkType = "kafka-file"
+  def write(data: DataFrame, config: SinkConfig, ctx: RunContext): LoadResult = {
+    val path = config.options.getOrElse("path",
+      throw new ConfigException("kafka-file sink: 'path' option required"))
+    KafkaSink.prepare(data, config).select("value").write.mode(SaveMode.Append).text(path)
+    LoadResult(recordsWritten = -1L)
+  }
+}

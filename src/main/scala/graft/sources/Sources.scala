@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.api.{Source, ConfigException, ExtractException}
+import graft.config.SourceConfig
+
+/**
+ * file — parquet | json | csv | orc | text from a path (local, HDFS, or
+ * s3a:// — the URI scheme is all that differs at cluster scale).
+ * Reference: extractor/S3Extractor.scala:30-78. CSV header/delimiter/
+ * inferSchema, JSON multiLine, Parquet mergeSchema pass straight through as
+ * Spark reader options. Unlike the reference, `schemaPath`/`schema` is
+ * actually enforced: an explicit schema both skips the inference scan
+ * (a full extra read at 100 TB) and acts as the strict contract the
+ * reference only promised (S3Extractor.scala:163).
+ */
+object FileSource extends Source {
+  val sourceType = "file"
+  private val formats = Set("parquet", "json", "csv", "orc", "text", "avro")
+
+  def read(config: SourceConfig)(implicit spark: SparkSession): DataFrame = {
+    val path = config.options.getOrElse("path",
+      throw new ConfigException("file source: 'path' option required"))
+    val format = config.options.getOrElse("format", "parquet").toLowerCase
+    if (!formats.contains(format))
+      throw new ConfigException(s"file source: unknown format '$format'")
+    val passthrough = config.options -- Seq("path", "format", "schema")
+    var reader = spark.read.format(format).options(passthrough)
+    explicitSchema(config).foreach(s => reader = reader.schema(s))
+    reader.load(path)
+  }
+
+  override def validate(config: SourceConfig): List[String] = {
+    val errs = List.newBuilder[String]
+    if (!config.options.contains("path")) errs += "file source: missing 'path'"
+    config.options.get("format").filterNot(f => formats.contains(f.toLowerCase))
+      .foreach(f => errs += s"file source: unknown format '$f'")
+    errs.result()
+  }
+
+  /** DDL-string schema from inline option or schemaPath file. */
+  def explicitSchema(config: SourceConfig): Option[StructType] = {
+    val ddl = config.options.get("schema").orElse(
+      config.schemaPath.map(p => new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")))
+    ddl.map(d => DataType.fromDDL(d).asInstanceOf[StructType])
+  }
+}
+
+/**
+ * kafka (batch read) — reads a topic slice; raw binary key/value cast to
+ * string; exposes key,value,topic,partition,offset,timestamp.
+ * Reference: extractor/KafkaExtractor.scala:27-72. The real path is
+ * spark.read.format("kafka") (connector resolved at runtime); the image
+ * ships no Kafka connector, so tests use [[KafkaFileSource]] — the same
+ * file-backed stand-in strategy the reference's own tests use (spec FR-029:
+ * no real services in tests).
+ */
+object KafkaSource extends Source {
+  val sourceType = "kafka"
+  def read(config: SourceConfig)(implicit spark: SparkSession): DataFrame = {
+    val required = Seq("kafka.bootstrap.servers", "subscribe")
+    val missing = required.filterNot(config.options.contains)
+    if (missing.nonEmpty)
+      throw new ConfigException(s"kafka source: missing ${missing.mkString(", ")}")
+    spark.read.format("kafka")
+      .options(config.options)
+      .option("startingOffsets", config.options.getOrElse("startingOffsets", "earliest"))
+      .load()
+      .select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        col("topic"), col("partition"), col("offset"), col("timestamp"))
+  }
+}
+
+/**
+ * kafka-file — test double: a JSON-lines file stands in for a topic
+ * (one message per line = the `value`), mirroring the reference's mock
+ * strategy (QuickstartScenario3Spec.scala:103-121). Produces the exact
+ * kafka column contract so downstream transforms are interchangeable.
+ */
+object KafkaFileSource extends Source {
+  val sourceType = "kafka-file"
+  def read(config: SourceConfig)(implicit spark: SparkSession): DataFrame = {
+    val path = config.options.getOrElse("path",
+      throw new ConfigException("kafka-file source: 'path' option required"))
+    val topic = config.options.getOrElse("topic", "mock-topic")
+    spark.read.text(path)
+      .select(
+        lit(null).cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        lit(topic).as("topic"),
+        spark_partition_id().as("partition"),
+        (monotonically_increasing_id()).as("offset"),
+        current_timestamp().as("timestamp"))
+  }
+}
+
+/**
+ * jdbc (postgres | mysql) — partitioned parallel read of a table or
+ * `(subquery) alias`. Reference: extractor/PostgresExtractor.scala:30-81,
+ * MySQLExtractor.scala:30-80. partitionColumn/lowerBound/upperBound/
+ * numPartitions split the read into concurrent range queries — the only
+ * way a JDBC scan parallelizes on a cluster; fetchsize tunes cursor
+ * batching. No JDBC drivers ship in this image, so integration tests use a
+ * registered file-backed double ([[graft.runtime.Registries]]), exactly as
+ * the reference uses H2 stand-ins.
+ */
+final class JdbcSource(val sourceType: String, driverClass: String) extends Source {
+  def read(config: SourceConfig)(implicit spark: SparkSession): DataFrame = {
+    val errs = validate(config)
+    if (errs.nonEmpty) throw new ConfigException(errs.mkString("; "))
+    val opts = Map(
+      "url" -> config.options("url"),
+      "dbtable" -> config.options.getOrElse("dbtable", config.options.getOrElse("table", "")),
+      "driver" -> config.options.getOrElse("driver", driverClass)) ++
+      (config.options -- Seq("url", "dbtable", "table"))
+    spark.read.format("jdbc").options(opts).load()
+  }
+  override def validate(config: SourceConfig): List[String] = {
+    val errs = List.newBuilder[String]
+    config.options.get("url") match {
+      case None => errs += s"$sourceType source: missing 'url'"
+      case Some(u) if !u.startsWith("jdbc:") => errs += s"$sourceType source: url must start with jdbc:"
+      case _ =>
+    }
+    if (!config.options.contains("dbtable") && !config.options.contains("table"))
+      errs += s"$sourceType source: missing 'dbtable'"
+    val partOpts = Seq("partitionColumn", "lowerBound", "upperBound", "numPartitions")
+    val present = partOpts.count(config.options.contains)
+    if (config.options.contains("partitionColumn") && present != 4)
+      errs += s"$sourceType source: partitionColumn requires all of ${partOpts.mkString(", ")}"
+    errs.result()
+  }
+}
