@@ -199,6 +199,94 @@ object SparkEntry {
             "aggregations" -> "revenue:sum(disc_price),n_rows:count(*)"))),
         sink = SinkConfig("file", Map("path" -> "/tmp/graft-unused")))
       new graft.runtime.PipelineExecutor().compose(cfg)(s)
+    }),
+
+    // ---- LLM-data-pipeline: text analysis ----
+    "q23_text_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions
+      tab(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+        length(col("text")).as("len_chars"))
+    }),
+    "q24_text_quality" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions
+      tab(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- LLM-data-pipeline: deduplication family ----
+    "q25_dedup_exact" -> ((s, dir) =>
+      graft.dedup.Dedup.exact(tab(s, dir, "documents"), "doc_id", "text")),
+    "q26_dedup_minhash" -> ((s, dir) =>
+      graft.dedup.Dedup.minhashNearDups(tab(s, dir, "documents"), "doc_id", "text",
+        bands = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5)),
+    "q27_dedup_simhash" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashNearDups(tab(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)),
+
+    // ---- LLM-data-pipeline: similarity search over embeddings ----
+    "q28_ann_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val queries = emb.where("vec_id < 5")
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ann.Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", "query_id", 10)
+    }),
+    "q29_ann_lsh" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val queries = emb.where("vec_id < 5")
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ann.Ann.lshTopK(emb, queries, "vec_id", "embedding", "query_id", 10,
+        bits = 8, tables = 6)
+    }),
+    "q30_embed_neardup" -> ((s, dir) =>
+      graft.ann.Ann.cosineNearDups(tab(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.95, bits = 8, tables = 6)),
+
+    // ---- LLM-data-pipeline: multimodal column plumbing (stub decode) ----
+    "q31_multimodal" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val media = graft.multimodal.Multimodal.asMediaFrame(
+        tab(s, dir, "documents").where("doc_id < 100")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"),
+            concat(lit("doc://"), col("doc_id")).as("uri")),
+        "doc_id", "bytes", "image", "uri")
+      graft.multimodal.Multimodal.extractFeatures(media)
+        .select("media_id", "width", "height")
+    }),
+
+    // ---- Structured Streaming (honest micro-batch; reference faked this) ----
+    "q32_stream_window" -> ((s, dir) => {
+      import graft.config._
+      // stream the events table end-to-end: readStream → watermark →
+      // tumbling window agg → memory sink, drained with availableNow
+      tab(s, dir, "events").createOrReplaceTempView("ev_src_q32")
+      val inDir = java.nio.file.Files.createTempDirectory("q32in").toString
+      s.table("ev_src_q32").write.mode("overwrite").parquet(inDir)
+      val cfg = PipelineConfig(
+        pipelineId = s"q32_${System.nanoTime()}",
+        executionMode = ExecutionMode.MicroBatch,
+        source = SourceConfig("file", Map(
+          "path" -> inDir, "format" -> "parquet",
+          "schema" -> "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")),
+        transformations = List(TransformConfig("w", "windowing", Map(
+          "timeColumn" -> "ts", "windowDuration" -> "1 hour",
+          "aggregations" -> "n_events:count(*),sum_value:round(sum(value), 2)"))),
+        sink = SinkConfig("memory", Map("queryName" -> "q32_out")),
+        streaming = Some(StreamingConfig(
+          checkpointLocation = Some(java.nio.file.Files.createTempDirectory("q32ck").toString),
+          watermarkColumn = Some("ts"), watermarkDelay = Some("1 hour"),
+          outputMode = "complete")))
+      new graft.streaming.StreamingExecutor().start(cfg)(s).awaitTermination(120000)
+      s.table("q32_out")
     })
   )
 
@@ -318,6 +406,35 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
          sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
          count(*) AS n_rows
-         FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag, l_linestatus"""
+         FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag, l_linestatus""",
+    "q23_text_stats" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+         length(text) AS len_chars
+         FROM documents""",
+    "q25_dedup_exact" ->
+      """SELECT sha256(trim(lower(text))) AS text_hash, min(doc_id) AS doc_id,
+         count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "q28_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                    FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.qvec AS DOUBLE[])) AS sim
+           FROM embeddings e CROSS JOIN q)
+         SELECT query_id, vec_id, rank FROM (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rank
+           FROM scored) WHERE rank <= 10""",
+    "q32_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS window_start,
+         (time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour')::TIMESTAMP AS window_end,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2"""
   )
 }

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines.
+ * Everything here is a pure Column→Column composition of Spark built-ins
+ * (split / transform / aggregate / filter higher-order functions), so it
+ * stays inside whole-stage codegen, runs per-row with NO shuffle and NO
+ * UDF/serialization cost — the properties that make it viable over 100 TB
+ * of documents.
+ */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and individual
+    * punctuation marks each count as a token (the usual pre-tokenizer
+    * regex shape used by BPE vocabularies). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Ratio of punctuation characters to all characters. */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, 0.0).otherwise(
+      (len - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / len)
+  }
+
+  /** Mean token length (characters). */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, 0.0).otherwise(
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
+  }
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "be", "this", "was", "are")
+
+  /** Fraction of tokens that are (English) stopwords — the classic
+    * fluency/quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(t) === 0, 0.0).otherwise(
+      size(filter(t, w => array_contains(stops, w))).cast("double") / size(t))
+  }
+
+  /**
+   * Composite document-quality score in [0,1]: rewards mid-length docs,
+   * a natural stopword rate and mean word length, penalizes punctuation
+   * soup. Weights are fixed and deterministic (score is a FEATURE for
+   * downstream filtering, not a learned model).
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 3.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    val wordLen = meanTokenLength(text)
+    val wordScore = when(wordLen.between(3.0, 9.0), 1.0).otherwise(0.4)
+    round(lenScore * 0.3 + stopScore * 0.3 + punctScore * 0.2 + wordScore * 0.2, 4)
+  }
+
+  /** Language profiles: high-frequency function words per language (public
+    * knowledge: standard stopword lists). */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "des", "une", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "es", "no", "una", "que", "por", "para"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /**
+   * N-gram/function-word language ID heuristic: score = stopword hits per
+   * language, argmax with deterministic tie-break on language code.
+   * `greatest` over (score, lang) structs gives a shuffle-free per-row argmax.
+   */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scored = langProfiles.map { case (lang, words) =>
+      val profile = array(words.map(lit): _*)
+      struct(
+        size(filter(t, w => array_contains(profile, w))).as("score"),
+        lit(lang).as("lang"))
+    }
+    greatest(scored: _*).getField("lang")
+  }
+
+  /**
+   * 64-bit rolling-hash document fingerprint: a hash chain over the token
+   * stream (acc ← xxhash64(acc, token)), order-sensitive — equal texts get
+   * equal fingerprints, reordered texts don't. Per-row fold, codegen'd,
+   * and overflow-free under ANSI mode (unlike a polynomial acc*31+h).
+   */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
+
+  /** Word n-gram array ("a b c", 2 → ["a b", "b c"]); docs shorter than n
+    * tokens get a single shingle of the whole text. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) <= n, array(array_join(t, " "))).otherwise(
+      transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+  }
+}

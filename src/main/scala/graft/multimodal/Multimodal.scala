@@ -1,0 +1,92 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing: media (image/audio/video) travels as an
+ * opaque BinaryType payload + typed metadata struct; decode/feature
+ * extraction runs as a partition-wise batch operator (`mapPartitions`, the
+ * Scala analog of mapInPandas) so a real decoder would amortize model/
+ * codec init per partition, not per row.
+ *
+ * The actual byte→pixels decode is STUBBED (this container ships no
+ * image/audio codecs): [[StubDecoder]] derives deterministic fake
+ * dimensions/features from a hash of the payload. The Spark-side contract
+ * — schema, batch iteration shape, partition sizing, null handling — is
+ * real and tested; swapping in a JNI/ONNX decoder changes only the
+ * function body marked STUB.
+ */
+object Multimodal {
+
+  /** media payload schema: binary blob + source metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType),   // image | audio | video
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("source_uri", StringType),
+      StructField("content_type", StringType),
+      StructField("n_bytes", LongType))))))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Wrap raw bytes + ids into the canonical media frame. */
+  def asMediaFrame(df: DataFrame, idCol: String, bytesCol: String,
+                   modality: String, sourceUriCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(modality).as("modality"),
+      col(bytesCol).cast("binary").as("content"),
+      struct(
+        col(sourceUriCol).cast("string").as("source_uri"),
+        lit(s"application/x-$modality").as("content_type"),
+        length(col(bytesCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
+
+  trait MediaDecoder extends Serializable {
+    /** Decode one payload → (width, height, durationMs, feature vector). */
+    def decode(modality: String, content: Array[Byte]): (Int, Int, Long, Array[Float])
+  }
+
+  /** STUB: deterministic fake decode — dimensions and an 8-dim "feature"
+    * derived from a rolling hash of the payload bytes. Replace with a real
+    * codec (??? boundary) without touching the plumbing. */
+  object StubDecoder extends MediaDecoder {
+    def decode(modality: String, content: Array[Byte]): (Int, Int, Long, Array[Float]) = {
+      var h = 1125899906842597L // deterministic FNV-ish fold, not a real decode
+      var i = 0
+      while (i < content.length) { h = 31 * h + content(i); i += 1 }
+      val w = 64 + math.floorMod(h, 512).toInt
+      val ht = 64 + math.floorMod(h >> 9, 512).toInt
+      val dur = if (modality == "image") 0L else 1000L + math.floorMod(h >> 18, 60000L)
+      val feat = Array.tabulate(8)(j => math.floorMod(h >> (j * 7), 1000L).toFloat / 1000f)
+      (w, ht, dur, feat)
+    }
+  }
+
+  /**
+   * Partition-wise decode/feature-extract. Iterator-to-iterator transform:
+   * nothing is materialized per partition beyond the row in flight, so
+   * partition size is bounded by `spark.sql.files.maxPartitionBytes`, not
+   * by media payload count.
+   */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    media.select("media_id", "modality", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val modality = r.getString(1)
+        val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+        val (w, h, dur, feat) = decoder.decode(modality, bytes)
+        Row(id, modality, w, h, dur, feat)
+      }
+    }(enc)
+  }
+}

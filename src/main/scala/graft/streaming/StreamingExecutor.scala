@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.api._
+import graft.config._
+import graft.runtime.Registries
+
+/**
+ * Honest micro-batch execution — the mode the reference declares (spec
+ * FR-022, executionMode: micro-batch) but fakes with batch reads
+ * (SURVEY §1.1): real Structured Streaming with readStream, watermarks,
+ * windowed aggregation state, and foreachBatch sinks.
+ *
+ * - File/kafka sources stream natively (`readStream`); file sources
+ *   require an explicit schema (streaming cannot infer — and at scale you
+ *   want the contract anyway).
+ * - Watermark (`streaming.watermarkColumn/Delay`) bounds state for windowed
+ *   aggregations; late rows beyond the delay are dropped by Spark's state
+ *   store, the standard late-data policy.
+ * - Sinks: file sinks use the native streaming writer (exactly-once via
+ *   the file sink log); everything else goes through foreachBatch →
+ *   the BATCH sink implementation, which for JDBC-upsert gives idempotent
+ *   epochs (staging + ON CONFLICT), i.e. effectively-once.
+ * - Trigger: availableNow (default; drain-and-stop, what the driver's
+ *   tests need) or processingTime=<interval> for continuous pipelines.
+ */
+final class StreamingExecutor(
+    sources: Registry[Source] = Registries.sources(),
+    transforms: Registry[Transform] = Registries.transforms(),
+    sinks: Registry[Sink] = Registries.sinks()) {
+
+  def start(config: PipelineConfig)(implicit spark: SparkSession): StreamingQuery = {
+    val runId = UUID.randomUUID().toString
+    val ctx = RunContext(spark, config.pipelineId, runId)
+    val st = config.streaming.getOrElse(StreamingConfig())
+
+    val in = readStream(config.source, st)
+    val transformed = config.transformations.foldLeft(in) { (d, tc) =>
+      transforms.get(tc.transformType).apply(d, tc, ctx)
+    }
+
+    val checkpoint = st.checkpointLocation.getOrElse(
+      s"/tmp/graft-checkpoints/${config.pipelineId}/$runId")
+    val trigger = st.trigger match {
+      case Some(t) if t.startsWith("processingTime=") =>
+        Trigger.ProcessingTime(t.stripPrefix("processingTime="))
+      case _ => Trigger.AvailableNow()
+    }
+
+    val writer = config.sink.sinkType match {
+      case "file" =>
+        val path = config.sink.options.getOrElse("path",
+          throw new ConfigException("file sink: 'path' option required"))
+        var w = transformed.writeStream
+          .format(config.sink.options.getOrElse("format", "parquet"))
+          .outputMode(st.outputMode)
+          .option("path", path)
+        if (config.sink.partitionBy.nonEmpty) w = w.partitionBy(config.sink.partitionBy: _*)
+        w
+      case "memory" =>
+        transformed.writeStream.format("memory")
+          .queryName(config.sink.options.getOrElse("queryName", config.pipelineId))
+          .outputMode(st.outputMode)
+      case _ =>
+        // batch-sink reuse per epoch: upsert sinks make this idempotent
+        val sink = sinks.get(config.sink.sinkType)
+        transformed.writeStream.outputMode(st.outputMode)
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            sink.write(batch, config.sink, ctx.copy(runId = s"$runId-$epochId")); ()
+          }
+    }
+    writer
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  private def readStream(src: SourceConfig, st: StreamingConfig)
+                        (implicit spark: SparkSession): DataFrame = {
+    val base = src.sourceType match {
+      case "file" | "s3" =>
+        val schema = graft.sources.FileSource.explicitSchema(src).getOrElse(
+          throw new ConfigException("streaming file source requires an explicit schema"))
+        spark.readStream.schema(schema)
+          .format(src.options.getOrElse("format", "parquet"))
+          .options(src.options -- Seq("path", "format", "schema"))
+          .load(src.options.getOrElse("path",
+            throw new ConfigException("file source: 'path' option required")))
+      case "kafka" =>
+        spark.readStream.format("kafka").options(src.options).load()
+          .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value",
+            "topic", "partition", "offset", "timestamp")
+      case other =>
+        throw new ConfigException(s"source '$other' does not support streaming")
+    }
+    (st.watermarkColumn, st.watermarkDelay) match {
+      case (Some(c), Some(d)) => base.withWatermark(c, d)
+      case _ => base
+    }
+  }
+}

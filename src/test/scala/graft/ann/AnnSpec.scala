@@ -1,0 +1,56 @@
+package graft.ann
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic synthetic corpus: 200 vectors in 16 dims, clustered
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(42)
+    (0L until 200L).map { i =>
+      val center = (i % 4).toInt
+      val v = Array.tabulate(16)(d =>
+        (if (d % 4 == center) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: a corpus vector's own nearest neighbor is itself") {
+    val queries = corpus.where("vec_id IN (0, 1, 7)")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", "query_id", 5)
+    top.where("rank = 1").select("query_id", "vec_id").as[(Long, Long)].collect()
+      .foreach { case (q, v) => v shouldBe q }
+    top.groupBy("query_id").count().select("count").as[Long].collect()
+      .foreach(_ shouldBe 5L)
+  }
+
+  test("brute-force top-k neighbors come from the query's own cluster") {
+    val queries = corpus.where("vec_id = 0") // cluster 0
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ids = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", "query_id", 10)
+      .select("vec_id").as[Long].collect()
+    all(ids.map(_ % 4)) shouldBe 0L
+  }
+
+  test("LSH top-k achieves high recall vs brute force on clustered data") {
+    val queries = corpus.where("vec_id IN (0, 1, 2, 3)")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", "query_id", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(corpus, queries, "vec_id", "embedding", "query_id", 10,
+      bits = 6, tables = 6).select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    recall should be >= 0.7
+  }
+
+  test("cosine near-dup pairs: duplicated vectors found with sim 1.0") {
+    val withDup = corpus.union(
+      corpus.where("vec_id = 5").select(lit(999L).as("vec_id"), col("embedding")))
+    val pairs = Ann.cosineNearDups(withDup, "vec_id", "embedding",
+      threshold = 0.999, bits = 6, tables = 6)
+    pairs.where("id_a = 5 AND id_b = 999").count() shouldBe 1
+  }
+}

@@ -1,0 +1,65 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while the sun " +
+    "shines bright and the river runs cold through the green valley below the hills"
+  // near-dup: one word changed; far: unrelated text
+  private val nearDup = base.replace("green valley", "wide valley")
+  private val unrelated = "completely different content about spark query engines " +
+    "processing massive distributed datasets with columnar storage and vectorized execution"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base), (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: identical texts collapse to lowest id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    out.where("n_copies = 2").select("doc_id").as[Long].collect() shouldBe Array(1L)
+    out.count() shouldBe 4 // base, nearDup, unrelated, ""
+  }
+
+  test("minhash LSH finds planted near-dup and exact-dup pairs, not unrelated ones") {
+    val pairs = Dedup.minhashNearDups(docs.where("doc_id <= 4"), "doc_id", "text",
+      bands = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 4L)) // exact copies
+    pairs should contain((1L, 2L)) // near dup
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+  }
+
+  test("minhash jaccard for exact copies is 1.0") {
+    Dedup.minhashNearDups(docs.where("doc_id IN (1, 4)"), "doc_id", "text")
+      .select("jaccard").as[Double].collect() shouldBe Array(1.0)
+  }
+
+  test("simhash: near-dups within small hamming distance; unrelated far") {
+    val out = Dedup.simhashNearDups(docs.where("doc_id <= 4"), "doc_id", "text", maxHamming = 8)
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 4L))
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+    out.where("id_a = 1 AND id_b = 4").select("hamming").as[Int].head() shouldBe 0
+  }
+
+  test("ngram jaccard column: identity 1.0, disjoint 0.0, near-dup in between") {
+    val df = Seq((base, base, "same"), (base, unrelated, "diff"), (base, nearDup, "near"))
+      .toDF("a", "b", "tag")
+      .select(col("tag"), Dedup.ngramJaccard(col("a"), col("b"), 3).as("j"))
+    val m = df.as[(String, Double)].collect().toMap
+    m("same") shouldBe 1.0
+    m("diff") shouldBe 0.0
+    m("near") should (be > 0.5 and be < 1.0)
+  }
+
+  test("LSH bucket cap drops pathological mega-buckets instead of exploding") {
+    // 60 identical docs → one bucket of 60 > cap 10 → no pairs, no blow-up
+    val many = (1L to 60L).map(i => (i, base)).toDF("doc_id", "text")
+    Dedup.minhashNearDups(many, "doc_id", "text", maxBucketSize = 10).count() shouldBe 0
+  }
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+  import TextFunctions._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("token counts: whitespace vs BPE-ish") {
+    one[Int](tokenCount(col("t")), "Hello  world, here we go") shouldBe 5
+    one[Int](tokenCount(col("t")), "   ") shouldBe 0
+    // bpe-ish: [Hello][,][ ][world][!][!] → Hello, world!! = 2 words + 3 puncts
+    one[Int](bpeTokenCount(col("t")), "Hello, world!!") shouldBe 5
+    one[Int](bpeTokenCount(col("t")), "v2.0") shouldBe 4 // v | 2 | . | 0
+  }
+
+  test("punct and stopword ratios") {
+    one[Double](punctRatio(col("t")), "ab,.") shouldBe 0.5
+    one[Double](stopwordRatio(col("t")), "the cat and the hat") shouldBe 0.6
+  }
+
+  test("language id picks the profile with most function-word hits") {
+    one[String](langId(col("t")), "the cat is on the mat and it is happy") shouldBe "en"
+    one[String](langId(col("t")), "der hund ist nicht mit der katze") shouldBe "de"
+    one[String](langId(col("t")), "le chat est pour la maison et les jardins") shouldBe "fr"
+    one[String](langId(col("t")), "el perro es una mascota para la casa") shouldBe "es"
+    one[String](langId(col("t")), "这 是 不 好 的 人") shouldBe "zh"
+  }
+
+  test("fingerprint: equal for equal text, different for reordered tokens") {
+    val df = Seq("alpha beta gamma", "alpha beta gamma", "gamma beta alpha").toDF("t")
+      .select(fingerprint(col("t")).as("f"))
+    val fps = df.as[Long].collect()
+    fps(0) shouldBe fps(1)
+    fps(0) should not be fps(2)
+  }
+
+  test("word n-grams slide correctly and degrade on short docs") {
+    one[Seq[String]](wordNgrams(col("t"), 2), "a b c") shouldBe Seq("a b", "b c")
+    one[Seq[String]](wordNgrams(col("t"), 3), "a b") shouldBe Seq("a b")
+  }
+
+  test("quality score is in [0,1] and rewards fluent text over punctuation soup") {
+    val fluent = one[Double](qualityScore(col("t")),
+      "the quick brown fox jumps over the lazy dog and it is a fine day for running")
+    val soup = one[Double](qualityScore(col("t")), "@@@!!! ### $$$ %%% ^^^ &&&")
+    fluent should be > soup
+    fluent should (be >= 0.0 and be <= 1.0)
+    soup should (be >= 0.0 and be <= 1.0)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.asMediaFrame(
+    Seq((1L, "payload-one", "s3://bucket/a.jpg"),
+        (2L, "payload-two", "s3://bucket/b.jpg"),
+        (3L, "payload-one", "s3://bucket/c.jpg"))
+      .toDF("id", "body", "uri")
+      .select(col("id"), encode(col("body"), "UTF-8").as("bytes"), col("uri")),
+    "id", "bytes", "image", "uri")
+
+  test("media frame carries binary payload + typed metadata") {
+    media.schema.simpleString shouldBe Multimodal.mediaSchema.simpleString
+    val m = media.where("media_id = 1").select("meta.n_bytes", "meta.content_type")
+      .as[(Long, String)].head()
+    m shouldBe ((11L, "application/x-image"))
+  }
+
+  test("partition-wise feature extraction: schema, determinism, payload-dependence") {
+    val feats = Multimodal.extractFeatures(media)
+    feats.schema shouldBe Multimodal.featureSchema
+    val rows = feats.orderBy("media_id").collect()
+    rows should have size 3
+    // same payload → same fake decode; different payload → different
+    rows(0).getAs[Seq[Float]]("feature") shouldBe rows(2).getAs[Seq[Float]]("feature")
+    rows(0).getAs[Seq[Float]]("feature") should not be rows(1).getAs[Seq[Float]]("feature")
+    all(rows.map(_.getAs[Int]("width"))) should be >= 64
+    all(rows.map(_.getAs[Long]("duration_ms"))) shouldBe 0L // images
+  }
+
+  test("null payloads decode as empty bytes instead of crashing") {
+    val withNull = media.withColumn("content",
+      when(col("media_id") === 2, lit(null).cast("binary")).otherwise(col("content")))
+    Multimodal.extractFeatures(withNull).count() shouldBe 3
+  }
+}

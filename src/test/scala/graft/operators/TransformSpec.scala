@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.api.{ConfigException, RunContext}
+import graft.config.TransformConfig
+
+/** Transformer behavior specs, mirroring the reference's transformer +
+  * contract suites (AggregationTransformerSpec golden values, join-type
+  * matrix, idempotency, empty-input handling). */
+class TransformSpec extends SparkTestBase {
+  import spark.implicits._
+  private def ctx = RunContext(spark, "test", "run")
+  private def tc(typ: String, opts: (String, String)*) = TransformConfig("t", typ, opts.toMap)
+
+  private lazy val sales = Seq(
+    ("2024-01-01", "widget", 100.0),
+    ("2024-01-01", "widget", 150.0),
+    ("2024-01-02", "gadget", 200.0),
+    ("2024-01-02", "gadget", 50.0)).toDF("date", "product", "amount")
+
+  test("aggregation: reference golden values (sum=250, avg=125, count=2)") {
+    val out = AggregateTransform(sales,
+      tc("aggregation", "groupBy" -> "product",
+        "aggregations" -> "total_amount:sum(amount),avg_amount:avg(amount),n:count(*)"), ctx)
+      .where("product = 'widget'").collect().head
+    out.getDouble(out.fieldIndex("total_amount")) shouldBe 250.0
+    out.getDouble(out.fieldIndex("avg_amount")) shouldBe 125.0
+    out.getLong(out.fieldIndex("n")) shouldBe 2L
+  }
+
+  test("aggregation: the 9 reference functions all parse and run") {
+    val out = AggregateTransform(sales, tc("aggregation", "groupBy" -> "product",
+      "aggregations" -> ("s:sum(amount),a:avg(amount),c:count(amount),mn:min(amount)," +
+        "mx:max(amount),f:first(amount),l:last(amount)," +
+        "cl:collect_list(amount),cs:collect_set(amount)")), ctx)
+    out.columns.toSet shouldBe Set("product", "s", "a", "c", "mn", "mx", "f", "l", "cl", "cs")
+    out.count() shouldBe 2
+  }
+
+  test("aggregation: global (no groupBy) and validation error on bad column") {
+    AggregateTransform(sales, tc("aggregation", "aggregations" -> "n:count(*)"), ctx)
+      .collect().head.getLong(0) shouldBe 4L
+    AggregateTransform.validate(
+      tc("aggregation", "groupBy" -> "nope", "aggregations" -> "n:count(*)"),
+      sales.schema) should have size 1
+  }
+
+  test("filter: condition semantics + idempotency + empty input") {
+    val df = Seq(("alice", 35, "active"), ("bob", 28, "active"), ("carol", 40, "inactive"))
+      .toDF("username", "age", "status")
+    val cfg = tc("filter", "condition" -> "age > 30 AND status = 'active'")
+    val once = FilterTransform(df, cfg, ctx)
+    once.select("username").as[String].collect() shouldBe Array("alice")
+    FilterTransform(once, cfg, ctx).count() shouldBe once.count() // idempotent
+    FilterTransform(df.limit(0), cfg, ctx).count() shouldBe 0     // empty-input safe
+  }
+
+  test("map: rename/cast/concat in one projection; missing option throws") {
+    val df = Seq(("Ada", "Lovelace", "36")).toDF("first_name", "last_name", "age_str")
+    val out = MapTransform(df, tc("map", "project" -> "true",
+      "expressions" -> "full_name:concat(first_name, ' ', last_name),age:CAST(age_str AS INT)"), ctx)
+    out.columns shouldBe Array("full_name", "age")
+    out.collect().head.toSeq shouldBe Seq("Ada Lovelace", 36)
+    an[ConfigException] should be thrownBy MapTransform(df, tc("map"), ctx)
+  }
+
+  test("join: type matrix matches the reference contract") {
+    val left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "lv")
+    Seq((2, "x"), (3, "y"), (4, "z")).toDF("id", "rv")
+      .createOrReplaceTempView("jt_right")
+    def joined(jt: String) =
+      JoinTransform(left, tc("join", "rightDataset" -> "jt_right",
+        "joinType" -> jt, "joinKeys" -> "id"), ctx)
+    joined("inner").count() shouldBe 2
+    joined("left").count() shouldBe 3
+    joined("right").count() shouldBe 3
+    joined("full").count() shouldBe 4
+    joined("left_semi").columns shouldBe Array("id", "lv")
+    joined("left_anti").select("id").as[Int].collect() shouldBe Array(1)
+    an[ConfigException] should be thrownBy joined("sideways")
+  }
+
+  test("join leftKey/rightKey drops right-side duplicate columns keeping left") {
+    val left = Seq((1, "L")).toDF("id", "name")
+    Seq((1, "R")).toDF("rid", "name").createOrReplaceTempView("jt_right2")
+    val out = JoinTransform(left, tc("join", "rightDataset" -> "jt_right2",
+      "joinType" -> "inner", "leftKey" -> "id", "rightKey" -> "rid"), ctx)
+    out.columns.count(_ == "name") shouldBe 1
+    out.select("name").as[String].collect() shouldBe Array("L")
+  }
+
+  test("windowing: tumbling buckets with extra group keys (the feature the reference documents but lacks)") {
+    val df = Seq(
+      ("2024-01-01 10:00:00", "cpu", 1.0), ("2024-01-01 10:05:00", "cpu", 3.0),
+      ("2024-01-01 10:15:00", "cpu", 5.0), ("2024-01-01 10:02:00", "mem", 7.0))
+      .toDF("t", "metric", "v").selectExpr("CAST(t AS TIMESTAMP) AS ts", "metric", "v")
+    val out = WindowTransform(df, tc("windowing", "timeColumn" -> "ts",
+      "windowDuration" -> "10 minutes", "groupBy" -> "metric",
+      "aggregations" -> "total:sum(v)"), ctx)
+    out.columns shouldBe Array("window_start", "window_end", "metric", "total")
+    out.count() shouldBe 3 // cpu×2 windows + mem×1
+    out.where("metric = 'cpu' AND total = 4.0").count() shouldBe 1
+  }
+
+  test("windowing: sliding requires slideDuration; session requires gapDuration") {
+    val df = Seq(("2024-01-01 10:00:00", 1.0)).toDF("t", "v")
+      .selectExpr("CAST(t AS TIMESTAMP) AS ts", "v")
+    an[ConfigException] should be thrownBy WindowTransform(df,
+      tc("windowing", "timeColumn" -> "ts", "windowType" -> "sliding",
+        "windowDuration" -> "10 minutes", "aggregations" -> "n:count(*)"), ctx)
+    an[ConfigException] should be thrownBy WindowTransform(df,
+      tc("windowing", "timeColumn" -> "ts", "windowType" -> "session",
+        "aggregations" -> "n:count(*)"), ctx)
+  }
+
+  test("dedup with orderBy keeps a deterministic survivor") {
+    val df = Seq((1, "2024-01-02", "late"), (1, "2024-01-01", "early"), (2, "2024-01-05", "only"))
+      .toDF("k", "d", "tag")
+    val out = DedupTransform(df, tc("dedup", "columns" -> "k", "orderBy" -> "d"), ctx)
+    out.orderBy("k").select("tag").as[String].collect() shouldBe Array("early", "only")
+  }
+
+  test("window_rank topK per partition") {
+    val df = Seq((1, 10), (1, 30), (1, 20), (2, 5)).toDF("g", "v")
+    val out = WindowRankTransform(df, tc("window_rank", "partitionBy" -> "g",
+      "orderBy" -> "v desc", "topK" -> "2", "alias" -> "r"), ctx)
+    out.where("g = 1").count() shouldBe 2
+    out.where("g = 1 AND r = 1").select("v").as[Int].collect() shouldBe Array(30)
+  }
+}

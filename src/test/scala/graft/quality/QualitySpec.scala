@@ -1,0 +1,62 @@
+package graft.quality
+
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.api.RunContext
+import graft.config.{NullAction, NullCheck}
+
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("schema validator: missing/extra/type-mismatch/nullability, recursive") {
+    val expected = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("addr", StructType(Seq(StructField("zip", StringType))))))
+    val actual = StructType(Seq(
+      StructField("id", LongType, nullable = true),      // nullability violation
+      StructField("extra", IntegerType),                 // extra column
+      StructField("addr", StructType(Seq(StructField("zip", IntegerType)))))) // nested type
+    val issues = SchemaValidator.validate(actual, expected)
+    issues.map(i => (i.path, i.issue.takeWhile(_ != ':'))) should contain allOf (
+      ("id", "nullable but expected non-nullable"),
+      ("name", "missing column"),
+      ("extra", "unexpected extra column"),
+      ("addr.zip", "type mismatch"))
+  }
+
+  test("one-pass quality metrics: null counts + keyed duplicate count") {
+    val df = Seq(
+      (Some("a"), Some("x")), (None, Some("y")), (Some("a"), None), (Some("a"), Some("x")))
+      .toDF("name", "email")
+    val r = QualityChecker.checkQuality(df, Seq("name", "email"), Seq("name", "email"))
+    r.totalRows shouldBe 4
+    r.nullViolations shouldBe Map("name" -> 1, "email" -> 1)
+    r.duplicateRows shouldBe 1
+    r.nullRate("name") shouldBe 0.25
+  }
+
+  test("splitValidInvalid: single predicate, complementary partitions") {
+    val df = Seq((Some("a"), 1), (None, 2), (Some("c"), 3)).toDF("name", "v")
+    val (valid, invalid) = QualityChecker.splitValidInvalid(df, Seq(NullCheck("name")))
+    valid.columns shouldBe df.columns
+    valid.count() shouldBe 2
+    invalid.select("v").as[Int].collect() shouldBe Array(2)
+    df.sparkSession.sharedState.cacheManager // cached marker frame cleaned up by caller
+    valid.unpersist()
+  }
+
+  test("quarantine writer stamps audit + validation_errors columns and reads back filtered") {
+    val dir = tmpDir("quarantine")
+    val ctx = RunContext(spark, "pipeA", "run1")
+    val invalid = Seq((None: Option[String], 2), (None, 5)).toDF("name", "v")
+    QuarantineWriter.write(invalid, dir, ctx, Seq(NullCheck("name", NullAction.Quarantine)))
+    val back = QuarantineWriter.read(dir, ctx, pipelineId = Some("pipeA"))
+    back.count() shouldBe 2
+    back.columns should contain allOf ("validation_errors", "quarantine_timestamp", "pipeline_id", "run_id")
+    back.select("validation_errors").as[String].collect()
+      .foreach(_ should include("null value in column 'name'"))
+    QuarantineWriter.read(dir, ctx, pipelineId = Some("other")).count() shouldBe 0
+  }
+}

@@ -1,0 +1,116 @@
+package graft.runtime
+
+import graft.SparkTestBase
+import graft.config._
+
+/** End-to-end pipelines through the executor: YAML → execute → file sink,
+  * mirroring the reference's integration scenarios (QuickstartScenario1Spec
+  * shape) on the driver-provided testdata. */
+class PipelineExecutorSpec extends SparkTestBase {
+  import spark.implicits._
+  private val executor = new PipelineExecutor()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("scenario-1 shape: parquet → filter → aggregation → parquet, metrics from one action") {
+    val out = tmpDir("exec-out")
+    val yaml =
+      s"""pipelineId: it-scenario1
+         |source:
+         |  type: file
+         |  options: {path: $sf/lineitem.parquet, format: parquet}
+         |transformations:
+         |  - name: keep-big
+         |    type: filter
+         |    options: {condition: "l_quantity > 10"}
+         |  - name: agg
+         |    type: aggregation
+         |    options:
+         |      groupBy: l_returnflag
+         |      aggregations: "total_qty:sum(l_quantity),n:count(*)"
+         |sink:
+         |  type: file
+         |  writeMode: overwrite
+         |  options: {path: $out, lineage: "true"}
+         |""".stripMargin
+    val cfg = new YamlConfigParser().parse(yaml)
+    val m = executor.execute(cfg)
+    withClue(m.error.getOrElse("")) { m.status shouldBe "SUCCESS" }
+    m.recordsExtracted should be > 1000L
+    m.recordsLoaded shouldBe 3L
+    val back = spark.read.parquet(out)
+    back.count() shouldBe 3
+    back.columns should contain("_lineage")
+    val lineage = back.select("_lineage").as[String].head()
+    lineage should include("\"pipelineId\":\"it-scenario1\"")
+    lineage should include("filter(l_quantity > 10)")
+    lineage should include("aggregation(groupBy=l_returnflag)")
+  }
+
+  test("quality gate: quarantine honors configured path; valid rows flow on") {
+    val in = tmpDir("q-in"); val out = tmpDir("q-out"); val quar = tmpDir("q-quar")
+    Seq((Some("a"), 1), (None, 2), (Some("c"), 3), (None, 4))
+      .toDF("name", "v").write.mode("overwrite").parquet(in)
+    val cfg = PipelineConfig(
+      pipelineId = "q-pipe",
+      source = SourceConfig("file", Map("path" -> in)),
+      sink = SinkConfig("file", Map("path" -> out), WriteMode.Overwrite),
+      quality = Some(QualityConfig(
+        nullChecks = List(NullCheck("name", NullAction.Quarantine)),
+        quarantinePath = Some(quar))))
+    val m = executor.execute(cfg)
+    m.status shouldBe "SUCCESS"
+    m.recordsFailed shouldBe 2
+    spark.read.parquet(out).count() shouldBe 2
+    val q = spark.read.parquet(quar)
+    q.count() shouldBe 2
+    q.columns should contain("validation_errors")
+  }
+
+  test("quality gate: fail action aborts the pipeline") {
+    val in = tmpDir("f-in")
+    Seq((None: Option[String], 1)).toDF("name", "v").write.mode("overwrite").parquet(in)
+    val cfg = PipelineConfig(
+      pipelineId = "f-pipe",
+      source = SourceConfig("file", Map("path" -> in)),
+      sink = SinkConfig("file", Map("path" -> tmpDir("f-out")), WriteMode.Overwrite),
+      quality = Some(QualityConfig(nullChecks = List(NullCheck("name", NullAction.Fail)))))
+    val m = executor.execute(cfg)
+    m.status shouldBe "FAILED"
+    m.error.get should include("fail-action")
+  }
+
+  test("failures surface as FAILED metrics, not exceptions (reference contract)") {
+    val cfg = PipelineConfig(
+      pipelineId = "bad",
+      source = SourceConfig("file", Map("path" -> "/no/such/path.parquet")),
+      sink = SinkConfig("file", Map("path" -> tmpDir("bad-out"))))
+    val m = executor.execute(cfg)
+    m.status shouldBe "FAILED"
+    m.error shouldBe defined
+  }
+
+  test("unknown component types are rejected with known-type listing") {
+    val cfg = PipelineConfig(
+      pipelineId = "u",
+      source = SourceConfig("teleport", Map.empty),
+      sink = SinkConfig("file", Map("path" -> "/tmp/x")))
+    val m = executor.execute(cfg)
+    m.status shouldBe "FAILED"
+    m.error.get should include("unknown source type 'teleport'")
+  }
+
+  test("performance knobs: shufflePartitions + repartition are actually applied") {
+    val out = tmpDir("perf-out")
+    val cfg = PipelineConfig(
+      pipelineId = "perf",
+      source = SourceConfig("file", Map("path" -> s"$sf/orders.parquet")),
+      transformations = List(TransformConfig("s", "sort", Map("orderBy" -> "o_orderkey", "global" -> "false"))),
+      sink = SinkConfig("file", Map("path" -> out), WriteMode.Overwrite),
+      performance = Some(PerformanceConfig(repartition = Some(7), shufflePartitions = Some(13))))
+    executor.execute(cfg).status shouldBe "SUCCESS"
+    spark.conf.get("spark.sql.shuffle.partitions") shouldBe "13"
+    // repartition(7) → 7 output files (sortWithinPartitions preserves them)
+    new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet")) shouldBe 7
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+}

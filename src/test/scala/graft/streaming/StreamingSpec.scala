@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.config._
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+  private val executor = new StreamingExecutor()
+
+  private def eventsDir: String = {
+    val dir = tmpDir("stream-in")
+    Seq(
+      ("2024-01-01 10:00:10", "cpu", 1.0), ("2024-01-01 10:00:40", "cpu", 2.0),
+      ("2024-01-01 10:01:05", "cpu", 4.0), ("2024-01-01 10:00:20", "mem", 8.0),
+      ("2024-01-01 10:02:30", "cpu", 16.0))
+      .toDF("t", "metric", "v")
+      .selectExpr("CAST(t AS TIMESTAMP) AS ts", "metric", "v")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("readStream → watermark → windowed agg → memory sink (complete mode) matches batch totals") {
+    val cfg = PipelineConfig(
+      pipelineId = "stream-metrics",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("file", Map(
+        "path" -> eventsDir, "format" -> "parquet",
+        "schema" -> "ts TIMESTAMP, metric STRING, v DOUBLE")),
+      transformations = List(TransformConfig("w", "windowing", Map(
+        "timeColumn" -> "ts", "windowDuration" -> "1 minute",
+        "groupBy" -> "metric", "aggregations" -> "total:sum(v),n:count(*)"))),
+      sink = SinkConfig("memory", Map("queryName" -> "stream_out")),
+      streaming = Some(StreamingConfig(
+        checkpointLocation = Some(tmpDir("ckpt")),
+        watermarkColumn = Some("ts"), watermarkDelay = Some("10 minutes"),
+        outputMode = "complete")))
+    val q = executor.start(cfg)
+    q.awaitTermination(60000)
+    val out = spark.table("stream_out")
+    out.columns shouldBe Array("window_start", "window_end", "metric", "total", "n")
+    out.count() shouldBe 4 // cpu in 3 windows + mem in 1
+    out.where("metric = 'cpu' AND total = 3.0").count() shouldBe 1 // 10:00 window
+  }
+
+  test("streaming file sink appends parquet epochs with checkpointing") {
+    val out = tmpDir("stream-sink-out")
+    val cfg = PipelineConfig(
+      pipelineId = "stream-file",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("file", Map(
+        "path" -> eventsDir, "format" -> "parquet",
+        "schema" -> "ts TIMESTAMP, metric STRING, v DOUBLE")),
+      transformations = List(TransformConfig("f", "filter", Map("condition" -> "v >= 2.0"))),
+      sink = SinkConfig("file", Map("path" -> out)),
+      streaming = Some(StreamingConfig(checkpointLocation = Some(tmpDir("ckpt2")))))
+    executor.start(cfg).awaitTermination(60000)
+    spark.read.parquet(out).count() shouldBe 4
+  }
+
+  test("foreachBatch path drives a batch sink (kafka-file double) per epoch") {
+    val out = tmpDir("stream-kafka-out")
+    val cfg = PipelineConfig(
+      pipelineId = "stream-kafka",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("file", Map(
+        "path" -> eventsDir, "format" -> "parquet",
+        "schema" -> "ts TIMESTAMP, metric STRING, v DOUBLE")),
+      sink = SinkConfig("kafka-file", Map("path" -> out)),
+      streaming = Some(StreamingConfig(checkpointLocation = Some(tmpDir("ckpt3")))))
+    executor.start(cfg).awaitTermination(60000)
+    val lines = spark.read.text(out)
+    lines.count() shouldBe 5
+    lines.selectExpr("get_json_object(value, '$.metric') AS m")
+      .where("m IS NOT NULL").count() shouldBe 5
+  }
+
+  test("streaming file source without explicit schema is rejected") {
+    val cfg = PipelineConfig(
+      pipelineId = "no-schema",
+      source = SourceConfig("file", Map("path" -> eventsDir)),
+      sink = SinkConfig("memory", Map.empty))
+    an[graft.api.ConfigException] should be thrownBy executor.start(cfg)
+  }
+}
