@@ -249,7 +249,7 @@ object SparkEntry {
     }),
     "q30_embed_neardup" -> ((s, dir) =>
       graft.ann.Ann.cosineNearDups(tab(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.95, bits = 8, tables = 6)),
+        threshold = 0.95, bits = 12, tables = 6)),
 
     // ---- LLM-data-pipeline: multimodal column plumbing (stub decode) ----
     "q31_multimodal" -> ((s, dir) => {

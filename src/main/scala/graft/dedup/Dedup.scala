@@ -9,13 +9,16 @@ import graft.functions.TextFunctions
  * Document-deduplication suite for training-data pipelines: exact,
  * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
  *
- * Scale design: every stage is either per-row (signatures — codegen'd
- * higher-order functions, no UDFs) or a key-partitioned shuffle
- * (band-bucket join). Candidate generation is O(rows × bands), never
- * O(rows²); the quadratic step (pair verification) happens only inside
- * LSH buckets, which stay small for non-adversarial corpora. Skewed
+ * Scale design: signature computation is explode + hash-aggregate (all
+ * expressions codegen'd, map-side partial aggregation, no UDFs); candidate
+ * generation is a key-partitioned band-bucket join — O(rows × bands),
+ * never O(rows²). The quadratic step (pair verification) happens only
+ * inside LSH buckets, which stay small for non-adversarial corpora; skewed
  * buckets (boilerplate shingles) are capped with `maxBucketSize` the way
- * production near-dup pipelines drop mega-clusters.
+ * production near-dup pipelines drop mega-clusters. Per-row higher-order
+ * functions (used for the standalone signature/simhash columns) evaluate
+ * interpreted in Spark — fine for per-row passes, which is why the heavy
+ * k-way signature path uses the aggregate form instead.
  */
 object Dedup {
 
@@ -26,15 +29,21 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
   /**
-   * MinHash signature column: k independent min-hashes over word-shingle
-   * sets. hash_i(s) = xxhash64(shingle, seed=i); per-row nested HOFs —
+   * MinHash signature from PRE-HASHED shingles: each shingle string is
+   * hashed once (strings are the expensive part); the k seeded hash
+   * functions are derived by re-hashing the resulting long
+   * (h_i = xxhash64(h, i)) — tabulation-style, ~5× cheaper than hashing
+   * the string k times, and the whole thing is a per-row HOF fold:
    * no explode, no shuffle, one pass.
    */
-  def minhashSignature(text: Column, k: Int, shingleSize: Int): Column = {
-    val sh = array_distinct(TextFunctions.wordNgrams(text, shingleSize))
+  def minhashSignatureFromHashes(shingleHashes: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
-  }
+      i => array_min(transform(shingleHashes, h => xxhash64(h, i))))
+
+  /** Convenience form over raw text (hashes shingles inline). */
+  def minhashSignature(text: Column, k: Int, shingleSize: Int): Column =
+    minhashSignatureFromHashes(
+      transform(array_distinct(TextFunctions.wordNgrams(text, shingleSize)), s => xxhash64(s)), k)
 
   /**
    * MinHash + LSH near-duplicate pairs.
@@ -47,31 +56,51 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
-    val sigd = df.select(
+    // stage 1: explode shingles → hash each string ONCE → one hash-aggregate
+    // computing all k seeded min-hashes (min(xxhash64(h, i))) plus the
+    // hashed-shingle set, in a single pass. Unlike the per-row HOF version,
+    // min/xxhash64 are ordinary codegen'd expressions with map-side partial
+    // aggregation — the shuffle carries 50k×(k+set) longs, not text.
+    // Shingles stay as HASHES from here on: Jaccard over hashed sets equals
+    // Jaccard over the sets (collisions negligible) and longs shuffle ~20×
+    // smaller than shingle strings.
+    val hashed = df.select(
       col(idCol).as("doc_id"),
-      array_distinct(TextFunctions.wordNgrams(col(textCol), shingleSize)).as("shingles"),
-      minhashSignature(col(textCol), k, shingleSize).as("sig"))
+      explode(array_distinct(TextFunctions.wordNgrams(col(textCol), shingleSize))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val minAggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"__m$i"))
+    val sigd = hashed.groupBy("doc_id")
+      .agg(collect_set(col("h")).as("sh"), minAggs: _*)
+      .select(col("doc_id"), col("sh"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
 
+    // stage 2: band explode on a SLIM (doc_id, band, bh) frame — the heavy
+    // shingle arrays never enter the bands×rows shuffle
     val banded = sigd.select(
-      col("doc_id"), col("shingles"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bh"))))
         .as("bb"))
-      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bh"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
 
     // cap pathological buckets (boilerplate/empty docs) before the self-join
     val bucketed = banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
       .filter(col("bucket_n") <= maxBucketSize)
+      .select("doc_id", "band", "bh")
 
-    val l = bucketed.select(col("band"), col("bh"),
-      col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val r = bucketed.select(col("band"), col("bh"),
-      col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    val pairs = l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+    val candidates = bucketed.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(bucketed.select(col("band"), col("bh"), col("doc_id").as("id_b")), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
 
+    // stage 3: exact-Jaccard verification — join shingle-hash sets back
+    // only for surviving candidate pairs
+    val sets = sigd.select(col("doc_id"), col("sh"))
+    val pairs = candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     pairs
