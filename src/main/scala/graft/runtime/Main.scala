@@ -1,0 +1,84 @@
+package graft.runtime
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.{ExecutionMode, YamlConfigParser}
+
+/**
+ * CLI entry point, argument-compatible with the reference's Main
+ * (Main.scala:187-244): --pipeline <yaml> [--app-name n] [--master m]
+ * [--conf k=v ...]. Batch configs run through PipelineExecutor; configs
+ * with executionMode: micro-batch run through StreamingExecutor and block
+ * until the streaming query drains (availableNow) or is terminated.
+ * Exit code 0 on SUCCESS, 1 otherwise; session always stopped.
+ */
+object Main {
+  final case class AppConfig(
+      pipelinePath: String,
+      appName: String = "graft-pipeline",
+      master: Option[String] = None,
+      conf: Map[String, String] = Map.empty)
+
+  def parseArguments(args: Array[String]): AppConfig = {
+    def loop(rest: List[String], acc: AppConfig): AppConfig = rest match {
+      case Nil => acc
+      case "--pipeline" :: v :: t => loop(t, acc.copy(pipelinePath = v))
+      case "--app-name" :: v :: t => loop(t, acc.copy(appName = v))
+      case "--master" :: v :: t   => loop(t, acc.copy(master = Some(v)))
+      case "--conf" :: v :: t =>
+        v.split("=", 2) match {
+          case Array(k, value) => loop(t, acc.copy(conf = acc.conf + (k -> value)))
+          case _ => throw new IllegalArgumentException(s"--conf expects k=v, got: $v")
+        }
+      case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
+    }
+    val cfg = loop(args.toList, AppConfig(pipelinePath = ""))
+    if (cfg.pipelinePath.isEmpty)
+      throw new IllegalArgumentException("--pipeline <file.yaml> is required")
+    cfg
+  }
+
+  def createSparkSession(app: AppConfig): SparkSession = {
+    var b = SparkSession.builder().appName(app.appName)
+      // reference defaults (application.conf:8-22): AQE + skew handling on
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.task.maxFailures", "3")
+    app.master.foreach(m => b = b.master(m))
+    app.conf.foreach { case (k, v) => b = b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val log = new StructuredLogger("Main")
+    val app = parseArguments(args)
+    val config = new YamlConfigParser().parseFile(app.pipelinePath)
+    implicit val spark: SparkSession = createSparkSession(app)
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new MetricsCollector()
+    try {
+      config.executionMode match {
+        case ExecutionMode.Batch =>
+          val m = new PipelineExecutor().execute(config)
+          metrics.record(m)
+          log.info("pipeline finished", Map(
+            "pipelineId" -> m.pipelineId, "runId" -> m.runId, "status" -> m.status,
+            "recordsLoaded" -> m.recordsLoaded.toString,
+            "durationMs" -> m.durationMs.toString) ++
+            m.error.map("error" -> _))
+          if (m.status != "SUCCESS") sys.exit(1)
+        case ExecutionMode.MicroBatch =>
+          val q = new graft.streaming.StreamingExecutor().start(config)
+          log.info("streaming query started", Map(
+            "pipelineId" -> config.pipelineId, "queryId" -> q.id.toString))
+          q.awaitTermination()
+      }
+    } catch {
+      case e: Throwable =>
+        log.error("pipeline failed", Map("error" -> String.valueOf(e.getMessage)))
+        sys.exit(1)
+    } finally spark.stop()
+  }
+}

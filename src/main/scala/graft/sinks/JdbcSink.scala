@@ -58,8 +58,16 @@ object JdbcSqlExecutor extends SqlExecutor {
  * upsert via staging table + dialect SQL. Reference:
  * loader/PostgresLoader.scala:54-185, loader/MySQLLoader.scala:27-184.
  */
-final class JdbcSink(val sinkType: String, dialect: String,
-                     sqlExecutor: SqlExecutor = JdbcSqlExecutor) extends Sink {
+class JdbcSink(val sinkType: String, dialect: String,
+               sqlExecutor: SqlExecutor = JdbcSqlExecutor) extends Sink {
+
+  /** Parallel JDBC batch write — overridable seam so integration tests can
+    * run the full append/overwrite/upsert flow without database drivers
+    * (the same stand-in strategy as the reference's H2 tests). */
+  protected def jdbcWrite(data: DataFrame, mode: SaveMode, url: String,
+                          table: String, options: Map[String, String]): Unit =
+    data.write.format("jdbc").mode(mode)
+      .options(options).option("url", url).option("dbtable", table).save()
 
   def write(data: DataFrame, config: SinkConfig, ctx: RunContext): LoadResult = {
     val errs = validate(config)
@@ -71,17 +79,14 @@ final class JdbcSink(val sinkType: String, dialect: String,
 
     config.writeMode match {
       case WriteMode.Append =>
-        data.write.format("jdbc").mode(SaveMode.Append)
-          .options(passthrough).option("url", url).option("dbtable", table).save()
+        jdbcWrite(data, SaveMode.Append, url, table, passthrough)
       case WriteMode.Overwrite =>
-        data.write.format("jdbc").mode(SaveMode.Overwrite)
-          .options(passthrough).option("url", url).option("dbtable", table).save()
+        jdbcWrite(data, SaveMode.Overwrite, url, table, passthrough)
       case WriteMode.Upsert =>
         val keys = ExprUtils.parseColumns(config.options.getOrElse("primaryKey",
           throw new ConfigException(s"$sinkType sink: upsert requires 'primaryKey'")))
         val staging = s"${table}_staging_${ctx.runId.replace("-", "").take(12)}"
-        data.write.format("jdbc").mode(SaveMode.Overwrite)
-          .options(passthrough).option("url", url).option("dbtable", staging).save()
+        jdbcWrite(data, SaveMode.Overwrite, url, staging, passthrough)
         val sql = dialect match {
           case "postgres" => UpsertSql.postgres(table, staging, data.columns.toSeq, keys)
           case "mysql"    => UpsertSql.mysql(table, staging, data.columns.toSeq, keys)

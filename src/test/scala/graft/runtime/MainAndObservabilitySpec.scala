@@ -1,0 +1,67 @@
+package graft.runtime
+
+import graft.SparkTestBase
+
+class MainAndObservabilitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("argument parsing: reference-compatible CLI surface") {
+    val a = Main.parseArguments(Array(
+      "--pipeline", "/p.yaml", "--app-name", "x", "--master", "local[2]",
+      "--conf", "spark.sql.shuffle.partitions=8", "--conf", "a=b=c"))
+    a.pipelinePath shouldBe "/p.yaml"
+    a.appName shouldBe "x"
+    a.master shouldBe Some("local[2]")
+    a.conf shouldBe Map("spark.sql.shuffle.partitions" -> "8", "a" -> "b=c")
+    an[IllegalArgumentException] should be thrownBy Main.parseArguments(Array("--nope"))
+    an[IllegalArgumentException] should be thrownBy Main.parseArguments(Array.empty)
+  }
+
+  test("metrics collector: per-run records, pipeline summary, throughput, JSON export") {
+    val mc = new MetricsCollector()
+    mc.record(ExecutionMetrics("p1", "r1", "SUCCESS", 100, 90, 10, 2000))
+    mc.record(ExecutionMetrics("p1", "r2", "FAILED", -1, -1, -1, 500, Some("boom")))
+    mc.record(ExecutionMetrics("p2", "r1", "SUCCESS", 5, 5, 0, 100))
+    mc.get("p1", "r1").get.recordsLoaded shouldBe 90
+    val s = mc.summary("p1")
+    (s("runs"), s("succeeded"), s("failed")) shouldBe ((2, 1, 1))
+    s("totalRecordsLoaded") shouldBe 90L
+    mc.recordsPerSecond(mc.get("p1", "r1").get) shouldBe 45.0
+    val json = mc.toJson
+    json should startWith("[")
+    json should include(""""pipelineId":"p1","runId":"r2","status":"FAILED"""")
+  }
+
+  test("structured logger emits parseable single-line JSON with escaping") {
+    val err = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(err)) {
+      val realErr = System.err
+      try {
+        System.setErr(new java.io.PrintStream(err))
+        new StructuredLogger("test").info("""he said "hi"""", Map("k" -> "a\nb"))
+      } finally System.setErr(realErr)
+    }
+    val line = err.toString.trim
+    line should include("\"message\":\"he said \\\"hi\\\"\"")
+    line should include("\"k\":\"a\\nb\"")
+    line.linesIterator.size shouldBe 1
+  }
+
+  test("end-to-end CLI shape: yaml file → Main-equivalent execution path") {
+    val in = tmpDir("cli-in"); val out = tmpDir("cli-out")
+    Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "k").write.mode("overwrite").parquet(in)
+    val yaml =
+      s"""pipelineId: cli-pipe
+         |source: {type: file, options: {path: $in}}
+         |transformations:
+         |  - {name: agg, type: aggregation, options: {groupBy: k, aggregations: "n:count(*)"}}
+         |sink: {type: file, writeMode: overwrite, options: {path: $out}}
+         |""".stripMargin
+    val yamlPath = java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmpDir("cli-yaml"), "p.yaml"), yaml.getBytes).toString
+    val cfg = new graft.config.YamlConfigParser().parseFile(yamlPath)
+    val m = new PipelineExecutor().execute(cfg)
+    m.status shouldBe "SUCCESS"
+    spark.read.parquet(out).count() shouldBe 2
+  }
+}
