@@ -91,7 +91,24 @@ final class PipelineExecutor(
     val source = sources.get(config.source.sourceType)
     val sErrs = source.validate(config.source)
     if (sErrs.nonEmpty) throw new ConfigException(sErrs.mkString("; "))
-    var df = source.read(config.source)
+
+    // schemaValidation (real, unlike the reference's always-valid stub at
+    // SchemaValidator.scala:106-113): read with the SOURCE's own schema
+    // (embedded/inferred — forcing the declared one would make the check
+    // vacuous), then diff actual vs declared and fail fast, driver-side,
+    // before any compute.
+    val validateSchema = config.quality.exists(_.schemaValidation)
+    val declared = graft.sources.FileSource.explicitSchema(config.source)
+    var df =
+      if (validateSchema && declared.isDefined) {
+        val raw = source.read(config.source.copy(
+          options = config.source.options - "schema", schemaPath = None))
+        val issues = graft.quality.SchemaValidator.validate(raw.schema, declared.get)
+        if (issues.nonEmpty) throw new GraftException(
+          "schema validation failed: " +
+            issues.map(i => s"${i.path}: ${i.issue}").mkString("; "))
+        raw
+      } else source.read(config.source)
 
     // quality gate: split valid/invalid in one scan, quarantine or fail
     var failedRows = 0L

@@ -79,6 +79,21 @@ class PipelineExecutorSpec extends SparkTestBase {
     m.error.get should include("fail-action")
   }
 
+  test("schemaValidation: declared-vs-actual diff fails fast with the issue list") {
+    val in = tmpDir("sv-in")
+    Seq(("x", 1L)).toDF("name", "v").write.mode("overwrite").parquet(in)
+    def cfg(ddl: String) = PipelineConfig(
+      pipelineId = "sv",
+      source = SourceConfig("file", Map("path" -> in, "schema" -> ddl)),
+      sink = SinkConfig("file", Map("path" -> tmpDir("sv-out")), WriteMode.Overwrite),
+      quality = Some(QualityConfig(schemaValidation = true)))
+    val bad = executor.execute(cfg("name STRING, v INT, missing_col DOUBLE"))
+    bad.status shouldBe "FAILED"
+    bad.error.get should (include("schema validation failed") and
+      include("missing_col: missing column") and include("v: type mismatch"))
+    executor.execute(cfg("name STRING, v BIGINT")).status shouldBe "SUCCESS"
+  }
+
   test("failures surface as FAILED metrics, not exceptions (reference contract)") {
     val cfg = PipelineConfig(
       pipelineId = "bad",
