@@ -128,9 +128,28 @@ object Dedup {
    * `maxHamming` ≤ 3 shares at least one of 4 chunks — pigeonhole), then
    * verify with bit_count(a XOR b). Linear candidate generation.
    */
+  /** SimHash signatures via explode + hash-aggregate (same rationale as the
+    * MinHash path: 64 codegen'd conditional sums with map-side partial
+    * aggregation instead of a per-row interpreted 64-wide HOF fold). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(call_function("shiftright", col("h"), lit(b)).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$b")
+    }
+    hashed.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"__b$b") >= 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("sig"))
+  }
+
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sig"))
+    val sigs = simhashSignatures(df, idCol, textCol)
     val chunked = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk"),

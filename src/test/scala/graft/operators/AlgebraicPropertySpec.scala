@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.api.RunContext
+import graft.config.TransformConfig
+
+/**
+ * Algebraic operator properties over the real testdata corpus (SURVEY §5):
+ * results must be invariant to physical layout, and composition laws must
+ * hold — the properties that make a plan safe to re-partition at 1000×.
+ */
+class AlgebraicPropertySpec extends SparkTestBase {
+  private def ctx = RunContext(spark, "prop", "run")
+  private def tc(typ: String, opts: (String, String)*) = TransformConfig("t", typ, opts.toMap)
+  private lazy val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("aggregation is invariant under repartitioning (map-side combine correctness)") {
+    val cfg = tc("aggregation", "groupBy" -> "l_returnflag,l_linestatus",
+      "aggregations" -> "q:sum(cast(l_quantity as decimal(12,2))),n:count(*)")
+    val base = resultSet(AggregateTransform(li, cfg, ctx))
+    resultSet(AggregateTransform(li.repartition(1), cfg, ctx)) shouldBe base
+    resultSet(AggregateTransform(li.repartition(17), cfg, ctx)) shouldBe base
+    resultSet(AggregateTransform(li.repartition(64, li("l_orderkey")), cfg, ctx)) shouldBe base
+  }
+
+  test("filter composition: filter(a) ∘ filter(b) ≡ filter(a AND b)") {
+    val a = "l_quantity > 25"; val b = "l_returnflag = 'R'"
+    val composed = FilterTransform(
+      FilterTransform(li, tc("filter", "condition" -> a), ctx),
+      tc("filter", "condition" -> b), ctx)
+    val combined = FilterTransform(li, tc("filter", "condition" -> s"($a) AND ($b)"), ctx)
+    composed.count() shouldBe combined.count()
+    composed.exceptAll(combined).count() shouldBe 0
+  }
+
+  test("filter distributes over union; dedup is idempotent") {
+    val left = li.filter("l_linenumber = 1"); val right = li.filter("l_linenumber = 2")
+    left.createOrReplaceTempView("prop_right_unused")
+    val cond = "l_quantity >= 40"
+    val filterAfter = FilterTransform(left.unionByName(right), tc("filter", "condition" -> cond), ctx)
+    val filterBefore = FilterTransform(left, tc("filter", "condition" -> cond), ctx)
+      .unionByName(FilterTransform(right, tc("filter", "condition" -> cond), ctx))
+    filterAfter.count() shouldBe filterBefore.count()
+
+    val d1 = DedupTransform(li.select("l_returnflag", "l_linestatus"), tc("dedup"), ctx)
+    val d2 = DedupTransform(d1, tc("dedup"), ctx)
+    resultSet(d2) shouldBe resultSet(d1)
+  }
+
+  test("join with broadcast hint produces identical results to unhinted join") {
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .createOrReplaceTempView("prop_cust")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    def run(bc: String) = resultSet(JoinTransform(orders,
+      tc("join", "rightDataset" -> "prop_cust", "joinType" -> "inner",
+        "leftKey" -> "o_custkey", "rightKey" -> "c_custkey", "broadcast" -> bc), ctx)
+      .select("o_orderkey", "c_name"))
+    run("true") shouldBe run("false")
+  }
+
+  test("minhash jaccard estimates track exact jaccard (signature soundness)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // signature agreement fraction ≈ true jaccard for near-dup docs
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 54).map(i => s"tok$i").mkString(" ") + " x1 x2 x3 x4 x5 x6"
+    val docs = Seq((1L, base), (2L, near)).toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+      graft.dedup.Dedup.minhashSignature(col("text"), 128, 1).as("sig"))
+      .orderBy("doc_id").select("sig").as[Seq[Long]].collect()
+    val agree = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 128.0
+    val exactJ = 54.0 / 66.0 // |∩|=54, |∪|=66
+    agree shouldBe exactJ +- 0.15
+  }
+}
