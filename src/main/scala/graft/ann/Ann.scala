@@ -42,19 +42,41 @@ object Ann {
       .select("query_id", "vec_id", "rank")
   }
 
+  /**
+   * (id, table_id, bucket) rows for every (row, hash table) pair, computed
+   * as posexplode(vec) + tables×bits codegen'd sum aggregates (map-side
+   * partial agg) — the projections are ordinary expressions, not per-row
+   * interpreted HOF folds. Hyperplane weight for (table t, bit j, dim i)
+   * derives from murmur3 hash(t, j, i): deterministic, identical on every
+   * executor, zero broadcast state.
+   */
+  private def bucketTable(df: DataFrame, id: String, vecCol: String,
+                          tables: Int, bits: Int): DataFrame = {
+    val exploded = df.select(col(id),
+      posexplode(col(vecCol)).as(Seq("i", "x")))
+    val projAggs = for (t <- 0 until tables; j <- 0 until bits) yield
+      sum(col("x").cast("double") *
+        ((hash(lit(t), lit(j), col("i")) % 1000).cast("double") / 1000.0)).as(s"__p_${t}_$j")
+    val projected = exploded.groupBy(id).agg(projAggs.head, projAggs.tail: _*)
+    val buckets = (0 until tables).map { t =>
+      struct(lit(t).as("table_id"),
+        (0 until bits).map(j =>
+          when(col(s"__p_${t}_$j") >= 0, 1 << j).otherwise(0)).reduce(_ + _).as("bucket"))
+    }
+    projected.select(col(id), explode(array(buckets: _*)).as("tb"))
+      .select(col(id), col("tb.table_id"), col("tb.bucket"))
+  }
+
   /** LSH-bucketed ANN top-k: same output shape as bruteForceTopK, lower
     * recall, corpus joined on (table, bucket) instead of crossed. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, out: String): DataFrame =
-      df.select(col(id), col(vecCol)).crossJoin(
-        broadcast(spark_range_table(df, tables))) // one row per hash table
-        .withColumn(out, hyperplaneBucketTable(col(vecCol), col("table_id"), bits))
-    // hyperplanes differ per table via the table_id salt in the hash
-    val c = bucketed(corpus, idCol, "bucket")
+    val c = bucketTable(corpus, idCol, vecCol, tables, bits)
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"), col("table_id"), col("bucket"))
-    val q = bucketed(queries, queryIdCol, "bucket")
+    val q = bucketTable(queries, queryIdCol, vecCol, tables, bits)
+      .join(queries.select(col(queryIdCol), col(vecCol)), Seq(queryIdCol))
       .select(col(queryIdCol).as("query_id"), col(vecCol).as("qvec"), col("table_id"), col("bucket"))
     val cands = c.join(broadcast(q), Seq("table_id", "bucket"))
       .dropDuplicates("query_id", "vec_id")
@@ -65,21 +87,6 @@ object Ann {
       .select("query_id", "vec_id", "rank")
   }
 
-  private def spark_range_table(df: DataFrame, tables: Int): DataFrame =
-    df.sparkSession.range(tables).select(col("id").cast("int").as("table_id"))
-
-  /** Per-table hyperplane bucket: weights seeded by (table, bit, dim). */
-  private def hyperplaneBucketTable(vec: Column, table: Column, bits: Int): Column = {
-    val bitCols = (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * ((hash(table, lit(j), i) % 1000).cast("double") / 1000.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, 1 << j).otherwise(0)
-    }
-    bitCols.reduce(_ + _)
-  }
-
   /**
    * Embedding near-duplicate pairs via hyperplane-LSH blocking + exact
    * cosine verification: (id_a, id_b, sim) with sim ≥ threshold. Multiple
@@ -88,8 +95,8 @@ object Ann {
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bits: Int = 8, tables: Int = 4): DataFrame = {
     val ids = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
-    val tabled = ids.crossJoin(broadcast(spark_range_table(corpus, tables)))
-      .withColumn("bucket", hyperplaneBucketTable(col("vec"), col("table_id"), bits))
+    val tabled = bucketTable(ids, "doc_id", "vec", tables, bits)
+      .join(ids, Seq("doc_id"))
     val l = tabled.select(col("table_id"), col("bucket"), col("doc_id").as("id_a"), col("vec").as("va"))
     val r = tabled.select(col("table_id"), col("bucket"), col("doc_id").as("id_b"), col("vec").as("vb"))
     l.join(r, Seq("table_id", "bucket")).filter(col("id_a") < col("id_b"))

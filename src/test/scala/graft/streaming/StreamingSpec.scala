@@ -74,6 +74,37 @@ class StreamingSpec extends SparkTestBase {
       .where("m IS NOT NULL").count() shouldBe 5
   }
 
+  test("watermark drops late data: rows behind the watermark never reach the sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val windowed = graft.operators.WindowTransform(
+      mem.toDF().toDF("ts", "v").withWatermark("ts", "10 minutes"),
+      graft.config.TransformConfig("w", "windowing", Map(
+        "timeColumn" -> "ts", "windowDuration" -> "10 minutes",
+        "aggregations" -> "total:sum(v)")),
+      graft.api.RunContext(spark, "late", "run"))
+    val q = windowed.writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("late-ckpt"))
+      .format("memory").queryName("late_out").start()
+    try {
+      mem.addData((ts("10:00:00"), 1.0), (ts("10:05:00"), 2.0))
+      q.processAllAvailable()
+      mem.addData((ts("11:00:00"), 5.0)) // watermark → 10:50, closes the 10:00 window
+      q.processAllAvailable()
+      mem.addData((ts("10:02:00"), 100.0)) // LATE: behind watermark → must be dropped
+      q.processAllAvailable()
+      mem.addData((ts("12:00:00"), 7.0)) // closes the 11:00 window
+      q.processAllAvailable()
+      val out = spark.table("late_out")
+        .selectExpr("window_start", "total").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+      out("2024-01-01 10:00:00.0") shouldBe 3.0 // NOT 103.0 - late row excluded
+      out("2024-01-01 11:00:00.0") shouldBe 5.0
+    } finally q.stop()
+  }
+
   test("streaming file source without explicit schema is rejected") {
     val cfg = PipelineConfig(
       pipelineId = "no-schema",
