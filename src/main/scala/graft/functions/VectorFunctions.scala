@@ -19,8 +19,15 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, null-safe for zero vectors. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity, null-safe for zero vectors. Backed by the native
+    * codegen'd [[graft.functions.expressions.CosineSimilarity]] expression
+    * (single fused loop); arithmetic is bit-identical to [[cosineHof]]. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.CosineSimilarity(a, b)
+
+  /** Composable higher-order-function form (three interpreted array walks);
+    * kept as the reference implementation the native expression must match. */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b); val na = norm(a); val nb = norm(b)
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
   }

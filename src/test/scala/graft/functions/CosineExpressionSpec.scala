@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CosineExpressionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(7)
+    (0 until 200).map { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextFloat() - 0.5f),
+        Array.fill(64)(rnd.nextFloat() - 0.5f))
+    }.toDF("id", "a", "b")
+  }
+
+  test("native codegen expression is bit-identical to the HOF reference form") {
+    val both = vecs.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("native"),
+      VectorFunctions.cosineHof(col("a"), col("b")).as("hof"))
+    both.where("native != hof OR (native IS NULL) != (hof IS NULL)").count() shouldBe 0
+  }
+
+  test("identity, orthogonality, zero-vector and null handling") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f), "same"),
+      (Array(1f, 0f), Array(0f, 1f), "ortho"),
+      (Array(0f, 0f), Array(1f, 1f), "zero"))
+      .toDF("a", "b", "tag")
+    val m = df.select(col("tag"), VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .as[(String, Double)].collect().toMap
+    m("same") shouldBe 1.0 +- 1e-9
+    m("ortho") shouldBe 0.0
+    m("zero") shouldBe 0.0
+    val withNull = Seq((Some(Array(1f)), None: Option[Array[Float]])).toDF("a", "b")
+    withNull.select(VectorFunctions.cosine(col("a"), col("b")))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("mixed element types (float corpus vs double query) and type errors") {
+    val df = Seq((Array(1f, 2f), Array(1.0, 2.0))).toDF("f", "d")
+    df.select(VectorFunctions.cosine(col("f"), col("d")).as("c"))
+      .as[Double].head() shouldBe 1.0 +- 1e-12
+    val bad = Seq(("x", Array(1.0))).toDF("s", "d")
+    an[Exception] should be thrownBy
+      bad.select(VectorFunctions.cosine(col("s"), col("d"))).collect()
+  }
+
+  test("the expression participates in whole-stage codegen (no fallback)") {
+    // a LocalRelation input would be constant-folded away; use a real scan
+    val dir = tmpDir("cosine-wsc")
+    vecs.write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    // "*(n)" is the WholeStageCodegen marker in the compact plan string —
+    // the projection containing the expression must carry it (no fallback)
+    df.queryExecution.executedPlan.toString should include regex
+      """\*\(\d+\) Project \[cosinesimilarity"""
+    df.count() shouldBe 200 // and it actually executes through codegen
+  }
+}
