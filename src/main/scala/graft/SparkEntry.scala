@@ -247,6 +247,19 @@ object SparkEntry {
       graft.ann.Ann.lshTopK(emb, queries, "vec_id", "embedding", "query_id", 10,
         bits = 8, tables = 6)
     }),
+    "q33_ann_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val queries = emb.where("vec_id < 5")
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ann.Ann.ivfTopK(emb, queries, "vec_id", "embedding", "query_id", 10,
+        nLists = 64, nProbe = 8)
+    }),
+    "q34_cube" -> ((s, dir) => ap(tab(s, dir, "orders"),
+      t("aggregation",
+        "groupBy" -> "o_orderstatus,o_orderpriority",
+        "groupingSets" -> "cube",
+        "aggregations" -> "n:count(*),total:sum(cast(o_totalprice as decimal(12,2)))"))),
     "q30_embed_neardup" -> ((s, dir) =>
       graft.ann.Ann.cosineNearDups(tab(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.95, bits = 12, tables = 6)),
@@ -435,6 +448,10 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS window_start,
          (time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour')::TIMESTAMP AS window_end,
          count(*) AS n_events, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q34_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
   )
 }

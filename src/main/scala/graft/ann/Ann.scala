@@ -88,6 +88,45 @@ object Ann {
   }
 
   /**
+   * IVF (inverted-file) ANN top-k — the other classic scale path.
+   * Coarse quantizer: `nLists` corpus vectors chosen by deterministic hash
+   * order stand in for centroids (hash-reservoir sampling — no k-means
+   * iterations, no RNG state; at 100 TB you'd warm-start real centroids the
+   * same way). Every corpus vector is assigned to its nearest centroid (one
+   * broadcast pass); queries probe their `nProbe` nearest lists, so the
+   * search touches nProbe/nLists of the corpus instead of all of it.
+   * Same output shape as [[bruteForceTopK]].
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, queryIdCol: String,
+              k: Int, nLists: Int = 64, nProbe: Int = 8): DataFrame = {
+    val centroids = broadcast(
+      corpus.select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nLists)
+        .select(monotonically_increasing_id().as("list_id"), col(vecCol).as("centroid")))
+
+    val wAssign = Window.partitionBy(idCol).orderBy(
+      col("csim").desc, col("list_id"))
+    val assigned = corpus.select(col(idCol), col(vecCol)).crossJoin(centroids)
+      .withColumn("csim", cosine(col(vecCol), col("centroid")))
+      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"), col("list_id"))
+
+    val wProbe = Window.partitionBy(queryIdCol).orderBy(col("csim").desc, col("list_id"))
+    val probes = queries.select(col(queryIdCol), col(vecCol)).crossJoin(centroids)
+      .withColumn("csim", cosine(col(vecCol), col("centroid")))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("qvec"), col("list_id"))
+
+    val cands = assigned.join(broadcast(probes), Seq("list_id"))
+      .withColumn("sim", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank")
+  }
+
+  /**
    * Embedding near-duplicate pairs via hyperplane-LSH blocking + exact
    * cosine verification: (id_a, id_b, sim) with sim ≥ threshold. Multiple
    * tables recover pairs a single bucketing would split.

@@ -46,6 +46,17 @@ class AnnSpec extends SparkTestBase {
     recall should be >= 0.7
   }
 
+  test("IVF top-k achieves high recall vs brute force with nProbe < nLists") {
+    val queries = corpus.where("vec_id IN (0, 1, 2, 3)")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", "query_id", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(corpus, queries, "vec_id", "embedding", "query_id", 10,
+      nLists = 16, nProbe = 6).select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    recall should be >= 0.7
+  }
+
   test("cosine near-dup pairs: duplicated vectors found with sim 1.0") {
     val withDup = corpus.union(
       corpus.where("vec_id = 5").select(lit(999L).as("vec_id"), col("embedding")))

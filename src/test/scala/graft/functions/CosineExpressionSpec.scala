@@ -47,6 +47,15 @@ class CosineExpressionSpec extends SparkTestBase {
       bad.select(VectorFunctions.cosine(col("s"), col("d"))).collect()
   }
 
+  test("SQL registration via GraftExtensions: cosine_similarity callable from spark.sql") {
+    graft.functions.expressions.GraftExtensions.register(spark)
+    vecs.createOrReplaceTempView("cosine_sql_vecs")
+    val viaSql = spark.sql(
+      "SELECT id, cosine_similarity(a, b) AS c FROM cosine_sql_vecs")
+    val viaCol = vecs.select(col("id"), VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    viaSql.exceptAll(viaCol).count() shouldBe 0
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     // a LocalRelation input would be constant-folded away; use a real scan
     val dir = tmpDir("cosine-wsc")
