@@ -13,6 +13,35 @@ import graft.config.{TransformConfig, ExprUtils}
  * DataFrame compositions.
  */
 
+/**
+ * register — reads a secondary source and registers it as a temp view,
+ * passing the pipeline DataFrame through unchanged. Closes the reference's
+ * usability gap where join/union right sides must be pre-registered
+ * programmatically (JoinTransformer.scala:50-53 `spark.table(...)` with no
+ * way to create the view from YAML): a multi-source pipeline is now fully
+ * declarative — `register(viewName, sourceType, options…)` then
+ * `join(rightDataset=viewName)`.
+ */
+object RegisterTransform extends graft.api.Transform {
+  val transformType = "register"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "viewName")
+    val sourceType = config.options.getOrElse("sourceType", "file")
+    val src = graft.runtime.Registries.sources().get(sourceType)
+    val srcConfig = graft.config.SourceConfig(
+      sourceType, config.options -- Seq("viewName", "sourceType", "expressions", "project", "keep"))
+    val raw = src.read(srcConfig)(input.sparkSession)
+    // optional map-style projection before registering (e.g. parsing a
+    // kafka JSON value into typed columns for the join key)
+    val shaped =
+      if (config.options.contains("expressions"))
+        MapTransform(raw, config.copy(transformType = "map"), ctx)
+      else raw
+    shaped.createOrReplaceTempView(config.options("viewName"))
+    input
+  }
+}
+
 /** sort — global orderBy. A full range-shuffle; at scale prefer
   * sortWithinPartitions (`global=false`) unless a total order is required. */
 object SortTransform extends Transform {

@@ -26,7 +26,8 @@ object Registries {
     SortTransform.transformType       -> SortTransform,
     LimitTransform.transformType      -> LimitTransform,
     UnionTransform.transformType      -> UnionTransform,
-    DedupTransform.transformType      -> DedupTransform))
+    DedupTransform.transformType      -> DedupTransform,
+    RegisterTransform.transformType   -> RegisterTransform))
 
   def sinks(): Registry[Sink] = new Registry[Sink]("sink", Map(
     FileSink.sinkType      -> FileSink,

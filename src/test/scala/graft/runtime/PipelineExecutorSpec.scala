@@ -79,6 +79,50 @@ class PipelineExecutorSpec extends SparkTestBase {
     m.error.get should include("fail-action")
   }
 
+  test("scenario-3 shape: multi-source join fully declarative via register transform") {
+    // orders (parquet, standing in for JDBC) ⋈ product details (kafka-file
+    // JSON-lines double), like the reference's QuickstartScenario3 — but the
+    // right side comes from YAML, not programmatic view registration
+    val kafkaDir = tmpDir("kafka-topic")
+    (1 to 20).map(i => s"""{"p_key":$i,"p_name":"Product $i"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(kafkaDir)
+    val out = tmpDir("s3-out")
+    val yaml =
+      s"""pipelineId: it-scenario3
+         |source:
+         |  type: file
+         |  options: {path: $sf/orders.parquet}
+         |transformations:
+         |  - name: products
+         |    type: register
+         |    options:
+         |      viewName: v_products
+         |      sourceType: kafka-file
+         |      path: $kafkaDir
+         |      project: "true"
+         |      expressions: "p_key:cast(get_json_object(value, '$$.p_key') as int),p_name:get_json_object(value, '$$.p_name')"
+         |  - name: key
+         |    type: map
+         |    options: {expressions: "p_key:cast(o_orderkey % 20 + 1 as int)"}
+         |  - name: join-products
+         |    type: join
+         |    options:
+         |      rightDataset: v_products
+         |      joinType: inner
+         |      joinKeys: p_key
+         |sink:
+         |  type: file
+         |  writeMode: overwrite
+         |  options: {path: $out}
+         |""".stripMargin
+    val cfg = new YamlConfigParser().parse(yaml)
+    val m = executor.execute(cfg)
+    withClue(m.error.getOrElse("")) { m.status shouldBe "SUCCESS" }
+    val back = spark.read.parquet(out)
+    back.count() shouldBe spark.read.parquet(s"$sf/orders.parquet").count()
+    back.columns should contain("p_name")
+  }
+
   test("schemaValidation: declared-vs-actual diff fails fast with the issue list") {
     val in = tmpDir("sv-in")
     Seq(("x", 1L)).toDF("name", "v").write.mode("overwrite").parquet(in)

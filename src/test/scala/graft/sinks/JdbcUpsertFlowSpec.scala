@@ -17,41 +17,10 @@ import graft.config.{SinkConfig, WriteMode}
  */
 class JdbcUpsertFlowSpec extends SparkTestBase {
   import spark.implicits._
-
-  /** parquet-files-as-tables stand-in; applies ON CONFLICT semantics. */
-  private class FakeDb(dir: String) {
-    val executed = mutable.Buffer[String]()
-    def tablePath(t: String) = s"$dir/$t"
-    def read(t: String): DataFrame = spark.read.parquet(tablePath(t))
-
-    val sink: JdbcSink = new JdbcSink("postgres", "postgres", (_, _, statements) => {
-      executed ++= statements
-      statements.foreach {
-        case sql if sql.startsWith("INSERT INTO ") =>
-          // replay the generated upsert against the parquet tables:
-          // rows from staging replace same-key rows in target
-          val Target = """INSERT INTO (\w+) .* FROM (\w+) ON CONFLICT \((\w+)\).*""".r
-          sql match {
-            case Target(target, staging, key) =>
-              val merged = read(target).join(read(staging), Seq(key), "left_anti")
-                .unionByName(read(staging))
-              val tmp = s"$dir/__merge"
-              merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-              spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(tablePath(target))
-            case _ => fail(s"unexpected upsert SQL shape: $sql")
-          }
-        case sql if sql.startsWith("DROP TABLE ") => // staging cleanup, no-op on files
-        case sql => fail(s"unexpected SQL: $sql")
-      }
-    }) {
-      override protected def jdbcWrite(data: DataFrame, mode: SaveMode, url: String,
-                                       table: String, options: Map[String, String]): Unit =
-        data.write.mode(mode).parquet(tablePath(table))
-    }
-  }
+  import graft.testkit.FakeJdbcDb
 
   test("upsert writes staging, runs dialect SQL in one txn, is idempotent, updates keyed rows") {
-    val db = new FakeDb(tmpDir("fakedb"))
+    val db = new FakeJdbcDb(spark, tmpDir("fakedb"))
     Seq((1, "old-a", 10.0), (2, "old-b", 20.0)).toDF("id", "name", "total")
       .write.parquet(db.tablePath("sales"))
 

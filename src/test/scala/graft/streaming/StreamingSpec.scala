@@ -105,6 +105,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming → foreachBatch → JDBC upsert: effectively-once across checkpoint replays") {
+    // the SURVEY §7.4 hard part #1: an idempotent keyed sink makes a full
+    // replay (fresh checkpoint) converge to the same table state
+    val db = new graft.testkit.FakeJdbcDb(spark, tmpDir("stream-db"))
+    Seq((0L, "seed", 0.0)).toDF("event_id", "metric", "v")
+      .write.parquet(db.tablePath("metrics"))
+    val in = tmpDir("stream-upsert-in")
+    Seq((1L, "cpu", 1.0), (2L, "cpu", 2.0), (3L, "mem", 8.0))
+      .toDF("event_id", "metric", "v").write.mode("overwrite").parquet(in)
+
+    val sinks = graft.runtime.Registries.sinks()
+    sinks.register("postgres", db.sink)
+    val streamingExec = new StreamingExecutor(sinks = sinks)
+    def cfg = PipelineConfig(
+      pipelineId = "stream-upsert",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("file", Map(
+        "path" -> in, "format" -> "parquet",
+        "schema" -> "event_id BIGINT, metric STRING, v DOUBLE")),
+      sink = SinkConfig("postgres",
+        Map("url" -> "jdbc:postgresql://h/db", "dbtable" -> "metrics",
+          "primaryKey" -> "event_id"),
+        WriteMode.Upsert),
+      streaming = Some(StreamingConfig(checkpointLocation = Some(tmpDir("up-ckpt")))))
+
+    streamingExec.start(cfg).awaitTermination(60000)
+    val after1 = db.read("metrics").orderBy("event_id")
+      .as[(Long, String, Double)].collect()
+    after1.map(_._1) shouldBe Array(0L, 1L, 2L, 3L)
+
+    // full replay with a FRESH checkpoint (new cfg instance) → same state
+    streamingExec.start(cfg).awaitTermination(60000)
+    db.read("metrics").orderBy("event_id")
+      .as[(Long, String, Double)].collect() shouldBe after1
+  }
+
   test("streaming file source without explicit schema is rejected") {
     val cfg = PipelineConfig(
       pipelineId = "no-schema",
