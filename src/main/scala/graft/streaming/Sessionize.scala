@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Custom stateful sessionization via typed
+ * `KeyValueGroupedDataset.flatMapGroupsWithState` — the arbitrary-state API
+ * for semantics `session_window` can't express (here: per-session running
+ * aggregates emitted exactly when the session CLOSES, with event-time
+ * timeouts driven by the watermark).
+ *
+ * State per user = the open session; a batch's events fold into it in
+ * event-time order; sessions older than `gapMs` close and emit. A session
+ * with no new events closes via EventTimeTimeout when the watermark passes
+ * last-event + gap — so state is bounded by the watermark, the property
+ * that keeps this runnable forever on an unbounded stream.
+ */
+object Sessionize {
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Long, total: Double)
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  def sessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed last-event + gap: close and emit
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(userId, s, gapMs))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t <= s.lastMs + gapMs =>
+                  open = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                    n = s.n + 1, total = s.total + e.value))
+                case Some(s) => // gap exceeded inside the batch: close, start new
+                  closed += emit(userId, s, gapMs)
+                  open = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  private def emit(userId: Long, s: OpenSession, gapMs: Long): Session =
+    Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs + gapMs), s.n, s.total)
+}

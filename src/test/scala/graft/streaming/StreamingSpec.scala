@@ -141,6 +141,39 @@ class StreamingSpec extends SparkTestBase {
       .as[(Long, String, Double)].collect() shouldBe after1
   }
 
+  test("flatMapGroupsWithState sessionization: sessions emit on gap or watermark timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val mem = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessions(
+      mem.toDS().withWatermark("ts", "0 seconds").as[Sessionize.Event],
+      gapMs = 10 * 60 * 1000) // 10-minute gap
+    val q = sessions.writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("sess-ckpt"))
+      .format("memory").queryName("sess_out").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 30-min jump (new session)
+      mem.addData(
+        Sessionize.Event(1L, ts("10:00:00"), 1.0),
+        Sessionize.Event(1L, ts("10:05:00"), 2.0),
+        Sessionize.Event(2L, ts("10:00:00"), 8.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(1L, ts("10:45:00"), 4.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to time out every open session
+      mem.addData(Sessionize.Event(9L, ts("12:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(9L, ts("14:00:00"), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").as[Sessionize.Session].collect()
+        .map(s => (s.user_id, s.session_start.toString, s.n_events, s.total_value)).toSet
+      out should contain((1L, "2024-01-01 10:00:00.0", 2L, 3.0)) // closed by gap
+      out should contain((1L, "2024-01-01 10:45:00.0", 1L, 4.0)) // closed by timeout
+      out should contain((2L, "2024-01-01 10:00:00.0", 1L, 8.0)) // closed by timeout
+    } finally q.stop()
+  }
+
   test("streaming file source without explicit schema is rejected") {
     val cfg = PipelineConfig(
       pipelineId = "no-schema",
