@@ -68,6 +68,10 @@ object Dedup {
       col(idCol).as("doc_id"),
       explode(array_distinct(TextFunctions.wordNgrams(col(textCol), shingleSize))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    // ONE aggregation pass computes both the k min-hashes and the hashed
+    // shingle set. (Splitting sets into a candidates-only second pass was
+    // measured SLOWER at sf0.1 — it re-runs the tokenize+explode scan,
+    // which dominates; the shared exchange below is reused by Catalyst.)
     val minAggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"__m$i"))
     val sigd = hashed.groupBy("doc_id")
       .agg(collect_set(col("h")).as("sh"), minAggs: _*)
