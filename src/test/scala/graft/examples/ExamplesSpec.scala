@@ -1,0 +1,61 @@
+package graft.examples
+
+import graft.SparkTestBase
+import graft.config.YamlConfigParser
+import graft.runtime.PipelineExecutor
+
+/** Every shipped example YAML must parse and execute end-to-end with golden
+  * results (the reference's quickstart scenarios, §5 layer 3). */
+class ExamplesSpec extends SparkTestBase {
+  import spark.implicits._
+  private val executor = new PipelineExecutor()
+  private val parser = new YamlConfigParser()
+
+  private def run(example: String) = {
+    val m = executor.execute(parser.parseFile(s"examples/$example"))
+    withClue(m.error.getOrElse("")) { m.status shouldBe "SUCCESS" }
+    m
+  }
+
+  test("quickstart-1: batch aggregation with expression aggregates and lineage") {
+    run("quickstart-1-sales-aggregation.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-1-out")
+    out.count() shouldBe 6 // 3 return flags × 2 statuses (A/F, N/O, R/F at this SF)
+    out.columns should contain allOf ("total_quantity", "total_revenue", "avg_price", "n_lines", "_lineage")
+    out.where("total_revenue <= 0").count() shouldBe 0
+  }
+
+  test("quickstart-2: kafka-style JSON metrics through tumbling windows") {
+    new java.io.File("/tmp/graft-examples").mkdirs()
+    val lines = (0 until 120).map { i =>
+      val metric = if (i % 2 == 0) "cpu_usage" else "memory_usage"
+      f"""{"timestamp": "2024-01-01 10:00:${i % 60}%02d", "metric_name": "$metric", "value": ${10.0 + i}}"""
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft-examples/metrics-topic"),
+      lines.mkString("\n").getBytes)
+    run("quickstart-2-metrics-windowing.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-2-out")
+    // 60 distinct seconds → 6 ten-second windows × 2 metrics
+    out.count() shouldBe 12
+    out.columns shouldBe Array("window_start", "window_end", "metric_name", "avg_value", "max_value", "n")
+    out.agg(org.apache.spark.sql.functions.sum("n")).as[Long].head() shouldBe 120
+  }
+
+  test("quickstart-3: declarative multi-source join partitioned by category") {
+    val products = (1 to 20).map { i =>
+      val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
+      s"""{"product_id": $i, "product_name": "Product $i", "category": "$cat"}"""
+    }
+    new java.io.File("/tmp/graft-examples").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft-examples/products-topic"),
+      products.mkString("\n").getBytes)
+    run("quickstart-3-multi-source-join.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-3-out")
+    out.count() shouldBe spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
+    out.columns should contain allOf ("product_name", "order_month", "category")
+    new java.io.File("/tmp/graft-examples/quickstart-3-out").listFiles()
+      .map(_.getName).count(_.startsWith("category=")) shouldBe 3
+  }
+}
