@@ -16,6 +16,14 @@ import graft.runtime.Registries
  * Determinism rules for oracle parity:
  *  - money/quantity sums go through DECIMAL casts (order-independent exact
  *    arithmetic in both engines); other double aggregates are round()ed.
+ *  - the FINAL projection of every aggregate/derived column is cast to a
+ *    type whose stringified value is identical in both engines: the driver
+ *    loads both sides into pandas, where DuckDB DECIMAL becomes float64
+ *    ("254462.0") but Spark DECIMAL stays java.math.BigDecimal
+ *    ("254462.00") — so decimal outputs are cast to DOUBLE on BOTH sides,
+ *    DuckDB HUGEINT (sum of ints) is cast down to BIGINT, and list outputs
+ *    are flattened to strings (array_join). Internal arithmetic stays exact
+ *    decimal; only the last projection widens to double.
  *  - every ranked/dedup operator gets a total tie-break order.
  *  - raw timestamp columns are not projected (parquet ns-vs-us typing);
  *    derived window bounds are whole-second and safe.
@@ -50,15 +58,15 @@ object SparkEntry {
     "q1_agg" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
       t("aggregation",
         "groupBy" -> "l_returnflag,l_linestatus",
-        "aggregations" -> ("sum_qty:sum(cast(l_quantity as decimal(12,2)))," +
-          "sum_base_price:sum(cast(l_extendedprice as decimal(12,2)))," +
+        "aggregations" -> ("sum_qty:cast(sum(cast(l_quantity as decimal(12,2))) as double)," +
+          "sum_base_price:cast(sum(cast(l_extendedprice as decimal(12,2))) as double)," +
           "min_price:min(l_extendedprice),max_price:max(l_extendedprice)," +
           "count_order:count(*)")))),
     "q2_agg_expr" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
       t("aggregation",
         "groupBy" -> "l_returnflag",
-        "aggregations" -> ("revenue:sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2))))," +
-          "charge:sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2))) * (1 + cast(l_tax as decimal(4,2))))")))),
+        "aggregations" -> ("revenue:cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2)))) as double)," +
+          "charge:cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2))) * (1 + cast(l_tax as decimal(4,2)))) as double)")))),
     "q3_agg_distinct" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
       t("aggregation",
         "groupBy" -> "l_returnflag",
@@ -67,12 +75,12 @@ object SparkEntry {
     "q4_agg_collect" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
       t("aggregation",
         "groupBy" -> "l_returnflag",
-        "aggregations" -> "statuses:array_sort(collect_set(l_linestatus))"))),
+        "aggregations" -> "statuses:array_join(array_sort(collect_set(l_linestatus)), ',')"))),
     "q5_rollup" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
       t("aggregation",
         "groupBy" -> "l_returnflag,l_linestatus",
         "groupingSets" -> "rollup",
-        "aggregations" -> "n_rows:count(*),sum_qty:sum(cast(l_quantity as decimal(12,2)))"))),
+        "aggregations" -> "n_rows:count(*),sum_qty:cast(sum(cast(l_quantity as decimal(12,2))) as double)"))),
 
     // ---- §2.2 filter transformer ----
     "q6_filter" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
@@ -84,11 +92,11 @@ object SparkEntry {
     // ---- §2.2 map transformer (scalar fn surface: string/date/case/cast) ----
     "q7_map" -> ((s, dir) => ap(tab(s, dir, "orders"),
       t("map", "project" -> "true", "keep" -> "o_orderkey",
-        "expressions" -> ("order_year:year(o_orderdate)," +
-          "order_month:month(o_orderdate)," +
+        "expressions" -> ("order_year:cast(year(o_orderdate) as bigint)," +
+          "order_month:cast(month(o_orderdate) as bigint)," +
           "status_tag:concat(upper(o_orderstatus), '-', substring(o_orderpriority, 1, 1))," +
           "is_high:CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END," +
-          "price_dec:cast(o_totalprice as decimal(12,2))")))),
+          "price_dec:cast(cast(o_totalprice as decimal(12,2)) as double)")))),
 
     // ---- §2.3 join transformer (inner/left/right/full + broadcast) ----
     "q8_join_inner" -> ((s, dir) => {
@@ -118,7 +126,7 @@ object SparkEntry {
       // per-supplier aggregate (USING-style keys, no dup columns)
       val agg = ap(tab(s, dir, "lineitem"),
         t("aggregation", "groupBy" -> "l_orderkey,l_suppkey",
-          "aggregations" -> "supp_order_qty:sum(cast(l_quantity as decimal(12,2)))"))
+          "aggregations" -> "supp_order_qty:cast(sum(cast(l_quantity as decimal(12,2))) as double)"))
       agg.createOrReplaceTempView("v_liagg_q11")
       ap(tab(s, dir, "lineitem").filter("l_linenumber = 1"),
         t("join", "rightDataset" -> "v_liagg_q11", "joinType" -> "inner",
@@ -175,14 +183,11 @@ object SparkEntry {
       .filter("k_val >= 50")),
 
     // ---- §2.8 data-quality metrics (one-pass null/dup profile) ----
-    "q21_quality_metrics" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      tab(s, dir, "documents").agg(
-        count(lit(1)).as("total_rows"),
-        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
-        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("null_lang"),
-        countDistinct(col("text")).as("distinct_text"))
-    }),
+    // Routed through the engine's QualityChecker (not inline agg) so the
+    // verify gate exercises the actual quality component.
+    "q21_quality_metrics" -> ((s, dir) =>
+      graft.quality.QualityChecker.metricsFrame(
+        tab(s, dir, "documents"), Seq("text", "lang"), Seq("text"))),
 
     // ---- §3 pipeline executor end-to-end (filter → map → aggregation fold) ----
     "q22_pipeline" -> ((s, dir) => {
@@ -196,7 +201,7 @@ object SparkEntry {
             "disc_price:cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2)))")),
           TransformConfig("a", "aggregation", Map(
             "groupBy" -> "l_returnflag,l_linestatus",
-            "aggregations" -> "revenue:sum(disc_price),n_rows:count(*)"))),
+            "aggregations" -> "revenue:cast(sum(disc_price) as double),n_rows:count(*)"))),
         sink = SinkConfig("file", Map("path" -> "/tmp/graft-unused")))
       new graft.runtime.PipelineExecutor().compose(cfg)(s)
     }),
@@ -259,10 +264,18 @@ object SparkEntry {
       t("aggregation",
         "groupBy" -> "o_orderstatus,o_orderpriority",
         "groupingSets" -> "cube",
-        "aggregations" -> "n:count(*),total:sum(cast(o_totalprice as decimal(12,2)))"))),
-    "q30_embed_neardup" -> ((s, dir) =>
-      graft.ann.Ann.cosineNearDups(tab(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.95, bits = 12, tables = 6)),
+        "aggregations" -> "n:count(*),total:cast(sum(cast(o_totalprice as decimal(12,2))) as double)"))),
+    // Planted near-duplicates (vec_id + 1000000 carries an identical vector)
+    // so the positive path — LSH collision → exact-cosine verify ≥ threshold —
+    // is actually exercised: every planted pair MUST appear (sim = 1.0).
+    "q30_embed_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val planted = emb.where("vec_id < 10")
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      graft.ann.Ann.cosineNearDups(emb.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.95, bits = 12, tables = 6)
+    }),
 
     // ---- LLM-data-pipeline: multimodal column plumbing (stub decode) ----
     "q31_multimodal" -> ((s, dir) => {
@@ -306,26 +319,27 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
          min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q2_agg_expr" ->
       """SELECT l_returnflag,
-         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
-         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS charge
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS charge
          FROM lineitem GROUP BY l_returnflag""",
     "q3_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
     "q4_agg_collect" ->
-      """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses
+      """SELECT l_returnflag,
+         array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
          FROM lineitem GROUP BY l_returnflag""",
     "q5_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q6_filter" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
@@ -333,11 +347,11 @@ object SparkEntry {
          FROM lineitem
          WHERE l_quantity >= 45 AND l_returnflag = 'R' AND l_linestatus IN ('F')""",
     "q7_map" ->
-      """SELECT o_orderkey, year(o_orderdate) AS order_year,
-         month(o_orderdate) AS order_month,
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         CAST(month(o_orderdate) AS BIGINT) AS order_month,
          concat(upper(o_orderstatus), '-', substring(o_orderpriority, 1, 1)) AS status_tag,
          CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS is_high,
-         CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec
          FROM orders""",
     "q8_join_inner" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_orderstatus
@@ -352,7 +366,7 @@ object SparkEntry {
       """SELECT l.l_orderkey, l.l_suppkey, l.l_quantity, a.supp_order_qty
          FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) l
          JOIN (SELECT l_orderkey, l_suppkey,
-                      sum(CAST(l_quantity AS DECIMAL(12,2))) AS supp_order_qty
+                      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS supp_order_qty
                FROM lineitem GROUP BY l_orderkey, l_suppkey) a
          USING (l_orderkey, l_suppkey)""",
     "q12_window_tumbling" ->
@@ -411,13 +425,13 @@ object SparkEntry {
          FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50""",
     "q21_quality_metrics" ->
       """SELECT count(*) AS total_rows,
-         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
-         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+         CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
          count(DISTINCT text) AS distinct_text
          FROM documents""",
     "q22_pipeline" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
          count(*) AS n_rows
          FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag, l_linestatus""",
     "q23_text_stats" ->
@@ -451,7 +465,7 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "q34_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
   )
 }

@@ -1,7 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, Column}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Column, Encoders}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -14,9 +13,10 @@ import graft.dedup.Dedup
  * Two paths:
  *  - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast
  *    (it's small), the corpus streams once — O(corpus × queries) with no
- *    corpus shuffle except the final per-query top-k, which is a
- *    rank-within-partition on queryId. The right baseline, and viable at
- *    100 TB whenever |queries| is modest.
+ *    corpus shuffle at all: the per-query top-k is a partial (map-side)
+ *    bounded-heap aggregation, so only ≤k candidates per (query,
+ *    partition) cross the wire. The right baseline, and viable at 100 TB
+ *    whenever |queries| is modest.
  *  - [[lshTopK]]: random-hyperplane LSH bucketing (deterministic
  *    hash-derived hyperplanes, no RNG/broadcast state). Candidates =
  *    bucket collisions across `tables` independent hash tables; exact
@@ -26,8 +26,26 @@ import graft.dedup.Dedup
  */
 object Ann {
 
+  /**
+   * Two-phase per-query top-k over a scored frame (query_id, vec_id, sim):
+   * partial per-partition top-k via [[TopKAggregator]] (map-side reduction
+   * to ≤k candidates per query per partition), tiny final merge, then
+   * posexplode to (query_id, vec_id, rank). Replaces the global
+   * `row_number()` window, whose single sort-per-query of all scored rows
+   * cannot survive a large corpus. Ranking order is (sim DESC, vec_id ASC),
+   * identical to the window form — oracle-hash compatible.
+   */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCandidate])
+    scored.groupBy("query_id")
+      .agg(topk(col("sim").cast("double"), col("vec_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("vec_id"), (col("pos") + 1).as("rank"))
+  }
+
   /** Exact cosine top-k: queries df (queryIdCol, vecCol) × corpus df
-    * (idCol, vecCol) → (query_id, vec_id, rank). */
+    * (idCol, vecCol) → (query_id, vec_id, rank). Broadcast nested-loop over
+    * the corpus scan (zero shuffle), then the two-phase top-k. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, queryIdCol: String,
                      k: Int): DataFrame = {
@@ -36,10 +54,7 @@ object Ann {
     val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
       .crossJoin(q)
       .withColumn("sim", cosine(col("cvec"), col("qvec")))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "rank")
+    topKPerQuery(scored, k)
   }
 
   /**
@@ -81,10 +96,7 @@ object Ann {
     val cands = c.join(broadcast(q), Seq("table_id", "bucket"))
       .dropDuplicates("query_id", "vec_id")
       .withColumn("sim", cosine(col("cvec"), col("qvec")))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "rank")
+    topKPerQuery(cands, k)
   }
 
   /**
@@ -92,38 +104,54 @@ object Ann {
    * Coarse quantizer: `nLists` corpus vectors chosen by deterministic hash
    * order stand in for centroids (hash-reservoir sampling — no k-means
    * iterations, no RNG state; at 100 TB you'd warm-start real centroids the
-   * same way). Every corpus vector is assigned to its nearest centroid (one
-   * broadcast pass); queries probe their `nProbe` nearest lists, so the
-   * search touches nProbe/nLists of the corpus instead of all of it.
-   * Same output shape as [[bruteForceTopK]].
+   * same way). The codebook is materialized to the driver — O(nLists·dim),
+   * definitionally small for IVF — and folded into the plan as array
+   * LITERALS, so centroid assignment is a pure projection over the corpus
+   * scan: `greatest()` over nLists codegen'd cosine similarities, ZERO
+   * shuffle and zero extra rows (the former crossJoin+window assignment
+   * materialized and shuffled corpus × nLists rows just to take an argmax).
+   * Queries probe their `nProbe` nearest lists, so the search touches
+   * nProbe/nLists of the corpus instead of all of it. Same output shape as
+   * [[bruteForceTopK]].
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int, nLists: Int = 64, nProbe: Int = 8): DataFrame = {
-    val centroids = broadcast(
-      corpus.select(col(idCol), col(vecCol))
-        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nLists)
-        .select(monotonically_increasing_id().as("list_id"), col(vecCol).as("centroid")))
+    val centroidVecs: Seq[Seq[Float]] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nLists)
+      .select(col(vecCol).cast("array<float>")).collect()
+      .map(_.getSeq[Float](0)).toSeq
 
-    val wAssign = Window.partitionBy(idCol).orderBy(
-      col("csim").desc, col("list_id"))
-    val assigned = corpus.select(col(idCol), col(vecCol)).crossJoin(centroids)
-      .withColumn("csim", cosine(col(vecCol), col("centroid")))
-      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
-      .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"), col("list_id"))
+    def centroidSims(vec: Column): Seq[Column] =
+      centroidVecs.map(cv => cosine(vec, typedLit(cv)))
 
-    val wProbe = Window.partitionBy(queryIdCol).orderBy(col("csim").desc, col("list_id"))
-    val probes = queries.select(col(queryIdCol), col(vecCol)).crossJoin(centroids)
-      .withColumn("csim", cosine(col(vecCol), col("centroid")))
-      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
-      .select(col(queryIdCol).as("query_id"), col(vecCol).as("qvec"), col("list_id"))
+    /** Nearest list id: max over (sim, -list_id) structs → highest sim,
+      * lowest list id on ties — identical to the old window tie-break. */
+    def nearestList(vec: Column): Column = {
+      val ranked = centroidSims(vec).zipWithIndex.map { case (s, i) =>
+        struct(s.as("s"), lit(-i).as("ni"))
+      }
+      -greatest(ranked: _*).getField("ni")
+    }
+
+    /** The nProbe nearest list ids for a query vector (ascending on
+      * (-sim, list_id), sliced, exploded by the caller). */
+    def probeLists(vec: Column): Column = {
+      val ranked = centroidSims(vec).zipWithIndex.map { case (s, i) =>
+        struct((-s).as("ns"), lit(i).as("list_id"))
+      }
+      slice(sort_array(array(ranked: _*)), 1, nProbe).getField("list_id")
+    }
+
+    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"),
+      nearestList(col(vecCol)).as("list_id"))
+    val probes = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qvec"),
+      explode(probeLists(col(vecCol))).as("list_id"))
 
     val cands = assigned.join(broadcast(probes), Seq("list_id"))
       .withColumn("sim", cosine(col("cvec"), col("qvec")))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "rank")
+    topKPerQuery(cands, k)
   }
 
   /**

@@ -1,0 +1,55 @@
+package graft.ann
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored candidate flowing into the top-k aggregate. */
+final case class ScoredCandidate(sim: Double, id: Long)
+
+/** Bounded aggregation buffer: at most ~4k candidates between trims. */
+final case class TopKBuffer(items: Seq[ScoredCandidate])
+
+/**
+ * Bounded-heap top-k aggregate for ANN ranking.
+ *
+ * Why not `row_number() OVER (PARTITION BY query_id)`: a window shuffles
+ * EVERY scored row into |queries| reducer tasks and fully sorts each — with
+ * few queries that is a handful of tasks each sorting the whole corpus, the
+ * classic 100 TB scale-killer. As a typed Aggregator this compiles to an
+ * ObjectHashAggregate with partial aggregation: each map task reduces its
+ * partition to at most k candidates per query BEFORE the exchange, so the
+ * shuffle carries |queries| × numPartitions × k rows instead of
+ * |corpus| × |queries|.
+ *
+ * Determinism: ordering is (sim DESC, id ASC) — a total order because ids
+ * are unique within a query — and trimming a buffer to its k best can never
+ * drop a global top-k element (fewer than k elements beat it in any
+ * subset). Result is independent of row arrival order, so oracle hash
+ * checks (q28) are unaffected.
+ */
+final class TopKAggregator(k: Int) extends Aggregator[ScoredCandidate, TopKBuffer, TopKBuffer] {
+  private val cap = math.max(4 * k, 64)
+
+  private def better(a: ScoredCandidate, b: ScoredCandidate): Boolean =
+    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+
+  private def best(items: Seq[ScoredCandidate], n: Int): Seq[ScoredCandidate] =
+    items.sortWith(better).take(n)
+
+  override def zero: TopKBuffer = TopKBuffer(Vector.empty)
+
+  override def reduce(b: TopKBuffer, a: ScoredCandidate): TopKBuffer = {
+    val appended = b.items :+ a
+    TopKBuffer(if (appended.length > cap) best(appended, k) else appended)
+  }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    val combined = a.items ++ b.items
+    TopKBuffer(if (combined.length > cap) best(combined, k) else combined)
+  }
+
+  override def finish(b: TopKBuffer): TopKBuffer = TopKBuffer(best(b.items, k))
+
+  override def bufferEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
+  override def outputEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
+}

@@ -15,7 +15,11 @@ import graft.config.{SourceConfig, TransformConfig, SinkConfig}
 final case class RunContext(
     spark: SparkSession,
     pipelineId: String,
-    runId: String)
+    runId: String,
+    /** The executor's source registry, so transforms that read secondary
+      * sources (register) see user-registered source types; None falls back
+      * to the built-in registry. */
+    sources: Option[Registry[Source]] = None)
 
 final case class ValidationError(component: String, message: String)
 

@@ -32,12 +32,26 @@ final case class LineageMetadata(
 
 object Lineage {
   /** `aggregation(groupBy=category)`-style step labels, matching the
-    * reference's chain entries (AggregationTransformer.scala:149). */
+    * reference's chain entries (AggregationTransformer.scala:149).
+    *
+    * Multi-source merge (reference lineage/LineageTracker.scala:91-122
+    * concatenates both sides' chains plus a `join(type)` step): the right
+    * side of a join enters the pipeline via a `register` transform, whose
+    * step records that side's SOURCE SYSTEM and location, and the `join`
+    * step names the right dataset — so `_lineage` carries the full
+    * provenance of every contributing source, in pipeline order. */
   def step(t: TransformConfig): String = {
     val detail = t.transformType match {
       case "aggregation" => t.options.get("groupBy").map(g => s"groupBy=$g").getOrElse("global")
       case "filter"      => t.options.getOrElse("condition", "")
-      case "join"        => s"type=${t.options.getOrElse("joinType", "inner")}"
+      case "join"        => s"type=${t.options.getOrElse("joinType", "inner")}" +
+        t.options.get("rightDataset").map(r => s", right=$r").getOrElse("")
+      case "union"       => t.options.get("rightDataset").map(r => s"right=$r").getOrElse("")
+      case "register"    =>
+        val src = t.options.getOrElse("sourceType", "file")
+        val loc = t.options.get("path").orElse(t.options.get("subscribe"))
+          .orElse(t.options.get("dbtable")).map(l => s":$l").getOrElse("")
+        s"source=$src$loc, view=${t.options.getOrElse("viewName", "")}"
       case "windowing"   => s"window=${t.options.getOrElse("windowDuration", t.options.getOrElse("gapDuration", ""))}"
       case _             => ""
     }

@@ -28,6 +28,9 @@ object FilterTransform extends Transform {
  * one projection node, and the splitter handles nested commas
  * (`concat(a, b)`) that the reference's split(",") breaks on.
  * Option `project=true` keeps ONLY the mapped columns (plus `keep` list).
+ * Duplicate aliases are rejected (the single-projection form would silently
+ * last-win), and an expression cannot reference a sibling alias mapped in
+ * the SAME transform — use two map steps for sequential derivation.
  */
 object MapTransform extends Transform {
   val transformType = "map"
@@ -35,6 +38,9 @@ object MapTransform extends Transform {
     required(config, "expressions")
     val pairs = ExprUtils.parseExprList(config.options("expressions"))
     if (pairs.isEmpty) throw new ConfigException(s"map '${config.name}': empty expressions")
+    val dups = pairs.groupBy(_._1).collect { case (a, ps) if ps.size > 1 => a }
+    if (dups.nonEmpty) throw new ConfigException(
+      s"map '${config.name}': duplicate alias(es) ${dups.mkString(", ")}")
     if (config.options.get("project").exists(_.toBoolean)) {
       val keep = config.options.get("keep").map(ExprUtils.parseColumns).getOrElse(Nil)
       input.select(keep.map(col) ++ pairs.map { case (a, e) => expr(e).as(a) }: _*)

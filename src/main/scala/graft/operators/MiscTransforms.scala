@@ -27,7 +27,9 @@ object RegisterTransform extends graft.api.Transform {
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "viewName")
     val sourceType = config.options.getOrElse("sourceType", "file")
-    val src = graft.runtime.Registries.sources().get(sourceType)
+    // resolve through the executor's registry (threaded via RunContext) so
+    // user-registered source types work inside register transforms
+    val src = ctx.sources.getOrElse(graft.runtime.Registries.sources()).get(sourceType)
     val srcConfig = graft.config.SourceConfig(
       sourceType, config.options -- Seq("viewName", "sourceType", "expressions", "project", "keep"))
     val raw = src.read(srcConfig)(input.sparkSession)

@@ -68,10 +68,24 @@ final case class QualityReport(
  */
 object QualityChecker {
 
+  /**
+   * One-row metrics frame: total_rows, null_<c> per checked column, and
+   * distinct_<c> per distinct-profiled column — ALL in a single aggregation
+   * (the count-distinct rides the same job via Spark's expand rewrite), so
+   * profiling N columns costs one scan at 100 TB, not N.
+   * DataFrame-returning (lazy) so pipelines and the verify gate exercise
+   * this component rather than re-deriving inline aggregates.
+   */
+  def metricsFrame(df: DataFrame, nullColumns: Seq[String],
+                   distinctColumns: Seq[String] = Nil): DataFrame = {
+    val aggs = count(lit(1)).as("total_rows") +:
+      (nullColumns.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")) ++
+       distinctColumns.map(c => countDistinct(col(c)).as(s"distinct_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   def checkQuality(df: DataFrame, nullColumns: Seq[String], dupColumns: Seq[String] = Nil): QualityReport = {
-    val aggs = count(lit(1)).as("__total") +:
-      nullColumns.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"))
-    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row: Row = metricsFrame(df, nullColumns).head()
     val total = row.getLong(0)
     val nulls = nullColumns.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap
     val dupCols = if (dupColumns.nonEmpty) dupColumns else df.columns.toSeq
@@ -85,15 +99,15 @@ object QualityChecker {
     checks.map(nc => col(nc.column).isNotNull).reduceOption(_ && _).getOrElse(lit(true))
 
   /**
-   * Split into (valid, invalid) in ONE scan: the reference filters the
-   * source twice (PipelineExecutor.scala:107-117 → two full re-reads). We
-   * compute the predicate once as a column on a cached projection, so the
-   * source is read once and both branches reuse it. Caller must unpersist.
+   * Split into (valid, invalid) branches. Both are cheap filters over the
+   * same scan — deliberately NOT cached: at 100 TB persisting the whole
+   * source is not viable, and a null-check predicate is far cheaper to
+   * recompute than to materialize. Callers that know the source is small
+   * and expensive (e.g. a JDBC query) can persist upstream themselves.
    */
   def splitValidInvalid(df: DataFrame, checks: Seq[NullCheck]): (DataFrame, DataFrame) = {
-    val marked = df.withColumn("__valid", validPredicate(checks)).cache()
-    (marked.filter(col("__valid")).drop("__valid"),
-     marked.filter(!col("__valid")).drop("__valid"))
+    val pred = validPredicate(checks)
+    (df.filter(pred), df.filter(!pred))
   }
 }
 
@@ -105,14 +119,34 @@ object QualityChecker {
  */
 object QuarantineWriter {
   def write(invalid: DataFrame, path: String, ctx: RunContext, checks: Seq[NullCheck]): Unit = {
-    val errorsCol = concat_ws("; ",
+    writeCounted(invalid, path, ctx, nullErrorsCol(checks))
+    ()
+  }
+
+  /** Per-row error description for failed null checks. */
+  def nullErrorsCol(checks: Seq[NullCheck]): org.apache.spark.sql.Column =
+    if (checks.isEmpty) lit("")
+    else concat_ws("; ",
       checks.map(nc => when(col(nc.column).isNull, lit(s"null value in column '${nc.column}'"))): _*)
+
+  /**
+   * Write quarantined rows and return how many were written — counted via
+   * an `Observation` riding the write action itself, NOT a separate
+   * count() job (the reference pays an extra full scan for this count,
+   * PipelineExecutor.scala:110-117).
+   */
+  def writeCounted(invalid: DataFrame, path: String, ctx: RunContext,
+                   errorsCol: org.apache.spark.sql.Column): Long = {
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft_quarantine_${ctx.runId}_${System.nanoTime()}")
     invalid
+      .observe(obs, count(lit(1)).as("rows"))
       .withColumn("validation_errors", errorsCol)
       .withColumn("quarantine_timestamp", current_timestamp())
       .withColumn("pipeline_id", lit(ctx.pipelineId))
       .withColumn("run_id", lit(ctx.runId))
       .write.mode(SaveMode.Append).parquet(path)
+    obs.get.get("rows").map(_.toString.toLong).getOrElse(-1L)
   }
 
   def read(path: String, ctx: RunContext, pipelineId: Option[String] = None,

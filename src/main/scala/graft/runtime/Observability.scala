@@ -61,10 +61,13 @@ final class MetricsCollector {
   }
 
   def toJson: String = {
+    def stage(s: StageMetric) =
+      s"""{"stage":"${s.stage}","records":${s.records},"durationMs":${s.durationMs}}"""
     def row(m: ExecutionMetrics) =
       s"""{"pipelineId":"${m.pipelineId}","runId":"${m.runId}","status":"${m.status}",""" +
         s""""recordsExtracted":${m.recordsExtracted},"recordsLoaded":${m.recordsLoaded},""" +
-        s""""recordsFailed":${m.recordsFailed},"durationMs":${m.durationMs}}"""
+        s""""recordsFailed":${m.recordsFailed},"durationMs":${m.durationMs},""" +
+        s""""stages":${m.stages.map(stage).mkString("[", ",", "]")}}"""
     runs.values.asScala.toList.sortBy(m => (m.pipelineId, m.runId))
       .map(row).mkString("[", ",", "]")
   }

@@ -10,6 +10,14 @@ import graft.config._
 import graft.lineage.Lineage
 import graft.quality.{QualityChecker, QuarantineWriter}
 
+/** One pipeline stage's bookkeeping (reference: logging/MetricsCollector
+  * .scala:11-218 records extraction/transformation/load/quality stages).
+  * Record counts come from Observations on the single action; transform and
+  * load share one wall-clock segment because Spark executes them fused in
+  * the sink's write action — splitting them would require a second action,
+  * which this executor refuses to pay. */
+final case class StageMetric(stage: String, records: Long, durationMs: Long)
+
 final case class ExecutionMetrics(
     pipelineId: String,
     runId: String,
@@ -18,7 +26,8 @@ final case class ExecutionMetrics(
     recordsLoaded: Long,
     recordsFailed: Long,
     durationMs: Long,
-    error: Option[String] = None)
+    error: Option[String] = None,
+    stages: List[StageMetric] = Nil)
 
 /**
  * Batch pipeline executor: source → fold(transforms) → sink.
@@ -43,13 +52,16 @@ final class PipelineExecutor(
 
   def execute(config: PipelineConfig)(implicit spark: SparkSession): ExecutionMetrics = {
     val runId = UUID.randomUUID().toString
-    val ctx = RunContext(spark, config.pipelineId, runId)
+    val ctx = RunContext(spark, config.pipelineId, runId, Some(sources))
     val t0 = System.nanoTime()
+    var persisted: List[DataFrame] = Nil
     try {
       config.performance.flatMap(_.shufflePartitions).foreach(n =>
         spark.conf.set("spark.sql.shuffle.partitions", n.toString))
 
       val plan = buildPlan(config, ctx)
+      persisted = plan.persisted
+      val planMs = (System.nanoTime() - t0) / 1000000
       val inObs = new Observation(s"graft_in_$runId")
       val outObs = new Observation(s"graft_out_$runId")
       val observed = plan.in.observe(inObs, count(lit(1)).as("rows"))
@@ -62,16 +74,30 @@ final class PipelineExecutor(
       val sink = sinks.get(config.sink.sinkType)
       val errs = sink.validate(config.sink)
       if (errs.nonEmpty) throw new ConfigException(errs.mkString("; "))
-      sink.write(stamped, config.sink, ctx)
+      val tw0 = System.nanoTime()
+      val loadResult = sink.write(stamped, config.sink, ctx)
+      val writeMs = (System.nanoTime() - tw0) / 1000000
 
-      val extracted = inObs.get.get("rows").map(_.toString.toLong).getOrElse(-1L)
-      val loaded = outObs.get.get("rows").map(_.toString.toLong).getOrElse(-1L)
+      // plan.in observes the POST-quality frame (the quality gate runs its
+      // own actions with early-out limits, which would corrupt a pre-split
+      // observation), so raw extracted = observed + rows the gate removed.
+      val observedIn = inObs.get.get("rows").map(_.toString.toLong).getOrElse(-1L)
+      val extracted = if (observedIn < 0) -1L else observedIn + math.max(plan.failedRows, 0L)
+      val loaded = outObs.get.get("rows").map(_.toString.toLong)
+        .filter(_ >= 0).orElse(Some(loadResult.recordsWritten)).getOrElse(-1L)
       ExecutionMetrics(config.pipelineId, runId, "SUCCESS",
-        extracted, loaded, plan.failedRows, (System.nanoTime() - t0) / 1000000)
+        extracted, loaded, plan.failedRows, (System.nanoTime() - t0) / 1000000,
+        stages = List(
+          StageMetric("extract", extracted, planMs),
+          StageMetric("quality", plan.failedRows, 0L),
+          StageMetric("transform", loaded, writeMs),
+          StageMetric("load", math.max(loadResult.recordsWritten, loaded), writeMs)))
     } catch {
       case e: Throwable =>
         ExecutionMetrics(config.pipelineId, runId, "FAILED", -1, -1, -1,
           (System.nanoTime() - t0) / 1000000, Option(e.getMessage))
+    } finally {
+      persisted.foreach(_.unpersist())
     }
   }
 
@@ -79,12 +105,13 @@ final class PipelineExecutor(
     * DataFrame for a pipeline without writing — used by tests, the verify
     * gate, and anyone embedding the engine. */
   def compose(config: PipelineConfig)(implicit spark: SparkSession): DataFrame = {
-    val ctx = RunContext(spark, config.pipelineId, "compose")
+    val ctx = RunContext(spark, config.pipelineId, "compose", Some(sources))
     val plan = buildPlan(config, ctx)
     plan.rest(plan.in)
   }
 
-  private final case class Plan(in: DataFrame, rest: DataFrame => DataFrame, failedRows: Long)
+  private final case class Plan(in: DataFrame, rest: DataFrame => DataFrame,
+                                failedRows: Long, persisted: List[DataFrame])
 
   /** Compose the lazy plan: read, optional quality gate, transform fold. */
   private def buildPlan(config: PipelineConfig, ctx: RunContext)(implicit spark: SparkSession): Plan = {
@@ -110,9 +137,14 @@ final class PipelineExecutor(
         raw
       } else source.read(config.source)
 
-    // quality gate: split valid/invalid in one scan, quarantine or fail
+    // quality gate: null checks (fail | quarantine), then duplicate check
+    // (fail | quarantine, reference docs/CONFIGURATION.md:463-476).
+    // Quarantined rows are counted by an Observation on the quarantine
+    // write itself — no separate count() action, no caching of the source.
     var failedRows = 0L
     config.quality.foreach { q =>
+      val quarantinePath =
+        q.quarantinePath.getOrElse(s"/tmp/graft-quarantine/${config.pipelineId}")
       val failChecks = q.nullChecks.filter(_.action == NullAction.Fail)
       val quarChecks = q.nullChecks.filter(_.action == NullAction.Quarantine)
       if (failChecks.nonEmpty) {
@@ -122,15 +154,38 @@ final class PipelineExecutor(
       }
       if (quarChecks.nonEmpty) {
         val (valid, invalid) = QualityChecker.splitValidInvalid(df, quarChecks)
-        val path = q.quarantinePath.getOrElse(s"/tmp/graft-quarantine/${config.pipelineId}")
-        failedRows = invalid.count()
-        if (failedRows > 0) QuarantineWriter.write(invalid, path, ctx, quarChecks)
+        failedRows += QuarantineWriter.writeCounted(
+          invalid, quarantinePath, ctx, QuarantineWriter.nullErrorsCol(quarChecks))
         df = valid
+      }
+      q.duplicateCheck.foreach { dc =>
+        val cols = if (dc.columns.nonEmpty) dc.columns else df.columns.toList
+        dc.action match {
+          case NullAction.Fail =>
+            val dup = df.groupBy(cols.map(col): _*).count()
+              .filter(col("count") > 1).limit(1).count()
+            if (dup > 0) throw new GraftException(
+              s"quality gate: duplicate rows on (${cols.mkString(", ")})")
+          case NullAction.Quarantine =>
+            // keep the first row per key (deterministic for whole-row
+            // duplicates — all copies are identical); extra copies are
+            // quarantined. One shuffle on the checked columns.
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(cols.map(col): _*).orderBy(cols.map(col): _*)
+            val marked = df.withColumn("__graft_rn", row_number().over(w))
+            val dups = marked.filter(col("__graft_rn") > 1).drop("__graft_rn")
+            failedRows += QuarantineWriter.writeCounted(
+              dups, quarantinePath, ctx,
+              lit(s"duplicate row on (${cols.mkString(", ")})"))
+            df = marked.filter(col("__graft_rn") === 1).drop("__graft_rn")
+        }
       }
     }
 
     config.performance.flatMap(_.repartition).foreach(n => df = df.repartition(n))
-    if (config.performance.exists(_.cacheIntermediate)) df = df.persist()
+    val persisted =
+      if (config.performance.exists(_.cacheIntermediate)) { df = df.persist(); List(df) }
+      else Nil
 
     val rest = (observed: DataFrame) =>
       config.transformations.foldLeft(observed) { (d, tc) =>
@@ -139,6 +194,6 @@ final class PipelineExecutor(
         if (tErrs.nonEmpty) throw new ConfigException(tErrs.mkString("; "))
         t.apply(d, tc, ctx)
       }
-    Plan(df, rest, failedRows)
+    Plan(df, rest, failedRows, persisted)
   }
 }

@@ -28,8 +28,13 @@ object UpsertSql {
   }
   def mysql(table: String, staging: String, columns: Seq[String], keys: Seq[String]): String = {
     val cols = columns.mkString(", ")
-    val updates = columns.filterNot(keys.contains)
-      .map(c => s"$c = VALUES($c)").mkString(", ")
+    val nonKey = columns.filterNot(keys.contains)
+    // all-key tables: MySQL's syntax has no DO NOTHING, so emit a no-op
+    // self-assignment on the first key (INSERT IGNORE would also swallow
+    // unrelated errors, which we don't want)
+    val updates =
+      if (nonKey.isEmpty) { val k = keys.head; s"$k = VALUES($k)" }
+      else nonKey.map(c => s"$c = VALUES($c)").mkString(", ")
     s"INSERT INTO $table ($cols) SELECT $cols FROM $staging " +
       s"ON DUPLICATE KEY UPDATE $updates"
   }
@@ -77,27 +82,28 @@ class JdbcSink(val sinkType: String, dialect: String,
     val passthrough = (config.options -- Seq("url", "dbtable", "table", "primaryKey"))
       .updated("batchsize", config.options.getOrElse("batchsize", "1000"))
 
-    config.writeMode match {
-      case WriteMode.Append =>
-        jdbcWrite(data, SaveMode.Append, url, table, passthrough)
-      case WriteMode.Overwrite =>
-        jdbcWrite(data, SaveMode.Overwrite, url, table, passthrough)
-      case WriteMode.Upsert =>
-        val keys = ExprUtils.parseColumns(config.options.getOrElse("primaryKey",
-          throw new ConfigException(s"$sinkType sink: upsert requires 'primaryKey'")))
-        val staging = s"${table}_staging_${ctx.runId.replace("-", "").take(12)}"
-        jdbcWrite(data, SaveMode.Overwrite, url, staging, passthrough)
-        val sql = dialect match {
-          case "postgres" => UpsertSql.postgres(table, staging, data.columns.toSeq, keys)
-          case "mysql"    => UpsertSql.mysql(table, staging, data.columns.toSeq, keys)
-          case other      => throw new ConfigException(s"no upsert dialect for '$other'")
-        }
-        val props = new java.util.Properties()
-        config.options.get("user").foreach(props.setProperty("user", _))
-        config.options.get("password").foreach(props.setProperty("password", _))
-        sqlExecutor.execute(url, props, Seq(sql, s"DROP TABLE $staging"))
+    SinkObserve(data, ctx) { observed =>
+      config.writeMode match {
+        case WriteMode.Append =>
+          jdbcWrite(observed, SaveMode.Append, url, table, passthrough)
+        case WriteMode.Overwrite =>
+          jdbcWrite(observed, SaveMode.Overwrite, url, table, passthrough)
+        case WriteMode.Upsert =>
+          val keys = ExprUtils.parseColumns(config.options.getOrElse("primaryKey",
+            throw new ConfigException(s"$sinkType sink: upsert requires 'primaryKey'")))
+          val staging = s"${table}_staging_${ctx.runId.replace("-", "").take(12)}"
+          jdbcWrite(observed, SaveMode.Overwrite, url, staging, passthrough)
+          val sql = dialect match {
+            case "postgres" => UpsertSql.postgres(table, staging, data.columns.toSeq, keys)
+            case "mysql"    => UpsertSql.mysql(table, staging, data.columns.toSeq, keys)
+            case other      => throw new ConfigException(s"no upsert dialect for '$other'")
+          }
+          val props = new java.util.Properties()
+          config.options.get("user").foreach(props.setProperty("user", _))
+          config.options.get("password").foreach(props.setProperty("password", _))
+          sqlExecutor.execute(url, props, Seq(sql, s"DROP TABLE $staging"))
+      }
     }
-    LoadResult(recordsWritten = -1L)
   }
 
   override def validate(config: SinkConfig): List[String] = {

@@ -1,10 +1,20 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.api.{Sink, RunContext, LoadResult, ConfigException, LoadException}
 import graft.config.{SinkConfig, WriteMode, ExprUtils}
+
+/** Count rows through a batch write via an Observation riding the write
+  * action itself — real LoadResult.recordsWritten with zero extra jobs. */
+private[sinks] object SinkObserve {
+  def apply(data: DataFrame, ctx: RunContext)(doWrite: DataFrame => Unit): LoadResult = {
+    val obs = new Observation(s"graft_sink_${ctx.runId}_${System.nanoTime()}")
+    doWrite(data.observe(obs, count(lit(1)).as("rows")))
+    LoadResult(recordsWritten = obs.get.get("rows").map(_.toString.toLong).getOrElse(-1L))
+  }
+}
 
 /**
  * file — parquet | json | csv | orc with compression, partitionBy
@@ -28,12 +38,13 @@ object FileSink extends Sink {
       case WriteMode.Upsert =>
         throw new ConfigException("file sink: upsert not supported (use a keyed store)")
     }
-    val out = config.options.get("coalesce").map(n => data.coalesce(n.toInt)).getOrElse(data)
-    var writer = out.write.format(format).mode(mode)
-      .options(config.options -- Seq("path", "format", "coalesce"))
-    if (config.partitionBy.nonEmpty) writer = writer.partitionBy(config.partitionBy: _*)
-    writer.save(path)
-    LoadResult(recordsWritten = -1L) // counts flow via Observation, not an extra action
+    SinkObserve(data, ctx) { observed =>
+      val out = config.options.get("coalesce").map(n => observed.coalesce(n.toInt)).getOrElse(observed)
+      var writer = out.write.format(format).mode(mode)
+        .options(config.options -- Seq("path", "format", "coalesce"))
+      if (config.partitionBy.nonEmpty) writer = writer.partitionBy(config.partitionBy: _*)
+      writer.save(path)
+    }
   }
   override def validate(config: SinkConfig): List[String] =
     if (config.options.contains("path")) Nil else List("file sink: missing 'path'")
@@ -60,11 +71,12 @@ object KafkaSink extends Sink {
       throw new ConfigException("kafka sink: only append is supported")
     val topic = config.options.getOrElse("topic",
       throw new ConfigException("kafka sink: 'topic' option required"))
-    prepare(data, config).write.format("kafka")
-      .options(config.options -- Seq("topic", "keyColumn", "valueColumn"))
-      .option("topic", topic)
-      .save()
-    LoadResult(recordsWritten = -1L)
+    SinkObserve(data, ctx) { observed =>
+      prepare(observed, config).write.format("kafka")
+        .options(config.options -- Seq("topic", "keyColumn", "valueColumn"))
+        .option("topic", topic)
+        .save()
+    }
   }
 }
 
@@ -75,7 +87,8 @@ object KafkaFileSink extends Sink {
   def write(data: DataFrame, config: SinkConfig, ctx: RunContext): LoadResult = {
     val path = config.options.getOrElse("path",
       throw new ConfigException("kafka-file sink: 'path' option required"))
-    KafkaSink.prepare(data, config).select("value").write.mode(SaveMode.Append).text(path)
-    LoadResult(recordsWritten = -1L)
+    SinkObserve(data, ctx) { observed =>
+      KafkaSink.prepare(observed, config).select("value").write.mode(SaveMode.Append).text(path)
+    }
   }
 }

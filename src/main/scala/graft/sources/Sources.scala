@@ -30,7 +30,17 @@ object FileSource extends Source {
     val passthrough = config.options -- Seq("path", "format", "schema")
     var reader = spark.read.format(format).options(passthrough)
     explicitSchema(config).foreach(s => reader = reader.schema(s))
-    reader.load(path)
+    try reader.load(path)
+    catch {
+      // avro is an optional external module; surface a capability error
+      // instead of Spark's raw DataSource-lookup failure
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null && e.getMessage.contains("Failed to find data source") =>
+        throw new ConfigException(
+          s"file source: format '$format' requires its data source module on " +
+            s"the classpath (for avro: org.apache.spark:spark-avro), which this " +
+            s"deployment does not ship; add the module or use parquet/orc/json/csv")
+    }
   }
 
   override def validate(config: SourceConfig): List[String] = {

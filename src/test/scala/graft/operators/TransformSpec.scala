@@ -64,6 +64,13 @@ class TransformSpec extends SparkTestBase {
     an[ConfigException] should be thrownBy MapTransform(df, tc("map"), ctx)
   }
 
+  test("map: duplicate aliases are rejected, not silently last-win") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    val ex = the[ConfigException] thrownBy MapTransform(df,
+      tc("map", "expressions" -> "x:a + 1,x:b + 1"), ctx)
+    ex.getMessage should include("duplicate alias")
+  }
+
   test("join: type matrix matches the reference contract") {
     val left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "lv")
     Seq((2, "x"), (3, "y"), (4, "z")).toDF("id", "rv")

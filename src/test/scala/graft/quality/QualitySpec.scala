@@ -43,8 +43,26 @@ class QualitySpec extends SparkTestBase {
     valid.columns shouldBe df.columns
     valid.count() shouldBe 2
     invalid.select("v").as[Int].collect() shouldBe Array(2)
-    df.sparkSession.sharedState.cacheManager // cached marker frame cleaned up by caller
-    valid.unpersist()
+  }
+
+  test("metricsFrame: one-row lazy profile — nulls + distincts in a single aggregation") {
+    val df = Seq(
+      (Some("a"), Some("x")), (None, Some("y")), (Some("a"), None), (Some("a"), Some("x")))
+      .toDF("name", "email")
+    val m = QualityChecker.metricsFrame(df, Seq("name", "email"), Seq("name"))
+    m.columns shouldBe Array("total_rows", "null_name", "null_email", "distinct_name")
+    val row = m.head()
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) shouldBe ((4L, 1L, 1L, 1L))
+  }
+
+  test("writeCounted: quarantine count comes from the write's own observation") {
+    val dir = tmpDir("quar-counted")
+    val ctx = RunContext(spark, "pipeB", "run1")
+    val invalid = Seq((None: Option[String], 2), (None, 5), (None, 9)).toDF("name", "v")
+    val n = QuarantineWriter.writeCounted(invalid, dir, ctx,
+      QuarantineWriter.nullErrorsCol(Seq(NullCheck("name", NullAction.Quarantine))))
+    n shouldBe 3
+    QuarantineWriter.read(dir, ctx).count() shouldBe 3
   }
 
   test("quarantine writer stamps audit + validation_errors columns and reads back filtered") {

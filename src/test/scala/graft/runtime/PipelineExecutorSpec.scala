@@ -66,6 +66,65 @@ class PipelineExecutorSpec extends SparkTestBase {
     q.columns should contain("validation_errors")
   }
 
+  test("quality gate: duplicateCheck quarantines extra copies, keeps one row per key") {
+    val in = tmpDir("dc-in"); val out = tmpDir("dc-out"); val quar = tmpDir("dc-quar")
+    Seq((1, "a"), (1, "a"), (1, "a"), (2, "b"), (3, "c"))
+      .toDF("k", "v").write.mode("overwrite").parquet(in)
+    val cfg = PipelineConfig(
+      pipelineId = "dc-pipe",
+      source = SourceConfig("file", Map("path" -> in)),
+      sink = SinkConfig("file", Map("path" -> out), WriteMode.Overwrite),
+      quality = Some(QualityConfig(
+        duplicateCheck = Some(DuplicateCheck(List("k"), NullAction.Quarantine)),
+        quarantinePath = Some(quar))))
+    val m = executor.execute(cfg)
+    withClue(m.error.getOrElse("")) { m.status shouldBe "SUCCESS" }
+    m.recordsFailed shouldBe 2
+    spark.read.parquet(out).count() shouldBe 3
+    val q = spark.read.parquet(quar)
+    q.count() shouldBe 2
+    q.select("validation_errors").as[String].head() should include("duplicate row on (k)")
+  }
+
+  test("quality gate: duplicateCheck fail action aborts on duplicates") {
+    val in = tmpDir("dcf-in")
+    Seq((1, "a"), (1, "b")).toDF("k", "v").write.mode("overwrite").parquet(in)
+    val cfg = PipelineConfig(
+      pipelineId = "dcf-pipe",
+      source = SourceConfig("file", Map("path" -> in)),
+      sink = SinkConfig("file", Map("path" -> tmpDir("dcf-out")), WriteMode.Overwrite),
+      quality = Some(QualityConfig(
+        duplicateCheck = Some(DuplicateCheck(List("k"), NullAction.Fail)))))
+    val m = executor.execute(cfg)
+    m.status shouldBe "FAILED"
+    m.error.get should include("duplicate rows on (k)")
+  }
+
+  test("per-stage metrics: extract/quality/transform/load records without extra actions") {
+    val in = tmpDir("st-in"); val out = tmpDir("st-out"); val quar = tmpDir("st-quar")
+    Seq((Some("a"), 1), (None, 2), (Some("c"), 3), (Some("d"), 4))
+      .toDF("name", "v").write.mode("overwrite").parquet(in)
+    val cfg = PipelineConfig(
+      pipelineId = "st-pipe",
+      source = SourceConfig("file", Map("path" -> in)),
+      transformations = List(TransformConfig("f", "filter", Map("condition" -> "v <= 3"))),
+      sink = SinkConfig("file", Map("path" -> out), WriteMode.Overwrite),
+      quality = Some(QualityConfig(
+        nullChecks = List(NullCheck("name", NullAction.Quarantine)),
+        quarantinePath = Some(quar))))
+    val m = executor.execute(cfg)
+    withClue(m.error.getOrElse("")) { m.status shouldBe "SUCCESS" }
+    // raw extracted = 4 (3 valid + 1 quarantined); loaded = 2 (v<=3 of valid)
+    m.recordsExtracted shouldBe 4
+    m.recordsFailed shouldBe 1
+    m.recordsLoaded shouldBe 2
+    val st = m.stages.map(s => s.stage -> s.records).toMap
+    st("extract") shouldBe 4
+    st("quality") shouldBe 1
+    st("transform") shouldBe 2
+    st("load") shouldBe 2
+  }
+
   test("quality gate: fail action aborts the pipeline") {
     val in = tmpDir("f-in")
     Seq((None: Option[String], 1)).toDF("name", "v").write.mode("overwrite").parquet(in)
@@ -113,7 +172,7 @@ class PipelineExecutorSpec extends SparkTestBase {
          |sink:
          |  type: file
          |  writeMode: overwrite
-         |  options: {path: $out}
+         |  options: {path: $out, lineage: "true"}
          |""".stripMargin
     val cfg = new YamlConfigParser().parse(yaml)
     val m = executor.execute(cfg)
@@ -121,6 +180,11 @@ class PipelineExecutorSpec extends SparkTestBase {
     val back = spark.read.parquet(out)
     back.count() shouldBe spark.read.parquet(s"$sf/orders.parquet").count()
     back.columns should contain("p_name")
+    // lineage merge: the chain must carry the RIGHT side's source system and
+    // the join against it (reference LineageTracker.scala:91-122 semantics)
+    val lineage = back.select("_lineage").as[String].head()
+    lineage should include(s"register(source=kafka-file:$kafkaDir, view=v_products)")
+    lineage should include("join(type=inner, right=v_products)")
   }
 
   test("schemaValidation: declared-vs-actual diff fails fast with the issue list") {

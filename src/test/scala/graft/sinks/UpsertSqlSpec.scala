@@ -22,6 +22,11 @@ class UpsertSqlSpec extends AnyFunSuite with Matchers {
       "ON DUPLICATE KEY UPDATE name = VALUES(name), total = VALUES(total)"
   }
 
+  test("mysql all-key table emits a no-op self-assignment (never a dangling UPDATE)") {
+    UpsertSql.mysql("t", "s", Seq("a", "b"), Seq("a", "b")) shouldBe
+      "INSERT INTO t (a, b) SELECT a, b FROM s ON DUPLICATE KEY UPDATE a = VALUES(a)"
+  }
+
   test("composite keys excluded from both dialects' update lists") {
     UpsertSql.postgres("t", "s", cols :+ "k2", Seq("id", "k2")) should not include "k2 = EXCLUDED"
     UpsertSql.mysql("t", "s", cols :+ "k2", Seq("id", "k2")) should not include "k2 = VALUES"

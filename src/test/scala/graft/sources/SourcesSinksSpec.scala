@@ -34,6 +34,13 @@ class SourcesSinksSpec extends SparkTestBase {
     an[ConfigException] should be thrownBy FileSource.read(SourceConfig("file", Map.empty))
   }
 
+  test("avro format fails with a capability error, not a raw DataSource lookup") {
+    // the image ships no spark-avro module; selecting avro must say so clearly
+    val ex = the[ConfigException] thrownBy FileSource.read(
+      SourceConfig("file", Map("path" -> "/tmp/x", "format" -> "avro")))
+    ex.getMessage should include("spark-avro")
+  }
+
   test("file sink partitionBy produces hive-style dirs; coalesce bounds file count") {
     val dir = tmpDir("part")
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")

@@ -1,11 +1,18 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: for each query output
 parquet under OUTDIR, run the corresponding oracle SQL from oracle_sql.json
-in DuckDB over the testdata tables, and compare as exact multisets
-(columns sorted by name, rows sorted). Dev tool only — not part of the
+in DuckDB over the testdata tables, and compare the two results the way the
+driver does — BOTH sides loaded into pandas (Spark via pyarrow, where
+DECIMAL becomes decimal.Decimal objects; DuckDB via .df(), where DECIMAL
+becomes float64), columns sorted by name, rows sorted with sort_values,
+cells compared as str(). This is intentionally round-trip faithful: a Spark
+DECIMAL(22,2) "254462.00" vs a DuckDB float64 "254462.0" is a FAILURE here
+(it is one in the driver), which is why SparkEntry casts final aggregate
+outputs to DOUBLE/BIGINT on both sides. Dev tool only — not part of the
 library. Usage: check_oracle.py <sfDir> <outDir>"""
 import json, sys, glob, os
 import duckdb
+import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -23,19 +30,24 @@ for name, sql in sorted(oracle.items()):
     if not files:
         print(f"FAIL {name}: no spark output"); fails.append(name); continue
     try:
-        got = con.execute(f"SELECT * FROM read_parquet('{path}/*.parquet')").fetch_arrow_table()
-        exp = con.execute(sql).fetch_arrow_table()
+        got = pd.read_parquet(path)
+        exp = con.execute(sql).df()
     except Exception as e:
         print(f"FAIL {name}: {e}"); fails.append(name); continue
-    gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
         print(f"FAIL {name}: columns {gcols} vs {ecols}"); fails.append(name); continue
-    def norm(tbl):
-        rows = []
-        for row in zip(*[tbl.column(c).to_pylist() for c in sorted(tbl.column_names)]):
-            rows.append(tuple(str(v) for v in row))
-        return sorted(rows)
-    g, e = norm(got), norm(exp)
+    def norm(df):
+        df = df[sorted(df.columns)]
+        try:
+            df = df.sort_values(list(df.columns))
+        except Exception as e:
+            raise RuntimeError(f"unsortable result (driver would error too): {e}")
+        return [tuple(str(v) for v in row) for row in df.itertuples(index=False)]
+    try:
+        g, e = norm(got), norm(exp)
+    except RuntimeError as e:
+        print(f"FAIL {name}: {e}"); fails.append(name); continue
     if len(g) != len(e):
         print(f"FAIL {name}: rowcount {len(g)} vs {len(e)}"); fails.append(name); continue
     if g != e:
