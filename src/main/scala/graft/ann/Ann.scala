@@ -57,41 +57,52 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** Deterministic hyperplane weight for (table t, bit j, dim i): derived
+    * from murmur3, identical on every executor and across runs — no RNG
+    * state, no broadcast. */
+  private def hyperplaneWeight(t: Int, j: Int, i: Int): Double =
+    (scala.util.hashing.MurmurHash3.productHash((t, j, i)) % 1000) / 1000.0
+
   /**
-   * (id, table_id, bucket) rows for every (row, hash table) pair, computed
-   * as posexplode(vec) + tables×bits codegen'd sum aggregates (map-side
-   * partial agg) — the projections are ordinary expressions, not per-row
-   * interpreted HOF folds. Hyperplane weight for (table t, bit j, dim i)
-   * derives from murmur3 hash(t, j, i): deterministic, identical on every
-   * executor, zero broadcast state.
+   * Per-table LSH bucket structs as a PURE PROJECTION: bucket bit j of
+   * table t is the sign of a native codegen'd [[DotProduct]] against a
+   * literal hyperplane vector. Zero shuffle, zero row blowup — the earlier
+   * shape (posexplode to |rows|×dim, tables×bits sum aggregates, groupBy,
+   * then a join to re-attach the vector) paid two exchanges and a dim×
+   * explosion for what is per-row arithmetic. The hyperplane literals are
+   * O(tables·bits·dim) doubles folded into the plan — same order as the
+   * vectors themselves, broadcast-free.
    */
-  private def bucketTable(df: DataFrame, id: String, vecCol: String,
-                          tables: Int, bits: Int): DataFrame = {
-    val exploded = df.select(col(id),
-      posexplode(col(vecCol)).as(Seq("i", "x")))
-    val projAggs = for (t <- 0 until tables; j <- 0 until bits) yield
-      sum(col("x").cast("double") *
-        ((hash(lit(t), lit(j), col("i")) % 1000).cast("double") / 1000.0)).as(s"__p_${t}_$j")
-    val projected = exploded.groupBy(id).agg(projAggs.head, projAggs.tail: _*)
-    val buckets = (0 until tables).map { t =>
-      struct(lit(t).as("table_id"),
-        (0 until bits).map(j =>
-          when(col(s"__p_${t}_$j") >= 0, 1 << j).otherwise(0)).reduce(_ + _).as("bucket"))
-    }
-    projected.select(col(id), explode(array(buckets: _*)).as("tb"))
-      .select(col(id), col("tb.table_id"), col("tb.bucket"))
-  }
+  private def bucketStructs(vec: Column, tables: Int, bits: Int, dim: Int): Column =
+    array((0 until tables).map { t =>
+      val bucket = (0 until bits).map { j =>
+        val w = Seq.tabulate(dim)(i => hyperplaneWeight(t, j, i))
+        when(graft.functions.expressions.DotProduct(vec, typedlit(w)) >= 0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(t).as("table_id"), bucket.as("bucket"))
+    }: _*)
+
+  /** Vector width, peeked from one row at plan-build time (a one-row scan,
+    * like the IVF codebook materialization). */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head.getInt(0)
+
+  /** (id, vec, table_id, bucket) — one row per (input row, hash table). */
+  private def withBuckets(df: DataFrame, id: String, vecCol: String,
+                          tables: Int, bits: Int, dim: Int): DataFrame =
+    df.select(col(id), col(vecCol),
+      explode(bucketStructs(col(vecCol), tables, bits, dim)).as("tb"))
+      .select(col(id), col(vecCol), col("tb.table_id"), col("tb.bucket"))
 
   /** LSH-bucketed ANN top-k: same output shape as bruteForceTopK, lower
     * recall, corpus joined on (table, bucket) instead of crossed. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
-    val c = bucketTable(corpus, idCol, vecCol, tables, bits)
-      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    val dim = vecDim(corpus, vecCol)
+    val c = withBuckets(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, tables, bits, dim)
       .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"), col("table_id"), col("bucket"))
-    val q = bucketTable(queries, queryIdCol, vecCol, tables, bits)
-      .join(queries.select(col(queryIdCol), col(vecCol)), Seq(queryIdCol))
+    val q = withBuckets(queries.select(col(queryIdCol), col(vecCol)), queryIdCol, vecCol, tables, bits, dim)
       .select(col(queryIdCol).as("query_id"), col(vecCol).as("qvec"), col("table_id"), col("bucket"))
     val cands = c.join(broadcast(q), Seq("table_id", "bucket"))
       .dropDuplicates("query_id", "vec_id")
@@ -162,8 +173,7 @@ object Ann {
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bits: Int = 8, tables: Int = 4): DataFrame = {
     val ids = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
-    val tabled = bucketTable(ids, "doc_id", "vec", tables, bits)
-      .join(ids, Seq("doc_id"))
+    val tabled = withBuckets(ids, "doc_id", "vec", tables, bits, vecDim(ids, "vec"))
     val l = tabled.select(col("table_id"), col("bucket"), col("doc_id").as("id_a"), col("vec").as("va"))
     val r = tabled.select(col("table_id"), col("bucket"), col("doc_id").as("id_b"), col("vec").as("vb"))
     l.join(r, Seq("table_id", "bucket")).filter(col("id_a") < col("id_b"))
