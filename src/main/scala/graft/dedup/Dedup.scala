@@ -40,10 +40,11 @@ object Dedup {
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingleHashes, h => xxhash64(h, i))))
 
-  /** Convenience form over raw text (hashes shingles inline). */
+  /** Convenience form over raw text (hashes shingles inline via the native
+    * [[graft.functions.expressions.ShingleHashes]] scan). */
   def minhashSignature(text: Column, k: Int, shingleSize: Int): Column =
     minhashSignatureFromHashes(
-      transform(array_distinct(TextFunctions.wordNgrams(text, shingleSize)), s => xxhash64(s)), k)
+      graft.functions.expressions.ShingleHashes(text, shingleSize), k)
 
   /**
    * MinHash + LSH near-duplicate pairs.
@@ -56,18 +57,18 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
-    // stage 1: explode shingles → hash each string ONCE → one hash-aggregate
-    // computing all k seeded min-hashes (min(xxhash64(h, i))) plus the
-    // hashed-shingle set, in a single pass. Unlike the per-row HOF version,
-    // min/xxhash64 are ordinary codegen'd expressions with map-side partial
-    // aggregation — the shuffle carries 50k×(k+set) longs, not text.
-    // Shingles stay as HASHES from here on: Jaccard over hashed sets equals
-    // Jaccard over the sets (collisions negligible) and longs shuffle ~20×
-    // smaller than shingle strings.
+    // stage 1: native ShingleHashes scan (tokenize + roll + distinct in one
+    // allocation-free byte pass — profiled ~70% of this pipeline when done
+    // as string-building HOFs) → explode → one hash-aggregate computing all
+    // k seeded min-hashes (min(xxhash64(h, i))) plus the hashed-shingle
+    // set, in a single pass. min/xxhash64 are ordinary codegen'd
+    // expressions with map-side partial aggregation — the shuffle carries
+    // 50k×(k+set) longs, not text. Shingles stay as HASHES from here on:
+    // Jaccard over hashed sets equals Jaccard over the sets (collisions
+    // negligible) and longs shuffle ~20× smaller than shingle strings.
     val hashed = df.select(
       col(idCol).as("doc_id"),
-      explode(array_distinct(TextFunctions.wordNgrams(col(textCol), shingleSize))).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      explode(graft.functions.expressions.ShingleHashes(col(textCol), shingleSize)).as("h"))
     // ONE aggregation pass computes both the k min-hashes and the hashed
     // shingle set. (Splitting sets into a candidates-only second pass was
     // measured SLOWER at sf0.1 — it re-runs the tokenize+explode scan,
@@ -136,10 +137,11 @@ object Dedup {
     * MinHash path: 64 codegen'd conditional sums with map-side partial
     * aggregation instead of a per-row interpreted 64-wide HOF fold). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // token OCCURRENCE hashes (multiset — SimHash weights bits by frequency)
+    // via the native byte-scan, n=1, distinct=false
     val hashed = df.select(
       col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      explode(graft.functions.expressions.ShingleHashes(col(textCol), 1, distinct = false)).as("h"))
     val bitAggs = (0 until 64).map { b =>
       sum(when(call_function("shiftright", col("h"), lit(b)).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"__b$b")
@@ -174,8 +176,8 @@ object Dedup {
    * small/blocked inputs.
    */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    val sa = array_distinct(TextFunctions.wordNgrams(a, n))
-    val sb = array_distinct(TextFunctions.wordNgrams(b, n))
+    val sa = graft.functions.expressions.ShingleHashes(a, n)
+    val sb = graft.functions.expressions.ShingleHashes(b, n)
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = size(array_union(sa, sb)).cast("double")
     round(when(union === 0, 0.0).otherwise(inter / union), 4)

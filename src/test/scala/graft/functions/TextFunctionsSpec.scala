@@ -44,6 +44,22 @@ class TextFunctionsSpec extends SparkTestBase {
     one[Seq[String]](wordNgrams(col("t"), 3), "a b") shouldBe Seq("a b")
   }
 
+  test("native ShingleHashes matches wordNgrams semantics: count, degrade, case, distinct") {
+    import graft.functions.expressions.ShingleHashes
+    def sh(text: String, n: Int): collection.Seq[Long] =
+      one[collection.Seq[Long]](ShingleHashes(col("t"), n), text)
+    sh("a b c d", 2) should have length 3              // "a b","b c","c d"
+    sh("a b a b a", 2).toSet should have size 2        // distinct {"a b","b a"}
+    sh("a b", 3) should have length 1                  // short doc → one full shingle
+    sh("   ", 3) shouldBe empty
+    sh("Hello World Now", 2) shouldBe sh("hello world now", 2) // lowercased
+    sh("x y z", 2) should not be sh("z y x", 2)        // order-sensitive
+    // identical distinct-shingle COUNT as the string-based HOF form on prose
+    val prose = "the quick brown fox jumps over the lazy dog the quick brown fox"
+    sh(prose, 3).length shouldBe
+      one[Seq[String]](array_distinct(wordNgrams(col("t"), 3)), prose).length
+  }
+
   test("quality score is in [0,1] and rewards fluent text over punctuation soup") {
     val fluent = one[Double](qualityScore(col("t")),
       "the quick brown fox jumps over the lazy dog and it is a fine day for running")
