@@ -78,7 +78,8 @@ object SparkEntry {
     "q4_agg_collect" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
       t("aggregation",
         "groupBy" -> "l_returnflag",
-        "aggregations" -> "statuses:array_join(array_sort(collect_set(l_linestatus)), ',')"))),
+        "aggregations" -> ("statuses:array_join(array_sort(collect_set(l_linestatus)), ',')," +
+          "prios:array_join(array_sort(collect_list(cast(l_linenumber as string))), ',')")))),
     "q5_rollup" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
       t("aggregation",
         "groupBy" -> "l_returnflag,l_linestatus",
@@ -123,6 +124,14 @@ object SparkEntry {
         t("join", "rightDataset" -> "v_bigorders_q10", "joinType" -> "left_semi",
           "leftKey" -> "c_custkey", "rightKey" -> "o_custkey"))
       semi.select("c_custkey", "c_name")
+    }),
+    "q35_join_anti" -> ((s, dir) => {
+      tab(s, dir, "orders").filter("o_totalprice > 300000")
+        .createOrReplaceTempView("v_bigorders_q35")
+      ap(tab(s, dir, "customer"),
+        t("join", "rightDataset" -> "v_bigorders_q35", "joinType" -> "left_anti",
+          "leftKey" -> "c_custkey", "rightKey" -> "o_custkey"))
+        .select("c_custkey", "c_name")
     }),
     "q11_join_multikey" -> ((s, dir) => {
       // self-equi-join on composite key: order lines joined to the per-order
@@ -343,7 +352,8 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
     "q4_agg_collect" ->
       """SELECT l_returnflag,
-         array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+         array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+         array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',') AS prios
          FROM lineitem GROUP BY l_returnflag""",
     "q5_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
@@ -370,6 +380,9 @@ object SparkEntry {
     "q10_join_semi_anti" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""",
+    "q35_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""",
     "q11_join_multikey" ->
       """SELECT l.l_orderkey, l.l_suppkey, l.l_quantity, a.supp_order_qty
          FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) l

@@ -28,6 +28,23 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_similarity expects exactly 2 arguments")
         CosineSimilarity(args.head, args(1))
+      }),
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product expects exactly 2 arguments")
+        DotProduct(args.head, args(1))
+      }),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_hashes expects (text, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes: n must be an integer literal, got $other")
+        }
+        ShingleHashes(args.head, n)
       }))
 
   /** Register on an existing session (idempotent). */

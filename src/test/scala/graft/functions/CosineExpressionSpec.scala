@@ -56,6 +56,15 @@ class CosineExpressionSpec extends SparkTestBase {
     viaSql.exceptAll(viaCol).count() shouldBe 0
   }
 
+  test("SQL registration: dot_product and shingle_hashes callable from spark.sql") {
+    import spark.implicits._
+    graft.functions.expressions.GraftExtensions.register(spark)
+    spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head() shouldBe 11.0
+    spark.sql("SELECT size(shingle_hashes('a b c d', 2)) AS n")
+      .as[Int].head() shouldBe 3
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     // a LocalRelation input would be constant-folded away; use a real scan
     val dir = tmpDir("cosine-wsc")
