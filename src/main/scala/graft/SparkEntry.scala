@@ -247,6 +247,12 @@ object SparkEntry {
     "q27_dedup_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhashNearDups(tab(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)),
+    // near-dup REMOVAL through the declarative transform surface (rows-only:
+    // the keep-set depends on LSH recall, which is probabilistic by design)
+    "q36_pipeline_neardup" -> ((s, dir) => ap(tab(s, dir, "documents"),
+      t("dedup_minhash", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "threshold" -> "0.8"))
+      .select("doc_id", "lang")),
 
     // ---- LLM-data-pipeline: similarity search over embeddings ----
     "q28_ann_topk" -> ((s, dir) => {

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.{Transform, RunContext, ConfigException}
+import graft.config.TransformConfig
+import graft.dedup.Dedup
+
+/**
+ * Near-duplicate REMOVAL as declarative pipeline transforms — the form a
+ * training-data pipeline actually runs (find near-dup pairs, drop the
+ * higher-id side of each pair, keep the rest). This is the standard greedy
+ * edge-drop policy production near-dedup uses in one pass; full transitive
+ * clustering (connected components) is deliberately out of scope for a
+ * single declarative step — it is iterative and belongs in a driver loop.
+ *
+ * Makes the LLM-dedup suite ([[graft.dedup.Dedup]]) first-class citizens of
+ * the YAML surface:
+ *
+ * {{{
+ * - name: near-dedup
+ *   type: dedup_minhash
+ *   options: {idColumn: doc_id, textColumn: text, threshold: "0.8"}
+ * }}}
+ *
+ * Scale shape is inherited from Dedup: banded LSH candidates (never
+ * all-pairs), exact verification only inside buckets, and the final drop is
+ * one broadcast-able left_anti join on the id column.
+ */
+abstract class NearDupTransform extends Transform {
+  protected def pairs(input: DataFrame, id: String, text: String,
+                      config: TransformConfig): DataFrame
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "textColumn")
+    val id = config.options("idColumn")
+    val text = config.options("textColumn")
+    val dupPairs = pairs(input, id, text, config)
+    // pairs carry (id_a < id_b); dropping every id_b keeps exactly one
+    // representative per matched pair chain's minimum element
+    val toDrop = dupPairs.select(col("id_b").as(id)).distinct()
+    input.join(toDrop, Seq(id), "left_anti")
+  }
+
+  protected def intOpt(config: TransformConfig, key: String, dflt: Int): Int =
+    config.options.get(key).map(_.toInt).getOrElse(dflt)
+  protected def doubleOpt(config: TransformConfig, key: String, dflt: Double): Double =
+    config.options.get(key).map(_.toDouble).getOrElse(dflt)
+}
+
+/** MinHash+LSH near-dup removal: options bands/rowsPerBand/shingleSize/
+  * threshold/maxBucketSize (defaults as in [[Dedup.minhashNearDups]]). */
+object MinhashDedupTransform extends NearDupTransform {
+  val transformType = "dedup_minhash"
+  protected def pairs(input: DataFrame, id: String, text: String,
+                      config: TransformConfig): DataFrame =
+    Dedup.minhashNearDups(input, id, text,
+      bands = intOpt(config, "bands", 16),
+      rowsPerBand = intOpt(config, "rowsPerBand", 4),
+      shingleSize = intOpt(config, "shingleSize", 3),
+      threshold = doubleOpt(config, "threshold", 0.5),
+      maxBucketSize = intOpt(config, "maxBucketSize", 1000))
+}
+
+/** SimHash near-dup removal: option maxHamming (default 3). */
+object SimhashDedupTransform extends NearDupTransform {
+  val transformType = "dedup_simhash"
+  protected def pairs(input: DataFrame, id: String, text: String,
+                      config: TransformConfig): DataFrame =
+    Dedup.simhashNearDups(input, id, text,
+      maxHamming = intOpt(config, "maxHamming", 3))
+}

@@ -27,6 +27,8 @@ object Registries {
     LimitTransform.transformType      -> LimitTransform,
     UnionTransform.transformType      -> UnionTransform,
     DedupTransform.transformType      -> DedupTransform,
+    MinhashDedupTransform.transformType -> MinhashDedupTransform,
+    SimhashDedupTransform.transformType -> SimhashDedupTransform,
     RegisterTransform.transformType   -> RegisterTransform))
 
   def sinks(): Registry[Sink] = new Registry[Sink]("sink", Map(

@@ -33,6 +33,28 @@ class DedupSpec extends SparkTestBase {
     pairs should not contain ((2L, 3L))
   }
 
+  test("dedup_minhash / dedup_simhash transforms drop the higher-id side of each pair") {
+    import graft.config.TransformConfig
+    import graft.api.RunContext
+    val ctx = RunContext(spark, "t", "r")
+    val mh = graft.operators.MinhashDedupTransform(docs,
+      TransformConfig("nd", "dedup_minhash", Map(
+        "idColumn" -> "doc_id", "textColumn" -> "text", "threshold" -> "0.4")), ctx)
+    val mhIds = mh.select("doc_id").as[Long].collect().toSet
+    mhIds should contain(1L)            // survivor of {1,2,4} chain
+    mhIds should not contain 4L         // exact copy of 1 dropped
+    mhIds should not contain 2L         // near dup of 1 dropped
+    mhIds should contain allOf (3L, 5L) // unrelated + empty untouched
+    val sh = graft.operators.SimhashDedupTransform(docs,
+      TransformConfig("nd2", "dedup_simhash", Map(
+        "idColumn" -> "doc_id", "textColumn" -> "text", "maxHamming" -> "3")), ctx)
+    val shIds = sh.select("doc_id").as[Long].collect().toSet
+    shIds should contain(1L)
+    shIds should not contain 4L
+    an[graft.api.ConfigException] should be thrownBy graft.operators.MinhashDedupTransform(
+      docs, TransformConfig("bad", "dedup_minhash", Map.empty), ctx)
+  }
+
   test("minhash jaccard for exact copies is 1.0") {
     Dedup.minhashNearDups(docs.where("doc_id IN (1, 4)"), "doc_id", "text")
       .select("jaccard").as[Double].collect() shouldBe Array(1.0)
