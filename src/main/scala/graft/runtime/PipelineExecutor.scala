@@ -103,7 +103,10 @@ final class PipelineExecutor(
 
   /** Library-composition entry (reference §3.3): build the full lazy
     * DataFrame for a pipeline without writing — used by tests, the verify
-    * gate, and anyone embedding the engine. */
+    * gate, and anyone embedding the engine. Note: with
+    * `performance.cacheIntermediate` the returned plan holds a persisted
+    * frame whose lifecycle belongs to the CALLER (unpersist when done);
+    * `execute` manages it automatically. */
   def compose(config: PipelineConfig)(implicit spark: SparkSession): DataFrame = {
     val ctx = RunContext(spark, config.pipelineId, "compose", Some(sources))
     val plan = buildPlan(config, ctx)
