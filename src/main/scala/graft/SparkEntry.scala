@@ -102,6 +102,30 @@ object SparkEntry {
           "is_high:CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END," +
           "price_dec:cast(cast(o_totalprice as decimal(12,2)) as double)")))),
 
+    // ---- §2.2 scalar surface: datetime functions (cast to string/bigint
+    // for cross-engine hash parity — see determinism rules above) ----
+    "q37_scalar_datetime" -> ((s, dir) => ap(tab(s, dir, "orders"),
+      t("map", "project" -> "true", "keep" -> "o_orderkey",
+        "expressions" -> ("d_plus30:cast(date_add(o_orderdate, 30) as string)," +
+          "d_trunc_month:cast(trunc(o_orderdate, 'MM') as string)," +
+          "d_last_day:cast(last_day(o_orderdate) as string)," +
+          "d_diff:cast(datediff(o_orderdate, date'1995-01-01') as bigint)," +
+          "d_dow:cast(dayofweek(o_orderdate) as bigint)," +
+          "d_doy:cast(dayofyear(o_orderdate) as bigint)," +
+          "d_quarter:cast(quarter(o_orderdate) as bigint)")))),
+    "q38_scalar_mathstr" -> ((s, dir) => ap(tab(s, dir, "orders"),
+      t("map", "project" -> "true", "keep" -> "o_orderkey",
+        "expressions" -> ("m_abs:abs(cast(o_totalprice as double) - 150000.0d)," +
+          "m_floor:cast(floor(o_totalprice) as bigint)," +
+          "m_ceil:cast(ceil(o_totalprice) as bigint)," +
+          "m_sqrt:round(sqrt(cast(o_totalprice as double)), 4)," +
+          "m_ln:round(ln(cast(o_totalprice as double)), 4)," +
+          "m_mod:cast(o_orderkey % 97 as bigint)," +
+          "s_lpad:lpad(o_orderpriority, 12, '*')," +
+          "s_repl:replace(o_orderpriority, '-', '_')," +
+          "s_pos:cast(instr(o_orderpriority, '-') as bigint)," +
+          "s_sub_upper:upper(substring(o_orderpriority, 3, 4))")))),
+
     // ---- §2.3 join transformer (inner/left/right/full + broadcast) ----
     "q8_join_inner" -> ((s, dir) => {
       tab(s, dir, "customer").createOrReplaceTempView("v_customer_q8")
@@ -376,6 +400,29 @@ object SparkEntry {
          concat(upper(o_orderstatus), '-', substring(o_orderpriority, 1, 1)) AS status_tag,
          CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS is_high,
          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec
+         FROM orders""",
+    "q37_scalar_datetime" ->
+      """SELECT o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS d_plus30,
+         CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS d_trunc_month,
+         CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS d_last_day,
+         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d_diff,
+         CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS d_dow,
+         CAST(dayofyear(o_orderdate) AS BIGINT) AS d_doy,
+         CAST(quarter(o_orderdate) AS BIGINT) AS d_quarter
+         FROM orders""",
+    "q38_scalar_mathstr" ->
+      """SELECT o_orderkey,
+         abs(CAST(o_totalprice AS DOUBLE) - 150000.0) AS m_abs,
+         CAST(floor(o_totalprice) AS BIGINT) AS m_floor,
+         CAST(ceil(o_totalprice) AS BIGINT) AS m_ceil,
+         round(sqrt(CAST(o_totalprice AS DOUBLE)), 4) AS m_sqrt,
+         round(ln(CAST(o_totalprice AS DOUBLE)), 4) AS m_ln,
+         CAST(o_orderkey % 97 AS BIGINT) AS m_mod,
+         lpad(o_orderpriority, 12, '*') AS s_lpad,
+         replace(o_orderpriority, '-', '_') AS s_repl,
+         CAST(strpos(o_orderpriority, '-') AS BIGINT) AS s_pos,
+         upper(substring(o_orderpriority, 3, 4)) AS s_sub_upper
          FROM orders""",
     "q8_join_inner" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_orderstatus
