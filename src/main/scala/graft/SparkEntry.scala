@@ -327,8 +327,13 @@ object SparkEntry {
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"),
             concat(lit("doc://"), col("doc_id")).as("uri")),
         "doc_id", "bytes", "image", "uri")
+      // exercise the full multimodal chain: resize → frame-sample → decode
+      val frames = graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.resize(media, 128, 128), everyMs = 1000)
       graft.multimodal.Multimodal.extractFeatures(media)
-        .select("media_id", "width", "height")
+        .join(frames.groupBy("media_id").count().withColumnRenamed("count", "n_frames"),
+          Seq("media_id"))
+        .select("media_id", "width", "height", "n_frames")
     }),
 
     // ---- Structured Streaming (honest micro-batch; reference faked this) ----

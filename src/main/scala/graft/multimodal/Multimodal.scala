@@ -89,4 +89,94 @@ object Multimodal {
       }
     }(enc)
   }
+
+  trait MediaResizer extends Serializable {
+    /** Re-encode one payload at (targetW, targetH) → new payload bytes. */
+    def resize(modality: String, content: Array[Byte], targetW: Int, targetH: Int): Array[Byte]
+  }
+
+  /** STUB resizer: deterministic re-encode stand-in — emits a payload whose
+    * length scales with the target area and whose bytes derive from a hash
+    * of the input (so equal inputs resize equally and tests can assert
+    * determinism). Replace with a real codec without touching plumbing. */
+  object StubResizer extends MediaResizer {
+    def resize(modality: String, content: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < content.length) { h = 31 * h + content(i); i += 1 }
+      val n = math.max(16, (targetW.toLong * targetH / 64).toInt)
+      Array.tabulate(n)(j => ((h >> (j % 56)) & 0xFF).toByte)
+    }
+  }
+
+  /**
+   * Partition-wise resize: same media schema out, payload re-encoded at the
+   * target dimensions, metadata updated (content_type gains `;resized=WxH`,
+   * n_bytes recomputed). Iterator-to-iterator, codec init amortizable per
+   * partition — the batch shape a real image pipeline needs.
+   */
+  def resize(media: DataFrame, targetW: Int, targetH: Int,
+             resizer: MediaResizer = StubResizer): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.select("media_id", "modality", "content", "meta").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val modality = r.getString(1)
+        val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+        val meta = r.getStruct(3)
+        val out = resizer.resize(modality, bytes, targetW, targetH)
+        Row(id, modality, out, Row(
+          meta.getString(0),
+          s"${meta.getString(1)};resized=${targetW}x$targetH",
+          out.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** One sampled frame: (media_id, frame_idx, ts_ms, frame bytes). */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("frame", BinaryType)))
+
+  trait FrameSampler extends Serializable {
+    /** Extract the frame nearest `tsMs` from a video/audio payload. */
+    def frameAt(modality: String, content: Array[Byte], tsMs: Long): Array[Byte]
+  }
+
+  /** STUB sampler: hash-derived deterministic fake frame bytes. */
+  object StubFrameSampler extends FrameSampler {
+    def frameAt(modality: String, content: Array[Byte], tsMs: Long): Array[Byte] = {
+      var h = tsMs * 1125899906842597L
+      var i = 0
+      while (i < content.length) { h = 31 * h + content(i); i += 1 }
+      Array.tabulate(32)(j => ((h >> (j % 56)) & 0xFF).toByte)
+    }
+  }
+
+  /**
+   * Frame sampling for video/audio payloads: one output row per
+   * `everyMs`-spaced timestamp within the decoded duration (images yield
+   * one frame at ts 0). flatMap-shaped iterator-to-iterator — the 1→N
+   * explode happens streamwise, so a long video never materializes all its
+   * frames at once in memory.
+   */
+  def sampleFrames(media: DataFrame, everyMs: Long, maxFrames: Int = 64,
+                   decoder: MediaDecoder = StubDecoder,
+                   sampler: FrameSampler = StubFrameSampler): DataFrame = {
+    require(everyMs > 0, "everyMs must be positive")
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.select("media_id", "modality", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0); val modality = r.getString(1)
+        val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+        val (_, _, durMs, _) = decoder.decode(modality, bytes)
+        val n = math.min(maxFrames.toLong, durMs / everyMs + 1).toInt
+        (0 until n).iterator.map { idx =>
+          val ts = idx * everyMs
+          Row(id, idx, ts, sampler.frameAt(modality, bytes, ts))
+        }
+      }
+    }(enc)
+  }
 }

@@ -33,6 +33,37 @@ class MultimodalSpec extends SparkTestBase {
     all(rows.map(_.getAs[Long]("duration_ms"))) shouldBe 0L // images
   }
 
+  test("resize keeps the media schema, re-encodes payload, updates metadata") {
+    val resized = Multimodal.resize(media, 128, 96)
+    resized.schema.simpleString shouldBe Multimodal.mediaSchema.simpleString
+    val r = resized.where("media_id = 1")
+      .select("meta.content_type", "meta.n_bytes").as[(String, Long)].head()
+    r._1 should endWith(";resized=128x96")
+    r._2 shouldBe (128L * 96 / 64)
+    // determinism: equal payloads resize to equal bytes
+    val bytes = resized.orderBy("media_id").select("content").as[Array[Byte]].collect()
+    bytes(0) shouldBe bytes(2)
+    bytes(0) should not equal bytes(1)
+  }
+
+  test("frame sampling: images yield one frame, audio/video one per interval, bounded") {
+    val video = Multimodal.asMediaFrame(
+      Seq((9L, "some-video-payload", "s3://bucket/v.mp4")).toDF("id", "body", "uri")
+        .select(col("id"), encode(col("body"), "UTF-8").as("bytes"), col("uri")),
+      "id", "bytes", "video", "uri")
+    val frames = Multimodal.sampleFrames(video, everyMs = 1000, maxFrames = 16)
+    frames.schema shouldBe Multimodal.frameSchema
+    val n = frames.count()
+    n should be >= 2L   // stub durations are >= 1000 ms for video
+    n should be <= 16L  // maxFrames cap
+    frames.select("ts_ms").as[Long].collect().sorted shouldBe
+      (0L until n).map(_ * 1000L).toArray
+    // images: single frame at ts 0
+    Multimodal.sampleFrames(media, everyMs = 1000)
+      .groupBy("media_id").count().select("count").as[Long].collect()
+      .foreach(_ shouldBe 1L)
+  }
+
   test("null payloads decode as empty bytes instead of crashing") {
     val withNull = media.withColumn("content",
       when(col("media_id") === 2, lit(null).cast("binary")).otherwise(col("content")))
