@@ -42,6 +42,19 @@ class ExamplesSpec extends SparkTestBase {
     out.agg(org.apache.spark.sql.functions.sum("n")).as[Long].head() shouldBe 120
   }
 
+  test("quickstart-4: training-data curation — quality gate, near-dedup, features") {
+    val m = run("quickstart-4-training-data.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-4-out")
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    out.count() should be > 0L
+    out.count() should be <= total // near-dups and short docs removed
+    out.columns should contain allOf ("doc_id", "n_tokens", "text_len", "_lineage")
+    out.where("n_tokens < 5").count() shouldBe 0
+    val lineage = out.select("_lineage").as[String].head()
+    lineage should include("dedup_minhash")
+    m.stages.map(_.stage) should contain allOf ("extract", "quality", "transform", "load")
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
