@@ -36,11 +36,26 @@ object Ann {
    * identical to the window form — oracle-hash compatible.
    */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCandidate])
-    scored.groupBy("query_id")
-      .agg(topk(col("sim").cast("double"), col("vec_id").cast("long")).as("tk"))
-      .select(col("query_id"), posexplode(col("tk.items")).as(Seq("pos", "s")))
-      .select(col("query_id"), col("s.id").as("vec_id"), (col("pos") + 1).as("rank"))
+    import org.apache.spark.sql.types.{LongType, IntegerType, ShortType, ByteType}
+    scored.schema("vec_id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCandidate])
+        scored.groupBy("query_id")
+          .agg(topk(col("sim").cast("double"), col("vec_id").cast("long")).as("tk"))
+          .select(col("query_id"), posexplode(col("tk.items")).as(Seq("pos", "s")))
+          .select(col("query_id"), col("s.id").as("vec_id"), (col("pos") + 1).as("rank"))
+      case _ =>
+        // non-integral ids (string doc ids): fall back to the window form,
+        // which preserves the id type. Correct at any scale but funnels all
+        // scored rows of a query into one task — for big corpora with
+        // non-numeric ids, map ids to longs upstream to get the
+        // partial-aggregate path.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select("query_id", "vec_id", "rank")
+    }
   }
 
   /** Exact cosine top-k: queries df (queryIdCol, vecCol) × corpus df
@@ -82,10 +97,13 @@ object Ann {
       struct(lit(t).as("table_id"), bucket.as("bucket"))
     }: _*)
 
-  /** Vector width, peeked from one row at plan-build time (a one-row scan,
-    * like the IVF codebook materialization). */
+  /** Vector width, peeked from one non-null row at plan-build time (a
+    * one-row scan, like the IVF codebook materialization). An empty or
+    * all-null input yields 1 — the downstream plan is empty anyway, the
+    * dummy width just keeps it buildable. */
   private def vecDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head.getInt(0)
+    df.where(col(vecCol).isNotNull).select(size(col(vecCol)))
+      .limit(1).collect().headOption.map(_.getInt(0)).filter(_ > 0).getOrElse(1)
 
   /** (id, vec, table_id, bucket) — one row per (input row, hash table). */
   private def withBuckets(df: DataFrame, id: String, vecCol: String,
@@ -133,6 +151,10 @@ object Ann {
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nLists)
       .select(col(vecCol).cast("array<float>")).collect()
       .map(_.getSeq[Float](0)).toSeq
+    // degenerate corpora (0 or 1 vectors): no codebook to probe — brute
+    // force IS the IVF plan with one list, and it handles empty inputs
+    if (centroidVecs.size <= 1)
+      return bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
 
     def centroidSims(vec: Column): Seq[Column] =
       centroidVecs.map(cv => cosine(vec, typedLit(cv)))

@@ -17,10 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * Semantics mirror `array_distinct(transform(wordNgrams(text, n), xxhash64))`
  * from [[graft.functions.TextFunctions.wordNgrams]]: lowercase, whitespace
- * tokens, shorter-than-n docs degrade to ONE shingle over all tokens, empty
- * docs to none. (The hash VALUES differ from xxhash64-of-string — they are
+ * tokens, shorter-than-n docs degrade to ONE shingle over all tokens, and
+ * blank docs yield ONE sentinel shingle (wordNgrams("") = [""], so all
+ * blank docs pair with each other at jaccard 1.0 — blank duplicates ARE
+ * duplicates). (The hash VALUES differ from xxhash64-of-string — they are
  * xxh64 over token-hash windows — which is immaterial: shingle hashes are
- * set-membership features; any stable 64-bit hash family works.)
+ * set-membership features; any stable 64-bit hash family works. Whitespace
+ * here is bytes ≤ 0x20 — ASCII space/tab/newline — a deliberate, documented
+ * narrowing of the regex `\s` used by TextFunctions.tokens; texts whose
+ * only token boundaries are exotic Unicode whitespace tokenize coarser.)
  *
  * Why a custom Expression (SURVEY §7.3): profiled at sf0.1, the HOF form —
  * per-token `concat_ws` building shingle STRINGS, then array_distinct over
@@ -87,7 +92,10 @@ object ShingleHashes {
         nTokens += 1
       }
     }
-    if (nTokens == 0) return new GenericArrayData(Array.emptyLongArray)
+    // blank doc → one sentinel shingle (parity with wordNgrams(""), which
+    // yields [""] — so identical blank docs still count as duplicates)
+    if (nTokens == 0)
+      return new GenericArrayData(Array(XXH64.hashLong(0L, Seed)))
     val width = math.min(n, nTokens) // short docs degrade to one full-width shingle
     val nShingles = nTokens - width + 1
     val raw = new Array[Long](nShingles)

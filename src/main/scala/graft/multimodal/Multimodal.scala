@@ -55,14 +55,20 @@ object Multimodal {
     def decode(modality: String, content: Array[Byte]): (Int, Int, Long, Array[Float])
   }
 
+  /** Shared deterministic byte fold for the stub codecs (FNV-ish). */
+  private def byteFold(seed: Long, content: Array[Byte]): Long = {
+    var h = seed
+    var i = 0
+    while (i < content.length) { h = 31 * h + content(i); i += 1 }
+    h
+  }
+
   /** STUB: deterministic fake decode — dimensions and an 8-dim "feature"
     * derived from a rolling hash of the payload bytes. Replace with a real
     * codec (??? boundary) without touching the plumbing. */
   object StubDecoder extends MediaDecoder {
     def decode(modality: String, content: Array[Byte]): (Int, Int, Long, Array[Float]) = {
-      var h = 1125899906842597L // deterministic FNV-ish fold, not a real decode
-      var i = 0
-      while (i < content.length) { h = 31 * h + content(i); i += 1 }
+      val h = byteFold(1125899906842597L, content) // not a real decode
       val w = 64 + math.floorMod(h, 512).toInt
       val ht = 64 + math.floorMod(h >> 9, 512).toInt
       val dur = if (modality == "image") 0L else 1000L + math.floorMod(h >> 18, 60000L)
@@ -101,9 +107,7 @@ object Multimodal {
     * determinism). Replace with a real codec without touching plumbing. */
   object StubResizer extends MediaResizer {
     def resize(modality: String, content: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < content.length) { h = 31 * h + content(i); i += 1 }
+      val h = byteFold(1125899906842597L, content)
       val n = math.max(16, (targetW.toLong * targetH / 64).toInt)
       Array.tabulate(n)(j => ((h >> (j % 56)) & 0xFF).toByte)
     }
@@ -147,9 +151,7 @@ object Multimodal {
   /** STUB sampler: hash-derived deterministic fake frame bytes. */
   object StubFrameSampler extends FrameSampler {
     def frameAt(modality: String, content: Array[Byte], tsMs: Long): Array[Byte] = {
-      var h = tsMs * 1125899906842597L
-      var i = 0
-      while (i < content.length) { h = 31 * h + content(i); i += 1 }
+      val h = byteFold(tsMs * 1125899906842597L, content)
       Array.tabulate(32)(j => ((h >> (j % 56)) & 0xFF).toByte)
     }
   }

@@ -133,7 +133,10 @@ object QuarantineWriter {
    * Write quarantined rows and return how many were written — counted via
    * an `Observation` riding the write action itself, NOT a separate
    * count() job (the reference pays an extra full scan for this count,
-   * PipelineExecutor.scala:110-117).
+   * PipelineExecutor.scala:110-117). Deliberate tradeoff: the write runs
+   * even when nothing is invalid (an empty parquet append), because the
+   * alternative — an isEmpty probe — costs a second full scan exactly in
+   * the common all-clean case.
    */
   def writeCounted(invalid: DataFrame, path: String, ctx: RunContext,
                    errorsCol: org.apache.spark.sql.Column): Long = {

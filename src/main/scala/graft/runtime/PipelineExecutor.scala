@@ -88,8 +88,8 @@ final class PipelineExecutor(
       ExecutionMetrics(config.pipelineId, runId, "SUCCESS",
         extracted, loaded, plan.failedRows, (System.nanoTime() - t0) / 1000000,
         stages = List(
-          StageMetric("extract", extracted, planMs),
-          StageMetric("quality", plan.failedRows, 0L),
+          StageMetric("extract", extracted, math.max(planMs - plan.qualityMs, 0L)),
+          StageMetric("quality", plan.failedRows, plan.qualityMs),
           StageMetric("transform", loaded, writeMs),
           StageMetric("load", math.max(loadResult.recordsWritten, loaded), writeMs)))
     } catch {
@@ -114,7 +114,8 @@ final class PipelineExecutor(
   }
 
   private final case class Plan(in: DataFrame, rest: DataFrame => DataFrame,
-                                failedRows: Long, persisted: List[DataFrame])
+                                failedRows: Long, persisted: List[DataFrame],
+                                qualityMs: Long)
 
   /** Compose the lazy plan: read, optional quality gate, transform fold. */
   private def buildPlan(config: PipelineConfig, ctx: RunContext)(implicit spark: SparkSession): Plan = {
@@ -145,6 +146,7 @@ final class PipelineExecutor(
     // Quarantined rows are counted by an Observation on the quarantine
     // write itself — no separate count() action, no caching of the source.
     var failedRows = 0L
+    val tq0 = System.nanoTime()
     config.quality.foreach { q =>
       val quarantinePath =
         q.quarantinePath.getOrElse(s"/tmp/graft-quarantine/${config.pipelineId}")
@@ -170,11 +172,18 @@ final class PipelineExecutor(
             if (dup > 0) throw new GraftException(
               s"quality gate: duplicate rows on (${cols.mkString(", ")})")
           case NullAction.Quarantine =>
-            // keep the first row per key (deterministic for whole-row
-            // duplicates — all copies are identical); extra copies are
-            // quarantined. One shuffle on the checked columns.
+            // keep the first row per key, ties broken by every other
+            // orderable column so the survivor is DETERMINISTIC across
+            // runs/retries (whole-row copies are identical anyway); extra
+            // copies are quarantined. One shuffle on the checked columns.
+            val tieBreak = df.schema.fields
+              .filter(f => !cols.contains(f.name) &&
+                org.apache.spark.sql.catalyst.expressions.RowOrdering
+                  .isOrderable(f.dataType))
+              .map(f => col(f.name)).toSeq
             val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(cols.map(col): _*).orderBy(cols.map(col): _*)
+              .partitionBy(cols.map(col): _*)
+              .orderBy(cols.map(col) ++ tieBreak: _*)
             val marked = df.withColumn("__graft_rn", row_number().over(w))
             val dups = marked.filter(col("__graft_rn") > 1).drop("__graft_rn")
             failedRows += QuarantineWriter.writeCounted(
@@ -184,6 +193,9 @@ final class PipelineExecutor(
         }
       }
     }
+
+    val qualityMs =
+      if (config.quality.isDefined) (System.nanoTime() - tq0) / 1000000 else 0L
 
     config.performance.flatMap(_.repartition).foreach(n => df = df.repartition(n))
     val persisted =
@@ -197,6 +209,6 @@ final class PipelineExecutor(
         if (tErrs.nonEmpty) throw new ConfigException(tErrs.mkString("; "))
         t.apply(d, tc, ctx)
       }
-    Plan(df, rest, failedRows, persisted)
+    Plan(df, rest, failedRows, persisted, qualityMs)
   }
 }

@@ -114,6 +114,28 @@ class AnnSpec extends SparkTestBase {
     run(scala.util.Random.shuffle(items)) shouldBe expected
   }
 
+  test("non-integral ids fall back to the window path and preserve the id type") {
+    val named = corpus.select(concat(lit("doc-"), col("vec_id")).as("vec_id"), col("embedding"))
+    val queries = named.where("vec_id = 'doc-0'")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Ann.bruteForceTopK(named, queries, "vec_id", "embedding", "query_id", 5)
+    top.schema("vec_id").dataType.typeName shouldBe "string"
+    top.where("rank = 1").select("vec_id").as[String].head() shouldBe "doc-0"
+    top.count() shouldBe 5
+  }
+
+  test("empty and single-row corpora build and return gracefully") {
+    val queries = corpus.where("vec_id = 0")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val empty = corpus.where("vec_id < 0")
+    Ann.lshTopK(empty, queries, "vec_id", "embedding", "query_id", 5).count() shouldBe 0
+    Ann.cosineNearDups(empty, "vec_id", "embedding", 0.9).count() shouldBe 0
+    Ann.ivfTopK(empty, queries, "vec_id", "embedding", "query_id", 5).count() shouldBe 0
+    val one = corpus.where("vec_id = 0")
+    Ann.ivfTopK(one, queries, "vec_id", "embedding", "query_id", 5)
+      .select("vec_id").as[Long].collect() shouldBe Array(0L)
+  }
+
   test("cosine near-dup pairs: duplicated vectors found with sim 1.0") {
     val withDup = corpus.union(
       corpus.where("vec_id = 5").select(lit(999L).as("vec_id"), col("embedding")))

@@ -51,7 +51,8 @@ class TextFunctionsSpec extends SparkTestBase {
     sh("a b c d", 2) should have length 3              // "a b","b c","c d"
     sh("a b a b a", 2).toSet should have size 2        // distinct {"a b","b a"}
     sh("a b", 3) should have length 1                  // short doc → one full shingle
-    sh("   ", 3) shouldBe empty
+    sh("   ", 3) should have length 1                  // blank → sentinel shingle
+    sh("   ", 3) shouldBe sh("", 3)                    // all blanks are mutual dups
     sh("Hello World Now", 2) shouldBe sh("hello world now", 2) // lowercased
     sh("x y z", 2) should not be sh("z y x", 2)        // order-sensitive
     // identical distinct-shingle COUNT as the string-based HOF form on prose

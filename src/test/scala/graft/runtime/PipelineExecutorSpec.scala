@@ -86,6 +86,23 @@ class PipelineExecutorSpec extends SparkTestBase {
     q.select("validation_errors").as[String].head() should include("duplicate row on (k)")
   }
 
+  test("duplicateCheck on a key subset keeps a DETERMINISTIC survivor (tie-break on other columns)") {
+    val in = tmpDir("dcd-in"); val out = tmpDir("dcd-out"); val quar = tmpDir("dcd-quar")
+    Seq((1, "zz"), (1, "aa"), (2, "bb")).toDF("k", "v")
+      .repartition(4).write.mode("overwrite").parquet(in)
+    val cfg = PipelineConfig(
+      pipelineId = "dcd-pipe",
+      source = SourceConfig("file", Map("path" -> in)),
+      sink = SinkConfig("file", Map("path" -> out), WriteMode.Overwrite),
+      quality = Some(QualityConfig(
+        duplicateCheck = Some(DuplicateCheck(List("k"), NullAction.Quarantine)),
+        quarantinePath = Some(quar))))
+    executor.execute(cfg).status shouldBe "SUCCESS"
+    // survivor for k=1 must always be the lexically-first v ("aa")
+    spark.read.parquet(out).orderBy("k").select("v").as[String].collect() shouldBe Array("aa", "bb")
+    spark.read.parquet(quar).select("v").as[String].collect() shouldBe Array("zz")
+  }
+
   test("quality gate: duplicateCheck fail action aborts on duplicates") {
     val in = tmpDir("dcf-in")
     Seq((1, "a"), (1, "b")).toDF("k", "v").write.mode("overwrite").parquet(in)
