@@ -64,6 +64,21 @@ class TransformSpec extends SparkTestBase {
     an[ConfigException] should be thrownBy MapTransform(df, tc("map"), ctx)
   }
 
+  test("saltedJoin: identical result multiset to the plain join; bad types rejected") {
+    val probe = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e")).toDF("k", "pv")
+    val build = Seq((1, "X"), (2, "Y")).toDF("k", "bv")
+    val plainInner = probe.join(build, Seq("k")).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val saltedInner = Skew.saltedJoin(probe, build, Seq("k"), saltBuckets = 4)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    saltedInner shouldBe plainInner
+    val plainLeft = probe.join(build, Seq("k"), "left").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val saltedLeft = Skew.saltedJoin(probe, build, Seq("k"), 4, "left")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    saltedLeft shouldBe plainLeft
+    an[ConfigException] should be thrownBy Skew.saltedJoin(probe, build, Seq("k"), 4, "right")
+    an[ConfigException] should be thrownBy Skew.saltedJoin(probe, build, Seq("k"), 0)
+  }
+
   test("map: duplicate aliases are rejected, not silently last-win") {
     val df = Seq((1, 2)).toDF("a", "b")
     val ex = the[ConfigException] thrownBy MapTransform(df,
