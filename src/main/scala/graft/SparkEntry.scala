@@ -184,6 +184,23 @@ object SparkEntry {
         "gapDuration" -> "30 minutes", "groupBy" -> "user_id",
         "aggregations" -> "n_events:count(*),sum_value:round(sum(value), 2)"))),
 
+    // salted skew join: result multiset provably equals the plain join, so
+    // the salting path is oracle-checked end to end
+    "q39_join_salted" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val probe = tab(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+      val build = tab(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(probe, build, Seq("custkey"), saltBuckets = 8)
+        .select("o_orderkey", "custkey", "c_name", "c_mktsegment")
+    }),
+    "q40_window_dense" -> ((s, dir) => ap(tab(s, dir, "orders"),
+      t("window_rank", "partitionBy" -> "o_orderstatus",
+        "orderBy" -> "o_orderpriority", "function" -> "dense_rank",
+        "alias" -> "dr"))
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "dr")),
+
     // ---- §2.5 analytic windows (window_rank superset) ----
     "q15_window_rank" -> ((s, dir) => ap(tab(s, dir, "orders"),
       t("window_rank", "partitionBy" -> "o_custkey",
@@ -477,6 +494,14 @@ object SparkEntry {
                 (max(ts) + INTERVAL '30 minutes')::TIMESTAMP AS window_end,
                 user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, sid""",
+    "q39_join_salted" ->
+      """SELECT o_orderkey, o_custkey AS custkey, c_name, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q40_window_dense" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CAST(dense_rank() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY o_orderpriority) AS INT) AS dr
+         FROM orders""",
     "q15_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
