@@ -19,7 +19,9 @@ class MainAndObservabilitySpec extends SparkTestBase {
 
   test("metrics collector: per-run records, pipeline summary, throughput, JSON export") {
     val mc = new MetricsCollector()
-    mc.record(ExecutionMetrics("p1", "r1", "SUCCESS", 100, 90, 10, 2000))
+    mc.record(ExecutionMetrics("p1", "r1", "SUCCESS", 100, 90, 10, 2000,
+      stages = List(StageMetric("extract", 100, 300), StageMetric("quality", 10, 120),
+        StageMetric("transform", 90, 1500), StageMetric("load", 90, 1500))))
     mc.record(ExecutionMetrics("p1", "r2", "FAILED", -1, -1, -1, 500, Some("boom")))
     mc.record(ExecutionMetrics("p2", "r1", "SUCCESS", 5, 5, 0, 100))
     mc.get("p1", "r1").get.recordsLoaded shouldBe 90
@@ -30,6 +32,9 @@ class MainAndObservabilitySpec extends SparkTestBase {
     val json = mc.toJson
     json should startWith("[")
     json should include(""""pipelineId":"p1","runId":"r2","status":"FAILED"""")
+    // per-stage records ride the export (reference MetricsCollector parity)
+    json should include(""""stages":[{"stage":"extract","records":100,"durationMs":300}""")
+    json should include(""""stage":"quality","records":10""")
   }
 
   test("structured logger emits parseable single-line JSON with escaping") {
