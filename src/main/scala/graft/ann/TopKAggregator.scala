@@ -53,3 +53,47 @@ final class TopKAggregator(k: Int) extends Aggregator[ScoredCandidate, TopKBuffe
   override def bufferEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
   override def outputEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
 }
+
+/** One scored candidate with a non-integral (string) id. */
+final case class ScoredCandidateStr(sim: Double, id: String)
+
+/** Bounded buffer for the string-id variant. */
+final case class TopKBufferStr(items: Seq[ScoredCandidateStr])
+
+/**
+ * String-id variant of [[TopKAggregator]] — gives arbitrary doc-id corpora
+ * the same partial-aggregate (map-side bounded-heap) shape instead of the
+ * single-task-per-query window fallback. Ordering is (sim DESC, id ASC);
+ * id comparison is Java String order (UTF-16 code units), which matches
+ * Spark's UTF8String binary order for all ASCII and BMP ids — the realistic
+ * doc-id universe. Ids containing supplementary-plane characters may
+ * tie-break differently from a window's ORDER BY only when sims are exactly
+ * equal.
+ */
+final class TopKAggregatorStr(k: Int)
+    extends Aggregator[ScoredCandidateStr, TopKBufferStr, TopKBufferStr] {
+  private val cap = math.max(4 * k, 64)
+
+  private def better(a: ScoredCandidateStr, b: ScoredCandidateStr): Boolean =
+    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+
+  private def best(items: Seq[ScoredCandidateStr], n: Int): Seq[ScoredCandidateStr] =
+    items.sortWith(better).take(n)
+
+  override def zero: TopKBufferStr = TopKBufferStr(Vector.empty)
+
+  override def reduce(b: TopKBufferStr, a: ScoredCandidateStr): TopKBufferStr = {
+    val appended = b.items :+ a
+    TopKBufferStr(if (appended.length > cap) best(appended, k) else appended)
+  }
+
+  override def merge(a: TopKBufferStr, b: TopKBufferStr): TopKBufferStr = {
+    val combined = a.items ++ b.items
+    TopKBufferStr(if (combined.length > cap) best(combined, k) else combined)
+  }
+
+  override def finish(b: TopKBufferStr): TopKBufferStr = TopKBufferStr(best(b.items, k))
+
+  override def bufferEncoder: Encoder[TopKBufferStr] = Encoders.product[TopKBufferStr]
+  override def outputEncoder: Encoder[TopKBufferStr] = Encoders.product[TopKBufferStr]
+}

@@ -22,6 +22,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Evaluate a foldable integral argument (literal or constant expression,
+    * any integer width) to Int, with a typed analysis-style error instead of
+    * a match crash on e.g. BIGINT literals or `1 + 1`. */
+  private def foldableInt(fn: String, arg: String, e: Expression): Int = {
+    def fail(got: String) = throw new graft.api.ConfigException(
+      s"$fn: $arg must be a constant integer, got $got")
+    if (!e.foldable) fail(e.sql)
+    e.eval() match {
+      case i: Int    => i
+      case l: Long   => if (l.isValidInt) l.toInt else fail(s"out-of-range $l")
+      case s: Short  => s.toInt
+      case b: Byte   => b.toInt
+      case other     => fail(if (other == null) "NULL" else s"${e.dataType.simpleString} $other")
+    }
+  }
+
   private def functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_similarity",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
@@ -39,12 +55,15 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "shingle_hashes expects (text, n)")
-        val n = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"shingle_hashes: n must be an integer literal, got $other")
-        }
-        ShingleHashes(args.head, n)
+        ShingleHashes(args.head, foldableInt("shingle_hashes", "n", args(1)))
+      }),
+    ("hyperplane_buckets",
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "hyperplane_buckets expects (vec, tables, bits)")
+        HyperplaneBuckets(args.head,
+          foldableInt("hyperplane_buckets", "tables", args(1)),
+          foldableInt("hyperplane_buckets", "bits", args(2)))
       }))
 
   /** Register on an existing session (idempotent). */

@@ -114,14 +114,37 @@ class AnnSpec extends SparkTestBase {
     run(scala.util.Random.shuffle(items)) shouldBe expected
   }
 
-  test("non-integral ids fall back to the window path and preserve the id type") {
+  test("string ids get the partial-aggregate top-k path (no window), type preserved") {
     val named = corpus.select(concat(lit("doc-"), col("vec_id")).as("vec_id"), col("embedding"))
     val queries = named.where("vec_id = 'doc-0'")
       .select(col("vec_id").as("query_id"), col("embedding"))
     val top = Ann.bruteForceTopK(named, queries, "vec_id", "embedding", "query_id", 5)
+    val plan = top.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("ObjectHashAggregate")
     top.schema("vec_id").dataType.typeName shouldBe "string"
     top.where("rank = 1").select("vec_id").as[String].head() shouldBe "doc-0"
     top.count() shouldBe 5
+    // ranking parity with the window form it replaced
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    val expected = named.select(col("vec_id"), col("embedding").as("cvec"))
+      .crossJoin(queries.select(col("query_id"), col("embedding").as("qvec")))
+      .withColumn("sim", graft.functions.expressions.CosineSimilarity(col("cvec"), col("qvec")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("query_id", "vec_id", "rank").as[(String, String, Int)].collect().toSet
+    top.select("query_id", "vec_id", "rank").as[(String, String, Int)].collect().toSet shouldBe expected
+  }
+
+  test("null embeddings are excluded from top-k instead of aborting the aggregator") {
+    val withNull = corpus.union(
+      spark.range(1).select(lit(777L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+    val queries = corpus.where("vec_id = 0")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Ann.bruteForceTopK(withNull, queries, "vec_id", "embedding", "query_id", 5)
+    top.count() shouldBe 5
+    top.where("vec_id = 777").count() shouldBe 0
   }
 
   test("empty and single-row corpora build and return gracefully") {
@@ -142,5 +165,20 @@ class AnnSpec extends SparkTestBase {
     val pairs = Ann.cosineNearDups(withDup, "vec_id", "embedding",
       threshold = 0.999, bits = 6, tables = 6)
     pairs.where("id_a = 5 AND id_b = 999").count() shouldBe 1
+  }
+
+  test("cosine near-dup maxBucketSize caps mega-buckets: no quadratic pair explosion") {
+    // adversarial corpus: 500 IDENTICAL embeddings — every table hashes them
+    // all into one bucket, so an uncapped self-join would produce
+    // 500*499/2 ≈ 125k verification pairs (the 100 TB boilerplate hazard).
+    val same = Array.tabulate(16)(_.toFloat / 16f)
+    val clones = spark.range(500).select(col("id").as("vec_id"), typedlit(same).as("embedding"))
+    val capped = Ann.cosineNearDups(clones, "vec_id", "embedding",
+      threshold = 0.9, bits = 6, tables = 4, maxBucketSize = 100)
+    capped.count() shouldBe 0 // every bucket holds 500 > 100 → all capped away
+    // with the cap above the bucket size, the full pair set comes back
+    val uncapped = Ann.cosineNearDups(clones.limit(20), "vec_id", "embedding",
+      threshold = 0.9, bits = 6, tables = 4, maxBucketSize = 1000)
+    uncapped.count() shouldBe (20L * 19 / 2)
   }
 }
