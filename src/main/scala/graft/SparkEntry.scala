@@ -294,6 +294,20 @@ object SparkEntry {
       t("dedup_minhash", "idColumn" -> "doc_id", "textColumn" -> "text",
         "threshold" -> "0.8"))
       .select("doc_id", "lang")),
+    // embedding-cosine near-dup REMOVAL through the declarative surface
+    // (rows-only: keep-set depends on LSH recall). Planted exact copies
+    // (sim = 1.0, higher id) MUST all be dropped — spec-verified; here the
+    // transform exercises the full YAML-reachable path end to end.
+    "q41_dedup_embedding" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val planted = emb.where("vec_id < 10")
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      ap(emb.unionByName(planted),
+        t("dedup_embedding", "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "threshold" -> "0.95", "bits" -> "12", "tables" -> "6"))
+        .select("vec_id")
+    }),
 
     // ---- LLM-data-pipeline: similarity search over embeddings ----
     "q28_ann_topk" -> ((s, dir) => {
@@ -358,6 +372,13 @@ object SparkEntry {
       import graft.config._
       // stream the events table end-to-end: readStream → watermark →
       // tumbling window agg → memory sink, drained with availableNow.
+      // APPEND output mode — the production shape: each window is emitted
+      // exactly once when the watermark passes its end, and its state is
+      // evicted, so state size is bounded by the watermark horizon rather
+      // than growing with every distinct window ever seen (complete mode
+      // would OOM on an unbounded stream). The emitted set is deterministic:
+      // windows with end <= max(event ts) - 1 hour — which the DuckDB
+      // oracle expresses exactly.
       // The staged input directory is memoized per source dir: it is test
       // scaffolding (real deployments already have landed files), so only
       // the streaming query itself should be re-timed on repeat runs.
@@ -379,7 +400,7 @@ object SparkEntry {
         streaming = Some(StreamingConfig(
           checkpointLocation = Some(java.nio.file.Files.createTempDirectory("q32ck").toString),
           watermarkColumn = Some("ts"), watermarkDelay = Some("1 hour"),
-          outputMode = "complete")))
+          outputMode = "append")))
       new graft.streaming.StreamingExecutor().start(cfg)(s).awaitTermination(120000)
       s.table("q32_out")
     })
@@ -562,11 +583,16 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY sim DESC, vec_id) AS rank
            FROM scored) WHERE rank <= 10""",
+    // Append mode emits exactly the windows the final watermark closed:
+    // window_end <= max(ts) - 1 hour (the configured watermark delay).
     "q32_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS window_start,
          (time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour')::TIMESTAMP AS window_end,
          count(*) AS n_events, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY 1, 2""",
+         FROM events
+         WHERE (time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour')::TIMESTAMP
+               <= (SELECT max(ts)::TIMESTAMP - INTERVAL '1 hour' FROM events)
+         GROUP BY 1, 2""",
     "q34_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total

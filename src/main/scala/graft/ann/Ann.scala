@@ -57,16 +57,50 @@ object Ann {
           .agg(topk(col("sim").cast("double"), col("vec_id")).as("tk"))
           .select(col("query_id"), posexplode(col("tk.items")).as(Seq("pos", "s")))
           .select(col("query_id"), col("s.id").as("vec_id"), (col("pos") + 1).as("rank"))
-      case _ =>
-        // exotic id types (decimal/date/...): window form preserves the
-        // type. Correct at any scale but funnels all scored rows of a query
-        // into one task — cast ids to long or string upstream to get the
-        // partial-aggregate path.
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-        clean.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= k)
-          .select("query_id", "vec_id", "rank")
+      case dt =>
+        longSurrogate(dt) match {
+          case Some(toSid) =>
+            // orderable exotic ids (decimal p<=18, date, timestamp) densify
+            // through an ORDER-PRESERVING, injective long surrogate, ride
+            // the same bounded-heap partial aggregation, then join the
+            // original id back via the (surrogate, id) dictionary — the
+            // tie-break (sim DESC, vec_id ASC) is identical because the
+            // surrogate preserves the native ordering.
+            val withSid = clean.withColumn("__sid", toSid(col("vec_id")))
+            val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCandidate])
+            val ranked = withSid.groupBy("query_id")
+              .agg(topk(col("sim").cast("double"), col("__sid")).as("tk"))
+              .select(col("query_id"), posexplode(col("tk.items")).as(Seq("pos", "s")))
+              .select(col("query_id"), col("s.id").as("__sid"), (col("pos") + 1).as("rank"))
+            val dict = withSid.select(col("__sid"), col("vec_id")).dropDuplicates("__sid")
+            ranked.join(dict, Seq("__sid")).select("query_id", "vec_id", "rank")
+          case None =>
+            // non-surrogatable id types (wide decimals, binary, ...): the
+            // window form preserves the type. Correct at any scale but
+            // funnels all scored rows of a query into one task — cast ids
+            // to long or string upstream to get the partial-aggregate path.
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+            clean.withColumn("rank", row_number().over(w))
+              .filter(col("rank") <= k)
+              .select("query_id", "vec_id", "rank")
+        }
+    }
+  }
+
+  /** Order-preserving injective Column mapping from an exotic orderable id
+    * type to LONG, where one exists: decimal (p<=18) → unscaled value,
+    * date → epoch days, timestamp → epoch micros. */
+  private def longSurrogate(dt: org.apache.spark.sql.types.DataType)
+      : Option[Column => Column] = {
+    import org.apache.spark.sql.types.{DecimalType, DateType, TimestampType}
+    dt match {
+      case d: DecimalType if d.precision <= 18 =>
+        val scaleUp = lit(BigDecimal(10).pow(d.scale))
+        Some(c => (c * scaleUp).cast("long"))
+      case DateType => Some(c => unix_date(c))
+      case TimestampType => Some(c => unix_micros(c))
+      case _ => None
     }
   }
 

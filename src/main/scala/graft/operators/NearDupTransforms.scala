@@ -29,14 +29,17 @@ import graft.dedup.Dedup
  * one broadcast-able left_anti join on the id column.
  */
 abstract class NearDupTransform extends Transform {
-  protected def pairs(input: DataFrame, id: String, text: String,
+  protected def pairs(input: DataFrame, id: String, content: String,
                       config: TransformConfig): DataFrame
+  /** Option naming the content column the matcher reads — textColumn for
+    * the text matchers, vecColumn for the embedding matcher. */
+  protected def contentOption: String = "textColumn"
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
-    required(config, "idColumn", "textColumn")
+    required(config, "idColumn", contentOption)
     val id = config.options("idColumn")
-    val text = config.options("textColumn")
-    val dupPairs = pairs(input, id, text, config)
+    val content = config.options(contentOption)
+    val dupPairs = pairs(input, id, content, config)
     // pairs carry (id_a < id_b); dropping every id_b keeps exactly one
     // representative per matched pair chain's minimum element
     val toDrop = dupPairs.select(col("id_b").as(id)).distinct()
@@ -70,4 +73,22 @@ object SimhashDedupTransform extends NearDupTransform {
                       config: TransformConfig): DataFrame =
     Dedup.simhashNearDups(input, id, text,
       maxHamming = intOpt(config, "maxHamming", 3))
+}
+
+/** Embedding-cosine near-dup removal over an Array[Float] vector column:
+  * options vecColumn (required), threshold/bits/tables/maxBucketSize
+  * (defaults as in [[graft.ann.Ann.cosineNearDups]]). Inherits the
+  * hyperplane-LSH bucketed shape: buckets are computed once into a slim
+  * (table_id, bucket, doc_id) frame, mega-buckets are capped, and exact
+  * cosine runs only on surviving candidate pairs. */
+object EmbeddingDedupTransform extends NearDupTransform {
+  val transformType = "dedup_embedding"
+  override protected def contentOption: String = "vecColumn"
+  protected def pairs(input: DataFrame, id: String, vec: String,
+                      config: TransformConfig): DataFrame =
+    graft.ann.Ann.cosineNearDups(input, id, vec,
+      threshold = doubleOpt(config, "threshold", 0.9),
+      bits = intOpt(config, "bits", 8),
+      tables = intOpt(config, "tables", 4),
+      maxBucketSize = intOpt(config, "maxBucketSize", 1000))
 }

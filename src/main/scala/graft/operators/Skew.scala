@@ -13,13 +13,19 @@ import graft.api.ConfigException
  * boilerplate-document or null-ish dimension key at 100 TB) fans out over
  * `saltBuckets` reducers.
  *
- * Shape: the probe side gets a random salt in [0, saltBuckets); the build
- * side is replicated once per salt value (explode of a literal sequence —
- * build-side rows × saltBuckets, so keep the build side the smaller
- * table). Join keys become (keys…, salt). Result multiset is IDENTICAL to
- * the unsalted join: salt only changes row routing, never matching —
- * which also makes the nondeterministic `rand()` salt safe under task
- * retries (any salt assignment yields the same join output).
+ * Shape: the probe side gets a deterministic salt in [0, saltBuckets)
+ * derived from a seeded xxhash64 over the whole probe row (all probe
+ * columns, so identical key values still spread across buckets — hashing
+ * only the join keys would send the entire hot key to one bucket and
+ * defeat the salting); the build side is replicated once per salt value
+ * (explode of a literal sequence — build-side rows × saltBuckets, so keep
+ * the build side the smaller table). Join keys become (keys…, salt).
+ * Result multiset is IDENTICAL to the unsalted join: salt only changes
+ * row routing, never matching. The hash salt makes routing byte-identical
+ * run-to-run and under task retries — reruns of a 100 TB job produce the
+ * same partition layout, which keeps shuffle-file reuse and debugging
+ * sane. Pass `seed` to re-roll the assignment (e.g. if a pathological
+ * input correlates with the default seed).
  *
  * Supported join types: inner and left_outer (an unmatched probe row
  * surfaces exactly once). right/full/semi/anti would see the replicated
@@ -29,7 +35,8 @@ import graft.api.ConfigException
 object Skew {
 
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
-                 saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+                 saltBuckets: Int, joinType: String = "inner",
+                 seed: Long = 42L): DataFrame = {
     if (saltBuckets < 1)
       throw new ConfigException(s"saltedJoin: saltBuckets must be >= 1, got $saltBuckets")
     val supported = Set("inner", "left", "left_outer")
@@ -38,9 +45,16 @@ object Skew {
         s"saltedJoin: joinType '$joinType' unsupported (build side is replicated); " +
           "use inner/left with the probe side on the left")
     val saltCol = "__graft_salt"
-    val p = probe.withColumn(saltCol, (rand() * saltBuckets).cast("int"))
+    val p = probe.withColumn(saltCol,
+      saltExpr(probe.columns.toSeq, saltBuckets, seed))
     val b = build.withColumn(saltCol,
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     p.join(b, keys :+ saltCol, joinType).drop(saltCol)
   }
+
+  /** The deterministic bucket assignment: seeded xxhash64 over the named
+    * columns, mod saltBuckets. Exposed so specs (and curious operators) can
+    * observe the routing saltedJoin uses. */
+  def saltExpr(columns: Seq[String], saltBuckets: Int, seed: Long = 42L) =
+    pmod(xxhash64((columns.map(col) :+ lit(seed)): _*), lit(saltBuckets)).cast("int")
 }

@@ -90,8 +90,10 @@ final class PipelineExecutor(
         stages = List(
           StageMetric("extract", extracted, math.max(planMs - plan.qualityMs, 0L)),
           StageMetric("quality", plan.failedRows, plan.qualityMs),
-          StageMetric("transform", loaded, writeMs),
-          StageMetric("load", math.max(loadResult.recordsWritten, loaded), writeMs)))
+          // single-action execution: transforms and the sink write run FUSED
+          // in one Spark job, so there is exactly one wall-clock to report.
+          // It lives on the fused stage; stage durations sum to ~wall time.
+          StageMetric("transform+load", math.max(loadResult.recordsWritten, loaded), writeMs)))
     } catch {
       case e: Throwable =>
         ExecutionMetrics(config.pipelineId, runId, "FAILED", -1, -1, -1,

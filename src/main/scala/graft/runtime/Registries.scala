@@ -29,6 +29,7 @@ object Registries {
     DedupTransform.transformType      -> DedupTransform,
     MinhashDedupTransform.transformType -> MinhashDedupTransform,
     SimhashDedupTransform.transformType -> SimhashDedupTransform,
+    EmbeddingDedupTransform.transformType -> EmbeddingDedupTransform,
     RegisterTransform.transformType   -> RegisterTransform))
 
   def sinks(): Registry[Sink] = new Registry[Sink]("sink", Map(

@@ -136,6 +136,31 @@ class AnnSpec extends SparkTestBase {
     top.select("query_id", "vec_id", "rank").as[(String, String, Int)].collect().toSet shouldBe expected
   }
 
+  test("decimal ids densify to the partial-aggregate path (no window), type preserved") {
+    val named = corpus.select(
+      (col("vec_id").cast("decimal(12,2)") / 4).cast("decimal(12,2)").as("vec_id"),
+      col("embedding"))
+    val queries = named.limit(1)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Ann.bruteForceTopK(named, queries, "vec_id", "embedding", "query_id", 5)
+    val plan = top.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("ObjectHashAggregate")
+    top.schema("vec_id").dataType.typeName shouldBe "decimal(12,2)"
+    top.count() shouldBe 5
+    // ranking parity with the window form the surrogate path replaced
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    val expected = named.select(col("vec_id"), col("embedding").as("cvec"))
+      .crossJoin(queries.select(col("query_id"), col("embedding").as("qvec")))
+      .withColumn("sim", graft.functions.expressions.CosineSimilarity(col("cvec"), col("qvec")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("query_id", "vec_id", "rank")
+      .as[(java.math.BigDecimal, java.math.BigDecimal, Int)].collect().toSet
+    top.select("query_id", "vec_id", "rank")
+      .as[(java.math.BigDecimal, java.math.BigDecimal, Int)].collect().toSet shouldBe expected
+  }
+
   test("null embeddings are excluded from top-k instead of aborting the aggregator") {
     val withNull = corpus.union(
       spark.range(1).select(lit(777L).as("vec_id"),

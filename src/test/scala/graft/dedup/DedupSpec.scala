@@ -55,6 +55,27 @@ class DedupSpec extends SparkTestBase {
       docs, TransformConfig("bad", "dedup_minhash", Map.empty), ctx)
   }
 
+  test("dedup_embedding transform drops planted exact-copy vectors, keeps originals") {
+    import graft.config.TransformConfig
+    import graft.api.RunContext
+    val ctx = RunContext(spark, "t", "r")
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(16)(rnd.nextFloat() * 2f - 1f)
+    val originals = (0L until 40L).map(i => (i, vec()))
+    // ids 1000+i are exact copies of vectors 0..4 → sim 1.0, higher id drops
+    val copies = originals.take(5).map { case (i, v) => (1000L + i, v) }
+    val df = (originals ++ copies).toDF("vec_id", "embedding")
+    val out = graft.operators.EmbeddingDedupTransform(df,
+      TransformConfig("ed", "dedup_embedding", Map(
+        "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "threshold" -> "0.99", "bits" -> "10", "tables" -> "8")), ctx)
+    val kept = out.select("vec_id").as[Long].collect().toSet
+    (1000L until 1005L).foreach(kept should not contain _) // copies dropped
+    (0L until 5L).foreach(kept should contain(_))          // originals kept
+    an[graft.api.ConfigException] should be thrownBy graft.operators.EmbeddingDedupTransform(
+      df, TransformConfig("bad", "dedup_embedding", Map("idColumn" -> "vec_id")), ctx)
+  }
+
   test("minhash jaccard for exact copies is 1.0") {
     Dedup.minhashNearDups(docs.where("doc_id IN (1, 4)"), "doc_id", "text")
       .select("jaccard").as[Double].collect() shouldBe Array(1.0)

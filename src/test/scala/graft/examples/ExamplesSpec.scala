@@ -52,7 +52,7 @@ class ExamplesSpec extends SparkTestBase {
     out.where("n_tokens < 5").count() shouldBe 0
     val lineage = out.select("_lineage").as[String].head()
     lineage should include("dedup_minhash")
-    m.stages.map(_.stage) should contain allOf ("extract", "quality", "transform", "load")
+    m.stages.map(_.stage) should contain allOf ("extract", "quality", "transform+load")
   }
 
   test("quickstart-3: declarative multi-source join partitioned by category") {

@@ -79,6 +79,21 @@ class TransformSpec extends SparkTestBase {
     an[ConfigException] should be thrownBy Skew.saltedJoin(probe, build, Seq("k"), 0)
   }
 
+  test("saltedJoin: routing is deterministic run-to-run and spreads a hot key") {
+    // one hot key (k=1) with 64 distinct payloads
+    val probe = (0 until 64).map(i => (1, s"p$i")).toDF("k", "pv")
+    def routing() = probe
+      .withColumn("salt", Skew.saltExpr(Seq("k", "pv"), saltBuckets = 8))
+      .collect().map(r => (r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    val r1 = routing(); val r2 = routing()
+    r1 shouldBe r2                                  // byte-identical reruns
+    r1.map(_._2).distinct.size should be > 1        // hot key fans out
+    // a different seed re-rolls the assignment
+    val r3 = probe.withColumn("salt", Skew.saltExpr(Seq("k", "pv"), 8, seed = 7L))
+      .collect().map(r => (r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    r3 should not be r1
+  }
+
   test("map: duplicate aliases are rejected, not silently last-win") {
     val df = Seq((1, 2)).toDF("a", "b")
     val ex = the[ConfigException] thrownBy MapTransform(df,

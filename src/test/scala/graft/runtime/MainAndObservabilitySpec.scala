@@ -19,9 +19,13 @@ class MainAndObservabilitySpec extends SparkTestBase {
 
   test("metrics collector: per-run records, pipeline summary, throughput, JSON export") {
     val mc = new MetricsCollector()
-    mc.record(ExecutionMetrics("p1", "r1", "SUCCESS", 100, 90, 10, 2000,
+    val m1 = ExecutionMetrics("p1", "r1", "SUCCESS", 100, 90, 10, 2000,
       stages = List(StageMetric("extract", 100, 300), StageMetric("quality", 10, 120),
-        StageMetric("transform", 90, 1500), StageMetric("load", 90, 1500))))
+        StageMetric("transform+load", 90, 1500)))
+    // the fused transform+load stage means per-stage durations sum to
+    // (at most) the run's wall time — no double-counted write phase
+    m1.stages.map(_.durationMs).sum should be <= m1.durationMs
+    mc.record(m1)
     mc.record(ExecutionMetrics("p1", "r2", "FAILED", -1, -1, -1, 500, Some("boom")))
     mc.record(ExecutionMetrics("p2", "r1", "SUCCESS", 5, 5, 0, 100))
     mc.get("p1", "r1").get.recordsLoaded shouldBe 90

@@ -117,7 +117,7 @@ class PipelineExecutorSpec extends SparkTestBase {
     m.error.get should include("duplicate rows on (k)")
   }
 
-  test("per-stage metrics: extract/quality/transform/load records without extra actions") {
+  test("per-stage metrics: extract/quality/fused transform+load records without extra actions") {
     val in = tmpDir("st-in"); val out = tmpDir("st-out"); val quar = tmpDir("st-quar")
     Seq((Some("a"), 1), (None, 2), (Some("c"), 3), (Some("d"), 4))
       .toDF("name", "v").write.mode("overwrite").parquet(in)
@@ -138,8 +138,12 @@ class PipelineExecutorSpec extends SparkTestBase {
     val st = m.stages.map(s => s.stage -> s.records).toMap
     st("extract") shouldBe 4
     st("quality") shouldBe 1
-    st("transform") shouldBe 2
-    st("load") shouldBe 2
+    // transforms + write execute as ONE fused Spark job (single-action
+    // execution), so they report as one stage — summing stage durations
+    // must not double-count the write wall-clock.
+    st("transform+load") shouldBe 2
+    m.stages.map(_.stage) should not contain "load"
+    m.stages.map(_.durationMs).sum should be <= m.durationMs
   }
 
   test("quality gate: fail action aborts the pipeline") {
