@@ -309,6 +309,21 @@ object SparkEntry {
         .select("vec_id")
     }),
 
+    // exact n-gram Jaccard (the minhash verification primitive) over
+    // adjacent-doc pairs — oracle-checked: hashed-shingle Jaccard equals
+    // string-shingle Jaccard (same tokenization; collisions negligible),
+    // which DuckDB expresses with list comprehensions
+    "q42_ngram_jaccard" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = tab(s, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+        col("text").as("tb"))
+      a.join(b, Seq("id_a"))
+        .select(col("id_a"), col("id_b"),
+          graft.dedup.Dedup.ngramJaccard(col("ta"), col("tb"), 3).as("jaccard"))
+    }),
+
     // ---- LLM-data-pipeline: similarity search over embeddings ----
     "q28_ann_topk" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -596,6 +611,32 @@ object SparkEntry {
     "q34_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
-         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    // Same shingle semantics as ShingleHashes: lowercase, tokens = maximal
+    // runs of bytes > 0x20, word 3-grams joined on chr(31) (a byte tokens
+    // can never contain), <3-token docs degrade to ONE whole-text shingle
+    // (blank docs → [''] sentinel). Jaccard over shingle STRINGS here ==
+    // Jaccard over shingle HASHES on the Spark side.
+    "q42_ngram_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
+                              x -> x <> '') AS toks
+           FROM documents
+         ), s AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) < 3
+                       THEN [array_to_string(toks, chr(31))]
+                       ELSE list_distinct([array_to_string(toks[i:i+2], chr(31))
+                                           FOR i IN range(1, len(toks) - 1)])
+                  END AS sh
+           FROM t
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                           ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                                / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
+                      END, 4) AS jaccard
+         FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"""
   )
 }
