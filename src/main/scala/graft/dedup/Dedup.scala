@@ -9,16 +9,21 @@ import graft.functions.TextFunctions
  * Document-deduplication suite for training-data pipelines: exact,
  * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
  *
- * Scale design: signature computation is explode + hash-aggregate (all
- * expressions codegen'd, map-side partial aggregation, no UDFs); candidate
- * generation is a key-partitioned band-bucket join — O(rows × bands),
- * never O(rows²). The quadratic step (pair verification) happens only
- * inside LSH buckets, which stay small for non-adversarial corpora; skewed
- * buckets (boilerplate shingles) are capped with `maxBucketSize` the way
- * production near-dup pipelines drop mega-clusters. Per-row higher-order
- * functions (used for the standalone signature/simhash columns) evaluate
- * interpreted in Spark — fine for per-row passes, which is why the heavy
- * k-way signature path uses the aggregate form instead.
+ * Scale design: signature computation is a PER-ROW native-expression
+ * projection ([[graft.functions.expressions.MinHashFromHashes]] /
+ * [[graft.functions.expressions.SimHashFromHashes]] over the
+ * [[graft.functions.expressions.ShingleHashes]] byte scan) — ZERO shuffle;
+ * the only exchanges in the near-dup pipelines carry the slim banded /
+ * chunked candidate frames. (Two earlier shapes both lost: per-row HOF
+ * folds evaluate interpreted and re-inline under CollapseProject — 203 s;
+ * explode + hash-aggregate fixed that but its exchange carried every
+ * document's partial state, roughly the whole hashed corpus, through a
+ * full shuffle before any blocking.) Candidate generation is a
+ * key-partitioned band-bucket join — O(rows × bands), never O(rows²). The
+ * quadratic step (pair verification) happens only inside LSH buckets,
+ * which stay small for non-adversarial corpora; skewed buckets
+ * (boilerplate shingles) are capped with `maxBucketSize` the way
+ * production near-dup pipelines drop mega-clusters.
  */
 object Dedup {
 
@@ -33,12 +38,13 @@ object Dedup {
    * hashed once (strings are the expensive part); the k seeded hash
    * functions are derived by re-hashing the resulting long
    * (h_i = xxhash64(h, i)) — tabulation-style, ~5× cheaper than hashing
-   * the string k times, and the whole thing is a per-row HOF fold:
-   * no explode, no shuffle, one pass.
+   * the string k times. Backed by the native one-pass
+   * [[graft.functions.expressions.MinHashFromHashes]] (bit-identical to
+   * both the HOF fold and the min-aggregate formulations, spec-asserted):
+   * no explode, no shuffle, codegen'd.
    */
   def minhashSignatureFromHashes(shingleHashes: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleHashes, h => xxhash64(h, i))))
+    graft.functions.expressions.MinHashFromHashes(shingleHashes, k)
 
   /** Convenience form over raw text (hashes shingles inline via the native
     * [[graft.functions.expressions.ShingleHashes]] scan). */
@@ -59,25 +65,19 @@ object Dedup {
     val k = bands * rowsPerBand
     // stage 1: native ShingleHashes scan (tokenize + roll + distinct in one
     // allocation-free byte pass — profiled ~70% of this pipeline when done
-    // as string-building HOFs) → explode → one hash-aggregate computing all
-    // k seeded min-hashes (min(xxhash64(h, i))) plus the hashed-shingle
-    // set, in a single pass. min/xxhash64 are ordinary codegen'd
-    // expressions with map-side partial aggregation — the shuffle carries
-    // 50k×(k+set) longs, not text. Shingles stay as HASHES from here on:
-    // Jaccard over hashed sets equals Jaccard over the sets (collisions
-    // negligible) and longs shuffle ~20× smaller than shingle strings.
-    val hashed = df.select(
-      col(idCol).as("doc_id"),
-      explode(graft.functions.expressions.ShingleHashes(col(textCol), shingleSize)).as("h"))
-    // ONE aggregation pass computes both the k min-hashes and the hashed
-    // shingle set. (Splitting sets into a candidates-only second pass was
-    // measured SLOWER at sf0.1 — it re-runs the tokenize+explode scan,
-    // which dominates; the shared exchange below is reused by Catalyst.)
-    val minAggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"__m$i"))
-    val sigd = hashed.groupBy("doc_id")
-      .agg(collect_set(col("h")).as("sh"), minAggs: _*)
-      .select(col("doc_id"), col("sh"),
-        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+    // as string-building HOFs) feeding the native one-pass k-min signature,
+    // all PER ROW inside the scan projection: ZERO shuffle. Shingles stay
+    // as HASHES from here on: Jaccard over hashed sets equals Jaccard over
+    // the sets (collisions negligible) and longs are ~20× smaller than
+    // shingle strings. Column pruning splits the two consumers below
+    // automatically — the banded path scans text computing only `sig`, the
+    // verify path only `sh` — so neither pays for the other, and no
+    // corpus-sized exchange exists anywhere in the pipeline (the replaced
+    // explode + hash-aggregate shape shuffled every document's partial
+    // state — in effect the whole hashed corpus — before any blocking).
+    val shc = graft.functions.expressions.ShingleHashes(col(textCol), shingleSize)
+    val sigd = df.select(col(idCol).as("doc_id"), shc.as("sh"),
+      graft.functions.expressions.MinHashFromHashes(shc, k).as("sig"))
 
     // stage 2: band explode on a SLIM (doc_id, band, bh) frame — the heavy
     // shingle arrays never enter the bands×rows shuffle
@@ -133,25 +133,16 @@ object Dedup {
    * `maxHamming` ≤ 3 shares at least one of 4 chunks — pigeonhole), then
    * verify with bit_count(a XOR b). Linear candidate generation.
    */
-  /** SimHash signatures via explode + hash-aggregate (same rationale as the
-    * MinHash path: 64 codegen'd conditional sums with map-side partial
-    * aggregation instead of a per-row interpreted 64-wide HOF fold). */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // token OCCURRENCE hashes (multiset — SimHash weights bits by frequency)
-    // via the native byte-scan, n=1, distinct=false
-    val hashed = df.select(
-      col(idCol).as("doc_id"),
-      explode(graft.functions.expressions.ShingleHashes(col(textCol), 1, distinct = false)).as("h"))
-    val bitAggs = (0 until 64).map { b =>
-      sum(when(call_function("shiftright", col("h"), lit(b)).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"__b$b")
-    }
-    hashed.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"__b$b") >= 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("sig"))
-  }
+  /** SimHash signatures as a per-row native projection: token OCCURRENCE
+    * hashes (multiset — SimHash weights bits by frequency) via the
+    * ShingleHashes byte scan (n=1, distinct=false) folded by
+    * [[graft.functions.expressions.SimHashFromHashes]]. Zero shuffle, bit
+    * identical to the 64-conditional-sum aggregate it replaces
+    * (spec-asserted). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.expressions.SimHashFromHashes(
+        graft.functions.expressions.ShingleHashes(col(textCol), 1, distinct = false)).as("sig"))
 
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {

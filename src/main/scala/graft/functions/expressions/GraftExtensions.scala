@@ -64,6 +64,18 @@ object GraftExtensions {
         HyperplaneBuckets(args.head,
           foldableInt("hyperplane_buckets", "tables", args(1)),
           foldableInt("hyperplane_buckets", "bits", args(2)))
+      }),
+    ("minhash_from_hashes",
+      new ExpressionInfo(classOf[MinHashFromHashes].getName, "minhash_from_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_from_hashes expects (hashes, k)")
+        MinHashFromHashes(args.head, foldableInt("minhash_from_hashes", "k", args(1)))
+      }),
+    ("simhash_from_hashes",
+      new ExpressionInfo(classOf[SimHashFromHashes].getName, "simhash_from_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_from_hashes expects (hashes)")
+        SimHashFromHashes(args.head)
       }))
 
   /** Register on an existing session (idempotent). */
