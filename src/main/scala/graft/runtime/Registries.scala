@@ -11,6 +11,7 @@ object Registries {
   def sources(): Registry[Source] = new Registry[Source]("source", Map(
     FileSource.sourceType      -> FileSource,
     "s3"                       -> FileSource, // alias: s3a:// path with file semantics
+    TableSource.sourceType     -> TableSource,
     KafkaSource.sourceType     -> KafkaSource,
     KafkaFileSource.sourceType -> KafkaFileSource,
     "postgres"                 -> new JdbcSource("postgres", "org.postgresql.Driver"),

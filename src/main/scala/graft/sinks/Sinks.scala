@@ -24,7 +24,13 @@ private[sinks] object SinkObserve {
  * Scale notes: `partitionBy` is what enables partition pruning at read time;
  * `maxRecordsPerFile` bounds file sizes without collapsing parallelism, and
  * is preferred over the reference's `coalesce` knob (which serializes the
- * final stage); both are supported.
+ * final stage); both are supported. `buckets` + `bucketBy` (+ optional
+ * `sortBy`) hash-bucket the output into a catalog table (`table` option
+ * required — bucket layout lives in table metadata, so the path-only reader
+ * cannot see it): two tables bucketed the same way join with ZERO exchange
+ * — the way a 100 TB fact table joins its dimensions nightly without
+ * re-shuffling either side. Read bucketed outputs back with the `table`
+ * source, not a path.
  */
 object FileSink extends Sink {
   val sinkType = "file"
@@ -38,12 +44,29 @@ object FileSink extends Sink {
       case WriteMode.Upsert =>
         throw new ConfigException("file sink: upsert not supported (use a keyed store)")
     }
+    val bucketSpec = config.options.get("buckets").map { n =>
+      val cols = ExprUtils.parseColumns(config.options.getOrElse("bucketBy",
+        throw new ConfigException("file sink: 'buckets' requires 'bucketBy' columns")))
+      (n.toInt, cols)
+    }
     SinkObserve(data, ctx) { observed =>
       val out = config.options.get("coalesce").map(n => observed.coalesce(n.toInt)).getOrElse(observed)
       var writer = out.write.format(format).mode(mode)
-        .options(config.options -- Seq("path", "format", "coalesce"))
+        .options(config.options -- Seq("path", "format", "coalesce", "buckets", "bucketBy", "sortBy", "table"))
       if (config.partitionBy.nonEmpty) writer = writer.partitionBy(config.partitionBy: _*)
-      writer.save(path)
+      bucketSpec match {
+        case Some((n, cols)) =>
+          val table = config.options.getOrElse("table",
+            throw new ConfigException(
+              "file sink: bucketed output needs a 'table' name (bucket layout lives in catalog metadata)"))
+          writer = writer.bucketBy(n, cols.head, cols.tail: _*)
+          config.options.get("sortBy").foreach { s =>
+            val sc = ExprUtils.parseColumns(s)
+            writer = writer.sortBy(sc.head, sc.tail: _*)
+          }
+          writer.option("path", path).saveAsTable(table) // external: data stays at `path`
+        case None => writer.save(path)
+      }
     }
   }
   override def validate(config: SinkConfig): List[String] =

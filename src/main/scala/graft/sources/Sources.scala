@@ -61,6 +61,23 @@ object FileSource extends Source {
 }
 
 /**
+ * table — reads a catalog table by name (`spark.table`). The point at
+ * scale: catalog metadata carries what a bare path cannot — bucket layout
+ * (joins/aggregations on the bucket key skip their exchange entirely),
+ * partition columns for pruning, and statistics for the optimizer. This is
+ * how the output of [[graft.sinks.FileSink]]'s bucketed mode is read back;
+ * reading its path directly would silently forget the bucketing.
+ */
+object TableSource extends Source {
+  val sourceType = "table"
+  def read(config: SourceConfig)(implicit spark: SparkSession): DataFrame =
+    spark.table(config.options.getOrElse("table",
+      throw new ConfigException("table source: 'table' option required")))
+  override def validate(config: SourceConfig): List[String] =
+    if (config.options.contains("table")) Nil else List("table source: missing 'table'")
+}
+
+/**
  * kafka (batch read) — reads a topic slice; raw binary key/value cast to
  * string; exposes key,value,topic,partition,offset,timestamp.
  * Reference: extractor/KafkaExtractor.scala:27-72. The real path is

@@ -47,6 +47,46 @@ class QueryPlanSpec extends SparkTestBase {
     plan(joined) should include("BroadcastHashJoin")
   }
 
+  test("bucketed sink + table source: co-located join plans with zero exchange") {
+    import graft.config.{SinkConfig, SourceConfig, WriteMode}
+    import graft.sinks.FileSink
+    import graft.sources.TableSource
+    val dirA = tmpDir("bk-a"); val dirB = tmpDir("bk-b")
+    val a = (0 until 10000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "va")
+    val b = (0 until 5000).map(i => (i.toLong % 100, i.toLong * 2)).toDF("k", "vb")
+    FileSink.write(a, SinkConfig("file", Map("path" -> dirA, "buckets" -> "4",
+      "bucketBy" -> "k", "sortBy" -> "k", "table" -> "bk_a"), WriteMode.Overwrite), ctx)
+    FileSink.write(b, SinkConfig("file", Map("path" -> dirB, "buckets" -> "4",
+      "bucketBy" -> "k", "sortBy" -> "k", "table" -> "bk_b"), WriteMode.Overwrite), ctx)
+    try {
+      val ta = TableSource.read(SourceConfig("table", Map("table" -> "bk_a")))(spark)
+      val tb = TableSource.read(SourceConfig("table", Map("table" -> "bk_b")))(spark)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = ta.join(tb, Seq("k"))
+        joined.count() shouldBe 500000L // 100 keys × (100 a-rows × 50 b-rows)
+        val p = joined.queryExecution.executedPlan.toString
+        p should include("SortMergeJoin")
+        p should not include "Exchange" // bucket layout replaces both shuffles
+        // sortBy metadata also elides the per-partition sorts? (not required:
+        // multiple files per bucket may still need a sort — exchange-free is
+        // the property that matters at 100 TB)
+        // bucketed group-by on the bucket key also runs exchange-free
+        val agg = ta.groupBy("k").count()
+        agg.queryExecution.executedPlan.toString should not include "Exchange"
+        agg.count() shouldBe 100
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_a")
+      spark.sql("DROP TABLE IF EXISTS bk_b")
+    }
+    // bucketed write without a table name is a typed config error
+    an[graft.api.ConfigException] should be thrownBy FileSink.write(a,
+      SinkConfig("file", Map("path" -> tmpDir("bk-c"), "buckets" -> "4",
+        "bucketBy" -> "k"), WriteMode.Overwrite), ctx)
+  }
+
   test("partitionBy sink output enables partition pruning on re-read") {
     val dir = tmpDir("pruning")
     Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("k", "v")
