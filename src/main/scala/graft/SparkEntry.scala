@@ -415,8 +415,13 @@ object SparkEntry {
         streaming = Some(StreamingConfig(
           checkpointLocation = Some(java.nio.file.Files.createTempDirectory("q32ck").toString),
           watermarkColumn = Some("ts"), watermarkDelay = Some("1 hour"),
-          outputMode = "append")))
-      new graft.streaming.StreamingExecutor().start(cfg)(s).awaitTermination(120000)
+          outputMode = "append",
+          // ~3.4k distinct windows: 8 state stores, not 32 — each state
+          // partition pays per-batch open/commit overhead
+          shufflePartitions = Some(8))))
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try new graft.streaming.StreamingExecutor().start(cfg)(s).awaitTermination(120000)
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle) // batch queries follow
       s.table("q32_out")
     })
   )

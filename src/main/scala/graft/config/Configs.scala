@@ -81,7 +81,14 @@ final case class StreamingConfig(
     watermarkColumn: Option[String] = None,
     watermarkDelay: Option[String] = None,
     trigger: Option[String] = None, // "availableNow" | "processingTime=5 seconds"
-    outputMode: String = "append")
+    outputMode: String = "append",
+    // Stateful-operator partition count for THIS query (sets the session's
+    // shuffle partitions before start; sticky for the query's lifetime via
+    // the offset log). Size to key cardinality: a stream with thousands of
+    // distinct windows/keys wants far fewer state stores than a 100 TB
+    // batch shuffle wants partitions — each state partition pays per-batch
+    // open/commit/snapshot overhead regardless of how little state it holds.
+    shufflePartitions: Option[Int] = None)
 
 final case class PipelineConfig(
     pipelineId: String,

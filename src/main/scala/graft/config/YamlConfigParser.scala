@@ -113,7 +113,8 @@ final class YamlConfigParser(credentials: CredentialProvider = EnvCredentialProv
       watermarkColumn = str(m, "watermarkColumn"),
       watermarkDelay = str(m, "watermarkDelay"),
       trigger = str(m, "trigger"),
-      outputMode = str(m, "outputMode").getOrElse("append"))
+      outputMode = str(m, "outputMode").getOrElse("append"),
+      shufflePartitions = int(m, "shufflePartitions"))
 
   // ---- helpers ----
   private def asMap(o: Object): Map[String, Object] = o match {

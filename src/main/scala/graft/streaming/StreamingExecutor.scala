@@ -37,6 +37,11 @@ final class StreamingExecutor(
     val runId = UUID.randomUUID().toString
     val ctx = RunContext(spark, config.pipelineId, runId)
     val st = config.streaming.getOrElse(StreamingConfig())
+    // session-level by necessity (Spark reads it at query planning, then
+    // pins it in the offset log); deliberately NOT restored — a streaming
+    // pipeline owns its session for its lifetime
+    st.shufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
 
     val in = readStream(config.source, st)
     val transformed = config.transformations.foldLeft(in) { (d, tc) =>
