@@ -156,11 +156,14 @@ object Ann {
    * order stand in for centroids (hash-reservoir sampling — no k-means
    * iterations, no RNG state; at 100 TB you'd warm-start real centroids the
    * same way). The codebook is materialized to the driver — O(nLists·dim),
-   * definitionally small for IVF — and folded into the plan as array
-   * LITERALS, so centroid assignment is a pure projection over the corpus
-   * scan: `greatest()` over nLists codegen'd cosine similarities, ZERO
-   * shuffle and zero extra rows (the former crossJoin+window assignment
-   * materialized and shuffled corpus × nLists rows just to take an argmax).
+   * definitionally small for IVF — and carried by the fused
+   * [[graft.functions.expressions.ArgTopCentroids]] node as a reference
+   * object, so centroid assignment is a pure single-node projection over
+   * the corpus scan: ZERO shuffle, zero extra rows, and zero plan literals
+   * (the former crossJoin+window assignment materialized and shuffled
+   * corpus × nLists rows just to take an argmax; the literal-folded
+   * greatest-of-structs form after it bloated the plan with nLists×dim
+   * literals per side).
    * Queries probe their `nProbe` nearest lists, so the search touches
    * nProbe/nLists of the corpus instead of all of it. Same output shape as
    * [[bruteForceTopK]].
@@ -168,41 +171,23 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int, nLists: Int = 64, nProbe: Int = 8): DataFrame = {
-    val centroidVecs: Seq[Seq[Float]] = corpus
+    val centroids: Array[Array[Float]] = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nLists)
       .select(col(vecCol).cast("array<float>")).collect()
-      .map(_.getSeq[Float](0)).toSeq
+      .map(_.getSeq[Float](0).toArray)
     // degenerate corpora (0 or 1 vectors): no codebook to probe — brute
     // force IS the IVF plan with one list, and it handles empty inputs
-    if (centroidVecs.size <= 1)
+    if (centroids.length <= 1)
       return bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
 
-    def centroidSims(vec: Column): Seq[Column] =
-      centroidVecs.map(cv => cosine(vec, typedLit(cv)))
-
-    /** Nearest list id: max over (sim, -list_id) structs → highest sim,
-      * lowest list id on ties — identical to the old window tie-break. */
-    def nearestList(vec: Column): Column = {
-      val ranked = centroidSims(vec).zipWithIndex.map { case (s, i) =>
-        struct(s.as("s"), lit(-i).as("ni"))
-      }
-      -greatest(ranked: _*).getField("ni")
-    }
-
-    /** The nProbe nearest list ids for a query vector (ascending on
-      * (-sim, list_id), sliced, exploded by the caller). */
-    def probeLists(vec: Column): Column = {
-      val ranked = centroidSims(vec).zipWithIndex.map { case (s, i) =>
-        struct((-s).as("ns"), lit(i).as("list_id"))
-      }
-      slice(sort_array(array(ranked: _*)), 1, nProbe).getField("list_id")
-    }
-
+    // one fused plan node per side — the codebook rides as a reference
+    // object, not as nLists×dim plan literals (see ArgTopCentroids)
+    import graft.functions.expressions.ArgTopCentroids
     val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"),
-      nearestList(col(vecCol)).as("list_id"))
+      ArgTopCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
     val probes = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qvec"),
-      explode(probeLists(col(vecCol))).as("list_id"))
+      explode(ArgTopCentroids(col(vecCol), centroids, nProbe)).as("list_id"))
 
     val cands = assigned.join(broadcast(probes), Seq("list_id"))
       .withColumn("sim", cosine(col("cvec"), col("qvec")))

@@ -1,0 +1,104 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expression: ids of the `k` nearest centroids to a vector
+ * by cosine similarity (ties broken toward the lower id), as one plan node.
+ *
+ * The codebook rides along as a reference object — NOT as plan literals.
+ * The composed form it replaces built `nLists` separate
+ * `CosineSimilarity(vec, typedLit(centroid))` expressions plus a
+ * `greatest`/`sort_array` over `nLists` structs, duplicated on the corpus
+ * AND query sides — at IVF defaults (64 lists × 64 dims) that is ~8k
+ * literal doubles and hundreds of expression nodes per plan, the same
+ * plan-size pathology class as the round-2 hyperplane regression. Here the
+ * plan carries ONE node and the generated code one static call; the
+ * codebook array is shipped once per task via the references array.
+ *
+ * Arithmetic is bit-identical to the composed form (spec-asserted): per
+ * centroid the same fused dot/norms loop as [[CosineSimilarity]]
+ * (left-to-right double accumulation, 0.0 on zero denominator), and the
+ * same (sim DESC, id ASC) ordering as the greatest-struct / sorted-struct
+ * selection it replaces.
+ */
+case class ArgTopCentroids(child: Expression, centroids: Array[Array[Float]], k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"arg_top_centroids expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ArgTopCentroids.compute(input.asInstanceOf[ArrayData], centroids, k, isDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.ArgTopCentroids.compute($c, $ref, $k, $isDouble)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ArgTopCentroids {
+  def apply(vec: Column, centroids: Array[Array[Float]], k: Int): Column =
+    GraftBridge.column(ArgTopCentroids(GraftBridge.expression(vec), centroids, k))
+
+  /** Static for codegen: cosine against every centroid (same fused loop as
+    * CosineSimilarity), then select the k best by (sim DESC, id ASC) with a
+    * simple repeated-max scan — nLists is small by IVF's definition. */
+  def compute(vec: ArrayData, centroids: Array[Array[Float]], k: Int,
+              isDouble: Boolean): ArrayData = {
+    val nLists = centroids.length
+    val sims = new Array[Double](nLists)
+    var c = 0
+    while (c < nLists) {
+      val cv = centroids(c)
+      val n = math.min(vec.numElements(), cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = if (isDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
+        val y = cv(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      sims(c) = if (denom == 0.0) 0.0 else dot / denom
+      c += 1
+    }
+    val kk = math.min(k, nLists)
+    val out = new Array[Int](kk)
+    val used = new Array[Boolean](nLists)
+    var r = 0
+    while (r < kk) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var j = 0
+      while (j < nLists) {
+        if (!used(j) && sims(j) > bestSim) { best = j; bestSim = sims(j) }
+        j += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -172,6 +172,46 @@ class AnnSpec extends SparkTestBase {
     top.where("vec_id = 777").count() shouldBe 0
   }
 
+  test("ArgTopCentroids matches the literal greatest/sort_array form, one plan node") {
+    import graft.functions.expressions.{ArgTopCentroids, CosineSimilarity}
+    val rnd = new scala.util.Random(31)
+    val centroids = Array.fill(16)(Array.fill(8)(rnd.nextFloat() - 0.5f))
+    val vecs = (0 until 200).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("id", "v")
+    // the replaced composed form: nLists literal-array cosines + struct argmax
+    def centroidSims(vec: org.apache.spark.sql.Column) =
+      centroids.toSeq.map(cv => CosineSimilarity(vec, typedlit(cv.toSeq)))
+    val nearestLiteral = {
+      val ranked = centroidSims(col("v")).zipWithIndex.map { case (s, i) =>
+        struct(s.as("s"), lit(-i).as("ni")) }
+      -greatest(ranked: _*).getField("ni")
+    }
+    val probesLiteral = {
+      val ranked = centroidSims(col("v")).zipWithIndex.map { case (s, i) =>
+        struct((-s).as("ns"), lit(i).as("list_id")) }
+      slice(sort_array(array(ranked: _*)), 1, 4).getField("list_id")
+    }
+    val both = vecs.select(col("id"),
+      ArgTopCentroids(col("v"), centroids, 1).getItem(0).as("fusedNearest"),
+      nearestLiteral.as("litNearest"),
+      ArgTopCentroids(col("v"), centroids, 4).as("fusedProbes"),
+      probesLiteral.as("litProbes")).collect()
+    both.foreach { r =>
+      r.getInt(1) shouldBe r.getInt(2)
+      r.getSeq[Int](3) shouldBe r.getSeq[Int](4)
+    }
+    // fused: one node, no plan literals; codegen'd projection (parquet-backed
+    // scan — a LocalRelation would constant-fold the whole projection away)
+    val dir = tmpDir("atc")
+    vecs.write.mode("overwrite").parquet(dir)
+    val fusedPlan = spark.read.parquet(dir)
+      .select(ArgTopCentroids(col("v"), centroids, 4).as("p"))
+      .queryExecution.executedPlan.toString
+    fusedPlan.toLowerCase should include("argtopcentroids")
+    fusedPlan should include regex """\*\(\d+\) Project"""
+    fusedPlan.length should be < 4000
+  }
+
   test("empty and single-row corpora build and return gracefully") {
     val queries = corpus.where("vec_id = 0")
       .select(col("vec_id").as("query_id"), col("embedding"))
