@@ -55,6 +55,23 @@ class ExamplesSpec extends SparkTestBase {
     m.stages.map(_.stage) should contain allOf ("extract", "quality", "transform+load")
   }
 
+  test("quickstart-5: embedding near-dedup into a bucketed catalog table") {
+    try {
+      run("quickstart-5-bucketed-embeddings.yaml")
+      // read back through the catalog: bucket layout makes the self-join on
+      // vec_id exchange-free
+      val t = spark.table("quickstart5_embeddings")
+      t.count() should be > 0L
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = t.join(t.select($"vec_id", $"label".as("label2")), Seq("vec_id"))
+        joined.queryExecution.executedPlan.toString should not include "Exchange"
+        joined.count() shouldBe t.count()
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS quickstart5_embeddings")
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
