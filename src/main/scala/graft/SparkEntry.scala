@@ -324,6 +324,26 @@ object SparkEntry {
           graft.dedup.Dedup.ngramJaccard(col("ta"), col("tb"), 3).as("jaccard"))
     }),
 
+    // ---- LLM-data-pipeline: curation / export operators ----
+    // token-budget shard packing via the declarative `shard` transform:
+    // distributed two-phase prefix sum, oracle'd against the equivalent
+    // single-partition SQL window (identical long arithmetic)
+    "q43_shard_pack" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("shard", "idColumn" -> "doc_id", "weightColumn" -> "n_chars",
+          "budget" -> "50000"))
+        .select("doc_id", "cum_before", "shard_id")),
+    // deterministic reproducible sampling (mod path — the hash path is
+    // spec-tested; xxhash64 has no DuckDB equivalent)
+    "q44_sample_mod" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("sample", "on" -> "doc_id", "buckets" -> "10", "keep" -> "3",
+          "method" -> "mod"))
+        .select("doc_id", "lang", "n_chars")),
+    // corpus vocabulary: top-k term frequencies, deterministic tie-break
+    "q45_vocab_topk" -> ((s, dir) =>
+      graft.functions.TextFunctions.vocabTopK(tab(s, dir, "documents"), "text", 100)),
+
     // ---- LLM-data-pipeline: similarity search over embeddings ----
     "q28_ann_topk" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -642,6 +662,28 @@ object SparkEntry {
                            ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
                                 / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
                       END, 4) AS jaccard
-         FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"""
+         FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""",
+    // exclusive prefix sum over doc_id order; integer division for the
+    // shard id (exact long arithmetic on both sides)
+    "q43_shard_pack" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                                       AND 1 PRECEDING), 0) AS cb
+           FROM documents)
+         SELECT doc_id, CAST(cb AS BIGINT) AS cum_before,
+                CAST(cb // 50000 AS BIGINT) AS shard_id
+         FROM c""",
+    "q44_sample_mod" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 < 3",
+    // same tokenization as q23's oracle (lower+trim, split on \s+ runs)
+    "q45_vocab_topk" ->
+      """WITH w AS (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                     x -> x <> '')) AS word
+           FROM documents)
+         SELECT word, count(*) AS n FROM w
+         GROUP BY word ORDER BY n DESC, word LIMIT 100"""
   )
 }

@@ -105,6 +105,24 @@ object TextFunctions {
 
   /** Word n-gram array ("a b c", 2 → ["a b", "b c"]); docs shorter than n
     * tokens get a single shingle of the whole text. */
+  /**
+   * Corpus-level vocabulary: the `k` most frequent whitespace tokens
+   * (lowercased; same tokenization as [[tokens]]) with their counts,
+   * deterministically tie-broken by word. Scale shape: explode feeds a
+   * hash aggregate with map-side partial counts — the shuffle carries one
+   * row per DISTINCT word per partition, not per token occurrence — and
+   * the `orderBy().limit()` plans as TakeOrderedAndProject (per-partition
+   * top-k heaps + a driver merge of k·partitions rows), never a global
+   * sort of the vocabulary.
+   */
+  def vocabTopK(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(k)
+
   def wordNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) <= n, array(array_join(t, " "))).otherwise(

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.api.{RunContext, Transform}
+import graft.config.TransformConfig
+
+/**
+ * Token-budget shard packing for training-data exports: assign every row a
+ * `shard_id` so that consecutive rows (in `idCol` order) fill each shard up
+ * to ~`budget` total weight (tokens, chars, bytes). The semantics are
+ * exactly the SQL window
+ *
+ * {{{
+ *   floor(coalesce(sum(w) OVER (ORDER BY id
+ *                               ROWS BETWEEN UNBOUNDED PRECEDING
+ *                                        AND 1 PRECEDING), 0) / budget)
+ * }}}
+ *
+ * but that plan puts the ENTIRE corpus through one task (a global ORDER BY
+ * window is a SinglePartition exchange) — a non-starter at 100 TB. Here the
+ * prefix sum is computed distributed, the classic two-phase scan:
+ *
+ *   1. `repartitionByRange(idCol)` + `sortWithinPartitions` — one range
+ *      shuffle, the same data movement ANY global organization needs;
+ *   2. a tiny job sums each partition's weights — O(numPartitions) values
+ *      collected, and because both jobs run over the SAME shuffled RDD the
+ *      map stage is reused, not recomputed;
+ *   3. exclusive per-partition offsets (scanLeft) are broadcast and a
+ *      per-partition running sum stamps `cum_before`/`shard_id` — pure
+ *      per-partition imperative logic, the one place `mapPartitions`
+ *      genuinely beats a declarative plan.
+ *
+ * Weights must be integral (token/char/byte counts) so the running sums are
+ * exact long arithmetic — bit-identical to the SQL-window oracle regardless
+ * of partitioning. Null weights count as 0. `idCol` must be unique for the
+ * assignment to be deterministic (it is the total order).
+ */
+object Shards {
+  /**
+   * @param numPartitions range-partition count; 0 → session shuffle partitions
+   * @return input columns + `cum_before` (exclusive prefix sum) + `shard_id`
+   */
+  def assignShards(df: DataFrame, idCol: String, weightCol: String, budget: Long,
+                   numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(n, col(idCol)).sortWithinPartitions(col(idCol))
+    val schema = ranged.schema
+    val wIdx = schema.fieldIndex(weightCol)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    schema(wIdx).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"weight column '$weightCol' must be integral for exact shard sums, got $other")
+    }
+    def weightOf(r: Row): Long =
+      if (r.isNullAt(wIdx)) 0L else r.get(wIdx).asInstanceOf[Number].longValue()
+
+    // One RDD object shared by both jobs: the partial-sum collect below
+    // materializes the range shuffle, the stamping pass reuses its map output.
+    val rdd = ranged.rdd
+    rdd.setName(s"graft.shards.ranged($idCol)")
+    val partials = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(s += weightOf(_)); Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partials.scanLeft(0L)(_ + _) // offsets(pid) = total weight before partition pid
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("cum_before", LongType, nullable = false),
+      StructField("shard_id", LongType, nullable = false)))
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bOffsets.value(pid)
+      it.map { r =>
+        val before = cum
+        cum += weightOf(r)
+        Row.fromSeq(r.toSeq ++ Seq(before, before / budget))
+      }
+    }
+    spark.createDataFrame(stamped, outSchema)
+  }
+}
+
+/**
+ * `shard` — declarative wrapper over [[Shards.assignShards]].
+ * Options: `idColumn`, `weightColumn`, `budget` (required);
+ * `numPartitions` (optional, defaults to session shuffle partitions).
+ */
+object ShardTransform extends Transform {
+  val transformType = "shard"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn"); required(config, "weightColumn"); required(config, "budget")
+    Shards.assignShards(
+      input,
+      config.options("idColumn"),
+      config.options("weightColumn"),
+      config.options("budget").toLong,
+      config.options.get("numPartitions").map(_.toInt).getOrElse(0))
+  }
+}
+
+/**
+ * `sample` — deterministic, reproducible row sampling; no `rand()`, so a
+ * re-run of the pipeline (or a retried task at 100 TB) selects the SAME
+ * rows. Two methods over a key column:
+ *
+ *  - `hash` (default): keep rows with `pmod(xxhash64(key, seed), buckets)
+ *    < keep` — hash-uniform regardless of key distribution; changing `seed`
+ *    draws an independent sample. Codegen'd, shuffle-free, works for any
+ *    key type.
+ *  - `mod`: keep rows with `pmod(key, buckets) < keep` — for integral keys;
+ *    arithmetic simple enough for any external system to reproduce exactly
+ *    (the oracle path).
+ *
+ * Options: `on` (key column), `keep` out of `buckets` (default 100);
+ * `method` hash|mod, `seed` (hash only, default 0).
+ */
+object SampleTransform extends Transform {
+  val transformType = "sample"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "on"); required(config, "keep")
+    val key = col(config.options("on"))
+    val buckets = config.options.getOrElse("buckets", "100").toInt
+    val keep = config.options("keep").toInt
+    require(buckets > 0 && keep >= 0 && keep <= buckets,
+      s"need 0 <= keep <= buckets, got keep=$keep buckets=$buckets")
+    val bucket = config.options.getOrElse("method", "hash") match {
+      case "hash" => pmod(xxhash64(key, lit(config.options.getOrElse("seed", "0").toLong)), lit(buckets))
+      case "mod"  => pmod(key, lit(buckets))
+      case other  => throw new IllegalArgumentException(s"sample method must be hash|mod, got '$other'")
+    }
+    input.where(bucket < lit(keep))
+  }
+}

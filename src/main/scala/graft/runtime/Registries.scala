@@ -31,6 +31,8 @@ object Registries {
     MinhashDedupTransform.transformType -> MinhashDedupTransform,
     SimhashDedupTransform.transformType -> SimhashDedupTransform,
     EmbeddingDedupTransform.transformType -> EmbeddingDedupTransform,
+    ShardTransform.transformType      -> ShardTransform,
+    SampleTransform.transformType     -> SampleTransform,
     RegisterTransform.transformType   -> RegisterTransform))
 
   def sinks(): Registry[Sink] = new Registry[Sink]("sink", Map(

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.api.RunContext
+import graft.config.TransformConfig
+
+class ShardsAndSampleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ctx = RunContext(spark, "shards-spec", "test")
+  private def t(typ: String, opts: (String, String)*): TransformConfig =
+    TransformConfig(s"$typ-spec", typ, opts.toMap)
+
+  private def docs(n: Int): DataFrame =
+    (1 to n).map(i => (i.toLong, s"doc $i", (i * 37 % 500 + 1).toLong))
+      .toDF("doc_id", "text", "n_tokens")
+
+  test("assignShards matches the SQL-window prefix sum across partition boundaries") {
+    val d = docs(1000)
+    // expected = the single-partition window formulation
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val expected = d
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("shard_id", col("cum_before") / lit(1000L) cast "long")
+      .select("doc_id", "cum_before", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // small partitions force many boundary crossings
+    val got = Shards.assignShards(d, "doc_id", "n_tokens", 1000L, numPartitions = 7)
+      .select("doc_id", "cum_before", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe expected
+  }
+
+  test("assignShards is distributed: keeps the range partitioning, no window node") {
+    val out = Shards.assignShards(docs(200), "doc_id", "n_tokens", 500L, numPartitions = 5)
+    out.rdd.getNumPartitions shouldBe 5
+    out.queryExecution.executedPlan.toString should not include "Window"
+    // rows within each partition stay id-sorted (the export order)
+    val perPartition = out.select("doc_id")
+      .rdd.mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+    perPartition.foreach(ids => ids shouldBe ids.sorted)
+  }
+
+  test("assignShards edge cases: empty input, single row, null weights") {
+    val empty = Shards.assignShards(docs(0), "doc_id", "n_tokens", 100L)
+    empty.count() shouldBe 0L
+    empty.columns should contain allOf ("cum_before", "shard_id")
+
+    val one = Shards.assignShards(docs(1), "doc_id", "n_tokens", 100L)
+      .select("cum_before", "shard_id").head()
+    (one.getLong(0), one.getLong(1)) shouldBe ((0L, 0L))
+
+    val withNulls = docs(10).withColumn("n_tokens",
+      when(col("doc_id") % 2 === 0, lit(null)).otherwise(col("n_tokens")))
+    val stamped = Shards.assignShards(withNulls, "doc_id", "n_tokens", 100L)
+    // null weights count 0: doc 10 (null weight) accumulates only odd ids 1..9
+    val lastBefore = stamped.orderBy(desc("doc_id")).select("cum_before").head().getLong(0)
+    val oddSum = (1 to 9 by 2).map(i => (i * 37 % 500 + 1).toLong).sum
+    lastBefore shouldBe oddSum
+  }
+
+  test("assignShards rejects non-integral weights and non-positive budgets") {
+    val d = docs(5).withColumn("w", col("n_tokens").cast("double"))
+    an[IllegalArgumentException] should be thrownBy
+      Shards.assignShards(d, "doc_id", "w", 100L)
+    an[IllegalArgumentException] should be thrownBy
+      Shards.assignShards(d, "doc_id", "n_tokens", 0L)
+  }
+
+  test("sample hash: reproducible across runs, seed-sensitive, roughly uniform") {
+    val d = docs(2000)
+    def run(seed: String): Set[Long] =
+      SampleTransform(d, t("sample", "on" -> "doc_id", "buckets" -> "10",
+        "keep" -> "3", "seed" -> seed), ctx)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = run("0")
+    run("0") shouldBe a                       // deterministic re-run
+    val b = run("42")
+    b should not be a                          // independent draw per seed
+    // keep/buckets = 30%; hash-uniform within a loose band
+    a.size.toDouble / 2000 shouldBe 0.30 +- 0.05
+    b.size.toDouble / 2000 shouldBe 0.30 +- 0.05
+  }
+
+  test("sample mod matches plain modulus filtering; bad options rejected") {
+    val d = docs(100)
+    val got = SampleTransform(d, t("sample", "on" -> "doc_id", "buckets" -> "10",
+      "keep" -> "3", "method" -> "mod"), ctx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    got shouldBe (1 to 100).filter(_ % 10 < 3).map(_.toLong).toSet
+
+    an[IllegalArgumentException] should be thrownBy
+      SampleTransform(d, t("sample", "on" -> "doc_id", "keep" -> "11",
+        "buckets" -> "10"), ctx)
+    an[IllegalArgumentException] should be thrownBy
+      SampleTransform(d, t("sample", "on" -> "doc_id", "keep" -> "1",
+        "method" -> "nope"), ctx)
+  }
+
+  test("vocabTopK counts lowercased whitespace tokens with deterministic ties") {
+    val d = Seq(
+      (1L, "The cat sat"), (2L, "the CAT ran"), (3L, "a dog  sat"), (4L, " ")
+    ).toDF("doc_id", "text")
+    val rows = graft.functions.TextFunctions.vocabTopK(d, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows shouldBe Array(("cat", 2L), ("sat", 2L), ("the", 2L))
+    // top-k is TakeOrderedAndProject, not a global sort
+    graft.functions.TextFunctions.vocabTopK(d, "text", 3)
+      .queryExecution.executedPlan.toString should include ("TakeOrderedAndProject")
+  }
+}
