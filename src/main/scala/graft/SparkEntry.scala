@@ -30,9 +30,16 @@ import graft.runtime.Registries
  */
 object SparkEntry {
   private val transforms = Registries.transforms()
-  /** Streaming-input staging dirs, memoized per source dir (q32). */
+  /** Streaming-input staging dirs, memoized per source dir (q32/q46): test
+    * scaffolding only — real deployments stream already-landed files. */
   private val q32InputDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedEventsDir(s: SparkSession, dir: String): String =
+    q32InputDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("q32in").toString
+      tab(s, d, "events").write.mode("overwrite").parquet(tmp)
+      tmp
+    })
 
   private def ctx(s: SparkSession) = RunContext(s, "sparkentry", "verify")
   private def t(typ: String, opts: (String, String)*): TransformConfig =
@@ -417,11 +424,7 @@ object SparkEntry {
       // The staged input directory is memoized per source dir: it is test
       // scaffolding (real deployments already have landed files), so only
       // the streaming query itself should be re-timed on repeat runs.
-      val inDir = q32InputDirs.computeIfAbsent(dir, { d =>
-        val tmp = java.nio.file.Files.createTempDirectory("q32in").toString
-        tab(s, d, "events").write.mode("overwrite").parquet(tmp)
-        tmp
-      })
+      val inDir = stagedEventsDir(s, dir)
       val cfg = PipelineConfig(
         pipelineId = s"q32_${System.nanoTime()}",
         executionMode = ExecutionMode.MicroBatch,
@@ -443,6 +446,43 @@ object SparkEntry {
       try new graft.streaming.StreamingExecutor().start(cfg)(s).awaitTermination(120000)
       finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle) // batch queries follow
       s.table("q32_out")
+    }),
+
+    // arbitrary-state streaming: flatMapGroupsWithState sessionization with
+    // event-time timeouts. Emission set is deterministic — a session closes
+    // iff the final watermark (max event ts, ms-floored; delay 0) advances
+    // BEYOND last_event + gap — so DuckDB oracles it exactly: gap-break
+    // sessions via lag()+running sum, the watermark cutoff as a strict
+    // epoch-ms comparison. All times projected as epoch millis (the
+    // operator's own precision: state math runs on Timestamp.getTime).
+    "q46_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val inDir = stagedEventsDir(s, dir)
+      val ev = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(inDir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .withWatermark("ts", "0 seconds")
+        .as[graft.streaming.Sessionize.Event]
+      val sessions = graft.streaming.Sessionize.sessions(ev, gapMs = 30 * 60 * 1000L)
+      val qn = "q46_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // few state stores, not 32
+      try {
+        val q = sessions.writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("q46ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(qn).select(col("user_id"),
+        unix_millis(col("session_start")).as("session_start_ms"),
+        unix_millis(col("session_end")).as("session_end_ms"),
+        col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
     })
   )
 
@@ -677,6 +717,33 @@ object SparkEntry {
          FROM c""",
     "q44_sample_mod" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 < 3",
+    // gap sessions: break where the ms-floored gap to the previous event
+    // exceeds 30 min; running sum of breaks = session id. Emitted set =
+    // sessions the final watermark closed: last_event + gap strictly below
+    // max(ts) (both ms-floored — Spark tracks watermarks and this
+    // operator's state in epoch millis).
+    "q46_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events
+         ), m AS (
+           SELECT *, CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms)
+                               > 1800000 THEN 1 ELSE 0 END AS brk
+           FROM e
+         ), g AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m
+         ), sess AS (
+           SELECT user_id, min(tms) AS session_start_ms,
+                  max(tms) + 1800000 AS session_end_ms,
+                  count(*) AS n_events, round(sum(value), 2) AS total_value
+           FROM g GROUP BY user_id, sid
+         )
+         SELECT user_id, CAST(session_start_ms AS BIGINT) AS session_start_ms,
+                CAST(session_end_ms AS BIGINT) AS session_end_ms,
+                n_events, total_value
+         FROM sess
+         WHERE session_end_ms < (SELECT max(epoch_ms(ts::TIMESTAMP)) FROM events)""",
     // same tokenization as q23's oracle (lower+trim, split on \s+ runs)
     "q45_vocab_topk" ->
       """WITH w AS (
