@@ -350,6 +350,15 @@ object SparkEntry {
     // corpus vocabulary: top-k term frequencies, deterministic tie-break
     "q45_vocab_topk" -> ((s, dir) =>
       graft.functions.TextFunctions.vocabTopK(tab(s, dir, "documents"), "text", 100)),
+    // benchmark decontamination: corpus docs sharing any word 3-gram with
+    // the "benchmark" slice (doc_id < 20) — broadcast shingle-set join,
+    // oracle-checked via q42's string-shingle parity
+    "q47_decontaminate" -> ((s, dir) => {
+      val d = tab(s, dir, "documents")
+      graft.dedup.Dedup.contaminationHits(
+        d.where("doc_id >= 20"), d.where("doc_id < 20"),
+        "doc_id", "text", "text", shingleSize = 3)
+    }),
 
     // ---- LLM-data-pipeline: similarity search over embeddings ----
     "q28_ann_topk" -> ((s, dir) => {
@@ -744,6 +753,31 @@ object SparkEntry {
                 n_events, total_value
          FROM sess
          WHERE session_end_ms < (SELECT max(epoch_ms(ts::TIMESTAMP)) FROM events)""",
+    // same shingle construction as q42 (ShingleHashes parity: lowercase,
+    // byte-run tokens, 3-grams on chr(31), <3-token docs → whole-text
+    // shingle); hash-vs-string set membership agrees modulo 2^-64 collisions
+    "q47_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
+                              x -> x <> '') AS toks
+           FROM documents
+         ), s AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) < 3
+                       THEN [array_to_string(toks, chr(31))]
+                       ELSE list_distinct([array_to_string(toks[i:i+2], chr(31))
+                                           FOR i IN range(1, len(toks) - 1)])
+                  END AS sh
+           FROM t
+         ), bench AS (
+           SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 20
+         ), corpus AS (
+           SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 20
+         )
+         SELECT c.doc_id, count(DISTINCT c.g) AS n_overlap
+         FROM corpus c JOIN bench b ON c.g = b.g
+         GROUP BY c.doc_id""",
     // same tokenization as q23's oracle (lower+trim, split on \s+ runs)
     "q45_vocab_topk" ->
       """WITH w AS (

@@ -162,6 +162,38 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination: find training documents that share any word
+   * `shingleSize`-gram with a benchmark/eval set. Returns `(idCol,
+   * n_overlap)` for contaminated docs only — `n_overlap` = number of
+   * DISTINCT shared shingles (join it back left_anti to drop, or inspect).
+   *
+   * Scale design: benchmark sets are tiny next to a training corpus, so the
+   * benchmark side reduces to a DISTINCT shingle-hash frame that is
+   * BROADCAST — the corpus is never shuffled for the join; each partition
+   * scans once, emits only hit (id, shingle) rows, and the final per-doc
+   * aggregate shuffles hits alone (bounded by corpus ∩ benchmark, not the
+   * corpus). Shingles are 64-bit [[graft.functions.expressions.ShingleHashes]]
+   * — same tokenization as the MinHash pipeline; collision odds across a
+   * corpus-scale shingle universe are ~2^-64 per pair, negligible even for
+   * set membership.
+   */
+  def contaminationHits(docs: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, benchTextCol: String,
+                        shingleSize: Int = 3): DataFrame = {
+    val benchSh = bench
+      .select(explode(graft.functions.expressions.ShingleHashes(
+        col(benchTextCol), shingleSize)).as("sh"))
+      .distinct()
+    docs
+      .select(col(idCol),
+        explode(graft.functions.expressions.ShingleHashes(
+          col(textCol), shingleSize)).as("sh"))
+      .join(broadcast(benchSh), "sh")
+      .groupBy(idCol)
+      .agg(count_distinct(col("sh")).as("n_overlap"))
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for a candidate pair set — the
    * verification primitive behind minhashNearDups, exposed directly for
    * small/blocked inputs.

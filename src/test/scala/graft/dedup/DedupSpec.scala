@@ -100,6 +100,22 @@ class DedupSpec extends SparkTestBase {
     m("near") should (be > 0.5 and be < 1.0)
   }
 
+  test("contaminationHits: shared benchmark 3-grams found via broadcast, clean docs absent") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix words then alpha beta gamma delta continues"), // 2 shared 3-grams
+      (11L, "totally different content about nothing shared here"),
+      (12L, "alpha beta gamma")) // exactly one shared shingle
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(corpus, bench, "doc_id", "text", "text")
+    val m = hits.as[(Long, Long)].collect().toMap
+    m.keySet shouldBe Set(10L, 12L)
+    m(10L) shouldBe 2L // "alpha beta gamma", "beta gamma delta"
+    m(12L) shouldBe 1L
+    // corpus is never shuffled for the join: benchmark side broadcasts
+    hits.queryExecution.executedPlan.toString should include ("BroadcastHashJoin")
+  }
+
   test("LSH bucket cap drops pathological mega-buckets instead of exploding") {
     // 60 identical docs → one bucket of 60 > cap 10 → no pairs, no blow-up
     val many = (1L to 60L).map(i => (i, base)).toDF("doc_id", "text")
