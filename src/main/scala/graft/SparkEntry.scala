@@ -350,6 +350,13 @@ object SparkEntry {
     // corpus vocabulary: top-k term frequencies, deterministic tie-break
     "q45_vocab_topk" -> ((s, dir) =>
       graft.functions.TextFunctions.vocabTopK(tab(s, dir, "documents"), "text", 100)),
+    // reproducible train/val/test assignment: every row labeled by its
+    // deterministic bucket's slice (mod path oracled; hash path spec'd)
+    "q48_split_mod" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("sample", "on" -> "doc_id", "buckets" -> "10",
+          "splits" -> "train:8,val:1,test:1", "method" -> "mod"))
+        .select("doc_id", "split")),
     // benchmark decontamination: corpus docs sharing any word 3-gram with
     // the "benchmark" slice (doc_id < 20) — broadcast shingle-set join,
     // oracle-checked via q42's string-shingle parity
@@ -753,6 +760,12 @@ object SparkEntry {
                 n_events, total_value
          FROM sess
          WHERE session_end_ms < (SELECT max(epoch_ms(ts::TIMESTAMP)) FROM events)""",
+    "q48_split_mod" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 10 < 8 THEN 'train'
+              WHEN doc_id % 10 < 9 THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents""",
     // same shingle construction as q42 (ShingleHashes parity: lowercase,
     // byte-run tokens, 3-grams on chr(31), <3-token docs → whole-text
     // shingle); hash-vs-string set membership agrees modulo 2^-64 collisions

@@ -111,31 +111,62 @@ object ShardTransform extends Transform {
  * re-run of the pipeline (or a retried task at 100 TB) selects the SAME
  * rows. Two methods over a key column:
  *
- *  - `hash` (default): keep rows with `pmod(xxhash64(key, seed), buckets)
- *    < keep` — hash-uniform regardless of key distribution; changing `seed`
+ *  - `hash` (default): bucket rows by `pmod(xxhash64(key, seed), buckets)`
+ *    — hash-uniform regardless of key distribution; changing `seed`
  *    draws an independent sample. Codegen'd, shuffle-free, works for any
  *    key type.
- *  - `mod`: keep rows with `pmod(key, buckets) < keep` — for integral keys;
- *    arithmetic simple enough for any external system to reproduce exactly
- *    (the oracle path).
+ *  - `mod`: bucket by `pmod(key, buckets)` — for integral keys; arithmetic
+ *    simple enough for any external system to reproduce exactly (the
+ *    oracle path).
  *
- * Options: `on` (key column), `keep` out of `buckets` (default 100);
- * `method` hash|mod, `seed` (hash only, default 0).
+ * Two output modes:
+ *  - `keep: "k"` — FILTER to rows in the first `k` of `buckets` buckets.
+ *  - `splits: "train:98,val:1,test:1"` — LABEL every row instead: append a
+ *    column (`splitColumn`, default `split`) naming the slice whose
+ *    cumulative bucket range the row's bucket falls in. The canonical
+ *    reproducible train/val/test assignment: group-stable (same key ⇒ same
+ *    slice on every run and every engine), no shuffle, no rand().
+ *
+ * Options: `on` (key column); `keep` or `splits` (exactly one);
+ * `buckets` (default 100); `method` hash|mod; `seed` (hash only, default 0);
+ * `splitColumn` (default `split`).
  */
 object SampleTransform extends Transform {
   val transformType = "sample"
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
-    required(config, "on"); required(config, "keep")
+    required(config, "on")
     val key = col(config.options("on"))
     val buckets = config.options.getOrElse("buckets", "100").toInt
-    val keep = config.options("keep").toInt
-    require(buckets > 0 && keep >= 0 && keep <= buckets,
-      s"need 0 <= keep <= buckets, got keep=$keep buckets=$buckets")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val bucket = config.options.getOrElse("method", "hash") match {
       case "hash" => pmod(xxhash64(key, lit(config.options.getOrElse("seed", "0").toLong)), lit(buckets))
       case "mod"  => pmod(key, lit(buckets))
       case other  => throw new IllegalArgumentException(s"sample method must be hash|mod, got '$other'")
     }
-    input.where(bucket < lit(keep))
+    (config.options.get("keep"), config.options.get("splits")) match {
+      case (Some(k), None) =>
+        val keep = k.toInt
+        require(keep >= 0 && keep <= buckets,
+          s"need 0 <= keep <= buckets, got keep=$keep buckets=$buckets")
+        input.where(bucket < lit(keep))
+      case (None, Some(splits)) =>
+        val parts = splits.split(",").map(_.trim).filter(_.nonEmpty).map { p =>
+          p.split(":") match {
+            case Array(name, w) => (name.trim, w.trim.toInt)
+            case _ => throw new IllegalArgumentException(
+              s"splits must be name:weight,... got '$p'")
+          }
+        }
+        require(parts.nonEmpty && parts.forall(_._2 > 0) && parts.map(_._2).sum == buckets,
+          s"split weights must be positive and sum to buckets=$buckets, got '$splits'")
+        // cumulative ranges: first slice gets buckets [0, w0), next [w0, w0+w1)…
+        val label = parts.zip(parts.scanLeft(0)(_ + _._2)).foldLeft(lit(null).cast("string")) {
+          case (acc, ((name, w), lo)) =>
+            when(bucket >= lit(lo) && bucket < lit(lo + w), lit(name)).otherwise(acc)
+        }
+        input.withColumn(config.options.getOrElse("splitColumn", "split"), label)
+      case _ => throw new IllegalArgumentException(
+        "sample needs exactly one of 'keep' (filter) or 'splits' (label)")
+    }
   }
 }

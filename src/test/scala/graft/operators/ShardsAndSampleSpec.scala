@@ -101,6 +101,32 @@ class ShardsAndSampleSpec extends SparkTestBase {
         "method" -> "nope"), ctx)
   }
 
+  test("sample splits: total stable labeling, weights honored, bad configs rejected") {
+    val d = docs(1000)
+    val labeled = SampleTransform(d, t("sample", "on" -> "doc_id", "buckets" -> "10",
+      "splits" -> "train:8,val:1,test:1"), ctx)
+    labeled.count() shouldBe 1000L                       // labels, never filters
+    labeled.where(col("split").isNull).count() shouldBe 0L
+    val byLabel = labeled.groupBy("split").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    byLabel.keySet shouldBe Set("train", "val", "test")
+    byLabel("train").toDouble / 1000 shouldBe 0.8 +- 0.06 // hash-uniform weights
+    // group-stable: same key → same slice on every run
+    val again = SampleTransform(d, t("sample", "on" -> "doc_id", "buckets" -> "10",
+      "splits" -> "train:8,val:1,test:1"), ctx)
+    labeled.select("doc_id", "split").exceptAll(again.select("doc_id", "split"))
+      .count() shouldBe 0L
+
+    an[IllegalArgumentException] should be thrownBy      // weights must sum to buckets
+      SampleTransform(d, t("sample", "on" -> "doc_id", "buckets" -> "10",
+        "splits" -> "train:5,val:1"), ctx)
+    an[IllegalArgumentException] should be thrownBy      // keep XOR splits
+      SampleTransform(d, t("sample", "on" -> "doc_id", "keep" -> "3",
+        "splits" -> "train:99,val:1"), ctx)
+    an[IllegalArgumentException] should be thrownBy
+      SampleTransform(d, t("sample", "on" -> "doc_id"), ctx)
+  }
+
   test("vocabTopK counts lowercased whitespace tokens with deterministic ties") {
     val d = Seq(
       (1L, "The cat sat"), (2L, "the CAT ran"), (3L, "a dog  sat"), (4L, " ")
