@@ -350,6 +350,16 @@ object SparkEntry {
     // corpus vocabulary: top-k term frequencies, deterministic tie-break
     "q45_vocab_topk" -> ((s, dir) =>
       graft.functions.TextFunctions.vocabTopK(tab(s, dir, "documents"), "text", 100)),
+    // Gopher-style repetition quality signals: fraction of word / bigram
+    // occurrences that repeat an earlier one (1 - distinct/total)
+    "q49_repetition" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions
+      tab(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.dupWordFraction(col("text")).as("dup_word_frac"),
+        TextFunctions.dupNgramFraction(col("text"), 2).as("dup_bigram_frac"))
+    }),
     // reproducible train/val/test assignment: every row labeled by its
     // deterministic bucket's slice (mod path oracled; hash path spec'd)
     "q48_split_mod" -> ((s, dir) =>
@@ -760,6 +770,30 @@ object SparkEntry {
                 n_events, total_value
          FROM sess
          WHERE session_end_ms < (SELECT max(epoch_ms(ts::TIMESTAMP)) FROM events)""",
+    // ShingleHashes parity again: non-distinct token / bigram multisets;
+    // blank docs and <n-token docs collapse to one whole-text shingle
+    "q49_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
+                              x -> x <> '') AS toks
+           FROM documents
+         ), w AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) = 0 THEN [''] ELSE toks END AS u,
+                  CASE WHEN len(toks) < 2
+                       THEN [array_to_string(toks, chr(31))]
+                       ELSE [array_to_string(toks[i:i+1], chr(31))
+                             FOR i IN range(1, len(toks))]
+                  END AS b
+           FROM t
+         )
+         SELECT doc_id,
+                round(1 - len(list_distinct(u))::DOUBLE / len(u)::DOUBLE, 4)
+                  AS dup_word_frac,
+                round(1 - len(list_distinct(b))::DOUBLE / len(b)::DOUBLE, 4)
+                  AS dup_bigram_frac
+         FROM w""",
     "q48_split_mod" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 10 < 8 THEN 'train'

@@ -123,6 +123,24 @@ object TextFunctions {
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
 
+  /**
+   * Repetition signals (Gopher-style quality filters): the fraction of
+   * word (or word n-gram) occurrences that are repeats of an earlier one —
+   * `1 - distinct/total`. High values flag boilerplate and degenerate
+   * machine text. Per-row codegen'd over the native
+   * [[graft.functions.expressions.ShingleHashes]] byte scan (order-kept,
+   * non-distinct), zero shuffle; degenerate docs (< n tokens, blank)
+   * collapse to one whole-text shingle → fraction 0.
+   */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val sh = graft.functions.expressions.ShingleHashes(text, n, distinct = false)
+    when(size(sh) === 0, 0.0).otherwise(
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"), 4))
+  }
+
+  /** [[dupNgramFraction]] at the single-word level. */
+  def dupWordFraction(text: Column): Column = dupNgramFraction(text, 1)
+
   def wordNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) <= n, array(array_join(t, " "))).otherwise(

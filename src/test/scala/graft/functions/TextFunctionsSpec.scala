@@ -39,6 +39,26 @@ class TextFunctionsSpec extends SparkTestBase {
     fps(0) should not be fps(2)
   }
 
+  test("repetition fractions: golden values, monotone in repeats, degenerate docs are 0") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "a b c d"),           // all distinct: word 0, bigram 0
+      (2L, "a a a a"),           // words 4→1 distinct = 0.75; bigrams 3→1 = 0.6667
+      (3L, "a b a b a"),         // words 5→2 = 0.6; bigrams 4→2 = 0.5
+      (4L, "one"),               // single token: both 0
+      (5L, ""))                  // blank: both 0
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.dupWordFraction(col("text")).as("w"),
+        TextFunctions.dupNgramFraction(col("text"), 2).as("b"))
+    val m = df.collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    m(1L) shouldBe ((0.0, 0.0))
+    m(2L) shouldBe ((0.75, 0.6667))
+    m(3L) shouldBe ((0.6, 0.5))
+    m(4L) shouldBe ((0.0, 0.0))
+    m(5L) shouldBe ((0.0, 0.0))
+  }
+
   test("word n-grams slide correctly and degrade on short docs") {
     one[Seq[String]](wordNgrams(col("t"), 2), "a b c") shouldBe Seq("a b", "b c")
     one[Seq[String]](wordNgrams(col("t"), 3), "a b") shouldBe Seq("a b")
