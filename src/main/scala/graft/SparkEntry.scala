@@ -350,6 +350,17 @@ object SparkEntry {
     // corpus vocabulary: top-k term frequencies, deterministic tie-break
     "q45_vocab_topk" -> ((s, dir) =>
       graft.functions.TextFunctions.vocabTopK(tab(s, dir, "documents"), "text", 100)),
+    // PII redaction: email/phone/ipv4 rewritten to typed placeholders over
+    // a synthesized PII-bearing column (documents carry no natural PII) —
+    // regex parity checked against DuckDB's RE2 on the same text
+    "q50_redact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = tab(s, dir, "documents").select(col("doc_id"),
+        concat(lit("reach user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 555-123-4567 or 10.0.0."),
+          (col("doc_id") % 250).cast("string"), lit(" end")).as("contact"))
+      ap(d, t("redact", "columns" -> "contact")).select("doc_id", "contact")
+    }),
     // Gopher-style repetition quality signals: fraction of word / bigram
     // occurrences that repeat an earlier one (1 - distinct/total)
     "q49_repetition" -> ((s, dir) => {
@@ -770,6 +781,18 @@ object SparkEntry {
                 n_events, total_value
          FROM sess
          WHERE session_end_ms < (SELECT max(epoch_ms(ts::TIMESTAMP)) FROM events)""",
+    // same rule order as RedactTransform: email, then phone, then ipv4;
+    // 'g' flag = replace-all (Spark's regexp_replace default)
+    "q50_redact" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+           concat('reach user', doc_id::VARCHAR,
+                  '@mail.example.com or 555-123-4567 or 10.0.0.',
+                  (doc_id % 250)::VARCHAR, ' end'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?\d{3}[- ]?\d{3}[- ]?\d{4}', '<PHONE>', 'g'),
+           '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS contact
+         FROM documents""",
     // ShingleHashes parity again: non-distinct token / bigram multisets;
     // blank docs and <n-token docs collapse to one whole-text shingle
     "q49_repetition" ->

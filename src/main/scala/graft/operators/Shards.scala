@@ -131,6 +131,45 @@ object ShardTransform extends Transform {
  * `buckets` (default 100); `method` hash|mod; `seed` (hash only, default 0);
  * `splitColumn` (default `split`).
  */
+/**
+ * `redact` — PII scrubbing for training corpora: rewrite every match of the
+ * selected patterns to a typed placeholder, in listed order, on the listed
+ * columns. Pure `regexp_replace` compositions — codegen'd, shuffle-free,
+ * linear scans; exactly what a 100 TB privacy pass must be.
+ *
+ * Built-in patterns (conservative, RE2-safe so any engine reproduces them):
+ * `email` → `<EMAIL>`, `phone` (NANP-ish `+?ddd[- ]ddd[- ]dddd`) → `<PHONE>`,
+ * `ipv4` → `<IP>`. Custom rules via `regex` + `replacement`.
+ *
+ * Options: `columns` (required, comma list); `patterns` (default
+ * `email,phone,ipv4`); `regex`/`replacement` (optional extra rule, applied
+ * last).
+ */
+object RedactTransform extends Transform {
+  val transformType = "redact"
+  private[operators] val builtins: Map[String, (String, String)] = Map(
+    "email" -> ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>"),
+    "phone" -> ("\\+?\\d{3}[- ]?\\d{3}[- ]?\\d{4}" -> "<PHONE>"),
+    "ipv4"  -> ("\\b\\d{1,3}(\\.\\d{1,3}){3}\\b" -> "<IP>"))
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "columns")
+    val names = config.options.getOrElse("patterns", "email,phone,ipv4")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    val rules = names.map { n =>
+      builtins.getOrElse(n, throw new IllegalArgumentException(
+        s"unknown redact pattern '$n' (built-ins: ${builtins.keys.mkString(", ")})"))
+    } ++ config.options.get("regex").map(r =>
+      r -> config.options.getOrElse("replacement", "<REDACTED>"))
+    require(rules.nonEmpty, "redact needs at least one pattern")
+    config.options("columns").split(",").map(_.trim).filter(_.nonEmpty)
+      .foldLeft(input) { (df, c) =>
+        df.withColumn(c, rules.foldLeft(col(c)) { case (acc, (re, repl)) =>
+          regexp_replace(acc, re, repl)
+        })
+      }
+  }
+}
+
 object SampleTransform extends Transform {
   val transformType = "sample"
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {

@@ -33,6 +33,7 @@ object Registries {
     EmbeddingDedupTransform.transformType -> EmbeddingDedupTransform,
     ShardTransform.transformType      -> ShardTransform,
     SampleTransform.transformType     -> SampleTransform,
+    RedactTransform.transformType     -> RedactTransform,
     RegisterTransform.transformType   -> RegisterTransform))
 
   def sinks(): Registry[Sink] = new Registry[Sink]("sink", Map(

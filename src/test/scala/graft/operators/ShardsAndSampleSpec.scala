@@ -127,6 +127,30 @@ class ShardsAndSampleSpec extends SparkTestBase {
       SampleTransform(d, t("sample", "on" -> "doc_id"), ctx)
   }
 
+  test("redact: builtin PII patterns, rule order, custom rule, bad pattern rejected") {
+    val d = Seq(
+      (1L, "mail a.b+c@x-corp.io now", "keep"),
+      (2L, "call +555-123-4567 or 555 123 4567", "keep"),
+      (3L, "host 192.168.0.1 up", "keep"),
+      (4L, "no pii here at all", "keep"))
+      .toDF("id", "text", "other")
+    val out = RedactTransform(d, t("redact", "columns" -> "text"), ctx)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toList
+    out should contain ((1L, "mail <EMAIL> now", "keep"))
+    out should contain ((2L, "call <PHONE> or <PHONE>", "keep"))
+    out should contain ((3L, "host <IP> up", "keep"))
+    out should contain ((4L, "no pii here at all", "keep")) // untouched, other column untouched
+
+    val custom = RedactTransform(d.where("id = 4"),
+      t("redact", "columns" -> "text", "patterns" -> "email",
+        "regex" -> "pii", "replacement" -> "<X>"), ctx)
+      .select("text").head().getString(0)
+    custom shouldBe "no <X> here at all"
+
+    an[IllegalArgumentException] should be thrownBy
+      RedactTransform(d, t("redact", "columns" -> "text", "patterns" -> "ssn"), ctx)
+  }
+
   test("vocabTopK counts lowercased whitespace tokens with deterministic ties") {
     val d = Seq(
       (1L, "The cat sat"), (2L, "the CAT ran"), (3L, "a dog  sat"), (4L, " ")
