@@ -173,8 +173,11 @@ object RedactTransform extends Transform {
 object SampleTransform extends Transform {
   val transformType = "sample"
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
-    required(config, "on")
-    val key = col(config.options("on"))
+    // `column` is an alias for `on`: bare `on` is a YAML 1.1 boolean, so
+    // unquoted YAML configs silently lose the key
+    val keyName = config.options.get("on").orElse(config.options.get("column"))
+      .getOrElse { required(config, "on"); "" }
+    val key = col(keyName)
     val buckets = config.options.getOrElse("buckets", "100").toInt
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val bucket = config.options.getOrElse("method", "hash") match {

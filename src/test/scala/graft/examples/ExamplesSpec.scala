@@ -72,6 +72,23 @@ class ExamplesSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS quickstart5_embeddings")
   }
 
+  test("quickstart-6: sampled, redacted, split and shard-packed corpus export") {
+    run("quickstart-6-corpus-export.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-6-out")
+    val n = out.count()
+    n should be > 0L
+    n.toDouble / 500 shouldBe 0.30 +- 0.08          // deterministic 3-of-10 sample
+    out.columns should contain allOf ("split", "cum_before", "shard_id")
+    out.select("split").distinct().collect().map(_.getString(0)).toSet should
+      contain ("train")                              // labels present, train dominant
+    // shard budget honored: every shard's exclusive prefix range fits 20000
+    import org.apache.spark.sql.functions._
+    val over = out.groupBy("shard_id")
+      .agg((max(col("cum_before")) - min(col("cum_before"))).as("span"))
+      .where(col("span") >= 20000).count()
+    over shouldBe 0L
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)

@@ -45,6 +45,15 @@ class ShardsAndSampleSpec extends SparkTestBase {
     perPartition.foreach(ids => ids shouldBe ids.sorted)
   }
 
+  test("assignShards output is invariant under partition count") {
+    val d = docs(500)
+    def run(n: Int) = Shards.assignShards(d, "doc_id", "n_tokens", 700L, numPartitions = n)
+      .select("doc_id", "cum_before", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    run(1) shouldBe run(13)
+    run(13) shouldBe run(64) // more partitions than fit evenly
+  }
+
   test("assignShards edge cases: empty input, single row, null weights") {
     val empty = Shards.assignShards(docs(0), "doc_id", "n_tokens", 100L)
     empty.count() shouldBe 0L
