@@ -388,6 +388,24 @@ object SparkEntry {
         "doc_id", "text", "text", shingleSize = 3)
     }),
 
+    // symmetric int8 embedding quantization: per-vector scale + quantized
+    // values (joined to a string — array cells crash the driver's compare)
+    "q51_quantize_int8" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFunctions
+      // NB the intermediate name must differ from the output alias: a
+      // select item `round(.. ).as("scale")` shadows the input column for
+      // later items via lateral-column-alias resolution, silently
+      // quantizing with the ROUNDED scale
+      tab(s, dir, "embeddings")
+        .withColumn("__scale", VectorFunctions.int8Scale(col("embedding")))
+        .select(col("vec_id"),
+          round(col("__scale"), 6).as("scale"),
+          array_join(
+            VectorFunctions.quantizeInt8(col("embedding"), col("__scale"))
+              .cast("array<string>"), ",").as("qvec"))
+    }),
+
     // ---- LLM-data-pipeline: similarity search over embeddings ----
     "q28_ann_topk" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -781,6 +799,24 @@ object SparkEntry {
                 n_events, total_value
          FROM sess
          WHERE session_end_ms < (SELECT max(epoch_ms(ts::TIMESTAMP)) FROM events)""",
+    // same arithmetic: double cast, |max|/127 scale (1.0 for zero vectors),
+    // round() is away-from-zero in both engines; integral doubles cast
+    // exactly to INTEGER
+    "q51_quantize_int8" ->
+      """WITH m AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> abs(x))) AS am
+           FROM embeddings
+         ), s AS (
+           SELECT vec_id, v,
+                  CASE WHEN am = 0 THEN 1.0 ELSE am / 127.0 END AS sc
+           FROM m
+         )
+         SELECT vec_id, round(sc, 6) AS scale,
+                array_to_string(list_transform(v,
+                  x -> CAST(round(x / sc) AS INTEGER)::VARCHAR), ',') AS qvec
+         FROM s""",
     // same rule order as RedactTransform: email, then phone, then ipv4;
     // 'g' flag = replace-all (Spark's regexp_replace default)
     "q50_redact" ->

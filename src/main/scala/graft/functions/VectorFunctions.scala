@@ -40,6 +40,26 @@ object VectorFunctions {
   }
 
   /**
+   * Symmetric per-vector int8 quantization scale: `max|x| / 127` (1.0 for
+   * the zero vector so dequantization is total). At 100 TB, int8 embeddings
+   * cut ANN storage and scan I/O 4× versus float32; the scale column rides
+   * along per row.
+   */
+  def int8Scale(vec: Column): Column = {
+    val absmax = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(absmax === 0.0, 1.0).otherwise(absmax / 127.0)
+  }
+
+  /** Quantized copy: `round(x / scale)` as ints in [-127, 127]. Pass the
+    * SAME pre-computed scale column to [[dequantizeInt8]]. */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast("double") / scale).cast("int"))
+
+  /** Approximate inverse: `q * scale`; per-element error ≤ scale / 2. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /**
    * Deterministic random-hyperplane sign bits (SimHash for vectors): bit j
    * is the sign of a pseudo-random projection whose weights derive from
    * murmur3 `hash(j, i)` — no RNG state, identical across executors, so

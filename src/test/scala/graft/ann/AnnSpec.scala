@@ -246,4 +246,22 @@ class AnnSpec extends SparkTestBase {
       threshold = 0.9, bits = 6, tables = 4, maxBucketSize = 1000)
     uncapped.count() shouldBe (20L * 19 / 2)
   }
+
+  test("int8 quantization: values in [-127,127], round-trip error <= scale/2, zero-vector safe") {
+    import graft.functions.VectorFunctions._
+    val withZero = corpus.unionByName(
+      Seq((999L, Array.fill(16)(0.0f))).toDF("vec_id", "embedding"))
+    val q = withZero
+      .withColumn("scale", int8Scale(col("embedding")))
+      .withColumn("q", quantizeInt8(col("embedding"), col("scale")))
+      .withColumn("back", dequantizeInt8(col("q"), col("scale")))
+    q.select(array_min(col("q")), array_max(col("q"))).as[(Int, Int)].collect()
+      .foreach { case (lo, hi) => lo should be >= -127; hi should be <= 127 }
+    // per-element reconstruction error bounded by half a quantization step
+    val worst = q.select(max(aggregate(
+      zip_with(col("embedding"), col("back"), (a, b) => abs(a.cast("double") - b)),
+      lit(0.0), (acc, v) => greatest(acc, v)) / col("scale"))).as[Double].head()
+    worst should be <= 0.5 + 1e-9
+    q.where("vec_id = 999").select(col("scale")).as[Double].head() shouldBe 1.0
+  }
 }
