@@ -145,13 +145,24 @@ object Dedup {
         graft.functions.expressions.ShingleHashes(col(textCol), 1, distinct = false)).as("sig"))
 
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sigs = simhashSignatures(df, idCol, textCol)
-    val chunked = sigs.select(col("doc_id"), col("sig"),
+    val chunked0 = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk"),
           call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL).as("ch")))).as("cc"))
       .select(col("doc_id"), col("sig"), col("cc.chunk"), col("cc.ch"))
+    // cap pathological chunk buckets before the self-join, mirroring the
+    // minhash band cap: near-identical boilerplate corpora put thousands of
+    // docs behind one 16-bit chunk value, and an uncapped bucket self-join
+    // is O(bucket²) — the one quadratic risk in this pipeline at scale.
+    // Buckets above the cap are whole near-dup mega-clusters; production
+    // pipelines drop (or route to exact-dedup) rather than pair them.
+    val chunked = chunked0
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ch")))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select("doc_id", "sig", "chunk", "ch")
     val l = chunked.select(col("chunk"), col("ch"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val r = chunked.select(col("chunk"), col("ch"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "ch")).filter(col("id_a") < col("id_b"))

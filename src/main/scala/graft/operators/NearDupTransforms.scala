@@ -66,13 +66,15 @@ object MinhashDedupTransform extends NearDupTransform {
       maxBucketSize = intOpt(config, "maxBucketSize", 1000))
 }
 
-/** SimHash near-dup removal: option maxHamming (default 3). */
+/** SimHash near-dup removal: options maxHamming (default 3),
+  * maxBucketSize (default 10000 — caps 16-bit-chunk blocking buckets). */
 object SimhashDedupTransform extends NearDupTransform {
   val transformType = "dedup_simhash"
   protected def pairs(input: DataFrame, id: String, text: String,
                       config: TransformConfig): DataFrame =
     Dedup.simhashNearDups(input, id, text,
-      maxHamming = intOpt(config, "maxHamming", 3))
+      maxHamming = intOpt(config, "maxHamming", 3),
+      maxBucketSize = intOpt(config, "maxBucketSize", 10000))
 }
 
 /** Embedding-cosine near-dup removal over an Array[Float] vector column:
@@ -91,4 +93,33 @@ object EmbeddingDedupTransform extends NearDupTransform {
       bits = intOpt(config, "bits", 8),
       tables = intOpt(config, "tables", 4),
       maxBucketSize = intOpt(config, "maxBucketSize", 1000))
+}
+
+/** Benchmark decontamination as a declarative pipeline step: drop every
+  * input document sharing any word `shingleSize`-gram with a benchmark/eval
+  * dataset (registered as a named view, same resolution as join's
+  * `rightDataset`). Backed by [[Dedup.contaminationHits]] — the benchmark
+  * side reduces to a broadcast DISTINCT shingle-hash frame, so the corpus
+  * is never shuffled; the final drop is a broadcast-able left_anti on ids.
+  *
+  * {{{
+  * - name: decontaminate
+  *   type: decontaminate
+  *   options: {idColumn: doc_id, textColumn: text, benchDataset: eval_set}
+  * }}}
+  *
+  * Options: idColumn/textColumn/benchDataset required; benchTextColumn
+  * (default = textColumn), shingleSize (default 3). */
+object DecontaminateTransform extends Transform {
+  val transformType = "decontaminate"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "textColumn", "benchDataset")
+    val id = config.options("idColumn")
+    val text = config.options("textColumn")
+    val bench = ctx.spark.table(config.options("benchDataset"))
+    val benchText = config.options.getOrElse("benchTextColumn", text)
+    val n = config.options.get("shingleSize").map(_.toInt).getOrElse(3)
+    val hits = Dedup.contaminationHits(input, bench, id, text, benchText, n)
+    input.join(hits.select(col(id)), Seq(id), "left_anti")
+  }
 }

@@ -31,6 +31,7 @@ object Registries {
     MinhashDedupTransform.transformType -> MinhashDedupTransform,
     SimhashDedupTransform.transformType -> SimhashDedupTransform,
     EmbeddingDedupTransform.transformType -> EmbeddingDedupTransform,
+    DecontaminateTransform.transformType  -> DecontaminateTransform,
     ShardTransform.transformType      -> ShardTransform,
     SampleTransform.transformType     -> SampleTransform,
     RedactTransform.transformType     -> RedactTransform,

@@ -121,4 +121,34 @@ class DedupSpec extends SparkTestBase {
     val many = (1L to 60L).map(i => (i, base)).toDF("doc_id", "text")
     Dedup.minhashNearDups(many, "doc_id", "text", maxBucketSize = 10).count() shouldBe 0
   }
+
+  test("decontaminate transform drops docs sharing benchmark shingles via named view") {
+    import graft.config.TransformConfig
+    import graft.api.RunContext
+    val ctx = RunContext(spark, "t", "r")
+    Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+      .createOrReplaceTempView("bench_set")
+    val corpus = Seq(
+      (10L, "prefix words then alpha beta gamma delta continues"),
+      (11L, "totally different content about nothing shared here"),
+      (12L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = graft.operators.DecontaminateTransform(corpus,
+      TransformConfig("dc", "decontaminate", Map(
+        "idColumn" -> "doc_id", "textColumn" -> "text",
+        "benchDataset" -> "bench_set")), ctx)
+    out.select("doc_id").as[Long].collect().toSet shouldBe Set(11L)
+    an[graft.api.ConfigException] should be thrownBy graft.operators.DecontaminateTransform(
+      corpus, TransformConfig("bad", "decontaminate", Map.empty), ctx)
+  }
+
+  test("SimHash chunk-bucket cap drops mega-buckets; normal corpora unaffected") {
+    // 60 identical docs share every 16-bit chunk → buckets of 60 > cap 10
+    // → zero candidate pairs instead of 4×C(60,2) bucket-join rows
+    val many = (1L to 60L).map(i => (i, base)).toDF("doc_id", "text")
+    Dedup.simhashNearDups(many, "doc_id", "text", maxBucketSize = 10).count() shouldBe 0
+    // with the default cap the planted near-pair from the small corpus survives
+    val out = Dedup.simhashNearDups(docs.where("doc_id <= 4"), "doc_id", "text", maxHamming = 8)
+      .as[(Long, Long, Long)].collect()
+    out.map(p => (p._1, p._2)) should contain ((1L, 4L))
+  }
 }
