@@ -371,6 +371,21 @@ object SparkEntry {
         TextFunctions.dupWordFraction(col("text")).as("dup_word_frac"),
         TextFunctions.dupNgramFraction(col("text"), 2).as("dup_bigram_frac"))
     }),
+    // one-pass numeric profiling (exact mode for the oracle; the default
+    // approx mode swaps in HLL++/KLL sketches for bounded memory at scale)
+    "q54_profile" -> ((s, dir) =>
+      ap(tab(s, dir, "lineitem"),
+        t("profile", "columns" -> "l_quantity,l_extendedprice,l_discount,l_tax",
+          "exact" -> "true"))),
+    // stratified sampling: exact perGroup quota per language, smallest
+    // (id % 97, id) pairs win — bounded-heap partial aggregation per group
+    // (no per-group window task), broadcast semi-join back. Mod path
+    // oracled; hash path spec'd.
+    "q53_sample_stratified" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("sample", "on" -> "doc_id", "groupBy" -> "lang", "perGroup" -> "40",
+          "method" -> "mod", "buckets" -> "97"))
+        .select("doc_id", "lang", "source")),
     // reproducible train/val/test assignment: every row labeled by its
     // deterministic bucket's slice (mod path oracled; hash path spec'd)
     "q48_split_mod" -> ((s, dir) =>
@@ -404,6 +419,30 @@ object SparkEntry {
           array_join(
             VectorFunctions.quantizeInt8(col("embedding"), col("__scale"))
               .cast("array<string>"), ",").as("qvec"))
+    }),
+
+    // as-of join (operator Spark and the reference both lack): every click
+    // event picks up the user's most recent not-later purchase — union +
+    // running-window sort-merge shape, no join node, oracled against
+    // DuckDB's native ASOF JOIN. Inner flavor (matched rows only) keeps the
+    // oracle free of null-stringification drift.
+    "q52_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = tab(s, dir, "events")
+      e.where("event_type = 'purchase'")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("ref_id"), col("value").as("ref_value"))
+        .createOrReplaceTempView("q52_purchases")
+      val clicks = e.where("event_type = 'click'")
+        .select("event_id", "user_id", "ts")
+      ap(clicks, t("join_asof",
+        "rightDataset" -> "q52_purchases", "on" -> "user_id",
+        "leftTime" -> "ts", "direction" -> "backward"))
+        .where(col("asof_ref_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("asof_ref_id").as("ref_id"),
+          round(col("asof_ref_value"), 2).as("ref_value"))
     }),
 
     // ---- LLM-data-pipeline: similarity search over embeddings ----
@@ -772,6 +811,26 @@ object SparkEntry {
          FROM c""",
     "q44_sample_mod" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 < 3",
+    // per-column stats via UNION ALL of one-aggregate selects; quantile_cont
+    // interpolates exactly like Spark's percentile (same (1-f)*a + f*b on
+    // doubles); HUGEINT/odd counts cast to BIGINT
+    "q54_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+      s"""SELECT '$c' AS column_name, count($c) AS n_values,
+                 CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+                 CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                 CAST(min($c) AS DOUBLE) AS min_value,
+                 CAST(max($c) AS DOUBLE) AS max_value,
+                 round(avg(CAST($c AS DOUBLE)), 4) AS avg_value,
+                 round(quantile_cont(CAST($c AS DOUBLE), 0.5), 4) AS p50_value
+          FROM lineitem"""
+    }.mkString(" UNION ALL "),
+    // exact per-language quota: smallest (doc_id % 97, doc_id) pairs —
+    // identical total order to the bounded-heap aggregator's (score desc =
+    // bucket asc, id asc)
+    "q53_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+         QUALIFY row_number() OVER (PARTITION BY lang
+                                    ORDER BY doc_id % 97, doc_id) <= 40""",
     // gap sessions: break where the ms-floored gap to the previous event
     // exceeds 30 min; running sum of breaks = session id. Emitted set =
     // sessions the final watermark closed: last_event + gap strictly below
@@ -799,6 +858,20 @@ object SparkEntry {
                 n_events, total_value
          FROM sess
          WHERE session_end_ms < (SELECT max(epoch_ms(ts::TIMESTAMP)) FROM events)""",
+    // DuckDB's native ASOF JOIN: greatest purchase ts <= click ts per user,
+    // ties include the simultaneous purchase (>= is inclusive) — identical
+    // to the union+running-window pick. Inner semantics = matched only.
+    "q52_asof_join" ->
+      """WITH l AS (
+           SELECT event_id, user_id, ts::TIMESTAMP AS t
+           FROM events WHERE event_type = 'click'
+         ), r AS (
+           SELECT user_id, ts::TIMESTAMP AS t, event_id AS ref_id, value AS ref_value
+           FROM events WHERE event_type = 'purchase'
+         )
+         SELECT l.event_id, l.user_id, epoch_ms(l.t) AS ts_ms,
+                r.ref_id, round(r.ref_value, 2) AS ref_value
+         FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t""",
     // same arithmetic: double cast, |max|/127 scale (1.0 for zero vectors),
     // round() is away-from-zero in both engines; integral doubles cast
     // exactly to INTEGER

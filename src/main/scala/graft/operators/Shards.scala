@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -178,13 +178,17 @@ object SampleTransform extends Transform {
     val keyName = config.options.get("on").orElse(config.options.get("column"))
       .getOrElse { required(config, "on"); "" }
     val key = col(keyName)
-    val buckets = config.options.getOrElse("buckets", "100").toInt
+    val stratified = config.options.contains("perGroup")
+    // stratified ordering wants a near-injective score, not 100 coarse buckets
+    val buckets = config.options.get("buckets")
+      .map(_.toInt).getOrElse(if (stratified) 1000003 else 100)
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val bucket = config.options.getOrElse("method", "hash") match {
       case "hash" => pmod(xxhash64(key, lit(config.options.getOrElse("seed", "0").toLong)), lit(buckets))
       case "mod"  => pmod(key, lit(buckets))
       case other  => throw new IllegalArgumentException(s"sample method must be hash|mod, got '$other'")
     }
+    if (stratified) return stratifiedSample(input, config, key, keyName, bucket)
     (config.options.get("keep"), config.options.get("splits")) match {
       case (Some(k), None) =>
         val keep = k.toInt
@@ -208,7 +212,48 @@ object SampleTransform extends Transform {
         }
         input.withColumn(config.options.getOrElse("splitColumn", "split"), label)
       case _ => throw new IllegalArgumentException(
-        "sample needs exactly one of 'keep' (filter) or 'splits' (label)")
+        "sample needs exactly one of 'keep' (filter), 'splits' (label), or 'perGroup' (stratified)")
     }
+  }
+
+  /**
+   * Stratified (per-group quota) sampling: exactly `perGroup` rows per
+   * `groupBy` value — the smallest `perGroup` (bucket, id) pairs, i.e. a
+   * deterministic pseudo-random quota under the hash method and a
+   * reproducible modular one under mod.
+   *
+   * NOT a `row_number() OVER (PARTITION BY group)` window: with few groups
+   * (languages, domains — the realistic strata) a window funnels the whole
+   * corpus into |groups| tasks and fully sorts each. The bounded-heap
+   * [[graft.ann.TopKAggregator]] gives partial aggregation instead — every
+   * map task reduces its partition to ≤ perGroup candidates per group
+   * before the exchange, so the shuffle carries |groups| × partitions ×
+   * perGroup ids and no task ever holds more than the quota. The selected
+   * id set (|groups| × perGroup — small by definition of a sample) then
+   * broadcast-semi-joins back against the input, adding zero full-data
+   * shuffles.
+   */
+  private def stratifiedSample(input: DataFrame, config: TransformConfig,
+                               key: Column, keyName: String, bucket: Column): DataFrame = {
+    import org.apache.spark.sql.{Encoders, functions => F}
+    required(config, "groupBy")
+    val n = config.options("perGroup").toInt
+    require(n > 0, s"perGroup must be positive, got $n")
+    val group = config.options("groupBy")
+    val keyType = input.schema(keyName).dataType
+    require(Seq("long", "integer", "short", "byte").contains(keyType.typeName),
+      s"stratified sample needs an integral '$keyName' id column, got ${keyType.typeName}")
+    // aggregator keeps HIGHEST sim first (ties: id asc) → negate the bucket
+    // so "smallest bucket, then smallest id" wins, matching the SQL
+    // row_number() ORDER BY bucket, id oracle exactly
+    val topk = F.udaf(new graft.ann.TopKAggregator(n),
+      Encoders.product[graft.ann.ScoredCandidate])
+    val selected = input
+      .select(col(group).as("__g"), negate(bucket).cast("double").as("__s"),
+        key.cast("long").as("__id"))
+      .groupBy("__g").agg(topk(col("__s"), col("__id")).as("tk"))
+      .select(explode(col("tk.items")).as("s"))
+      .select(col("s.id").as("__sel_id"))
+    input.join(broadcast(selected), key.cast("long") === col("__sel_id"), "left_semi")
   }
 }

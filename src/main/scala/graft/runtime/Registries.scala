@@ -32,6 +32,8 @@ object Registries {
     SimhashDedupTransform.transformType -> SimhashDedupTransform,
     EmbeddingDedupTransform.transformType -> EmbeddingDedupTransform,
     DecontaminateTransform.transformType  -> DecontaminateTransform,
+    AsofJoinTransform.transformType   -> AsofJoinTransform,
+    ProfileTransform.transformType    -> ProfileTransform,
     ShardTransform.transformType      -> ShardTransform,
     SampleTransform.transformType     -> SampleTransform,
     RedactTransform.transformType     -> RedactTransform,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.api.RunContext
+import graft.config.TransformConfig
+
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def d = Seq[(java.lang.Long, java.lang.Double)](
+    (1L, 1.0), (2L, 2.0), (3L, null), (4L, 4.0)).toDF("id", "v")
+
+  test("profile: one row per column with exact stats, nulls counted") {
+    val out = Profile.profile(d, Seq("id", "v"), exact = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    out.keySet shouldBe Set("id", "v")
+    val v = out("v")
+    v.getLong(1) shouldBe 3    // n_values (non-null)
+    v.getLong(2) shouldBe 1    // n_nulls
+    v.getLong(3) shouldBe 3    // n_distinct
+    v.getDouble(4) shouldBe 1.0
+    v.getDouble(5) shouldBe 4.0
+    v.getDouble(6) shouldBe 2.3333 // round(7/3, 4)
+    v.getDouble(7) shouldBe 2.0    // interpolated median of 1,2,4
+    out("id").getLong(2) shouldBe 0
+  }
+
+  test("approx mode: single one-pass aggregate, no Expand, sketch aggregates") {
+    val q = Profile.profile(d, Seq("id", "v"))
+    val plan = q.queryExecution.executedPlan.toString
+    plan should not include "Expand" // multi-distinct exactness is opt-in
+    plan should include ("partial_approx_count_distinct")
+    // approx median still lands on the true value for this tiny input
+    q.collect().map(r => r.getString(0) -> r.getDouble(7)).toMap.apply("v") shouldBe 2.0
+  }
+
+  test("declarative transform validates options and column existence") {
+    val out = ProfileTransform(d, TransformConfig("p", "profile",
+      Map("columns" -> "id,v", "exact" -> "true")), RunContext(spark, "t", "r"))
+    out.count() shouldBe 2
+    an[graft.api.ConfigException] should be thrownBy ProfileTransform(
+      d, TransformConfig("p", "profile", Map.empty), RunContext(spark, "t", "r"))
+    an[IllegalArgumentException] should be thrownBy ProfileTransform(
+      d, TransformConfig("p", "profile", Map("columns" -> "nope")), RunContext(spark, "t", "r"))
+  }
+}

@@ -160,6 +160,32 @@ class ShardsAndSampleSpec extends SparkTestBase {
       RedactTransform(d, t("redact", "columns" -> "text", "patterns" -> "ssn"), ctx)
   }
 
+  test("stratified sample: exact quota per group, window-equivalent, no window node") {
+    val d = (1 to 300).map(i => (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("doc_id", "grp").repartition(7)
+    val out = SampleTransform(d,
+      t("sample", "on" -> "doc_id", "groupBy" -> "grp", "perGroup" -> "10",
+        "method" -> "mod", "buckets" -> "17"), ctx)
+    out.groupBy("grp").count().collect().map(_.getLong(1)).toSet shouldBe Set(10L)
+    // matches the row_number() window formulation exactly
+    val w = Window.partitionBy("grp").orderBy(pmod(col("doc_id"), lit(17)), col("doc_id"))
+    val expected = d.withColumn("rn", row_number().over(w)).where("rn <= 10")
+      .select("doc_id").as[Long].collect().toSet
+    out.select("doc_id").as[Long].collect().toSet shouldBe expected
+    // scale shape: partial-aggregate top-k + broadcast semi join, no WindowExec
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan.toLowerCase should include ("broadcast")
+    // undersized groups keep all their rows
+    val tiny = SampleTransform(d.where("doc_id <= 5"),
+      t("sample", "on" -> "doc_id", "groupBy" -> "grp", "perGroup" -> "10"), ctx)
+    tiny.count() shouldBe 5
+    // non-integral id rejected
+    an[IllegalArgumentException] should be thrownBy SampleTransform(
+      d.withColumn("doc_id", col("doc_id").cast("string")),
+      t("sample", "on" -> "doc_id", "groupBy" -> "grp", "perGroup" -> "10"), ctx)
+  }
+
   test("vocabTopK counts lowercased whitespace tokens with deterministic ties") {
     val d = Seq(
       (1L, "The cat sat"), (2L, "the CAT ran"), (3L, "a dog  sat"), (4L, " ")
