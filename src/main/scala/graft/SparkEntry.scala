@@ -386,6 +386,15 @@ object SparkEntry {
         t("sample", "on" -> "doc_id", "groupBy" -> "lang", "perGroup" -> "40",
           "method" -> "mod", "buckets" -> "97"))
         .select("doc_id", "lang", "source")),
+    // corpus mixing: per-language sampling weights (keep half of en, all
+    // of de, a quarter of fr; drop the rest) — zero-shuffle deterministic
+    // filter. Downsampling weights oracled; upsampling (weight > 1) spec'd.
+    "q56_mix_weights" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("mix", "on" -> "doc_id", "groupBy" -> "lang",
+          "weights" -> "en:0.5,de:1.0,fr:0.25", "method" -> "mod",
+          "buckets" -> "100"))
+        .select("doc_id", "lang")),
     // reproducible train/val/test assignment: every row labeled by its
     // deterministic bucket's slice (mod path oracled; hash path spec'd)
     "q48_split_mod" -> ((s, dir) =>
@@ -443,6 +452,29 @@ object SparkEntry {
           unix_millis(col("ts")).as("ts_ms"),
           col("asof_ref_id").as("ref_id"),
           round(col("asof_ref_value"), 2).as("ref_value"))
+    }),
+
+    // range join (bin-overlap rewrite — Spark would plan the raw inequality
+    // as BroadcastNestedLoop): clicks attributed to every 2-hour purchase
+    // window they fall into, per user. Oracled against DuckDB's plain
+    // inequality join.
+    "q55_range_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = tab(s, dir, "events")
+      e.where("event_type = 'purchase'")
+        .select(col("user_id"), col("ts").as("lo"),
+          expr("ts + interval 2 hours").as("hi"),
+          col("event_id").as("ref_id"))
+        .createOrReplaceTempView("q55_windows")
+      val clicks = e.where("event_type = 'click'")
+        .select("event_id", "user_id", "ts")
+      ap(clicks, t("join_range",
+        "rightDataset" -> "q55_windows", "on" -> "user_id",
+        "point" -> "ts", "lo" -> "lo", "hi" -> "hi",
+        "binWidth" -> "3600000000")) // 1-hour bins for 2-hour windows
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("range_ref_id").as("ref_id"))
     }),
 
     // ---- LLM-data-pipeline: similarity search over embeddings ----
@@ -824,6 +856,13 @@ object SparkEntry {
                  round(quantile_cont(CAST($c AS DOUBLE), 0.5), 4) AS p50_value
           FROM lineitem"""
     }.mkString(" UNION ALL "),
+    // mixture weights as bucket thresholds: en keeps doc_id%100 < 50,
+    // de everything, fr < 25, unlisted languages drop
+    "q56_mix_weights" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (lang = 'en' AND doc_id % 100 < 50)
+            OR lang = 'de'
+            OR (lang = 'fr' AND doc_id % 100 < 25)""",
     // exact per-language quota: smallest (doc_id % 97, doc_id) pairs —
     // identical total order to the bounded-heap aggregator's (score desc =
     // bucket asc, id asc)
@@ -872,6 +911,19 @@ object SparkEntry {
          SELECT l.event_id, l.user_id, epoch_ms(l.t) AS ts_ms,
                 r.ref_id, round(r.ref_value, 2) AS ref_value
          FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t""",
+    // the binned equi-join + exact filter must equal the naive inequality
+    // join exactly; half-open [lo, hi) on microsecond-truncated timestamps
+    "q55_range_join" ->
+      """WITH l AS (
+           SELECT event_id, user_id, ts::TIMESTAMP AS t
+           FROM events WHERE event_type = 'click'
+         ), r AS (
+           SELECT user_id, ts::TIMESTAMP AS lo,
+                  ts::TIMESTAMP + INTERVAL 2 HOUR AS hi, event_id AS ref_id
+           FROM events WHERE event_type = 'purchase'
+         )
+         SELECT l.event_id, l.user_id, epoch_ms(l.t) AS ts_ms, r.ref_id
+         FROM l JOIN r ON l.user_id = r.user_id AND r.lo <= l.t AND l.t < r.hi""",
     // same arithmetic: double cast, |max|/127 scale (1.0 for zero vectors),
     // round() is away-from-zero in both engines; integral doubles cast
     // exactly to INTEGER

@@ -179,15 +179,8 @@ object SampleTransform extends Transform {
       .getOrElse { required(config, "on"); "" }
     val key = col(keyName)
     val stratified = config.options.contains("perGroup")
-    // stratified ordering wants a near-injective score, not 100 coarse buckets
-    val buckets = config.options.get("buckets")
-      .map(_.toInt).getOrElse(if (stratified) 1000003 else 100)
-    require(buckets > 0, s"buckets must be positive, got $buckets")
-    val bucket = config.options.getOrElse("method", "hash") match {
-      case "hash" => pmod(xxhash64(key, lit(config.options.getOrElse("seed", "0").toLong)), lit(buckets))
-      case "mod"  => pmod(key, lit(buckets))
-      case other  => throw new IllegalArgumentException(s"sample method must be hash|mod, got '$other'")
-    }
+    val (bucket, buckets) = bucketFor(config, key,
+      defaultBuckets = if (stratified) 1000003 else 100)
     if (stratified) return stratifiedSample(input, config, key, keyName, bucket)
     (config.options.get("keep"), config.options.get("splits")) match {
       case (Some(k), None) =>
@@ -214,6 +207,66 @@ object SampleTransform extends Transform {
       case _ => throw new IllegalArgumentException(
         "sample needs exactly one of 'keep' (filter), 'splits' (label), or 'perGroup' (stratified)")
     }
+  }
+
+  /** The deterministic bucket shared by sample/mix: pmod(xxhash64(key,
+    * seed) | key, buckets). */
+  private[operators] def bucketFor(config: TransformConfig, key: Column,
+                                   defaultBuckets: Int): (Column, Int) = {
+    val buckets = config.options.get("buckets").map(_.toInt).getOrElse(defaultBuckets)
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bucket = config.options.getOrElse("method", "hash") match {
+      case "hash" => pmod(xxhash64(key, lit(config.options.getOrElse("seed", "0").toLong)), lit(buckets))
+      case "mod"  => pmod(key, lit(buckets))
+      case other  => throw new IllegalArgumentException(s"sample method must be hash|mod, got '$other'")
+    }
+    (bucket, buckets)
+  }
+
+  /**
+   * Corpus mixing: re-weight groups (languages, sources, domains) by a
+   * per-group sampling rate — THE knob for composing a training mixture
+   * ("keep half of en, all of de, a quarter of fr"). Weights may exceed 1
+   * for upsampling: a row in a weight-2.5 group is emitted floor(2.5)=2
+   * times, plus once more for the deterministic 50% of rows whose bucket
+   * clears the fractional threshold — so expected multiplicity is exactly
+   * the weight, reproducibly (no RNG state; same id → same fate across
+   * runs and retries).
+   *
+   * Scale shape: a pure per-row projection + filter (downsampling) or a
+   * bounded explode (upsampling) — zero shuffles, fully codegen'd, no
+   * skew sensitivity. Groups absent from `weights` get `defaultWeight`
+   * (default 0 = dropped), making the mixture spec total.
+   */
+  private[operators] def mixSample(input: DataFrame, config: TransformConfig,
+                                   bucket: Column, buckets: Int): DataFrame = {
+    required(config, "groupBy", "weights")
+    val group = config.options("groupBy")
+    val weights: Seq[(String, Double)] = config.options("weights")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
+        p.split(":") match {
+          case Array(g, w) if w.trim.nonEmpty => (g.trim, w.trim.toDouble)
+          case _ => throw new IllegalArgumentException(
+            s"mix weights must be group:weight,... got '$p'")
+        }
+      }
+    require(weights.forall(_._2 >= 0), "mix weights must be non-negative")
+    val default = config.options.get("defaultWeight").map(_.toDouble).getOrElse(0.0)
+    // copies = floor(w) + 1 more for the deterministic fractional share;
+    // thresholds are fixed ints so the filter stays integer-exact
+    def copiesFor(w: Double): Column = {
+      val whole = math.floor(w).toLong
+      val fracThreshold = math.round((w - whole) * buckets)
+      lit(whole) + when(bucket < lit(fracThreshold), 1L).otherwise(0L)
+    }
+    val copies = weights.foldLeft(copiesFor(default)) { case (acc, (g, w)) =>
+      when(col(group) === lit(g), copiesFor(w)).otherwise(acc)
+    }
+    input
+      .withColumn("__copies", copies)
+      .withColumn("__c", explode(when(col("__copies") >= 1,
+        sequence(lit(1L), col("__copies"))).otherwise(array().cast("array<bigint>"))))
+      .drop("__copies", "__c")
   }
 
   /**
@@ -255,5 +308,29 @@ object SampleTransform extends Transform {
       .select(explode(col("tk.items")).as("s"))
       .select(col("s.id").as("__sel_id"))
     input.join(broadcast(selected), key.cast("long") === col("__sel_id"), "left_semi")
+  }
+}
+
+/**
+ * Declarative corpus mixing (see [[SampleTransform.mixSample]]):
+ *
+ * {{{
+ * - name: compose-mixture
+ *   type: mix
+ *   options: {on: doc_id, groupBy: lang,
+ *             weights: "en:0.5,de:1.0,fr:0.25", defaultWeight: "0"}
+ * }}}
+ *
+ * Options: on(/column)/groupBy/weights required; defaultWeight (default 0:
+ * unlisted groups drop), method hash|mod (default hash), buckets (default
+ * 10000), seed.
+ */
+object MixTransform extends graft.api.Transform {
+  val transformType = "mix"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    val keyName = config.options.get("on").orElse(config.options.get("column"))
+      .getOrElse { required(config, "on"); "" }
+    val (bucket, buckets) = SampleTransform.bucketFor(config, col(keyName), defaultBuckets = 10000)
+    SampleTransform.mixSample(input, config, bucket, buckets)
   }
 }

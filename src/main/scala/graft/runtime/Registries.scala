@@ -34,8 +34,10 @@ object Registries {
     DecontaminateTransform.transformType  -> DecontaminateTransform,
     AsofJoinTransform.transformType   -> AsofJoinTransform,
     ProfileTransform.transformType    -> ProfileTransform,
+    RangeJoinTransform.transformType  -> RangeJoinTransform,
     ShardTransform.transformType      -> ShardTransform,
     SampleTransform.transformType     -> SampleTransform,
+    MixTransform.transformType        -> MixTransform,
     RedactTransform.transformType     -> RedactTransform,
     RegisterTransform.transformType   -> RegisterTransform))
 

@@ -186,6 +186,34 @@ class ShardsAndSampleSpec extends SparkTestBase {
       t("sample", "on" -> "doc_id", "groupBy" -> "grp", "perGroup" -> "10"), ctx)
   }
 
+  test("mix: per-group weights down- and up-sample deterministically, zero shuffle") {
+    val d = (0 until 400).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "grp")
+    // downsample en to 0.5, keep de, via mod buckets: expected exact sets
+    val down = MixTransform(d, t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+      "weights" -> "en:0.5,de:1.0", "method" -> "mod", "buckets" -> "100"), ctx)
+    val ids = down.select("doc_id").as[Long].collect().toSet
+    ids shouldBe (0 until 400).filter(i =>
+      (i % 2 == 0 && i % 100 < 50) || i % 2 == 1).map(_.toLong).toSet
+    // upsampling: weight 2.5 → every row 2 or 3 times, mean multiplicity 2.5
+    val up = MixTransform(d.where("grp = 'en'"),
+      t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+        "weights" -> "en:2.5", "method" -> "mod", "buckets" -> "100"), ctx)
+    val counts = up.groupBy("doc_id").count().select("count").as[Long].collect()
+    counts.toSet shouldBe Set(2L, 3L)
+    counts.sum shouldBe (200 * 2 + 200 / 2) // exact: floor 2 + half the buckets
+    // unlisted groups drop by default, defaultWeight keeps them
+    MixTransform(d, t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+      "weights" -> "en:1.0"), ctx).where("grp = 'de'").count() shouldBe 0
+    MixTransform(d, t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+      "weights" -> "en:1.0", "defaultWeight" -> "1.0"), ctx)
+      .where("grp = 'de'").count() shouldBe 200
+    // pure per-row plan: no exchange anywhere
+    down.queryExecution.executedPlan.toString should not include "Exchange"
+    an[IllegalArgumentException] should be thrownBy MixTransform(
+      d, t("mix", "on" -> "doc_id", "groupBy" -> "grp", "weights" -> "en:-1"), ctx)
+  }
+
   test("vocabTopK counts lowercased whitespace tokens with deterministic ties") {
     val d = Seq(
       (1L, "The cat sat"), (2L, "the CAT ran"), (3L, "a dog  sat"), (4L, " ")
