@@ -350,6 +350,11 @@ object SparkEntry {
     // corpus vocabulary: top-k term frequencies, deterministic tie-break
     "q45_vocab_topk" -> ((s, dir) =>
       graft.functions.TextFunctions.vocabTopK(tab(s, dir, "documents"), "text", 100)),
+    // corpus TF-IDF: (doc, term) → tf, df, smooth-idf score; no float
+    // ranking (all pairs emitted), so cross-engine order is irrelevant
+    "q57_tfidf" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("tfidf", "idColumn" -> "doc_id", "textColumn" -> "text"))),
     // PII redaction: email/phone/ipv4 rewritten to typed placeholders over
     // a synthesized PII-bearing column (documents carry no natural PII) —
     // regex parity checked against DuckDB's RE2 on the same text
@@ -1020,6 +1025,22 @@ object SparkEntry {
                                      x -> x <> '')) AS word
            FROM documents)
          SELECT word, count(*) AS n FROM w
-         GROUP BY word ORDER BY n DESC, word LIMIT 100"""
+         GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+    // same tokenization as q45; smooth idf ln((1+N)/(1+df)) + 1, rounded —
+    // ln on doubles agrees across engines at 4 decimals
+    "q57_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+         ), dfq AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1
+         ), n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfq.df)) + 1.0), 4) AS tfidf
+         FROM tf JOIN dfq USING (term) CROSS JOIN n"""
   )
 }

@@ -82,6 +82,12 @@ final case class StreamingConfig(
     watermarkDelay: Option[String] = None,
     trigger: Option[String] = None, // "availableNow" | "processingTime=5 seconds"
     outputMode: String = "append",
+    // Streaming deduplication keys (comma list): with a watermark
+    // configured, state for seen keys is dropped once it ages past the
+    // delay (dropDuplicatesWithinWatermark) — bounded state on an
+    // unbounded stream; without one, plain dropDuplicates (state grows
+    // with distinct keys — only for bounded backfills).
+    dedupColumns: Option[String] = None,
     // Stateful-operator partition count for THIS query (sets the session's
     // shuffle partitions before start; sticky for the query's lifetime via
     // the offset log). Size to key cardinality: a stream with thousands of

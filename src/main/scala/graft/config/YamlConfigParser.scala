@@ -114,6 +114,7 @@ final class YamlConfigParser(credentials: CredentialProvider = EnvCredentialProv
       watermarkDelay = str(m, "watermarkDelay"),
       trigger = str(m, "trigger"),
       outputMode = str(m, "outputMode").getOrElse("append"),
+      dedupColumns = str(m, "dedupColumns"),
       shufflePartitions = int(m, "shufflePartitions"))
 
   // ---- helpers ----

@@ -124,6 +124,36 @@ object TextFunctions {
       .limit(k)
 
   /**
+   * Corpus TF-IDF: one row per (doc, term) with the term frequency, the
+   * term's document frequency, and the smooth-idf score
+   * `tf * (ln((1 + N) / (1 + df)) + 1)` (the sklearn formulation — never
+   * negative, never divides by zero). Tokenization is [[tokens]], the same
+   * proven-parity whitespace split the vocabulary and token-count oracles
+   * use.
+   *
+   * Scale shape: three aggregations, each with map-side partial
+   * aggregation — (doc, term) counts (the only full-corpus shuffle), term
+   * document frequencies derived FROM the tf frame (vocab-sized), and a
+   * single-row corpus count that broadcasts. The df-side join shuffles on
+   * `term`, the natural co-partitioning key; nothing is ever collected to
+   * the driver.
+   */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0)), 4)
+          .as("tfidf"))
+  }
+
+  /**
    * Repetition signals (Gopher-style quality filters): the fraction of
    * word (or word n-gram) occurrences that are repeats of an earlier one —
    * `1 - distinct/total`. High values flag boilerplate and degenerate

@@ -78,3 +78,22 @@ object ProfileTransform extends Transform {
     Profile.profile(input, cols, exact = config.options.get("exact").exists(_.toBoolean))
   }
 }
+
+/**
+ * Declarative corpus TF-IDF (see [[graft.functions.TextFunctions.tfidf]]):
+ * replaces the frame with one row per (doc, term) carrying tf/df/tfidf.
+ *
+ * {{{
+ * - name: score-terms
+ *   type: tfidf
+ *   options: {idColumn: doc_id, textColumn: text}
+ * }}}
+ */
+object TfidfTransform extends Transform {
+  val transformType = "tfidf"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "textColumn")
+    graft.functions.TextFunctions.tfidf(input,
+      config.options("idColumn"), config.options("textColumn"))
+  }
+}

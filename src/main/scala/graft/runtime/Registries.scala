@@ -35,6 +35,7 @@ object Registries {
     AsofJoinTransform.transformType   -> AsofJoinTransform,
     ProfileTransform.transformType    -> ProfileTransform,
     RangeJoinTransform.transformType  -> RangeJoinTransform,
+    TfidfTransform.transformType      -> TfidfTransform,
     ShardTransform.transformType      -> ShardTransform,
     SampleTransform.transformType     -> SampleTransform,
     MixTransform.transformType        -> MixTransform,

@@ -102,9 +102,18 @@ final class StreamingExecutor(
       case other =>
         throw new ConfigException(s"source '$other' does not support streaming")
     }
-    (st.watermarkColumn, st.watermarkDelay) match {
+    val watermarked = (st.watermarkColumn, st.watermarkDelay) match {
       case (Some(c), Some(d)) => base.withWatermark(c, d)
       case _ => base
+    }
+    st.dedupColumns.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
+      case Some(keys) if keys.nonEmpty =>
+        // with a watermark the seen-keys state self-expires; without one
+        // it grows with distinct keys (bounded backfills only)
+        if (st.watermarkColumn.isDefined && st.watermarkDelay.isDefined)
+          watermarked.dropDuplicatesWithinWatermark(keys)
+        else watermarked.dropDuplicates(keys)
+      case _ => watermarked
     }
   }
 }

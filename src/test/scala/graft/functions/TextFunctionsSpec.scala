@@ -89,4 +89,19 @@ class TextFunctionsSpec extends SparkTestBase {
     fluent should (be >= 0.0 and be <= 1.0)
     soup should (be >= 0.0 and be <= 1.0)
   }
+
+  test("tfidf: golden smooth-idf values; corpus-wide terms score tf exactly") {
+    import spark.implicits._
+    val d = Seq((1L, "a A b"), (2L, "a c")).toDF("doc_id", "text")
+    val rows = graft.functions.TextFunctions.tfidf(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    rows.size shouldBe 4
+    // 'a' appears in both docs: idf = ln(3/3) + 1 = 1 → tfidf = tf
+    rows((1L, "a")) shouldBe ((2L, 2L, 2.0))
+    rows((2L, "a")) shouldBe ((1L, 2L, 1.0))
+    // 'b' in one doc: ln(3/2) + 1 = 1.4055 at 4 decimals
+    rows((1L, "b")) shouldBe ((1L, 1L, 1.4055))
+    rows((2L, "c")) shouldBe ((1L, 1L, 1.4055))
+  }
 }

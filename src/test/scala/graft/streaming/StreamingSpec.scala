@@ -74,6 +74,40 @@ class StreamingSpec extends SparkTestBase {
       .where("m IS NOT NULL").count() shouldBe 5
   }
 
+  test("streaming dedup: duplicate event ids collapse; watermark variant bounds state") {
+    val dir = tmpDir("stream-dup-in")
+    Seq(
+      ("2024-01-01 10:00:10", 1L, 1.0), ("2024-01-01 10:00:11", 1L, 1.0), // dup id 1
+      ("2024-01-01 10:00:20", 2L, 2.0), ("2024-01-01 10:00:21", 2L, 2.0), // dup id 2
+      ("2024-01-01 10:00:30", 3L, 3.0))
+      .toDF("t", "id", "v")
+      .selectExpr("CAST(t AS TIMESTAMP) AS ts", "id", "v")
+      .write.mode("overwrite").parquet(dir)
+    val cfg = PipelineConfig(
+      pipelineId = "stream-dedup",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("file", Map(
+        "path" -> dir, "format" -> "parquet",
+        "schema" -> "ts TIMESTAMP, id BIGINT, v DOUBLE")),
+      sink = SinkConfig("memory", Map("queryName" -> "stream_dedup_out")),
+      streaming = Some(StreamingConfig(
+        checkpointLocation = Some(tmpDir("ckpt-dedup")),
+        watermarkColumn = Some("ts"), watermarkDelay = Some("10 minutes"),
+        dedupColumns = Some("id"))))
+    executor.start(cfg).awaitTermination(60000)
+    val out = spark.table("stream_dedup_out")
+    out.count() shouldBe 3
+    out.select("id").as[Long].collect().toSet shouldBe Set(1L, 2L, 3L)
+    // the plan carries the watermark-bounded dedup operator, not the
+    // unbounded-state one
+    val cfg2 = cfg.copy(streaming = cfg.streaming.map(_.copy(
+      checkpointLocation = Some(tmpDir("ckpt-dedup2")))),
+      sink = SinkConfig("memory", Map("queryName" -> "stream_dedup_out2")))
+    val q2 = executor.start(cfg2)
+    q2.awaitTermination(60000)
+    q2.lastProgress.stateOperators.map(_.operatorName) should contain ("dedupeWithinWatermark")
+  }
+
   test("watermark drops late data: rows behind the watermark never reach the sink") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
