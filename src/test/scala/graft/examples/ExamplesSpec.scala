@@ -89,6 +89,16 @@ class ExamplesSpec extends SparkTestBase {
     over shouldBe 0L
   }
 
+  test("quickstart-7: mixture weights → per-language caps → redact → tfidf") {
+    run("quickstart-7-corpus-mixture.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-7-out")
+    out.columns shouldBe Array("doc_id", "term", "tf", "df", "tfidf")
+    out.count() should be > 0L
+    // the stratified cap bounds the surviving corpus: ≤ 25 docs per language
+    out.select("doc_id").distinct().count() should be <= (5L * 25)
+    out.where("tfidf <= 0 OR tf < 1 OR df < 1").count() shouldBe 0
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
