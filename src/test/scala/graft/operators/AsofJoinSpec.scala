@@ -58,6 +58,10 @@ class AsofJoinSpec extends SparkTestBase {
       Seq("sym"), "t", "t")
     val plan = out.queryExecution.executedPlan.toString
     plan.toLowerCase should not include "join"
+    // the whole operator costs exactly ONE shuffle: the co-partitioning
+    // exchange feeding the running window (the repartition(7)/(3) inputs
+    // union without any extra exchange of their own)
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
     val a = out.orderBy("trade_id").collect()
     val b = AsofJoin.asofJoin(trades.coalesce(1), quotes.coalesce(1), Seq("sym"), "t", "t")
       .orderBy("trade_id").collect()
