@@ -386,6 +386,11 @@ object SparkEntry {
       ap(tab(s, dir, "lineitem"),
         t("profile", "columns" -> "l_quantity,l_discount,l_tax",
           "exact" -> "true"))),
+    // grouped profiling: per-returnflag ingest stats, same one-pass shape
+    "q58_profile_grouped" -> ((s, dir) =>
+      ap(tab(s, dir, "lineitem"),
+        t("profile", "columns" -> "l_quantity,l_discount",
+          "groupBy" -> "l_returnflag", "exact" -> "true"))),
     // stratified sampling: exact perGroup quota per language, smallest
     // (id % 97, id) pairs win — bounded-heap partial aggregation per group
     // (no per-group window task), broadcast semi-join back. Mod path
@@ -872,6 +877,17 @@ object SparkEntry {
          WHERE (lang = 'en' AND doc_id % 100 < 50)
             OR lang = 'de'
             OR (lang = 'fr' AND doc_id % 100 < 25)""",
+    // grouped variant of q54's per-column stats
+    "q58_profile_grouped" -> Seq("l_quantity", "l_discount").map { c =>
+      s"""SELECT l_returnflag, '$c' AS column_name, count($c) AS n_values,
+                 CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+                 CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                 CAST(min($c) AS DOUBLE) AS min_value,
+                 CAST(max($c) AS DOUBLE) AS max_value,
+                 round(avg(CAST($c AS DOUBLE)), 4) AS avg_value,
+                 round(quantile_cont(CAST($c AS DOUBLE), 0.5), 4) AS p50_value
+          FROM lineitem GROUP BY l_returnflag"""
+    }.mkString(" UNION ALL "),
     // exact per-language quota: smallest (doc_id % 97, doc_id) pairs —
     // identical total order to the bounded-heap aggregator's (score desc =
     // bucket asc, id asc)

@@ -32,9 +32,13 @@ import graft.config.TransformConfig
  * projection over a 1-row DataFrame, not a second pass.
  */
 object Profile {
-  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
+  /** @param groupBy optional grouping keys: stats per (group, column) — the
+    *                per-language / per-source ingest report. Same one-pass
+    *                shape; the aggregation just keys on the groups. */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false,
+              groupBy: Seq[String] = Nil): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val missing = cols.filterNot(df.columns.contains)
+    val missing = (cols ++ groupBy).filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile columns not in input: ${missing.mkString(", ")}")
     val aggs = cols.flatMap { c =>
       val d = col(c).cast("double")
@@ -50,12 +54,15 @@ object Profile {
         round(avg(d), 4).as(s"__avg_$c"),
         round(p50.cast("double"), 4).as(s"__p50_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one =
+      if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { c =>
       s"'$c', `__cnt_$c`, `__nul_$c`, `__ndv_$c`, `__min_$c`, `__max_$c`, `__avg_$c`, `__p50_$c`"
     }.mkString(", ")
-    one.selectExpr(s"stack(${cols.size}, $stackArgs) as " +
-      "(column_name, n_values, n_nulls, n_distinct, min_value, max_value, avg_value, p50_value)")
+    one.selectExpr(groupBy.map(g => s"`$g`") :+
+      (s"stack(${cols.size}, $stackArgs) as " +
+        "(column_name, n_values, n_nulls, n_distinct, min_value, max_value, avg_value, p50_value)"): _*)
   }
 }
 
@@ -75,7 +82,10 @@ object ProfileTransform extends Transform {
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "columns")
     val cols = config.options("columns").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    Profile.profile(input, cols, exact = config.options.get("exact").exists(_.toBoolean))
+    val groups = config.options.get("groupBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    Profile.profile(input, cols,
+      exact = config.options.get("exact").exists(_.toBoolean), groupBy = groups)
   }
 }
 

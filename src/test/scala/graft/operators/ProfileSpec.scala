@@ -34,6 +34,17 @@ class ProfileSpec extends SparkTestBase {
     q.collect().map(r => r.getString(0) -> r.getDouble(7)).toMap.apply("v") shouldBe 2.0
   }
 
+  test("grouped profile: stats keyed by group, one row per (group, column)") {
+    val g = Seq((1L, "a", 10.0), (2L, "a", 30.0), (3L, "b", 5.0))
+      .toDF("id", "grp", "v")
+    val out = Profile.profile(g, Seq("v"), exact = true, groupBy = Seq("grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    out.keySet shouldBe Set("a", "b")
+    out("a").getDouble(8) shouldBe 20.0 // p50: interpolated median of 10, 30
+    out("a").getLong(2) shouldBe 2      // n_values
+    out("b").getDouble(5) shouldBe 5.0  // min
+  }
+
   test("declarative transform validates options and column existence") {
     val out = ProfileTransform(d, TransformConfig("p", "profile",
       Map("columns" -> "id,v", "exact" -> "true")), RunContext(spark, "t", "r"))
