@@ -355,6 +355,11 @@ object SparkEntry {
     "q57_tfidf" -> ((s, dir) =>
       ap(tab(s, dir, "documents"),
         t("tfidf", "idColumn" -> "doc_id", "textColumn" -> "text"))),
+    // BM25: saturated, doc-length-normalized scoring over the same frames
+    "q59_bm25" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("tfidf", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "scoring" -> "bm25"))),
     // PII redaction: email/phone/ipv4 rewritten to typed placeholders over
     // a synthesized PII-bearing column (documents carry no natural PII) —
     // regex parity checked against DuckDB's RE2 on the same text
@@ -1057,6 +1062,29 @@ object SparkEntry {
          ), n AS (SELECT count(*) AS n_docs FROM documents)
          SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
                 round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfq.df)) + 1.0), 4) AS tfidf
-         FROM tf JOIN dfq USING (term) CROSS JOIN n"""
+         FROM tf JOIN dfq USING (term) CROSS JOIN n""",
+    // identical formula tree: ln(1 + (N-df+.5)/(df+.5)) * tf(k1+1)/(tf +
+    // k1(1-b+b·dl/avgdl)) with k1=1.2 b=0.75, rounded to 4
+    "q59_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+         ), dfq AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1
+         ), dl AS (
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+         ), st AS (
+           SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT avg(CAST(dl AS DOUBLE)) FROM dl) AS avgdl
+         )
+         SELECT tf.doc_id, tf.term, tf.tf, dfq.df, dl.dl,
+                round(ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                      (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4)
+                  AS bm25
+         FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st"""
   )
 }

@@ -140,10 +140,7 @@ object TextFunctions {
    */
   def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
       : org.apache.spark.sql.DataFrame = {
-    val tf = df
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .where(length(col("term")) > 0)
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(df, idCol, textCol)
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     tf.join(docFreq, "term")
@@ -152,6 +149,38 @@ object TextFunctions {
         round(col("tf") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0)), 4)
           .as("tfidf"))
   }
+
+  /**
+   * BM25 term scores: `idf * tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))`
+   * with the standard positive idf `ln(1 + (N − df + 0.5)/(df + 0.5))` —
+   * tfidf with saturation (k1) and document-length normalization (b), the
+   * default lexical retrieval scorer. Same aggregation skeleton as
+   * [[tfidf]] plus a per-doc length frame derived FROM the tf frame (no
+   * extra corpus scan) and a broadcast 1-row average length.
+   */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+           k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol)
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val docLen = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(docLen.agg(avg(col("dl").cast("double")).as("avgdl"))))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(docFreq, "term").join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("dl"), round(idf * norm, 4).as("bm25"))
+  }
+
+  private def termFrequencies(df: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   /**
    * Repetition signals (Gopher-style quality filters): the fraction of

@@ -103,7 +103,14 @@ object TfidfTransform extends Transform {
   val transformType = "tfidf"
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "idColumn", "textColumn")
-    graft.functions.TextFunctions.tfidf(input,
-      config.options("idColumn"), config.options("textColumn"))
+    val id = config.options("idColumn"); val text = config.options("textColumn")
+    config.options.getOrElse("scoring", "tfidf") match {
+      case "tfidf" => graft.functions.TextFunctions.tfidf(input, id, text)
+      case "bm25" => graft.functions.TextFunctions.bm25(input, id, text,
+        k1 = config.options.get("k1").map(_.toDouble).getOrElse(1.2),
+        b = config.options.get("b").map(_.toDouble).getOrElse(0.75))
+      case other => throw new IllegalArgumentException(
+        s"tfidf scoring must be tfidf|bm25, got '$other'")
+    }
   }
 }

@@ -104,4 +104,15 @@ class TextFunctionsSpec extends SparkTestBase {
     rows((1L, "b")) shouldBe ((1L, 1L, 1.4055))
     rows((2L, "c")) shouldBe ((1L, 1L, 1.4055))
   }
+
+  test("bm25: golden value and document-length normalization") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val rows = graft.functions.TextFunctions.bm25(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // (1,'b'): idf = ln(1 + 1.5/1.5) = ln 2; norm = 2.2/(1 + 1.2(0.25 + 0.75·3/2.5))
+    rows((1L, "b")) shouldBe 0.6407
+    // same tf=1, df=1, but 'c' sits in the SHORTER doc → higher score than 'b'
+    rows((2L, "c")) should be > rows((1L, "b"))
+  }
 }
