@@ -496,6 +496,17 @@ object SparkEntry {
           col("range_ref_id").as("ref_id"))
     }),
 
+    // L2 normalization — the preprocessing step before cosine ANN; output
+    // scaled to exact integers (×1e6) so the oracle compares integer
+    // strings, not engine-formatted doubles
+    "q60_vec_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFunctions
+      tab(s, dir, "embeddings").select(col("vec_id"),
+        array_join(transform(VectorFunctions.normalize(col("embedding")),
+          v => round(v * 1000000.0).cast("long").cast("string")), ",").as("nvec"))
+    }),
+
     // ---- LLM-data-pipeline: similarity search over embeddings ----
     "q28_ann_topk" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -941,6 +952,22 @@ object SparkEntry {
          SELECT l.event_id, l.user_id, epoch_ms(l.t) AS ts_ms,
                 r.ref_id, round(r.ref_value, 2) AS ref_value
          FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t""",
+    // list_reduce is a sequential left fold like Spark's aggregate() (and
+    // 0.0 + v1 ≡ v1 in IEEE), so norms are bit-identical; ×1e6 integers
+    // sidestep double→string formatting differences
+    "q60_vec_normalize" ->
+      """WITH m AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         ), n AS (
+           SELECT vec_id, e,
+                  sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm
+           FROM m
+         )
+         SELECT vec_id,
+                array_to_string(list_transform(e, x ->
+                  CAST(round(CASE WHEN nrm = 0 THEN x ELSE x / nrm END * 1000000.0) AS BIGINT)),
+                  ',') AS nvec
+         FROM n""",
     // the binned equi-join + exact filter must equal the naive inequality
     // join exactly; half-open [lo, hi) on microsecond-truncated timestamps
     "q55_range_join" ->
