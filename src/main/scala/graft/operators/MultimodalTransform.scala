@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.{Transform, RunContext}
+import graft.config.TransformConfig
+import graft.multimodal.Multimodal
+
+/**
+ * Declarative multimodal processing: wraps a binary payload column into the
+ * canonical media frame and runs one of the partition-wise codec operations
+ * ([[Multimodal.extractFeatures]] / [[Multimodal.resize]] /
+ * [[Multimodal.sampleFrames]]) — the YAML surface for the multimodal
+ * family, mirroring how `dedup_embedding` exposes the ANN engine. Codecs
+ * are the documented stub seam (this image ships none); the Spark-side
+ * plumbing — schema, iterator-to-iterator decode, streamwise 1→N frame
+ * explode — is the real, tested production shape.
+ *
+ * {{{
+ * - name: image-features
+ *   type: multimodal
+ *   options: {operation: features, idColumn: media_id, bytesColumn: payload,
+ *             modality: image}
+ * }}}
+ *
+ * Options: operation features|resize|frames and idColumn/bytesColumn
+ * required; modality (default image), sourceUriColumn (default the id),
+ * targetW/targetH (resize, default 224), everyMs (frames, default 1000),
+ * maxFrames (default 64).
+ */
+object MultimodalTransform extends Transform {
+  val transformType = "multimodal"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "operation", "idColumn", "bytesColumn")
+    val id = config.options("idColumn")
+    val uriCol = config.options.getOrElse("sourceUriColumn", id)
+    val media = Multimodal.asMediaFrame(input, id, config.options("bytesColumn"),
+      modality = config.options.getOrElse("modality", "image"),
+      sourceUriCol = uriCol)
+    config.options("operation") match {
+      case "features" => Multimodal.extractFeatures(media)
+      case "resize" => Multimodal.resize(media,
+        targetW = config.options.get("targetW").map(_.toInt).getOrElse(224),
+        targetH = config.options.get("targetH").map(_.toInt).getOrElse(224))
+      case "frames" => Multimodal.sampleFrames(media,
+        everyMs = config.options.get("everyMs").map(_.toLong).getOrElse(1000L),
+        maxFrames = config.options.get("maxFrames").map(_.toInt).getOrElse(64))
+      case other => throw new IllegalArgumentException(
+        s"multimodal operation must be features|resize|frames, got '$other'")
+    }
+  }
+}

@@ -36,6 +36,7 @@ object Registries {
     ProfileTransform.transformType    -> ProfileTransform,
     RangeJoinTransform.transformType  -> RangeJoinTransform,
     TfidfTransform.transformType      -> TfidfTransform,
+    MultimodalTransform.transformType -> MultimodalTransform,
     ShardTransform.transformType      -> ShardTransform,
     SampleTransform.transformType     -> SampleTransform,
     MixTransform.transformType        -> MixTransform,

@@ -69,4 +69,27 @@ class MultimodalSpec extends SparkTestBase {
       when(col("media_id") === 2, lit(null).cast("binary")).otherwise(col("content")))
     Multimodal.extractFeatures(withNull).count() shouldBe 3
   }
+
+  test("declarative multimodal transform: features, frames, validation") {
+    import graft.config.TransformConfig
+    import graft.api.RunContext
+    val ctx = RunContext(spark, "mm", "t")
+    val raw = Seq((1L, "payload-one"), (2L, "payload-two")).toDF("id", "body")
+      .select(col("id"), encode(col("body"), "UTF-8").as("bytes"))
+    def t(opts: (String, String)*) = TransformConfig("mm", "multimodal", opts.toMap)
+    val feats = graft.operators.MultimodalTransform(raw,
+      t("operation" -> "features", "idColumn" -> "id", "bytesColumn" -> "bytes"), ctx)
+    feats.schema shouldBe Multimodal.featureSchema
+    feats.count() shouldBe 2
+    val frames = graft.operators.MultimodalTransform(raw,
+      t("operation" -> "frames", "idColumn" -> "id", "bytesColumn" -> "bytes",
+        "modality" -> "video", "everyMs" -> "10000", "maxFrames" -> "3"), ctx)
+    frames.schema shouldBe Multimodal.frameSchema
+    frames.groupBy("media_id").count().select("count").as[Long].collect()
+      .foreach(_ should be <= 3L)
+    an[IllegalArgumentException] should be thrownBy graft.operators.MultimodalTransform(
+      raw, t("operation" -> "nope", "idColumn" -> "id", "bytesColumn" -> "bytes"), ctx)
+    an[graft.api.ConfigException] should be thrownBy graft.operators.MultimodalTransform(
+      raw, t("operation" -> "features"), ctx)
+  }
 }
