@@ -565,6 +565,56 @@ object SparkEntry {
         .select("media_id", "width", "height", "n_frames")
     }),
 
+    // ---- reshape: pivot / unpivot / set ops ----
+    // explicit pivot values → single scan, one shuffle, schema known
+    // before any job runs (value-less pivot would add a distinct pre-scan)
+    "q62_pivot" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
+      t("pivot", "groupBy" -> "l_returnflag", "pivotColumn" -> "l_linestatus",
+        "values" -> "O,F",
+        "aggregations" -> "cast(sum(cast(l_quantity as decimal(12,2))) as double)"))),
+    // wide→long melt: an Expand node, zero shuffle
+    "q63_unpivot" -> ((s, dir) => ap(
+      tab(s, dir, "lineitem").where("l_orderkey % 10 = 0"),
+      t("unpivot", "ids" -> "l_orderkey,l_linenumber",
+        "cols" -> "l_quantity,l_discount,l_tax",
+        "variableColumn" -> "measure", "valueColumn" -> "amount"))),
+    // multiset difference vs a registered view (intersect/*_all spec-tested)
+    "q64_setop" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      tab(s, dir, "customer").where("c_acctbal < 0")
+        .select(col("c_custkey").as("custkey"))
+        .createOrReplaceTempView("q64_negbal")
+      ap(tab(s, dir, "orders").select(col("o_custkey").as("custkey")),
+        t("setop", "rightDataset" -> "q64_negbal", "mode" -> "except"))
+    }),
+
+    // ---- distribution stats through the aggregation surface ----
+    // ONE exact percentile buffer (identical aggregate calls dedup in
+    // PhysicalAggregation) serving four quantile projections
+    "q65_percentiles" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
+      t("aggregation", "groupBy" -> "l_returnflag",
+        "aggregations" -> ("p25:round(element_at(percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D)), 1), 4)," +
+          "p50:round(element_at(percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D)), 2), 4)," +
+          "p90:round(element_at(percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D)), 3), 4)," +
+          "n:count(*)")))),
+    // fixed-width binning + per-bin stats: floor arithmetic is exact on
+    // doubles in both engines, so the histogram is oracle-checkable
+    "q66_histogram" -> ((s, dir) => ap(ap(tab(s, dir, "events"),
+      t("map", "expressions" -> "bin:cast(floor(value / 50.0d) as bigint)")),
+      t("aggregation", "groupBy" -> "bin",
+        "aggregations" -> "n:count(*),avg_value:round(avg(value), 2)"))),
+
+    // ---- LLM-data-pipeline: chunking & information density ----
+    // context-window packing: 500-char chunks, 50-char overlap
+    "q61_chunk" -> ((s, dir) => ap(tab(s, dir, "documents"),
+      t("chunk", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "size" -> "500", "overlap" -> "50", "keep" -> "lang"))),
+    // per-document token Shannon entropy (bits): the information-density
+    // quality signal; same proven-parity tokenization as q45/q57
+    "q67_entropy" -> ((s, dir) =>
+      graft.functions.TextFunctions.tokenEntropy(tab(s, dir, "documents"),
+        "doc_id", "text")),
+
     // ---- Structured Streaming (honest micro-batch; reference faked this) ----
     "q32_stream_window" -> ((s, dir) => {
       import graft.config._
@@ -639,6 +689,41 @@ object SparkEntry {
         unix_millis(col("session_end")).as("session_end_ms"),
         col("n_events"),
         round(col("total_value"), 2).as("total_value"))
+    }),
+
+    // stream-static join: the streaming enrich shape — events stream joined
+    // to a broadcast dimension BEFORE the windowed aggregation. The static
+    // side is planned per micro-batch as an ordinary broadcast hash join
+    // (stateless — no join state store); only the post-join windowed agg
+    // keeps state. Emission is deterministic exactly as q32: append mode,
+    // windows with end <= max(event ts) - 1 hour.
+    "q68_stream_dim_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val inDir = stagedEventsDir(s, dir)
+      val dim = tab(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val agg = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(inDir)
+        .withWatermark("ts", "1 hour")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("c_mktsegment"), col("n_events"), col("sum_value"))
+      val qn = "q68_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // few state stores, not 32
+      try {
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("q68ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(qn)
     })
   )
 
@@ -1112,6 +1197,75 @@ object SparkEntry {
                 round(ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
                       (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4)
                   AS bm25
-         FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st"""
+         FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st""",
+    // single unaliased pivot aggregate → columns named by the pivot values
+    "q62_pivot" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS "O",
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS "F"
+         FROM lineitem GROUP BY l_returnflag""",
+    "q63_unpivot" -> Seq("l_quantity", "l_discount", "l_tax").map { c =>
+      s"""SELECT l_orderkey, l_linenumber, '$c' AS measure, $c AS amount
+          FROM lineitem WHERE l_orderkey % 10 = 0"""
+    }.mkString(" UNION ALL "),
+    // EXCEPT is distinct in both engines
+    "q64_setop" ->
+      """SELECT o_custkey AS custkey FROM orders
+         EXCEPT
+         SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0""",
+    // quantile_cont interpolates exactly like Spark's percentile
+    "q65_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS p25,
+         round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50,
+         round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "q66_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
+         round(avg(value), 2) AS avg_value
+         FROM events GROUP BY 1""",
+    // chunk grid: i-th chunk covers [i*stride, i*stride + size); the last
+    // chunk starts so the doc end is always reached — same integer
+    // arithmetic as ChunkTransform ((len-size+stride-1) div stride + 1)
+    "q61_chunk" ->
+      """WITH n AS (
+           SELECT doc_id, lang, text,
+                  CASE WHEN length(text) <= 500 THEN 1
+                       ELSE (length(text) - 500 + 449) // 450 + 1 END AS nc
+           FROM documents WHERE text IS NOT NULL
+         ), e AS (
+           SELECT doc_id, lang, text,
+                  unnest(generate_series(0, nc - 1)) AS i
+           FROM n
+         )
+         SELECT doc_id, lang, i AS chunk_id,
+                substr(text, CAST(1 + i * 450 AS BIGINT), 500) AS chunk_text,
+                CAST(length(substr(text, CAST(1 + i * 450 AS BIGINT), 500)) AS INT) AS chunk_len
+         FROM e""",
+    // same tokenization as q45/q57; H = log2(T) - sum(n*log2(n))/T
+    "q67_entropy" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+         )
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_unique,
+                round(log2(CAST(sum(tf) AS DOUBLE))
+                      - sum(tf * log2(CAST(tf AS DOUBLE))) / sum(tf), 4) AS token_entropy
+         FROM tf GROUP BY doc_id""",
+    // q32's emission cutoff + a dimension join before the windowed agg
+    "q68_stream_dim_join" ->
+      """SELECT time_bucket(INTERVAL '1 hour', e.ts)::TIMESTAMP AS window_start,
+         (time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL '1 hour')::TIMESTAMP AS window_end,
+         c.c_mktsegment, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         WHERE (time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL '1 hour')::TIMESTAMP
+               <= (SELECT max(ts)::TIMESTAMP - INTERVAL '1 hour' FROM events)
+         GROUP BY 1, 2, 3"""
   )
 }

@@ -175,6 +175,30 @@ object TextFunctions {
         col("dl"), round(idf * norm, 4).as("bm25"))
   }
 
+  /**
+   * Per-document token Shannon entropy (bits) plus token totals — the
+   * information-density quality signal: near-zero entropy flags degenerate
+   * repetition ("spam spam spam…"), unusually high entropy flags
+   * gibberish/encoded blobs. Computed as `log2(T) − Σ n·log2(n) / T` over
+   * the per-document term frequencies — algebraically `−Σ p·log2(p)` but
+   * with one log per DISTINCT token instead of per occurrence.
+   *
+   * Scale shape: same skeleton as [[tfidf]] — the (doc, term) count is the
+   * only full-corpus shuffle (map-side partials collapse repeats), the
+   * entropy reduction then aggregates vocab-sized data per document.
+   * Documents with no tokens produce no row (there is no distribution to
+   * measure), matching SQL semantics.
+   */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    termFrequencies(df, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        round(log2(sum("tf")) - sum(col("tf") * log2(col("tf"))) / sum("tf"), 4)
+          .as("token_entropy"))
+
   private def termFrequencies(df: org.apache.spark.sql.DataFrame,
                               idCol: String, textCol: String)
       : org.apache.spark.sql.DataFrame =

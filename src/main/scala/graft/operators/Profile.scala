@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
 import graft.api.{Transform, RunContext}
@@ -23,10 +24,11 @@ import graft.config.TransformConfig
  *    sketch) and `approx_percentile` (KLL-style, bounded buffer) — both
  *    mergeable partial aggregates, constant memory per executor at any
  *    data size.
- *  - `exact=true`: exact `count(DISTINCT)` (Catalyst Expand, still one
- *    scan) and exact interpolated `percentile` (per-value hash map —
- *    bounded by the column's CARDINALITY, not row count; fine for the
- *    bench/oracle, deliberate opt-in for petabyte corpora).
+ *  - `exact=true`: exact distinct counts and exact interpolated p50,
+ *    computed from a melted value-frequency frame (see [[profileExact]]) —
+ *    cost bounded by the columns' CARDINALITY, not row count; deliberate
+ *    opt-in for petabyte corpora (near-all-distinct columns belong on the
+ *    sketch path).
  *
  * The one-row frame is unpivoted to long format with `stack` — a driverless
  * projection over a 1-row DataFrame, not a second pass.
@@ -40,19 +42,18 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     val missing = (cols ++ groupBy).filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile columns not in input: ${missing.mkString(", ")}")
+    if (exact) return profileExact(df, cols, groupBy)
     val aggs = cols.flatMap { c =>
       val d = col(c).cast("double")
-      val ndv = if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
-      val p50 = if (exact) expr(s"percentile(cast(`$c` as double), 0.5)")
-                else expr(s"approx_percentile(cast(`$c` as double), 0.5)")
       Seq(
         count(col(c)).as(s"__cnt_$c"),
         count_if(col(c).isNull).as(s"__nul_$c"),
-        ndv.cast("long").as(s"__ndv_$c"),
+        approx_count_distinct(col(c)).cast("long").as(s"__ndv_$c"),
         min(d).as(s"__min_$c"),
         max(d).as(s"__max_$c"),
         round(avg(d), 4).as(s"__avg_$c"),
-        round(p50.cast("double"), 4).as(s"__p50_$c"))
+        round(expr(s"approx_percentile(cast(`$c` as double), 0.5)").cast("double"), 4)
+          .as(s"__p50_$c"))
     }
     val one =
       if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
@@ -63,6 +64,65 @@ object Profile {
     one.selectExpr(groupBy.map(g => s"`$g`") :+
       (s"stack(${cols.size}, $stackArgs) as " +
         "(column_name, n_values, n_nulls, n_distinct, min_value, max_value, avg_value, p50_value)"): _*)
+  }
+
+  /**
+   * Exact profile via value frequencies. The naive exact plan — N
+   * `count(DISTINCT)` aggregates plus N exact `percentile`s in one
+   * aggregation — makes Catalyst Expand the scan (rows × (N+1)) and pushes
+   * every expanded row through per-value percentile hash maps (~2.7 s for 3
+   * columns of sf0.1 lineitem). Here instead:
+   *
+   *   1. melt to (groups…, column_name, value) — explode of an
+   *      N-struct array, stays inside whole-stage codegen, no Expand;
+   *   2. ONE hash aggregation to (…, value) → n — map-side partials
+   *      collapse each partition to ~cardinality rows, so the only full
+   *      shuffle moves ~|distinct values| rows, not the corpus;
+   *   3. every stat falls out of the tiny counts frame: n_distinct is a
+   *      row count, avg is sum(v·n)/sum(n), and the exact interpolated
+   *      p50 reads the two values bracketing rank 0.5·(n−1) off a
+   *      cumulative-count window (same `lo + frac·(hi−lo)` the built-in
+   *      `percentile` and DuckDB's `quantile_cont` compute).
+   *
+   * The p50 window partitions by (groups…, column_name): one task per
+   * profiled column sorting its distinct values — trivially parallel across
+   * columns and groups, bounded by per-column cardinality.
+   */
+  private def profileExact(df: DataFrame, cols: Seq[String],
+                           groupBy: Seq[String]): DataFrame = {
+    val gcols = groupBy.map(col)
+    val melted = df
+      .select(gcols :+ explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("double").as("v"))): _*)).as("cv"): _*)
+      .select(gcols ++ Seq(col("cv.column_name"), col("cv.v")): _*)
+    val keys = groupBy :+ "column_name"
+    val counts = melted.groupBy((keys :+ "v").map(col): _*).agg(count(lit(1)).as("n"))
+
+    val part = W.partitionBy(keys.map(col): _*)
+    // nulls sort first and contribute 0, so cum_before counts non-null
+    // values strictly below v — the 0-based index of v's first occurrence
+    val ord = part.orderBy(col("v").asc_nulls_first)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val nn = when(col("v").isNotNull, col("n")) // non-null contribution
+    val ranked = counts
+      .withColumn("cum_before", coalesce(sum(nn).over(ord), lit(0L)))
+      .withColumn("rank", (sum(nn).over(part) - 1) * 0.5)
+    ranked.groupBy(keys.map(col): _*).agg(
+        coalesce(sum(nn), lit(0L)).as("n_values"),
+        coalesce(sum(when(col("v").isNull, col("n"))), lit(0L)).as("n_nulls"),
+        count(nn).as("n_distinct"),
+        min(col("v")).as("min_value"),
+        max(col("v")).as("max_value"),
+        round(sum(col("v") * nn) / sum(nn), 4).as("avg_value"),
+        max(when(col("v").isNotNull && col("cum_before") <= floor(col("rank")), col("v")))
+          .as("__lo"),
+        max(when(col("v").isNotNull && col("cum_before") <= ceil(col("rank")), col("v")))
+          .as("__hi"),
+        max(col("rank")).as("__rank"))
+      .withColumn("p50_value",
+        round(col("__lo") + (col("__rank") - floor(col("__rank"))) *
+          (col("__hi") - col("__lo")), 4))
+      .drop("__lo", "__hi", "__rank")
   }
 }
 

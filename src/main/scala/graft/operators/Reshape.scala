@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.{ConfigException, RunContext, Transform}
+import graft.config.{ExprUtils, TransformConfig}
+
+/**
+ * Reshaping transforms the reference lacks (its transformer surface stops at
+ * aggregation/join/window/filter/map — `pipeline/TransformerRegistry.scala:13-19`):
+ * pivot (long→wide), unpivot (wide→long), and multiset set operations.
+ * All are declarative plan compositions — no actions, no driver loops.
+ */
+
+/**
+ * pivot — `groupBy(...).pivot(col, values).agg(...)`.
+ *
+ * `values` is REQUIRED, not discovered: Spark's value-less `pivot` first
+ * runs a distinct scan of the pivot column and inlines the result into the
+ * plan — an extra full pass over the corpus, a nondeterministic schema, and
+ * an unbounded column explosion at 100 TB. Explicit values make the plan a
+ * single scan with one shuffle (the groupBy) and a schema known before any
+ * job runs.
+ *
+ * {{{
+ * - name: status-matrix
+ *   type: pivot
+ *   options: {groupBy: l_returnflag, pivotColumn: l_linestatus,
+ *             values: "O,F", aggregations: "sum(l_quantity)"}
+ * }}}
+ *
+ * With a single unaliased aggregate the output columns are exactly the
+ * pivot values; with aliases/multiple aggregates Spark emits
+ * `{value}_{alias}`.
+ */
+object PivotTransform extends Transform {
+  val transformType = "pivot"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "groupBy", "pivotColumn", "values", "aggregations")
+    val groups = ExprUtils.parseColumns(config.options("groupBy"))
+    val values = ExprUtils.splitTopLevel(config.options("values")).map(_.trim)
+    val aggs = ExprUtils.parseAggregations(config.options("aggregations"))
+    input.groupBy(groups.map(col): _*)
+      .pivot(config.options("pivotColumn"), values)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}
+
+/**
+ * unpivot — wide→long melt via Spark's native `unpivot` (an Expand node:
+ * rows × |cols|, zero shuffle, streams through whole-stage codegen).
+ *
+ * {{{
+ * - name: melt-measures
+ *   type: unpivot
+ *   options: {ids: "l_orderkey,l_linenumber", cols: "l_quantity,l_discount",
+ *             variableColumn: measure, valueColumn: amount}
+ * }}}
+ *
+ * Value columns must share a least common type (Spark analysis enforces
+ * it); cast upstream with a `map` step when mixing types.
+ */
+object UnpivotTransform extends Transform {
+  val transformType = "unpivot"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "ids", "cols")
+    val ids = ExprUtils.parseColumns(config.options("ids")).map(col)
+    val vals = ExprUtils.parseColumns(config.options("cols")).map(col)
+    input.unpivot(ids.toArray, vals.toArray,
+      config.options.getOrElse("variableColumn", "variable"),
+      config.options.getOrElse("valueColumn", "value"))
+  }
+}
+
+/**
+ * setop — intersect / except against a registered view (the same
+ * right-side convention as `join`/`union`). Distinct variants plan as an
+ * aggregate over a left-semi/anti join; `*_all` variants keep multiset
+ * multiplicity (SQL INTERSECT ALL / EXCEPT ALL). All four are one shuffle
+ * on the full row — co-partitioned, no broadcast of the big side, and AQE
+ * still gets to pick the join strategy.
+ *
+ * {{{
+ * - name: new-rows-only
+ *   type: setop
+ *   options: {rightDataset: yesterday, mode: except}
+ * }}}
+ */
+object SetOpTransform extends Transform {
+  val transformType = "setop"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "rightDataset", "mode")
+    val right = input.sparkSession.table(config.options("rightDataset"))
+    config.options("mode") match {
+      case "intersect"     => input.intersect(right)
+      case "intersect_all" => input.intersectAll(right)
+      case "except"        => input.except(right)
+      case "except_all"    => input.exceptAll(right)
+      case other => throw new ConfigException(
+        s"setop mode must be intersect|intersect_all|except|except_all, got '$other'")
+    }
+  }
+}

@@ -37,6 +37,10 @@ object Registries {
     RangeJoinTransform.transformType  -> RangeJoinTransform,
     TfidfTransform.transformType      -> TfidfTransform,
     MultimodalTransform.transformType -> MultimodalTransform,
+    PivotTransform.transformType      -> PivotTransform,
+    UnpivotTransform.transformType    -> UnpivotTransform,
+    SetOpTransform.transformType      -> SetOpTransform,
+    ChunkTransform.transformType      -> ChunkTransform,
     ShardTransform.transformType      -> ShardTransform,
     SampleTransform.transformType     -> SampleTransform,
     MixTransform.transformType        -> MixTransform,

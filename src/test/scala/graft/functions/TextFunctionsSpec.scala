@@ -115,4 +115,20 @@ class TextFunctionsSpec extends SparkTestBase {
     // same tf=1, df=1, but 'c' sits in the SHORTER doc → higher score than 'b'
     rows((2L, "c")) should be > rows((1L, "b"))
   }
+
+  test("token entropy: golden values, uniform = log2(n), degenerate = 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),      // uniform over 4 → exactly 2 bits
+      (2L, "a a a a"),      // single token → 0 bits
+      (3L, "a a b"),        // H = log2(3) - (2·log2 2)/3 = 0.9183
+      (4L, "   "),          // no tokens → no row
+      (5L, null)).toDF("doc_id", "text")
+    val rows = graft.functions.TextFunctions.tokenEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    rows(1L) shouldBe ((4L, 4L, 2.0))
+    rows(2L) shouldBe ((4L, 1L, 0.0))
+    rows(3L) shouldBe ((3L, 2L, 0.9183))
+    rows.keySet shouldBe Set(1L, 2L, 3L)
+  }
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.api.{ConfigException, RunContext}
+import graft.config.TransformConfig
+
+class ChunkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ctx = RunContext(spark, "t", "r")
+  private def chunk(df: org.apache.spark.sql.DataFrame, opts: (String, String)*) =
+    ChunkTransform(df, TransformConfig("c", "chunk",
+      (Seq("idColumn" -> "id", "textColumn" -> "t") ++ opts).toMap), ctx)
+
+  test("chunk grid: stride = size - overlap, last chunk reaches the end") {
+    val df = Seq((1L, "abcdefghij")).toDF("id", "t") // 10 chars
+    val out = chunk(df, "size" -> "4", "overlap" -> "1") // stride 3
+      .orderBy("chunk_id").collect()
+    out.map(_.getString(2)).toSeq shouldBe Seq("abcd", "defg", "ghij")
+    out.map(_.getLong(1)).toSeq shouldBe Seq(0L, 1L, 2L)
+    out.map(_.getInt(3)).toSeq shouldBe Seq(4, 4, 4)
+  }
+
+  test("short, exact-fit, empty and null texts") {
+    val df = Seq((1L, "ab"), (2L, "abcd"), (3L, ""), (4L, null))
+      .toDF("id", "t")
+    val out = chunk(df, "size" -> "4").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(2)).toSeq).toMap
+    out(1L) shouldBe Seq("ab")   // shorter than size → one chunk
+    out(2L) shouldBe Seq("abcd") // exact fit → one chunk, not two
+    out(3L) shouldBe Seq("")     // empty → one empty chunk
+    out.contains(4L) shouldBe false // null → no chunks
+  }
+
+  test("every character is covered and consecutive chunks overlap correctly") {
+    val text = scala.util.Random.alphanumeric.take(137).mkString
+    val df = Seq((1L, text)).toDF("id", "t")
+    val rows = chunk(df, "size" -> "50", "overlap" -> "10")
+      .orderBy("chunk_id").collect()
+    val rebuilt = rows.map(_.getString(2)).reduce((a, b) => a + b.drop(10))
+    rebuilt shouldBe text
+    // every chunk except possibly the last is full-size
+    rows.dropRight(1).foreach(_.getInt(3) shouldBe 50)
+    rows.last.getString(2) shouldBe text.takeRight(rows.last.getInt(3))
+  }
+
+  test("keep columns pass through; zero-shuffle plan") {
+    val df = Seq((1L, "hello world", "en")).toDF("id", "t", "lang")
+    val out = chunk(df, "size" -> "6", "keep" -> "lang")
+    out.columns.toSeq shouldBe Seq("id", "lang", "chunk_id", "chunk_text", "chunk_len")
+    out.collect().foreach(_.getString(1) shouldBe "en")
+    out.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
+  test("invalid size/overlap fail fast") {
+    val df = Seq((1L, "x")).toDF("id", "t")
+    intercept[ConfigException] { chunk(df, "size" -> "0") }
+    intercept[ConfigException] { chunk(df, "size" -> "5", "overlap" -> "5") }
+    intercept[ConfigException] { chunk(df, "size" -> "5", "overlap" -> "-1") }
+  }
+}

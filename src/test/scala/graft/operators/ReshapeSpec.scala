@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.api.{ConfigException, RunContext}
+import graft.config.TransformConfig
+
+class ReshapeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ctx = RunContext(spark, "t", "r")
+  private def tc(typ: String, opts: (String, String)*) =
+    TransformConfig(s"$typ-spec", typ, opts.toMap)
+
+  private def sales = Seq(
+    ("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 10.0),
+    ("b", "y", 5.0), ("b", "z", 7.0)).toDF("k", "p", "v")
+
+  test("pivot: explicit values become columns; absent combinations are null") {
+    val out = PivotTransform(sales, tc("pivot",
+      "groupBy" -> "k", "pivotColumn" -> "p", "values" -> "x,y",
+      "aggregations" -> "sum(v)"), ctx)
+    out.columns.toSeq shouldBe Seq("k", "x", "y")
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    rows("a").getDouble(1) shouldBe 3.0
+    rows("a").getDouble(2) shouldBe 10.0
+    rows("b").isNullAt(1) shouldBe true // no (b, x) input row
+    rows("b").getDouble(2) shouldBe 5.0
+  }
+
+  test("pivot: values outside the explicit list are ignored, single scan") {
+    val out = PivotTransform(sales, tc("pivot",
+      "groupBy" -> "k", "pivotColumn" -> "p", "values" -> "x",
+      "aggregations" -> "n:count(*)"), ctx)
+    out.columns.toSeq shouldBe Seq("k", "x") // 'z' never becomes a column
+    // explicit values → no extra distinct-scan job: plan has exactly one scan
+    val scans = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan"))
+    scans shouldBe 1
+  }
+
+  test("unpivot: wide to long with chosen column names") {
+    val wide = Seq((1, 10.0, 0.5), (2, 20.0, 0.7)).toDF("id", "qty", "disc")
+    val out = UnpivotTransform(wide, tc("unpivot",
+      "ids" -> "id", "cols" -> "qty,disc",
+      "variableColumn" -> "measure", "valueColumn" -> "amount"), ctx)
+    out.columns.toSeq shouldBe Seq("id", "measure", "amount")
+    out.count() shouldBe 4
+    out.where("id = 1 AND measure = 'qty'").collect().head.getDouble(2) shouldBe 10.0
+    // pivot(unpivot) round-trips the original frame
+    val back = PivotTransform(out, tc("pivot", "groupBy" -> "id",
+      "pivotColumn" -> "measure", "values" -> "qty,disc",
+      "aggregations" -> "first(amount)"), ctx)
+    back.orderBy("id").collect().map(_.getDouble(1)).toSeq shouldBe Seq(10.0, 20.0)
+  }
+
+  test("setop: all four modes with multiset semantics where _all") {
+    val left = Seq(1, 1, 2, 3).toDF("x")
+    Seq(2, 3, 3, 4).toDF("x").createOrReplaceTempView("reshape_right")
+    def run(mode: String) =
+      SetOpTransform(left, tc("setop",
+        "rightDataset" -> "reshape_right", "mode" -> mode), ctx)
+        .collect().map(_.getInt(0)).sorted.toSeq
+    run("intersect") shouldBe Seq(2, 3)
+    run("intersect_all") shouldBe Seq(2, 3)
+    run("except") shouldBe Seq(1)
+    run("except_all") shouldBe Seq(1, 1) // multiplicity preserved
+    val e = intercept[ConfigException] { run("union") }
+    e.getMessage should include ("mode must be")
+  }
+
+  test("missing required options fail fast with the option name") {
+    val e = intercept[ConfigException] {
+      PivotTransform(sales, tc("pivot", "groupBy" -> "k"), ctx)
+    }
+    e.getMessage should include ("pivotColumn")
+  }
+}
