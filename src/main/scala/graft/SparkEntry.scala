@@ -267,23 +267,21 @@ object SparkEntry {
     }),
 
     // ---- LLM-data-pipeline: text analysis ----
+    // both routed through the declarative `text_signals` transform — the
+    // YAML-reachable path — then aliased to the oracle's column names
     "q23_text_stats" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      import graft.functions.TextFunctions
-      tab(s, dir, "documents").select(
-        col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
-        length(col("text")).as("len_chars"))
+      ap(tab(s, dir, "documents"),
+        t("text_signals", "textColumn" -> "text", "signals" -> "tokens,bpe_tokens,chars"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("n_bpe_tokens").as("n_bpe"), col("n_chars").as("len_chars"))
     }),
     "q24_text_quality" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      import graft.functions.TextFunctions
-      tab(s, dir, "documents").select(
-        col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("quality"),
-        TextFunctions.langId(col("text")).as("lang_pred"),
-        TextFunctions.fingerprint(col("text")).as("fp"))
+      ap(tab(s, dir, "documents"),
+        t("text_signals", "textColumn" -> "text", "signals" -> "quality,lang,fingerprint"))
+        .select(col("doc_id"), col("quality_score").as("quality"),
+          col("lang_pred"), col("fingerprint").as("fp"))
     }),
 
     // ---- LLM-data-pipeline: deduplication family ----

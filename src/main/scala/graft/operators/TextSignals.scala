@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.api.{ConfigException, RunContext, Transform}
+import graft.config.TransformConfig
+
+/**
+ * text_signals — append per-document text-analysis signal columns from the
+ * [[graft.functions.TextFunctions]] suite: the first half of the canonical
+ * curation shape (score every document, then `filter` on thresholds). All
+ * signals are per-row Column compositions — ONE projection, zero shuffle,
+ * no UDFs, inside whole-stage codegen — so scoring 100 TB costs exactly
+ * one scan.
+ *
+ * {{{
+ * - name: score
+ *   type: text_signals
+ *   options: {textColumn: text, signals: "tokens,quality,lang,dup_words"}
+ * - name: keep-good
+ *   type: filter
+ *   options: {condition: "quality_score > 0.5 AND dup_word_frac < 0.3"}
+ * }}}
+ */
+object TextSignalsTransform extends Transform {
+  val transformType = "text_signals"
+
+  import graft.functions.TextFunctions._
+  /** signal name → (output column, builder). */
+  private def builders(ngramSize: Int): Seq[(String, String, Column => Column)] = Seq(
+    ("tokens",         "n_tokens",       tokenCount _),
+    ("bpe_tokens",     "n_bpe_tokens",   bpeTokenCount _),
+    ("chars",          "n_chars",        (c: Column) => coalesce(length(c), lit(0))),
+    ("punct_ratio",    "punct_ratio",    punctRatio _),
+    ("stopword_ratio", "stopword_ratio", stopwordRatio _),
+    ("quality",        "quality_score",  qualityScore _),
+    ("lang",           "lang_pred",      langId _),
+    ("fingerprint",    "fingerprint",    fingerprint _),
+    ("dup_words",      "dup_word_frac",  dupWordFraction _),
+    ("dup_ngrams",     "dup_ngram_frac", (c: Column) => dupNgramFraction(c, ngramSize)))
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "textColumn")
+    val text = col(config.options("textColumn"))
+    val n = config.options.get("ngramSize").map(_.toInt).getOrElse(2)
+    val all = builders(n)
+    val picked = config.options.get("signals") match {
+      case None => all
+      case Some(spec) =>
+        val names = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val known = all.map(_._1).toSet
+        val bad = names.filterNot(known)
+        if (bad.nonEmpty) throw new ConfigException(
+          s"text_signals: unknown signal(s) ${bad.mkString(", ")} " +
+            s"(available: ${all.map(_._1).mkString(", ")})")
+        names.map(nm => all.find(_._1 == nm).get)
+    }
+    picked.foldLeft(input) { case (df, (_, out, build)) =>
+      df.withColumn(out, build(text))
+    }
+  }
+}

@@ -37,6 +37,7 @@ object Registries {
     RangeJoinTransform.transformType  -> RangeJoinTransform,
     TfidfTransform.transformType      -> TfidfTransform,
     MultimodalTransform.transformType -> MultimodalTransform,
+    TextSignalsTransform.transformType -> TextSignalsTransform,
     PivotTransform.transformType      -> PivotTransform,
     UnpivotTransform.transformType    -> UnpivotTransform,
     SetOpTransform.transformType      -> SetOpTransform,

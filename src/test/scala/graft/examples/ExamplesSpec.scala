@@ -99,6 +99,19 @@ class ExamplesSpec extends SparkTestBase {
     out.where("tfidf <= 0 OR tf < 1 OR df < 1").count() shouldBe 0
   }
 
+  test("quickstart-8: signal scoring, quality gate, context-window chunking") {
+    run("quickstart-8-signal-curation.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-8-out")
+    out.count() should be > 0L
+    out.columns should contain allOf ("doc_id", "quality_score", "chunk_id",
+      "chunk_text", "chunk_len", "_lineage")
+    out.columns should contain ("lang_pred") // partition column survives
+    // the chunk grid never exceeds the configured size
+    out.where("chunk_len > 400 OR chunk_len < 1").count() shouldBe 0
+    // quality gate applied before chunking
+    out.where("quality_score <= 0.3").count() shouldBe 0
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
