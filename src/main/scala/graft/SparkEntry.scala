@@ -612,6 +612,24 @@ object SparkEntry {
     "q67_entropy" -> ((s, dir) =>
       graft.functions.TextFunctions.tokenEntropy(tab(s, dir, "documents"),
         "doc_id", "text")),
+    // connected components over a deterministic pair graph (edges i→i+1
+    // where i%5<2 → components are the consecutive runs {5k,5k+1,5k+2}),
+    // so the iterative min-label propagation is checkable against the
+    // closed form in SQL. The LSH-pair-driven path is spec-tested.
+    "q70_components" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pairs = tab(s, dir, "documents").where("doc_id % 5 < 2")
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      graft.dedup.Dedup.clusters(pairs)
+    }),
+    // importance sampling: per-row keep probability (here length-derived)
+    // through the deterministic bucket — the reproducible replacement for
+    // `rand() < p`. Mod path oracled; hash path spec'd.
+    "q69_sample_weighted" -> ((s, dir) => ap(ap(tab(s, dir, "documents"),
+      t("map", "expressions" -> "p_keep:least(1.0d, n_chars / 2000.0d)")),
+      t("sample", "on" -> "doc_id", "probColumn" -> "p_keep",
+        "method" -> "mod", "buckets" -> "1000"))
+      .select("doc_id", "lang", "n_chars")),
 
     // ---- Structured Streaming (honest micro-batch; reference faked this) ----
     "q32_stream_window" -> ((s, dir) => {
@@ -1256,6 +1274,20 @@ object SparkEntry {
                 round(log2(CAST(sum(tf) AS DOUBLE))
                       - sum(tf * log2(CAST(tf AS DOUBLE))) / sum(tf), 4) AS token_entropy
          FROM tf GROUP BY doc_id""",
+    // closed form: every node of the i→i+1 (i%5<2) graph sits in the
+    // consecutive-run component whose minimum is node - node%5
+    "q70_components" ->
+      """WITH e AS (
+           SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 5 < 2
+         ), n AS (
+           SELECT a AS id FROM e UNION SELECT b FROM e
+         )
+         SELECT id, id - (id % 5) AS cluster_id FROM n""",
+    // keep iff bucket < p·buckets — identical double arithmetic both sides
+    "q69_sample_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE CAST(doc_id % 1000 AS DOUBLE)
+               < least(1.0, n_chars / 2000.0) * 1000.0""",
     // q32's emission cutoff + a dimension join before the windowed agg
     "q68_stream_dim_join" ->
       """SELECT time_bucket(INTERVAL '1 hour', e.ts)::TIMESTAMP AS window_start,

@@ -216,4 +216,59 @@ object Dedup {
     val union = size(array_union(sa, sb)).cast("double")
     round(when(union === 0, 0.0).otherwise(inter / union), 4)
   }
+
+  /**
+   * Connected components over a near-dup pair frame: every node labeled
+   * with its component's minimum id. Near-dup PAIRS under-describe the
+   * duplicate structure — "a≈b, b≈c" is one boilerplate cluster even when
+   * (a,c) itself never collided — and cluster-level semantics ("keep one
+   * document per cluster", "count cluster sizes") need the transitive
+   * closure.
+   *
+   * Algorithm: distributed min-label propagation. Each round every node
+   * offers its current label to its neighbors and keeps the minimum — a
+   * self-join-free `(edges ⋈ labels) ∪ labels → min` per round, all hash
+   * aggregations with map-side partials. Converges in O(component
+   * diameter) rounds; near-dup components are short chains around a
+   * template, so 3–5 rounds is typical. Each round caches the new
+   * node-sized label frame (previous round unpersisted) and pays one
+   * count job over it for the convergence check — O(log n)-round
+   * large-star/small-star is the upgrade path if adversarial long-path
+   * graphs ever matter.
+   *
+   * @param pairs frame with two id columns (`idA`, `idB`), one row per
+   *              undirected edge
+   * @return (id, cluster_id) for every node that appears in `pairs`
+   */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // each round's frame references the previous one TWICE (self ∪ offers),
+    // so without lineage truncation the logical plan doubles per round —
+    // localCheckpoint materializes the node-sized frame and resets the plan
+    // to a scan. (On a real cluster prefer reliable checkpoint() to HDFS
+    // for executor-loss tolerance across a long convergence.)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val offers = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.select("id", "cluster_id").union(offers)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
+        .where(col("cluster_id") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -40,9 +40,23 @@ abstract class NearDupTransform extends Transform {
     val id = config.options("idColumn")
     val content = config.options(contentOption)
     val dupPairs = pairs(input, id, content, config)
-    // pairs carry (id_a < id_b); dropping every id_b keeps exactly one
-    // representative per matched pair chain's minimum element
-    val toDrop = dupPairs.select(col("id_b").as(id)).distinct()
+    val toDrop = config.options.getOrElse("survivor", "pair") match {
+      // pairs carry (id_a < id_b); dropping every id_b keeps every node
+      // that is nobody's duplicate-with-a-smaller-id — greedy edge-drop,
+      // zero extra passes
+      case "pair" => dupPairs.select(col("id_b").as(id)).distinct()
+      // transitive closure: keep exactly ONE representative (the minimum
+      // id) per connected component — "a≈b, b≈c" drops both b AND c even
+      // though (a,c) never collided. Runs Dedup.clusters' label
+      // propagation: O(component diameter) rounds of driver-looped jobs
+      // over the node-sized pair graph (an exception to the no-action
+      // transform rule, like shard's prefix-sum collect — documented).
+      case "cluster" =>
+        graft.dedup.Dedup.clusters(dupPairs)
+          .where(col("id") =!= col("cluster_id")).select(col("id").as(id))
+      case other => throw new graft.api.ConfigException(
+        s"$transformType: survivor must be pair|cluster, got '$other'")
+    }
     input.join(toDrop, Seq(id), "left_anti")
   }
 

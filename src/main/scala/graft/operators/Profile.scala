@@ -93,32 +93,32 @@ object Profile {
     val gcols = groupBy.map(col)
     val melted = df
       .select(gcols :+ explode(array(cols.map(c =>
-        struct(lit(c).as("column_name"), col(c).cast("double").as("v"))): _*)).as("cv"): _*)
-      .select(gcols ++ Seq(col("cv.column_name"), col("cv.v")): _*)
+        struct(lit(c).as("column_name"), col(c).cast("double").as("__v"))): _*)).as("__cv"): _*)
+      .select(gcols ++ Seq(col("__cv.column_name"), col("__cv.__v")): _*)
     val keys = groupBy :+ "column_name"
-    val counts = melted.groupBy((keys :+ "v").map(col): _*).agg(count(lit(1)).as("n"))
+    val counts = melted.groupBy((keys :+ "__v").map(col): _*).agg(count(lit(1)).as("__n"))
 
     val part = W.partitionBy(keys.map(col): _*)
     // nulls sort first and contribute 0, so cum_before counts non-null
     // values strictly below v — the 0-based index of v's first occurrence
-    val ord = part.orderBy(col("v").asc_nulls_first)
+    val ord = part.orderBy(col("__v").asc_nulls_first)
       .rowsBetween(W.unboundedPreceding, -1)
-    val nn = when(col("v").isNotNull, col("n")) // non-null contribution
+    val nn = when(col("__v").isNotNull, col("__n")) // non-null contribution
     val ranked = counts
-      .withColumn("cum_before", coalesce(sum(nn).over(ord), lit(0L)))
-      .withColumn("rank", (sum(nn).over(part) - 1) * 0.5)
+      .withColumn("__cum_before", coalesce(sum(nn).over(ord), lit(0L)))
+      .withColumn("__rk", (sum(nn).over(part) - 1) * 0.5)
     ranked.groupBy(keys.map(col): _*).agg(
         coalesce(sum(nn), lit(0L)).as("n_values"),
-        coalesce(sum(when(col("v").isNull, col("n"))), lit(0L)).as("n_nulls"),
+        coalesce(sum(when(col("__v").isNull, col("__n"))), lit(0L)).as("n_nulls"),
         count(nn).as("n_distinct"),
-        min(col("v")).as("min_value"),
-        max(col("v")).as("max_value"),
-        round(sum(col("v") * nn) / sum(nn), 4).as("avg_value"),
-        max(when(col("v").isNotNull && col("cum_before") <= floor(col("rank")), col("v")))
+        min(col("__v")).as("min_value"),
+        max(col("__v")).as("max_value"),
+        round(sum(col("__v") * nn) / sum(nn), 4).as("avg_value"),
+        max(when(col("__v").isNotNull && col("__cum_before") <= floor(col("__rk")), col("__v")))
           .as("__lo"),
-        max(when(col("v").isNotNull && col("cum_before") <= ceil(col("rank")), col("v")))
+        max(when(col("__v").isNotNull && col("__cum_before") <= ceil(col("__rk")), col("__v")))
           .as("__hi"),
-        max(col("rank")).as("__rank"))
+        max(col("__rk")).as("__rank"))
       .withColumn("p50_value",
         round(col("__lo") + (col("__rank") - floor(col("__rank"))) *
           (col("__hi") - col("__lo")), 4))

@@ -182,13 +182,23 @@ object SampleTransform extends Transform {
     val (bucket, buckets) = bucketFor(config, key,
       defaultBuckets = if (stratified) 1000003 else 100)
     if (stratified) return stratifiedSample(input, config, key, keyName, bucket)
-    (config.options.get("keep"), config.options.get("splits")) match {
-      case (Some(k), None) =>
+    (config.options.get("keep"), config.options.get("splits"),
+     config.options.get("probColumn")) match {
+      case (Some(k), None, None) =>
         val keep = k.toInt
         require(keep >= 0 && keep <= buckets,
           s"need 0 <= keep <= buckets, got keep=$keep buckets=$buckets")
         input.where(bucket < lit(keep))
-      case (None, Some(splits)) =>
+      // importance sampling: per-row keep probability from a column
+      // (quality score, length-derived rate, model-scored weight) — the
+      // deterministic replacement for `rand() < p`: same id + seed → same
+      // fate across runs, retries and engines. Probabilities clamp to
+      // [0,1]; keep iff bucket < p·buckets, so P(keep) = p to 1/buckets
+      // resolution. Zero shuffle, codegen'd filter.
+      case (None, None, Some(p)) =>
+        val prob = least(greatest(col(p).cast("double"), lit(0.0)), lit(1.0))
+        input.where(bucket.cast("double") < prob * lit(buckets.toDouble))
+      case (None, Some(splits), None) =>
         val parts = splits.split(",").map(_.trim).filter(_.nonEmpty).map { p =>
           p.split(":") match {
             case Array(name, w) => (name.trim, w.trim.toInt)
@@ -205,7 +215,8 @@ object SampleTransform extends Transform {
         }
         input.withColumn(config.options.getOrElse("splitColumn", "split"), label)
       case _ => throw new IllegalArgumentException(
-        "sample needs exactly one of 'keep' (filter), 'splits' (label), or 'perGroup' (stratified)")
+        "sample needs exactly one of 'keep' (filter), 'splits' (label), " +
+          "'probColumn' (importance sampling), or 'perGroup' (stratified)")
     }
   }
 

@@ -141,6 +141,36 @@ class DedupSpec extends SparkTestBase {
       corpus, TransformConfig("bad", "decontaminate", Map.empty), ctx)
   }
 
+  test("clusters: transitive closure labels every node with its component minimum") {
+    // two components: a path 1-5-9 (no 1-9 edge) and an isolated pair 20-21
+    val pairs = Seq((1L, 5L), (5L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 1L), (5L, 1L), (9L, 1L), (20L, 20L), (21L, 20L))
+    // a longer path exercises multiple propagation rounds
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Dedup.clusters(chain).where("cluster_id = 1").count() shouldBe 10
+  }
+
+  test("near-dup removal: survivor=cluster keeps one doc per component, pair is greedier") {
+    import graft.config.TransformConfig
+    import graft.api.RunContext
+    val ctx = RunContext(spark, "t", "r")
+    // 1, 4 and 6 are exact copies → one LSH component {1, 4, 6}
+    val corpus = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base), (6L, base))
+      .toDF("doc_id", "text")
+    def run(survivor: String) = graft.operators.MinhashDedupTransform(corpus,
+      TransformConfig("nd", "dedup_minhash", Map(
+        "idColumn" -> "doc_id", "textColumn" -> "text",
+        "threshold" -> "0.9", "survivor" -> survivor)), ctx)
+      .select("doc_id").as[Long].collect().toSet
+    val cluster = run("cluster")
+    cluster should contain (1L)     // component minimum survives
+    cluster should not contain 4L
+    cluster should not contain 6L
+    run("pair") shouldBe cluster    // complete LSH pairs → same keep-set here
+    an[graft.api.ConfigException] should be thrownBy run("nope")
+  }
+
   test("SimHash chunk-bucket cap drops mega-buckets; normal corpora unaffected") {
     // 60 identical docs share every 16-bit chunk → buckets of 60 > cap 10
     // → zero candidate pairs instead of 4×C(60,2) bucket-join rows

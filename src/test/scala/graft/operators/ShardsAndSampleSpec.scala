@@ -110,6 +110,32 @@ class ShardsAndSampleSpec extends SparkTestBase {
         "method" -> "nope"), ctx)
   }
 
+  test("sample probColumn: importance sampling is deterministic and rate-faithful") {
+    val d = docs(1000).withColumn("p_keep",
+      least(lit(1.0), col("n_tokens") / lit(400.0)))
+    def run() = SampleTransform(d, t("sample", "on" -> "doc_id",
+      "probColumn" -> "p_keep", "method" -> "mod", "buckets" -> "1000"), ctx)
+    val ids = run().select("doc_id").collect().map(_.getLong(0)).toSet
+    // exactly the closed-form keep set: bucket < p·buckets
+    val expected = (1 to 1000).filter { i =>
+      (i % 1000).toDouble < math.min(1.0, (i * 37 % 500 + 1) / 400.0) * 1000.0
+    }.map(_.toLong).toSet
+    ids shouldBe expected
+    run().select("doc_id").collect().map(_.getLong(0)).toSet shouldBe ids // reproducible
+    // p = 1 rows always survive; p = 0 rows never do
+    val extreme = Seq((1L, 1.0), (2L, 0.0), (3L, 2.0), (4L, -0.5))
+      .toDF("doc_id", "p_keep")
+    SampleTransform(extreme, t("sample", "on" -> "doc_id",
+      "probColumn" -> "p_keep", "method" -> "hash", "buckets" -> "1000"), ctx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
+    // zero shuffle: a pure filter
+    run().queryExecution.executedPlan.toString should not include "Exchange"
+    // mutually exclusive with the other modes
+    an[IllegalArgumentException] should be thrownBy
+      SampleTransform(d, t("sample", "on" -> "doc_id",
+        "probColumn" -> "p_keep", "keep" -> "3"), ctx)
+  }
+
   test("sample splits: total stable labeling, weights honored, bad configs rejected") {
     val d = docs(1000)
     val labeled = SampleTransform(d, t("sample", "on" -> "doc_id", "buckets" -> "10",
