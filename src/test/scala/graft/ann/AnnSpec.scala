@@ -57,6 +57,51 @@ class AnnSpec extends SparkTestBase {
     recall should be >= 0.7
   }
 
+  test("k-means refinement: quantization cost drops, recall does not regress") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val vecs = corpus.select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    def cost(cents: Array[Array[Float]]): Double =
+      vecs.map(v => 1.0 - cents.map(cos(v, _)).max).sum / vecs.length
+    val base = Ann.kmeansCentroids(corpus, "vec_id", "embedding", nLists = 8, iters = 0)
+    val refined = Ann.kmeansCentroids(corpus, "vec_id", "embedding", nLists = 8, iters = 3)
+    // Lloyd monotonicity: average 1-cos to the nearest centroid decreases
+    cost(refined) should be < cost(base)
+    // refined centroids are unit length (spherical k-means invariant)
+    refined.foreach { c =>
+      math.sqrt(c.map(x => x.toDouble * x).sum) shouldBe 1.0 +- 1e-5
+    }
+    // refinement does not hurt end-to-end IVF recall at the same probes
+    val queries = corpus.where("vec_id IN (0, 1, 2, 3)")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", "query_id", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(iters: Int) = {
+      val got = Ann.ivfTopK(corpus, queries, "vec_id", "embedding", "query_id", 10,
+        nLists = 8, nProbe = 2, kmeansIters = iters)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    recall(3) should be >= recall(0)
+  }
+
+  test("k-means refinement: empty lists keep their centroid, tiny corpora stable") {
+    // nLists far above the corpus size → most lists never get members
+    val tiny = corpus.where("vec_id < 3")
+    val cents = Ann.kmeansCentroids(tiny, "vec_id", "embedding", nLists = 3, iters = 3)
+    cents.length shouldBe 3
+    cents.foreach(_.foreach { x =>
+      java.lang.Float.isNaN(x) shouldBe false
+    })
+    // iters = 0 returns the raw hash sample unchanged
+    Ann.kmeansCentroids(tiny, "vec_id", "embedding", nLists = 3, iters = 0)
+      .length shouldBe 3
+  }
+
   test("top-k plan shape: partial bounded-heap aggregate, no global window sort") {
     // the scale contract from round-1 review: no row_number() window over
     // the full scored frame (it funnels the corpus into |queries| tasks).
