@@ -612,6 +612,16 @@ object SparkEntry {
     "q67_entropy" -> ((s, dir) =>
       graft.functions.TextFunctions.tokenEntropy(tab(s, dir, "documents"),
         "doc_id", "text")),
+    // analytic frame aggregations: a framed rolling window chained with a
+    // frameless lag step (they need different window specs) — running
+    // count + 3-row rolling min + previous-order delta per customer
+    "q71_window_roll" -> ((s, dir) => ap(ap(tab(s, dir, "orders"),
+      t("window_agg", "partitionBy" -> "o_custkey", "orderBy" -> "o_orderkey",
+        "frameType" -> "rows", "frameStart" -> "-2", "frameEnd" -> "current",
+        "aggregations" -> "roll_n:count(*),roll_min:min(o_totalprice)")),
+      t("window_agg", "partitionBy" -> "o_custkey", "orderBy" -> "o_orderkey",
+        "aggregations" -> "prev_price:lag(o_totalprice, 1)"))
+      .select("o_custkey", "o_orderkey", "roll_n", "roll_min", "prev_price")),
     // connected components over a deterministic pair graph (edges i→i+1
     // where i%5<2 → components are the consecutive runs {5k,5k+1,5k+2}),
     // so the iterative min-label propagation is checkable against the
@@ -1274,6 +1284,15 @@ object SparkEntry {
                 round(log2(CAST(sum(tf) AS DOUBLE))
                       - sum(tf * log2(CAST(tf AS DOUBLE))) / sum(tf), 4) AS token_entropy
          FROM tf GROUP BY doc_id""",
+    // rolling frame + lag: exact count/min/value-shift, no float folding
+    "q71_window_roll" ->
+      """SELECT o_custkey, o_orderkey,
+         count(*) OVER w3 AS roll_n,
+         min(o_totalprice) OVER w3 AS roll_min,
+         lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price
+         FROM orders
+         WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
     // closed form: every node of the i→i+1 (i%5<2) graph sits in the
     // consecutive-run component whose minimum is node - node%5
     "q70_components" ->

@@ -86,12 +86,67 @@ object WindowRankTransform extends Transform {
       case None    => ranked
     }
   }
-  private def parseOrder(item: String): Column = {
+  private[operators] def parseOrder(item: String): Column = {
     val parts = item.trim.split("\\s+")
     if (parts.length > 1 && parts.last.equalsIgnoreCase("desc"))
       expr(parts.dropRight(1).mkString(" ")).desc
     else if (parts.length > 1 && parts.last.equalsIgnoreCase("asc"))
       expr(parts.dropRight(1).mkString(" ")).asc
     else expr(item.trim)
+  }
+}
+
+/**
+ * window_agg — analytic aggregations over an ordered window: rolling
+ * sums/averages, running totals, lag/lead deltas — the time-series half of
+ * the analytic-window surface (`window_rank` covers ranking).
+ *
+ * Options: `orderBy` (required), `partitionBy`, `aggregations`
+ * (`alias:expr,…` — any aggregate or analytic function), and an optional
+ * explicit frame via `frameType: rows|range` + `frameStart`/`frameEnd`
+ * (integers, `unbounded`, or `current`). Without a frame Spark's default
+ * applies (RANGE UNBOUNDED PRECEDING → CURRENT ROW), which is also the
+ * mode in which lag/lead/first/last are legal (they reject custom
+ * frames) — chain two `window_agg` steps to mix framed and frameless
+ * analytics.
+ *
+ * Scale shape: ONE shuffle on `partitionBy`, per-partition incremental
+ * frame evaluation, all aggregations sharing the single sort. Requiring
+ * `partitionBy` unless `global: "true"` keeps the 100 TB foot-gun —
+ * an un-partitioned ordered window is a SinglePartition exchange —
+ * opt-in, same policy as `sort`.
+ */
+object WindowAggTransform extends Transform {
+  val transformType = "window_agg"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "orderBy", "aggregations")
+    val partCols = config.options.get("partitionBy").map(ExprUtils.parseColumns).getOrElse(Nil)
+    if (partCols.isEmpty && !config.options.get("global").exists(_.toBoolean))
+      throw new ConfigException(
+        "window_agg without partitionBy funnels ALL data through one task; " +
+          "set global=\"true\" to accept that, or partition")
+    val w0 = if (partCols.isEmpty) W.partitionBy() else W.partitionBy(partCols.map(col): _*)
+    val w1 = w0.orderBy(ExprUtils.splitTopLevel(config.options("orderBy"))
+      .map(WindowRankTransform.parseOrder): _*)
+    def bound(key: String, dflt: Long): Long = config.options.get(key).map {
+      case "unbounded" if key == "frameStart" => W.unboundedPreceding
+      case "unbounded"                        => W.unboundedFollowing
+      case "current"                          => W.currentRow
+      case n                                  => n.toLong
+    }.getOrElse(dflt)
+    val framed = (config.options.get("frameType"),
+                  config.options.contains("frameStart") || config.options.contains("frameEnd")) match {
+      case (None, false) => w1 // Spark default frame; lag/lead legal here
+      case (t, _) =>
+        val (s, e) = (bound("frameStart", W.unboundedPreceding), bound("frameEnd", W.currentRow))
+        t.getOrElse("rows") match {
+          case "rows"  => w1.rowsBetween(s, e)
+          case "range" => w1.rangeBetween(s, e)
+          case other => throw new ConfigException(
+            s"window_agg: frameType must be rows|range, got '$other'")
+        }
+    }
+    val pairs = ExprUtils.parseExprList(config.options("aggregations"))
+    input.withColumns(pairs.map { case (a, e) => a -> expr(e).over(framed) }.toMap)
   }
 }

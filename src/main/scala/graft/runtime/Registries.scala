@@ -24,6 +24,7 @@ object Registries {
     JoinTransform.transformType       -> JoinTransform,
     WindowTransform.transformType     -> WindowTransform,
     WindowRankTransform.transformType -> WindowRankTransform,
+    WindowAggTransform.transformType  -> WindowAggTransform,
     SortTransform.transformType       -> SortTransform,
     LimitTransform.transformType      -> LimitTransform,
     UnionTransform.transformType      -> UnionTransform,
