@@ -612,6 +612,14 @@ object SparkEntry {
     "q67_entropy" -> ((s, dir) =>
       graft.functions.TextFunctions.tokenEntropy(tab(s, dir, "documents"),
         "doc_id", "text")),
+    // time-series resample with gap filling: per-user 6-hour buckets, every
+    // interval between a user's first and last event present (missing
+    // buckets → count 0). 6-hour buckets are epoch-aligned in BOTH engines.
+    "q72_resample" -> ((s, dir) => ap(ap(tab(s, dir, "events"),
+      t("resample", "timeColumn" -> "ts", "interval" -> "6 hours",
+        "groupBy" -> "user_id",
+        "aggregations" -> "n_events:count(*),sum_value:round(sum(value), 2)")),
+      t("map", "expressions" -> "n_events:coalesce(n_events, 0L)"))),
     // analytic frame aggregations: a framed rolling window chained with a
     // frameless lag step (they need different window specs) — running
     // count + 3-row rolling min + previous-order delta per customer
@@ -745,6 +753,50 @@ object SparkEntry {
           .outputMode("append")
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("q68ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(qn)
+    }),
+
+    // stream-stream inner join: clicks correlated with same-user purchases
+    // in the preceding hour — both sides streaming, event-time range
+    // condition, per-side watermarks sizing the join state (Spark retains
+    // each side only for the range span + watermark delay). The delay here
+    // exceeds the dataset's time span so no match can be evicted
+    // mid-drain and the emitted set is exactly the batch join — the
+    // determinism the oracle needs; production sets it to the real
+    // lateness bound.
+    "q73_stream_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val inDir = stagedEventsDir(s, dir)
+      val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+      val clicks = s.readStream.schema(schema).parquet(inDir)
+        .where("event_type = 'click'")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "365 days")
+      val purchases = s.readStream.schema(schema).parquet(inDir)
+        .where("event_type = 'purchase'")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "365 days")
+      val joined = clicks.join(purchases,
+          expr("user_id = p_user AND " +
+            "p_ts >= click_ts - interval 1 hour AND p_ts <= click_ts"))
+        .select(col("click_id"), col("user_id"),
+          unix_millis(col("click_ts")).as("click_ms"),
+          col("purchase_id"), unix_millis(col("p_ts")).as("purchase_ms"),
+          round(col("value"), 2).as("purchase_value"))
+      val qn = "q73_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("q73ck").toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination(120000)
@@ -1284,6 +1336,23 @@ object SparkEntry {
                 round(log2(CAST(sum(tf) AS DOUBLE))
                       - sum(tf * log2(CAST(tf AS DOUBLE))) / sum(tf), 4) AS token_entropy
          FROM tf GROUP BY doc_id""",
+    // bucket + per-key dense grid + left join; gaps coalesce to 0 events
+    "q72_resample" ->
+      """WITH b AS (
+           SELECT user_id, time_bucket(INTERVAL '6 hours', ts)::TIMESTAMP AS bucket_start,
+                  count(*) AS n, round(sum(value), 2) AS sv
+           FROM events GROUP BY 1, 2
+         ), r AS (
+           SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+           FROM b GROUP BY 1
+         ), g AS (
+           SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '6 hours'))::TIMESTAMP
+                    AS bucket_start
+           FROM r
+         )
+         SELECT g.user_id, g.bucket_start,
+                coalesce(b.n, 0) AS n_events, b.sv AS sum_value
+         FROM g LEFT JOIN b USING (user_id, bucket_start)""",
     // rolling frame + lag: exact count/min/value-shift, no float folding
     "q71_window_roll" ->
       """SELECT o_custkey, o_orderkey,
@@ -1307,6 +1376,19 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE CAST(doc_id % 1000 AS DOUBLE)
                < least(1.0, n_chars / 2000.0) * 1000.0""",
+    // the full event-time range join (watermark exceeds the data span, so
+    // streaming emission = the batch join)
+    "q73_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+                epoch_ms(c.ts::TIMESTAMP) AS click_ms,
+                p.event_id AS purchase_id,
+                epoch_ms(p.ts::TIMESTAMP) AS purchase_ms,
+                round(p.value, 2) AS purchase_value
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND p.ts::TIMESTAMP >= c.ts::TIMESTAMP - INTERVAL '1 hour'
+          AND p.ts::TIMESTAMP <= c.ts::TIMESTAMP
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
     // q32's emission cutoff + a dimension join before the windowed agg
     "q68_stream_dim_join" ->
       """SELECT time_bucket(INTERVAL '1 hour', e.ts)::TIMESTAMP AS window_start,

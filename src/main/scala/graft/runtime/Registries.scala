@@ -25,6 +25,7 @@ object Registries {
     WindowTransform.transformType     -> WindowTransform,
     WindowRankTransform.transformType -> WindowRankTransform,
     WindowAggTransform.transformType  -> WindowAggTransform,
+    ResampleTransform.transformType   -> ResampleTransform,
     SortTransform.transformType       -> SortTransform,
     LimitTransform.transformType      -> LimitTransform,
     UnionTransform.transformType      -> UnionTransform,
