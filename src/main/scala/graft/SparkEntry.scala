@@ -612,6 +612,15 @@ object SparkEntry {
     "q67_entropy" -> ((s, dir) =>
       graft.functions.TextFunctions.tokenEntropy(tab(s, dir, "documents"),
         "doc_id", "text")),
+    // mergeable HLL sketches through build → estimate. Oracle-checkable
+    // against exact count(DISTINCT): below ~2^lgK distinct values the
+    // DataSketches HLL stays in sparse mode, where the estimate is EXACT —
+    // events has 150 users, lgK=12. (The merge path and the
+    // beyond-sparse-regime error bound are spec-tested.)
+    "q74_sketch_ndv" -> ((s, dir) => ap(ap(tab(s, dir, "events"),
+      t("sketch", "columns" -> "user_id", "groupBy" -> "event_type")),
+      t("sketch", "columns" -> "user_id", "mode" -> "estimate"))
+      .select("event_type", "user_id_ndv")),
     // time-series resample with gap filling: per-user 6-hour buckets, every
     // interval between a user's first and last event present (missing
     // buckets → count 0). 6-hour buckets are epoch-aligned in BOTH engines.
@@ -1336,6 +1345,10 @@ object SparkEntry {
                 round(log2(CAST(sum(tf) AS DOUBLE))
                       - sum(tf * log2(CAST(tf AS DOUBLE))) / sum(tf), 4) AS token_entropy
          FROM tf GROUP BY doc_id""",
+    // sparse-regime HLL is exact, so the estimate equals count(DISTINCT)
+    "q74_sketch_ndv" ->
+      """SELECT event_type, count(DISTINCT user_id) AS user_id_ndv
+         FROM events GROUP BY event_type""",
     // bucket + per-key dense grid + left join; gaps coalesce to 0 events
     "q72_resample" ->
       """WITH b AS (

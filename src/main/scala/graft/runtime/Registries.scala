@@ -26,6 +26,7 @@ object Registries {
     WindowRankTransform.transformType -> WindowRankTransform,
     WindowAggTransform.transformType  -> WindowAggTransform,
     ResampleTransform.transformType   -> ResampleTransform,
+    SketchTransform.transformType     -> SketchTransform,
     SortTransform.transformType       -> SortTransform,
     LimitTransform.transformType      -> LimitTransform,
     UnionTransform.transformType      -> UnionTransform,
