@@ -102,7 +102,9 @@ object WindowRankTransform extends Transform {
  * the analytic-window surface (`window_rank` covers ranking).
  *
  * Options: `orderBy` (required), `partitionBy`, `aggregations`
- * (`alias:expr,…` — any aggregate or analytic function), and an optional
+ * (`alias:expr,…` — any aggregate or analytic function; the function must
+ * be OUTERMOST since `.over` binds to the top expression — put scalar
+ * wrappers like round() in a following `map` step), and an optional
  * explicit frame via `frameType: rows|range` + `frameStart`/`frameEnd`
  * (integers, `unbounded`, or `current`). Without a frame Spark's default
  * applies (RANGE UNBOUNDED PRECEDING → CURRENT ROW), which is also the

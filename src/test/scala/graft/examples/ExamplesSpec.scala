@@ -112,6 +112,22 @@ class ExamplesSpec extends SparkTestBase {
     out.where("quality_score <= 0.3").count() shouldBe 0
   }
 
+  test("quickstart-9: weekly resample, gap-filled rolling revenue, lag deltas") {
+    run("quickstart-9-order-analytics.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-9-out")
+    out.count() should be > 0L
+    out.columns should contain allOf ("o_orderstatus", "bucket_start",
+      "n_orders", "revenue", "rolling_4wk_revenue", "prev_week_revenue")
+    // gap filling: consecutive buckets per status are exactly 7 days apart
+    val gaps = out.where("o_orderstatus = 'F'").orderBy("bucket_start")
+      .selectExpr("unix_millis(cast(bucket_start as timestamp)) AS ms")
+      .collect().map(_.getLong(0))
+      .sliding(2).map(p => p(1) - p(0)).toSet
+    gaps shouldBe Set(7L * 24 * 3600 * 1000)
+    // the rolling frame never exceeds 4 weeks of revenue
+    out.where("rolling_4wk_revenue < revenue").count() shouldBe 0
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
