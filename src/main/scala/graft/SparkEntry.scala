@@ -612,6 +612,12 @@ object SparkEntry {
     "q67_entropy" -> ((s, dir) =>
       graft.functions.TextFunctions.tokenEntropy(tab(s, dir, "documents"),
         "doc_id", "text")),
+    // feature scaling: z-score over order totals — one stats aggregation
+    // broadcast into a projection; sample stddev matches DuckDB's stddev
+    "q75_scale" -> ((s, dir) => ap(tab(s, dir, "orders"),
+      t("scale", "columns" -> "o_totalprice", "method" -> "zscore",
+        "roundTo" -> "4"))
+      .select("o_orderkey", "o_totalprice_scaled")),
     // mergeable HLL sketches through build → estimate. Oracle-checkable
     // against exact count(DISTINCT): below ~2^lgK distinct values the
     // DataSketches HLL stays in sparse mode, where the estimate is EXACT —
@@ -1345,6 +1351,16 @@ object SparkEntry {
                 round(log2(CAST(sum(tf) AS DOUBLE))
                       - sum(tf * log2(CAST(tf AS DOUBLE))) / sum(tf), 4) AS token_entropy
          FROM tf GROUP BY doc_id""",
+    // same (x-μ)/σ over the same global stats; stddev is the sample form
+    "q75_scale" ->
+      """WITH s AS (
+           SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd
+           FROM orders
+         )
+         SELECT o_orderkey,
+                round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                           ELSE (o_totalprice - mu) / sd END, 4) AS o_totalprice_scaled
+         FROM orders CROSS JOIN s""",
     // sparse-regime HLL is exact, so the estimate equals count(DISTINCT)
     "q74_sketch_ndv" ->
       """SELECT event_type, count(DISTINCT user_id) AS user_id_ndv

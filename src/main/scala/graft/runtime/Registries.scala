@@ -27,6 +27,7 @@ object Registries {
     WindowAggTransform.transformType  -> WindowAggTransform,
     ResampleTransform.transformType   -> ResampleTransform,
     SketchTransform.transformType     -> SketchTransform,
+    ScaleTransform.transformType      -> ScaleTransform,
     SortTransform.transformType       -> SortTransform,
     LimitTransform.transformType      -> LimitTransform,
     UnionTransform.transformType      -> UnionTransform,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.api.{ConfigException, RunContext}
+import graft.config.TransformConfig
+
+class ScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ctx = RunContext(spark, "t", "r")
+  private def run(df: org.apache.spark.sql.DataFrame, opts: (String, String)*) =
+    ScaleTransform(df, TransformConfig("sc", "scale", opts.toMap), ctx)
+
+  test("zscore: mean 0, sample std 1, golden values") {
+    val d = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("x")
+    val got = run(d, "columns" -> "x").select("x_scaled")
+      .collect().map(_.getDouble(0)).sorted
+    // μ=3, σ_samp=sqrt(2.5)
+    val sd = math.sqrt(2.5)
+    got.zip(Seq(-2.0, -1.0, 0.0, 1.0, 2.0).map(_ / sd)).foreach {
+      case (a, e) => a shouldBe e +- 1e-12
+    }
+  }
+
+  test("minmax lands exactly in [0,1]; constant columns scale to 0") {
+    val d = Seq((10.0, 7.0), (20.0, 7.0), (15.0, 7.0)).toDF("x", "c")
+    val out = run(d, "columns" -> "x,c", "method" -> "minmax")
+    out.select("x_scaled").collect().map(_.getDouble(0)).sorted.toSeq shouldBe
+      Seq(0.0, 0.5, 1.0)
+    out.select("c_scaled").collect().map(_.getDouble(0)).toSet shouldBe Set(0.0)
+  }
+
+  test("single stats pass broadcast into a projection; stat columns dropped") {
+    val d = Seq(1.0, 2.0).toDF("x")
+    val out = run(d, "columns" -> "x")
+    out.columns.toSeq shouldBe Seq("x", "x_scaled")
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include ("BroadcastNestedLoopJoin") // 1-row stats side
+    an[ConfigException] should be thrownBy run(d, "columns" -> "x", "method" -> "nope")
+  }
+}
