@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
 import graft.api.{RunContext, Transform}
@@ -25,11 +26,16 @@ import graft.config.{ExprUtils, TransformConfig}
  * `bucket_start`, aggregations.
  *
  * Scale shape: one hash aggregation on (keys, bucket) — map-side partials,
- * the only full-data shuffle; the per-key bounds frame and the exploded
- * grid are bucket-cardinality-sized, and the grid join co-partitions on
- * the same (keys, bucket) hash. The grid explode is bounded by
- * (max-min)/interval per key — a key observed over a year at 1-hour
- * resolution adds 8,760 rows, independent of event count.
+ * the ONLY full-data scan and shuffle. Gap rows are then generated
+ * single-path: a `lead()` window over the bucket-cardinality-sized
+ * aggregate finds each bucket's successor and `explode(sequence(bucket,
+ * next − interval))` emits the bucket itself plus its trailing gaps, with
+ * aggregates nulled on generated rows. (The textbook bounds-frame +
+ * grid-join formulation plans the corpus aggregation TWICE — the two
+ * plan branches prune differently, so not even exchange reuse merges
+ * them.) The explode is bounded by (max−min)/interval per key — a key
+ * silent for a year at 1-hour resolution adds 8,760 rows, independent of
+ * event count.
  */
 object ResampleTransform extends Transform {
   val transformType = "resample"
@@ -44,11 +50,16 @@ object ResampleTransform extends Transform {
       .groupBy((keys.map(col) :+ window(col(ts), interval).getField("start")
         .as("bucket_start")): _*)
       .agg(aggs.head, aggs.tail: _*)
-    val bounds = (if (keys.isEmpty) bucketed.groupBy()
-                  else bucketed.groupBy(keys.map(col): _*))
-      .agg(min("bucket_start").as("__lo"), max("bucket_start").as("__hi"))
-    val grid = bounds.select(keys.map(col) :+
-      explode(expr(s"sequence(__lo, __hi, interval $interval)")).as("bucket_start"): _*)
-    grid.join(bucketed, keys :+ "bucket_start", "left")
+    val aggCols = bucketed.columns.filterNot((keys :+ "bucket_start").contains)
+    val wk = (if (keys.isEmpty) W.partitionBy() else W.partitionBy(keys.map(col): _*))
+      .orderBy(col("bucket_start"))
+    val gapped = bucketed
+      .withColumn("__next", lead("bucket_start", 1).over(wk))
+      .select((keys.map(col) :+ col("bucket_start").as("__orig") :+
+        explode(expr(s"sequence(bucket_start, " +
+          s"coalesce(__next - interval $interval, bucket_start), interval $interval)"))
+          .as("bucket_start")) ++ aggCols.map(col): _*)
+    gapped.select((keys.map(col) :+ col("bucket_start")) ++ aggCols.map(c =>
+      when(col("bucket_start") === col("__orig"), col(c)).as(c)): _*)
   }
 }

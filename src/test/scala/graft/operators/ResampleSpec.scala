@@ -45,4 +45,11 @@ class ResampleSpec extends SparkTestBase {
     out.count() shouldBe 6 // hours 0..5 across all keys
     out.columns.toSeq shouldBe Seq("bucket_start", "n", "sv")
   }
+
+  test("single-path plan: the input is scanned exactly once") {
+    // the bounds-frame + grid-join formulation would plan the corpus
+    // aggregation twice; the lead()-based gap generator must not
+    val plan = run(events, "groupBy" -> "k").queryExecution.executedPlan.toString
+    plan.linesIterator.count(_.contains("LocalTableScan")) shouldBe 1
+  }
 }
