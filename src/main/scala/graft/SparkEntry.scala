@@ -612,6 +612,12 @@ object SparkEntry {
     "q67_entropy" -> ((s, dir) =>
       graft.functions.TextFunctions.tokenEntropy(tab(s, dir, "documents"),
         "doc_id", "text")),
+    // grouped top-k via the bounded-heap aggregator (partial aggregation;
+    // no per-group window sort) — same result set as a row_number window
+    "q76_topk_group" -> ((s, dir) => ap(tab(s, dir, "orders"),
+      t("topk", "groupBy" -> "o_orderpriority", "scoreColumn" -> "o_totalprice",
+        "k" -> "5", "idColumn" -> "o_orderkey"))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")),
     // feature scaling: z-score over order totals — one stats aggregation
     // broadcast into a projection; sample stddev matches DuckDB's stddev
     "q75_scale" -> ((s, dir) => ap(tab(s, dir, "orders"),
@@ -1351,6 +1357,11 @@ object SparkEntry {
                 round(log2(CAST(sum(tf) AS DOUBLE))
                       - sum(tf * log2(CAST(tf AS DOUBLE))) / sum(tf), 4) AS token_entropy
          FROM tf GROUP BY doc_id""",
+    // identical total order: score desc, id asc
+    "q76_topk_group" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) <= 5""",
     // same (x-μ)/σ over the same global stats; stddev is the sample form
     "q75_scale" ->
       """WITH s AS (

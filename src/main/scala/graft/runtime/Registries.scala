@@ -28,6 +28,7 @@ object Registries {
     ResampleTransform.transformType   -> ResampleTransform,
     SketchTransform.transformType     -> SketchTransform,
     ScaleTransform.transformType      -> ScaleTransform,
+    TopKTransform.transformType       -> TopKTransform,
     SortTransform.transformType       -> SortTransform,
     LimitTransform.transformType      -> LimitTransform,
     UnionTransform.transformType      -> UnionTransform,
