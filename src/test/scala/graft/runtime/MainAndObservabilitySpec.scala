@@ -73,4 +73,29 @@ class MainAndObservabilitySpec extends SparkTestBase {
     m.status shouldBe "SUCCESS"
     spark.read.parquet(out).count() shouldBe 2
   }
+
+  test("--dry-run resolves the whole pipeline, prints the plan, writes nothing") {
+    Main.parseArguments(Array("--pipeline", "p.yaml", "--dry-run")).dryRun shouldBe true
+    val in = tmpDir("dry-in"); val out = tmpDir("dry-out") + "/sub"
+    Seq((1, "a"), (2, "b")).toDF("id", "k").write.mode("overwrite").parquet(in)
+    val yaml =
+      s"""pipelineId: dry-pipe
+         |source: {type: file, options: {path: $in}}
+         |transformations:
+         |  - {name: f, type: filter, options: {condition: "id > 1"}}
+         |sink: {type: file, writeMode: overwrite, options: {path: $out}}
+         |""".stripMargin
+    val yamlPath = java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmpDir("dry-yaml"), "p.yaml"), yaml.getBytes).toString
+    val cfg = new graft.config.YamlConfigParser().parseFile(yamlPath)
+    val report = Main.dryRun(cfg)
+    report should include ("DRY RUN")
+    report should include ("id: integer")     // schema made it in
+    report should include ("PushedFilters")   // formatted physical plan
+    new java.io.File(out).exists() shouldBe false // nothing written
+    // a broken transform surfaces at dry-run time, not at 2am
+    val bad = cfg.copy(transformations = List(
+      graft.config.TransformConfig("f", "filter", Map("condition" -> "nope > 1"))))
+    an[Exception] should be thrownBy Main.dryRun(bad)
+  }
 }
