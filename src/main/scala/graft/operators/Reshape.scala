@@ -36,6 +36,11 @@ import graft.config.{ExprUtils, TransformConfig}
  */
 object PivotTransform extends Transform {
   val transformType = "pivot"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("groupBy").map(ExprUtils.parseColumns).getOrElse(Nil) ++
+        config.options.get("pivotColumn").toSeq, "pivot")
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "groupBy", "pivotColumn", "values", "aggregations")
     val groups = ExprUtils.parseColumns(config.options("groupBy"))
@@ -63,6 +68,11 @@ object PivotTransform extends Transform {
  */
 object UnpivotTransform extends Transform {
   val transformType = "unpivot"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      (config.options.get("ids").toSeq ++ config.options.get("cols").toSeq)
+        .flatMap(ExprUtils.parseColumns), "unpivot")
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "ids", "cols")
     val ids = ExprUtils.parseColumns(config.options("ids")).map(col)
@@ -101,4 +111,13 @@ object SetOpTransform extends Transform {
         s"setop mode must be intersect|intersect_all|except|except_all, got '$other'")
     }
   }
+}
+
+/** Shared schema-validation helper for transform `validate` overrides. */
+private[operators] object Validate {
+  def columnsExist(schema: org.apache.spark.sql.types.StructType,
+                   cols: Seq[String], what: String): List[String] =
+    cols.filterNot(c => schema.fieldNames.map(_.toLowerCase)
+        .contains(c.toLowerCase))
+      .map(c => s"$what column '$c' not found in input schema").toList
 }

@@ -25,6 +25,10 @@ import graft.config.{ExprUtils, TransformConfig}
  */
 object ScaleTransform extends Transform {
   val transformType = "scale"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("columns").map(ExprUtils.parseColumns).getOrElse(Nil), "scale")
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "columns")
     val cols = ExprUtils.parseColumns(config.options("columns"))

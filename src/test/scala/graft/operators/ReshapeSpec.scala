@@ -74,4 +74,21 @@ class ReshapeSpec extends SparkTestBase {
     }
     e.getMessage should include ("pivotColumn")
   }
+
+  test("schema-aware validate flags unknown columns before any job runs") {
+    PivotTransform.validate(tc("pivot", "groupBy" -> "nope,k",
+      "pivotColumn" -> "p"), sales.schema) shouldBe
+      List("pivot column 'nope' not found in input schema")
+    UnpivotTransform.validate(tc("unpivot", "ids" -> "k",
+      "cols" -> "v,ghost"), sales.schema).head should include ("ghost")
+    ChunkTransform.validate(tc("chunk", "idColumn" -> "k",
+      "textColumn" -> "missing"), sales.schema).head should include ("missing")
+    TopKTransform.validate(tc("topk", "scoreColumn" -> "v",
+      "idColumn" -> "absent"), sales.schema).head should include ("absent")
+    ScaleTransform.validate(tc("scale", "columns" -> "v"), sales.schema) shouldBe Nil
+    ResampleTransform.validate(tc("resample", "timeColumn" -> "gone"),
+      sales.schema).head should include ("gone")
+    TextSignalsTransform.validate(tc("text_signals", "textColumn" -> "p"),
+      sales.schema) shouldBe Nil
+  }
 }
