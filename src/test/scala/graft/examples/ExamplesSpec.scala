@@ -128,6 +128,35 @@ class ExamplesSpec extends SparkTestBase {
     out.where("rolling_4wk_revenue < revenue").count() shouldBe 0
   }
 
+  test("quickstart-10: streaming YAML — watermarked window agg, exactly-once file sink") {
+    import org.apache.spark.sql.functions._
+    // stage input files + clean prior runs (checkpoint makes re-runs no-ops)
+    Seq("quickstart-10-in", "quickstart-10-out", "quickstart-10-ck").foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"/tmp/graft-examples/$d"))
+    }
+    (1 to 500).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        (i % 48) * 3600 * 1000L, (i % 10).toLong, i / 100.0)
+    }.toDF("event_id", "ms", "user_id", "value")
+      .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+        col("user_id"), col("value"))
+      .write.parquet("/tmp/graft-examples/quickstart-10-in")
+    val cfg = parser.parseFile("examples/quickstart-10-streaming-window.yaml")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val q = new graft.streaming.StreamingExecutor().start(cfg)(spark)
+      q.awaitTermination(120000)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-10-out")
+    out.columns.toSeq shouldBe Seq("window_start", "window_end", "user_id",
+      "n_events", "total_value")
+    // append mode emits only watermark-closed windows: ends <= max ts - 2h
+    out.count() should be > 0L
+    val maxEnd = out.agg(max("window_end")).collect().head.getTimestamp(0).getTime
+    maxEnd should be <= (java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+      (47 - 2) * 3600 * 1000L + 3600 * 1000L)
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
