@@ -61,6 +61,26 @@ class AlgebraicPropertySpec extends SparkTestBase {
     run("true") shouldBe run("false")
   }
 
+  test("round-6 transforms are invariant under repartitioning") {
+    // the partition-safety law that makes each plan safe at 1000×: physical
+    // layout must never change results
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def both(df: org.apache.spark.sql.DataFrame,
+             f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+      resultSet(f(df.repartition(13))) shouldBe resultSet(f(df.coalesce(1)))
+    both(li, d => PivotTransform(d, tc("pivot", "groupBy" -> "l_returnflag",
+      "pivotColumn" -> "l_linestatus", "values" -> "O,F",
+      "aggregations" -> "sum(l_quantity)"), ctx))
+    both(docs, d => ChunkTransform(d, tc("chunk", "idColumn" -> "doc_id",
+      "textColumn" -> "text", "size" -> "300", "overlap" -> "30"), ctx))
+    both(docs, d => TopKTransform(d, tc("topk", "groupBy" -> "lang",
+      "scoreColumn" -> "n_chars", "k" -> "7", "idColumn" -> "doc_id"), ctx))
+    both(docs, d => ScaleTransform(d, tc("scale", "columns" -> "n_chars",
+      "roundTo" -> "6"), ctx).select("doc_id", "n_chars_scaled"))
+    both(docs.limit(200), d => graft.functions.TextFunctions
+      .tokenEntropy(d, "doc_id", "text"))
+  }
+
   test("minhash jaccard estimates track exact jaccard (signature soundness)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
