@@ -101,7 +101,19 @@ object JoinTransform extends Transform {
     if (!types.contains(joinType))
       throw new ConfigException(s"join '${config.name}': unknown joinType '$joinType'")
     val right0 = spark.table(config.options("rightDataset"))
-    val right = if (config.options.get("broadcast").exists(_.toBoolean)) broadcast(right0) else right0
+    // strategy hints: broadcast (dims), or force merge / shuffle_hash when
+    // the optimizer's stats-blind default picks wrong at scale (e.g. a
+    // sort-merge over pre-sorted bucketed inputs, or hash when one side
+    // is memory-tight). Catalyst still validates applicability.
+    val right = config.options.get("hint").map(_.trim.toLowerCase) match {
+      case Some(h @ ("merge" | "shuffle_hash" | "shuffle_replicate_nl" | "broadcast")) =>
+        right0.hint(h)
+      case Some(other) => throw new ConfigException(
+        s"join '${config.name}': unknown hint '$other' " +
+          "(broadcast|merge|shuffle_hash|shuffle_replicate_nl)")
+      case None =>
+        if (config.options.get("broadcast").exists(_.toBoolean)) broadcast(right0) else right0
+    }
 
     val joined = (config.options.get("joinKeys"), config.options.get("leftKey"), config.options.get("rightKey")) match {
       case (Some(keys), _, _) =>

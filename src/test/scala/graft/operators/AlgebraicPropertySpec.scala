@@ -61,6 +61,20 @@ class AlgebraicPropertySpec extends SparkTestBase {
     run("true") shouldBe run("false")
   }
 
+  test("join strategy hints: merge forces SortMergeJoin, results unchanged") {
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .createOrReplaceTempView("prop_cust_h")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    def run(opts: (String, String)*) = JoinTransform(orders,
+      tc("join", (Seq("rightDataset" -> "prop_cust_h", "joinType" -> "inner",
+        "leftKey" -> "o_custkey", "rightKey" -> "c_custkey") ++ opts): _*), ctx)
+      .select("o_orderkey", "c_name")
+    val merged = run("hint" -> "merge")
+    merged.queryExecution.executedPlan.toString should include ("SortMergeJoin")
+    resultSet(merged) shouldBe resultSet(run())
+    an[graft.api.ConfigException] should be thrownBy run("hint" -> "nested_loop")
+  }
+
   test("round-6 transforms are invariant under repartitioning") {
     // the partition-safety law that makes each plan safe at 1000×: physical
     // layout must never change results

@@ -51,6 +51,17 @@ class SourcesSinksSpec extends SparkTestBase {
     new java.io.File(s"$dir/k=a").listFiles().count(_.getName.endsWith(".parquet")) shouldBe 1
   }
 
+  test("file sink sortWithinPartitions clusters rows inside each output file") {
+    val dir = tmpDir("clustered")
+    val df = Seq(5, 1, 4, 2, 3).toDF("v").repartition(3)
+    FileSink.write(df, SinkConfig("file",
+      Map("path" -> dir, "coalesce" -> "1", "sortWithinPartitions" -> "v"),
+      WriteMode.Overwrite), ctx)
+    // coalesced to one file THEN clustered → globally sorted rows, i.e.
+    // maximally selective min/max row-group stats
+    spark.read.parquet(dir).collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 2, 3, 4, 5)
+  }
+
   test("kafka file double: sink wraps rows as JSON value; source exposes the kafka contract") {
     val dir = tmpDir("kafka")
     val df = Seq((1, "hello"), (2, "world")).toDF("id", "msg")
