@@ -41,6 +41,32 @@ object SparkEntry {
       tmp
     })
 
+  /** Drain a streaming frame into a memory table (append, availableNow):
+    * unique query name, temp checkpoint, state-store partition count
+    * scoped to the query and restored after. awaitTermination's result is
+    * CHECKED — a timed-out drain means a partially-filled memory sink, so
+    * refuse it loudly instead of returning wrong rows. */
+  private def runStreamToTable(s: SparkSession, df: DataFrame, prefix: String,
+                               statePartitions: Int = 8): DataFrame = {
+    val qn = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(prefix + "ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"$prefix: streaming drain exceeded 120s — refusing partial results")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(qn)
+  }
+
   private def ctx(s: SparkSession) = RunContext(s, "sparkentry", "verify")
   private def t(typ: String, opts: (String, String)*): TransformConfig =
     TransformConfig(s"$typ-q", typ, opts.toMap)
@@ -704,8 +730,14 @@ object SparkEntry {
           // partition pays per-batch open/commit overhead
           shufflePartitions = Some(8))))
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      try new graft.streaming.StreamingExecutor().start(cfg)(s).awaitTermination(120000)
-      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle) // batch queries follow
+      try {
+        val q = new graft.streaming.StreamingExecutor().start(cfg)(s)
+        if (!q.awaitTermination(120000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q32: streaming drain exceeded 120s — refusing partial results")
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle) // batch queries follow
       s.table("q32_out")
     }),
 
@@ -727,19 +759,7 @@ object SparkEntry {
         .withWatermark("ts", "0 seconds")
         .as[graft.streaming.Sessionize.Event]
       val sessions = graft.streaming.Sessionize.sessions(ev, gapMs = 30 * 60 * 1000L)
-      val qn = "q46_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // few state stores, not 32
-      try {
-        val q = sessions.writeStream.format("memory").queryName(qn)
-          .outputMode("append")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("q46ck").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination(120000)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.table(qn).select(col("user_id"),
+      runStreamToTable(s, sessions.toDF(), "q46_out").select(col("user_id"),
         unix_millis(col("session_start")).as("session_start_ms"),
         unix_millis(col("session_end")).as("session_end_ms"),
         col("n_events"),
@@ -766,19 +786,7 @@ object SparkEntry {
         .select(col("window.start").as("window_start"),
           col("window.end").as("window_end"),
           col("c_mktsegment"), col("n_events"), col("sum_value"))
-      val qn = "q68_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // few state stores, not 32
-      try {
-        val q = agg.writeStream.format("memory").queryName(qn)
-          .outputMode("append")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("q68ck").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination(120000)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.table(qn)
+      runStreamToTable(s, agg, "q68_out")
     }),
 
     // stream-stream inner join: clicks correlated with same-user purchases
@@ -810,19 +818,7 @@ object SparkEntry {
           unix_millis(col("click_ts")).as("click_ms"),
           col("purchase_id"), unix_millis(col("p_ts")).as("purchase_ms"),
           round(col("value"), 2).as("purchase_value"))
-      val qn = "q73_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = joined.writeStream.format("memory").queryName(qn)
-          .outputMode("append")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("q73ck").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination(120000)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.table(qn)
+      runStreamToTable(s, joined, "q73_out")
     })
   )
 

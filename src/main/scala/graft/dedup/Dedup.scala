@@ -269,6 +269,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // fail LOUDLY on non-convergence: exiting here with changed > 0 would
+    // hand back labels where one real component carries several cluster_ids
+    // — and `survivor: cluster` dedup would silently keep extra duplicates
+    if (changed > 0) throw new IllegalStateException(
+      s"Dedup.clusters did not converge after $maxIter rounds " +
+        s"($changed labels still changing) — a duplicate chain longer than " +
+        s"$maxIter links; raise maxIter (rounds needed = component diameter)")
     labels
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
 import graft.api.{Transform, RunContext}
-import graft.config.TransformConfig
+import graft.config.{ExprUtils, TransformConfig}
 
 /**
  * As-of (time-travel) join: attach to every left row the single right row
@@ -132,7 +132,7 @@ object AsofJoinTransform extends Transform {
   val transformType = "join_asof"
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "rightDataset", "on", "leftTime")
-    val keys = config.options("on").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val keys = ExprUtils.parseColumns(config.options("on"))
     val right = ctx.spark.table(config.options("rightDataset"))
     val leftTime = config.options("leftTime")
     AsofJoin.asofJoin(input, right, keys, leftTime,

@@ -52,7 +52,8 @@ abstract class NearDupTransform extends Transform {
       // over the node-sized pair graph (an exception to the no-action
       // transform rule, like shard's prefix-sum collect — documented).
       case "cluster" =>
-        graft.dedup.Dedup.clusters(dupPairs)
+        graft.dedup.Dedup.clusters(dupPairs,
+            maxIter = intOpt(config, "clusterMaxIter", 20))
           .where(col("id") =!= col("cluster_id")).select(col("id").as(id))
       case other => throw new graft.api.ConfigException(
         s"$transformType: survivor must be pair|cluster, got '$other'")

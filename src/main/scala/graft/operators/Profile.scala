@@ -141,9 +141,9 @@ object ProfileTransform extends Transform {
   val transformType = "profile"
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "columns")
-    val cols = config.options("columns").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val cols = graft.config.ExprUtils.parseColumns(config.options("columns"))
     val groups = config.options.get("groupBy")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      .map(graft.config.ExprUtils.parseColumns).getOrElse(Nil)
     Profile.profile(input, cols,
       exact = config.options.get("exact").exists(_.toBoolean), groupBy = groups)
   }

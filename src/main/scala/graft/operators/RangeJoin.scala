@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
 import graft.api.{Transform, RunContext}
-import graft.config.TransformConfig
+import graft.config.{ExprUtils, TransformConfig}
 
 /**
  * Range (interval-containment) join: pair every left "point" row with the
@@ -96,7 +96,7 @@ object RangeJoinTransform extends Transform {
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "rightDataset", "point", "lo", "hi", "binWidth")
     val keys = config.options.get("on")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      .map(ExprUtils.parseColumns).getOrElse(Seq.empty)
     RangeJoin.rangeJoin(input, ctx.spark.table(config.options("rightDataset")),
       keys, config.options("point"), config.options("lo"), config.options("hi"),
       binWidth = config.options("binWidth").toLong,

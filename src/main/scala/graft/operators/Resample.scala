@@ -22,7 +22,8 @@ import graft.config.{ExprUtils, TransformConfig}
  * }}}
  *
  * Missing buckets carry nulls for the aggregated columns (coalesce them
- * downstream with a `map` step if zeros are wanted). Output: groupBy keys,
+ * downstream with a `map` step if zeros are wanted); rows whose time
+ * column is null are excluded — they belong to no bucket. Output: groupBy keys,
  * `bucket_start`, aggregations.
  *
  * Scale shape: one hash aggregation on (keys, bucket) — map-side partials,
@@ -51,7 +52,10 @@ object ResampleTransform extends Transform {
     val keys = config.options.get("groupBy").map(ExprUtils.parseColumns).getOrElse(Nil)
     val aggs = ExprUtils.parseAggregations(config.options("aggregations"))
 
-    val bucketed = input
+    // rows with a null time belong to no bucket: excluded EXPLICITLY here
+    // (a null bucket group would otherwise survive the aggregation and then
+    // vanish silently in the gap explode — data loss with no trace)
+    val bucketed = input.where(col(ts).isNotNull)
       .groupBy((keys.map(col) :+ window(col(ts), interval).getField("start")
         .as("bucket_start")): _*)
       .agg(aggs.head, aggs.tail: _*)

@@ -299,26 +299,17 @@ object SampleTransform extends Transform {
    */
   private def stratifiedSample(input: DataFrame, config: TransformConfig,
                                key: Column, keyName: String, bucket: Column): DataFrame = {
-    import org.apache.spark.sql.{Encoders, functions => F}
     required(config, "groupBy")
     val n = config.options("perGroup").toInt
     require(n > 0, s"perGroup must be positive, got $n")
-    val group = config.options("groupBy")
     val keyType = input.schema(keyName).dataType
     require(Seq("long", "integer", "short", "byte").contains(keyType.typeName),
       s"stratified sample needs an integral '$keyName' id column, got ${keyType.typeName}")
-    // aggregator keeps HIGHEST sim first (ties: id asc) → negate the bucket
-    // so "smallest bucket, then smallest id" wins, matching the SQL
+    // the aggregator keeps HIGHEST score first (ties: id asc) → negate the
+    // bucket so "smallest bucket, then smallest id" wins, matching the SQL
     // row_number() ORDER BY bucket, id oracle exactly
-    val topk = F.udaf(new graft.ann.TopKAggregator(n),
-      Encoders.product[graft.ann.ScoredCandidate])
-    val selected = input
-      .select(col(group).as("__g"), negate(bucket).cast("double").as("__s"),
-        key.cast("long").as("__id"))
-      .groupBy("__g").agg(topk(col("__s"), col("__id")).as("tk"))
-      .select(explode(col("tk.items")).as("s"))
-      .select(col("s.id").as("__sel_id"))
-    input.join(broadcast(selected), key.cast("long") === col("__sel_id"), "left_semi")
+    BoundedTopK.semiJoinTopK(input, Seq(config.options("groupBy")),
+      negate(bucket), keyName, n)
   }
 }
 

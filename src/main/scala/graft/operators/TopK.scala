@@ -54,13 +54,29 @@ object TopKTransform extends Transform {
       case other  => throw new ConfigException(
         s"topk: direction must be desc|asc, got '$other'")
     }
+    BoundedTopK.semiJoinTopK(input, groups, score, idName, k)
+  }
+}
+
+/**
+ * The shared bounded-heap grouped-selection shape (used by `topk` and the
+ * stratified `sample` mode): every map task reduces its partition to ≤ k
+ * candidates per group before the exchange, the tiny winner-id set
+ * broadcast-semi-joins back — zero full-data shuffles, never a per-group
+ * window sort. Ordering is (score DESC, id ASC), a total order for unique
+ * ids. Null scores, NaN scores (which would break the heap's strict-weak
+ * ordering) and null ids are excluded up front.
+ */
+private[operators] object BoundedTopK {
+  def semiJoinTopK(input: DataFrame, groupCols: Seq[String], score: org.apache.spark.sql.Column,
+                   idName: String, k: Int): DataFrame = {
     val topk = F.udaf(new graft.ann.TopKAggregator(k),
       Encoders.product[graft.ann.ScoredCandidate])
-    val scored = input.select(groups.map(col) ++ Seq(
-      score.as("__s"), col(idName).cast("long").as("__id")): _*)
-      // null scores can't rank; null ids can't round-trip the semi-join
-      .where(col("__s").isNotNull && col("__id").isNotNull)
-    val grouped = if (groups.isEmpty) scored.groupBy() else scored.groupBy(groups.map(col): _*)
+    val scored = input.select(groupCols.map(col) ++ Seq(
+      score.cast("double").as("__s"), col(idName).cast("long").as("__id")): _*)
+      .where(col("__s").isNotNull && !isnan(col("__s")) && col("__id").isNotNull)
+    val grouped = if (groupCols.isEmpty) scored.groupBy()
+                  else scored.groupBy(groupCols.map(col): _*)
     val selected = grouped.agg(topk(col("__s"), col("__id")).as("tk"))
       .select(explode(col("tk.items")).as("s"))
       .select(col("s.id").as("__sel_id"))

@@ -149,6 +149,10 @@ class DedupSpec extends SparkTestBase {
     // a longer path exercises multiple propagation rounds
     val chain = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     Dedup.clusters(chain).where("cluster_id = 1").count() shouldBe 10
+    // non-convergence fails LOUDLY: truncated labels would make
+    // survivor=cluster silently keep extra duplicates
+    val e = intercept[IllegalStateException] { Dedup.clusters(chain, maxIter = 3) }
+    e.getMessage should include ("did not converge")
   }
 
   test("near-dup removal: survivor=cluster keeps one doc per component, pair is greedier") {

@@ -44,8 +44,12 @@ class TopKSpec extends SparkTestBase {
     run(big, "groupBy" -> "grp").queryExecution.executedPlan.toString should not include "Window"
   }
 
-  test("null scores drop out; invalid options fail fast") {
-    val withNull = Seq((1L, java.lang.Double.valueOf(2.0)), (2L, null.asInstanceOf[java.lang.Double]))
+  test("null and NaN scores drop out; invalid options fail fast") {
+    // NaN would break the heap's strict-weak ordering (better(NaN,x) and
+    // better(x,NaN) are both false) — it must be excluded, not ranked
+    val withNull = Seq((1L, java.lang.Double.valueOf(2.0)),
+      (2L, null.asInstanceOf[java.lang.Double]),
+      (3L, java.lang.Double.valueOf(Double.NaN)))
       .toDF("id", "score")
     run(withNull, "k" -> "5").select("id").as[Long].collect().toSet shouldBe Set(1L)
     an[ConfigException] should be thrownBy run(rows, "k" -> "0")
