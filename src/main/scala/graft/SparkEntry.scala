@@ -638,6 +638,23 @@ object SparkEntry {
     "q67_entropy" -> ((s, dir) =>
       graft.functions.TextFunctions.tokenEntropy(tab(s, dir, "documents"),
         "doc_id", "text")),
+    // exact cross-corpus cosine scores vs a small reference set (the
+    // embedding-decontamination primitive): every (corpus, ref) pair with
+    // its similarity — unthresholded so no float-boundary row-set risk;
+    // the thresholded drop path (decontaminate_embedding) is spec-tested
+    "q77_embed_crossmatch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val refs = emb.where("vec_id < 10")
+        .select(col("vec_id").as("ref_id"), col("embedding"))
+      val r = round(col("sim"), 4)
+      graft.ann.Ann.crossMatches(emb, refs, "vec_id", "ref_id",
+          "embedding", "embedding")
+        // ±0.0 stringify differently in the driver's pandas compare; a
+        // sim that rounds to zero carries whichever sign the last ulp had
+        .select(col("vec_id"), col("ref_id"),
+          when(r === 0.0, 0.0).otherwise(r).as("sim"))
+    }),
     // grouped top-k via the bounded-heap aggregator (partial aggregation;
     // no per-group window sort) — same result set as a row_number window
     "q76_topk_group" -> ((s, dir) => ap(tab(s, dir, "orders"),
@@ -1353,6 +1370,21 @@ object SparkEntry {
                 round(log2(CAST(sum(tf) AS DOUBLE))
                       - sum(tf * log2(CAST(tf AS DOUBLE))) / sum(tf), 4) AS token_entropy
          FROM tf GROUP BY doc_id""",
+    // same accumulation as the native CosineSimilarity loop: left-to-right
+    // double dot products, denominator sqrt(na)*sqrt(nb)
+    "q77_embed_crossmatch" ->
+      """WITH r AS (
+           SELECT vec_id AS ref_id, CAST(embedding AS DOUBLE[]) AS rv
+           FROM embeddings WHERE vec_id < 10
+         )
+         SELECT vec_id, ref_id, CASE WHEN rs = 0 THEN 0.0 ELSE rs END AS sim
+         FROM (
+           SELECT e.vec_id, r.ref_id,
+                  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), r.rv)
+                        / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(e.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(r.rv, r.rv))), 4) AS rs
+           FROM embeddings e CROSS JOIN r)""",
     // identical total order: score desc, id asc
     "q76_topk_group" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders

@@ -194,6 +194,33 @@ object Ann {
     topKPerQuery(cands, k)
   }
 
+  /**
+   * Exact cross-corpus cosine scores against a SMALL reference set: one
+   * row per (corpus row, reference row) with the cosine similarity — the
+   * primitive behind embedding-based benchmark decontamination ("drop
+   * every training document too close to an eval example").
+   *
+   * Scale shape: the reference side broadcasts (eval sets are small by
+   * definition — this is deliberately NOT the LSH path), so the corpus is
+   * never shuffled: one scan, a broadcast nested-loop join, and the fused
+   * native cosine per pair. Cost is corpus_rows × ref_rows similarity
+   * evaluations — exact, deterministic, and embarrassingly parallel. For
+   * big–big near-dup matching use [[cosineNearDups]] over the union
+   * instead.
+   */
+  def crossMatches(corpus: DataFrame, refs: DataFrame,
+                   corpusIdCol: String, refIdCol: String,
+                   corpusVecCol: String, refVecCol: String): DataFrame = {
+    // a shared id name (the transform's default) would be ambiguous after
+    // the join — the reference id surfaces as ref_<name> in that case
+    val refOut = if (refIdCol == corpusIdCol) s"ref_$refIdCol" else refIdCol
+    corpus.select(col(corpusIdCol), col(corpusVecCol).as("__cvec"))
+      .crossJoin(broadcast(refs.select(col(refIdCol).as(refOut),
+        col(refVecCol).as("__rvec"))))
+      .select(col(corpusIdCol), col(refOut),
+        cosine(col("__cvec"), col("__rvec")).as("sim"))
+  }
+
   /** Deterministic hash-ordered codebook sample (no RNG state, stable
     * across runs/retries); O(nLists·dim) driver materialization. */
   private def sampledCodebook(corpus: DataFrame, idCol: String, vecCol: String,

@@ -110,6 +110,43 @@ object EmbeddingDedupTransform extends NearDupTransform {
       maxBucketSize = intOpt(config, "maxBucketSize", 1000))
 }
 
+/**
+ * Embedding-based benchmark decontamination: drop every input row whose
+ * embedding is cosine-≥-threshold close to ANY reference (eval-set)
+ * embedding — the semantic complement to the n-gram `decontaminate`
+ * (paraphrased contamination survives shingle matching; it does not
+ * survive embedding similarity).
+ *
+ * {{{
+ * - name: decontaminate-semantic
+ *   type: decontaminate_embedding
+ *   options: {idColumn: doc_id, vecColumn: embedding,
+ *             benchDataset: eval_vectors, threshold: "0.95"}
+ * }}}
+ *
+ * Options: idColumn/vecColumn/benchDataset required; benchIdColumn
+ * (default = idColumn), benchVecColumn (default = vecColumn), threshold
+ * (0.95). Scale shape: the eval side broadcasts ([[graft.ann.Ann
+ * .crossMatches]] — exact, zero corpus shuffle), hit ids reduce to a
+ * broadcast-able left_anti.
+ */
+object EmbeddingDecontaminateTransform extends Transform {
+  val transformType = "decontaminate_embedding"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "vecColumn", "benchDataset")
+    val id = config.options("idColumn")
+    val vec = config.options("vecColumn")
+    val bench = ctx.spark.table(config.options("benchDataset"))
+    val benchId = config.options.getOrElse("benchIdColumn", id)
+    val benchVec = config.options.getOrElse("benchVecColumn", vec)
+    val threshold = config.options.get("threshold").map(_.toDouble).getOrElse(0.95)
+    val hits = graft.ann.Ann.crossMatches(input, bench, id, benchId, vec, benchVec)
+      .where(col("sim") >= threshold)
+      .select(col(id)).distinct()
+    input.join(hits, Seq(id), "left_anti")
+  }
+}
+
 /** Benchmark decontamination as a declarative pipeline step: drop every
   * input document sharing any word `shingleSize`-gram with a benchmark/eval
   * dataset (registered as a named view, same resolution as join's

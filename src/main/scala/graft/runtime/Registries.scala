@@ -37,6 +37,7 @@ object Registries {
     SimhashDedupTransform.transformType -> SimhashDedupTransform,
     EmbeddingDedupTransform.transformType -> EmbeddingDedupTransform,
     DecontaminateTransform.transformType  -> DecontaminateTransform,
+    EmbeddingDecontaminateTransform.transformType -> EmbeddingDecontaminateTransform,
     AsofJoinTransform.transformType   -> AsofJoinTransform,
     ProfileTransform.transformType    -> ProfileTransform,
     RangeJoinTransform.transformType  -> RangeJoinTransform,

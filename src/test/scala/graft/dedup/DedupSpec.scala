@@ -175,6 +175,33 @@ class DedupSpec extends SparkTestBase {
     an[graft.api.ConfigException] should be thrownBy run("nope")
   }
 
+  test("embedding decontamination: corpus rows near any eval vector drop, broadcast plan") {
+    import graft.config.TransformConfig
+    import graft.api.RunContext
+    val ctx = RunContext(spark, "t", "r")
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(16)(rnd.nextFloat() * 2f - 1f)
+    val corpus = (0L until 50L).map(i => (i, vec()))
+    // eval set = exact copies of corpus vectors 0 and 1 → sim 1.0 hits
+    val eval = Seq((100L, corpus(0)._2), (101L, corpus(1)._2))
+    eval.toDF("vec_id", "embedding").createOrReplaceTempView("eval_vecs")
+    val out = graft.operators.EmbeddingDecontaminateTransform(
+      corpus.toDF("vec_id", "embedding"),
+      TransformConfig("ed", "decontaminate_embedding", Map(
+        "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "benchDataset" -> "eval_vecs", "threshold" -> "0.99")), ctx)
+    val kept = out.select("vec_id").as[Long].collect().toSet
+    kept should not contain 0L
+    kept should not contain 1L
+    kept.size shouldBe 48 // random 16-dim vectors don't reach cosine 0.99
+    // the corpus is never shuffled: eval side broadcasts into a nested loop
+    val hits = graft.ann.Ann.crossMatches(corpus.toDF("vec_id", "embedding"),
+      eval.toDF("vec_id", "embedding"), "vec_id", "vec_id", "embedding", "embedding")
+    hits.queryExecution.executedPlan.toString should include ("BroadcastNestedLoopJoin")
+    // identity pairs score exactly 1.0
+    hits.where("vec_id = 0 AND sim > 0.9999").count() should be >= 1L
+  }
+
   test("SimHash chunk-bucket cap drops mega-buckets; normal corpora unaffected") {
     // 60 identical docs share every 16-bit chunk → buckets of 60 > cap 10
     // → zero candidate pairs instead of 4×C(60,2) bucket-join rows
