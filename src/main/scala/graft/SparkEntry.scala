@@ -638,6 +638,12 @@ object SparkEntry {
     "q67_entropy" -> ((s, dir) =>
       graft.functions.TextFunctions.tokenEntropy(tab(s, dir, "documents"),
         "doc_id", "text")),
+    // Morton/Z-order interleave for multi-dimensional data skipping —
+    // exact integer bit math once the bins are fixed, so oracle-checkable
+    "q78_zorder" -> ((s, dir) => ap(tab(s, dir, "events"),
+      t("zorder", "columns" -> "value,user_id", "lo" -> "0,0",
+        "hi" -> "512,256", "bits" -> "8"))
+      .select("event_id", "zvalue")),
     // exact cross-corpus cosine scores vs a small reference set (the
     // embedding-decontamination primitive): every (corpus, ref) pair with
     // its similarity — unthresholded so no float-boundary row-set risk;
@@ -1370,6 +1376,18 @@ object SparkEntry {
                 round(log2(CAST(sum(tf) AS DOUBLE))
                       - sum(tf * log2(CAST(tf AS DOUBLE))) / sum(tf), 4) AS token_entropy
          FROM tf GROUP BY doc_id""",
+    // identical bin arithmetic ((x-lo)/(hi-lo)*2^bits, clamped) and bit
+    // interleave; disjoint bit positions make + equal to the Spark-side OR
+    "q78_zorder" -> {
+      val bits = 8; val dims = 2
+      def bin(x: String, lo: Double, hi: Double) =
+        s"least(greatest(CAST(floor((CAST($x AS DOUBLE) - $lo) / ${hi - lo} " +
+          s"* ${1L << bits}) AS BIGINT), 0), ${(1L << bits) - 1})"
+      val bs = Seq(bin("value", 0, 512), bin("user_id", 0, 256))
+      val terms = for (b <- 0 until bits; d <- 0 until dims)
+        yield s"(((${bs(d)} >> $b) & 1) << ${b * dims + d})"
+      s"SELECT event_id, ${terms.mkString(" + ")} AS zvalue FROM events"
+    },
     // same accumulation as the native CosineSimilarity loop: left-to-right
     // double dot products, denominator sqrt(na)*sqrt(nb)
     "q77_embed_crossmatch" ->

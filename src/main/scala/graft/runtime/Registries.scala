@@ -29,6 +29,7 @@ object Registries {
     SketchTransform.transformType     -> SketchTransform,
     ScaleTransform.transformType      -> ScaleTransform,
     TopKTransform.transformType       -> TopKTransform,
+    ZOrderTransform.transformType     -> ZOrderTransform,
     SortTransform.transformType       -> SortTransform,
     LimitTransform.transformType      -> LimitTransform,
     UnionTransform.transformType      -> UnionTransform,
