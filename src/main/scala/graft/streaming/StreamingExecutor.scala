@@ -99,6 +99,24 @@ final class StreamingExecutor(
         spark.readStream.format("kafka").options(src.options).load()
           .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value",
             "topic", "partition", "offset", "timestamp")
+      // the connector-free double, streaming side: new JSON-lines files in
+      // the directory play arriving messages, with the same kafka column
+      // contract as the real source (monotonic offsets are per-batch here —
+      // a test double, not an ordering guarantee)
+      case "kafka-file" =>
+        import org.apache.spark.sql.functions._
+        val path = src.options.getOrElse("path",
+          throw new ConfigException("kafka-file source: 'path' option required"))
+        spark.readStream.format("text").load(path)
+          .select(
+            lit(null).cast("string").as("key"),
+            col("value").cast("string").as("value"),
+            lit(src.options.getOrElse("topic", "mock-topic")).as("topic"),
+            spark_partition_id().as("partition"),
+            // monotonically_increasing_id is not allowed on streams; the
+            // double has no real offsets to offer anyway
+            lit(-1L).as("offset"),
+            current_timestamp().as("timestamp"))
       case other =>
         throw new ConfigException(s"source '$other' does not support streaming")
     }

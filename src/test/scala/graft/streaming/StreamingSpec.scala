@@ -57,6 +57,31 @@ class StreamingSpec extends SparkTestBase {
     spark.read.parquet(out).count() shouldBe 4
   }
 
+  test("kafka-file STREAMING source: JSON-lines play a topic with the kafka contract") {
+    val in = tmpDir("kstream-in")
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "batch1.txt"),
+      Seq("""{"metric": "cpu", "v": 1.5}""", """{"metric": "mem", "v": 8.0}""",
+        """{"metric": "cpu", "v": 2.5}""").mkString("\n").getBytes)
+    val cfg = PipelineConfig(
+      pipelineId = "kafka-file-stream",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("kafka-file", Map("path" -> in, "topic" -> "metrics")),
+      transformations = List(
+        TransformConfig("parse", "map", Map(
+          "expressions" -> ("metric:get_json_object(value, '$.metric')," +
+            "v:cast(get_json_object(value, '$.v') as double)"),
+          "project" -> "true", "keep" -> "topic")),
+        TransformConfig("f", "filter", Map("condition" -> "v > 2.0"))),
+      sink = SinkConfig("memory", Map("queryName" -> "kfs_out")),
+      streaming = Some(StreamingConfig(checkpointLocation = Some(tmpDir("ckpt-kfs")))))
+    executor.start(cfg).awaitTermination(60000)
+    val out = spark.table("kfs_out")
+    out.columns.toSeq shouldBe Seq("topic", "metric", "v")
+    out.collect().map(r => (r.getString(1), r.getDouble(2))).toSet shouldBe
+      Set(("mem", 8.0), ("cpu", 2.5))
+    out.select("topic").distinct().collect().head.getString(0) shouldBe "metrics"
+  }
+
   test("foreachBatch path drives a batch sink (kafka-file double) per epoch") {
     val out = tmpDir("stream-kafka-out")
     val cfg = PipelineConfig(
