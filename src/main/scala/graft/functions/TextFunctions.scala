@@ -131,16 +131,15 @@ object TextFunctions {
    * proven-parity whitespace split the vocabulary and token-count oracles
    * use.
    *
-   * Scale shape: three aggregations, each with map-side partial
-   * aggregation — (doc, term) counts (the only full-corpus shuffle), term
-   * document frequencies derived FROM the tf frame (vocab-sized), and a
-   * single-row corpus count that broadcasts. The df-side join shuffles on
-   * `term`, the natural co-partitioning key; nothing is ever collected to
-   * the driver.
+   * Scale shape: the (doc, term) count is the only full-corpus tokenize +
+   * shuffle and is computed ONCE (see [[sharedTf]]); document frequencies
+   * aggregate that frame (vocab-sized partials), the 1-row corpus count
+   * broadcasts, and the df-side join shuffles on `term`, the natural
+   * co-partitioning key. Nothing is ever collected to the driver.
    */
   def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
       : org.apache.spark.sql.DataFrame = {
-    val tf = termFrequencies(df, idCol, textCol)
+    val tf = sharedTf(df, idCol, textCol)
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     tf.join(docFreq, "term")
@@ -160,7 +159,7 @@ object TextFunctions {
    */
   def bm25(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
            k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
-    val tf = termFrequencies(df, idCol, textCol)
+    val tf = sharedTf(df, idCol, textCol)
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val docLen = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = df.agg(count(lit(1)).as("n_docs"))
@@ -198,6 +197,20 @@ object TextFunctions {
         count(lit(1)).as("n_unique"),
         round(log2(sum("tf")) - sum(col("tf") * log2(col("tf"))) / sum("tf"), 4)
           .as("token_entropy"))
+
+  /** The (doc, term, tf) frame consumed by SEVERAL downstream branches
+    * (document frequencies, doc lengths, the final join). Handing each
+    * branch the raw plan makes Catalyst tokenize and aggregate the whole
+    * corpus once PER BRANCH — the branches prune differently, so not even
+    * exchange reuse merges them (measured: 3 corpus scans in tfidf). A
+    * lazy localCheckpoint materializes tf on first use and lets every
+    * branch read the same partitions. Trade-off: the checkpointed frame
+    * does not recompute on executor loss — on a long cluster job prefer
+    * `spark.sparkContext.setCheckpointDir` + reliable checkpoint upstream
+    * if that matters more than the 2× scan. */
+  private def sharedTf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    termFrequencies(df, idCol, textCol).localCheckpoint(false)
 
   private def termFrequencies(df: org.apache.spark.sql.DataFrame,
                               idCol: String, textCol: String)
