@@ -638,6 +638,11 @@ object SparkEntry {
     "q67_entropy" -> ((s, dir) =>
       graft.functions.TextFunctions.tokenEntropy(tab(s, dir, "documents"),
         "doc_id", "text")),
+    // corpus-as-its-own-LM quality score: per-doc average negative
+    // log-likelihood under the corpus char-trigram distribution
+    "q79_chargram_nll" -> ((s, dir) =>
+      graft.functions.TextFunctions.charGramNll(tab(s, dir, "documents"),
+        "doc_id", "text")),
     // Morton/Z-order interleave for multi-dimensional data skipping —
     // exact integer bit math once the bins are fixed, so oracle-checkable
     "q78_zorder" -> ((s, dir) => ap(tab(s, dir, "events"),
@@ -1376,6 +1381,26 @@ object SparkEntry {
                 round(log2(CAST(sum(tf) AS DOUBLE))
                       - sum(tf * log2(CAST(tf AS DOUBLE))) / sum(tf), 4) AS token_entropy
          FROM tf GROUP BY doc_id""",
+    // same 1-based substr grid, same -sum(tf·ln(cnt/total))/sum(tf)
+    "q79_chargram_nll" ->
+      """WITH d AS (
+           SELECT doc_id, lower(text) AS t FROM documents
+           WHERE text IS NOT NULL AND length(lower(text)) >= 3
+         ), g AS (
+           SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+           FROM d
+         ), tf AS (
+           SELECT doc_id, substr(t, CAST(i AS BIGINT), 3) AS gram, count(*) AS tf
+           FROM g GROUP BY 1, 2
+         ), cnt AS (
+           SELECT gram, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf
+         )
+         SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_grams,
+                round(-sum(tf.tf * ln(CAST(cnt.cnt AS DOUBLE) / tot.total))
+                      / sum(tf.tf), 4) AS nll
+         FROM tf JOIN cnt USING (gram) CROSS JOIN tot GROUP BY 1""",
     // identical bin arithmetic ((x-lo)/(hi-lo)*2^bits, clamped) and bit
     // interleave; disjoint bit positions make + equal to the Spark-side OR
     "q78_zorder" -> {

@@ -198,6 +198,41 @@ object TextFunctions {
         round(log2(sum("tf")) - sum(col("tf") * log2(col("tf"))) / sum("tf"), 4)
           .as("token_entropy"))
 
+  /**
+   * Statistical language-model quality score: each document's average
+   * negative log-likelihood under the corpus's OWN character n-gram
+   * unigram model — `-Σ tf·ln(count(gram)/total) / Σ tf`. Documents whose
+   * character statistics diverge from the corpus (encoded blobs, foreign
+   * scripts, markup soup) score high; repetitive boilerplate scores low —
+   * the classic model-based outlier filter, with the corpus itself as the
+   * model (no external LM needed). Documents shorter than `n` characters
+   * produce no row.
+   *
+   * Scale shape: ONE gram explode + (doc, gram) aggregation over the
+   * corpus (lazily checkpointed — three consumers), a vocabulary-sized
+   * gram-count frame (char n-gram vocab is alphabet^n-bounded), a 1-row
+   * broadcast total, and a final per-document reduction. The gram join
+   * shuffles the tf frame on `gram` — its natural co-partitioning key.
+   */
+  def charGramNll(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val t = df.select(col(idCol).as("doc_id"), lower(col(textCol)).as("__t"))
+      .where(col("__t").isNotNull && length(col("__t")) >= n)
+    val grams = t.select(col("doc_id"),
+      explode(expr(s"transform(sequence(1, length(__t) - ${n - 1}), " +
+        s"i -> substring(__t, i, $n))")).as("gram"))
+    val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val cnt = tf.groupBy("gram").agg(sum("tf").as("cnt"))
+    val total = tf.agg(sum("tf").as("total"))
+    tf.join(cnt, "gram")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_grams"),
+        round(-sum(col("tf") * log(col("cnt").cast("double") / col("total"))) / sum("tf"), 4)
+          .as("nll"))
+  }
+
   /** The (doc, term, tf) frame consumed by SEVERAL downstream branches
     * (document frequencies, doc lengths, the final join). Handing each
     * branch the raw plan makes Catalyst tokenize and aggregate the whole

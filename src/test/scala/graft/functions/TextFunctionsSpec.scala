@@ -116,6 +116,19 @@ class TextFunctionsSpec extends SparkTestBase {
     rows((2L, "c")) should be > rows((1L, "b"))
   }
 
+  test("char-gram NLL: golden values; repetitive docs are more predictable") {
+    import spark.implicits._
+    // corpus trigram counts: aaa×3 (2 from doc1, 1 from doc2), aab×1 → total 4
+    val d = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "x")).toDF("doc_id", "text")
+    val rows = graft.functions.TextFunctions.charGramNll(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.keySet shouldBe Set(1L, 2L) // doc 3 is shorter than n → no row
+    rows(1L) shouldBe ((2L, 0.2877))                 // -ln(3/4)
+    rows(2L)._2 shouldBe ((0.2877 + 1.3863) / 2) +- 0.0001 // avg(-ln 3/4, -ln 1/4)
+    // the self-repetitive doc is more predictable under the corpus model
+    rows(1L)._2 should be < rows(2L)._2
+  }
+
   test("token entropy: golden values, uniform = log2(n), degenerate = 0") {
     import spark.implicits._
     val d = Seq(
