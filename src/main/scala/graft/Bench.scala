@@ -38,10 +38,17 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // queries first, total LAST: the round driver captures a bounded TAIL
+    // of stdout, so at 79+ queries the head of this line gets truncated —
+    // r6 lost "value" that way. ms-rounded values also keep the line short.
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
+    // compact totals-only line as the FINAL stdout line: guaranteed inside
+    // any tail window and parseable on its own even if the big line is cut
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,10 @@ import graft.config.TransformConfig
  * projection over a 1-row DataFrame, not a second pass.
  */
 object Profile {
+  /** ANSI-safe numeric view of a column: malformed values become null
+    * (plain cast THROWS under Spark 4's default ANSI mode). */
+  private def tryDouble(c: String) = expr(s"try_cast(`$c` as double)")
+
   /** @param groupBy optional grouping keys: stats per (group, column) — the
     *                per-language / per-source ingest report. Same one-pass
     *                shape; the aggregation just keys on the groups. */
@@ -44,7 +48,7 @@ object Profile {
     require(missing.isEmpty, s"profile columns not in input: ${missing.mkString(", ")}")
     if (exact) return profileExact(df, cols, groupBy)
     val aggs = cols.flatMap { c =>
-      val d = col(c).cast("double")
+      val d = tryDouble(c) // ANSI-safe: non-numeric values null out, not throw
       Seq(
         count(col(c)).as(s"__cnt_$c"),
         count_if(col(c).isNull).as(s"__nul_$c"),
@@ -52,7 +56,7 @@ object Profile {
         min(d).as(s"__min_$c"),
         max(d).as(s"__max_$c"),
         round(avg(d), 4).as(s"__avg_$c"),
-        round(expr(s"approx_percentile(cast(`$c` as double), 0.5)").cast("double"), 4)
+        round(expr(s"approx_percentile(try_cast(`$c` as double), 0.5)").cast("double"), 4)
           .as(s"__p50_$c"))
     }
     val one =
@@ -84,32 +88,42 @@ object Profile {
    *      cumulative-count window (same `lo + frac·(hi−lo)` the built-in
    *      `percentile` and DuckDB's `quantile_cont` compute).
    *
-   * The p50 window partitions by (groups…, column_name): one task per
+   * The p50 window partitions by (groups…, column_name): one row per
    * profiled column sorting its distinct values — trivially parallel across
    * columns and groups, bounded by per-column cardinality.
+   *
+   * Non-numeric columns (string/date/…) melt BOTH a canonical string form
+   * `__s` (for count/null/distinct — exact on any type) and the double cast
+   * `__v` (null for non-numeric values, so min/max/avg/p50 come out null,
+   * matching the approx path's behavior on such columns instead of silently
+   * reporting every value as null).
    */
   private def profileExact(df: DataFrame, cols: Seq[String],
                            groupBy: Seq[String]): DataFrame = {
     val gcols = groupBy.map(col)
     val melted = df
       .select(gcols :+ explode(array(cols.map(c =>
-        struct(lit(c).as("column_name"), col(c).cast("double").as("__v"))): _*)).as("__cv"): _*)
-      .select(gcols ++ Seq(col("__cv.column_name"), col("__cv.__v")): _*)
+        struct(lit(c).as("column_name"), tryDouble(c).as("__v"),
+          col(c).cast("string").as("__s"))): _*)).as("__cv"): _*)
+      .select(gcols ++ Seq(col("__cv.column_name"), col("__cv.__v"), col("__cv.__s")): _*)
     val keys = groupBy :+ "column_name"
-    val counts = melted.groupBy((keys :+ "__v").map(col): _*).agg(count(lit(1)).as("__n"))
+    // __s functionally determines __v (both derive from the same raw value),
+    // so grouping on both keeps one row per distinct raw value
+    val counts = melted.groupBy((keys ++ Seq("__s", "__v")).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
 
     val part = W.partitionBy(keys.map(col): _*)
     // nulls sort first and contribute 0, so cum_before counts non-null
     // values strictly below v — the 0-based index of v's first occurrence
     val ord = part.orderBy(col("__v").asc_nulls_first)
       .rowsBetween(W.unboundedPreceding, -1)
-    val nn = when(col("__v").isNotNull, col("__n")) // non-null contribution
+    val nn = when(col("__s").isNotNull, col("__n")) // raw-non-null contribution
     val ranked = counts
       .withColumn("__cum_before", coalesce(sum(nn).over(ord), lit(0L)))
       .withColumn("__rk", (sum(nn).over(part) - 1) * 0.5)
     ranked.groupBy(keys.map(col): _*).agg(
         coalesce(sum(nn), lit(0L)).as("n_values"),
-        coalesce(sum(when(col("__v").isNull, col("__n"))), lit(0L)).as("n_nulls"),
+        coalesce(sum(when(col("__s").isNull, col("__n"))), lit(0L)).as("n_nulls"),
         count(nn).as("n_distinct"),
         min(col("__v")).as("min_value"),
         max(col("__v")).as("max_value"),

@@ -49,12 +49,16 @@ object ScaleTransform extends Transform {
     val joined = input.crossJoin(broadcast(one))
     val scaled = cols.foldLeft(joined) { (df, c) =>
       val x = col(c).cast("double")
+      // null inputs stay null in the degenerate branch too (the normal
+      // branch propagates null arithmetically; when() otherwise would not)
       val v = method match {
         case "zscore" =>
-          when(col(s"__sd_$c").isNull || col(s"__sd_$c") === 0.0, 0.0)
+          when(x.isNull, lit(null).cast("double"))
+            .when(col(s"__sd_$c").isNull || col(s"__sd_$c") === 0.0, 0.0)
             .otherwise((x - col(s"__mu_$c")) / col(s"__sd_$c"))
         case _ =>
-          when(col(s"__hi_$c") === col(s"__lo_$c"), 0.0)
+          when(x.isNull, lit(null).cast("double"))
+            .when(col(s"__hi_$c") === col(s"__lo_$c"), 0.0)
             .otherwise((x - col(s"__lo_$c")) / (col(s"__hi_$c") - col(s"__lo_$c")))
       }
       df.withColumn(s"${c}_scaled", maybeRound(v))

@@ -149,6 +149,11 @@ object WindowAggTransform extends Transform {
         }
     }
     val pairs = ExprUtils.parseExprList(config.options("aggregations"))
-    input.withColumns(pairs.map { case (a, e) => a -> expr(e).over(framed) }.toMap)
+    val dups = pairs.map(_._1).diff(pairs.map(_._1).distinct).distinct
+    if (dups.nonEmpty) throw new ConfigException(
+      s"window_agg: duplicate aliases: ${dups.mkString(", ")}")
+    // fold, not withColumns(Map): spec order is user-visible schema and an
+    // immutable Map stops preserving insertion order above 4 entries
+    pairs.foldLeft(input) { case (df, (a, e)) => df.withColumn(a, expr(e).over(framed)) }
   }
 }

@@ -75,7 +75,9 @@ object ZOrderTransform extends Transform {
     val out = input.withColumn(config.options.getOrElse("zColumn", "zvalue"), z)
     if (config.options.get("cluster").exists(_.toBoolean)) {
       val zc = col(config.options.getOrElse("zColumn", "zvalue"))
-      out.repartitionByRange(zc).sortWithinPartitions(zc)
+      // Spark's default ordering is NULLS FIRST; force nulls last so rows
+      // with a null dimension land in the tail files as documented above
+      out.repartitionByRange(zc.asc_nulls_last).sortWithinPartitions(zc.asc_nulls_last)
     } else out
   }
 }

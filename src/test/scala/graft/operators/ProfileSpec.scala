@@ -45,6 +45,20 @@ class ProfileSpec extends SparkTestBase {
     out("b").getDouble(5) shouldBe 5.0  // min
   }
 
+  test("exact mode: non-numeric column gets exact counts, null numeric stats") {
+    val s = Seq[(java.lang.Long, String)](
+      (1L, "apple"), (2L, "banana"), (3L, null), (4L, "apple")).toDF("id", "s")
+    val out = Profile.profile(s, Seq("s"), exact = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val row = out("s")
+    row.getLong(1) shouldBe 3 // n_values: non-null strings counted, not zeroed
+    row.getLong(2) shouldBe 1 // n_nulls: only the real null
+    row.getLong(3) shouldBe 2 // n_distinct: apple, banana
+    row.isNullAt(4) shouldBe true // min/max/avg/p50 null — matches approx path
+    row.isNullAt(6) shouldBe true
+    row.isNullAt(7) shouldBe true
+  }
+
   test("declarative transform validates options and column existence") {
     val out = ProfileTransform(d, TransformConfig("p", "profile",
       Map("columns" -> "id,v", "exact" -> "true")), RunContext(spark, "t", "r"))

@@ -30,6 +30,18 @@ class ScaleSpec extends SparkTestBase {
     out.select("c_scaled").collect().map(_.getDouble(0)).toSet shouldBe Set(0.0)
   }
 
+  test("null inputs stay null — including in degenerate (constant) columns") {
+    val d = Seq[(java.lang.Double, java.lang.Double)](
+      (7.0, 1.0), (7.0, 2.0), (null, null)).toDF("c", "x")
+    val out = run(d, "columns" -> "c,x", "method" -> "minmax")
+    out.where($"c".isNull).select("c_scaled", "x_scaled").collect().foreach { r =>
+      r.isNullAt(0) shouldBe true // degenerate column: null in, null out (not 0.0)
+      r.isNullAt(1) shouldBe true
+    }
+    val z = run(d, "columns" -> "c,x")
+    z.where($"c".isNull).select("c_scaled").collect().head.isNullAt(0) shouldBe true
+  }
+
   test("single stats pass broadcast into a projection; stat columns dropped") {
     val d = Seq(1.0, 2.0).toDF("x")
     val out = run(d, "columns" -> "x")

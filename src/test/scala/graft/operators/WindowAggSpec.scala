@@ -34,6 +34,14 @@ class WindowAggSpec extends SparkTestBase {
     out(2).getAs[Double]("nxt") shouldBe 40.0
   }
 
+  test("spec order is output column order past 4 entries; duplicate aliases rejected") {
+    val out = run(series, "partitionBy" -> "k", "orderBy" -> "seq",
+      "aggregations" -> "a5:sum(v),a4:avg(v),a3:min(v),a2:max(v),a1:count(v),a0:sum(v)")
+    out.columns.toSeq.drop(3) shouldBe Seq("a5", "a4", "a3", "a2", "a1", "a0")
+    an[ConfigException] should be thrownBy run(series, "partitionBy" -> "k",
+      "orderBy" -> "seq", "aggregations" -> "x:sum(v),x:avg(v)")
+  }
+
   test("range frame: peers by value share the frame") {
     val ties = Seq(("a", 1, 1.0), ("a", 1, 2.0), ("a", 2, 4.0)).toDF("k", "seq", "v")
     val out = run(ties, "partitionBy" -> "k", "orderBy" -> "seq",

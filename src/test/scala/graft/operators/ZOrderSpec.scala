@@ -49,6 +49,13 @@ class ZOrderSpec extends SparkTestBase {
     val clustered = run((1 to 100).map(i => ((i % 7).toDouble, (i % 5).toDouble)).toDF("x", "y"),
       "cluster" -> "true")
     clustered.queryExecution.executedPlan.toString should include ("rangepartitioning")
+    // null z-values land LAST under cluster ordering (Spark default is
+    // NULLS FIRST — the transform must override), so null-dimension rows
+    // end up in the tail files as the file-skipping layout assumes
+    val nullsLast = run(withNull, "cluster" -> "true")
+      .select("zvalue").coalesce(1).collect().map(r => Option(r.get(0)))
+    nullsLast.last shouldBe None
+    nullsLast.head should not be None
   }
 
   test("invalid configs fail fast") {
