@@ -372,8 +372,10 @@ object SparkEntry {
           "method" -> "mod"))
         .select("doc_id", "lang", "n_chars")),
     // corpus vocabulary: top-k term frequencies, deterministic tie-break
+    // (declarative route — the vocab_topk transform)
     "q45_vocab_topk" -> ((s, dir) =>
-      graft.functions.TextFunctions.vocabTopK(tab(s, dir, "documents"), "text", 100)),
+      ap(tab(s, dir, "documents"),
+        t("vocab_topk", "textColumn" -> "text", "k" -> "100"))),
     // corpus TF-IDF: (doc, term) → tf, df, smooth-idf score; no float
     // ranking (all pairs emitted), so cross-engine order is irrelevant
     "q57_tfidf" -> ((s, dir) =>
@@ -635,14 +637,16 @@ object SparkEntry {
         "size" -> "500", "overlap" -> "50", "keep" -> "lang"))),
     // per-document token Shannon entropy (bits): the information-density
     // quality signal; same proven-parity tokenization as q45/q57
+    // (declarative route — the entropy transform)
     "q67_entropy" -> ((s, dir) =>
-      graft.functions.TextFunctions.tokenEntropy(tab(s, dir, "documents"),
-        "doc_id", "text")),
+      ap(tab(s, dir, "documents"),
+        t("entropy", "idColumn" -> "doc_id", "textColumn" -> "text"))),
     // corpus-as-its-own-LM quality score: per-doc average negative
     // log-likelihood under the corpus char-trigram distribution
+    // (declarative route — the chargram_nll transform)
     "q79_chargram_nll" -> ((s, dir) =>
-      graft.functions.TextFunctions.charGramNll(tab(s, dir, "documents"),
-        "doc_id", "text")),
+      ap(tab(s, dir, "documents"),
+        t("chargram_nll", "idColumn" -> "doc_id", "textColumn" -> "text", "n" -> "3"))),
     // Morton/Z-order interleave for multi-dimensional data skipping —
     // exact integer bit math once the bins are fixed, so oracle-checkable
     "q78_zorder" -> ((s, dir) => ap(tab(s, dir, "events"),
@@ -776,18 +780,37 @@ object SparkEntry {
     // sessions via lag()+running sum, the watermark cutoff as a strict
     // epoch-ms comparison. All times projected as epoch millis (the
     // operator's own precision: state math runs on Timestamp.getTime).
+    // Routed through StreamingExecutor + the sessionize TRANSFORM (the
+    // YAML-facing path), exactly as q32 routes the windowed agg.
     "q46_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      import s.implicits._
+      import graft.config._
       val inDir = stagedEventsDir(s, dir)
-      val ev = s.readStream
-        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .parquet(inDir)
-        .select(col("user_id"), col("ts"), col("value"))
-        .withWatermark("ts", "0 seconds")
-        .as[graft.streaming.Sessionize.Event]
-      val sessions = graft.streaming.Sessionize.sessions(ev, gapMs = 30 * 60 * 1000L)
-      runStreamToTable(s, sessions.toDF(), "q46_out").select(col("user_id"),
+      val cfg = PipelineConfig(
+        pipelineId = s"q46_${System.nanoTime()}",
+        executionMode = ExecutionMode.MicroBatch,
+        source = SourceConfig("file", Map(
+          "path" -> inDir, "format" -> "parquet",
+          "schema" -> "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")),
+        transformations = List(TransformConfig("sess", "sessionize", Map(
+          "keyColumn" -> "user_id", "tsColumn" -> "ts",
+          "valueColumn" -> "value", "gap" -> "30 minutes"))),
+        sink = SinkConfig("memory", Map("queryName" -> "q46_out")),
+        streaming = Some(StreamingConfig(
+          checkpointLocation = Some(java.nio.file.Files.createTempDirectory("q46ck").toString),
+          watermarkColumn = Some("ts"), watermarkDelay = Some("0 seconds"),
+          outputMode = "append",
+          shufflePartitions = Some(8))))
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        val q = new graft.streaming.StreamingExecutor().start(cfg)(s)
+        if (!q.awaitTermination(120000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q46: streaming drain exceeded 120s — refusing partial results")
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle) // batch queries follow
+      s.table("q46_out").select(col("user_id"),
         unix_millis(col("session_start")).as("session_start_ms"),
         unix_millis(col("session_end")).as("session_end_ms"),
         col("n_events"),

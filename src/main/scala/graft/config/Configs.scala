@@ -74,7 +74,12 @@ final case class QualityConfig(
 final case class PerformanceConfig(
     repartition: Option[Int] = None,
     cacheIntermediate: Boolean = false,
-    shufflePartitions: Option[Int] = None)
+    shufflePartitions: Option[Int] = None,
+    // lineage-truncation mode for iterative/shared frames (clusters, tfidf):
+    // "local" (default, localCheckpoint) or "reliable" (checkpoint() to
+    // checkpointDir — survives executor loss on long cluster jobs)
+    checkpoint: Option[String] = None,
+    checkpointDir: Option[String] = None)
 
 final case class StreamingConfig(
     checkpointLocation: Option[String] = None,

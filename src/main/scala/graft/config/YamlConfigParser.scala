@@ -105,7 +105,9 @@ final class YamlConfigParser(credentials: CredentialProvider = EnvCredentialProv
     PerformanceConfig(
       repartition = int(m, "repartition"),
       cacheIntermediate = bool(m, "cacheIntermediate").getOrElse(false),
-      shufflePartitions = int(m, "shufflePartitions"))
+      shufflePartitions = int(m, "shufflePartitions"),
+      checkpoint = str(m, "checkpoint"),
+      checkpointDir = str(m, "checkpointDir"))
 
   private def parseStreaming(m: Map[String, Object]): StreamingConfig =
     StreamingConfig(

@@ -248,20 +248,20 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // each round's frame references the previous one TWICE (self ∪ offers),
     // so without lineage truncation the logical plan doubles per round —
-    // localCheckpoint materializes the node-sized frame and resets the plan
-    // to a scan. (On a real cluster prefer reliable checkpoint() to HDFS
-    // for executor-loss tolerance across a long convergence.)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
+    // the checkpoint materializes the node-sized frame and resets the plan
+    // to a scan. Mode via spark.graft.checkpoint: local (default) or
+    // reliable — executor-loss tolerance across a long convergence.
+    var labels = graft.api.Checkpointing.checkpoint(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster_id", col("id")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val offers = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels.select("id", "cluster_id").union(offers)
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
+      val next = graft.api.Checkpointing.checkpoint(
+        labels.select("id", "cluster_id").union(offers)
+          .groupBy("id").agg(min("cluster_id").as("cluster_id")))
       changed = next.as("n")
         .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
         .where(col("cluster_id") =!= col("old")).count()

@@ -221,8 +221,8 @@ object TextFunctions {
     val grams = t.select(col("doc_id"),
       explode(expr(s"transform(sequence(1, length(__t) - ${n - 1}), " +
         s"i -> substring(__t, i, $n))")).as("gram"))
-    val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    val tf = graft.api.Checkpointing.checkpoint(
+      grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf")), eager = false)
     val cnt = tf.groupBy("gram").agg(sum("tf").as("cnt"))
     val total = tf.agg(sum("tf").as("total"))
     tf.join(cnt, "gram")
@@ -239,13 +239,14 @@ object TextFunctions {
     * corpus once PER BRANCH — the branches prune differently, so not even
     * exchange reuse merges them (measured: 3 corpus scans in tfidf). A
     * lazy localCheckpoint materializes tf on first use and lets every
-    * branch read the same partitions. Trade-off: the checkpointed frame
-    * does not recompute on executor loss — on a long cluster job prefer
-    * `spark.sparkContext.setCheckpointDir` + reliable checkpoint upstream
-    * if that matters more than the 2× scan. */
+    * branch read the same partitions. The default local checkpoint does
+    * not recompute on executor loss — set `spark.graft.checkpoint=reliable`
+    * (+ `spark.graft.checkpoint.dir`) on a long cluster job if that
+    * matters more than the 2× scan ([[graft.api.Checkpointing]]). */
   private def sharedTf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
       : org.apache.spark.sql.DataFrame =
-    termFrequencies(df, idCol, textCol).localCheckpoint(false)
+    graft.api.Checkpointing.checkpoint(
+      termFrequencies(df, idCol, textCol), eager = false)
 
   private def termFrequencies(df: org.apache.spark.sql.DataFrame,
                               idCol: String, textCol: String)

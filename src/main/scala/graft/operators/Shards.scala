@@ -302,9 +302,14 @@ object SampleTransform extends Transform {
     required(config, "groupBy")
     val n = config.options("perGroup").toInt
     require(n > 0, s"perGroup must be positive, got $n")
-    val keyType = input.schema(keyName).dataType
-    require(Seq("long", "integer", "short", "byte").contains(keyType.typeName),
-      s"stratified sample needs an integral '$keyName' id column, got ${keyType.typeName}")
+    val keyType = input.schema(keyName).dataType.typeName
+    val integral = Seq("long", "integer", "short", "byte").contains(keyType)
+    // hash bucketing (xxhash64) works on any type, so string/UUID doc ids
+    // are fine there; mod arithmetic genuinely needs an integral key
+    require(integral || (keyType == "string" &&
+        config.options.getOrElse("method", "hash") == "hash"),
+      s"stratified sample needs an integral or (method=hash) string " +
+        s"'$keyName' id column, got $keyType")
     // the aggregator keeps HIGHEST score first (ties: id asc) → negate the
     // bucket so "smallest bucket, then smallest id" wins, matching the SQL
     // row_number() ORDER BY bucket, id oracle exactly

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.api.{ConfigException, RunContext, Transform}
+import graft.config.TransformConfig
+import graft.functions.TextFunctions
+
+/**
+ * Declarative reach for the corpus-level text operators (the per-document
+ * signal columns live in [[TextSignalsTransform]]; these three REPLACE the
+ * frame with a derived corpus/per-document stats frame, like `profile` and
+ * `tfidf` do). Registering them closes the last Scala-only corner of the
+ * text suite — every operator in OPERATORS.md is YAML-drivable.
+ */
+
+/**
+ * vocab_topk — the corpus vocabulary: k most frequent tokens with counts,
+ * deterministic (count DESC, word ASC). See
+ * [[graft.functions.TextFunctions.vocabTopK]] for the
+ * TakeOrderedAndProject scale shape (never a global sort).
+ *
+ * {{{
+ * - name: corpus-vocab
+ *   type: vocab_topk
+ *   options: {textColumn: text, k: "10000"}
+ * }}}
+ */
+object VocabTopKTransform extends Transform {
+  val transformType = "vocab_topk"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema, config.options.get("textColumn").toSeq, "vocab_topk")
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "textColumn", "k")
+    val k = config.options("k").toInt
+    if (k <= 0) throw new ConfigException(s"vocab_topk: k must be positive, got $k")
+    TextFunctions.vocabTopK(input, config.options("textColumn"), k)
+  }
+}
+
+/**
+ * entropy — per-document token Shannon entropy (bits) + token totals, the
+ * information-density quality signal. One (doc, term) shuffle; see
+ * [[graft.functions.TextFunctions.tokenEntropy]].
+ *
+ * {{{
+ * - name: info-density
+ *   type: entropy
+ *   options: {idColumn: doc_id, textColumn: text}
+ * }}}
+ */
+object EntropyTransform extends Transform {
+  val transformType = "entropy"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq, "entropy")
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "textColumn")
+    TextFunctions.tokenEntropy(input, config.options("idColumn"), config.options("textColumn"))
+  }
+}
+
+/**
+ * chargram_nll — corpus-as-its-own-LM quality score: per-document average
+ * negative log-likelihood under the corpus character n-gram distribution.
+ * See [[graft.functions.TextFunctions.charGramNll]] (checkpointed gram
+ * frame, vocab-bounded model, broadcast total).
+ *
+ * {{{
+ * - name: lm-outliers
+ *   type: chargram_nll
+ *   options: {idColumn: doc_id, textColumn: text, n: "3"}
+ * }}}
+ */
+object ChargramNllTransform extends Transform {
+  val transformType = "chargram_nll"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq, "chargram_nll")
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "textColumn")
+    val n = config.options.get("n").map(_.toInt).getOrElse(3)
+    if (n < 1) throw new ConfigException(s"chargram_nll: n must be >= 1, got $n")
+    TextFunctions.charGramNll(input, config.options("idColumn"),
+      config.options("textColumn"), n)
+  }
+}

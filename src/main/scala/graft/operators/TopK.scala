@@ -21,7 +21,7 @@ import graft.config.{ExprUtils, TransformConfig}
  *
  * Ties are deterministic: (score, id) is a total order — score
  * descending (or ascending with `direction: asc`), id ascending.
- * `idColumn` must be integral and unique.
+ * `idColumn` must be integral or string (UUID doc ids) and unique.
  *
  * {{{
  * - name: best-docs-per-lang
@@ -42,10 +42,6 @@ object TopKTransform extends Transform {
     val k = config.options("k").toInt
     if (k <= 0) throw new ConfigException(s"topk: k must be positive, got $k")
     val idName = config.options("idColumn")
-    val idType = input.schema(idName).dataType.typeName
-    if (!Seq("long", "integer", "short", "byte").contains(idType))
-      throw new ConfigException(
-        s"topk: idColumn '$idName' must be integral and unique, got $idType")
     val groups = config.options.get("groupBy").map(ExprUtils.parseColumns).getOrElse(Nil)
     val rawScore = col(config.options("scoreColumn")).cast("double")
     val score = config.options.getOrElse("direction", "desc") match {
@@ -64,22 +60,46 @@ object TopKTransform extends Transform {
  * candidates per group before the exchange, the tiny winner-id set
  * broadcast-semi-joins back — zero full-data shuffles, never a per-group
  * window sort. Ordering is (score DESC, id ASC), a total order for unique
- * ids. Null scores, NaN scores (which would break the heap's strict-weak
- * ordering) and null ids are excluded up front.
+ * ids — for string ids, ASC is lexicographic (binary) order. Null scores,
+ * NaN scores (which would break the heap's strict-weak ordering) and null
+ * ids are excluded up front.
+ *
+ * Id types dispatch like [[graft.ann.Ann]]'s top-k: integral ids ride the
+ * long aggregator, string/UUID doc ids (the realistic LLM-corpus key) get
+ * [[graft.ann.TopKAggregatorStr]] — the same partial-aggregate plan, no
+ * per-group window fallback.
  */
 private[operators] object BoundedTopK {
   def semiJoinTopK(input: DataFrame, groupCols: Seq[String], score: org.apache.spark.sql.Column,
                    idName: String, k: Int): DataFrame = {
-    val topk = F.udaf(new graft.ann.TopKAggregator(k),
-      Encoders.product[graft.ann.ScoredCandidate])
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    input.schema(idName).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val topk = F.udaf(new graft.ann.TopKAggregator(k),
+          Encoders.product[graft.ann.ScoredCandidate])
+        shape(input, groupCols, score, idName, k, topk, _.cast("long"))
+      case StringType =>
+        val topk = F.udaf(new graft.ann.TopKAggregatorStr(k),
+          Encoders.product[graft.ann.ScoredCandidateStr])
+        shape(input, groupCols, score, idName, k, topk, identity)
+      case dt => throw new ConfigException(
+        s"grouped selection idColumn '$idName' must be integral or string " +
+          s"and unique, got ${dt.typeName} — cast it upstream")
+    }
+  }
+
+  private def shape(input: DataFrame, groupCols: Seq[String],
+                    score: org.apache.spark.sql.Column, idName: String, k: Int,
+                    topk: org.apache.spark.sql.expressions.UserDefinedFunction,
+                    castId: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val scored = input.select(groupCols.map(col) ++ Seq(
-      score.cast("double").as("__s"), col(idName).cast("long").as("__id")): _*)
+      score.cast("double").as("__s"), castId(col(idName)).as("__id")): _*)
       .where(col("__s").isNotNull && !isnan(col("__s")) && col("__id").isNotNull)
     val grouped = if (groupCols.isEmpty) scored.groupBy()
                   else scored.groupBy(groupCols.map(col): _*)
     val selected = grouped.agg(topk(col("__s"), col("__id")).as("tk"))
       .select(explode(col("tk.items")).as("s"))
       .select(col("s.id").as("__sel_id"))
-    input.join(broadcast(selected), col(idName).cast("long") === col("__sel_id"), "left_semi")
+    input.join(broadcast(selected), castId(col(idName)) === col("__sel_id"), "left_semi")
   }
 }

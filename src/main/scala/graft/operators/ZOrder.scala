@@ -76,8 +76,18 @@ object ZOrderTransform extends Transform {
     if (config.options.get("cluster").exists(_.toBoolean)) {
       val zc = col(config.options.getOrElse("zColumn", "zvalue"))
       // Spark's default ordering is NULLS FIRST; force nulls last so rows
-      // with a null dimension land in the tail files as documented above
-      out.repartitionByRange(zc.asc_nulls_last).sortWithinPartitions(zc.asc_nulls_last)
+      // with a null dimension land in the tail files as documented above.
+      // numFiles pins the range-partition count (an explicit count is
+      // exempt from AQE coalescing — without it AQE may merge small
+      // outputs into one file and erase the tile layout the skipping
+      // depends on); default leaves AQE free to size partitions.
+      val ordered = zc.asc_nulls_last
+      config.options.get("numFiles").map(_.toInt) match {
+        case Some(n) =>
+          if (n < 1) throw new ConfigException(s"zorder: numFiles must be >= 1, got $n")
+          out.repartitionByRange(n, ordered).sortWithinPartitions(ordered)
+        case None => out.repartitionByRange(ordered).sortWithinPartitions(ordered)
+      }
     } else out
   }
 }

@@ -58,6 +58,10 @@ final class PipelineExecutor(
     try {
       config.performance.flatMap(_.shufflePartitions).foreach(n =>
         spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+      config.performance.flatMap(_.checkpoint).foreach(m =>
+        spark.conf.set(graft.api.Checkpointing.ModeKey, m))
+      config.performance.flatMap(_.checkpointDir).foreach(d =>
+        spark.conf.set(graft.api.Checkpointing.DirKey, d))
 
       val plan = buildPlan(config, ctx)
       persisted = plan.persisted

@@ -53,6 +53,10 @@ object Registries {
     SampleTransform.transformType     -> SampleTransform,
     MixTransform.transformType        -> MixTransform,
     RedactTransform.transformType     -> RedactTransform,
+    VocabTopKTransform.transformType  -> VocabTopKTransform,
+    EntropyTransform.transformType    -> EntropyTransform,
+    ChargramNllTransform.transformType -> ChargramNllTransform,
+    graft.streaming.SessionizeTransform.transformType -> graft.streaming.SessionizeTransform,
     RegisterTransform.transformType   -> RegisterTransform))
 
   def sinks(): Registry[Sink] = new Registry[Sink]("sink", Map(

@@ -43,6 +43,8 @@ class YamlConfigParserSpec extends AnyFunSuite with Matchers {
       |  repartition: 16
       |  cacheIntermediate: true
       |  shufflePartitions: 64
+      |  checkpoint: reliable
+      |  checkpointDir: /ckpt/sales
       |""".stripMargin
 
   test("parses the full dialect-C shape") {
@@ -62,6 +64,7 @@ class YamlConfigParserSpec extends AnyFunSuite with Matchers {
     q.quarantinePath shouldBe Some("/quarantine/sales")
     val p = c.performance.get
     (p.repartition, p.cacheIntermediate, p.shufflePartitions) shouldBe (Some(16), true, Some(64))
+    (p.checkpoint, p.checkpointDir) shouldBe (Some("reliable"), Some("/ckpt/sales"))
   }
 
   test("missing source / sink / pipelineId fail fast") {

@@ -206,10 +206,20 @@ class ShardsAndSampleSpec extends SparkTestBase {
     val tiny = SampleTransform(d.where("doc_id <= 5"),
       t("sample", "on" -> "doc_id", "groupBy" -> "grp", "perGroup" -> "10"), ctx)
     tiny.count() shouldBe 5
-    // non-integral id rejected
-    an[IllegalArgumentException] should be thrownBy SampleTransform(
-      d.withColumn("doc_id", col("doc_id").cast("string")),
+    // string/UUID doc ids work under hash bucketing: same quota, same
+    // partial-aggregate shape (no window), deterministic across runs
+    val s = d.withColumn("doc_id", concat(lit("doc-"), col("doc_id").cast("string")))
+    val strOut = SampleTransform(s,
       t("sample", "on" -> "doc_id", "groupBy" -> "grp", "perGroup" -> "10"), ctx)
+    strOut.groupBy("grp").count().collect().map(_.getLong(1)).toSet shouldBe Set(10L)
+    strOut.queryExecution.executedPlan.toString should not include "Window"
+    strOut.select("doc_id").as[String].collect().toSet shouldBe
+      SampleTransform(s, t("sample", "on" -> "doc_id", "groupBy" -> "grp",
+        "perGroup" -> "10"), ctx).select("doc_id").as[String].collect().toSet
+    // string ids under mod bucketing still rejected (needs integral arithmetic)
+    an[IllegalArgumentException] should be thrownBy SampleTransform(s,
+      t("sample", "on" -> "doc_id", "groupBy" -> "grp", "perGroup" -> "10",
+        "method" -> "mod"), ctx)
   }
 
   test("mix: per-group weights down- and up-sample deterministically, zero shuffle") {

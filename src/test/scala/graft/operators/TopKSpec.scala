@@ -44,6 +44,20 @@ class TopKSpec extends SparkTestBase {
     run(big, "groupBy" -> "grp").queryExecution.executedPlan.toString should not include "Window"
   }
 
+  test("string/UUID ids ride the same partial-aggregate plan, no Window") {
+    val s = Seq(
+      ("doc-a", "x", 10.0), ("doc-b", "x", 30.0), ("doc-c", "x", 20.0),
+      ("doc-d", "y", 5.0), ("doc-e", "y", 5.0), ("doc-f", "y", 5.0)) // ties: d,e win (id asc)
+      .toDF("id", "grp", "score")
+    val out = run(s, "groupBy" -> "grp")
+    out.columns.toSeq shouldBe Seq("id", "grp", "score")
+    out.select("id").as[String].collect().toSet shouldBe
+      Set("doc-b", "doc-c", "doc-d", "doc-e")
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include ("partial_topkaggregatorstr") // map-side reduction
+  }
+
   test("null and NaN scores drop out; invalid options fail fast") {
     // NaN would break the heap's strict-weak ordering (better(NaN,x) and
     // better(x,NaN) are both false) — it must be excluded, not ranked
@@ -54,8 +68,9 @@ class TopKSpec extends SparkTestBase {
     run(withNull, "k" -> "5").select("id").as[Long].collect().toSet shouldBe Set(1L)
     an[ConfigException] should be thrownBy run(rows, "k" -> "0")
     an[ConfigException] should be thrownBy run(rows, "direction" -> "sideways")
+    // non-integral, non-string id types still fail fast with guidance
     an[ConfigException] should be thrownBy
-      TopKTransform(rows.withColumn("id", org.apache.spark.sql.functions.col("grp")),
+      TopKTransform(rows.withColumn("id", org.apache.spark.sql.functions.col("score")),
         TransformConfig("tk", "topk", Map("scoreColumn" -> "score",
           "idColumn" -> "id", "k" -> "1")), ctx)
   }
