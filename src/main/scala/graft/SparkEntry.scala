@@ -647,6 +647,25 @@ object SparkEntry {
     "q79_chargram_nll" -> ((s, dir) =>
       ap(tab(s, dir, "documents"),
         t("chargram_nll", "idColumn" -> "doc_id", "textColumn" -> "text", "n" -> "3"))),
+    // the simhash PIPELINE made oracle-checkable: maxHamming=0 over the
+    // corpus unioned with an exact twin of itself (ids shifted), restricted
+    // to the planted twin pairs. A twin is found iff the whole pipeline —
+    // native signature expression, 16-bit chunk blocking, XOR/bit_count
+    // verify, canonical pair ordering — is correct, and identical text
+    // implies identical signature under ANY hash, so the expected set is
+    // exactly one pair per document. The restriction is necessary:
+    // signature equality between DISTINCT near-dup docs is simhash-
+    // legitimate (measured here — one occurrence of one low-weight token
+    // can leave all 64 bit-votes unchanged), so the unrestricted ham=0
+    // pair set is not expressible in exact SQL. The probabilistic ham<=3
+    // variant stays rows-only as q27.
+    "q80_simhash_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = tab(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.union(d.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      graft.dedup.Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 0)
+        .where(col("id_b") === col("id_a") + 100000L)
+    }),
     // Morton/Z-order interleave for multi-dimensional data skipping —
     // exact integer bit math once the bins are fixed, so oracle-checkable
     "q78_zorder" -> ((s, dir) => ap(tab(s, dir, "events"),
@@ -1424,6 +1443,11 @@ object SparkEntry {
                 round(-sum(tf.tf * ln(CAST(cnt.cnt AS DOUBLE) / tot.total))
                       / sum(tf.tf), 4) AS nll
          FROM tf JOIN cnt USING (gram) CROSS JOIN tot GROUP BY 1""",
+    // every document pairs with its planted exact twin at hamming 0 —
+    // identical text means identical signature under any hash function
+    "q80_simhash_exact" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
+         FROM documents WHERE text IS NOT NULL""",
     // identical bin arithmetic ((x-lo)/(hi-lo)*2^bits, clamped) and bit
     // interleave; disjoint bit positions make + equal to the Spark-side OR
     "q78_zorder" -> {

@@ -238,10 +238,25 @@ object Dedup {
    *
    * @param pairs frame with two id columns (`idA`, `idB`), one row per
    *              undirected edge
+   * @param algorithm `minlabel` (default — O(diameter) rounds, the right
+   *                  choice for near-dup graphs, which are short chains
+   *                  around a template) or `star` — alternating
+   *                  large-star/small-star ([[clustersStar]]), O(log n)
+   *                  rounds on ADVERSARIAL long-path graphs
    * @return (id, cluster_id) for every node that appears in `pairs`
    */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 20): DataFrame = {
+               maxIter: Int = 20, algorithm: String = "minlabel"): DataFrame = {
+    algorithm match {
+      case "minlabel" => clustersMinLabel(pairs, idA, idB, maxIter)
+      case "star"     => clustersStar(pairs, idA, idB, maxIter)
+      case other => throw new IllegalArgumentException(
+        s"clusters algorithm must be minlabel|star, got '$other'")
+    }
+  }
+
+  private def clustersMinLabel(pairs: DataFrame, idA: String, idB: String,
+                               maxIter: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
@@ -277,5 +292,73 @@ object Dedup {
         s"($changed labels still changing) — a duplicate chain longer than " +
         s"$maxIter links; raise maxIter (rounds needed = component diameter)")
     labels
+  }
+
+  /**
+   * Alternating large-star/small-star connected components (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+   * rewires edges toward per-neighborhood minima —
+   *
+   *  - large-star: for every node u, hook each LARGER neighbor v to
+   *    m = min(Γ(u) ∪ u);
+   *  - small-star: on the larger→smaller orientation, hook u and all its
+   *    smaller neighbors to their minimum.
+   *
+   * Both are one groupBy(min) + one join on the edge frame; the edge set
+   * converges to direct (node → component-min) stars in O(log n) rounds
+   * REGARDLESS of component diameter — the upgrade over [[clustersMinLabel]]
+   * for adversarial long-path graphs (a 10^6-link chain needs ~20 star
+   * rounds vs 10^6 label-propagation rounds). Per-round frames are
+   * checkpointed ([[graft.api.Checkpointing]]) like the min-label loop;
+   * convergence is an exact set-equality check (two `except` counts on the
+   * edge-sized frame).
+   */
+  def clustersStar(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                   maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val nodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // canonical larger→smaller orientation, self-loops dropped
+    var edges = graft.api.Checkpointing.checkpoint(
+      pairs.select(greatest(col(idA), col(idB)).as("hi"),
+                   least(col(idA), col(idB)).as("lo"))
+        .where(col("hi") =!= col("lo")).distinct())
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetric view: m(u) = min(Γ(u) ∪ u); every
+      // neighbor v > u re-hooks to m. Edges stay larger→smaller by
+      // construction (v > u >= m).
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .where(col("hi") =!= col("lo")).distinct()
+      // small-star on larger→smaller edges: u and all smaller neighbors
+      // hook to m(u) = min of the smaller neighborhood
+      val mins2 = afterLarge.groupBy("hi").agg(min("lo").as("m"))
+      val next = graft.api.Checkpointing.checkpoint(
+        afterLarge.join(mins2, "hi")
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .union(mins2.select(col("hi"), col("m").as("lo")))
+          .where(col("hi") =!= col("lo")).distinct())
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"Dedup.clustersStar did not converge after $maxIter rounds — " +
+        s"at O(log n) rounds this needs a graph of ~2^$maxIter nodes; raise maxIter")
+    // at the fixpoint every edge points straight at its component minimum;
+    // nodes with no surviving edge (isolated / component roots) label
+    // themselves
+    val out = graft.api.Checkpointing.checkpoint(nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("cluster_id")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id")))
+    nodes.unpersist()
+    out
   }
 }

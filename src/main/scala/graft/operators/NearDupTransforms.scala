@@ -53,7 +53,10 @@ abstract class NearDupTransform extends Transform {
       // transform rule, like shard's prefix-sum collect — documented).
       case "cluster" =>
         graft.dedup.Dedup.clusters(dupPairs,
-            maxIter = intOpt(config, "clusterMaxIter", 20))
+            maxIter = intOpt(config, "clusterMaxIter", 20),
+            // minlabel (default): O(diameter) rounds; star: O(log n) —
+            // for adversarial long duplicate chains
+            algorithm = config.options.getOrElse("clusterAlgorithm", "minlabel"))
           .where(col("id") =!= col("cluster_id")).select(col("id").as(id))
       case other => throw new graft.api.ConfigException(
         s"$transformType: survivor must be pair|cluster, got '$other'")

@@ -155,6 +155,31 @@ class DedupSpec extends SparkTestBase {
     e.getMessage should include ("did not converge")
   }
 
+  test("clusters star mode: O(log n) rounds label a deep path min-label cannot reach") {
+    // a 40-link path (diameter 40 > 20): min-label at the default 20 rounds
+    // must refuse; large-star/small-star converges in ~log2(41) rounds
+    val deep = (1L to 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    an[IllegalStateException] should be thrownBy Dedup.clusters(deep)
+    val star = Dedup.clusters(deep, algorithm = "star").as[(Long, Long)].collect().toSet
+    star shouldBe (1L to 41L).map(_ -> 1L).toSet
+    // property: identical labels to min-label (run with enough rounds) on
+    // a multi-component graph with shuffled edge orientations
+    val rnd = new scala.util.Random(11)
+    val messy = (1 to 120).map { _ =>
+      val c = rnd.nextInt(4)                        // 4 components of 30 ids
+      val (a, b) = (c * 100 + rnd.nextInt(30), c * 100 + rnd.nextInt(30))
+      if (rnd.nextBoolean()) (a.toLong, b.toLong) else (b.toLong, a.toLong)
+    }.toDF("id_a", "id_b")
+    Dedup.clusters(messy, algorithm = "star").as[(Long, Long)].collect().toSet shouldBe
+      Dedup.clusters(messy, maxIter = 100).as[(Long, Long)].collect().toSet
+    // isolated self-pair nodes still get labeled
+    val selfish = Seq((7L, 7L), (1L, 2L)).toDF("id_a", "id_b")
+    Dedup.clusters(selfish, algorithm = "star").as[(Long, Long)].collect().toSet shouldBe
+      Set((7L, 7L), (1L, 1L), (2L, 1L))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.clusters(deep, algorithm = "galaxy")
+  }
+
   test("near-dup removal: survivor=cluster keeps one doc per component, pair is greedier") {
     import graft.config.TransformConfig
     import graft.api.RunContext
