@@ -666,6 +666,18 @@ object SparkEntry {
       graft.dedup.Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 0)
         .where(col("id_b") === col("id_a") + 100000L)
     }),
+    // C4-style cross-document line dedup. The synthetic corpus is single-
+    // line, so the query first regroups each document into 8-word lines
+    // (identical list arithmetic on the DuckDB side) — near-dup documents
+    // then share real line-level boilerplate for the operator to strip.
+    "q81_dedup_lines" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val lined = tab(s, dir, "documents").withColumn("text", expr(
+        "array_join(transform(sequence(0, cast((size(split(text, ' ')) - 1) / 8 as int)), " +
+          "i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ')), chr(10))"))
+      ap(lined, t("dedup_lines", "idColumn" -> "doc_id", "textColumn" -> "text"))
+        .select("doc_id", "text")
+    }),
     // Morton/Z-order interleave for multi-dimensional data skipping —
     // exact integer bit math once the bins are fixed, so oracle-checkable
     "q78_zorder" -> ((s, dir) => ap(tab(s, dir, "events"),
@@ -1448,6 +1460,30 @@ object SparkEntry {
     "q80_simhash_exact" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
          FROM documents WHERE text IS NOT NULL""",
+    // same 8-word regrouping (range() is end-exclusive, list slices are
+    // 1-based inclusive like Spark's slice), then: first (doc_id, pos)
+    // occurrence of each line survives, documents rebuilt in line order,
+    // fully-deduped documents become empty strings
+    "q81_dedup_lines" ->
+      """WITH lined AS (
+           SELECT doc_id,
+                  [array_to_string(ws[i*8+1 : i*8+8], ' ')
+                   FOR i IN range(0, ((len(ws) - 1) // 8) + 1)] AS ls
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         ), e AS (
+           SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, ls FROM lined
+         ), x AS (
+           SELECT doc_id, pos, ls[pos] AS ln FROM e
+         ), r AS (
+           SELECT doc_id, pos, ln,
+                  row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) AS rn
+           FROM x
+         ), kept AS (
+           SELECT doc_id, array_to_string(list(ln ORDER BY pos), chr(10)) AS text
+           FROM r WHERE rn = 1 GROUP BY doc_id
+         )
+         SELECT d.doc_id, coalesce(kept.text, '') AS text
+         FROM documents d LEFT JOIN kept USING (doc_id)""",
     // identical bin arithmetic ((x-lo)/(hi-lo)*2^bits, clamped) and bit
     // interleave; disjoint bit positions make + equal to the Spark-side OR
     "q78_zorder" -> {

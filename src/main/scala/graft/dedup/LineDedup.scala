@@ -1,0 +1,89 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.{ConfigException, RunContext, Transform}
+import graft.config.TransformConfig
+
+/**
+ * Cross-document LINE deduplication — the C4-style preprocessing step the
+ * document-level dedup family cannot express: boilerplate lines
+ * (navigation, licenses, cookie banners) repeat across millions of pages
+ * while the surrounding documents differ, so near-dup removal keeps them
+ * all. Every distinct line keeps exactly ONE occurrence corpus-wide — the
+ * lexicographically first (id, position) — and each document's text is
+ * rebuilt from its surviving lines in original order.
+ *
+ * Scale shape: posexplode lines (zero shuffle), ONE aggregation keyed on
+ * the line text (map-side partial min-structs collapse each partition's
+ * repeats before the exchange), survivors join back on the SAME key (the
+ * aggregation's exchange is reused), then one (id)-keyed reduction
+ * rebuilds documents. Never a window over the corpus. The line text rides
+ * the shuffles because reconstruction needs it back — at 100 TB the
+ * shuffle is bounded by distinct-line volume after map-side collapse,
+ * which for boilerplate-heavy web corpora is far below corpus size.
+ *
+ * Lines shorter than `minLength` characters (default 1 — i.e. only empty
+ * lines) never participate: they are kept verbatim wherever they appear,
+ * preserving document structure.
+ */
+object LineDedup {
+  /** @return `df` with `textCol` replaced by the line-deduped text (other
+    *         columns untouched); null texts stay null, documents whose
+    *         every line was seen earlier become empty strings. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 separator: String = "\n", minLength: Int = 1): DataFrame = {
+    require(separator.nonEmpty, "dedupLines: separator must be non-empty")
+    require(minLength >= 1, s"dedupLines: minLength must be >= 1, got $minLength")
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(separator), -1)).as(Seq("__pos", "__ln")))
+    val survivors = lines.where(length(col("__ln")) >= minLength)
+      .groupBy("__ln")
+      .agg(min(struct(col("__id").as("__sid"), col("__pos").as("__spos"))).as("__first"))
+      .select(col("__ln"), col("__first.__sid").as("__sid"), col("__first.__spos").as("__spos"))
+    // short lines never join a survivor row (survivors hold only
+    // participating lines) → null __sid → always kept
+    val kept = lines.join(survivors, Seq("__ln"), "left")
+      .where(col("__sid").isNull ||
+        (col("__id") === col("__sid") && col("__pos") === col("__spos")))
+    val rebuilt = kept.groupBy("__id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__ln")))),
+        x => x.getField("__ln")), separator).as("__newtext"))
+    df.join(rebuilt, col(idCol) === col("__id"), "left")
+      .withColumn(textCol, when(col(textCol).isNull, lit(null).cast("string"))
+        .otherwise(coalesce(col("__newtext"), lit(""))))
+      .drop("__id", "__newtext")
+  }
+}
+
+/**
+ * Declarative line dedup:
+ *
+ * {{{
+ * - name: strip-boilerplate
+ *   type: dedup_lines
+ *   options: {idColumn: doc_id, textColumn: text, minLength: "20"}
+ * }}}
+ *
+ * `separator` (default newline) generalizes to any span delimiter;
+ * `minLength` keeps short structural lines out of the dedup set.
+ */
+object LineDedupTransform extends Transform {
+  val transformType = "dedup_lines"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    (config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq)
+      .filterNot(schema.fieldNames.contains)
+      .map(c => s"dedup_lines: column '$c' not in input schema").toList
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "textColumn")
+    try LineDedup.dedupLines(input,
+      config.options("idColumn"), config.options("textColumn"),
+      separator = config.options.getOrElse("separator", "\n"),
+      minLength = config.options.get("minLength").map(_.toInt).getOrElse(1))
+    catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+  }
+}

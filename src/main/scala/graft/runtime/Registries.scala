@@ -37,6 +37,7 @@ object Registries {
     MinhashDedupTransform.transformType -> MinhashDedupTransform,
     SimhashDedupTransform.transformType -> SimhashDedupTransform,
     EmbeddingDedupTransform.transformType -> EmbeddingDedupTransform,
+    graft.dedup.LineDedupTransform.transformType -> graft.dedup.LineDedupTransform,
     DecontaminateTransform.transformType  -> DecontaminateTransform,
     EmbeddingDecontaminateTransform.transformType -> EmbeddingDecontaminateTransform,
     AsofJoinTransform.transformType   -> AsofJoinTransform,

@@ -1,0 +1,53 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import graft.api.RunContext
+import graft.config.TransformConfig
+
+class LineDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ctx = RunContext(spark, "t", "r")
+
+  test("first occurrence survives corpus-wide; docs rebuilt in line order") {
+    val d = Seq(
+      (1L, "alpha\nboiler plate\nbeta"),
+      (2L, "boiler plate\ngamma\nboiler plate"), // cross-doc AND intra-doc repeat
+      (3L, "boiler plate")                       // fully deduped away
+    ).toDF("doc_id", "text")
+    val out = LineDedup.dedupLines(d, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "alpha\nboiler plate\nbeta"
+    out(2L) shouldBe "gamma"
+    out(3L) shouldBe ""
+  }
+
+  test("short lines never participate; null text and other columns preserved") {
+    val d = Seq(
+      (1L, "keep this longer line\nok", "en"),
+      (2L, "keep this longer line\nok", "de"),
+      (3L, null.asInstanceOf[String], "fr")).toDF("doc_id", "text", "lang")
+    val out = LineDedup.dedupLines(d, "doc_id", "text", minLength = 5)
+    out.columns.toSeq shouldBe Seq("doc_id", "text", "lang")
+    val m = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    m(1L) shouldBe "keep this longer line\nok"
+    m(2L) shouldBe "ok" // the long line deduped, the short "ok" kept verbatim
+    Option(m(3L)) shouldBe None
+    out.where("doc_id = 3").select("lang").head().getString(0) shouldBe "fr"
+  }
+
+  test("custom separator; no Window node; transform validates") {
+    val d = Seq((1L, "a b c"), (2L, "b c a")).toDF("doc_id", "text")
+    val out = LineDedupTransform(d, TransformConfig("ld", "dedup_lines",
+      Map("idColumn" -> "doc_id", "textColumn" -> "text", "separator" -> " ")), ctx)
+    val m = out.as[(Long, String)].collect().toMap
+    m(1L) shouldBe "a b c" // every word first seen in doc 1
+    m(2L) shouldBe ""      // word-level spans all seen before
+    out.queryExecution.executedPlan.toString should not include "Window"
+    an[graft.api.ConfigException] should be thrownBy LineDedupTransform(
+      d, TransformConfig("ld", "dedup_lines", Map("idColumn" -> "doc_id")), ctx)
+    an[graft.api.ConfigException] should be thrownBy LineDedupTransform(
+      d, TransformConfig("ld", "dedup_lines", Map("idColumn" -> "doc_id",
+        "textColumn" -> "text", "minLength" -> "0")), ctx)
+  }
+}
