@@ -376,6 +376,10 @@ object SparkEntry {
     "q45_vocab_topk" -> ((s, dir) =>
       ap(tab(s, dir, "documents"),
         t("vocab_topk", "textColumn" -> "text", "k" -> "100"))),
+    // corpus bigram counts — the n-gram LM / collocation count table
+    "q82_vocab_bigrams" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("vocab_topk", "textColumn" -> "text", "k" -> "100", "ngramSize" -> "2"))),
     // corpus TF-IDF: (doc, term) → tf, df, smooth-idf score; no float
     // ranking (all pairs emitted), so cross-engine order is irrelevant
     "q57_tfidf" -> ((s, dir) =>
@@ -1335,6 +1339,20 @@ object SparkEntry {
                                      x -> x <> '')) AS word
            FROM documents)
          SELECT word, count(*) AS n FROM w
+         GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+    // same tokenization, space-joined adjacent pairs; docs under 2 tokens
+    // contribute nothing (range() is end-exclusive, slices 1-based incl.)
+    "q82_vocab_bigrams" ->
+      """WITH t AS (
+           SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents
+         ), g AS (
+           SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                          FOR i IN range(1, len(toks))]) AS word
+           FROM t WHERE len(toks) >= 2
+         )
+         SELECT word, count(*) AS n FROM g
          GROUP BY word ORDER BY n DESC, word LIMIT 100""",
     // same tokenization as q45; smooth idf ln((1+N)/(1+df)) + 1, rounded —
     // ln on doubles agrees across engines at 4 decimals

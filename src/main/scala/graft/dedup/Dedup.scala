@@ -114,6 +114,47 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * Bloom-filter decontamination — the FIXED-SIZE variant of
+   * [[contaminationHits]] for benchmark sets too large to broadcast as an
+   * exact DISTINCT hash set (an exact set of 10^8 shingle longs is ~800 MB
+   * on every executor; a bloom at fpp 10^-4 is ~170 MB regardless of long
+   * width, and fpp trades size down further). Returns the KEPT documents.
+   *
+   * Semantics vs the exact path: false positives only DROP clean
+   * documents (probability ≈ 1 − (1 − fpp)^shingles per doc) — a
+   * contaminated document is NEVER kept, the conservative direction for
+   * training-data hygiene. The bloom is deterministic for fixed inputs.
+   *
+   * Scale shape: the benchmark reduces driver-side to one serialized
+   * sketch (two jobs on the SMALL side — count + bloom aggregate, the
+   * same O(small) driver-read class as the IVF codebook); the corpus then
+   * pays ONE zero-shuffle, zero-join codegen'd filter —
+   * `exists(shingle_hashes, might_contain)` over Spark's native
+   * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]].
+   */
+  def bloomDecontaminate(docs: DataFrame, bench: DataFrame, textCol: String,
+                         benchTextCol: String, shingleSize: Int = 3,
+                         fpp: Double = 1e-4): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"bloomDecontaminate: fpp must be in (0,1), got $fpp")
+    import graft.functions.expressions.ShingleHashes
+    val hashes = bench
+      .select(explode(ShingleHashes(col(benchTextCol), shingleSize)).as("sh"))
+      .distinct()
+    val expected = math.max(hashes.count(), 1L)
+    val bloom = hashes.stat.bloomFilter("sh", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bloomLit = lit(bos.toByteArray)
+    import org.apache.spark.sql.GraftBridge
+    val mightContain = (h: Column) => GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftBridge.expression(bloomLit), GraftBridge.expression(h)))
+    // null-text docs have no shingles to test — kept, like the exact path
+    docs.where(col(textCol).isNull ||
+      !exists(ShingleHashes(col(textCol), shingleSize), mightContain))
+  }
+
   /** 64-bit SimHash over tokens: per-bit weighted vote folded per-row
     * (no shuffle), reassembled into one long. */
   def simhash64(text: Column): Column = {

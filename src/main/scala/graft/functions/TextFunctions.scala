@@ -108,20 +108,32 @@ object TextFunctions {
   /**
    * Corpus-level vocabulary: the `k` most frequent whitespace tokens
    * (lowercased; same tokenization as [[tokens]]) with their counts,
-   * deterministically tie-broken by word. Scale shape: explode feeds a
+   * deterministically tie-broken by word. With `n > 1` the units are
+   * space-joined word n-grams (documents shorter than `n` tokens
+   * contribute nothing) — the corpus bigram/trigram count table an n-gram
+   * LM or collocation filter builds on. Scale shape: explode feeds a
    * hash aggregate with map-side partial counts — the shuffle carries one
-   * row per DISTINCT word per partition, not per token occurrence — and
+   * row per DISTINCT unit per partition, not per occurrence — and
    * the `orderBy().limit()` plans as TakeOrderedAndProject (per-partition
    * top-k heaps + a driver merge of k·partitions rows), never a global
    * sort of the vocabulary.
    */
-  def vocabTopK(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int)
-      : org.apache.spark.sql.DataFrame =
-    df.select(explode(tokens(col(textCol))).as("word"))
+  def vocabTopK(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int,
+                n: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"vocabTopK: n must be >= 1, got $n")
+    val toks = tokens(col(textCol))
+    val units =
+      if (n == 1) toks
+      else when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    df.select(explode(units).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
+  }
 
   /**
    * Corpus TF-IDF: one row per (doc, term) with the term frequency, the

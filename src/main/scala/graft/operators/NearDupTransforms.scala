@@ -174,7 +174,20 @@ object DecontaminateTransform extends Transform {
     val bench = ctx.spark.table(config.options("benchDataset"))
     val benchText = config.options.getOrElse("benchTextColumn", text)
     val n = config.options.get("shingleSize").map(_.toInt).getOrElse(3)
-    val hits = Dedup.contaminationHits(input, bench, id, text, benchText, n)
-    input.join(hits.select(col(id)), Seq(id), "left_anti")
+    config.options.getOrElse("method", "exact") match {
+      case "exact" =>
+        val hits = Dedup.contaminationHits(input, bench, id, text, benchText, n)
+        input.join(hits.select(col(id)), Seq(id), "left_anti")
+      // fixed-size bloom sketch instead of the exact broadcast set — for
+      // benchmark suites too large to broadcast; false positives only drop
+      // clean docs (never keep contaminated ones). Builds the sketch at
+      // plan time (two jobs on the SMALL side — a documented exception to
+      // the no-action transform rule, like survivor=cluster).
+      case "bloom" =>
+        Dedup.bloomDecontaminate(input, bench, text, benchText, n,
+          fpp = config.options.get("fpp").map(_.toDouble).getOrElse(1e-4))
+      case other => throw new graft.api.ConfigException(
+        s"decontaminate: method must be exact|bloom, got '$other'")
+    }
   }
 }

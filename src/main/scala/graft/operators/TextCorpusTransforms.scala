@@ -35,7 +35,9 @@ object VocabTopKTransform extends Transform {
     required(config, "textColumn", "k")
     val k = config.options("k").toInt
     if (k <= 0) throw new ConfigException(s"vocab_topk: k must be positive, got $k")
-    TextFunctions.vocabTopK(input, config.options("textColumn"), k)
+    val n = config.options.get("ngramSize").map(_.toInt).getOrElse(1)
+    if (n < 1) throw new ConfigException(s"vocab_topk: ngramSize must be >= 1, got $n")
+    TextFunctions.vocabTopK(input, config.options("textColumn"), k, n)
   }
 }
 

@@ -139,6 +139,32 @@ class DedupSpec extends SparkTestBase {
     out.select("doc_id").as[Long].collect().toSet shouldBe Set(11L)
     an[graft.api.ConfigException] should be thrownBy graft.operators.DecontaminateTransform(
       corpus, TransformConfig("bad", "decontaminate", Map.empty), ctx)
+
+    // bloom method: same planted outcome, but the corpus side is a pure
+    // zero-join codegen'd filter over the broadcast-free fixed-size sketch
+    // a parquet round-trip keeps the predicate in the physical plan (over
+    // a LocalRelation the optimizer constant-folds the whole filter away)
+    val pdir = tmpDir("bloomdc")
+    corpus.write.mode("overwrite").parquet(pdir)
+    val bloomOut = graft.operators.DecontaminateTransform(spark.read.parquet(pdir),
+      TransformConfig("dc", "decontaminate", Map(
+        "idColumn" -> "doc_id", "textColumn" -> "text",
+        "benchDataset" -> "bench_set", "method" -> "bloom", "fpp" -> "0.000001")), ctx)
+    bloomOut.select("doc_id").as[Long].collect().toSet shouldBe Set(11L)
+    val plan = bloomOut.queryExecution.executedPlan.toString
+    plan should not include "Join" // zero-join corpus filter
+    plan should include ("might_contain")
+    // null-text docs are kept, matching the exact path
+    val withNull = corpus.union(Seq((13L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    graft.operators.DecontaminateTransform(withNull,
+      TransformConfig("dc", "decontaminate", Map(
+        "idColumn" -> "doc_id", "textColumn" -> "text",
+        "benchDataset" -> "bench_set", "method" -> "bloom")), ctx)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(11L, 13L)
+    an[graft.api.ConfigException] should be thrownBy graft.operators.DecontaminateTransform(
+      corpus, TransformConfig("dc", "decontaminate", Map(
+        "idColumn" -> "doc_id", "textColumn" -> "text",
+        "benchDataset" -> "bench_set", "method" -> "exactly")), ctx)
   }
 
   test("clusters: transitive closure labels every node with its component minimum") {

@@ -23,6 +23,16 @@ class TextCorpusTransformsSpec extends SparkTestBase {
       VocabTopKTransform(docs, t("vocab_topk", "textColumn" -> "text", "k" -> "0"), ctx)
   }
 
+  test("vocab_topk ngramSize: bigram counts, short docs contribute nothing") {
+    val d = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "cat")).toDF("doc_id", "text")
+    val out = VocabTopKTransform(d,
+      t("vocab_topk", "textColumn" -> "text", "k" -> "10", "ngramSize" -> "2"), ctx)
+      .as[(String, Long)].collect().toSeq
+    out shouldBe Seq(("the cat", 2L), ("cat ran", 1L), ("cat sat", 1L))
+    an[ConfigException] should be thrownBy VocabTopKTransform(d,
+      t("vocab_topk", "textColumn" -> "text", "k" -> "10", "ngramSize" -> "0"), ctx)
+  }
+
   test("entropy transform: per-doc rows, options required") {
     val out = EntropyTransform(docs,
       t("entropy", "idColumn" -> "doc_id", "textColumn" -> "text"), ctx)
