@@ -364,6 +364,13 @@ object SparkEntry {
         t("shard", "idColumn" -> "doc_id", "weightColumn" -> "n_chars",
           "budget" -> "50000"))
         .select("doc_id", "cum_before", "shard_id")),
+    // deterministic corpus shuffle: seeded-md5 total order + global
+    // position via the two-phase scan — the permutation itself is the
+    // checked output (the oracle re-derives it from (seed, id) alone)
+    "q84_shuffle" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("shuffle", "idColumn" -> "doc_id", "seed" -> "7"))
+        .select("doc_id", "shuffle_pos")),
     // deterministic reproducible sampling (mod path — the hash path is
     // spec-tested; xxhash64 has no DuckDB equivalent)
     "q44_sample_mod" -> ((s, dir) =>
@@ -400,6 +407,18 @@ object SparkEntry {
           lit("@mail.example.com or 555-123-4567 or 10.0.0."),
           (col("doc_id") % 250).cast("string"), lit(" end")).as("contact"))
       ap(d, t("redact", "columns" -> "contact")).select("doc_id", "contact")
+    }),
+    // Unicode text normalization: a DECOMPOSED combining-mark suffix is
+    // synthesized (e+U+0301, A+U+030A; documents are ASCII, where NFC is
+    // identity) so the oracle checks REAL composition — Java's Normalizer vs DuckDB's utf8proc implement
+    // the same Unicode NFC spec — plus whitespace collapse + trim parity
+    "q85_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = tab(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" cafe\u0301  A\u030A")).as("text"))
+      ap(d, t("normalize_text", "columns" -> "text", "form" -> "NFC",
+        "collapseWhitespace" -> "true", "trim" -> "true"))
+        .select("doc_id", "text")
     }),
     // Gopher-style repetition quality signals: fraction of word / bigram
     // occurrences that repeat an earlier one (1 - distinct/total)
@@ -852,6 +871,46 @@ object SparkEntry {
         round(col("total_value"), 2).as("total_value"))
     }),
 
+    // streaming exact deduplication: dropDuplicatesWithinWatermark keyed on
+    // (user_id, event_type) — the streaming counterpart of batch dedup
+    // (q18/q25), routed through StreamingExecutor's dedupColumns path. With
+    // a watermark the seen-keys state self-expires once it ages past the
+    // delay; the delay here exceeds the dataset's span so nothing expires
+    // mid-drain and the emitted set is exactly the batch DISTINCT — the
+    // determinism the oracle needs (production sets the real lateness
+    // bound). Survivor NON-key columns are first-arrival nondeterministic,
+    // so the pipeline projects to the key columns after the dedup.
+    "q83_stream_dedup" -> ((s, dir) => {
+      import graft.config._
+      val inDir = stagedEventsDir(s, dir)
+      val cfg = PipelineConfig(
+        pipelineId = s"q83_${System.nanoTime()}",
+        executionMode = ExecutionMode.MicroBatch,
+        source = SourceConfig("file", Map(
+          "path" -> inDir, "format" -> "parquet",
+          "schema" -> "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")),
+        transformations = List(TransformConfig("proj", "map", Map(
+          "expressions" -> "user_id:user_id,event_type:event_type",
+          "project" -> "true"))),
+        sink = SinkConfig("memory", Map("queryName" -> "q83_out")),
+        streaming = Some(StreamingConfig(
+          checkpointLocation = Some(java.nio.file.Files.createTempDirectory("q83ck").toString),
+          watermarkColumn = Some("ts"), watermarkDelay = Some("365 days"),
+          outputMode = "append",
+          dedupColumns = Some("user_id,event_type"),
+          shufflePartitions = Some(8))))
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        val q = new graft.streaming.StreamingExecutor().start(cfg)(s)
+        if (!q.awaitTermination(120000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q83: streaming drain exceeded 120s — refusing partial results")
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle) // batch queries follow
+      s.table("q83_out")
+    }),
+
     // stream-static join: the streaming enrich shape — events stream joined
     // to a broadcast dimension BEFORE the windowed aggregation. The static
     // side is planned per micro-batch as an ordinary broadcast hash join
@@ -1095,6 +1154,10 @@ object SparkEntry {
          WHERE (time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour')::TIMESTAMP
                <= (SELECT max(ts)::TIMESTAMP - INTERVAL '1 hour' FROM events)
          GROUP BY 1, 2""",
+    // the watermark delay exceeds the data span, so the streaming dedup's
+    // emitted set is exactly the batch DISTINCT over the key columns
+    "q83_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "q34_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
@@ -1137,6 +1200,14 @@ object SparkEntry {
          SELECT doc_id, CAST(cb AS BIGINT) AS cum_before,
                 CAST(cb // 50000 AS BIGINT) AS shard_id
          FROM c""",
+    // the shuffle permutation re-derived from (seed, id): both engines md5
+    // the same "seed:id" string (lowercase hex on both) and rank by
+    // (hash, id); row_number is 1-based, shuffle_pos 0-based
+    "q84_shuffle" ->
+      """SELECT doc_id,
+         row_number() OVER (ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) - 1 AS shuffle_pos
+         FROM documents""",
     "q44_sample_mod" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 < 3",
     // per-column stats via UNION ALL of one-aggregate selects; quantile_cont
@@ -1276,6 +1347,16 @@ object SparkEntry {
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
            '\+?\d{3}[- ]?\d{3}[- ]?\d{4}', '<PHONE>', 'g'),
            '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS contact
+         FROM documents""",
+    // same decomposed suffix (chr(769)=U+0301, chr(778)=U+030A), same step
+    // order: NFC compose, collapse whitespace runs ('g' = replace-all,
+    // Spark's default), trim; utf8proc and java.text.Normalizer implement
+    // the same Unicode NFC spec
+    "q85_normalize" ->
+      """SELECT doc_id,
+         trim(regexp_replace(
+           nfc_normalize(text || ' cafe' || chr(769) || '  A' || chr(778)),
+           '\s+', ' ', 'g')) AS text
          FROM documents""",
     // ShingleHashes parity again: non-distinct token / bigram multisets;
     // blank docs and <n-token docs collapse to one whole-text shingle

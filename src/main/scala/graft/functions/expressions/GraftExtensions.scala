@@ -76,6 +76,21 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash_from_hashes expects (hashes)")
         SimHashFromHashes(args.head)
+      }),
+    ("unicode_normalize",
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "unicode_normalize expects (text, form)")
+        val form = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => throw new graft.api.ConfigException(
+              s"unicode_normalize: form must be a string literal, got $other")
+          }
+          case e => throw new graft.api.ConfigException(
+            s"unicode_normalize: form must be a constant, got ${e.sql}")
+        }
+        UnicodeNormalize(args.head, form)
       }))
 
   /** Register on an existing session (idempotent). */

@@ -341,3 +341,88 @@ object MixTransform extends graft.api.Transform {
     SampleTransform.mixSample(input, config, bucket, buckets)
   }
 }
+
+/**
+ * Deterministic corpus shuffle — the reproducible replacement for
+ * `ORDER BY rand()` when fixing a training-data order: rows are totally
+ * ordered by a seeded hash of the id and (optionally) stamped with their
+ * global 0-based position `shuffle_pos`. Same seed + same ids → the same
+ * permutation on every run, every task retry, and every engine; a new
+ * seed draws an independent permutation (a new epoch order).
+ *
+ * Hash choice: `md5` (default) is engine-portable — any external system
+ * (including the DuckDB oracle) re-derives the exact order from
+ * (seed, id) alone; `xxhash64` is the faster Spark-native path when
+ * cross-engine reproducibility doesn't matter.
+ *
+ * Scale shape: ONE range exchange on (hash, id) + a per-partition sort —
+ * the same data movement any global reorder costs; range boundaries are
+ * balanced by construction because the hash is uniform. The position
+ * stamp reuses the [[Shards]] two-phase scan: per-partition counts
+ * (an O(numPartitions) driver collect over the SAME shuffled RDD, so the
+ * exchange is not recomputed) → exclusive offsets broadcast → a
+ * per-partition running counter. Never a global `row_number()` window
+ * (that is a SinglePartition exchange — a non-starter at 100 TB).
+ */
+object Shuffle {
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 0L,
+                           hashFn: String = "md5", withPosition: Boolean = true,
+                           numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val h = hashFn match {
+      case "md5"      => md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+      case "xxhash64" => xxhash64(col(idCol), lit(seed))
+      case other => throw new IllegalArgumentException(
+        s"shuffle hash must be md5|xxhash64, got '$other'")
+    }
+    val ranged = df.withColumn("__skey", h)
+      .repartitionByRange(n, col("__skey"), col(idCol))
+      .sortWithinPartitions(col("__skey"), col(idCol))
+    if (!withPosition) ranged.drop("__skey")
+    else {
+      val schema = ranged.schema
+      val kIdx = schema.fieldIndex("__skey")
+      val rdd = ranged.rdd
+      rdd.setName(s"graft.shuffle.ranged($idCol)")
+      val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var c = 0L; it.foreach(_ => c += 1); Iterator((pid, c))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val outSchema = StructType(
+        schema.fields.patch(kIdx, Nil, 1) :+
+          StructField("shuffle_pos", LongType, nullable = false))
+      val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var pos = bOffsets.value(pid)
+        it.map { r =>
+          val p = pos; pos += 1
+          Row.fromSeq(r.toSeq.patch(kIdx, Nil, 1) :+ p)
+        }
+      }
+      spark.createDataFrame(stamped, outSchema)
+    }
+  }
+}
+
+/**
+ * `shuffle` — declarative wrapper over [[Shuffle.deterministicShuffle]].
+ * Options: `idColumn` (required, unique — it is the order tie-break);
+ * `seed` (0), `hash` md5|xxhash64 (md5), `position` (true — append
+ * `shuffle_pos`; false skips the stamp and just reorders),
+ * `numPartitions` (session shuffle partitions).
+ */
+object ShuffleTransform extends Transform {
+  val transformType = "shuffle"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn")
+    Shuffle.deterministicShuffle(
+      input,
+      config.options("idColumn"),
+      config.options.get("seed").map(_.toLong).getOrElse(0L),
+      config.options.getOrElse("hash", "md5"),
+      config.options.get("position").forall(_.toBoolean),
+      config.options.get("numPartitions").map(_.toInt).getOrElse(0))
+  }
+}

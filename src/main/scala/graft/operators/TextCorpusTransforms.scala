@@ -76,6 +76,58 @@ object EntropyTransform extends Transform {
  *   options: {idColumn: doc_id, textColumn: text, n: "3"}
  * }}}
  */
+/**
+ * normalize_text — canonical text cleanup on the listed columns, the first
+ * step of corpus ingestion (exact/shingle dedup both treat "café" ≠
+ * "cafe"+combining-acute unless normalized). Steps, in a FIXED documented
+ * order so any engine reproduces the output:
+ *
+ *   1. Unicode normalization (`form`: NFC default | NFD | NFKC | NFKD) —
+ *      the native codegen'd [[graft.functions.expressions.UnicodeNormalize]]
+ *      (zero-copy for already-normalized text);
+ *   2. `stripControl` — drop control characters except `\t` and `\n`;
+ *   3. `collapseWhitespace` — every whitespace run becomes one space;
+ *   4. `trim` — strip leading/trailing spaces;
+ *   5. `lowercase`.
+ *
+ * Steps 2–5 are opt-in flags (default false) over built-in codegen'd
+ * functions — the whole transform is a zero-shuffle linear projection.
+ *
+ * {{{
+ * - name: clean
+ *   type: normalize_text
+ *   options: {columns: text, form: NFC,
+ *             collapseWhitespace: "true", trim: "true"}
+ * }}}
+ */
+object NormalizeTextTransform extends Transform {
+  val transformType = "normalize_text"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("columns").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      "normalize_text")
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    import org.apache.spark.sql.functions._
+    required(config, "columns")
+    val form = config.options.getOrElse("form", "NFC")
+    if (!Set("NFC", "NFD", "NFKC", "NFKD").contains(form))
+      throw new ConfigException(s"normalize_text: form must be NFC|NFD|NFKC|NFKD, got '$form'")
+    def flag(name: String) = config.options.get(name).exists(_.toBoolean)
+    val cols = config.options("columns").split(",").map(_.trim).filter(_.nonEmpty)
+    if (cols.isEmpty) throw new ConfigException("normalize_text: no columns listed")
+    cols.foldLeft(input) { (df, c) =>
+      var e = graft.functions.expressions.UnicodeNormalize(col(c), form)
+      if (flag("stripControl"))
+        e = regexp_replace(e, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+      if (flag("collapseWhitespace")) e = regexp_replace(e, "\\s+", " ")
+      if (flag("trim")) e = trim(e)
+      if (flag("lowercase")) e = lower(e)
+      df.withColumn(c, e)
+    }
+  }
+}
+
 object ChargramNllTransform extends Transform {
   val transformType = "chargram_nll"
   override def validate(config: TransformConfig,

@@ -51,10 +51,12 @@ object Registries {
     SetOpTransform.transformType      -> SetOpTransform,
     ChunkTransform.transformType      -> ChunkTransform,
     ShardTransform.transformType      -> ShardTransform,
+    ShuffleTransform.transformType    -> ShuffleTransform,
     SampleTransform.transformType     -> SampleTransform,
     MixTransform.transformType        -> MixTransform,
     RedactTransform.transformType     -> RedactTransform,
     VocabTopKTransform.transformType  -> VocabTopKTransform,
+    NormalizeTextTransform.transformType -> NormalizeTextTransform,
     EntropyTransform.transformType    -> EntropyTransform,
     ChargramNllTransform.transformType -> ChargramNllTransform,
     graft.streaming.SessionizeTransform.transformType -> graft.streaming.SessionizeTransform,

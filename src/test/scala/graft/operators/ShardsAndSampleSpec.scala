@@ -250,6 +250,49 @@ class ShardsAndSampleSpec extends SparkTestBase {
       d, t("mix", "on" -> "doc_id", "groupBy" -> "grp", "weights" -> "en:-1"), ctx)
   }
 
+  test("shuffle: seeded permutation — exact, stable, seed-dependent, windowless") {
+    val d = docs(500)
+    val out = ShuffleTransform(d,
+      t("shuffle", "idColumn" -> "doc_id", "seed" -> "7", "numPartitions" -> "7"), ctx)
+    // positions are exactly 0..n-1 (a permutation, no gaps or dups)
+    out.select("shuffle_pos").as[Long].collect().sorted shouldBe (0L until 500L).toArray
+    // the permutation equals the window formulation over the same md5 key
+    val expected = d
+      .withColumn("shuffle_pos",
+        row_number().over(Window.orderBy(
+          md5(concat_ws(":", lit("7"), col("doc_id").cast("string"))),
+          col("doc_id"))).cast("long") - 1)
+      .select("doc_id", "shuffle_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.select("doc_id", "shuffle_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe expected
+    // same seed reproduces; a different seed is a different permutation
+    val again = ShuffleTransform(d,
+      t("shuffle", "idColumn" -> "doc_id", "seed" -> "7", "numPartitions" -> "13"), ctx)
+      .select("doc_id", "shuffle_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    again shouldBe expected
+    val other = ShuffleTransform(d,
+      t("shuffle", "idColumn" -> "doc_id", "seed" -> "8", "numPartitions" -> "7"), ctx)
+      .select("doc_id", "shuffle_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    other should not be expected
+    // distributed: range-partitioned, never a global-window plan
+    out.queryExecution.executedPlan.toString should not include "Window"
+    // position=false just reorders — no stamp column, no second job
+    val plain = ShuffleTransform(d,
+      t("shuffle", "idColumn" -> "doc_id", "position" -> "false"), ctx)
+    plain.columns should not contain "shuffle_pos"
+    plain.count() shouldBe 500L
+    // xxhash64 mode is a valid permutation too (engine-local hash)
+    ShuffleTransform(d,
+      t("shuffle", "idColumn" -> "doc_id", "hash" -> "xxhash64",
+        "numPartitions" -> "5"), ctx)
+      .select("shuffle_pos").as[Long].collect().sorted shouldBe (0L until 500L).toArray
+    an[IllegalArgumentException] should be thrownBy ShuffleTransform(
+      d, t("shuffle", "idColumn" -> "doc_id", "hash" -> "sha1"), ctx)
+  }
+
   test("vocabTopK counts lowercased whitespace tokens with deterministic ties") {
     val d = Seq(
       (1L, "The cat sat"), (2L, "the CAT ran"), (3L, "a dog  sat"), (4L, " ")

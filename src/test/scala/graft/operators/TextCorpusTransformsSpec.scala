@@ -33,6 +33,58 @@ class TextCorpusTransformsSpec extends SparkTestBase {
       t("vocab_topk", "textColumn" -> "text", "k" -> "10", "ngramSize" -> "0"), ctx)
   }
 
+  test("normalize_text: NFC composes, flags apply in documented order") {
+    // inputs use explicit escapes: \u0301 = combining acute (decomposed
+    // e\u0301 composes to \u00e9), \u030A = combining ring, \u0000 = NUL
+    val d = Seq(
+      (1L, "cafe\u0301 time"),
+      (2L, "A\u030A\u0000 b\u0000c\td"),
+      (3L, "  plain  ASCII  ")).toDF("doc_id", "text")
+    // form only: composition, nothing else
+    val nfc = NormalizeTextTransform(d, t("normalize_text", "columns" -> "text"), ctx)
+      .as[(Long, String)].collect().toMap
+    nfc(1L) shouldBe "caf\u00e9 time"
+    nfc(3L) shouldBe "  plain  ASCII  " // already NFC: unchanged object
+    // full cleanup: NFC, strip control (NUL out, \t survives to collapse),
+    // collapse runs to one space, trim, lowercase — in that order
+    val clean = NormalizeTextTransform(d, t("normalize_text",
+      "columns" -> "text", "stripControl" -> "true",
+      "collapseWhitespace" -> "true", "trim" -> "true",
+      "lowercase" -> "true"), ctx).as[(Long, String)].collect().toMap
+    clean(1L) shouldBe "caf\u00e9 time"
+    clean(2L) shouldBe "\u00e5 bc d"
+    clean(3L) shouldBe "plain ascii"
+    // NFKC also folds compatibility forms (ligature \uFB01 fi -> fi)
+    NormalizeTextTransform(Seq((1L, "\uFB01sh")).toDF("doc_id", "text"),
+      t("normalize_text", "columns" -> "text", "form" -> "NFKC"), ctx)
+      .as[(Long, String)].collect().head._2 shouldBe "fish"
+    an[ConfigException] should be thrownBy NormalizeTextTransform(
+      d, t("normalize_text", "columns" -> "text", "form" -> "NFX"), ctx)
+    an[ConfigException] should be thrownBy NormalizeTextTransform(
+      d, t("normalize_text"), ctx)
+  }
+
+  test("unicode_normalize: SQL registration, null passthrough, codegen plan") {
+    graft.functions.expressions.GraftExtensions.register(spark)
+    Seq((1L, "cafe\u0301"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "s").createOrReplaceTempView("un_t")
+    val rows = spark.sql(
+      "SELECT id, unicode_normalize(s, 'NFC') AS n FROM un_t ORDER BY id")
+      .collect()
+    rows(0).getString(1) shouldBe "caf\u00e9"
+    rows(1).isNullAt(1) shouldBe true
+    // stays inside whole-stage codegen (native expression, not a UDF);
+    // parquet round-trip — over a LocalRelation the projection
+    // constant-folds to a LocalTableScan and no codegen stage exists
+    val pq = tmpDir("un-pq")
+    spark.table("un_t").write.mode("overwrite").parquet(pq)
+    val plan = spark.read.parquet(pq)
+      .selectExpr("unicode_normalize(s, 'NFC')")
+      .queryExecution.executedPlan.toString
+    // "*(1)" is the WholeStageCodegenExec stage marker in the plan string
+    plan should include ("*(1) Project")
+  }
+
   test("entropy transform: per-doc rows, options required") {
     val out = EntropyTransform(docs,
       t("entropy", "idColumn" -> "doc_id", "textColumn" -> "text"), ctx)
