@@ -121,13 +121,12 @@ object TextFunctions {
   def vocabTopK(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int,
                 n: Int = 1): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"vocabTopK: n must be >= 1, got $n")
-    val toks = tokens(col(textCol))
+    // n > 1 uses the native one-pass expression: the HOF formulation
+    // (transform+slice+array_join) is evaluated interpreted and made the
+    // bigram table the suite's slowest query (see WordNgramStrings docs)
     val units =
-      if (n == 1) toks
-      else when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
+      if (n == 1) tokens(col(textCol))
+      else graft.functions.expressions.WordNgramStrings(col(textCol), n)
     df.select(explode(units).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
@@ -230,9 +229,10 @@ object TextFunctions {
                   n: Int = 3): org.apache.spark.sql.DataFrame = {
     val t = df.select(col(idCol).as("doc_id"), lower(col(textCol)).as("__t"))
       .where(col("__t").isNotNull && length(col("__t")) >= n)
+    // native one-pass gram expression — the transform(sequence, substring)
+    // Column form is interpreted lambda eval (see CharNgramStrings docs)
     val grams = t.select(col("doc_id"),
-      explode(expr(s"transform(sequence(1, length(__t) - ${n - 1}), " +
-        s"i -> substring(__t, i, $n))")).as("gram"))
+      explode(graft.functions.expressions.CharNgramStrings(col("__t"), n)).as("gram"))
     val tf = graft.api.Checkpointing.checkpoint(
       grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf")), eager = false)
     val cnt = tf.groupBy("gram").agg(sum("tf").as("cnt"))

@@ -33,6 +33,46 @@ class TextCorpusTransformsSpec extends SparkTestBase {
       t("vocab_topk", "textColumn" -> "text", "k" -> "10", "ngramSize" -> "0"), ctx)
   }
 
+  test("WordNgramStrings: whitespace runs, case folding, edges, trigrams") {
+    import graft.functions.expressions.WordNgramStrings
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "\tThe  cat\n sat "),   // leading tab, runs of mixed whitespace
+      (2L, "one"),                 // shorter than n
+      (3L, ""), (4L, "   "),       // blank-ish
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rows = d.select(col("doc_id"), WordNgramStrings(col("text"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    rows(1L) shouldBe Some(Seq("the cat", "cat sat"))
+    rows(2L) shouldBe Some(Seq.empty)
+    rows(3L) shouldBe Some(Seq.empty)
+    rows(4L) shouldBe Some(Seq.empty)
+    rows(5L) shouldBe None // null in, null out
+    // trigram window join
+    d.where("doc_id = 1").select(WordNgramStrings(col("text"), 3))
+      .collect().head.getSeq[String](0) shouldBe Seq("the cat sat")
+  }
+
+  test("CharNgramStrings: character grid incl. multibyte, parity with substring form") {
+    import graft.functions.expressions.CharNgramStrings
+    import org.apache.spark.sql.functions.{col, expr}
+    val d = Seq(
+      (1L, "abcd"),
+      (2L, "cafés"), // multibyte char inside the grid
+      (3L, "ab"), (4L, "")).toDF("doc_id", "text")
+    val native = d.select(col("doc_id"), CharNgramStrings(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    native(1L) shouldBe Seq("abc", "bcd")
+    native(2L) shouldBe Seq("caf", "afé", "fés")
+    native(3L) shouldBe Seq.empty
+    native(4L) shouldBe Seq.empty
+    // bit-parity with the interpreted substring-grid formulation
+    val hof = d.where("length(text) >= 3").select(col("doc_id"),
+      expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    hof.foreach { case (id, grams) => native(id) shouldBe grams }
+  }
+
   test("normalize_text: NFC composes, flags apply in documented order") {
     // inputs use explicit escapes: \u0301 = combining acute (decomposed
     // e\u0301 composes to \u00e9), \u030A = combining ring, \u0000 = NUL
