@@ -470,6 +470,44 @@ object SparkEntry {
         t("sample", "on" -> "doc_id", "buckets" -> "10",
           "splits" -> "train:8,val:1,test:1", "method" -> "mod"))
         .select("doc_id", "split")),
+    // percentile-threshold quality gate: keep the per-language middle 50%
+    // by length. Exact mode for the oracle; 0.25/0.75 are exact binary
+    // fractions, so the interpolated thresholds are bit-identical across
+    // engines (no float-boundary row flips). Approx/clip paths spec'd.
+    "q86_quantile_filter" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("quantile_filter", "column" -> "n_chars", "lower" -> "0.25",
+          "upper" -> "0.75", "exact" -> "true", "groupBy" -> "lang"))
+        .select("doc_id", "lang", "n_chars")),
+    // mergeable heavy-hitters sketches end-to-end: per-language build →
+    // global merge → estimate. k and capacity exceed the source-domain
+    // cardinality, so the sketch regime is exact (the DataSketches
+    // guarantee) and the oracle is a plain count — same sparse-regime
+    // pattern as the HLL q74.
+    "q87_frequent_items" -> ((s, dir) => {
+      val docs = tab(s, dir, "documents")
+      val built = ap(docs, t("frequent_items", "columns" -> "source",
+        "groupBy" -> "lang", "maxItemsTracked" -> "64"))
+      val merged = ap(built, t("frequent_items", "columns" -> "source",
+        "mode" -> "merge", "maxItemsTracked" -> "64"))
+      ap(merged, t("frequent_items", "columns" -> "source",
+        "mode" -> "estimate", "k" -> "64"))
+        .select("item", "est_count")
+    }),
+    // SemDeDup semantic near-dup removal: k-means cells + in-cell cosine.
+    // Planted exact duplicates (higher ids) must be dropped; cluster
+    // assignment is kmeans-dependent → rows-only here, planted-pair and
+    // cross-cluster-safety specs in SemanticDedupSpec.
+    "q88_dedup_semantic" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val planted = emb.where("vec_id < 10")
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      ap(emb.unionByName(planted),
+        t("dedup_semantic", "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "threshold" -> "0.95", "nClusters" -> "16", "kmeansIters" -> "2"))
+        .select("vec_id")
+    }),
     // benchmark decontamination: corpus docs sharing any word 3-gram with
     // the "benchmark" slice (doc_id < 20) — broadcast shingle-set join,
     // oracle-checked via q42's string-shingle parity
@@ -1388,6 +1426,23 @@ object SparkEntry {
               WHEN doc_id % 10 < 9 THEN 'val'
               ELSE 'test' END AS split
          FROM documents""",
+    // quantile_cont and Spark's exact percentile share the Hyndman-Fan
+    // type-7 definition (rank = (n-1)p, linear interpolation); 0.25/0.75
+    // make every intermediate exact in binary, so the >=/<= row
+    // memberships cannot drift
+    "q86_quantile_filter" ->
+      """SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d
+         JOIN (SELECT lang,
+                      quantile_cont(n_chars, 0.25) AS lo,
+                      quantile_cont(n_chars, 0.75) AS hi
+               FROM documents GROUP BY lang) t USING (lang)
+         WHERE d.n_chars >= t.lo AND d.n_chars <= t.hi""",
+    // sparse-regime heavy hitters: capacity (64) > distinct sources (20),
+    // so build→merge→estimate returns every item with its exact count
+    "q87_frequent_items" ->
+      """SELECT source AS item, CAST(count(*) AS BIGINT) AS est_count
+         FROM documents GROUP BY source""",
     // same shingle construction as q42 (ShingleHashes parity: lowercase,
     // byte-run tokens, 3-grams on chr(31), <3-token docs → whole-text
     // shingle); hash-vs-string set membership agrees modulo 2^-64 collisions

@@ -325,4 +325,55 @@ object Ann {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
+
+  /**
+   * SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+   * "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication"): partition the corpus by spherical k-means cluster,
+   * then compare embeddings pairwise WITHIN each cluster only — cosine ≥
+   * `threshold` pairs come back as (id_a, id_b, sim). Complements
+   * [[cosineNearDups]]: hyperplane LSH recovers verbatim-ish neighbors
+   * whose vectors collide bucket-wise; density-following k-means cells
+   * catch the "same content, different wording" duplicates that sit close
+   * in embedding space but hash apart.
+   *
+   * Scale shape: the codebook is O(nClusters·dim) on the driver
+   * ([[kmeansCentroids]] — hash-sampled init, per-round (list,dim)
+   * aggregation); assignment is the fused zero-shuffle ArgTopCentroids
+   * projection into a SLIM (cluster_id, doc_id) frame — vectors never
+   * enter the self-join shuffle; clusters above `maxClusterSize` are
+   * dropped from pairing BEFORE the join (a mega-cluster means the
+   * codebook is too coarse — raise nClusters), so no cell can go
+   * quadratic; exact cosine runs only on surviving candidate pairs with
+   * vectors joined back by id — the same capped-block discipline as every
+   * other near-dup path in this engine.
+   */
+  def semanticNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nClusters: Int = 64,
+                       kmeansIters: Int = 3,
+                       maxClusterSize: Int = 1000): DataFrame = {
+    import graft.functions.expressions.ArgTopCentroids
+    val ids = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
+    val cents = kmeansCentroids(ids, "doc_id", "vec", nClusters, kmeansIters)
+
+    val assigned = ids.select(col("doc_id"),
+      ArgTopCentroids(col("vec"), cents, 1).getItem(0).as("cluster_id"))
+    val capped = assigned
+      .withColumn("cluster_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .filter(col("cluster_n") <= maxClusterSize)
+      .select("doc_id", "cluster_id")
+
+    val candidates = capped.select(col("cluster_id"), col("doc_id").as("id_a"))
+      .join(capped.select(col("cluster_id"), col("doc_id").as("id_b")), Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+
+    candidates
+      .join(ids.select(col("doc_id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(ids.select(col("doc_id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
 }

@@ -113,6 +113,27 @@ object EmbeddingDedupTransform extends NearDupTransform {
       maxBucketSize = intOpt(config, "maxBucketSize", 1000))
 }
 
+/** SemDeDup-style semantic near-dup removal (spherical k-means cells +
+  * exact in-cell cosine, [[graft.ann.Ann.semanticNearDups]]): options
+  * vecColumn (required), threshold (0.9), nClusters (64), kmeansIters (3),
+  * maxClusterSize (1000). Catches the paraphrase duplicates hyperplane-LSH
+  * bucketing (`dedup_embedding`) hashes apart; shares the capped-block
+  * scale shape (slim assignment frame, no vectors in the self-join, no
+  * uncapped cells). The k-means codebook adds O(nClusters·dim) driver
+  * state and `kmeansIters` extra corpus scans at plan time — a documented
+  * exception to the no-action transform rule, like survivor=cluster. */
+object SemanticDedupTransform extends NearDupTransform {
+  val transformType = "dedup_semantic"
+  override protected def contentOption: String = "vecColumn"
+  protected def pairs(input: DataFrame, id: String, vec: String,
+                      config: TransformConfig): DataFrame =
+    graft.ann.Ann.semanticNearDups(input, id, vec,
+      threshold = doubleOpt(config, "threshold", 0.9),
+      nClusters = intOpt(config, "nClusters", 64),
+      kmeansIters = intOpt(config, "kmeansIters", 3),
+      maxClusterSize = intOpt(config, "maxClusterSize", 1000))
+}
+
 /**
  * Embedding-based benchmark decontamination: drop every input row whose
  * embedding is cosine-≥-threshold close to ANY reference (eval-set)

@@ -37,6 +37,9 @@ object Registries {
     MinhashDedupTransform.transformType -> MinhashDedupTransform,
     SimhashDedupTransform.transformType -> SimhashDedupTransform,
     EmbeddingDedupTransform.transformType -> EmbeddingDedupTransform,
+    SemanticDedupTransform.transformType  -> SemanticDedupTransform,
+    QuantileFilterTransform.transformType -> QuantileFilterTransform,
+    FrequentItemsTransform.transformType  -> FrequentItemsTransform,
     graft.dedup.LineDedupTransform.transformType -> graft.dedup.LineDedupTransform,
     DecontaminateTransform.transformType  -> DecontaminateTransform,
     EmbeddingDecontaminateTransform.transformType -> EmbeddingDecontaminateTransform,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.api.RunContext
+import graft.config.TransformConfig
+
+class SemanticDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ctx = RunContext(spark, "t", "r")
+  private def run(df: org.apache.spark.sql.DataFrame, opts: (String, String)*) =
+    SemanticDedupTransform(df,
+      TransformConfig("sd", "dedup_semantic", opts.toMap), ctx)
+
+  private def vec(xs: Double*): Array[Float] = {
+    val n = math.sqrt(xs.map(x => x * x).sum)
+    xs.map(x => (x / n).toFloat).toArray
+  }
+  // two well-separated families (e1-ish and e2-ish, cross-family cos ≈ 0);
+  // within a family, distinct members sit at cos ≈ 0.894 (< 0.95)
+  private def corpus = Seq(
+    1L -> vec(1, 0, 0, 0), 2L -> vec(1, 0, 0.5, 0), 3L -> vec(1, 0, -0.5, 0),
+    11L -> vec(0, 1, 0, 0), 12L -> vec(0, 1, 0, 0.5), 13L -> vec(0, 1, 0, -0.5),
+    // planted EXACT duplicates of 1 and 11 — identical vectors get identical
+    // cluster assignments under ANY codebook, so these pairs must always
+    // be found regardless of how k-means happened to split the space
+    1001L -> vec(1, 0, 0, 0), 1011L -> vec(0, 1, 0, 0)
+  ).toDF("vec_id", "embedding")
+
+  test("planted exact duplicates are dropped; non-dup family members survive") {
+    val out = run(corpus, "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+      "threshold" -> "0.95", "nClusters" -> "2", "kmeansIters" -> "2")
+      .select("vec_id").as[Long].collect().sorted
+    out shouldBe Array(1L, 2L, 3L, 11L, 12L, 13L)
+  }
+
+  test("nClusters=1 degenerates to exact in-cell matching: paraphrase pair caught") {
+    // cos(1, 21) = 1/sqrt(1.01) ≈ 0.995 — a "same content, different
+    // wording" neighbor; one cell makes the pairing deterministic
+    val d = (corpus.as[(Long, Array[Float])].collect().toSeq :+
+      (21L -> vec(1, 0, 0.1, 0))).toDF("vec_id", "embedding")
+    val pairs = graft.ann.Ann.semanticNearDups(d, "vec_id", "embedding",
+      threshold = 0.95, nClusters = 1, kmeansIters = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain(1L -> 21L)
+    pairs should contain(1L -> 1001L)
+    pairs should not contain (1L -> 2L)   // 0.894 below threshold
+    pairs should not contain (1L -> 11L)  // cross-family, cos ≈ 0
+  }
+
+  test("mega-cluster cap: maxClusterSize=1 suppresses all pairing") {
+    val out = run(corpus, "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+      "threshold" -> "0.95", "nClusters" -> "2", "maxClusterSize" -> "1")
+    out.count() shouldBe 8 // nothing dropped — no cell may go quadratic
+  }
+
+  test("survivor=cluster routes through transitive components") {
+    // chain: 1 ≈ 1001 (exact) and 1 ≈ 21 (0.995), 21-vs-1001 also 0.995 —
+    // component {1, 21, 1001} keeps only min id 1
+    val d = (corpus.as[(Long, Array[Float])].collect().toSeq :+
+      (21L -> vec(1, 0, 0.1, 0))).toDF("vec_id", "embedding")
+    val out = run(d, "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+      "threshold" -> "0.95", "nClusters" -> "1", "survivor" -> "cluster")
+      .select("vec_id").as[Long].collect().sorted
+    // {1, 21, 1001} → keep 1; {11, 1011} → keep 11
+    out shouldBe Array(1L, 2L, 3L, 11L, 12L, 13L)
+  }
+}
