@@ -494,6 +494,18 @@ object SparkEntry {
         "mode" -> "estimate", "k" -> "64"))
         .select("item", "est_count")
     }),
+    // mergeable quantile sketches (KLL): per-language build → estimate.
+    // Group counts stay inside the level-0 buffer (k=8192), so ranks are
+    // exact; the inclusive-rank rule (smallest value with rank ≥ p) is
+    // DuckDB's quantile_disc at these (n, p) combinations — the sketch
+    // triad's third oracle after q74 (HLL) and q87 (heavy hitters)
+    "q89_quantile_sketch" -> ((s, dir) => {
+      val docs = tab(s, dir, "documents")
+      val built = ap(docs, t("quantile_sketch", "columns" -> "n_chars",
+        "groupBy" -> "lang", "sketchK" -> "8192"))
+      ap(built, t("quantile_sketch", "columns" -> "n_chars",
+        "mode" -> "estimate", "quantiles" -> "0.25,0.5,0.75"))
+    }),
     // SemDeDup semantic near-dup removal: k-means cells + in-cell cosine.
     // Planted exact duplicates (higher ids) must be dropped; cluster
     // assignment is kmeans-dependent → rows-only here, planted-pair and
@@ -1443,6 +1455,14 @@ object SparkEntry {
     "q87_frequent_items" ->
       """SELECT source AS item, CAST(count(*) AS BIGINT) AS est_count
          FROM documents GROUP BY source""",
+    // KLL inclusive-rank quantiles in the exact regime = quantile_disc
+    // (both pick the smallest value whose rank covers p at these n/p)
+    "q89_quantile_sketch" ->
+      """SELECT lang,
+                CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS n_chars_p25,
+                CAST(quantile_disc(n_chars, 0.5)  AS DOUBLE) AS n_chars_p50,
+                CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS n_chars_p75
+         FROM documents GROUP BY lang""",
     // same shingle construction as q42 (ShingleHashes parity: lowercase,
     // byte-run tokens, 3-grams on chr(31), <3-token docs → whole-text
     // shingle); hash-vs-string set membership agrees modulo 2^-64 collisions

@@ -40,6 +40,7 @@ object Registries {
     SemanticDedupTransform.transformType  -> SemanticDedupTransform,
     QuantileFilterTransform.transformType -> QuantileFilterTransform,
     FrequentItemsTransform.transformType  -> FrequentItemsTransform,
+    QuantileSketchTransform.transformType -> QuantileSketchTransform,
     graft.dedup.LineDedupTransform.transformType -> graft.dedup.LineDedupTransform,
     DecontaminateTransform.transformType  -> DecontaminateTransform,
     EmbeddingDecontaminateTransform.transformType -> EmbeddingDecontaminateTransform,
