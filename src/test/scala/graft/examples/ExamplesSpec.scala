@@ -157,6 +157,27 @@ class ExamplesSpec extends SparkTestBase {
       (47 - 2) * 3600 * 1000L + 3600 * 1000L)
   }
 
+  test("quickstart-11: percentile length gate + top-source monitoring report") {
+    run("quickstart-11-corpus-monitoring.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-11-out")
+    out.columns.toSeq shouldBe Seq("lang", "item", "est_count", "rank")
+    val langs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("lang").distinct().count()
+    out.count() shouldBe langs * 5 // top 5 sources per language
+    out.where("rank < 1 OR rank > 5").count() shouldBe 0
+    out.where("est_count <= 0").count() shouldBe 0
+  }
+
+  test("quickstart-12: semantic dedup keeps a subset and records lineage") {
+    val m = run("quickstart-12-semantic-dedup.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-12-out")
+    val total = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    out.count() should be > 0L
+    out.count() should be <= total
+    out.select("_lineage").as[String].head() should include("dedup_semantic")
+    m.stages.map(_.stage) should contain("transform+load")
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
