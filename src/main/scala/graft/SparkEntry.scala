@@ -494,6 +494,21 @@ object SparkEntry {
         "mode" -> "estimate", "k" -> "64"))
         .select("item", "est_count")
     }),
+    // WITHIN-document line dedup (Gopher-style repetition removal): each
+    // doc gets its own first line appended twice, and the document-scope
+    // pass must strip exactly the repeats — zero-shuffle native projection
+    "q90_dedup_lines_doc" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val lined = tab(s, dir, "documents").withColumn("text", expr(
+        "array_join(transform(sequence(0, cast((size(split(text, ' ')) - 1) / 8 as int)), " +
+          "i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ')), chr(10))"))
+      val rep = lined.withColumn("text",
+        concat_ws("\n", col("text"),
+          element_at(split(col("text"), "\n"), 1),
+          element_at(split(col("text"), "\n"), 1)))
+      ap(rep, t("dedup_lines", "textColumn" -> "text", "scope" -> "document"))
+        .select("doc_id", "text")
+    }),
     // mergeable quantile sketches (KLL): per-language build → estimate.
     // Group counts stay inside the level-0 buffer (k=8192), so ranks are
     // exact; the inclusive-rank rule (smallest value with rank ≥ p) is
@@ -1455,6 +1470,25 @@ object SparkEntry {
     "q87_frequent_items" ->
       """SELECT source AS item, CAST(count(*) AS BIGINT) AS est_count
          FROM documents GROUP BY source""",
+    // same 8-word lined construction as q81; document scope = keep a
+    // line's FIRST in-list position (list_position = own index), short
+    // (here: only empty) lines always kept
+    "q90_dedup_lines_doc" ->
+      """WITH lined AS (
+           SELECT doc_id,
+                  [array_to_string(ws[i*8+1 : i*8+8], ' ')
+                   FOR i IN range(0, ((len(ws) - 1) // 8) + 1)] AS ls
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         ), rep AS (
+           SELECT doc_id, list_append(list_append(ls, ls[1]), ls[1]) AS ls
+           FROM lined
+         )
+         SELECT doc_id,
+                array_to_string(
+                  list_filter(ls, (l, i) -> length(l) < 1
+                                            OR list_position(ls, l) = i),
+                  chr(10)) AS text
+         FROM rep""",
     // KLL inclusive-rank quantiles in the exact regime = quantile_disc
     // (both pick the smallest value whose rank covers p at these n/p)
     "q89_quantile_sketch" ->

@@ -57,6 +57,20 @@ object LineDedup {
         .otherwise(coalesce(col("__newtext"), lit(""))))
       .drop("__id", "__newtext")
   }
+
+  /** WITHIN-document variant: keep each participating line's first
+    * occurrence inside its own document (Gopher-style repetition
+    * removal). Pure per-row compute — a zero-shuffle codegen'd projection
+    * ([[graft.functions.expressions.DedupLinesInDoc]]), no explode, no
+    * line-keyed exchange; the right default when boilerplate repeats
+    * within pages rather than across them. */
+  def dedupLinesInDoc(df: DataFrame, textCol: String,
+                      separator: String = "\n", minLength: Int = 1): DataFrame = {
+    require(separator.nonEmpty, "dedupLines: separator must be non-empty")
+    require(minLength >= 1, s"dedupLines: minLength must be >= 1, got $minLength")
+    df.withColumn(textCol,
+      graft.functions.expressions.DedupLinesInDoc(col(textCol), separator, minLength))
+  }
 }
 
 /**
@@ -69,7 +83,10 @@ object LineDedup {
  * }}}
  *
  * `separator` (default newline) generalizes to any span delimiter;
- * `minLength` keeps short structural lines out of the dedup set.
+ * `minLength` keeps short structural lines out of the dedup set;
+ * `scope: corpus (default) | document` — document keeps each line's first
+ * occurrence within its own document only (a zero-shuffle projection;
+ * `idColumn` not needed).
  */
 object LineDedupTransform extends Transform {
   val transformType = "dedup_lines"
@@ -79,11 +96,20 @@ object LineDedupTransform extends Transform {
       .filterNot(schema.fieldNames.contains)
       .map(c => s"dedup_lines: column '$c' not in input schema").toList
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
-    required(config, "idColumn", "textColumn")
-    try LineDedup.dedupLines(input,
-      config.options("idColumn"), config.options("textColumn"),
-      separator = config.options.getOrElse("separator", "\n"),
-      minLength = config.options.get("minLength").map(_.toInt).getOrElse(1))
-    catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+    val separator = config.options.getOrElse("separator", "\n")
+    val minLength = config.options.get("minLength").map(_.toInt).getOrElse(1)
+    try config.options.getOrElse("scope", "corpus") match {
+      case "corpus" =>
+        required(config, "idColumn", "textColumn")
+        LineDedup.dedupLines(input,
+          config.options("idColumn"), config.options("textColumn"),
+          separator = separator, minLength = minLength)
+      case "document" =>
+        required(config, "textColumn")
+        LineDedup.dedupLinesInDoc(input, config.options("textColumn"),
+          separator = separator, minLength = minLength)
+      case other => throw new ConfigException(
+        s"dedup_lines scope must be corpus|document, got '$other'")
+    } catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
   }
 }

@@ -50,4 +50,33 @@ class LineDedupSpec extends SparkTestBase {
       d, TransformConfig("ld", "dedup_lines", Map("idColumn" -> "doc_id",
         "textColumn" -> "text", "minLength" -> "0")), ctx)
   }
+
+  test("document scope: in-doc repeats stripped, cross-doc repeats kept, " +
+    "short lines verbatim, zero shuffle") {
+    val d = Seq(
+      (1L, "nav\nbody one\nnav\n\nbody two\n\nnav"), // repeated nav + blanks
+      (2L, "nav\nother"),                            // same nav in ANOTHER doc: kept
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = LineDedupTransform(d, TransformConfig("ld", "dedup_lines",
+      Map("textColumn" -> "text", "scope" -> "document")), ctx)
+    val m = out.as[(Long, String)].collect().toMap
+    // blanks (below minLength=1) never participate — both kept
+    m(1L) shouldBe "nav\nbody one\n\nbody two\n"
+    m(2L) shouldBe "nav\nother"
+    Option(m(3L)) shouldBe None
+    // pure projection: no exchange, no explode-aggregate round trip
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    an[graft.api.ConfigException] should be thrownBy LineDedupTransform(
+      d, TransformConfig("ld", "dedup_lines",
+        Map("textColumn" -> "text", "scope" -> "nope")), ctx)
+  }
+
+  test("document scope: minLength exempts short lines from participating") {
+    val d = Seq((1L, "ok\nlong line here\nok\nlong line here\nok")).toDF("doc_id", "text")
+    val out = LineDedup.dedupLinesInDoc(d, "text", minLength = 5)
+    out.as[(Long, String)].head()._2 shouldBe "ok\nlong line here\nok\nok"
+    // projection only — a LocalTableScan plan has no exchange and no agg
+    out.queryExecution.executedPlan.toString should not include "Exchange"
+  }
 }
