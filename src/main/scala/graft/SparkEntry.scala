@@ -509,6 +509,23 @@ object SparkEntry {
       ap(rep, t("dedup_lines", "textColumn" -> "text", "scope" -> "document"))
         .select("doc_id", "text")
     }),
+    // Gopher-rule quality gate (annotate mode): planted symbol soup
+    // (doc_id % 7) and ellipsis-ended lines (% 13) exercise the
+    // symbol_ratio and ellipsis_lines rules on top of the corpus's own
+    // word_count/stopwords splits; the first-failing-rule label and keep
+    // flag must agree with a DuckDB restatement of every rule
+    "q91_quality_rules" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val mutated = tab(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" # # # # # # # #")))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit("\nfoo...\nbar...\nbaz...")))
+          .otherwise(col("text")))
+      ap(mutated, t("quality_rules", "textColumn" -> "text",
+        "minWords" -> "50", "minStopwords" -> "1"))
+        .select(col("doc_id"), col("gopher_keep"),
+          coalesce(col("gopher_fail"), lit("pass")).as("gopher_fail"))
+    }),
     // mergeable quantile sketches (KLL): per-language build → estimate.
     // Group counts stay inside the level-0 buffer (k=8192), so ranks are
     // exact; the inclusive-rank rule (smallest value with rank ≥ p) is
@@ -1489,6 +1506,63 @@ object SparkEntry {
                                             OR list_position(ls, l) = i),
                   chr(10)) AS text
          FROM rep""",
+    // every Gopher rule restated: same tokenization (lower+trim+\s+ split),
+    // same first-failing-rule order; regexp_extract_all counts the same
+    // non-overlapping #/ellipsis matches as Spark's regexp_count, and
+    // list_intersect is distinct-hits like array_intersect
+    "q91_quality_rules" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' # # # # # # # #'
+                       WHEN doc_id % 13 = 0
+                         THEN text || chr(10) || 'foo...' || chr(10) ||
+                              'bar...' || chr(10) || 'baz...'
+                       ELSE text END AS text
+           FROM documents
+         ), s AS (
+           SELECT doc_id, text,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+                  string_split(text, chr(10)) AS ls
+           FROM m
+         ), sig AS (
+           SELECT doc_id, text,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(toks) END AS n_words,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE list_sum(list_transform(toks, w -> length(w)))
+                            * 1.0 / len(toks) END AS mean_len,
+                  len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym,
+                  len(ls) AS n_lines,
+                  len(list_filter(ls,
+                      l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
+                  len(list_filter(ls,
+                      l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS n_ellip,
+                  len(list_filter(toks,
+                      w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                  len(list_intersect(toks, ['the','be','to','of','and',
+                                            'that','have','with'])) AS stop_hits
+           FROM s
+         )
+         SELECT doc_id, fail IS NULL AS gopher_keep,
+                coalesce(fail, 'pass') AS gopher_fail
+         FROM (
+           SELECT doc_id,
+                  CASE
+                    WHEN text IS NULL OR length(trim(text)) = 0 THEN 'empty'
+                    WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+                    WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 'mean_word_length'
+                    WHEN (CASE WHEN n_words = 0 THEN 0.0
+                          ELSE n_sym * 1.0 / n_words END) > 0.1 THEN 'symbol_ratio'
+                    WHEN (CASE WHEN n_lines = 0 THEN 0.0
+                          ELSE n_bullet * 1.0 / n_lines END) > 0.9 THEN 'bullet_lines'
+                    WHEN (CASE WHEN n_lines = 0 THEN 0.0
+                          ELSE n_ellip * 1.0 / n_lines END) > 0.3 THEN 'ellipsis_lines'
+                    WHEN (CASE WHEN n_words = 0 THEN 0.0
+                          ELSE n_alpha * 1.0 / n_words END) < 0.8 THEN 'alpha_words'
+                    WHEN stop_hits < 1 THEN 'stopwords'
+                    ELSE NULL END AS fail
+           FROM sig
+         )""",
     // KLL inclusive-rank quantiles in the exact regime = quantile_disc
     // (both pick the smallest value whose rank covers p at these n/p)
     "q89_quantile_sketch" ->

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.api.{ConfigException, RunContext, Transform}
+import graft.config.TransformConfig
+import graft.functions.TextFunctions
+
+/**
+ * Gopher-style document quality rules (Rae et al. 2021, "Scaling Language
+ * Models: Methods, Analysis & Insights from Training Gopher", §A1.1 — the
+ * published heuristic filter suite most open LLM corpora start from).
+ * Every rule is a pure per-row Column composition over the same
+ * whitespace tokenization as [[graft.functions.TextFunctions.tokens]]:
+ * one projection, zero shuffle, whole-stage codegen — rule-checking
+ * 100 TB costs exactly one scan, and composes with `filter` exactly like
+ * `text_signals`.
+ *
+ * Rules, in evaluation order (the reported failure is the FIRST hit):
+ *   empty            null or whitespace-only text
+ *   word_count       tokens outside [minWords, maxWords]
+ *   mean_word_length outside [minMeanWordLength, maxMeanWordLength]
+ *   symbol_ratio     (# of `#` marks and `...`/`…` ellipses) / words above max
+ *   bullet_lines     fraction of lines starting with -, * or • above max
+ *   ellipsis_lines   fraction of lines ending with `...`/`…` above max
+ *   alpha_words      fraction of tokens containing a letter below min
+ *   stopwords        fewer DISTINCT hits than minStopwords from the fixed
+ *                    Gopher set {the, be, to, of, and, that, have, with}
+ */
+object GopherRules {
+
+  private val gopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  final case class Thresholds(
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLength: Double = 3.0, maxMeanWordLength: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFraction: Double = 0.9,
+      maxEllipsisFraction: Double = 0.3, minAlphaFraction: Double = 0.8,
+      minStopwords: Int = 2)
+
+  /** (keep, failedRule) for one text column; failedRule is null on keep. */
+  def evaluate(text: Column, th: Thresholds): (Column, Column) = {
+    val toks = TextFunctions.tokens(text)
+    val nWords = TextFunctions.tokenCount(text)
+    val meanLen = TextFunctions.meanTokenLength(text)
+    val symbolRatio = when(nWords === 0, lit(0.0)).otherwise(
+      regexp_count(text, lit("#|\\.\\.\\.|…")).cast("double") / nWords)
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val bulletFrac = when(nLines === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).cast("double") / nLines)
+    val ellipsisFrac = when(nLines === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
+    val alphaFrac = when(nWords === 0, lit(0.0)).otherwise(
+      size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / nWords)
+    val stopHits = size(array_intersect(toks, array(gopherStopwords.map(lit): _*)))
+
+    val fail = when(text.isNull || length(trim(text)) === 0, "empty")
+      .when(nWords < th.minWords || nWords > th.maxWords, "word_count")
+      .when(meanLen < th.minMeanWordLength || meanLen > th.maxMeanWordLength,
+        "mean_word_length")
+      .when(symbolRatio > th.maxSymbolRatio, "symbol_ratio")
+      .when(bulletFrac > th.maxBulletFraction, "bullet_lines")
+      .when(ellipsisFrac > th.maxEllipsisFraction, "ellipsis_lines")
+      .when(alphaFrac < th.minAlphaFraction, "alpha_words")
+      .when(stopHits < th.minStopwords, "stopwords")
+      .otherwise(lit(null).cast("string"))
+    (fail.isNull, fail)
+  }
+
+  /** Annotate: append `gopher_keep` + `gopher_fail` (first failing rule). */
+  def annotate(df: DataFrame, textCol: String,
+               th: Thresholds = Thresholds()): DataFrame = {
+    val (keep, fail) = evaluate(col(textCol), th)
+    df.withColumn("gopher_keep", keep).withColumn("gopher_fail", fail)
+  }
+
+  /** Filter: keep only rows passing every rule. */
+  def applyFilter(df: DataFrame, textCol: String,
+                  th: Thresholds = Thresholds()): DataFrame =
+    df.where(evaluate(col(textCol), th)._1)
+}
+
+/**
+ * quality_rules — declarative Gopher-rule quality gate.
+ *
+ * {{{
+ * - name: gate
+ *   type: quality_rules
+ *   options: {textColumn: text, mode: filter, minWords: "50"}
+ * }}}
+ *
+ * `mode: annotate (default) | filter`; every threshold overridable:
+ * minWords/maxWords, minMeanWordLength/maxMeanWordLength, maxSymbolRatio,
+ * maxBulletFraction, maxEllipsisFraction, minAlphaFraction, minStopwords.
+ */
+object GopherRulesTransform extends Transform {
+  val transformType = "quality_rules"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema, config.options.get("textColumn").toSeq, "quality_rules")
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "textColumn")
+    val o = config.options
+    def d(key: String, default: Double): Double =
+      try o.get(key).map(_.toDouble).getOrElse(default)
+      catch { case _: NumberFormatException =>
+        throw new ConfigException(s"quality_rules: $key must be numeric, got '${o(key)}'") }
+    val th = GopherRules.Thresholds(
+      minWords = d("minWords", 50).toLong, maxWords = d("maxWords", 100000).toLong,
+      minMeanWordLength = d("minMeanWordLength", 3.0),
+      maxMeanWordLength = d("maxMeanWordLength", 10.0),
+      maxSymbolRatio = d("maxSymbolRatio", 0.1),
+      maxBulletFraction = d("maxBulletFraction", 0.9),
+      maxEllipsisFraction = d("maxEllipsisFraction", 0.3),
+      minAlphaFraction = d("minAlphaFraction", 0.8),
+      minStopwords = d("minStopwords", 2).toInt)
+    val textCol = o("textColumn")
+    o.getOrElse("mode", "annotate") match {
+      case "annotate" => GopherRules.annotate(input, textCol, th)
+      case "filter"   => GopherRules.applyFilter(input, textCol, th)
+      case other => throw new ConfigException(
+        s"quality_rules mode must be annotate|filter, got '$other'")
+    }
+  }
+}

@@ -50,6 +50,7 @@ object Registries {
     TfidfTransform.transformType      -> TfidfTransform,
     MultimodalTransform.transformType -> MultimodalTransform,
     TextSignalsTransform.transformType -> TextSignalsTransform,
+    GopherRulesTransform.transformType -> GopherRulesTransform,
     PivotTransform.transformType      -> PivotTransform,
     UnpivotTransform.transformType    -> UnpivotTransform,
     SetOpTransform.transformType      -> SetOpTransform,
