@@ -526,6 +526,16 @@ object SparkEntry {
         .select(col("doc_id"), col("gopher_keep"),
           coalesce(col("gopher_fail"), lit("pass")).as("gopher_fail"))
     }),
+    // token-budget source caps: every source fills to 3000 chars of docs
+    // in deterministic md5 order (src3 capped at 500, src7 unlimited) —
+    // the absolute-volume mixture draw, distributed two-phase prefix sum
+    "q92_token_cap" -> ((s, dir) => {
+      ap(tab(s, dir, "documents"), t("token_cap",
+        "idColumn" -> "doc_id", "weightColumn" -> "n_chars",
+        "groupBy" -> "source", "budget" -> "3000",
+        "budgets" -> "src3:500, src7:-"))
+        .select("doc_id", "source", "n_chars")
+    }),
     // mergeable quantile sketches (KLL): per-language build → estimate.
     // Group counts stay inside the level-0 buffer (k=8192), so ranks are
     // exact; the inclusive-rank rule (smallest value with rank ≥ p) is
@@ -1563,6 +1573,21 @@ object SparkEntry {
                     ELSE NULL END AS fail
            FROM sig
          )""",
+    // the windowed restatement of the grouped budget fill: exclusive
+    // running sum in (md5(seed:id), id) order per source, keep while the
+    // sum is under the group's budget (boundary doc included); Long.Max
+    // states src7's '-' unlimited
+    "q92_token_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+                  CASE WHEN source = 'src3' THEN 500
+                       WHEN source = 'src7' THEN 9223372036854775807
+                       ELSE 3000 END AS b,
+                  coalesce(sum(n_chars) OVER (PARTITION BY source
+                    ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM documents
+         ) WHERE cb < b""",
     // KLL inclusive-rank quantiles in the exact regime = quantile_disc
     // (both pick the smallest value whose rank covers p at these n/p)
     "q89_quantile_sketch" ->

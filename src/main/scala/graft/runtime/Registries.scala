@@ -59,6 +59,7 @@ object Registries {
     ShuffleTransform.transformType    -> ShuffleTransform,
     SampleTransform.transformType     -> SampleTransform,
     MixTransform.transformType        -> MixTransform,
+    TokenCapTransform.transformType   -> TokenCapTransform,
     RedactTransform.transformType     -> RedactTransform,
     VocabTopKTransform.transformType  -> VocabTopKTransform,
     NormalizeTextTransform.transformType -> NormalizeTextTransform,
