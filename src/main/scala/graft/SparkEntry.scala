@@ -536,6 +536,23 @@ object SparkEntry {
         "budgets" -> "src3:500, src7:-"))
         .select("doc_id", "source", "n_chars")
     }),
+    // URL canonicalization: synthesized messy URLs (mixed-case scheme and
+    // host, default ports, www, tracking params, fragments, /? seams)
+    // through url_normalize + host/registrable-domain extraction
+    "q93_url_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val urls = tab(s, dir, "documents").withColumn("url",
+        concat(
+          when(col("doc_id") % 2 === 0, "HTTPS://WWW.Site").otherwise(lit("http://cdn.site")),
+          (col("doc_id") % 7).cast("string"), lit(".COM"),
+          when(col("doc_id") % 2 === 0, ":443").otherwise(lit(":80")),
+          lit("/Dir/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0, "/?utm_source=feed&id=1&ref=x#Frag")
+            .otherwise(lit("?id=1&gclid=g"))))
+      ap(urls, t("url_normalize", "column" -> "url",
+        "appendHost" -> "host", "appendDomain" -> "domain"))
+        .select("doc_id", "url", "host", "domain")
+    }),
     // mergeable quantile sketches (KLL): per-language build → estimate.
     // Group counts stay inside the level-0 buffer (k=8192), so ranks are
     // exact; the inclusive-rank rule (smallest value with rank ≥ p) is
@@ -1588,6 +1605,43 @@ object SparkEntry {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
            FROM documents
          ) WHERE cb < b""",
+    // the same normalization chain step by step (RE2-safe patterns; \1
+    // replacements and the 'g' flag are DuckDB's spellings of Spark's
+    // $1 / replace-all default)
+    "q93_url_normalize" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site'
+                        ELSE 'http://cdn.site' END)
+                  || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+                  || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                  || '/Dir/' || CAST(doc_id AS VARCHAR)
+                  || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&id=1&ref=x#Frag'
+                           ELSE '?id=1&gclid=g' END) AS url
+           FROM documents
+         ), s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM u),
+         s2 AS (SELECT doc_id,
+                  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                  || substr(u, length(regexp_extract(u,
+                       '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
+                FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+                  '^(http://[^/:?#]+):80([/?]|$)', '\1\2'),
+                  '^(https://[^/:?#]+):443([/?]|$)', '\1\2') AS u FROM s2),
+         s4 AS (SELECT doc_id, regexp_replace(u, '://www\.', '://', 'g') AS u FROM s3),
+         s5 AS (SELECT doc_id, regexp_replace(u,
+                  '([?&])(utm_[a-zA-Z0-9]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g') AS u
+                FROM s4),
+         s6 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+                  '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g') AS u FROM s5),
+         s7 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+                  '/\?', '?', 'g'), '/$', '', 'g') AS u FROM s6)
+         SELECT doc_id, u AS url,
+                lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                regexp_extract(lower(regexp_extract(u,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
+                  '([^.]+\.[^.]+)$', 1) AS domain
+         FROM s7""",
     // KLL inclusive-rank quantiles in the exact regime = quantile_disc
     // (both pick the smallest value whose rank covers p at these n/p)
     "q89_quantile_sketch" ->

@@ -142,3 +142,37 @@ object ChargramNllTransform extends Transform {
       config.options("textColumn"), n)
   }
 }
+
+/**
+ * `url_normalize` — URL canonicalization (see
+ * [[graft.functions.UrlFunctions.normalizeUrl]] for the exact step
+ * order): the pass that runs before URL-keyed dedup and per-domain
+ * caps/topk. Optionally appends the host and registrable-domain
+ * (last-two-labels approximation) columns for downstream grouping.
+ * Pure regexp projections — zero shuffle, codegen'd.
+ *
+ * {{{
+ * - name: canon
+ *   type: url_normalize
+ *   options: {column: url, appendHost: host, appendDomain: domain}
+ * }}}
+ */
+object UrlNormalizeTransform extends Transform {
+  val transformType = "url_normalize"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema, config.options.get("column").toSeq, "url_normalize")
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.UrlFunctions
+    required(config, "column")
+    val c = config.options("column")
+    val normed = input.withColumn(c, UrlFunctions.normalizeUrl(col(c)))
+    val withHost = config.options.get("appendHost")
+      .map(h => normed.withColumn(h, UrlFunctions.urlHost(col(c))))
+      .getOrElse(normed)
+    config.options.get("appendDomain")
+      .map(d => withHost.withColumn(d, UrlFunctions.urlDomain(col(c))))
+      .getOrElse(withHost)
+  }
+}

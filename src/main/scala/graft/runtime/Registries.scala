@@ -63,6 +63,7 @@ object Registries {
     RedactTransform.transformType     -> RedactTransform,
     VocabTopKTransform.transformType  -> VocabTopKTransform,
     NormalizeTextTransform.transformType -> NormalizeTextTransform,
+    UrlNormalizeTransform.transformType  -> UrlNormalizeTransform,
     EntropyTransform.transformType    -> EntropyTransform,
     ChargramNllTransform.transformType -> ChargramNllTransform,
     graft.streaming.SessionizeTransform.transformType -> graft.streaming.SessionizeTransform,
