@@ -553,6 +553,47 @@ object SparkEntry {
         "appendHost" -> "host", "appendDomain" -> "domain"))
         .select("doc_id", "url", "host", "domain")
     }),
+    // C4-style blocklist gate: planted phrase (case-mangled, % 5), double
+    // term (% 7) and a boundary decoy (% 11, must NOT match) — hit counts
+    // and keep flags replay exactly in DuckDB from the same RE2-safe
+    // alternation pattern
+    "q94_blocklist" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val planted = tab(s, dir, "documents").withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0, " FORBIDDEN Widget here").otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, " spamword spamword").otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, " unspamworded").otherwise(lit(""))))
+      ap(planted, t("blocklist", "textColumn" -> "text",
+        "terms" -> "forbidden widget, spamword"))
+        .select("doc_id", "blocklist_hits", "blocklist_keep")
+    }),
+    // dense id assignment in (lang, doc_id) order — distributed two-phase
+    // prefix sum, bit-identical to the single-partition row_number oracle
+    "q95_assign_ids" -> ((s, dir) => {
+      ap(tab(s, dir, "documents"), t("assign_ids",
+        "orderBy" -> "lang, doc_id", "idName" -> "row_id"))
+        .select("doc_id", "lang", "row_id")
+    }),
+    // deflate-ratio repetitiveness signal: deterministic zlib, but DuckDB
+    // ships no deflate → rows-only; golden values + monotonicity pinned in
+    // CompressionRatioSpec
+    "q96_compression_ratio" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      ap(tab(s, dir, "documents"), t("compression_ratio", "textColumn" -> "text"))
+        .select(col("doc_id"), round(col("compression_ratio"), 4).as("compression_ratio"))
+    }),
+    // spherical k-means corpus clustering with centroid similarity —
+    // assignment is kmeans-dependent → rows-only; determinism, coverage and
+    // planted-duplicate cohesion pinned in ClusterEmbeddingsSpec
+    "q97_cluster_embeddings" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      ap(tab(s, dir, "embeddings"), t("cluster_embeddings",
+        "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "nClusters" -> "16", "kmeansIters" -> "2", "appendSim" -> "centroid_sim"))
+        .select(col("vec_id"), col("cluster_id"),
+          round(col("centroid_sim"), 4).as("centroid_sim"))
+    }),
     // mergeable quantile sketches (KLL): per-language build → estimate.
     // Group counts stay inside the level-0 buffer (k=8192), so ranks are
     // exact; the inclusive-rank rule (smallest value with rank ≥ p) is
@@ -1642,6 +1683,29 @@ object SparkEntry {
                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
                   '([^.]+\.[^.]+)$', 1) AS domain
          FROM s7""",
+    // same alternation pattern Blocklist.pattern builds: case-insensitive,
+    // word-boundary-anchored literal phrases — the decoy 'unspamworded'
+    // must not count in either engine
+    "q94_blocklist" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text
+                  || (CASE WHEN doc_id % 5 = 0 THEN ' FORBIDDEN Widget here' ELSE '' END)
+                  || (CASE WHEN doc_id % 7 = 0 THEN ' spamword spamword' ELSE '' END)
+                  || (CASE WHEN doc_id % 11 = 0 THEN ' unspamworded' ELSE '' END) AS text
+           FROM documents
+         )
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '(?i)(?:\bforbidden widget\b|\bspamword\b)')) AS BIGINT) AS blocklist_hits,
+                len(regexp_extract_all(text,
+                  '(?i)(?:\bforbidden widget\b|\bspamword\b)')) = 0 AS blocklist_keep
+         FROM p""",
+    // the SQL spelling the distributed prefix sum must be bit-identical to
+    "q95_assign_ids" ->
+      """SELECT doc_id, lang,
+                row_number() OVER (ORDER BY lang, doc_id) - 1 AS row_id
+         FROM documents""",
     // KLL inclusive-rank quantiles in the exact regime = quantile_disc
     // (both pick the smallest value whose rank covers p at these n/p)
     "q89_quantile_sketch" ->

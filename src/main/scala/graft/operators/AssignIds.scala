@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.api.{ConfigException, RunContext, Transform}
+import graft.config.TransformConfig
+
+/**
+ * Dense sequential id assignment in a declared total order — the "give
+ * every document a stable long id" primitive (shuffle manifests, ANN
+ * surrogate keys, shard-local addressing all want dense longs, and
+ * `monotonically_increasing_id()` is neither dense nor
+ * partitioning-stable). The naive spelling,
+ *
+ * {{{ row_number() OVER (ORDER BY ...) - 1 }}}
+ *
+ * is a SinglePartition exchange — the whole corpus through one task. This
+ * is the same distributed two-phase prefix sum as
+ * [[graft.operators.Shards.assignShards]] with weight ≡ 1:
+ *
+ *   1. `repartitionByRange(orderCols)` + `sortWithinPartitions` — one
+ *      range shuffle, the only data movement;
+ *   2. per-partition row counts collected — O(numPartitions) longs, and
+ *      the shared RDD means the stamping pass reuses the shuffle's map
+ *      output rather than recomputing it;
+ *   3. exclusive offsets broadcast; each partition stamps
+ *      `offset + local index` — per-partition imperative logic, the
+ *      legitimate `mapPartitions` case.
+ *
+ * Ids are dense (`start`, `start`+1, …) and bit-identical to the
+ * row_number oracle whenever `orderCols` is a total order (document ids
+ * are; ties would make the within-tie order partitioning-dependent, so
+ * pass a tie-breaking suffix column just as you would in the SQL).
+ */
+object AssignIds {
+
+  def assign(df: DataFrame, orderCols: Seq[String], idName: String,
+             start: Long = 0L, numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "assign_ids: no order columns")
+    require(!df.columns.contains(idName),
+      s"assign_ids: output column '$idName' already exists")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val rdd = ranged.rdd
+    rdd.setName(s"graft.assignIds.ranged(${orderCols.mkString(",")})")
+    val counts = rdd
+      .mapPartitionsWithIndex { (pid, it) => Iterator((pid, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(start)(_ + _)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+
+    val outSchema = StructType(ranged.schema.fields :+
+      StructField(idName, LongType, nullable = false))
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var next = bOffsets.value(pid)
+      it.map { r =>
+        val id = next; next += 1
+        Row.fromSeq(r.toSeq :+ id)
+      }
+    }
+    spark.createDataFrame(stamped, outSchema)
+  }
+}
+
+/**
+ * `assign_ids` — declarative wrapper over [[AssignIds.assign]].
+ *
+ * {{{
+ * - name: number
+ *   type: assign_ids
+ *   options: {orderBy: "lang, doc_id", idName: row_id}
+ * }}}
+ *
+ * `orderBy` required (comma list — must be a total order for deterministic
+ * ids); `idName` (default `row_id`), `start` (0), `numPartitions`
+ * (session shuffle partitions).
+ */
+object AssignIdsTransform extends Transform {
+  val transformType = "assign_ids"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("orderBy").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      "assign_ids")
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "orderBy")
+    val cols = config.options("orderBy").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (cols.isEmpty) throw new ConfigException("assign_ids: orderBy lists no columns")
+    AssignIds.assign(input, cols,
+      config.options.getOrElse("idName", "row_id"),
+      config.options.get("start").map(_.toLong).getOrElse(0L),
+      config.options.get("numPartitions").map(_.toInt).getOrElse(0))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.{ConfigException, RunContext, Transform}
+import graft.config.TransformConfig
+
+/**
+ * `cluster_embeddings` — corpus organization by spherical k-means:
+ * appends each row's cluster id (and optionally its cosine similarity to
+ * the assigned centroid, the "how central is this document" signal used
+ * for diversity-aware pruning à la SemDeDup/D4). This exposes the
+ * clustering half of [[graft.ann.Ann.semanticNearDups]] as its own
+ * first-class step: topic bucketing, per-cluster sampling quotas, and
+ * cluster-stratified eval splits all want the assignment WITHOUT the
+ * pairwise dedup that follows.
+ *
+ * {{{
+ * - name: topics
+ *   type: cluster_embeddings
+ *   options: {idColumn: vec_id, vecColumn: embedding, nClusters: "64",
+ *             appendSim: centroid_sim}
+ * }}}
+ *
+ * `idColumn`/`vecColumn` required; `nClusters` (64), `kmeansIters` (3),
+ * `clusterColumn` (`cluster_id`), `appendSim` (column name — absent →
+ * not appended).
+ *
+ * Scale shape (inherited from [[graft.ann.Ann.kmeansCentroids]]): the
+ * codebook is O(nClusters·dim) on the driver — hash-sampled deterministic
+ * init, per-round (list, dim) aggregation whose shuffle is
+ * corpus-size-independent; assignment is the fused zero-shuffle
+ * ArgTopCentroids projection, and the optional similarity reuses the
+ * same broadcast codebook via a centroid-array literal lookup. No row of
+ * the corpus is ever shuffled.
+ */
+object ClusterEmbeddingsTransform extends Transform {
+  val transformType = "cluster_embeddings"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("vecColumn").toSeq,
+      "cluster_embeddings")
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    import graft.functions.expressions.ArgTopCentroids
+    required(config, "idColumn", "vecColumn")
+    val idCol = config.options("idColumn")
+    val vecCol = config.options("vecColumn")
+    val nClusters = config.options.get("nClusters").map(_.toInt).getOrElse(64)
+    if (nClusters < 1)
+      throw new ConfigException(s"cluster_embeddings: nClusters must be >= 1, got $nClusters")
+    val iters = config.options.get("kmeansIters").map(_.toInt).getOrElse(3)
+    val clusterCol = config.options.getOrElse("clusterColumn", "cluster_id")
+
+    val cents = graft.ann.Ann.kmeansCentroids(
+      input.select(col(idCol), col(vecCol)), idCol, vecCol, nClusters, iters)
+    val assigned = input.withColumn(clusterCol,
+      ArgTopCentroids(col(vecCol), cents, 1).getItem(0))
+    config.options.get("appendSim") match {
+      case None => assigned
+      case Some(simCol) =>
+        // centroid lookup from the same broadcast codebook: a literal
+        // array-of-arrays, indexed by the assigned id (1-based element_at)
+        val centLit = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+        assigned.withColumn(simCol,
+          graft.functions.VectorFunctions.cosine(
+            col(vecCol), element_at(centLit, col(clusterCol) + 1)))
+    }
+  }
+}

@@ -64,6 +64,10 @@ object Registries {
     VocabTopKTransform.transformType  -> VocabTopKTransform,
     NormalizeTextTransform.transformType -> NormalizeTextTransform,
     UrlNormalizeTransform.transformType  -> UrlNormalizeTransform,
+    BlocklistTransform.transformType     -> BlocklistTransform,
+    AssignIdsTransform.transformType     -> AssignIdsTransform,
+    CompressionRatioTransform.transformType -> CompressionRatioTransform,
+    ClusterEmbeddingsTransform.transformType -> ClusterEmbeddingsTransform,
     EntropyTransform.transformType    -> EntropyTransform,
     ChargramNllTransform.transformType -> ChargramNllTransform,
     graft.streaming.SessionizeTransform.transformType -> graft.streaming.SessionizeTransform,

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.api.{ConfigException, RunContext}
+import graft.config.TransformConfig
+
+class ClusterEmbeddingsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val ctx = RunContext(spark, "t", "r")
+  // three well-separated directions, several vectors each, plus exact copies
+  private val vecs: Seq[(Long, Array[Float])] =
+    (0 until 6).map(i => (i.toLong, Array(1f, 0.01f * i, 0f))) ++
+    (10 until 16).map(i => (i.toLong, Array(0f, 1f, 0.01f * (i - 10)))) ++
+    (20 until 26).map(i => (i.toLong, Array(0.01f * (i - 20), 0f, 1f)))
+
+  private def cluster(opts: (String, String)*) =
+    ClusterEmbeddingsTransform(vecs.toDF("vec_id", "embedding"),
+      TransformConfig("c", "cluster_embeddings",
+        (Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "nClusters" -> "3", "kmeansIters" -> "3") ++ opts.toMap)), ctx)
+
+  test("every row assigned; ids within [0, nClusters); schema appended") {
+    val out = cluster()
+    out.columns.toSeq shouldBe Seq("vec_id", "embedding", "cluster_id")
+    val assigned = out.select("vec_id", "cluster_id").as[(Long, Int)].collect()
+    assigned.length shouldBe vecs.length
+    all(assigned.map(_._2)) should (be >= 0 and be < 3)
+  }
+
+  test("deterministic, and each planted direction family stays together") {
+    val a = cluster().select("vec_id", "cluster_id").as[(Long, Int)].collect().sortBy(_._1)
+    val b = cluster().select("vec_id", "cluster_id").as[(Long, Int)].collect().sortBy(_._1)
+    a shouldBe b
+    val byFamily = a.groupBy(_._1 / 10).values.map(_.map(_._2).distinct.length)
+    all(byFamily) shouldBe 1 // one cluster per direction family
+    a.map(_._2).distinct.length shouldBe 3 // and the families don't merge
+  }
+
+  test("appendSim: centroid similarity is high within tight families") {
+    val sims = cluster("appendSim" -> "centroid_sim")
+      .select("centroid_sim").as[Double].collect()
+    sims.length shouldBe vecs.length
+    all(sims) should be > 0.99
+  }
+
+  test("nClusters=1 degenerates to one cluster; bad config fails fast") {
+    cluster("nClusters" -> "1").select("cluster_id").as[Int].collect()
+      .distinct shouldBe Array(0)
+    an[ConfigException] should be thrownBy cluster("nClusters" -> "0")
+    ClusterEmbeddingsTransform.validate(TransformConfig("c", "cluster_embeddings",
+      Map("idColumn" -> "vec_id", "vecColumn" -> "nope")),
+      vecs.toDF("vec_id", "embedding").schema) should not be empty
+  }
+}
