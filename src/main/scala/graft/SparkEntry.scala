@@ -594,6 +594,37 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster_id"),
           round(col("centroid_sim"), 4).as("centroid_sim"))
     }),
+    // blocked fuzzy join (record linkage): each 24-char title fuzzy-matches
+    // a planted single-substitution variant view within 2 edits; 4-char
+    // prefix blocks + length band + banded levenshtein replay exactly in SQL
+    "q98_fuzzy_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val titles = tab(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+      titles.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(substring(col("title"), 1, 9), lit("z"),
+            substring(col("title"), 11, 14)).as("title"))
+        .createOrReplaceTempView("q98_variants")
+      ap(titles, t("join_fuzzy", "rightDataset" -> "q98_variants",
+        "leftColumn" -> "title", "rightColumn" -> "title",
+        "maxDistance" -> "2", "blockPrefix" -> "4"))
+        .select("doc_id", "r_doc_id", "edit_distance")
+    }),
+    // incremental exact dedup: the corpus re-ingested against a reference
+    // view of its first 100 docs (plus a case/whitespace-mangled copy that
+    // must ALSO be dropped — normalization parity with q25)
+    "q99_dedup_against" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = tab(s, dir, "documents")
+      docs.where(col("doc_id") < 100).createOrReplaceTempView("q99_reference")
+      val mangled = docs.where(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+        .withColumn("text", concat(lit("  "), upper(col("text"))))
+      ap(docs.unionByName(mangled),
+        t("dedup_against", "textColumn" -> "text",
+          "referenceView" -> "q99_reference"))
+        .select("doc_id", "source")
+    }),
     // mergeable quantile sketches (KLL): per-language build → estimate.
     // Group counts stay inside the level-0 buffer (k=8192), so ranks are
     // exact; the inclusive-rank rule (smallest value with rank ≥ p) is
@@ -1706,6 +1737,32 @@ object SparkEntry {
       """SELECT doc_id, lang,
                 row_number() OVER (ORDER BY lang, doc_id) - 1 AS row_id
          FROM documents""",
+    // identical blocking semantics: equi-join on the 4-char lower prefix,
+    // length band, then full levenshtein (the Spark side's banded
+    // levenshtein(l, r, k) equals the full distance on every kept pair)
+    "q98_fuzzy_join" ->
+      """WITH l AS (SELECT doc_id, substr(text, 1, 24) AS title FROM documents),
+              r AS (SELECT doc_id + 100000 AS r_doc_id,
+                           substr(title, 1, 9) || 'z' || substr(title, 11, 14) AS r_title
+                    FROM l)
+         SELECT l.doc_id, r.r_doc_id,
+                levenshtein(l.title, r.r_title) AS edit_distance
+         FROM l JOIN r
+           ON lower(substr(l.title, 1, 4)) = lower(substr(r.r_title, 1, 4))
+          AND abs(length(l.title) - length(r.r_title)) <= 2
+          AND levenshtein(l.title, r.r_title) <= 2""",
+    // the same trim(lower(·)) normalization as q25: the case/whitespace-
+    // mangled re-ingest rows collapse onto their reference keys and drop
+    "q99_dedup_against" ->
+      """WITH base AS (SELECT doc_id, source, text FROM documents),
+              mang AS (SELECT doc_id + 500000 AS doc_id, source,
+                              '  ' || upper(text) AS text
+                       FROM documents WHERE doc_id < 50),
+              allr AS (SELECT * FROM base UNION ALL SELECT * FROM mang),
+              ref  AS (SELECT DISTINCT trim(lower(text)) AS k
+                       FROM documents WHERE doc_id < 100)
+         SELECT a.doc_id, a.source FROM allr a
+         WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE trim(lower(a.text)) = r.k)""",
     // KLL inclusive-rank quantiles in the exact regime = quantile_disc
     // (both pick the smallest value whose rank covers p at these n/p)
     "q89_quantile_sketch" ->

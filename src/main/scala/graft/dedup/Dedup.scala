@@ -34,6 +34,26 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
   /**
+   * Incremental exact dedup: drop every row of `df` whose normalized text
+   * (same `trim(lower(·))` sha-256 key as [[exact]]) already appears in
+   * `ref` — the daily-increment-vs-yesterday's-corpus shape, where
+   * re-deduplicating the whole corpus per batch would rescan history.
+   *
+   * Scale shape: the reference reduces to a DISTINCT 32-byte hash frame
+   * (its text never moves past its own scan), and the anti-join keys both
+   * sides on that hash — a slim exchange AQE converts to a broadcast when
+   * the reference increment is small.
+   */
+  def exactAgainst(df: DataFrame, textCol: String,
+                   ref: DataFrame, refTextCol: String): DataFrame = {
+    val refKeys = ref
+      .select(sha2(trim(lower(col(refTextCol))), 256).as("__ref_hash"))
+      .distinct()
+    df.join(refKeys,
+      sha2(trim(lower(col(textCol))), 256) === col("__ref_hash"), "left_anti")
+  }
+
+  /**
    * MinHash signature from PRE-HASHED shingles: each shingle string is
    * hashed once (strings are the expensive part); the k seeded hash
    * functions are derived by re-hashing the resulting long

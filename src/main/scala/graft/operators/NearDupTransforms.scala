@@ -171,6 +171,33 @@ object EmbeddingDecontaminateTransform extends Transform {
   }
 }
 
+/**
+ * `dedup_against` — incremental exact dedup: drop rows whose normalized
+ * text already exists in a reference corpus (named view) — dedup today's
+ * crawl increment against yesterday's corpus without rescanning history.
+ * Backed by [[graft.dedup.Dedup.exactAgainst]] (reference reduces to a
+ * DISTINCT 32-byte hash frame; slim anti-join).
+ *
+ * {{{
+ * - name: drop-already-ingested
+ *   type: dedup_against
+ *   options: {textColumn: text, referenceView: corpus_so_far}
+ * }}}
+ *
+ * Options: textColumn/referenceView required; referenceTextColumn
+ * (default = textColumn).
+ */
+object DedupAgainstTransform extends Transform {
+  val transformType = "dedup_against"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "textColumn", "referenceView")
+    val text = config.options("textColumn")
+    val ref = ctx.spark.table(config.options("referenceView"))
+    Dedup.exactAgainst(input, text, ref,
+      config.options.getOrElse("referenceTextColumn", text))
+  }
+}
+
 /** Benchmark decontamination as a declarative pipeline step: drop every
   * input document sharing any word `shingleSize`-gram with a benchmark/eval
   * dataset (registered as a named view, same resolution as join's

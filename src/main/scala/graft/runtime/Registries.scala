@@ -68,6 +68,8 @@ object Registries {
     AssignIdsTransform.transformType     -> AssignIdsTransform,
     CompressionRatioTransform.transformType -> CompressionRatioTransform,
     ClusterEmbeddingsTransform.transformType -> ClusterEmbeddingsTransform,
+    DedupAgainstTransform.transformType      -> DedupAgainstTransform,
+    FuzzyJoinTransform.transformType         -> FuzzyJoinTransform,
     EntropyTransform.transformType    -> EntropyTransform,
     ChargramNllTransform.transformType -> ChargramNllTransform,
     graft.streaming.SessionizeTransform.transformType -> graft.streaming.SessionizeTransform,
