@@ -625,6 +625,23 @@ object SparkEntry {
           "referenceView" -> "q99_reference"))
         .select("doc_id", "source")
     }),
+    // corpus PMI collocation table: bigram/unigram counts + a 1-row totals
+    // projection; ln-of-double-ratio arithmetic mirrored term for term in
+    // the oracle (q57's ln-rounding precedent)
+    "q100_collocations" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"), t("collocations",
+        "textColumn" -> "text", "k" -> "50", "minCount" -> "5"))),
+    // generic array flatten: tokenized text exploded with element position
+    // (posexplode parity vs unnest-over-generate_series)
+    "q101_explode" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val toks = tab(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          filter(split(lower(trim(col("text"))), "\\s+"),
+            w => length(w) > 0).as("toks"))
+      ap(toks, t("explode", "column" -> "toks", "as" -> "token",
+        "positionColumn" -> "pos"))
+    }),
     // mergeable quantile sketches (KLL): per-language build → estimate.
     // Group counts stay inside the level-0 buffer (k=8192), so ranks are
     // exact; the inclusive-rank rule (smallest value with rank ≥ p) is
@@ -1763,6 +1780,47 @@ object SparkEntry {
                        FROM documents WHERE doc_id < 100)
          SELECT a.doc_id, a.source FROM allr a
          WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE trim(lower(a.text)) = r.k)""",
+    // PMI restated with the q45/q82 tokenizations; identical double
+    // arithmetic shape (numerator and denominator associate left) so the
+    // pre-round ln values are bit-equal and the DESC ranking agrees
+    "q100_collocations" ->
+      """WITH t AS (
+           SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents
+         ), totals AS (
+           SELECT CAST(sum(len(toks)) AS DOUBLE) AS w_total,
+                  CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS b_total
+           FROM t
+         ), uc AS (
+           SELECT w, count(*) AS cw FROM (SELECT unnest(toks) AS w FROM t)
+           GROUP BY w
+         ), bc AS (
+           SELECT bigram, count(*) AS cxy FROM (
+             SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                            FOR i IN range(1, len(toks))]) AS bigram
+             FROM t WHERE len(toks) >= 2)
+           GROUP BY bigram HAVING count(*) >= 5
+         )
+         SELECT bc.bigram, CAST(bc.cxy AS BIGINT) AS n,
+                round(ln(CAST(bc.cxy AS DOUBLE) * w_total * w_total /
+                         (b_total * u1.cw * u2.cw)), 4) AS pmi
+         FROM bc
+         CROSS JOIN totals
+         JOIN uc u1 ON split_part(bc.bigram, ' ', 1) = u1.w
+         JOIN uc u2 ON split_part(bc.bigram, ' ', 2) = u2.w
+         ORDER BY pmi DESC, bigram LIMIT 50""",
+    // 0-based ordinality via generate_subscripts, same token construction
+    "q101_explode" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents WHERE doc_id < 50
+         )
+         SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                unnest(toks) AS token
+         FROM t""",
     // KLL inclusive-rank quantiles in the exact regime = quantile_disc
     // (both pick the smallest value whose rank covers p at these n/p)
     "q89_quantile_sketch" ->

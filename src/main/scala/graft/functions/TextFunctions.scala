@@ -135,6 +135,52 @@ object TextFunctions {
   }
 
   /**
+   * Corpus collocations by pointwise mutual information: the `k` bigrams
+   * most over-represented vs their parts' independent frequencies —
+   * phrase induction ("new york", "machine learning") for tokenizer vocab
+   * and quality work, where raw bigram counts just resurface stopword
+   * pairs. PMI = ln(p(xy) / (p(x)·p(y))) with p(x) = c(x)/W (W = total
+   * tokens) and p(xy) = c(xy)/B (B = total bigrams); `minCount` floors
+   * c(xy) because PMI otherwise ranks hapax pairs first. Tokenization is
+   * [[tokens]] / [[graft.functions.expressions.WordNgramStrings]] — the
+   * same proven-parity splits as the q45/q82 oracles.
+   *
+   * Scale shape: three corpus scans (unigram explode, bigram explode,
+   * one 1-row totals projection — totals are NOT re-aggregated from the
+   * count frames, which would re-plan the explodes); each count shuffle
+   * carries map-side partials per DISTINCT unit; the bigram→unigram count
+   * joins are vocab-sized on the term key; final ranking is
+   * `orderBy().limit()` → TakeOrderedAndProject, never a global sort.
+   */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int,
+                   minCount: Long = 5L): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"collocations: k must be >= 1, got $k")
+    require(minCount >= 1, s"collocations: minCount must be >= 1, got $minCount")
+    val uni = df.select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = df.select(explode(
+        graft.functions.expressions.WordNgramStrings(col(textCol), 2)).as("bigram"))
+      .where(length(col("bigram")) > 0)
+      .groupBy("bigram").agg(count(lit(1)).as("cxy"))
+      .where(col("cxy") >= minCount)
+    val totals = df
+      .select(size(filter(tokens(col(textCol)), w => length(w) > 0)).as("nt"))
+      .agg(sum(col("nt")).cast("double").as("w_total"),
+        sum(greatest(col("nt") - 1, lit(0))).cast("double").as("b_total"))
+    bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("cw").as("cx")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("cxy").as("n"),
+        round(log(col("cxy").cast("double") * col("w_total") * col("w_total") /
+          (col("b_total") * col("cx") * col("cy"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+  }
+
+  /**
    * Corpus TF-IDF: one row per (doc, term) with the term frequency, the
    * term's document frequency, and the smooth-idf score
    * `tf * (ln((1 + N) / (1 + df)) + 1)` (the sklearn formulation — never

@@ -113,6 +113,45 @@ object SetOpTransform extends Transform {
   }
 }
 
+/**
+ * explode — one output row per element of an array (or map) column: the
+ * nested-to-flat reshape (multi-valued fields, tokenized text, struct
+ * lists from JSON sources). Zero shuffle — Generate is a per-partition
+ * row amplifier, and Catalyst prunes unreferenced columns through it.
+ *
+ * {{{
+ * - name: flatten-tags
+ *   type: explode
+ *   options: {column: tags, as: tag, outer: "true", positionColumn: pos}
+ * }}}
+ *
+ * `column` required; `as` (output name, default = column — replaces it),
+ * `outer` (false — `true` keeps rows with empty/null arrays as one null
+ * row), `positionColumn` (absent → plain explode; set → posexplode's
+ * 0-based element index).
+ */
+object ExplodeTransform extends Transform {
+  val transformType = "explode"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema, config.options.get("column").toSeq, "explode")
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "column")
+    val c = config.options("column")
+    val out = config.options.getOrElse("as", c)
+    val outer = config.options.get("outer").exists(_.toBoolean)
+    val others = input.columns.filter(_ != c).map(col).toSeq
+    config.options.get("positionColumn") match {
+      case None =>
+        val gen = if (outer) explode_outer(col(c)) else explode(col(c))
+        input.select(others :+ gen.as(out): _*)
+      case Some(pos) =>
+        val gen = if (outer) posexplode_outer(col(c)) else posexplode(col(c))
+        input.select(others :+ gen.as(Seq(pos, out)): _*)
+    }
+  }
+}
+
 /** Shared schema-validation helper for transform `validate` overrides. */
 private[operators] object Validate {
   def columnsExist(schema: org.apache.spark.sql.types.StructType,

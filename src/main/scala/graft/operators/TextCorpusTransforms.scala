@@ -128,6 +128,34 @@ object NormalizeTextTransform extends Transform {
   }
 }
 
+/**
+ * collocations — corpus PMI phrase table: the k bigrams most
+ * over-represented vs their parts' independent frequencies. See
+ * [[graft.functions.TextFunctions.collocations]] for the PMI formula and
+ * the three-scan scale shape.
+ *
+ * {{{
+ * - name: phrases
+ *   type: collocations
+ *   options: {textColumn: text, k: "1000", minCount: "5"}
+ * }}}
+ */
+object CollocationsTransform extends Transform {
+  val transformType = "collocations"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema, config.options.get("textColumn").toSeq, "collocations")
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "textColumn", "k")
+    val k = config.options("k").toInt
+    if (k <= 0) throw new ConfigException(s"collocations: k must be positive, got $k")
+    val minCount = config.options.get("minCount").map(_.toLong).getOrElse(5L)
+    if (minCount < 1)
+      throw new ConfigException(s"collocations: minCount must be >= 1, got $minCount")
+    TextFunctions.collocations(input, config.options("textColumn"), k, minCount)
+  }
+}
+
 object ChargramNllTransform extends Transform {
   val transformType = "chargram_nll"
   override def validate(config: TransformConfig,

@@ -70,6 +70,8 @@ object Registries {
     ClusterEmbeddingsTransform.transformType -> ClusterEmbeddingsTransform,
     DedupAgainstTransform.transformType      -> DedupAgainstTransform,
     FuzzyJoinTransform.transformType         -> FuzzyJoinTransform,
+    CollocationsTransform.transformType      -> CollocationsTransform,
+    ExplodeTransform.transformType           -> ExplodeTransform,
     EntropyTransform.transformType    -> EntropyTransform,
     ChargramNllTransform.transformType -> ChargramNllTransform,
     graft.streaming.SessionizeTransform.transformType -> graft.streaming.SessionizeTransform,

@@ -178,6 +178,25 @@ class ExamplesSpec extends SparkTestBase {
     m.stages.map(_.stage) should contain("transform+load")
   }
 
+  test("quickstart-13: URL-keyed web curation with per-domain caps") {
+    run("quickstart-13-web-curation.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-13-out")
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    out.count() should be > 0L
+    out.count() should be <= total
+    out.columns should contain allOf ("url", "domain", "doc_id")
+    // canonicalization: lowercased scheme/host, www and tracking params gone
+    out.where("url NOT LIKE 'https://%' OR url LIKE '%www.%' OR url LIKE '%utm_%'")
+      .count() shouldBe 0
+    // per-domain cap: kept chars stay under budget + one boundary doc
+    val maxDoc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .agg(org.apache.spark.sql.functions.max("n_chars")).as[Long].head()
+    val worst = out.groupBy("domain")
+      .agg(org.apache.spark.sql.functions.sum("n_chars").as("tot"))
+      .agg(org.apache.spark.sql.functions.max("tot")).as[Long].head()
+    worst should be <= (5000L + maxDoc)
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)

@@ -91,4 +91,30 @@ class ReshapeSpec extends SparkTestBase {
     TextSignalsTransform.validate(tc("text_signals", "textColumn" -> "p"),
       sales.schema) shouldBe Nil
   }
+
+  private def tagged = Seq(
+    (1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq.empty[String]))
+    .toDF("id", "tags")
+
+  test("explode: rows per element, renamed, empty arrays dropped unless outer") {
+    val out = ExplodeTransform(tagged, tc("explode",
+      "column" -> "tags", "as" -> "tag"), ctx)
+    out.columns.toSeq shouldBe Seq("id", "tag")
+    out.as[(Long, String)].collect().sortBy(r => (r._1, r._2)) shouldBe
+      Array((1L, "a"), (1L, "b"), (2L, "c"))
+    val outer = ExplodeTransform(tagged, tc("explode",
+      "column" -> "tags", "outer" -> "true"), ctx)
+    outer.as[(Long, Option[String])].collect().sortBy(_._1).last shouldBe ((3L, None))
+  }
+
+  test("explode: positionColumn gives the 0-based index; zero-shuffle plan") {
+    val out = ExplodeTransform(tagged, tc("explode", "column" -> "tags",
+      "as" -> "tag", "positionColumn" -> "pos"), ctx)
+    out.columns.toSeq shouldBe Seq("id", "pos", "tag")
+    out.as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)) shouldBe
+      Array((1L, 0, "a"), (1L, 1, "b"), (2L, 0, "c"))
+    out.queryExecution.executedPlan.toString should not include "Exchange"
+    ExplodeTransform.validate(tc("explode", "column" -> "ghost"),
+      tagged.schema).head should include ("ghost")
+  }
 }
