@@ -631,6 +631,13 @@ object SparkEntry {
     "q100_collocations" -> ((s, dir) =>
       ap(tab(s, dir, "documents"), t("collocations",
         "textColumn" -> "text", "k" -> "50", "minCount" -> "5"))),
+    // SCD2 dimension history from the orders change log: per customer,
+    // status versions in order-key sequence — no-op updates collapse, each
+    // surviving version carries [from, to) bounds and a current flag
+    "q102_scd2" -> ((s, dir) =>
+      ap(tab(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderstatus"),
+        t("scd2", "keyColumns" -> "o_custkey", "timeColumn" -> "o_orderkey",
+          "compareColumns" -> "o_orderstatus"))),
     // generic array flatten: tokenized text exploded with element position
     // (posexplode parity vs unnest-over-generate_series)
     "q101_explode" -> ((s, dir) => {
@@ -1810,6 +1817,24 @@ object SparkEntry {
          JOIN uc u1 ON split_part(bc.bigram, ' ', 1) = u1.w
          JOIN uc u2 ON split_part(bc.bigram, ' ', 2) = u2.w
          ORDER BY pmi DESC, bigram LIMIT 50""",
+    // identical two-window restatement: IS DISTINCT FROM = Spark's null-safe
+    // <=> negation; effective_to floats (bigint + nulls) on both sides
+    "q102_scd2" ->
+      """WITH mark AS (
+           SELECT o_custkey, o_orderkey, o_orderstatus,
+                  (row_number() OVER w = 1 OR
+                   o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w) AS chg
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         ), kept AS (
+           SELECT o_custkey, o_orderkey, o_orderstatus FROM mark WHERE chg
+         )
+         SELECT o_custkey, o_orderstatus,
+                o_orderkey AS effective_from,
+                lead(o_orderkey) OVER w2 AS effective_to,
+                lead(o_orderkey) OVER w2 IS NULL AS is_current
+         FROM kept
+         WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey)""",
     // 0-based ordinality via generate_subscripts, same token construction
     "q101_explode" ->
       """WITH t AS (

@@ -72,6 +72,7 @@ object Registries {
     FuzzyJoinTransform.transformType         -> FuzzyJoinTransform,
     CollocationsTransform.transformType      -> CollocationsTransform,
     ExplodeTransform.transformType           -> ExplodeTransform,
+    Scd2Transform.transformType              -> Scd2Transform,
     EntropyTransform.transformType    -> EntropyTransform,
     ChargramNllTransform.transformType -> ChargramNllTransform,
     graft.streaming.SessionizeTransform.transformType -> graft.streaming.SessionizeTransform,
