@@ -631,6 +631,35 @@ object SparkEntry {
     "q100_collocations" -> ((s, dir) =>
       ap(tab(s, dir, "documents"), t("collocations",
         "textColumn" -> "text", "k" -> "50", "minCount" -> "5"))),
+    // incremental MinHash near-dedup: increment docs that are near-copies
+    // of the reference corpus (first 100 docs + a word-dropped variant)
+    // must drop; unrelated docs survive — LSH recall is probabilistic →
+    // rows-only, planted-pair guarantees in DedupAgainstSpec
+    "q103_dedup_minhash_incr" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = tab(s, dir, "documents")
+      docs.where(col("doc_id") < 100).createOrReplaceTempView("q103_reference")
+      val nearCopies = docs.where(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 700000L)
+        // drop the first word: high-Jaccard near-copy, not an exact one
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      ap(docs.where(col("doc_id") >= 100).unionByName(nearCopies),
+        t("dedup_minhash", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "referenceView" -> "q103_reference", "threshold" -> "0.6"))
+        .select("doc_id", "source")
+    }),
+    // declarative null handling: planted nulls filled per-column (typed
+    // literals) — exact coalesce parity
+    "q104_fillna" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val holey = tab(s, dir, "documents")
+        .withColumn("lang2",
+          when(col("doc_id") % 3 === 0, lit(null).cast("string")).otherwise(col("lang")))
+        .withColumn("score",
+          when(col("doc_id") % 5 === 0, lit(null).cast("long")).otherwise(col("n_chars")))
+      ap(holey, t("fillna", "values" -> "lang2:unk, score:-1"))
+        .select("doc_id", "lang2", "score")
+    }),
     // SCD2 dimension history from the orders change log: per customer,
     // status versions in order-key sequence — no-op updates collapse, each
     // surviving version carries [from, to) bounds and a current flag
@@ -1817,6 +1846,14 @@ object SparkEntry {
          JOIN uc u1 ON split_part(bc.bigram, ' ', 1) = u1.w
          JOIN uc u2 ON split_part(bc.bigram, ' ', 2) = u2.w
          ORDER BY pmi DESC, bigram LIMIT 50""",
+    // planted nulls → fixed literals; BIGINT fill keeps the column integral
+    "q104_fillna" ->
+      """SELECT doc_id,
+                coalesce(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END,
+                         'unk') AS lang2,
+                coalesce(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END,
+                         -1) AS score
+         FROM documents""",
     // identical two-window restatement: IS DISTINCT FROM = Spark's null-safe
     // <=> negation; effective_to floats (bigint + nulls) on both sides
     "q102_scd2" ->

@@ -135,6 +135,63 @@ object Dedup {
   }
 
   /**
+   * Incremental MinHash near-dup: (id, ref_id, jaccard) pairs between an
+   * INCREMENT and an existing REFERENCE corpus — the fuzzy counterpart of
+   * [[exactAgainst]] (today's crawl vs yesterday's corpus, where
+   * re-running self-dedup over the union would rescan and re-shuffle all
+   * of history). Same three stages as [[minhashNearDups]] — zero-shuffle
+   * native signatures, slim band frames, exact-Jaccard verification on
+   * candidates only — but the band join is increment × reference instead
+   * of a self-join, so the quadratic surface is bounded by bucket overlap
+   * BETWEEN the sides. Both sides band-hash with the identical expression
+   * tree, so buckets align by construction. At production scale the
+   * reference's (doc_id, band, bh) frame and shingle sets are the natural
+   * thing to persist between runs; here they are recomputed from
+   * `refTextCol` (documented cost: one scan of the reference per run).
+   */
+  def minhashNearDupsAgainst(
+      df: DataFrame, ref: DataFrame, idCol: String, textCol: String,
+      refIdCol: String, refTextCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    def signatures(d: DataFrame, id: String, text: String): DataFrame = {
+      val shc = graft.functions.expressions.ShingleHashes(col(text), shingleSize)
+      d.select(col(id).as("doc_id"), shc.as("sh"),
+        graft.functions.expressions.MinHashFromHashes(shc, k).as("sig"))
+    }
+    def bandFrame(sigd: DataFrame): DataFrame = sigd.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bh"))))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    def capped(banded: DataFrame): DataFrame = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select("doc_id", "band", "bh")
+
+    val incSig = signatures(df, idCol, textCol)
+    val refSig = signatures(ref, refIdCol, refTextCol)
+    val candidates = capped(bandFrame(incSig)).select(col("band"), col("bh"), col("doc_id").as("id"))
+      .join(capped(bandFrame(refSig)).select(col("band"), col("bh"), col("doc_id").as("ref_id")),
+        Seq("band", "bh"))
+      .select("id", "ref_id").dropDuplicates("id", "ref_id")
+
+    val pairs = candidates
+      .join(incSig.select(col("doc_id").as("id"), col("sh").as("sh_a")), Seq("id"))
+      .join(refSig.select(col("doc_id").as("ref_id"), col("sh").as("sh_b")), Seq("ref_id"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    pairs
+      .withColumn("jaccard", round(when(union === 0, 0.0).otherwise(inter / union), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id", "ref_id", "jaccard")
+  }
+
+  /**
    * Bloom-filter decontamination — the FIXED-SIZE variant of
    * [[contaminationHits]] for benchmark sets too large to broadcast as an
    * exact DISTINCT hash set (an exact set of 10^8 shingle longs is ~800 MB

@@ -109,3 +109,65 @@ object DedupTransform extends Transform {
     }
   }
 }
+
+/**
+ * fillna — declarative null handling, the ingestion-cleanup step every
+ * warehouse load starts with. Two modes, both pure per-row plan nodes
+ * (zero shuffle):
+ *
+ *  - `fill` (default): `values: "col:literal, col2:literal"` — each
+ *    literal parsed as boolean/long/double when it looks like one, else
+ *    kept as a string, then applied with `DataFrame.na.fill` (Spark
+ *    type-checks value-vs-column and no-ops on mismatched columns);
+ *  - `drop`: remove rows with nulls in `columns` (default: any column);
+ *    `how: any (default) | all`.
+ *
+ * {{{
+ * - name: clean-nulls
+ *   type: fillna
+ *   options: {values: "lang:unk, score:-1"}
+ * }}}
+ */
+object FillNaTransform extends Transform {
+  val transformType = "fillna"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("values").toSeq.flatMap(_.split(","))
+        .map(_.split(":", 2)(0).trim).filter(_.nonEmpty) ++
+        config.options.get("columns").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      "fillna")
+
+  private def parseLiteral(s: String): Any = {
+    val t = s.trim
+    if (t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false")) t.toBoolean
+    else t.toLongOption.getOrElse(t.toDoubleOption.getOrElse(t))
+  }
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame =
+    config.options.getOrElse("mode", "fill") match {
+      case "fill" =>
+        required(config, "values")
+        val pairs = config.options("values").split(",").map(_.trim).filter(_.nonEmpty)
+          .map { kv =>
+            kv.split(":", 2) match {
+              case Array(c, v) => c.trim -> parseLiteral(v)
+              case _ => throw new ConfigException(
+                s"fillna: values entry '$kv' is not col:literal")
+            }
+          }
+        if (pairs.isEmpty) throw new ConfigException("fillna: values is empty")
+        input.na.fill(pairs.toMap)
+      case "drop" =>
+        val how = config.options.getOrElse("how", "any")
+        if (how != "any" && how != "all")
+          throw new ConfigException(s"fillna: how must be any|all, got '$how'")
+        config.options.get("columns") match {
+          case Some(cs) =>
+            input.na.drop(how, cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          case None => input.na.drop(how)
+        }
+      case other => throw new ConfigException(
+        s"fillna mode must be fill|drop, got '$other'")
+    }
+}

@@ -71,7 +71,13 @@ abstract class NearDupTransform extends Transform {
 }
 
 /** MinHash+LSH near-dup removal: options bands/rowsPerBand/shingleSize/
-  * threshold/maxBucketSize (defaults as in [[Dedup.minhashNearDups]]). */
+  * threshold/maxBucketSize (defaults as in [[Dedup.minhashNearDups]]).
+  * With `referenceView` (+ optional `referenceIdColumn`/
+  * `referenceTextColumn`), switches to INCREMENTAL mode
+  * ([[Dedup.minhashNearDupsAgainst]]): drop input rows near-duplicate to
+  * the named reference corpus instead of to each other — the fuzzy
+  * counterpart of `dedup_against`. `survivor` does not apply there (the
+  * reference always survives; it is not part of the frame). */
 object MinhashDedupTransform extends NearDupTransform {
   val transformType = "dedup_minhash"
   protected def pairs(input: DataFrame, id: String, text: String,
@@ -82,6 +88,27 @@ object MinhashDedupTransform extends NearDupTransform {
       shingleSize = intOpt(config, "shingleSize", 3),
       threshold = doubleOpt(config, "threshold", 0.5),
       maxBucketSize = intOpt(config, "maxBucketSize", 1000))
+
+  override def apply(input: DataFrame, config: TransformConfig,
+                     ctx: RunContext): DataFrame =
+    config.options.get("referenceView") match {
+      case None => super.apply(input, config, ctx)
+      case Some(view) =>
+        required(config, "idColumn", "textColumn")
+        val id = config.options("idColumn")
+        val text = config.options("textColumn")
+        val hits = Dedup.minhashNearDupsAgainst(
+            input, ctx.spark.table(view), id, text,
+            config.options.getOrElse("referenceIdColumn", id),
+            config.options.getOrElse("referenceTextColumn", text),
+            bands = intOpt(config, "bands", 16),
+            rowsPerBand = intOpt(config, "rowsPerBand", 4),
+            shingleSize = intOpt(config, "shingleSize", 3),
+            threshold = doubleOpt(config, "threshold", 0.5),
+            maxBucketSize = intOpt(config, "maxBucketSize", 1000))
+          .select(col("id").as(id)).distinct()
+        input.join(hits, Seq(id), "left_anti")
+    }
 }
 
 /** SimHash near-dup removal: options maxHamming (default 3),
