@@ -45,11 +45,12 @@ object Scd2 {
       .withColumn("__keep", row_number().over(w) === 1 || changed)
       .where(col("__keep")).drop("__keep")
     val next = lead(col(timeCol), 1).over(w)
-    kept
+    val ranged = kept
       .withColumn(fromCol, col(timeCol))
       .withColumn(toCol, next)
       .withColumn(currentCol, next.isNull)
-      .drop(timeCol)
+    // fromColumn may BE the time column (keep its name) — don't drop it then
+    if (fromCol == timeCol) ranged else ranged.drop(timeCol)
   }
 }
 

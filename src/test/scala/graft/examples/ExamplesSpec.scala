@@ -197,6 +197,19 @@ class ExamplesSpec extends SparkTestBase {
     worst should be <= (5000L + maxDoc)
   }
 
+  test("quickstart-14: SCD2 customer history from the order change log") {
+    run("quickstart-14-dimension-history.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-14-out")
+    out.columns should contain allOf
+      ("cust", "status", "effective_from", "effective_to", "is_current")
+    // exactly one open (current) version per customer
+    val custs = out.select("cust").distinct().count()
+    out.where("is_current").count() shouldBe custs
+    out.where("is_current AND effective_to IS NOT NULL").count() shouldBe 0
+    // versions chain: every closed version's end = some later version's start
+    out.where("NOT is_current AND effective_to IS NULL").count() shouldBe 0
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)

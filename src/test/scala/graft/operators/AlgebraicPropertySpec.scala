@@ -95,6 +95,43 @@ class AlgebraicPropertySpec extends SparkTestBase {
       .tokenEntropy(d, "doc_id", "text"))
   }
 
+  test("round-7 transforms are invariant under repartitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def both(df: org.apache.spark.sql.DataFrame,
+             f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+      resultSet(f(df.repartition(13))) shouldBe resultSet(f(df.coalesce(1)))
+    both(docs, d => AssignIdsTransform(d, tc("assign_ids",
+      "orderBy" -> "lang, doc_id", "idName" -> "rid"), ctx)
+      .select("doc_id", "rid"))
+    // orders: o_orderkey is unique, so (custkey, orderkey) is a total
+    // order per key — scd2's documented determinism contract (lineitem's
+    // synthetic (orderkey, linenumber) has ties and would violate it)
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_custkey", "o_orderkey", "o_orderstatus")
+    both(orders, d => Scd2Transform(d, tc("scd2", "keyColumns" -> "o_custkey",
+      "timeColumn" -> "o_orderkey", "compareColumns" -> "o_orderstatus"), ctx))
+    both(docs, d => CollocationsTransform(d, tc("collocations",
+      "textColumn" -> "text", "k" -> "40", "minCount" -> "5"), ctx))
+    docs.where("doc_id < 100").createOrReplaceTempView("prop_r7_ref")
+    both(docs, d => DedupAgainstTransform(d, tc("dedup_against",
+      "textColumn" -> "text", "referenceView" -> "prop_r7_ref"), ctx)
+      .select("doc_id"))
+    both(docs, d => {
+      d.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.col("text"), 1, 20).as("title"))
+        .createOrReplaceTempView("prop_r7_titles")
+      FuzzyJoinTransform(
+        d.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.col("text"), 1, 20).as("title")),
+        tc("join_fuzzy", "rightDataset" -> "prop_r7_titles",
+          "leftColumn" -> "title", "rightColumn" -> "title",
+          "maxDistance" -> "1"), ctx)
+        .select("doc_id", "r_doc_id", "edit_distance")
+    })
+  }
+
   test("minhash jaccard estimates track exact jaccard (signature soundness)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
