@@ -82,6 +82,38 @@ class StreamingSpec extends SparkTestBase {
     out.select("topic").distinct().collect().head.getString(0) shouldBe "metrics"
   }
 
+  test("stateless curation gates run unchanged on a stream (blocklist + quality + url)") {
+    val in = tmpDir("curation-stream-in")
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "docs.txt"), Seq(
+      """{"u": "HTTPS://WWW.A.COM:443/x?utm_source=s", "t": "the quick brown fox jumps over the lazy dog today"}""",
+      """{"u": "http://b.com/y", "t": "win big casino bonus now the best of the offers today"}""",
+      """{"u": "http://c.com/z", "t": "plain useful prose with the usual words of the day in it"}""")
+      .mkString("\n").getBytes)
+    val cfg = PipelineConfig(
+      pipelineId = "curation-stream",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("kafka-file", Map("path" -> in, "topic" -> "docs")),
+      transformations = List(
+        TransformConfig("parse", "map", Map(
+          "expressions" -> ("url:get_json_object(value, '$.u')," +
+            "text:get_json_object(value, '$.t')"),
+          "project" -> "true")),
+        TransformConfig("canon", "url_normalize",
+          Map("column" -> "url", "appendDomain" -> "domain")),
+        TransformConfig("badwords", "blocklist", Map(
+          "textColumn" -> "text", "terms" -> "casino bonus", "mode" -> "filter")),
+        TransformConfig("gate", "quality_rules", Map(
+          "textColumn" -> "text", "mode" -> "filter",
+          "minWords" -> "5", "minStopwords" -> "1", "minAlphaFraction" -> "0.5"))),
+      sink = SinkConfig("memory", Map("queryName" -> "curation_out")),
+      streaming = Some(StreamingConfig(checkpointLocation = Some(tmpDir("ckpt-cur")))))
+    executor.start(cfg).awaitTermination(60000)
+    val out = spark.table("curation_out")
+    out.count() shouldBe 2 // the casino-bonus doc is gone
+    out.collect().map(r => (r.getAs[String]("url"), r.getAs[String]("domain"))).toSet shouldBe
+      Set(("https://a.com/x", "a.com"), ("http://c.com/z", "c.com"))
+  }
+
   test("foreachBatch path drives a batch sink (kafka-file double) per epoch") {
     val out = tmpDir("stream-kafka-out")
     val cfg = PipelineConfig(
