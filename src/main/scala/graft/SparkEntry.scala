@@ -667,6 +667,32 @@ object SparkEntry {
       ap(tab(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderstatus"),
         t("scd2", "keyColumns" -> "o_custkey", "timeColumn" -> "o_orderkey",
           "compareColumns" -> "o_orderstatus"))),
+    // CDC merge (Type-1 apply): a derived change set — updates (+100 bal
+    // on every 10th key), deletes (every 20th), inserts (shifted keys) —
+    // applied to the customer snapshot; the broadcast anti-join + union
+    // restated as ANTI JOIN + UNION ALL in SQL
+    "q105_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val cust = tab(s, dir, "customer")
+      val updates = cust.where(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .withColumn("op",
+          when(col("c_custkey") % 20 === 0, lit("D")).otherwise(lit("U")))
+      val inserts = cust.where(col("c_custkey") % 25 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+        .withColumn("op", lit("I"))
+      updates.unionByName(inserts).createOrReplaceTempView("q105_changes")
+      ap(cust, t("merge", "rightDataset" -> "q105_changes",
+        "keyColumns" -> "c_custkey", "opColumn" -> "op"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast("double").as("c_acctbal"), col("c_mktsegment"))
+    }),
+    // robust (median/MAD) scaling: exact mode for parity — identical
+    // (x−med)/(1.4826·mad) double arithmetic in DuckDB, round 4
+    "q106_scale_robust" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"), t("scale", "columns" -> "n_chars",
+        "method" -> "robust", "exact" -> "true", "roundTo" -> "4"))
+        .select("doc_id", "n_chars_scaled")),
     // generic array flatten: tokenized text exploded with element position
     // (posexplode parity vs unnest-over-generate_series)
     "q101_explode" -> ((s, dir) => {
@@ -1872,6 +1898,36 @@ object SparkEntry {
                 lead(o_orderkey) OVER w2 IS NULL AS is_current
          FROM kept
          WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey)""",
+    // same change-set derivation, then MERGE = ANTI JOIN (survivors) +
+    // UNION ALL (non-delete changes)
+    "q105_merge" ->
+      """WITH changes AS (
+           SELECT c_custkey, c_name, c_nationkey,
+                  c_acctbal + 100 AS c_acctbal, c_mktsegment,
+                  CASE WHEN c_custkey % 20 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+                  c_mktsegment, 'I'
+           FROM customer WHERE c_custkey % 25 = 0
+         ), untouched AS (
+           SELECT s.* FROM customer s ANTI JOIN changes c USING (c_custkey)
+         )
+         SELECT c_custkey, c_name, c_nationkey,
+                CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+         FROM untouched
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey,
+                CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+         FROM changes WHERE op <> 'D'""",
+    // both engines interpolate even-count medians; same op order keeps
+    // the doubles bit-identical before round
+    "q106_scale_robust" ->
+      """WITH m AS (SELECT median(n_chars) AS med FROM documents),
+              d AS (SELECT median(abs(n_chars - m.med)) AS mad FROM documents, m)
+         SELECT doc_id,
+                round((n_chars - m.med) / (1.4826 * d.mad), 4) AS n_chars_scaled
+         FROM documents, m, d""",
     // 0-based ordinality via generate_subscripts, same token construction
     "q101_explode" ->
       """WITH t AS (

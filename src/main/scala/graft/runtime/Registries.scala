@@ -73,6 +73,7 @@ object Registries {
     CollocationsTransform.transformType      -> CollocationsTransform,
     ExplodeTransform.transformType           -> ExplodeTransform,
     Scd2Transform.transformType              -> Scd2Transform,
+    MergeTransform.transformType             -> MergeTransform,
     FillNaTransform.transformType            -> FillNaTransform,
     EntropyTransform.transformType    -> EntropyTransform,
     ChargramNllTransform.transformType -> ChargramNllTransform,

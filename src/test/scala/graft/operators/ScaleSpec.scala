@@ -42,6 +42,35 @@ class ScaleSpec extends SparkTestBase {
     z.where($"c".isNull).select("c_scaled").collect().head.isNullAt(0) shouldBe true
   }
 
+  test("robust: golden (x−med)/(1.4826·MAD); MAD=0 degenerates to 0.0; nulls stay null") {
+    // x = 1..5 with an outlier 1000: med=3.5 (interpolated over 6 values),
+    // deviations {2.5,1.5,0.5,0.5,1.5,996.5} → MAD=1.5
+    val d = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, 5.0, 1000.0, null).toDF("x")
+    val out = run(d, "columns" -> "x", "method" -> "robust", "exact" -> "true")
+    val got = out.where($"x".isNotNull).select("x", "x_scaled")
+      .as[(Double, Double)].collect().toMap
+    got(1.0) shouldBe (1.0 - 3.5) / (1.4826 * 1.5) +- 1e-12
+    got(1000.0) shouldBe (1000.0 - 3.5) / (1.4826 * 1.5) +- 1e-12
+    out.where($"x".isNull).select("x_scaled").collect().head.isNullAt(0) shouldBe true
+    // outlier robustness: values symmetric around the median stay
+    // symmetric after scaling (a zscore's μ would be dragged to ~169)
+    got(3.0) + got(4.0) shouldBe 0.0 +- 1e-12
+    got(2.0) + got(5.0) shouldBe 0.0 +- 1e-12
+    // constant column → MAD 0 → 0.0
+    val const = Seq(7.0, 7.0, 7.0).toDF("x")
+    run(const, "columns" -> "x", "method" -> "robust", "exact" -> "true")
+      .select("x_scaled").collect().map(_.getDouble(0)).toSet shouldBe Set(0.0)
+  }
+
+  test("robust approx default matches exact on a small frame") {
+    val d = (1 to 101).map(_.toDouble).toDF("x")
+    val ex = run(d, "columns" -> "x", "method" -> "robust", "exact" -> "true")
+      .select("x", "x_scaled").as[(Double, Double)].collect().toMap
+    val ap = run(d, "columns" -> "x", "method" -> "robust")
+      .select("x", "x_scaled").as[(Double, Double)].collect().toMap
+    ex.foreach { case (k, v) => ap(k) shouldBe v +- 1e-9 }
+  }
+
   test("single stats pass broadcast into a projection; stat columns dropped") {
     val d = Seq(1.0, 2.0).toDF("x")
     val out = run(d, "columns" -> "x")
