@@ -72,17 +72,40 @@ object SparkEntry {
     TransformConfig(s"$typ-q", typ, opts.toMap)
   private def ap(df: DataFrame, tc: TransformConfig): DataFrame =
     transforms.get(tc.transformType).apply(df, tc, ctx(df.sparkSession))
-  /** Read a testdata table. The events table stores TIMESTAMP(NANOS) which
-    * Spark 4 rejects outright; read nanos as long (legacy conf) and convert
-    * to a microsecond TimestampType (truncation — matching DuckDB's
-    * ns→us cast semantics in the oracles). */
+  /** Read a testdata table. The events table's `ts` encoding has DRIFTED
+    * across testdata generations — TIMESTAMP(NANOS) (which Spark 4 rejects
+    * unless read as raw longs via the legacy conf) vs plain timestamp[us]
+    * (which reads as TIMESTAMP_NTZ) — so branch on the LOADED dtype rather
+    * than assuming either:
+    *  - LongType  → nanos-as-long legacy read; truncate to micros
+    *    (matching DuckDB's ns→us cast semantics in the oracles);
+    *  - TIMESTAMP_NTZ → cast to session-zone TimestampType (session TZ is
+    *    UTC everywhere, so the wall-clock is preserved, matching DuckDB's
+    *    naive TIMESTAMP);
+    *  - TimestampType → already what we want;
+    *  - anything else → a descriptive error naming table/column/type, so
+    *    the NEXT testdata drift produces a diagnosable message instead of
+    *    a downstream Catalyst DATATYPE_MISMATCH. */
   private def tab(s: SparkSession, dir: String, name: String): DataFrame = {
+    // Harmless when ts is not NANOS; required for the legacy-nanos files.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") {
+    if (name != "events") df
+    else {
       import org.apache.spark.sql.functions._
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else df
+      import org.apache.spark.sql.types._
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => df
+        case other => throw new IllegalStateException(
+          s"testdata drift: $dir/events.parquet column 'ts' read as $other — " +
+          "expected TIMESTAMP(NANOS)-as-long (LongType), TIMESTAMP_NTZ, or " +
+          "TIMESTAMP; update SparkEntry.tab() for the new encoding")
+      }
+    }
   }
 
   /** Flagship: lineitem pricing-summary pipeline (filter → aggregate) on sf0.001. */
