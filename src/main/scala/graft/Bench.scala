@@ -10,8 +10,53 @@ import org.apache.spark.sql.SparkSession
   * Min-of-N exists because four consecutive driver rounds showed identical
   * code swinging 3-6× on sub-second queries (e.g. a 6-row groupBy at 0.24 s
   * one round, 1.49 s the next) — shared-machine GC/JIT noise, not plan
-  * changes. The minimum is the statistic least sensitive to one-sided noise. */
+  * changes. The minimum is the statistic least sensitive to one-sided noise.
+  *
+  * Failures are LOUD: a query whose body throws in ANY timed pass is scored
+  * `-1` (never its time-to-throw — round 7 had 15 broken queries "improve"
+  * to ~0.05 s that way), is excluded from the total, and is listed under a
+  * `"failed"` key in both JSON lines. */
 object Bench {
+  /** Timed passes over `queries`. Returns (name → min seconds, -1 for any
+    * query that threw) in sorted-name order. Factored out of main so a spec
+    * can inject a deliberately-broken query and assert the -1 sentinel. */
+  def measure(spark: SparkSession,
+              queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+              sfDir: String, runs: Int): List[(String, Double)] = {
+    val names = queries.keys.toList.sorted
+    names.foreach { name =>                       // untimed warmup
+      try queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => }
+    }
+    names.map { name =>
+      var failed = false
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => failed = true }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> (if (failed) -1.0 else times.min)
+    }
+  }
+
+  /** The two stdout JSON lines (big per-query line, compact totals line). */
+  def render(results: List[(String, Double)], sfDir: String): (String, String) = {
+    def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val (ok, bad) = results.partition(_._2 >= 0)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    // queries first, total LAST: the round driver captures a bounded TAIL
+    // of stdout, so at 100+ queries the head of this line gets truncated —
+    // r6 lost "value" that way. The compact second line is guaranteed inside
+    // any tail window and parseable on its own even if the big line is cut.
+    val big = s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${bad.size},"failed":$failed,"sf":"$sfDir"}"""
+    (big, compact)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,31 +69,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toList.sorted
-    names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => }
-    }
-    val results = names.map { name =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
-    }
-    def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // queries first, total LAST: the round driver captures a bounded TAIL
-    // of stdout, so at 79+ queries the head of this line gets truncated —
-    // r6 lost "value" that way. ms-rounded values also keep the line short.
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
-    // compact totals-only line as the FINAL stdout line: guaranteed inside
-    // any tail window and parseable on its own even if the big line is cut
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    val (big, compact) = render(measure(spark, SparkEntry.queries, sfDir, runs), sfDir)
+    println(big)
+    println(compact)
     spark.stop()
   }
 }

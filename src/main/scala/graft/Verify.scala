@@ -2,8 +2,54 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failures are LOUD: a query whose body throws still produces an artifact —
+  * a `_failed.json` manifest (query → error message) is always written into
+  * outDir (empty `{}` when everything ran), so a broken query shows up as a
+  * visible red row in the correctness report instead of silently vanishing
+  * (round 7 lost 15 previously-green rows to exactly that silence). */
 object Verify {
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def jsonObj(m: collection.Map[String, String]): String =
+    m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+
+  /** Run every query, write per-query parquet + oracle_sql.json +
+    * _failed.json into outDir. Returns the failure manifest (name → error).
+    * Factored out of main so a spec can inject a deliberately-broken query
+    * and assert the failure artifact appears. */
+  def run(spark: SparkSession,
+          queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+          oracleSql: Map[String, String],
+          sfDir: String, outDir: String): Map[String, String] = {
+    new java.io.File(outDir).mkdirs()
+    val failures = collection.mutable.LinkedHashMap[String, String]()
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+      }
+    }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), jsonObj(oracleSql))
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), jsonObj(failures))
+    failures.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,29 +60,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failures = run(spark, SparkEntry.queries, SparkEntry.oracleSql, sfDir, outDir)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} FAILED: ${failures.keys.mkString(",")}")
     spark.stop()
   }
 }

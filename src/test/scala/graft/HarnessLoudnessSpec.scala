@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-7 lesson: a broken driver query must produce a LOUD artifact, not a
+  * hole. These specs inject a deliberately-throwing query and assert both
+  * harness mains surface it. */
+class HarnessLoudnessSpec extends SparkTestBase {
+  private val good: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(3).toDF("id")
+  private val bad: (SparkSession, String) => DataFrame =
+    (_, _) => throw new RuntimeException("injected failure")
+
+  test("Verify writes a _failed.json manifest naming the broken query") {
+    val out = tmpDir("verifyloud")
+    val failures = Verify.run(spark,
+      Map("good_q" -> good, "bad_q" -> bad),
+      Map("good_q" -> "SELECT 1"), "unused", out)
+    failures.keySet shouldBe Set("bad_q")
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/_failed.json"))
+    manifest should include("bad_q")
+    manifest should include("injected failure")
+    assert(new java.io.File(s"$out/good_q").exists(),
+      "good query output must still be written")
+    assert(new java.io.File(s"$out/oracle_sql.json").exists())
+  }
+
+  test("Verify writes an empty manifest when every query runs") {
+    val out = tmpDir("verifyclean")
+    val failures = Verify.run(spark, Map("good_q" -> good), Map.empty, "unused", out)
+    failures shouldBe empty
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/_failed.json")).trim shouldBe "{}"
+  }
+
+  test("Bench scores a throwing query -1, excludes it from total, lists it") {
+    val results = Bench.measure(spark, Map("good_q" -> good, "bad_q" -> bad),
+      "unused", runs = 2)
+    val byName = results.toMap
+    byName("bad_q") shouldBe -1.0
+    byName("good_q") should be >= 0.0
+    val (big, compact) = Bench.render(results, "sfX")
+    big should include(""""bad_q":-1.0000""")
+    big should include(""""failed":["bad_q"]""")
+    compact should include(""""n_failed":1""")
+    compact should include(""""n_queries":1""")
+    // total must equal the good query's time alone (never polluted by -1)
+    val total = """"value":([0-9.]+)""".r.findFirstMatchIn(compact).get.group(1).toDouble
+    total shouldBe byName("good_q") +- 1e-4   // render rounds to 4 decimals
+  }
+
+  test("Bench with no failures emits an empty failed list") {
+    val (big, compact) = Bench.render(List("good_q" -> 0.5), "sfX")
+    big should include(""""failed":[]""")
+    compact should include(""""n_failed":0""")
+  }
+}
