@@ -1834,6 +1834,19 @@ object SparkEntry {
                 len(regexp_extract_all(text,
                   '(?i)(?:\bforbidden widget\b|\bspamword\b)')) = 0 AS blocklist_keep
          FROM p""",
+    // DuckDB ships no deflate, so the oracle joins a committed golden
+    // fixture of independently-computed ratios (Python zlib raw deflate,
+    // level 6 — byte-identical to java.util.zip.Deflater(6, nowrap); see
+    // tools/gen_golden_q96.py). Keyed on (doc_id, md5(text)): a testdata
+    // regeneration that changes any text makes the join drop rows → a LOUD
+    // rowcount mismatch, never a silent stale match. Fixture is pre-rounded
+    // HALF_UP@4 (same semantics as Spark round), so no cross-engine
+    // rounding edge exists.
+    "q96_compression_ratio" ->
+      """SELECT d.doc_id, g.compression_ratio
+         FROM documents d
+         JOIN read_parquet('/root/repo/src/test/resources/golden/q96_compression_ratio.parquet') g
+           ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)""",
     // the SQL spelling the distributed prefix sum must be bit-identical to
     "q95_assign_ids" ->
       """SELECT doc_id, lang,
