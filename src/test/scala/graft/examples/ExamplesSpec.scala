@@ -210,6 +210,42 @@ class ExamplesSpec extends SparkTestBase {
     out.where("NOT is_current AND effective_to IS NULL").count() shouldBe 0
   }
 
+  test("quickstart-15: CDC log → SCD2 history → merge-upserted dimension") {
+    import org.apache.spark.sql.functions._
+    // derive two real (cust, effective_from) keys from the raw change log:
+    // a key's FIRST version always survives scd2 (row_number == 1) with
+    // effective_from = its min event seq, so these targets are deterministic
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val firsts = orders.groupBy("o_custkey").agg(min("o_orderkey").as("ef"))
+      .orderBy("o_custkey").limit(2).collect()
+    val (delCust, delEf) = (firsts(0).getLong(0), firsts(0).getLong(1))
+    val (updCust, updEf) = (firsts(1).getLong(0), firsts(1).getLong(1))
+    val corrections = Seq(
+      // retraction: op=D removes this (cust, effective_from) version
+      s"""{"cust": $delCust, "status": "F", "effective_from": $delEf, "effective_to": null, "is_current": false, "op": "D", "corr_seq": 1}""",
+      // stale then fresh correction for the SAME key: corr_seq latest-wins
+      s"""{"cust": $updCust, "status": "STALE", "effective_from": $updEf, "effective_to": null, "is_current": false, "op": "U", "corr_seq": 2}""",
+      s"""{"cust": $updCust, "status": "Z", "effective_from": $updEf, "effective_to": null, "is_current": false, "op": "U", "corr_seq": 3}""",
+      // brand-new key: inserts
+      s"""{"cust": 10000000, "status": "X", "effective_from": 1, "effective_to": null, "is_current": true, "op": "U", "corr_seq": 4}""")
+    new java.io.File("/tmp/graft-examples").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft-examples/corrections-topic"),
+      corrections.mkString("\n").getBytes)
+    run("quickstart-15-cdc-dimension-upsert.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-15-out")
+    out.columns should contain allOf
+      ("cust", "status", "effective_from", "effective_to", "is_current")
+    out.where(s"cust = $delCust AND effective_from = $delEf").count() shouldBe 0
+    out.where(s"cust = $updCust AND effective_from = $updEf")
+      .select("status").as[String].head() shouldBe "Z"
+    out.where("cust = 10000000").count() shouldBe 1
+    // every history row not named by a correction passed through untouched
+    val history = out.where(
+      s"NOT (cust IN ($delCust, $updCust, 10000000) AND effective_from IN ($delEf, $updEf, 1))")
+    history.where("is_current AND effective_to IS NOT NULL").count() shouldBe 0
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
