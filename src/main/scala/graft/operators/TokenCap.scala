@@ -37,11 +37,16 @@ import graft.config.TransformConfig
  *   1. `repartitionByRange(group, ord, id)` + sortWithinPartitions — one
  *      range exchange, the movement any per-group ordering costs; groups
  *      span contiguous partition runs.
- *   2. a tiny job sums each (partition, group)'s weight — the collect is
- *      O(partitions + groups) because ranged partitions hold few groups.
- *   3. per-(partition, group) exclusive offsets broadcast; a
- *      per-partition running sum per group stamps and filters in one
- *      pass. No task ever holds more than its partition.
+ *   2. a tiny job collects ONE boundary tuple per partition (first/last
+ *      group and their in-partition weights) — O(partitions) driver state
+ *      REGARDLESS of group cardinality: contiguity means only a
+ *      partition's FIRST group can carry weight from earlier partitions;
+ *      every other group in the partition starts at offset 0. A
+ *      billion-domain groupBy costs the driver the same per-partition
+ *      tuple as a 3-source one;
+ *   3. per-partition first-group offsets broadcast; a single sorted pass
+ *      filters with one (current group, running sum) pair — O(1) task
+ *      memory, no per-group map.
  *
  * Weights must be integral so the running sums are exact long arithmetic,
  * bit-identical to the SQL-window oracle regardless of partitioning.
@@ -86,32 +91,60 @@ object TokenCap {
       if (r.isNullAt(wIdx)) 0L else r.get(wIdx).asInstanceOf[Number].longValue()
     def groupOf(r: Row): Any = if (grouped) r.get(gIdx) else null
 
-    // both jobs run over the SAME shuffled RDD: the partials collect
-    // materializes the range exchange, the filter pass reuses its output
+    // both jobs run over the SAME shuffled RDD: the boundary collect
+    // materializes the range exchange, the filter pass reuses its output.
+    // Range partitioning on (group, ord, id) makes every group's rows
+    // contiguous — within a partition and across the partition sequence —
+    // which is what keeps the driver state at O(partitions).
     val rdd = ranged.rdd
     rdd.setName(s"graft.tokenCap.ranged($groupCol)")
-    val partials: Array[(Int, Any, Long)] = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val sums = mutable.LinkedHashMap.empty[Any, Long]
-      it.foreach(r => sums.updateWith(groupOf(r))(p => Some(p.getOrElse(0L) + weightOf(r))))
-      sums.iterator.map { case (g, s) => (pid, g, s) }
-    }.collect()
-    // exclusive offsets: for each group, weight in all EARLIER partitions
-    val offsets = mutable.HashMap.empty[(Int, Any), Long]
-    partials.groupBy(_._2).foreach { case (g, parts) =>
-      var cum = 0L
-      parts.sortBy(_._1).foreach { case (pid, _, s) => offsets((pid, g)) = cum; cum += s }
+    // (pid, firstGroup, firstGroupSum, lastGroup, lastGroupSum) per
+    // non-empty partition — the only cross-partition facts the chain needs
+    val bounds: Array[(Int, Any, Long, Any, Long)] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          var firstG: Any = null; var firstSum = 0L; var firstDone = false
+          var curG: Any = null; var curSum = 0L; var started = false
+          it.foreach { r =>
+            val g = groupOf(r)
+            if (!started) { started = true; firstG = g; curG = g }
+            else if (g != curG) {
+              if (!firstDone) { firstSum = curSum; firstDone = true }
+              curG = g; curSum = 0L
+            }
+            curSum += weightOf(r)
+          }
+          if (!firstDone) firstSum = curSum // single-group partition
+          Iterator.single((pid, firstG, firstSum, curG, curSum))
+        }
+      }.collect()
+    // chain boundary groups in partition order: a partition's first group
+    // continues the running chain iff it IS the chain group; every other
+    // group starts fresh at 0 (contiguity guarantees it has no earlier rows)
+    val offsets = mutable.HashMap.empty[Int, Long]
+    var chainG: Any = null; var chainSet = false; var running = 0L
+    bounds.sortBy(_._1).foreach { case (pid, fg, fs, lg, ls) =>
+      val off = if (chainSet && fg == chainG) running else 0L
+      offsets(pid) = off
+      if (chainSet && fg == chainG && fg == lg) running = off + fs
+      else { chainG = lg; chainSet = true; running = ls }
     }
     val bOffsets = spark.sparkContext.broadcast(offsets.toMap)
     def budgetOf(g: Any): Long =
       if (g == null) budget else overrides.getOrElse(String.valueOf(g), budget)
 
+    // groups are contiguous within the sorted partition, so one
+    // (current group, running sum) pair replaces any per-group map
     val kept = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val cums = mutable.HashMap.empty[Any, Long]
-      val offs = bOffsets.value
+      val firstOff = bOffsets.value.getOrElse(pid, 0L)
+      var curG: Any = null; var cum = 0L; var started = false
       it.filter { r =>
         val g = groupOf(r)
-        val before = cums.getOrElse(g, offs.getOrElse((pid, g), 0L))
-        cums(g) = before + weightOf(r)
+        if (!started) { started = true; curG = g; cum = firstOff }
+        else if (g != curG) { curG = g; cum = 0L }
+        val before = cum
+        cum += weightOf(r)
         before < budgetOf(g)
       }.map(r => Row.fromSeq(r.toSeq.patch(oIdx, Nil, 1)))
     }

@@ -83,6 +83,44 @@ class TokenCapSpec extends SparkTestBase {
     s1 shouldBe s2
   }
 
+  test("driver state is O(partitions): many groups >> partitions stays exact") {
+    // 1200 single-or-few-doc groups over 7 partitions — the unbounded-strata
+    // shape (domains, not sources). The boundary-tuple chain must reproduce
+    // the SQL window exactly; no per-group driver state exists to overflow.
+    val many = (1L to 3000L).map(i => (i, s"d${i % 1200}", (i % 17) + 1))
+      .toDF("doc_id", "source", "n_tok")
+    many.createOrReplaceTempView("c")
+    val expected = spark.sql(
+      """SELECT doc_id FROM (
+           SELECT doc_id,
+                  coalesce(sum(n_tok) OVER (PARTITION BY source
+                    ORDER BY md5(concat_ws(':', '0', cast(doc_id AS string))), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM c) WHERE cb < 20""").as[Long].collect().toSet
+    TokenCap.capByBudget(many, "doc_id", "n_tok", "source", 20L, numPartitions = 7)
+      .select("doc_id").as[Long].collect().toSet shouldBe expected
+  }
+
+  test("one group chained across many partitions stays exact") {
+    // a single group spanning all 13 partitions exercises the offset chain:
+    // every partition's first (and only) group continues the running sum
+    val one = (1L to 500L).map(i => (i, "web", (i % 7) + 1))
+      .toDF("doc_id", "source", "n_tok")
+    one.createOrReplaceTempView("c")
+    val expected = spark.sql(
+      """SELECT doc_id FROM (
+           SELECT doc_id,
+                  coalesce(sum(n_tok) OVER (PARTITION BY source
+                    ORDER BY md5(concat_ws(':', '0', cast(doc_id AS string))), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM c) WHERE cb < 300""").as[Long].collect().toSet
+    TokenCap.capByBudget(one, "doc_id", "n_tok", "source", 300L, numPartitions = 13)
+      .select("doc_id").as[Long].collect().toSet shouldBe expected
+    // partition invariance for the same chain
+    TokenCap.capByBudget(one.repartition(3), "doc_id", "n_tok", "source", 300L,
+      numPartitions = 2).select("doc_id").as[Long].collect().toSet shouldBe expected
+  }
+
   test("config errors fail fast; non-integral weight rejected") {
     an[ConfigException] should be thrownBy TokenCapTransform(corpus,
       TransformConfig("t", "token_cap", Map("idColumn" -> "doc_id",
