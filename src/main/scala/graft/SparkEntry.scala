@@ -671,6 +671,25 @@ object SparkEntry {
           "referenceView" -> "q103_reference", "threshold" -> "0.6"))
         .select("doc_id", "source")
     }),
+    // deterministic half of incremental MinHash (the q80 pattern): at
+    // threshold 1.0 only identical shingle SETS pass the exact-Jaccard
+    // verify, and identical sets imply identical signatures — so LSH
+    // recall is GUARANTEED (same band hashes → same buckets) and the
+    // result is exactly the SQL shingle-set equality below, not a
+    // probabilistic subset. Rounding cannot blur the gate: J < 1 implies
+    // J <= 1 - 1/union < 0.9999-something only past ~20k-shingle unions,
+    // far beyond these docs.
+    "q107_minhash_incr_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = tab(s, dir, "documents")
+      docs.where(col("doc_id") < 100).createOrReplaceTempView("q107_reference")
+      val copies = docs.where(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 800000L)
+      ap(docs.where(col("doc_id") >= 100).unionByName(copies),
+        t("dedup_minhash", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "referenceView" -> "q107_reference", "threshold" -> "1.0"))
+        .select("doc_id", "source")
+    }),
     // declarative null handling: planted nulls filled per-column (typed
     // literals) — exact coalesce parity
     "q104_fillna" -> ((s, dir) => {
@@ -1471,6 +1490,36 @@ object SparkEntry {
                                 / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
                       END, 4) AS jaccard
          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""",
+    // q42's shingle semantics, compared as SET FINGERPRINTS (sorted
+    // distinct shingles joined on chr(30) — a byte no shingle can contain):
+    // at threshold 1.0 the minhash path drops exactly the increment docs
+    // whose shingle set equals some reference doc's
+    "q107_minhash_incr_exact" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
+                              x -> x <> '') AS toks, text
+           FROM documents
+         ), s AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(toks) < 3
+                       THEN [array_to_string(toks, chr(31))]
+                       ELSE list_distinct([array_to_string(toks[i:i+2], chr(31))
+                                           FOR i IN range(1, len(toks) - 1)])
+                  END AS sh
+           FROM t
+         ), fp AS (
+           SELECT doc_id, source, array_to_string(list_sort(sh), chr(30)) AS fp
+           FROM s
+         ), refs AS (
+           SELECT DISTINCT fp FROM fp WHERE doc_id < 100
+         ), inc AS (
+           SELECT doc_id, source, fp FROM fp WHERE doc_id >= 100
+           UNION ALL
+           SELECT doc_id + 800000 AS doc_id, source, fp FROM fp WHERE doc_id < 30
+         )
+         SELECT doc_id, source FROM inc
+         WHERE fp NOT IN (SELECT fp FROM refs)""",
     // exclusive prefix sum over doc_id order; integer division for the
     // shard id (exact long arithmetic on both sides)
     "q43_shard_pack" ->
