@@ -1490,6 +1490,18 @@ object SparkEntry {
                                 / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
                       END, 4) AS jaccard
          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""",
+    // the multimodal decode is a documented deterministic stub (no codecs
+    // in the image): the oracle joins a committed fixture of dimensions
+    // recomputed by an INDEPENDENT Python reimplementation of the fold
+    // (tools/gen_golden_q31.py), keyed on (doc_id, md5(text)) like q96 so
+    // testdata drift fails loudly. n_frames = 1 for every image payload
+    // (duration 0 -> one sampled frame), also pinned by the fixture.
+    "q31_multimodal" ->
+      """SELECT d.doc_id AS media_id, g.width, g.height, g.n_frames
+         FROM documents d
+         JOIN read_parquet('/root/repo/src/test/resources/golden/q31_multimodal.parquet') g
+           ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+         WHERE d.doc_id < 100""",
     // q42's shingle semantics, compared as SET FINGERPRINTS (sorted
     // distinct shingles joined on chr(30) — a byte no shingle can contain):
     // at threshold 1.0 the minhash path drops exactly the increment docs
