@@ -690,6 +690,20 @@ object SparkEntry {
           "referenceView" -> "q107_reference", "threshold" -> "1.0"))
         .select("doc_id", "source")
     }),
+    // the same deterministic guarantee for SELF minhash dedup (q26's
+    // operator): verbatim copies planted, threshold 1.0, survivor=pair —
+    // every J=1 pair is a guaranteed candidate, so the kept set is exactly
+    // "doc_id is the minimum of its shingle-set fingerprint group"
+    "q108_minhash_self_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = tab(s, dir, "documents")
+      val copies = docs.where(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 900000L)
+      ap(docs.unionByName(copies),
+        t("dedup_minhash", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "threshold" -> "1.0"))
+        .select("doc_id", "source")
+    }),
     // declarative null handling: planted nulls filled per-column (typed
     // literals) — exact coalesce parity
     "q104_fillna" -> ((s, dir) => {
@@ -1532,6 +1546,36 @@ object SparkEntry {
          )
          SELECT doc_id, source FROM inc
          WHERE fp NOT IN (SELECT fp FROM refs)""",
+    // self-dedup at threshold 1.0: greedy pair-drop removes every doc with
+    // a smaller-id shingle-set twin — keep iff doc_id = min(doc_id) of its
+    // fingerprint group
+    "q108_minhash_self_exact" ->
+      """WITH base AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 900000 AS doc_id, source, text FROM documents
+           WHERE doc_id < 40
+         ), t AS (
+           SELECT doc_id, source,
+                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
+                              x -> x <> '') AS toks, text
+           FROM base
+         ), s AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(toks) < 3
+                       THEN [array_to_string(toks, chr(31))]
+                       ELSE list_distinct([array_to_string(toks[i:i+2], chr(31))
+                                           FOR i IN range(1, len(toks) - 1)])
+                  END AS sh
+           FROM t
+         ), fp AS (
+           SELECT doc_id, source, array_to_string(list_sort(sh), chr(30)) AS fp
+           FROM s
+         )
+         SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  min(doc_id) OVER (PARTITION BY fp) AS keeper
+           FROM fp) WHERE doc_id = keeper""",
     // exclusive prefix sum over doc_id order; integer division for the
     // shard id (exact long arithmetic on both sides)
     "q43_shard_pack" ->
