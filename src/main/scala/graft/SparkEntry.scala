@@ -332,6 +332,19 @@ object SparkEntry {
         .select(col("doc_id"), col("quality_score").as("quality"),
           col("lang_pred"), col("fingerprint").as("fp"))
     }),
+    // q24 minus the fingerprint (xxhash64 chain — no DuckDB equivalent):
+    // the quality composite and the langid argmax ARE SQL-expressible, so
+    // this pins them exactly. The oracle mirrors the Spark arithmetic
+    // term-for-term and left-associatively (the q57 ln-rounding
+    // precedent); langid's greatest-over-(score,lang)-structs tie-break
+    // (larger lang code wins at equal scores) is reproduced with DuckDB's
+    // struct greatest.
+    "q109_text_quality_sql" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      ap(tab(s, dir, "documents"),
+        t("text_signals", "textColumn" -> "text", "signals" -> "quality,lang"))
+        .select(col("doc_id"), col("quality_score").as("quality"), col("lang_pred"))
+    }),
 
     // ---- LLM-data-pipeline: deduplication family ----
     "q25_dedup_exact" -> ((s, dir) =>
@@ -1447,6 +1460,51 @@ object SparkEntry {
       """SELECT sha256(trim(lower(text))) AS text_hash, min(doc_id) AS doc_id,
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
+    // quality composite mirrored term-for-term, left-associative like the
+    // Spark Column expression; round(,4) is safe cross-engine because no
+    // IEEE double is exactly a 5-decimal boundary. langid = struct greatest
+    // over (hits, lang) — equal scores break toward the larger lang code
+    // in BOTH engines (field-order lexicographic struct comparison).
+    "q109_text_quality_sql" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                  length(text) AS len
+           FROM documents
+         ), m AS (
+           SELECT doc_id, toks, len,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE len(list_filter(toks, w -> list_contains(
+                              ['the','a','an','and','or','of','to','in','is','it',
+                               'that','for','on','with','as','at','by','be','this',
+                               'was','are'], w)))::DOUBLE / len(toks) END AS stop_r,
+                  CASE WHEN len = 0 THEN 0.0
+                       ELSE (len - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                            / len END AS punct_r,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+                            / len(toks) END AS mean_tok
+           FROM t
+         )
+         SELECT doc_id,
+                round(least(len::DOUBLE / 500.0, 1.0) * 0.3
+                      + least(stop_r * 3.0, 1.0) * 0.3
+                      + greatest(0.0, 1.0 - punct_r * 4.0) * 0.2
+                      + (CASE WHEN mean_tok BETWEEN 3.0 AND 9.0
+                              THEN 1.0 ELSE 0.4 END) * 0.2, 4) AS quality,
+                (list_sort([
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['the','and','of','to','in','is','that','it','for','with'], w))), 'l': 'en'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['der','die','das','und','ist','nicht','von','mit','ein','zu'], w))), 'l': 'de'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['le','la','les','et','est','pas','des','une','que','pour'], w))), 'l': 'fr'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['el','la','los','las','es','no','una','que','por','para'], w))), 'l': 'es'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['的','是','不','了','在','人','有','我','他','这'], w))), 'l': 'zh'}])[-1]).l
+                  AS lang_pred
+         FROM m""",
     "q28_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                     FROM embeddings WHERE vec_id < 5),
