@@ -1460,6 +1460,53 @@ object SparkEntry {
       """SELECT sha256(trim(lower(text))) AS text_hash, min(doc_id) AS doc_id,
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
+    // q24 in FULL: q109's quality/langid SQL plus the fingerprint from a
+    // committed golden fixture — an independent pure-Python XXH64 chain
+    // (tools/gen_golden_q24.py; DuckDB has no xxhash64), keyed on
+    // (doc_id, md5(text)) so testdata drift fails loudly
+    "q24_text_quality" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                  length(text) AS len
+           FROM documents
+         ), m AS (
+           SELECT doc_id, text, toks, len,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE len(list_filter(toks, w -> list_contains(
+                              ['the','a','an','and','or','of','to','in','is','it',
+                               'that','for','on','with','as','at','by','be','this',
+                               'was','are'], w)))::DOUBLE / len(toks) END AS stop_r,
+                  CASE WHEN len = 0 THEN 0.0
+                       ELSE (len - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                            / len END AS punct_r,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+                            / len(toks) END AS mean_tok
+           FROM t
+         )
+         SELECT m.doc_id,
+                round(least(len::DOUBLE / 500.0, 1.0) * 0.3
+                      + least(stop_r * 3.0, 1.0) * 0.3
+                      + greatest(0.0, 1.0 - punct_r * 4.0) * 0.2
+                      + (CASE WHEN mean_tok BETWEEN 3.0 AND 9.0
+                              THEN 1.0 ELSE 0.4 END) * 0.2, 4) AS quality,
+                (list_sort([
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['the','and','of','to','in','is','that','it','for','with'], w))), 'l': 'en'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['der','die','das','und','ist','nicht','von','mit','ein','zu'], w))), 'l': 'de'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['le','la','les','et','est','pas','des','une','que','pour'], w))), 'l': 'fr'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['el','la','los','las','es','no','una','que','por','para'], w))), 'l': 'es'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['的','是','不','了','在','人','有','我','他','这'], w))), 'l': 'zh'}])[-1]).l
+                  AS lang_pred,
+                g.fp
+         FROM m
+         JOIN read_parquet('/root/repo/src/test/resources/golden/q24_fingerprint.parquet') g
+           ON g.doc_id = m.doc_id AND g.text_md5 = md5(m.text)""",
     // quality composite mirrored term-for-term, left-associative like the
     // Spark Column expression; round(,4) is safe cross-engine because no
     // IEEE double is exactly a 5-decimal boundary. langid = struct greatest
