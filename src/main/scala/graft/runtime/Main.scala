@@ -57,6 +57,10 @@ object Main {
     report ++= "physical plan:\n"
     report ++= df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
+    val findings = graft.plans.PlanLint.audit(df)
+    report ++= "plan lint:\n"
+    if (findings.isEmpty) report ++= "  clean\n"
+    else findings.foreach(f => report ++= s"  $f\n")
     report.result()
   }
 

@@ -78,6 +78,28 @@ final class PipelineExecutor(
       val sink = sinks.get(config.sink.sinkType)
       val errs = sink.validate(config.sink)
       if (errs.nonEmpty) throw new ConfigException(errs.mkString("; "))
+
+      // plan lint (spark.graft.planLint = off | warn | fail, default off):
+      // audit the final physical plan for scale anti-patterns before
+      // paying for the write. `fail` refuses error-severity findings
+      // (cartesian product, global window) — the knob to set on any
+      // pipeline that will meet real data volumes.
+      spark.conf.get("spark.graft.planLint", "off") match {
+        case "off" => ()
+        case mode @ ("warn" | "fail") =>
+          val findings = graft.plans.PlanLint.audit(stamped)
+          if (findings.nonEmpty) {
+            val log = new StructuredLogger("PlanLint")
+            findings.foreach(f => log.info("plan finding", Map(
+              "pipelineId" -> config.pipelineId, "rule" -> f.rule,
+              "severity" -> f.severity, "detail" -> f.detail)))
+          }
+          val bad = findings.filter(_.severity == "error")
+          if (mode == "fail" && bad.nonEmpty) throw new GraftException(
+            s"plan lint: ${bad.mkString("; ")}")
+        case other => throw new ConfigException(
+          s"spark.graft.planLint must be off|warn|fail, got '$other'")
+      }
       val tw0 = System.nanoTime()
       val loadResult = sink.write(stamped, config.sink, ctx)
       val writeMs = (System.nanoTime() - tw0) / 1000000

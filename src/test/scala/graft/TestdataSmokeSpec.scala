@@ -16,7 +16,12 @@ class TestdataSmokeSpec extends SparkTestBase {
   SparkEntry.queries.toList.sortBy(_._1).foreach { case (name, fn) =>
     test(s"testdata smoke: $name") {
       assume(available, s"$dir not present on this machine")
-      noException should be thrownBy fn(spark, dir).count()
+      val df = fn(spark, dir)
+      noException should be thrownBy df.count()
+      // scale gate: no registry query may plan a cartesian product or a
+      // global (empty-PARTITION-BY) window — the two anti-patterns that
+      // pass at spec scale and die at 100 TB
+      graft.plans.PlanLint.errors(df) shouldBe empty
     }
   }
 
