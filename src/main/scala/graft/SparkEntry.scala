@@ -684,6 +684,14 @@ object SparkEntry {
           "referenceView" -> "q103_reference", "threshold" -> "0.6"))
         .select("doc_id", "source")
     }),
+    // GPT-style corpus packing: documents laid end-to-end in doc_id order,
+    // cut every 4096 weight units; distributed prefix sum + bounded span
+    // explode — exact long arithmetic, bit-identical to the SQL window
+    "q110_pack_sequences" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("pack_sequences", "idColumn" -> "doc_id", "weightColumn" -> "n_chars",
+          "seqLen" -> "4096"))
+        .select("doc_id", "seq_id", "tok_start", "tok_end", "pos_in_seq")),
     // deterministic half of incremental MinHash (the q80 pattern): at
     // threshold 1.0 only identical shingle SETS pass the exact-Jaccard
     // verify, and identical sets imply identical signatures — so LSH
@@ -1681,6 +1689,25 @@ object SparkEntry {
            SELECT doc_id, source,
                   min(doc_id) OVER (PARTITION BY fp) AS keeper
            FROM fp) WHERE doc_id = keeper""",
+    // the packing window: exclusive prefix sum in doc_id order, span
+    // explode via range(); all arithmetic exact integer on both sides
+    "q110_pack_sequences" ->
+      """WITH c AS (
+           SELECT doc_id, n_chars AS w,
+                  CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cb
+           FROM documents
+         ), s AS (
+           SELECT doc_id, w, cb,
+                  unnest(range(cb // 4096, (cb + w - 1) // 4096 + 1)) AS seq_id
+           FROM c WHERE w > 0
+         )
+         SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+                CAST(greatest(0, seq_id * 4096 - cb) AS BIGINT) AS tok_start,
+                CAST(least(w, (seq_id + 1) * 4096 - cb) AS BIGINT) AS tok_end,
+                CAST(greatest(0, cb - seq_id * 4096) AS BIGINT) AS pos_in_seq
+         FROM s""",
     // exclusive prefix sum over doc_id order; integer division for the
     // shard id (exact long arithmetic on both sides)
     "q43_shard_pack" ->

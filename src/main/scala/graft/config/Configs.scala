@@ -79,7 +79,10 @@ final case class PerformanceConfig(
     // "local" (default, localCheckpoint) or "reliable" (checkpoint() to
     // checkpointDir — survives executor loss on long cluster jobs)
     checkpoint: Option[String] = None,
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None,
+    // plan-lint mode for this pipeline: "off" | "warn" | "fail"
+    // (sets spark.graft.planLint; see graft.plans.PlanLint)
+    planLint: Option[String] = None)
 
 final case class StreamingConfig(
     checkpointLocation: Option[String] = None,

@@ -107,7 +107,8 @@ final class YamlConfigParser(credentials: CredentialProvider = EnvCredentialProv
       cacheIntermediate = bool(m, "cacheIntermediate").getOrElse(false),
       shufflePartitions = int(m, "shufflePartitions"),
       checkpoint = str(m, "checkpoint"),
-      checkpointDir = str(m, "checkpointDir"))
+      checkpointDir = str(m, "checkpointDir"),
+      planLint = str(m, "planLint"))
 
   private def parseStreaming(m: Map[String, Object]): StreamingConfig =
     StreamingConfig(

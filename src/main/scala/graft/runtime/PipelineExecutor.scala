@@ -62,6 +62,8 @@ final class PipelineExecutor(
         spark.conf.set(graft.api.Checkpointing.ModeKey, m))
       config.performance.flatMap(_.checkpointDir).foreach(d =>
         spark.conf.set(graft.api.Checkpointing.DirKey, d))
+      config.performance.flatMap(_.planLint).foreach(m =>
+        spark.conf.set("spark.graft.planLint", m))
 
       val plan = buildPlan(config, ctx)
       persisted = plan.persisted

@@ -56,6 +56,7 @@ object Registries {
     SetOpTransform.transformType      -> SetOpTransform,
     ChunkTransform.transformType      -> ChunkTransform,
     ShardTransform.transformType      -> ShardTransform,
+    PackSequencesTransform.transformType -> PackSequencesTransform,
     ShuffleTransform.transformType    -> ShuffleTransform,
     SampleTransform.transformType     -> SampleTransform,
     MixTransform.transformType        -> MixTransform,

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.api.ConfigException
+import graft.config.TransformConfig
+
+class PackSequencesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ctx = graft.api.RunContext(spark, "t", "r")
+
+  // ids 1..12 with mixed weights, including one doc (w=25) that spans
+  // multiple length-10 sequences and zero-weight docs that must vanish
+  private def corpus = Seq(
+    (1L, 4L), (2L, 3L), (3L, 25L), (4L, 0L), (5L, 7L), (6L, 1L),
+    (7L, 10L), (8L, 2L), (9L, 0L), (10L, 5L), (11L, 6L), (12L, 3L)
+  ).toDF("doc_id", "w")
+
+  /** SQL-window restatement of the packing semantics. */
+  private def expected(seqLen: Long): Set[(Long, Long, Long, Long, Long)] = {
+    corpus.createOrReplaceTempView("c")
+    spark.sql(
+      s"""SELECT doc_id, seq_id,
+            greatest(0L, seq_id * $seqLen - cb) AS tok_start,
+            least(w, (seq_id + 1) * $seqLen - cb) AS tok_end,
+            greatest(0L, cb - seq_id * $seqLen) AS pos_in_seq
+          FROM (
+            SELECT doc_id, w, cb,
+                   explode(sequence(cb div $seqLen, (cb + w - 1) div $seqLen)) AS seq_id
+            FROM (
+              SELECT doc_id, w,
+                     coalesce(sum(w) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cb
+              FROM c) WHERE w > 0)""")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+  }
+
+  private def packed(seqLen: Long, parts: Int) =
+    PackSequences.pack(corpus, "doc_id", "w", seqLen, numPartitions = parts)
+      .select("doc_id", "seq_id", "tok_start", "tok_end", "pos_in_seq")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("matches the SQL window; long docs span sequences; w=0 docs vanish") {
+    val got = packed(10L, 3)
+    got shouldBe expected(10L)
+    // the 25-weight doc crosses at least two sequence boundaries
+    got.count(_._1 == 3L) should be >= 3
+    got.exists(_._1 == 4L) shouldBe false
+    got.exists(_._1 == 9L) shouldBe false
+  }
+
+  test("every sequence except the last carries exactly seqLen weight") {
+    val spans = packed(10L, 2).toSeq
+    val bySeq = spans.groupBy(_._2).view
+      .mapValues(_.map(s => s._4 - s._3).sum).toMap
+    val last = bySeq.keys.max
+    bySeq.filter(_._1 != last).values.toSet shouldBe Set(10L)
+    bySeq(last) should be <= 10L
+    // spans within a doc never overlap and cover the doc exactly
+    val perDoc = spans.groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    val w = corpus.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.foreach { case (doc, ss) =>
+      ss.head._3 shouldBe 0L
+      ss.last._4 shouldBe w(doc)
+      ss.sliding(2).foreach {
+        case Seq(a, b) => b._3 shouldBe a._4
+        case _ => ()
+      }
+    }
+  }
+
+  test("partition-invariant") {
+    packed(10L, 1) shouldBe packed(10L, 7)
+    packed(7L, 2) shouldBe expected(7L)
+  }
+
+  test("declarative transform registered; config errors fail fast") {
+    val out = PackSequencesTransform(corpus, TransformConfig("t", "pack_sequences",
+      Map("idColumn" -> "doc_id", "weightColumn" -> "w", "seqLen" -> "10")), ctx)
+    out.columns should contain allOf ("seq_id", "tok_start", "tok_end", "pos_in_seq")
+    graft.runtime.Registries.transforms().get("pack_sequences") shouldBe PackSequencesTransform
+    an[ConfigException] should be thrownBy PackSequencesTransform(corpus,
+      TransformConfig("t", "pack_sequences",
+        Map("idColumn" -> "doc_id", "weightColumn" -> "w", "seqLen" -> "0")), ctx)
+    val dbl = corpus.selectExpr("doc_id", "cast(w as double) as w")
+    an[Exception] should be thrownBy PackSequencesTransform(dbl,
+      TransformConfig("t", "pack_sequences",
+        Map("idColumn" -> "doc_id", "weightColumn" -> "w", "seqLen" -> "10")), ctx)
+  }
+}

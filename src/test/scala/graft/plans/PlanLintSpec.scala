@@ -80,4 +80,23 @@ class PlanLintSpec extends SparkTestBase {
       new PipelineExecutor().execute(cfg(tmpDir("lintout2"))).status shouldBe "SUCCESS"
     }
   }
+
+  test("performance.planLint YAML knob reaches the executor") {
+    val in = tmpDir("lintyamlin")
+    (1 to 10).map(i => (i.toLong, i % 2)).toDF("id", "g")
+      .write.mode("overwrite").parquet(in)
+    val cfg = PipelineConfig(
+      pipelineId = "lint-yaml",
+      source = SourceConfig("file", Map("path" -> in, "format" -> "parquet")),
+      transformations = List(TransformConfig("rank", "window_rank",
+        Map("orderBy" -> "id", "function" -> "row_number", "alias" -> "rn"))),
+      sink = SinkConfig("file", Map("path" -> tmpDir("lintyamlout")),
+        writeMode = WriteMode.Overwrite),
+      performance = Some(PerformanceConfig(planLint = Some("fail"))))
+    try {
+      val m = new PipelineExecutor().execute(cfg)
+      m.status shouldBe "FAILED"
+      m.error.get should include("global-window")
+    } finally spark.conf.unset("spark.graft.planLint")
+  }
 }
