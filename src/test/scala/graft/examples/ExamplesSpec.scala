@@ -246,6 +246,26 @@ class ExamplesSpec extends SparkTestBase {
     history.where("is_current AND effective_to IS NOT NULL").count() shouldBe 0
   }
 
+  test("quickstart-16: gated corpus packed into training sequences under planLint=fail") {
+    try {
+      run("quickstart-16-sequence-packing.yaml")
+    } finally spark.conf.unset("spark.graft.planLint")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-16-out")
+    out.count() should be > 0L
+    out.columns should contain allOf ("doc_id", "seq_id", "tok_start", "tok_end", "pos_in_seq")
+    // exactly-seqLen invariant: every sequence but the last carries 512
+    import org.apache.spark.sql.functions._
+    val perSeq = out.groupBy("seq_id")
+      .agg(sum(col("tok_end") - col("tok_start")).as("w")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val last = perSeq.keys.max
+    perSeq.filter(_._1 != last).values.toSet shouldBe Set(512L)
+    perSeq(last) should be <= 512L
+    // the quality gate ran: packed docs are a subset of the corpus
+    out.select("doc_id").distinct().count() should be <=
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
