@@ -30,13 +30,20 @@ object Bench {
     }
     names.map { name =>
       var failed = false
-      val times = (1 to runs).map { _ =>
+      var best = Double.MaxValue
+      var i = 0
+      // stop timing a query at its FIRST failure: a slow-to-throw query
+      // would otherwise burn runs × time-to-throw of bench wall-clock for
+      // a guaranteed -1 score
+      while (i < runs && !failed) {
         val t0 = System.nanoTime()
-        try queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => failed = true }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          queries(name)(spark, sfDir).count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => failed = true }
+        i += 1
       }
-      name -> (if (failed) -1.0 else times.min)
+      name -> (if (failed) -1.0 else best)
     }
   }
 

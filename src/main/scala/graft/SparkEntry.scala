@@ -611,8 +611,9 @@ object SparkEntry {
         "orderBy" -> "lang, doc_id", "idName" -> "row_id"))
         .select("doc_id", "lang", "row_id")
     }),
-    // deflate-ratio repetitiveness signal: deterministic zlib, but DuckDB
-    // ships no deflate → rows-only; golden values + monotonicity pinned in
+    // deflate-ratio repetitiveness signal: deterministic zlib; DuckDB
+    // ships no deflate, so the oracle joins the committed golden fixture
+    // (tools/gen_golden_q96.py); monotonicity also pinned in
     // CompressionRatioSpec
     "q96_compression_ratio" -> ((s, dir) => {
       import org.apache.spark.sql.functions._

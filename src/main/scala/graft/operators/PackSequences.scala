@@ -49,7 +49,7 @@ object PackSequences {
       .withColumn("tok_start", greatest(lit(0L), col("seq_id") * seqLen - col("cum_before")))
       .withColumn("tok_end", least(col("__w"), (col("seq_id") + 1) * seqLen - col("cum_before")))
       .withColumn("pos_in_seq", greatest(lit(0L), col("cum_before") - col("seq_id") * seqLen))
-      .drop("__w")
+      .drop("__w", "cum_before")
   }
 }
 

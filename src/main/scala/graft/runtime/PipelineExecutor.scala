@@ -55,6 +55,10 @@ final class PipelineExecutor(
     val ctx = RunContext(spark, config.pipelineId, runId, Some(sources))
     val t0 = System.nanoTime()
     var persisted: List[DataFrame] = Nil
+    // planLint is a per-PIPELINE safety gate, not a session property like
+    // shufflePartitions — restore it so one pipeline's `fail` never leaks
+    // into the next pipeline run in a long-lived session
+    val prevLint = spark.conf.getOption("spark.graft.planLint")
     try {
       config.performance.flatMap(_.shufflePartitions).foreach(n =>
         spark.conf.set("spark.sql.shuffle.partitions", n.toString))
@@ -128,6 +132,10 @@ final class PipelineExecutor(
           (System.nanoTime() - t0) / 1000000, Option(e.getMessage))
     } finally {
       persisted.foreach(_.unpersist())
+      prevLint match {
+        case Some(v) => spark.conf.set("spark.graft.planLint", v)
+        case None    => spark.conf.unset("spark.graft.planLint")
+      }
     }
   }
 

@@ -61,14 +61,15 @@ def xxh64(data: bytes, seed: int) -> int:
 def xxh64_long(l: int, seed: int) -> int:
     return xxh64(struct.pack('<q', ((l + (1<<63)) % (1<<64)) - (1<<63)), seed)
 
-def java_trim(s): 
-    i, j = 0, len(s)
-    while i < j and s[i] <= ' ': i += 1
-    while j > i and s[j-1] <= ' ': j -= 1
-    return s[i:j]
+def sql_trim(s):
+    # Spark SQL trim() strips the SPACE character only (StringTrim) — NOT
+    # Java String.trim's "all chars <= 0x20". A text edged with \t or \n
+    # keeps that char, and split then emits a leading/trailing '' token
+    # that the fingerprint chain hashes.
+    return s.strip(' ')
 
 def fingerprint(text: str) -> int:
-    t = java_trim(text).lower()
+    t = sql_trim(text).lower()
     toks = re.split(r'\s+', t, flags=re.ASCII) if t != '' else ['']
     acc = 0
     for w in toks:
