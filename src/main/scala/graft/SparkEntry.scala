@@ -693,6 +693,20 @@ object SparkEntry {
         t("pack_sequences", "idColumn" -> "doc_id", "weightColumn" -> "n_chars",
           "seqLen" -> "4096"))
         .select("doc_id", "seq_id", "tok_start", "tok_end", "pos_in_seq")),
+    // materialized training sequences: ordered concat of the packed
+    // spans (weight = n_chars so substring offsets are character
+    // offsets); seq_text is md5'd on both sides to keep compare cells
+    // small. n_chars == length(text) is asserted by the oracle join
+    // construction itself (a mismatch would desync the substring spans
+    // and flip the md5).
+    "q111_pack_sequences_text" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = tab(s, dir, "documents")
+        .withColumn("w", length(col("text")).cast("long"))
+      graft.operators.PackSequences.materialize(docs, "doc_id", "text", "w", 4096L)
+        .select(col("seq_id"), md5(col("seq_text")).as("seq_md5"),
+          col("n_docs"), col("seq_weight"))
+    }),
     // deterministic half of incremental MinHash (the q80 pattern): at
     // threshold 1.0 only identical shingle SETS pass the exact-Jaccard
     // verify, and identical sets imply identical signatures — so LSH
@@ -1690,6 +1704,34 @@ object SparkEntry {
            SELECT doc_id, source,
                   min(doc_id) OVER (PARTITION BY fp) AS keeper
            FROM fp) WHERE doc_id = keeper""",
+    // same packing window, then per-sequence ordered concatenation
+    // (string_agg ORDER BY pos_in_seq == the Spark array_sort fold)
+    "q111_pack_sequences_text" ->
+      """WITH c AS (
+           SELECT doc_id, text, length(text) AS w,
+                  CAST(coalesce(sum(length(text)) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cb
+           FROM documents
+         ), s AS (
+           SELECT doc_id, text, w, cb,
+                  unnest(range(cb // 4096, (cb + w - 1) // 4096 + 1)) AS seq_id
+           FROM c WHERE w > 0
+         ), spans AS (
+           SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+                  CAST(greatest(0, seq_id * 4096 - cb) AS BIGINT) AS tok_start,
+                  CAST(least(w, (seq_id + 1) * 4096 - cb) AS BIGINT) AS tok_end,
+                  CAST(greatest(0, cb - seq_id * 4096) AS BIGINT) AS pos_in_seq,
+                  text
+           FROM s
+         )
+         SELECT seq_id,
+                md5(string_agg(substring(text, CAST(tok_start + 1 AS INT),
+                                         CAST(tok_end - tok_start AS INT)), ''
+                               ORDER BY pos_in_seq)) AS seq_md5,
+                count(*) AS n_docs,
+                CAST(sum(tok_end - tok_start) AS BIGINT) AS seq_weight
+         FROM spans GROUP BY seq_id""",
     // the packing window: exclusive prefix sum in doc_id order, span
     // explode via range(); all arithmetic exact integer on both sides
     "q110_pack_sequences" ->

@@ -51,6 +51,35 @@ object PackSequences {
       .withColumn("pos_in_seq", greatest(lit(0L), col("cum_before") - col("seq_id") * seqLen))
       .drop("__w", "cum_before")
   }
+
+  /**
+   * Materialize the packed sequences as actual training rows: one row per
+   * sequence with the ordered concatenation of its document spans. For
+   * the substring arithmetic to be meaningful `weightCol` must be the
+   * CHARACTER length of `textCol` (token-weight packing emits spans, not
+   * text — substrings of a string by token offsets would be nonsense).
+   *
+   * Scale shape: `pack`'s prefix sum + ONE hash exchange on `seq_id`;
+   * the per-sequence concat is an ordered in-group fold
+   * (collect_list → array_sort on (pos, piece) structs → join), bounded
+   * by `seqLen` characters per group by construction — no window, no
+   * skew (every group is the same size except the last).
+   */
+  def materialize(df: DataFrame, idCol: String, textCol: String,
+                  weightCol: String, seqLen: Long,
+                  numPartitions: Int = 0): DataFrame = {
+    val spans = pack(df, idCol, weightCol, seqLen, numPartitions)
+    spans
+      .withColumn("__piece", expr(
+        s"substring($textCol, cast(tok_start + 1 AS int), cast(tok_end - tok_start AS int))"))
+      .groupBy("seq_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos_in_seq"), col("__piece")))),
+          s => s.getField("__piece")), "").as("seq_text"),
+        count(lit(1)).as("n_docs"),
+        sum(col("tok_end") - col("tok_start")).as("seq_weight"))
+  }
 }
 
 /**
@@ -64,23 +93,37 @@ object PackSequences {
  *
  * Options: `idColumn` (unique — it is the concatenation order),
  * `weightColumn` (integral), `seqLen` required; `numPartitions`
- * (default: session shuffle partitions).
+ * (default: session shuffle partitions); `emit` = `spans` (default — one
+ * row per (document, sequence) overlap) or `text` (one row per sequence
+ * with the ordered concatenation — requires `textColumn`, and
+ * `weightColumn` must be its character length).
  */
 object PackSequencesTransform extends Transform {
   val transformType = "pack_sequences"
   override def validate(config: TransformConfig,
                         schema: org.apache.spark.sql.types.StructType): List[String] =
     Validate.columnsExist(schema,
-      Seq("idColumn", "weightColumn").flatMap(config.options.get), "pack_sequences")
+      Seq("idColumn", "weightColumn", "textColumn").flatMap(config.options.get),
+      "pack_sequences")
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "idColumn", "weightColumn", "seqLen")
-    try PackSequences.pack(
-      input,
-      config.options("idColumn"),
-      config.options("weightColumn"),
-      config.options("seqLen").toLong,
-      config.options.get("numPartitions").map(_.toInt).getOrElse(0))
+    val build = config.options.getOrElse("emit", "spans") match {
+      case "spans" => () => PackSequences.pack(
+        input, config.options("idColumn"), config.options("weightColumn"),
+        config.options("seqLen").toLong,
+        config.options.get("numPartitions").map(_.toInt).getOrElse(0))
+      case "text" => () => PackSequences.materialize(
+        input, config.options("idColumn"),
+        config.options.getOrElse("textColumn",
+          throw new ConfigException("pack_sequences: emit=text requires 'textColumn'")),
+        config.options("weightColumn"),
+        config.options("seqLen").toLong,
+        config.options.get("numPartitions").map(_.toInt).getOrElse(0))
+      case other => throw new ConfigException(
+        s"pack_sequences: emit must be spans|text, got '$other'")
+    }
+    try build()
     catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
   }
 }

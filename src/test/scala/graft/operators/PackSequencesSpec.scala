@@ -74,6 +74,26 @@ class PackSequencesSpec extends SparkTestBase {
     packed(7L, 2) shouldBe expected(7L)
   }
 
+  test("materialize reassembles the corpus exactly, in order") {
+    val texts = Seq(
+      (1L, "abcd"), (2L, "efg"), (3L, "hijklmnopqrstuvwxyz0123456"), (4L, ""),
+      (5L, "ABCDEFG"), (6L, "!"), (7L, "1234567890"), (8L, "~~")
+    ).toDF("doc_id", "text")
+      .withColumn("w", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val seqs = PackSequences.materialize(texts, "doc_id", "text", "w", 10L, 3)
+      .orderBy("seq_id").collect()
+    // concatenating the sequences in order reproduces the corpus in id order
+    val whole = seqs.map(_.getString(1)).mkString
+    whole shouldBe "abcd" + "efg" + "hijklmnopqrstuvwxyz0123456" + "" +
+      "ABCDEFG" + "!" + "1234567890" + "~~"
+    // every sequence except the last is exactly 10 chars
+    seqs.dropRight(1).foreach { r =>
+      r.getString(1).length shouldBe 10
+      r.getLong(3) shouldBe 10L   // seq_weight
+    }
+    seqs.last.getString(1).length should be <= 10
+  }
+
   test("declarative transform registered; config errors fail fast") {
     val out = PackSequencesTransform(corpus, TransformConfig("t", "pack_sequences",
       Map("idColumn" -> "doc_id", "weightColumn" -> "w", "seqLen" -> "10")), ctx)
