@@ -693,6 +693,14 @@ object SparkEntry {
         t("pack_sequences", "idColumn" -> "doc_id", "weightColumn" -> "n_chars",
           "seqLen" -> "4096"))
         .select("doc_id", "seq_id", "tok_start", "tok_end", "pos_in_seq")),
+    // per-stratum packing: the prefix sum and seq_id restart per language,
+    // so one context window never mixes strata — same exact arithmetic,
+    // now under a PARTITION BY in the oracle
+    "q112_pack_grouped" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("pack_sequences", "idColumn" -> "doc_id", "weightColumn" -> "n_chars",
+          "seqLen" -> "4096", "groupBy" -> "lang"))
+        .select("doc_id", "lang", "seq_id", "tok_start", "tok_end", "pos_in_seq")),
     // materialized training sequences: ordered concat of the packed
     // spans (weight = n_chars so substring offsets are character
     // offsets); seq_text is md5'd on both sides to keep compare cells
@@ -1704,6 +1712,25 @@ object SparkEntry {
            SELECT doc_id, source,
                   min(doc_id) OVER (PARTITION BY fp) AS keeper
            FROM fp) WHERE doc_id = keeper""",
+    // the packing window PARTITION BY lang: per-stratum prefix sum
+    "q112_pack_grouped" ->
+      """WITH c AS (
+           SELECT doc_id, lang, n_chars AS w,
+                  CAST(coalesce(sum(n_chars) OVER (PARTITION BY lang
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cb
+           FROM documents
+         ), s AS (
+           SELECT doc_id, lang, w, cb,
+                  unnest(range(cb // 4096, (cb + w - 1) // 4096 + 1)) AS seq_id
+           FROM c WHERE w > 0
+         )
+         SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id,
+                CAST(greatest(0, seq_id * 4096 - cb) AS BIGINT) AS tok_start,
+                CAST(least(w, (seq_id + 1) * 4096 - cb) AS BIGINT) AS tok_end,
+                CAST(greatest(0, cb - seq_id * 4096) AS BIGINT) AS pos_in_seq
+         FROM s""",
     // same packing window, then per-sequence ordered concatenation
     // (string_agg ORDER BY pos_in_seq == the Spark array_sort fold)
     "q111_pack_sequences_text" ->

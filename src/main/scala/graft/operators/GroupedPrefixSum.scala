@@ -1,0 +1,106 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
+
+/**
+ * Distributed exclusive prefix sum, per group — the shared machine under
+ * `token_cap` (filter by budget) and grouped `pack_sequences` (stamp
+ * sequence offsets). One range exchange on (group, order) keeps every
+ * group's rows contiguous within and across partitions, which buys the
+ * two properties everything here depends on:
+ *
+ *   1. the driver collect is ONE boundary tuple per partition —
+ *      O(partitions) regardless of group cardinality, because only a
+ *      partition's FIRST group can carry weight from earlier partitions
+ *      (every other group in the partition starts at offset 0);
+ *   2. the stamping pass needs only a (current group, running sum) pair —
+ *      O(1) task memory, no per-group map.
+ *
+ * Weights must be integral so the running sums are exact long
+ * arithmetic, bit-identical to the per-group SQL window restatement
+ * regardless of partitioning. Null weights count 0. `groupCols` empty →
+ * one global sum (the `shard` shape).
+ */
+object GroupedPrefixSum {
+
+  /** Append `outCol` = exclusive per-group running sum of `weightCol`,
+    * summing in `orderCols` order within each group. The returned frame
+    * is range-partitioned and sorted on (groupCols, orderCols). */
+  def stamp(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+            weightCol: String, outCol: String = "cum_before",
+            numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    df.schema(weightCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"prefix sum: weight column '$weightCol' must be integral for exact " +
+          s"sums, got $other")
+    }
+    import org.apache.spark.sql.functions.col
+    val rangeCols = groupCols.map(col) ++ orderCols
+    val ranged = df.repartitionByRange(n, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+    val schema = ranged.schema
+    val wIdx = schema.fieldIndex(weightCol)
+    val gIdxs = groupCols.map(schema.fieldIndex)
+    def weightOf(r: Row): Long =
+      if (r.isNullAt(wIdx)) 0L else r.get(wIdx).asInstanceOf[Number].longValue()
+    def groupOf(r: Row): Seq[Any] = gIdxs.map(r.get)
+
+    val rdd = ranged.rdd
+    rdd.setName(s"graft.prefixSum.ranged(${groupCols.mkString(",")})")
+    // (pid, firstGroup, firstGroupSum, lastGroup, lastGroupSum) per
+    // non-empty partition — the only cross-partition facts the chain needs
+    val bounds: Array[(Int, Seq[Any], Long, Seq[Any], Long)] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          var firstG: Seq[Any] = null; var firstSum = 0L; var firstDone = false
+          var curG: Seq[Any] = null; var curSum = 0L; var started = false
+          it.foreach { r =>
+            val g = groupOf(r)
+            if (!started) { started = true; firstG = g; curG = g }
+            else if (g != curG) {
+              if (!firstDone) { firstSum = curSum; firstDone = true }
+              curG = g; curSum = 0L
+            }
+            curSum += weightOf(r)
+          }
+          if (!firstDone) firstSum = curSum // single-group partition
+          Iterator.single((pid, firstG, firstSum, curG, curSum))
+        }
+      }.collect()
+    // chain boundary groups in partition order: a partition's first group
+    // continues the running chain iff it IS the chain group; every other
+    // group starts fresh at 0 (contiguity guarantees it has no earlier rows)
+    val offsets = mutable.HashMap.empty[Int, Long]
+    var chainG: Seq[Any] = null; var chainSet = false; var running = 0L
+    bounds.sortBy(_._1).foreach { case (pid, fg, fs, lg, ls) =>
+      val off = if (chainSet && fg == chainG) running else 0L
+      offsets(pid) = off
+      if (chainSet && fg == chainG && fg == lg) running = off + fs
+      else { chainG = lg; chainSet = true; running = ls }
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets.toMap)
+
+    val outSchema = StructType(schema.fields :+ StructField(outCol, LongType, nullable = false))
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val firstOff = bOffsets.value.getOrElse(pid, 0L)
+      var curG: Seq[Any] = null; var cum = 0L; var started = false
+      it.map { r =>
+        val g = groupOf(r)
+        if (!started) { started = true; curG = g; cum = firstOff }
+        else if (g != curG) { curG = g; cum = 0L }
+        val before = cum
+        cum += weightOf(r)
+        Row.fromSeq(r.toSeq :+ before)
+      }
+    }
+    spark.createDataFrame(stamped, outSchema)
+  }
+}

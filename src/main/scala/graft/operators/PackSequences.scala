@@ -36,10 +36,21 @@ import graft.config.TransformConfig
 object PackSequences {
 
   def pack(df: DataFrame, idCol: String, weightCol: String, seqLen: Long,
-           numPartitions: Int = 0): DataFrame = {
+           numPartitions: Int = 0): DataFrame =
+    packGrouped(df, idCol, weightCol, Nil, seqLen, numPartitions)
+
+  /** Per-stratum packing: the prefix sum (and therefore `seq_id`) restarts
+    * inside every `groupCols` combination, so one sequence never mixes two
+    * strata — the "pack web and code separately" mixture discipline.
+    * `seq_id` is unique per (group, seq_id), not globally. Same
+    * boundary-chain machine as `token_cap`: O(partitions) driver state
+    * regardless of stratum cardinality. */
+  def packGrouped(df: DataFrame, idCol: String, weightCol: String,
+                  groupCols: Seq[String], seqLen: Long,
+                  numPartitions: Int = 0): DataFrame = {
     require(seqLen > 0, s"pack_sequences: seqLen must be positive, got $seqLen")
-    val stamped = Shards.assignShards(df, idCol, weightCol, seqLen, numPartitions)
-      .drop("shard_id")
+    val stamped = GroupedPrefixSum.stamp(df, groupCols, Seq(col(idCol)),
+        weightCol, "cum_before", numPartitions)
       .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
       .where(col("__w") > 0)
     stamped
@@ -67,12 +78,13 @@ object PackSequences {
    */
   def materialize(df: DataFrame, idCol: String, textCol: String,
                   weightCol: String, seqLen: Long,
-                  numPartitions: Int = 0): DataFrame = {
-    val spans = pack(df, idCol, weightCol, seqLen, numPartitions)
+                  numPartitions: Int = 0,
+                  groupCols: Seq[String] = Nil): DataFrame = {
+    val spans = packGrouped(df, idCol, weightCol, groupCols, seqLen, numPartitions)
     spans
       .withColumn("__piece", expr(
         s"substring($textCol, cast(tok_start + 1 AS int), cast(tok_end - tok_start AS int))"))
-      .groupBy("seq_id")
+      .groupBy((groupCols :+ "seq_id").map(col): _*)
       .agg(
         array_join(transform(
           array_sort(collect_list(struct(col("pos_in_seq"), col("__piece")))),
@@ -96,7 +108,9 @@ object PackSequences {
  * (default: session shuffle partitions); `emit` = `spans` (default — one
  * row per (document, sequence) overlap) or `text` (one row per sequence
  * with the ordered concatenation — requires `textColumn`, and
- * `weightColumn` must be its character length).
+ * `weightColumn` must be its character length); `groupBy` (comma list —
+ * pack per stratum: the prefix sum and `seq_id` restart per group, so a
+ * sequence never mixes two strata).
  */
 object PackSequencesTransform extends Transform {
   val transformType = "pack_sequences"
@@ -108,18 +122,19 @@ object PackSequencesTransform extends Transform {
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "idColumn", "weightColumn", "seqLen")
+    val groups = config.options.get("groupBy").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val nParts = config.options.get("numPartitions").map(_.toInt).getOrElse(0)
     val build = config.options.getOrElse("emit", "spans") match {
-      case "spans" => () => PackSequences.pack(
+      case "spans" => () => PackSequences.packGrouped(
         input, config.options("idColumn"), config.options("weightColumn"),
-        config.options("seqLen").toLong,
-        config.options.get("numPartitions").map(_.toInt).getOrElse(0))
+        groups, config.options("seqLen").toLong, nParts)
       case "text" => () => PackSequences.materialize(
         input, config.options("idColumn"),
         config.options.getOrElse("textColumn",
           throw new ConfigException("pack_sequences: emit=text requires 'textColumn'")),
         config.options("weightColumn"),
-        config.options("seqLen").toLong,
-        config.options.get("numPartitions").map(_.toInt).getOrElse(0))
+        config.options("seqLen").toLong, nParts, groups)
       case other => throw new ConfigException(
         s"pack_sequences: emit must be spans|text, got '$other'")
     }

@@ -1,8 +1,6 @@
 package graft.operators
 
-import scala.collection.mutable
-
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.api.{ConfigException, RunContext, Transform}
@@ -65,91 +63,24 @@ object TokenCap {
                   seed: Long = 0L, numPartitions: Int = 0): DataFrame = {
     require(budget >= 0, s"token_cap: budget must be >= 0, got $budget")
     require(overrides.values.forall(_ >= 0), "token_cap: budgets must be >= 0")
-    val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    df.schema(weightCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"token_cap: weight column '$weightCol' must be integral for exact " +
-          s"budget sums, got $other")
-    }
     val grouped = groupCol.nonEmpty
     val ord = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
-    val rangeCols =
-      if (grouped) Seq(col(groupCol), col("__ord"), col(idCol))
-      else Seq(col("__ord"), col(idCol))
-    val ranged = df.withColumn("__ord", ord)
-      .repartitionByRange(n, rangeCols: _*)
-      .sortWithinPartitions(rangeCols: _*)
-    val schema = ranged.schema
-    val wIdx = schema.fieldIndex(weightCol)
-    val oIdx = schema.fieldIndex("__ord")
-    val gIdx = if (grouped) schema.fieldIndex(groupCol) else -1
-    def weightOf(r: Row): Long =
-      if (r.isNullAt(wIdx)) 0L else r.get(wIdx).asInstanceOf[Number].longValue()
-    def groupOf(r: Row): Any = if (grouped) r.get(gIdx) else null
-
-    // both jobs run over the SAME shuffled RDD: the boundary collect
-    // materializes the range exchange, the filter pass reuses its output.
-    // Range partitioning on (group, ord, id) makes every group's rows
-    // contiguous — within a partition and across the partition sequence —
-    // which is what keeps the driver state at O(partitions).
-    val rdd = ranged.rdd
-    rdd.setName(s"graft.tokenCap.ranged($groupCol)")
-    // (pid, firstGroup, firstGroupSum, lastGroup, lastGroupSum) per
-    // non-empty partition — the only cross-partition facts the chain needs
-    val bounds: Array[(Int, Any, Long, Any, Long)] =
-      rdd.mapPartitionsWithIndex { (pid, it) =>
-        if (it.isEmpty) Iterator.empty
-        else {
-          var firstG: Any = null; var firstSum = 0L; var firstDone = false
-          var curG: Any = null; var curSum = 0L; var started = false
-          it.foreach { r =>
-            val g = groupOf(r)
-            if (!started) { started = true; firstG = g; curG = g }
-            else if (g != curG) {
-              if (!firstDone) { firstSum = curSum; firstDone = true }
-              curG = g; curSum = 0L
-            }
-            curSum += weightOf(r)
-          }
-          if (!firstDone) firstSum = curSum // single-group partition
-          Iterator.single((pid, firstG, firstSum, curG, curSum))
-        }
-      }.collect()
-    // chain boundary groups in partition order: a partition's first group
-    // continues the running chain iff it IS the chain group; every other
-    // group starts fresh at 0 (contiguity guarantees it has no earlier rows)
-    val offsets = mutable.HashMap.empty[Int, Long]
-    var chainG: Any = null; var chainSet = false; var running = 0L
-    bounds.sortBy(_._1).foreach { case (pid, fg, fs, lg, ls) =>
-      val off = if (chainSet && fg == chainG) running else 0L
-      offsets(pid) = off
-      if (chainSet && fg == chainG && fg == lg) running = off + fs
-      else { chainG = lg; chainSet = true; running = ls }
-    }
-    val bOffsets = spark.sparkContext.broadcast(offsets.toMap)
-    def budgetOf(g: Any): Long =
-      if (g == null) budget else overrides.getOrElse(String.valueOf(g), budget)
-
-    // groups are contiguous within the sorted partition, so one
-    // (current group, running sum) pair replaces any per-group map
-    val kept = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val firstOff = bOffsets.value.getOrElse(pid, 0L)
-      var curG: Any = null; var cum = 0L; var started = false
-      it.filter { r =>
-        val g = groupOf(r)
-        if (!started) { started = true; curG = g; cum = firstOff }
-        else if (g != curG) { curG = g; cum = 0L }
-        val before = cum
-        cum += weightOf(r)
-        before < budgetOf(g)
-      }.map(r => Row.fromSeq(r.toSeq.patch(oIdx, Nil, 1)))
-    }
-    spark.createDataFrame(kept,
-      org.apache.spark.sql.types.StructType(schema.fields.patch(oIdx, Nil, 1)))
+    // the per-group exclusive running sum comes from the shared
+    // boundary-chain machine (O(partitions) driver state regardless of
+    // group cardinality); the cap is then a plain column filter
+    val stamped = GroupedPrefixSum.stamp(
+      df.withColumn("__ord", ord),
+      if (grouped) Seq(groupCol) else Nil,
+      Seq(col("__ord"), col(idCol)),
+      weightCol, "__cum", numPartitions)
+    val budgetCol =
+      if (!grouped || overrides.isEmpty) lit(budget)
+      else {
+        val entries = overrides.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+        // null group keys miss the map and coalesce to the default budget
+        coalesce(element_at(map(entries: _*), col(groupCol).cast("string")), lit(budget))
+      }
+    stamped.where(col("__cum") < budgetCol).drop("__ord", "__cum")
   }
 }
 

@@ -94,6 +94,43 @@ class PackSequencesSpec extends SparkTestBase {
     seqs.last.getString(1).length should be <= 10
   }
 
+  test("grouped packing restarts seq_id per stratum; matches the SQL window") {
+    val strata = (1L to 60L).map(i => (i, s"s${i % 4}", (i % 9) + 1))
+      .toDF("doc_id", "src", "w")
+    strata.createOrReplaceTempView("g")
+    val expected = spark.sql(
+      """SELECT doc_id, src, seq_id,
+           greatest(0L, seq_id * 10 - cb) AS tok_start,
+           least(w, (seq_id + 1) * 10 - cb) AS tok_end,
+           greatest(0L, cb - seq_id * 10) AS pos_in_seq
+         FROM (
+           SELECT doc_id, src, w, cb,
+                  explode(sequence(cb div 10, (cb + w - 1) div 10)) AS seq_id
+           FROM (
+             SELECT doc_id, src, w,
+                    coalesce(sum(w) OVER (PARTITION BY src ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cb
+             FROM g) WHERE w > 0)""")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    val got = PackSequences.packGrouped(strata, "doc_id", "w", Seq("src"), 10L, 5)
+      .select("doc_id", "src", "seq_id", "tok_start", "tok_end", "pos_in_seq")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    got shouldBe expected
+    // every stratum has its own seq 0, and no sequence mixes strata
+    got.filter(_._3 == 0L).map(_._2) shouldBe Set("s0", "s1", "s2", "s3")
+    // grouped materialize: concatenation within each stratum is id-ordered
+    val texts = strata.withColumn("text",
+      org.apache.spark.sql.functions.expr("repeat(substring(src, 2, 1), cast(w as int))"))
+    val seqs = PackSequences.materialize(texts, "doc_id", "text", "w", 10L,
+      numPartitions = 3, groupCols = Seq("src"))
+    seqs.columns should contain allOf ("src", "seq_id", "seq_text")
+    // a stratum's sequences contain only its own digit
+    seqs.collect().foreach { r =>
+      val digit = r.getString(0).substring(1)
+      r.getString(2).toSet shouldBe Set(digit.head)
+    }
+  }
+
   test("declarative transform registered; config errors fail fast") {
     val out = PackSequencesTransform(corpus, TransformConfig("t", "pack_sequences",
       Map("idColumn" -> "doc_id", "weightColumn" -> "w", "seqLen" -> "10")), ctx)
