@@ -1061,6 +1061,27 @@ object SparkEntry {
       ap(lined, t("dedup_lines", "idColumn" -> "doc_id", "textColumn" -> "text"))
         .select("doc_id", "text")
     }),
+    // incremental LINE dedup: increment docs re-lined into 8-word lines
+    // (q81's construction) and prefixed with a boilerplate line drawn from
+    // reference doc (doc_id % 100) — against-mode must drop exactly those
+    // planted lines and keep everything else, rebuilt in order
+    "q113_dedup_lines_against" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val relined = tab(s, dir, "documents").withColumn("text", expr(
+        "array_join(transform(sequence(0, cast((size(split(text, ' ')) - 1) / 8 as int)), " +
+          "i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ')), chr(10))"))
+      relined.where(col("doc_id") < 100).createOrReplaceTempView("q113_reference")
+      val boiler = relined.where(col("doc_id") < 100)
+        .select(col("doc_id").as("rid"), expr("split(text, chr(10))[0]").as("b"))
+      val inc = relined.where(col("doc_id") >= 100)
+        .withColumn("rid", col("doc_id") % 100)
+        .join(broadcast(boiler), Seq("rid"))
+        .withColumn("text", concat(col("b"), lit("\n"), col("text")))
+        .drop("rid", "b")
+      ap(inc, t("dedup_lines", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "referenceView" -> "q113_reference"))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    }),
     // Morton/Z-order interleave for multi-dimensional data skipping —
     // exact integer bit math once the bins are fixed, so oracle-checkable
     "q78_zorder" -> ((s, dir) => ap(tab(s, dir, "events"),
@@ -2485,6 +2506,38 @@ object SparkEntry {
          )
          SELECT d.doc_id, coalesce(kept.text, '') AS text
          FROM documents d LEFT JOIN kept USING (doc_id)""",
+    // q81's re-lining, the same planted boilerplate prefix, then the
+    // anti-join + ordered rebuild restated relationally
+    "q113_dedup_lines_against" ->
+      """WITH lined AS (
+           SELECT doc_id,
+                  [array_to_string(ws[i*8+1 : i*8+8], ' ')
+                   FOR i IN range(0, ((len(ws) - 1) // 8) + 1)] AS ls
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         ), rel AS (
+           SELECT doc_id, array_to_string(ls, chr(10)) AS text, ls FROM lined
+         ), refl AS (
+           SELECT DISTINCT unnest(ls) AS ln FROM rel WHERE doc_id < 100
+         ), boiler AS (
+           SELECT doc_id AS rid, ls[1] AS b FROM rel WHERE doc_id < 100
+         ), inc AS (
+           SELECT r.doc_id, b.b || chr(10) || r.text AS text
+           FROM rel r JOIN boiler b ON b.rid = r.doc_id % 100
+           WHERE r.doc_id >= 100
+         ), lines AS (
+           SELECT doc_id,
+                  unnest(string_split(text, chr(10))) AS ln,
+                  unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+           FROM inc
+         ), kept AS (
+           SELECT doc_id, ln, pos FROM lines
+           WHERE length(ln) < 1 OR ln NOT IN (SELECT ln FROM refl)
+         ), rebuilt AS (
+           SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text
+           FROM kept GROUP BY doc_id
+         )
+         SELECT i.doc_id, md5(coalesce(r.text, '')) AS text_md5
+         FROM inc i LEFT JOIN rebuilt r USING (doc_id)""",
     // identical bin arithmetic ((x-lo)/(hi-lo)*2^bits, clamped) and bit
     // interleave; disjoint bit positions make + equal to the Spark-side OR
     "q78_zorder" -> {

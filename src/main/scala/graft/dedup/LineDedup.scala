@@ -58,6 +58,45 @@ object LineDedup {
       .drop("__id", "__newtext")
   }
 
+  /** INCREMENTAL variant: drop every line of `df` that appears ANYWHERE in
+    * `ref` (the already-ingested corpus, or a curated boilerplate bank) —
+    * today's crawl loses yesterday's boilerplate without rescanning
+    * history per increment line. Scale shape: the reference reduces ONCE
+    * to a DISTINCT 32-byte line-hash frame (broadcast-able when the
+    * boilerplate bank is small; an ordinary hash join otherwise — the
+    * increment side never shuffles its full text for the check, only the
+    * hash column rides the anti-join); the rebuild is the same (id)-keyed
+    * reduction as [[dedupLines]]. Lines shorter than `minLength` never
+    * participate and are kept verbatim. Within-increment repeats are NOT
+    * collapsed here — compose with [[dedupLines]] when both are wanted. */
+  def dedupLinesAgainst(df: DataFrame, idCol: String, textCol: String,
+                        ref: DataFrame, refTextCol: String,
+                        separator: String = "\n", minLength: Int = 1): DataFrame = {
+    require(separator.nonEmpty, "dedupLines: separator must be non-empty")
+    require(minLength >= 1, s"dedupLines: minLength must be >= 1, got $minLength")
+    val sep = java.util.regex.Pattern.quote(separator)
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), sep, -1)).as(Seq("__pos", "__ln")))
+    val refHashes = ref
+      .select(explode(split(col(refTextCol), sep, -1)).as("__ln"))
+      .where(length(col("__ln")) >= minLength)
+      .select(sha2(col("__ln"), 256).as("__h")).distinct()
+    // short lines get a null hash, and null never matches an anti-join —
+    // they are kept verbatim (SQL semantics, same contract as dedupLines)
+    val kept = lines
+      .withColumn("__h",
+        when(length(col("__ln")) >= minLength, sha2(col("__ln"), 256)))
+      .join(refHashes, Seq("__h"), "left_anti")
+    val rebuilt = kept.groupBy("__id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__ln")))),
+        x => x.getField("__ln")), separator).as("__newtext"))
+    df.join(rebuilt, col(idCol) === col("__id"), "left")
+      .withColumn(textCol, when(col(textCol).isNull, lit(null).cast("string"))
+        .otherwise(coalesce(col("__newtext"), lit(""))))
+      .drop("__id", "__newtext")
+  }
+
   /** WITHIN-document variant: keep each participating line's first
     * occurrence inside its own document (Gopher-style repetition
     * removal). Pure per-row compute — a zero-shuffle codegen'd projection
@@ -86,7 +125,11 @@ object LineDedup {
  * `minLength` keeps short structural lines out of the dedup set;
  * `scope: corpus (default) | document` — document keeps each line's first
  * occurrence within its own document only (a zero-shuffle projection;
- * `idColumn` not needed).
+ * `idColumn` not needed). With `referenceView` (+ optional
+ * `referenceTextColumn`), corpus scope switches to INCREMENTAL mode:
+ * drop lines already present in the named reference corpus instead of
+ * deduping within the input — the line-level counterpart of
+ * `dedup_against`.
  */
 object LineDedupTransform extends Transform {
   val transformType = "dedup_lines"
@@ -99,6 +142,14 @@ object LineDedupTransform extends Transform {
     val separator = config.options.getOrElse("separator", "\n")
     val minLength = config.options.get("minLength").map(_.toInt).getOrElse(1)
     try config.options.getOrElse("scope", "corpus") match {
+      case "corpus" if config.options.contains("referenceView") =>
+        required(config, "idColumn", "textColumn")
+        val text = config.options("textColumn")
+        LineDedup.dedupLinesAgainst(input,
+          config.options("idColumn"), text,
+          ctx.spark.table(config.options("referenceView")),
+          config.options.getOrElse("referenceTextColumn", text),
+          separator = separator, minLength = minLength)
       case "corpus" =>
         required(config, "idColumn", "textColumn")
         LineDedup.dedupLines(input,

@@ -72,6 +72,37 @@ class LineDedupSpec extends SparkTestBase {
         Map("textColumn" -> "text", "scope" -> "nope")), ctx)
   }
 
+  test("against-reference mode: reference lines drop, fresh lines survive, " +
+    "within-increment repeats are NOT collapsed") {
+    val ref = Seq((1L, "boiler plate\nlegal footer"), (2L, "nav bar")).toDF("rid", "text")
+    ref.createOrReplaceTempView("line_ref")
+    val inc = Seq(
+      (10L, "boiler plate\nfresh alpha\nnav bar"),
+      (11L, "fresh beta\nfresh beta\nlegal footer"),  // in-increment repeat stays
+      (12L, "boiler plate"),                          // fully boilerplate → empty
+      (13L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = LineDedupTransform(inc, TransformConfig("t", "dedup_lines",
+      Map("idColumn" -> "doc_id", "textColumn" -> "text",
+        "referenceView" -> "line_ref")), ctx)
+      .as[(Long, String)].collect().toMap
+    out(10L) shouldBe "fresh alpha"
+    out(11L) shouldBe "fresh beta\nfresh beta"
+    out(12L) shouldBe ""
+    out(13L) shouldBe null
+  }
+
+  test("against-reference mode: short lines kept verbatim; custom ref column") {
+    Seq(("ok", "aaaa\nzz")).toDF("other", "body")
+      .createOrReplaceTempView("line_ref2")
+    val inc = Seq((1L, "aaaa\nzz\nbbbb")).toDF("doc_id", "text")
+    val out = LineDedup.dedupLinesAgainst(inc, "doc_id", "text",
+      spark.table("line_ref2"), "body", minLength = 3)
+      .as[(Long, String)].collect().toMap
+    // 'aaaa' participates and drops; 'zz' is under minLength → kept even
+    // though the reference contains it; 'bbbb' is fresh
+    out(1L) shouldBe "zz\nbbbb"
+  }
+
   test("document scope: minLength exempts short lines from participating") {
     val d = Seq((1L, "ok\nlong line here\nok\nlong line here\nok")).toDF("doc_id", "text")
     val out = LineDedup.dedupLinesInDoc(d, "text", minLength = 5)
