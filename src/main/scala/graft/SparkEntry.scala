@@ -1061,6 +1061,20 @@ object SparkEntry {
       ap(lined, t("dedup_lines", "idColumn" -> "doc_id", "textColumn" -> "text"))
         .select("doc_id", "text")
     }),
+    // distribution drift between corpus halves: n_chars unshifted (small
+    // PSI) and shifted +200 (large PSI) — fixed-width bins from reference
+    // min/max keep the bin arithmetic exact-parity (q66's floor precedent)
+    "q114_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = tab(s, dir, "documents")
+      docs.where(col("doc_id") < 250)
+        .select(col("n_chars"), col("n_chars").as("n_chars_shifted"))
+        .createOrReplaceTempView("q114_reference")
+      val cur = docs.where(col("doc_id") >= 250)
+        .select(col("n_chars"), (col("n_chars") + 200L).as("n_chars_shifted"))
+      ap(cur, t("drift", "columns" -> "n_chars,n_chars_shifted",
+        "referenceView" -> "q114_reference"))
+    }),
     // incremental LINE dedup: increment docs re-lined into 8-word lines
     // (q81's construction) and prefixed with a boilerplate line drawn from
     // reference doc (doc_id % 100) — against-mode must drop exactly those
@@ -2506,6 +2520,52 @@ object SparkEntry {
          )
          SELECT d.doc_id, coalesce(kept.text, '') AS text
          FROM documents d LEFT JOIN kept USING (doc_id)""",
+    // same fixed-width binning (floor over reference min/max), same PSI
+    // term shape: (q-p) * ln(greatest(q,eps)/greatest(p,eps)), round 6
+    "q114_drift" ->
+      """WITH refl AS (
+           SELECT 'n_chars' AS c, CAST(n_chars AS DOUBLE) AS x
+           FROM documents WHERE doc_id < 250
+           UNION ALL
+           SELECT 'n_chars_shifted', CAST(n_chars AS DOUBLE)
+           FROM documents WHERE doc_id < 250
+         ), curl AS (
+           SELECT 'n_chars' AS c, CAST(n_chars AS DOUBLE) AS x
+           FROM documents WHERE doc_id >= 250
+           UNION ALL
+           SELECT 'n_chars_shifted', CAST(n_chars + 200 AS DOUBLE)
+           FROM documents WHERE doc_id >= 250
+         ), stats AS (
+           SELECT c, min(x) AS lo, max(x) AS hi, count(*) AS n_ref
+           FROM refl GROUP BY c
+         ), tot AS (
+           SELECT c, count(*) AS n_cur FROM curl GROUP BY c
+         ), pb AS (
+           SELECT r.c,
+                  CASE WHEN s.hi = s.lo THEN 0
+                       ELSE least(9, greatest(0,
+                         CAST(floor((r.x - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT)))
+                  END AS bin, count(*) AS n_p
+           FROM refl r JOIN stats s USING (c) GROUP BY 1, 2
+         ), qb AS (
+           SELECT r.c,
+                  CASE WHEN s.hi = s.lo THEN 0
+                       ELSE least(9, greatest(0,
+                         CAST(floor((r.x - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT)))
+                  END AS bin, count(*) AS n_q
+           FROM curl r JOIN stats s USING (c) GROUP BY 1, 2
+         ), j AS (
+           SELECT coalesce(pb.c, qb.c) AS c, coalesce(pb.bin, qb.bin) AS bin,
+                  coalesce(n_p, 0) AS n_p, coalesce(n_q, 0) AS n_q
+           FROM pb FULL OUTER JOIN qb ON pb.c = qb.c AND pb.bin = qb.bin
+         )
+         SELECT j.c AS "column",
+                round(sum((n_q / CAST(t.n_cur AS DOUBLE) - n_p / CAST(s.n_ref AS DOUBLE))
+                      * ln(greatest(n_q / CAST(t.n_cur AS DOUBLE), 1e-6)
+                           / greatest(n_p / CAST(s.n_ref AS DOUBLE), 1e-6))), 6) AS psi,
+                s.n_ref, t.n_cur AS n_current
+         FROM j JOIN stats s ON s.c = j.c JOIN tot t ON t.c = j.c
+         GROUP BY 1, s.n_ref, t.n_cur""",
     // q81's re-lining, the same planted boilerplate prefix, then the
     // anti-join + ordered rebuild restated relationally
     "q113_dedup_lines_against" ->

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.{ConfigException, RunContext, Transform}
+import graft.config.TransformConfig
+
+/**
+ * Distribution-drift monitoring between a current batch and a reference
+ * corpus — the Population Stability Index per numeric column, the
+ * standard "did this crawl/feed change shape since last month" gate
+ * (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 action). Bins are
+ * `bins` fixed-width intervals spanning the REFERENCE min/max (fixed-
+ * width, not quantile, so the bin arithmetic is exact double floor math —
+ * cross-engine reproducible — and out-of-range current values clamp into
+ * the edge bins, which is precisely where range drift should show up).
+ *
+ * PSI = Σ_bins (q_i − p_i) · ln(max(q_i, ε) / max(p_i, ε)) with p/q the
+ * reference/current bin proportions over NON-NULL values and ε guarding
+ * empty bins.
+ *
+ * Scale shape: all columns travel in ONE `stack` long-form pass per side
+ * (reference pays one extra min/max scan), so drift over C columns of a
+ * 100 TB batch costs 2 reference scans + 1 current scan, never C each;
+ * everything after the per-(column, bin) counts is column-count-sized.
+ * The stats frame is broadcast (C rows).
+ */
+object Drift {
+
+  def psi(current: DataFrame, ref: DataFrame, columns: Seq[String],
+          bins: Int = 10, epsilon: Double = 1e-6): DataFrame = {
+    require(columns.nonEmpty, "drift: no columns")
+    require(bins >= 2, s"drift: bins must be >= 2, got $bins")
+    require(epsilon > 0, s"drift: epsilon must be positive, got $epsilon")
+    def longForm(df: DataFrame): DataFrame = {
+      val missing = columns.filterNot(df.columns.contains)
+      require(missing.isEmpty, s"drift: columns not in frame: ${missing.mkString(", ")}")
+      val pairs = columns.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
+      df.selectExpr(s"stack(${columns.size}, $pairs) as (cname, x)")
+        .where("x is not null")
+    }
+    val stats = longForm(ref).groupBy("cname")
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+        count(lit(1)).as("n_ref"))
+    def binned(df: DataFrame): DataFrame =
+      longForm(df).join(broadcast(stats), Seq("cname"))
+        .withColumn("bin",
+          when(col("hi") === col("lo"), lit(0L)).otherwise(
+            least(lit(bins - 1L), greatest(lit(0L),
+              floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / bins))))))
+        .groupBy("cname", "bin").agg(count(lit(1)).as("n"))
+    val p = binned(ref).withColumnRenamed("n", "n_p")
+    val q = binned(current).withColumnRenamed("n", "n_q")
+    val totQ = longForm(current).groupBy("cname").agg(count(lit(1)).as("n_cur"))
+    p.join(q, Seq("cname", "bin"), "full_outer")
+      .na.fill(0L, Seq("n_p", "n_q"))
+      .join(broadcast(stats.select("cname", "n_ref")), Seq("cname"))
+      .join(broadcast(totQ), Seq("cname"))
+      .withColumn("pp", col("n_p").cast("double") / col("n_ref"))
+      .withColumn("qq", col("n_q").cast("double") / col("n_cur"))
+      .groupBy(col("cname").as("column"))
+      .agg(
+        round(sum((col("qq") - col("pp")) *
+          log(greatest(col("qq"), lit(epsilon)) / greatest(col("pp"), lit(epsilon)))), 6)
+          .as("psi"),
+        first(col("n_ref")).as("n_ref"),
+        first(col("n_cur")).as("n_current"))
+  }
+}
+
+/**
+ * `drift` — declarative wrapper over [[Drift.psi]].
+ *
+ * {{{
+ * - name: crawl-drift
+ *   type: drift
+ *   options: {columns: "n_chars, quality_score", referenceView: last_month,
+ *             bins: "10"}
+ * }}}
+ *
+ * `columns` and `referenceView` required; `bins` (10), `epsilon` (1e-6).
+ * One row per column: (column, psi, n_ref, n_current). Gate afterwards
+ * with `filter` (`psi > 0.25`) like any other signal.
+ */
+object DriftTransform extends Transform {
+  val transformType = "drift"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("columns").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty), "drift")
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "columns", "referenceView")
+    val cols = config.options("columns").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    try Drift.psi(input,
+      ctx.spark.table(config.options("referenceView")), cols,
+      bins = config.options.get("bins").map(_.toInt).getOrElse(10),
+      epsilon = config.options.get("epsilon").map(_.toDouble).getOrElse(1e-6))
+    catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+  }
+}

@@ -57,6 +57,7 @@ object Registries {
     ChunkTransform.transformType      -> ChunkTransform,
     ShardTransform.transformType      -> ShardTransform,
     PackSequencesTransform.transformType -> PackSequencesTransform,
+    DriftTransform.transformType      -> DriftTransform,
     ShuffleTransform.transformType    -> ShuffleTransform,
     SampleTransform.transformType     -> SampleTransform,
     MixTransform.transformType        -> MixTransform,

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.api.{ConfigException, RunContext}
+import graft.config.TransformConfig
+
+class DriftSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ctx = RunContext(spark, "t", "r")
+
+  test("identical distributions score zero; a shift scores positive") {
+    val ref = (1L to 1000L).map(i => (i, (i % 100).toDouble)).toDF("id", "v")
+    val same = ref
+    val zero = Drift.psi(same, ref, Seq("v")).collect().head
+    zero.getDouble(1) shouldBe 0.0
+    zero.getLong(2) shouldBe 1000L
+    zero.getLong(3) shouldBe 1000L
+    // shift the whole distribution up by half its range
+    val shifted = ref.selectExpr("id", "v + 50.0 AS v")
+    val d = Drift.psi(shifted, ref, Seq("v")).collect().head.getDouble(1)
+    d should be > 0.25
+  }
+
+  test("matches a hand-computed two-bin PSI") {
+    // ref: 8 low, 2 high → p = (0.8, 0.2); current: 5/5 → q = (0.5, 0.5)
+    val ref = ((1 to 8).map(_ => 0.0) ++ (1 to 2).map(_ => 10.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val cur = ((1 to 5).map(_ => 0.0) ++ (1 to 5).map(_ => 10.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Drift.psi(cur, ref, Seq("v"), bins = 2).collect().head.getDouble(1)
+    val expected = (0.5 - 0.8) * math.log(0.5 / 0.8) + (0.5 - 0.2) * math.log(0.5 / 0.2)
+    got shouldBe (math.rint(expected * 1e6) / 1e6) +- 1e-9
+  }
+
+  test("out-of-range current values clamp into edge bins; nulls excluded; " +
+    "degenerate constant reference is safe") {
+    val ref = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val cur = Seq((1L, -100.0), (2L, 100.0), (3L, 5.0), (4L, 5.0)).toDF("id", "v")
+    noException should be thrownBy Drift.psi(cur, ref, Seq("v")).collect()
+    val const = (1 to 5).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    val d = Drift.psi(const, const, Seq("v")).collect().head.getDouble(1)
+    d shouldBe 0.0
+    val withNulls = Seq((1L, Some(1.0)), (2L, None)).toDF("id", "v")
+    Drift.psi(withNulls, ref, Seq("v")).collect().head.getLong(3) shouldBe 1L
+  }
+
+  test("multiple columns in one pass; transform registered; errors fail fast") {
+    val ref = (1 to 100).map(i => (i.toLong, i.toDouble, (i % 10).toLong))
+      .toDF("id", "a", "b")
+    ref.createOrReplaceTempView("drift_ref")
+    val out = DriftTransform(ref, TransformConfig("t", "drift",
+      Map("columns" -> "a, b", "referenceView" -> "drift_ref")), ctx)
+    out.columns.toSeq shouldBe Seq("column", "psi", "n_ref", "n_current")
+    out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe
+      Map("a" -> 0.0, "b" -> 0.0)
+    an[ConfigException] should be thrownBy DriftTransform(ref,
+      TransformConfig("t", "drift",
+        Map("columns" -> "a", "referenceView" -> "drift_ref", "bins" -> "1")), ctx)
+    DriftTransform.validate(TransformConfig("t", "drift",
+      Map("columns" -> "nope", "referenceView" -> "drift_ref")),
+      ref.schema) should not be empty
+  }
+}
