@@ -932,6 +932,23 @@ object SparkEntry {
       graft.ann.Ann.lshTopK(emb, queries, "vec_id", "embedding", "query_id", 10,
         bits = 8, tables = 6)
     }),
+    // guaranteed-recall half of LSH ANN (the q107 pattern for vectors):
+    // an identical vector shares every table's bucket with its twin, so
+    // the query itself and its planted twin are ALWAYS candidates, tied
+    // at the float-maximal sim and ordered by the vec_id tie-break —
+    // ranks 1..2 are exactly (self, twin) for every query (max non-self
+    // cosine in this corpus is ≈0.4, nowhere near the tie)
+    "q115_ann_lsh_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      val queries = emb.where("vec_id < 5")
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ann.Ann.lshTopK(emb.unionByName(twins), queries,
+        "vec_id", "embedding", "query_id", 2, bits = 8, tables = 6)
+        .select("query_id", "vec_id", "rank")
+    }),
     "q33_ann_ivf" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val emb = tab(s, dir, "embeddings")
@@ -939,6 +956,21 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding"))
       graft.ann.Ann.ivfTopK(emb, queries, "vec_id", "embedding", "query_id", 10,
         nLists = 64, nProbe = 8)
+    }),
+    // the IVF twin of q115: identical vectors take identical centroid
+    // assignments, and a query always probes its own best list — self and
+    // twin are guaranteed candidates, tied at the float-max sim, vec_id
+    // tie-break → ranks 1..2 = (self, twin) exactly
+    "q116_ann_ivf_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      val queries = emb.where("vec_id < 5")
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ann.Ann.ivfTopK(emb.unionByName(twins), queries,
+        "vec_id", "embedding", "query_id", 2, nLists = 64, nProbe = 8)
+        .select("query_id", "vec_id", "rank")
     }),
     "q34_cube" -> ((s, dir) => ap(tab(s, dir, "orders"),
       t("aggregation",
@@ -2520,6 +2552,26 @@ object SparkEntry {
          )
          SELECT d.doc_id, coalesce(kept.text, '') AS text
          FROM documents d LEFT JOIN kept USING (doc_id)""",
+    // planted twins make LSH recall exact: rank 1 is the query itself,
+    // rank 2 its twin — pure arithmetic, no vector math needed
+    "q115_ann_lsh_exact" ->
+      """SELECT vec_id AS query_id, vec_id, 1 AS rank
+         FROM embeddings WHERE vec_id < 5
+         UNION ALL
+         SELECT vec_id AS query_id, vec_id + 2000000 AS vec_id, 2 AS rank
+         FROM embeddings WHERE vec_id < 5""",
+    "q116_ann_ivf_exact" ->
+      """SELECT vec_id AS query_id, vec_id, 1 AS rank
+         FROM embeddings WHERE vec_id < 5
+         UNION ALL
+         SELECT vec_id AS query_id, vec_id + 2000000 AS vec_id, 2 AS rank
+         FROM embeddings WHERE vec_id < 5""",
+    // the planted identical pairs are the ONLY pairs at threshold 0.95
+    // (max natural pair cosine in this corpus ≈ 0.51) and LSH finds every
+    // identical pair by construction — q30's emitted set is deterministic
+    "q30_embed_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS sim
+         FROM embeddings WHERE vec_id < 10""",
     // same fixed-width binning (floor over reference min/max), same PSI
     // term shape: (q-p) * ln(greatest(q,eps)/greatest(p,eps)), round 6
     "q114_drift" ->
