@@ -2572,6 +2572,13 @@ object SparkEntry {
     "q30_embed_neardup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS sim
          FROM embeddings WHERE vec_id < 10""",
+    // same determinism for the REMOVAL transform: greedy pair-drop removes
+    // exactly the higher-id planted twins, so the kept set is the original
+    // corpus. (The TEXT pipelines q26/q27/q36/q103 have no such oracle:
+    // the corpus holds natural shingle-Jaccard pairs up to ~0.99, whose
+    // LSH recall is genuinely probabilistic.)
+    "q41_dedup_embedding" ->
+      "SELECT vec_id FROM embeddings",
     // same fixed-width binning (floor over reference min/max), same PSI
     // term shape: (q-p) * ln(greatest(q,eps)/greatest(p,eps)), round 6
     "q114_drift" ->
