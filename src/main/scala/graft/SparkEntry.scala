@@ -2568,7 +2568,13 @@ object SparkEntry {
          FROM embeddings WHERE vec_id < 5""",
     // the planted identical pairs are the ONLY pairs at threshold 0.95
     // (max natural pair cosine in this corpus ≈ 0.51) and LSH finds every
-    // identical pair by construction — q30's emitted set is deterministic
+    // identical pair by construction — q30's emitted set is deterministic.
+    // Caveat the guarantee honestly: it also requires every twin's
+    // (table, bucket) cells to stay under maxBucketSize (1000); at the
+    // gate scales buckets hold a handful of vectors, orders of magnitude
+    // below the cap, so the oracle is safe — a corpus clustered enough to
+    // overflow 6 independent tables' buckets would need regeneration of
+    // this oracle, and would fail LOUDLY here, not silently
     "q30_embed_neardup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS sim
          FROM embeddings WHERE vec_id < 10""",

@@ -48,6 +48,13 @@ object LineDedup {
     val kept = lines.join(survivors, Seq("__ln"), "left")
       .where(col("__sid").isNull ||
         (col("__id") === col("__sid") && col("__pos") === col("__spos")))
+    rebuild(df, kept, idCol, textCol, separator)
+  }
+
+  /** Reassemble each document from its kept (__id, __pos, __ln) lines in
+    * original order; null texts stay null, fully-deduped docs become "". */
+  private def rebuild(df: DataFrame, kept: DataFrame, idCol: String,
+                      textCol: String, separator: String): DataFrame = {
     val rebuilt = kept.groupBy("__id").agg(
       array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__ln")))),
@@ -87,14 +94,7 @@ object LineDedup {
       .withColumn("__h",
         when(length(col("__ln")) >= minLength, sha2(col("__ln"), 256)))
       .join(refHashes, Seq("__h"), "left_anti")
-    val rebuilt = kept.groupBy("__id").agg(
-      array_join(transform(
-        array_sort(collect_list(struct(col("__pos"), col("__ln")))),
-        x => x.getField("__ln")), separator).as("__newtext"))
-    df.join(rebuilt, col(idCol) === col("__id"), "left")
-      .withColumn(textCol, when(col(textCol).isNull, lit(null).cast("string"))
-        .otherwise(coalesce(col("__newtext"), lit(""))))
-      .drop("__id", "__newtext")
+    rebuild(df, kept, idCol, textCol, separator)
   }
 
   /** WITHIN-document variant: keep each participating line's first
@@ -156,6 +156,9 @@ object LineDedupTransform extends Transform {
           config.options("idColumn"), config.options("textColumn"),
           separator = separator, minLength = minLength)
       case "document" =>
+        if (config.options.contains("referenceView")) throw new ConfigException(
+          "dedup_lines: referenceView requires scope: corpus (document scope " +
+            "dedups within each row only — it never consults a reference)")
         required(config, "textColumn")
         LineDedup.dedupLinesInDoc(input, config.options("textColumn"),
           separator = separator, minLength = minLength)

@@ -23,8 +23,11 @@ import graft.config.TransformConfig
  * Scale shape: all columns travel in ONE `stack` long-form pass per side
  * (reference pays one extra min/max scan), so drift over C columns of a
  * 100 TB batch costs 2 reference scans + 1 current scan, never C each;
- * everything after the per-(column, bin) counts is column-count-sized.
- * The stats frame is broadcast (C rows).
+ * everything after the per-(column, bin) counts — including `n_current`,
+ * derived from those counts — is column-count-sized. The stats frame is
+ * broadcast (C rows). A column with zero non-null values on either side
+ * reports a visible (column, NULL psi, 0 count) row rather than
+ * vanishing — gate with `psi IS NULL OR psi > t`.
  */
 object Drift {
 
@@ -52,20 +55,34 @@ object Drift {
         .groupBy("cname", "bin").agg(count(lit(1)).as("n"))
     val p = binned(ref).withColumnRenamed("n", "n_p")
     val q = binned(current).withColumnRenamed("n", "n_q")
-    val totQ = longForm(current).groupBy("cname").agg(count(lit(1)).as("n_cur"))
-    p.join(q, Seq("cname", "bin"), "full_outer")
+    // n_current derives from the already-binned counts — no second scan
+    // of the current frame
+    val totQ = q.groupBy("cname").agg(sum(col("n_q")).as("n_cur"))
+    val psiPerCol = p.join(q, Seq("cname", "bin"), "full_outer")
       .na.fill(0L, Seq("n_p", "n_q"))
-      .join(broadcast(stats.select("cname", "n_ref")), Seq("cname"))
-      .join(broadcast(totQ), Seq("cname"))
+      .join(stats.select("cname", "n_ref"), Seq("cname"))
+      .join(totQ, Seq("cname"))
       .withColumn("pp", col("n_p").cast("double") / col("n_ref"))
       .withColumn("qq", col("n_q").cast("double") / col("n_cur"))
-      .groupBy(col("cname").as("column"))
-      .agg(
-        round(sum((col("qq") - col("pp")) *
-          log(greatest(col("qq"), lit(epsilon)) / greatest(col("pp"), lit(epsilon)))), 6)
-          .as("psi"),
-        first(col("n_ref")).as("n_ref"),
-        first(col("n_cur")).as("n_current"))
+      .groupBy("cname")
+      .agg(round(sum((col("qq") - col("pp")) *
+        log(greatest(col("qq"), lit(epsilon)) / greatest(col("pp"), lit(epsilon)))), 6)
+        .as("psi"))
+    // seed with EVERY requested column: a side with zero non-null values
+    // must surface as a visible (column, null psi, 0 count) row — the
+    // schema-break case a drift monitor exists for — never vanish from
+    // the report. Gate with `psi IS NULL OR psi > t`.
+    val sp = current.sparkSession
+    import sp.implicits._
+    columns.toDF("cname")
+      .join(broadcast(stats.select("cname", "n_ref")), Seq("cname"), "left")
+      .join(broadcast(totQ), Seq("cname"), "left")
+      .join(psiPerCol, Seq("cname"), "left")
+      .select(col("cname").as("column"),
+        when(col("n_ref").isNull || col("n_cur").isNull, lit(null).cast("double"))
+          .otherwise(col("psi")).as("psi"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_current"))
   }
 }
 

@@ -82,8 +82,9 @@ object PackSequences {
                   groupCols: Seq[String] = Nil): DataFrame = {
     val spans = packGrouped(df, idCol, weightCol, groupCols, seqLen, numPartitions)
     spans
-      .withColumn("__piece", expr(
-        s"substring($textCol, cast(tok_start + 1 AS int), cast(tok_end - tok_start AS int))"))
+      .withColumn("__piece", col(textCol).substr(
+        (col("tok_start") + 1).cast("int"),
+        (col("tok_end") - col("tok_start")).cast("int")))
       .groupBy((groupCols :+ "seq_id").map(col): _*)
       .agg(
         array_join(transform(

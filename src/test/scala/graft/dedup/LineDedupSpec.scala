@@ -103,6 +103,14 @@ class LineDedupSpec extends SparkTestBase {
     out(1L) shouldBe "zz\nbbbb"
   }
 
+  test("document scope rejects referenceView instead of silently ignoring it") {
+    val d = Seq((1L, "a\nb")).toDF("doc_id", "text")
+    an[graft.api.ConfigException] should be thrownBy LineDedupTransform(d,
+      TransformConfig("t", "dedup_lines",
+        Map("textColumn" -> "text", "scope" -> "document",
+          "referenceView" -> "whatever")), ctx)
+  }
+
   test("document scope: minLength exempts short lines from participating") {
     val d = Seq((1L, "ok\nlong line here\nok\nlong line here\nok")).toDF("doc_id", "text")
     val out = LineDedup.dedupLinesInDoc(d, "text", minLength = 5)

@@ -45,6 +45,23 @@ class DriftSpec extends SparkTestBase {
     Drift.psi(withNulls, ref, Seq("v")).collect().head.getLong(3) shouldBe 1L
   }
 
+  test("an all-null side surfaces as a visible null-psi row, never vanishes") {
+    val ref = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val allNull = Seq((1L, Option.empty[Double]), (2L, None)).toDF("id", "v")
+    // current side empty of non-null values: the drift monitor's own
+    // failure case — must be a loud row, not an absent one
+    val row = Drift.psi(allNull, ref, Seq("v")).collect()
+    row.length shouldBe 1
+    row.head.isNullAt(1) shouldBe true          // psi undefined
+    row.head.getLong(2) shouldBe 10L            // n_ref
+    row.head.getLong(3) shouldBe 0L             // n_current
+    // reference side all-null likewise
+    val row2 = Drift.psi(ref, allNull, Seq("v")).collect()
+    row2.length shouldBe 1
+    row2.head.isNullAt(1) shouldBe true
+    row2.head.getLong(2) shouldBe 0L
+  }
+
   test("multiple columns in one pass; transform registered; errors fail fast") {
     val ref = (1 to 100).map(i => (i.toLong, i.toDouble, (i % 10).toLong))
       .toDF("id", "a", "b")
