@@ -4,8 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one untimed warmup pass (JIT + codegen + parquet footer
   * caches), then `SPARK_GRAFT_BENCH_RUNS` (default 2) timed passes over every
-  * SparkEntry query, reporting the per-query MINIMUM. Prints ONE JSON line
-  * for the driver.
+  * SparkEntry query, reporting the per-query MINIMUM.
   *
   * Min-of-N exists because four consecutive driver rounds showed identical
   * code swinging 3-6× on sub-second queries (e.g. a 6-row groupBy at 0.24 s
@@ -15,7 +14,22 @@ import org.apache.spark.sql.SparkSession
   * Failures are LOUD: a query whose body throws in ANY timed pass is scored
   * `-1` (never its time-to-throw — round 7 had 15 broken queries "improve"
   * to ~0.05 s that way), is excluded from the total, and is listed under a
-  * `"failed"` key in both JSON lines. */
+  * `"failed"` key in both JSON lines.
+  *
+  * Output is deliberately REDUNDANT, because the round driver's stdout
+  * capture has truncated the report two rounds in a row (r7: tail window
+  * missed the totals; r8: capture cut mid-line inside the big per-query
+  * JSON, `parsed: null`). Defense in depth, in print order:
+  *   1. the compact totals JSON line FIRST (survives any head-bounded
+  *      capture),
+  *   2. one short `#bench <query> <sec> cum=<sec>` line per query (any
+  *      window of the stream ends in complete, parseable lines and carries
+  *      a running total),
+  *   3. the big one-line JSON with the full per-query map,
+  *   4. the compact totals line AGAIN (survives any tail-bounded capture).
+  * Additionally the full report is written to `bench_out/bench.json`
+  * (override dir with `SPARK_GRAFT_BENCH_OUT`) — a file artifact the way
+  * `Verify` writes `_failed.json`, immune to stdout capture entirely. */
 object Bench {
   /** Timed passes over `queries`. Returns (name → min seconds, -1 for any
     * query that threw) in sorted-name order. Factored out of main so a spec
@@ -47,27 +61,54 @@ object Bench {
     }
   }
 
+  private def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+
   /** The two stdout JSON lines (big per-query line, compact totals line). */
   def render(results: List[(String, Double)], sfDir: String): (String, String) = {
-    def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val (ok, bad) = results.partition(_._2 >= 0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    // queries first, total LAST: the round driver captures a bounded TAIL
-    // of stdout, so at 100+ queries the head of this line gets truncated —
-    // r6 lost "value" that way. The compact second line is guaranteed inside
-    // any tail window and parseable on its own even if the big line is cut.
+    // queries first, total LAST in the big line: if a bounded capture cuts
+    // it, the head (query names) is the recoverable part and the totals
+    // live in the compact line anyway
     val big = s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","value":${fmt(total)}}"""
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${bad.size},"failed":$failed,"sf":"$sfDir"}"""
     (big, compact)
   }
 
+  /** One short non-JSON line per query with a running cumulative total:
+    * `#bench q1_agg 0.1234 cum=0.1234` (failed queries print `FAILED`).
+    * Any contiguous window of these lines is complete and regex-parseable,
+    * and its last line carries the total-so-far — no single long line to
+    * cut. Prefixed `#bench` so a driver looking for "the JSON line" never
+    * mistakes one of these for the report. */
+  def perQueryLines(results: List[(String, Double)]): List[String] = {
+    var cum = 0.0
+    results.map { case (name, sec) =>
+      if (sec < 0) s"#bench $name FAILED cum=${fmt(cum)}"
+      else { cum += sec; s"#bench $name ${fmt(sec)} cum=${fmt(cum)}" }
+    }
+  }
+
+  /** Write the full report to `<outDir>/bench.json` — the stdout-immune
+    * artifact. Best-effort: a filesystem problem must not fail the bench. */
+  def writeArtifact(outDir: String, big: String): Unit =
+    try {
+      val dir = java.nio.file.Paths.get(outDir)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench.json"),
+        (big + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench artifact write failed: ${e.getMessage}")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -76,9 +117,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (big, compact) = render(measure(spark, SparkEntry.queries, sfDir, runs), sfDir)
+    val results = measure(spark, SparkEntry.queries, sfDir, runs)
+    val (big, compact) = render(results, sfDir)
+    writeArtifact(outDir, big)
+    println(compact)                      // head-bounded capture keeps this
+    perQueryLines(results).foreach(println)
     println(big)
-    println(compact)
+    println(compact)                      // tail-bounded capture keeps this
+    Console.out.flush()
     spark.stop()
   }
 }

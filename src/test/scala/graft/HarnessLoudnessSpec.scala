@@ -55,4 +55,24 @@ class HarnessLoudnessSpec extends SparkTestBase {
     big should include(""""failed":[]""")
     compact should include(""""n_failed":0""")
   }
+
+  test("Bench per-query lines are short, complete, and carry a running total") {
+    val lines = Bench.perQueryLines(
+      List("q_a" -> 0.25, "q_bad" -> -1.0, "q_c" -> 0.5))
+    lines shouldBe List(
+      "#bench q_a 0.2500 cum=0.2500",
+      "#bench q_bad FAILED cum=0.2500",   // failures never pollute the total
+      "#bench q_c 0.5000 cum=0.7500")
+    // any tail window of the stream ends in a complete line whose cum=<total>
+    lines.last should endWith("cum=0.7500")
+  }
+
+  test("Bench writes the full report to a file artifact") {
+    val out = tmpDir("benchout")
+    val (big, _) = Bench.render(List("good_q" -> 0.5), "sfX")
+    Bench.writeArtifact(out, big)
+    val onDisk = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/bench.json")).trim
+    onDisk shouldBe big
+  }
 }
