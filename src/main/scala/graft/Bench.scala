@@ -117,7 +117,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = measure(spark, SparkEntry.queries, sfDir, runs)
+    // dev-loop aid: SPARK_GRAFT_BENCH_ONLY=q88_dedup_semantic,q8_join_inner
+    // times just those queries (full registry when unset — the driver path)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    val results = measure(spark, queries, sfDir, runs)
     val (big, compact) = render(results, sfDir)
     writeArtifact(outDir, big)
     println(compact)                      // head-bounded capture keeps this

@@ -171,14 +171,20 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int, nLists: Int = 64, nProbe: Int = 8,
-              kmeansIters: Int = 0): DataFrame = {
-    val sampled = sampledCodebook(corpus, idCol, vecCol, nLists)
+              kmeansIters: Int = 0,
+              refineSampleSize: Int = DefaultRefineSample): DataFrame = {
+    // ONE sampling pass covers both the codebook init and (when refining)
+    // the Lloyd sample: the first nLists rows of the larger hash-ordered
+    // sample ARE exactly the nLists-row codebook (same ordering, same scan)
+    val sampleN = if (kmeansIters > 0) math.max(nLists, refineSampleSize) else nLists
+    val sample = sampledCodebook(corpus, idCol, vecCol, sampleN)
+    val sampled = sample.take(nLists)
     // degenerate corpora (0 or 1 vectors): no codebook to probe — brute
     // force IS the IVF plan with one list, and it handles empty inputs
     if (sampled.length <= 1)
       return bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
     val centroids =
-      if (kmeansIters > 0) refineCentroids(corpus, vecCol, sampled, kmeansIters)
+      if (kmeansIters > 0) refineCentroids(sample, sampled, kmeansIters)
       else sampled
 
     // one fused plan node per side — the codebook rides as a reference
@@ -230,47 +236,74 @@ object Ann {
       .select(col(vecCol).cast("array<float>")).collect()
       .map(_.getSeq[Float](0).toArray)
 
+  /** Default Lloyd-refinement sample size: bounds driver memory at
+    * sample·dim floats (16384 × 1024-dim ≈ 67 MB worst case, 4 MB at the
+    * typical 64-dim) while staying a superset of any test-scale corpus. */
+  val DefaultRefineSample: Int = 16384
+
   /**
    * Spherical k-means (Lloyd) refinement of an IVF codebook: per round,
-   * assign every vector to its cosine-nearest centroid and replace each
-   * centroid with its members' normalized mean. Tightens the hash-sampled
-   * codebook so IVF lists actually follow the corpus density (higher
-   * recall at the same nProbe).
+   * assign every sampled vector to its cosine-nearest centroid and replace
+   * each centroid with its members' normalized mean. Tightens the
+   * hash-sampled codebook so IVF lists actually follow the corpus density
+   * (higher recall at the same nProbe).
    *
-   * Scale shape per round: centroid assignment is the fused zero-shuffle
-   * [[graft.functions.expressions.ArgTopCentroids]] projection; the mean
-   * update is ONE hash aggregation keyed on (list, dim) whose map-side
-   * partials collapse each partition to nLists×dim rows — the shuffle and
-   * the driver collect carry O(nLists·dim) data regardless of corpus size.
-   * Empty lists keep their previous centroid (no NaNs, codebook size
-   * stable). Deterministic end to end: hash-sampled init, left-to-right
-   * double sums in the aggregate, no RNG.
+   * Scale shape: ONE bounded TakeOrdered pass collects a deterministic
+   * hash-ordered sample of `refineSampleSize` vectors (map-side partial
+   * top-N — O(sample·dim) driver memory, documented above), and every
+   * Lloyd round runs LOCALLY over that sample. The previous shape ran each
+   * round as a full distributed corpus scan (assignment projection +
+   * (list,dim)-keyed aggregation + collect) — iters extra corpus scans
+   * that at 100 TB would re-read the whole corpus per round to improve a
+   * codebook a bounded sample estimates just as well (mini-batch k-means,
+   * Sculley 2010). Empty lists keep their previous centroid (no NaNs,
+   * codebook size stable). Deterministic end to end: hash-ordered sample,
+   * left-to-right double sums, lower-id tie-break identical to
+   * [[graft.functions.expressions.ArgTopCentroids]] — no RNG.
    */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      nLists: Int, iters: Int): Array[Array[Float]] = {
-    val base = sampledCodebook(corpus, idCol, vecCol, nLists)
+                      nLists: Int, iters: Int,
+                      refineSampleSize: Int = DefaultRefineSample): Array[Array[Float]] = {
+    val sampleN = if (iters > 0) math.max(nLists, refineSampleSize) else nLists
+    val sample = sampledCodebook(corpus, idCol, vecCol, sampleN)
+    val base = sample.take(nLists)
     if (base.length <= 1 || iters <= 0) base
-    else refineCentroids(corpus, vecCol, base, iters)
+    else refineCentroids(sample, base, iters)
   }
 
-  private def refineCentroids(corpus: DataFrame, vecCol: String,
+  /** Driver-local Lloyd rounds over the collected sample. Per-centroid
+    * cosine uses the same fused loop and (sim DESC, id ASC) tie-break as
+    * [[graft.functions.expressions.ArgTopCentroids]], so local refinement
+    * assigns exactly as the distributed projection would. */
+  private def refineCentroids(sample: Array[Array[Float]],
                               init: Array[Array[Float]], iters: Int): Array[Array[Float]] = {
-    import graft.functions.expressions.ArgTopCentroids
     var cents = init
     for (_ <- 1 to iters) {
-      val stats = corpus
-        .select(ArgTopCentroids(col(vecCol), cents, 1).getItem(0).as("list_id"),
-          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
-        .groupBy("list_id", "pos")
-        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-        .collect()
       val dim = cents(0).length
       val acc = Array.fill(cents.length)(new Array[Double](dim))
       val cnt = new Array[Long](cents.length)
-      stats.foreach { r =>
-        val l = r.getInt(0)
-        acc(l)(r.getInt(1)) = r.getDouble(2)
-        cnt(l) = r.getLong(3)
+      sample.foreach { v =>
+        var best = -1
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cv = cents(c)
+          val n = math.min(v.length, cv.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < n) {
+            val x = v(i).toDouble; val y = cv(i).toDouble
+            dot += x * y; na += x * x; nb += y * y
+            i += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          val sim = if (denom == 0.0) 0.0 else dot / denom
+          if (sim > bestSim) { best = c; bestSim = sim }
+          c += 1
+        }
+        val n = math.min(v.length, dim)
+        var i = 0
+        while (i < n) { acc(best)(i) += v(i); i += 1 }
+        cnt(best) += 1
       }
       cents = cents.indices.map { l =>
         if (cnt(l) == 0L) cents(l)
@@ -338,8 +371,8 @@ object Ann {
    * in embedding space but hash apart.
    *
    * Scale shape: the codebook is O(nClusters·dim) on the driver
-   * ([[kmeansCentroids]] — hash-sampled init, per-round (list,dim)
-   * aggregation); assignment is the fused zero-shuffle ArgTopCentroids
+   * ([[kmeansCentroids]] — hash-sampled init, driver-local Lloyd over a
+   * bounded sample); assignment is the fused zero-shuffle ArgTopCentroids
    * projection into a SLIM (cluster_id, doc_id) frame — vectors never
    * enter the self-join shuffle; clusters above `maxClusterSize` are
    * dropped from pairing BEFORE the join (a mega-cluster means the

@@ -29,8 +29,8 @@ import graft.config.TransformConfig
  *
  * Scale shape (inherited from [[graft.ann.Ann.kmeansCentroids]]): the
  * codebook is O(nClusters·dim) on the driver — hash-sampled deterministic
- * init, per-round (list, dim) aggregation whose shuffle is
- * corpus-size-independent; assignment is the fused zero-shuffle
+ * init, driver-local Lloyd rounds over one bounded hash-sample pass;
+ * assignment is the fused zero-shuffle
  * ArgTopCentroids projection, and the optional similarity reuses the
  * same broadcast codebook via a centroid-array literal lookup. No row of
  * the corpus is ever shuffled.

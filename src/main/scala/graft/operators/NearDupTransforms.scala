@@ -147,8 +147,10 @@ object EmbeddingDedupTransform extends NearDupTransform {
   * bucketing (`dedup_embedding`) hashes apart; shares the capped-block
   * scale shape (slim assignment frame, no vectors in the self-join, no
   * uncapped cells). The k-means codebook adds O(nClusters·dim) driver
-  * state and `kmeansIters` extra corpus scans at plan time — a documented
-  * exception to the no-action transform rule, like survivor=cluster. */
+  * state and ONE bounded sampling pass at plan time (Lloyd rounds run
+  * driver-local over the hash-sample — no per-round corpus scans) — a
+  * documented exception to the no-action transform rule, like
+  * survivor=cluster. */
 object SemanticDedupTransform extends NearDupTransform {
   val transformType = "dedup_semantic"
   override protected def contentOption: String = "vecColumn"
