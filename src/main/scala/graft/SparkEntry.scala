@@ -41,6 +41,21 @@ object SparkEntry {
       tmp
     })
 
+  /** Persisted MinHash signature store for q117, memoized per source dir:
+    * run-N scaffolding (the store normally comes from yesterday's
+    * minhash_signatures pipeline) — q117 itself reads ONLY this parquet,
+    * never the reference text. */
+  private val q117StoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedSignatureStore(s: SparkSession, dir: String): String =
+    q117StoreDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("q117sig").toString
+      graft.dedup.Dedup.minhashSignatures(
+          tab(s, d, "documents").where("doc_id < 100"), "doc_id", "text")
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   /** Drain a streaming frame into a memory table (append, availableNow):
     * unique query name, temp checkpoint, state-store partition count
     * scoped to the query and restored after. awaitTermination's result is
@@ -732,6 +747,23 @@ object SparkEntry {
       ap(docs.where(col("doc_id") >= 100).unionByName(copies),
         t("dedup_minhash", "idColumn" -> "doc_id", "textColumn" -> "text",
           "referenceView" -> "q107_reference", "threshold" -> "1.0"))
+        .select("doc_id", "source")
+    }),
+    // q107's semantics routed through the PERSISTED signature store: the
+    // reference (doc_id < 100) is materialized once as (doc_id, sh, sig)
+    // parquet and the dedup reads ONLY that — same deterministic
+    // threshold-1.0 guarantee, so the same shingle-set-equality oracle,
+    // proving store-backed incremental dedup end-to-end against DuckDB
+    "q117_minhash_store_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = tab(s, dir, "documents")
+      s.read.parquet(stagedSignatureStore(s, dir))
+        .createOrReplaceTempView("q117_signatures")
+      val copies = docs.where(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 800000L)
+      ap(docs.where(col("doc_id") >= 100).unionByName(copies),
+        t("dedup_minhash", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "signatureView" -> "q117_signatures", "threshold" -> "1.0"))
         .select("doc_id", "source")
     }),
     // the same deterministic guarantee for SELF minhash dedup (q26's
@@ -1724,6 +1756,36 @@ object SparkEntry {
     // at threshold 1.0 the minhash path drops exactly the increment docs
     // whose shingle set equals some reference doc's
     "q107_minhash_incr_exact" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
+                              x -> x <> '') AS toks, text
+           FROM documents
+         ), s AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(toks) < 3
+                       THEN [array_to_string(toks, chr(31))]
+                       ELSE list_distinct([array_to_string(toks[i:i+2], chr(31))
+                                           FOR i IN range(1, len(toks) - 1)])
+                  END AS sh
+           FROM t
+         ), fp AS (
+           SELECT doc_id, source, array_to_string(list_sort(sh), chr(30)) AS fp
+           FROM s
+         ), refs AS (
+           SELECT DISTINCT fp FROM fp WHERE doc_id < 100
+         ), inc AS (
+           SELECT doc_id, source, fp FROM fp WHERE doc_id >= 100
+           UNION ALL
+           SELECT doc_id + 800000 AS doc_id, source, fp FROM fp WHERE doc_id < 30
+         )
+         SELECT doc_id, source FROM inc
+         WHERE fp NOT IN (SELECT fp FROM refs)""",
+    // store-backed incremental minhash has IDENTICAL semantics to q107 —
+    // the signature store changes where the reference's (sh, sig) come
+    // from, not what matches — so the oracle is the same shingle-set
+    // equality statement
+    "q117_minhash_store_exact" ->
       """WITH t AS (
            SELECT doc_id, source,
                   list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),

@@ -95,25 +95,12 @@ object Dedup {
     // corpus-sized exchange exists anywhere in the pipeline (the replaced
     // explode + hash-aggregate shape shuffled every document's partial
     // state — in effect the whole hashed corpus — before any blocking).
-    val shc = graft.functions.expressions.ShingleHashes(col(textCol), shingleSize)
-    val sigd = df.select(col(idCol).as("doc_id"), shc.as("sh"),
-      graft.functions.expressions.MinHashFromHashes(shc, k).as("sig"))
+    val sigd = sigFrame(df, idCol, textCol, k, shingleSize)
 
     // stage 2: band explode on a SLIM (doc_id, band, bh) frame — the heavy
-    // shingle arrays never enter the bands×rows shuffle
-    val banded = sigd.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bh"))))
-        .as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-
-    // cap pathological buckets (boilerplate/empty docs) before the self-join
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .select("doc_id", "band", "bh")
+    // shingle arrays never enter the bands×rows shuffle — with pathological
+    // buckets (boilerplate/empty docs) capped before the self-join
+    val bucketed = cappedBands(sigd, bands, rowsPerBand, maxBucketSize)
 
     val candidates = bucketed.select(col("band"), col("bh"), col("doc_id").as("id_a"))
       .join(bucketed.select(col("band"), col("bh"), col("doc_id").as("id_b")), Seq("band", "bh"))
@@ -144,39 +131,114 @@ object Dedup {
    * candidates only — but the band join is increment × reference instead
    * of a self-join, so the quadratic surface is bounded by bucket overlap
    * BETWEEN the sides. Both sides band-hash with the identical expression
-   * tree, so buckets align by construction. At production scale the
-   * reference's (doc_id, band, bh) frame and shingle sets are the natural
-   * thing to persist between runs; here they are recomputed from
-   * `refTextCol` (documented cost: one scan of the reference per run).
+   * tree, so buckets align by construction. Here the reference signatures
+   * are recomputed from `refTextCol` (one scan of the reference per run);
+   * for the daily-increment loop persist them once with
+   * [[minhashSignatures]] and match with
+   * [[minhashNearDupsAgainstSignatures]] — the store never re-reads text.
    */
   def minhashNearDupsAgainst(
       df: DataFrame, ref: DataFrame, idCol: String, textCol: String,
       refIdCol: String, refTextCol: String,
       bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame =
+    minhashAgainstCore(
+      sigFrame(df, idCol, textCol, bands * rowsPerBand, shingleSize),
+      sigFrame(ref, refIdCol, refTextCol, bands * rowsPerBand, shingleSize),
+      bands, rowsPerBand, threshold, maxBucketSize)
+
+  /**
+   * Persistable MinHash signature store for a corpus: one row per document
+   * with the shingle-hash set (`sh`, exact-Jaccard verification input), the
+   * k-min signature (`sig`, band/bucket input) and the parameters they were
+   * computed with (`mh_bands`/`mh_rows_per_band`/`mh_shingle` — RLE'd to
+   * ~nothing in parquet, and [[minhashNearDupsAgainstSignatures]] fails
+   * fast on a parameter mismatch instead of silently missing every
+   * bucket). Write this frame to parquet after each corpus build; the next
+   * increment then dedups against signatures alone — the store carries NO
+   * text, so run N+1 never re-scans (or re-ships) yesterday's corpus.
+   * Computing it is a ZERO-shuffle per-row projection.
+   */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 16, rowsPerBand: Int = 4,
+                        shingleSize: Int = 3): DataFrame =
+    sigFrame(df, idCol, textCol, bands * rowsPerBand, shingleSize)
+      .withColumn("mh_bands", lit(bands))
+      .withColumn("mh_rows_per_band", lit(rowsPerBand))
+      .withColumn("mh_shingle", lit(shingleSize))
+
+  /**
+   * Incremental MinHash near-dup against a PERSISTED signature store (the
+   * [[minhashSignatures]] layout): same output as
+   * [[minhashNearDupsAgainst]], but the reference side reads (doc_id, sh,
+   * sig) — at 100 TB this is the difference between re-scanning all of
+   * history's text per increment and reading a slim signature parquet.
+   * Fails fast if the store is missing columns or was written with
+   * different bands/rowsPerBand/shingleSize than requested (mismatched
+   * parameters would hash to disjoint buckets and silently report zero
+   * duplicates — the worst failure mode for a dedup gate).
+   */
+  def minhashNearDupsAgainstSignatures(
+      df: DataFrame, sigStore: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
-    val k = bands * rowsPerBand
-    def signatures(d: DataFrame, id: String, text: String): DataFrame = {
-      val shc = graft.functions.expressions.ShingleHashes(col(text), shingleSize)
-      d.select(col(id).as("doc_id"), shc.as("sh"),
-        graft.functions.expressions.MinHashFromHashes(shc, k).as("sig"))
+    val missing = Seq("doc_id", "sh", "sig").filterNot(sigStore.columns.contains)
+    if (missing.nonEmpty) throw new graft.api.ConfigException(
+      s"minhash signature store is missing column(s) ${missing.mkString(", ")} — " +
+        "expected the minhashSignatures layout (doc_id, sh, sig, mh_*)")
+    if (sigStore.columns.contains("mh_bands")) {
+      // one row-group-scale job; a param mismatch here means every bucket
+      // would miss, so the cost buys away a silent-zero-duplicates run
+      sigStore.select("mh_bands", "mh_rows_per_band", "mh_shingle")
+        .head(1).foreach { r =>
+          val (b, rp, sz) = (r.getInt(0), r.getInt(1), r.getInt(2))
+          if (b != bands || rp != rowsPerBand || sz != shingleSize)
+            throw new graft.api.ConfigException(
+              s"minhash signature store was written with bands=$b, " +
+                s"rowsPerBand=$rp, shingleSize=$sz but this run requests " +
+                s"bands=$bands, rowsPerBand=$rowsPerBand, shingleSize=$shingleSize — " +
+                "matching would silently find zero duplicates; rebuild the " +
+                "store or align the parameters")
+        }
     }
-    def bandFrame(sigd: DataFrame): DataFrame = sigd.select(
+    minhashAgainstCore(
+      sigFrame(df, idCol, textCol, bands * rowsPerBand, shingleSize),
+      sigStore.select("doc_id", "sh", "sig"),
+      bands, rowsPerBand, threshold, maxBucketSize)
+  }
+
+  /** Zero-shuffle (doc_id, sh, sig) projection both minhash paths share. */
+  private def sigFrame(d: DataFrame, id: String, text: String,
+                       k: Int, shingleSize: Int): DataFrame = {
+    val shc = graft.functions.expressions.ShingleHashes(col(text), shingleSize)
+    d.select(col(id).as("doc_id"), shc.as("sh"),
+      graft.functions.expressions.MinHashFromHashes(shc, k).as("sig"))
+  }
+
+  /** Slim (doc_id, band, bh) frame + mega-bucket cap. */
+  private def cappedBands(sigd: DataFrame, bands: Int, rowsPerBand: Int,
+                          maxBucketSize: Int): DataFrame =
+    sigd.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bh"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-    def capped(banded: DataFrame): DataFrame = banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
       .filter(col("bucket_n") <= maxBucketSize)
       .select("doc_id", "band", "bh")
 
-    val incSig = signatures(df, idCol, textCol)
-    val refSig = signatures(ref, refIdCol, refTextCol)
-    val candidates = capped(bandFrame(incSig)).select(col("band"), col("bh"), col("doc_id").as("id"))
-      .join(capped(bandFrame(refSig)).select(col("band"), col("bh"), col("doc_id").as("ref_id")),
+  /** Stages 2–3 of the increment×reference match: band-bucket join for
+    * candidates, exact Jaccard over shingle-hash sets for verification. */
+  private def minhashAgainstCore(incSig: DataFrame, refSig: DataFrame,
+                                 bands: Int, rowsPerBand: Int,
+                                 threshold: Double, maxBucketSize: Int): DataFrame = {
+    val candidates = cappedBands(incSig, bands, rowsPerBand, maxBucketSize)
+      .select(col("band"), col("bh"), col("doc_id").as("id"))
+      .join(cappedBands(refSig, bands, rowsPerBand, maxBucketSize)
+        .select(col("band"), col("bh"), col("doc_id").as("ref_id")),
         Seq("band", "bh"))
       .select("id", "ref_id").dropDuplicates("id", "ref_id")
 

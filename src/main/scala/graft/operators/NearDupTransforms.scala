@@ -76,8 +76,13 @@ abstract class NearDupTransform extends Transform {
   * `referenceTextColumn`), switches to INCREMENTAL mode
   * ([[Dedup.minhashNearDupsAgainst]]): drop input rows near-duplicate to
   * the named reference corpus instead of to each other — the fuzzy
-  * counterpart of `dedup_against`. `survivor` does not apply there (the
-  * reference always survives; it is not part of the frame). */
+  * counterpart of `dedup_against`. With `signatureView` instead, the
+  * reference is a PERSISTED signature store (the [[Dedup.minhashSignatures]]
+  * layout, typically yesterday's `minhash_signatures` output re-loaded
+  * from parquet) — the increment dedups without ever re-scanning the
+  * reference corpus's text. `survivor` does not apply in either
+  * incremental mode (the reference always survives; it is not part of
+  * the frame). */
 object MinhashDedupTransform extends NearDupTransform {
   val transformType = "dedup_minhash"
   protected def pairs(input: DataFrame, id: String, text: String,
@@ -91,9 +96,13 @@ object MinhashDedupTransform extends NearDupTransform {
 
   override def apply(input: DataFrame, config: TransformConfig,
                      ctx: RunContext): DataFrame =
-    config.options.get("referenceView") match {
-      case None => super.apply(input, config, ctx)
-      case Some(view) =>
+    (config.options.get("referenceView"), config.options.get("signatureView")) match {
+      case (None, None) => super.apply(input, config, ctx)
+      case (Some(_), Some(_)) => throw new graft.api.ConfigException(
+        "dedup_minhash: referenceView and signatureView are mutually " +
+          "exclusive — the reference is either a text corpus or a " +
+          "precomputed signature store, not both")
+      case (Some(view), None) =>
         required(config, "idColumn", "textColumn")
         val id = config.options("idColumn")
         val text = config.options("textColumn")
@@ -108,7 +117,45 @@ object MinhashDedupTransform extends NearDupTransform {
             maxBucketSize = intOpt(config, "maxBucketSize", 1000))
           .select(col("id").as(id)).distinct()
         input.join(hits, Seq(id), "left_anti")
+      case (None, Some(view)) =>
+        required(config, "idColumn", "textColumn")
+        val id = config.options("idColumn")
+        val text = config.options("textColumn")
+        val hits = Dedup.minhashNearDupsAgainstSignatures(
+            input, ctx.spark.table(view), id, text,
+            bands = intOpt(config, "bands", 16),
+            rowsPerBand = intOpt(config, "rowsPerBand", 4),
+            shingleSize = intOpt(config, "shingleSize", 3),
+            threshold = doubleOpt(config, "threshold", 0.5),
+            maxBucketSize = intOpt(config, "maxBucketSize", 1000))
+          .select(col("id").as(id)).distinct()
+        input.join(hits, Seq(id), "left_anti")
     }
+}
+
+/** Producer half of the persisted-signature loop: projects the input
+  * corpus to the [[Dedup.minhashSignatures]] store layout (doc_id, sh,
+  * sig, mh_* parameter columns) for a file sink to persist. Run it at the
+  * end of corpus build N; run N+1 loads the parquet, registers it as a
+  * view, and passes it to `dedup_minhash` via `signatureView` — the
+  * increment then dedups against history without re-scanning history's
+  * text. Options: idColumn/textColumn required; bands (16),
+  * rowsPerBand (4), shingleSize (3). Zero-shuffle projection. */
+object MinhashSignaturesTransform extends Transform {
+  val transformType = "minhash_signatures"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq,
+      transformType)
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "textColumn")
+    Dedup.minhashSignatures(input,
+      config.options("idColumn"), config.options("textColumn"),
+      bands = config.options.get("bands").map(_.toInt).getOrElse(16),
+      rowsPerBand = config.options.get("rowsPerBand").map(_.toInt).getOrElse(4),
+      shingleSize = config.options.get("shingleSize").map(_.toInt).getOrElse(3))
+  }
 }
 
 /** SimHash near-dup removal: options maxHamming (default 3),

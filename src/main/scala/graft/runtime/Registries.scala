@@ -35,6 +35,7 @@ object Registries {
     UnionTransform.transformType      -> UnionTransform,
     DedupTransform.transformType      -> DedupTransform,
     MinhashDedupTransform.transformType -> MinhashDedupTransform,
+    MinhashSignaturesTransform.transformType -> MinhashSignaturesTransform,
     SimhashDedupTransform.transformType -> SimhashDedupTransform,
     EmbeddingDedupTransform.transformType -> EmbeddingDedupTransform,
     SemanticDedupTransform.transformType  -> SemanticDedupTransform,

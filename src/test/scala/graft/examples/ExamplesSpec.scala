@@ -266,6 +266,26 @@ class ExamplesSpec extends SparkTestBase {
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
   }
 
+  test("quickstart-17: signature store built in run N, consumed by run N+1") {
+    import org.apache.spark.sql.functions._
+    // run N: persist the corpus's MinHash signatures
+    run("quickstart-17-signature-store-build.yaml")
+    val store = spark.read.parquet("/tmp/graft-examples/quickstart-17-signatures")
+    store.columns should contain allOf ("doc_id", "sh", "sig", "mh_bands")
+    store.columns.contains("text") shouldBe false // the whole point of the store
+    // stage the increment: verbatim copies of 10 corpus docs (guaranteed
+    // J=1 hits against the store) + the rest of the corpus re-idd as fresh
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val copies = docs.where("doc_id < 10")
+      .withColumn("doc_id", col("doc_id") + 500000L)
+    copies.write.mode("overwrite")
+      .parquet("/tmp/graft-examples/quickstart-17-increment")
+    // run N+1: dedup the increment against the store — no corpus text read
+    run("quickstart-17-signature-store-dedup.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-17-out")
+    out.count() shouldBe 0 // every increment row is a verbatim dup of history
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
