@@ -26,8 +26,9 @@ import graft.config.TransformConfig
  * everything after the per-(column, bin) counts — including `n_current`,
  * derived from those counts — is column-count-sized. The stats frame is
  * broadcast (C rows). A column with zero non-null values on either side
- * reports a visible (column, NULL psi, 0 count) row rather than
- * vanishing — gate with `psi IS NULL OR psi > t`.
+ * reports a visible row with NULL psi (and the TRUE count of whichever
+ * side does have data) rather than vanishing — gate with
+ * `psi IS NULL OR psi > t`.
  */
 object Drift {
 
@@ -39,26 +40,36 @@ object Drift {
     def longForm(df: DataFrame): DataFrame = {
       val missing = columns.filterNot(df.columns.contains)
       require(missing.isEmpty, s"drift: columns not in frame: ${missing.mkString(", ")}")
-      val pairs = columns.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
-      df.selectExpr(s"stack(${columns.size}, $pairs) as (cname, x)")
-        .where("x is not null")
+      // positional rename sidesteps name parsing entirely: a column called
+      // `weird'na`me` travels through as _c<i>, its real name only ever a
+      // string literal in the struct
+      val safe = df.toDF(df.columns.indices.map(i => s"_c$i"): _*)
+      val structs = columns.map(df.schema.fieldIndex).zip(columns).map {
+        case (i, name) =>
+          struct(lit(name).as("cname"), col(s"_c$i").cast("double").as("x"))
+      }
+      safe.select(inline(array(structs: _*))).where(col("x").isNotNull)
     }
     val stats = longForm(ref).groupBy("cname")
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
         count(lit(1)).as("n_ref"))
+    // left join: a current-side value whose column has NO reference stats
+    // lands in a null bin instead of being dropped, so n_current stays
+    // truthful even when the reference side is empty for that column
     def binned(df: DataFrame): DataFrame =
-      longForm(df).join(broadcast(stats), Seq("cname"))
+      longForm(df).join(broadcast(stats), Seq("cname"), "left")
         .withColumn("bin",
-          when(col("hi") === col("lo"), lit(0L)).otherwise(
-            least(lit(bins - 1L), greatest(lit(0L),
-              floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / bins))))))
+          when(col("lo").isNull, lit(null).cast("long")).otherwise(
+            when(col("hi") === col("lo"), lit(0L)).otherwise(
+              least(lit(bins - 1L), greatest(lit(0L),
+                floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / bins)))))))
         .groupBy("cname", "bin").agg(count(lit(1)).as("n"))
     val p = binned(ref).withColumnRenamed("n", "n_p")
     val q = binned(current).withColumnRenamed("n", "n_q")
-    // n_current derives from the already-binned counts — no second scan
-    // of the current frame
+    // n_current derives from the already-binned counts (null bin included)
+    // — no second scan of the current frame
     val totQ = q.groupBy("cname").agg(sum(col("n_q")).as("n_cur"))
-    val psiPerCol = p.join(q, Seq("cname", "bin"), "full_outer")
+    val psiPerCol = p.join(q.where(col("bin").isNotNull), Seq("cname", "bin"), "full_outer")
       .na.fill(0L, Seq("n_p", "n_q"))
       .join(stats.select("cname", "n_ref"), Seq("cname"))
       .join(totQ, Seq("cname"))

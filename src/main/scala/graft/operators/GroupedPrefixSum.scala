@@ -3,7 +3,7 @@ package graft.operators
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, IntegerType, LongType, MapType, ShortType, StructField, StructType}
 
 /**
  * Distributed exclusive prefix sum, per group — the shared machine under
@@ -23,8 +23,42 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
  * arithmetic, bit-identical to the per-group SQL window restatement
  * regardless of partitioning. Null weights count 0. `groupCols` empty →
  * one global sum (the `shard` shape).
+ *
+ * Determinism requirement: the ranged RDD is evaluated by TWO jobs
+ * (boundary collect, then stamping), and the chain arithmetic assumes
+ * both see the same shuffle output. The input must therefore be
+ * deterministic under recomputation — seeded samples, no round-robin
+ * `repartition(n)` upstream (range partitioning on the full
+ * (group, order) key is itself deterministic). Every engine entry point
+ * feeding this operator (token_cap, pack_sequences, shard, assign_ids)
+ * orders on a total key, so stage retry after executor loss re-derives
+ * identical partitions.
  */
 object GroupedPrefixSum {
+
+  /** Group-key values must compare structurally across partition
+    * boundaries. Raw `Row.get` hands back `Array[Byte]` for BinaryType
+    * (reference equality — equal keys would silently restart the running
+    * sum at a partition edge), so binary and nested values are converted
+    * to structurally-comparable immutable forms once per row. Map keys
+    * are rejected: Spark cannot range-partition on them anyway, and their
+    * iteration order is undefined. */
+  private def keyConv(dt: DataType): Any => Any = dt match {
+    case BinaryType =>
+      v => if (v == null) null
+           else scala.collection.immutable.ArraySeq.unsafeWrapArray(v.asInstanceOf[Array[Byte]])
+    case ArrayType(et, _) =>
+      val ec = keyConv(et)
+      v => if (v == null) null
+           else v.asInstanceOf[scala.collection.Seq[Any]].iterator.map(ec).toVector
+    case StructType(fields) =>
+      val fcs = fields.map(f => keyConv(f.dataType))
+      v => if (v == null) null
+           else { val r = v.asInstanceOf[Row]; Vector.tabulate(r.length)(i => fcs(i)(r.get(i))) }
+    case _: MapType => throw new IllegalArgumentException(
+      "prefix sum: map-typed group columns are not supported (undefined ordering)")
+    case _ => identity
+  }
 
   /** Append `outCol` = exclusive per-group running sum of `weightCol`,
     * summing in `orderCols` order within each group. The returned frame
@@ -42,15 +76,19 @@ object GroupedPrefixSum {
           s"sums, got $other")
     }
     import org.apache.spark.sql.functions.col
+    val schema = df.schema
+    val wIdx = schema.fieldIndex(weightCol)
+    val gIdxs = groupCols.map(schema.fieldIndex)
+    // build converters BEFORE the repartition so unsupported key types
+    // fail with this operator's message, not Spark's ordering error
+    val gConvs = gIdxs.map(i => keyConv(schema.fields(i).dataType))
     val rangeCols = groupCols.map(col) ++ orderCols
     val ranged = df.repartitionByRange(n, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
-    val schema = ranged.schema
-    val wIdx = schema.fieldIndex(weightCol)
-    val gIdxs = groupCols.map(schema.fieldIndex)
     def weightOf(r: Row): Long =
       if (r.isNullAt(wIdx)) 0L else r.get(wIdx).asInstanceOf[Number].longValue()
-    def groupOf(r: Row): Seq[Any] = gIdxs.map(r.get)
+    def groupOf(r: Row): Seq[Any] =
+      gIdxs.zip(gConvs).map { case (i, conv) => conv(r.get(i)) }
 
     val rdd = ranged.rdd
     rdd.setName(s"graft.prefixSum.ranged(${groupCols.mkString(",")})")

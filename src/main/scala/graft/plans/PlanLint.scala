@@ -52,42 +52,55 @@ object PlanLint {
     * inserted the exchanges (sparkPlan lacks them), unwrapping the AQE
     * shell to its initial plan (AQE may further improve it at runtime,
     * never worsen the lint verdict). Planning only; triggers no job. */
-  def audit(df: DataFrame): Seq[Finding] = auditPlan(
-    df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case other => other
-    })
+  def audit(df: DataFrame): Seq[Finding] = auditPlan(df.queryExecution.executedPlan)
+
+  /** Depth-first visit of every node reachable from `p`, INCLUDING
+    * subquery plans hanging off expressions (a cartesian product inside a
+    * scalar/IN subquery is just as fatal) and the bodies of
+    * AdaptiveSparkPlanExec shells at any depth (the AQE wrapper exposes no
+    * children, so a plain `foreach` would stop at it). */
+  private def visit(p: SparkPlan)(f: SparkPlan => Unit): Unit = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      visit(a.executedPlan)(f)
+    case other =>
+      f(other)
+      other.subqueries.foreach(visit(_)(f))
+      other.children.foreach(visit(_)(f))
+  }
 
   private[plans] def auditPlan(plan: SparkPlan): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
     var exchanges = 0
-    plan.foreach {
-      case _: CartesianProductExec =>
-        out += Finding("cartesian-product", "error",
-          "all-pairs join shuffling both sides — missing join key or broadcast()")
-      case w: WindowExec if w.partitionSpec.isEmpty =>
-        out += Finding("global-window", "error",
-          "window with empty PARTITION BY funnels the whole dataset through one task — " +
-            "use a distributed prefix sum (assign_ids/shard) or add partition keys")
-      case s: SortExec if s.global =>
-        out += Finding("global-sort", "warn",
-          "total ordering costs a full range exchange — intended for layout rewrites, " +
-            "accidental elsewhere")
-      case j: BroadcastNestedLoopJoinExec =>
-        out += Finding("nested-loop-join", "warn",
-          s"${j.joinType} nested-loop join (build ${j.buildSide}) — sound only while " +
-            "the broadcast side stays tiny (stats frame / query set)")
-      case _: ShuffleExchangeExec =>
-        exchanges += 1
-      case _ => ()
+    val udfs = Seq.newBuilder[String]
+    visit(plan) { node =>
+      node match {
+        case _: CartesianProductExec =>
+          out += Finding("cartesian-product", "error",
+            "all-pairs join shuffling both sides — missing join key or broadcast()")
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          out += Finding("global-window", "error",
+            "window with empty PARTITION BY funnels the whole dataset through one task — " +
+              "use a distributed prefix sum (assign_ids/shard) or add partition keys")
+        case s: SortExec if s.global =>
+          out += Finding("global-sort", "warn",
+            "total ordering costs a full range exchange — intended for layout rewrites, " +
+              "accidental elsewhere")
+        case j: BroadcastNestedLoopJoinExec =>
+          out += Finding("nested-loop-join", "warn",
+            s"${j.joinType} nested-loop join (build ${j.buildSide}) — sound only while " +
+              "the broadcast side stays tiny (stats frame / query set)")
+        case _: ShuffleExchangeExec =>
+          exchanges += 1
+        case _ => ()
+      }
+      udfs ++= node.expressions.flatMap(_.collect {
+        case u: ScalaUDF => u.udfName.getOrElse("anonymous")
+      })
     }
-    val udfs = plan.collect { case n =>
-      n.expressions.flatMap(_.collect { case u: ScalaUDF => u.udfName.getOrElse("anonymous") })
-    }.flatten
-    if (udfs.nonEmpty)
+    val udfList = udfs.result()
+    if (udfList.nonEmpty)
       out += Finding("udf", "warn",
-        s"${udfs.size} ScalaUDF call(s) (${udfs.distinct.mkString(", ")}) break " +
+        s"${udfList.size} ScalaUDF call(s) (${udfList.distinct.mkString(", ")}) break " +
           "whole-stage codegen at their boundary — prefer native functions/expressions")
     if (exchanges > 0)
       out += Finding("exchange-count", "info",

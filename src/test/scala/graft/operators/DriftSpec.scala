@@ -55,11 +55,24 @@ class DriftSpec extends SparkTestBase {
     row.head.isNullAt(1) shouldBe true          // psi undefined
     row.head.getLong(2) shouldBe 10L            // n_ref
     row.head.getLong(3) shouldBe 0L             // n_current
-    // reference side all-null likewise
+    // reference side all-null likewise — and n_current must report the
+    // TRUE current-side count, not 0, even with no reference stats to bin
+    // against
     val row2 = Drift.psi(ref, allNull, Seq("v")).collect()
     row2.length shouldBe 1
     row2.head.isNullAt(1) shouldBe true
-    row2.head.getLong(2) shouldBe 0L
+    row2.head.getLong(2) shouldBe 0L            // n_ref
+    row2.head.getLong(3) shouldBe 10L           // n_current: real count
+  }
+
+  test("column names with quotes/backticks/dots survive (no string-built SQL)") {
+    val weird = Seq("it's", "a.b", "tick`col")
+    val ref = (1 to 20).map(i =>
+      (i.toLong, i.toDouble, (i % 5).toDouble, (i % 3).toDouble))
+      .toDF(Seq("id") ++ weird: _*)
+    val rows = Drift.psi(ref, ref, weird).collect()
+    rows.map(_.getString(0)).sorted shouldBe weird.sorted
+    all(rows.map(_.getDouble(1))) shouldBe 0.0
   }
 
   test("multiple columns in one pass; transform registered; errors fail fast") {

@@ -45,4 +45,47 @@ class GroupedPrefixSumPropSpec extends SparkTestBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("binary group keys compare structurally across partition boundaries") {
+    // every row holds a FRESH Array[Byte] instance; two of the three key
+    // contents interleave so equal keys meet at partition edges. Raw
+    // Array reference equality would restart the running sum there.
+    val df = (0 until 60).map { i =>
+      (i.toLong, Array[Byte]((i % 3).toByte, 0x7f.toByte), (i % 5).toLong)
+    }.toDF("id", "grp", "w")
+    df.createOrReplaceTempView("pfxbin")
+    val expected = spark.sql(
+      """SELECT id, coalesce(sum(w) OVER (PARTITION BY grp ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cb
+         FROM pfxbin""").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 4, 9)) {
+      val got = GroupedPrefixSum.stamp(df, Seq("grp"), Seq(col("id")), "w",
+          "cb", numPartitions = parts)
+        .select("id", "cb").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("array-typed group keys chain correctly") {
+    val df = (0 until 40).map { i =>
+      (i.toLong, Seq(i % 2, 7), 1L)
+    }.toDF("id", "grp", "w")
+    df.createOrReplaceTempView("pfxarr")
+    val expected = spark.sql(
+      """SELECT id, coalesce(sum(w) OVER (PARTITION BY grp ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cb
+         FROM pfxarr""").as[(Long, Long)].collect().toMap
+    val got = GroupedPrefixSum.stamp(df, Seq("grp"), Seq(col("id")), "w",
+        "cb", numPartitions = 5)
+      .select("id", "cb").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("map-typed group columns are rejected fail-fast") {
+    val df = Seq((1L, Map("a" -> 1), 1L)).toDF("id", "grp", "w")
+    val e = intercept[IllegalArgumentException] {
+      GroupedPrefixSum.stamp(df, Seq("grp"), Seq(col("id")), "w", "cb")
+    }
+    assert(e.getMessage.contains("map-typed"))
+  }
 }

@@ -59,6 +59,32 @@ class PlanLintSpec extends SparkTestBase {
     assert(agg.exists(f => f.rule == "exchange-count" && f.detail.startsWith("1 ")))
   }
 
+  test("anti-patterns inside subquery plans are not hidden from the gate") {
+    val d = (1 to 10).map(i => (i, i % 3)).toDF("x", "g")
+    d.createOrReplaceTempView("lint_outer")
+    (1 to 5).toDF("y").createOrReplaceTempView("lint_sub")
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      // the cartesian product lives entirely inside the scalar subquery —
+      // a main-tree-only walk reports a clean plan
+      val df = spark.sql(
+        """SELECT x, (SELECT count(*) FROM lint_sub a JOIN lint_sub b
+                      ON a.y < b.y) AS pairs
+           FROM lint_outer""")
+      val findings = PlanLint.audit(df)
+      assert(findings.exists(f =>
+        (f.rule == "cartesian-product" || f.rule == "nested-loop-join")
+          && f.severity != "info"),
+        s"expected the subquery join to surface, got: $findings")
+    }
+    // a global window inside an IN-subquery must hit the error gate
+    val sub = d.withColumn("rn", row_number().over(Window.orderBy("x")))
+    sub.createOrReplaceTempView("lint_gw")
+    val gw = spark.sql(
+      "SELECT * FROM lint_outer WHERE x IN (SELECT rn FROM lint_gw)")
+    assert(PlanLint.audit(gw).exists(f =>
+      f.rule == "global-window" && f.severity == "error"))
+  }
+
   test("executor knob: planLint=fail refuses an error plan, warn runs it") {
     val in = tmpDir("lintin")
     (1 to 20).map(i => (i.toLong, i % 3)).toDF("id", "g")
