@@ -37,7 +37,14 @@ object SparkEntry {
   private def stagedEventsDir(s: SparkSession, dir: String): String =
     q32InputDirs.computeIfAbsent(dir, { d =>
       val tmp = java.nio.file.Files.createTempDirectory("q32in").toString
-      tab(s, d, "events").write.mode("overwrite").parquet(tmp)
+      // landed partitioned by event_type — the standard landing layout for
+      // typed event streams, and what lets a per-type consumer (q73's
+      // click/purchase sides) partition-prune instead of scanning every
+      // type's files on every micro-batch. coalesce(2) keeps the per-type
+      // file count low: the file source re-lists this dir once per
+      // micro-batch AND per bench pass.
+      tab(s, d, "events").coalesce(2).write.mode("overwrite")
+        .partitionBy("event_type").parquet(tmp)
       tmp
     })
 
@@ -62,10 +69,28 @@ object SparkEntry {
     * CHECKED — a timed-out drain means a partially-filled memory sink, so
     * refuse it loudly instead of returning wrong rows. */
   private def runStreamToTable(s: SparkSession, df: DataFrame, prefix: String,
-                               statePartitions: Int = 8): DataFrame = {
+                               statePartitions: Int = 4,
+                               noDataBatch: Boolean = true): DataFrame = {
+    // statePartitions defaults to the bench session's core count: every
+    // shuffle partition owns a state store whose delta file is
+    // written+fsynced EVERY micro-batch (a stream-stream join keeps 4
+    // stores per partition), so more partitions than cores is pure fixed
+    // overhead at this volume — but FEWER than cores serializes the
+    // stateful compute (measured: sessionize 2.1 s → 7.2 s at 2
+    // partitions on local[4]). Production sizes it via the same
+    // shufflePartitions knob in StreamingConfig.
+    //
+    // noDataBatch=false skips the trailing empty micro-batch (~1 s of
+    // machinery here). Only sound for operators that emit on ARRIVAL —
+    // stream-stream inner join, dropDuplicates — where the final batch
+    // exists purely to expire state. Append-mode aggregations/sessions
+    // emit IN that final batch (watermark must pass the window end), so
+    // they keep the default.
     val qn = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatch.toString)
     try {
       val q = df.writeStream.format("memory").queryName(qn)
         .outputMode("append")
@@ -78,7 +103,10 @@ object SparkEntry {
         throw new IllegalStateException(
           s"$prefix: streaming drain exceeded 120s — refusing partial results")
       }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     s.table(qn)
   }
 
@@ -1273,7 +1301,7 @@ object SparkEntry {
           outputMode = "append",
           // ~3.4k distinct windows: 8 state stores, not 32 — each state
           // partition pays per-batch open/commit overhead
-          shufflePartitions = Some(8))))
+          shufflePartitions = Some(4))))
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       try {
         val q = new graft.streaming.StreamingExecutor().start(cfg)(s)
@@ -1313,7 +1341,7 @@ object SparkEntry {
           checkpointLocation = Some(java.nio.file.Files.createTempDirectory("q46ck").toString),
           watermarkColumn = Some("ts"), watermarkDelay = Some("0 seconds"),
           outputMode = "append",
-          shufflePartitions = Some(8))))
+          shufflePartitions = Some(4))))
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       try {
         val q = new graft.streaming.StreamingExecutor().start(cfg)(s)
@@ -1357,8 +1385,13 @@ object SparkEntry {
           watermarkColumn = Some("ts"), watermarkDelay = Some("365 days"),
           outputMode = "append",
           dedupColumns = Some("user_id,event_type"),
-          shufflePartitions = Some(8))))
+          shufflePartitions = Some(4))))
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      // dropDuplicates emits first-seen rows on ARRIVAL; the trailing
+      // no-data batch would only expire seen-key state this drain never
+      // revisits, so skip it (restored after — the agg queries need it)
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try {
         val q = new graft.streaming.StreamingExecutor().start(cfg)(s)
         if (!q.awaitTermination(120000)) {
@@ -1366,7 +1399,10 @@ object SparkEntry {
           throw new IllegalStateException(
             "q83: streaming drain exceeded 120s — refusing partial results")
         }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle) // batch queries follow
+      } finally { // batch queries follow
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
       s.table("q83_out")
     }),
 
@@ -1422,7 +1458,9 @@ object SparkEntry {
           unix_millis(col("click_ts")).as("click_ms"),
           col("purchase_id"), unix_millis(col("p_ts")).as("purchase_ms"),
           round(col("value"), 2).as("purchase_value"))
-      runStreamToTable(s, joined, "q73_out")
+      // inner join emits matches on arrival; the trailing no-data batch
+      // would only expire state this drain never revisits
+      runStreamToTable(s, joined, "q73_out", noDataBatch = false)
     })
   )
 
