@@ -47,6 +47,16 @@ class QueryPlanSpec extends SparkTestBase {
     plan(joined) should include("BroadcastHashJoin")
   }
 
+  test("q8 registry query pins broadcast-hash join — strategy cannot silently flip") {
+    // the exact driver-contract entry, not a lookalike: q8 carries the
+    // broadcast hint on the customer side, so a sort-merge plan (two full
+    // shuffles of orders+customer) is a regression even if results match
+    val df = graft.SparkEntry.queries("q8_join_inner")(spark, sf)
+    val p = plan(df)
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
   test("bucketed sink + table source: co-located join plans with zero exchange") {
     import graft.config.{SinkConfig, SourceConfig, WriteMode}
     import graft.sinks.FileSink
