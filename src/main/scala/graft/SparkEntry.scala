@@ -1032,6 +1032,49 @@ object SparkEntry {
         "vec_id", "embedding", "query_id", 2, nLists = 64, nProbe = 8)
         .select("query_id", "vec_id", "rank")
     }),
+    // the k-means twin of q115/q116 for the CLUSTERING surface (q97's
+    // rows-only gap): 40 ids carry 4 orthogonal one-hot families
+    // (vec_id % 4) and nClusters equals the corpus size, so EVERY distinct
+    // vector is an init centroid. Identical vectors tie-break to one
+    // lowest-index centroid (cohesion: 1 cluster per family), orthogonal
+    // families can never share one (separation: 4 clusters total), and
+    // Lloyd rounds are fixed points (the mean of identical vectors IS the
+    // vector; empty centroids keep their previous value) — so cohesion,
+    // separation, and centroid_sim = 1.0 are provable, not probabilistic.
+    "q118_cluster_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val planted = tab(s, dir, "embeddings").where("vec_id < 40")
+        .select(col("vec_id"), expr(
+          "transform(sequence(0, 7), i -> CAST(CASE WHEN i = vec_id % 4 " +
+            "THEN 1.0 ELSE 0.0 END AS FLOAT))").as("embedding"))
+      val clustered = ap(planted, t("cluster_embeddings",
+        "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "nClusters" -> "40", "kmeansIters" -> "2", "appendSim" -> "centroid_sim"))
+      val perFamily = clustered
+        .groupBy((col("vec_id") % 4).as("family"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          round(min(col("centroid_sim")), 4).as("min_sim"),
+          round(max(col("centroid_sim")), 4).as("max_sim"))
+      val total = clustered.agg(
+        countDistinct(col("cluster_id")).as("total_clusters"))
+      perFamily.crossJoin(broadcast(total)) // 1-row stats frame
+    }),
+    // the same construction through dedup_semantic (q88's rows-only gap):
+    // every family member pairs at cosine exactly 1.0 inside its own
+    // cell, cross-family cosine is exactly 0, and greedy removal keeps
+    // the family minimum — survivors are provably vec_id 0..3
+    "q119_semantic_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val planted = tab(s, dir, "embeddings").where("vec_id < 40")
+        .select(col("vec_id"), expr(
+          "transform(sequence(0, 7), i -> CAST(CASE WHEN i = vec_id % 4 " +
+            "THEN 1.0 ELSE 0.0 END AS FLOAT))").as("embedding"))
+      ap(planted, t("dedup_semantic",
+        "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "threshold" -> "0.95", "nClusters" -> "40", "kmeansIters" -> "2"))
+        .select("vec_id")
+    }),
     "q34_cube" -> ((s, dir) => ap(tab(s, dir, "orders"),
       t("aggregation",
         "groupBy" -> "o_orderstatus,o_orderpriority",
@@ -2666,6 +2709,17 @@ object SparkEntry {
          UNION ALL
          SELECT vec_id AS query_id, vec_id + 2000000 AS vec_id, 2 AS rank
          FROM embeddings WHERE vec_id < 5""",
+    // orthogonal one-hot families: cohesion (1 cluster per family),
+    // separation (4 clusters total), unit centroid similarity — all
+    // provable for nClusters = corpus size, so plain SQL states them
+    "q118_cluster_exact" ->
+      """SELECT vec_id % 4 AS family, count(*) AS n,
+         CAST(1 AS BIGINT) AS n_clusters,
+         CAST(1.0 AS DOUBLE) AS min_sim, CAST(1.0 AS DOUBLE) AS max_sim,
+         CAST(4 AS BIGINT) AS total_clusters
+         FROM embeddings WHERE vec_id < 40 GROUP BY 1""",
+    "q119_semantic_exact" ->
+      "SELECT vec_id FROM embeddings WHERE vec_id < 4",
     // the planted identical pairs are the ONLY pairs at threshold 0.95
     // (max natural pair cosine in this corpus ≈ 0.51) and LSH finds every
     // identical pair by construction — q30's emitted set is deterministic.
