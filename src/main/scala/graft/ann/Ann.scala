@@ -339,9 +339,10 @@ object Ann {
     val buckets = withBuckets(ids, "doc_id", "vec", tables, bits)
       .select("doc_id", "table_id", "bucket")
 
-    val capped = buckets
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("table_id", "bucket")))
+    val capped = graft.runtime.BucketCapObserver.observeCap(
+        buckets.withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("table_id", "bucket"))),
+        "hyperplane", "bucket_n", maxBucketSize)
       .filter(col("bucket_n") <= maxBucketSize)
       .select("doc_id", "table_id", "bucket")
 
@@ -391,9 +392,10 @@ object Ann {
 
     val assigned = ids.select(col("doc_id"),
       ArgTopCentroids(col("vec"), cents, 1).getItem(0).as("cluster_id"))
-    val capped = assigned
-      .withColumn("cluster_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+    val capped = graft.runtime.BucketCapObserver.observeCap(
+        assigned.withColumn("cluster_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id"))),
+        "semantic_cell", "cluster_n", maxClusterSize)
       .filter(col("cluster_n") <= maxClusterSize)
       .select("doc_id", "cluster_id")
 

@@ -215,10 +215,13 @@ object Dedup {
       graft.functions.expressions.MinHashFromHashes(shc, k).as("sig"))
   }
 
-  /** Slim (doc_id, band, bh) frame + mega-bucket cap. */
+  /** Slim (doc_id, band, bh) frame + mega-bucket cap. The cap's drop
+    * counts are observed (`graft.cap.minhash.*` metrics + WARN line via
+    * [[graft.runtime.BucketCapObserver]]) so the recall cost is visible
+    * at runtime, not just documented. */
   private def cappedBands(sigd: DataFrame, bands: Int, rowsPerBand: Int,
-                          maxBucketSize: Int): DataFrame =
-    sigd.select(
+                          maxBucketSize: Int): DataFrame = {
+    val sized = sigd.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -227,8 +230,10 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+    graft.runtime.BucketCapObserver.observeCap(sized, "minhash", "bucket_n", maxBucketSize)
       .filter(col("bucket_n") <= maxBucketSize)
       .select("doc_id", "band", "bh")
+  }
 
   /** Stages 2–3 of the increment×reference match: band-bucket join for
     * candidates, exact Jaccard over shingle-hash sets for verification. */
@@ -338,9 +343,10 @@ object Dedup {
     // is O(bucket²) — the one quadratic risk in this pipeline at scale.
     // Buckets above the cap are whole near-dup mega-clusters; production
     // pipelines drop (or route to exact-dedup) rather than pair them.
-    val chunked = chunked0
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ch")))
+    val chunked = graft.runtime.BucketCapObserver.observeCap(
+        chunked0.withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ch"))),
+        "simhash", "bucket_n", maxBucketSize)
       .filter(col("bucket_n") <= maxBucketSize)
       .select("doc_id", "sig", "chunk", "ch")
     val l = chunked.select(col("chunk"), col("ch"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
