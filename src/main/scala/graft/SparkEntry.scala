@@ -68,17 +68,21 @@ object SparkEntry {
     * scoped to the query and restored after. awaitTermination's result is
     * CHECKED — a timed-out drain means a partially-filled memory sink, so
     * refuse it loudly instead of returning wrong rows. */
+  /** State partitions for the bench/verify streaming drains: enough to
+    * parallelize the stateful compute, few enough that per-store
+    * fixed cost (a delta file written+fsynced EVERY micro-batch; a
+    * stream-stream join keeps 4 stores per partition) stays small at
+    * ~100k-row drains. Measured on local[4]: 8 partitions = pure
+    * overhead, 2 partitions serialized sessionize 3×. Production sizes
+    * this via the shufflePartitions knob in StreamingConfig. */
+  private def streamStateParts(s: SparkSession): Int =
+    math.min(s.sparkContext.defaultParallelism, 8).max(2)
+
   private def runStreamToTable(s: SparkSession, df: DataFrame, prefix: String,
-                               statePartitions: Int = 4,
+                               statePartitions: Int = 0,
                                noDataBatch: Boolean = true): DataFrame = {
-    // statePartitions defaults to the bench session's core count: every
-    // shuffle partition owns a state store whose delta file is
-    // written+fsynced EVERY micro-batch (a stream-stream join keeps 4
-    // stores per partition), so more partitions than cores is pure fixed
-    // overhead at this volume — but FEWER than cores serializes the
-    // stateful compute (measured: sessionize 2.1 s → 7.2 s at 2
-    // partitions on local[4]). Production sizes it via the same
-    // shufflePartitions knob in StreamingConfig.
+    val stateParts =
+      if (statePartitions > 0) statePartitions else streamStateParts(s)
     //
     // noDataBatch=false skips the trailing empty micro-batch (~1 s of
     // machinery here). Only sound for operators that emit on ARRIVAL —
@@ -89,7 +93,7 @@ object SparkEntry {
     val qn = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatch.toString)
     try {
       val q = df.writeStream.format("memory").queryName(qn)
@@ -1344,7 +1348,7 @@ object SparkEntry {
           outputMode = "append",
           // ~3.4k distinct windows: 8 state stores, not 32 — each state
           // partition pays per-batch open/commit overhead
-          shufflePartitions = Some(4))))
+          shufflePartitions = Some(streamStateParts(s)))))
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       try {
         val q = new graft.streaming.StreamingExecutor().start(cfg)(s)
@@ -1384,7 +1388,7 @@ object SparkEntry {
           checkpointLocation = Some(java.nio.file.Files.createTempDirectory("q46ck").toString),
           watermarkColumn = Some("ts"), watermarkDelay = Some("0 seconds"),
           outputMode = "append",
-          shufflePartitions = Some(4))))
+          shufflePartitions = Some(streamStateParts(s)))))
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       try {
         val q = new graft.streaming.StreamingExecutor().start(cfg)(s)
@@ -1428,7 +1432,7 @@ object SparkEntry {
           watermarkColumn = Some("ts"), watermarkDelay = Some("365 days"),
           outputMode = "append",
           dedupColumns = Some("user_id,event_type"),
-          shufflePartitions = Some(4))))
+          shufflePartitions = Some(streamStateParts(s)))))
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       // dropDuplicates emits first-seen rows on ARRIVAL; the trailing
       // no-data batch would only expire seen-key state this drain never
