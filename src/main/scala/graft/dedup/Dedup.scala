@@ -221,13 +221,12 @@ object Dedup {
     * at runtime, not just documented. */
   private def cappedBands(sigd: DataFrame, bands: Int, rowsPerBand: Int,
                           maxBucketSize: Int): DataFrame = {
-    val sized = sigd.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bh"))))
-        .as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    // native one-pass band hashing (bit-identical to the interpreted
+    // hash(slice) HOF it replaces); posexplode's position IS the band
+    val sized = sigd.select(col("doc_id"),
+        posexplode(graft.functions.expressions.BandHashes(
+          col("sig"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
     graft.runtime.BucketCapObserver.observeCap(sized, "minhash", "bucket_n", maxBucketSize)
@@ -332,10 +331,13 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sigs = simhashSignatures(df, idCol, textCol)
+    // static 4-element array (chunk count is fixed) — stays codegen'd,
+    // unlike the transform(sequence(...)) HOF form it replaces, which
+    // evaluated interpreted per row
+    val chunkStructs = (0 until 4).map(c => struct(lit(c).as("chunk"),
+      call_function("shiftright", col("sig"), lit(c * 16)).bitwiseAND(0xFFFFL).as("ch")))
     val chunked0 = sigs.select(col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)),
-        c => struct(c.as("chunk"),
-          call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL).as("ch")))).as("cc"))
+        explode(array(chunkStructs: _*)).as("cc"))
       .select(col("doc_id"), col("sig"), col("cc.chunk"), col("cc.ch"))
     // cap pathological chunk buckets before the self-join, mirroring the
     // minhash band cap: near-identical boilerplate corpora put thousands of

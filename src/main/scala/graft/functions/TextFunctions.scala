@@ -265,11 +265,18 @@ object TextFunctions {
    * model (no external LM needed). Documents shorter than `n` characters
    * produce no row.
    *
-   * Scale shape: ONE gram explode + (doc, gram) aggregation over the
-   * corpus (lazily checkpointed — three consumers), a vocabulary-sized
-   * gram-count frame (char n-gram vocab is alphabet^n-bounded), a 1-row
-   * broadcast total, and a final per-document reduction. The gram join
-   * shuffles the tf frame on `gram` — its natural co-partitioning key.
+   * Scale shape: the (doc, gram, tf) frame is computed with ZERO shuffle —
+   * all of a document's grams live in its row, so repeats collapse in the
+   * per-row [[graft.functions.expressions.ItemCounts]] hash map instead of
+   * a cluster-wide exchange of one row per gram occurrence (profiled at
+   * sf0.1, that exchange was the whole query: 1.35 s of 1.6 s). What
+   * remains: a vocabulary-sized gram-count aggregation (char n-gram vocab
+   * is alphabet^n-bounded; map-side partials collapse to vocab size per
+   * partition), a 1-row broadcast total derived from it, the gram join
+   * (tf's one exchange, on its natural co-partitioning key — AQE converts
+   * it to broadcast-hash when the runtime vocab is small), and a final
+   * per-document reduction whose partial aggregation collapses each doc
+   * before its exchange (explode preserves row locality).
    */
   def charGramNll(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                   n: Int = 3): org.apache.spark.sql.DataFrame = {
@@ -277,12 +284,14 @@ object TextFunctions {
       .where(col("__t").isNotNull && length(col("__t")) >= n)
     // native one-pass gram expression — the transform(sequence, substring)
     // Column form is interpreted lambda eval (see CharNgramStrings docs)
-    val grams = t.select(col("doc_id"),
-      explode(graft.functions.expressions.CharNgramStrings(col("__t"), n)).as("gram"))
     val tf = graft.api.Checkpointing.checkpoint(
-      grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf")), eager = false)
+      t.select(col("doc_id"), explode(graft.functions.expressions.ItemCounts(
+          graft.functions.expressions.CharNgramStrings(col("__t"), n))).as("kv"))
+        .select(col("doc_id"), col("kv.item").as("gram"), col("kv.cnt").as("tf")),
+      eager = false)
     val cnt = tf.groupBy("gram").agg(sum("tf").as("cnt"))
-    val total = tf.agg(sum("tf").as("total"))
+    // integer-identical to summing tf directly, and one fewer tf consumer
+    val total = cnt.agg(sum("cnt").as("total"))
     tf.join(cnt, "gram")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
@@ -306,12 +315,17 @@ object TextFunctions {
     graft.api.Checkpointing.checkpoint(
       termFrequencies(df, idCol, textCol), eager = false)
 
+  /** Zero-shuffle (doc, term, tf): per-row repeats collapse in
+    * [[graft.functions.expressions.ItemCounts]] — same rows as
+    * explode + groupBy(doc, term) without the corpus-wide exchange of one
+    * row per token occurrence (see charGramNll's scale note). */
   private def termFrequencies(df: org.apache.spark.sql.DataFrame,
                               idCol: String, textCol: String)
       : org.apache.spark.sql.DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .where(length(col("term")) > 0)
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.expressions.ItemCounts(tokens(col(textCol)))).as("kv"))
+      .where(length(col("kv.item")) > 0)
+      .select(col("doc_id"), col("kv.item").as("term"), col("kv.cnt").as("tf"))
 
   /**
    * Repetition signals (Gopher-style quality filters): the fraction of

@@ -73,6 +73,26 @@ class SignatureExpressionsSpec extends SparkTestBase {
     mh.count() shouldBe 5
   }
 
+  test("BandHashes is bit-identical to the hash(slice, band) HOF form") {
+    import graft.functions.expressions.BandHashes
+    val bands = 16; val rowsPerBand = 4
+    val sigs = docs.select(col("doc_id"),
+      MinHashFromHashes(ShingleHashes(col("text"), 3), bands * rowsPerBand).as("sig"))
+    val native = sigs.select(col("doc_id"),
+      BandHashes(col("sig"), bands, rowsPerBand).as("bh"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val hofForm = sigs.select(col("doc_id"),
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)).as("bh"))
+      .as[(Long, Seq[Int])].collect().toMap
+    native shouldBe hofForm
+    native(1L) should have length bands
+    // equal slices in different bands must land in different buckets: the
+    // empty doc's signature is Long.MaxValue everywhere, yet its 16 band
+    // hashes should all differ because the band index is folded in
+    native(4L).distinct should have length bands
+  }
+
   test("null input and SQL registration") {
     graft.functions.expressions.GraftExtensions.register(spark)
     val withNull = Seq((1L, Some("a b c")), (2L, None)).toDF("id", "text")
