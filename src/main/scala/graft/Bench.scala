@@ -31,6 +31,16 @@ import org.apache.spark.sql.SparkSession
   * (override dir with `SPARK_GRAFT_BENCH_OUT`) — a file artifact the way
   * `Verify` writes `_failed.json`, immune to stdout capture entirely. */
 object Bench {
+  /** Force FULL materialization of every output column. `count()` is a lie
+    * for projection-shaped queries: Catalyst prunes the projected columns
+    * down to nothing and even eliminates a final unique-keyed left join
+    * under it (measured: q121's count() plan is a bare parquet scan —
+    * 0.15 s for a text-rewrite whose honest cost is ~10×). The noop sink
+    * consumes every InternalRow, so the full projection runs, with zero
+    * write-side I/O in the measurement. */
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   /** Timed passes over `queries`. Returns (name → min seconds, -1 for any
     * query that threw) in sorted-name order. Factored out of main so a spec
     * can inject a deliberately-broken query and assert the -1 sentinel. */
@@ -39,7 +49,7 @@ object Bench {
               sfDir: String, runs: Int): List[(String, Double)] = {
     val names = queries.keys.toList.sorted
     names.foreach { name =>                       // untimed warmup
-      try queries(name)(spark, sfDir).count()
+      try force(queries(name)(spark, sfDir))
       catch { case _: Throwable => }
     }
     names.map { name =>
@@ -52,7 +62,7 @@ object Bench {
       while (i < runs && !failed) {
         val t0 = System.nanoTime()
         try {
-          queries(name)(spark, sfDir).count()
+          force(queries(name)(spark, sfDir))
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => failed = true }
         i += 1

@@ -1200,6 +1200,30 @@ object SparkEntry {
       ap(lined, t("dedup_lines", "idColumn" -> "doc_id", "textColumn" -> "text"))
         .select("doc_id", "text")
     }),
+    // ExactSubstr-style span dedup (Lee et al. 2022): maximal runs of >= 8
+    // tokens occurring >= 2 times corpus-wide. The synthetic corpus's
+    // planted near-dup pairs share long token runs, so both surfaces are
+    // non-trivial at every SF.
+    "q120_span_dups" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"), t("dedup_spans", "idColumn" -> "doc_id",
+        "textColumn" -> "text", "mode" -> "report"))),
+    // removal drops EVERY occurrence (the published semantics); documents
+    // without duplicated spans must come back byte-identical
+    "q121_span_removal" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"), t("dedup_spans", "idColumn" -> "doc_id",
+        "textColumn" -> "text")).select("doc_id", "text")),
+    // span-level decontamination: corpus halves as reference/increment
+    // (q114's split); increment docs lose every >= 8-token run that
+    // appears anywhere in the reference half, increment-internal
+    // repetition deliberately kept
+    "q122_span_decontam" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = tab(s, dir, "documents")
+      docs.where(col("doc_id") < 250).createOrReplaceTempView("q122_reference")
+      ap(docs.where(col("doc_id") >= 250), t("dedup_spans",
+        "idColumn" -> "doc_id", "textColumn" -> "text",
+        "referenceView" -> "q122_reference")).select("doc_id", "text")
+    }),
     // distribution drift between corpus halves: n_chars unshifted (small
     // PSI) and shifted +200 (large PSI) — fixed-width bins from reference
     // min/max keep the bin arithmetic exact-parity (q66's floor precedent)
@@ -2699,6 +2723,114 @@ object SparkEntry {
          )
          SELECT d.doc_id, coalesce(kept.text, '') AS text
          FROM documents d LEFT JOIN kept USING (doc_id)""",
+    // same tokenization as q45/q82 (lower+trim, split \s+, drop empties);
+    // gaps-and-islands over duplicated 8-gram start positions
+    "q120_span_dups" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS lws
+           FROM documents
+         ), g AS (
+           SELECT doc_id, unnest(generate_series(1, len(lws) - 7)) AS pos, lws
+           FROM toks WHERE len(lws) >= 8
+         ), grams AS (
+           SELECT doc_id, pos, array_to_string(lws[pos : pos + 7], ' ') AS gram FROM g
+         ), dup AS (
+           SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+         ), hits AS (
+           SELECT g2.doc_id, g2.pos FROM grams g2 JOIN dup USING (gram)
+         ), isl AS (
+           SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+           FROM hits
+         )
+         SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+                max(pos) + 8 - min(pos) AS n_toks
+         FROM isl GROUP BY doc_id, i""",
+    // removal rebuilds affected docs from surviving ORIGINAL-case tokens;
+    // untouched docs keep their text verbatim (no retokenization)
+    "q121_span_removal" ->
+      """WITH toks AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS lws,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '') AS ows
+           FROM documents
+         ), g AS (
+           SELECT doc_id, unnest(generate_series(1, len(lws) - 7)) AS pos, lws
+           FROM toks WHERE len(lws) >= 8
+         ), grams AS (
+           SELECT doc_id, pos, array_to_string(lws[pos : pos + 7], ' ') AS gram FROM g
+         ), dup AS (
+           SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+         ), hits AS (
+           SELECT g2.doc_id, g2.pos FROM grams g2 JOIN dup USING (gram)
+         ), isl AS (
+           SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+           FROM hits
+         ), spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM isl GROUP BY doc_id, i
+         ), cov AS (
+           SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS cp FROM spans
+         ), tok AS (
+           SELECT t.doc_id, unnest(generate_series(1, len(t.ows))) AS tp, ows
+           FROM toks t WHERE t.doc_id IN (SELECT doc_id FROM spans)
+         ), rebuilt AS (
+           SELECT tok.doc_id,
+                  coalesce(array_to_string(list(ows[tp] ORDER BY tp)
+                    FILTER (WHERE cov.cp IS NULL), ' '), '') AS newtext
+           FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tp = cov.cp
+           GROUP BY tok.doc_id
+         )
+         SELECT d.doc_id,
+                CASE WHEN r.doc_id IS NULL THEN d.text ELSE r.newtext END AS text
+         FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
+    // q121's rebuild with the duplication test swapped for reference
+    // membership: a gram is contaminated iff it appears in the doc_id<250
+    // half; only the >= 250 half is rewritten
+    "q122_span_decontam" ->
+      """WITH toks AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS lws,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '') AS ows
+           FROM documents
+         ), g AS (
+           SELECT doc_id, unnest(generate_series(1, len(lws) - 7)) AS pos, lws
+           FROM toks WHERE len(lws) >= 8
+         ), grams AS (
+           SELECT doc_id, pos, array_to_string(lws[pos : pos + 7], ' ') AS gram FROM g
+         ), refg AS (
+           SELECT DISTINCT gram FROM grams WHERE doc_id < 250
+         ), hits AS (
+           SELECT g2.doc_id, g2.pos FROM grams g2 JOIN refg USING (gram)
+           WHERE g2.doc_id >= 250
+         ), isl AS (
+           SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+           FROM hits
+         ), spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM isl GROUP BY doc_id, i
+         ), cov AS (
+           SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS cp FROM spans
+         ), tok AS (
+           SELECT t.doc_id, unnest(generate_series(1, len(t.ows))) AS tp, ows
+           FROM toks t WHERE t.doc_id IN (SELECT doc_id FROM spans)
+         ), rebuilt AS (
+           SELECT tok.doc_id,
+                  coalesce(array_to_string(list(ows[tp] ORDER BY tp)
+                    FILTER (WHERE cov.cp IS NULL), ' '), '') AS newtext
+           FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tp = cov.cp
+           GROUP BY tok.doc_id
+         )
+         SELECT d.doc_id,
+                CASE WHEN r.doc_id IS NULL THEN d.text ELSE r.newtext END AS text
+         FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+         WHERE d.doc_id >= 250""",
     // planted twins make LSH recall exact: rank 1 is the query itself,
     // rank 2 its twin — pure arithmetic, no vector math needed
     "q115_ann_lsh_exact" ->

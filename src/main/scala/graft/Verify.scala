@@ -53,6 +53,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // dev loop (mirrors Bench's SPARK_GRAFT_BENCH_ONLY): restrict the run
+    // to a comma-separated query subset; the oracle manifest is filtered
+    // too so tools/check_oracle.py stays coherent on the partial dir
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,7 +65,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val failures = run(spark, SparkEntry.queries, SparkEntry.oracleSql, sfDir, outDir)
+    val queries = only.map(s => SparkEntry.queries.filter(kv => s(kv._1)))
+      .getOrElse(SparkEntry.queries)
+    val oracles = only.map(s => SparkEntry.oracleSql.filter(kv => s(kv._1)))
+      .getOrElse(SparkEntry.oracleSql)
+    val failures = run(spark, queries, oracles, sfDir, outDir)
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} FAILED: ${failures.keys.mkString(",")}")
     spark.stop()

@@ -1,0 +1,202 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.{ConfigException, RunContext, Transform}
+import graft.config.TransformConfig
+
+/**
+ * Cross-document SPAN deduplication (ExactSubstr-style: "Deduplicating
+ * Training Data Makes Language Models Better", Lee et al. 2022): find
+ * maximal runs of >= `n` consecutive tokens that occur at least
+ * `minCount` times corpus-wide (across documents or repeated within
+ * one), and optionally remove EVERY occurrence — the published
+ * ExactSubstr semantics, which drops all copies of a duplicated span
+ * rather than electing a survivor (survivor election over overlapping
+ * substrings has no stable distributed definition; the line-level
+ * operator [[LineDedup]] covers keep-first semantics for delimited
+ * units).
+ *
+ * Mechanics: every word `n`-gram is a probe. A token belongs to a
+ * duplicated span iff some duplicated n-gram's window covers it;
+ * consecutive duplicated gram-start positions merge into maximal spans
+ * (gaps-and-islands). Matching is over lowercased `\s+`-tokenization
+ * ([[graft.functions.TextFunctions.tokens]] parity); removal rebuilds
+ * from the ORIGINAL-case tokens, so only case-insensitive repetition is
+ * caught but surviving text keeps its casing. The `*Against` variants
+ * swap the duplication test for membership in a reference corpus —
+ * span-level decontamination (strip benchmark text that leaked into
+ * training documents without dropping the documents) and incremental
+ * ingestion against yesterday's corpus.
+ *
+ * Scale shape: one zero-shuffle n-gram explode
+ * ([[graft.functions.expressions.WordNgramStrings]], codegen'd); ONE
+ * aggregation keyed on the gram (map-side partials collapse each
+ * partition's repeats before the exchange — the suffix-array batch job
+ * the paper builds is replaced by the gram-keyed exchange Spark already
+ * does well); duplicated grams join back on the SAME key, so the
+ * aggregation's exchange is reused; islands use a per-document window
+ * (never a corpus-global one). Removal adds one doc-keyed reduction
+ * over the (tiny) duplicated-span frame and a per-row index filter —
+ * documents without spans are left byte-identical. At 100 TB the gram
+ * exchange is bounded by distinct-gram volume after map-side collapse;
+ * `n` >= 8 keeps coincidental collisions (and gram volume) down, the
+ * same knob the paper's 50-token threshold turns.
+ */
+object SpanDedup {
+
+  /** Maximal duplicated spans: one row per (document, span), with
+    * 1-based inclusive token coordinates.
+    *
+    * @return (idCol, start_tok, end_tok, n_toks) — all span columns
+    *         LongType, sorted consumers' concern. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 8, minCount: Int = 2): DataFrame = {
+    require(n >= 2, s"dedup_spans: n must be >= 2, got $n")
+    require(minCount >= 2, s"dedup_spans: minCount must be >= 2, got $minCount")
+    islandSpans(dupGramStarts(df, idCol, textCol, n, minCount), idCol, n)
+  }
+
+  /** INCREMENTAL / decontamination variant: maximal runs of >= `n` tokens
+    * that appear ANYWHERE in `ref` (yesterday's corpus, or a benchmark
+    * suite) — span-level `dedup_against`. The reference reduces ONCE to a
+    * DISTINCT 32-byte gram-hash frame (broadcast-able for benchmark-sized
+    * references, an ordinary hash join otherwise); the increment's gram
+    * stream semi-joins on the hash, so neither side's text rides the
+    * exchange. Within-increment repetition is deliberately NOT considered
+    * — compose with [[dupSpans]] when both are wanted. */
+  def dupSpansAgainst(df: DataFrame, idCol: String, textCol: String,
+                      ref: DataFrame, refTextCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2, s"dedup_spans: n must be >= 2, got $n")
+    val refHashes = ref.select(explode(
+        graft.functions.expressions.WordNgramStrings(col(refTextCol), n)).as("__g"))
+      .select(sha2(col("__g"), 256).as("__h")).distinct()
+    val hits = gramStarts(df, idCol, textCol, n)
+      .withColumn("__h", sha2(col("__gram"), 256))
+      .join(refHashes, Seq("__h"), "left_semi")
+      .select(col("__id"), (col("__p0") + 1).cast("long").as("__pos"))
+    islandSpans(hits, idCol, n)
+  }
+
+  /** Remove every occurrence of every duplicated span from `textCol`
+    * (other columns untouched). Documents without duplicated spans are
+    * byte-identical to their input (no retokenization); affected
+    * documents are rebuilt from their surviving original-case tokens
+    * joined by single spaces — fully-duplicated documents become empty
+    * strings, null texts stay null. */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minCount: Int = 2): DataFrame =
+    removeSpans(df, idCol, textCol, dupSpans(df, idCol, textCol, n, minCount))
+
+  /** Remove every span present in `ref` from `textCol` — benchmark
+    * decontamination / incremental ingestion with surgical span removal
+    * instead of whole-document drops (the `decontaminate` transform's
+    * document-level gate). Same rebuild contract as [[removeDupSpans]]. */
+  def removeSpansAgainst(df: DataFrame, idCol: String, textCol: String,
+                         ref: DataFrame, refTextCol: String, n: Int = 8): DataFrame =
+    removeSpans(df, idCol, textCol,
+      dupSpansAgainst(df, idCol, textCol, ref, refTextCol, n))
+
+  /** Rewrite `textCol` dropping every token covered by a span in `spans`
+    * (the output shape of [[dupSpans]]). Affected documents rebuild from
+    * original-case tokens; unaffected documents pass through byte-identical. */
+  private def removeSpans(df: DataFrame, idCol: String, textCol: String,
+                          spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
+      .groupBy(col(idCol).as("__sid"))
+      .agg(collect_list(struct(col("start_tok").as("s"), col("end_tok").as("e")))
+        .as("__spans"))
+    // original-case tokens; empty tokens dropped to keep positions
+    // aligned with the lowercased matching stream
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    df.join(spans, col(idCol) === col("__sid"), "left")
+      .withColumn(textCol, when(col("__spans").isNull, col(textCol))
+        .otherwise(array_join(
+          filter(toks, (t, i) => !exists(col("__spans"),
+            s => i + 1 >= s.getField("s") && i + 1 <= s.getField("e"))),
+          " ")))
+      .drop("__sid", "__spans")
+  }
+
+  /** (__id, __p0, __gram): every n-gram with its 0-based start token. */
+  private def gramStarts(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+      posexplode(graft.functions.expressions.WordNgramStrings(col(textCol), n))
+        .as(Seq("__p0", "__gram")))
+
+  /** (__id, __pos) of every duplicated n-gram's 1-based start token. */
+  private def dupGramStarts(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, minCount: Int): DataFrame = {
+    val grams = gramStarts(df, idCol, textCol, n)
+    val dup = grams.groupBy("__gram").agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") >= minCount).select("__gram")
+    grams.join(dup, Seq("__gram"))
+      .select(col("__id"), (col("__p0") + 1).cast("long").as("__pos"))
+  }
+
+  /** Merge consecutive 1-based gram-start positions (gaps-and-islands,
+    * per-document window) into maximal spans of covered tokens. */
+  private def islandSpans(hits: DataFrame, idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    hits.withColumn("__isl", col("__pos") - row_number().over(w))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min("__pos").as("start_tok"),
+        (max("__pos") + (n - 1)).cast("long").as("end_tok"))
+      .select(col("__id").as(idCol), col("start_tok").cast("long"),
+        col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).cast("long").as("n_toks"))
+  }
+}
+
+/**
+ * Declarative span dedup:
+ *
+ * {{{
+ * - name: strip-repeated-spans
+ *   type: dedup_spans
+ *   options: {idColumn: doc_id, textColumn: text, n: "8", minCount: "2"}
+ * }}}
+ *
+ * `mode: remove (default) | report` — report yields the span table
+ * (idColumn, start_tok, end_tok, n_toks) instead of rewriting text;
+ * `n` is the minimum duplicated run length in tokens, `minCount` the
+ * corpus-wide occurrence threshold. With `referenceView` (+ optional
+ * `referenceTextColumn`) the duplication test switches to "appears
+ * anywhere in the named reference corpus" — span-level decontamination /
+ * incremental ingestion (`minCount` does not apply; within-increment
+ * repeats are left to a composed corpus-scope pass).
+ */
+object SpanDedupTransform extends Transform {
+  val transformType = "dedup_spans"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    (config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq)
+      .filterNot(schema.fieldNames.contains)
+      .map(c => s"dedup_spans: column '$c' not in input schema").toList
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "textColumn")
+    val id = config.options("idColumn"); val text = config.options("textColumn")
+    val n = config.options.get("n").map(_.toInt).getOrElse(8)
+    val minCount = config.options.get("minCount").map(_.toInt).getOrElse(2)
+    val ref = config.options.get("referenceView").map(v => (ctx.spark.table(v),
+      config.options.getOrElse("referenceTextColumn", text)))
+    if (ref.isDefined && config.options.contains("minCount"))
+      throw new ConfigException("dedup_spans: minCount does not apply with " +
+        "referenceView (any reference occurrence marks the span)")
+    try config.options.getOrElse("mode", "remove") match {
+      case "remove" => ref match {
+        case Some((r, rt)) => SpanDedup.removeSpansAgainst(input, id, text, r, rt, n)
+        case None => SpanDedup.removeDupSpans(input, id, text, n, minCount)
+      }
+      case "report" => ref match {
+        case Some((r, rt)) => SpanDedup.dupSpansAgainst(input, id, text, r, rt, n)
+        case None => SpanDedup.dupSpans(input, id, text, n, minCount)
+      }
+      case other => throw new ConfigException(
+        s"dedup_spans mode must be remove|report, got '$other'")
+    } catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+  }
+}

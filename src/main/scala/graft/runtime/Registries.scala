@@ -43,6 +43,7 @@ object Registries {
     FrequentItemsTransform.transformType  -> FrequentItemsTransform,
     QuantileSketchTransform.transformType -> QuantileSketchTransform,
     graft.dedup.LineDedupTransform.transformType -> graft.dedup.LineDedupTransform,
+    graft.dedup.SpanDedupTransform.transformType -> graft.dedup.SpanDedupTransform,
     DecontaminateTransform.transformType  -> DecontaminateTransform,
     EmbeddingDecontaminateTransform.transformType -> EmbeddingDecontaminateTransform,
     AsofJoinTransform.transformType   -> AsofJoinTransform,

@@ -1,0 +1,115 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import graft.api.RunContext
+import graft.config.TransformConfig
+
+class SpanDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ctx = RunContext(spark, "t", "r")
+
+  // 10 shared tokens: every 4-gram window inside them is duplicated
+  private val shared = "one two three four five six seven eight nine ten"
+
+  test("cross-document repeated run reported as one maximal span per side") {
+    val d = Seq(
+      (1L, s"intro a b $shared tail c"),
+      (2L, s"$shared closing words here"),
+      (3L, "totally different content with no repeats at all")
+    ).toDF("doc_id", "text")
+    val spans = SpanDedup.dupSpans(d, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    // doc 1: tokens 4..13 (1-based, after "intro a b"); doc 2: tokens 1..10
+    spans shouldBe Seq((1L, 4L, 13L, 10L), (2L, 1L, 10L, 10L))
+  }
+
+  test("within-document repetition counts toward minCount; islands with a " +
+    "gap stay separate spans") {
+    val d = Seq((1L, s"$shared filler filler filler $shared")).toDF("doc_id", "text")
+    val spans = SpanDedup.dupSpans(d, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    spans shouldBe Seq((1L, 1L, 10L, 10L), (1L, 14L, 23L, 10L))
+  }
+
+  test("minCount=3 requires three occurrences") {
+    val d = Seq(
+      (1L, s"$shared a"), (2L, s"$shared b")).toDF("doc_id", "text")
+    SpanDedup.dupSpans(d, "doc_id", "text", n = 4, minCount = 3).count() shouldBe 0L
+    val d3 = d.union(Seq((3L, s"$shared c")).toDF("doc_id", "text"))
+    SpanDedup.dupSpans(d3, "doc_id", "text", n = 4, minCount = 3).count() shouldBe 3L
+  }
+
+  test("matching is case-insensitive but removal keeps original case; " +
+    "untouched docs stay byte-identical; fully-covered docs empty out") {
+    val d = Seq(
+      (1L, s"KeepMe  Exactly  As-Is"),                      // no repeats: verbatim
+      (2L, s"ONE TWO THREE FOUR FIVE six seven eight nine ten Unique2"),
+      (3L, s"$shared"),                                     // fully covered
+      (4L, null.asInstanceOf[String]),
+      (5L, s"prefix5 $shared")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeDupSpans(d, "doc_id", "text", n = 4)
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "KeepMe  Exactly  As-Is" // double spaces preserved
+    out(2L) shouldBe "Unique2"                // survivor keeps its casing
+    out(3L) shouldBe ""
+    Option(out(4L)) shouldBe None
+    out(5L) shouldBe "prefix5"
+  }
+
+  test("transform dispatch: report and remove modes, validation errors") {
+    val d = Seq((1L, s"$shared x"), (2L, s"$shared y")).toDF("doc_id", "text")
+    val rep = SpanDedupTransform(d, TransformConfig("sd", "dedup_spans",
+      Map("idColumn" -> "doc_id", "textColumn" -> "text",
+        "n" -> "4", "mode" -> "report")), ctx)
+    rep.columns.toSeq shouldBe Seq("doc_id", "start_tok", "end_tok", "n_toks")
+    rep.count() shouldBe 2L
+    val rem = SpanDedupTransform(d, TransformConfig("sd", "dedup_spans",
+      Map("idColumn" -> "doc_id", "textColumn" -> "text", "n" -> "4")), ctx)
+    rem.as[(Long, String)].collect().toMap.apply(1L) shouldBe "x"
+    an[graft.api.ConfigException] should be thrownBy SpanDedupTransform(
+      d, TransformConfig("sd", "dedup_spans", Map("idColumn" -> "doc_id")), ctx)
+    an[graft.api.ConfigException] should be thrownBy SpanDedupTransform(
+      d, TransformConfig("sd", "dedup_spans", Map("idColumn" -> "doc_id",
+        "textColumn" -> "text", "mode" -> "bogus")), ctx)
+    an[graft.api.ConfigException] should be thrownBy SpanDedupTransform(
+      d, TransformConfig("sd", "dedup_spans", Map("idColumn" -> "doc_id",
+        "textColumn" -> "text", "n" -> "1")), ctx)
+  }
+
+  test("against-mode: reference spans removed, increment-internal repeats " +
+    "deliberately kept, minCount conflict rejected") {
+    val ref = Seq((100L, s"some preamble $shared")).toDF("doc_id", "text")
+    val inc = Seq(
+      (1L, s"intro $shared outro"),
+      (2L, "say it again say it again say it again and again today")
+    ).toDF("doc_id", "text")
+    val spans = SpanDedup.dupSpansAgainst(inc, "doc_id", "text", ref, "text", n = 4)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    spans shouldBe Seq((1L, 2L, 11L, 10L))
+    val out = SpanDedup.removeSpansAgainst(inc, "doc_id", "text", ref, "text", n = 4)
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "intro outro"
+    out(2L) shouldBe "say it again say it again say it again and again today"
+    ref.createOrReplaceTempView("span_ref")
+    val viaTransform = SpanDedupTransform(inc, TransformConfig("sd", "dedup_spans",
+      Map("idColumn" -> "doc_id", "textColumn" -> "text", "n" -> "4",
+        "referenceView" -> "span_ref")), ctx)
+      .as[(Long, String)].collect().toMap
+    viaTransform(1L) shouldBe "intro outro"
+    an[graft.api.ConfigException] should be thrownBy SpanDedupTransform(
+      inc, TransformConfig("sd", "dedup_spans", Map("idColumn" -> "doc_id",
+        "textColumn" -> "text", "referenceView" -> "span_ref",
+        "minCount" -> "3")), ctx)
+  }
+
+  test("plan shape: no corpus-global window — islands window is keyed by doc") {
+    val d = Seq((1L, s"$shared z"), (2L, s"$shared w")).toDF("doc_id", "text")
+    val spans = SpanDedup.dupSpans(d, "doc_id", "text", n = 4)
+    spans.queryExecution.executedPlan.toString should include("Window")
+    graft.plans.PlanLint.errors(spans) shouldBe empty
+    graft.plans.PlanLint.errors(
+      SpanDedup.removeDupSpans(d, "doc_id", "text", n = 4)) shouldBe empty
+  }
+}
