@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /**
  * Text-analysis primitives for large-scale training-data pipelines.
- * Everything here is a pure Column→Column composition of Spark built-ins
- * (split / transform / aggregate / filter higher-order functions), so it
- * stays inside whole-stage codegen, runs per-row with NO shuffle and NO
- * UDF/serialization cost — the properties that make it viable over 100 TB
- * of documents.
+ * Everything here is a pure per-row Column composition with NO shuffle and
+ * NO UDF/serialization cost — the properties that make it viable over
+ * 100 TB of documents. Tokenization is the native codegen'd `split`; the
+ * per-token signal walks go through ONE
+ * [[graft.functions.expressions.TokenSignals]] pass (the composable
+ * filter/aggregate higher-order forms evaluate interpreted per element and
+ * are kept as `*Hof` parity references).
  */
 object TextFunctions {
 
@@ -34,20 +36,43 @@ object TextFunctions {
       (len - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / len)
   }
 
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "be", "this", "was", "are")
+
+  /** The shared one-pass signal struct (n, sum_len, stop_hits, alpha,
+    * distinct_stop_hits, fp, lang) — every consumer in one projection
+    * references the SAME expression tree, so subexpression elimination
+    * evaluates the walk once per row. */
+  private def signals(text: Column): Column =
+    graft.functions.expressions.TokenSignals(
+      tokens(text), stopwords, stopwords, langProfiles.map(_._2))
+
   /** Mean token length (characters). */
   def meanTokenLength(text: Column): Column = {
+    val ts = signals(text)
+    when(ts.getField("n") === 0, 0.0).otherwise(
+      ts.getField("sum_len").cast("double") / ts.getField("n"))
+  }
+
+  /** Composable HOF form of [[meanTokenLength]] (interpreted fold); kept
+    * as the reference implementation the native expression must match. */
+  def meanTokenLengthHof(text: Column): Column = {
     val t = tokens(text)
     when(size(t) === 0, 0.0).otherwise(
       aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
   }
 
-  private val stopwords = Seq(
-    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
-    "for", "on", "with", "as", "at", "by", "be", "this", "was", "are")
-
   /** Fraction of tokens that are (English) stopwords — the classic
     * fluency/quality signal. */
   def stopwordRatio(text: Column): Column = {
+    val ts = signals(text)
+    when(ts.getField("n") === 0, 0.0).otherwise(
+      ts.getField("stop_hits").cast("double") / ts.getField("n"))
+  }
+
+  /** Composable HOF form of [[stopwordRatio]]; parity reference. */
+  def stopwordRatioHof(text: Column): Column = {
     val t = tokens(text)
     val stops = array(stopwords.map(lit): _*)
     when(size(t) === 0, 0.0).otherwise(
@@ -84,6 +109,16 @@ object TextFunctions {
    * `greatest` over (score, lang) structs gives a shuffle-free per-row argmax.
    */
   def langId(text: Column): Column = {
+    val ts = signals(text)
+    val scored = langProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      struct(element_at(ts.getField("lang"), i + 1).as("score"),
+        lit(lang).as("lang"))
+    }
+    greatest(scored: _*).getField("lang")
+  }
+
+  /** Composable HOF form of [[langId]]; parity reference. */
+  def langIdHof(text: Column): Column = {
     val t = tokens(text)
     val scored = langProfiles.map { case (lang, words) =>
       val profile = array(words.map(lit): _*)
@@ -101,6 +136,12 @@ object TextFunctions {
    * and overflow-free under ANSI mode (unlike a polynomial acc*31+h).
    */
   def fingerprint(text: Column): Column =
+    signals(text).getField("fp")
+
+  /** Composable HOF form of [[fingerprint]]; parity reference (the native
+    * expression drives the chain through XxHash64Function itself, so
+    * equality here is equality of the full hash recurrence). */
+  def fingerprintHof(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
 
   /** Word n-gram array ("a b c", 2 → ["a b", "b c"]); docs shorter than n

@@ -32,8 +32,16 @@ object VectorFunctions {
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
   }
 
-  /** L2-normalized copy of the vector (doubles). */
-  def normalize(a: Column): Column = {
+  /** L2-normalized copy of the vector (doubles). Backed by the native
+    * codegen'd [[graft.functions.expressions.NormalizeVector]] (single
+    * fused pass); arithmetic is bit-identical to [[normalizeHof]]. */
+  def normalize(a: Column): Column =
+    graft.functions.expressions.NormalizeVector(a)
+
+  /** Composable higher-order-function form (interpreted, norm fold
+    * evaluated twice via the zero guard); kept as the reference
+    * implementation the native expression must match. */
+  def normalizeHof(a: Column): Column = {
     val n = norm(a)
     when(n === 0.0, transform(a, x => x.cast("double")))
       .otherwise(transform(a, x => x.cast("double") / n))

@@ -57,6 +57,12 @@ object GraftExtensions {
         require(args.length == 2, "shingle_hashes expects (text, n)")
         ShingleHashes(args.head, foldableInt("shingle_hashes", "n", args(1)))
       }),
+    ("vec_normalize",
+      new ExpressionInfo(classOf[NormalizeVector].getName, "vec_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vec_normalize expects exactly 1 argument")
+        NormalizeVector(args.head)
+      }),
     ("hyperplane_buckets",
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       (args: Seq[Expression]) => {

@@ -40,22 +40,42 @@ object GopherRules {
       maxEllipsisFraction: Double = 0.3, minAlphaFraction: Double = 0.8,
       minStopwords: Int = 2)
 
-  /** (keep, failedRule) for one text column; failedRule is null on keep. */
-  def evaluate(text: Column, th: Thresholds): (Column, Column) = {
-    val toks = TextFunctions.tokens(text)
-    val nWords = TextFunctions.tokenCount(text)
-    val meanLen = TextFunctions.meanTokenLength(text)
+  /** Stage the two single-pass signal structs
+    * ([[graft.functions.expressions.TokenSignals]] /
+    * [[graft.functions.expressions.LineSignals]]) as real columns, derive
+    * the first-failing-rule chain from them in a SECOND projection, then
+    * drop the staging columns. The staging matters: the fail chain
+    * references each signal in several `when` branches, and conditional
+    * branches are exempt from codegen subexpression elimination — inlined,
+    * the token walk re-ran per reference (measured SLOWER than the
+    * interpreted-HOF form it replaced). CollapseProject keeps non-cheap
+    * multiply-referenced aliases staged, so each walk runs once per row.
+    * The composable filter-lambda forms (a regex per token/line,
+    * interpreted) remain in GopherRulesSpec as the parity reference. */
+  private def withFail(df: DataFrame, textCol: String, th: Thresholds,
+                       failCol: String): DataFrame = {
+    val text = col(textCol)
+    val staged = df
+      .withColumn("__gopher_ts", graft.functions.expressions.TokenSignals(
+        TextFunctions.tokens(text), Nil, gopherStopwords, Nil,
+        withFingerprint = false))
+      .withColumn("__gopher_ls",
+        graft.functions.expressions.LineSignals(split(text, "\n")))
+    val ts = col("__gopher_ts"); val ls = col("__gopher_ls")
+    val nToks = ts.getField("n")
+    val nWords = when(length(trim(text)) === 0, 0).otherwise(nToks)
+    val meanLen = when(nToks === 0, 0.0).otherwise(
+      ts.getField("sum_len").cast("double") / nToks)
     val symbolRatio = when(nWords === 0, lit(0.0)).otherwise(
       regexp_count(text, lit("#|\\.\\.\\.|…")).cast("double") / nWords)
-    val lines = split(text, "\n")
-    val nLines = size(lines)
+    val nLines = ls.getField("n")
     val bulletFrac = when(nLines === 0, lit(0.0)).otherwise(
-      size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).cast("double") / nLines)
+      ls.getField("bullets").cast("double") / nLines)
     val ellipsisFrac = when(nLines === 0, lit(0.0)).otherwise(
-      size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
+      ls.getField("ellipsis").cast("double") / nLines)
     val alphaFrac = when(nWords === 0, lit(0.0)).otherwise(
-      size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / nWords)
-    val stopHits = size(array_intersect(toks, array(gopherStopwords.map(lit): _*)))
+      ts.getField("alpha").cast("double") / nWords)
+    val stopHits = ts.getField("distinct_stop_hits")
 
     val fail = when(text.isNull || length(trim(text)) === 0, "empty")
       .when(nWords < th.minWords || nWords > th.maxWords, "word_count")
@@ -67,20 +87,22 @@ object GopherRules {
       .when(alphaFrac < th.minAlphaFraction, "alpha_words")
       .when(stopHits < th.minStopwords, "stopwords")
       .otherwise(lit(null).cast("string"))
-    (fail.isNull, fail)
+    staged.withColumn(failCol, fail).drop("__gopher_ts", "__gopher_ls")
   }
 
   /** Annotate: append `gopher_keep` + `gopher_fail` (first failing rule). */
   def annotate(df: DataFrame, textCol: String,
-               th: Thresholds = Thresholds()): DataFrame = {
-    val (keep, fail) = evaluate(col(textCol), th)
-    df.withColumn("gopher_keep", keep).withColumn("gopher_fail", fail)
-  }
+               th: Thresholds = Thresholds()): DataFrame =
+    withFail(df, textCol, th, "__gopher_fail0")
+      .withColumn("gopher_keep", col("__gopher_fail0").isNull)
+      .withColumn("gopher_fail", col("__gopher_fail0"))
+      .drop("__gopher_fail0")
 
   /** Filter: keep only rows passing every rule. */
   def applyFilter(df: DataFrame, textCol: String,
                   th: Thresholds = Thresholds()): DataFrame =
-    df.where(evaluate(col(textCol), th)._1)
+    withFail(df, textCol, th, "__gopher_fail0")
+      .where(col("__gopher_fail0").isNull).drop("__gopher_fail0")
 }
 
 /**

@@ -65,6 +65,24 @@ class CosineExpressionSpec extends SparkTestBase {
       .as[Int].head() shouldBe 3
   }
 
+  test("NormalizeVector is bit-identical to the HOF reference form; " +
+    "zero vector passes through; unit norm") {
+    val both = vecs.select(
+      VectorFunctions.normalize(col("a")).as("native"),
+      VectorFunctions.normalizeHof(col("a")).as("hof"))
+    both.where("native != hof").count() shouldBe 0
+    val edge = Seq(
+      (Array(0f, 0f, 0f), "zero"),
+      (Array(3f, 4f), "pyth")).toDF("a", "tag")
+    val m = edge.select(col("tag"), VectorFunctions.normalize(col("a")).as("n"))
+      .as[(String, Seq[Double])].collect().toMap
+    m("zero") shouldBe Seq(0.0, 0.0, 0.0)
+    m("pyth") shouldBe Seq(0.6, 0.8)
+    val withNull = Seq((1L, None: Option[Array[Float]])).toDF("id", "a")
+    withNull.select(VectorFunctions.normalize(col("a")))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     // a LocalRelation input would be constant-folded away; use a real scan
     val dir = tmpDir("cosine-wsc")

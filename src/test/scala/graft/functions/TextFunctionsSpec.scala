@@ -23,6 +23,26 @@ class TextFunctionsSpec extends SparkTestBase {
     one[Double](stopwordRatio(col("t")), "the cat and the hat") shouldBe 0.6
   }
 
+  test("native TokenSignals-backed signals are bit-identical to the HOF " +
+    "reference forms on adversarial texts") {
+    val texts = Seq(
+      "the cat and the hat", "  leading and trailing  ", "", "   ",
+      "UPPER lower MiXeD", "punct,.:;!? soup###", "tabs\tand\nnewlines here",
+      "ünïcödé tøkens détente 日本語 の テスト", "a", "- bullet line\n* another\n• third",
+      "der die das und ist", "le la les et est", "el la los las es",
+      "single…\nellipsis...\nend", "repeat repeat repeat repeat",
+      null.asInstanceOf[String])
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val cmp = df.select(
+      meanTokenLength(col("t")).as("m_n"), meanTokenLengthHof(col("t")).as("m_h"),
+      stopwordRatio(col("t")).as("s_n"), stopwordRatioHof(col("t")).as("s_h"),
+      langId(col("t")).as("l_n"), langIdHof(col("t")).as("l_h"),
+      fingerprint(col("t")).as("f_n"), fingerprintHof(col("t")).as("f_h"))
+    cmp.where(
+      "m_n IS DISTINCT FROM m_h OR s_n IS DISTINCT FROM s_h OR " +
+      "l_n IS DISTINCT FROM l_h OR f_n IS DISTINCT FROM f_h").count() shouldBe 0
+  }
+
   test("language id picks the profile with most function-word hits") {
     one[String](langId(col("t")), "the cat is on the mat and it is happy") shouldBe "en"
     one[String](langId(col("t")), "der hund ist nicht mit der katze") shouldBe "de"

@@ -67,6 +67,38 @@ class GopherRulesSpec extends SparkTestBase {
     strict.count() shouldBe 0L
   }
 
+  test("native LineSignals / alpha / distinct-stop counts match the " +
+    "regex-HOF reference forms on adversarial lines") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "- bullet\n  * spaced bullet\n• unicode bullet\nplain",
+      "ends...\nends… \n  - •\nnot.. two dots\n...",
+      "", "   ", "-", "*x\n -y\n\t- tab before dash", "…", "a…",
+      "ümlaut zeile\nthe and of with to", "THE AND OF", "have that be",
+      null.asInstanceOf[String])
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val lines = split(col("t"), "\n")
+    val toks = graft.functions.TextFunctions.tokens(col("t"))
+    val ls = graft.functions.expressions.LineSignals(lines)
+    val ts = graft.functions.expressions.TokenSignals(toks, Nil,
+      Seq("the", "be", "to", "of", "and", "that", "have", "with"), Nil)
+    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
+    val cmp = df.select(
+      ls.getField("bullets").as("b_n"),
+      org.apache.spark.sql.functions.size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).as("b_h"),
+      ls.getField("ellipsis").as("e_n"),
+      org.apache.spark.sql.functions.size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).as("e_h"),
+      ls.getField("n").as("n_n"), org.apache.spark.sql.functions.size(lines).as("n_h"),
+      ts.getField("alpha").as("a_n"),
+      org.apache.spark.sql.functions.size(filter(toks, w => w.rlike("[a-z]"))).as("a_h"),
+      ts.getField("distinct_stop_hits").as("d_n"),
+      org.apache.spark.sql.functions.size(array_intersect(toks, stops)).as("d_h"))
+    cmp.where(
+      "b_n IS DISTINCT FROM b_h OR e_n IS DISTINCT FROM e_h OR " +
+      "n_n IS DISTINCT FROM n_h OR a_n IS DISTINCT FROM a_h OR " +
+      "d_n IS DISTINCT FROM d_h").count() shouldBe 0
+  }
+
   test("zero-shuffle plan; config errors fail fast") {
     val d = Seq((1L, good)).toDF("doc_id", "text")
     val out = GopherRules.annotate(d, "text")
