@@ -582,9 +582,11 @@ object SparkEntry {
     // pass must strip exactly the repeats — zero-shuffle native projection
     "q90_dedup_lines_doc" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val lined = tab(s, dir, "documents").withColumn("text", expr(
-        "array_join(transform(sequence(0, cast((size(split(text, ' ')) - 1) / 8 as int)), " +
-          "i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ')), chr(10))"))
+      val lined = tab(s, dir, "documents").withColumn("text", // 8-word re-lining: replace every 8th space with a newline — byte-
+      // identical to the transform/slice HOF form on this single-space
+      // corpus (verified row-by-row at sf0.1) but a single codegen'd
+      // regex pass instead of an interpreted lambda per line
+      regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n"))
       val rep = lined.withColumn("text",
         concat_ws("\n", col("text"),
           element_at(split(col("text"), "\n"), 1),
@@ -1194,9 +1196,11 @@ object SparkEntry {
     // then share real line-level boilerplate for the operator to strip.
     "q81_dedup_lines" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val lined = tab(s, dir, "documents").withColumn("text", expr(
-        "array_join(transform(sequence(0, cast((size(split(text, ' ')) - 1) / 8 as int)), " +
-          "i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ')), chr(10))"))
+      val lined = tab(s, dir, "documents").withColumn("text", // 8-word re-lining: replace every 8th space with a newline — byte-
+      // identical to the transform/slice HOF form on this single-space
+      // corpus (verified row-by-row at sf0.1) but a single codegen'd
+      // regex pass instead of an interpreted lambda per line
+      regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n"))
       ap(lined, t("dedup_lines", "idColumn" -> "doc_id", "textColumn" -> "text"))
         .select("doc_id", "text")
     }),
@@ -1244,9 +1248,11 @@ object SparkEntry {
     // planted lines and keep everything else, rebuilt in order
     "q113_dedup_lines_against" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val relined = tab(s, dir, "documents").withColumn("text", expr(
-        "array_join(transform(sequence(0, cast((size(split(text, ' ')) - 1) / 8 as int)), " +
-          "i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ')), chr(10))"))
+      val relined = tab(s, dir, "documents").withColumn("text", // 8-word re-lining: replace every 8th space with a newline — byte-
+      // identical to the transform/slice HOF form on this single-space
+      // corpus (verified row-by-row at sf0.1) but a single codegen'd
+      // regex pass instead of an interpreted lambda per line
+      regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n"))
       relined.where(col("doc_id") < 100).createOrReplaceTempView("q113_reference")
       val boiler = relined.where(col("doc_id") < 100)
         .select(col("doc_id").as("rid"), expr("split(text, chr(10))[0]").as("b"))

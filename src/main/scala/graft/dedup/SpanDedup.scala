@@ -80,6 +80,39 @@ object SpanDedup {
     islandSpans(hits, idCol, n)
   }
 
+  /** FIXED-SIZE variant of [[dupSpansAgainst]] for references too large to
+    * join comfortably (yesterday's 100 TB corpus as the reference): the
+    * reference's gram hashes reduce driver-side to one serialized bloom
+    * sketch (same O(small-side) driver-read class as
+    * [[Dedup.bloomDecontaminate]]), and the increment pays a zero-join
+    * codegen'd `might_contain` filter instead of the semi-join exchange.
+    * False positives only EXTEND removal to clean spans (probability ≈
+    * fpp per gram) — reference text is never missed, the conservative
+    * direction for decontamination. */
+  def dupSpansAgainstBloom(df: DataFrame, idCol: String, textCol: String,
+                           ref: DataFrame, refTextCol: String, n: Int = 8,
+                           fpp: Double = 1e-4): DataFrame = {
+    require(n >= 2, s"dedup_spans: n must be >= 2, got $n")
+    require(fpp > 0 && fpp < 1, s"dedup_spans: fpp must be in (0,1), got $fpp")
+    val refHashes = ref.select(explode(
+        graft.functions.expressions.WordNgramStrings(col(refTextCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__gh")).distinct()
+    val expected = math.max(refHashes.count(), 1L)
+    val bloom = refHashes.stat.bloomFilter("__gh", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bloomLit = lit(bos.toByteArray)
+    import org.apache.spark.sql.GraftBridge
+    val mightContain = GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftBridge.expression(bloomLit),
+        GraftBridge.expression(xxhash64(col("__gram")))))
+    val hits = gramStarts(df, idCol, textCol, n)
+      .where(mightContain)
+      .select(col("__id"), (col("__p0") + 1).cast("long").as("__pos"))
+    islandSpans(hits, idCol, n)
+  }
+
   /** Remove every occurrence of every duplicated span from `textCol`
     * (other columns untouched). Documents without duplicated spans are
     * byte-identical to their input (no retokenization); affected
@@ -98,6 +131,13 @@ object SpanDedup {
                          ref: DataFrame, refTextCol: String, n: Int = 8): DataFrame =
     removeSpans(df, idCol, textCol,
       dupSpansAgainst(df, idCol, textCol, ref, refTextCol, n))
+
+  /** Removal through the bloom path — see [[dupSpansAgainstBloom]]. */
+  def removeSpansAgainstBloom(df: DataFrame, idCol: String, textCol: String,
+                              ref: DataFrame, refTextCol: String, n: Int = 8,
+                              fpp: Double = 1e-4): DataFrame =
+    removeSpans(df, idCol, textCol,
+      dupSpansAgainstBloom(df, idCol, textCol, ref, refTextCol, n, fpp))
 
   /** Rewrite `textCol` dropping every token covered by a span in `spans`
     * (the output shape of [[dupSpans]]). Affected documents rebuild from
@@ -167,7 +207,10 @@ object SpanDedup {
  * `referenceTextColumn`) the duplication test switches to "appears
  * anywhere in the named reference corpus" — span-level decontamination /
  * incremental ingestion (`minCount` does not apply; within-increment
- * repeats are left to a composed corpus-scope pass).
+ * repeats are left to a composed corpus-scope pass). `method: bloom`
+ * (+ `fpp`, reference mode only) swaps the semi-join for a fixed-size
+ * bloom sketch and a zero-join `might_contain` filter — for references
+ * too large to join per increment.
  */
 object SpanDedupTransform extends Transform {
   val transformType = "dedup_spans"
@@ -186,12 +229,23 @@ object SpanDedupTransform extends Transform {
     if (ref.isDefined && config.options.contains("minCount"))
       throw new ConfigException("dedup_spans: minCount does not apply with " +
         "referenceView (any reference occurrence marks the span)")
+    val method = config.options.getOrElse("method", "exact")
+    if (method != "exact" && method != "bloom") throw new ConfigException(
+      s"dedup_spans: method must be exact|bloom, got '$method'")
+    if (method == "bloom" && ref.isEmpty) throw new ConfigException(
+      "dedup_spans: method bloom requires referenceView (corpus-scope " +
+        "duplication needs exact counts, not membership)")
+    val fpp = config.options.get("fpp").map(_.toDouble).getOrElse(1e-4)
     try config.options.getOrElse("mode", "remove") match {
       case "remove" => ref match {
+        case Some((r, rt)) if method == "bloom" =>
+          SpanDedup.removeSpansAgainstBloom(input, id, text, r, rt, n, fpp)
         case Some((r, rt)) => SpanDedup.removeSpansAgainst(input, id, text, r, rt, n)
         case None => SpanDedup.removeDupSpans(input, id, text, n, minCount)
       }
       case "report" => ref match {
+        case Some((r, rt)) if method == "bloom" =>
+          SpanDedup.dupSpansAgainstBloom(input, id, text, r, rt, n, fpp)
         case Some((r, rt)) => SpanDedup.dupSpansAgainst(input, id, text, r, rt, n)
         case None => SpanDedup.dupSpans(input, id, text, n, minCount)
       }

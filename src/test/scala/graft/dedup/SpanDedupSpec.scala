@@ -104,6 +104,41 @@ class SpanDedupSpec extends SparkTestBase {
         "minCount" -> "3")), ctx)
   }
 
+  test("bloom against-mode matches the exact semi-join on this corpus and " +
+    "plans no join for the gram filter; guards validated") {
+    val ref = Seq((100L, s"some preamble $shared")).toDF("doc_id", "text")
+    val inc = Seq(
+      (1L, s"intro $shared outro"),
+      (2L, "say it again say it again say it again and again today")
+    ).toDF("doc_id", "text")
+    val exact = SpanDedup.dupSpansAgainst(inc, "doc_id", "text", ref, "text", n = 4)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    val bloom = SpanDedup.dupSpansAgainstBloom(inc, "doc_id", "text", ref, "text", n = 4)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    bloom shouldBe exact
+    val rem = SpanDedup.removeSpansAgainstBloom(inc, "doc_id", "text", ref, "text", n = 4)
+      .as[(Long, String)].collect().toMap
+    rem(1L) shouldBe "intro outro"
+    // one exchange for the islands window only: the gram filter is a
+    // zero-join projection (the semi-join path has a second exchange)
+    val plan = SpanDedup.dupSpansAgainstBloom(inc, "doc_id", "text", ref, "text", n = 4)
+      .queryExecution.executedPlan.toString
+    plan should include("might_contain")
+    plan should not include "Join"
+    ref.createOrReplaceTempView("span_bloom_ref")
+    an[graft.api.ConfigException] should be thrownBy SpanDedupTransform(
+      inc, TransformConfig("sd", "dedup_spans", Map("idColumn" -> "doc_id",
+        "textColumn" -> "text", "method" -> "bloom")), ctx) // no referenceView
+    an[graft.api.ConfigException] should be thrownBy SpanDedupTransform(
+      inc, TransformConfig("sd", "dedup_spans", Map("idColumn" -> "doc_id",
+        "textColumn" -> "text", "referenceView" -> "span_bloom_ref",
+        "method" -> "nope")), ctx)
+    SpanDedupTransform(inc, TransformConfig("sd", "dedup_spans",
+      Map("idColumn" -> "doc_id", "textColumn" -> "text", "n" -> "4",
+        "referenceView" -> "span_bloom_ref", "method" -> "bloom")), ctx)
+      .as[(Long, String)].collect().toMap.apply(1L) shouldBe "intro outro"
+  }
+
   test("plan shape: no corpus-global window — islands window is keyed by doc") {
     val d = Seq((1L, s"$shared z"), (2L, s"$shared w")).toDF("doc_id", "text")
     val spans = SpanDedup.dupSpans(d, "doc_id", "text", n = 4)
