@@ -17,12 +17,14 @@ import graft.config.TransformConfig
  *
  * Scale shape: posexplode lines (zero shuffle), ONE aggregation keyed on
  * the line text (map-side partial min-structs collapse each partition's
- * repeats before the exchange), survivors join back on the SAME key (the
- * aggregation's exchange is reused), then one (id)-keyed reduction
- * rebuilds documents. Never a window over the corpus. The line text rides
- * the shuffles because reconstruction needs it back — at 100 TB the
- * shuffle is bounded by distinct-line volume after map-side collapse,
- * which for boilerplate-heavy web corpora is far below corpus size.
+ * repeats before the exchange), survivors join back on the same key
+ * (AQE broadcasts the distinct-line survivor frame when it fits —
+ * measured at sf0.01 — else an ordinary hash join), then one (id)-keyed
+ * reduction rebuilds documents. Never a window over the corpus. The line
+ * text rides the shuffles because reconstruction needs it back — at
+ * 100 TB the shuffle is bounded by distinct-line volume after map-side
+ * collapse, which for boilerplate-heavy web corpora is far below corpus
+ * size.
  *
  * Lines shorter than `minLength` characters (default 1 — i.e. only empty
  * lines) never participate: they are kept verbatim wherever they appear,

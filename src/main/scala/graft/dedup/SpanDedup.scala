@@ -31,19 +31,23 @@ import graft.config.TransformConfig
  * training documents without dropping the documents) and incremental
  * ingestion against yesterday's corpus.
  *
- * Scale shape: one zero-shuffle n-gram explode
- * ([[graft.functions.expressions.WordNgramStrings]], codegen'd); ONE
- * aggregation keyed on the gram (map-side partials collapse each
- * partition's repeats before the exchange — the suffix-array batch job
- * the paper builds is replaced by the gram-keyed exchange Spark already
- * does well); duplicated grams join back on the SAME key, so the
- * aggregation's exchange is reused; islands use a per-document window
- * (never a corpus-global one). Removal adds one doc-keyed reduction
- * over the (tiny) duplicated-span frame and a per-row index filter —
- * documents without spans are left byte-identical. At 100 TB the gram
- * exchange is bounded by distinct-gram volume after map-side collapse;
- * `n` >= 8 keeps coincidental collisions (and gram volume) down, the
- * same knob the paper's 50-token threshold turns.
+ * Scale shape: zero-shuffle n-gram explodes
+ * ([[graft.functions.expressions.WordNgramStrings]], codegen'd) over two
+ * column-pruned scans — the count branch reads text only, the position
+ * branch re-derives grams (cheaper than materializing a corpus-sized
+ * gram checkpoint); ONE aggregation keyed on the gram (map-side partials
+ * collapse each partition's repeats before the exchange — the
+ * suffix-array batch job the paper builds is replaced by the gram-keyed
+ * exchange Spark already does well); the duplicated-gram frame is tiny
+ * after the `minCount` filter, so AQE broadcasts it into the position
+ * branch (measured: BroadcastHashJoin at sf0.01); islands use a
+ * per-document window (never a corpus-global one). Removal adds one
+ * doc-keyed reduction over the (tiny) duplicated-span frame and a
+ * per-row index filter — documents without spans are left
+ * byte-identical. At 100 TB the gram exchange is bounded by
+ * distinct-gram volume after map-side collapse; `n` >= 8 keeps
+ * coincidental collisions (and gram volume) down, the same knob the
+ * paper's 50-token threshold turns.
  */
 object SpanDedup {
 
