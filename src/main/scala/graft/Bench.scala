@@ -142,7 +142,9 @@ object Bench {
     }
     val results = measure(spark, queries, sfDir, runs)
     val (big, compact) = render(results, sfDir)
-    writeArtifact(outDir, big)
+    // a filtered dev-loop run must never clobber the committed full
+    // artifact (it did, twice) — partial reports land beside it
+    writeArtifact(outDir + (if (only.isDefined) "/partial" else ""), big)
     println(compact)                      // head-bounded capture keeps this
     perQueryLines(results).foreach(println)
     println(big)

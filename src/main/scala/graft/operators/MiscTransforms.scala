@@ -39,7 +39,11 @@ object RegisterTransform extends graft.api.Transform {
       if (config.options.contains("expressions"))
         MapTransform(raw, config.copy(transformType = "map"), ctx)
       else raw
-    shaped.createOrReplaceTempView(config.options("viewName"))
+    // optional row filter (applied after the projection so it can
+    // reference mapped columns; Catalyst pushes it to the scan) — e.g.
+    // registering one corpus half as a dedup/decontamination reference
+    val filtered = config.options.get("condition").map(shaped.where).getOrElse(shaped)
+    filtered.createOrReplaceTempView(config.options("viewName"))
     input
   }
 }

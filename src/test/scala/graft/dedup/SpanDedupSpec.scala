@@ -139,6 +139,29 @@ class SpanDedupSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap.apply(1L) shouldBe "intro outro"
   }
 
+  test("partition invariance: spans and removal identical at 1, 3 and 7 " +
+    "input partitions") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val base = (0L until 60L).map { i =>
+      val toks = Vector.fill(12)(vocab(rnd.nextInt(vocab.size)))
+      (i, toks.mkString(" "))
+    }
+    // plant cross-doc repeats
+    val planted = base ++ Seq((100L, base(3)._2), (101L, base(7)._2))
+    val dfs = Seq(1, 3, 7).map(p =>
+      spark.createDataFrame(planted).toDF("doc_id", "text").repartition(p))
+    val spans = dfs.map(SpanDedup.dupSpans(_, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq)
+    spans(0) should not be empty
+    spans(1) shouldBe spans(0)
+    spans(2) shouldBe spans(0)
+    val removed = dfs.map(SpanDedup.removeDupSpans(_, "doc_id", "text", n = 4)
+      .as[(Long, String)].collect().sorted.toSeq)
+    removed(1) shouldBe removed(0)
+    removed(2) shouldBe removed(0)
+  }
+
   test("plan shape: no corpus-global window — islands window is keyed by doc") {
     val d = Seq((1L, s"$shared z"), (2L, s"$shared w")).toDF("doc_id", "text")
     val spans = SpanDedup.dupSpans(d, "doc_id", "text", n = 4)

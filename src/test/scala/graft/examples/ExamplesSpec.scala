@@ -286,6 +286,24 @@ class ExamplesSpec extends SparkTestBase {
     out.count() shouldBe 0 // every increment row is a verbatim dup of history
   }
 
+  test("quickstart-18: span decontamination then span dedup — spans excised, " +
+    "documents never dropped for contamination") {
+    import org.apache.spark.sql.functions._
+    run("quickstart-18-span-dedup.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-18-out")
+    val orig = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where("doc_id >= 250")
+    out.count() should be > 0L
+    out.where("doc_id < 250").count() shouldBe 0
+    out.where("length(trim(text)) = 0").count() shouldBe 0 // survivors filter
+    // spans were actually excised somewhere: at least one surviving doc
+    // shrank vs its original text
+    val shrunk = out.select(col("doc_id"), org.apache.spark.sql.functions.length(col("text")).as("l"))
+      .join(orig.select(col("doc_id"), org.apache.spark.sql.functions.length(col("text")).as("l0")), "doc_id")
+      .where(col("l") < col("l0")).count()
+    shrunk should be > 0L
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
