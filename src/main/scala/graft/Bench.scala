@@ -137,7 +137,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = only match {
-      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case Some(names) =>
+        // a typo'd name must fail loudly, not bench zero queries and
+        // print a valid-looking total
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+        SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
     val results = measure(spark, queries, sfDir, runs)

@@ -2746,10 +2746,17 @@ object SparkEntry {
            SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
          ), hits AS (
            SELECT g2.doc_id, g2.pos FROM grams g2 JOIN dup USING (gram)
-         ), isl AS (
+         ), lagged AS (
            SELECT doc_id, pos,
-                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+                  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
            FROM hits
+         ), isl AS (
+           -- new island iff the coverage gap exceeds n: gram@pos covers
+           -- [pos, pos+7], so starts within 8 chain into one covered run
+           SELECT doc_id, pos,
+                  sum(CASE WHEN pos - prev > 8 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS i
+           FROM lagged
          )
          SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
                 max(pos) + 8 - min(pos) AS n_toks

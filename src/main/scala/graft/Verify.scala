@@ -65,6 +65,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    only.foreach { names =>
+      // a typo'd name must fail loudly, not verify zero queries and
+      // leave an empty-but-clean-looking output dir
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val queries = only.map(s => SparkEntry.queries.filter(kv => s(kv._1)))
       .getOrElse(SparkEntry.queries)
     val oracles = only.map(s => SparkEntry.oracleSql.filter(kv => s(kv._1)))

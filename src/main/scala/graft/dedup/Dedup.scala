@@ -220,7 +220,7 @@ object Dedup {
     * [[graft.runtime.BucketCapObserver]]) so the recall cost is visible
     * at runtime, not just documented. */
   private def cappedBands(sigd: DataFrame, bands: Int, rowsPerBand: Int,
-                          maxBucketSize: Int): DataFrame = {
+                          maxBucketSize: Int, selfPairs: Boolean = true): DataFrame = {
     // native one-pass band hashing (bit-identical to the interpreted
     // hash(slice) HOF it replaces); posexplode's position IS the band
     val sized = sigd.select(col("doc_id"),
@@ -229,7 +229,8 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-    graft.runtime.BucketCapObserver.observeCap(sized, "minhash", "bucket_n", maxBucketSize)
+    graft.runtime.BucketCapObserver.observeCap(
+        sized, "minhash", "bucket_n", maxBucketSize, selfPairs = selfPairs)
       .filter(col("bucket_n") <= maxBucketSize)
       .select("doc_id", "band", "bh")
   }
@@ -239,9 +240,13 @@ object Dedup {
   private def minhashAgainstCore(incSig: DataFrame, refSig: DataFrame,
                                  bands: Int, rowsPerBand: Int,
                                  threshold: Double, maxBucketSize: Int): DataFrame = {
-    val candidates = cappedBands(incSig, bands, rowsPerBand, maxBucketSize)
+    // selfPairs = false: these two caps guard an increment × reference
+    // join, where forgone pairs depend on BOTH sides' bucket sizes
+    val candidates = cappedBands(incSig, bands, rowsPerBand, maxBucketSize,
+        selfPairs = false)
       .select(col("band"), col("bh"), col("doc_id").as("id"))
-      .join(cappedBands(refSig, bands, rowsPerBand, maxBucketSize)
+      .join(cappedBands(refSig, bands, rowsPerBand, maxBucketSize,
+          selfPairs = false)
         .select(col("band"), col("bh"), col("doc_id").as("ref_id")),
         Seq("band", "bh"))
       .select("id", "ref_id").dropDuplicates("id", "ref_id")

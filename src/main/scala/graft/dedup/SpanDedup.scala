@@ -21,8 +21,9 @@ import graft.config.TransformConfig
  *
  * Mechanics: every word `n`-gram is a probe. A token belongs to a
  * duplicated span iff some duplicated n-gram's window covers it;
- * consecutive duplicated gram-start positions merge into maximal spans
- * (gaps-and-islands). Matching is over lowercased `\s+`-tokenization
+ * duplicated gram starts whose coverage windows overlap or touch merge
+ * into maximal DISJOINT spans of covered tokens (gaps-and-islands on the
+ * coverage gap). Matching is over lowercased `\s+`-tokenization
  * ([[graft.functions.TextFunctions.tokens]] parity); removal rebuilds
  * from the ORIGINAL-case tokens, so only case-insensitive repetition is
  * caught but surviving text keeps its casing. The `*Against` variants
@@ -98,10 +99,19 @@ object SpanDedup {
                            fpp: Double = 1e-4): DataFrame = {
     require(n >= 2, s"dedup_spans: n must be >= 2, got $n")
     require(fpp > 0 && fpp < 1, s"dedup_spans: fpp must be in (0,1), got $fpp")
+    // the gram-hash stream stays NON-distinct: bloom insertion is
+    // idempotent, so distinct() would only add a reference-sized shuffle
+    // (twice — sizing job + build job) for nothing. Sizing comes from a
+    // one-pass HLL estimate (zero shuffle, sketch-sized exchange) with 10%
+    // headroom; an estimate a few percent low only nudges the effective
+    // fpp up, and bloom false positives are already the documented
+    // conservative direction (clean spans removed, never reference missed)
     val refHashes = ref.select(explode(
         graft.functions.expressions.WordNgramStrings(col(refTextCol), n)).as("__g"))
-      .select(xxhash64(col("__g")).as("__gh")).distinct()
-    val expected = math.max(refHashes.count(), 1L)
+      .select(xxhash64(col("__g")).as("__gh"))
+    val expected = math.max(
+      (refHashes.agg(approx_count_distinct(col("__gh"))).head.getLong(0) * 1.1).toLong,
+      64L)
     val bloom = refHashes.stat.bloomFilter("__gh", expected, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
@@ -181,11 +191,21 @@ object SpanDedup {
       .select(col("__id"), (col("__p0") + 1).cast("long").as("__pos"))
   }
 
-  /** Merge consecutive 1-based gram-start positions (gaps-and-islands,
-    * per-document window) into maximal spans of covered tokens. */
+  /** Merge 1-based gram-start positions into maximal runs of COVERED
+    * tokens (gaps-and-islands, per-document window): gram start `s` covers
+    * tokens [s, s+n-1], and two sorted starts belong to one run iff the
+    * later one begins before the earlier one's coverage ends (plus
+    * adjacency), i.e. gap <= n. A simple consecutive-start merge would
+    * emit OVERLAPPING spans for starts at distance 2..n — double-counting
+    * n_toks and breaking the disjoint-maximal-span contract — so the
+    * island break is lag-based on the coverage gap. */
   private def islandSpans(hits: DataFrame, idCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy("__id").orderBy("__pos")
-    hits.withColumn("__isl", col("__pos") - row_number().over(w))
+    hits
+      .withColumn("__new",
+        when(col("__pos") - lag("__pos", 1).over(w) > n, 1L).otherwise(0L))
+      .withColumn("__isl", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("__id"), col("__isl"))
       .agg(min("__pos").as("start_tok"),
         (max("__pos") + (n - 1)).cast("long").as("end_tok"))
@@ -220,9 +240,9 @@ object SpanDedupTransform extends Transform {
   val transformType = "dedup_spans"
   override def validate(config: TransformConfig,
                         schema: org.apache.spark.sql.types.StructType): List[String] =
-    (config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq)
-      .filterNot(schema.fieldNames.contains)
-      .map(c => s"dedup_spans: column '$c' not in input schema").toList
+    graft.operators.Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq,
+      transformType)
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "idColumn", "textColumn")
     val id = config.options("idColumn"); val text = config.options("textColumn")

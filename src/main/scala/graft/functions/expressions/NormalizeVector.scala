@@ -24,12 +24,18 @@ import org.apache.spark.sql.types._
  * at sf0.1 the interpreted chain made q60 the single slowest query in
  * the suite (1.64 s for 2 000 rows).
  *
- * Array elements must be non-null (embedding vectors), matching the
- * [[CosineSimilarity]] contract.
+ * Element nulls: parquet array columns default to nullable elements even
+ * when no null is ever present, so the type check cannot reject
+ * `containsNull = true` without breaking every real embedding column.
+ * Instead a null ELEMENT makes the whole result null (the null-propagating
+ * behavior of the HOF form this replaces) — never silently read as 0.0.
  */
 case class NormalizeVector(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  // result is null for a null input OR any null element
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
@@ -46,8 +52,15 @@ case class NormalizeVector(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val t = ctx.addReferenceObj("elemType", elemType, classOf[DataType].getName)
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expressions.NormalizeVector.compute($c, $t)")
+    val res = ctx.freshName("normVecRes")
+    // not defineCodeGen: compute() returns null on a null element, which
+    // must flow to ev.isNull rather than a null-valued "non-null" slot
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $res =
+        graft.functions.expressions.NormalizeVector.compute($c, $t);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $res; }
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -58,10 +71,13 @@ object NormalizeVector {
   def apply(vec: Column): Column =
     GraftBridge.column(NormalizeVector(GraftBridge.expression(vec)))
 
-  /** Static so generated code calls it directly. */
+  /** Static so generated code calls it directly. Returns null when any
+    * element is null (null-propagating, matching the HOF form). */
   def compute(input: ArrayData, t: DataType): ArrayData = {
     val n = input.numElements()
     val v = new Array[Double](n)
+    var j = 0
+    while (j < n) { if (input.isNullAt(j)) return null; j += 1 }
     t match {
       case FloatType   => var i = 0; while (i < n) { v(i) = input.getFloat(i).toDouble; i += 1 }
       case DoubleType  => var i = 0; while (i < n) { v(i) = input.getDouble(i); i += 1 }

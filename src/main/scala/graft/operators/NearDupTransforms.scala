@@ -102,34 +102,28 @@ object MinhashDedupTransform extends NearDupTransform {
         "dedup_minhash: referenceView and signatureView are mutually " +
           "exclusive — the reference is either a text corpus or a " +
           "precomputed signature store, not both")
-      case (Some(view), None) =>
+      case (refView, sigView) =>
+        // the two incremental modes share everything but the hits call
         required(config, "idColumn", "textColumn")
         val id = config.options("idColumn")
         val text = config.options("textColumn")
-        val hits = Dedup.minhashNearDupsAgainst(
+        val bands = intOpt(config, "bands", 16)
+        val rowsPerBand = intOpt(config, "rowsPerBand", 4)
+        val shingleSize = intOpt(config, "shingleSize", 3)
+        val threshold = doubleOpt(config, "threshold", 0.5)
+        val maxBucketSize = intOpt(config, "maxBucketSize", 1000)
+        val hits = (refView, sigView) match {
+          case (Some(view), None) => Dedup.minhashNearDupsAgainst(
             input, ctx.spark.table(view), id, text,
             config.options.getOrElse("referenceIdColumn", id),
             config.options.getOrElse("referenceTextColumn", text),
-            bands = intOpt(config, "bands", 16),
-            rowsPerBand = intOpt(config, "rowsPerBand", 4),
-            shingleSize = intOpt(config, "shingleSize", 3),
-            threshold = doubleOpt(config, "threshold", 0.5),
-            maxBucketSize = intOpt(config, "maxBucketSize", 1000))
-          .select(col("id").as(id)).distinct()
-        input.join(hits, Seq(id), "left_anti")
-      case (None, Some(view)) =>
-        required(config, "idColumn", "textColumn")
-        val id = config.options("idColumn")
-        val text = config.options("textColumn")
-        val hits = Dedup.minhashNearDupsAgainstSignatures(
+            bands, rowsPerBand, shingleSize, threshold, maxBucketSize)
+          case (None, Some(view)) => Dedup.minhashNearDupsAgainstSignatures(
             input, ctx.spark.table(view), id, text,
-            bands = intOpt(config, "bands", 16),
-            rowsPerBand = intOpt(config, "rowsPerBand", 4),
-            shingleSize = intOpt(config, "shingleSize", 3),
-            threshold = doubleOpt(config, "threshold", 0.5),
-            maxBucketSize = intOpt(config, "maxBucketSize", 1000))
-          .select(col("id").as(id)).distinct()
-        input.join(hits, Seq(id), "left_anti")
+            bands, rowsPerBand, shingleSize, threshold, maxBucketSize)
+          case _ => throw new IllegalStateException("unreachable")
+        }
+        input.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
     }
 }
 

@@ -153,7 +153,7 @@ object ExplodeTransform extends Transform {
 }
 
 /** Shared schema-validation helper for transform `validate` overrides. */
-private[operators] object Validate {
+private[graft] object Validate {
   def columnsExist(schema: org.apache.spark.sql.types.StructType,
                    cols: Seq[String], what: String): List[String] =
     cols.filterNot(c => schema.fieldNames.map(_.toLowerCase)

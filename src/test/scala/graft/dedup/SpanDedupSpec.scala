@@ -32,6 +32,31 @@ class SpanDedupSpec extends SparkTestBase {
     spans shouldBe Seq((1L, 1L, 10L, 10L), (1L, 14L, 23L, 10L))
   }
 
+  test("overlapping coverage windows merge into ONE disjoint span — dup " +
+    "gram starts at distance 2..n never emit overlapping spans") {
+    // doc 1 "a b c d e f": gram@1 (a b c d) repeats in doc 2, gram@3
+    // (c d e f) repeats in doc 3, gram@2 (b c d e) is unique. A
+    // consecutive-start islands rule would report (1,4) and (3,6)
+    // overlapping with n_toks summing 8 for 6 covered tokens.
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d"),
+      (3L, "c d e f")
+    ).toDF("doc_id", "text")
+    val spans = SpanDedup.dupSpans(d, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    spans shouldBe Seq((1L, 1L, 6L, 6L), (2L, 1L, 4L, 4L), (3L, 1L, 4L, 4L))
+    // adjacency also chains: starts exactly n apart cover a contiguous run
+    val adj = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d"),
+      (3L, "e f g h")
+    ).toDF("doc_id", "text")
+    SpanDedup.dupSpans(adj, "doc_id", "text", n = 4)
+      .where("doc_id = 1").as[(Long, Long, Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 1L, 8L, 8L))
+  }
+
   test("minCount=3 requires three occurrences") {
     val d = Seq(
       (1L, s"$shared a"), (2L, s"$shared b")).toDF("doc_id", "text")

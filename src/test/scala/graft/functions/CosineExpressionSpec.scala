@@ -83,6 +83,22 @@ class CosineExpressionSpec extends SparkTestBase {
       .collect().head.isNullAt(0) shouldBe true
   }
 
+  test("a null ELEMENT null-propagates the whole normalized vector — " +
+    "never silently read as 0.0 — in both interpreted and codegen paths") {
+    // parquet round-trip: arrays load with containsNull = true and the
+    // codegen'd projection runs against a real scan
+    val dir = tmpDir("normalize-nullelem")
+    Seq((1L, Seq[Option[Double]](Some(1.0), None, Some(2.0))),
+        (2L, Seq[Option[Double]](Some(3.0), Some(4.0))))
+      .toDF("id", "a").write.mode("overwrite").parquet(dir)
+    val out = spark.read.parquet(dir)
+      .select(col("id"), VectorFunctions.normalize(col("a")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Double](1)))
+      .toMap
+    out(1L) shouldBe null
+    out(2L) shouldBe Seq(0.6, 0.8)
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     // a LocalRelation input would be constant-folded away; use a real scan
     val dir = tmpDir("cosine-wsc")

@@ -44,6 +44,46 @@ class BucketCapObserverSpec extends SparkTestBase {
     row.getAs[Long]("max_bucket_n") shouldBe 6L
   }
 
+  test("an EMPTY observed frame yields zeroed metrics, not nulls — the " +
+    "no-new-docs increment must not NPE the listener") {
+    val noDocs = megaCorpus.where("doc_id < 0")
+    val out = Dedup.minhashNearDups(noDocs, "doc_id", "text",
+      bands = 4, rowsPerBand = 4, threshold = 0.5, maxBucketSize = 2)
+    out.collect() shouldBe empty
+    out.queryExecution.observedMetrics
+      .collectFirst { case (n, r) if n.startsWith("graft.cap.minhash.") => r }
+      .foreach { row =>
+        // AQE may empty-propagate the subtree away (documented caveat);
+        // when the metric DOES materialize, every slot must be non-null
+        row.getAs[Long]("rows_dropped") shouldBe 0L
+        row.getAs[Double]("pairs_dropped") shouldBe 0.0
+        row.getAs[Long]("max_bucket_n") shouldBe 0L
+        row.getAs[Long]("cap") shouldBe 2L
+      }
+  }
+
+  test("cross-join candidate paths report the -1 pairs sentinel, not a " +
+    "self-join count that overstates the forgone recall") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val inc = (0 until 3)
+        .map(i => (i.toLong, "the same boilerplate text repeated across the corpus"))
+        .toDF("doc_id", "text")
+      val out = Dedup.minhashNearDupsAgainst(inc, megaCorpus,
+        "doc_id", "text", "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.5, maxBucketSize = 2)
+      out.collect() shouldBe empty // both sides' mega-buckets capped
+      val rows = out.queryExecution.observedMetrics
+        .collect { case (n, r) if n.startsWith("graft.cap.minhash.") => r }
+      rows should have size 2 // one cap per side
+      rows.foreach { row =>
+        row.getAs[Long]("rows_dropped") should be > 0L
+        row.getAs[Double]("pairs_dropped") shouldBe -1.0
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("the session listener emits a structured WARN line for non-zero drops") {
     val buf = new ByteArrayOutputStream()
     val prevErr = System.err

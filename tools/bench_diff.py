@@ -18,9 +18,30 @@ def load(path):
         return d
     raise SystemExit(f"{path}: no 'queries' key — pass a Bench artifact")
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-opts = {a.split("=")[0].lstrip("-"): float(a.split("=")[1])
-        for a in sys.argv[1:] if a.startswith("--") and "=" in a}
+args, opts = [], {}
+argv = sys.argv[1:]
+i = 0
+while i < len(argv):
+    a = argv[i]
+    if a.startswith("--"):
+        if "=" in a:
+            k, v = a.split("=", 1)
+        else:
+            k = a
+            i += 1
+            if i >= len(argv):
+                raise SystemExit(f"{a}: missing value")
+            v = argv[i]
+        try:
+            opts[k.lstrip("-")] = float(v)
+        except ValueError:
+            raise SystemExit(f"{k}: expected a number, got {v!r}")
+    else:
+        args.append(a)
+    i += 1
+unknown = set(opts) - {"threshold", "floor"}
+if unknown or len(args) != 2:
+    raise SystemExit(__doc__.strip())
 threshold = opts.get("threshold", 1.5)
 floor = opts.get("floor", 0.25)
 old, new = load(args[0]), load(args[1])
