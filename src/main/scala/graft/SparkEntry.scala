@@ -814,6 +814,22 @@ object SparkEntry {
           "threshold" -> "1.0"))
         .select("doc_id", "source")
     }),
+    // quality-keyed survivor election on q108's deterministic exact-dup
+    // half: each planted copy pair keeps its BEST-scoring member (a
+    // synthetic doc_id%7 score so the winner varies), not the lowest id
+    "q123_dedup_survivor" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = tab(s, dir, "documents")
+      val copies = docs.where(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 900000L)
+      val corpus = docs.unionByName(copies)
+        .withColumn("quality", (col("doc_id") % 7).cast("double"))
+      ap(corpus,
+        t("dedup_minhash", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "threshold" -> "1.0", "survivor" -> "cluster",
+          "survivorColumn" -> "quality"))
+        .select("doc_id", "source")
+    }),
     // declarative null handling: planted nulls filled per-column (typed
     // literals) — exact coalesce parity
     "q104_fillna" -> ((s, dir) => {
@@ -1956,6 +1972,36 @@ object SparkEntry {
            SELECT doc_id, source,
                   min(doc_id) OVER (PARTITION BY fp) AS keeper
            FROM fp) WHERE doc_id = keeper""",
+    // q108's shingle-fingerprint dup groups with the survivor election
+    // flipped to max(quality = doc_id%7), ties toward the smaller id
+    "q123_dedup_survivor" ->
+      """WITH base AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 900000 AS doc_id, source, text FROM documents
+           WHERE doc_id < 40
+         ), t AS (
+           SELECT doc_id, source,
+                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
+                              x -> x <> '') AS toks, text
+           FROM base
+         ), s AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(toks) < 3
+                       THEN [array_to_string(toks, chr(31))]
+                       ELSE list_distinct([array_to_string(toks[i:i+2], chr(31))
+                                           FOR i IN range(1, len(toks) - 1)])
+                  END AS sh
+           FROM t
+         ), fp AS (
+           SELECT doc_id, source, array_to_string(list_sort(sh), chr(30)) AS fp
+           FROM s
+         )
+         SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY fp
+                    ORDER BY CAST(doc_id % 7 AS DOUBLE) DESC, doc_id ASC) AS rn
+           FROM fp) WHERE rn = 1""",
     // the packing window PARTITION BY lang: per-stratum prefix sum
     "q112_pack_grouped" ->
       """WITH c AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.api.{Transform, RunContext, ConfigException}
@@ -39,25 +39,77 @@ abstract class NearDupTransform extends Transform {
     required(config, "idColumn", contentOption)
     val id = config.options("idColumn")
     val content = config.options(contentOption)
+    // quality-keyed survivor election: `survivorColumn` names a numeric
+    // column (a quality score, a token count, a recency stamp) and the
+    // BEST-scoring side of each pair/cluster survives instead of the
+    // lowest id — what a curation pipeline actually wants ("keep the
+    // cleanest copy"). `survivorOrder: max (default) | min`; ties and
+    // null scores break deterministically toward the smaller id (null
+    // always loses). Costs two slim id-keyed joins against the pair/label
+    // frame — the corpus itself never reshuffles.
+    val survivorKey: Option[Column => Column] =
+      config.options.get("survivorColumn").map { sc =>
+        if (!input.columns.contains(sc)) throw new ConfigException(
+          s"$transformType: survivorColumn '$sc' not found in input")
+        val sign = config.options.getOrElse("survivorOrder", "max") match {
+          case "max" => -1.0
+          case "min" => 1.0
+          case other => throw new ConfigException(
+            s"$transformType: survivorOrder must be max|min, got '$other'")
+        }
+        // lexicographic rank, LOWER wins: (±score with null → +inf, id)
+        (idc: Column) => struct(
+          coalesce(lit(sign) * col(sc).cast("double"),
+            lit(Double.PositiveInfinity)).as("s"),
+          idc.as("i"))
+      }
+    if (survivorKey.isEmpty && config.options.contains("survivorOrder"))
+      throw new ConfigException(
+        s"$transformType: survivorOrder requires survivorColumn")
+    def scores = input.select(col(id).as("__nid"),
+      survivorKey.get(col(id)).as("__nkey"))
     val dupPairs = pairs(input, id, content, config)
     val toDrop = config.options.getOrElse("survivor", "pair") match {
       // pairs carry (id_a < id_b); dropping every id_b keeps every node
       // that is nobody's duplicate-with-a-smaller-id — greedy edge-drop,
       // zero extra passes
-      case "pair" => dupPairs.select(col("id_b").as(id)).distinct()
+      case "pair" => survivorKey match {
+        case None => dupPairs.select(col("id_b").as(id)).distinct()
+        case Some(_) =>
+          // the higher-ranked side of EACH pair loses (same greedy edge
+          // policy; id order is just the default rank)
+          dupPairs
+            .join(scores.withColumnRenamed("__nid", "__ida")
+              .withColumnRenamed("__nkey", "__ka"), col("id_a") === col("__ida"))
+            .join(scores.withColumnRenamed("__nid", "__idb")
+              .withColumnRenamed("__nkey", "__kb"), col("id_b") === col("__idb"))
+            .select(when(col("__ka") > col("__kb"), col("id_a"))
+              .otherwise(col("id_b")).as(id))
+            .distinct()
+      }
       // transitive closure: keep exactly ONE representative (the minimum
-      // id) per connected component — "a≈b, b≈c" drops both b AND c even
-      // though (a,c) never collided. Runs Dedup.clusters' label
-      // propagation: O(component diameter) rounds of driver-looped jobs
-      // over the node-sized pair graph (an exception to the no-action
-      // transform rule, like shard's prefix-sum collect — documented).
+      // id, or the survivorColumn winner) per connected component —
+      // "a≈b, b≈c" drops both b AND c even though (a,c) never collided.
+      // Runs Dedup.clusters' label propagation: O(component diameter)
+      // rounds of driver-looped jobs over the node-sized pair graph (an
+      // exception to the no-action transform rule, like shard's
+      // prefix-sum collect — documented).
       case "cluster" =>
-        graft.dedup.Dedup.clusters(dupPairs,
-            maxIter = intOpt(config, "clusterMaxIter", 20),
-            // minlabel (default): O(diameter) rounds; star: O(log n) —
-            // for adversarial long duplicate chains
-            algorithm = config.options.getOrElse("clusterAlgorithm", "minlabel"))
-          .where(col("id") =!= col("cluster_id")).select(col("id").as(id))
+        val labels = graft.dedup.Dedup.clusters(dupPairs,
+          maxIter = intOpt(config, "clusterMaxIter", 20),
+          // minlabel (default): O(diameter) rounds; star: O(log n) —
+          // for adversarial long duplicate chains
+          algorithm = config.options.getOrElse("clusterAlgorithm", "minlabel"))
+        survivorKey match {
+          case None =>
+            labels.where(col("id") =!= col("cluster_id")).select(col("id").as(id))
+          case Some(_) =>
+            val withKey = labels.join(scores, col("id") === col("__nid"))
+            val keep = withKey.groupBy("cluster_id")
+              .agg(min_by(col("id"), col("__nkey")).as("__keep"))
+            withKey.join(keep, Seq("cluster_id"))
+              .where(col("id") =!= col("__keep")).select(col("id").as(id))
+        }
       case other => throw new graft.api.ConfigException(
         s"$transformType: survivor must be pair|cluster, got '$other'")
     }

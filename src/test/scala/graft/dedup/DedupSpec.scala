@@ -226,6 +226,47 @@ class DedupSpec extends SparkTestBase {
     an[graft.api.ConfigException] should be thrownBy run("nope")
   }
 
+  test("survivorColumn elects the BEST-scoring copy per pair/cluster; ties " +
+    "and null scores fall back to the smaller id; misconfig fails fast") {
+    import graft.config.TransformConfig
+    import graft.api.RunContext
+    val ctx = RunContext(spark, "t", "r")
+    // {1, 4, 6} are exact copies; 4 carries the top score, 6 has null
+    val corpus = Seq(
+      (1L, base, Some(0.2)), (2L, nearDup, Some(0.9)), (3L, unrelated, Some(0.1)),
+      (4L, base, Some(0.7)), (6L, base, None: Option[Double]))
+      .toDF("doc_id", "text", "quality")
+    def run(opts: Map[String, String]) = graft.operators.MinhashDedupTransform(
+      corpus, TransformConfig("nd", "dedup_minhash", Map(
+        "idColumn" -> "doc_id", "textColumn" -> "text",
+        "threshold" -> "0.9") ++ opts), ctx)
+      .select("doc_id").as[Long].collect().toSet
+    for (survivor <- Seq("pair", "cluster")) {
+      val kept = run(Map("survivor" -> survivor, "survivorColumn" -> "quality"))
+      kept should contain (4L)          // max quality wins, not min id
+      kept should not contain 1L
+      kept should not contain 6L        // null never survives over a scored copy
+      kept should contain (3L)          // non-duplicates untouched
+      // survivorOrder=min flips the election
+      run(Map("survivor" -> survivor, "survivorColumn" -> "quality",
+        "survivorOrder" -> "min")) should contain (1L)
+    }
+    // all-equal scores: deterministic tie-break toward the smaller id
+    val flat = corpus.withColumn("quality",
+      org.apache.spark.sql.functions.lit(1.0))
+    graft.operators.MinhashDedupTransform(flat,
+      TransformConfig("nd", "dedup_minhash", Map(
+        "idColumn" -> "doc_id", "textColumn" -> "text", "threshold" -> "0.9",
+        "survivorColumn" -> "quality")), ctx)
+      .select("doc_id").as[Long].collect().toSet should contain (1L)
+    an[graft.api.ConfigException] should be thrownBy
+      run(Map("survivorColumn" -> "nope"))
+    an[graft.api.ConfigException] should be thrownBy
+      run(Map("survivorColumn" -> "quality", "survivorOrder" -> "sideways"))
+    an[graft.api.ConfigException] should be thrownBy
+      run(Map("survivorOrder" -> "max")) // order without column
+  }
+
   test("embedding decontamination: corpus rows near any eval vector drop, broadcast plan") {
     import graft.config.TransformConfig
     import graft.api.RunContext
