@@ -63,6 +63,21 @@ object SparkEntry {
       tmp
     })
 
+  /** Persisted gram-hash store for q124, memoized per source dir: run-N
+    * scaffolding (the store normally comes from yesterday's
+    * gram_signatures pipeline) — q124 itself reads ONLY this parquet,
+    * never the reference text. */
+  private val q124StoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedGramStore(s: SparkSession, dir: String): String =
+    q124StoreDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("q124gram").toString
+      graft.dedup.SpanDedup.gramSignatures(
+          tab(s, d, "documents").where("doc_id < 250"), "text")
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   /** Drain a streaming frame into a memory table (append, availableNow):
     * unique query name, temp checkpoint, state-store partition count
     * scoped to the query and restored after. awaitTermination's result is
@@ -1243,6 +1258,18 @@ object SparkEntry {
       ap(docs.where(col("doc_id") >= 250), t("dedup_spans",
         "idColumn" -> "doc_id", "textColumn" -> "text",
         "referenceView" -> "q122_reference")).select("doc_id", "text")
+    }),
+    // q122's decontamination through the PERSISTED gram-hash store: the
+    // reference half's text is never read — only its parquet signature
+    // store — yet the rewritten output is identical (same oracle SQL)
+    "q124_span_store_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = tab(s, dir, "documents")
+      s.read.parquet(stagedGramStore(s, dir))
+        .createOrReplaceTempView("q124_gram_store")
+      ap(docs.where(col("doc_id") >= 250), t("dedup_spans",
+        "idColumn" -> "doc_id", "textColumn" -> "text",
+        "signatureView" -> "q124_gram_store")).select("doc_id", "text")
     }),
     // distribution drift between corpus halves: n_chars unshifted (small
     // PSI) and shifted +200 (large PSI) — fixed-width bins from reference
@@ -2851,6 +2878,48 @@ object SparkEntry {
     // membership: a gram is contaminated iff it appears in the doc_id<250
     // half; only the >= 250 half is rewritten
     "q122_span_decontam" ->
+      """WITH toks AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS lws,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '') AS ows
+           FROM documents
+         ), g AS (
+           SELECT doc_id, unnest(generate_series(1, len(lws) - 7)) AS pos, lws
+           FROM toks WHERE len(lws) >= 8
+         ), grams AS (
+           SELECT doc_id, pos, array_to_string(lws[pos : pos + 7], ' ') AS gram FROM g
+         ), refg AS (
+           SELECT DISTINCT gram FROM grams WHERE doc_id < 250
+         ), hits AS (
+           SELECT g2.doc_id, g2.pos FROM grams g2 JOIN refg USING (gram)
+           WHERE g2.doc_id >= 250
+         ), isl AS (
+           SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+           FROM hits
+         ), spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM isl GROUP BY doc_id, i
+         ), cov AS (
+           SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS cp FROM spans
+         ), tok AS (
+           SELECT t.doc_id, unnest(generate_series(1, len(t.ows))) AS tp, ows
+           FROM toks t WHERE t.doc_id IN (SELECT doc_id FROM spans)
+         ), rebuilt AS (
+           SELECT tok.doc_id,
+                  coalesce(array_to_string(list(ows[tp] ORDER BY tp)
+                    FILTER (WHERE cov.cp IS NULL), ' '), '') AS newtext
+           FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tp = cov.cp
+           GROUP BY tok.doc_id
+         )
+         SELECT d.doc_id,
+                CASE WHEN r.doc_id IS NULL THEN d.text ELSE r.newtext END AS text
+         FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+         WHERE d.doc_id >= 250""",
+    // the store path must rewrite identically to the text-reference path:
+    // q122's oracle verbatim (gram-hash membership == gram membership)
+    "q124_span_store_exact" ->
       """WITH toks AS (
            SELECT doc_id, text,
                   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),

@@ -127,6 +127,96 @@ object SpanDedup {
     islandSpans(hits, idCol, n)
   }
 
+  /** Persistable gram-hash store for a reference corpus: the DISTINCT
+    * `xxhash64` of every lowercased word n-gram, parameter-stamped with
+    * the gram length. Build it over corpus N and persist via a file sink;
+    * run N+1 re-loads the parquet and passes it to `dedup_spans` via
+    * `signatureView` — span-level decontamination / incremental ingestion
+    * WITHOUT re-scanning the reference's text (the span analogue of
+    * [[Dedup.minhashSignatures]]). The distinct shuffle is paid once at
+    * store-build time and amortized over every increment; the store is
+    * one long + one int per distinct gram. */
+  def gramSignatures(df: DataFrame, textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2, s"gram_signatures: n must be >= 2, got $n")
+    df.select(explode(
+        graft.functions.expressions.WordNgramStrings(col(textCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("gh")).distinct()
+      .withColumn("sg_n", lit(n))
+  }
+
+  /** [[dupSpansAgainst]] with the reference replaced by a PERSISTED
+    * [[gramSignatures]] store — the increment's gram stream semi-joins the
+    * slim hash frame; no reference text is read. Matching is on the
+    * 64-bit gram hash: a birthday collision can only EXTEND removal to a
+    * clean span (the conservative direction, same as the bloom path's
+    * false positives). Fails fast on a missing/mismatched `sg_n` stamp —
+    * a store built with a different gram length would silently match
+    * nothing. */
+  def dupSpansAgainstStore(df: DataFrame, idCol: String, textCol: String,
+                           store: DataFrame, n: Int = 8): DataFrame = {
+    val hashes = validatedStoreHashes(store, n)
+    val hits = gramStarts(df, idCol, textCol, n)
+      .withColumn("__gh", xxhash64(col("__gram")))
+      .join(hashes, Seq("__gh"), "left_semi")
+      .select(col("__id"), (col("__p0") + 1).cast("long").as("__pos"))
+    islandSpans(hits, idCol, n)
+  }
+
+  /** Bloom variant of [[dupSpansAgainstStore]]: the (already-distinct)
+    * store folds into a fixed-size sketch — sized by an exact count over
+    * the slim hash frame — and the increment pays the zero-join
+    * `might_contain` filter. For stores too large to semi-join per
+    * increment. */
+  def dupSpansAgainstStoreBloom(df: DataFrame, idCol: String, textCol: String,
+                                store: DataFrame, n: Int = 8,
+                                fpp: Double = 1e-4): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"dedup_spans: fpp must be in (0,1), got $fpp")
+    val hashes = validatedStoreHashes(store, n)
+    val bloom = hashes.stat.bloomFilter("__gh", math.max(hashes.count(), 64L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    import org.apache.spark.sql.GraftBridge
+    val mightContain = GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftBridge.expression(lit(bos.toByteArray)),
+        GraftBridge.expression(xxhash64(col("__gram")))))
+    val hits = gramStarts(df, idCol, textCol, n)
+      .where(mightContain)
+      .select(col("__id"), (col("__p0") + 1).cast("long").as("__pos"))
+    islandSpans(hits, idCol, n)
+  }
+
+  /** Removal through the store — see [[dupSpansAgainstStore]]. */
+  def removeSpansAgainstStore(df: DataFrame, idCol: String, textCol: String,
+                              store: DataFrame, n: Int = 8): DataFrame =
+    removeSpans(df, idCol, textCol, dupSpansAgainstStore(df, idCol, textCol, store, n))
+
+  /** Removal through the store's bloom path — see
+    * [[dupSpansAgainstStoreBloom]]. */
+  def removeSpansAgainstStoreBloom(df: DataFrame, idCol: String, textCol: String,
+                                   store: DataFrame, n: Int = 8,
+                                   fpp: Double = 1e-4): DataFrame =
+    removeSpans(df, idCol, textCol,
+      dupSpansAgainstStoreBloom(df, idCol, textCol, store, n, fpp))
+
+  /** Layout + parameter-stamp validation for a [[gramSignatures]] store;
+    * returns the slim hash frame keyed `__gh`. */
+  private def validatedStoreHashes(store: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"dedup_spans: n must be >= 2, got $n")
+    val missing = Seq("gh", "sg_n").filterNot(store.columns.contains)
+    if (missing.nonEmpty) throw new graft.api.ConfigException(
+      s"gram signature store is missing column(s) ${missing.mkString(", ")} — " +
+        "expected the gramSignatures layout (gh, sg_n)")
+    store.select("sg_n").head(1).foreach { r =>
+      val stamped = r.getInt(0)
+      if (stamped != n) throw new graft.api.ConfigException(
+        s"gram signature store was written with n=$stamped but this run " +
+          s"requests n=$n — matching would silently find zero spans; " +
+          "rebuild the store or align the parameters")
+    }
+    store.select(col("gh").as("__gh"))
+  }
+
   /** Remove every occurrence of every duplicated span from `textCol`
     * (other columns untouched). Documents without duplicated spans are
     * byte-identical to their input (no retokenization); affected
@@ -231,10 +321,14 @@ object SpanDedup {
  * `referenceTextColumn`) the duplication test switches to "appears
  * anywhere in the named reference corpus" — span-level decontamination /
  * incremental ingestion (`minCount` does not apply; within-increment
- * repeats are left to a composed corpus-scope pass). `method: bloom`
- * (+ `fpp`, reference mode only) swaps the semi-join for a fixed-size
- * bloom sketch and a zero-join `might_contain` filter — for references
- * too large to join per increment.
+ * repeats are left to a composed corpus-scope pass). With `signatureView`
+ * instead, the reference is a PERSISTED [[SpanDedup.gramSignatures]]
+ * store (typically yesterday's `gram_signatures` output re-loaded from
+ * parquet) — the increment strips reference spans without re-reading the
+ * reference's text. `method: bloom` (+ `fpp`, reference/signature modes
+ * only) swaps the semi-join for a fixed-size bloom sketch and a zero-join
+ * `might_contain` filter — for references too large to join per
+ * increment.
  */
 object SpanDedupTransform extends Transform {
   val transformType = "dedup_spans"
@@ -250,31 +344,69 @@ object SpanDedupTransform extends Transform {
     val minCount = config.options.get("minCount").map(_.toInt).getOrElse(2)
     val ref = config.options.get("referenceView").map(v => (ctx.spark.table(v),
       config.options.getOrElse("referenceTextColumn", text)))
-    if (ref.isDefined && config.options.contains("minCount"))
+    val sig = config.options.get("signatureView").map(ctx.spark.table)
+    if (ref.isDefined && sig.isDefined) throw new ConfigException(
+      "dedup_spans: referenceView and signatureView are mutually exclusive — " +
+        "the reference is either a text corpus or a precomputed gram-hash " +
+        "store, not both")
+    if ((ref.isDefined || sig.isDefined) && config.options.contains("minCount"))
       throw new ConfigException("dedup_spans: minCount does not apply with " +
-        "referenceView (any reference occurrence marks the span)")
+        "referenceView/signatureView (any reference occurrence marks the span)")
     val method = config.options.getOrElse("method", "exact")
     if (method != "exact" && method != "bloom") throw new ConfigException(
       s"dedup_spans: method must be exact|bloom, got '$method'")
-    if (method == "bloom" && ref.isEmpty) throw new ConfigException(
-      "dedup_spans: method bloom requires referenceView (corpus-scope " +
-        "duplication needs exact counts, not membership)")
+    if (method == "bloom" && ref.isEmpty && sig.isEmpty) throw new ConfigException(
+      "dedup_spans: method bloom requires referenceView or signatureView " +
+        "(corpus-scope duplication needs exact counts, not membership)")
     val fpp = config.options.get("fpp").map(_.toDouble).getOrElse(1e-4)
-    try config.options.getOrElse("mode", "remove") match {
-      case "remove" => ref match {
-        case Some((r, rt)) if method == "bloom" =>
-          SpanDedup.removeSpansAgainstBloom(input, id, text, r, rt, n, fpp)
-        case Some((r, rt)) => SpanDedup.removeSpansAgainst(input, id, text, r, rt, n)
-        case None => SpanDedup.removeDupSpans(input, id, text, n, minCount)
-      }
-      case "report" => ref match {
-        case Some((r, rt)) if method == "bloom" =>
-          SpanDedup.dupSpansAgainstBloom(input, id, text, r, rt, n, fpp)
-        case Some((r, rt)) => SpanDedup.dupSpansAgainst(input, id, text, r, rt, n)
-        case None => SpanDedup.dupSpans(input, id, text, n, minCount)
-      }
+    val report = config.options.getOrElse("mode", "remove") match {
+      case "remove" => false
+      case "report" => true
       case other => throw new ConfigException(
         s"dedup_spans mode must be remove|report, got '$other'")
+    }
+    try (ref, sig, method, report) match {
+      case (Some((r, rt)), None, "bloom", false) =>
+        SpanDedup.removeSpansAgainstBloom(input, id, text, r, rt, n, fpp)
+      case (Some((r, rt)), None, "bloom", true) =>
+        SpanDedup.dupSpansAgainstBloom(input, id, text, r, rt, n, fpp)
+      case (Some((r, rt)), None, _, false) =>
+        SpanDedup.removeSpansAgainst(input, id, text, r, rt, n)
+      case (Some((r, rt)), None, _, true) =>
+        SpanDedup.dupSpansAgainst(input, id, text, r, rt, n)
+      case (None, Some(st), "bloom", false) =>
+        SpanDedup.removeSpansAgainstStoreBloom(input, id, text, st, n, fpp)
+      case (None, Some(st), "bloom", true) =>
+        SpanDedup.dupSpansAgainstStoreBloom(input, id, text, st, n, fpp)
+      case (None, Some(st), _, false) =>
+        SpanDedup.removeSpansAgainstStore(input, id, text, st, n)
+      case (None, Some(st), _, true) =>
+        SpanDedup.dupSpansAgainstStore(input, id, text, st, n)
+      case (None, None, _, false) =>
+        SpanDedup.removeDupSpans(input, id, text, n, minCount)
+      case (None, None, _, true) =>
+        SpanDedup.dupSpans(input, id, text, n, minCount)
+      case _ => throw new IllegalStateException("unreachable")
     } catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+  }
+}
+
+/** Producer half of the persisted gram-hash loop: projects the input
+  * corpus to the [[SpanDedup.gramSignatures]] store layout (gh, sg_n) for
+  * a file sink to persist. Run it at the end of corpus build N; run N+1
+  * loads the parquet, registers it as a view, and passes it to
+  * `dedup_spans` via `signatureView` — span-level decontamination without
+  * re-scanning history's text. Options: textColumn required; n (8). */
+object GramSignaturesTransform extends Transform {
+  val transformType = "gram_signatures"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    graft.operators.Validate.columnsExist(schema,
+      config.options.get("textColumn").toSeq, transformType)
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "textColumn")
+    try SpanDedup.gramSignatures(input, config.options("textColumn"),
+      config.options.get("n").map(_.toInt).getOrElse(8))
+    catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
   }
 }

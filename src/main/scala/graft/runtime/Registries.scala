@@ -44,6 +44,7 @@ object Registries {
     QuantileSketchTransform.transformType -> QuantileSketchTransform,
     graft.dedup.LineDedupTransform.transformType -> graft.dedup.LineDedupTransform,
     graft.dedup.SpanDedupTransform.transformType -> graft.dedup.SpanDedupTransform,
+    graft.dedup.GramSignaturesTransform.transformType -> graft.dedup.GramSignaturesTransform,
     DecontaminateTransform.transformType  -> DecontaminateTransform,
     EmbeddingDecontaminateTransform.transformType -> EmbeddingDecontaminateTransform,
     AsofJoinTransform.transformType   -> AsofJoinTransform,

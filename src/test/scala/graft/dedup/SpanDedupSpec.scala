@@ -164,6 +164,52 @@ class SpanDedupSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap.apply(1L) shouldBe "intro outro"
   }
 
+  test("gram-signature store round-trip: store-driven spans match the " +
+    "text-reference path for exact AND bloom; store carries no text; " +
+    "n mismatch fails fast") {
+    val ref = Seq((100L, s"some preamble $shared")).toDF("doc_id", "text")
+    val inc = Seq(
+      (1L, s"intro $shared outro"),
+      (2L, "say it again say it again say it again and again today")
+    ).toDF("doc_id", "text")
+    // build → persist → re-load: the consuming run reads ONLY the parquet
+    val dir = tmpDir("gram-store")
+    SpanDedup.gramSignatures(ref, "text", n = 4).write.mode("overwrite").parquet(dir)
+    val store = spark.read.parquet(dir)
+    store.columns.toSet shouldBe Set("gh", "sg_n") // slim, no text
+    val viaText = SpanDedup.dupSpansAgainst(inc, "doc_id", "text", ref, "text", n = 4)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    SpanDedup.dupSpansAgainstStore(inc, "doc_id", "text", store, n = 4)
+      .as[(Long, Long, Long, Long)].collect().sorted shouldBe viaText
+    SpanDedup.dupSpansAgainstStoreBloom(inc, "doc_id", "text", store, n = 4)
+      .as[(Long, Long, Long, Long)].collect().sorted shouldBe viaText
+    SpanDedup.removeSpansAgainstStore(inc, "doc_id", "text", store, n = 4)
+      .as[(Long, String)].collect().toMap.apply(1L) shouldBe "intro outro"
+    an[graft.api.ConfigException] should be thrownBy
+      SpanDedup.dupSpansAgainstStore(inc, "doc_id", "text", store, n = 5)
+    an[graft.api.ConfigException] should be thrownBy
+      SpanDedup.dupSpansAgainstStore(inc, "doc_id", "text",
+        inc.selectExpr("doc_id AS gh"), n = 4) // missing sg_n stamp
+    // declarative surface: signatureView consumes the store; mutual
+    // exclusion with referenceView enforced
+    store.createOrReplaceTempView("gram_store")
+    ref.createOrReplaceTempView("gram_store_text_ref")
+    SpanDedupTransform(inc, TransformConfig("sd", "dedup_spans",
+      Map("idColumn" -> "doc_id", "textColumn" -> "text", "n" -> "4",
+        "signatureView" -> "gram_store")), ctx)
+      .as[(Long, String)].collect().toMap.apply(1L) shouldBe "intro outro"
+    an[graft.api.ConfigException] should be thrownBy SpanDedupTransform(
+      inc, TransformConfig("sd", "dedup_spans", Map("idColumn" -> "doc_id",
+        "textColumn" -> "text", "signatureView" -> "gram_store",
+        "referenceView" -> "gram_store_text_ref")), ctx)
+    // producer transform projects the store layout
+    val produced = graft.dedup.GramSignaturesTransform(ref,
+      TransformConfig("gs", "gram_signatures",
+        Map("textColumn" -> "text", "n" -> "4")), ctx)
+    produced.columns.toSet shouldBe Set("gh", "sg_n")
+    produced.count() shouldBe store.count()
+  }
+
   test("partition invariance: spans and removal identical at 1, 3 and 7 " +
     "input partitions") {
     val rnd = new scala.util.Random(11)

@@ -304,6 +304,29 @@ class ExamplesSpec extends SparkTestBase {
     shrunk should be > 0L
   }
 
+  test("quickstart-19: gram store built in run N, span decontamination " +
+    "consumes it in run N+1 without reading reference text") {
+    import org.apache.spark.sql.functions._
+    run("quickstart-19-gram-store-build.yaml")
+    val store = spark.read.parquet("/tmp/graft-examples/quickstart-19-gram-store")
+    store.columns.toSeq should contain theSameElementsAs Seq("gh", "sg_n")
+    run("quickstart-19-gram-store-decontam.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-19-out")
+    val orig = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where("doc_id >= 250")
+    out.count() should be > 0L
+    out.where("doc_id < 250").count() shouldBe 0
+    // the store path must rewrite exactly like the text-reference path
+    val viaText = graft.dedup.SpanDedup.removeSpansAgainst(
+      orig, "doc_id", "text",
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where("doc_id < 250"), "text", n = 8)
+      .where(org.apache.spark.sql.functions.length(trim(col("text"))) > 0)
+    out.select("doc_id", "text").except(viaText.select("doc_id", "text"))
+      .count() shouldBe 0
+    viaText.count() shouldBe out.count()
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
