@@ -187,19 +187,23 @@ object Dedup {
       s"minhash signature store is missing column(s) ${missing.mkString(", ")} — " +
         "expected the minhashSignatures layout (doc_id, sh, sig, mh_*)")
     if (sigStore.columns.contains("mh_bands")) {
-      // one row-group-scale job; a param mismatch here means every bucket
-      // would miss, so the cost buys away a silent-zero-duplicates run
-      sigStore.select("mh_bands", "mh_rows_per_band", "mh_shingle")
-        .head(1).foreach { r =>
-          val (b, rp, sz) = (r.getInt(0), r.getInt(1), r.getInt(2))
-          if (b != bands || rp != rowsPerBand || sz != shingleSize)
-            throw new graft.api.ConfigException(
-              s"minhash signature store was written with bands=$b, " +
-                s"rowsPerBand=$rp, shingleSize=$sz but this run requests " +
-                s"bands=$bands, rowsPerBand=$rowsPerBand, shingleSize=$shingleSize — " +
-                "matching would silently find zero duplicates; rebuild the " +
-                "store or align the parameters")
-        }
+      // DISTINCT stamp set (tiny partial-agg job), not one sampled row: a
+      // mixed-parameter store (two builds appended together) must fail
+      // regardless of partition order, and a null stamp must raise the
+      // config error, not an NPE — a param mismatch means every bucket
+      // would miss, the silent-zero-duplicates failure mode
+      val want = s"bands=$bands, rowsPerBand=$rowsPerBand, shingleSize=$shingleSize"
+      val stamps = sigStore.select("mh_bands", "mh_rows_per_band", "mh_shingle")
+        .distinct().collect()
+        .map(r => (0 to 2).map(i =>
+          if (r.isNullAt(i)) "null" else r.getInt(i).toString))
+        .map { case Seq(b, rp, sz) => s"bands=$b, rowsPerBand=$rp, shingleSize=$sz" }
+        .sorted
+      if (stamps.exists(_ != want))
+        throw new graft.api.ConfigException(
+          s"minhash signature store was written with [${stamps.mkString("; ")}] " +
+            s"but this run requests $want — matching would silently find " +
+            "zero duplicates; rebuild the store or align the parameters")
     }
     minhashAgainstCore(
       sigFrame(df, idCol, textCol, bands * rowsPerBand, shingleSize),

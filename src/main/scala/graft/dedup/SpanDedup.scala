@@ -112,19 +112,8 @@ object SpanDedup {
     val expected = math.max(
       (refHashes.agg(approx_count_distinct(col("__gh"))).head.getLong(0) * 1.1).toLong,
       64L)
-    val bloom = refHashes.stat.bloomFilter("__gh", expected, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    val bloomLit = lit(bos.toByteArray)
-    import org.apache.spark.sql.GraftBridge
-    val mightContain = GraftBridge.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        GraftBridge.expression(bloomLit),
-        GraftBridge.expression(xxhash64(col("__gram")))))
-    val hits = gramStarts(df, idCol, textCol, n)
-      .where(mightContain)
-      .select(col("__id"), (col("__p0") + 1).cast("long").as("__pos"))
-    islandSpans(hits, idCol, n)
+    bloomIslandSpans(df, idCol, textCol, n,
+      refHashes.stat.bloomFilter("__gh", expected, fpp))
   }
 
   /** Persistable gram-hash store for a reference corpus: the DISTINCT
@@ -172,7 +161,17 @@ object SpanDedup {
                                 fpp: Double = 1e-4): DataFrame = {
     require(fpp > 0 && fpp < 1, s"dedup_spans: fpp must be in (0,1), got $fpp")
     val hashes = validatedStoreHashes(store, n)
-    val bloom = hashes.stat.bloomFilter("__gh", math.max(hashes.count(), 64L), fpp)
+    bloomIslandSpans(df, idCol, textCol, n,
+      hashes.stat.bloomFilter("__gh", math.max(hashes.count(), 64L), fpp))
+  }
+
+  /** Shared tail of both bloom paths (text reference and persisted
+    * store): serialize the sketch once, filter the increment's gram
+    * stream with the zero-join codegen'd `might_contain`, island the
+    * surviving starts. */
+  private def bloomIslandSpans(df: DataFrame, idCol: String, textCol: String,
+                               n: Int,
+                               bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     import org.apache.spark.sql.GraftBridge
@@ -200,20 +199,24 @@ object SpanDedup {
       dupSpansAgainstStoreBloom(df, idCol, textCol, store, n, fpp))
 
   /** Layout + parameter-stamp validation for a [[gramSignatures]] store;
-    * returns the slim hash frame keyed `__gh`. */
+    * returns the slim hash frame keyed `__gh`. The stamp check reads the
+    * DISTINCT sg_n set (a tiny partial-agg job), not one arbitrary row —
+    * a mixed-stamp store (an n=8 build appended to by an n=12 rebuild)
+    * must fail regardless of which partition happens to be sampled, and a
+    * null stamp must raise the config error, not an NPE. */
   private def validatedStoreHashes(store: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"dedup_spans: n must be >= 2, got $n")
     val missing = Seq("gh", "sg_n").filterNot(store.columns.contains)
     if (missing.nonEmpty) throw new graft.api.ConfigException(
       s"gram signature store is missing column(s) ${missing.mkString(", ")} — " +
         "expected the gramSignatures layout (gh, sg_n)")
-    store.select("sg_n").head(1).foreach { r =>
-      val stamped = r.getInt(0)
-      if (stamped != n) throw new graft.api.ConfigException(
-        s"gram signature store was written with n=$stamped but this run " +
-          s"requests n=$n — matching would silently find zero spans; " +
-          "rebuild the store or align the parameters")
-    }
+    val stamps = store.select("sg_n").distinct().collect()
+      .map(r => if (r.isNullAt(0)) "null" else r.getInt(0).toString).sorted
+    if (stamps.exists(_ != n.toString)) throw new graft.api.ConfigException(
+      s"gram signature store carries n stamp(s) ${stamps.mkString(", ")} but " +
+        s"this run requests n=$n — a mismatched (or mixed/null-stamped) " +
+        "store would silently find zero spans; rebuild the store or align " +
+        "the parameters")
     store.select(col("gh").as("__gh"))
   }
 

@@ -132,9 +132,10 @@ abstract class NearDupTransform extends Transform {
   * reference is a PERSISTED signature store (the [[Dedup.minhashSignatures]]
   * layout, typically yesterday's `minhash_signatures` output re-loaded
   * from parquet) — the increment dedups without ever re-scanning the
-  * reference corpus's text. `survivor` does not apply in either
-  * incremental mode (the reference always survives; it is not part of
-  * the frame). */
+  * reference corpus's text. `survivor`/`survivorColumn`/`survivorOrder`
+  * do not apply in either incremental mode (the reference always
+  * survives; it is not part of the frame) and are REJECTED rather than
+  * silently ignored. */
 object MinhashDedupTransform extends NearDupTransform {
   val transformType = "dedup_minhash"
   protected def pairs(input: DataFrame, id: String, text: String,
@@ -155,7 +156,17 @@ object MinhashDedupTransform extends NearDupTransform {
           "exclusive — the reference is either a text corpus or a " +
           "precomputed signature store, not both")
       case (refView, sigView) =>
-        // the two incremental modes share everything but the hits call
+        // the two incremental modes share everything but the hits call.
+        // survivor options don't apply (the reference always survives; it
+        // is not part of the frame) — reject them loudly rather than
+        // silently ignoring a user's election intent
+        Seq("survivor", "survivorColumn", "survivorOrder")
+          .filter(config.options.contains).foreach { opt =>
+            throw new graft.api.ConfigException(
+              s"$transformType: $opt does not apply with " +
+                "referenceView/signatureView — the reference is not part " +
+                "of the frame, so there is no election to run")
+          }
         required(config, "idColumn", "textColumn")
         val id = config.options("idColumn")
         val text = config.options("textColumn")

@@ -265,6 +265,13 @@ class DedupSpec extends SparkTestBase {
       run(Map("survivorColumn" -> "quality", "survivorOrder" -> "sideways"))
     an[graft.api.ConfigException] should be thrownBy
       run(Map("survivorOrder" -> "max")) // order without column
+    // incremental modes have no election to run — survivor options are
+    // rejected loudly, not silently dropped
+    corpus.createOrReplaceTempView("survivor_ref")
+    an[graft.api.ConfigException] should be thrownBy
+      run(Map("referenceView" -> "survivor_ref", "survivorColumn" -> "quality"))
+    an[graft.api.ConfigException] should be thrownBy
+      run(Map("referenceView" -> "survivor_ref", "survivor" -> "cluster"))
   }
 
   test("embedding decontamination: corpus rows near any eval vector drop, broadcast plan") {

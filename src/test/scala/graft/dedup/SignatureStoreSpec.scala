@@ -79,6 +79,14 @@ class SignatureStoreSpec extends SparkTestBase {
     }
     e.getMessage should include ("bands=8")
     e.getMessage should include ("bands=16")
+    // a MIXED-stamp store (two differently-parameterized builds appended)
+    // fails regardless of which partition a single-row sample would hit
+    val mixed = store.unionByName(
+      Dedup.minhashSignatures(refDF, "doc_id", "text", bands = 8, rowsPerBand = 8,
+        shingleSize = 5))
+    an[ConfigException] should be thrownBy
+      Dedup.minhashNearDupsAgainstSignatures(
+        increment, mixed, "doc_id", "text", bands = 8, rowsPerBand = 8)
   }
 
   test("a frame that is not a signature store is rejected with the layout error") {

@@ -190,6 +190,15 @@ class SpanDedupSpec extends SparkTestBase {
     an[graft.api.ConfigException] should be thrownBy
       SpanDedup.dupSpansAgainstStore(inc, "doc_id", "text",
         inc.selectExpr("doc_id AS gh"), n = 4) // missing sg_n stamp
+    // a MIXED-stamp store (two builds appended) fails no matter which
+    // row a sample would have surfaced; a null stamp is a config error
+    val mixed = store.unionByName(
+      SpanDedup.gramSignatures(ref, "text", n = 5))
+    an[graft.api.ConfigException] should be thrownBy
+      SpanDedup.dupSpansAgainstStore(inc, "doc_id", "text", mixed, n = 4)
+    an[graft.api.ConfigException] should be thrownBy
+      SpanDedup.dupSpansAgainstStore(inc, "doc_id", "text",
+        store.selectExpr("gh", "CAST(NULL AS INT) AS sg_n"), n = 4)
     // declarative surface: signatureView consumes the store; mutual
     // exclusion with referenceView enforced
     store.createOrReplaceTempView("gram_store")
