@@ -76,8 +76,8 @@ final class YamlConfigParser(credentials: CredentialProvider = EnvCredentialProv
       options = options(m),
       writeMode = str(m, "writeMode").map(WriteMode.parse).getOrElse(WriteMode.Append),
       partitionBy = m.get("partitionBy") match {
-        case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toList
-        case Some(s: String)            => ExprUtils.parseColumns(s)
+        case Some(l: java.util.List[_]) => l.asScala.map(v => resolve(v.toString)).toList
+        case Some(s: String)            => ExprUtils.parseColumns(resolve(s))
         case _                          => Nil
       })
 
@@ -90,14 +90,23 @@ final class YamlConfigParser(credentials: CredentialProvider = EnvCredentialProv
           column = str(ncm, "column").getOrElse(throw new ConfigException("nullChecks[].column required")),
           action = str(ncm, "action").map(NullAction.parse).getOrElse(NullAction.Quarantine))
       },
-      duplicateCheck = m.get("duplicateCheck").map {
-        case b: java.lang.Boolean if b => DuplicateCheck()
+      duplicateCheck = m.get("duplicateCheck").flatMap {
+        // `false` disables the check (the symmetric spelling of `true`),
+        // and `action: fail` must actually reach the executor — dropping
+        // it here silently downgraded fail to quarantine
+        case b: java.lang.Boolean => if (b) Some(DuplicateCheck()) else None
         case other => val dm = asMap(other)
-          DuplicateCheck(dm.get("columns") match {
-            case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toList
-            case Some(s: String)            => ExprUtils.parseColumns(s)
-            case _                          => Nil
-          })
+          Some(DuplicateCheck(
+            columns = dm.get("columns") match {
+              case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toList
+              case Some(s: String)            => ExprUtils.parseColumns(s)
+              case _                          => Nil
+            },
+            action = str(dm, "action").map(a =>
+              try NullAction.parse(a)
+              catch { case e: IllegalArgumentException =>
+                throw new ConfigException(e.getMessage) })
+              .getOrElse(NullAction.Quarantine)))
       },
       quarantinePath = str(m, "quarantinePath"))
 
@@ -131,10 +140,12 @@ final class YamlConfigParser(credentials: CredentialProvider = EnvCredentialProv
   }
   private def str(m: Map[String, Object], k: String): Option[String] =
     m.get(k).map(v => resolve(v.toString))
+  // int/bool route through resolve() like str(): `shufflePartitions:
+  // ${ENV:N}` must resolve before the numeric parse, not crash on it
   private def int(m: Map[String, Object], k: String): Option[Int] =
-    m.get(k).map(v => v.toString.toInt)
+    m.get(k).map(v => resolve(v.toString).toInt)
   private def bool(m: Map[String, Object], k: String): Option[Boolean] =
-    m.get(k).map(v => v.toString.toBoolean)
+    m.get(k).map(v => resolve(v.toString).toBoolean)
   private def options(m: Map[String, Object]): Map[String, String] =
     m.get("options").map(asMap).getOrElse(Map.empty).map { case (k, v) => k -> resolve(v.toString) }
 

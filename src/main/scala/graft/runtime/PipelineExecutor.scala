@@ -55,10 +55,13 @@ final class PipelineExecutor(
     val ctx = RunContext(spark, config.pipelineId, runId, Some(sources))
     val t0 = System.nanoTime()
     var persisted: List[DataFrame] = Nil
-    // planLint is a per-PIPELINE safety gate, not a session property like
-    // shufflePartitions — restore it so one pipeline's `fail` never leaks
-    // into the next pipeline run in a long-lived session
+    // planLint and the checkpoint keys are per-PIPELINE settings, not
+    // session properties like shufflePartitions — restore them so one
+    // pipeline's `fail` gate or reliable-checkpoint dir never leaks into
+    // the next pipeline run in a long-lived session
     val prevLint = spark.conf.getOption("spark.graft.planLint")
+    val prevCkptMode = spark.conf.getOption(graft.api.Checkpointing.ModeKey)
+    val prevCkptDir = spark.conf.getOption(graft.api.Checkpointing.DirKey)
     try {
       config.performance.flatMap(_.shufflePartitions).foreach(n =>
         spark.conf.set("spark.sql.shuffle.partitions", n.toString))
@@ -132,10 +135,13 @@ final class PipelineExecutor(
           (System.nanoTime() - t0) / 1000000, Option(e.getMessage))
     } finally {
       persisted.foreach(_.unpersist())
-      prevLint match {
-        case Some(v) => spark.conf.set("spark.graft.planLint", v)
-        case None    => spark.conf.unset("spark.graft.planLint")
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
       }
+      restore("spark.graft.planLint", prevLint)
+      restore(graft.api.Checkpointing.ModeKey, prevCkptMode)
+      restore(graft.api.Checkpointing.DirKey, prevCkptDir)
     }
   }
 
@@ -147,7 +153,13 @@ final class PipelineExecutor(
     * `execute` manages it automatically. */
   def compose(config: PipelineConfig)(implicit spark: SparkSession): DataFrame = {
     val ctx = RunContext(spark, config.pipelineId, "compose", Some(sources))
-    val plan = buildPlan(config, ctx)
+    // sideEffects = false: compose (and --dry-run on top of it) promises
+    // "nothing written, nothing evaluated" — the quality gate's FRAME
+    // shape (quarantined rows filtered out, duplicate extras dropped) is
+    // applied lazily so the composed plan matches what execute() feeds
+    // the sink, but the fail-check counts and quarantine parquet writes
+    // that execute() runs are skipped
+    val plan = buildPlan(config, ctx, sideEffects = false)
     plan.rest(plan.in)
   }
 
@@ -155,8 +167,12 @@ final class PipelineExecutor(
                                 failedRows: Long, persisted: List[DataFrame],
                                 qualityMs: Long)
 
-  /** Compose the lazy plan: read, optional quality gate, transform fold. */
-  private def buildPlan(config: PipelineConfig, ctx: RunContext)(implicit spark: SparkSession): Plan = {
+  /** Compose the lazy plan: read, optional quality gate, transform fold.
+    * `sideEffects = false` suppresses every Spark action and write the
+    * quality gate would run (fail-check counts, quarantine appends) while
+    * keeping its lazy frame shape. */
+  private def buildPlan(config: PipelineConfig, ctx: RunContext,
+                        sideEffects: Boolean = true)(implicit spark: SparkSession): Plan = {
     val source = sources.get(config.source.sourceType)
     val sErrs = source.validate(config.source)
     if (sErrs.nonEmpty) throw new ConfigException(sErrs.mkString("; "))
@@ -170,13 +186,28 @@ final class PipelineExecutor(
     val declared = graft.sources.FileSource.explicitSchema(config.source)
     var df =
       if (validateSchema && declared.isDefined) {
+        // format-aware inference: csv without inferSchema self-describes
+        // as all-strings, which would flag every typed column; and text
+        // formats cannot prove non-nullability, so that check only
+        // applies to self-describing formats (parquet/orc/avro)
+        val fmt = config.source.options.getOrElse("format", "parquet").toLowerCase
+        val stripped = config.source.options - "schema"
+        val inferOpts =
+          if (fmt == "csv" && !stripped.contains("inferSchema"))
+            stripped + ("inferSchema" -> "true") else stripped
         val raw = source.read(config.source.copy(
-          options = config.source.options - "schema", schemaPath = None))
-        val issues = graft.quality.SchemaValidator.validate(raw.schema, declared.get)
+          options = inferOpts, schemaPath = None))
+        val issues0 = graft.quality.SchemaValidator.validate(raw.schema, declared.get)
+        val issues =
+          if (Set("csv", "json", "text").contains(fmt))
+            issues0.filterNot(_.issue == "nullable but expected non-nullable")
+          else issues0
         if (issues.nonEmpty) throw new GraftException(
           "schema validation failed: " +
             issues.map(i => s"${i.path}: ${i.issue}").mkString("; "))
-        raw
+        // the pipeline still runs on the DECLARED-schema read — the
+        // inference read exists only to diff against
+        source.read(config.source)
       } else source.read(config.source)
 
     // quality gate: null checks (fail | quarantine), then duplicate check
@@ -190,43 +221,58 @@ final class PipelineExecutor(
         q.quarantinePath.getOrElse(s"/tmp/graft-quarantine/${config.pipelineId}")
       val failChecks = q.nullChecks.filter(_.action == NullAction.Fail)
       val quarChecks = q.nullChecks.filter(_.action == NullAction.Quarantine)
-      if (failChecks.nonEmpty) {
+      if (failChecks.nonEmpty && sideEffects) {
         val bad = df.filter(!QualityChecker.validPredicate(failChecks)).limit(1).count()
         if (bad > 0) throw new GraftException(
           s"quality gate: null values in fail-action columns ${failChecks.map(_.column).mkString(", ")}")
       }
       if (quarChecks.nonEmpty) {
         val (valid, invalid) = QualityChecker.splitValidInvalid(df, quarChecks)
-        failedRows += QuarantineWriter.writeCounted(
-          invalid, quarantinePath, ctx, QuarantineWriter.nullErrorsCol(quarChecks))
+        if (sideEffects)
+          failedRows += QuarantineWriter.writeCounted(
+            invalid, quarantinePath, ctx, QuarantineWriter.nullErrorsCol(quarChecks))
         df = valid
       }
       q.duplicateCheck.foreach { dc =>
         val cols = if (dc.columns.nonEmpty) dc.columns else df.columns.toList
+        // non-orderable columns (MapType) cannot feed groupBy/partitionBy/
+        // orderBy directly — key them by their JSON serialization instead
+        // of crashing; same substitution gives the tie-break a TOTAL
+        // deterministic order, so the quarantine write and the sink write
+        // (two separate actions recomputing this window) cannot disagree
+        // on which copy survives
+        def keyed(name: String): org.apache.spark.sql.Column = {
+          val f = df.schema(df.schema.fieldIndex(name))
+          if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+                .isOrderable(f.dataType)) col(name)
+          else to_json(struct(col(name)))
+        }
+        val keyCols = cols.map(keyed)
         dc.action match {
           case NullAction.Fail =>
-            val dup = df.groupBy(cols.map(col): _*).count()
-              .filter(col("count") > 1).limit(1).count()
-            if (dup > 0) throw new GraftException(
-              s"quality gate: duplicate rows on (${cols.mkString(", ")})")
+            if (sideEffects) {
+              val dup = df.groupBy(keyCols: _*).count()
+                .filter(col("count") > 1).limit(1).count()
+              if (dup > 0) throw new GraftException(
+                s"quality gate: duplicate rows on (${cols.mkString(", ")})")
+            }
           case NullAction.Quarantine =>
-            // keep the first row per key, ties broken by every other
-            // orderable column so the survivor is DETERMINISTIC across
-            // runs/retries (whole-row copies are identical anyway); extra
-            // copies are quarantined. One shuffle on the checked columns.
+            // keep the first row per key, ties broken by EVERY other
+            // column (non-orderable ones via their JSON form) so the
+            // survivor is deterministic across runs/retries; extra copies
+            // are quarantined. One shuffle on the checked columns.
             val tieBreak = df.schema.fields
-              .filter(f => !cols.contains(f.name) &&
-                org.apache.spark.sql.catalyst.expressions.RowOrdering
-                  .isOrderable(f.dataType))
-              .map(f => col(f.name)).toSeq
+              .filter(f => !cols.contains(f.name))
+              .map(f => keyed(f.name)).toSeq
             val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(cols.map(col): _*)
-              .orderBy(cols.map(col) ++ tieBreak: _*)
+              .partitionBy(keyCols: _*)
+              .orderBy(keyCols ++ tieBreak: _*)
             val marked = df.withColumn("__graft_rn", row_number().over(w))
             val dups = marked.filter(col("__graft_rn") > 1).drop("__graft_rn")
-            failedRows += QuarantineWriter.writeCounted(
-              dups, quarantinePath, ctx,
-              lit(s"duplicate row on (${cols.mkString(", ")})"))
+            if (sideEffects)
+              failedRows += QuarantineWriter.writeCounted(
+                dups, quarantinePath, ctx,
+                lit(s"duplicate row on (${cols.mkString(", ")})"))
             df = marked.filter(col("__graft_rn") === 1).drop("__graft_rn")
         }
       }

@@ -92,7 +92,20 @@ class JdbcSink(val sinkType: String, dialect: String,
           val keys = ExprUtils.parseColumns(config.options.getOrElse("primaryKey",
             throw new ConfigException(s"$sinkType sink: upsert requires 'primaryKey'")))
           val staging = s"${table}_staging_${ctx.runId.replace("-", "").take(12)}"
-          jdbcWrite(observed, SaveMode.Overwrite, url, staging, passthrough)
+          // a batch with duplicate primary keys would make Postgres's
+          // ON CONFLICT abort ("cannot affect row a second time") and
+          // MySQL apply an insert-order-dependent (= nondeterministic
+          // under parallel JDBC) last-write — collapse to one
+          // DETERMINISTIC row per key first, ties broken by every other
+          // column (the quality gate's survivor policy). One shuffle on
+          // the keys, over the delta batch only.
+          import org.apache.spark.sql.functions.{col, row_number}
+          val ordCols = (keys ++ observed.columns.filterNot(keys.contains)).map(col)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*).orderBy(ordCols: _*)
+          val deduped = observed.withColumn("__graft_rn", row_number().over(w))
+            .filter(col("__graft_rn") === 1).drop("__graft_rn")
+          jdbcWrite(deduped, SaveMode.Overwrite, url, staging, passthrough)
           val sql = dialect match {
             case "postgres" => UpsertSql.postgres(table, staging, data.columns.toSeq, keys)
             case "mysql"    => UpsertSql.mysql(table, staging, data.columns.toSeq, keys)
@@ -101,7 +114,15 @@ class JdbcSink(val sinkType: String, dialect: String,
           val props = new java.util.Properties()
           config.options.get("user").foreach(props.setProperty("user", _))
           config.options.get("password").foreach(props.setProperty("password", _))
-          sqlExecutor.execute(url, props, Seq(sql, s"DROP TABLE $staging"))
+          try sqlExecutor.execute(url, props, Seq(sql, s"DROP TABLE $staging"))
+          catch { case e: Throwable =>
+            // the merge transaction rolled back, but Spark's writer
+            // committed the staging table on its own connections — drop
+            // it so failed upserts don't accumulate full-batch copies
+            try sqlExecutor.execute(url, props, Seq(s"DROP TABLE IF EXISTS $staging"))
+            catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+            throw e
+          }
       }
     }
   }

@@ -67,6 +67,50 @@ class YamlConfigParserSpec extends AnyFunSuite with Matchers {
     (p.checkpoint, p.checkpointDir) shouldBe (Some("reliable"), Some("/ckpt/sales"))
   }
 
+  test("duplicateCheck action reaches the config; false disables; bad " +
+    "action is a ConfigException") {
+    def cfg(dc: String) = parser.parse(
+      s"""pipelineId: p
+         |source: {type: file, options: {path: /in}}
+         |sink: {type: file, options: {path: /out}}
+         |quality:
+         |  duplicateCheck: $dc
+         |""".stripMargin)
+    cfg("{columns: [id], action: fail}").quality.get.duplicateCheck shouldBe
+      Some(DuplicateCheck(List("id"), NullAction.Fail))
+    cfg("{columns: [id]}").quality.get.duplicateCheck shouldBe
+      Some(DuplicateCheck(List("id"), NullAction.Quarantine))
+    cfg("true").quality.get.duplicateCheck shouldBe Some(DuplicateCheck())
+    cfg("false").quality.get.duplicateCheck shouldBe None
+    a[ConfigException] should be thrownBy cfg("{action: sideways}")
+  }
+
+  test("placeholders route through resolve() in int/bool fields and " +
+    "partitionBy, not just string options") {
+    // an int field with a placeholder must fail in the RESOLVER (clear
+    // ConfigException naming the variable), never reach toInt and die as
+    // NumberFormatException('${ENV:...}')
+    val e = intercept[ConfigException] {
+      parser.parse(
+        """pipelineId: p
+          |source: {type: file, options: {path: /in}}
+          |sink: {type: file, options: {path: /out}}
+          |performance: {shufflePartitions: "${ENV:GRAFT_DOES_NOT_EXIST}"}
+          |""".stripMargin)
+    }
+    e.getMessage should include("GRAFT_DOES_NOT_EXIST")
+    // positive path: an existing env value lands in partitionBy
+    val envKey = sys.env.keys.headOption.getOrElse("PATH")
+    parser.parse(
+      s"""pipelineId: p
+         |source: {type: file, options: {path: /in}}
+         |sink:
+         |  type: file
+         |  partitionBy: ["$${ENV:$envKey}"]
+         |  options: {path: /out}
+         |""".stripMargin).sink.partitionBy shouldBe List(sys.env(envKey))
+  }
+
   test("missing source / sink / pipelineId fail fast") {
     an[ConfigException] should be thrownBy parser.parse("pipelineId: x\nsink: {type: file}")
     an[ConfigException] should be thrownBy parser.parse("pipelineId: x\nsource: {type: file}")

@@ -117,6 +117,54 @@ class PipelineExecutorSpec extends SparkTestBase {
     m.error.get should include("duplicate rows on (k)")
   }
 
+  test("compose runs NO quality actions: quarantine dir stays empty while " +
+    "the composed frame still has the gated shape") {
+    val in = tmpDir("compose-in")
+    val qp = tmpDir("compose-quar") + "/never-created"
+    Seq((1, "a"), (1, "b"), (2, null.asInstanceOf[String]), (3, "c"))
+      .toDF("k", "v").write.mode("overwrite").parquet(in)
+    val cfg = PipelineConfig(
+      pipelineId = "compose-pipe",
+      source = SourceConfig("file", Map("path" -> in)),
+      sink = SinkConfig("file", Map("path" -> tmpDir("compose-out")), WriteMode.Overwrite),
+      quality = Some(QualityConfig(
+        nullChecks = List(NullCheck("v", NullAction.Quarantine)),
+        duplicateCheck = Some(DuplicateCheck(List("k"), NullAction.Quarantine)),
+        quarantinePath = Some(qp))))
+    val composed = executor.compose(cfg)(spark)
+    // the gate's frame SHAPE applies: (2, null) quarantine-filtered, one
+    // row per k among (1,a)/(1,b)/(3,c) → 2 survivors...
+    composed.count() shouldBe 2
+    // ...but composing — and even acting on the composed frame — writes
+    // nothing to the quarantine path ("--dry-run: nothing written")
+    new java.io.File(qp).exists() shouldBe false
+  }
+
+  test("duplicateCheck survives MapType columns: whole-row check and " +
+    "tie-break key them by JSON instead of crashing") {
+    import org.apache.spark.sql.functions.{map, lit, col}
+    val in = tmpDir("mapdup-in")
+    Seq((1, "x"), (1, "x"), (2, "y")).toDF("k", "v")
+      .withColumn("meta", map(lit("a"), col("v")))
+      .write.mode("overwrite").parquet(in)
+    val out = tmpDir("mapdup-out")
+    def run(cols: List[String]) = executor.execute(PipelineConfig(
+      pipelineId = "mapdup-pipe",
+      source = SourceConfig("file", Map("path" -> in)),
+      sink = SinkConfig("file", Map("path" -> out), WriteMode.Overwrite),
+      quality = Some(QualityConfig(
+        duplicateCheck = Some(DuplicateCheck(cols, NullAction.Quarantine)),
+        quarantinePath = Some(tmpDir("mapdup-quar"))))))
+    // whole-row check (empty columns → every column incl. the map)
+    val whole = run(Nil)
+    withClue(whole.error.getOrElse("")) { whole.status shouldBe "SUCCESS" }
+    spark.read.parquet(out).count() shouldBe 2 // identical (1,x,{a:x}) collapsed
+    // key-subset check: the map participates in the tie-break
+    val subset = run(List("k"))
+    withClue(subset.error.getOrElse("")) { subset.status shouldBe "SUCCESS" }
+    spark.read.parquet(out).count() shouldBe 2
+  }
+
   test("per-stage metrics: extract/quality/fused transform+load records without extra actions") {
     val in = tmpDir("st-in"); val out = tmpDir("st-out"); val quar = tmpDir("st-quar")
     Seq((Some("a"), 1), (None, 2), (Some("c"), 3), (Some("d"), 4))

@@ -42,6 +42,51 @@ class JdbcUpsertFlowSpec extends SparkTestBase {
     db.read("sales").orderBy("id").as[(Int, String, Double)].collect() shouldBe after1
   }
 
+  test("a batch with duplicate primary keys stages ONE deterministic row " +
+    "per key — Postgres ON CONFLICT would abort on the raw batch") {
+    val db = new FakeJdbcDb(spark, tmpDir("fakedb-dup"))
+    Seq((1, "old-a", 10.0)).toDF("id", "name", "total")
+      .write.parquet(db.tablePath("sales"))
+    val cfg = SinkConfig("postgres",
+      Map("url" -> "jdbc:postgresql://h/db", "dbtable" -> "sales", "primaryKey" -> "id"),
+      WriteMode.Upsert)
+    // id=2 appears twice: survivor is the (keys ++ other columns) minimum
+    val batch = Seq((2, "bbb", 9.0), (2, "aaa", 5.0), (3, "ccc", 1.0))
+      .toDF("id", "name", "total")
+    db.sink.write(batch, cfg, RunContext(spark, "p", java.util.UUID.randomUUID().toString))
+    val staging = db.executed.head match {
+      case s =>
+        val St = """.* FROM (\w+) ON CONFLICT.*""".r
+        s match { case St(st) => st }
+    }
+    db.read(staging).orderBy("id").as[(Int, String, Double)].collect() shouldBe
+      Array((2, "aaa", 5.0), (3, "ccc", 1.0))
+    db.read("sales").orderBy("id").as[(Int, String, Double)].collect() shouldBe
+      Array((1, "old-a", 10.0), (2, "aaa", 5.0), (3, "ccc", 1.0))
+  }
+
+  test("a failed merge still drops the committed staging table (no orphan " +
+    "accumulation), and the original error propagates") {
+    val recorded = mutable.Buffer[String]()
+    val failing = new JdbcSink("postgres", "postgres", (_, _, statements) => {
+      recorded ++= statements
+      if (statements.exists(_.startsWith("INSERT INTO ")))
+        throw new RuntimeException("constraint violation")
+    }) {
+      override protected def jdbcWrite(data: DataFrame, mode: SaveMode, url: String,
+                                       table: String, options: Map[String, String]): Unit = ()
+    }
+    val cfg = SinkConfig("postgres",
+      Map("url" -> "jdbc:postgresql://h/db", "dbtable" -> "sales", "primaryKey" -> "id"),
+      WriteMode.Upsert)
+    val e = intercept[RuntimeException] {
+      failing.write(Seq((1, "a")).toDF("id", "name"), cfg,
+        RunContext(spark, "p", java.util.UUID.randomUUID().toString))
+    }
+    e.getMessage should include("constraint violation")
+    recorded.last should startWith("DROP TABLE IF EXISTS sales_staging_")
+  }
+
   test("kafka sink key/value projection: explicit columns vs whole-row JSON") {
     val df = Seq((7, "hello", 1.5)).toDF("id", "msg", "score")
     val explicit = KafkaSink.prepare(df,
