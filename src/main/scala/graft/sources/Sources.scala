@@ -51,12 +51,30 @@ object FileSource extends Source {
     errs.result()
   }
 
-  /** DDL-string schema from inline option or schemaPath file. */
+  /** DDL-string schema from inline option or schemaPath file. Both are
+    * user config, so every failure mode (missing file, DDL parse error,
+    * a bare type instead of a field list) reports as ConfigException
+    * naming the option — never a raw internal stack trace. */
   def explicitSchema(config: SourceConfig): Option[StructType] = {
     val ddl = config.options.get("schema").orElse(
-      config.schemaPath.map(p => new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")))
-    ddl.map(d => DataType.fromDDL(d).asInstanceOf[StructType])
+      config.schemaPath.map { p =>
+        try new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+        catch { case e: java.io.IOException => throw new ConfigException(
+          s"schemaPath: cannot read '$p' (${e.getMessage})") }
+      })
+    ddl.map { d =>
+      val parsed =
+        try DataType.fromDDL(d)
+        catch { case e: Exception => throw new ConfigException(
+          s"schema: not a valid DDL string (${e.getMessage})") }
+      parsed match {
+        case st: StructType => st
+        case other => throw new ConfigException(
+          s"schema: expected a field list like 'id BIGINT, name STRING', " +
+            s"got the bare type '${other.simpleString}'")
+      }
+    }
   }
 }
 
@@ -88,11 +106,10 @@ object TableSource extends Source {
  */
 object KafkaSource extends Source {
   val sourceType = "kafka"
+  private val topicSpecs = Seq("subscribe", "subscribePattern", "assign")
   def read(config: SourceConfig)(implicit spark: SparkSession): DataFrame = {
-    val required = Seq("kafka.bootstrap.servers", "subscribe")
-    val missing = required.filterNot(config.options.contains)
-    if (missing.nonEmpty)
-      throw new ConfigException(s"kafka source: missing ${missing.mkString(", ")}")
+    val errs = validate(config)
+    if (errs.nonEmpty) throw new ConfigException(errs.mkString("; "))
     spark.read.format("kafka")
       .options(config.options)
       .option("startingOffsets", config.options.getOrElse("startingOffsets", "earliest"))
@@ -101,6 +118,18 @@ object KafkaSource extends Source {
         col("key").cast("string").as("key"),
         col("value").cast("string").as("value"),
         col("topic"), col("partition"), col("offset"), col("timestamp"))
+  }
+  // validate() override so the executor's fail-fast pass catches a
+  // misconfigured kafka source BEFORE the run, like every other source;
+  // any one of Spark's three topic specifications is accepted
+  override def validate(config: SourceConfig): List[String] = {
+    val errs = List.newBuilder[String]
+    if (!config.options.contains("kafka.bootstrap.servers"))
+      errs += "kafka source: missing 'kafka.bootstrap.servers'"
+    if (topicSpecs.count(config.options.contains) != 1)
+      errs += ("kafka source: exactly one of " +
+        topicSpecs.mkString("'", "'/'", "'") + " is required")
+    errs.result()
   }
 }
 
@@ -112,18 +141,28 @@ object KafkaSource extends Source {
  */
 object KafkaFileSource extends Source {
   val sourceType = "kafka-file"
+
+  /** The exact kafka column contract over a raw text `value` frame — ONE
+    * definition shared by the batch double here and the streaming double
+    * in [[graft.streaming.StreamingExecutor]], so the two cannot drift.
+    * Only the offset expression differs (streams cannot use
+    * monotonically_increasing_id). */
+  private[graft] def kafkaShape(raw: DataFrame, topic: String,
+                                offset: org.apache.spark.sql.Column): DataFrame =
+    raw.select(
+      lit(null).cast("string").as("key"),
+      col("value").cast("string").as("value"),
+      lit(topic).as("topic"),
+      spark_partition_id().as("partition"),
+      offset.as("offset"),
+      current_timestamp().as("timestamp"))
+
   def read(config: SourceConfig)(implicit spark: SparkSession): DataFrame = {
     val path = config.options.getOrElse("path",
       throw new ConfigException("kafka-file source: 'path' option required"))
-    val topic = config.options.getOrElse("topic", "mock-topic")
-    spark.read.text(path)
-      .select(
-        lit(null).cast("string").as("key"),
-        col("value").cast("string").as("value"),
-        lit(topic).as("topic"),
-        spark_partition_id().as("partition"),
-        (monotonically_increasing_id()).as("offset"),
-        current_timestamp().as("timestamp"))
+    kafkaShape(spark.read.text(path),
+      config.options.getOrElse("topic", "mock-topic"),
+      monotonically_increasing_id())
   }
 }
 

@@ -19,10 +19,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * that keeps this runnable forever on an unbounded stream.
  */
 object Sessionize {
-  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  // key is String so any atomic key type sessionizes (the transform casts
+  // in and back out); a long-only key crashed on string user ids
+  final case class Event(user_id: String, ts: Timestamp, value: Double)
   final case class OpenSession(startMs: Long, lastMs: Long, n: Long, total: Double)
   final case class Session(
-      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      user_id: String, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, total_value: Double)
 
   def sessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
@@ -31,7 +33,7 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+        (userId: String, batch: Iterator[Event], state: GroupState[OpenSession]) =>
           if (batch.isEmpty && state.hasTimedOut) {
             // watermark passed last-event + gap: close and emit
             val s = state.get
@@ -45,7 +47,11 @@ object Sessionize {
               val t = e.ts.getTime
               open match {
                 case Some(s) if t <= s.lastMs + gapMs =>
-                  open = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                  // a late-but-admitted event may predate the open
+                  // session's start — extend the start back so the
+                  // emitted session actually covers it
+                  open = Some(s.copy(startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t),
                     n = s.n + 1, total = s.total + e.value))
                 case Some(s) => // gap exceeded inside the batch: close, start new
                   closed += emit(userId, s, gapMs)
@@ -56,13 +62,20 @@ object Sessionize {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // floor at watermark + 1: Spark filters late rows against
+              // the PREVIOUS batch's watermark but validates timeout
+              // timestamps against the CURRENT one, so a late-but-admitted
+              // batch could otherwise request a timeout in the past and
+              // kill the query with IllegalArgumentException; the floored
+              // session closes on the next watermark advance instead
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }
       }
   }
 
-  private def emit(userId: Long, s: OpenSession, gapMs: Long): Session =
+  private def emit(userId: String, s: OpenSession, gapMs: Long): Session =
     Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs + gapMs), s.n, s.total)
 }

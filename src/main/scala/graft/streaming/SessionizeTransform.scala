@@ -10,10 +10,12 @@ import graft.config.TransformConfig
  * sessionize — declarative reach for [[Sessionize]]'s arbitrary-state
  * streaming sessionization: gap-break sessions per key, each emitted
  * exactly once when it closes (gap exceeded in-stream, or the watermark
- * passes last-event + gap). Wire it as a transform in a `micro-batch`
- * pipeline; the executor's `streaming.watermarkColumn/Delay` MUST cover
- * the `tsColumn` (EventTimeTimeout requires a watermark — Spark rejects
- * the query otherwise, at start, loudly).
+ * passes last-event + gap). In a `micro-batch` pipeline the executor's
+ * `streaming.watermarkColumn/Delay` MUST cover the `tsColumn`
+ * (EventTimeTimeout requires a watermark — Spark rejects the query
+ * otherwise, at start, loudly). On a BATCH frame the same output contract
+ * comes from a keyed gaps-and-islands window instead of the state store
+ * (whose batch mode would silently drop each key's final open session).
  *
  * Output replaces the frame: (<keyColumn>, session_start, session_end,
  * n_events, total_value). State per key = one open session — bounded by
@@ -52,6 +54,16 @@ object SessionizeTransform extends Transform {
     val gapMs = durationMs(config.options("gap"))
     if (gapMs <= 0) throw new ConfigException("sessionize: gap must be positive")
     import input.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val keyType = input.schema(keyName).dataType
+    keyType match {
+      case _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType =>
+        throw new ConfigException(
+          s"sessionize: keyColumn must be an atomic type, got ${keyType.simpleString}")
+      case _ => ()
+    }
     val tsName = config.options("tsColumn")
     // do NOT re-cast an already-timestamp column: the cast mints a new
     // attribute WITHOUT the watermark metadata the executor attached, and
@@ -60,13 +72,40 @@ object SessionizeTransform extends Transform {
       case org.apache.spark.sql.types.TimestampType => col(tsName)
       case _ => col(tsName).cast("timestamp")
     }
+    // any atomic key sessionizes: cast to string for grouping, cast back
+    // on the way out so the output key keeps the input's type
     val events = input.select(
-      col(keyName).cast("long").as("user_id"),
+      col(keyName).cast("string").as("user_id"),
       tsCol.as("ts"),
       config.options.get("valueColumn").map(col(_).cast("double"))
-        .getOrElse(org.apache.spark.sql.functions.lit(0.0)).as("value"))
-      .as[Sessionize.Event]
-    Sessionize.sessions(events, gapMs).toDF()
-      .withColumnRenamed("user_id", keyName)
+        .getOrElse(lit(0.0)).as("value"))
+    val sessions =
+      if (input.isStreaming)
+        Sessionize.sessions(events.as[Sessionize.Event], gapMs).toDF()
+      else {
+        // BATCH equivalent via gaps-and-islands: flatMapGroupsWithState in
+        // batch mode never fires timeouts and DISCARDS end-of-iterator
+        // state, silently dropping every key's final (often only) session
+        // — so batch pipelines get the same output contract from a keyed
+        // window instead of a state store
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts")
+        events.where(col("ts").isNotNull)
+          .withColumn("__t", unix_millis(col("ts")))
+          .withColumn("__new",
+            when(col("__t") - lag("__t", 1).over(w) > gapMs, 1L).otherwise(0L))
+          .withColumn("__sid", sum("__new").over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+          .groupBy("user_id", "__sid")
+          .agg(min("ts").as("session_start"),
+            timestamp_millis(max("__t") + gapMs).as("session_end"),
+            count(lit(1)).as("n_events"),
+            sum("value").as("total_value"))
+          .drop("__sid")
+      }
+    sessions.select(col("user_id").cast(keyType).as(keyName),
+      col("session_start"), col("session_end"),
+      col("n_events"), col("total_value"))
   }
 }

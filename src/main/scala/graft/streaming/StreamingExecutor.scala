@@ -48,12 +48,20 @@ final class StreamingExecutor(
       transforms.get(tc.transformType).apply(d, tc, ctx)
     }
 
+    // default checkpoint is keyed by pipelineId ONLY — a per-run random
+    // suffix would give every restart a fresh offset log while the file
+    // sink's _spark_metadata remembered the old batches, silently skipping
+    // the first epochs of the new run (set checkpointLocation explicitly
+    // for side-by-side instances of one pipelineId)
     val checkpoint = st.checkpointLocation.getOrElse(
-      s"/tmp/graft-checkpoints/${config.pipelineId}/$runId")
+      s"/tmp/graft-checkpoints/${config.pipelineId}")
     val trigger = st.trigger match {
       case Some(t) if t.startsWith("processingTime=") =>
         Trigger.ProcessingTime(t.stripPrefix("processingTime="))
-      case _ => Trigger.AvailableNow()
+      case Some("availableNow") | None => Trigger.AvailableNow()
+      case Some(other) => throw new ConfigException(
+        s"streaming.trigger must be availableNow or processingTime=<interval>, " +
+          s"got '$other'")
     }
 
     val writer = config.sink.sinkType match {
@@ -104,25 +112,25 @@ final class StreamingExecutor(
       // contract as the real source (monotonic offsets are per-batch here —
       // a test double, not an ordering guarantee)
       case "kafka-file" =>
-        import org.apache.spark.sql.functions._
         val path = src.options.getOrElse("path",
           throw new ConfigException("kafka-file source: 'path' option required"))
-        spark.readStream.format("text").load(path)
-          .select(
-            lit(null).cast("string").as("key"),
-            col("value").cast("string").as("value"),
-            lit(src.options.getOrElse("topic", "mock-topic")).as("topic"),
-            spark_partition_id().as("partition"),
-            // monotonically_increasing_id is not allowed on streams; the
-            // double has no real offsets to offer anyway
-            lit(-1L).as("offset"),
-            current_timestamp().as("timestamp"))
+        // monotonically_increasing_id is not allowed on streams; the
+        // double has no real offsets to offer anyway
+        graft.sources.KafkaFileSource.kafkaShape(
+          spark.readStream.format("text").load(path),
+          src.options.getOrElse("topic", "mock-topic"),
+          org.apache.spark.sql.functions.lit(-1L))
       case other =>
         throw new ConfigException(s"source '$other' does not support streaming")
     }
     val watermarked = (st.watermarkColumn, st.watermarkDelay) match {
       case (Some(c), Some(d)) => base.withWatermark(c, d)
-      case _ => base
+      case (None, None) => base
+      case (c, d) => throw new ConfigException(
+        "streaming.watermarkColumn and watermarkDelay must be set together — " +
+          s"got watermarkColumn=${c.getOrElse("<missing>")}, " +
+          s"watermarkDelay=${d.getOrElse("<missing>")} (a half-configured " +
+          "watermark would silently run dedup/sessionization unbounded)")
     }
     st.dedupColumns.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
       case Some(keys) if keys.nonEmpty =>

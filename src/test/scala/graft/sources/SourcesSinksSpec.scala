@@ -74,6 +74,44 @@ class SourcesSinksSpec extends SparkTestBase {
     vals shouldBe Array("hello", "world")
   }
 
+  test("kafka source validate: any one topic spec accepted, missing " +
+    "bootstrap or zero/two topic specs flagged BEFORE the run") {
+    def v(opts: Map[String, String]) =
+      KafkaSource.validate(SourceConfig("kafka", opts))
+    v(Map("kafka.bootstrap.servers" -> "h:9092", "subscribe" -> "t")) shouldBe Nil
+    v(Map("kafka.bootstrap.servers" -> "h:9092",
+      "subscribePattern" -> "events-.*")) shouldBe Nil
+    v(Map("kafka.bootstrap.servers" -> "h:9092",
+      "assign" -> """{"t":[0,1]}""")) shouldBe Nil
+    v(Map("subscribe" -> "t")).head should include("bootstrap.servers")
+    v(Map("kafka.bootstrap.servers" -> "h:9092"))
+      .head should include("exactly one of")
+    v(Map("kafka.bootstrap.servers" -> "h:9092", "subscribe" -> "t",
+      "assign" -> "x")).head should include("exactly one of")
+  }
+
+  test("explicitSchema config errors are ConfigExceptions naming the " +
+    "option, not raw internal exceptions") {
+    // bare type instead of a field list
+    val e1 = intercept[ConfigException] {
+      FileSource.explicitSchema(SourceConfig("file",
+        Map("path" -> "/in", "schema" -> "string")))
+    }
+    e1.getMessage should include("field list")
+    // unparseable DDL
+    val e2 = intercept[ConfigException] {
+      FileSource.explicitSchema(SourceConfig("file",
+        Map("path" -> "/in", "schema" -> "id BIGINT,, nope")))
+    }
+    e2.getMessage should include("DDL")
+    // missing schemaPath file
+    val e3 = intercept[ConfigException] {
+      FileSource.explicitSchema(SourceConfig("file",
+        Map("path" -> "/in"), schemaPath = Some("/no/such/schema.ddl")))
+    }
+    e3.getMessage should include("/no/such/schema.ddl")
+  }
+
   test("jdbc source/sink validation accumulates errors without drivers") {
     val src = new JdbcSource("postgres", "org.postgresql.Driver")
     src.validate(SourceConfig("postgres", Map("url" -> "http://not-jdbc"))) should have size 2

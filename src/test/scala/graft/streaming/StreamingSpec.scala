@@ -246,22 +246,22 @@ class StreamingSpec extends SparkTestBase {
     try {
       // user 1: two events 5 min apart (one session), then a 30-min jump (new session)
       mem.addData(
-        Sessionize.Event(1L, ts("10:00:00"), 1.0),
-        Sessionize.Event(1L, ts("10:05:00"), 2.0),
-        Sessionize.Event(2L, ts("10:00:00"), 8.0))
+        Sessionize.Event("1", ts("10:00:00"), 1.0),
+        Sessionize.Event("1", ts("10:05:00"), 2.0),
+        Sessionize.Event("2", ts("10:00:00"), 8.0))
       q.processAllAvailable()
-      mem.addData(Sessionize.Event(1L, ts("10:45:00"), 4.0))
+      mem.addData(Sessionize.Event("1", ts("10:45:00"), 4.0))
       q.processAllAvailable()
       // advance the watermark far enough to time out every open session
-      mem.addData(Sessionize.Event(9L, ts("12:00:00"), 0.0))
+      mem.addData(Sessionize.Event("9", ts("12:00:00"), 0.0))
       q.processAllAvailable()
-      mem.addData(Sessionize.Event(9L, ts("14:00:00"), 0.0))
+      mem.addData(Sessionize.Event("9", ts("14:00:00"), 0.0))
       q.processAllAvailable()
       val out = spark.table("sess_out").as[Sessionize.Session].collect()
         .map(s => (s.user_id, s.session_start.toString, s.n_events, s.total_value)).toSet
-      out should contain((1L, "2024-01-01 10:00:00.0", 2L, 3.0)) // closed by gap
-      out should contain((1L, "2024-01-01 10:45:00.0", 1L, 4.0)) // closed by timeout
-      out should contain((2L, "2024-01-01 10:00:00.0", 1L, 8.0)) // closed by timeout
+      out should contain(("1", "2024-01-01 10:00:00.0", 2L, 3.0)) // closed by gap
+      out should contain(("1", "2024-01-01 10:45:00.0", 1L, 4.0)) // closed by timeout
+      out should contain(("2", "2024-01-01 10:00:00.0", 1L, 8.0)) // closed by timeout
     } finally q.stop()
   }
 
@@ -271,5 +271,63 @@ class StreamingSpec extends SparkTestBase {
       source = SourceConfig("file", Map("path" -> eventsDir)),
       sink = SinkConfig("memory", Map.empty))
     an[graft.api.ConfigException] should be thrownBy executor.start(cfg)
+  }
+
+  test("BATCH sessionize emits every session including each key's final " +
+    "open one, works on string keys, and keeps the key's input type") {
+    import graft.api.RunContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ctx = RunContext(spark, "t", "r")
+    // string keys; u1 has two sessions (30-min gap breaks at 10:45), u2
+    // one single-event session — a state-store batch run would drop the
+    // trailing open sessions entirely
+    val batchIn = Seq(
+      ("u1", ts("10:00:00"), 1.0), ("u1", ts("10:05:00"), 2.0),
+      ("u1", ts("10:45:00"), 4.0), ("u2", ts("10:00:00"), 8.0))
+      .toDF("user", "ts", "value")
+    val out = graft.streaming.SessionizeTransform(batchIn,
+      graft.config.TransformConfig("s", "sessionize", Map(
+        "keyColumn" -> "user", "tsColumn" -> "ts",
+        "valueColumn" -> "value", "gap" -> "30 minutes")), ctx)
+    out.columns shouldBe Array("user", "session_start", "session_end",
+      "n_events", "total_value")
+    out.schema("user").dataType shouldBe org.apache.spark.sql.types.StringType
+    val rows = out.collect().map(r => (r.getString(0),
+      r.getTimestamp(1).toString, r.getLong(3), r.getDouble(4))).toSet
+    rows shouldBe Set(
+      ("u1", "2024-01-01 10:00:00.0", 2L, 3.0),
+      ("u1", "2024-01-01 10:45:00.0", 1L, 4.0),
+      ("u2", "2024-01-01 10:00:00.0", 1L, 8.0))
+    // numeric key round-trips its type through the string grouping
+    val numeric = graft.streaming.SessionizeTransform(
+      Seq((7L, ts("10:00:00"), 1.0)).toDF("uid", "ts", "v"),
+      graft.config.TransformConfig("s", "sessionize", Map(
+        "keyColumn" -> "uid", "tsColumn" -> "ts", "gap" -> "5 minutes")), ctx)
+    numeric.schema("uid").dataType shouldBe org.apache.spark.sql.types.LongType
+    numeric.collect().map(_.getLong(0)).toSeq shouldBe Seq(7L)
+  }
+
+  test("half-configured watermark and unknown trigger strings are rejected " +
+    "loudly instead of silently ignored") {
+    def cfg(st: StreamingConfig) = PipelineConfig(
+      pipelineId = "bad-streaming",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("file", Map(
+        "path" -> eventsDir, "format" -> "parquet",
+        "schema" -> "ts TIMESTAMP, metric STRING, v DOUBLE")),
+      sink = SinkConfig("memory", Map("queryName" -> "bad_out")),
+      streaming = Some(st))
+    val e1 = intercept[graft.api.ConfigException] {
+      executor.start(cfg(StreamingConfig(
+        checkpointLocation = Some(tmpDir("ckpt-half")),
+        watermarkColumn = Some("ts")))) // delay forgotten
+    }
+    e1.getMessage should include("must be set together")
+    val e2 = intercept[graft.api.ConfigException] {
+      executor.start(cfg(StreamingConfig(
+        checkpointLocation = Some(tmpDir("ckpt-trig")),
+        trigger = Some("ProcessingTime = 5 seconds")))) // wrong spelling
+    }
+    e2.getMessage should include("streaming.trigger")
   }
 }
