@@ -1779,7 +1779,7 @@ object SparkEntry {
                       + greatest(0.0, 1.0 - punct_r * 4.0) * 0.2
                       + (CASE WHEN mean_tok BETWEEN 3.0 AND 9.0
                               THEN 1.0 ELSE 0.4 END) * 0.2, 4) AS quality,
-                (list_sort([
+                (CASE WHEN (list_sort([
                    {'s': len(list_filter(toks, w -> list_contains(
                       ['the','and','of','to','in','is','that','it','for','with'], w))), 'l': 'en'},
                    {'s': len(list_filter(toks, w -> list_contains(
@@ -1789,7 +1789,18 @@ object SparkEntry {
                    {'s': len(list_filter(toks, w -> list_contains(
                       ['el','la','los','las','es','no','una','que','por','para'], w))), 'l': 'es'},
                    {'s': len(list_filter(toks, w -> list_contains(
-                      ['的','是','不','了','在','人','有','我','他','这'], w))), 'l': 'zh'}])[-1]).l
+                      ['的','是','不','了','在','人','有','我','他','这'], w))), 'l': 'zh'}])[-1]).s = 0 THEN 'und'
+                 ELSE (list_sort([
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['the','and','of','to','in','is','that','it','for','with'], w))), 'l': 'en'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['der','die','das','und','ist','nicht','von','mit','ein','zu'], w))), 'l': 'de'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['le','la','les','et','est','pas','des','une','que','pour'], w))), 'l': 'fr'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['el','la','los','las','es','no','una','que','por','para'], w))), 'l': 'es'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['的','是','不','了','在','人','有','我','他','这'], w))), 'l': 'zh'}])[-1]).l END)
                   AS lang_pred,
                 g.fp
          FROM m
@@ -1827,7 +1838,7 @@ object SparkEntry {
                       + greatest(0.0, 1.0 - punct_r * 4.0) * 0.2
                       + (CASE WHEN mean_tok BETWEEN 3.0 AND 9.0
                               THEN 1.0 ELSE 0.4 END) * 0.2, 4) AS quality,
-                (list_sort([
+                (CASE WHEN (list_sort([
                    {'s': len(list_filter(toks, w -> list_contains(
                       ['the','and','of','to','in','is','that','it','for','with'], w))), 'l': 'en'},
                    {'s': len(list_filter(toks, w -> list_contains(
@@ -1837,7 +1848,18 @@ object SparkEntry {
                    {'s': len(list_filter(toks, w -> list_contains(
                       ['el','la','los','las','es','no','una','que','por','para'], w))), 'l': 'es'},
                    {'s': len(list_filter(toks, w -> list_contains(
-                      ['的','是','不','了','在','人','有','我','他','这'], w))), 'l': 'zh'}])[-1]).l
+                      ['的','是','不','了','在','人','有','我','他','这'], w))), 'l': 'zh'}])[-1]).s = 0 THEN 'und'
+                 ELSE (list_sort([
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['the','and','of','to','in','is','that','it','for','with'], w))), 'l': 'en'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['der','die','das','und','ist','nicht','von','mit','ein','zu'], w))), 'l': 'de'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['le','la','les','et','est','pas','des','une','que','pour'], w))), 'l': 'fr'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['el','la','los','las','es','no','una','que','por','para'], w))), 'l': 'es'},
+                   {'s': len(list_filter(toks, w -> list_contains(
+                      ['的','是','不','了','在','人','有','我','他','这'], w))), 'l': 'zh'}])[-1]).l END)
                   AS lang_pred
          FROM m""",
     "q28_ann_topk" ->
@@ -2252,7 +2274,7 @@ object SparkEntry {
                   '@mail.example.com or 555-123-4567 or 10.0.0.',
                   (doc_id % 250)::VARCHAR, ' end'),
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\+?\d{3}[- ]?\d{3}[- ]?\d{4}', '<PHONE>', 'g'),
+           '(?:\+|\b)\d{3}[- ]?\d{3}[- ]?\d{4}\b', '<PHONE>', 'g'),
            '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS contact
          FROM documents""",
     // same decomposed suffix (chr(769)=U+0301, chr(778)=U+030A), same step

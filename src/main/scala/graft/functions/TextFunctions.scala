@@ -106,7 +106,10 @@ object TextFunctions {
   /**
    * N-gram/function-word language ID heuristic: score = stopword hits per
    * language, argmax with deterministic tie-break on language code.
-   * `greatest` over (score, lang) structs gives a shuffle-free per-row argmax.
+   * `greatest` over (score, lang) structs gives a shuffle-free per-row
+   * argmax. A document with ZERO hits for every profile is `und`
+   * (unknown) — the struct tie-break would otherwise label all
+   * unrecognizable text with the lexicographically-last language code.
    */
   def langId(text: Column): Column = {
     val ts = signals(text)
@@ -114,7 +117,8 @@ object TextFunctions {
       struct(element_at(ts.getField("lang"), i + 1).as("score"),
         lit(lang).as("lang"))
     }
-    greatest(scored: _*).getField("lang")
+    val top = greatest(scored: _*)
+    when(top.getField("score") === 0, lit("und")).otherwise(top.getField("lang"))
   }
 
   /** Composable HOF form of [[langId]]; parity reference. */
@@ -126,7 +130,8 @@ object TextFunctions {
         size(filter(t, w => array_contains(profile, w))).as("score"),
         lit(lang).as("lang"))
     }
-    greatest(scored: _*).getField("lang")
+    val top = greatest(scored: _*)
+    when(top.getField("score") === 0, lit("und")).otherwise(top.getField("lang"))
   }
 
   /**
@@ -205,8 +210,10 @@ object TextFunctions {
       .where(length(col("bigram")) > 0)
       .groupBy("bigram").agg(count(lit(1)).as("cxy"))
       .where(col("cxy") >= minCount)
+    // tokenCount IS "non-empty token count" (codegen'd) — the interpreted
+    // size(filter(...)) HOF form computes the identical value per row
     val totals = df
-      .select(size(filter(tokens(col(textCol)), w => length(w) > 0)).as("nt"))
+      .select(tokenCount(col(textCol)).as("nt"))
       .agg(sum(col("nt")).cast("double").as("w_total"),
         sum(greatest(col("nt") - 1, lit(0))).cast("double").as("b_total"))
     bi.withColumn("w1", split(col("bigram"), " ").getItem(0))

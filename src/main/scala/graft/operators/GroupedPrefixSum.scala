@@ -86,7 +86,16 @@ object GroupedPrefixSum {
     val ranged = df.repartitionByRange(n, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
     def weightOf(r: Row): Long =
-      if (r.isNullAt(wIdx)) 0L else r.get(wIdx).asInstanceOf[Number].longValue()
+      if (r.isNullAt(wIdx)) 0L
+      else {
+        val w = r.get(wIdx).asInstanceOf[Number].longValue()
+        // a negative weight would silently shift every later row's
+        // cum_before backwards — overlapping spans, over-budget groups
+        if (w < 0) throw new IllegalArgumentException(
+          s"prefix sum: weight column '$weightCol' has a negative value " +
+            s"($w) — weights must be >= 0")
+        w
+      }
     def groupOf(r: Row): Seq[Any] =
       gIdxs.zip(gConvs).map { case (i, conv) => conv(r.get(i)) }
 

@@ -118,16 +118,22 @@ object Profile {
     val ord = part.orderBy(col("__v").asc_nulls_first)
       .rowsBetween(W.unboundedPreceding, -1)
     val nn = when(col("__s").isNotNull, col("__n")) // raw-non-null contribution
+    // numeric-only contribution: a non-null value that does NOT cast to
+    // double (a string column mixing "1","2","x") must not enter the avg
+    // denominator or the percentile rank totals — avg/p50 describe the
+    // CASTABLE values, exactly like the approx path's avg/percentile over
+    // try_cast (which skip nulls)
+    val nv = when(col("__v").isNotNull, col("__n"))
     val ranked = counts
-      .withColumn("__cum_before", coalesce(sum(nn).over(ord), lit(0L)))
-      .withColumn("__rk", (sum(nn).over(part) - 1) * 0.5)
+      .withColumn("__cum_before", coalesce(sum(nv).over(ord), lit(0L)))
+      .withColumn("__rk", (sum(nv).over(part) - 1) * 0.5)
     ranked.groupBy(keys.map(col): _*).agg(
         coalesce(sum(nn), lit(0L)).as("n_values"),
         coalesce(sum(when(col("__s").isNull, col("__n"))), lit(0L)).as("n_nulls"),
         count(nn).as("n_distinct"),
         min(col("__v")).as("min_value"),
         max(col("__v")).as("max_value"),
-        round(sum(col("__v") * nn) / sum(nn), 4).as("avg_value"),
+        round(sum(col("__v") * nv) / sum(nv), 4).as("avg_value"),
         max(when(col("__v").isNotNull && col("__cum_before") <= floor(col("__rk")), col("__v")))
           .as("__lo"),
         max(when(col("__v").isNotNull && col("__cum_before") <= ceil(col("__rk")), col("__v")))

@@ -62,11 +62,23 @@ object ResampleTransform extends Transform {
     val aggCols = bucketed.columns.filterNot((keys :+ "bucket_start").contains)
     val wk = (if (keys.isEmpty) W.partitionBy() else W.partitionBy(keys.map(col): _*))
       .orderBy(col("bucket_start"))
+    // gap stepping uses a FIXED duration in microseconds, never the raw
+    // calendar interval: window() buckets are epoch-aligned fixed
+    // durations, but `interval 1 day` in sequence() is zone-aware calendar
+    // arithmetic — in a DST timezone it steps 23h/25h across transitions
+    // and the synthetic buckets drift off the window grid
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+    require(iv.months == 0, s"resample: month-based intervals are not " +
+      s"fixed-duration; got '$interval'")
+    val stepMicros = iv.days * 86400000000L + iv.microseconds
+    require(stepMicros > 0, s"resample: interval must be positive, got '$interval'")
     val gapped = bucketed
       .withColumn("__next", lead("bucket_start", 1).over(wk))
       .select((keys.map(col) :+ col("bucket_start").as("__orig") :+
         explode(expr(s"sequence(bucket_start, " +
-          s"coalesce(__next - interval $interval, bucket_start), interval $interval)"))
+          s"coalesce(__next - interval $stepMicros microsecond, bucket_start), " +
+          s"interval $stepMicros microsecond)"))
           .as("bucket_start")) ++ aggCols.map(col): _*)
     gapped.select((keys.map(col) :+ col("bucket_start")) ++ aggCols.map(c =>
       when(col("bucket_start") === col("__orig"), col(c)).as(c)): _*)

@@ -59,7 +59,16 @@ object Shards {
         s"weight column '$weightCol' must be integral for exact shard sums, got $other")
     }
     def weightOf(r: Row): Long =
-      if (r.isNullAt(wIdx)) 0L else r.get(wIdx).asInstanceOf[Number].longValue()
+      if (r.isNullAt(wIdx)) 0L
+      else {
+        val w = r.get(wIdx).asInstanceOf[Number].longValue()
+        // a negative weight silently shifts later cum_before backwards —
+        // overlapping shards; fail in the pass that first reads it
+        if (w < 0) throw new IllegalArgumentException(
+          s"shard: weight column '$weightCol' has a negative value ($w) — " +
+            "weights must be >= 0")
+        w
+      }
 
     // One RDD object shared by both jobs: the partial-sum collect below
     // materializes the range shuffle, the stamping pass reuses its map output.
@@ -149,7 +158,12 @@ object RedactTransform extends Transform {
   val transformType = "redact"
   private[operators] val builtins: Map[String, (String, String)] = Map(
     "email" -> ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>"),
-    "phone" -> ("\\+?\\d{3}[- ]?\\d{3}[- ]?\\d{4}" -> "<PHONE>"),
+    // boundary-anchored (RE2-safe, like ipv4) so a longer digit run — a
+    // card number, an 11+-digit id — is never PARTIALLY redacted into
+    // "<PHONE>123456": no boundary exists mid-run, so it simply won't
+    // match. The leading anchor is (?:\+|\b) because \b cannot sit
+    // between a space and '+' (both non-word)
+    "phone" -> ("(?:\\+|\\b)\\d{3}[- ]?\\d{3}[- ]?\\d{4}\\b" -> "<PHONE>"),
     "ipv4"  -> ("\\b\\d{1,3}(\\.\\d{1,3}){3}\\b" -> "<IP>"))
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "columns")
@@ -181,7 +195,15 @@ object SampleTransform extends Transform {
     val stratified = config.options.contains("perGroup")
     val (bucket, buckets) = bucketFor(config, key,
       defaultBuckets = if (stratified) 1000003 else 100)
-    if (stratified) return stratifiedSample(input, config, key, keyName, bucket)
+    if (stratified) {
+      // same "exactly one of" contract as the match below: perGroup with a
+      // co-present mode must fail, not silently win
+      val others = Seq("keep", "splits", "probColumn").filter(config.options.contains)
+      require(others.isEmpty,
+        s"sample: perGroup cannot combine with ${others.mkString("/")} — " +
+          "exactly one of keep | splits | probColumn | perGroup")
+      return stratifiedSample(input, config, key, keyName, bucket)
+    }
     (config.options.get("keep"), config.options.get("splits"),
      config.options.get("probColumn")) match {
       case (Some(k), None, None) =>
@@ -196,7 +218,10 @@ object SampleTransform extends Transform {
       // [0,1]; keep iff bucket < p·buckets, so P(keep) = p to 1/buckets
       // resolution. Zero shuffle, codegen'd filter.
       case (None, None, Some(p)) =>
-        val prob = least(greatest(col(p).cast("double"), lit(0.0)), lit(1.0))
+        // nanvl first: NaN compares ABOVE every double in Spark's total
+        // order, so greatest/least alone would clamp NaN to 1.0 and keep
+        // every corrupt-scored row; null and NaN both mean "drop"
+        val prob = least(greatest(nanvl(col(p).cast("double"), lit(0.0)), lit(0.0)), lit(1.0))
         input.where(bucket.cast("double") < prob * lit(buckets.toDouble))
       case (None, Some(splits), None) =>
         val parts = splits.split(",").map(_.trim).filter(_.nonEmpty).map { p =>

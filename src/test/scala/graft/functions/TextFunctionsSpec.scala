@@ -49,6 +49,11 @@ class TextFunctionsSpec extends SparkTestBase {
     one[String](langId(col("t")), "le chat est pour la maison et les jardins") shouldBe "fr"
     one[String](langId(col("t")), "el perro es una mascota para la casa") shouldBe "es"
     one[String](langId(col("t")), "这 是 不 好 的 人") shouldBe "zh"
+    // zero hits for every profile → unknown, NOT the lexicographically
+    // largest language code (the struct tie-break labeled all numbers/code
+    // documents "zh")
+    one[String](langId(col("t")), "12345 67890 @@@") shouldBe "und"
+    one[String](langIdHof(col("t")), "12345 67890 @@@") shouldBe "und"
   }
 
   test("fingerprint: equal for equal text, different for reordered tokens") {

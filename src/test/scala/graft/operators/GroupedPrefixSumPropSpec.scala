@@ -88,4 +88,14 @@ class GroupedPrefixSumPropSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("map-typed"))
   }
+
+  test("negative weights fail loudly — they would silently shift every " +
+    "later row's cum_before backwards") {
+    val df = Seq((1L, "a", 10L), (2L, "a", -5L), (3L, "a", 7L)).toDF("id", "grp", "w")
+    val e = intercept[org.apache.spark.SparkException] {
+      GroupedPrefixSum.stamp(df, Seq("grp"), Seq(col("id")), "w", "cb")
+        .collect()
+    }
+    e.getMessage should include ("negative")
+  }
 }

@@ -59,6 +59,17 @@ class ProfileSpec extends SparkTestBase {
     row.isNullAt(7) shouldBe true
   }
 
+  test("exact mode: MIXED numeric/non-numeric column — avg and p50 describe " +
+    "only the castable values, matching the approx path's try_cast skip") {
+    val s = Seq((1L, "1"), (2L, "2"), (3L, "x")).toDF("id", "s")
+    val exact = Profile.profile(s, Seq("s"), exact = true).collect().head
+    exact.getLong(1) shouldBe 3            // n_values: all three non-null
+    exact.getDouble(6) shouldBe 1.5        // avg over castable {1,2}, not /3
+    exact.getDouble(7) shouldBe 1.5        // p50 over castable {1,2}
+    val approx = Profile.profile(s, Seq("s"), exact = false).collect().head
+    approx.getDouble(6) shouldBe exact.getDouble(6)
+  }
+
   test("declarative transform validates options and column existence") {
     val out = ProfileTransform(d, TransformConfig("p", "profile",
       Map("columns" -> "id,v", "exact" -> "true")), RunContext(spark, "t", "r"))

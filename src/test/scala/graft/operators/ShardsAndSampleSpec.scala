@@ -122,8 +122,11 @@ class ShardsAndSampleSpec extends SparkTestBase {
     }.map(_.toLong).toSet
     ids shouldBe expected
     run().select("doc_id").collect().map(_.getLong(0)).toSet shouldBe ids // reproducible
-    // p = 1 rows always survive; p = 0 rows never do
-    val extreme = Seq((1L, 1.0), (2L, 0.0), (3L, 2.0), (4L, -0.5))
+    // p = 1 rows always survive; p = 0 rows never do; NaN and null scores
+    // DROP (NaN sorts above every double, so an unguarded clamp would
+    // keep every corrupt-scored row with probability 1)
+    val extreme = Seq((1L, Some(1.0)), (2L, Some(0.0)), (3L, Some(2.0)),
+      (4L, Some(-0.5)), (5L, Some(Double.NaN)), (6L, None: Option[Double]))
       .toDF("doc_id", "p_keep")
     SampleTransform(extreme, t("sample", "on" -> "doc_id",
       "probColumn" -> "p_keep", "method" -> "hash", "buckets" -> "1000"), ctx)
@@ -160,6 +163,11 @@ class ShardsAndSampleSpec extends SparkTestBase {
         "splits" -> "train:99,val:1"), ctx)
     an[IllegalArgumentException] should be thrownBy
       SampleTransform(d, t("sample", "on" -> "doc_id"), ctx)
+    // perGroup is part of the same "exactly one of" contract: a co-present
+    // mode must fail, not silently lose to the stratified path
+    an[IllegalArgumentException] should be thrownBy
+      SampleTransform(d, t("sample", "on" -> "doc_id", "perGroup" -> "5",
+        "groupBy" -> "source", "keep" -> "5"), ctx)
   }
 
   test("redact: builtin PII patterns, rule order, custom rule, bad pattern rejected") {
@@ -175,6 +183,12 @@ class ShardsAndSampleSpec extends SparkTestBase {
     out should contain ((2L, "call <PHONE> or <PHONE>", "keep"))
     out should contain ((3L, "host <IP> up", "keep"))
     out should contain ((4L, "no pii here at all", "keep")) // untouched, other column untouched
+    // longer digit runs (card numbers, long ids) are NEVER partially
+    // redacted: no boundary exists mid-run, so the phone pattern skips them
+    val long = RedactTransform(
+      Seq((9L, "card 4111111111111111 and id 12345678901 end")).toDF("id", "text"),
+      t("redact", "columns" -> "text"), ctx).collect().head.getString(1)
+    long shouldBe "card 4111111111111111 and id 12345678901 end"
 
     val custom = RedactTransform(d.where("id = 4"),
       t("redact", "columns" -> "text", "patterns" -> "email",
