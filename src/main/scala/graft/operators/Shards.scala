@@ -46,54 +46,14 @@ object Shards {
   def assignShards(df: DataFrame, idCol: String, weightCol: String, budget: Long,
                    numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(n, col(idCol)).sortWithinPartitions(col(idCol))
-    val schema = ranged.schema
-    val wIdx = schema.fieldIndex(weightCol)
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    schema(wIdx).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"weight column '$weightCol' must be integral for exact shard sums, got $other")
-    }
-    def weightOf(r: Row): Long =
-      if (r.isNullAt(wIdx)) 0L
-      else {
-        val w = r.get(wIdx).asInstanceOf[Number].longValue()
-        // a negative weight silently shifts later cum_before backwards —
-        // overlapping shards; fail in the pass that first reads it
-        if (w < 0) throw new IllegalArgumentException(
-          s"shard: weight column '$weightCol' has a negative value ($w) — " +
-            "weights must be >= 0")
-        w
-      }
-
-    // One RDD object shared by both jobs: the partial-sum collect below
-    // materializes the range shuffle, the stamping pass reuses its map output.
-    val rdd = ranged.rdd
-    rdd.setName(s"graft.shards.ranged($idCol)")
-    val partials = rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L; it.foreach(s += weightOf(_)); Iterator((pid, s))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = partials.scanLeft(0L)(_ + _) // offsets(pid) = total weight before partition pid
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-
-    val outSchema = StructType(schema.fields ++ Seq(
-      StructField("cum_before", LongType, nullable = false),
-      StructField("shard_id", LongType, nullable = false)))
-    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var cum = bOffsets.value(pid)
-      it.map { r =>
-        val before = cum
-        cum += weightOf(r)
-        Row.fromSeq(r.toSeq ++ Seq(before, before / budget))
-      }
-    }
-    spark.createDataFrame(stamped, outSchema)
+    // the global (no-group) case of the shared distributed prefix sum —
+    // GroupedPrefixSum.stamp documents "groupCols empty → one global sum
+    // (the shard shape)", so the range-shuffle/partials/offsets/stamping
+    // machinery lives there once. shard_id is exact long floor division
+    // (cum_before is >= 0: negative weights fail inside stamp)
+    GroupedPrefixSum.stamp(df, Nil, Seq(col(idCol)), weightCol,
+        "cum_before", numPartitions)
+      .withColumn("shard_id", expr(s"cum_before div $budget"))
   }
 }
 
