@@ -69,9 +69,15 @@ object AsofJoin {
     val lStruct = struct(left.columns.map(left(_)): _*)
     val lType = left.select(lStruct.as("l")).schema("l").dataType
 
-    val rSide = right.select(keys.map(right(_)) ++ Seq(
-      right(rightTime).as("__t"), lit(0).as("__side"),
-      pStruct.as("__p"), lit(null).cast(lType).as("__l")): _*)
+    // a right row with ANY null key can never legitimately match (join
+    // semantics: NULL equals nothing) — but Window.partitionBy groups
+    // NULLs together, so without this filter null-keyed left rows would
+    // silently receive null-keyed right payloads
+    val rSide = right
+      .filter(keys.map(right(_).isNotNull).reduce(_ && _))
+      .select(keys.map(right(_)) ++ Seq(
+        right(rightTime).as("__t"), lit(0).as("__side"),
+        pStruct.as("__p"), lit(null).cast(lType).as("__l")): _*)
     val lSide = left.select(keys.map(left(_)) ++ Seq(
       left(leftTime).as("__t"), lit(1).as("__side"),
       lit(null).cast(pType).as("__p"), lStruct.as("__l")): _*)
@@ -90,8 +96,12 @@ object AsofJoin {
       if (backward) last(c, ignoreNulls = true).over(w)
       else first(c, ignoreNulls = true).over(w)
 
-    val timeIsTs = left.schema(leftTime).dataType == TimestampType
-    def tick(c: Column): Column = if (timeIsTs) unix_micros(c) else c.cast("long")
+    val timeIsTs = left.schema(leftTime).dataType match {
+      case TimestampType | org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    def tick(c: Column): Column =
+      if (timeIsTs) unix_micros(c.cast(TimestampType)) else c.cast("long")
 
     val matched = lSide.unionByName(rSide)
       .withColumn("__m", pick(col("__p")))
@@ -130,6 +140,12 @@ object AsofJoin {
  */
 object AsofJoinTransform extends Transform {
   val transformType = "join_asof"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("on").toSeq.flatMap(ExprUtils.parseColumns) ++
+        config.options.get("leftTime").toSeq,
+      transformType)
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "rightDataset", "on", "leftTime")
     val keys = ExprUtils.parseColumns(config.options("on"))

@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.api.{ConfigException, RunContext, Transform}
 import graft.config.TransformConfig
@@ -41,29 +40,15 @@ object AssignIds {
     require(orderCols.nonEmpty, "assign_ids: no order columns")
     require(!df.columns.contains(idName),
       s"assign_ids: output column '$idName' already exists")
-    val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-            else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(n, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-    val rdd = ranged.rdd
-    rdd.setName(s"graft.assignIds.ranged(${orderCols.mkString(",")})")
-    val counts = rdd
-      .mapPartitionsWithIndex { (pid, it) => Iterator((pid, it.size.toLong)) }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(start)(_ + _)
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-
-    val outSchema = StructType(ranged.schema.fields :+
-      StructField(idName, LongType, nullable = false))
-    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var next = bOffsets.value(pid)
-      it.map { r =>
-        val id = next; next += 1
-        Row.fromSeq(r.toSeq :+ id)
-      }
-    }
-    spark.createDataFrame(stamped, outSchema)
+    // dense row numbering IS the global prefix sum of a constant weight 1:
+    // delegate to the shared machinery (range shuffle, partials collect,
+    // broadcast offsets, stamping) so the two-job determinism handling and
+    // key hardening live in exactly one place
+    GroupedPrefixSum.stamp(
+        df.withColumn("__one", lit(1L)),
+        Nil, orderCols.map(col), "__one", "__cb", numPartitions)
+      .withColumn(idName, col("__cb") + lit(start))
+      .drop("__one", "__cb")
   }
 }
 

@@ -25,7 +25,10 @@ import graft.config.TransformConfig
  *
  * Blocking trades recall for tractability, as in every production linkage
  * system: pairs whose first `blockPrefix` characters differ are NOT found
- * (a typo inside the prefix escapes). Raise `blockPrefix` for smaller
+ * (a typo inside the prefix escapes — including LENGTH edits there: a
+ * string shorter than `blockPrefix` blocks on its full text, so 'jon'
+ * never meets 'jons' at blockPrefix=4; pick blockPrefix at or below the
+ * shortest keys you must match). Raise `blockPrefix` for smaller
  * blocks / lower recall, and cap pathological blocks (single-character
  * titles, empty strings) with `maxBlockSize` — blocks larger than the cap
  * are dropped from matching BEFORE the join, the same mega-bucket
@@ -87,7 +90,8 @@ object FuzzyJoinTransform extends Transform {
     required(config, "rightDataset", "leftColumn", "rightColumn", "maxDistance")
     val pre = config.options.getOrElse("rightPrefix", "r_")
     val right0 = ctx.spark.table(config.options("rightDataset"))
-    val right = right0.columns.foldLeft(right0)((df, c) => df.withColumnRenamed(c, pre + c))
+    // one projection, not N stacked withColumnRenamed analyzer passes
+    val right = right0.toDF(right0.columns.map(pre + _): _*)
     val rightCol = pre + config.options("rightColumn")
     if (!right.columns.contains(rightCol))
       throw new ConfigException(

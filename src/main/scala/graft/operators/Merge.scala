@@ -68,8 +68,23 @@ object Merge {
     val packedNonEmpty =
       if (packedFields.isEmpty) Seq(lit(1).as("__one")) else packedFields
     val packed = struct(packedNonEmpty: _*)
+    // max(struct) needs an ORDERABLE struct; a map-typed payload column
+    // breaks that at analysis even though CDC apply never needs to order
+    // payload values. Orderable payloads keep max(struct) (deterministic
+    // even under orderBy ties); non-orderable ones collapse via
+    // max_by(payload, orderBy) — deterministic under the already-documented
+    // contract that orderBy is per-key-unique — or first() when the
+    // unique-key guard below enforces one row per key.
+    val packedType = changes.select(packed.as("__pt")).schema("__pt").dataType
+    val collapse =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(packedType))
+        max(packed)
+      else orderCol match {
+        case Some(o) => max_by(packed, col(o))
+        case None    => first(packed)
+      }
     val grouped = changes.groupBy(keyCols.map(col): _*)
-      .agg(max(packed).as("__l"), count(lit(1)).as("__n"))
+      .agg(collapse.as("__l"), count(lit(1)).as("__n"))
     // no orderBy → keys must be unique; enforce lazily on a key column
     // (keys are always in the output, so pruning cannot drop the guard)
     val guardKey = keyCols.head

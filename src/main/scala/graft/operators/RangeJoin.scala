@@ -48,8 +48,12 @@ object RangeJoin {
     require(payloadCols.nonEmpty,
       "right side must carry at least one payload column besides keys and bounds")
 
-    val timeIsTs = left.schema(pointCol).dataType == TimestampType
-    def tick(c: Column): Column = if (timeIsTs) unix_micros(c) else c.cast("long")
+    val timeIsTs = left.schema(pointCol).dataType match {
+      case TimestampType | org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    def tick(c: Column): Column =
+      if (timeIsTs) unix_micros(c.cast(TimestampType)) else c.cast("long")
     // exact integral floor division at any magnitude: the numerator is an
     // exact multiple of binWidth, and SQL `div` stays in long arithmetic
     def floorDiv(c: Column): Column =
@@ -93,6 +97,12 @@ object RangeJoin {
  */
 object RangeJoinTransform extends Transform {
   val transformType = "join_range"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("on").toSeq.flatMap(ExprUtils.parseColumns) ++
+        config.options.get("point").toSeq,
+      transformType)
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "rightDataset", "point", "lo", "hi", "binWidth")
     val keys = config.options.get("on")

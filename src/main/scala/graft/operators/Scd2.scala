@@ -37,9 +37,24 @@ object Scd2 {
             currentCol: String = "is_current"): DataFrame = {
     require(keyCols.nonEmpty, "scd2: no key columns")
     require(compareCols.nonEmpty, "scd2: no compare columns")
+    // the generated history columns must not silently OVERWRITE existing
+    // ones: stale effective_from/to/is_current from a previous build would
+    // first inflate the default compare set, then vanish — fail instead
+    // (fromCol == timeCol is the documented keep-the-name overlap)
+    val collisions = (Seq(toCol, currentCol) ++
+      (if (fromCol == timeCol) Nil else Seq(fromCol))).filter(df.columns.contains)
+    if (collisions.nonEmpty) throw new graft.api.ConfigException(
+      s"scd2: output column(s) ${collisions.mkString(", ")} already exist in " +
+        "the input — drop/rename them or set fromColumn/toColumn/currentColumn")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
+    // map-typed (or map-nested) columns are not <=>-comparable — compare
+    // their JSON serialization instead of failing at analysis
+    def comparable(c: String): org.apache.spark.sql.Column =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(df.schema(c).dataType)) col(c)
+      else to_json(struct(col(c)))
     val changed = compareCols
-      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .map { c => val cc = comparable(c); !(cc <=> lag(cc, 1).over(w)) }
       .reduce(_ || _)
     val kept = df
       .withColumn("__keep", row_number().over(w) === 1 || changed)

@@ -64,6 +64,12 @@ object TokenCap {
     require(budget >= 0, s"token_cap: budget must be >= 0, got $budget")
     require(overrides.values.forall(_ >= 0), "token_cap: budgets must be >= 0")
     val grouped = groupCol.nonEmpty
+    // per-group overrides without a group column cannot mean anything —
+    // silently capping everything by the default budget would drop the
+    // user's per-source intent with no error
+    if (!grouped && overrides.nonEmpty) throw new graft.api.ConfigException(
+      "token_cap: per-group budgets require groupBy — without it the " +
+        "overrides would be silently ignored")
     val ord = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
     // the per-group exclusive running sum comes from the shared
     // boundary-chain machine (O(partitions) driver state regardless of

@@ -27,6 +27,32 @@ class AsofJoinSpec extends SparkTestBase {
     out(4L) shouldBe None      // B: quote only at 50 > 10
   }
 
+  test("null join keys never match — a null-keyed left row gets a null " +
+    "payload, never a null-keyed right row's") {
+    val l = Seq((null.asInstanceOf[String], 10L, 1L), ("A", 10L, 2L))
+      .toDF("sym", "t", "trade_id")
+    val r = Seq((null.asInstanceOf[String], 5L, 99.0), ("A", 5L, 1.5))
+      .toDF("sym", "t", "px")
+    val out = AsofJoin.asofJoin(l, r, Seq("sym"), "t", "t")
+      .select("trade_id", "asof_px").as[(Long, Option[Double])].collect().toMap
+    out(1L) shouldBe None      // NULL equals nothing (SQL join semantics)
+    out(2L) shouldBe Some(1.5) // real keys unaffected
+  }
+
+  test("timestamp_ntz time axis: tolerance interpreted in microseconds") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    def ts(s: String) = java.time.LocalDateTime.parse(s)
+    val l = Seq((1L, ts("2024-01-01T10:00:10"))).toDF("id", "t")
+      .withColumn("t", col("t").cast(TimestampNTZType))
+    val r = Seq((1L, ts("2024-01-01T10:00:00"), 5.0)).toDF("id", "t", "px")
+      .withColumn("t", col("t").cast(TimestampNTZType))
+    // 10 s gap: within an 11-second tolerance, outside a 9-second one
+    AsofJoin.asofJoin(l, r, Seq("id"), "t", "t", tolerance = Some(11000000L))
+      .select("asof_px").as[Option[Double]].head() shouldBe Some(5.0)
+    AsofJoin.asofJoin(l, r, Seq("id"), "t", "t", tolerance = Some(9000000L))
+      .select("asof_px").as[Option[Double]].head() shouldBe None
+  }
+
   test("forward: least right time >= left time; tolerance gates far matches") {
     val fwd = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "t", direction = "forward")
       .select("trade_id", "asof_px").as[(Long, Option[Double])].collect().toMap

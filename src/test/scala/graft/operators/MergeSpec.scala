@@ -72,6 +72,24 @@ class MergeSpec extends SparkTestBase {
     unhinted shouldBe hinted
   }
 
+  test("map-typed payload columns merge (latest-wins via max_by, not an " +
+    "orderable-struct max that rejects maps at analysis)") {
+    val snapMap = Seq((1L, Map("a" -> "1")), (2L, Map("b" -> "2")))
+      .toDF("id", "attrs")
+    val changes = Seq(
+      (2L, Map("b" -> "old"), 1L), (2L, Map("b" -> "new"), 2L),
+      (3L, Map("c" -> "3"), 1L)).toDF("id", "attrs", "seq")
+    changes.createOrReplaceTempView("merge_map_changes")
+    val byId = MergeTransform(snapMap, TransformConfig("m", "merge",
+      Map("rightDataset" -> "merge_map_changes", "keyColumns" -> "id",
+        "orderBy" -> "seq")), ctx)
+      .collect().map(r => r.getLong(0) -> r.getMap[String, String](1).toMap).toMap
+    byId(1L) shouldBe Map("a" -> "1")   // untouched
+    byId(2L) shouldBe Map("b" -> "new") // latest by seq
+    byId(3L) shouldBe Map("c" -> "3")   // insert
+    byId.size shouldBe 3
+  }
+
   test("config errors: missing change columns, bad keys") {
     val changes = Seq((2L, "bob2")).toDF("id", "name") // no bal
     an[ConfigException] should be thrownBy run(changes)

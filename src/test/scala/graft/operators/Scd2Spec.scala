@@ -40,6 +40,26 @@ class Scd2Spec extends SparkTestBase {
     out.count() shouldBe 2 // t=2 changes c2; t=3 is a no-op
   }
 
+  test("map-typed compare columns diff via JSON instead of failing; " +
+    "pre-existing output columns are rejected, not overwritten") {
+    val mapLog = Seq(
+      (1L, 10L, Map("a" -> "1")), (1L, 20L, Map("a" -> "1")),
+      (1L, 30L, Map("a" -> "2"))).toDF("cust", "seq", "meta")
+    val out = Scd2Transform(mapLog, TransformConfig("s", "scd2",
+      Map("keyColumns" -> "cust", "timeColumn" -> "seq")), ctx)
+      .select("cust", "effective_from", "effective_to")
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._2)
+    out shouldBe Array((1L, 10L, Some(30L)), (1L, 30L, None)) // no-op collapsed
+    // stale history columns in the input must fail loudly
+    val stale = log.withColumn("is_current",
+      org.apache.spark.sql.functions.lit(true))
+    val e = intercept[graft.api.ConfigException] {
+      Scd2Transform(stale, TransformConfig("s", "scd2",
+        Map("keyColumns" -> "cust", "timeColumn" -> "seq")), ctx)
+    }
+    e.getMessage should include("already exist")
+  }
+
   test("one exchange for both windows; config errors fail fast") {
     val plan = run().queryExecution.executedPlan.toString
     plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1

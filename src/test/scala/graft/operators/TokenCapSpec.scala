@@ -125,6 +125,12 @@ class TokenCapSpec extends SparkTestBase {
     an[ConfigException] should be thrownBy TokenCapTransform(corpus,
       TransformConfig("t", "token_cap", Map("idColumn" -> "doc_id",
         "weightColumn" -> "n_tok", "budget" -> "10", "budgets" -> "web")), ctx)
+    // well-formed budgets with groupBy FORGOTTEN must be rejected, not
+    // silently capped by the default budget
+    an[ConfigException] should be thrownBy TokenCapTransform(corpus,
+      TransformConfig("t", "token_cap", Map("idColumn" -> "doc_id",
+        "weightColumn" -> "n_tok", "budget" -> "10",
+        "budgets" -> "web:5")), ctx)
     an[ConfigException] should be thrownBy TokenCapTransform(corpus,
       TransformConfig("t", "token_cap", Map("idColumn" -> "doc_id",
         "weightColumn" -> "n_tok", "budget" -> "10", "budgets" -> "web:abc")), ctx)
