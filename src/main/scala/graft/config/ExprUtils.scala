@@ -80,4 +80,17 @@ object ExprUtils {
   /** Comma list of simple column names. */
   def parseColumns(spec: String): List[String] =
     spec.split(",").map(_.trim).filter(_.nonEmpty).toList
+
+  /** One `orderBy` item: an expression with an optional trailing
+    * asc/desc keyword — THE order-by parser for every ordered surface
+    * (sort, dedup, window_rank, window_agg), hoisted so the dialect
+    * cannot drift between them. */
+  def parseOrder(item: String): Column = {
+    val parts = item.trim.split("\\s+")
+    if (parts.length > 1 && parts.last.equalsIgnoreCase("desc"))
+      expr(parts.dropRight(1).mkString(" ")).desc
+    else if (parts.length > 1 && parts.last.equalsIgnoreCase("asc"))
+      expr(parts.dropRight(1).mkString(" ")).asc
+    else expr(item.trim)
+  }
 }

@@ -32,13 +32,19 @@ import graft.config.TransformConfig
  */
 object LineDedup {
   /** @return `df` with `textCol` replaced by the line-deduped text (other
-    *         columns untouched); null texts stay null, documents whose
-    *         every line was seen earlier become empty strings. */
+    *         columns untouched); null texts stay null, null-ID documents
+    *         pass through verbatim (the id is the survivor tie-break and
+    *         rebuild key), documents whose every line was seen earlier
+    *         become empty strings. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  separator: String = "\n", minLength: Int = 1): DataFrame = {
     require(separator.nonEmpty, "dedupLines: separator must be non-empty")
     require(minLength >= 1, s"dedupLines: minLength must be >= 1, got $minLength")
-    val lines = df.select(col(idCol).as("__id"),
+    // null-id docs cannot participate: the id is the survivor tie-break
+    // AND the rebuild key, so a null id would elect un-rejoinable
+    // survivors (disabling dedup for those lines corpus-wide) and blank
+    // the doc's text on rebuild — they pass through verbatim instead
+    val lines = df.where(col(idCol).isNotNull).select(col(idCol).as("__id"),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(separator), -1)).as(Seq("__pos", "__ln")))
     val survivors = lines.where(length(col("__ln")) >= minLength)
@@ -63,6 +69,9 @@ object LineDedup {
         x => x.getField("__ln")), separator).as("__newtext"))
     df.join(rebuilt, col(idCol) === col("__id"), "left")
       .withColumn(textCol, when(col(textCol).isNull, lit(null).cast("string"))
+        // null-id docs never joined (they were excluded from the line
+        // frames) — keep their text verbatim, never blank it
+        .when(col(idCol).isNull, col(textCol))
         .otherwise(coalesce(col("__newtext"), lit(""))))
       .drop("__id", "__newtext")
   }
@@ -84,7 +93,8 @@ object LineDedup {
     require(separator.nonEmpty, "dedupLines: separator must be non-empty")
     require(minLength >= 1, s"dedupLines: minLength must be >= 1, got $minLength")
     val sep = java.util.regex.Pattern.quote(separator)
-    val lines = df.select(col(idCol).as("__id"),
+    // null-id docs pass through verbatim — see dedupLines
+    val lines = df.where(col(idCol).isNotNull).select(col(idCol).as("__id"),
       posexplode(split(col(textCol), sep, -1)).as(Seq("__pos", "__ln")))
     val refHashes = ref
       .select(explode(split(col(refTextCol), sep, -1)).as("__ln"))
@@ -137,9 +147,9 @@ object LineDedupTransform extends Transform {
   val transformType = "dedup_lines"
   override def validate(config: TransformConfig,
                         schema: org.apache.spark.sql.types.StructType): List[String] =
-    (config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq)
-      .filterNot(schema.fieldNames.contains)
-      .map(c => s"dedup_lines: column '$c' not in input schema").toList
+    graft.operators.Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq,
+      transformType)
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     val separator = config.options.getOrElse("separator", "\n")
     val minLength = config.options.get("minLength").map(_.toInt).getOrElse(1)

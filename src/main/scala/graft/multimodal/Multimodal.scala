@@ -38,11 +38,17 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("feature", ArrayType(FloatType))))
 
-  /** Wrap raw bytes + ids into the canonical media frame. */
+  /** Wrap raw bytes + ids into the canonical media frame. The id must
+    * cast to a non-null long (string/UUID ids: run `assign_ids` first) —
+    * enforced with a descriptive row-level error rather than the
+    * downstream mapPartitions NPE a null media_id used to cause. */
   def asMediaFrame(df: DataFrame, idCol: String, bytesCol: String,
                    modality: String, sourceUriCol: String): DataFrame =
     df.select(
-      col(idCol).cast("long").as("media_id"),
+      when(assert_true(col(idCol).cast("long").isNotNull,
+        lit(s"multimodal: idColumn '$idCol' must cast to a non-null long " +
+          "(string/UUID ids need assign_ids first)")).isNull,
+        col(idCol).cast("long")).as("media_id"),
       lit(modality).as("modality"),
       col(bytesCol).cast("binary").as("content"),
       struct(
@@ -126,11 +132,18 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0); val modality = r.getString(1)
         val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-        val meta = r.getStruct(3)
+        // user-supplied media frames may carry null meta / meta fields —
+        // degrade to defaults rather than an executor NPE
+        val meta = if (r.isNullAt(3)) null else r.getStruct(3)
+        val srcUri =
+          if (meta == null || meta.isNullAt(0)) null else meta.getString(0)
+        val ctype =
+          if (meta == null || meta.isNullAt(1)) "application/octet-stream"
+          else meta.getString(1)
         val out = resizer.resize(modality, bytes, targetW, targetH)
         Row(id, modality, out, Row(
-          meta.getString(0),
-          s"${meta.getString(1)};resized=${targetW}x$targetH",
+          srcUri,
+          s"$ctype;resized=${targetW}x$targetH",
           out.length.toLong))
       }
     }(enc)

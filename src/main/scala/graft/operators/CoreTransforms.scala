@@ -43,6 +43,13 @@ object MapTransform extends Transform {
       s"map '${config.name}': duplicate alias(es) ${dups.mkString(", ")}")
     if (config.options.get("project").exists(_.toBoolean)) {
       val keep = config.options.get("keep").map(ExprUtils.parseColumns).getOrElse(Nil)
+      // a keep column colliding with a mapped alias would emit two columns
+      // of the same name — the exact ambiguity the duplicate-alias guard
+      // above exists to prevent
+      val clash = keep.filter(k => pairs.exists(_._1.equalsIgnoreCase(k)))
+      if (clash.nonEmpty) throw new ConfigException(
+        s"map '${config.name}': keep column(s) ${clash.mkString(", ")} collide " +
+          "with mapped alias(es) — drop them from keep (the alias wins)")
       input.select(keep.map(col) ++ pairs.map { case (a, e) => expr(e).as(a) }: _*)
     } else {
       input.withColumns(pairs.map { case (a, e) => a -> expr(e) }.toMap)
@@ -123,6 +130,11 @@ object JoinTransform extends Transform {
         // reference semantics: drop right-side duplicates of shared names, keep left
         val dup = input.columns.toSet.intersect(right0.columns.toSet)
         dup.foldLeft(j)((d, c) => d.drop(right0(c)))
+      // an actual Cartesian product — previously in the accepted joinType
+      // set but unreachable (the no-keys branch always threw). PlanLint
+      // still flags CartesianProductExec as a scale error, so pipelines
+      // running under planLint=fail must consciously allow it.
+      case _ if joinType == "cross" => input.crossJoin(right)
       case _ =>
         throw new ConfigException(s"join '${config.name}': need joinKeys or leftKey+rightKey")
     }

@@ -31,7 +31,8 @@ object RegisterTransform extends graft.api.Transform {
     // user-registered source types work inside register transforms
     val src = ctx.sources.getOrElse(graft.runtime.Registries.sources()).get(sourceType)
     val srcConfig = graft.config.SourceConfig(
-      sourceType, config.options -- Seq("viewName", "sourceType", "expressions", "project", "keep"))
+      sourceType, config.options -- Seq(
+        "viewName", "sourceType", "expressions", "project", "keep", "condition"))
     val raw = src.read(srcConfig)(input.sparkSession)
     // optional map-style projection before registering (e.g. parsing a
     // kafka JSON value into typed columns for the join key)
@@ -54,17 +55,9 @@ object SortTransform extends Transform {
   val transformType = "sort"
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "orderBy")
-    val cols = ExprUtils.splitTopLevel(config.options("orderBy")).map(parseOrder)
+    val cols = ExprUtils.splitTopLevel(config.options("orderBy")).map(ExprUtils.parseOrder)
     if (config.options.get("global").forall(_.toBoolean)) input.orderBy(cols: _*)
     else input.sortWithinPartitions(cols: _*)
-  }
-  private[operators] def parseOrder(item: String): Column = {
-    val parts = item.trim.split("\\s+")
-    if (parts.length > 1 && parts.last.equalsIgnoreCase("desc"))
-      expr(parts.dropRight(1).mkString(" ")).desc
-    else if (parts.length > 1 && parts.last.equalsIgnoreCase("asc"))
-      expr(parts.dropRight(1).mkString(" ")).asc
-    else expr(item.trim)
   }
 }
 
@@ -108,7 +101,7 @@ object DedupTransform extends Transform {
       case (Some(cols), None) => input.dropDuplicates(cols)
       case (Some(cols), Some(order)) =>
         val w = W.partitionBy(cols.map(col): _*)
-          .orderBy(ExprUtils.splitTopLevel(order).map(SortTransform.parseOrder): _*)
+          .orderBy(ExprUtils.splitTopLevel(order).map(ExprUtils.parseOrder): _*)
         input.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     }
   }
@@ -120,9 +113,9 @@ object DedupTransform extends Transform {
  * (zero shuffle):
  *
  *  - `fill` (default): `values: "col:literal, col2:literal"` — each
- *    literal parsed as boolean/long/double when it looks like one, else
- *    kept as a string, then applied with `DataFrame.na.fill` (Spark
- *    type-checks value-vs-column and no-ops on mismatched columns);
+ *    literal coerced by the TARGET column's type (a string column keeps
+ *    "00501" verbatim; numeric/boolean columns parse or fail loudly),
+ *    then applied with `DataFrame.na.fill`;
  *  - `drop`: remove rows with nulls in `columns` (default: any column);
  *    `how: any (default) | all`.
  *
@@ -142,10 +135,32 @@ object FillNaTransform extends Transform {
         config.options.get("columns").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       "fillna")
 
-  private def parseLiteral(s: String): Any = {
+  /** Literal coercion is driven by the TARGET COLUMN's type, not the
+    * literal's shape: "00501" filling a string column stays the string
+    * "00501" (shape-based parsing turned it into 501, and Spark's na.fill
+    * then silently skipped the type-mismatched column — nulls survived a
+    * configured fill with no error). */
+  private def parseLiteral(s: String, dt: org.apache.spark.sql.types.DataType,
+                           colName: String): Any = {
+    import org.apache.spark.sql.types._
     val t = s.trim
-    if (t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false")) t.toBoolean
-    else t.toLongOption.getOrElse(t.toDoubleOption.getOrElse(t))
+    def orFail[A](o: Option[A], what: String): A = o.getOrElse(
+      throw new ConfigException(
+        s"fillna: '$t' is not a valid $what literal for column '$colName'"))
+    dt match {
+      case StringType => t
+      case BooleanType =>
+        if (t.equalsIgnoreCase("true")) true
+        else if (t.equalsIgnoreCase("false")) false
+        else throw new ConfigException(
+          s"fillna: '$t' is not a boolean literal for column '$colName'")
+      case ByteType | ShortType | IntegerType | LongType =>
+        orFail(t.toLongOption, "integral")
+      case FloatType | DoubleType | _: DecimalType =>
+        orFail(t.toDoubleOption, "numeric")
+      case other => throw new ConfigException(
+        s"fillna: cannot fill column '$colName' of type ${other.simpleString}")
+    }
   }
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame =
@@ -155,7 +170,14 @@ object FillNaTransform extends Transform {
         val pairs = config.options("values").split(",").map(_.trim).filter(_.nonEmpty)
           .map { kv =>
             kv.split(":", 2) match {
-              case Array(c, v) => c.trim -> parseLiteral(v)
+              case Array(c, v) =>
+                val name = c.trim
+                val dt = input.schema.fields
+                  .find(_.name.equalsIgnoreCase(name))
+                  .getOrElse(throw new ConfigException(
+                    s"fillna: column '$name' not found in input"))
+                  .dataType
+                name -> parseLiteral(v, dt, name)
               case _ => throw new ConfigException(
                 s"fillna: values entry '$kv' is not col:literal")
             }

@@ -140,7 +140,11 @@ object ExplodeTransform extends Transform {
     val c = config.options("column")
     val out = config.options.getOrElse("as", c)
     val outer = config.options.get("outer").exists(_.toBoolean)
-    val others = input.columns.filter(_ != c).map(col).toSeq
+    // case-insensitive, like validation and Spark's own resolution — an
+    // exact-case filter would KEEP the original array column alongside the
+    // exploded one, breaking the documented replace and making any
+    // downstream reference ambiguous
+    val others = input.columns.filterNot(_.equalsIgnoreCase(c)).map(col).toSeq
     config.options.get("positionColumn") match {
       case None =>
         val gen = if (outer) explode_outer(col(c)) else explode(col(c))

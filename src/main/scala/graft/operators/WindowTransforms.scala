@@ -68,7 +68,16 @@ object WindowRankTransform extends Transform {
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "orderBy")
     val partCols = config.options.get("partitionBy").map(ExprUtils.parseColumns).getOrElse(Nil)
-    val orderExprs = ExprUtils.splitTopLevel(config.options("orderBy")).map(parseOrder)
+    // same opt-in foot-gun policy as window_agg and sort: an unpartitioned
+    // ordered window is a SinglePartition exchange — the whole input
+    // through one task — and must be requested explicitly
+    if (partCols.isEmpty && !config.options.get("global").exists(_.toBoolean))
+      throw new ConfigException(
+        "window_rank: partitionBy is required — an unpartitioned ordered " +
+          "window moves the entire input through ONE task; set " +
+          "global=\"true\" to opt in for small frames")
+    val orderExprs = ExprUtils.splitTopLevel(config.options("orderBy"))
+      .map(ExprUtils.parseOrder)
     val w0 = if (partCols.isEmpty) W.partitionBy() else W.partitionBy(partCols.map(col): _*)
     val w = w0.orderBy(orderExprs: _*)
     val fn = config.options.getOrElse("function", "row_number") match {
@@ -85,14 +94,6 @@ object WindowRankTransform extends Transform {
       case Some(k) => ranked.filter(col(alias) <= k.toInt)
       case None    => ranked
     }
-  }
-  private[operators] def parseOrder(item: String): Column = {
-    val parts = item.trim.split("\\s+")
-    if (parts.length > 1 && parts.last.equalsIgnoreCase("desc"))
-      expr(parts.dropRight(1).mkString(" ")).desc
-    else if (parts.length > 1 && parts.last.equalsIgnoreCase("asc"))
-      expr(parts.dropRight(1).mkString(" ")).asc
-    else expr(item.trim)
   }
 }
 
@@ -129,7 +130,7 @@ object WindowAggTransform extends Transform {
           "set global=\"true\" to accept that, or partition")
     val w0 = if (partCols.isEmpty) W.partitionBy() else W.partitionBy(partCols.map(col): _*)
     val w1 = w0.orderBy(ExprUtils.splitTopLevel(config.options("orderBy"))
-      .map(WindowRankTransform.parseOrder): _*)
+      .map(ExprUtils.parseOrder): _*)
     def bound(key: String, dflt: Long): Long = config.options.get(key).map {
       case "unbounded" if key == "frameStart" => W.unboundedPreceding
       case "unbounded"                        => W.unboundedFollowing

@@ -36,6 +36,19 @@ class LineDedupSpec extends SparkTestBase {
     out.where("doc_id = 3").select("lang").head().getString(0) shouldBe "fr"
   }
 
+  test("null-id docs pass through verbatim — never blanked, never electing " +
+    "un-rejoinable survivors that disable dedup corpus-wide") {
+    val d = Seq(
+      (Some(1L), "boiler plate line\nalpha"),
+      (None: Option[Long], "boiler plate line\nunique text"),
+      (Some(2L), "boiler plate line\nbeta")).toDF("doc_id", "text")
+    val out = LineDedup.dedupLines(d, "doc_id", "text")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    out(-1L) shouldBe "boiler plate line\nunique text" // untouched, NOT ""
+    out(1L) shouldBe "boiler plate line\nalpha"        // survivor among non-null ids
+    out(2L) shouldBe "beta"                            // dedup still ran
+  }
+
   test("custom separator; no Window node; transform validates") {
     val d = Seq((1L, "a b c"), (2L, "b c a")).toDF("doc_id", "text")
     val out = LineDedupTransform(d, TransformConfig("ld", "dedup_lines",

@@ -23,6 +23,18 @@ class FillNaSpec extends SparkTestBase {
       (3L, "de", -1L), (4L, "unk", -1L))
   }
 
+  test("fill literals coerce by TARGET column type: numeric-looking " +
+    "strings fill string columns verbatim; type mismatches fail loudly") {
+    val zips = Seq((1L, Some("10001")), (2L, None: Option[String])).toDF("id", "zip")
+    FillNaTransform(zips, TransformConfig("f", "fillna",
+      Map("values" -> "zip:00501")), ctx)
+      .as[(Long, String)].collect().toMap.apply(2L) shouldBe "00501"
+    an[graft.api.ConfigException] should be thrownBy
+      run("values" -> "score:not-a-number")
+    an[graft.api.ConfigException] should be thrownBy
+      run("values" -> "nope:1") // unknown column
+  }
+
   test("drop: any vs all, with and without a column subset") {
     run("mode" -> "drop").select("id").as[Long].collect().sorted shouldBe Array(1L)
     run("mode" -> "drop", "how" -> "all").count() shouldBe 4 // id never null

@@ -107,6 +107,14 @@ class ReshapeSpec extends SparkTestBase {
     outer.as[(Long, Option[String])].collect().sortBy(_._1).last shouldBe ((3L, None))
   }
 
+  test("explode replaces the column case-insensitively, like validation " +
+    "and Spark resolution — never keeps the original array alongside") {
+    val mixed = Seq((1L, Seq("a"))).toDF("id", "Tags")
+    val out = ExplodeTransform(mixed, tc("explode", "column" -> "tags"), ctx)
+    out.columns.toSeq shouldBe Seq("id", "tags") // "Tags" replaced, no dup
+    out.count() shouldBe 1
+  }
+
   test("explode: positionColumn gives the 0-based index; zero-shuffle plan") {
     val out = ExplodeTransform(tagged, tc("explode", "column" -> "tags",
       "as" -> "tag", "positionColumn" -> "pos"), ctx)

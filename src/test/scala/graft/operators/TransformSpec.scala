@@ -115,6 +115,22 @@ class TransformSpec extends SparkTestBase {
     joined("left_semi").columns shouldBe Array("id", "lv")
     joined("left_anti").select("id").as[Int].collect() shouldBe Array(1)
     an[ConfigException] should be thrownBy joined("sideways")
+    // cross takes no keys — a true Cartesian product (previously in the
+    // accepted set but unreachable: the no-keys branch always threw)
+    JoinTransform(left, tc("join", "rightDataset" -> "jt_right",
+      "joinType" -> "cross"), ctx).count() shouldBe 9
+  }
+
+  test("window_rank requires partitionBy unless global is opted in; keep " +
+    "colliding with a mapped alias is rejected") {
+    val d = Seq((1, 10), (2, 20)).toDF("g", "v")
+    an[ConfigException] should be thrownBy WindowRankTransform(d,
+      tc("window_rank", "orderBy" -> "v desc", "alias" -> "r"), ctx)
+    WindowRankTransform(d, tc("window_rank", "orderBy" -> "v desc",
+      "alias" -> "r", "global" -> "true"), ctx).count() shouldBe 2
+    an[ConfigException] should be thrownBy MapTransform(d,
+      tc("map", "project" -> "true", "keep" -> "g",
+        "expressions" -> "g:v + 1"), ctx)
   }
 
   test("join leftKey/rightKey drops right-side duplicate columns keeping left") {

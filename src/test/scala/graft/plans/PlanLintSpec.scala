@@ -94,7 +94,8 @@ class PlanLintSpec extends SparkTestBase {
       source = SourceConfig("file", Map("path" -> in, "format" -> "parquet")),
       // window_rank WITHOUT partitionBy = the global-window foot-gun
       transformations = List(TransformConfig("rank", "window_rank",
-        Map("orderBy" -> "id", "function" -> "row_number", "alias" -> "rn"))),
+        Map("orderBy" -> "id", "function" -> "row_number", "alias" -> "rn",
+          "global" -> "true"))),
       sink = SinkConfig("file", Map("path" -> out), writeMode = WriteMode.Overwrite))
     withConf("spark.graft.planLint", "fail") {
       val m = new PipelineExecutor().execute(cfg(tmpDir("lintout1")))
@@ -115,7 +116,8 @@ class PlanLintSpec extends SparkTestBase {
       pipelineId = "lint-yaml",
       source = SourceConfig("file", Map("path" -> in, "format" -> "parquet")),
       transformations = List(TransformConfig("rank", "window_rank",
-        Map("orderBy" -> "id", "function" -> "row_number", "alias" -> "rn"))),
+        Map("orderBy" -> "id", "function" -> "row_number", "alias" -> "rn",
+          "global" -> "true"))),
       sink = SinkConfig("file", Map("path" -> tmpDir("lintyamlout")),
         writeMode = WriteMode.Overwrite),
       performance = Some(PerformanceConfig(planLint = Some("fail"))))
