@@ -46,6 +46,8 @@ object FrequentItemsTransform extends Transform {
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "columns")
     val cols = ExprUtils.parseColumns(config.options("columns"))
+    if (cols.isEmpty) throw new ConfigException(
+      "frequent_items: columns lists no column names")
     val groups = config.options.get("groupBy").map(ExprUtils.parseColumns).getOrElse(Nil)
     val k = config.options.get("k").map(_.toInt).getOrElse(10)
     val maxTracked = config.options.get("maxItemsTracked").map(_.toInt).getOrElse(10000)

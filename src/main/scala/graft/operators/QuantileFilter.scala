@@ -92,7 +92,11 @@ object QuantileFilterTransform extends Transform {
     val x = col(c).cast("double")
     mode match {
       case "keep" =>
-        val cond = (lower.map(_ => x >= col("__q_lo")).toList ++
+        // NaN sorts ABOVE every double, so `x >= lo` alone would pass a
+        // NaN score through a lower-bound quality gate — NaN has no
+        // distribution position and drops, exactly like NULL
+        val cond = (Seq(!isnan(x)) ++
+                    lower.map(_ => x >= col("__q_lo")).toList ++
                     upper.map(_ => x <= col("__q_hi")).toList).reduce(_ && _)
         joined.filter(cond).drop("__q_lo", "__q_hi")
       case "clip" =>
@@ -103,7 +107,9 @@ object QuantileFilterTransform extends Transform {
         val clamped0 = lo.map(l => when(x < l, l).otherwise(x)).getOrElse(x)
         val clamped = hi.map(h => when(clamped0 > h, h).otherwise(clamped0)).getOrElse(clamped0)
         joined.withColumn(s"${c}_clipped",
-          when(x.isNull, lit(null).cast("double")).otherwise(clamped))
+          // NaN would clamp to the upper threshold (NaN > h is true) —
+          // a fabricated value; like NULL it has no position, clip to null
+          when(x.isNull || isnan(x), lit(null).cast("double")).otherwise(clamped))
           .drop("__q_lo", "__q_hi")
       case other => throw new ConfigException(
         s"quantile_filter mode must be keep|clip, got '$other'")

@@ -57,7 +57,18 @@ final class KllBuildAggregator(k: Int) extends Aggregator[KllIn, KllHolder, Arra
 final class KllMergeAggregator(k: Int) extends Aggregator[KllBytesIn, KllHolder, Array[Byte]] {
   override def zero: KllHolder = new KllHolder(KllDoublesSketch.newHeapInstance(k))
   override def reduce(h: KllHolder, a: KllBytesIn): KllHolder = {
-    if (a.b != null) h.sketch.merge(KllDoublesSketch.heapify(Memory.wrap(a.b)))
+    if (a.b != null) {
+      val in = KllDoublesSketch.heapify(Memory.wrap(a.b))
+      // KLL merge degrades to min(k): merging a k=800 store into a k=200
+      // buffer would quietly re-sketch all history at 4x the rank error.
+      // Same fail-don't-degrade invariant as the HLL path's
+      // hll_union_agg(..., allowDifferentLgConfigK = false).
+      if (in.getK != k) throw new IllegalArgumentException(
+        s"quantile_sketch merge: stored sketch was built with sketchK=${in.getK} " +
+          s"but this merge runs at sketchK=$k — merging would silently degrade " +
+          "precision to the smaller k; pass the matching sketchK")
+      h.sketch.merge(in)
+    }
     h
   }
   override def merge(a: KllHolder, b: KllHolder): KllHolder = {
@@ -105,15 +116,20 @@ object QuantileSketchTransform extends Transform {
   val transformType = "quantile_sketch"
 
   private def pLabel(p: Double): String = {
-    // 0.5 → p50, 0.99 → p99, 0.999 → p99_9
-    val pct = p * 100
-    val s = if (pct == math.rint(pct)) f"${pct}%.0f" else f"${pct}%s".replace(".", "_")
+    // 0.5 → p50, 0.99 → p99, 0.999 → p99_9 — via BigDecimal so binary
+    // float error never leaks into the name (0.29 * 100 is
+    // 28.999999999999996 in doubles, which made the column
+    // `_p28_999999999999996` instead of `_p29`)
+    val s = new java.math.BigDecimal(p.toString).movePointRight(2)
+      .stripTrailingZeros.toPlainString.replace(".", "_")
     s"p$s"
   }
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "columns")
     val cols = ExprUtils.parseColumns(config.options("columns"))
+    if (cols.isEmpty) throw new ConfigException(
+      "quantile_sketch: columns lists no column names")
     val groups = config.options.get("groupBy").map(ExprUtils.parseColumns).getOrElse(Nil)
     val k = config.options.get("sketchK").map(_.toInt).getOrElse(200)
     def grouped(df: DataFrame) =

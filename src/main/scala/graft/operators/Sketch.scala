@@ -35,6 +35,8 @@ object SketchTransform extends Transform {
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "columns")
     val cols = ExprUtils.parseColumns(config.options("columns"))
+    if (cols.isEmpty) throw new ConfigException(
+      "sketch: columns lists no column names")
     val groups = config.options.get("groupBy").map(ExprUtils.parseColumns).getOrElse(Nil)
     val lgK = config.options.get("lgConfigK").map(_.toInt).getOrElse(12)
     def grouped(df: DataFrame) =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.api.ConfigException
@@ -45,16 +45,39 @@ object Skew {
         s"saltedJoin: joinType '$joinType' unsupported (build side is replicated); " +
           "use inner/left with the probe side on the left")
     val saltCol = "__graft_salt"
+    // the build side is replicated across EVERY salt, so ANY probe-side
+    // salt assignment joins correctly — which is what makes the
+    // row-position term safe: it splits byte-identical probe rows
+    // (duplicated boilerplate documents, THE flagship hot-key case) that
+    // a pure content hash would send to one bucket, defeating the salt
     val p = probe.withColumn(saltCol,
-      saltExpr(probe.columns.toSeq, saltBuckets, seed))
+      saltExpr(hashableColumns(probe), saltBuckets, seed,
+        perRow = Some(monotonically_increasing_id())))
     val b = build.withColumn(saltCol,
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     p.join(b, keys :+ saltCol, joinType).drop(saltCol)
   }
 
-  /** The deterministic bucket assignment: seeded xxhash64 over the named
-    * columns, mod saltBuckets. Exposed so specs (and curious operators) can
-    * observe the routing saltedJoin uses. */
-  def saltExpr(columns: Seq[String], saltBuckets: Int, seed: Long = 42L) =
-    pmod(xxhash64((columns.map(col) :+ lit(seed)): _*), lit(saltBuckets)).cast("int")
+  /** Probe columns xxhash64 accepts: map-typed columns are rejected by
+    * Spark's hash functions (and are irrelevant to bucket spreading). */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+  }
+
+  private def hashableColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.filterNot(f => containsMap(f.dataType)).map(_.name).toSeq
+
+  /** The bucket assignment: seeded xxhash64 over the named columns (plus
+    * an optional per-row term), mod saltBuckets. Exposed so specs (and
+    * curious operators) can observe the routing saltedJoin uses. */
+  def saltExpr(columns: Seq[String], saltBuckets: Int, seed: Long = 42L,
+               perRow: Option[Column] = None) =
+    pmod(xxhash64((columns.map(col) ++ perRow :+ lit(seed)): _*),
+      lit(saltBuckets)).cast("int")
 }

@@ -50,7 +50,8 @@ object TopKTransform extends Transform {
       case other  => throw new ConfigException(
         s"topk: direction must be desc|asc, got '$other'")
     }
-    BoundedTopK.semiJoinTopK(input, groups, score, idName, k)
+    BoundedTopK.semiJoinTopK(input, groups, score, idName, k,
+      broadcastWinners = config.options.get("broadcast").forall(_.toBoolean))
   }
 }
 
@@ -71,17 +72,18 @@ object TopKTransform extends Transform {
  */
 private[operators] object BoundedTopK {
   def semiJoinTopK(input: DataFrame, groupCols: Seq[String], score: org.apache.spark.sql.Column,
-                   idName: String, k: Int): DataFrame = {
+                   idName: String, k: Int,
+                   broadcastWinners: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     input.schema(idName).dataType match {
       case LongType | IntegerType | ShortType | ByteType =>
         val topk = F.udaf(new graft.ann.TopKAggregator(k),
           Encoders.product[graft.ann.ScoredCandidate])
-        shape(input, groupCols, score, idName, k, topk, _.cast("long"))
+        shape(input, groupCols, score, idName, k, topk, _.cast("long"), broadcastWinners)
       case StringType =>
         val topk = F.udaf(new graft.ann.TopKAggregatorStr(k),
           Encoders.product[graft.ann.ScoredCandidateStr])
-        shape(input, groupCols, score, idName, k, topk, identity)
+        shape(input, groupCols, score, idName, k, topk, identity, broadcastWinners)
       case dt => throw new ConfigException(
         s"grouped selection idColumn '$idName' must be integral or string " +
           s"and unique, got ${dt.typeName} — cast it upstream")
@@ -91,7 +93,8 @@ private[operators] object BoundedTopK {
   private def shape(input: DataFrame, groupCols: Seq[String],
                     score: org.apache.spark.sql.Column, idName: String, k: Int,
                     topk: org.apache.spark.sql.expressions.UserDefinedFunction,
-                    castId: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+                    castId: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                    broadcastWinners: Boolean): DataFrame = {
     val scored = input.select(groupCols.map(col) ++ Seq(
       score.cast("double").as("__s"), castId(col(idName)).as("__id")): _*)
       .where(col("__s").isNotNull && !isnan(col("__s")) && col("__id").isNotNull)
@@ -100,6 +103,10 @@ private[operators] object BoundedTopK {
     val selected = grouped.agg(topk(col("__s"), col("__id")).as("tk"))
       .select(explode(col("tk.items")).as("s"))
       .select(col("s.id").as("__sel_id"))
-    input.join(broadcast(selected), castId(col(idName)) === col("__sel_id"), "left_semi")
+    // |groups| x k winners must fit the driver/broadcast for the hint to
+    // be safe — a 10M-domain groupBy at k=100 is a billion ids. Set
+    // broadcast="false" to fall back to a shuffled semi-join instead.
+    val winners = if (broadcastWinners) broadcast(selected) else selected
+    input.join(winners, castId(col(idName)) === col("__sel_id"), "left_semi")
   }
 }

@@ -52,6 +52,17 @@ object ZOrderTransform extends Transform {
       throw new ConfigException("zorder: lo/hi must list one bound per column")
     if (bits < 1 || bits * dims > 62)
       throw new ConfigException(s"zorder: bits*dims must fit a long, got $bits×$dims")
+    // dims must be NUMERIC: a string column's cast("double") can yield
+    // null for a non-null value ("N/A"), which would slip past the
+    // null/NaN gate and silently clamp to bin 0 (or, under ANSI, kill the
+    // job mid-run) — reject at config time instead
+    cols.foreach { c =>
+      input.schema.fields.find(_.name.equalsIgnoreCase(c)).foreach { f =>
+        if (!f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          throw new ConfigException(
+            s"zorder: column '$c' must be numeric, got ${f.dataType.simpleString}")
+      }
+    }
     cols.lazyZip(los).lazyZip(his).foreach { (c, lo, hi) =>
       if (!(hi > lo)) throw new ConfigException(s"zorder: need hi > lo for '$c'")
     }

@@ -40,6 +40,18 @@ class QuantileFilterSpec extends SparkTestBase {
     kept.where("grp = 'b'").select("v").as[Int].collect().min shouldBe 26000
   }
 
+  test("NaN scores drop in keep mode (NaN sorts above every double — a " +
+    "lower-only gate would pass them) and clip to null, never to a bound") {
+    val d = ((1 to 100).map(i => ("g", i.toDouble)) :+ ("g", Double.NaN))
+      .toDF("grp", "v")
+    run(d, "column" -> "v", "lower" -> "0.05", "exact" -> "true")
+      .where("isnan(v)").count() shouldBe 0
+    val clipped = run(d, "column" -> "v", "lower" -> "0.05", "upper" -> "0.95",
+      "mode" -> "clip", "exact" -> "true")
+    clipped.count() shouldBe 101 // clip removes no rows
+    clipped.where("isnan(v)").select("v_clipped").head().isNullAt(0) shouldBe true
+  }
+
   test("approx path lands on the same band edges (data values, not interpolated)") {
     // approx_percentile returns an actual data value at the rank (25/75),
     // where exact interpolates (25.75/75.25) — band membership may differ

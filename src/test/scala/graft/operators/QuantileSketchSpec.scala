@@ -37,6 +37,22 @@ class QuantileSketchSpec extends SparkTestBase {
     est.select("v_p50").as[Double].head() shouldBe 50.0
   }
 
+  test("quantile labels never leak binary float error (0.29 → p29, not " +
+    "p28_999999999999996); k-mismatched merges fail instead of degrading") {
+    val d = (1 to 100).map(i => ("g", i)).toDF("grp", "v")
+    val built = run(d, "columns" -> "v")
+    run(built, "columns" -> "v", "mode" -> "estimate",
+      "quantiles" -> "0.29,0.07,0.999").columns.toSeq shouldBe
+      Seq("v_p29", "v_p7", "v_p99_9")
+    // a store built at k=400 merged at the default k=200 would silently
+    // re-sketch history at double the rank error — it must throw
+    val bigK = run(d, "columns" -> "v", "sketchK" -> "400")
+    val e = intercept[Exception] {
+      run(bigK, "columns" -> "v", "mode" -> "merge").collect()
+    }
+    e.getMessage should include("sketchK")
+  }
+
   test("beyond the exact regime the rank error stays within the KLL bound") {
     val n = 100000
     val d = (1 to n).map(i => ("g", i)).toDF("grp", "v")

@@ -79,6 +79,21 @@ class TransformSpec extends SparkTestBase {
     an[ConfigException] should be thrownBy Skew.saltedJoin(probe, build, Seq("k"), 0)
   }
 
+  test("saltedJoin spreads BYTE-IDENTICAL hot-key rows across buckets — " +
+    "the duplicated-boilerplate case a pure content hash cannot split") {
+    val hot = Seq.fill(200)(("hotkey", "same payload")).toDF("k", "pv")
+    Seq(("hotkey", 1)).toDF("k", "bv").createOrReplaceTempView("salt_build_dup")
+    val out = Skew.saltedJoin(hot,
+      spark.table("salt_build_dup"), Seq("k"), saltBuckets = 8)
+    out.count() shouldBe 200 // join result itself is unchanged
+    // observe the actual salt routing of identical rows
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    val salts = hot.withColumn("salt",
+      Skew.saltExpr(Seq("k", "pv"), 8, perRow = Some(monotonically_increasing_id())))
+      .select("salt").distinct().count()
+    salts should be > 1L
+  }
+
   test("saltedJoin: routing is deterministic run-to-run and spreads a hot key") {
     // one hot key (k=1) with 64 distinct payloads
     val probe = (0 until 64).map(i => (1, s"p$i")).toDF("k", "pv")
