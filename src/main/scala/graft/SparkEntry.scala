@@ -3047,14 +3047,14 @@ object SparkEntry {
            SELECT c, count(*) AS n_cur FROM curl GROUP BY c
          ), pb AS (
            SELECT r.c,
-                  CASE WHEN s.hi = s.lo THEN 0
+                  CASE WHEN s.hi = s.lo THEN (CASE WHEN r.x = s.lo THEN 0 ELSE 1 END)
                        ELSE least(9, greatest(0,
                          CAST(floor((r.x - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT)))
                   END AS bin, count(*) AS n_p
            FROM refl r JOIN stats s USING (c) GROUP BY 1, 2
          ), qb AS (
            SELECT r.c,
-                  CASE WHEN s.hi = s.lo THEN 0
+                  CASE WHEN s.hi = s.lo THEN (CASE WHEN r.x = s.lo THEN 0 ELSE 1 END)
                        ELSE least(9, greatest(0,
                          CAST(floor((r.x - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT)))
                   END AS bin, count(*) AS n_q

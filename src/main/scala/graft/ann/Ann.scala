@@ -41,7 +41,10 @@ object Ann {
     // the typed aggregators ("Null value appeared in non-nullable field");
     // the window form ranked them last, i.e. never in the top-k — dropping
     // them up front is semantics-preserving and path-uniform.
-    val clean = scored.filter(col("sim").isNotNull && col("vec_id").isNotNull)
+    // NaN sims (Inf/NaN vector components) must also drop: TopKAggregator's
+    // sortWith comparator is intransitive for NaN (TimSort contract risk)
+    val clean = scored.filter(col("sim").isNotNull && !isnan(col("sim")) &&
+      col("vec_id").isNotNull)
     clean.schema("vec_id").dataType match {
       case LongType | IntegerType | ShortType | ByteType =>
         val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCandidate])
@@ -231,7 +234,10 @@ object Ann {
     * across runs/retries); O(nLists·dim) driver materialization. */
   private def sampledCodebook(corpus: DataFrame, idCol: String, vecCol: String,
                               nLists: Int): Array[Array[Float]] =
+    // null embeddings are excluded, matching the LSH path's documented
+    // null-drop — an unfiltered null row in the sample NPE'd the driver
     corpus.select(col(idCol), col(vecCol))
+      .where(col(vecCol).isNotNull)
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nLists)
       .select(col(vecCol).cast("array<float>")).collect()
       .map(_.getSeq[Float](0).toArray)
@@ -297,13 +303,17 @@ object Ann {
           }
           val denom = math.sqrt(na) * math.sqrt(nb)
           val sim = if (denom == 0.0) 0.0 else dot / denom
-          if (sim > bestSim) { best = c; bestSim = sim }
+          // NaN (an Inf/NaN component in the sample vector) never wins a
+          // comparison — without the guard best stays -1 and acc(-1) AIOOBEs
+          if (!sim.isNaN && sim > bestSim) { best = c; bestSim = sim }
           c += 1
         }
-        val n = math.min(v.length, dim)
-        var i = 0
-        while (i < n) { acc(best)(i) += v(i); i += 1 }
-        cnt(best) += 1
+        if (best >= 0) {
+          val n = math.min(v.length, dim)
+          var i = 0
+          while (i < n) { acc(best)(i) += v(i); i += 1 }
+          cnt(best) += 1
+        }
       }
       cents = cents.indices.map { l =>
         if (cnt(l) == 0L) cents(l)

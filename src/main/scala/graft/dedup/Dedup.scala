@@ -477,6 +477,11 @@ object Dedup {
       changed = next.as("n")
         .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
         .where(col("cluster_id") =!= col("old")).count()
+      // the convergence count above consumed the old frame for the last
+      // time — free its checkpoint blocks NOW instead of waiting for
+      // driver GC (a 20-round convergence would otherwise hold 20
+      // node-sized block sets on the executors simultaneously)
+      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
@@ -543,6 +548,9 @@ object Dedup {
           .union(mins2.select(col("hi"), col("m").as("lo")))
           .where(col("hi") =!= col("lo")).distinct())
       converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // the fixpoint check was the old frame's final consumer — release
+      // its checkpoint blocks now (same hygiene as clustersMinLabel)
+      edges.unpersist(blocking = false)
       edges = next
       iter += 1
     }

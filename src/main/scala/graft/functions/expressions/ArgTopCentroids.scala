@@ -87,18 +87,26 @@ object ArgTopCentroids {
     val out = new Array[Int](kk)
     val used = new Array[Boolean](nLists)
     var r = 0
-    while (r < kk) {
+    var done = false
+    while (r < kk && !done) {
       var best = -1
       var bestSim = Double.NegativeInfinity
       var j = 0
       while (j < nLists) {
-        if (!used(j) && sims(j) > bestSim) { best = j; bestSim = sims(j) }
+        // a NaN sim (Inf/NaN vector component) never wins — without the
+        // guard best could stay -1 and used(-1) kills the executor task
+        if (!used(j) && !sims(j).isNaN && sims(j) > bestSim) {
+          best = j; bestSim = sims(j)
+        }
         j += 1
       }
-      used(best) = true
-      out(r) = best
-      r += 1
+      if (best < 0) done = true // every remaining sim NaN: emit the prefix
+      else {
+        used(best) = true
+        out(r) = best
+        r += 1
+      }
     }
-    new GenericArrayData(out)
+    new GenericArrayData(if (r == kk) out else java.util.Arrays.copyOf(out, r))
   }
 }

@@ -23,7 +23,22 @@ final case class LineageMetadata(
     pipelineId: String,
     runId: String) {
   def toJson: String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // JSON requires control characters (U+0000..U+001F) escaped: a multi-line YAML condition
+    // flowing into a step label must not emit a raw newline that breaks
+    // every downstream from_json/jq over _lineage
+    def q(s: String) = {
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '\\' => b.append("\\\\")
+        case '"'  => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case ch if ch < 0x20 => b.append(f"\\u${ch.toInt}%04x")
+        case ch => b.append(ch)
+      }
+      b.append("\"").toString
+    }
     s"""{"sourceSystem":${q(sourceSystem)},"extractionTimestamp":$extractionTimestamp,""" +
       s""""transformationChain":[${transformationChain.map(q).mkString(",")}],""" +
       s""""pipelineId":${q(pipelineId)},"runId":${q(runId)}}"""

@@ -60,6 +60,11 @@ object ClusterEmbeddingsTransform extends Transform {
       ArgTopCentroids(col(vecCol), cents, 1).getItem(0))
     config.options.get("appendSim") match {
       case None => assigned
+      case Some(simCol) if cents.isEmpty =>
+        // empty input → empty codebook: array() of zero literals types as
+        // array<null> and the cosine type check rejects it at analysis —
+        // pass the (empty) frame through with a null sim column instead
+        assigned.withColumn(simCol, lit(null).cast("double"))
       case Some(simCol) =>
         // centroid lookup from the same broadcast codebook: a literal
         // array-of-arrays, indexed by the assigned id (1-based element_at)

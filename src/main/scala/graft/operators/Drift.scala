@@ -48,7 +48,11 @@ object Drift {
         case (i, name) =>
           struct(lit(name).as("cname"), col(s"_c$i").cast("double").as("x"))
       }
-      safe.select(inline(array(structs: _*))).where(col("x").isNotNull)
+      // NaN excluded like null: one NaN would poison max() (NaN sorts
+      // greatest), making every bin expression NaN → bin 0 — the whole
+      // column silently reports "stable" regardless of drift
+      safe.select(inline(array(structs: _*)))
+        .where(col("x").isNotNull && !isnan(col("x")))
     }
     val stats = longForm(ref).groupBy("cname")
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
@@ -60,7 +64,11 @@ object Drift {
       longForm(df).join(broadcast(stats), Seq("cname"), "left")
         .withColumn("bin",
           when(col("lo").isNull, lit(null).cast("long")).otherwise(
-            when(col("hi") === col("lo"), lit(0L)).otherwise(
+            // constant reference column: split matches-the-constant vs
+            // everything-else — one collapsed bin would make ANY current
+            // drift away from the constant invisible (psi = 0)
+            when(col("hi") === col("lo"),
+              when(col("x") === col("lo"), lit(0L)).otherwise(lit(1L))).otherwise(
               least(lit(bins - 1L), greatest(lit(0L),
                 floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / bins)))))))
         .groupBy("cname", "bin").agg(count(lit(1)).as("n"))

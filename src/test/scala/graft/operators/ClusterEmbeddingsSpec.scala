@@ -44,6 +44,25 @@ class ClusterEmbeddingsSpec extends SparkTestBase {
     all(sims) should be > 0.99
   }
 
+  test("empty input with appendSim passes an empty frame through (the " +
+    "zero-literal codebook used to fail analysis); null embeddings don't " +
+    "crash codebook sampling") {
+    val empty = ClusterEmbeddingsTransform(
+      vecs.toDF("vec_id", "embedding").where("vec_id < 0"),
+      TransformConfig("c", "cluster_embeddings",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "nClusters" -> "3", "appendSim" -> "csim")), ctx)
+    empty.count() shouldBe 0
+    empty.columns should contain ("csim")
+    // a null embedding row in the sample window must not NPE the driver
+    val withNull = (vecs.map { case (i, v) => (i, v) } :+
+      (99L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    ClusterEmbeddingsTransform(withNull,
+      TransformConfig("c", "cluster_embeddings",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "nClusters" -> "3")), ctx).count() shouldBe 19
+  }
+
   test("nClusters=1 degenerates to one cluster; bad config fails fast") {
     cluster("nClusters" -> "1").select("cluster_id").as[Int].collect()
       .distinct shouldBe Array(0)

@@ -22,6 +22,25 @@ class DriftSpec extends SparkTestBase {
     d should be > 0.25
   }
 
+  test("NaN values are excluded like nulls — one NaN must not poison " +
+    "max() and collapse every bin to 0 (drift would read 'stable')") {
+    val ref = ((1L to 1000L).map(i => (i, (i % 100).toDouble)) :+
+      (2000L, Double.NaN)).toDF("id", "v")
+    val shifted = ref.where("id <= 1000").selectExpr("id", "v + 50.0 AS v")
+    val row = Drift.psi(shifted, ref, Seq("v")).collect().head
+    row.getLong(2) shouldBe 1000L       // NaN not counted in n_ref
+    row.getDouble(1) should be > 0.25   // the shift is still detected
+  }
+
+  test("a constant reference column still detects drift away from the " +
+    "constant (two-bin split, not one collapsed bin)") {
+    val ref = (1L to 100L).map(i => (i, 200.0)).toDF("id", "v")
+    val drifted = (1L to 100L).map(i => (i, 500.0)).toDF("id", "v")
+    Drift.psi(drifted, ref, Seq("v")).collect().head.getDouble(1) should be > 1.0
+    // identical constant current still scores zero
+    Drift.psi(ref, ref, Seq("v")).collect().head.getDouble(1) shouldBe 0.0
+  }
+
   test("matches a hand-computed two-bin PSI") {
     // ref: 8 low, 2 high → p = (0.8, 0.2); current: 5/5 → q = (0.5, 0.5)
     val ref = ((1 to 8).map(_ => 0.0) ++ (1 to 2).map(_ => 10.0))

@@ -117,6 +117,26 @@ class PipelineExecutorSpec extends SparkTestBase {
     m.error.get should include("duplicate rows on (k)")
   }
 
+  test("lineage JSON escapes control characters — a multi-line condition " +
+    "in the chain still parses") {
+    val json = graft.lineage.LineageMetadata(
+      "file", 0L, Seq("filter(a > 1\nAND b < 2)", "tab\there"),
+      "p", "r").toJson
+    json should not include "\n"
+    json should include ("""\nAND""")
+    json should include ("""\t""")
+    // parses as real JSON on the Spark side
+    val parsed = spark.range(1).select(
+      org.apache.spark.sql.functions.from_json(
+        org.apache.spark.sql.functions.lit(json),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("transformationChain",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType))))).as("j"))
+      .selectExpr("j.transformationChain[0] AS c0").head().getString(0)
+    parsed shouldBe "filter(a > 1\nAND b < 2)"
+  }
+
   test("compose runs NO quality actions: quarantine dir stays empty while " +
     "the composed frame still has the gated shape") {
     val in = tmpDir("compose-in")
