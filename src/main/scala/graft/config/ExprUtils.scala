@@ -81,6 +81,19 @@ object ExprUtils {
   def parseColumns(spec: String): List[String] =
     spec.split(",").map(_.trim).filter(_.nonEmpty).toList
 
+  /** The named column if its type is orderable, else its deterministic
+    * JSON serialization — THE substitution every surface that sorts or
+    * window-orders arbitrary user columns uses (quality-gate survivor
+    * policy, SCD2 change detection, upsert pre-dedup tie-break), so a
+    * MapType column degrades to a stable key instead of failing analysis. */
+  def orderableOrJson(schema: org.apache.spark.sql.types.StructType,
+                      name: String): Column = {
+    val f = schema(schema.fieldIndex(name))
+    if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType)) col(name)
+    else to_json(struct(col(name)))
+  }
+
   /** One `orderBy` item: an expression with an optional trailing
     * asc/desc keyword — THE order-by parser for every ordered surface
     * (sort, dedup, window_rank, window_agg), hoisted so the dialect

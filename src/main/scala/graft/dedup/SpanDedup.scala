@@ -267,10 +267,15 @@ object SpanDedup {
       .drop("__sid", "__spans")
   }
 
-  /** (__id, __p0, __gram): every n-gram with its 0-based start token. */
+  /** (__id, __p0, __gram): every n-gram with its 0-based start token.
+    * Null-id documents are excluded entirely (pass-through verbatim, the
+    * LineDedup contract): without this, every null-id document lands in
+    * ONE islandSpans window partition, interleaving gram positions across
+    * documents into bogus merged spans in report mode. */
   private def gramStarts(df: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame =
-    df.select(col(idCol).as("__id"),
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
       posexplode(graft.functions.expressions.WordNgramStrings(col(textCol), n))
         .as(Seq("__p0", "__gram")))
 

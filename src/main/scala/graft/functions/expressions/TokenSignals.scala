@@ -68,6 +68,11 @@ case class TokenSignals(child: Expression, stops: Seq[String],
     val seen = new java.util.HashSet[UTF8String]()
     var i = 0
     while (i < n) {
+      // internal callers feed split() output (never null elements), but the
+      // expression is constructible over any array<string> — skip nulls
+      // rather than NPE, matching ItemCounts
+      if (input.isNullAt(i)) { i += 1 }
+      else {
       val w = input.getUTF8String(i)
       sumLen += w.numChars()
       if (stopSet.contains(w)) stopHits += 1
@@ -82,6 +87,7 @@ case class TokenSignals(child: Expression, stops: Seq[String],
         fp = XxHash64Function.hash(w, StringType,
           XxHash64Function.hash(fp, LongType, 42L))
       i += 1
+      }
     }
     new GenericInternalRow(Array[Any](n, sumLen, stopHits, alpha, distinctHits,
       fp, new GenericArrayData(lang)))
@@ -188,6 +194,9 @@ object LineSignals {
     var bullets = 0; var ellipsis = 0
     var i = 0
     while (i < n) {
+      // same null-element guard as TokenSignals.compute
+      if (input.isNullAt(i)) { i += 1 }
+      else {
       val b = input.getUTF8String(i).getBytes
       // ltrim (ASCII space only) then first char in {-, *, •(E2 80 A2)}
       var s = 0
@@ -205,6 +214,7 @@ object LineSignals {
             b(e - 1) == 0xA6.toByte)))
         ellipsis += 1
       i += 1
+      }
     }
     new GenericInternalRow(Array[Any](n, bullets, ellipsis))
   }

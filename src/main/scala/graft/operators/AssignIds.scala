@@ -43,12 +43,17 @@ object AssignIds {
     // dense row numbering IS the global prefix sum of a constant weight 1:
     // delegate to the shared machinery (range shuffle, partials collect,
     // broadcast offsets, stamping) so the two-job determinism handling and
-    // key hardening live in exactly one place
+    // key hardening live in exactly one place. Helper names are minted
+    // collision-free: a user column named __one/__cb would otherwise be
+    // silently overwritten and dropped
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(df.columns.contains).next()
+    val one = fresh("__one"); val cb = fresh("__cb")
     GroupedPrefixSum.stamp(
-        df.withColumn("__one", lit(1L)),
-        Nil, orderCols.map(col), "__one", "__cb", numPartitions)
-      .withColumn(idName, col("__cb") + lit(start))
-      .drop("__one", "__cb")
+        df.withColumn(one, lit(1L)),
+        Nil, orderCols.map(col), one, cb, numPartitions)
+      .withColumn(idName, col(cb) + lit(start))
+      .drop(one, cb)
   }
 }
 

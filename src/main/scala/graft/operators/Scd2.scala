@@ -50,9 +50,7 @@ object Scd2 {
     // map-typed (or map-nested) columns are not <=>-comparable — compare
     // their JSON serialization instead of failing at analysis
     def comparable(c: String): org.apache.spark.sql.Column =
-      if (org.apache.spark.sql.catalyst.expressions.RowOrdering
-            .isOrderable(df.schema(c).dataType)) col(c)
-      else to_json(struct(col(c)))
+      graft.config.ExprUtils.orderableOrJson(df.schema, c)
     val changed = compareCols
       .map { c => val cc = comparable(c); !(cc <=> lag(cc, 1).over(w)) }
       .reduce(_ || _)

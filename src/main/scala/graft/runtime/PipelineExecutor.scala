@@ -241,12 +241,8 @@ final class PipelineExecutor(
         // deterministic order, so the quarantine write and the sink write
         // (two separate actions recomputing this window) cannot disagree
         // on which copy survives
-        def keyed(name: String): org.apache.spark.sql.Column = {
-          val f = df.schema(df.schema.fieldIndex(name))
-          if (org.apache.spark.sql.catalyst.expressions.RowOrdering
-                .isOrderable(f.dataType)) col(name)
-          else to_json(struct(col(name)))
-        }
+        def keyed(name: String): org.apache.spark.sql.Column =
+          graft.config.ExprUtils.orderableOrJson(df.schema, name)
         val keyCols = cols.map(keyed)
         dc.action match {
           case NullAction.Fail =>

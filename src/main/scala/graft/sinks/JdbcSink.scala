@@ -97,10 +97,12 @@ class JdbcSink(val sinkType: String, dialect: String,
           // MySQL apply an insert-order-dependent (= nondeterministic
           // under parallel JDBC) last-write — collapse to one
           // DETERMINISTIC row per key first, ties broken by every other
-          // column (the quality gate's survivor policy). One shuffle on
-          // the keys, over the delta batch only.
+          // column (the quality gate's survivor policy; non-orderable
+          // tie-break columns key by their JSON form rather than failing
+          // at analysis).
           import org.apache.spark.sql.functions.{col, row_number}
-          val ordCols = (keys ++ observed.columns.filterNot(keys.contains)).map(col)
+          val ordCols = (keys ++ observed.columns.filterNot(keys.contains))
+            .map(ExprUtils.orderableOrJson(observed.schema, _))
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(keys.map(col): _*).orderBy(ordCols: _*)
           val deduped = observed.withColumn("__graft_rn", row_number().over(w))

@@ -62,6 +62,13 @@ object SessionizeTransform extends Transform {
            _: org.apache.spark.sql.types.MapType =>
         throw new ConfigException(
           s"sessionize: keyColumn must be an atomic type, got ${keyType.simpleString}")
+      case org.apache.spark.sql.types.BinaryType =>
+        // binary→string is a lossy UTF-8 decode: distinct byte keys can
+        // collide (merging unrelated sessions) and the round-trip back to
+        // binary corrupts the key — reject rather than silently mangle
+        throw new ConfigException(
+          "sessionize: keyColumn of type binary is not supported " +
+            "(cast it to a lossless string encoding, e.g. base64, first)")
       case _ => ()
     }
     val tsName = config.options("tsColumn")

@@ -242,6 +242,31 @@ class SpanDedupSpec extends SparkTestBase {
     removed(2) shouldBe removed(0)
   }
 
+  test("null-id documents pass through verbatim — never merged into one " +
+    "window partition producing cross-document spans") {
+    // two null-id docs each containing the shared run: without the null-id
+    // exclusion both land in ONE islands partition and their interleaved
+    // positions merge into bogus spans in report mode
+    val d = Seq(
+      (Some(1L), s"intro a b $shared tail c"),
+      (Some(2L), s"$shared closing words here"),
+      (None: Option[Long], s"x y $shared z"),
+      (None: Option[Long], s"p q r $shared s")
+    ).toDF("doc_id", "text")
+    val spans = SpanDedup.dupSpans(d, "doc_id", "text", n = 4)
+      .as[(Option[Long], Long, Long, Long)].collect().sorted
+    // only the id-bearing docs are reported; null ids contribute nothing
+    spans.foreach(_._1 should not be None)
+    spans.map(s => (s._1.get, s._2, s._3, s._4)).toSeq shouldBe
+      Seq((1L, 4L, 13L, 10L), (2L, 1L, 10L, 10L))
+    // removal: null-id docs byte-identical, id-bearing docs stripped
+    val out = SpanDedup.removeDupSpans(d, "doc_id", "text", n = 4)
+      .as[(Option[Long], String)].collect()
+    out.filter(_._1.isEmpty).map(_._2).sorted shouldBe
+      Array(s"p q r $shared s", s"x y $shared z")
+    out.find(_._1.contains(1L)).get._2 shouldBe "intro a b tail c"
+  }
+
   test("plan shape: no corpus-global window — islands window is keyed by doc") {
     val d = Seq((1L, s"$shared z"), (2L, s"$shared w")).toDF("doc_id", "text")
     val spans = SpanDedup.dupSpans(d, "doc_id", "text", n = 4)

@@ -43,6 +43,23 @@ class TextFunctionsSpec extends SparkTestBase {
       "l_n IS DISTINCT FROM l_h OR f_n IS DISTINCT FROM f_h").count() shouldBe 0
   }
 
+  test("TokenSignals/LineSignals over an array with null elements skips " +
+    "them instead of NPEing (expression constructible on any array<string>)") {
+    import graft.functions.expressions.{TokenSignals, LineSignals}
+    val df = Seq(1).toDF("i").select(
+      array(lit("the"), lit(null).cast("string"), lit("cat")).as("toks"),
+      array(lit("- bullet"), lit(null).cast("string"), lit("end...")).as("lines"))
+    val ts = df.select(TokenSignals(col("toks"),
+      Seq("the"), Seq("the"), Seq(Seq("the"))).as("s")).select("s.*").collect().head
+    ts.getAs[Int]("n") shouldBe 3 // size() parity: null elements count
+    ts.getAs[Long]("sum_len") shouldBe 6L
+    ts.getAs[Int]("stop_hits") shouldBe 1
+    val ls = df.select(LineSignals(col("lines")).as("s")).select("s.*").collect().head
+    ls.getAs[Int]("n") shouldBe 3
+    ls.getAs[Int]("bullets") shouldBe 1
+    ls.getAs[Int]("ellipsis") shouldBe 1
+  }
+
   test("language id picks the profile with most function-word hits") {
     one[String](langId(col("t")), "the cat is on the mat and it is happy") shouldBe "en"
     one[String](langId(col("t")), "der hund ist nicht mit der katze") shouldBe "de"

@@ -32,6 +32,18 @@ class AssignIdsSpec extends SparkTestBase {
     ids("7") shouldBe expected
   }
 
+  test("user columns named __one/__cb survive — helper names are minted " +
+    "collision-free instead of silently overwriting and dropping them") {
+    val out = AssignIdsTransform(
+      docs.map { case (d, l, t) => (d, l, t) }.toDF("doc", "__one", "__cb"),
+      TransformConfig("a", "assign_ids", Map("orderBy" -> "doc")), ctx)
+    out.columns.toSeq shouldBe Seq("doc", "__one", "__cb", "row_id")
+    out.select("doc", "__one", "__cb", "row_id").as[(Long, String, String, Long)]
+      .collect().sortBy(_._4).toSeq shouldBe Seq(
+        (10L, "a", "y", 0L), (20L, "b", "z", 1L), (30L, "b", "x", 2L),
+        (40L, "a", "w", 3L), (50L, "c", "v", 4L))
+  }
+
   test("existing id column and unknown orderBy columns are rejected") {
     an[IllegalArgumentException] should be thrownBy
       AssignIdsTransform(docs.toDF("doc", "lang", "row_id"),

@@ -65,6 +65,25 @@ class JdbcUpsertFlowSpec extends SparkTestBase {
       Array((1, "old-a", 10.0), (2, "aaa", 5.0), (3, "ccc", 1.0))
   }
 
+  test("upsert pre-dedup tolerates non-orderable (map) tie-break columns — " +
+    "keyed by JSON form instead of failing at analysis") {
+    val db = new FakeJdbcDb(spark, tmpDir("fakedb-map"))
+    Seq((1, "old")).toDF("id", "name").withColumn("attrs",
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("k"), org.apache.spark.sql.functions.col("name")))
+      .write.parquet(db.tablePath("sales"))
+    val cfg = SinkConfig("postgres",
+      Map("url" -> "jdbc:postgresql://h/db", "dbtable" -> "sales", "primaryKey" -> "id"),
+      WriteMode.Upsert)
+    val batch = Seq((1, "bbb"), (1, "aaa"), (2, "ccc")).toDF("id", "name")
+      .withColumn("attrs", org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("k"), org.apache.spark.sql.functions.col("name")))
+    db.sink.write(batch, cfg, RunContext(spark, "p", java.util.UUID.randomUUID().toString))
+    db.read("sales").orderBy("id").selectExpr("id", "name", "attrs['k']")
+      .as[(Int, String, String)].collect() shouldBe
+      Array((1, "aaa", "aaa"), (2, "ccc", "ccc"))
+  }
+
   test("a failed merge still drops the committed staging table (no orphan " +
     "accumulation), and the original error propagates") {
     val recorded = mutable.Buffer[String]()

@@ -305,6 +305,15 @@ class StreamingSpec extends SparkTestBase {
         "keyColumn" -> "uid", "tsColumn" -> "ts", "gap" -> "5 minutes")), ctx)
     numeric.schema("uid").dataType shouldBe org.apache.spark.sql.types.LongType
     numeric.collect().map(_.getLong(0)).toSeq shouldBe Seq(7L)
+    // binary keys are rejected: the string round-trip is a lossy UTF-8
+    // decode, so distinct byte keys could collide and merge sessions
+    val e = intercept[graft.api.ConfigException] {
+      graft.streaming.SessionizeTransform(
+        Seq((Array[Byte](0, -1), ts("10:00:00"), 1.0)).toDF("bkey", "ts", "v"),
+        graft.config.TransformConfig("s", "sessionize", Map(
+          "keyColumn" -> "bkey", "tsColumn" -> "ts", "gap" -> "5 minutes")), ctx)
+    }
+    e.getMessage should include("binary")
   }
 
   test("half-configured watermark and unknown trigger strings are rejected " +
