@@ -41,12 +41,16 @@ object Bench {
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
-  /** Timed passes over `queries`. Returns (name → min seconds, -1 for any
-    * query that threw) in sorted-name order. Factored out of main so a spec
-    * can inject a deliberately-broken query and assert the -1 sentinel. */
+  /** Timed passes over `queries`. Returns (name → every pass time in
+    * seconds, in run order; Nil for a query that threw) in sorted-name
+    * order. ALL passes are kept (not just the min): per-pass spread is the
+    * only way a report reader can tell shared-box noise (one 7 s pass next
+    * to a 1 s pass) from a genuine regression (every pass slow). Factored
+    * out of main so a spec can inject a deliberately-broken query and
+    * assert the failure sentinel. */
   def measure(spark: SparkSession,
               queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-              sfDir: String, runs: Int): List[(String, Double)] = {
+              sfDir: String, runs: Int): List[(String, List[Double])] = {
     val names = queries.keys.toList.sorted
     names.foreach { name =>                       // untimed warmup
       try force(queries(name)(spark, sfDir))
@@ -54,36 +58,45 @@ object Bench {
     }
     names.map { name =>
       var failed = false
-      var best = Double.MaxValue
+      val passes = List.newBuilder[Double]
       var i = 0
       // stop timing a query at its FIRST failure: a slow-to-throw query
       // would otherwise burn runs × time-to-throw of bench wall-clock for
-      // a guaranteed -1 score
+      // a guaranteed failure score
       while (i < runs && !failed) {
         val t0 = System.nanoTime()
         try {
           force(queries(name)(spark, sfDir))
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          passes += (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => failed = true }
         i += 1
       }
-      name -> (if (failed) -1.0 else best)
+      name -> (if (failed) Nil else passes.result())
     }
   }
 
   private def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+  private def minOf(passes: List[Double]): Double =
+    if (passes.isEmpty) -1.0 else passes.min
 
-  /** The two stdout JSON lines (big per-query line, compact totals line). */
-  def render(results: List[(String, Double)], sfDir: String): (String, String) = {
-    val (ok, bad) = results.partition(_._2 >= 0)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+  /** The two stdout JSON lines (big per-query line, compact totals line).
+    * `queries` carries the per-query MIN (the scored statistic, least
+    * sensitive to one-sided noise); `passes` carries every pass so noise
+    * is visible instead of judgeable-as-regression. */
+  def render(results: List[(String, List[Double])], sfDir: String): (String, String) = {
+    val mins = results.map { case (k, ps) => k -> minOf(ps) }
+    val (ok, bad) = mins.partition(_._2 >= 0)
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val passes = results.map { case (k, ps) =>
+      "\"" + k + "\":" + ps.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     // queries first, total LAST in the big line: if a bounded capture cuts
     // it, the head (query names) is the recoverable part and the totals
     // live in the compact line anyway
-    val big = s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+    val big = s"""{"queries":$qs,"passes":$passes,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","value":${fmt(total)}}"""
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${bad.size},"failed":$failed,"sf":"$sfDir"}"""
     (big, compact)
   }
@@ -94,9 +107,10 @@ object Bench {
     * and its last line carries the total-so-far — no single long line to
     * cut. Prefixed `#bench` so a driver looking for "the JSON line" never
     * mistakes one of these for the report. */
-  def perQueryLines(results: List[(String, Double)]): List[String] = {
+  def perQueryLines(results: List[(String, List[Double])]): List[String] = {
     var cum = 0.0
-    results.map { case (name, sec) =>
+    results.map { case (name, passes) =>
+      val sec = minOf(passes)
       if (sec < 0) s"#bench $name FAILED cum=${fmt(cum)}"
       else { cum += sec; s"#bench $name ${fmt(sec)} cum=${fmt(cum)}" }
     }

@@ -465,22 +465,33 @@ object Dedup {
     // reliable — executor-loss tolerance across a long convergence.
     var labels = graft.api.Checkpointing.checkpoint(
       edges.select(col("src").as("id")).distinct()
-        .withColumn("cluster_id", col("id")))
+        .withColumn("cluster_id", col("id")), eager = false)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val offers = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id"))
+      // ONE job per round: the previous label rides along as __old (null
+      // on offer rows; max() recovers it — every id has exactly one label
+      // row), the new frame checkpoints LAZILY, and the convergence count
+      // is the action that materializes it. The old shape (eager
+      // checkpoint, then a join-against-previous count) was two jobs and
+      // an extra shuffle per round — pure fixed overhead that dominated
+      // wall-clock on small duplicate graphs.
+      val oldType = labels.schema("cluster_id").dataType
       val next = graft.api.Checkpointing.checkpoint(
-        labels.select("id", "cluster_id").union(offers)
-          .groupBy("id").agg(min("cluster_id").as("cluster_id")))
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
-        .where(col("cluster_id") =!= col("old")).count()
-      // the convergence count above consumed the old frame for the last
-      // time — free its checkpoint blocks NOW instead of waiting for
-      // driver GC (a 20-round convergence would otherwise hold 20
-      // node-sized block sets on the executors simultaneously)
+        labels.select(col("id"), col("cluster_id"),
+            col("cluster_id").as("__old"))
+          .union(offers.select(col("id"), col("cluster_id"),
+            lit(null).cast(oldType).as("__old")))
+          .groupBy("id").agg(min("cluster_id").as("cluster_id"),
+            max("__old").as("__old")),
+        eager = false)
+      changed = next.where(col("cluster_id") =!= col("__old")).count()
+      // the round above consumed the old frame for the last time — free
+      // its checkpoint blocks NOW instead of waiting for driver GC (a
+      // 20-round convergence would otherwise hold 20 node-sized block
+      // sets on the executors simultaneously)
       labels.unpersist(blocking = false)
       labels = next
       iter += 1
@@ -493,7 +504,7 @@ object Dedup {
       s"Dedup.clusters did not converge after $maxIter rounds " +
         s"($changed labels still changing) — a duplicate chain longer than " +
         s"$maxIter links; raise maxIter (rounds needed = component diameter)")
-    labels
+    labels.select("id", "cluster_id")
   }
 
   /**

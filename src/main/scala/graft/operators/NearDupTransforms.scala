@@ -77,11 +77,17 @@ abstract class NearDupTransform extends Transform {
         case None => dupPairs.select(col("id_b").as(id)).distinct()
         case Some(_) =>
           // the higher-ranked side of EACH pair loses (same greedy edge
-          // policy; id order is just the default rank)
+          // policy; id order is just the default rank). The (id, key)
+          // frame is consumed TWICE (id_a and id_b joins) and the two
+          // branches prune differently, so without lineage truncation the
+          // election scans the corpus twice for scores — a lazy shared
+          // checkpoint (the tfidf pattern) materializes the slim frame on
+          // first use and both joins read the same blocks
+          val scored = graft.api.Checkpointing.checkpoint(scores, eager = false)
           dupPairs
-            .join(scores.withColumnRenamed("__nid", "__ida")
+            .join(scored.withColumnRenamed("__nid", "__ida")
               .withColumnRenamed("__nkey", "__ka"), col("id_a") === col("__ida"))
-            .join(scores.withColumnRenamed("__nid", "__idb")
+            .join(scored.withColumnRenamed("__nid", "__idb")
               .withColumnRenamed("__nkey", "__kb"), col("id_b") === col("__idb"))
             .select(when(col("__ka") > col("__kb"), col("id_a"))
               .otherwise(col("id_b")).as(id))
@@ -104,7 +110,13 @@ abstract class NearDupTransform extends Transform {
           case None =>
             labels.where(col("id") =!= col("cluster_id")).select(col("id").as(id))
           case Some(_) =>
-            val withKey = labels.join(scores, col("id") === col("__nid"))
+            // (node, cluster, key) is consumed twice (winner agg + final
+            // filter join); without truncation each consumer re-joins the
+            // corpus-sized score projection against the labels — the lazy
+            // checkpoint caps it at one scan, and the frame is pair-graph-
+            // node-sized, far smaller than the corpus
+            val withKey = graft.api.Checkpointing.checkpoint(
+              labels.join(scores, col("id") === col("__nid")), eager = false)
             val keep = withKey.groupBy("cluster_id")
               .agg(min_by(col("id"), col("__nkey")).as("__keep"))
             withKey.join(keep, Seq("cluster_id"))

@@ -34,31 +34,38 @@ class HarnessLoudnessSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$out/_failed.json")).trim shouldBe "{}"
   }
 
-  test("Bench scores a throwing query -1, excludes it from total, lists it") {
+  test("Bench scores a throwing query -1, excludes it from total, lists it, " +
+    "and records EVERY pass time for the rest") {
     val results = Bench.measure(spark, Map("good_q" -> good, "bad_q" -> bad),
       "unused", runs = 2)
     val byName = results.toMap
-    byName("bad_q") shouldBe -1.0
-    byName("good_q") should be >= 0.0
+    byName("bad_q") shouldBe Nil                  // failure sentinel
+    byName("good_q") should have size 2           // one entry per timed pass
+    all(byName("good_q")) should be >= 0.0
     val (big, compact) = Bench.render(results, "sfX")
     big should include(""""bad_q":-1.0000""")
     big should include(""""failed":["bad_q"]""")
+    // per-pass array visible in the report: "good_q":[a,b] inside "passes"
+    big should include regex """"passes":\{"bad_q":\[\],"good_q":\[[0-9.]+,[0-9.]+\]\}"""
     compact should include(""""n_failed":1""")
     compact should include(""""n_queries":1""")
-    // total must equal the good query's time alone (never polluted by -1)
+    // total must equal the good query's best time alone (never polluted by -1)
     val total = """"value":([0-9.]+)""".r.findFirstMatchIn(compact).get.group(1).toDouble
-    total shouldBe byName("good_q") +- 1e-4   // render rounds to 4 decimals
+    total shouldBe byName("good_q").min +- 1e-4   // render rounds to 4 decimals
   }
 
-  test("Bench with no failures emits an empty failed list") {
-    val (big, compact) = Bench.render(List("good_q" -> 0.5), "sfX")
+  test("Bench with no failures emits an empty failed list; queries carry " +
+    "the per-query min of the passes") {
+    val (big, compact) = Bench.render(List("good_q" -> List(0.7, 0.5)), "sfX")
     big should include(""""failed":[]""")
+    big should include(""""good_q":0.5000""")
+    big should include(""""passes":{"good_q":[0.7000,0.5000]}""")
     compact should include(""""n_failed":0""")
   }
 
   test("Bench per-query lines are short, complete, and carry a running total") {
     val lines = Bench.perQueryLines(
-      List("q_a" -> 0.25, "q_bad" -> -1.0, "q_c" -> 0.5))
+      List("q_a" -> List(0.25, 0.3), "q_bad" -> Nil, "q_c" -> List(0.5)))
     lines shouldBe List(
       "#bench q_a 0.2500 cum=0.2500",
       "#bench q_bad FAILED cum=0.2500",   // failures never pollute the total
@@ -69,7 +76,7 @@ class HarnessLoudnessSpec extends SparkTestBase {
 
   test("Bench writes the full report to a file artifact") {
     val out = tmpDir("benchout")
-    val (big, _) = Bench.render(List("good_q" -> 0.5), "sfX")
+    val (big, _) = Bench.render(List("good_q" -> List(0.5)), "sfX")
     Bench.writeArtifact(out, big)
     val onDisk = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/bench.json")).trim
