@@ -78,6 +78,32 @@ object SparkEntry {
       tmp
     })
 
+  /** Persisted k-means codebook store for q125, memoized per source dir:
+    * run-N scaffolding (the store normally comes from yesterday's
+    * `codebook` pipeline) — q125 itself trains NOTHING and pays no
+    * sampling scan; its cluster assignment reads ONLY this parquet. */
+  private val q125StoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedCodebookStore(s: SparkSession, dir: String): String =
+    q125StoreDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("q125cb").toString
+      graft.ann.Ann.codebookFrame(plantedFamilies(s, d), "vec_id", "embedding",
+          nLists = 40, kmeansIters = 2)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
+  /** The q118/q119/q125 planted corpus: 40 ids carrying 4 orthogonal
+    * one-hot families (vec_id % 4) — the construction whose clustering
+    * outcome is provable, not probabilistic (see q118's comment). */
+  private def plantedFamilies(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    tab(s, dir, "embeddings").where("vec_id < 40")
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 7), i -> CAST(CASE WHEN i = vec_id % 4 " +
+          "THEN 1.0 ELSE 0.0 END AS FLOAT))").as("embedding"))
+  }
+
   /** Drain a streaming frame into a memory table (append, availableNow):
     * unique query name, temp checkpoint, state-store partition count
     * scoped to the query and restored after. awaitTermination's result is
@@ -1080,12 +1106,32 @@ object SparkEntry {
     // separation, and centroid_sim = 1.0 are provable, not probabilistic.
     "q118_cluster_exact" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val planted = tab(s, dir, "embeddings").where("vec_id < 40")
-        .select(col("vec_id"), expr(
-          "transform(sequence(0, 7), i -> CAST(CASE WHEN i = vec_id % 4 " +
-            "THEN 1.0 ELSE 0.0 END AS FLOAT))").as("embedding"))
-      val clustered = ap(planted, t("cluster_embeddings",
+      val clustered = ap(plantedFamilies(s, dir), t("cluster_embeddings",
         "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "nClusters" -> "40", "kmeansIters" -> "2", "appendSim" -> "centroid_sim"))
+      val perFamily = clustered
+        .groupBy((col("vec_id") % 4).as("family"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          round(min(col("centroid_sim")), 4).as("min_sim"),
+          round(max(col("centroid_sim")), 4).as("max_sim"))
+      val total = clustered.agg(
+        countDistinct(col("cluster_id")).as("total_clusters"))
+      perFamily.crossJoin(broadcast(total)) // 1-row stats frame
+    }),
+    // q118 through the PERSISTED codebook: the store (built once by the
+    // `codebook` producer from the same planted corpus and re-read from
+    // parquet) carries exactly the centroids q118 trains, so every q118
+    // guarantee transfers verbatim — but this run trains nothing, pays no
+    // sampling scan, and fails loud if the store's parameter stamp
+    // disagrees with the asserted nClusters/kmeansIters
+    "q125_codebook_store_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(stagedCodebookStore(s, dir))
+        .createOrReplaceTempView("q125_codebook")
+      val clustered = ap(plantedFamilies(s, dir), t("cluster_embeddings",
+        "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "codebookView" -> "q125_codebook",
         "nClusters" -> "40", "kmeansIters" -> "2", "appendSim" -> "centroid_sim"))
       val perFamily = clustered
         .groupBy((col("vec_id") % 4).as("family"))
@@ -1103,11 +1149,7 @@ object SparkEntry {
     // the family minimum — survivors are provably vec_id 0..3
     "q119_semantic_exact" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val planted = tab(s, dir, "embeddings").where("vec_id < 40")
-        .select(col("vec_id"), expr(
-          "transform(sequence(0, 7), i -> CAST(CASE WHEN i = vec_id % 4 " +
-            "THEN 1.0 ELSE 0.0 END AS FLOAT))").as("embedding"))
-      ap(planted, t("dedup_semantic",
+      ap(plantedFamilies(s, dir), t("dedup_semantic",
         "idColumn" -> "vec_id", "vecColumn" -> "embedding",
         "threshold" -> "0.95", "nClusters" -> "40", "kmeansIters" -> "2"))
         .select("vec_id")
@@ -2999,6 +3041,14 @@ object SparkEntry {
     // separation (4 clusters total), unit centroid similarity — all
     // provable for nClusters = corpus size, so plain SQL states them
     "q118_cluster_exact" ->
+      """SELECT vec_id % 4 AS family, count(*) AS n,
+         CAST(1 AS BIGINT) AS n_clusters,
+         CAST(1.0 AS DOUBLE) AS min_sim, CAST(1.0 AS DOUBLE) AS max_sim,
+         CAST(4 AS BIGINT) AS total_clusters
+         FROM embeddings WHERE vec_id < 40 GROUP BY 1""",
+    // the store carries exactly q118's trained centroids, so the provable
+    // per-family stats are identical
+    "q125_codebook_store_exact" ->
       """SELECT vec_id % 4 AS family, count(*) AS n,
          CAST(1 AS BIGINT) AS n_clusters,
          CAST(1.0 AS DOUBLE) AS min_sim, CAST(1.0 AS DOUBLE) AS max_sim,

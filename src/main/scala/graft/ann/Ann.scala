@@ -189,7 +189,17 @@ object Ann {
     val centroids =
       if (kmeansIters > 0) refineCentroids(sample, sampled, kmeansIters)
       else sampled
+    ivfWithCentroids(corpus, queries, idCol, vecCol, queryIdCol, k,
+      centroids, nProbe)
+  }
 
+  /** The IVF search given a ready codebook (sampled, refined, or loaded
+    * from a persisted store): zero-shuffle fused assignment on both sides,
+    * broadcast probe join, two-phase top-k. */
+  private def ivfWithCentroids(corpus: DataFrame, queries: DataFrame,
+                               idCol: String, vecCol: String, queryIdCol: String,
+                               k: Int, centroids: Array[Array[Float]],
+                               nProbe: Int): DataFrame = {
     // one fused plan node per side — the codebook rides as a reference
     // object, not as nLists×dim plan literals (see ArgTopCentroids)
     import graft.functions.expressions.ArgTopCentroids
@@ -246,6 +256,101 @@ object Ann {
     * sample·dim floats (16384 × 1024-dim ≈ 67 MB worst case, 4 MB at the
     * typical 64-dim) while staying a superset of any test-scale corpus. */
   val DefaultRefineSample: Int = 16384
+
+  /**
+   * Persistable IVF/k-means CODEBOOK store: one row per centroid —
+   * (list_id, vec) plus the parameters it was trained with
+   * (`cb_n_lists`/`cb_kmeans_iters`, RLE'd to ~nothing in parquet). Write
+   * it after corpus build N; run N+1 re-loads the parquet and passes it to
+   * `cluster_embeddings`/[[ivfTopKWithCodebook]] via a view — closing the
+   * last recompute-per-run gap in the incremental story (without a store,
+   * every run re-derives the codebook with a TakeOrdered corpus-sample
+   * scan, and two runs' cluster ids aren't even comparable). The store is
+   * O(nLists·dim) — trivially small — and the same loud stamp-mismatch
+   * contract as [[graft.dedup.Dedup.minhashSignatures]] applies on read.
+   */
+  def codebookFrame(corpus: DataFrame, idCol: String, vecCol: String,
+                    nLists: Int = 64, kmeansIters: Int = 3,
+                    refineSampleSize: Int = DefaultRefineSample): DataFrame = {
+    val cents = kmeansCentroids(corpus.select(col(idCol), col(vecCol)),
+      idCol, vecCol, nLists, kmeansIters, refineSampleSize)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toDF("list_id", "vec")
+      .select(col("list_id"), col("vec").cast("array<float>"),
+        lit(nLists).as("cb_n_lists"), lit(kmeansIters).as("cb_kmeans_iters"))
+  }
+
+  /**
+   * Load + validate a persisted [[codebookFrame]] store into the driver
+   * codebook array (O(nLists·dim), the same bounded driver read class as
+   * [[sampledCodebook]]). Fails fast on a missing/extra/duplicate list_id
+   * (a hole would silently renumber every later centroid — cluster ids
+   * that no longer mean what yesterday's run wrote) and on a parameter
+   * stamp that disagrees with what the caller requests — `want*` empty
+   * means "whatever the store was built with".
+   */
+  def loadCodebook(store: DataFrame, wantNLists: Option[Int] = None,
+                   wantKmeansIters: Option[Int] = None): Array[Array[Float]] = {
+    val missing = Seq("list_id", "vec").filterNot(store.columns.contains)
+    if (missing.nonEmpty) throw new graft.api.ConfigException(
+      s"codebook store is missing column(s) ${missing.mkString(", ")} — " +
+        "expected the codebookFrame layout (list_id, vec, cb_*)")
+    if (store.columns.contains("cb_n_lists")) {
+      // DISTINCT stamp set (tiny partial-agg job), not one sampled row —
+      // mixed-parameter stores (two builds appended) fail regardless of
+      // partition order, null stamps raise the config error, not an NPE
+      // (the minhash store contract)
+      val stamps = store.select("cb_n_lists", "cb_kmeans_iters")
+        .distinct().collect()
+        .map(r => (0 to 1).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getInt(i))))
+      def show = stamps.map { case Seq(n, it) =>
+        s"nLists=${n.map(_.toString).getOrElse("null")}, " +
+          s"kmeansIters=${it.map(_.toString).getOrElse("null")}" }
+        .sorted.mkString("; ")
+      val ok = stamps.length <= 1 && stamps.forall { case Seq(n, it) =>
+        n.isDefined && it.isDefined &&
+          wantNLists.forall(_ == n.get) && wantKmeansIters.forall(_ == it.get)
+      }
+      if (!ok) throw new graft.api.ConfigException(
+        s"codebook store carries parameter stamp(s) [$show] but this run " +
+          s"requests nLists=${wantNLists.map(_.toString).getOrElse("(store's)")}, " +
+          s"kmeansIters=${wantKmeansIters.map(_.toString).getOrElse("(store's)")} " +
+          "— assignments against a differently-trained (or mixed/null-" +
+          "stamped) codebook would silently mean something else; rebuild " +
+          "the store or align the parameters")
+    }
+    val rows = store
+      .select(col("list_id").cast("int"), col("vec").cast("array<float>"))
+      .orderBy("list_id").collect()
+    val bad = rows.zipWithIndex.collectFirst {
+      case (r, i) if r.isNullAt(0) || r.getInt(0) != i || r.isNullAt(1) => i
+    }
+    if (bad.isDefined) throw new graft.api.ConfigException(
+      s"codebook store list_ids are not a dense, non-null 0..${rows.length - 1} " +
+        s"sequence (first problem at position ${bad.get}) — a hole or " +
+        "duplicate would silently renumber every later centroid")
+    rows.map(_.getSeq[Float](1).toArray)
+  }
+
+  /** [[ivfTopK]] with the coarse quantizer read from a PERSISTED
+    * [[codebookFrame]] store instead of re-sampled from the corpus —
+    * the increment never pays the TakeOrdered sampling scan, and cluster
+    * geometry is stable across runs. Same output shape and degenerate-
+    * codebook fallback as [[ivfTopK]]. */
+  def ivfTopKWithCodebook(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, queryIdCol: String,
+                          k: Int, store: DataFrame, nProbe: Int = 8,
+                          wantNLists: Option[Int] = None,
+                          wantKmeansIters: Option[Int] = None): DataFrame = {
+    val centroids = loadCodebook(store, wantNLists, wantKmeansIters)
+    if (centroids.length <= 1)
+      bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
+    else ivfWithCentroids(corpus, queries, idCol, vecCol, queryIdCol,
+      k, centroids, nProbe)
+  }
 
   /**
    * Spherical k-means (Lloyd) refinement of an IVF codebook: per round,

@@ -25,7 +25,13 @@ import graft.config.TransformConfig
  *
  * `idColumn`/`vecColumn` required; `nClusters` (64), `kmeansIters` (3),
  * `clusterColumn` (`cluster_id`), `appendSim` (column name — absent →
- * not appended).
+ * not appended). With `codebookView`, the codebook is LOADED from a
+ * persisted [[graft.ann.Ann.codebookFrame]] store (the `codebook`
+ * transform's output re-read from parquet) instead of trained — the run
+ * pays no sampling scan and its cluster ids mean exactly what yesterday's
+ * run wrote; nClusters/kmeansIters then act as assertions against the
+ * store's parameter stamp (omit them to accept whatever the store was
+ * built with) and a mismatch fails loud, never silently reclusters.
  *
  * Scale shape (inherited from [[graft.ann.Ann.kmeansCentroids]]): the
  * codebook is O(nClusters·dim) on the driver — hash-sampled deterministic
@@ -54,8 +60,13 @@ object ClusterEmbeddingsTransform extends Transform {
     val iters = config.options.get("kmeansIters").map(_.toInt).getOrElse(3)
     val clusterCol = config.options.getOrElse("clusterColumn", "cluster_id")
 
-    val cents = graft.ann.Ann.kmeansCentroids(
-      input.select(col(idCol), col(vecCol)), idCol, vecCol, nClusters, iters)
+    val cents = config.options.get("codebookView") match {
+      case Some(view) => graft.ann.Ann.loadCodebook(ctx.spark.table(view),
+        config.options.get("nClusters").map(_.toInt),
+        config.options.get("kmeansIters").map(_.toInt))
+      case None => graft.ann.Ann.kmeansCentroids(
+        input.select(col(idCol), col(vecCol)), idCol, vecCol, nClusters, iters)
+    }
     val assigned = input.withColumn(clusterCol,
       ArgTopCentroids(col(vecCol), cents, 1).getItem(0))
     config.options.get("appendSim") match {
@@ -73,5 +84,44 @@ object ClusterEmbeddingsTransform extends Transform {
           graft.functions.VectorFunctions.cosine(
             col(vecCol), element_at(centLit, col(clusterCol) + 1)))
     }
+  }
+}
+
+/**
+ * `codebook` — producer half of the persisted-codebook loop: trains the
+ * spherical k-means codebook ([[graft.ann.Ann.kmeansCentroids]] — hash-
+ * sampled deterministic init, driver-local Lloyd over one bounded sample
+ * pass) and REPLACES the frame with the [[graft.ann.Ann.codebookFrame]]
+ * store layout (list_id, vec, cb_n_lists, cb_kmeans_iters) for a file
+ * sink to persist. Run it at the end of corpus build N; run N+1 loads the
+ * parquet, registers it as a view, and passes it to `cluster_embeddings`
+ * (or the IVF ANN API) via `codebookView` — cluster ids stay comparable
+ * across runs and no run after the first pays the codebook sampling scan
+ * (the IVF analogue of `minhash_signatures`/`gram_signatures`).
+ *
+ * {{{
+ * - name: build-codebook
+ *   type: codebook
+ *   options: {idColumn: vec_id, vecColumn: embedding, nLists: "64"}
+ * }}}
+ *
+ * `idColumn`/`vecColumn` required; `nLists` (64), `kmeansIters` (3).
+ */
+object CodebookTransform extends Transform {
+  val transformType = "codebook"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("vecColumn").toSeq,
+      "codebook")
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "vecColumn")
+    val nLists = config.options.get("nLists").map(_.toInt).getOrElse(64)
+    if (nLists < 1)
+      throw new ConfigException(s"codebook: nLists must be >= 1, got $nLists")
+    graft.ann.Ann.codebookFrame(input,
+      config.options("idColumn"), config.options("vecColumn"),
+      nLists, config.options.get("kmeansIters").map(_.toInt).getOrElse(3))
   }
 }

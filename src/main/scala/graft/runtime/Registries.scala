@@ -73,6 +73,7 @@ object Registries {
     AssignIdsTransform.transformType     -> AssignIdsTransform,
     CompressionRatioTransform.transformType -> CompressionRatioTransform,
     ClusterEmbeddingsTransform.transformType -> ClusterEmbeddingsTransform,
+    CodebookTransform.transformType   -> CodebookTransform,
     DedupAgainstTransform.transformType      -> DedupAgainstTransform,
     FuzzyJoinTransform.transformType         -> FuzzyJoinTransform,
     CollocationsTransform.transformType      -> CollocationsTransform,

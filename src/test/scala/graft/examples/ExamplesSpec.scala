@@ -327,6 +327,30 @@ class ExamplesSpec extends SparkTestBase {
     viaText.count() shouldBe out.count()
   }
 
+  test("quickstart-20: codebook trained and persisted in run N, clustering " +
+    "consumes it in run N+1 without a sampling scan") {
+    import org.apache.spark.sql.functions._
+    run("quickstart-20-codebook-build.yaml")
+    val store = spark.read.parquet("/tmp/graft-examples/quickstart-20-codebook")
+    store.columns.toSeq should contain theSameElementsAs
+      Seq("list_id", "vec", "cb_n_lists", "cb_kmeans_iters")
+    store.count() shouldBe 16
+    run("quickstart-20-codebook-cluster.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-20-out")
+    val total = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    out.count() shouldBe total
+    out.columns should contain allOf ("vec_id", "cluster_id", "centroid_sim")
+    out.where("cluster_id < 0 OR cluster_id >= 16").count() shouldBe 0
+    // the store path must assign exactly like training in-process with the
+    // same parameters (the codebook IS that training run, persisted)
+    val cents = graft.ann.Ann.loadCodebook(store)
+    val inProc = graft.ann.Ann.kmeansCentroids(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", nLists = 16, iters = 2)
+    cents.map(_.toSeq) shouldBe inProc.map(_.toSeq)
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)

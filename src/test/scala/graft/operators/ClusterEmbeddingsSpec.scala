@@ -63,6 +63,60 @@ class ClusterEmbeddingsSpec extends SparkTestBase {
           "nClusters" -> "3")), ctx).count() shouldBe 19
   }
 
+  test("codebook store round-trip: the persisted codebook assigns exactly " +
+    "like in-process training; stamp mismatch and broken stores fail fast") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val store = CodebookTransform(df, TransformConfig("b", "codebook",
+      Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "nLists" -> "3", "kmeansIters" -> "3")), ctx)
+    store.columns.toSeq shouldBe Seq("list_id", "vec", "cb_n_lists", "cb_kmeans_iters")
+    store.count() shouldBe 3
+    store.createOrReplaceTempView("cb_store")
+    val viaStore = cluster("codebookView" -> "cb_store")
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().sortBy(_._1)
+    val inProc = cluster()
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().sortBy(_._1)
+    viaStore shouldBe inProc
+    // asserted parameters must match the stamp
+    val e = intercept[ConfigException] {
+      cluster("codebookView" -> "cb_store", "nClusters" -> "5").collect()
+    }
+    e.getMessage should include("stamp")
+    // a hole in list_id (centroid silently renumbered) fails fast
+    store.where("list_id <> 1").createOrReplaceTempView("cb_holey")
+    val e2 = intercept[ConfigException] {
+      ClusterEmbeddingsTransform(df, TransformConfig("c", "cluster_embeddings",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "codebookView" -> "cb_holey")), ctx).collect()
+    }
+    e2.getMessage should include("dense")
+    // missing layout columns fail fast
+    store.select("vec").createOrReplaceTempView("cb_nolid")
+    an[ConfigException] should be thrownBy
+      ClusterEmbeddingsTransform(df, TransformConfig("c", "cluster_embeddings",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "codebookView" -> "cb_nolid")), ctx).collect()
+  }
+
+  test("IVF ANN against the persisted codebook matches in-process IVF " +
+    "with the same parameters") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val store = graft.ann.Ann.codebookFrame(df, "vec_id", "embedding",
+      nLists = 3, kmeansIters = 3)
+    val queries = df.where("vec_id IN (0, 10, 20)")
+      .selectExpr("vec_id AS query_id", "embedding")
+    val viaStore = graft.ann.Ann.ivfTopKWithCodebook(df, queries,
+      "vec_id", "embedding", "query_id", k = 3, store, nProbe = 1,
+      wantNLists = Some(3), wantKmeansIters = Some(3))
+      .as[(Long, Long, Int)].collect().sorted
+    val inProc = graft.ann.Ann.ivfTopK(df, queries,
+      "vec_id", "embedding", "query_id", k = 3, nLists = 3, nProbe = 1,
+      kmeansIters = 3)
+      .as[(Long, Long, Int)].collect().sorted
+    viaStore shouldBe inProc
+    viaStore should not be empty
+  }
+
   test("nClusters=1 degenerates to one cluster; bad config fails fast") {
     cluster("nClusters" -> "1").select("cluster_id").as[Int].collect()
       .distinct shouldBe Array(0)
