@@ -449,6 +449,22 @@ object SparkEntry {
       t("dedup_minhash", "idColumn" -> "doc_id", "textColumn" -> "text",
         "threshold" -> "0.8"))
       .select("doc_id", "lang")),
+    // q36's deterministic exact twin (its last rows-only gap): the SAME
+    // declarative route and projection shape, but verbatim copies planted
+    // and threshold 1.0 with explicit survivor=pair — every J=1 pair is a
+    // guaranteed LSH candidate, so greedy pair-drop keeps exactly the
+    // minimum id of each identical-shingle-set group, which DuckDB can
+    // state outright (q108's construction, q36's select)
+    "q126_pipeline_neardup_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = tab(s, dir, "documents")
+      val copies = docs.where(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 900000L)
+      ap(docs.unionByName(copies),
+        t("dedup_minhash", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "threshold" -> "1.0", "survivor" -> "pair"))
+        .select("doc_id", "lang")
+    }),
     // embedding-cosine near-dup REMOVAL through the declarative surface
     // (rows-only: keep-set depends on LSH recall). Planted exact copies
     // (sim = 1.0, higher id) MUST all be dropped — spec-verified; here the
@@ -2061,6 +2077,36 @@ object SparkEntry {
          )
          SELECT doc_id, source FROM (
            SELECT doc_id, source,
+                  min(doc_id) OVER (PARTITION BY fp) AS keeper
+           FROM fp) WHERE doc_id = keeper""",
+    // q108's fingerprint-group construction with q36's (doc_id, lang)
+    // projection — greedy pair-drop at threshold 1.0 keeps each identical-
+    // shingle-set group's minimum id
+    "q126_pipeline_neardup_exact" ->
+      """WITH base AS (
+           SELECT doc_id, lang, text FROM documents
+           UNION ALL
+           SELECT doc_id + 900000 AS doc_id, lang, text FROM documents
+           WHERE doc_id < 40
+         ), t AS (
+           SELECT doc_id, lang,
+                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
+                              x -> x <> '') AS toks, text
+           FROM base
+         ), s AS (
+           SELECT doc_id, lang,
+                  CASE WHEN len(toks) < 3
+                       THEN [array_to_string(toks, chr(31))]
+                       ELSE list_distinct([array_to_string(toks[i:i+2], chr(31))
+                                           FOR i IN range(1, len(toks) - 1)])
+                  END AS sh
+           FROM t
+         ), fp AS (
+           SELECT doc_id, lang, array_to_string(list_sort(sh), chr(30)) AS fp
+           FROM s
+         )
+         SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
                   min(doc_id) OVER (PARTITION BY fp) AS keeper
            FROM fp) WHERE doc_id = keeper""",
     // q108's shingle-fingerprint dup groups with the survivor election
