@@ -1188,20 +1188,40 @@ object SparkEntry {
     }),
 
     // ---- LLM-data-pipeline: multimodal column plumbing (stub decode) ----
+    // REAL image decode, golden-real oracle: each doc gets a deterministic
+    // synthetic grayscale PNG (dimensions + pixel pattern derived from
+    // doc_id alone), the chain PNG-encodes → ImageIO-decodes → rescales →
+    // re-decodes, and the fixture generator computes every expected value
+    // straight from the pixel formula WITHOUT any PNG library — the
+    // round-trip only matches if the decode genuinely reads pixels
     "q31_multimodal" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
+      val png = udf((id: Long) => graft.multimodal.Multimodal.syntheticImagePng(
+        id, 16 + (id % 32).toInt, 16 + ((id * 7) % 32).toInt))
       val media = graft.multimodal.Multimodal.asMediaFrame(
         tab(s, dir, "documents").where("doc_id < 100")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"),
+          .select(col("doc_id"), png(col("doc_id")).as("bytes"),
             concat(lit("doc://"), col("doc_id")).as("uri")),
         "doc_id", "bytes", "image", "uri")
-      // exercise the full multimodal chain: resize → frame-sample → decode
-      val frames = graft.multimodal.Multimodal.sampleFrames(
-        graft.multimodal.Multimodal.resize(media, 128, 128), everyMs = 1000)
+      // full multimodal chain: decode original; resize (real, PNG
+      // re-encode) then decode the RESIZED payload — dims must be exactly
+      // the target; frame-sample the original (image → 1 verbatim frame)
+      val rdims = graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.resize(media, 128, 96))
+        .select(col("media_id"), col("width").as("r_width"),
+          col("height").as("r_height"))
+      val frames = graft.multimodal.Multimodal.sampleFrames(media, everyMs = 1000)
       graft.multimodal.Multimodal.extractFeatures(media)
         .join(frames.groupBy("media_id").count().withColumnRenamed("count", "n_frames"),
           Seq("media_id"))
-        .select("media_id", "width", "height", "n_frames")
+        .join(rdims, Seq("media_id"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("r_width"), col("r_height"), col("n_frames"),
+          // 4x4 mean-luma grid, scaled to integers (floor, not round — no
+          // tie-break semantics to replicate) and flattened for the oracle
+          array_join(transform(col("feature"),
+            v => floor(v.cast("double") * 10000).cast("long").cast("string")),
+            ",").as("luma"))
     }),
 
     // ---- reshape: pivot / unpivot / set ops ----
@@ -1983,11 +2003,14 @@ object SparkEntry {
     // (tools/gen_golden_q31.py), keyed on (doc_id, md5(text)) like q96 so
     // testdata drift fails loudly. n_frames = 1 for every image payload
     // (duration 0 -> one sampled frame), also pinned by the fixture.
+    // fixture computed straight from the pixel formula (no image library)
+    // — matches only if the Spark side's PNG round-trip truly reads pixels
     "q31_multimodal" ->
-      """SELECT d.doc_id AS media_id, g.width, g.height, g.n_frames
+      """SELECT d.doc_id AS media_id, g.width, g.height,
+                g.r_width, g.r_height, g.n_frames, g.luma
          FROM documents d
          JOIN read_parquet('/root/repo/src/test/resources/golden/q31_multimodal.parquet') g
-           ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+           ON g.doc_id = d.doc_id
          WHERE d.doc_id < 100""",
     // q42's shingle semantics, compared as SET FINGERPRINTS (sorted
     // distinct shingles joined on chr(30) — a byte no shingle can contain):

@@ -8,15 +8,20 @@ import org.apache.spark.sql.types._
  * Multimodal-column plumbing: media (image/audio/video) travels as an
  * opaque BinaryType payload + typed metadata struct; decode/feature
  * extraction runs as a partition-wise batch operator (`mapPartitions`, the
- * Scala analog of mapInPandas) so a real decoder would amortize model/
- * codec init per partition, not per row.
+ * Scala analog of mapInPandas) so a real decoder amortizes codec init per
+ * partition, not per row.
  *
- * The actual byte→pixels decode is STUBBED (this container ships no
- * image/audio codecs): [[StubDecoder]] derives deterministic fake
- * dimensions/features from a hash of the payload. The Spark-side contract
- * — schema, batch iteration shape, partition sizing, null handling — is
- * real and tested; swapping in a JNI/ONNX decoder changes only the
- * function body marked STUB.
+ * IMAGE decode/resize are REAL (JDK-only `javax.imageio` — PNG/JPEG/GIF/
+ * BMP, no external codecs needed): [[ImageIODecoder]] returns true pixel
+ * dimensions plus a 4×4 downsampled mean-luma feature grid, and
+ * [[ImageIOResizer]] rescales and re-encodes losslessly as PNG. A payload
+ * ImageIO cannot parse yields the explicit (-1, -1) sentinel rather than
+ * fake dimensions. Audio/video byte→sample decode remains the documented
+ * STUB seam ([[StubDecoder]] — no JDK codec exists): deterministic fake
+ * dimensions/features from a payload hash, so the Spark-side contract —
+ * schema, batch iteration shape, partition sizing, null handling — stays
+ * testable; swapping in a JNI/FFmpeg decoder changes only the function
+ * body marked STUB.
  */
 object Multimodal {
 
@@ -83,13 +88,64 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via JDK `javax.imageio` (PNG/JPEG/GIF/BMP):
+    * true width/height plus a 4×4 mean-luma grid — 16 floats, cell (i,j)
+    * = mean of (r+g+b)/3 over the pixel block `[i·h/4,(i+1)·h/4) ×
+    * [j·w/4,(j+1)·w/4)` in row-major order (for a grayscale source this
+    * is exactly the mean pixel value, which makes the feature
+    * independently computable by the golden-fixture generator). Images
+    * have duration 0. An IMAGE payload ImageIO cannot parse returns the
+    * explicit `(-1, -1, 0, empty)` sentinel — never fake dimensions.
+    * Non-image modalities delegate to [[StubDecoder]] (the remaining
+    * documented stub seam: the JDK ships no audio/video codec). */
+  object ImageIODecoder extends MediaDecoder {
+    private val Grid = 4
+    def decode(modality: String, content: Array[Byte]): (Int, Int, Long, Array[Float]) = {
+      if (modality != "image") return StubDecoder.decode(modality, content)
+      val img =
+        if (content.isEmpty) null
+        else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return (-1, -1, 0L, Array.empty[Float])
+      val w = img.getWidth; val h = img.getHeight
+      val feat = new Array[Float](Grid * Grid)
+      var ci = 0
+      while (ci < Grid) {
+        val y0 = ci * h / Grid
+        val y1 = math.min(h, math.max(y0 + 1, (ci + 1) * h / Grid))
+        var cj = 0
+        while (cj < Grid) {
+          val x0 = cj * w / Grid
+          val x1 = math.min(w, math.max(x0 + 1, (cj + 1) * w / Grid))
+          // integer-valued doubles sum exactly (≤ 2^53), so the mean is
+          // bit-identical to the fixture generator's integer-sum division
+          var sum = 0.0; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3.0
+              x += 1; n += 1
+            }
+            y += 1
+          }
+          feat(ci * Grid + cj) = if (n == 0) 0f else (sum / n).toFloat
+          cj += 1
+        }
+        ci += 1
+      }
+      (w, h, 0L, feat)
+    }
+  }
+
   /**
    * Partition-wise decode/feature-extract. Iterator-to-iterator transform:
    * nothing is materialized per partition beyond the row in flight, so
    * partition size is bounded by `spark.sql.files.maxPartitionBytes`, not
    * by media payload count.
    */
-  def extractFeatures(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame = {
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder = ImageIODecoder): DataFrame = {
     val spark = media.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     media.select("media_id", "modality", "content").mapPartitions { rows =>
@@ -119,6 +175,33 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize via JDK `javax.imageio` + `Graphics2D`: decode,
+    * bilinear-rescale to (targetW, targetH), re-encode as PNG (lossless —
+    * a decode of the output reports exactly the target dimensions).
+    * Undecodable image payloads and non-image modalities delegate to
+    * [[StubResizer]] (documented stub seam), so the pipeline keeps
+    * flowing for media the JDK has no codec for. */
+  object ImageIOResizer extends MediaResizer {
+    def resize(modality: String, content: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val img =
+        if (modality != "image" || content.isEmpty) null
+        else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return StubResizer.resize(modality, content, targetW, targetH)
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
   /**
    * Partition-wise resize: same media schema out, payload re-encoded at the
    * target dimensions, metadata updated (content_type gains `;resized=WxH`,
@@ -126,7 +209,7 @@ object Multimodal {
    * partition — the batch shape a real image pipeline needs.
    */
   def resize(media: DataFrame, targetW: Int, targetH: Int,
-             resizer: MediaResizer = StubResizer): DataFrame = {
+             resizer: MediaResizer = ImageIOResizer): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     media.select("media_id", "modality", "content", "meta").mapPartitions { rows =>
       rows.map { r =>
@@ -169,6 +252,40 @@ object Multimodal {
     }
   }
 
+  /** An image IS its only frame: image payloads come back verbatim (the
+    * real contract — duration 0 means exactly one frame at ts 0);
+    * audio/video delegate to [[StubFrameSampler]] (no JDK codec). */
+  object ImageFrameSampler extends FrameSampler {
+    def frameAt(modality: String, content: Array[Byte], tsMs: Long): Array[Byte] =
+      if (modality == "image") content
+      else StubFrameSampler.frameAt(modality, content, tsMs)
+  }
+
+  /** Deterministic synthetic grayscale PNG — the scaffolding both the q31
+    * verify query and its INDEPENDENT golden-fixture generator derive
+    * from: pixel (x, y) has r = g = b = (seed·31 + x·7 + y·13) mod 256.
+    * The fixture side (tools/gen_golden_q31.py) computes dimensions and
+    * the 4×4 luma grid straight from this formula WITHOUT any PNG
+    * library, so the query's PNG-encode → [[ImageIODecoder]] round-trip
+    * only matches if the decode is genuinely reading pixels. */
+  def syntheticImagePng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = java.lang.Math.floorMod(seed * 31 + x * 7 + y * 13, 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /**
    * Frame sampling for video/audio payloads: one output row per
    * `everyMs`-spaced timestamp within the decoded duration (images yield
@@ -177,8 +294,8 @@ object Multimodal {
    * frames at once in memory.
    */
   def sampleFrames(media: DataFrame, everyMs: Long, maxFrames: Int = 64,
-                   decoder: MediaDecoder = StubDecoder,
-                   sampler: FrameSampler = StubFrameSampler): DataFrame = {
+                   decoder: MediaDecoder = ImageIODecoder,
+                   sampler: FrameSampler = ImageFrameSampler): DataFrame = {
     require(everyMs > 0, "everyMs must be positive")
     val enc = org.apache.spark.sql.Encoders.row(frameSchema)
     media.select("media_id", "modality", "content").mapPartitions { rows =>

@@ -21,8 +21,9 @@ class MultimodalSpec extends SparkTestBase {
     m shouldBe ((11L, "application/x-image"))
   }
 
-  test("partition-wise feature extraction: schema, determinism, payload-dependence") {
-    val feats = Multimodal.extractFeatures(media)
+  test("partition-wise feature extraction: schema, determinism, payload-" +
+    "dependence (stub decoder — plumbing contract)") {
+    val feats = Multimodal.extractFeatures(media, Multimodal.StubDecoder)
     feats.schema shouldBe Multimodal.featureSchema
     val rows = feats.orderBy("media_id").collect()
     rows should have size 3
@@ -31,6 +32,46 @@ class MultimodalSpec extends SparkTestBase {
     rows(0).getAs[Seq[Float]]("feature") should not be rows(1).getAs[Seq[Float]]("feature")
     all(rows.map(_.getAs[Int]("width"))) should be >= 64
     all(rows.map(_.getAs[Long]("duration_ms"))) shouldBe 0L // images
+  }
+
+  test("REAL image decode: true dimensions and 4x4 mean-luma grid from an " +
+    "actual PNG; undecodable image payloads get the -1 sentinel") {
+    // a 16x16 all-gray(100) image: every luma cell is exactly 100
+    val flat = Multimodal.syntheticImagePng(0, 16, 16) // pattern varies — use custom
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, (100 << 16) | (100 << 8) | 100)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val gray = bos.toByteArray
+    val frame = Multimodal.asMediaFrame(
+      Seq((1L, gray, "mem://gray"), (2L, flat, "mem://pattern"),
+          (3L, "not a png".getBytes("UTF-8"), "mem://junk"))
+        .toDF("id", "bytes", "uri"),
+      "id", "bytes", "image", "uri")
+    val rows = Multimodal.extractFeatures(frame).orderBy("media_id").collect()
+    rows(0).getAs[Int]("width") shouldBe 16
+    rows(0).getAs[Int]("height") shouldBe 16
+    rows(0).getAs[Seq[Float]]("feature") shouldBe Seq.fill(16)(100f)
+    // deterministic pattern: spot-check cell (0,0) = mean of v(x,y),
+    // x,y in [0,4): (0*31 + 7x + 13y) % 256
+    val expect00 = (for (y <- 0 until 4; x <- 0 until 4)
+      yield (7 * x + 13 * y) % 256).sum / 16.0
+    rows(1).getAs[Seq[Float]]("feature").head shouldBe expect00.toFloat
+    // junk bytes under the image modality: loud sentinel, not fake dims
+    rows(2).getAs[Int]("width") shouldBe -1
+    rows(2).getAs[Seq[Float]]("feature") shouldBe empty
+    // REAL resize: re-encoded PNG decodes to exactly the target dims;
+    // image frame-sampling returns the payload verbatim as the one frame
+    val resized = Multimodal.resize(frame.where("media_id = 2"), 32, 24)
+    val rr = Multimodal.extractFeatures(resized).collect().head
+    rr.getAs[Int]("width") shouldBe 32
+    rr.getAs[Int]("height") shouldBe 24
+    val fr = Multimodal.sampleFrames(frame.where("media_id = 2"), everyMs = 1000)
+      .collect()
+    fr should have size 1
+    fr.head.getAs[Array[Byte]]("frame") shouldBe flat
   }
 
   test("resize keeps the media schema, re-encodes payload, updates metadata") {
