@@ -15,4 +15,14 @@ object GraftBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** The LAST micro-batch's executed physical plan of a (terminated or
+    * running) streaming query — the only way to assert plan shape (e.g.
+    * "the dimension side of a stream-static join is broadcast") for
+    * micro-batch execution, which re-plans per batch behind `private[sql]`
+    * machinery. */
+  def lastStreamingExecutedPlan(
+      q: org.apache.spark.sql.streaming.StreamingQuery): execution.SparkPlan =
+    q.asInstanceOf[execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan
 }

@@ -42,6 +42,29 @@ class StreamingSpec extends SparkTestBase {
     out.where("metric = 'cpu' AND total = 3.0").count() shouldBe 1 // 10:00 window
   }
 
+  test("stream-static join micro-batch plan broadcasts the dimension side " +
+    "(q68's shape) — never a shuffled join against the stream") {
+    import org.apache.spark.sql.functions._
+    val dim = Seq(("cpu", "infra"), ("mem", "infra")).toDF("metric", "team")
+    val agg = spark.readStream
+      .schema("ts TIMESTAMP, metric STRING, v DOUBLE")
+      .parquet(eventsDir)
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), Seq("metric"))
+      .groupBy(window(col("ts"), "1 hour"), col("team"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("bcast_plan_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("bcast-ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) shouldBe true
+    val plan = org.apache.spark.sql.GraftBridge.lastStreamingExecutedPlan(q).toString
+    plan should include("BroadcastHashJoin")
+    plan.contains("SortMergeJoin") shouldBe false
+    plan.contains("ShuffledHashJoin") shouldBe false
+  }
+
   test("streaming file sink appends parquet epochs with checkpointing") {
     val out = tmpDir("stream-sink-out")
     val cfg = PipelineConfig(
