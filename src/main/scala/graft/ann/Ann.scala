@@ -293,7 +293,13 @@ object Ann {
    */
   def loadCodebook(store: DataFrame, wantNLists: Option[Int] = None,
                    wantKmeansIters: Option[Int] = None): Array[Array[Float]] = {
-    val missing = Seq("list_id", "vec").filterNot(store.columns.contains)
+    val missing = Seq("list_id", "vec").filterNot(store.columns.contains) ++
+      // a half-present stamp pair (hand-built or half-migrated store) must
+      // get this guided error, not an unresolved-column AnalysisException
+      // from the stamp select below
+      Seq("cb_n_lists", "cb_kmeans_iters").filter(c =>
+        !store.columns.contains(c) &&
+          Seq("cb_n_lists", "cb_kmeans_iters").exists(store.columns.contains))
     if (missing.nonEmpty) throw new graft.api.ConfigException(
       s"codebook store is missing column(s) ${missing.mkString(", ")} — " +
         "expected the codebookFrame layout (list_id, vec, cb_*)")
@@ -325,6 +331,13 @@ object Ann {
     val rows = store
       .select(col("list_id").cast("int"), col("vec").cast("array<float>"))
       .orderBy("list_id").collect()
+    // a zero-row store would pass every check vacuously and then stamp
+    // NULL cluster ids on every row of a non-empty corpus — the silent
+    // opposite of the fail-fast store contract
+    if (rows.isEmpty) throw new graft.api.ConfigException(
+      "codebook store is empty — the producing run saw no vectors; " +
+        "rebuild the store over a non-empty corpus (or drop codebookView " +
+        "to train in-process)")
     val bad = rows.zipWithIndex.collectFirst {
       case (r, i) if r.isNullAt(0) || r.getInt(0) != i || r.isNullAt(1) => i
     }

@@ -88,10 +88,38 @@ object ExprUtils {
     * MapType column degrades to a stable key instead of failing analysis. */
   def orderableOrJson(schema: org.apache.spark.sql.types.StructType,
                       name: String): Column = {
-    val f = schema(schema.fieldIndex(name))
+    // resolve case-insensitively like Column resolution does under the
+    // default spark.sql.caseSensitive=false — a config naming "ID" against
+    // a frame column "id" worked before this helper existed and must keep
+    // working; an exact match wins when both casings exist
+    val f = schema.fields.find(_.name == name).orElse {
+      schema.fields.filter(_.name.equalsIgnoreCase(name)) match {
+        case Array(only) => Some(only)
+        case _ => None
+      }
+    }.getOrElse(schema(schema.fieldIndex(name))) // throws the descriptive error
     if (org.apache.spark.sql.catalyst.expressions.RowOrdering
           .isOrderable(f.dataType)) col(name)
     else to_json(struct(col(name)))
+  }
+
+  /** A column name not present in `existing`: `base`, else `base_`,
+    * `base__`, … — for operators that stage internal helper columns and
+    * must not silently overwrite (then drop) a user column of the same
+    * name. */
+  def freshName(existing: Seq[String], base: String): String =
+    Iterator.iterate(base)(_ + "_").dropWhile(existing.contains).next()
+
+  /** Fail fast when an internal helper column name collides with user
+    * data — the alternative is silent overwrite-then-drop data loss. For
+    * operators whose helper names must stay FIXED (they cross private
+    * function boundaries); operators that can rename use [[freshName]]. */
+  def requireNoHelperCollision(op: String, columns: Seq[String],
+                               helpers: String*): Unit = {
+    val hit = helpers.filter(columns.contains)
+    if (hit.nonEmpty) throw new graft.api.ConfigException(
+      s"$op: input column(s) ${hit.mkString(", ")} collide with internal " +
+        "helper names — rename them before this step")
   }
 
   /** One `orderBy` item: an expression with an optional trailing

@@ -79,6 +79,7 @@ object SpanDedup {
         graft.functions.expressions.WordNgramStrings(col(refTextCol), n)).as("__g"))
       .select(sha2(col("__g"), 256).as("__h")).distinct()
     val hits = gramStarts(df, idCol, textCol, n)
+      .where(col("__id").isNotNull) // null-id docs pass through verbatim
       .withColumn("__h", sha2(col("__gram"), 256))
       .join(refHashes, Seq("__h"), "left_semi")
       .select(col("__id"), (col("__p0") + 1).cast("long").as("__pos"))
@@ -145,6 +146,7 @@ object SpanDedup {
                            store: DataFrame, n: Int = 8): DataFrame = {
     val hashes = validatedStoreHashes(store, n)
     val hits = gramStarts(df, idCol, textCol, n)
+      .where(col("__id").isNotNull) // null-id docs pass through verbatim
       .withColumn("__gh", xxhash64(col("__gram")))
       .join(hashes, Seq("__gh"), "left_semi")
       .select(col("__id"), (col("__p0") + 1).cast("long").as("__pos"))
@@ -180,6 +182,7 @@ object SpanDedup {
         GraftBridge.expression(lit(bos.toByteArray)),
         GraftBridge.expression(xxhash64(col("__gram")))))
     val hits = gramStarts(df, idCol, textCol, n)
+      .where(col("__id").isNotNull) // null-id docs pass through verbatim
       .where(mightContain)
       .select(col("__id"), (col("__p0") + 1).cast("long").as("__pos"))
     islandSpans(hits, idCol, n)
@@ -268,24 +271,28 @@ object SpanDedup {
   }
 
   /** (__id, __p0, __gram): every n-gram with its 0-based start token.
-    * Null-id documents are excluded entirely (pass-through verbatim, the
-    * LineDedup contract): without this, every null-id document lands in
-    * ONE islandSpans window partition, interleaving gram positions across
-    * documents into bogus merged spans in report mode. */
+    * Null-id rows are KEPT here — their grams are duplication evidence for
+    * the minCount branch; consumers that emit per-document POSITIONS must
+    * filter `__id IS NOT NULL` (null-id documents pass through verbatim,
+    * the LineDedup contract — without the filter every null-id document
+    * lands in ONE islandSpans window partition, interleaving gram
+    * positions across documents into bogus merged spans in report mode). */
   private def gramStarts(df: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame =
-    df.where(col(idCol).isNotNull)
-      .select(col(idCol).as("__id"),
+    df.select(col(idCol).as("__id"),
       posexplode(graft.functions.expressions.WordNgramStrings(col(textCol), n))
         .as(Seq("__p0", "__gram")))
 
-  /** (__id, __pos) of every duplicated n-gram's 1-based start token. */
+  /** (__id, __pos) of every duplicated n-gram's 1-based start token.
+    * Null-id grams COUNT toward minCount (a run shared between an
+    * id-bearing doc and a null-id doc is still a duplicate in the former)
+    * but emit no positions of their own. */
   private def dupGramStarts(df: DataFrame, idCol: String, textCol: String,
                             n: Int, minCount: Int): DataFrame = {
     val grams = gramStarts(df, idCol, textCol, n)
     val dup = grams.groupBy("__gram").agg(count(lit(1)).as("__cnt"))
       .where(col("__cnt") >= minCount).select("__gram")
-    grams.join(dup, Seq("__gram"))
+    grams.where(col("__id").isNotNull).join(dup, Seq("__gram"))
       .select(col("__id"), (col("__p0") + 1).cast("long").as("__pos"))
   }
 

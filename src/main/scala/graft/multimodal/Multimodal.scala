@@ -105,7 +105,10 @@ object Multimodal {
       val img =
         if (content.isEmpty) null
         else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-        catch { case _: java.io.IOException => null }
+        // JDK codecs throw RuntimeExceptions (IllegalArgument, AIOOBE,
+        // CMMException, ...) on corrupt payloads, not just IOException —
+        // one crafted image must yield the sentinel, not abort the job
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return (-1, -1, 0L, Array.empty[Float])
       val w = img.getWidth; val h = img.getHeight
       val feat = new Array[Float](Grid * Grid)
@@ -186,7 +189,10 @@ object Multimodal {
       val img =
         if (modality != "image" || content.isEmpty) null
         else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-        catch { case _: java.io.IOException => null }
+        // JDK codecs throw RuntimeExceptions (IllegalArgument, AIOOBE,
+        // CMMException, ...) on corrupt payloads, not just IOException —
+        // one crafted image must yield the sentinel, not abort the job
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return StubResizer.resize(modality, content, targetW, targetH)
       val out = new java.awt.image.BufferedImage(
         targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -46,9 +46,8 @@ object AssignIds {
     // key hardening live in exactly one place. Helper names are minted
     // collision-free: a user column named __one/__cb would otherwise be
     // silently overwritten and dropped
-    def fresh(base: String): String =
-      Iterator.iterate(base)(_ + "_").dropWhile(df.columns.contains).next()
-    val one = fresh("__one"); val cb = fresh("__cb")
+    val one = graft.config.ExprUtils.freshName(df.columns.toSeq, "__one")
+    val cb = graft.config.ExprUtils.freshName(df.columns.toSeq, "__cb")
     GroupedPrefixSum.stamp(
         df.withColumn(one, lit(1L)),
         Nil, orderCols.map(col), one, cb, numPartitions)

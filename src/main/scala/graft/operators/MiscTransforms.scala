@@ -102,7 +102,8 @@ object DedupTransform extends Transform {
       case (Some(cols), Some(order)) =>
         val w = W.partitionBy(cols.map(col): _*)
           .orderBy(ExprUtils.splitTopLevel(order).map(ExprUtils.parseOrder): _*)
-        input.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        val rn = ExprUtils.freshName(input.columns.toSeq, "__rn")
+        input.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
     }
   }
 }

@@ -49,6 +49,9 @@ object PackSequences {
                   groupCols: Seq[String], seqLen: Long,
                   numPartitions: Int = 0): DataFrame = {
     require(seqLen > 0, s"pack_sequences: seqLen must be positive, got $seqLen")
+    graft.config.ExprUtils.requireNoHelperCollision(
+      "pack_sequences", df.columns.toSeq,
+      "__w", "cum_before", "seq_id", "tok_start", "tok_end", "pos_in_seq")
     val stamped = GroupedPrefixSum.stamp(df, groupCols, Seq(col(idCol)),
         weightCol, "cum_before", numPartitions)
       .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
@@ -80,6 +83,8 @@ object PackSequences {
                   weightCol: String, seqLen: Long,
                   numPartitions: Int = 0,
                   groupCols: Seq[String] = Nil): DataFrame = {
+    graft.config.ExprUtils.requireNoHelperCollision(
+      "pack_sequences", df.columns.toSeq, "__piece")
     val spans = packGrouped(df, idCol, weightCol, groupCols, seqLen, numPartitions)
     spans
       .withColumn("__piece", col(textCol).substr(

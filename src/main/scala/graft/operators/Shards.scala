@@ -258,6 +258,8 @@ object SampleTransform extends Transform {
     val copies = weights.foldLeft(copiesFor(default)) { case (acc, (g, w)) =>
       when(col(group) === lit(g), copiesFor(w)).otherwise(acc)
     }
+    graft.config.ExprUtils.requireNoHelperCollision(
+      "mix", input.columns.toSeq, "__copies", "__c")
     input
       .withColumn("__copies", copies)
       .withColumn("__c", explode(when(col("__copies") >= 1,
@@ -362,6 +364,8 @@ object Shuffle {
       case other => throw new IllegalArgumentException(
         s"shuffle hash must be md5|xxhash64, got '$other'")
     }
+    graft.config.ExprUtils.requireNoHelperCollision(
+      "shuffle", df.columns.toSeq, "__skey")
     val ranged = df.withColumn("__skey", h)
       .repartitionByRange(n, col("__skey"), col(idCol))
       .sortWithinPartitions(col("__skey"), col(idCol))

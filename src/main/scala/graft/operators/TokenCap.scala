@@ -70,6 +70,8 @@ object TokenCap {
     if (!grouped && overrides.nonEmpty) throw new graft.api.ConfigException(
       "token_cap: per-group budgets require groupBy — without it the " +
         "overrides would be silently ignored")
+    graft.config.ExprUtils.requireNoHelperCollision(
+      "token_cap", df.columns.toSeq, "__ord", "__cum")
     val ord = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
     // the per-group exclusive running sum comes from the shared
     // boundary-chain machine (O(partitions) driver state regardless of

@@ -243,28 +243,34 @@ class SpanDedupSpec extends SparkTestBase {
   }
 
   test("null-id documents pass through verbatim — never merged into one " +
-    "window partition producing cross-document spans") {
+    "window partition producing cross-document spans — but their grams " +
+    "still count as duplication evidence") {
     // two null-id docs each containing the shared run: without the null-id
-    // exclusion both land in ONE islands partition and their interleaved
-    // positions merge into bogus spans in report mode
+    // position exclusion both land in ONE islands partition and their
+    // interleaved positions merge into bogus spans in report mode
+    val other = "eins zwei drei vier fünf sechs sieben acht nein zehn"
     val d = Seq(
       (Some(1L), s"intro a b $shared tail c"),
       (Some(2L), s"$shared closing words here"),
+      // doc 3's run repeats ONLY in a null-id doc — it must still be
+      // detected (null grams count toward minCount, emit no positions)
+      (Some(3L), s"header $other footer"),
       (None: Option[Long], s"x y $shared z"),
-      (None: Option[Long], s"p q r $shared s")
+      (None: Option[Long], s"p q r $other s")
     ).toDF("doc_id", "text")
     val spans = SpanDedup.dupSpans(d, "doc_id", "text", n = 4)
       .as[(Option[Long], Long, Long, Long)].collect().sorted
-    // only the id-bearing docs are reported; null ids contribute nothing
+    // only id-bearing docs are reported; null ids emit no spans
     spans.foreach(_._1 should not be None)
     spans.map(s => (s._1.get, s._2, s._3, s._4)).toSeq shouldBe
-      Seq((1L, 4L, 13L, 10L), (2L, 1L, 10L, 10L))
+      Seq((1L, 4L, 13L, 10L), (2L, 1L, 10L, 10L), (3L, 2L, 11L, 10L))
     // removal: null-id docs byte-identical, id-bearing docs stripped
     val out = SpanDedup.removeDupSpans(d, "doc_id", "text", n = 4)
       .as[(Option[Long], String)].collect()
     out.filter(_._1.isEmpty).map(_._2).sorted shouldBe
-      Array(s"p q r $shared s", s"x y $shared z")
+      Array(s"p q r $other s", s"x y $shared z")
     out.find(_._1.contains(1L)).get._2 shouldBe "intro a b tail c"
+    out.find(_._1.contains(3L)).get._2 shouldBe "header footer"
   }
 
   test("plan shape: no corpus-global window — islands window is keyed by doc") {
