@@ -96,6 +96,25 @@ class ClusterEmbeddingsSpec extends SparkTestBase {
       ClusterEmbeddingsTransform(df, TransformConfig("c", "cluster_embeddings",
         Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
           "codebookView" -> "cb_nolid")), ctx).collect()
+    // a ZERO-ROW store (producing run saw no vectors) must fail loud —
+    // every layout/stamp check passes vacuously on it, and the silent
+    // outcome is null cluster ids on every row
+    store.where("list_id < 0").createOrReplaceTempView("cb_empty")
+    val e3 = intercept[ConfigException] {
+      ClusterEmbeddingsTransform(df, TransformConfig("c", "cluster_embeddings",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "codebookView" -> "cb_empty")), ctx).collect()
+    }
+    e3.getMessage should include("empty")
+    // half-present stamp pair gets the guided layout error, not an
+    // unresolved-column AnalysisException
+    store.select("list_id", "vec", "cb_n_lists").createOrReplaceTempView("cb_halfstamp")
+    val e4 = intercept[ConfigException] {
+      ClusterEmbeddingsTransform(df, TransformConfig("c", "cluster_embeddings",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "codebookView" -> "cb_halfstamp")), ctx).collect()
+    }
+    e4.getMessage should include("cb_kmeans_iters")
   }
 
   test("IVF ANN against the persisted codebook matches in-process IVF " +

@@ -84,6 +84,19 @@ class JdbcUpsertFlowSpec extends SparkTestBase {
       Array((1, "aaa", "aaa"), (2, "ccc", "ccc"))
   }
 
+  test("upsert primaryKey resolving only case-insensitively against the " +
+    "frame still works (default caseSensitive=false parity)") {
+    val db = new FakeJdbcDb(spark, tmpDir("fakedb-case"))
+    Seq((1, "old")).toDF("id", "name").write.parquet(db.tablePath("sales"))
+    val cfg = SinkConfig("postgres",
+      Map("url" -> "jdbc:postgresql://h/db", "dbtable" -> "sales",
+        "primaryKey" -> "ID"), WriteMode.Upsert)
+    db.sink.write(Seq((1, "new"), (2, "two")).toDF("id", "name"), cfg,
+      RunContext(spark, "p", java.util.UUID.randomUUID().toString))
+    db.read("sales").orderBy("id").as[(Int, String)].collect() shouldBe
+      Array((1, "new"), (2, "two"))
+  }
+
   test("a failed merge still drops the committed staging table (no orphan " +
     "accumulation), and the original error propagates") {
     val recorded = mutable.Buffer[String]()
