@@ -93,6 +93,24 @@ object SparkEntry {
       tmp
     })
 
+  /** Persisted IVF codebook for q127 over the twin-augmented embedding
+    * corpus, memoized per source dir — q127's ANN search trains nothing
+    * and probes against ONLY this parquet. */
+  private val q127StoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedAnnCodebookStore(s: SparkSession, dir: String): String =
+    q127StoreDirs.computeIfAbsent(dir, { d =>
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("q127cb").toString
+      val emb = tab(s, d, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      graft.ann.Ann.codebookFrame(emb.unionByName(twins), "vec_id", "embedding",
+          nLists = 64, kmeansIters = 0)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   /** The q118/q119/q125 planted corpus: 40 ids carrying 4 orthogonal
     * one-hot families (vec_id % 4) — the construction whose clustering
     * outcome is provable, not probabilistic (see q118's comment). */
@@ -1137,6 +1155,29 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding"))
       graft.ann.Ann.ivfTopK(emb.unionByName(twins), queries,
         "vec_id", "embedding", "query_id", 2, nLists = 64, nProbe = 8)
+        .select("query_id", "vec_id", "rank")
+    }),
+    // q116's guarantee through the DECLARATIVE ann_topk surface AND the
+    // persisted codebook: identical vectors take identical assignments
+    // under ANY codebook and a query always probes its own best list, so
+    // ranks 1..2 = (self, twin) exactly — while the transform resolves
+    // queries + codebook from registered views like a real YAML pipeline
+    "q127_ann_transform_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      val corpus = emb.unionByName(twins)
+      emb.where("vec_id < 5")
+        .select(col("vec_id").as("query_id"), col("embedding"))
+        .createOrReplaceTempView("q127_queries")
+      s.read.parquet(stagedAnnCodebookStore(s, dir))
+        .createOrReplaceTempView("q127_codebook")
+      ap(corpus, t("ann_topk",
+        "method" -> "ivf", "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "queriesView" -> "q127_queries", "queryIdColumn" -> "query_id",
+        "k" -> "2", "nProbe" -> "8", "codebookView" -> "q127_codebook",
+        "nLists" -> "64"))
         .select("query_id", "vec_id", "rank")
     }),
     // the k-means twin of q115/q116 for the CLUSTERING surface (q97's
@@ -3129,6 +3170,14 @@ object SparkEntry {
          SELECT vec_id AS query_id, vec_id + 2000000 AS vec_id, 2 AS rank
          FROM embeddings WHERE vec_id < 5""",
     "q116_ann_ivf_exact" ->
+      """SELECT vec_id AS query_id, vec_id, 1 AS rank
+         FROM embeddings WHERE vec_id < 5
+         UNION ALL
+         SELECT vec_id AS query_id, vec_id + 2000000 AS vec_id, 2 AS rank
+         FROM embeddings WHERE vec_id < 5""",
+    // same planted-twin guarantee through the declarative ann_topk route
+    // against the persisted codebook store
+    "q127_ann_transform_exact" ->
       """SELECT vec_id AS query_id, vec_id, 1 AS rank
          FROM embeddings WHERE vec_id < 5
          UNION ALL

@@ -513,10 +513,15 @@ object Ann {
   def semanticNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nClusters: Int = 64,
                        kmeansIters: Int = 3,
-                       maxClusterSize: Int = 1000): DataFrame = {
+                       maxClusterSize: Int = 1000,
+                       codebook: Option[Array[Array[Float]]] = None): DataFrame = {
     import graft.functions.expressions.ArgTopCentroids
     val ids = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
-    val cents = kmeansCentroids(ids, "doc_id", "vec", nClusters, kmeansIters)
+    // a provided codebook (a persisted [[codebookFrame]] store via
+    // [[loadCodebook]]) skips the sampling pass AND keeps cell geometry
+    // identical across incremental runs
+    val cents = codebook.getOrElse(
+      kmeansCentroids(ids, "doc_id", "vec", nClusters, kmeansIters))
 
     val assigned = ids.select(col("doc_id"),
       ArgTopCentroids(col("vec"), cents, 1).getItem(0).as("cluster_id"))

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.api.{ConfigException, RunContext, Transform}
+import graft.config.TransformConfig
+
+/**
+ * `ann_topk` — approximate-nearest-neighbor search as a declarative
+ * pipeline step: for every row of a registered queries view, the top-k
+ * nearest rows of the INPUT frame (the corpus) by cosine similarity.
+ * The YAML surface over [[graft.ann.Ann]], mirroring how `dedup_minhash`
+ * exposes the dedup engine — retrieval/eval pipelines get similarity
+ * search without writing Scala. Output REPLACES the frame:
+ * (query_id, vec_id, rank), rank 1 = nearest, ties broken by vec_id.
+ *
+ * {{{
+ * - name: nearest-neighbors
+ *   type: ann_topk
+ *   options: {method: ivf, idColumn: vec_id, vecColumn: embedding,
+ *             queriesView: eval_queries, k: "10", nProbe: "8",
+ *             codebookView: v_codebook}
+ * }}}
+ *
+ * Options: `idColumn`/`vecColumn`/`queriesView` required; `method:
+ * brute (default) | lsh | ivf`; `queryIdColumn` (default = idColumn),
+ * `queryVecColumn` (default = vecColumn), `k` (10). LSH: `bits` (12),
+ * `tables` (4). IVF: `nLists` (64), `nProbe` (8), `kmeansIters` (0), or
+ * `codebookView` naming a persisted [[graft.ann.Ann.codebookFrame]]
+ * store — the run then pays no codebook sampling scan, and
+ * `nLists`/`kmeansIters` (when given) assert against the store's
+ * parameter stamp, failing fast on a mismatch.
+ *
+ * Scale shape (inherited from [[graft.ann.Ann]]): queries broadcast in
+ * every method; brute is one corpus scan with a per-query bounded-heap
+ * partial top-k (no corpus shuffle); LSH joins on (table, bucket); IVF
+ * assignment is a fused zero-shuffle argmax projection and the search
+ * touches nProbe/nLists of the corpus.
+ */
+object AnnTopKTransform extends Transform {
+  val transformType = "ann_topk"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("vecColumn").toSeq,
+      transformType)
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "vecColumn", "queriesView")
+    val id = config.options("idColumn")
+    val vec = config.options("vecColumn")
+    val queries = ctx.spark.table(config.options("queriesView"))
+    val qid = config.options.getOrElse("queryIdColumn", id)
+    val qvec = config.options.getOrElse("queryVecColumn", vec)
+    if (!queries.columns.contains(qid) || !queries.columns.contains(qvec))
+      throw new ConfigException(
+        s"ann_topk: queries view '${config.options("queriesView")}' is missing " +
+          s"column(s) ${Seq(qid, qvec).filterNot(queries.columns.contains).mkString(", ")}")
+    // the queries frame must present (queryIdColumn, vecColumn) to the
+    // engine — rename an aliased query vector column up front
+    val q = queries.select(
+      org.apache.spark.sql.functions.col(qid).as(qid),
+      org.apache.spark.sql.functions.col(qvec).as(vec))
+    val k = config.options.get("k").map(_.toInt).getOrElse(10)
+    if (k < 1) throw new ConfigException(s"ann_topk: k must be >= 1, got $k")
+    config.options.getOrElse("method", "brute") match {
+      case "brute" => graft.ann.Ann.bruteForceTopK(input, q, id, vec, qid, k)
+      case "lsh" => graft.ann.Ann.lshTopK(input, q, id, vec, qid, k,
+        bits = intOpt(config, "bits", 12), tables = intOpt(config, "tables", 4))
+      case "ivf" => config.options.get("codebookView") match {
+        case Some(view) => graft.ann.Ann.ivfTopKWithCodebook(input, q, id, vec,
+          qid, k, ctx.spark.table(view),
+          nProbe = intOpt(config, "nProbe", 8),
+          wantNLists = config.options.get("nLists").map(_.toInt),
+          wantKmeansIters = config.options.get("kmeansIters").map(_.toInt))
+        case None => graft.ann.Ann.ivfTopK(input, q, id, vec, qid, k,
+          nLists = intOpt(config, "nLists", 64),
+          nProbe = intOpt(config, "nProbe", 8),
+          kmeansIters = intOpt(config, "kmeansIters", 0))
+      }
+      case other => throw new ConfigException(
+        s"ann_topk: method must be brute|lsh|ivf, got '$other'")
+    }
+  }
+
+  private def intOpt(config: TransformConfig, key: String, dflt: Int): Int =
+    config.options.get(key).map(_.toInt).getOrElse(dflt)
+}

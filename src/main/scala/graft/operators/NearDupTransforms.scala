@@ -271,12 +271,22 @@ object SemanticDedupTransform extends NearDupTransform {
   val transformType = "dedup_semantic"
   override protected def contentOption: String = "vecColumn"
   protected def pairs(input: DataFrame, id: String, vec: String,
-                      config: TransformConfig): DataFrame =
+                      config: TransformConfig): DataFrame = {
+    // `codebookView` reuses a persisted `codebook` store (the
+    // cluster_embeddings loop): no sampling scan, stable cells across
+    // runs, stamp mismatches fail fast via loadCodebook
+    val codebook = config.options.get("codebookView").map { view =>
+      graft.ann.Ann.loadCodebook(input.sparkSession.table(view),
+        config.options.get("nClusters").map(_.toInt),
+        config.options.get("kmeansIters").map(_.toInt))
+    }
     graft.ann.Ann.semanticNearDups(input, id, vec,
       threshold = doubleOpt(config, "threshold", 0.9),
       nClusters = intOpt(config, "nClusters", 64),
       kmeansIters = intOpt(config, "kmeansIters", 3),
-      maxClusterSize = intOpt(config, "maxClusterSize", 1000))
+      maxClusterSize = intOpt(config, "maxClusterSize", 1000),
+      codebook = codebook)
+  }
 }
 
 /**

@@ -74,6 +74,7 @@ object Registries {
     CompressionRatioTransform.transformType -> CompressionRatioTransform,
     ClusterEmbeddingsTransform.transformType -> ClusterEmbeddingsTransform,
     CodebookTransform.transformType   -> CodebookTransform,
+    AnnTopKTransform.transformType    -> AnnTopKTransform,
     DedupAgainstTransform.transformType      -> DedupAgainstTransform,
     FuzzyJoinTransform.transformType         -> FuzzyJoinTransform,
     CollocationsTransform.transformType      -> CollocationsTransform,

@@ -34,6 +34,22 @@ class SemanticDedupSpec extends SparkTestBase {
     out shouldBe Array(1L, 2L, 3L, 11L, 12L, 13L)
   }
 
+  test("codebookView: dedup against a persisted codebook matches in-process " +
+    "training with the same parameters; stamp mismatch fails fast") {
+    graft.ann.Ann.codebookFrame(corpus, "vec_id", "embedding",
+      nLists = 2, kmeansIters = 2).createOrReplaceTempView("sd_cb")
+    val viaStore = run(corpus, "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+      "threshold" -> "0.95", "nClusters" -> "2", "kmeansIters" -> "2",
+      "codebookView" -> "sd_cb").select("vec_id").as[Long].collect().sorted
+    viaStore shouldBe Array(1L, 2L, 3L, 11L, 12L, 13L)
+    val e = intercept[graft.api.ConfigException] {
+      run(corpus, "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "threshold" -> "0.95", "nClusters" -> "4",
+        "codebookView" -> "sd_cb").collect()
+    }
+    e.getMessage should include("stamp")
+  }
+
   test("nClusters=1 degenerates to exact in-cell matching: paraphrase pair caught") {
     // cos(1, 21) = 1/sqrt(1.01) ≈ 0.995 — a "same content, different
     // wording" neighbor; one cell makes the pairing deterministic
