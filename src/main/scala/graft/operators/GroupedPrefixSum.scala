@@ -47,6 +47,24 @@ object GroupedPrefixSum {
     case BinaryType =>
       v => if (v == null) null
            else scala.collection.immutable.ArraySeq.unsafeWrapArray(v.asInstanceOf[Array[Byte]])
+    // float/double keys compare via boxed-numeric equality where
+    // NaN != NaN — every NaN-keyed row would restart the running sum
+    // (fracturing the NaN group into per-row groups: token_cap budgets
+    // silently bypassed, grouped pack offsets overlapping). Convert to
+    // canonical bits: doubleToLongBits collapses every NaN to one
+    // pattern, and -0.0 pre-normalizes to 0.0 — matching SQL's grouping
+    // semantics (one NaN group; -0.0 groups with 0.0), which is also how
+    // Spark range-partitions them (NaNs contiguous, zeros equal-sorted)
+    case org.apache.spark.sql.types.DoubleType =>
+      v => if (v == null) null else {
+        val d = v.asInstanceOf[Double]
+        java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+      }
+    case org.apache.spark.sql.types.FloatType =>
+      v => if (v == null) null else {
+        val f = v.asInstanceOf[Float]
+        java.lang.Float.floatToIntBits(if (f == 0.0f) 0.0f else f)
+      }
     case ArrayType(et, _) =>
       val ec = keyConv(et)
       v => if (v == null) null
@@ -69,16 +87,28 @@ object GroupedPrefixSum {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    df.schema(weightCol).dataType match {
+    import org.apache.spark.sql.functions.col
+    val schema = df.schema
+    // resolve case-insensitively like Column resolution under the default
+    // spark.sql.caseSensitive=false — the transforms' validate() accepts a
+    // case-mismatched config, so runtime must too (exact match wins)
+    def resolve(name: String): Int =
+      schema.fields.indexWhere(_.name == name) match {
+        case -1 =>
+          schema.fields.zipWithIndex.filter(_._1.name.equalsIgnoreCase(name)) match {
+            case Array((_, i)) => i
+            case _ => schema.fieldIndex(name) // throws the descriptive error
+          }
+        case i => i
+      }
+    val wIdx = resolve(weightCol)
+    val gIdxs = groupCols.map(resolve)
+    schema.fields(wIdx).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
       case other => throw new IllegalArgumentException(
         s"prefix sum: weight column '$weightCol' must be integral for exact " +
           s"sums, got $other")
     }
-    import org.apache.spark.sql.functions.col
-    val schema = df.schema
-    val wIdx = schema.fieldIndex(weightCol)
-    val gIdxs = groupCols.map(schema.fieldIndex)
     // build converters BEFORE the repartition so unsupported key types
     // fail with this operator's message, not Spark's ordering error
     val gConvs = gIdxs.map(i => keyConv(schema.fields(i).dataType))

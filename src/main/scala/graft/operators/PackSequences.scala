@@ -123,7 +123,9 @@ object PackSequencesTransform extends Transform {
   override def validate(config: TransformConfig,
                         schema: org.apache.spark.sql.types.StructType): List[String] =
     Validate.columnsExist(schema,
-      Seq("idColumn", "weightColumn", "textColumn").flatMap(config.options.get),
+      Seq("idColumn", "weightColumn", "textColumn").flatMap(config.options.get) ++
+        config.options.get("groupBy").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       "pack_sequences")
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {

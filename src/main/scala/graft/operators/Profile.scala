@@ -34,9 +34,16 @@ import graft.config.TransformConfig
  * projection over a 1-row DataFrame, not a second pass.
  */
 object Profile {
+  /** SQL-text escaping for the interpolated fragments below: a column
+    * named "it's" or "a`b" is legal in Spark/Parquet schemas and must not
+    * terminate the literal/identifier early (opaque ParseException or,
+    * worse, a mislabeled stat row). */
+  private def ident(c: String) = "`" + c.replace("`", "``") + "`"
+  private def strLit(c: String) = "'" + c.replace("'", "''") + "'"
+
   /** ANSI-safe numeric view of a column: malformed values become null
     * (plain cast THROWS under Spark 4's default ANSI mode). */
-  private def tryDouble(c: String) = expr(s"try_cast(`$c` as double)")
+  private def tryDouble(c: String) = expr(s"try_cast(${ident(c)} as double)")
 
   /** @param groupBy optional grouping keys: stats per (group, column) — the
     *                per-language / per-source ingest report. Same one-pass
@@ -56,16 +63,17 @@ object Profile {
         min(d).as(s"__min_$c"),
         max(d).as(s"__max_$c"),
         round(avg(d), 4).as(s"__avg_$c"),
-        round(expr(s"approx_percentile(try_cast(`$c` as double), 0.5)").cast("double"), 4)
+        round(expr(s"approx_percentile(try_cast(${ident(c)} as double), 0.5)").cast("double"), 4)
           .as(s"__p50_$c"))
     }
     val one =
       if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { c =>
-      s"'$c', `__cnt_$c`, `__nul_$c`, `__ndv_$c`, `__min_$c`, `__max_$c`, `__avg_$c`, `__p50_$c`"
+      (strLit(c) +: Seq("__cnt_", "__nul_", "__ndv_", "__min_", "__max_",
+        "__avg_", "__p50_").map(p => ident(p + c))).mkString(", ")
     }.mkString(", ")
-    one.selectExpr(groupBy.map(g => s"`$g`") :+
+    one.selectExpr(groupBy.map(ident) :+
       (s"stack(${cols.size}, $stackArgs) as " +
         "(column_name, n_values, n_nulls, n_distinct, min_value, max_value, avg_value, p50_value)"): _*)
   }

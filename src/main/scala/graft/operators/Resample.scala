@@ -59,6 +59,13 @@ object ResampleTransform extends Transform {
       .groupBy((keys.map(col) :+ window(col(ts), interval).getField("start")
         .as("bucket_start")): _*)
       .agg(aggs.head, aggs.tail: _*)
+    // user-controlled aliases/keys must not collide with the gap-fill
+    // helper columns or the output bucket column (an aggregation aliased
+    // __next would be silently replaced by the lead() timestamps — wrong
+    // data, no error); diff removes the ONE legitimate bucket_start
+    ExprUtils.requireNoHelperCollision("resample",
+      bucketed.columns.toSeq.diff(Seq("bucket_start")),
+      "__next", "__orig", "bucket_start")
     val aggCols = bucketed.columns.filterNot((keys :+ "bucket_start").contains)
     val wk = (if (keys.isEmpty) W.partitionBy() else W.partitionBy(keys.map(col): _*))
       .orderBy(col("bucket_start"))

@@ -46,6 +46,8 @@ object Shards {
   def assignShards(df: DataFrame, idCol: String, weightCol: String, budget: Long,
                    numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    graft.config.ExprUtils.requireNoHelperCollision(
+      "shard", df.columns.toSeq, "cum_before", "shard_id")
     // the global (no-group) case of the shared distributed prefix sum —
     // GroupedPrefixSum.stamp documents "groupCols empty → one global sum
     // (the shard shape)", so the range-shuffle/partials/offsets/stamping
@@ -64,42 +66,31 @@ object Shards {
  */
 object ShardTransform extends Transform {
   val transformType = "shard"
+  override def validate(config: TransformConfig,
+                        schema: StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("weightColumn").toSeq,
+      transformType)
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "idColumn"); required(config, "weightColumn"); required(config, "budget")
-    Shards.assignShards(
+    // surface misconfig as the engine's ConfigException, not a raw
+    // NumberFormat/IllegalArgument stack (the TokenCap/PackSequences contract)
+    try Shards.assignShards(
       input,
       config.options("idColumn"),
       config.options("weightColumn"),
       config.options("budget").toLong,
       config.options.get("numPartitions").map(_.toInt).getOrElse(0))
+    catch {
+      case e: graft.api.ConfigException => throw e
+      case e: NumberFormatException => throw new graft.api.ConfigException(
+        s"shard: non-numeric option value (${e.getMessage})")
+      case e: IllegalArgumentException => throw new graft.api.ConfigException(
+        s"shard: ${e.getMessage}")
+    }
   }
 }
 
-/**
- * `sample` — deterministic, reproducible row sampling; no `rand()`, so a
- * re-run of the pipeline (or a retried task at 100 TB) selects the SAME
- * rows. Two methods over a key column:
- *
- *  - `hash` (default): bucket rows by `pmod(xxhash64(key, seed), buckets)`
- *    — hash-uniform regardless of key distribution; changing `seed`
- *    draws an independent sample. Codegen'd, shuffle-free, works for any
- *    key type.
- *  - `mod`: bucket by `pmod(key, buckets)` — for integral keys; arithmetic
- *    simple enough for any external system to reproduce exactly (the
- *    oracle path).
- *
- * Two output modes:
- *  - `keep: "k"` — FILTER to rows in the first `k` of `buckets` buckets.
- *  - `splits: "train:98,val:1,test:1"` — LABEL every row instead: append a
- *    column (`splitColumn`, default `split`) naming the slice whose
- *    cumulative bucket range the row's bucket falls in. The canonical
- *    reproducible train/val/test assignment: group-stable (same key ⇒ same
- *    slice on every run and every engine), no shuffle, no rand().
- *
- * Options: `on` (key column); `keep` or `splits` (exactly one);
- * `buckets` (default 100); `method` hash|mod; `seed` (hash only, default 0);
- * `splitColumn` (default `split`).
- */
 /**
  * `redact` — PII scrubbing for training corpora: rewrite every match of the
  * selected patterns to a typed placeholder, in listed order, on the listed
@@ -144,6 +135,31 @@ object RedactTransform extends Transform {
   }
 }
 
+/**
+ * `sample` — deterministic, reproducible row sampling; no `rand()`, so a
+ * re-run of the pipeline (or a retried task at 100 TB) selects the SAME
+ * rows. Two methods over a key column:
+ *
+ *  - `hash` (default): bucket rows by `pmod(xxhash64(key, seed), buckets)`
+ *    — hash-uniform regardless of key distribution; changing `seed`
+ *    draws an independent sample. Codegen'd, shuffle-free, works for any
+ *    key type.
+ *  - `mod`: bucket by `pmod(key, buckets)` — for integral keys; arithmetic
+ *    simple enough for any external system to reproduce exactly (the
+ *    oracle path).
+ *
+ * Two output modes:
+ *  - `keep: "k"` — FILTER to rows in the first `k` of `buckets` buckets.
+ *  - `splits: "train:98,val:1,test:1"` — LABEL every row instead: append a
+ *    column (`splitColumn`, default `split`) naming the slice whose
+ *    cumulative bucket range the row's bucket falls in. The canonical
+ *    reproducible train/val/test assignment: group-stable (same key ⇒ same
+ *    slice on every run and every engine), no shuffle, no rand().
+ *
+ * Options: `on` (key column); `keep` or `splits` (exactly one);
+ * `buckets` (default 100); `method` hash|mod; `seed` (hash only, default 0);
+ * `splitColumn` (default `split`).
+ */
 object SampleTransform extends Transform {
   val transformType = "sample"
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
@@ -365,32 +381,25 @@ object Shuffle {
         s"shuffle hash must be md5|xxhash64, got '$other'")
     }
     graft.config.ExprUtils.requireNoHelperCollision(
-      "shuffle", df.columns.toSeq, "__skey")
-    val ranged = df.withColumn("__skey", h)
-      .repartitionByRange(n, col("__skey"), col(idCol))
-      .sortWithinPartitions(col("__skey"), col(idCol))
-    if (!withPosition) ranged.drop("__skey")
+      "shuffle", df.columns.toSeq,
+      (if (withPosition) Seq("__skey", "shuffle_pos") else Seq("__skey")): _*)
+    if (!withPosition)
+      df.withColumn("__skey", h)
+        .repartitionByRange(n, col("__skey"), col(idCol))
+        .sortWithinPartitions(col("__skey"), col(idCol))
+        .drop("__skey")
     else {
-      val schema = ranged.schema
-      val kIdx = schema.fieldIndex("__skey")
-      val rdd = ranged.rdd
-      rdd.setName(s"graft.shuffle.ranged($idCol)")
-      val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
-        var c = 0L; it.foreach(_ => c += 1); Iterator((pid, c))
-      }.collect().sortBy(_._1).map(_._2)
-      val offsets = counts.scanLeft(0L)(_ + _)
-      val bOffsets = spark.sparkContext.broadcast(offsets)
-      val outSchema = StructType(
-        schema.fields.patch(kIdx, Nil, 1) :+
-          StructField("shuffle_pos", LongType, nullable = false))
-      val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
-        var pos = bOffsets.value(pid)
-        it.map { r =>
-          val p = pos; pos += 1
-          Row.fromSeq(r.toSeq.patch(kIdx, Nil, 1) :+ p)
-        }
-      }
-      spark.createDataFrame(stamped, outSchema)
+      // shuffle_pos IS the exclusive prefix sum of a constant weight 1 in
+      // (__skey, id) order — delegate to the shared two-phase machine
+      // (exactly AssignIds' shape) instead of a private copy of the
+      // counts/offsets/stamping logic that any future hardening of
+      // GroupedPrefixSum would silently miss
+      val one = graft.config.ExprUtils.freshName(
+        df.columns.toSeq :+ "__skey", "__one")
+      GroupedPrefixSum.stamp(
+          df.withColumn("__skey", h).withColumn(one, lit(1L)),
+          Nil, Seq(col("__skey"), col(idCol)), one, "shuffle_pos", n)
+        .drop("__skey", one)
     }
   }
 }

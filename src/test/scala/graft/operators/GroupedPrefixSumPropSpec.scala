@@ -81,6 +81,46 @@ class GroupedPrefixSumPropSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("NaN and -0.0 double group keys chain as ONE group (SQL grouping " +
+    "semantics) — boxed-numeric NaN != NaN must not fracture the sum") {
+    // several NaN rows, a -0.0/0.0 pair, ordinary keys; partition counts
+    // that split the NaN run across boundaries
+    def d(v: Double): java.lang.Double = java.lang.Double.valueOf(v)
+    val data: Seq[(Long, java.lang.Double, Long)] = Seq(
+      (1L, d(Double.NaN), 5L), (2L, d(Double.NaN), 5L), (3L, d(Double.NaN), 5L),
+      (4L, d(Double.NaN), 5L), (5L, d(1.5), 2L), (6L, d(1.5), 2L),
+      (7L, d(-0.0), 3L), (8L, d(0.0), 3L), (9L, null, 1L))
+    Seq(1, 3, 7).foreach { parts =>
+      val df = data.toDF("id", "grp", "w")
+      df.createOrReplaceTempView("pfx_nan")
+      val expected = spark.sql(
+        """SELECT id, coalesce(sum(w) OVER (PARTITION BY grp ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cb
+           FROM pfx_nan""").as[(Long, Long)].collect().toMap
+      val got = GroupedPrefixSum.stamp(df.repartition(parts), Seq("grp"),
+          Seq(col("id")), "w", "cb", parts)
+        .select("id", "cb").as[(Long, Long)].collect().toMap
+      withClue(s"parts=$parts: ") { got shouldBe expected }
+    }
+    // the SQL oracle itself: NaNs are one window partition (cb 0,5,10,15),
+    // -0.0 groups with 0.0 (cb 0,3) — assert the semantics we chain to
+    val df = data.toDF("id", "grp", "w")
+    df.createOrReplaceTempView("pfx_nan")
+    spark.sql(
+      """SELECT id, coalesce(sum(w) OVER (PARTITION BY grp ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cb
+         FROM pfx_nan WHERE isnan(grp)""").as[(Long, Long)].collect()
+      .toMap shouldBe Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> 15L)
+  }
+
+  test("case-insensitive group/weight column resolution (default " +
+    "caseSensitive=false parity with validate and Column resolution)") {
+    val df = Seq((1L, "a", 2L), (2L, "a", 3L)).toDF("id", "Grp", "W")
+    GroupedPrefixSum.stamp(df, Seq("grp"), Seq(col("id")), "w", "cb")
+      .select("id", "cb").as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 0L, 2L -> 2L)
+  }
+
   test("map-typed group columns are rejected fail-fast") {
     val df = Seq((1L, Map("a" -> 1), 1L)).toDF("id", "grp", "w")
     val e = intercept[IllegalArgumentException] {
