@@ -15,13 +15,20 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
+  /** Strip ALL leading/trailing whitespace. Spark's `trim` removes only
+    * ASCII space (0x20) while `split(_, "\\s+")` keeps leading/trailing
+    * empty strings, so a doc ending in a newline would otherwise grow a
+    * phantom "" token that skews every token-derived signal. */
+  private def wsStrip(text: Column): Column =
+    regexp_replace(text, "^\\s+|\\s+$", "")
+
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column =
-    split(lower(trim(text)), "\\s+")
+    split(lower(wsStrip(text)), "\\s+")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+    when(length(wsStrip(text)) === 0, 0).otherwise(size(tokens(text)))
 
   /** BPE-ish subword count: runs of letters, runs of digits, and individual
     * punctuation marks each count as a token (the usual pre-tokenizer
@@ -91,7 +98,11 @@ object TextFunctions {
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
     val wordLen = meanTokenLength(text)
     val wordScore = when(wordLen.between(3.0, 9.0), 1.0).otherwise(0.4)
-    round(lenScore * 0.3 + stopScore * 0.3 + punctScore * 0.2 + wordScore * 0.2, 4)
+    // least()/greatest() SKIP null arguments, so without this guard a NULL
+    // text scores 0.68 (lenScore and stopScore collapse to their 1.0 caps)
+    // and sails through quality filters
+    when(text.isNull, lit(null).cast("double")).otherwise(
+      round(lenScore * 0.3 + stopScore * 0.3 + punctScore * 0.2 + wordScore * 0.2, 4))
   }
 
   /** Language profiles: high-frequency function words per language (public
@@ -118,7 +129,12 @@ object TextFunctions {
         lit(lang).as("lang"))
     }
     val top = greatest(scored: _*)
-    when(top.getField("score") === 0, lit("und")).otherwise(top.getField("lang"))
+    // NULL text gives every profile a null score; greatest() then ties on
+    // equal-null score fields and the struct tie-break returns the
+    // lexicographically-last lang code ("zh") — guard explicitly
+    when(text.isNull, lit(null).cast("string"))
+      .when(top.getField("score") === 0, lit("und"))
+      .otherwise(top.getField("lang"))
   }
 
   /** Composable HOF form of [[langId]]; parity reference. */
@@ -131,7 +147,9 @@ object TextFunctions {
         lit(lang).as("lang"))
     }
     val top = greatest(scored: _*)
-    when(top.getField("score") === 0, lit("und")).otherwise(top.getField("lang"))
+    when(text.isNull, lit(null).cast("string"))
+      .when(top.getField("score") === 0, lit("und"))
+      .otherwise(top.getField("lang"))
   }
 
   /**
@@ -149,8 +167,6 @@ object TextFunctions {
   def fingerprintHof(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
 
-  /** Word n-gram array ("a b c", 2 → ["a b", "b c"]); docs shorter than n
-    * tokens get a single shingle of the whole text. */
   /**
    * Corpus-level vocabulary: the `k` most frequent whitespace tokens
    * (lowercased; same tokenization as [[tokens]]) with their counts,
@@ -393,6 +409,8 @@ object TextFunctions {
   /** [[dupNgramFraction]] at the single-word level. */
   def dupWordFraction(text: Column): Column = dupNgramFraction(text, 1)
 
+  /** Word n-gram array ("a b c", 2 → ["a b", "b c"]); docs shorter than n
+    * tokens get a single shingle of the whole text. */
   def wordNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) <= n, array(array_join(t, " "))).otherwise(

@@ -34,17 +34,20 @@ object UrlFunctions {
     val noPort = regexp_replace(
       regexp_replace(lowered, "^(http://[^/:?#]+):80([/?]|$)", "$1$2"),
       "^(https://[^/:?#]+):443([/?]|$)", "$1$2")
-    // 4. www.
-    val noWww = regexp_replace(noPort, "://www\\.", "://")
+    // 4. www. — anchored to the URL's own scheme seam; an unanchored
+    //    "://www\\." would also rewrite URLs embedded in query values
+    val noWww = regexp_replace(noPort, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
     // 5. tracking params ([?&]-anchored so `pref=` never matches `ref=`),
     //    then tidy the artifacts: && runs, the ?& seam, trailing ?/&
     val noTrack = regexp_replace(noWww,
       "([?&])(utm_[a-zA-Z0-9]+|fbclid|gclid|ref)=[^&#]*", "$1")
     val tidied = regexp_replace(
-      regexp_replace(regexp_replace(noTrack, "&&+", "&"), "\\?&", "?"),
+      regexp_replace(regexp_replace(noTrack, "&&+", "&"), "^([^?]*\\?)&+", "$1"),
       "[?&]+$", "")
-    // 6. trailing slash — at end-of-string and at the /? seam
-    regexp_replace(regexp_replace(tidied, "/\\?", "?"), "/$", "")
+    // 6. trailing slash — at end-of-string and at the path/query seam.
+    //    The seam is the FIRST `?` only (anchored via [^?]*): an unanchored
+    //    "/\\?" would also collapse `/?` sequences inside query values
+    regexp_replace(regexp_replace(tidied, "^([^?]*)/\\?", "$1?"), "/$", "")
   }
 
   /** Host of an (ideally normalized) URL; null when no scheme://host. */
@@ -62,7 +65,9 @@ object UrlFunctions {
    */
   def urlDomain(url: Column): Column = {
     val host = urlHost(url)
-    when(host.isNull, lit(null).cast("string"))
-      .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+    val dom = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    // regexp_extract returns "" (never null) on no-match: dotless hosts
+    // (localhost, intranet names) must yield null, not one "" domain group
+    when(host.isNull || dom === "", lit(null).cast("string")).otherwise(dom)
   }
 }

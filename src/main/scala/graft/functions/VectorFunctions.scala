@@ -67,21 +67,8 @@ object VectorFunctions {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
-  /**
-   * Deterministic random-hyperplane sign bits (SimHash for vectors): bit j
-   * is the sign of a pseudo-random projection whose weights derive from
-   * murmur3 `hash(j, i)` — no RNG state, identical across executors, so
-   * the bucketing is reproducible cluster-wide with zero broadcast.
-   * Returns an int bucket id from `bits` hyperplanes.
-   */
-  def hyperplaneBucket(vec: Column, bits: Int): Column = {
-    val bitCols = (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * ((hash(lit(j), i) % 1000).cast("double") / 1000.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, 1 << j).otherwise(0)
-    }
-    bitCols.reduce(_ + _)
-  }
+  // Hyperplane bucketing lives ONLY in the native
+  // graft.functions.expressions.HyperplaneBuckets (one plan node, cached
+  // planes, null-safe). A HOF twin here once drifted to an incompatible
+  // weight formula with no callers — deleted rather than kept as a trap.
 }

@@ -27,11 +27,24 @@ import org.apache.spark.sql.types._
  * (left-to-right double accumulation, 0.0 on zero denominator), and the
  * same (sim DESC, id ASC) ordering as the greatest-struct / sorted-struct
  * selection it replaces.
+ *
+ * Dirty vectors degrade to null, matching [[CosineSimilarity]]: a null
+ * element (parquet arrays default containsNull=true — a null slot must not
+ * read as 0.0) or a dimensionality different from the codebook's yields a
+ * null assignment, which downstream explode/joins drop. The null-element
+ * scan is skipped when the schema says containsNull=false.
  */
 case class ArgTopCentroids(child: Expression, centroids: Array[Array[Float]], k: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // null on null elements / codebook-dim mismatch even for non-null input
+  override def nullable: Boolean = true
+
+  private def checkElems: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
 
   private def isDouble: Boolean = child.dataType match {
     case ArrayType(DoubleType, _) => true
@@ -45,12 +58,17 @@ case class ArgTopCentroids(child: Expression, centroids: Array[Array[Float]], k:
   }
 
   override def nullSafeEval(input: Any): Any =
-    ArgTopCentroids.compute(input.asInstanceOf[ArrayData], centroids, k, isDouble)
+    ArgTopCentroids.compute(
+      input.asInstanceOf[ArrayData], centroids, k, isDouble, checkElems)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expressions.ArgTopCentroids.compute($c, $ref, $k, $isDouble)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.expressions.ArgTopCentroids.compute(
+         |  $c, $ref, $k, $isDouble, $checkElems);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -63,10 +81,18 @@ object ArgTopCentroids {
 
   /** Static for codegen: cosine against every centroid (same fused loop as
     * CosineSimilarity), then select the k best by (sim DESC, id ASC) with a
-    * simple repeated-max scan — nLists is small by IVF's definition. */
+    * simple repeated-max scan — nLists is small by IVF's definition.
+    * Returns null for a vector with a null element (scanned only if
+    * `checkNulls`) or whose dim differs from the codebook's. */
   def compute(vec: ArrayData, centroids: Array[Array[Float]], k: Int,
-              isDouble: Boolean): ArrayData = {
+              isDouble: Boolean, checkNulls: Boolean): ArrayData = {
     val nLists = centroids.length
+    if (nLists > 0 && vec.numElements() != centroids(0).length) return null
+    if (checkNulls) {
+      var i = 0
+      val d = vec.numElements()
+      while (i < d) { if (vec.isNullAt(i)) return null; i += 1 }
+    }
     val sims = new Array[Double](nLists)
     var c = 0
     while (c < nLists) {

@@ -22,14 +22,18 @@ import org.apache.spark.sql.types._
  * exactly (same left-to-right accumulation, same dot/(√na·√nb) shape), so
  * results are bit-identical and oracle checks are unaffected.
  *
- * Array elements must be non-null (embedding vectors); both arrays shorter
- * side bounds the loop.
+ * Dirty data degrades to null, exactly like the HOF form: a length
+ * mismatch, or a null element in either array, yields null (zip_with pads
+ * the shorter side with nulls, which nulls the whole fold) — never a
+ * silent prefix similarity or a 0.0-for-null read. The per-element null
+ * branch is emitted only when the array schema says containsNull=true.
  */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // null on mismatched lengths / null elements even when inputs are non-null
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType | IntegerType | LongType), _) => Some(t)
@@ -54,16 +58,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val lt = elemType(left).get; val rt = elemType(right).get
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = get(a, lt, i); val y = get(b, rt, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  private def containsNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -75,21 +86,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
       case _           => throw new IllegalStateException("unreachable")
     }
     val lt = elemType(left).get; val rt = elemType(right).get
+    val checkElems = containsNull(left) || containsNull(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val denom = ctx.freshName("denom")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val nullElemGuard =
+        if (checkElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = ${accessor(a, lt, i)};
-         |  final double $y = ${accessor(b, rt, i)};
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemGuard
+         |    final double $x = ${accessor(a, lt, i)};
+         |    final double $y = ${accessor(b, rt, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |  }
          |}
-         |final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
        """.stripMargin
     })
   }

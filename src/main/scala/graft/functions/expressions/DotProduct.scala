@@ -15,13 +15,18 @@ import org.apache.spark.sql.types._
  * computes tables×bits dot products against LITERAL hyperplane vectors.
  * Same rationale as [[CosineSimilarity]] (SURVEY §7.3): the composable
  * `aggregate(zip_with(...))` form evaluates interpreted per element.
- * Arithmetic is the same left-to-right accumulation as the HOF form.
+ * Arithmetic is the same left-to-right accumulation as the HOF form, and
+ * so is dirty-data handling: length mismatch or a null element → null
+ * (zip_with pads with nulls), never a silent prefix product. The
+ * per-element null branch is skipped when the schema has containsNull=false
+ * (e.g. literal hyperplane arrays), keeping the LSH hot loop branch-free.
  */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // null on mismatched lengths / null elements even when inputs are non-null
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType | IntegerType | LongType), _) => Some(t)
@@ -46,11 +51,20 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val lt = elemType(left).get; val rt = elemType(right).get
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var i = 0
-    while (i < n) { dot += get(a, lt, i) * get(b, rt, i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += get(a, lt, i) * get(b, rt, i); i += 1
+    }
     dot
+  }
+
+  private def containsNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -62,16 +76,26 @@ case class DotProduct(left: Expression, right: Expression)
       case _           => throw new IllegalStateException("unreachable")
     }
     val lt = elemType(left).get; val rt = elemType(right).get
+    val checkElems = containsNull(left) || containsNull(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      val nullElemGuard =
+        if (checkElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ${accessor(a, lt, i)} * ${accessor(b, rt, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  final int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemGuard
+         |    $dot += ${accessor(a, lt, i)} * ${accessor(b, rt, i)};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
   }

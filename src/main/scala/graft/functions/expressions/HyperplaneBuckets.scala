@@ -35,10 +35,13 @@ import org.apache.spark.sql.types._
  * [[DotProduct]], so bucket assignments match the old plan exactly
  * (bit-identity spec in HyperplaneBucketsSpec).
  *
- * NULL vectors yield a NULL bucket array (the usual null-safe contract), so
- * an `explode` downstream drops them from candidate generation — unlike the
- * literal form, which bucketed null vectors into bucket 0 of every table
- * and fed null similarities to the ranker.
+ * NULL vectors — and vectors CONTAINING a null element (parquet embedding
+ * columns default to containsNull=true; a null slot must never silently
+ * read as 0.0) — yield a NULL bucket array (the usual null-safe contract),
+ * so an `explode` downstream drops them from candidate generation — unlike
+ * the literal form, which bucketed null vectors into bucket 0 of every
+ * table and fed null similarities to the ranker. The per-element null scan
+ * is skipped when the schema says containsNull=false.
  */
 case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int)
     extends UnaryExpression {
@@ -48,6 +51,13 @@ case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int)
     s"hyperplane_buckets: bits must be in [1, 30], got $bits")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // null input OR null element both produce a null result
+  override def nullable: Boolean = true
+
+  private def checkElems: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
 
   private def elemKind: Int = child.dataType match {
     case ArrayType(FloatType, _)   => 0
@@ -63,11 +73,16 @@ case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int)
       s"hyperplane_buckets expects a numeric array input, got ${child.dataType.simpleString}")
 
   override def nullSafeEval(input: Any): Any =
-    HyperplaneBuckets.compute(input.asInstanceOf[ArrayData], tables, bits, elemKind)
+    HyperplaneBuckets.compute(
+      input.asInstanceOf[ArrayData], tables, bits, elemKind, checkElems)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expressions.HyperplaneBuckets.compute($c, $tables, $bits, $elemKind)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.expressions.HyperplaneBuckets.compute(
+         |  $c, $tables, $bits, $elemKind, $checkElems);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -122,9 +137,15 @@ object HyperplaneBuckets {
   }
 
   /** One fused pass over tables×bits planes. Static so generated code calls
-    * it directly (stays inside whole-stage codegen). */
-  def compute(arr: ArrayData, tables: Int, bits: Int, kind: Int): ArrayData = {
+    * it directly (stays inside whole-stage codegen). Returns null when the
+    * vector contains a null element (only scanned if `checkNulls`). */
+  def compute(arr: ArrayData, tables: Int, bits: Int, kind: Int,
+              checkNulls: Boolean): ArrayData = {
     val dim = arr.numElements()
+    if (checkNulls) {
+      var i = 0
+      while (i < dim) { if (arr.isNullAt(i)) return null; i += 1 }
+    }
     val w = planes(tables, bits, dim)
     val out = new Array[Int](tables)
     var t = 0

@@ -33,7 +33,13 @@ case class MinHashFromHashes(child: Expression, k: Int) extends UnaryExpression 
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // validated at analysis (not a require) so a bad SQL-function argument
+  // fails the query plan instead of throwing NegativeArraySizeException
+  // per row on executors; k = 0 would silently emit empty signatures that
+  // all band into one degenerate bucket
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if k < 1 => TypeCheckResult.TypeCheckFailure(
+      s"minhash_from_hashes expects k >= 1, got $k")
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"minhash_from_hashes expects array<bigint> (shingle hashes), got ${other.simpleString}")

@@ -257,6 +257,25 @@ class AnnSpec extends SparkTestBase {
     fusedPlan.length should be < 4000
   }
 
+  test("ArgTopCentroids: null element or codebook-dim mismatch yields a " +
+    "null assignment instead of a silent prefix score") {
+    import graft.functions.expressions.ArgTopCentroids
+    val centroids = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f))
+    val dir = tmpDir("atc-dirty")
+    Seq(
+      (1L, Seq[Option[Float]](Some(1f), None, Some(0f))),   // null element
+      (2L, Seq[Option[Float]](Some(1f), Some(0f))),          // dim 2 != 3
+      (3L, Seq[Option[Float]](Some(0f), Some(1f), Some(0f))))
+      .toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val out = spark.read.parquet(dir)
+      .select(col("id"), ArgTopCentroids(col("v"), centroids, 1).as("a"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    out(1L) shouldBe null
+    out(2L) shouldBe null
+    out(3L) shouldBe Seq(1)
+  }
+
   test("empty and single-row corpora build and return gracefully") {
     val queries = corpus.where("vec_id = 0")
       .select(col("vec_id").as("query_id"), col("embedding"))

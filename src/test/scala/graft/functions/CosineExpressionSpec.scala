@@ -99,6 +99,30 @@ class CosineExpressionSpec extends SparkTestBase {
     out(2L) shouldBe Seq(0.6, 0.8)
   }
 
+  test("null ELEMENTS and length mismatch yield null — matching the " +
+    "zip_with HOF reference, never a silent prefix/0.0 score") {
+    // parquet round-trip so containsNull = true and the codegen'd branch runs
+    val dir = tmpDir("cosine-nullelem")
+    Seq(
+      (1L, Seq[Option[Float]](Some(1f), None, Some(2f)), Seq[Option[Float]](Some(1f), Some(1f), Some(1f))),
+      (2L, Seq[Option[Float]](Some(1f), Some(2f), Some(3f)), Seq[Option[Float]](Some(1f), Some(2f))),
+      (3L, Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(1f), Some(2f))))
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).select(
+      col("id"),
+      VectorFunctions.cosine(col("a"), col("b")).as("cn"),
+      VectorFunctions.cosineHof(col("a"), col("b")).as("ch"),
+      graft.functions.expressions.DotProduct(col("a"), col("b")).as("dn"),
+      VectorFunctions.dot(col("a"), col("b")).as("dh"))
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    rows(1L).isNullAt(1) shouldBe true // null element → null
+    rows(2L).isNullAt(1) shouldBe true // length mismatch → null
+    rows(3L).isNullAt(1) shouldBe false
+    // and exact agreement with the HOF forms on every row
+    df.where("(cn IS NULL) != (ch IS NULL) OR cn != ch" +
+      " OR (dn IS NULL) != (dh IS NULL) OR dn != dh").count() shouldBe 0
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     // a LocalRelation input would be constant-folded away; use a real scan
     val dir = tmpDir("cosine-wsc")

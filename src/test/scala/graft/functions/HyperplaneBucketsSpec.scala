@@ -48,6 +48,19 @@ class HyperplaneBucketsSpec extends SparkTestBase {
       .where("id = 2").count() shouldBe 0
   }
 
+  test("a null ELEMENT yields a null bucket array — never read as 0.0 — " +
+    "in both interpreted and codegen paths") {
+    val dir = tmpDir("hpb-nullelem")
+    Seq((1L, Seq[Option[Float]](Some(1f), None)),
+        (2L, Seq[Option[Float]](Some(1f), Some(2f))))
+      .toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val out = spark.read.parquet(dir)
+      .select(col("id"), HyperplaneBuckets(col("v"), 2, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    out(1L) shouldBe true
+    out(2L) shouldBe false
+  }
+
   test("double arrays accepted; non-array input rejected at analysis") {
     Seq((Array(0.5, -0.5), 0)).toDF("v", "z")
       .select(HyperplaneBuckets(col("v"), 2, 4).as("b"))

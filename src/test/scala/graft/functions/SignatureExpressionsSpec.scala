@@ -104,5 +104,12 @@ class SignatureExpressionsSpec extends SparkTestBase {
     withNull.createOrReplaceTempView("sig_sql_docs")
     spark.sql("SELECT minhash_from_hashes(sh, 2 + 2) AS m, simhash_from_hashes(sh) AS s FROM sig_sql_docs WHERE id = 1")
       .selectExpr("size(m)").as[Int].head() shouldBe 4
+    // k < 1 must fail analysis (a clear plan error), not throw
+    // NegativeArraySizeException per row on executors / silently emit
+    // empty signatures that band into one degenerate bucket
+    an[Exception] should be thrownBy
+      spark.sql("SELECT minhash_from_hashes(sh, -1) FROM sig_sql_docs").collect()
+    an[Exception] should be thrownBy
+      spark.sql("SELECT minhash_from_hashes(sh, 0) FROM sig_sql_docs").collect()
   }
 }

@@ -60,6 +60,32 @@ class TextFunctionsSpec extends SparkTestBase {
     ls.getAs[Int]("ellipsis") shouldBe 1
   }
 
+  test("edge tabs/newlines produce no phantom empty tokens (trim() only " +
+    "strips ASCII space; split keeps boundary empties)") {
+    one[Int](tokenCount(col("t")), "hello world\n") shouldBe 2
+    one[Int](tokenCount(col("t")), "\thello\n") shouldBe 1
+    one[Int](tokenCount(col("t")), "\t\n ") shouldBe 0
+    one[Double](meanTokenLength(col("t")), "hello\n") shouldBe 5.0
+    // fingerprint must not hash a phantom "" token: newline-terminated text
+    // fingerprints identically to the clean text
+    one[Long](fingerprint(col("t")), "a b c\n") shouldBe
+      one[Long](fingerprint(col("t")), "a b c")
+  }
+
+  test("NULL text yields null quality score and null language id — not the " +
+    "0.68 / \"zh\" artifacts of null-skipping least()/greatest()") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "the cat is here and it is fine"))
+      .toDF("id", "t")
+    val rows = df.select(col("id"), qualityScore(col("t")).as("q"),
+      langId(col("t")).as("l"), langIdHof(col("t")).as("lh")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    rows(1L).isNullAt(1) shouldBe true
+    rows(1L).isNullAt(2) shouldBe true
+    rows(1L).isNullAt(3) shouldBe true
+    rows(2L).isNullAt(1) shouldBe false
+    rows(2L).getString(2) shouldBe "en"
+  }
+
   test("language id picks the profile with most function-word hits") {
     one[String](langId(col("t")), "the cat is on the mat and it is happy") shouldBe "en"
     one[String](langId(col("t")), "der hund ist nicht mit der katze") shouldBe "de"

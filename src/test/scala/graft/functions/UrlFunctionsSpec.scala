@@ -34,11 +34,30 @@ class UrlFunctionsSpec extends SparkTestBase {
       "https://sub.example.com/CaseSensitive/Path")
   }
 
+  test("URLs embedded in query values are not rewritten (www./trailing-slash " +
+    "steps anchor to the outer URL's own seams)") {
+    norm(
+      // the embedded https://www.b.com/x/?y=1 must survive verbatim
+      "https://a.com/r?u=https://www.b.com/x/?y=1",
+      // www. stripped at the real seam even when a query value has one too
+      "https://www.a.com/r?u=www.b.com"
+    ) shouldBe Seq(
+      "https://a.com/r?u=https://www.b.com/x/?y=1",
+      "https://a.com/r?u=www.b.com")
+  }
+
   test("host and registrable-domain extraction") {
     val d = Seq("https://News.Example.co/x", "not a url").toDF("url")
     d.select(UrlFunctions.urlHost($"url"), UrlFunctions.urlDomain($"url"))
       .as[(Option[String], Option[String])].collect().toSeq shouldBe Seq(
       (Some("news.example.co"), Some("example.co")), (None, None))
+  }
+
+  test("dotless hosts get a null domain, not one shared \"\" group") {
+    val d = Seq("http://localhost/x", "http://intranet:8080/y").toDF("url")
+    d.select(UrlFunctions.urlHost($"url"), UrlFunctions.urlDomain($"url"))
+      .as[(Option[String], Option[String])].collect().toSeq shouldBe Seq(
+      (Some("localhost"), None), (Some("intranet"), None))
   }
 
   test("transform normalizes in place, appends host/domain, zero shuffle") {
