@@ -115,10 +115,13 @@ object Dedup {
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    // threshold the RAW jaccard; round only for output — filtering the
+    // rounded value would admit pairs up to 5e-5 below the configured
+    // threshold (the ANN cosine path has always done it this way)
     pairs
-      .withColumn("jaccard", round(when(union === 0, 0.0).otherwise(inter / union), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn("__j", when(union === 0, 0.0).otherwise(inter / union))
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
 
   /**
@@ -182,29 +185,41 @@ object Dedup {
       df: DataFrame, sigStore: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
-    val missing = Seq("doc_id", "sh", "sig").filterNot(sigStore.columns.contains)
-    if (missing.nonEmpty) throw new graft.api.ConfigException(
-      s"minhash signature store is missing column(s) ${missing.mkString(", ")} — " +
-        "expected the minhashSignatures layout (doc_id, sh, sig, mh_*)")
-    if (sigStore.columns.contains("mh_bands")) {
-      // DISTINCT stamp set (tiny partial-agg job), not one sampled row: a
-      // mixed-parameter store (two builds appended together) must fail
-      // regardless of partition order, and a null stamp must raise the
-      // config error, not an NPE — a param mismatch means every bucket
-      // would miss, the silent-zero-duplicates failure mode
-      val want = s"bands=$bands, rowsPerBand=$rowsPerBand, shingleSize=$shingleSize"
-      val stamps = sigStore.select("mh_bands", "mh_rows_per_band", "mh_shingle")
-        .distinct().collect()
-        .map(r => (0 to 2).map(i =>
-          if (r.isNullAt(i)) "null" else r.getInt(i).toString))
-        .map { case Seq(b, rp, sz) => s"bands=$b, rowsPerBand=$rp, shingleSize=$sz" }
-        .sorted
-      if (stamps.exists(_ != want))
-        throw new graft.api.ConfigException(
-          s"minhash signature store was written with [${stamps.mkString("; ")}] " +
-            s"but this run requests $want — matching would silently find " +
-            "zero duplicates; rebuild the store or align the parameters")
+    // the stamp columns are REQUIRED, not optional: a store without them
+    // cannot prove it was built with this run's parameters, and skipping
+    // the check re-opens the silent-zero-duplicates hole the stamps exist
+    // to close (minhashSignatures always writes them; a half-stamped store
+    // is a corrupted/hand-edited one and must get the guided error, not an
+    // UNRESOLVED_COLUMN AnalysisException)
+    val missing = Seq("doc_id", "sh", "sig",
+        "mh_bands", "mh_rows_per_band", "mh_shingle")
+      .filterNot(sigStore.columns.contains)
+    if (missing.nonEmpty) {
+      throw new graft.api.ConfigException(
+        s"minhash signature store is missing column(s) ${missing.mkString(", ")} — " +
+          "expected the minhashSignatures layout (doc_id, sh, sig, mh_*); " +
+          "rebuild the store with minhashSignatures")
     }
+    // DISTINCT stamp set (tiny partial-agg job), not one sampled row: a
+    // mixed-parameter store (two builds appended together) must fail
+    // regardless of partition order, and a null stamp must raise the
+    // config error, not an NPE — a param mismatch means every bucket
+    // would miss, the silent-zero-duplicates failure mode. cast("int")
+    // tolerates a store round-tripped through a wider integer type.
+    val want = s"bands=$bands, rowsPerBand=$rowsPerBand, shingleSize=$shingleSize"
+    val stamps = sigStore.select(
+        Seq("mh_bands", "mh_rows_per_band", "mh_shingle")
+          .map(c => col(c).cast("int")): _*)
+      .distinct().collect()
+      .map(r => (0 to 2).map(i =>
+        if (r.isNullAt(i)) "null" else r.getInt(i).toString))
+      .map { case Seq(b, rp, sz) => s"bands=$b, rowsPerBand=$rp, shingleSize=$sz" }
+      .sorted
+    if (stamps.exists(_ != want))
+      throw new graft.api.ConfigException(
+        s"minhash signature store was written with [${stamps.mkString("; ")}] " +
+          s"but this run requests $want — matching would silently find " +
+          "zero duplicates; rebuild the store or align the parameters")
     minhashAgainstCore(
       sigFrame(df, idCol, textCol, bands * rowsPerBand, shingleSize),
       sigStore.select("doc_id", "sh", "sig"),
@@ -260,10 +275,11 @@ object Dedup {
       .join(refSig.select(col("doc_id").as("ref_id"), col("sh").as("sh_b")), Seq("ref_id"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    // raw-value threshold, rounded output — see minhashNearDups
     pairs
-      .withColumn("jaccard", round(when(union === 0, 0.0).otherwise(inter / union), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id", "ref_id", "jaccard")
+      .withColumn("__j", when(union === 0, 0.0).otherwise(inter / union))
+      .filter(col("__j") >= threshold)
+      .select(col("id"), col("ref_id"), round(col("__j"), 4).as("jaccard"))
   }
 
   /**
@@ -339,12 +355,34 @@ object Dedup {
 
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
-    // static 4-element array (chunk count is fixed) — stays codegen'd,
+    // adaptive pigeonhole blocking: maxHamming+1 chunks guarantee a pair
+    // within the distance shares >= 1 intact chunk (a FIXED 4-chunk layout
+    // silently lost every hamming-4+ pair whose flips straddled all four
+    // chunks). At the default maxHamming=3 this is the same 4x16-bit
+    // layout as before, bit for bit. Wider distances mean narrower chunks
+    // and fatter buckets — the cap observer makes that cost visible.
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"simhashNearDups: maxHamming must be in [0, 15] — blocking needs " +
+        s"maxHamming+1 chunks of a 64-bit signature and chunks narrower " +
+        s"than 4 bits degenerate into all-collide buckets, got $maxHamming")
+    // null signatures (null text) can never pair — without this filter they
+    // explode into null-chunk rows each, fire bogus mega-bucket cap
+    // warnings, and ride the shuffle for nothing
+    val sigs = simhashSignatures(df, idCol, textCol).where(col("sig").isNotNull)
+    // static chunk array (count fixed at plan time) — stays codegen'd,
     // unlike the transform(sequence(...)) HOF form it replaces, which
-    // evaluated interpreted per row
-    val chunkStructs = (0 until 4).map(c => struct(lit(c).as("chunk"),
-      call_function("shiftright", col("sig"), lit(c * 16)).bitwiseAND(0xFFFFL).as("ch")))
+    // evaluated interpreted per row. 64 bits split as evenly as possible:
+    // the first (64 % n) chunks get the extra bit.
+    val nChunks = maxHamming + 1
+    val baseW = 64 / nChunks; val extra = 64 % nChunks
+    val chunkStructs = (0 until nChunks).map { c =>
+      val width = baseW + (if (c < extra) 1 else 0)
+      val offset = c * baseW + math.min(c, extra)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(c).as("chunk"),
+        call_function("shiftright", col("sig"), lit(offset))
+          .bitwiseAND(mask).as("ch"))
+    }
     val chunked0 = sigs.select(col("doc_id"), col("sig"),
         explode(array(chunkStructs: _*)).as("cc"))
       .select(col("doc_id"), col("sig"), col("cc.chunk"), col("cc.ch"))

@@ -152,8 +152,11 @@ object LineDedupTransform extends Transform {
       transformType)
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     val separator = config.options.getOrElse("separator", "\n")
+    try {
+    // parse inside the try: {minLength: "two"} gets the guided
+    // ConfigException (NumberFormatException IS an IllegalArgumentException)
     val minLength = config.options.get("minLength").map(_.toInt).getOrElse(1)
-    try config.options.getOrElse("scope", "corpus") match {
+    config.options.getOrElse("scope", "corpus") match {
       case "corpus" if config.options.contains("referenceView") =>
         required(config, "idColumn", "textColumn")
         val text = config.options("textColumn")
@@ -176,6 +179,7 @@ object LineDedupTransform extends Transform {
           separator = separator, minLength = minLength)
       case other => throw new ConfigException(
         s"dedup_lines scope must be corpus|document, got '$other'")
+    }
     } catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
   }
 }

@@ -213,7 +213,10 @@ object SpanDedup {
     if (missing.nonEmpty) throw new graft.api.ConfigException(
       s"gram signature store is missing column(s) ${missing.mkString(", ")} — " +
         "expected the gramSignatures layout (gh, sg_n)")
-    val stamps = store.select("sg_n").distinct().collect()
+    // cast("int") tolerates a store round-tripped through a wider integer
+    // type (e.g. a bigint-stamped rebuild) — r.getInt on a LongType column
+    // would throw ClassCastException instead of the guided error below
+    val stamps = store.select(col("sg_n").cast("int")).distinct().collect()
       .map(r => if (r.isNullAt(0)) "null" else r.getInt(0).toString).sorted
     if (stamps.exists(_ != n.toString)) throw new graft.api.ConfigException(
       s"gram signature store carries n stamp(s) ${stamps.mkString(", ")} but " +
@@ -355,6 +358,10 @@ object SpanDedupTransform extends Transform {
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "idColumn", "textColumn")
     val id = config.options("idColumn"); val text = config.options("textColumn")
+    // numeric parses live INSIDE the try below: NumberFormatException IS an
+    // IllegalArgumentException, so {n: "eight"} gets the guided
+    // ConfigException instead of a context-free NFE
+    try {
     val n = config.options.get("n").map(_.toInt).getOrElse(8)
     val minCount = config.options.get("minCount").map(_.toInt).getOrElse(2)
     val ref = config.options.get("referenceView").map(v => (ctx.spark.table(v),
@@ -373,6 +380,12 @@ object SpanDedupTransform extends Transform {
     if (method == "bloom" && ref.isEmpty && sig.isEmpty) throw new ConfigException(
       "dedup_spans: method bloom requires referenceView or signatureView " +
         "(corpus-scope duplication needs exact counts, not membership)")
+    // fpp only parameterizes the bloom sketch — with method=exact the user
+    // likely meant method: bloom; reject rather than silently ignore
+    if (method != "bloom" && config.options.contains("fpp"))
+      throw new ConfigException(
+        "dedup_spans: fpp only applies with method: bloom — the exact path " +
+          "has no false-positive rate to configure")
     val fpp = config.options.get("fpp").map(_.toDouble).getOrElse(1e-4)
     val report = config.options.getOrElse("mode", "remove") match {
       case "remove" => false
@@ -380,7 +393,7 @@ object SpanDedupTransform extends Transform {
       case other => throw new ConfigException(
         s"dedup_spans mode must be remove|report, got '$other'")
     }
-    try (ref, sig, method, report) match {
+    (ref, sig, method, report) match {
       case (Some((r, rt)), None, "bloom", false) =>
         SpanDedup.removeSpansAgainstBloom(input, id, text, r, rt, n, fpp)
       case (Some((r, rt)), None, "bloom", true) =>
@@ -402,6 +415,7 @@ object SpanDedupTransform extends Transform {
       case (None, None, _, true) =>
         SpanDedup.dupSpans(input, id, text, n, minCount)
       case _ => throw new IllegalStateException("unreachable")
+    }
     } catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
   }
 }
@@ -420,6 +434,8 @@ object GramSignaturesTransform extends Transform {
       config.options.get("textColumn").toSeq, transformType)
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "textColumn")
+    // the .toInt parse is inside the try: a non-numeric n gets the guided
+    // ConfigException (NumberFormatException IS an IllegalArgumentException)
     try SpanDedup.gramSignatures(input, config.options("textColumn"),
       config.options.get("n").map(_.toInt).getOrElse(8))
     catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }

@@ -35,6 +35,17 @@ abstract class NearDupTransform extends Transform {
     * the text matchers, vecColumn for the embedding matcher. */
   protected def contentOption: String = "textColumn"
 
+  // a typo'd column should fail at plan-time validation with a guided
+  // message, like every graft.dedup transform — not at apply with a raw
+  // UNRESOLVED_COLUMN AnalysisException
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++
+        config.options.get(contentOption).toSeq ++
+        config.options.get("survivorColumn").toSeq,
+      transformType)
+
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "idColumn", contentOption)
     val id = config.options("idColumn")
@@ -128,10 +139,18 @@ abstract class NearDupTransform extends Transform {
     input.join(toDrop, Seq(id), "left_anti")
   }
 
+  // guided errors for non-numeric options, not a context-free
+  // NumberFormatException from deep inside the matcher
   protected def intOpt(config: TransformConfig, key: String, dflt: Int): Int =
-    config.options.get(key).map(_.toInt).getOrElse(dflt)
+    config.options.get(key).map { v =>
+      try v.toInt catch { case _: NumberFormatException =>
+        throw new ConfigException(s"$transformType: $key must be an integer, got '$v'") }
+    }.getOrElse(dflt)
   protected def doubleOpt(config: TransformConfig, key: String, dflt: Double): Double =
-    config.options.get(key).map(_.toDouble).getOrElse(dflt)
+    config.options.get(key).map { v =>
+      try v.toDouble catch { case _: NumberFormatException =>
+        throw new ConfigException(s"$transformType: $key must be a number, got '$v'") }
+    }.getOrElse(dflt)
 }
 
 /** MinHash+LSH near-dup removal: options bands/rowsPerBand/shingleSize/
@@ -311,6 +330,12 @@ object SemanticDedupTransform extends NearDupTransform {
  */
 object EmbeddingDecontaminateTransform extends Transform {
   val transformType = "decontaminate_embedding"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++
+        config.options.get("vecColumn").toSeq,
+      transformType)
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "idColumn", "vecColumn", "benchDataset")
     val id = config.options("idColumn")
@@ -344,6 +369,10 @@ object EmbeddingDecontaminateTransform extends Transform {
  */
 object DedupAgainstTransform extends Transform {
   val transformType = "dedup_against"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("textColumn").toSeq, transformType)
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "textColumn", "referenceView")
     val text = config.options("textColumn")
@@ -370,6 +399,12 @@ object DedupAgainstTransform extends Transform {
   * (default = textColumn), shingleSize (default 3). */
 object DecontaminateTransform extends Transform {
   val transformType = "decontaminate"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++
+        config.options.get("textColumn").toSeq,
+      transformType)
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "idColumn", "textColumn", "benchDataset")
     val id = config.options("idColumn")
@@ -377,10 +412,36 @@ object DecontaminateTransform extends Transform {
     val bench = ctx.spark.table(config.options("benchDataset"))
     val benchText = config.options.getOrElse("benchTextColumn", text)
     val n = config.options.get("shingleSize").map(_.toInt).getOrElse(3)
+    // fpp only parameterizes the bloom sketch; with method=exact it is a
+    // misconfiguration (the user likely meant method: bloom) — reject it
+    // like the other inapplicable-option guards in this file
+    if (config.options.getOrElse("method", "exact") != "bloom" &&
+        config.options.contains("fpp"))
+      throw new ConfigException(
+        "decontaminate: fpp only applies with method: bloom — " +
+          "the exact path has no false-positive rate to configure")
     config.options.getOrElse("method", "exact") match {
       case "exact" =>
-        val hits = Dedup.contaminationHits(input, bench, id, text, benchText, n)
-        input.join(hits.select(col(id)), Seq(id), "left_anti")
+        // the id anti-join never equi-matches null, so contaminated
+        // null-id docs used to leak through this gate (while method=bloom,
+        // a per-row filter, dropped them). Null-id rows are checked per
+        // row against the same benchmark shingle set gathered into one
+        // broadcast array — the eval set is broadcast-sized by this
+        // path's contract.
+        val nonNull = input.where(col(id).isNotNull)
+        val hits = Dedup.contaminationHits(nonNull, bench, id, text, benchText, n)
+        val kept = nonNull.join(hits.select(col(id)), Seq(id), "left_anti")
+        val benchArr = bench.select(explode(
+            graft.functions.expressions.ShingleHashes(col(benchText), n)).as("__sh"))
+          .distinct().agg(collect_list(col("__sh")).as("__bsh"))
+        val keptNull = input.where(col(id).isNull)
+          .crossJoin(broadcast(benchArr))
+          // null text has no shingles → clean (coalesce keeps it)
+          .where(coalesce(size(array_intersect(
+            graft.functions.expressions.ShingleHashes(col(text), n),
+            col("__bsh"))), lit(0)) === 0)
+          .drop("__bsh")
+        kept.unionByName(keptNull)
       // fixed-size bloom sketch instead of the exact broadcast set — for
       // benchmark suites too large to broadcast; false positives only drop
       // clean docs (never keep contaminated ones). Builds the sketch at

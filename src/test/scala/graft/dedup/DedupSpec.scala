@@ -167,6 +167,86 @@ class DedupSpec extends SparkTestBase {
         "benchDataset" -> "bench_set", "method" -> "exactly")), ctx)
   }
 
+  test("decontaminate exact: contaminated null-id docs are dropped (the id " +
+    "anti-join alone would leak them), clean null-id docs kept") {
+    import graft.config.TransformConfig
+    import graft.api.RunContext
+    val ctx = RunContext(spark, "t", "r")
+    Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+      .createOrReplaceTempView("bench_set_null")
+    val corpus = Seq(
+      (Some(10L), "prefix words then alpha beta gamma delta continues"), // hit, keyed
+      (None, "more words around alpha beta gamma delta here"),           // hit, null id
+      (None, "totally different content about nothing shared at all"),   // clean, null id
+      (Some(11L), "also completely unrelated clean text rows")           // clean, keyed
+    ).toDF("doc_id", "text")
+    val out = graft.operators.DecontaminateTransform(corpus,
+      TransformConfig("dc", "decontaminate", Map(
+        "idColumn" -> "doc_id", "textColumn" -> "text",
+        "benchDataset" -> "bench_set_null")), ctx)
+    out.count() shouldBe 2
+    out.select("doc_id").as[Option[Long]].collect().toSet shouldBe Set(Some(11L), None)
+    out.where("doc_id IS NULL").select("text").as[String].head() should include ("nothing shared")
+    // a null-id null-text row has no shingles → clean, kept
+    val withNullText = corpus.union(
+      Seq((None: Option[Long], None: Option[String])).toDF("doc_id", "text"))
+    graft.operators.DecontaminateTransform(withNullText,
+      TransformConfig("dc", "decontaminate", Map(
+        "idColumn" -> "doc_id", "textColumn" -> "text",
+        "benchDataset" -> "bench_set_null")), ctx).count() shouldBe 3
+    // fpp is bloom-only: with method exact it is a misconfiguration
+    an[graft.api.ConfigException] should be thrownBy graft.operators.DecontaminateTransform(
+      corpus, TransformConfig("dc", "decontaminate", Map(
+        "idColumn" -> "doc_id", "textColumn" -> "text",
+        "benchDataset" -> "bench_set_null", "fpp" -> "1e-6")), ctx)
+  }
+
+  test("minhash verification thresholds the RAW jaccard: a pair whose " +
+    "rounded value reaches the threshold but raw value does not is rejected") {
+    // B's 2 shingles are a strict subset of A's 3 → jaccard = 2/3 exactly;
+    // round(2/3, 4) = 0.6667 > 2/3, so a 0.6667 threshold must REJECT the
+    // pair (the old rounded-value filter admitted it)
+    val pair = Seq((1L, "a b c d e"), (2L, "a b c d")).toDF("doc_id", "text")
+    def run(t: Double) =
+      Dedup.minhashNearDups(pair, "doc_id", "text",
+        bands = 64, rowsPerBand = 1, shingleSize = 3, threshold = t).count()
+    run(0.6) shouldBe 1L      // candidates collide and raw 0.6667 >= 0.6
+    run(2.0 / 3.0) shouldBe 1L // raw value exactly at threshold passes
+    run(0.6667) shouldBe 0L   // rounded 0.6667 but raw 0.66667 < 0.6667
+  }
+
+  test("simhash: maxHamming outside [0,15] rejected; null-text rows never " +
+    "enter the chunk join; maxHamming=0 pairs exact signature matches only") {
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 16)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = -1)
+    val withNullText = docs.union(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val out = Dedup.simhashNearDups(withNullText, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    out shouldBe Set((1L, 4L)) // the exact copies; null-text row pairs with nothing
+  }
+
+  test("dedup transforms report a typo'd column at validate time, not as a " +
+    "runtime AnalysisException") {
+    import graft.config.TransformConfig
+    val schema = docs.schema
+    graft.operators.MinhashDedupTransform.validate(TransformConfig("v", "dedup_minhash",
+      Map("idColumn" -> "doc_id", "textColumn" -> "nope")), schema) should not be empty
+    graft.operators.SimhashDedupTransform.validate(TransformConfig("v", "dedup_simhash",
+      Map("idColumn" -> "nope", "textColumn" -> "text")), schema) should not be empty
+    graft.operators.MinhashDedupTransform.validate(TransformConfig("v", "dedup_minhash",
+      Map("idColumn" -> "doc_id", "textColumn" -> "text",
+        "survivorColumn" -> "nope")), schema) should not be empty
+    graft.operators.DecontaminateTransform.validate(TransformConfig("v", "decontaminate",
+      Map("idColumn" -> "doc_id", "textColumn" -> "nope")), schema) should not be empty
+    graft.operators.DedupAgainstTransform.validate(TransformConfig("v", "dedup_against",
+      Map("textColumn" -> "nope")), schema) should not be empty
+    graft.operators.MinhashDedupTransform.validate(TransformConfig("v", "dedup_minhash",
+      Map("idColumn" -> "doc_id", "textColumn" -> "text")), schema) shouldBe empty
+  }
+
   test("clusters: transitive closure labels every node with its component minimum") {
     // two components: a path 1-5-9 (no 1-9 edge) and an isolated pair 20-21
     val pairs = Seq((1L, 5L), (5L, 9L), (20L, 21L)).toDF("id_a", "id_b")

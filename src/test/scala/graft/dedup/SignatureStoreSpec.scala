@@ -97,6 +97,31 @@ class SignatureStoreSpec extends SparkTestBase {
     e.getMessage should include ("missing column(s)")
   }
 
+  test("a store without parameter stamps is rejected (skipping the check " +
+    "would re-open the silent-zero-duplicates hole); a store with wider " +
+    "integer stamps still validates") {
+    val full = Dedup.minhashSignatures(refDF, "doc_id", "text")
+    // stamp columns stripped: cannot prove parameters → guided error
+    val e = intercept[ConfigException] {
+      Dedup.minhashNearDupsAgainstSignatures(
+        increment, full.drop("mh_bands", "mh_rows_per_band", "mh_shingle"),
+        "doc_id", "text")
+    }
+    e.getMessage should include ("mh_bands")
+    // half-stamped store gets the same guided error, not UNRESOLVED_COLUMN
+    an[ConfigException] should be thrownBy
+      Dedup.minhashNearDupsAgainstSignatures(
+        increment, full.drop("mh_rows_per_band"), "doc_id", "text")
+    // bigint-stamped store (a rebuild through a widening tool) validates
+    import org.apache.spark.sql.functions.col
+    val widened = full
+      .withColumn("mh_bands", col("mh_bands").cast("long"))
+      .withColumn("mh_rows_per_band", col("mh_rows_per_band").cast("long"))
+      .withColumn("mh_shingle", col("mh_shingle").cast("long"))
+    Dedup.minhashNearDupsAgainstSignatures(
+      increment, widened, "doc_id", "text", threshold = 0.5).count() shouldBe 2
+  }
+
   test("YAML surface: minhash_signatures produces the store; signatureView consumes it") {
     val dir = tmpDir("sigstore")
     // run N: corpus → signature store → parquet (the producer transform

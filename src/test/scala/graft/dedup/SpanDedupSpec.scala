@@ -101,6 +101,18 @@ class SpanDedupSpec extends SparkTestBase {
     an[graft.api.ConfigException] should be thrownBy SpanDedupTransform(
       d, TransformConfig("sd", "dedup_spans", Map("idColumn" -> "doc_id",
         "textColumn" -> "text", "n" -> "1")), ctx)
+    // non-numeric options get the guided ConfigException, not a raw
+    // NumberFormatException from before the dispatch try-block
+    an[graft.api.ConfigException] should be thrownBy SpanDedupTransform(
+      d, TransformConfig("sd", "dedup_spans", Map("idColumn" -> "doc_id",
+        "textColumn" -> "text", "n" -> "eight")), ctx)
+    an[graft.api.ConfigException] should be thrownBy GramSignaturesTransform(
+      d, TransformConfig("gs", "gram_signatures", Map(
+        "textColumn" -> "text", "n" -> "eight")), ctx)
+    // fpp is bloom-only: with the default exact method it is a misconfig
+    an[graft.api.ConfigException] should be thrownBy SpanDedupTransform(
+      d, TransformConfig("sd", "dedup_spans", Map("idColumn" -> "doc_id",
+        "textColumn" -> "text", "fpp" -> "1e-6")), ctx)
   }
 
   test("against-mode: reference spans removed, increment-internal repeats " +
