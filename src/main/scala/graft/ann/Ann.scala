@@ -62,21 +62,23 @@ object Ann {
           .select(col("query_id"), col("s.id").as("vec_id"), (col("pos") + 1).as("rank"))
       case dt =>
         longSurrogate(dt) match {
-          case Some(toSid) =>
+          case Some((toSid, fromSid)) =>
             // orderable exotic ids (decimal p<=18, date, timestamp) densify
-            // through an ORDER-PRESERVING, injective long surrogate, ride
-            // the same bounded-heap partial aggregation, then join the
-            // original id back via the (surrogate, id) dictionary — the
-            // tie-break (sim DESC, vec_id ASC) is identical because the
-            // surrogate preserves the native ordering.
+            // through an ORDER-PRESERVING, INVERTIBLE long surrogate, ride
+            // the same bounded-heap partial aggregation, then map straight
+            // back through the inverse — the tie-break (sim DESC, vec_id
+            // ASC) is identical because the surrogate preserves the native
+            // ordering. (The former (surrogate, id) dictionary join
+            // re-executed the whole corpus×queries scoring subtree a
+            // second time just to recover a mapping the inverse computes
+            // per winner row.)
             val withSid = clean.withColumn("__sid", toSid(col("vec_id")))
             val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCandidate])
-            val ranked = withSid.groupBy("query_id")
+            withSid.groupBy("query_id")
               .agg(topk(col("sim").cast("double"), col("__sid")).as("tk"))
               .select(col("query_id"), posexplode(col("tk.items")).as(Seq("pos", "s")))
-              .select(col("query_id"), col("s.id").as("__sid"), (col("pos") + 1).as("rank"))
-            val dict = withSid.select(col("__sid"), col("vec_id")).dropDuplicates("__sid")
-            ranked.join(dict, Seq("__sid")).select("query_id", "vec_id", "rank")
+              .select(col("query_id"), fromSid(col("s.id")).as("vec_id"),
+                (col("pos") + 1).as("rank"))
           case None =>
             // non-surrogatable id types (wide decimals, binary, ...): the
             // window form preserves the type. Correct at any scale but
@@ -92,17 +94,26 @@ object Ann {
   }
 
   /** Order-preserving injective Column mapping from an exotic orderable id
-    * type to LONG, where one exists: decimal (p<=18) → unscaled value,
-    * date → epoch days, timestamp → epoch micros. */
+    * type to LONG plus its exact inverse, where one exists: decimal
+    * (p<=18) ↔ unscaled value, date ↔ epoch days, timestamp ↔ epoch
+    * micros. The inverse lets the top-k winners map back per row instead
+    * of joining a (surrogate, id) dictionary derived from the scored frame
+    * (which re-executed the corpus×queries subtree a second time). */
   private def longSurrogate(dt: org.apache.spark.sql.types.DataType)
-      : Option[Column => Column] = {
+      : Option[(Column => Column, Column => Column)] = {
     import org.apache.spark.sql.types.{DecimalType, DateType, TimestampType}
     dt match {
       case d: DecimalType if d.precision <= 18 =>
         val scaleUp = lit(BigDecimal(10).pow(d.scale))
-        Some(c => (c * scaleUp).cast("long"))
-      case DateType => Some(c => unix_date(c))
-      case TimestampType => Some(c => unix_micros(c))
+        Some((c => (c * scaleUp).cast("long"),
+          // unscaled long → decimal(38, s) has plenty of headroom for
+          // p<=18; the final cast restores the exact declared type
+          c => (c.cast(DecimalType(38, 0)) / scaleUp).cast(d)))
+      case DateType =>
+        Some((c => unix_date(c),
+          c => call_function("date_from_unix_date", c.cast("int"))))
+      case TimestampType =>
+        Some((c => unix_micros(c), c => timestamp_micros(c)))
       case _ => None
     }
   }
@@ -244,10 +255,12 @@ object Ann {
     * across runs/retries); O(nLists·dim) driver materialization. */
   private def sampledCodebook(corpus: DataFrame, idCol: String, vecCol: String,
                               nLists: Int): Array[Array[Float]] =
-    // null embeddings are excluded, matching the LSH path's documented
-    // null-drop — an unfiltered null row in the sample NPE'd the driver
+    // null embeddings AND embeddings with null elements are excluded,
+    // matching the assignment expressions' null contract — getSeq[Float]
+    // would silently unbox a null slot to 0.0f and bake the fabricated
+    // zero into a (possibly persisted) centroid
     corpus.select(col(idCol), col(vecCol))
-      .where(col(vecCol).isNotNull)
+      .where(col(vecCol).isNotNull && forall(col(vecCol), x => x.isNotNull))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nLists)
       .select(col(vecCol).cast("array<float>")).collect()
       .map(_.getSeq[Float](0).toArray)
@@ -279,7 +292,12 @@ object Ann {
     cents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
       .toDF("list_id", "vec")
       .select(col("list_id"), col("vec").cast("array<float>"),
-        lit(nLists).as("cb_n_lists"), lit(kmeansIters).as("cb_kmeans_iters"))
+        lit(nLists).as("cb_n_lists"), lit(kmeansIters).as("cb_kmeans_iters"),
+        // the PRODUCED centroid count (can be < nLists on a small corpus):
+        // loadCodebook checks it against the loaded row count, so a store
+        // that silently lost tail rows (partial overwrite, a LIMITed view)
+        // cannot pass the dense-sequence check with a shrunken codebook
+        lit(cents.length).as("cb_rows"))
   }
 
   /**
@@ -307,8 +325,11 @@ object Ann {
       // DISTINCT stamp set (tiny partial-agg job), not one sampled row —
       // mixed-parameter stores (two builds appended) fail regardless of
       // partition order, null stamps raise the config error, not an NPE
-      // (the minhash store contract)
-      val stamps = store.select("cb_n_lists", "cb_kmeans_iters")
+      // (the minhash store contract). cast("int") tolerates a store
+      // round-tripped through a wider integer type — r.getInt on a bigint
+      // column would ClassCastException instead of the guided error.
+      val stamps = store.select(
+          col("cb_n_lists").cast("int"), col("cb_kmeans_iters").cast("int"))
         .distinct().collect()
         .map(r => (0 to 1).map(i =>
           if (r.isNullAt(i)) None else Some(r.getInt(i))))
@@ -345,7 +366,29 @@ object Ann {
       s"codebook store list_ids are not a dense, non-null 0..${rows.length - 1} " +
         s"sequence (first problem at position ${bad.get}) — a hole or " +
         "duplicate would silently renumber every later centroid")
-    rows.map(_.getSeq[Float](1).toArray)
+    // the dense check alone cannot see a store that lost its TAIL (rows
+    // 0..31 of a 64-centroid build are still dense) — the produced-count
+    // stamp makes truncation loud
+    if (store.columns.contains("cb_rows")) {
+      val wantRows = store.select(col("cb_rows").cast("int")).distinct().collect()
+        .map(r => if (r.isNullAt(0)) "null" else r.getInt(0).toString).sorted
+      if (wantRows.exists(_ != rows.length.toString))
+        throw new graft.api.ConfigException(
+          s"codebook store row-count stamp says [${wantRows.mkString(", ")}] " +
+            s"centroids but ${rows.length} loaded — the store lost rows " +
+            "(partial overwrite or a filtered view); documents previously " +
+            "in the missing clusters would silently reassign")
+    }
+    rows.map { r =>
+      val v = r.getSeq[Any](1)
+      // a null ELEMENT would silently unbox to 0.0f — a centroid with a
+      // fabricated zero dimension; fail with the store contract's error
+      if (v.exists(_ == null)) throw new graft.api.ConfigException(
+        s"codebook store centroid list_id=${r.getInt(0)} contains a null " +
+          "vector element — rebuild the store (a null slot must never " +
+          "silently read as 0.0)")
+      v.asInstanceOf[Seq[Float]].toArray
+    }
   }
 
   /** [[ivfTopK]] with the coarse quantizer read from a PERSISTED
@@ -406,7 +449,11 @@ object Ann {
       val dim = cents(0).length
       val acc = Array.fill(cents.length)(new Array[Double](dim))
       val cnt = new Array[Long](cents.length)
-      sample.foreach { v =>
+      // dim-mismatched sample vectors are EXCLUDED, exactly as the
+      // distributed ArgTopCentroids projection excludes them (null
+      // assignment) — a prefix-cosine assignment here would train the
+      // codebook toward vectors no cluster can ever contain
+      sample.foreach { v => if (v.length == dim) {
         var best = -1
         var bestSim = Double.NegativeInfinity
         var c = 0
@@ -427,12 +474,11 @@ object Ann {
           c += 1
         }
         if (best >= 0) {
-          val n = math.min(v.length, dim)
           var i = 0
-          while (i < n) { acc(best)(i) += v(i); i += 1 }
+          while (i < dim) { acc(best)(i) += v(i); i += 1 }
           cnt(best) += 1
         }
-      }
+      } }
       cents = cents.indices.map { l =>
         if (cnt(l) == 0L) cents(l)
         else {

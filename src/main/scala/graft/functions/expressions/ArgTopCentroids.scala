@@ -75,6 +75,65 @@ case class ArgTopCentroids(child: Expression, centroids: Array[Array[Float]], k:
     copy(child = newChild)
 }
 
+/**
+ * Cosine similarity to the NEAREST centroid (the "how central is this
+ * document" signal): the sim [[ArgTopCentroids]] computes and discards,
+ * as one plan node with the codebook riding as a reference object. The
+ * composed form it replaces looked the assigned centroid up in an
+ * `element_at(array(array(lit…)))` literal — nClusters×dim literals per
+ * plan, the exact pathology class ArgTopCentroids exists to avoid.
+ * Arithmetic and tie-break are identical to assigning with
+ * ArgTopCentroids(k=1) and fusing CosineSimilarity against the winner
+ * (same left-to-right loops, NaN-sims never win, all-NaN → null). Null
+ * vector / null element / dim mismatch → null, the shared contract.
+ */
+case class NearestCentroidSim(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def checkElems: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid_sim expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ArgTopCentroids.nearestSim(
+      input.asInstanceOf[ArrayData], centroids, isDouble, checkElems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Double ${ev.value}_r =
+         |  graft.functions.expressions.ArgTopCentroids.nearestSim(
+         |    $c, $ref, $isDouble, $checkElems);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroidSim {
+  def apply(vec: Column, centroids: Array[Array[Float]]): Column =
+    GraftBridge.column(NearestCentroidSim(GraftBridge.expression(vec), centroids))
+}
+
 object ArgTopCentroids {
   def apply(vec: Column, centroids: Array[Array[Float]], k: Int): Column =
     GraftBridge.column(ArgTopCentroids(GraftBridge.expression(vec), centroids, k))
@@ -134,5 +193,40 @@ object ArgTopCentroids {
       }
     }
     new GenericArrayData(if (r == kk) out else java.util.Arrays.copyOf(out, r))
+  }
+
+  /** Static for codegen: the best centroid's cosine under the same
+    * (sim DESC, id ASC) selection as [[compute]] — identical guards
+    * (null element / dim mismatch → null, NaN sims never win, all-NaN →
+    * null, empty codebook → null). */
+  def nearestSim(vec: ArrayData, centroids: Array[Array[Float]],
+                 isDouble: Boolean, checkNulls: Boolean): java.lang.Double = {
+    val nLists = centroids.length
+    if (nLists == 0) return null
+    if (vec.numElements() != centroids(0).length) return null
+    if (checkNulls) {
+      var i = 0
+      val d = vec.numElements()
+      while (i < d) { if (vec.isNullAt(i)) return null; i += 1 }
+    }
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < nLists) {
+      val cv = centroids(c)
+      val n = math.min(vec.numElements(), cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = if (isDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
+        val y = cv(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val sim = if (denom == 0.0) 0.0 else dot / denom
+      if (!sim.isNaN && sim > bestSim) { best = c; bestSim = sim }
+      c += 1
+    }
+    if (best < 0) null else java.lang.Double.valueOf(bestSim)
   }
 }

@@ -37,9 +37,9 @@ import graft.config.TransformConfig
  * codebook is O(nClusters·dim) on the driver — hash-sampled deterministic
  * init, driver-local Lloyd rounds over one bounded hash-sample pass;
  * assignment is the fused zero-shuffle
- * ArgTopCentroids projection, and the optional similarity reuses the
- * same broadcast codebook via a centroid-array literal lookup. No row of
- * the corpus is ever shuffled.
+ * ArgTopCentroids projection, and the optional similarity is the fused
+ * NearestCentroidSim node carrying the same codebook as a reference
+ * object (never as plan literals). No row of the corpus is ever shuffled.
  */
 object ClusterEmbeddingsTransform extends Transform {
   val transformType = "cluster_embeddings"
@@ -77,12 +77,11 @@ object ClusterEmbeddingsTransform extends Transform {
         // pass the (empty) frame through with a null sim column instead
         assigned.withColumn(simCol, lit(null).cast("double"))
       case Some(simCol) =>
-        // centroid lookup from the same broadcast codebook: a literal
-        // array-of-arrays, indexed by the assigned id (1-based element_at)
-        val centLit = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+        // one fused plan node with the codebook as a reference object —
+        // a literal array-of-arrays lookup would put nClusters×dim
+        // Literal nodes in the plan, the pathology ArgTopCentroids avoids
         assigned.withColumn(simCol,
-          graft.functions.VectorFunctions.cosine(
-            col(vecCol), element_at(centLit, col(clusterCol) + 1)))
+          graft.functions.expressions.NearestCentroidSim(col(vecCol), cents))
     }
   }
 }

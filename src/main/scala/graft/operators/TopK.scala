@@ -95,6 +95,12 @@ private[operators] object BoundedTopK {
                     topk: org.apache.spark.sql.expressions.UserDefinedFunction,
                     castId: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                     broadcastWinners: Boolean): DataFrame = {
+    // same guided collision error as every other helper-column operator
+    // (PackSequences, Resample, Shards, TokenCap) — without it a leaked
+    // __s/__id/__sel_id input column dies as an ambiguous-reference
+    // AnalysisException
+    ExprUtils.requireNoHelperCollision("grouped selection", input.columns,
+      "__s", "__id", "__sel_id")
     val scored = input.select(groupCols.map(col) ++ Seq(
       score.cast("double").as("__s"), castId(col(idName)).as("__id")): _*)
       .where(col("__s").isNotNull && !isnan(col("__s")) && col("__id").isNotNull)

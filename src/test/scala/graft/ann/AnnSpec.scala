@@ -276,6 +276,31 @@ class AnnSpec extends SparkTestBase {
     out(3L) shouldBe Seq(1)
   }
 
+  test("codebook sampling excludes vectors with null elements (never baked " +
+    "into centroids as 0.0f); mixed-dim corpora refine without crashing") {
+    val dir = tmpDir("cb-dirty")
+    // 4 clean 3-dim vectors, middle component never 0, plus one null-slot row
+    (Seq((1L, Seq[Option[Float]](Some(1f), Some(2f), Some(1f))),
+         (2L, Seq[Option[Float]](Some(2f), Some(1f), Some(2f))),
+         (3L, Seq[Option[Float]](Some(1f), Some(3f), Some(2f))),
+         (4L, Seq[Option[Float]](Some(3f), Some(1f), Some(1f))),
+         (9L, Seq[Option[Float]](Some(5f), None, Some(5f)))))
+      .toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val cents = Ann.kmeansCentroids(spark.read.parquet(dir), "id", "v",
+      nLists = 10, iters = 0)
+    cents.length shouldBe 4 // the null-slot vector is not sampled
+    all(cents.map(_.apply(1))) should not be 0f
+    // a short vector among full-dim ones: Lloyd excludes it from
+    // assignment (as the distributed projection would) instead of
+    // prefix-scoring it into a centroid
+    val mixed = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0f, 0.9f, 0.1f)),
+      (9L, Array(1f, 1f))).toDF("id", "v")
+    noException should be thrownBy
+      Ann.kmeansCentroids(mixed, "id", "v", nLists = 2, iters = 3)
+  }
+
   test("empty and single-row corpora build and return gracefully") {
     val queries = corpus.where("vec_id = 0")
       .select(col("vec_id").as("query_id"), col("embedding"))

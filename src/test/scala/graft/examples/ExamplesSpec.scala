@@ -333,7 +333,7 @@ class ExamplesSpec extends SparkTestBase {
     run("quickstart-20-codebook-build.yaml")
     val store = spark.read.parquet("/tmp/graft-examples/quickstart-20-codebook")
     store.columns.toSeq should contain theSameElementsAs
-      Seq("list_id", "vec", "cb_n_lists", "cb_kmeans_iters")
+      Seq("list_id", "vec", "cb_n_lists", "cb_kmeans_iters", "cb_rows")
     store.count() shouldBe 16
     run("quickstart-20-codebook-cluster.yaml")
     val out = spark.read.parquet("/tmp/graft-examples/quickstart-20-out")

@@ -44,6 +44,45 @@ class ClusterEmbeddingsSpec extends SparkTestBase {
     all(sims) should be > 0.99
   }
 
+  test("appendSim is one fused plan node (codebook as a reference object), " +
+    "bit-identical to cosine against the assigned centroid") {
+    import org.apache.spark.sql.functions._
+    val cents = graft.ann.Ann.kmeansCentroids(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", 3, 3)
+    val out = cluster("appendSim" -> "centroid_sim")
+    // parity: same value as explicitly fusing cosine(vec, centroids(assigned))
+    val viaLookup = out.collect().map { r =>
+      val sim = graft.functions.expressions.ArgTopCentroids.nearestSim(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          r.getSeq[Float](1).toArray), cents, isDouble = false, checkNulls = false)
+      (r.getLong(0), sim.doubleValue())
+    }.toMap
+    out.select(col("vec_id"), col("centroid_sim")).as[(Long, Double)].collect()
+      .foreach { case (id, s) => s shouldBe viaLookup(id) }
+    // plan stays SMALL: no nClusters×dim literal explosion (parquet-backed
+    // scan so the projection survives optimization)
+    val dir = tmpDir("ncs-plan")
+    vecs.toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val planned = ClusterEmbeddingsTransform(spark.read.parquet(dir),
+      TransformConfig("c", "cluster_embeddings",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "nClusters" -> "3", "kmeansIters" -> "3", "appendSim" -> "csim")), ctx)
+    val plan = planned.queryExecution.executedPlan.toString
+    plan.toLowerCase should include ("nearestcentroidsim")
+    plan.length should be < 4000
+    // and a null-element vector degrades to null sim + null cluster
+    val dirty = (vecs :+ (99L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+      .union(Seq((98L, Seq[Option[Float]](Some(1f), None, Some(0f))))
+        .toDF("vec_id", "embedding"))
+    val nullRows = ClusterEmbeddingsTransform(dirty,
+      TransformConfig("c", "cluster_embeddings",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "nClusters" -> "3", "kmeansIters" -> "3", "appendSim" -> "csim")), ctx)
+      .where("vec_id IN (98, 99)").select("cluster_id", "csim").collect()
+    nullRows.foreach { r => r.isNullAt(0) shouldBe true; r.isNullAt(1) shouldBe true }
+  }
+
   test("empty input with appendSim passes an empty frame through (the " +
     "zero-literal codebook used to fail analysis); null embeddings don't " +
     "crash codebook sampling") {
@@ -69,7 +108,8 @@ class ClusterEmbeddingsSpec extends SparkTestBase {
     val store = CodebookTransform(df, TransformConfig("b", "codebook",
       Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
         "nLists" -> "3", "kmeansIters" -> "3")), ctx)
-    store.columns.toSeq shouldBe Seq("list_id", "vec", "cb_n_lists", "cb_kmeans_iters")
+    store.columns.toSeq shouldBe
+      Seq("list_id", "vec", "cb_n_lists", "cb_kmeans_iters", "cb_rows")
     store.count() shouldBe 3
     store.createOrReplaceTempView("cb_store")
     val viaStore = cluster("codebookView" -> "cb_store")
@@ -115,6 +155,35 @@ class ClusterEmbeddingsSpec extends SparkTestBase {
           "codebookView" -> "cb_halfstamp")), ctx).collect()
     }
     e4.getMessage should include("cb_kmeans_iters")
+    // a store that lost its TAIL rows is still dense 0..n-1 — only the
+    // produced-count stamp catches it
+    store.where("list_id < 2").createOrReplaceTempView("cb_truncated")
+    val e5 = intercept[ConfigException] {
+      ClusterEmbeddingsTransform(df, TransformConfig("c", "cluster_embeddings",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "codebookView" -> "cb_truncated")), ctx).collect()
+    }
+    e5.getMessage should include("lost rows")
+    // a store round-tripped through wider integer stamps still validates
+    store.selectExpr("list_id", "vec", "cast(cb_n_lists as bigint) cb_n_lists",
+        "cast(cb_kmeans_iters as bigint) cb_kmeans_iters",
+        "cast(cb_rows as bigint) cb_rows")
+      .createOrReplaceTempView("cb_widened")
+    cluster("codebookView" -> "cb_widened")
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect()
+      .sortBy(_._1) shouldBe viaStore
+    // a null CENTROID ELEMENT must fail loud, never unbox to 0.0f
+    store.selectExpr("list_id",
+        "CASE WHEN list_id = 1 THEN array(cast(1.0 as float), cast(null as float)) " +
+          "ELSE vec END AS vec",
+        "cb_n_lists", "cb_kmeans_iters", "cb_rows")
+      .createOrReplaceTempView("cb_nullelem")
+    val e6 = intercept[ConfigException] {
+      ClusterEmbeddingsTransform(df, TransformConfig("c", "cluster_embeddings",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "codebookView" -> "cb_nullelem")), ctx).collect()
+    }
+    e6.getMessage should include("null")
   }
 
   test("IVF ANN against the persisted codebook matches in-process IVF " +

@@ -92,6 +92,16 @@ class ReshapeSpec extends SparkTestBase {
       sales.schema) shouldBe Nil
   }
 
+  test("topk rejects input columns colliding with its helper names, like " +
+    "the other helper-column operators") {
+    val bad = Seq((1L, 0.5, 1.0)).toDF("id", "v", "__s")
+    val e = intercept[ConfigException] {
+      TopKTransform(bad, tc("topk", "scoreColumn" -> "v", "k" -> "1",
+        "idColumn" -> "id"), ctx)
+    }
+    e.getMessage should include ("__s")
+  }
+
   private def tagged = Seq(
     (1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq.empty[String]))
     .toDF("id", "tags")
