@@ -60,6 +60,14 @@ object AsofJoin {
     require(keys.nonEmpty, "asof join needs at least one key column")
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
+    require(tolerance.forall(_ >= 0),
+      s"tolerance must be >= 0, got ${tolerance.get} — a negative tolerance " +
+        "can never be satisfied and would silently null every match")
+    // same guided collision error as the other helper-column operators —
+    // a leaked __t/__p/... input column would be silently overwritten
+    ExprUtils.requireNoHelperCollision("join_asof",
+      left.columns ++ right.columns,
+      "__t", "__side", "__p", "__l", "__m", "__mt", "__mg")
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
     require(payloadCols.nonEmpty,
       "right side must carry at least one payload column besides keys and time")
@@ -69,12 +77,15 @@ object AsofJoin {
     val lStruct = struct(left.columns.map(left(_)): _*)
     val lType = left.select(lStruct.as("l")).schema("l").dataType
 
-    // a right row with ANY null key can never legitimately match (join
-    // semantics: NULL equals nothing) — but Window.partitionBy groups
-    // NULLs together, so without this filter null-keyed left rows would
-    // silently receive null-keyed right payloads
+    // a right row with ANY null key — or a null time — can never
+    // legitimately match (join semantics: NULL equals/compares to
+    // nothing) — but Window.partitionBy groups NULLs together and ASC
+    // sorts them FIRST, so without these filters null-keyed left rows
+    // would silently receive null-keyed right payloads and a null-time
+    // right row could donate its payload with a DIFFERENT row's __mt
     val rSide = right
-      .filter(keys.map(right(_).isNotNull).reduce(_ && _))
+      .filter(keys.map(right(_).isNotNull).reduce(_ && _) &&
+        right(rightTime).isNotNull)
       .select(keys.map(right(_)) ++ Seq(
         right(rightTime).as("__t"), lit(0).as("__side"),
         pStruct.as("__p"), lit(null).cast(lType).as("__l")): _*)
@@ -100,19 +111,25 @@ object AsofJoin {
       case TimestampType | org.apache.spark.sql.types.TimestampNTZType => true
       case _ => false
     }
+    // numeric time columns compare RAW (a cast("long") would truncate
+    // fractional times and let tolerance gates pass on values that are
+    // actually farther apart); timestamps tick in exact microseconds
     def tick(c: Column): Column =
-      if (timeIsTs) unix_micros(c.cast(TimestampType)) else c.cast("long")
+      if (timeIsTs) unix_micros(c.cast(TimestampType)) else c
 
     val matched = lSide.unionByName(rSide)
       .withColumn("__m", pick(col("__p")))
       .withColumn("__mt", pick(when(col("__side") === 0, col("__t"))))
       .filter(col("__side") === 1)
+    // a null LEFT time can never satisfy either direction's inequality —
+    // but ASC NULLS FIRST sorts the row before every right row, where the
+    // forward window would hand it the earliest payload
     val withinTol = tolerance match {
-      case None => col("__mt").isNotNull
+      case None => col("__t").isNotNull && col("__mt").isNotNull
       case Some(tol) =>
         val gap = if (backward) tick(col("__t")) - tick(col("__mt"))
                   else tick(col("__mt")) - tick(col("__t"))
-        col("__mt").isNotNull && gap <= lit(tol)
+        col("__t").isNotNull && col("__mt").isNotNull && gap <= lit(tol)
     }
     val gated = matched.withColumn("__mg", when(withinTol, col("__m")))
     gated.select(
@@ -154,7 +171,11 @@ object AsofJoinTransform extends Transform {
     AsofJoin.asofJoin(input, right, keys, leftTime,
       rightTime = config.options.getOrElse("rightTime", leftTime),
       direction = config.options.getOrElse("direction", "backward"),
-      tolerance = config.options.get("tolerance").map(_.toLong),
+      tolerance = config.options.get("tolerance").map { v =>
+        try v.toLong catch { case _: NumberFormatException =>
+          throw new graft.api.ConfigException(
+            s"join_asof: tolerance must be a long, got '$v'") }
+      },
       prefix = config.options.getOrElse("prefix", "asof_"))
   }
 }

@@ -38,7 +38,9 @@ object MapTransform extends Transform {
     required(config, "expressions")
     val pairs = ExprUtils.parseExprList(config.options("expressions"))
     if (pairs.isEmpty) throw new ConfigException(s"map '${config.name}': empty expressions")
-    val dups = pairs.groupBy(_._1).collect { case (a, ps) if ps.size > 1 => a }
+    // case-INsensitive, like Spark's default resolution (and the keep-clash
+    // guard below): "Price: a, price: b" is a duplicate, not two columns
+    val dups = pairs.groupBy(_._1.toLowerCase).collect { case (_, ps) if ps.size > 1 => ps.head._1 }
     if (dups.nonEmpty) throw new ConfigException(
       s"map '${config.name}': duplicate alias(es) ${dups.mkString(", ")}")
     if (config.options.get("project").exists(_.toBoolean)) {
@@ -73,10 +75,14 @@ object AggregateTransform extends Transform {
     val aggs = ExprUtils.parseAggregations(config.options("aggregations"))
     if (aggs.isEmpty) throw new ConfigException(s"aggregation '${config.name}': no aggregations")
     val groupCols = config.options.get("groupBy").map(ExprUtils.parseColumns).getOrElse(Nil)
-    val grouped = config.options.getOrElse("groupingSets", "") match {
-      case "cube"   => input.cube(groupCols.map(col): _*)
-      case "rollup" => input.rollup(groupCols.map(col): _*)
-      case _        => input.groupBy(groupCols.map(col): _*)
+    val grouped = config.options.get("groupingSets") match {
+      case Some("cube")   => input.cube(groupCols.map(col): _*)
+      case Some("rollup") => input.rollup(groupCols.map(col): _*)
+      case None           => input.groupBy(groupCols.map(col): _*)
+      // a typo ("CUBE", "roll_up") must not silently fall back to a plain
+      // groupBy and drop every super-aggregate row
+      case Some(other) => throw new ConfigException(
+        s"aggregation '${config.name}': groupingSets must be cube|rollup, got '$other'")
     }
     grouped.agg(aggs.head, aggs.tail: _*)
   }

@@ -44,6 +44,11 @@ object FuzzyJoin {
                 distCol: String = "edit_distance"): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(blockPrefix >= 1, s"blockPrefix must be >= 1, got $blockPrefix")
+    // 0 would silently drop EVERY block (every count is >= 1) and return
+    // an empty join with no error
+    require(maxBlockSize >= 1, s"maxBlockSize must be >= 1, got $maxBlockSize")
+    graft.config.ExprUtils.requireNoHelperCollision("join_fuzzy",
+      left.columns ++ right.columns, "__blk", "__blk_n")
     def blocked(df: DataFrame, c: String): DataFrame = {
       val b = df.withColumn("__blk", lower(substring(col(c), 1, blockPrefix)))
       // the count window's exchange IS the join's exchange (same key):

@@ -43,14 +43,35 @@ object RangeJoin {
                 prefix: String = "range_"): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(maxBins > 0, s"maxBins must be positive, got $maxBins")
+    ExprUtils.requireNoHelperCollision("join_range",
+      left.columns ++ right.columns, "__bin", "__lo", "__hi", "__blo", "__bhi")
     val payloadCols = right.columns.filterNot(c =>
       keys.contains(c) || c == loCol || c == hiCol)
     require(payloadCols.nonEmpty,
       "right side must carry at least one payload column besides keys and bounds")
 
-    val timeIsTs = left.schema(pointCol).dataType match {
-      case TimestampType | org.apache.spark.sql.types.TimestampNTZType => true
+    // the bin rewrite is exact only for integral ticks: a cast("long") on
+    // double/decimal points or bounds would TRUNCATE and silently mis-join
+    // (5.7 would match [5.9, 6.2)) — reject fractional types instead
+    import org.apache.spark.sql.types._
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
+    }
+    val timeIsTs = left.schema(pointCol).dataType match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    if (!timeIsTs) {
+      val badTypes = Seq(
+        pointCol -> left.schema(pointCol).dataType,
+        loCol -> right.schema(loCol).dataType,
+        hiCol -> right.schema(hiCol).dataType).filterNot(t => integral(t._2))
+      if (badTypes.nonEmpty) throw new graft.api.ConfigException(
+        "join_range: point/bound columns must be timestamps or integral " +
+          s"numbers — got ${badTypes.map { case (c, t) => s"$c: ${t.simpleString}" }
+            .mkString(", ")}; fractional values would be truncated into " +
+          "silently wrong bins (scale them to integral ticks upstream)")
     }
     def tick(c: Column): Column =
       if (timeIsTs) unix_micros(c.cast(TimestampType)) else c.cast("long")

@@ -21,11 +21,13 @@ import graft.api.ConfigException
  * (explode of a literal sequence — build-side rows × saltBuckets, so keep
  * the build side the smaller table). Join keys become (keys…, salt).
  * Result multiset is IDENTICAL to the unsalted join: salt only changes
- * row routing, never matching. The hash salt makes routing byte-identical
- * run-to-run and under task retries — reruns of a 100 TB job produce the
- * same partition layout, which keeps shuffle-file reuse and debugging
- * sane. Pass `seed` to re-roll the assignment (e.g. if a pathological
- * input correlates with the default seed).
+ * row routing, never matching. The salt's content-hash term is stable,
+ * but the per-row term (which spreads byte-identical rows) derives from
+ * partition layout and row order — so routing is reproducible only when
+ * the upstream scan order is (e.g. a stable file source); after a
+ * nondeterministic shuffle, reruns may route rows differently while the
+ * RESULT stays identical. Pass `seed` to re-roll the assignment (e.g. if
+ * a pathological input correlates with the default seed).
  *
  * Supported join types: inner and left_outer (an unmatched probe row
  * surfaces exactly once). right/full/semi/anti would see the replicated
@@ -44,6 +46,8 @@ object Skew {
       throw new ConfigException(
         s"saltedJoin: joinType '$joinType' unsupported (build side is replicated); " +
           "use inner/left with the probe side on the left")
+    graft.config.ExprUtils.requireNoHelperCollision("salted join",
+      probe.columns ++ build.columns, "__graft_salt")
     val saltCol = "__graft_salt"
     // the build side is replicated across EVERY salt, so ANY probe-side
     // salt assignment joins correctly — which is what makes the

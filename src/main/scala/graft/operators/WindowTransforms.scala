@@ -43,6 +43,10 @@ object WindowTransform extends Transform {
     }
     val extraKeys = config.options.get("groupBy").map(ExprUtils.parseColumns).getOrElse(Nil)
     val aggs = ExprUtils.parseAggregations(config.options("aggregations"))
+    // aggregations: "" parses to Nil and aggs.head would be a bare
+    // NoSuchElementException — same guard as the aggregation transform
+    if (aggs.isEmpty) throw new ConfigException(
+      s"windowing '${config.name}': no aggregations")
     val winCol = if (windowType == "session") "session_window" else "window"
     val agged = input
       .groupBy(bucket.as(winCol) +: extraKeys.map(col): _*)
@@ -58,10 +62,12 @@ object WindowTransform extends Transform {
 
 /**
  * window_rank — analytic-window superset (SURVEY §2.5): row_number / rank /
- * dense_rank / lag / lead over Window.partitionBy(...).orderBy(...), with
- * optional `topK` per-partition filter (the benchmark's top-N-per-group
+ * dense_rank / percent_rank / ntile over Window.partitionBy(...).orderBy(...),
+ * with optional `topK` per-partition filter (the benchmark's top-N-per-group
  * shape, QueryPlanAnalysisSpec.scala:312-340). One shuffle on the partition
- * keys; the topK filter happens before any further wide op.
+ * keys; the topK filter happens before any further wide op. lag/lead are
+ * value (not ranking) window functions — reach them through `window_agg`'s
+ * aggregations option, which takes the column and offset arguments they need.
  */
 object WindowRankTransform extends Transform {
   val transformType = "window_rank"

@@ -39,6 +39,42 @@ class AsofJoinSpec extends SparkTestBase {
     out(2L) shouldBe Some(1.5) // real keys unaffected
   }
 
+  test("null TIMES never match: a null-time left row gets a null payload " +
+    "in BOTH directions, and a null-time right row never donates one") {
+    val l = Seq(("A", Option.empty[Long], 1L), ("A", Some(10L), 2L))
+      .toDF("sym", "t", "trade_id")
+    // one real quote on each side of t=10 so both directions have a match
+    val r = Seq(("A", Option.empty[Long], 99.0), ("A", Some(5L), 1.5),
+        ("A", Some(15L), 2.5))
+      .toDF("sym", "t", "px")
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsofJoin.asofJoin(l, r, Seq("sym"), "t", "t", direction = dir)
+        .select("trade_id", "asof_px").as[(Long, Option[Double])].collect().toMap
+      withClue(s"direction=$dir: ") {
+        out(1L) shouldBe None // null left time compares to nothing
+        // and the real row matches its direction's quote — never the
+        // null-time right row's 99.0
+        out(2L) shouldBe Some(if (dir == "backward") 1.5 else 2.5)
+      }
+    }
+  }
+
+  test("fractional numeric time axes gate tolerance on RAW values (no long " +
+    "truncation); negative tolerance and helper collisions rejected") {
+    // gap = 5.9 - 5.1 = 0.8 > tolerance 0 — a cast("long") gap would be 0
+    val l = Seq(("A", 5.9, 1L)).toDF("sym", "t", "trade_id")
+    val r = Seq(("A", 5.1, 7.0)).toDF("sym", "t", "px")
+    AsofJoin.asofJoin(l, r, Seq("sym"), "t", "t", tolerance = Some(0L))
+      .select("asof_px").as[Option[Double]].head() shouldBe None
+    AsofJoin.asofJoin(l, r, Seq("sym"), "t", "t", tolerance = Some(1L))
+      .select("asof_px").as[Option[Double]].head() shouldBe Some(7.0)
+    an[IllegalArgumentException] should be thrownBy
+      AsofJoin.asofJoin(l, r, Seq("sym"), "t", "t", tolerance = Some(-1L))
+    val clash = Seq(("A", 1L, 2L)).toDF("sym", "t", "__mt")
+    an[graft.api.ConfigException] should be thrownBy
+      AsofJoin.asofJoin(clash, r, Seq("sym"), "t", "t")
+  }
+
   test("timestamp_ntz time axis: tolerance interpreted in microseconds") {
     import org.apache.spark.sql.types.TimestampNTZType
     def ts(s: String) = java.time.LocalDateTime.parse(s)

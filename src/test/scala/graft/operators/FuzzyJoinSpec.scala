@@ -51,6 +51,18 @@ class FuzzyJoinSpec extends SparkTestBase {
       .count() shouldBe 0L
   }
 
+  test("maxBlockSize < 1 and helper-name collisions are rejected, not a " +
+    "silently empty join") {
+    an[IllegalArgumentException] should be thrownBy link("maxBlockSize" -> "0")
+    right.toDF("rid", "name").createOrReplaceTempView("fuzzy_right")
+    val clash = left.toDF("id", "name")
+      .withColumn("__blk", org.apache.spark.sql.functions.lit("x"))
+    an[ConfigException] should be thrownBy
+      FuzzyJoinTransform(clash, TransformConfig("f", "join_fuzzy",
+        Map("rightDataset" -> "fuzzy_right", "leftColumn" -> "name",
+          "rightColumn" -> "name", "maxDistance" -> "2")), ctx)
+  }
+
   test("plan is a hash equi-join on the block, not a nested-loop join") {
     val plan = link().queryExecution.executedPlan.toString
     plan should not include "NestedLoop"

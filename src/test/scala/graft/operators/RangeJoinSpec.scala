@@ -32,6 +32,19 @@ class RangeJoinSpec extends SparkTestBase {
     out.count(_._1 == 2L) shouldBe 2     // point in two overlapping windows → two rows
   }
 
+  test("fractional point/bound types are rejected (truncated bins would " +
+    "silently mis-join); helper collisions rejected") {
+    val dPoints = Seq(("A", 5.7, 1L)).toDF("k", "p", "pid")
+    val dIntervals = Seq(("A", 5.9, 6.2, "w")).toDF("k", "lo", "hi", "tag")
+    val e = intercept[graft.api.ConfigException] {
+      RangeJoin.rangeJoin(dPoints, dIntervals, Seq("k"), "p", "lo", "hi", binWidth = 1)
+    }
+    e.getMessage should include ("integral")
+    val clash = points.withColumnRenamed("pid", "__bin")
+    an[graft.api.ConfigException] should be thrownBy
+      RangeJoin.rangeJoin(clash, intervals, Seq("k"), "p", "lo", "hi", binWidth = 7)
+  }
+
   test("declarative join_range; oversized intervals fail fast; empty intervals drop") {
     intervals.createOrReplaceTempView("range_ivals")
     val out = RangeJoinTransform(points,

@@ -114,6 +114,24 @@ class TransformSpec extends SparkTestBase {
     val ex = the[ConfigException] thrownBy MapTransform(df,
       tc("map", "expressions" -> "x:a + 1,x:b + 1"), ctx)
     ex.getMessage should include("duplicate alias")
+    // case-INsensitively, matching Spark's default resolution
+    an[ConfigException] should be thrownBy MapTransform(df,
+      tc("map", "expressions" -> "Price:a + 1,price:b + 1"), ctx)
+  }
+
+  test("aggregation: a groupingSets typo is rejected, never a silent plain " +
+    "groupBy; windowing rejects empty aggregations with a named error") {
+    val sales2 = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val ex = the[ConfigException] thrownBy AggregateTransform(sales2,
+      tc("aggregation", "groupBy" -> "k", "aggregations" -> "s:sum(v)",
+        "groupingSets" -> "CUBE"), ctx)
+    ex.getMessage should include("cube|rollup")
+    val tdf = Seq(("2024-01-01 00:00:00", 1.0)).toDF("ts", "v")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    val ex2 = the[ConfigException] thrownBy WindowTransform(tdf,
+      tc("windowing", "timeColumn" -> "ts", "windowDuration" -> "1 hour",
+        "aggregations" -> ""), ctx)
+    ex2.getMessage should include("no aggregations")
   }
 
   test("join: type matrix matches the reference contract") {
