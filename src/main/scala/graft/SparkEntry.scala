@@ -2655,10 +2655,10 @@ object SparkEntry {
            FROM documents
          )
          SELECT doc_id,
-                CAST(len(regexp_extract_all(text,
-                  '(?i)(?:\bforbidden widget\b|\bspamword\b)')) AS BIGINT) AS blocklist_hits,
-                len(regexp_extract_all(text,
-                  '(?i)(?:\bforbidden widget\b|\bspamword\b)')) = 0 AS blocklist_keep
+                CAST(len(regexp_extract_all(lower(text),
+                  '(?:\bforbidden widget\b|\bspamword\b)')) AS BIGINT) AS blocklist_hits,
+                len(regexp_extract_all(lower(text),
+                  '(?:\bforbidden widget\b|\bspamword\b)')) = 0 AS blocklist_keep
          FROM p""",
     // DuckDB ships no deflate, so the oracle joins a committed golden
     // fixture of independently-computed ratios (Python zlib raw deflate,

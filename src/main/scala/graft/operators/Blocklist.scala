@@ -35,24 +35,35 @@ object Blocklist {
     * oracle restatement). `wholeWord` anchors each term with `\b` — but
     * only at edges that ARE word characters (`\b` before/after a
     * non-word edge like `)` or `+` can never match, so terms such as
-    * `c++` anchor on the left only). `matchCase=false` prefixes `(?i)`. */
+    * `c++` anchor on the left only). `matchCase=false` LOWERCASES the
+    * terms — [[hits]] lowercases the text to match — instead of emitting
+    * `(?i)`: Java's inline `(?i)` is ASCII-only while RE2's is
+    * Unicode-aware, so the same pattern text would make different
+    * decisions on non-ASCII terms in the two engines; lower() on both
+    * sides folds identically everywhere. */
   def pattern(terms: Seq[String], wholeWord: Boolean, matchCase: Boolean): String = {
     require(terms.nonEmpty, "blocklist: empty term list")
-    val alts = terms.map { t =>
+    // Locale.ROOT: default-locale lowercasing would fold 'I' differently
+    // under a Turkish JVM locale than Spark's locale-independent lower()
+    val folded =
+      if (matchCase) terms else terms.map(_.toLowerCase(java.util.Locale.ROOT))
+    val alts = folded.map { t =>
       val e = escape(t)
       if (!wholeWord) e
       else (if (isWordChar(t.head)) "\\b" else "") + e +
            (if (isWordChar(t.last)) "\\b" else "")
     }
-    val body = s"(?:${alts.mkString("|")})"
-    if (matchCase) body else s"(?i)$body"
+    s"(?:${alts.mkString("|")})"
   }
 
   /** Number of blocklist matches in `text` (0 for null text). */
   def hits(text: Column, terms: Seq[String],
-           wholeWord: Boolean = true, matchCase: Boolean = false): Column =
+           wholeWord: Boolean = true, matchCase: Boolean = false): Column = {
+    val subject = if (matchCase) text else lower(text)
     when(text.isNull, lit(0L))
-      .otherwise(regexp_count(text, lit(pattern(terms, wholeWord, matchCase))).cast("long"))
+      .otherwise(regexp_count(subject,
+        lit(pattern(terms, wholeWord, matchCase))).cast("long"))
+  }
 }
 
 /**

@@ -50,6 +50,10 @@ object ChunkTransform extends Transform {
       throw new ConfigException(s"chunk overlap must be in [0, size), got $overlap")
     val stride = size - overlap
     val keep = config.options.get("keep").map(ExprUtils.parseColumns).getOrElse(Nil)
+    // the output/staging names are fixed: a kept column with one of them
+    // would duplicate or ambiguate silently — fail with the guided error
+    ExprUtils.requireNoHelperCollision("chunk", (id +: keep) :+ text,
+      "chunk_id", "chunk_text", "chunk_len")
 
     val len = length(col(text))
     val nChunks = when(len <= size, lit(1L))

@@ -26,6 +26,19 @@ import graft.config.TransformConfig
  */
 object CompressionRatio {
 
+  /** One native zlib stream per (executor thread, level), reset between
+    * rows — constructing/destroying a Deflater (deflateInit/deflateEnd)
+    * per ROW is measurable native churn on a 100 TB corpus. Bounded:
+    * task-threads × distinct-levels streams per JVM, each a few hundred
+    * KB of native state. reset() restores the exact initial stream state
+    * for a fixed (level, nowrap), so outputs are byte-identical to the
+    * fresh-instance form the golden fixtures pinned. */
+  private val deflaters =
+    new java.util.concurrent.ConcurrentHashMap[Int, ThreadLocal[java.util.zip.Deflater]]()
+  private def deflater(level: Int): java.util.zip.Deflater =
+    deflaters.computeIfAbsent(level, l =>
+      ThreadLocal.withInitial(() => new java.util.zip.Deflater(l, true))).get()
+
   /** deflated_len / raw_len for one string; null → null, empty → 1.0. */
   def ratio(text: Column, level: Int = 6): Column = {
     require(level >= 1 && level <= 9, s"deflate level must be in [1,9], got $level")
@@ -35,12 +48,12 @@ object CompressionRatio {
         val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         if (bytes.isEmpty) Some(1.0)
         else {
-          val d = new java.util.zip.Deflater(level, true) // nowrap: no header/checksum
+          val d = deflater(level) // nowrap: no header/checksum
+          d.reset()
           d.setInput(bytes); d.finish()
           val buf = new Array[Byte](8192)
           var total = 0L
           while (!d.finished()) total += d.deflate(buf)
-          d.end()
           Some(total.toDouble / bytes.length)
         }
       }

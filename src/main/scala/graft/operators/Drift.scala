@@ -38,13 +38,21 @@ object Drift {
     require(bins >= 2, s"drift: bins must be >= 2, got $bins")
     require(epsilon > 0, s"drift: epsilon must be positive, got $epsilon")
     def longForm(df: DataFrame): DataFrame = {
-      val missing = columns.filterNot(df.columns.contains)
+      // case-INSENSITIVE resolution, matching validate() and Spark's
+      // default — an exact-case lookup passed validation then failed at
+      // runtime for a config that only differs in case
+      def fieldIdx(name: String): Option[Int] =
+        df.schema.fields.indexWhere(_.name.equalsIgnoreCase(name)) match {
+          case -1 => None
+          case i => Some(i)
+        }
+      val missing = columns.filterNot(c => fieldIdx(c).isDefined)
       require(missing.isEmpty, s"drift: columns not in frame: ${missing.mkString(", ")}")
       // positional rename sidesteps name parsing entirely: a column called
       // `weird'na`me` travels through as _c<i>, its real name only ever a
       // string literal in the struct
       val safe = df.toDF(df.columns.indices.map(i => s"_c$i"): _*)
-      val structs = columns.map(df.schema.fieldIndex).zip(columns).map {
+      val structs = columns.map(c => fieldIdx(c).get).zip(columns).map {
         case (i, name) =>
           struct(lit(name).as("cname"), col(s"_c$i").cast("double").as("x"))
       }
@@ -125,11 +133,11 @@ object DriftTransform extends Transform {
                         schema: org.apache.spark.sql.types.StructType): List[String] =
     Validate.columnsExist(schema,
       config.options.get("columns").toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty), "drift")
+        .flatMap(graft.config.ExprUtils.parseColumns), "drift")
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "columns", "referenceView")
-    val cols = config.options("columns").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val cols = graft.config.ExprUtils.parseColumns(config.options("columns"))
     try Drift.psi(input,
       ctx.spark.table(config.options("referenceView")), cols,
       bins = config.options.get("bins").map(_.toInt).getOrElse(10),

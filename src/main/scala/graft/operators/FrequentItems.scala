@@ -68,6 +68,12 @@ object FrequentItemsTransform extends Transform {
       // the sketch (the build's group keys, however they were named)
       // passes through; the sketch column itself is consumed.
       val carried = df.columns.filterNot(_ == s"${c}_topk").map(col).toSeq
+      // a carried column named item/est_count/rank would emit a silently
+      // duplicate-named output column; __rank/__e would fail analysis with
+      // an ambiguous reference — guard both classes loudly
+      ExprUtils.requireNoHelperCollision("frequent_items",
+        df.columns.filterNot(_ == s"${c}_topk").toSeq,
+        "__rank", "__e", "item", "est_count", "rank")
       df.select((carried :+
           posexplode(expr(s"approx_top_k_estimate(`${c}_topk`, $k)"))
             .as(Seq("__rank", "__e"))): _*)

@@ -54,6 +54,10 @@ object GopherRules {
     * interpreted) remain in GopherRulesSpec as the parity reference. */
   private def withFail(df: DataFrame, textCol: String, th: Thresholds,
                        failCol: String): DataFrame = {
+    // staged helper names are fixed — a same-named input column would be
+    // silently overwritten then dropped (the repo-standard guard)
+    graft.config.ExprUtils.requireNoHelperCollision("quality_rules",
+      df.columns, "__gopher_ts", "__gopher_ls", "__gopher_fail0")
     val text = col(textCol)
     val staged = df
       .withColumn("__gopher_ts", graft.functions.expressions.TokenSignals(
@@ -131,15 +135,22 @@ object GopherRulesTransform extends Transform {
       try o.get(key).map(_.toDouble).getOrElse(default)
       catch { case _: NumberFormatException =>
         throw new ConfigException(s"quality_rules: $key must be numeric, got '${o(key)}'") }
+    // integral thresholds must not silently truncate ("50.9" gating at 50)
+    def i(key: String, default: Long): Long =
+      o.get(key).map { v =>
+        try v.toLong catch { case _: NumberFormatException =>
+          throw new ConfigException(
+            s"quality_rules: $key must be an integer, got '$v'") }
+      }.getOrElse(default)
     val th = GopherRules.Thresholds(
-      minWords = d("minWords", 50).toLong, maxWords = d("maxWords", 100000).toLong,
+      minWords = i("minWords", 50), maxWords = i("maxWords", 100000),
       minMeanWordLength = d("minMeanWordLength", 3.0),
       maxMeanWordLength = d("maxMeanWordLength", 10.0),
       maxSymbolRatio = d("maxSymbolRatio", 0.1),
       maxBulletFraction = d("maxBulletFraction", 0.9),
       maxEllipsisFraction = d("maxEllipsisFraction", 0.3),
       minAlphaFraction = d("minAlphaFraction", 0.8),
-      minStopwords = d("minStopwords", 2).toInt)
+      minStopwords = i("minStopwords", 2).toInt)
     val textCol = o("textColumn")
     o.getOrElse("mode", "annotate") match {
       case "annotate" => GopherRules.annotate(input, textCol, th)

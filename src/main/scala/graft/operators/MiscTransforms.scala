@@ -131,9 +131,11 @@ object FillNaTransform extends Transform {
   override def validate(config: TransformConfig,
                         schema: org.apache.spark.sql.types.StructType): List[String] =
     Validate.columnsExist(schema,
-      config.options.get("values").toSeq.flatMap(_.split(","))
+      config.options.get("values").toSeq
+        .flatMap(v => graft.config.ExprUtils.splitTopLevel(v))
         .map(_.split(":", 2)(0).trim).filter(_.nonEmpty) ++
-        config.options.get("columns").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+        config.options.get("columns").toSeq
+          .flatMap(graft.config.ExprUtils.parseColumns),
       "fillna")
 
   /** Literal coercion is driven by the TARGET COLUMN's type, not the
@@ -149,7 +151,13 @@ object FillNaTransform extends Transform {
       throw new ConfigException(
         s"fillna: '$t' is not a valid $what literal for column '$colName'"))
     dt match {
-      case StringType => t
+      // a quoted string literal ('San Jose, CA') unwraps — the quotes are
+      // how a fill value carries a comma past the top-level list split
+      case StringType =>
+        if (t.length >= 2 &&
+            ((t.head == '\'' && t.last == '\'') || (t.head == '"' && t.last == '"')))
+          t.substring(1, t.length - 1)
+        else t
       case BooleanType =>
         if (t.equalsIgnoreCase("true")) true
         else if (t.equalsIgnoreCase("false")) false
@@ -168,7 +176,9 @@ object FillNaTransform extends Transform {
     config.options.getOrElse("mode", "fill") match {
       case "fill" =>
         required(config, "values")
-        val pairs = config.options("values").split(",").map(_.trim).filter(_.nonEmpty)
+        // quote-aware split so a fill literal can carry a comma
+        val pairs = graft.config.ExprUtils.splitTopLevel(config.options("values"))
+          .map(_.trim).filter(_.nonEmpty)
           .map { kv =>
             kv.split(":", 2) match {
               case Array(c, v) =>
@@ -191,7 +201,7 @@ object FillNaTransform extends Transform {
           throw new ConfigException(s"fillna: how must be any|all, got '$how'")
         config.options.get("columns") match {
           case Some(cs) =>
-            input.na.drop(how, cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            input.na.drop(how, graft.config.ExprUtils.parseColumns(cs))
           case None => input.na.drop(how)
         }
       case other => throw new ConfigException(

@@ -125,10 +125,11 @@ object SetOpTransform extends Transform {
  *   options: {column: tags, as: tag, outer: "true", positionColumn: pos}
  * }}}
  *
- * `column` required; `as` (output name, default = column — replaces it),
+ * `column` required; `as` (output name, default = column — replaces it;
+ * for a MAP column, two comma-separated names, default `key,value`),
  * `outer` (false — `true` keeps rows with empty/null arrays as one null
  * row), `positionColumn` (absent → plain explode; set → posexplode's
- * 0-based element index).
+ * 0-based element index; arrays only — maps have no position).
  */
 object ExplodeTransform extends Transform {
   val transformType = "explode"
@@ -138,20 +139,36 @@ object ExplodeTransform extends Transform {
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "column")
     val c = config.options("column")
-    val out = config.options.getOrElse("as", c)
     val outer = config.options.get("outer").exists(_.toBoolean)
     // case-insensitive, like validation and Spark's own resolution — an
     // exact-case filter would KEEP the original array column alongside the
     // exploded one, breaking the documented replace and making any
     // downstream reference ambiguous
     val others = input.columns.filterNot(_.equalsIgnoreCase(c)).map(col).toSeq
+    val isMap = input.schema.fields.find(_.name.equalsIgnoreCase(c))
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    // a map explodes to TWO columns (key, value) — one alias would fail
+    // analysis with a generator-arity error
+    val outNames: Seq[String] =
+      if (!isMap) Seq(config.options.getOrElse("as", c))
+      else {
+        val names = config.options.get("as").map(ExprUtils.parseColumns)
+          .getOrElse(Seq("key", "value"))
+        if (names.length != 2) throw new ConfigException(
+          "explode: a map column explodes to two columns — give `as` two " +
+            s"comma-separated names (got '${names.mkString(",")}')")
+        names
+      }
     config.options.get("positionColumn") match {
       case None =>
         val gen = if (outer) explode_outer(col(c)) else explode(col(c))
-        input.select(others :+ gen.as(out): _*)
+        input.select(others :+ gen.as(outNames): _*)
+      case Some(_) if isMap => throw new ConfigException(
+        "explode: positionColumn applies to array columns only — a map has " +
+          "no element order to index")
       case Some(pos) =>
         val gen = if (outer) posexplode_outer(col(c)) else posexplode(col(c))
-        input.select(others :+ gen.as(Seq(pos, out)): _*)
+        input.select(others :+ gen.as(pos +: outNames): _*)
     }
   }
 }

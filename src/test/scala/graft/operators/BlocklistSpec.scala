@@ -34,6 +34,16 @@ class BlocklistSpec extends SparkTestBase {
       .select("blocklist_hits").as[Long].collect().sorted shouldBe Array(1L, 2L)
   }
 
+  test("case folding is Unicode-correct (lower() on both sides, not Java's " +
+    "ASCII-only inline (?i)) and the pattern carries no engine-varying flag") {
+    run("textColumn" -> "text", "terms" -> "müll")(
+      (1L, "the MÜLL bin"), (2L, "the müll bin"), (3L, "the mull bin"))
+      .select("id", "blocklist_hits").as[(Long, Long)].collect().sortBy(_._1)
+      .map(_._2) shouldBe Array(1L, 1L, 0L)
+    Blocklist.pattern(Seq("müll"), wholeWord = true, matchCase = false) should
+      not include "(?i)"
+  }
+
   test("regex metacharacters in terms match literally") {
     run("textColumn" -> "text", "terms" -> "c++ (lang)")(
       (1L, "I know c++ (lang) well"), (2L, "cxx lang"))

@@ -57,5 +57,8 @@ class ChunkSpec extends SparkTestBase {
     intercept[ConfigException] { chunk(df, "size" -> "0") }
     intercept[ConfigException] { chunk(df, "size" -> "5", "overlap" -> "5") }
     intercept[ConfigException] { chunk(df, "size" -> "5", "overlap" -> "-1") }
+    // re-chunking chunked data: kept output-name columns collide loudly
+    val chunked = Seq((1L, "x", 0L)).toDF("id", "t", "chunk_id")
+    intercept[ConfigException] { chunk(chunked, "size" -> "5", "keep" -> "chunk_id") }
   }
 }

@@ -109,5 +109,10 @@ class DriftSpec extends SparkTestBase {
     DriftTransform.validate(TransformConfig("t", "drift",
       Map("columns" -> "nope", "referenceView" -> "drift_ref")),
       ref.schema) should not be empty
+    // runtime resolution is case-INSENSITIVE like validate and Spark —
+    // a config that passes validation must not fail at apply
+    DriftTransform(ref, TransformConfig("t", "drift",
+      Map("columns" -> "A, B", "referenceView" -> "drift_ref")), ctx)
+      .count() shouldBe 2
   }
 }

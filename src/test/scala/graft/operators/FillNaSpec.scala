@@ -35,6 +35,13 @@ class FillNaSpec extends SparkTestBase {
       run("values" -> "nope:1") // unknown column
   }
 
+  test("a quoted fill literal carries a comma through the list split") {
+    val cities = Seq((1L, Some("NYC")), (2L, None: Option[String])).toDF("id", "city")
+    FillNaTransform(cities, TransformConfig("f", "fillna",
+      Map("values" -> "city:'San Jose, CA'")), ctx)
+      .as[(Long, String)].collect().toMap.apply(2L) shouldBe "San Jose, CA"
+  }
+
   test("drop: any vs all, with and without a column subset") {
     run("mode" -> "drop").select("id").as[Long].collect().sorted shouldBe Array(1L)
     run("mode" -> "drop", "how" -> "all").count() shouldBe 4 // id never null

@@ -59,5 +59,11 @@ class FrequentItemsSpec extends SparkTestBase {
       run(skewed, "columns" -> "item_col", "k" -> "50", "maxItemsTracked" -> "10")
     a[ConfigException] should be thrownBy
       run(skewed, "columns" -> "item_col,grp", "mode" -> "topk")
+    // a carried column named like an output/staging column would emit a
+    // silently duplicate-named (or ambiguous) frame — rejected loudly
+    val clash = (1 to 9).map(i => (s"r$i", s"i${i % 3}")).toDF("rank", "item_col")
+    a[ConfigException] should be thrownBy
+      run(clash, "columns" -> "item_col", "mode" -> "topk",
+        "groupBy" -> "rank")
   }
 }

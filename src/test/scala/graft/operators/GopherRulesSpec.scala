@@ -109,6 +109,14 @@ class GopherRulesSpec extends SparkTestBase {
     an[ConfigException] should be thrownBy GopherRulesTransform(
       d, TransformConfig("g", "quality_rules",
         Map("textColumn" -> "text", "minWords" -> "abc")), ctx)
+    // fractional integral thresholds are rejected, never truncated
+    an[ConfigException] should be thrownBy GopherRulesTransform(
+      d, TransformConfig("g", "quality_rules",
+        Map("textColumn" -> "text", "minWords" -> "50.9")), ctx)
+    // staged helper names collide loudly, never overwrite-then-drop
+    an[ConfigException] should be thrownBy GopherRulesTransform(
+      d.withColumn("__gopher_ts", org.apache.spark.sql.functions.lit(1)),
+      TransformConfig("g", "quality_rules", Map("textColumn" -> "text")), ctx)
     GopherRulesTransform.validate(
       TransformConfig("g", "quality_rules", Map("textColumn" -> "nope")),
       d.schema) should not be empty

@@ -117,6 +117,23 @@ class ReshapeSpec extends SparkTestBase {
     outer.as[(Long, Option[String])].collect().sortBy(_._1).last shouldBe ((3L, None))
   }
 
+  test("explode of a MAP column yields key/value rows (custom names via " +
+    "as), and positionColumn on a map is rejected") {
+    val m = Seq((1L, Map("a" -> "x", "b" -> "y")), (2L, Map.empty[String, String]))
+      .toDF("id", "attrs")
+    val out = ExplodeTransform(m, tc("explode", "column" -> "attrs"), ctx)
+    out.columns.toSeq shouldBe Seq("id", "key", "value")
+    out.as[(Long, String, String)].collect().sorted shouldBe
+      Array((1L, "a", "x"), (1L, "b", "y"))
+    val named = ExplodeTransform(m, tc("explode",
+      "column" -> "attrs", "as" -> "k,v"), ctx)
+    named.columns.toSeq shouldBe Seq("id", "k", "v")
+    an[ConfigException] should be thrownBy ExplodeTransform(m,
+      tc("explode", "column" -> "attrs", "as" -> "only_one"), ctx)
+    an[ConfigException] should be thrownBy ExplodeTransform(m,
+      tc("explode", "column" -> "attrs", "positionColumn" -> "pos"), ctx)
+  }
+
   test("explode replaces the column case-insensitively, like validation " +
     "and Spark resolution — never keeps the original array alongside") {
     val mixed = Seq((1L, Seq("a"))).toDF("id", "Tags")
