@@ -149,7 +149,6 @@ object Multimodal {
    * by media payload count.
    */
   def extractFeatures(media: DataFrame, decoder: MediaDecoder = ImageIODecoder): DataFrame = {
-    val spark = media.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     media.select("media_id", "modality", "content").mapPartitions { rows =>
       rows.map { r =>
@@ -216,6 +215,11 @@ object Multimodal {
    */
   def resize(media: DataFrame, targetW: Int, targetH: Int,
              resizer: MediaResizer = ImageIOResizer): DataFrame = {
+    // fail on the driver — a non-positive target would crash inside
+    // executor tasks (BufferedImage rejects 0) with an opaque stack trace,
+    // while the stub path would silently "succeed" with 16-byte payloads
+    require(targetW > 0 && targetH > 0,
+      s"resize: target dimensions must be positive, got ${targetW}x$targetH")
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     media.select("media_id", "modality", "content", "meta").mapPartitions { rows =>
       rows.map { r =>
@@ -303,12 +307,18 @@ object Multimodal {
                    decoder: MediaDecoder = ImageIODecoder,
                    sampler: FrameSampler = ImageFrameSampler): DataFrame = {
     require(everyMs > 0, "everyMs must be positive")
+    // maxFrames <= 0 would silently emit ZERO rows for every payload —
+    // the pipeline "succeeds" having dropped the whole dataset
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
     val enc = org.apache.spark.sql.Encoders.row(frameSchema)
     media.select("media_id", "modality", "content").mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0); val modality = r.getString(1)
         val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-        val (_, _, durMs, _) = decoder.decode(modality, bytes)
+        // images have no time axis — skip the full ImageIO decode + luma
+        // scan that would only be thrown away to read durMs = 0
+        val durMs =
+          if (modality == "image") 0L else decoder.decode(modality, bytes)._3
         val n = math.min(maxFrames.toLong, durMs / everyMs + 1).toInt
         (0 until n).iterator.map { idx =>
           val ts = idx * everyMs

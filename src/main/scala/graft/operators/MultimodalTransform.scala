@@ -35,8 +35,18 @@ object MultimodalTransform extends Transform {
     required(config, "operation", "idColumn", "bytesColumn")
     val id = config.options("idColumn")
     val uriCol = config.options.getOrElse("sourceUriColumn", id)
+    // normalize + validate: the decoder dispatches on the EXACT string
+    // "image", so a typo ("Image", "img") would silently route real images
+    // to the stub decoder and fabricate features with no error
+    val modality = config.options.getOrElse("modality", "image")
+      .toLowerCase(java.util.Locale.ROOT)
+    val knownModalities = Set("image", "audio", "video")
+    if (!knownModalities.contains(modality))
+      throw new graft.api.ConfigException(
+        s"multimodal: modality must be one of ${knownModalities.mkString("|")}, " +
+          s"got '${config.options("modality")}'")
     val media = Multimodal.asMediaFrame(input, id, config.options("bytesColumn"),
-      modality = config.options.getOrElse("modality", "image"),
+      modality = modality,
       sourceUriCol = uriCol)
     config.options("operation") match {
       case "features" => Multimodal.extractFeatures(media)

@@ -40,10 +40,19 @@ object SchemaValidator {
   private def diffType(actual: DataType, expected: DataType, path: String): List[SchemaIssue] =
     (actual, expected) match {
       case (a: StructType, e: StructType) => diff(a, e, path + ".")
-      case (a: ArrayType, e: ArrayType)   => diffType(a.elementType, e.elementType, path + "[]")
+      case (a: ArrayType, e: ArrayType) =>
+        // element nullability is part of the promised check — an array
+        // declared containsNull=false must not accept nullable elements
+        diffType(a.elementType, e.elementType, path + "[]") :::
+        (if (a.containsNull && !e.containsNull)
+          List(SchemaIssue(path + "[]", "nullable elements but expected non-nullable"))
+        else Nil)
       case (a: MapType, e: MapType) =>
         diffType(a.keyType, e.keyType, path + ".key") :::
-        diffType(a.valueType, e.valueType, path + ".value")
+        diffType(a.valueType, e.valueType, path + ".value") :::
+        (if (a.valueContainsNull && !e.valueContainsNull)
+          List(SchemaIssue(path + ".value", "nullable values but expected non-nullable"))
+        else Nil)
       case (a, e) if a == e => Nil
       case (a, e) => List(SchemaIssue(path, s"type mismatch: $a vs expected $e"))
     }
@@ -78,8 +87,11 @@ object QualityChecker {
    */
   def metricsFrame(df: DataFrame, nullColumns: Seq[String],
                    distinctColumns: Seq[String] = Nil): DataFrame = {
+    // coalesce: sum() over ZERO rows is SQL NULL, and a null metric cell
+    // NPEs the report reader — an empty frame is in-contract (zero counts)
     val aggs = count(lit(1)).as("total_rows") +:
-      (nullColumns.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")) ++
+      (nullColumns.map(c =>
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"null_$c")) ++
        distinctColumns.map(c => countDistinct(col(c)).as(s"distinct_$c")))
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -89,7 +101,12 @@ object QualityChecker {
     val total = row.getLong(0)
     val nulls = nullColumns.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap
     val dupCols = if (dupColumns.nonEmpty) dupColumns else df.columns.toSeq
-    val distinct = df.select(dupCols.map(col): _*).distinct().count()
+    // non-orderable columns (maps) key by their JSON form — raw distinct()
+    // over a map column fails analysis; same substitution as the executor's
+    // duplicate gate
+    val keyed = dupCols.map(c =>
+      graft.config.ExprUtils.orderableOrJson(df.schema, c).as(c))
+    val distinct = df.select(keyed: _*).distinct().count()
     QualityReport(total, nulls, total - distinct)
   }
 
@@ -149,7 +166,15 @@ object QuarantineWriter {
       .withColumn("pipeline_id", lit(ctx.pipelineId))
       .withColumn("run_id", lit(ctx.runId))
       .write.mode(SaveMode.Append).parquet(path)
-    obs.get.get("rows").map(_.toString.toLong).getOrElse(-1L)
+    // a missing metric is an anomaly, not a count: the executor ADDS this
+    // return to its failed-row accumulator, so a -1 sentinel would corrupt
+    // the metric downward silently — report 0 and warn instead
+    obs.get.get("rows").map(_.toString.toLong).getOrElse {
+      new graft.runtime.StructuredLogger("QuarantineWriter").warn(
+        "quarantine write produced no 'rows' observation; reporting 0",
+        Map("path" -> path, "run_id" -> ctx.runId))
+      0L
+    }
   }
 
   def read(path: String, ctx: RunContext, pipelineId: Option[String] = None,

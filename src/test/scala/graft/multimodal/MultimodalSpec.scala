@@ -132,5 +132,20 @@ class MultimodalSpec extends SparkTestBase {
       raw, t("operation" -> "nope", "idColumn" -> "id", "bytesColumn" -> "bytes"), ctx)
     an[graft.api.ConfigException] should be thrownBy graft.operators.MultimodalTransform(
       raw, t("operation" -> "features"), ctx)
+    // a modality typo must not silently route real images to the stub
+    // decoder; known modalities normalize case
+    an[graft.api.ConfigException] should be thrownBy graft.operators.MultimodalTransform(
+      raw, t("operation" -> "features", "idColumn" -> "id",
+        "bytesColumn" -> "bytes", "modality" -> "img"), ctx)
+    graft.operators.MultimodalTransform(raw,
+      t("operation" -> "features", "idColumn" -> "id", "bytesColumn" -> "bytes",
+        "modality" -> "Image"), ctx).count() shouldBe 2
+    // non-positive targets/maxFrames fail on the driver, not mid-task
+    an[IllegalArgumentException] should be thrownBy graft.operators.MultimodalTransform(
+      raw, t("operation" -> "resize", "idColumn" -> "id",
+        "bytesColumn" -> "bytes", "targetW" -> "0"), ctx)
+    an[IllegalArgumentException] should be thrownBy graft.operators.MultimodalTransform(
+      raw, t("operation" -> "frames", "idColumn" -> "id",
+        "bytesColumn" -> "bytes", "maxFrames" -> "0"), ctx)
   }
 }

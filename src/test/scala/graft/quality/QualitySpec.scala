@@ -26,6 +26,37 @@ class QualitySpec extends SparkTestBase {
       ("addr.zip", "type mismatch"))
   }
 
+  test("schema validator: array containsNull / map valueContainsNull are " +
+    "checked, matching the header's nullability promise") {
+    val expected = StructType(Seq(
+      StructField("xs", ArrayType(StringType, containsNull = false)),
+      StructField("m", MapType(StringType, StringType, valueContainsNull = false))))
+    val actual = StructType(Seq(
+      StructField("xs", ArrayType(StringType, containsNull = true)),
+      StructField("m", MapType(StringType, StringType, valueContainsNull = true))))
+    val issues = SchemaValidator.validate(actual, expected)
+    issues.map(_.path) should contain allOf ("xs[]", "m.value")
+    SchemaValidator.validate(expected, expected) shouldBe empty
+    // the REVERSE direction (stricter actual than expected) is fine
+    SchemaValidator.validate(expected, actual) shouldBe empty
+  }
+
+  test("checkQuality on an EMPTY frame reports zero counts (sum over zero " +
+    "rows is SQL NULL) and map columns key by JSON in the duplicate count") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    val rep = QualityChecker.checkQuality(empty, Seq("name"))
+    rep.totalRows shouldBe 0L
+    rep.nullViolations("name") shouldBe 0L
+    rep.duplicateRows shouldBe 0L
+    val withMap = Seq(
+      (1L, Map("a" -> "x")), (2L, Map("a" -> "x")), (3L, Map("b" -> "y")))
+      .toDF("id", "attrs")
+    // default dupColumns = all columns incl. the map — must not fail analysis
+    QualityChecker.checkQuality(withMap, Seq("id")).duplicateRows shouldBe 0L
+    QualityChecker.checkQuality(withMap, Seq("id"), Seq("attrs"))
+      .duplicateRows shouldBe 1L
+  }
+
   test("one-pass quality metrics: null counts + keyed duplicate count") {
     val df = Seq(
       (Some("a"), Some("x")), (None, Some("y")), (Some("a"), None), (Some("a"), Some("x")))
