@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
-  /** Strip ALL leading/trailing whitespace. Spark's `trim` removes only
-    * ASCII space (0x20) while `split(_, "\\s+")` keeps leading/trailing
-    * empty strings, so a doc ending in a newline would otherwise grow a
-    * phantom "" token that skews every token-derived signal. */
+  /** Strip ALL leading/trailing whitespace. Spark's 1-arg `trim` removes
+    * only ASCII space (0x20) while `split(_, "\\s+")` keeps
+    * leading/trailing empty strings, so a doc ending in a newline would
+    * otherwise grow a phantom "" token that skews every token-derived
+    * signal. The charset overload covers exactly Java-regex `\s`
+    * ([ \t\n\f\r]) as a codegen'd string op — a regexp_replace here
+    * measured ~10× slower on the corpus-wide signal queries. */
   private def wsStrip(text: Column): Column =
-    regexp_replace(text, "^\\s+|\\s+$", "")
+    trim(text, " \t\n\u000B\f\r")
 
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column =
@@ -98,11 +101,14 @@ object TextFunctions {
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
     val wordLen = meanTokenLength(text)
     val wordScore = when(wordLen.between(3.0, 9.0), 1.0).otherwise(0.4)
-    // least()/greatest() SKIP null arguments, so without this guard a NULL
-    // text scores 0.68 (lenScore and stopScore collapse to their 1.0 caps)
-    // and sails through quality filters
-    when(text.isNull, lit(null).cast("double")).otherwise(
-      round(lenScore * 0.3 + stopScore * 0.3 + punctScore * 0.2 + wordScore * 0.2, 4))
+    // least()/greatest() SKIP null arguments, so a NULL text would score
+    // 0.68 (lenScore and stopScore collapse to their 1.0 caps) and sail
+    // through quality filters. Null out ARITHMETICALLY (+ null = null)
+    // rather than with a when(): conditional branches are exempt from
+    // codegen subexpression elimination, and wrapping the score put the
+    // whole TokenSignals walk in a branch — measured 12× slower on q24.
+    round(lenScore * 0.3 + stopScore * 0.3 + punctScore * 0.2 + wordScore * 0.2, 4) +
+      length(text).cast("double") * lit(0.0)
   }
 
   /** Language profiles: high-frequency function words per language (public
@@ -124,30 +130,34 @@ object TextFunctions {
    */
   def langId(text: Column): Column = {
     val ts = signals(text)
+    // NULL text gives every profile a null score; greatest() would tie on
+    // equal-null score fields and the struct tie-break would return the
+    // lexicographically-last lang code ("zh"). Null scores fold to -1 so
+    // the winner's score still CARRIES the null signal — a leading
+    // when(text.isNull) branch would exile the whole TokenSignals walk
+    // from codegen subexpression elimination (measured 12× slower).
     val scored = langProfiles.zipWithIndex.map { case ((lang, _), i) =>
-      struct(element_at(ts.getField("lang"), i + 1).as("score"),
+      struct(coalesce(element_at(ts.getField("lang"), i + 1), lit(-1)).as("score"),
         lit(lang).as("lang"))
     }
     val top = greatest(scored: _*)
-    // NULL text gives every profile a null score; greatest() then ties on
-    // equal-null score fields and the struct tie-break returns the
-    // lexicographically-last lang code ("zh") — guard explicitly
-    when(text.isNull, lit(null).cast("string"))
+    when(top.getField("score") === -1, lit(null).cast("string"))
       .when(top.getField("score") === 0, lit("und"))
       .otherwise(top.getField("lang"))
   }
 
-  /** Composable HOF form of [[langId]]; parity reference. */
+  /** Composable HOF form of [[langId]]; parity reference (same -1-fold
+    * null handling as the native form). */
   def langIdHof(text: Column): Column = {
     val t = tokens(text)
     val scored = langProfiles.map { case (lang, words) =>
       val profile = array(words.map(lit): _*)
       struct(
-        size(filter(t, w => array_contains(profile, w))).as("score"),
+        coalesce(size(filter(t, w => array_contains(profile, w))), lit(-1)).as("score"),
         lit(lang).as("lang"))
     }
     val top = greatest(scored: _*)
-    when(text.isNull, lit(null).cast("string"))
+    when(top.getField("score") === -1, lit(null).cast("string"))
       .when(top.getField("score") === 0, lit("und"))
       .otherwise(top.getField("lang"))
   }
