@@ -311,17 +311,22 @@ object Ann {
    */
   def loadCodebook(store: DataFrame, wantNLists: Option[Int] = None,
                    wantKmeansIters: Option[Int] = None): Array[Array[Float]] = {
-    val missing = Seq("list_id", "vec").filterNot(store.columns.contains) ++
-      // a half-present stamp pair (hand-built or half-migrated store) must
-      // get this guided error, not an unresolved-column AnalysisException
-      // from the stamp select below
-      Seq("cb_n_lists", "cb_kmeans_iters").filter(c =>
-        !store.columns.contains(c) &&
-          Seq("cb_n_lists", "cb_kmeans_iters").exists(store.columns.contains))
-    if (missing.nonEmpty) throw new graft.api.ConfigException(
-      s"codebook store is missing column(s) ${missing.mkString(", ")} — " +
-        "expected the codebookFrame layout (list_id, vec, cb_*)")
-    if (store.columns.contains("cb_n_lists")) {
+    // the stamp columns are REQUIRED, not optional (the minhash/gram store
+    // contract): a stamp-less store cannot prove what it was trained with,
+    // and skipping the check would let `nClusters: 40` silently consume a
+    // 64-centroid store — the exact "assignments silently mean something
+    // else" failure the stamps exist to prevent
+    val missing = Seq("list_id", "vec", "cb_n_lists", "cb_kmeans_iters")
+      .filterNot(store.columns.contains)
+    if (missing.nonEmpty) {
+      // braces around the throw matter: a bare block following a `throw
+      // new X(...)` statement parses as an anonymous-class BODY of X
+      throw new graft.api.ConfigException(
+        s"codebook store is missing column(s) ${missing.mkString(", ")} — " +
+          "expected the codebookFrame layout (list_id, vec, cb_*); rebuild " +
+          "the store with the codebook transform")
+    }
+    locally {
       // DISTINCT stamp set (tiny partial-agg job), not one sampled row —
       // mixed-parameter stores (two builds appended) fail regardless of
       // partition order, null stamps raise the config error, not an NPE
@@ -379,7 +384,7 @@ object Ann {
             "(partial overwrite or a filtered view); documents previously " +
             "in the missing clusters would silently reassign")
     }
-    rows.map { r =>
+    val cents = rows.map { r =>
       val v = r.getSeq[Any](1)
       // a null ELEMENT would silently unbox to 0.0f — a centroid with a
       // fabricated zero dimension; fail with the store contract's error
@@ -389,6 +394,15 @@ object Ann {
           "silently read as 0.0)")
       v.asInstanceOf[Seq[Float]].toArray
     }
+    // a truncated centroid would be prefix-scored by the assignment loop
+    // (math.min over dims) and could spuriously win — mixed dims are store
+    // corruption, not data
+    val dims = cents.map(_.length).distinct
+    if (dims.length > 1) throw new graft.api.ConfigException(
+      s"codebook store centroids carry mixed dimensionalities " +
+        s"${dims.sorted.mkString(", ")} — a truncated centroid would be " +
+        "prefix-scored and silently skew every assignment; rebuild the store")
+    cents
   }
 
   /** [[ivfTopK]] with the coarse quantizer read from a PERSISTED

@@ -353,6 +353,19 @@ object Dedup {
       graft.functions.expressions.SimHashFromHashes(
         graft.functions.expressions.ShingleHashes(col(textCol), 1, distinct = false)).as("sig"))
 
+  /** (offset, width) per chunk of the adaptive pigeonhole blocking:
+    * maxHamming+1 chunks tiling the 64 signature bits as evenly as
+    * possible (the first 64 % n chunks get the extra bit). Exposed
+    * package-private so the property spec can pin the guarantee that any
+    * pair within the hamming budget shares >= 1 intact chunk. */
+  private[dedup] def simhashChunkBounds(maxHamming: Int): Seq[(Int, Int)] = {
+    val nChunks = maxHamming + 1
+    val baseW = 64 / nChunks; val extra = 64 % nChunks
+    (0 until nChunks).map { c =>
+      (c * baseW + math.min(c, extra), baseW + (if (c < extra) 1 else 0))
+    }
+  }
+
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     // adaptive pigeonhole blocking: maxHamming+1 chunks guarantee a pair
@@ -371,17 +384,13 @@ object Dedup {
     val sigs = simhashSignatures(df, idCol, textCol).where(col("sig").isNotNull)
     // static chunk array (count fixed at plan time) — stays codegen'd,
     // unlike the transform(sequence(...)) HOF form it replaces, which
-    // evaluated interpreted per row. 64 bits split as evenly as possible:
-    // the first (64 % n) chunks get the extra bit.
-    val nChunks = maxHamming + 1
-    val baseW = 64 / nChunks; val extra = 64 % nChunks
-    val chunkStructs = (0 until nChunks).map { c =>
-      val width = baseW + (if (c < extra) 1 else 0)
-      val offset = c * baseW + math.min(c, extra)
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(c).as("chunk"),
-        call_function("shiftright", col("sig"), lit(offset))
-          .bitwiseAND(mask).as("ch"))
+    // evaluated interpreted per row
+    val chunkStructs = simhashChunkBounds(maxHamming).zipWithIndex.map {
+      case ((offset, width), c) =>
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        struct(lit(c).as("chunk"),
+          call_function("shiftright", col("sig"), lit(offset))
+            .bitwiseAND(mask).as("ch"))
     }
     val chunked0 = sigs.select(col("doc_id"), col("sig"),
         explode(array(chunkStructs: _*)).as("cc"))

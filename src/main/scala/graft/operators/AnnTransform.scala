@@ -61,9 +61,16 @@ object AnnTopKTransform extends Transform {
     val q = queries.select(
       org.apache.spark.sql.functions.col(qid).as(qid),
       org.apache.spark.sql.functions.col(qvec).as(vec))
-    val k = config.options.get("k").map(_.toInt).getOrElse(10)
+    val k = intOpt(config, "k", 10)
     if (k < 1) throw new ConfigException(s"ann_topk: k must be >= 1, got $k")
-    config.options.getOrElse("method", "brute") match {
+    val method = config.options.getOrElse("method", "brute")
+    // codebookView only parameterizes IVF — with brute/lsh the user almost
+    // certainly meant method: ivf; reject rather than silently ignore
+    if (method != "ivf" && config.options.contains("codebookView"))
+      throw new ConfigException(
+        "ann_topk: codebookView only applies with method: ivf — " +
+          s"method '$method' never consults a codebook")
+    method match {
       case "brute" => graft.ann.Ann.bruteForceTopK(input, q, id, vec, qid, k)
       case "lsh" => graft.ann.Ann.lshTopK(input, q, id, vec, qid, k,
         bits = intOpt(config, "bits", 12), tables = intOpt(config, "tables", 4))
@@ -71,8 +78,8 @@ object AnnTopKTransform extends Transform {
         case Some(view) => graft.ann.Ann.ivfTopKWithCodebook(input, q, id, vec,
           qid, k, ctx.spark.table(view),
           nProbe = intOpt(config, "nProbe", 8),
-          wantNLists = config.options.get("nLists").map(_.toInt),
-          wantKmeansIters = config.options.get("kmeansIters").map(_.toInt))
+          wantNLists = config.options.get("nLists").map(_ => intOpt(config, "nLists", 0)),
+          wantKmeansIters = config.options.get("kmeansIters").map(_ => intOpt(config, "kmeansIters", 0)))
         case None => graft.ann.Ann.ivfTopK(input, q, id, vec, qid, k,
           nLists = intOpt(config, "nLists", 64),
           nProbe = intOpt(config, "nProbe", 8),
@@ -83,6 +90,10 @@ object AnnTopKTransform extends Transform {
     }
   }
 
+  // guided error for a non-numeric option, not a bare NumberFormatException
   private def intOpt(config: TransformConfig, key: String, dflt: Int): Int =
-    config.options.get(key).map(_.toInt).getOrElse(dflt)
+    config.options.get(key).map { v =>
+      try v.toInt catch { case _: NumberFormatException =>
+        throw new ConfigException(s"ann_topk: $key must be an integer, got '$v'") }
+    }.getOrElse(dflt)
 }

@@ -111,11 +111,22 @@ object AsofJoin {
       case TimestampType | org.apache.spark.sql.types.TimestampNTZType => true
       case _ => false
     }
-    // numeric time columns compare RAW (a cast("long") would truncate
-    // fractional times and let tolerance gates pass on values that are
-    // actually farther apart); timestamps tick in exact microseconds
+    // fractional time columns compare RAW (a cast("long") would truncate
+    // and let tolerance gates pass on values actually farther apart), but
+    // narrow integral types still WIDEN to long — an Int-typed gap can
+    // overflow (wrap, or throw under ANSI) on legal data; timestamps tick
+    // in exact microseconds
+    val timeIsNarrowIntegral = left.schema(leftTime).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     def tick(c: Column): Column =
-      if (timeIsTs) unix_micros(c.cast(TimestampType)) else c
+      if (timeIsTs) unix_micros(c.cast(TimestampType))
+      else if (timeIsNarrowIntegral) c.cast("long")
+      else c
 
     val matched = lSide.unionByName(rSide)
       .withColumn("__m", pick(col("__p")))

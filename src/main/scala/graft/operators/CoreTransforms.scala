@@ -39,8 +39,10 @@ object MapTransform extends Transform {
     val pairs = ExprUtils.parseExprList(config.options("expressions"))
     if (pairs.isEmpty) throw new ConfigException(s"map '${config.name}': empty expressions")
     // case-INsensitive, like Spark's default resolution (and the keep-clash
-    // guard below): "Price: a, price: b" is a duplicate, not two columns
-    val dups = pairs.groupBy(_._1.toLowerCase).collect { case (_, ps) if ps.size > 1 => ps.head._1 }
+    // guard below): "Price: a, price: b" is a duplicate, not two columns.
+    // Locale.ROOT so a Turkish-locale JVM folds I/i the same as Spark does.
+    val dups = pairs.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
+      .collect { case (_, ps) if ps.size > 1 => ps.head._1 }
     if (dups.nonEmpty) throw new ConfigException(
       s"map '${config.name}': duplicate alias(es) ${dups.mkString(", ")}")
     if (config.options.get("project").exists(_.toBoolean)) {

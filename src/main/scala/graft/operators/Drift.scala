@@ -40,12 +40,15 @@ object Drift {
     def longForm(df: DataFrame): DataFrame = {
       // case-INSENSITIVE resolution, matching validate() and Spark's
       // default — an exact-case lookup passed validation then failed at
-      // runtime for a config that only differs in case
-      def fieldIdx(name: String): Option[Int] =
-        df.schema.fields.indexWhere(_.name.equalsIgnoreCase(name)) match {
-          case -1 => None
-          case i => Some(i)
-        }
+      // runtime for a config that only differs in case. Exact match WINS
+      // when two columns differ only in case (the orderableOrJson rule),
+      // so "value" never silently resolves to a sibling "Value".
+      def fieldIdx(name: String): Option[Int] = {
+        val exact = df.schema.fields.indexWhere(_.name == name)
+        val i = if (exact >= 0) exact
+                else df.schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
+        if (i >= 0) Some(i) else None
+      }
       val missing = columns.filterNot(c => fieldIdx(c).isDefined)
       require(missing.isEmpty, s"drift: columns not in frame: ${missing.mkString(", ")}")
       // positional rename sidesteps name parsing entirely: a column called

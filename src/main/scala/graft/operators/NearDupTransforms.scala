@@ -428,6 +428,10 @@ object DecontaminateTransform extends Transform {
         // row against the same benchmark shingle set gathered into one
         // broadcast array — the eval set is broadcast-sized by this
         // path's contract.
+        // the null-id branch stages __bsh on the input frame — guard the
+        // fixed helper name like every other helper-column operator
+        graft.config.ExprUtils.requireNoHelperCollision(
+          "decontaminate", input.columns, "__bsh")
         val nonNull = input.where(col(id).isNotNull)
         val hits = Dedup.contaminationHits(nonNull, bench, id, text, benchText, n)
         val kept = nonNull.join(hits.select(col(id)), Seq(id), "left_anti")

@@ -56,6 +56,9 @@ object RangeJoin {
     import org.apache.spark.sql.types._
     def integral(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
+      // scale-0 decimals (JDBC NUMERIC(p,0) tick axes) are exact integral
+      // values — cast("long") is lossless for p <= 18
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
       case _ => false
     }
     val timeIsTs = left.schema(pointCol).dataType match {

@@ -72,5 +72,11 @@ class AnnTransformSpec extends SparkTestBase {
         "codebookView" -> "ann_cb2", "nLists" -> "5").collect()
     }
     e.getMessage should include("stamp")
+    // non-numeric options get a guided error, not a bare NFE
+    an[ConfigException] should be thrownBy
+      ann("queryIdColumn" -> "query_id", "k" -> "ten")
+    // codebookView without method: ivf is a misconfig, not silently ignored
+    an[ConfigException] should be thrownBy
+      ann("queryIdColumn" -> "query_id", "codebookView" -> "ann_cb2")
   }
 }

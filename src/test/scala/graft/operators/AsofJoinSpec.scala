@@ -75,6 +75,19 @@ class AsofJoinSpec extends SparkTestBase {
       AsofJoin.asofJoin(clash, r, Seq("sym"), "t", "t")
   }
 
+  test("Int-typed time axes widen to long for the tolerance gap — a huge " +
+    "gap must fail the gate, not wrap (or throw under ANSI)") {
+    val l = Seq(("A", 2000000000, 1L)).toDF("sym", "t", "trade_id")
+    val r = Seq(("A", -1500000000, 7.0)).toDF("sym", "t", "px")
+    // true gap 3.5e9 exceeds any int; tolerance 1e9 must reject the match
+    AsofJoin.asofJoin(l, r, Seq("sym"), "t", "t",
+        tolerance = Some(1000000000L))
+      .select("asof_px").as[Option[Double]].head() shouldBe None
+    AsofJoin.asofJoin(l, r, Seq("sym"), "t", "t",
+        tolerance = Some(4000000000L))
+      .select("asof_px").as[Option[Double]].head() shouldBe Some(7.0)
+  }
+
   test("timestamp_ntz time axis: tolerance interpreted in microseconds") {
     import org.apache.spark.sql.types.TimestampNTZType
     def ts(s: String) = java.time.LocalDateTime.parse(s)

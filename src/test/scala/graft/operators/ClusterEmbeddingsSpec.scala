@@ -172,6 +172,25 @@ class ClusterEmbeddingsSpec extends SparkTestBase {
     cluster("codebookView" -> "cb_widened")
       .select("vec_id", "cluster_id").as[(Long, Int)].collect()
       .sortBy(_._1) shouldBe viaStore
+    // a STAMP-LESS store (hand-built, only list_id + vec) is rejected:
+    // skipping the check would let nClusters silently disagree with the
+    // store's true size
+    store.select("list_id", "vec").createOrReplaceTempView("cb_nostamps")
+    an[ConfigException] should be thrownBy
+      ClusterEmbeddingsTransform(df, TransformConfig("c", "cluster_embeddings",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "codebookView" -> "cb_nostamps")), ctx).collect()
+    // mixed centroid dimensionalities are store corruption, not data
+    store.selectExpr("list_id",
+        "CASE WHEN list_id = 1 THEN slice(vec, 1, 2) ELSE vec END AS vec",
+        "cb_n_lists", "cb_kmeans_iters", "cb_rows")
+      .createOrReplaceTempView("cb_mixdim")
+    val e7 = intercept[ConfigException] {
+      ClusterEmbeddingsTransform(df, TransformConfig("c", "cluster_embeddings",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "codebookView" -> "cb_mixdim")), ctx).collect()
+    }
+    e7.getMessage should include ("dimensionalities")
     // a null CENTROID ELEMENT must fail loud, never unbox to 0.0f
     store.selectExpr("list_id",
         "CASE WHEN list_id = 1 THEN array(cast(1.0 as float), cast(null as float)) " +

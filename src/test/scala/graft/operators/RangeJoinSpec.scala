@@ -43,6 +43,12 @@ class RangeJoinSpec extends SparkTestBase {
     val clash = points.withColumnRenamed("pid", "__bin")
     an[graft.api.ConfigException] should be thrownBy
       RangeJoin.rangeJoin(clash, intervals, Seq("k"), "p", "lo", "hi", binWidth = 7)
+    // scale-0 decimals are exact integral ticks and stay accepted
+    val decPoints = points.selectExpr("k", "cast(p as decimal(18,0)) p", "pid")
+    val decIntervals = intervals.selectExpr("k",
+      "cast(lo as decimal(18,0)) lo", "cast(hi as decimal(18,0)) hi", "tag")
+    RangeJoin.rangeJoin(decPoints, decIntervals, Seq("k"), "p", "lo", "hi",
+      binWidth = 7).count() should be > 0L
   }
 
   test("declarative join_range; oversized intervals fail fast; empty intervals drop") {
