@@ -51,10 +51,14 @@ object Bench {
   def measure(spark: SparkSession,
               queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
               sfDir: String, runs: Int): List[(String, List[Double])] = {
+    // NonFatal only, here and below: a driver OOM must abort the bench
+    // loudly — scoring it as one query's -1 and continuing would time
+    // every later query in a heap-exhausted JVM (the round-7 "15 broken
+    // queries" symptom, but with misleading slow times instead)
     val names = queries.keys.toList.sorted
     names.foreach { name =>                       // untimed warmup
       try force(queries(name)(spark, sfDir))
-      catch { case _: Throwable => }
+      catch { case scala.util.control.NonFatal(_) => }
     }
     names.map { name =>
       var failed = false
@@ -68,7 +72,7 @@ object Bench {
         try {
           force(queries(name)(spark, sfDir))
           passes += (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => failed = true }
+        } catch { case scala.util.control.NonFatal(_) => failed = true }
         i += 1
       }
       name -> (if (failed) Nil else passes.result())
@@ -84,20 +88,23 @@ object Bench {
     * sensitive to one-sided noise); `passes` carries every pass so noise
     * is visible instead of judgeable-as-regression. */
   def render(results: List[(String, List[Double])], sfDir: String): (String, String) = {
+    // Verify's escaper, shared: an sfDir with a backslash or quote would
+    // otherwise invalidate EVERY redundant JSON channel at once (the r8
+    // "parsed: null" failure mode, re-created by the report itself)
     val mins = results.map { case (k, ps) => k -> minOf(ps) }
     val (ok, bad) = mins.partition(_._2 >= 0)
-    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = mins.map { case (k, v) => Verify.q(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val passes = results.map { case (k, ps) =>
-      "\"" + k + "\":" + ps.map(fmt).mkString("[", ",", "]") }
+      Verify.q(k) + ":" + ps.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val failed = bad.map(b => Verify.q(b._1)).mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     // queries first, total LAST in the big line: if a bounded capture cuts
     // it, the head (query names) is the recoverable part and the totals
     // live in the compact line anyway
-    val big = s"""{"queries":$qs,"passes":$passes,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","value":${fmt(total)}}"""
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${bad.size},"failed":$failed,"sf":"$sfDir"}"""
+    val big = s"""{"queries":$qs,"passes":$passes,"sf":${Verify.q(sfDir)},"failed":$failed,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${bad.size},"failed":$failed,"sf":${Verify.q(sfDir)}}"""
     (big, compact)
   }
 
@@ -124,7 +131,7 @@ object Bench {
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve("bench.json"),
         (big + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench artifact write failed: ${e.getMessage}")
     }
 
@@ -153,7 +160,11 @@ object Bench {
     val queries = only match {
       case Some(names) =>
         // a typo'd name must fail loudly, not bench zero queries and
-        // print a valid-looking total
+        // print a valid-looking total — and so must an EMPTY subset
+        // ("" from an unset interpolated shell variable)
+        require(names.nonEmpty,
+          "SPARK_GRAFT_BENCH_ONLY is set but names no queries — unset it " +
+            "for the full registry")
         val unknown = names.diff(SparkEntry.queries.keySet)
         require(unknown.isEmpty,
           s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")

@@ -13,7 +13,7 @@ object Verify {
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)
   // — a tab or CR in builder-authored SQL would otherwise make the
   // driver's json.load fail and silently zero the round's correctness.
-  private def q(s: String): String = "\"" + s.flatMap {
+  private[graft] def q(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -37,12 +37,26 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failures = collection.mutable.LinkedHashMap[String, String]()
     queries.foreach { case (name, fn) =>
+      // NonFatal only: an OOM must abort the run loudly, not be recorded
+      // as one query's failure while every later query runs (and
+      // spuriously "fails") in a heap-exhausted JVM
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: $msg")
         failures(name) = msg
+        // a PREVIOUS run's parquet (or this run's partial write) must not
+        // survive next to a _failed.json entry naming the query — a
+        // compare tool walking the dirs would see stale green output
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(Files.deleteIfExists(_))
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), jsonObj(oracleSql))
@@ -67,7 +81,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     only.foreach { names =>
       // a typo'd name must fail loudly, not verify zero queries and
-      // leave an empty-but-clean-looking output dir
+      // leave an empty-but-clean-looking output dir — and so must an
+      // EMPTY subset ("" from an unset interpolated shell variable)
+      require(names.nonEmpty,
+        "SPARK_GRAFT_VERIFY_ONLY is set but names no queries — unset it " +
+          "for the full registry")
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty,
         s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")

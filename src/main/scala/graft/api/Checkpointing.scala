@@ -24,6 +24,13 @@ object Checkpointing {
   val ModeKey = "spark.graft.checkpoint"
   val DirKey  = "spark.graft.checkpoint.dir"
 
+  // the last DirKey value THIS seam applied: getCheckpointDir returns a
+  // resolved URI (not the raw config string), so it can't be compared
+  // against the conf to detect a per-pipeline dir change — without this,
+  // pipeline B's spark.graft.checkpoint.dir was silently ignored because
+  // pipeline A had already set A's dir on the shared SparkContext
+  @volatile private var appliedDir: Option[String] = None
+
   /** Truncate `df`'s lineage under the session-configured mode.
     * `eager = false` defers materialization to first use (the lazy shared
     * tf frame); `eager = true` materializes now (per-round loop frames). */
@@ -32,10 +39,17 @@ object Checkpointing {
     spark.conf.get(ModeKey, "local") match {
       case "local" => df.localCheckpoint(eager)
       case "reliable" =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(
-            spark.conf.getOption(DirKey).getOrElse(throw new ConfigException(
-              s"$ModeKey=reliable needs $DirKey (or a pre-set SparkContext checkpoint dir)")))
+        spark.conf.getOption(DirKey) match {
+          case Some(d) if !appliedDir.contains(d) =>
+            spark.sparkContext.setCheckpointDir(d)
+            appliedDir = Some(d)
+          case Some(_) => () // already applied this exact configured dir
+          case None =>
+            if (spark.sparkContext.getCheckpointDir.isEmpty)
+              throw new ConfigException(
+                s"$ModeKey=reliable needs $DirKey (or a pre-set " +
+                  "SparkContext checkpoint dir)")
+        }
         df.checkpoint(eager)
       case other => throw new ConfigException(
         s"$ModeKey must be local|reliable, got '$other'")

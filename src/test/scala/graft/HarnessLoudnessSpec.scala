@@ -26,6 +26,31 @@ class HarnessLoudnessSpec extends SparkTestBase {
     assert(new java.io.File(s"$out/oracle_sql.json").exists())
   }
 
+  test("Verify deletes a failed query's STALE parquet from a previous run " +
+    "instead of leaving green-looking output next to its _failed entry") {
+    val out = tmpDir("verifystale")
+    // run 1: the query succeeds and writes parquet
+    Verify.run(spark, Map("flip_q" -> good), Map.empty, "unused", out)
+    assert(new java.io.File(s"$out/flip_q").exists())
+    // run 2 into the SAME dir: the query now throws — stale output must go
+    Verify.run(spark, Map("flip_q" -> bad), Map.empty, "unused", out)
+    assert(!new java.io.File(s"$out/flip_q").exists(),
+      "stale parquet must not survive next to a _failed.json entry")
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/_failed.json")) should include("flip_q")
+  }
+
+  test("Bench JSON escapes sfDir and query names (a backslash or quote " +
+    "would invalidate every redundant report channel at once)") {
+    val (big, compact) = Bench.render(
+      List("good_q" -> List(0.5)), """C:\data\sf"0.1""")
+    for (line <- Seq(big, compact)) {
+      val parsed = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+        .build().readTree(line)
+      parsed.get("sf").asText() shouldBe """C:\data\sf"0.1"""
+    }
+  }
+
   test("Verify writes an empty manifest when every query runs") {
     val out = tmpDir("verifyclean")
     val failures = Verify.run(spark, Map("good_q" -> good), Map.empty, "unused", out)
