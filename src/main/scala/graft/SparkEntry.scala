@@ -201,6 +201,63 @@ object SparkEntry {
     s.table(qn)
   }
 
+  /** Drain a StreamingExecutor pipeline config to its memory sink and
+    * return the table — the executor-path twin of [[runStreamToTable]]
+    * (shared: conf save/restore, 120 s refuse-partial-results bound).
+    * NOTE the session-global conf toggles mean SparkEntry queries are
+    * SEQUENTIAL-only by contract (Bench/Verify honor this): a drain
+    * started concurrently inside another drain's conf window would clone
+    * the wrong settings. `noDataBatch=false` is only sound for
+    * emit-on-arrival operators (dedup, stream-stream inner join). */
+  private def drainExecutor(s: SparkSession, cfg: graft.config.PipelineConfig,
+                            name: String, queryName: String,
+                            noDataBatch: Boolean = true): DataFrame = {
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatch.toString)
+    try {
+      val q = new graft.streaming.StreamingExecutor().start(cfg)(s)
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"$name: streaming drain exceeded 120s — refusing partial results")
+      }
+    } finally { // batch queries follow
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+    s.table(queryName)
+  }
+
+  /** 8-word re-lining of the documents table: replace every 8th space
+    * with a newline — byte-identical to the transform/slice HOF form on
+    * this single-space corpus (verified row-by-row at sf0.1) but a single
+    * codegen'd regex pass instead of an interpreted lambda per line.
+    * Shared by q81/q90/q113 (line-dedup fixtures) — ONE copy, so the
+    * three oracles can never drift from three hand-kept regexes. */
+  private def relined(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    tab(s, dir, "documents").withColumn("text",
+      regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n"))
+  }
+
+  /** The q118/q125 per-family clustering stats (1-row-joined frame):
+    * family = vec_id % 4, per-family counts/cluster-spread/sim bounds plus
+    * the global distinct-cluster count. ONE copy so the store-backed q125
+    * asserts exactly the trained-path q118 stats shape. */
+  private def familyStats(clustered: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perFamily = clustered
+      .groupBy((col("vec_id") % 4).as("family"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        round(min(col("centroid_sim")), 4).as("min_sim"),
+        round(max(col("centroid_sim")), 4).as("max_sim"))
+    val total = clustered.agg(
+      countDistinct(col("cluster_id")).as("total_clusters"))
+    perFamily.crossJoin(broadcast(total)) // 1-row stats frame
+  }
+
   private def ctx(s: SparkSession) = RunContext(s, "sparkentry", "verify")
   private def t(typ: String, opts: (String, String)*): TransformConfig =
     TransformConfig(s"$typ-q", typ, opts.toMap)
@@ -246,7 +303,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy val, not def: Bench/Verify touch the registry several times per
+  // run (key validation, filtering, measurement) and a def rebuilt the
+  // full 127-entry closure map — including the string-built oracle SQL —
+  // on every access
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 aggregation transformer (9 fns + expression aggregates) ----
     "q1_agg" -> ((s, dir) => ap(tab(s, dir, "lineitem"),
       t("aggregation",
@@ -685,11 +746,7 @@ object SparkEntry {
     // pass must strip exactly the repeats — zero-shuffle native projection
     "q90_dedup_lines_doc" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val lined = tab(s, dir, "documents").withColumn("text", // 8-word re-lining: replace every 8th space with a newline — byte-
-      // identical to the transform/slice HOF form on this single-space
-      // corpus (verified row-by-row at sf0.1) but a single codegen'd
-      // regex pass instead of an interpreted lambda per line
-      regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n"))
+      val lined = relined(s, dir)
       val rep = lined.withColumn("text",
         concat_ws("\n", col("text"),
           element_at(split(col("text"), "\n"), 1),
@@ -1051,9 +1108,16 @@ object SparkEntry {
     "q52_asof_join" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val e = tab(s, dir, "events")
+      // AsofJoin's determinism contract requires UNIQUE right-side
+      // (key, time): keep the max-event_id purchase per (user_id, ts) so
+      // a testdata regeneration that lands two same-microsecond purchases
+      // can never make the tie pick partitioning- (or DuckDB-) dependent.
+      // Today's data has zero such ties, so results are unchanged.
       e.where("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
         .select(col("user_id"), col("ts"),
-          col("event_id").as("ref_id"), col("value").as("ref_value"))
+          col("m.event_id").as("ref_id"), col("m.value").as("ref_value"))
         .createOrReplaceTempView("q52_purchases")
       val clicks = e.where("event_type = 'click'")
         .select("event_id", "user_id", "ts")
@@ -1194,15 +1258,7 @@ object SparkEntry {
       val clustered = ap(plantedFamilies(s, dir), t("cluster_embeddings",
         "idColumn" -> "vec_id", "vecColumn" -> "embedding",
         "nClusters" -> "40", "kmeansIters" -> "2", "appendSim" -> "centroid_sim"))
-      val perFamily = clustered
-        .groupBy((col("vec_id") % 4).as("family"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("cluster_id")).as("n_clusters"),
-          round(min(col("centroid_sim")), 4).as("min_sim"),
-          round(max(col("centroid_sim")), 4).as("max_sim"))
-      val total = clustered.agg(
-        countDistinct(col("cluster_id")).as("total_clusters"))
-      perFamily.crossJoin(broadcast(total)) // 1-row stats frame
+      familyStats(clustered)
     }),
     // q118 through the PERSISTED codebook: the store (built once by the
     // `codebook` producer from the same planted corpus and re-read from
@@ -1218,15 +1274,7 @@ object SparkEntry {
         "idColumn" -> "vec_id", "vecColumn" -> "embedding",
         "codebookView" -> "q125_codebook",
         "nClusters" -> "40", "kmeansIters" -> "2", "appendSim" -> "centroid_sim"))
-      val perFamily = clustered
-        .groupBy((col("vec_id") % 4).as("family"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("cluster_id")).as("n_clusters"),
-          round(min(col("centroid_sim")), 4).as("min_sim"),
-          round(max(col("centroid_sim")), 4).as("max_sim"))
-      val total = clustered.agg(
-        countDistinct(col("cluster_id")).as("total_clusters"))
-      perFamily.crossJoin(broadcast(total)) // 1-row stats frame
+      familyStats(clustered)
     }),
     // the same construction through dedup_semantic (q88's rows-only gap):
     // every family member pairs at cosine exactly 1.0 inside its own
@@ -1374,11 +1422,7 @@ object SparkEntry {
     // then share real line-level boilerplate for the operator to strip.
     "q81_dedup_lines" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val lined = tab(s, dir, "documents").withColumn("text", // 8-word re-lining: replace every 8th space with a newline — byte-
-      // identical to the transform/slice HOF form on this single-space
-      // corpus (verified row-by-row at sf0.1) but a single codegen'd
-      // regex pass instead of an interpreted lambda per line
-      regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n"))
+      val lined = relined(s, dir)
       ap(lined, t("dedup_lines", "idColumn" -> "doc_id", "textColumn" -> "text"))
         .select("doc_id", "text")
     }),
@@ -1438,15 +1482,11 @@ object SparkEntry {
     // planted lines and keep everything else, rebuilt in order
     "q113_dedup_lines_against" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val relined = tab(s, dir, "documents").withColumn("text", // 8-word re-lining: replace every 8th space with a newline — byte-
-      // identical to the transform/slice HOF form on this single-space
-      // corpus (verified row-by-row at sf0.1) but a single codegen'd
-      // regex pass instead of an interpreted lambda per line
-      regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n"))
-      relined.where(col("doc_id") < 100).createOrReplaceTempView("q113_reference")
-      val boiler = relined.where(col("doc_id") < 100)
+      val lined = relined(s, dir)
+      lined.where(col("doc_id") < 100).createOrReplaceTempView("q113_reference")
+      val boiler = lined.where(col("doc_id") < 100)
         .select(col("doc_id").as("rid"), expr("split(text, chr(10))[0]").as("b"))
-      val inc = relined.where(col("doc_id") >= 100)
+      val inc = lined.where(col("doc_id") >= 100)
         .withColumn("rid", col("doc_id") % 100)
         .join(broadcast(boiler), Seq("rid"))
         .withColumn("text", concat(col("b"), lit("\n"), col("text")))
@@ -1569,16 +1609,7 @@ object SparkEntry {
           // ~3.4k distinct windows: 8 state stores, not 32 — each state
           // partition pays per-batch open/commit overhead
           shufflePartitions = Some(streamStateParts(s)))))
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        val q = new graft.streaming.StreamingExecutor().start(cfg)(s)
-        if (!q.awaitTermination(120000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "q32: streaming drain exceeded 120s — refusing partial results")
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle) // batch queries follow
-      s.table("q32_out")
+      drainExecutor(s, cfg, "q32", "q32_out")
     }),
 
     // arbitrary-state streaming: flatMapGroupsWithState sessionization with
@@ -1609,16 +1640,7 @@ object SparkEntry {
           watermarkColumn = Some("ts"), watermarkDelay = Some("0 seconds"),
           outputMode = "append",
           shufflePartitions = Some(streamStateParts(s)))))
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        val q = new graft.streaming.StreamingExecutor().start(cfg)(s)
-        if (!q.awaitTermination(120000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "q46: streaming drain exceeded 120s — refusing partial results")
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle) // batch queries follow
-      s.table("q46_out").select(col("user_id"),
+      drainExecutor(s, cfg, "q46", "q46_out").select(col("user_id"),
         unix_millis(col("session_start")).as("session_start_ms"),
         unix_millis(col("session_end")).as("session_end_ms"),
         col("n_events"),
@@ -1653,24 +1675,10 @@ object SparkEntry {
           outputMode = "append",
           dedupColumns = Some("user_id,event_type"),
           shufflePartitions = Some(streamStateParts(s)))))
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       // dropDuplicates emits first-seen rows on ARRIVAL; the trailing
       // no-data batch would only expire seen-key state this drain never
       // revisits, so skip it (restored after — the agg queries need it)
-      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      try {
-        val q = new graft.streaming.StreamingExecutor().start(cfg)(s)
-        if (!q.awaitTermination(120000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "q83: streaming drain exceeded 120s — refusing partial results")
-        }
-      } finally { // batch queries follow
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-      }
-      s.table("q83_out")
+      drainExecutor(s, cfg, "q83", "q83_out", noDataBatch = false)
     }),
 
     // stream-static join: the streaming enrich shape — events stream joined
@@ -1731,7 +1739,61 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** The shared DuckDB tokenize → shingle → set-fingerprint CTE chain
+    * (t, s, fp) used by every threshold-1.0 minhash oracle: whitespace
+    * tokens of lower(text), 3-gram shingles (docs under 3 tokens collapse
+    * to one whole-text shingle), then sorted-distinct shingles joined on
+    * chr(30) — a byte no shingle can contain — as the set fingerprint.
+    * ONE copy: a fix to the shingle semantics cannot silently diverge
+    * across the five oracles that restate it (q107/q108/q117/q123/q126).
+    * Plain template + replace, not string interpolation: the `[\x00-...]`
+    * regex would be mangled by interpolator escape processing. */
+  private val shingleFpTemplate =
+    """t AS (
+           SELECT __COLS__,
+                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
+                              x -> x <> '') AS toks, text
+           FROM __FROM__
+         ), s AS (
+           SELECT __COLS__,
+                  CASE WHEN len(toks) < 3
+                       THEN [array_to_string(toks, chr(31))]
+                       ELSE list_distinct([array_to_string(toks[i:i+2], chr(31))
+                                           FOR i IN range(1, len(toks) - 1)])
+                  END AS sh
+           FROM t
+         ), fp AS (
+           SELECT __COLS__, array_to_string(list_sort(sh), chr(30)) AS fp
+           FROM s
+         )"""
+  private def shingleFpCtes(from: String, cols: String): String =
+    shingleFpTemplate.replace("__FROM__", from).replace("__COLS__", cols)
+  /** The self-dedup planted corpus every exact minhash twin reuses:
+    * documents plus verbatim copies of doc_id < 40 at +900000. */
+  private def plantedCopiesCte(cols: String): String =
+    s"""base AS (
+           SELECT $cols, text FROM documents
+           UNION ALL
+           SELECT doc_id + 900000 AS doc_id, ${cols.split(",").map(_.trim).drop(1).mkString(", ")}, text FROM documents
+           WHERE doc_id < 40
+         )"""
+
+  /** q107 and q117 share this oracle VERBATIM: the signature store only
+    * changes where the reference's (sh, sig) come from, never what
+    * matches, so both are the same shingle-set-equality statement. */
+  private lazy val minhashIncrOracle: String =
+    "WITH " + shingleFpCtes("documents", "doc_id, source") +
+      """, refs AS (
+           SELECT DISTINCT fp FROM fp WHERE doc_id < 100
+         ), inc AS (
+           SELECT doc_id, source, fp FROM fp WHERE doc_id >= 100
+           UNION ALL
+           SELECT doc_id + 800000 AS doc_id, source, fp FROM fp WHERE doc_id < 30
+         )
+         SELECT doc_id, source FROM inc
+         WHERE fp NOT IN (SELECT fp FROM refs)"""
+
+  lazy val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -2066,14 +2128,16 @@ object SparkEntry {
                                 / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
                       END, 4) AS jaccard
          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""",
-    // the multimodal decode is a documented deterministic stub (no codecs
-    // in the image): the oracle joins a committed fixture of dimensions
-    // recomputed by an INDEPENDENT Python reimplementation of the fold
-    // (tools/gen_golden_q31.py), keyed on (doc_id, md5(text)) like q96 so
-    // testdata drift fails loudly. n_frames = 1 for every image payload
-    // (duration 0 -> one sampled frame), also pinned by the fixture.
-    // fixture computed straight from the pixel formula (no image library)
-    // — matches only if the Spark side's PNG round-trip truly reads pixels
+    // the multimodal decode is REAL (javax.imageio over PNGs the query
+    // synthesizes from doc_id alone): the oracle joins a committed fixture
+    // of dimensions + 4x4 luma grids recomputed by an INDEPENDENT Python
+    // reimplementation of the same pixel formula (tools/gen_golden_q31.py,
+    // no image library) — it matches only if the Spark side's PNG
+    // round-trip truly reads pixels. Keyed on doc_id only (unlike q96's
+    // (doc_id, md5(text)) tripwire) because the payloads derive from
+    // doc_id, never from text — text drift cannot stale this fixture.
+    // n_frames = 1 for every image payload (duration 0 -> one sampled
+    // frame), also pinned by the fixture.
     "q31_multimodal" ->
       """SELECT d.doc_id AS media_id, g.width, g.height,
                 g.r_width, g.r_height, g.n_frames, g.luma
@@ -2085,152 +2149,44 @@ object SparkEntry {
     // distinct shingles joined on chr(30) — a byte no shingle can contain):
     // at threshold 1.0 the minhash path drops exactly the increment docs
     // whose shingle set equals some reference doc's
-    "q107_minhash_incr_exact" ->
-      """WITH t AS (
-           SELECT doc_id, source,
-                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
-                              x -> x <> '') AS toks, text
-           FROM documents
-         ), s AS (
-           SELECT doc_id, source,
-                  CASE WHEN len(toks) < 3
-                       THEN [array_to_string(toks, chr(31))]
-                       ELSE list_distinct([array_to_string(toks[i:i+2], chr(31))
-                                           FOR i IN range(1, len(toks) - 1)])
-                  END AS sh
-           FROM t
-         ), fp AS (
-           SELECT doc_id, source, array_to_string(list_sort(sh), chr(30)) AS fp
-           FROM s
-         ), refs AS (
-           SELECT DISTINCT fp FROM fp WHERE doc_id < 100
-         ), inc AS (
-           SELECT doc_id, source, fp FROM fp WHERE doc_id >= 100
-           UNION ALL
-           SELECT doc_id + 800000 AS doc_id, source, fp FROM fp WHERE doc_id < 30
-         )
-         SELECT doc_id, source FROM inc
-         WHERE fp NOT IN (SELECT fp FROM refs)""",
+    "q107_minhash_incr_exact" -> minhashIncrOracle,
     // store-backed incremental minhash has IDENTICAL semantics to q107 —
     // the signature store changes where the reference's (sh, sig) come
-    // from, not what matches — so the oracle is the same shingle-set
-    // equality statement
-    "q117_minhash_store_exact" ->
-      """WITH t AS (
-           SELECT doc_id, source,
-                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
-                              x -> x <> '') AS toks, text
-           FROM documents
-         ), s AS (
-           SELECT doc_id, source,
-                  CASE WHEN len(toks) < 3
-                       THEN [array_to_string(toks, chr(31))]
-                       ELSE list_distinct([array_to_string(toks[i:i+2], chr(31))
-                                           FOR i IN range(1, len(toks) - 1)])
-                  END AS sh
-           FROM t
-         ), fp AS (
-           SELECT doc_id, source, array_to_string(list_sort(sh), chr(30)) AS fp
-           FROM s
-         ), refs AS (
-           SELECT DISTINCT fp FROM fp WHERE doc_id < 100
-         ), inc AS (
-           SELECT doc_id, source, fp FROM fp WHERE doc_id >= 100
-           UNION ALL
-           SELECT doc_id + 800000 AS doc_id, source, fp FROM fp WHERE doc_id < 30
-         )
-         SELECT doc_id, source FROM inc
-         WHERE fp NOT IN (SELECT fp FROM refs)""",
+    // from, not what matches — so the oracle IS q107's statement
+    "q117_minhash_store_exact" -> minhashIncrOracle,
     // self-dedup at threshold 1.0: greedy pair-drop removes every doc with
     // a smaller-id shingle-set twin — keep iff doc_id = min(doc_id) of its
     // fingerprint group
     "q108_minhash_self_exact" ->
-      """WITH base AS (
-           SELECT doc_id, source, text FROM documents
-           UNION ALL
-           SELECT doc_id + 900000 AS doc_id, source, text FROM documents
-           WHERE doc_id < 40
-         ), t AS (
-           SELECT doc_id, source,
-                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
-                              x -> x <> '') AS toks, text
-           FROM base
-         ), s AS (
-           SELECT doc_id, source,
-                  CASE WHEN len(toks) < 3
-                       THEN [array_to_string(toks, chr(31))]
-                       ELSE list_distinct([array_to_string(toks[i:i+2], chr(31))
-                                           FOR i IN range(1, len(toks) - 1)])
-                  END AS sh
-           FROM t
-         ), fp AS (
-           SELECT doc_id, source, array_to_string(list_sort(sh), chr(30)) AS fp
-           FROM s
-         )
+      ("WITH " + plantedCopiesCte("doc_id, source") + ", " +
+        shingleFpCtes("base", "doc_id, source") +
+        """
          SELECT doc_id, source FROM (
            SELECT doc_id, source,
                   min(doc_id) OVER (PARTITION BY fp) AS keeper
-           FROM fp) WHERE doc_id = keeper""",
+           FROM fp) WHERE doc_id = keeper"""),
     // q108's fingerprint-group construction with q36's (doc_id, lang)
     // projection — greedy pair-drop at threshold 1.0 keeps each identical-
     // shingle-set group's minimum id
     "q126_pipeline_neardup_exact" ->
-      """WITH base AS (
-           SELECT doc_id, lang, text FROM documents
-           UNION ALL
-           SELECT doc_id + 900000 AS doc_id, lang, text FROM documents
-           WHERE doc_id < 40
-         ), t AS (
-           SELECT doc_id, lang,
-                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
-                              x -> x <> '') AS toks, text
-           FROM base
-         ), s AS (
-           SELECT doc_id, lang,
-                  CASE WHEN len(toks) < 3
-                       THEN [array_to_string(toks, chr(31))]
-                       ELSE list_distinct([array_to_string(toks[i:i+2], chr(31))
-                                           FOR i IN range(1, len(toks) - 1)])
-                  END AS sh
-           FROM t
-         ), fp AS (
-           SELECT doc_id, lang, array_to_string(list_sort(sh), chr(30)) AS fp
-           FROM s
-         )
+      ("WITH " + plantedCopiesCte("doc_id, lang") + ", " +
+        shingleFpCtes("base", "doc_id, lang") +
+        """
          SELECT doc_id, lang FROM (
            SELECT doc_id, lang,
                   min(doc_id) OVER (PARTITION BY fp) AS keeper
-           FROM fp) WHERE doc_id = keeper""",
+           FROM fp) WHERE doc_id = keeper"""),
     // q108's shingle-fingerprint dup groups with the survivor election
     // flipped to max(quality = doc_id%7), ties toward the smaller id
     "q123_dedup_survivor" ->
-      """WITH base AS (
-           SELECT doc_id, source, text FROM documents
-           UNION ALL
-           SELECT doc_id + 900000 AS doc_id, source, text FROM documents
-           WHERE doc_id < 40
-         ), t AS (
-           SELECT doc_id, source,
-                  list_filter(string_split_regex(lower(text), '[\x00-\x20]+'),
-                              x -> x <> '') AS toks, text
-           FROM base
-         ), s AS (
-           SELECT doc_id, source,
-                  CASE WHEN len(toks) < 3
-                       THEN [array_to_string(toks, chr(31))]
-                       ELSE list_distinct([array_to_string(toks[i:i+2], chr(31))
-                                           FOR i IN range(1, len(toks) - 1)])
-                  END AS sh
-           FROM t
-         ), fp AS (
-           SELECT doc_id, source, array_to_string(list_sort(sh), chr(30)) AS fp
-           FROM s
-         )
+      ("WITH " + plantedCopiesCte("doc_id, source") + ", " +
+        shingleFpCtes("base", "doc_id, source") +
+        """
          SELECT doc_id, source FROM (
            SELECT doc_id, source,
                   row_number() OVER (PARTITION BY fp
                     ORDER BY CAST(doc_id % 7 AS DOUBLE) DESC, doc_id ASC) AS rn
-           FROM fp) WHERE rn = 1""",
+           FROM fp) WHERE rn = 1"""),
     // the packing window PARTITION BY lang: per-stratum prefix sum
     "q112_pack_grouped" ->
       """WITH c AS (
@@ -2392,8 +2348,13 @@ object SparkEntry {
            SELECT event_id, user_id, ts::TIMESTAMP AS t
            FROM events WHERE event_type = 'click'
          ), r AS (
-           SELECT user_id, ts::TIMESTAMP AS t, event_id AS ref_id, value AS ref_value
-           FROM events WHERE event_type = 'purchase'
+           SELECT user_id, t, ref_id, ref_value FROM (
+             SELECT user_id, ts::TIMESTAMP AS t, event_id AS ref_id,
+                    value AS ref_value,
+                    row_number() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) AS rn
+             FROM events WHERE event_type = 'purchase')
+           WHERE rn = 1
          )
          SELECT l.event_id, l.user_id, epoch_ms(l.t) AS ts_ms,
                 r.ref_id, round(r.ref_value, 2) AS ref_value
