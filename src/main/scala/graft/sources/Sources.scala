@@ -33,9 +33,15 @@ object FileSource extends Source {
     try reader.load(path)
     catch {
       // avro is an optional external module; surface a capability error
-      // instead of Spark's raw DataSource-lookup failure
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage != null && e.getMessage.contains("Failed to find data source") =>
+      // instead of Spark's raw DataSource-lookup failure. Spark 4 throws
+      // TWO shapes here: the avro/kafka special case is an
+      // AnalysisException with legacy conditions _LEGACY_ERROR_TEMP_1139/
+      // 1140, every other unknown provider a SparkClassNotFoundException
+      // with DATA_SOURCE_NOT_FOUND — match the error CLASS for all three
+      // (a message-substring match silently dies on wording changes)
+      case e: org.apache.spark.SparkThrowable
+          if Set("DATA_SOURCE_NOT_FOUND", "_LEGACY_ERROR_TEMP_1139",
+            "_LEGACY_ERROR_TEMP_1140").contains(e.getCondition) =>
         throw new ConfigException(
           s"file source: format '$format' requires its data source module on " +
             s"the classpath (for avro: org.apache.spark:spark-avro), which this " +
@@ -110,14 +116,11 @@ object KafkaSource extends Source {
   def read(config: SourceConfig)(implicit spark: SparkSession): DataFrame = {
     val errs = validate(config)
     if (errs.nonEmpty) throw new ConfigException(errs.mkString("; "))
-    spark.read.format("kafka")
-      .options(config.options)
-      .option("startingOffsets", config.options.getOrElse("startingOffsets", "earliest"))
-      .load()
-      .select(
-        col("key").cast("string").as("key"),
-        col("value").cast("string").as("value"),
-        col("topic"), col("partition"), col("offset"), col("timestamp"))
+    KafkaFileSource.realKafkaShape(
+      spark.read.format("kafka")
+        .options(config.options)
+        .option("startingOffsets", config.options.getOrElse("startingOffsets", "earliest"))
+        .load())
   }
   // validate() override so the executor's fail-fast pass catches a
   // misconfigured kafka source BEFORE the run, like every other source;
@@ -141,6 +144,16 @@ object KafkaSource extends Source {
  */
 object KafkaFileSource extends Source {
   val sourceType = "kafka-file"
+
+  /** The REAL connector's column projection over a raw kafka frame — ONE
+    * definition shared by the batch read ([[KafkaSource.read]]) and the
+    * streaming read ([[graft.streaming.StreamingExecutor]]), so the two
+    * cannot drift (the same guarantee [[kafkaShape]] gives the doubles). */
+  private[graft] def realKafkaShape(raw: DataFrame): DataFrame =
+    raw.select(
+      col("key").cast("string").as("key"),
+      col("value").cast("string").as("value"),
+      col("topic"), col("partition"), col("offset"), col("timestamp"))
 
   /** The exact kafka column contract over a raw text `value` frame — ONE
     * definition shared by the batch double here and the streaming double

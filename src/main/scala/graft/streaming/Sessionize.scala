@@ -46,10 +46,17 @@ object Sessionize {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
+                case Some(s) if t < s.startMs - gapMs =>
+                  // a late-but-admitted event OLDER than the open session
+                  // by more than the gap can never belong to it (its
+                  // nearest member is >= gap away) — swallowing it would
+                  // emit one session spanning a silent hole wider than the
+                  // gap. It becomes its own, already-over session.
+                  closed += emit(userId, OpenSession(t, t, 1, e.value), gapMs)
                 case Some(s) if t <= s.lastMs + gapMs =>
                   // a late-but-admitted event may predate the open
-                  // session's start — extend the start back so the
-                  // emitted session actually covers it
+                  // session's start (within the gap) — extend the start
+                  // back so the emitted session actually covers it
                   open = Some(s.copy(startMs = math.min(s.startMs, t),
                     lastMs = math.max(s.lastMs, t),
                     n = s.n + 1, total = s.total + e.value))

@@ -55,6 +55,14 @@ object SessionizeTransform extends Transform {
     if (gapMs <= 0) throw new ConfigException("sessionize: gap must be positive")
     import input.sparkSession.implicits._
     import org.apache.spark.sql.functions._
+    // guided errors for missing columns — input.schema(name) would throw
+    // a raw IllegalArgumentException with no option name
+    for ((opt, name) <- Seq("keyColumn" -> keyName,
+        "tsColumn" -> config.options("tsColumn")) ++
+        config.options.get("valueColumn").map("valueColumn" -> _))
+      if (!input.columns.exists(_.equalsIgnoreCase(name)))
+        throw new ConfigException(
+          s"sessionize: $opt '$name' not found in input")
     val keyType = input.schema(keyName).dataType
     keyType match {
       case _: org.apache.spark.sql.types.StructType |
@@ -80,15 +88,23 @@ object SessionizeTransform extends Transform {
       case _ => col(tsName).cast("timestamp")
     }
     // any atomic key sessionizes: cast to string for grouping, cast back
-    // on the way out so the output key keeps the input's type
+    // on the way out so the output key keeps the input's type. The value
+    // coalesces to 0.0 — Event.value is a primitive Double, so one null
+    // (or uncastable) value would kill a streaming query with the
+    // non-nullable-field encoder error; batch sum treats 0 like a skipped
+    // null, so the paths stay consistent.
     val events = input.select(
       col(keyName).cast("string").as("user_id"),
       tsCol.as("ts"),
-      config.options.get("valueColumn").map(col(_).cast("double"))
-        .getOrElse(lit(0.0)).as("value"))
+      coalesce(config.options.get("valueColumn").map(col(_).cast("double"))
+        .getOrElse(lit(0.0)), lit(0.0)).as("value"))
     val sessions =
       if (input.isStreaming)
-        Sessionize.sessions(events.as[Sessionize.Event], gapMs).toDF()
+        // null timestamps cannot be sessioned and would NPE the state
+        // function's sort (the watermark's late-row predicate passes null
+        // through); the batch branch below has always filtered them
+        Sessionize.sessions(
+          events.where(col("ts").isNotNull).as[Sessionize.Event], gapMs).toDF()
       else {
         // BATCH equivalent via gaps-and-islands: flatMapGroupsWithState in
         // batch mode never fires timeouts and DISCARDS end-of-iterator

@@ -43,9 +43,26 @@ final class StreamingExecutor(
     st.shufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
 
+    // fail-fast validation BEFORE the query starts, mirroring the batch
+    // executor: without it a misconfigured sink/transform only surfaced
+    // inside the first foreachBatch epoch as a StreamingQueryException,
+    // after the checkpoint dir was already created
+    sources.get(config.source.sourceType) match {
+      case src =>
+        val sErrs = src.validate(config.source)
+        if (sErrs.nonEmpty) throw new ConfigException(sErrs.mkString("; "))
+    }
+    if (!Set("file", "memory").contains(config.sink.sinkType)) {
+      val errs = sinks.get(config.sink.sinkType).validate(config.sink)
+      if (errs.nonEmpty) throw new ConfigException(errs.mkString("; "))
+    }
+
     val in = readStream(config.source, st)
     val transformed = config.transformations.foldLeft(in) { (d, tc) =>
-      transforms.get(tc.transformType).apply(d, tc, ctx)
+      val t = transforms.get(tc.transformType)
+      val tErrs = t.validate(tc, d.schema)
+      if (tErrs.nonEmpty) throw new ConfigException(tErrs.mkString("; "))
+      t.apply(d, tc, ctx)
     }
 
     // default checkpoint is keyed by pipelineId ONLY — a per-run random
@@ -70,6 +87,9 @@ final class StreamingExecutor(
           throw new ConfigException("file sink: 'path' option required"))
         var w = transformed.writeStream
           .format(config.sink.options.getOrElse("format", "parquet"))
+          // user sink options (compression, maxRecordsPerFile, ...) pass
+          // through like the batch FileSink's — they were silently dropped
+          .options(config.sink.options -- Seq("path", "format"))
           .outputMode(st.outputMode)
           .option("path", path)
         if (config.sink.partitionBy.nonEmpty) w = w.partitionBy(config.sink.partitionBy: _*)
@@ -104,9 +124,10 @@ final class StreamingExecutor(
           .load(src.options.getOrElse("path",
             throw new ConfigException("file source: 'path' option required")))
       case "kafka" =>
-        spark.readStream.format("kafka").options(src.options).load()
-          .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value",
-            "topic", "partition", "offset", "timestamp")
+        // the SAME column contract builder as the batch read and the
+        // file double — three call sites, one projection, zero drift
+        graft.sources.KafkaFileSource.realKafkaShape(
+          spark.readStream.format("kafka").options(src.options).load())
       // the connector-free double, streaming side: new JSON-lines files in
       // the directory play arriving messages, with the same kafka column
       // contract as the real source (monotonic offsets are per-batch here —
@@ -132,7 +153,7 @@ final class StreamingExecutor(
           s"watermarkDelay=${d.getOrElse("<missing>")} (a half-configured " +
           "watermark would silently run dedup/sessionization unbounded)")
     }
-    st.dedupColumns.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
+    st.dedupColumns.map(graft.config.ExprUtils.parseColumns) match {
       case Some(keys) if keys.nonEmpty =>
         // with a watermark the seen-keys state self-expires; without one
         // it grows with distinct keys (bounded backfills only)

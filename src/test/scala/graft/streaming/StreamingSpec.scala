@@ -288,6 +288,96 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sessionize survives null timestamps/values and splits " +
+    "off a too-old late event instead of swallowing it into the open session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    // drive through the TRANSFORM so its null filtering/coalescing runs:
+    // (key, ts, value) rows with a null ts and a null value planted
+    val mem = MemoryStream[(String, Option[java.sql.Timestamp], Option[Double])]
+    // 2-hour delay so the deliberately-late 11:00 event is ADMITTED (the
+    // watermark after batch 1 sits at 10:05) and exercises the split path
+    val input = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "2 hours")
+    val out = SessionizeTransform(input,
+      TransformConfig("s", "sessionize", Map(
+        "keyColumn" -> "user_id", "tsColumn" -> "ts",
+        "valueColumn" -> "value", "gap" -> "10 minutes")),
+      graft.api.RunContext(spark, "t", "r"))
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("sessnull-ckpt"))
+      .format("memory").queryName("sessnull_out").start()
+    try {
+      mem.addData(
+        ("1", Some(ts("12:00:00")), Some(1.0)),
+        ("1", Some(ts("12:05:00")), None),      // null value: counts as 0
+        ("1", None, Some(99.0)))                 // null ts: dropped, no NPE
+      q.processAllAvailable()
+      // a late event older than the open session start by > gap becomes
+      // its own closed session, not a 55-minute silent hole
+      mem.addData(("1", Some(ts("11:00:00")), Some(7.0)))
+      q.processAllAvailable()
+      mem.addData(("9", Some(ts("15:00:00")), Some(0.0)))
+      q.processAllAvailable()
+      mem.addData(("9", Some(ts("18:00:00")), Some(0.0)))
+      q.processAllAvailable()
+      val rows = spark.table("sessnull_out")
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("n_events"), col("total_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      rows should contain(("1", "2024-01-01 11:00:00", 1L, 7.0)) // split off
+      rows should contain(("1", "2024-01-01 12:00:00", 2L, 1.0)) // null v = 0
+      rows.count(_._1 == "1") shouldBe 2
+    } finally q.stop()
+  }
+
+  test("streaming executor validates transforms and sinks BEFORE starting " +
+    "the query, like the batch executor") {
+    // a misconfigured foreachBatch sink (jdbc missing url/dbtable) must
+    // throw at start(), not inside the first epoch after the checkpoint
+    // directory already exists
+    val cfg = PipelineConfig(
+      pipelineId = "prevalidate",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("file", Map(
+        "path" -> eventsDir, "format" -> "parquet",
+        "schema" -> "ts TIMESTAMP, metric STRING, v DOUBLE")),
+      sink = SinkConfig("postgres", Map.empty),
+      streaming = Some(StreamingConfig(
+        checkpointLocation = Some(tmpDir("pv-ckpt")))))
+    val e = intercept[graft.api.ConfigException] { executor.start(cfg) }
+    e.getMessage should include ("url")
+    // and a typo'd transform column is caught by validate() with the
+    // guided message, not a raw analysis error
+    val cfg2 = cfg.copy(
+      sink = SinkConfig("memory", Map("queryName" -> "pv_out")),
+      transformations = List(TransformConfig("a", "aggregation", Map(
+        "groupBy" -> "nope", "aggregations" -> "n:count(*)"))))
+    val e2 = intercept[graft.api.ConfigException] { executor.start(cfg2) }
+    e2.getMessage should include ("nope")
+  }
+
+  test("streaming file sink passes user options through (compression)") {
+    val outDir = tmpDir("zstd-out")
+    val cfg = PipelineConfig(
+      pipelineId = "zstd-sink",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("file", Map(
+        "path" -> eventsDir, "format" -> "parquet",
+        "schema" -> "ts TIMESTAMP, metric STRING, v DOUBLE")),
+      sink = SinkConfig("file", Map(
+        "path" -> outDir, "format" -> "parquet", "compression" -> "zstd")),
+      streaming = Some(StreamingConfig(
+        checkpointLocation = Some(tmpDir("zstd-ckpt")))))
+    val q = executor.start(cfg)
+    q.awaitTermination(60000)
+    // zstd parquet part files carry the codec in the file name
+    new java.io.File(outDir).listFiles().map(_.getName)
+      .exists(_.endsWith(".zstd.parquet")) shouldBe true
+  }
+
   test("streaming file source without explicit schema is rejected") {
     val cfg = PipelineConfig(
       pipelineId = "no-schema",
