@@ -141,11 +141,22 @@ final class YamlConfigParser(credentials: CredentialProvider = EnvCredentialProv
   private def str(m: Map[String, Object], k: String): Option[String] =
     m.get(k).map(v => resolve(v.toString))
   // int/bool route through resolve() like str(): `shufflePartitions:
-  // ${ENV:N}` must resolve before the numeric parse, not crash on it
+  // ${ENV:N}` must resolve before the numeric parse, not crash on it.
+  // Bad values get the parser's ConfigException contract, never a raw
+  // NumberFormat/IllegalArgumentException (the duplicateCheck action
+  // parse set the pattern)
   private def int(m: Map[String, Object], k: String): Option[Int] =
-    m.get(k).map(v => resolve(v.toString).toInt)
+    m.get(k).map { v =>
+      val r = resolve(v.toString)
+      try r.toInt catch { case _: NumberFormatException =>
+        throw new ConfigException(s"$k must be an integer, got '$r'") }
+    }
   private def bool(m: Map[String, Object], k: String): Option[Boolean] =
-    m.get(k).map(v => resolve(v.toString).toBoolean)
+    m.get(k).map { v =>
+      val r = resolve(v.toString)
+      try r.toBoolean catch { case _: IllegalArgumentException =>
+        throw new ConfigException(s"$k must be true|false, got '$r'") }
+    }
   private def options(m: Map[String, Object]): Map[String, String] =
     m.get("options").map(asMap).getOrElse(Map.empty).map { case (k, v) => k -> resolve(v.toString) }
 

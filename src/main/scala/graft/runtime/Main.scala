@@ -48,6 +48,24 @@ object Main {
     * pushed filters, read schemas, join strategies and exchange counts are
     * all visible here. */
   def dryRun(config: graft.config.PipelineConfig)(implicit spark: SparkSession): String = {
+    // apply the pipeline's performance conf exactly as execute() does —
+    // without it the printed exchanges/lint verdict could describe a
+    // DIFFERENT plan than the one execute() will run (e.g. a reviewed
+    // 200-partition plan for a config that sets shufflePartitions: 2000)
+    val prevShuffle = spark.conf.getOption("spark.sql.shuffle.partitions")
+    val prevCkptMode = spark.conf.getOption(graft.api.Checkpointing.ModeKey)
+    val prevCkptDir = spark.conf.getOption(graft.api.Checkpointing.DirKey)
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    try {
+    config.performance.flatMap(_.shufflePartitions).foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    config.performance.flatMap(_.checkpoint).foreach(m =>
+      spark.conf.set(graft.api.Checkpointing.ModeKey, m))
+    config.performance.flatMap(_.checkpointDir).foreach(d =>
+      spark.conf.set(graft.api.Checkpointing.DirKey, d))
     val df = new PipelineExecutor().compose(config)
     val sinkErrs = Registries.sinks().get(config.sink.sinkType).validate(config.sink)
     if (sinkErrs.nonEmpty) throw new ConfigException(sinkErrs.mkString("; "))
@@ -62,6 +80,11 @@ object Main {
     if (findings.isEmpty) report ++= "  clean\n"
     else findings.foreach(f => report ++= s"  $f\n")
     report.result()
+    } finally {
+      restore("spark.sql.shuffle.partitions", prevShuffle)
+      restore(graft.api.Checkpointing.ModeKey, prevCkptMode)
+      restore(graft.api.Checkpointing.DirKey, prevCkptDir)
+    }
   }
 
   def createSparkSession(app: AppConfig): SparkSession = {
@@ -84,6 +107,10 @@ object Main {
     implicit val spark: SparkSession = createSparkSession(app)
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new MetricsCollector()
+    // exit code decided INSIDE the try, exit called AFTER the finally:
+    // sys.exit inside the try would begin JVM shutdown without unwinding
+    // the stack, so the finally's spark.stop() would never run
+    var exitCode = 0
     try {
       config.executionMode match {
         case _ if app.dryRun =>
@@ -100,7 +127,7 @@ object Main {
             "recordsLoaded" -> m.recordsLoaded.toString,
             "durationMs" -> m.durationMs.toString) ++
             m.error.map("error" -> _))
-          if (m.status != "SUCCESS") sys.exit(1)
+          if (m.status != "SUCCESS") exitCode = 1
         case ExecutionMode.MicroBatch =>
           val q = new graft.streaming.StreamingExecutor().start(config)
           log.info("streaming query started", Map(
@@ -110,7 +137,8 @@ object Main {
     } catch {
       case e: Throwable =>
         log.error("pipeline failed", Map("error" -> String.valueOf(e.getMessage)))
-        sys.exit(1)
+        exitCode = 1
     } finally spark.stop()
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }

@@ -61,12 +61,16 @@ final class MetricsCollector {
   }
 
   def toJson: String = {
+    // Verify's escaper: a pipelineId containing a quote (legal YAML) or a
+    // FAILED run's error text must not produce malformed JSON
+    def q(s: String) = graft.Verify.q(s)
     def stage(s: StageMetric) =
-      s"""{"stage":"${s.stage}","records":${s.records},"durationMs":${s.durationMs}}"""
+      s"""{"stage":${q(s.stage)},"records":${s.records},"durationMs":${s.durationMs}}"""
     def row(m: ExecutionMetrics) =
-      s"""{"pipelineId":"${m.pipelineId}","runId":"${m.runId}","status":"${m.status}",""" +
+      s"""{"pipelineId":${q(m.pipelineId)},"runId":${q(m.runId)},"status":${q(m.status)},""" +
         s""""recordsExtracted":${m.recordsExtracted},"recordsLoaded":${m.recordsLoaded},""" +
         s""""recordsFailed":${m.recordsFailed},"durationMs":${m.durationMs},""" +
+        m.error.map(e => s""""error":${q(e)},""").getOrElse("") +
         s""""stages":${m.stages.map(stage).mkString("[", ",", "]")}}"""
     runs.values.asScala.toList.sortBy(m => (m.pipelineId, m.runId))
       .map(row).mkString("[", ",", "]")

@@ -62,6 +62,10 @@ final class PipelineExecutor(
     val prevLint = spark.conf.getOption("spark.graft.planLint")
     val prevCkptMode = spark.conf.getOption(graft.api.Checkpointing.ModeKey)
     val prevCkptDir = spark.conf.getOption(graft.api.Checkpointing.DirKey)
+    // shufflePartitions comes from the same per-pipeline performance block
+    // — without the restore it leaked into every later pipeline run in a
+    // long-lived session (pipeline B silently shuffling at A's 8)
+    val prevShuffle = spark.conf.getOption("spark.sql.shuffle.partitions")
     try {
       config.performance.flatMap(_.shufflePartitions).foreach(n =>
         spark.conf.set("spark.sql.shuffle.partitions", n.toString))
@@ -72,6 +76,21 @@ final class PipelineExecutor(
       config.performance.flatMap(_.planLint).foreach(m =>
         spark.conf.set("spark.graft.planLint", m))
 
+      // sink config errors are cheap driver-side checks — catch them
+      // BEFORE buildPlan, whose quality gate runs eager scans and appends
+      // quarantine parquet (an invalid sink previously still paid a full
+      // source scan and left permanent quarantine side effects)
+      val sink = sinks.get(config.sink.sinkType)
+      val sinkErrs = sink.validate(config.sink)
+      if (sinkErrs.nonEmpty) throw new ConfigException(sinkErrs.mkString("; "))
+      val stampLineage = config.sink.options.get("lineage") match {
+        case None => false
+        case Some(v) if v.equalsIgnoreCase("true") => true
+        case Some(v) if v.equalsIgnoreCase("false") => false
+        case Some(other) => throw new ConfigException(
+          s"sink option lineage must be true|false, got '$other'")
+      }
+
       val plan = buildPlan(config, ctx)
       persisted = plan.persisted
       val planMs = (System.nanoTime() - t0) / 1000000
@@ -80,13 +99,9 @@ final class PipelineExecutor(
       val observed = plan.in.observe(inObs, count(lit(1)).as("rows"))
       val transformed = plan.rest(observed).observe(outObs, count(lit(1)).as("rows"))
       val stamped =
-        if (config.sink.options.get("lineage").exists(_.toBoolean))
+        if (stampLineage)
           Lineage.stamp(transformed, Lineage.forPipeline(config, runId, System.currentTimeMillis()))
         else transformed
-
-      val sink = sinks.get(config.sink.sinkType)
-      val errs = sink.validate(config.sink)
-      if (errs.nonEmpty) throw new ConfigException(errs.mkString("; "))
 
       // plan lint (spark.graft.planLint = off | warn | fail, default off):
       // audit the final physical plan for scale anti-patterns before
@@ -142,15 +157,16 @@ final class PipelineExecutor(
       restore("spark.graft.planLint", prevLint)
       restore(graft.api.Checkpointing.ModeKey, prevCkptMode)
       restore(graft.api.Checkpointing.DirKey, prevCkptDir)
+      restore("spark.sql.shuffle.partitions", prevShuffle)
     }
   }
 
   /** Library-composition entry (reference §3.3): build the full lazy
     * DataFrame for a pipeline without writing — used by tests, the verify
-    * gate, and anyone embedding the engine. Note: with
-    * `performance.cacheIntermediate` the returned plan holds a persisted
-    * frame whose lifecycle belongs to the CALLER (unpersist when done);
-    * `execute` manages it automatically. */
+    * gate, and anyone embedding the engine. `performance.cacheIntermediate`
+    * is NOT applied here (only `execute` persists): the caller receives
+    * just the frame, so an internal persist would be impossible to
+    * unpersist — persist the returned frame yourself if you want caching. */
   def compose(config: PipelineConfig)(implicit spark: SparkSession): DataFrame = {
     val ctx = RunContext(spark, config.pipelineId, "compose", Some(sources))
     // sideEffects = false: compose (and --dry-run on top of it) promises
@@ -184,13 +200,20 @@ final class PipelineExecutor(
     // before any compute.
     val validateSchema = config.quality.exists(_.schemaValidation)
     val declared = graft.sources.FileSource.explicitSchema(config.source)
+    val srcFmt = config.source.options.getOrElse("format", "parquet").toLowerCase
+    // compose/--dry-run promise "nothing evaluated": a csv/json inference
+    // read is a full data-scan JOB, so text formats only schema-validate
+    // in execute(); self-describing formats (parquet/orc/avro footers)
+    // stay driver-side and validate in both paths
+    val canValidateHere =
+      sideEffects || !Set("csv", "json", "text").contains(srcFmt)
     var df =
-      if (validateSchema && declared.isDefined) {
+      if (validateSchema && declared.isDefined && canValidateHere) {
         // format-aware inference: csv without inferSchema self-describes
         // as all-strings, which would flag every typed column; and text
         // formats cannot prove non-nullability, so that check only
         // applies to self-describing formats (parquet/orc/avro)
-        val fmt = config.source.options.getOrElse("format", "parquet").toLowerCase
+        val fmt = srcFmt
         val stripped = config.source.options - "schema"
         val inferOpts =
           if (fmt == "csv" && !stripped.contains("inferSchema"))
@@ -263,6 +286,10 @@ final class PipelineExecutor(
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(keyCols: _*)
               .orderBy(keyCols ++ tieBreak: _*)
+            // fixed staging name — a same-named user column would be
+            // silently overwritten then dropped (the repo-standard guard)
+            graft.config.ExprUtils.requireNoHelperCollision(
+              "duplicate quarantine gate", df.columns, "__graft_rn")
             val marked = df.withColumn("__graft_rn", row_number().over(w))
             val dups = marked.filter(col("__graft_rn") > 1).drop("__graft_rn")
             if (sideEffects)
@@ -278,9 +305,13 @@ final class PipelineExecutor(
       if (config.quality.isDefined) (System.nanoTime() - tq0) / 1000000 else 0L
 
     config.performance.flatMap(_.repartition).foreach(n => df = df.repartition(n))
+    // persist only under execute(): compose() returns just the frame, so
+    // a persist() registered here would be unreachable for the caller to
+    // unpersist and leak a CacheManager entry per compose() call
     val persisted =
-      if (config.performance.exists(_.cacheIntermediate)) { df = df.persist(); List(df) }
-      else Nil
+      if (sideEffects && config.performance.exists(_.cacheIntermediate)) {
+        df = df.persist(); List(df)
+      } else Nil
 
     val rest = (observed: DataFrame) =>
       config.transformations.foldLeft(observed) { (d, tc) =>

@@ -99,6 +99,26 @@ class YamlConfigParserSpec extends AnyFunSuite with Matchers {
           |""".stripMargin)
     }
     e.getMessage should include("GRAFT_DOES_NOT_EXIST")
+    // non-numeric / non-boolean literals get the parser's ConfigException
+    // contract, never a raw NumberFormat/IllegalArgumentException
+    val e2 = intercept[ConfigException] {
+      parser.parse(
+        """pipelineId: p
+          |source: {type: file, options: {path: /in}}
+          |sink: {type: file, options: {path: /out}}
+          |performance: {repartition: eight}
+          |""".stripMargin)
+    }
+    e2.getMessage should include("integer")
+    val e3 = intercept[ConfigException] {
+      parser.parse(
+        """pipelineId: p
+          |source: {type: file, options: {path: /in}}
+          |sink: {type: file, options: {path: /out}}
+          |performance: {cacheIntermediate: maybe}
+          |""".stripMargin)
+    }
+    e3.getMessage should include("true|false")
     // positive path: an existing env value lands in partitionBy
     val envKey = sys.env.keys.headOption.getOrElse("PATH")
     parser.parse(

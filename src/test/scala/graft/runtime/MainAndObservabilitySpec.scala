@@ -39,6 +39,15 @@ class MainAndObservabilitySpec extends SparkTestBase {
     // per-stage records ride the export (reference MetricsCollector parity)
     json should include(""""stages":[{"stage":"extract","records":100,"durationMs":300}""")
     json should include(""""stage":"quality","records":10""")
+    // FAILED runs carry their error in the export
+    json should include(""""error":"boom"""")
+    // ids with quotes (legal YAML scalars) must escape, not break the JSON
+    mc.record(ExecutionMetrics("""p"3"""", "r1", "SUCCESS", 1, 1, 0, 10))
+    val parsed = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().readTree(mc.toJson)
+    parsed.isArray shouldBe true
+    (0 until parsed.size()).map(i => parsed.get(i).get("pipelineId").asText()) should
+      contain ("""p"3"""")
   }
 
   test("structured logger emits parseable single-line JSON with escaping") {

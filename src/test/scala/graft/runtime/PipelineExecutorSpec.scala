@@ -311,7 +311,8 @@ class PipelineExecutorSpec extends SparkTestBase {
     m.error.get should include("unknown source type 'teleport'")
   }
 
-  test("performance knobs: shufflePartitions + repartition are actually applied") {
+  test("performance knobs: shufflePartitions + repartition are applied for " +
+    "the run and RESTORED after it (no leak into the next pipeline)") {
     val out = tmpDir("perf-out")
     val cfg = PipelineConfig(
       pipelineId = "perf",
@@ -319,10 +320,53 @@ class PipelineExecutorSpec extends SparkTestBase {
       transformations = List(TransformConfig("s", "sort", Map("orderBy" -> "o_orderkey", "global" -> "false"))),
       sink = SinkConfig("file", Map("path" -> out), WriteMode.Overwrite),
       performance = Some(PerformanceConfig(repartition = Some(7), shufflePartitions = Some(13))))
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
     executor.execute(cfg).status shouldBe "SUCCESS"
-    spark.conf.get("spark.sql.shuffle.partitions") shouldBe "13"
+    // per-pipeline setting: restored like planLint/checkpoint — pipeline B
+    // must not silently shuffle at A's width in a shared session
+    spark.conf.get("spark.sql.shuffle.partitions") shouldBe before
     // repartition(7) → 7 output files (sortWithinPartitions preserves them)
     new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet")) shouldBe 7
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
+  test("an invalid sink config fails BEFORE the quality gate runs its " +
+    "scans and quarantine appends (no side effects for a doomed run)") {
+    val qdir = tmpDir("early-quar")
+    val cfg = PipelineConfig(
+      pipelineId = "early-sink-check",
+      source = SourceConfig("file", Map("path" -> s"$sf/documents.parquet")),
+      sink = SinkConfig("postgres", Map.empty), // missing url/dbtable
+      quality = Some(QualityConfig(
+        nullChecks = List(NullCheck("text", NullAction.Quarantine)),
+        quarantinePath = Some(qdir))))
+    val m = executor.execute(cfg)
+    m.status shouldBe "FAILED"
+    m.error.get should include ("url")
+    // the quarantine dir must not have been appended to (tmpDir
+    // pre-creates the empty directory itself)
+    Option(new java.io.File(qdir).listFiles()).map(_.length).getOrElse(0) shouldBe 0
+  }
+
+  test("a non-boolean lineage sink option gets the guided config error; a " +
+    "user column named __graft_rn collides loudly in the duplicate gate") {
+    val out = tmpDir("lineage-bad")
+    val m = executor.execute(PipelineConfig(
+      pipelineId = "lineage-bad",
+      source = SourceConfig("file", Map("path" -> s"$sf/region.parquet")),
+      sink = SinkConfig("file", Map("path" -> out, "lineage" -> "enabled"),
+        WriteMode.Overwrite)))
+    m.status shouldBe "FAILED"
+    m.error.get should include ("lineage")
+    val clashSrc = tmpDir("rn-clash")
+    spark.range(3).selectExpr("id", "id AS __graft_rn")
+      .write.mode("overwrite").parquet(clashSrc)
+    val m2 = executor.execute(PipelineConfig(
+      pipelineId = "rn-clash",
+      source = SourceConfig("file", Map("path" -> clashSrc)),
+      sink = SinkConfig("file", Map("path" -> tmpDir("rn-out")), WriteMode.Overwrite),
+      quality = Some(QualityConfig(duplicateCheck =
+        Some(DuplicateCheck(columns = List("id"), action = NullAction.Quarantine))))))
+    m2.status shouldBe "FAILED"
+    m2.error.get should include ("__graft_rn")
   }
 }
