@@ -83,10 +83,22 @@ object Bench {
   private def minOf(passes: List[Double]): Double =
     if (passes.isEmpty) -1.0 else passes.min
 
+  /** 1-minute system load average, or -1 where the JVM can't read it.
+    * Recorded at report time because this suite runs on a SHARED box:
+    * an A/B this round showed identical code swinging 1.5→7.6 s on one
+    * streaming query purely with background load (both passes slow — the
+    * pattern that otherwise reads as a regression). A load figure in the
+    * artifact lets a reader discount a noisy capture without re-running. */
+  def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   /** The two stdout JSON lines (big per-query line, compact totals line).
     * `queries` carries the per-query MIN (the scored statistic, least
     * sensitive to one-sided noise); `passes` carries every pass so noise
-    * is visible instead of judgeable-as-regression. */
+    * is visible instead of judgeable-as-regression; `load_avg_1m` stamps
+    * the shared-box contention level the numbers were captured under. */
   def render(results: List[(String, List[Double])], sfDir: String): (String, String) = {
     // Verify's escaper, shared: an sfDir with a backslash or quote would
     // otherwise invalidate EVERY redundant JSON channel at once (the r8
@@ -103,8 +115,9 @@ object Bench {
     // queries first, total LAST in the big line: if a bounded capture cuts
     // it, the head (query names) is the recoverable part and the totals
     // live in the compact line anyway
-    val big = s"""{"queries":$qs,"passes":$passes,"sf":${Verify.q(sfDir)},"failed":$failed,"metric":"total","unit":"sec","value":${fmt(total)}}"""
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${bad.size},"failed":$failed,"sf":${Verify.q(sfDir)}}"""
+    val load = fmt(loadAvg())
+    val big = s"""{"queries":$qs,"passes":$passes,"sf":${Verify.q(sfDir)},"failed":$failed,"load_avg_1m":$load,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${bad.size},"failed":$failed,"load_avg_1m":$load,"sf":${Verify.q(sfDir)}}"""
     (big, compact)
   }
 

@@ -88,6 +88,19 @@ class HarnessLoudnessSpec extends SparkTestBase {
     compact should include(""""n_failed":0""")
   }
 
+  test("Bench reports stamp the 1-minute load average in both JSON lines " +
+    "(shared-box contention must be readable from the artifact)") {
+    val (big, compact) = Bench.render(List("good_q" -> List(0.5)), "sfX")
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    for (line <- Seq(big, compact)) {
+      val load = mapper.readTree(line).get("load_avg_1m")
+      assert(load != null && load.isNumber,
+        s"load_avg_1m missing or non-numeric in: $line")
+      // a real load average is >= 0; -1 is the documented can't-read sentinel
+      load.asDouble() should be >= -1.0
+    }
+  }
+
   test("Bench per-query lines are short, complete, and carry a running total") {
     val lines = Bench.perQueryLines(
       List("q_a" -> List(0.25, 0.3), "q_bad" -> Nil, "q_c" -> List(0.5)))
