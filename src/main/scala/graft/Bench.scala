@@ -84,11 +84,13 @@ object Bench {
     if (passes.isEmpty) -1.0 else passes.min
 
   /** 1-minute system load average, or -1 where the JVM can't read it.
-    * Recorded at report time because this suite runs on a SHARED box:
-    * an A/B this round showed identical code swinging 1.5→7.6 s on one
-    * streaming query purely with background load (both passes slow — the
-    * pattern that otherwise reads as a regression). A load figure in the
-    * artifact lets a reader discount a noisy capture without re-running. */
+    * Sampled BEFORE the first warmup pass, because this suite runs on a
+    * SHARED box: an A/B this round showed identical code swinging
+    * 1.5→7.6 s on one streaming query purely with background load (both
+    * passes slow — the pattern that otherwise reads as a regression).
+    * Sampling at report time instead would mostly measure the bench's
+    * OWN 8 threads; the pre-run figure isolates pre-existing contention
+    * so a reader can discount a noisy capture without re-running. */
   def loadAvg(): Double =
     try java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
@@ -98,8 +100,9 @@ object Bench {
     * `queries` carries the per-query MIN (the scored statistic, least
     * sensitive to one-sided noise); `passes` carries every pass so noise
     * is visible instead of judgeable-as-regression; `load_avg_1m` stamps
-    * the shared-box contention level the numbers were captured under. */
-  def render(results: List[(String, List[Double])], sfDir: String): (String, String) = {
+    * the shared-box contention level sampled just before the run. */
+  def render(results: List[(String, List[Double])], sfDir: String,
+             startLoad: Double = loadAvg()): (String, String) = {
     // Verify's escaper, shared: an sfDir with a backslash or quote would
     // otherwise invalidate EVERY redundant JSON channel at once (the r8
     // "parsed: null" failure mode, re-created by the report itself)
@@ -115,7 +118,7 @@ object Bench {
     // queries first, total LAST in the big line: if a bounded capture cuts
     // it, the head (query names) is the recoverable part and the totals
     // live in the compact line anyway
-    val load = fmt(loadAvg())
+    val load = fmt(startLoad)
     val big = s"""{"queries":$qs,"passes":$passes,"sf":${Verify.q(sfDir)},"failed":$failed,"load_avg_1m":$load,"metric":"total","unit":"sec","value":${fmt(total)}}"""
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${bad.size},"failed":$failed,"load_avg_1m":$load,"sf":${Verify.q(sfDir)}}"""
     (big, compact)
@@ -184,8 +187,9 @@ object Bench {
         SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
+    val startLoad = loadAvg()            // before warmup: pre-existing load
     val results = measure(spark, queries, sfDir, runs)
-    val (big, compact) = render(results, sfDir)
+    val (big, compact) = render(results, sfDir, startLoad)
     // a filtered dev-loop run must never clobber the committed full
     // artifact (it did, twice) — partial reports land beside it
     writeArtifact(outDir + (if (only.isDefined) "/partial" else ""), big)

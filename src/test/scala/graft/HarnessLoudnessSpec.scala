@@ -99,6 +99,10 @@ class HarnessLoudnessSpec extends SparkTestBase {
       // a real load average is >= 0; -1 is the documented can't-read sentinel
       load.asDouble() should be >= -1.0
     }
+    // the stamp is the PRE-RUN sample passed in by main, not a fresh read
+    // at render time (which would mostly measure the bench's own threads)
+    val (big2, _) = Bench.render(List("good_q" -> List(0.5)), "sfX", 2.25)
+    big2 should include(""""load_avg_1m":2.2500""")
   }
 
   test("Bench per-query lines are short, complete, and carry a running total") {
