@@ -710,6 +710,15 @@ object SparkEntry {
           "weights" -> "en:0.5,de:1.0,fr:0.25", "method" -> "mod",
           "buckets" -> "100"))
         .select("doc_id", "lang")),
+    // temperature-scaled mixing (mT5/XLM-R style): per-language rates
+    // derived as B*n^alpha/(Z*n), rounded to 4 decimals inside the
+    // operator so the oracle re-derives bit-identical rates; duplicates
+    // (upsampled copies) are part of the expected multiset
+    "q128_mix_temperature" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("mix", "on" -> "doc_id", "groupBy" -> "lang",
+          "temperature" -> "0.5", "method" -> "mod", "buckets" -> "100"))
+        .select("doc_id", "lang")),
     // reproducible train/val/test assignment: every row labeled by its
     // deterministic bucket's slice (mod path oracled; hash path spec'd)
     "q48_split_mod" -> ((s, dir) =>
@@ -2295,6 +2304,26 @@ object SparkEntry {
          WHERE (lang = 'en' AND doc_id % 100 < 50)
             OR lang = 'de'
             OR (lang = 'fr' AND doc_id % 100 < 25)""",
+    // temperature mixing re-derived end-to-end: same 4-decimal weight
+    // rounding as the operator, same floor/threshold copy arithmetic,
+    // copies materialized by unnesting the scalar generate_series list
+    // (empty at c = 0, so zero-weight rows drop)
+    "q128_mix_temperature" ->
+      """SELECT doc_id, lang FROM (
+           WITH counts AS (
+             SELECT lang, CAST(count(*) AS DOUBLE) AS n
+             FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+           tot AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS b FROM counts),
+           wts AS (SELECT lang, round(b * pow(n, 0.5) / (z * n), 4) AS w
+                   FROM counts, tot),
+           cop AS (SELECT d.doc_id, d.lang,
+                     CAST(floor(w) AS BIGINT)
+                       + CASE WHEN d.doc_id % 100 < round((w - floor(w)) * 100)
+                              THEN 1 ELSE 0 END AS c
+                   FROM documents d JOIN wts USING (lang))
+           SELECT doc_id, lang,
+                  unnest(generate_series(1, CAST(c AS BIGINT))) AS i
+           FROM cop)""",
     // grouped variant of q54's per-column stats
     "q58_profile_grouped" -> Seq("l_quantity", "l_discount").map { c =>
       s"""SELECT l_returnflag, '$c' AS column_name, count($c) AS n_values,

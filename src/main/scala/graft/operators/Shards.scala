@@ -250,20 +250,21 @@ object SampleTransform extends Transform {
    * skew sensitivity. Groups absent from `weights` get `defaultWeight`
    * (default 0 = dropped), making the mixture spec total.
    */
-  private[operators] def mixSample(input: DataFrame, config: TransformConfig,
-                                   bucket: Column, buckets: Int): DataFrame = {
-    required(config, "groupBy", "weights")
-    val group = config.options("groupBy")
-    val weights: Seq[(String, Double)] = config.options("weights")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
-        p.split(":") match {
-          case Array(g, w) if w.trim.nonEmpty => (g.trim, w.trim.toDouble)
-          case _ => throw new IllegalArgumentException(
-            s"mix weights must be group:weight,... got '$p'")
-        }
+  private[operators] def parseWeights(spec: String): Seq[(String, Double)] = {
+    val weights = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
+      p.split(":") match {
+        case Array(g, w) if w.trim.nonEmpty => (g.trim, w.trim.toDouble)
+        case _ => throw new IllegalArgumentException(
+          s"mix weights must be group:weight,... got '$p'")
       }
+    }
     require(weights.forall(_._2 >= 0), "mix weights must be non-negative")
-    val default = config.options.get("defaultWeight").map(_.toDouble).getOrElse(0.0)
+    weights
+  }
+
+  private[operators] def mixSample(input: DataFrame, group: String,
+                                   weights: Seq[(String, Double)], default: Double,
+                                   bucket: Column, buckets: Int): DataFrame = {
     // copies = floor(w) + 1 more for the deterministic fractional share;
     // thresholds are fixed ints so the filter stays integer-exact
     def copiesFor(w: Double): Column = {
@@ -331,17 +332,87 @@ object SampleTransform extends Transform {
  *             weights: "en:0.5,de:1.0,fr:0.25", defaultWeight: "0"}
  * }}}
  *
- * Options: on(/column)/groupBy/weights required; defaultWeight (default 0:
- * unlisted groups drop), method hash|mod (default hash), buckets (default
- * 10000), seed.
+ * Options: on(/column)/groupBy required, plus exactly ONE of `weights`
+ * (explicit per-group rates) or `temperature` (derive them); defaultWeight
+ * (default 0: unlisted groups drop — explicit-weights mode only), method
+ * hash|mod (default hash), buckets (default 10000), seed.
+ *
+ * `temperature` is the standard multilingual/domain re-balancing knob
+ * (mT5 / XLM-R style): with per-group sizes n_d, the target mixture is
+ * p_d ∝ n_d^α, realized by per-group rates w_d = B·n_d^α / (Z·n_d) where
+ * Z = Σ n_g^α and B is `budgetRows` (default: the non-null-group corpus
+ * size, so the expected output size equals the input). α = 1 reproduces
+ * the natural mixture (every w_d = 1 at the default budget), α = 0 an
+ * equal-size mixture, and values between damp the dominance of large
+ * groups. Derived weights round to 4 decimals so the realized mixture is
+ * engine-reproducible (the DuckDB oracle re-derives bit-identical rates);
+ * rows whose group is NULL drop (they are not part of any mixture).
+ *
+ * Scale shape: the derivation adds ONE narrow count-by-group aggregate
+ * collected to the driver — O(|groups|) state, the codebook/stamp-check
+ * exception pattern — then the usual zero-shuffle projection + bounded
+ * explode. `maxGroups` (default 1000) bounds the derived when-chain and
+ * fails loudly, pointing high-cardinality mixtures at explicit weights.
  */
 object MixTransform extends graft.api.Transform {
   val transformType = "mix"
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     val keyName = config.options.get("on").orElse(config.options.get("column"))
       .getOrElse { required(config, "on"); "" }
+    required(config, "groupBy")
+    val group = config.options("groupBy")
     val (bucket, buckets) = SampleTransform.bucketFor(config, col(keyName), defaultBuckets = 10000)
-    SampleTransform.mixSample(input, config, bucket, buckets)
+    (config.options.get("weights"), config.options.get("temperature")) match {
+      case (Some(_), Some(_)) => throw new graft.api.ConfigException(
+        "mix: weights and temperature are mutually exclusive — the mixture " +
+          "is either stated explicitly or derived from group sizes, not both")
+      case (None, None) => throw new graft.api.ConfigException(
+        "mix: one of weights or temperature is required")
+      case (Some(spec), None) =>
+        val default = config.options.get("defaultWeight").map(_.toDouble).getOrElse(0.0)
+        SampleTransform.mixSample(input, group,
+          SampleTransform.parseWeights(spec), default, bucket, buckets)
+      case (None, Some(alphaSpec)) =>
+        val alpha = try alphaSpec.toDouble catch { case _: NumberFormatException =>
+          throw new graft.api.ConfigException(
+            s"mix: temperature must be a number, got '$alphaSpec'") }
+        if (alpha < 0) throw new graft.api.ConfigException(
+          s"mix: temperature must be >= 0, got $alpha")
+        // every observed group gets a derived weight and null-group rows
+        // drop, so a default could never apply — reject it rather than
+        // silently ignoring the option
+        if (config.options.contains("defaultWeight"))
+          throw new graft.api.ConfigException(
+            "mix: defaultWeight does not apply with temperature — every " +
+              "observed group gets a derived weight and null-group rows drop")
+        val maxGroups = config.options.get("maxGroups").map(_.toInt).getOrElse(1000)
+        // bounded driver collect: one narrow count-by-group aggregate,
+        // O(|groups|) rows (languages/domains — small by construction)
+        val counts = input.where(col(group).isNotNull)
+          .groupBy(col(group).cast("string").as("__g")).count()
+          .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+        if (counts.length > maxGroups) throw new graft.api.ConfigException(
+          s"mix: temperature derived ${counts.length} group weights, over " +
+            s"maxGroups=$maxGroups — use explicit weights (or raise " +
+            "maxGroups) for high-cardinality mixtures")
+        val z = counts.map { case (_, n) => math.pow(n, alpha) }.sum
+        val budget = config.options.get("budgetRows").map { b =>
+          try b.toDouble catch { case _: NumberFormatException =>
+            throw new graft.api.ConfigException(
+              s"mix: budgetRows must be a number, got '$b'") }
+        }.getOrElse(counts.map(_._2).sum)
+        if (budget <= 0 && counts.nonEmpty) throw new graft.api.ConfigException(
+          s"mix: budgetRows must be positive, got $budget")
+        // 4-decimal rounding makes the realized mixture reproducible
+        // across engines (ulp-level pow/sum differences would otherwise
+        // flip a bucket threshold); mixtures never need finer rates
+        val weights = counts.map { case (g, n) =>
+          g -> BigDecimal(budget * math.pow(n, alpha) / (z * n))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.toSeq.sortBy(_._1)
+        SampleTransform.mixSample(input, group, weights, default = 0.0,
+          bucket, buckets)
+    }
   }
 }
 

@@ -264,6 +264,59 @@ class ShardsAndSampleSpec extends SparkTestBase {
       d, t("mix", "on" -> "doc_id", "groupBy" -> "grp", "weights" -> "en:-1"), ctx)
   }
 
+  test("mix temperature: derives n^alpha weights — natural at 1, equalizing " +
+    "at 0, budget-scaled, reproducible, and guided errors on misuse") {
+    // 300 en / 100 de / 0-null rows: sizes chosen so every derived weight
+    // is exact at 4 decimals (no rounding-boundary flakiness)
+    val d = (0 until 400).map(i =>
+      (i.toLong, if (i % 4 == 3) "de" else "en")).toDF("doc_id", "grp")
+    // alpha = 1: w_d = B*n/( Z*n ) = 1 for every group — identity multiset
+    val natural = MixTransform(d, t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+      "temperature" -> "1.0", "method" -> "mod", "buckets" -> "100"), ctx)
+    natural.count() shouldBe 400
+    natural.groupBy("doc_id").count().where("count > 1").count() shouldBe 0
+    // alpha = 0: p_d uniform → w_en = 400/(2*300) = 0.6667, w_de = 400/200
+    // = 2.0 → expected sizes 300*0.6667 ≈ 200 and 100*2 = 200 (equalized)
+    val eq = MixTransform(d, t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+      "temperature" -> "0", "method" -> "mod", "buckets" -> "100"), ctx)
+    // exact determinism: en keeps floor(0.6667)=0 + (id%100 < 67); de
+    // emits every row twice (floor(2.0)=2, zero fractional share)
+    val enIds = eq.where("grp = 'en'").select("doc_id").as[Long].collect()
+    enIds.toSet shouldBe (0 until 400).filter(i =>
+      i % 4 != 3 && i % 100 < 67).map(_.toLong).toSet
+    enIds.length shouldBe enIds.toSet.size  // no duplicate en copies
+    eq.where("grp = 'de'").groupBy("doc_id").count()
+      .select("count").as[Long].collect().toSet shouldBe Set(2L)
+    // budgetRows scales every weight: half budget at alpha=1 → w = 0.5
+    MixTransform(d, t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+      "temperature" -> "1", "budgetRows" -> "200",
+      "method" -> "mod", "buckets" -> "100"), ctx)
+      .count() shouldBe (0 until 400).count(_ % 100 < 50)
+    // null-group rows drop (not part of any mixture)
+    val withNull = d.withColumn("grp",
+      when(col("doc_id") < 10, lit(null: String)).otherwise(col("grp")))
+    MixTransform(withNull, t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+      "temperature" -> "1", "method" -> "mod", "buckets" -> "100"), ctx)
+      .where("grp IS NULL").count() shouldBe 0
+    // plan stays a zero-exchange projection AFTER the bounded derivation
+    natural.queryExecution.executedPlan.toString should not include "Exchange"
+    // guided errors: both modes, neither mode, defaultWeight, bad alpha,
+    // maxGroups overflow
+    an[graft.api.ConfigException] should be thrownBy MixTransform(d,
+      t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+        "weights" -> "en:1.0", "temperature" -> "0.5"), ctx)
+    an[graft.api.ConfigException] should be thrownBy MixTransform(d,
+      t("mix", "on" -> "doc_id", "groupBy" -> "grp"), ctx)
+    an[graft.api.ConfigException] should be thrownBy MixTransform(d,
+      t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+        "temperature" -> "0.5", "defaultWeight" -> "1"), ctx)
+    an[graft.api.ConfigException] should be thrownBy MixTransform(d,
+      t("mix", "on" -> "doc_id", "groupBy" -> "grp", "temperature" -> "-1"), ctx)
+    an[graft.api.ConfigException] should be thrownBy MixTransform(d,
+      t("mix", "on" -> "doc_id", "groupBy" -> "doc_id",
+        "temperature" -> "0.5", "maxGroups" -> "10"), ctx)
+  }
+
   test("shuffle: seeded permutation — exact, stable, seed-dependent, windowless") {
     val d = docs(500)
     val out = ShuffleTransform(d,
