@@ -351,6 +351,33 @@ class ExamplesSpec extends SparkTestBase {
     cents.map(_.toSeq) shouldBe inProc.map(_.toSeq)
   }
 
+  test("quickstart-21: temperature mixing rebalances languages toward " +
+    "uniform at the same corpus size, with split labels") {
+    import org.apache.spark.sql.functions._
+    run("quickstart-21-temperature-mix.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-21-out")
+    val in = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def spread(df: org.apache.spark.sql.DataFrame): Double = {
+      val counts = df.groupBy("lang").count().select("count").as[Long].collect()
+      counts.max.toDouble / counts.min
+    }
+    // alpha = 0.3 damps the head language's dominance (en is ~2.7x the
+    // smallest language at this SF; the mixture lands well under 2x)
+    spread(out) should be < spread(in) * 0.7
+    // default budget: expected output size = input size; the realized
+    // size is deterministic and lands within a few percent
+    out.count().toDouble shouldBe in.count().toDouble +- in.count() * 0.05
+    out.where("lang IS NULL").count() shouldBe 0
+    // under-represented languages upsample: some doc appears twice, and
+    // every duplicate's copies agree on their split label (same id)
+    val dupSplits = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("split")).as("labels"))
+      .where(col("n") > 1)
+    dupSplits.count() should be > 0L
+    dupSplits.where(col("labels") =!= 1).count() shouldBe 0L
+    out.select("split").distinct().count() shouldBe 3
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
