@@ -1406,6 +1406,18 @@ object SparkEntry {
     "q79_chargram_nll" -> ((s, dir) =>
       ap(tab(s, dir, "documents"),
         t("chargram_nll", "idColumn" -> "doc_id", "textColumn" -> "text", "n" -> "3"))),
+    // DSIR importance scoring: every document scored against an
+    // English-only target model — add-one smoothing over the union vocab
+    // and the log-ratio restated term-for-term in DuckDB
+    "q129_importance_score" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      tab(s, dir, "documents").where(col("lang") === "en")
+        .select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("q129_target")
+      ap(tab(s, dir, "documents"),
+        t("importance_score", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "targetView" -> "q129_target", "n" -> "3"))
+    }),
     // the simhash PIPELINE made oracle-checkable: maxHamming=0 over the
     // corpus unioned with an exact twin of itself (ids shifted), restricted
     // to the planted twin pairs. A twin is found iff the whole pipeline —
@@ -2965,6 +2977,49 @@ object SparkEntry {
                 round(-sum(tf.tf * ln(CAST(cnt.cnt AS DOUBLE) / tot.total))
                       / sum(tf.tf), 4) AS nll
          FROM tf JOIN cnt USING (gram) CROSS JOIN tot GROUP BY 1""",
+    // q79's gram pipeline twice (raw corpus + en-only target), one
+    // full-outer model merge, add-one smoothing over the union vocab,
+    // the same length-normalized log-ratio and 4-decimal rounding
+    "q129_importance_score" ->
+      """WITH d AS (
+           SELECT doc_id, lower(text) AS t FROM documents
+           WHERE text IS NOT NULL AND length(lower(text)) >= 3
+         ), g AS (
+           SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+           FROM d
+         ), tf AS (
+           SELECT doc_id, substr(t, CAST(i AS BIGINT), 3) AS gram, count(*) AS tf
+           FROM g GROUP BY 1, 2
+         ), raw AS (
+           SELECT gram, CAST(sum(tf) AS BIGINT) AS raw_cnt FROM tf GROUP BY 1
+         ), td AS (
+           SELECT lower(text) AS t FROM documents
+           WHERE lang = 'en' AND text IS NOT NULL AND length(lower(text)) >= 3
+         ), tg AS (
+           SELECT t, unnest(generate_series(1, length(t) - 2)) AS i FROM td
+         ), tgt AS (
+           SELECT substr(t, CAST(i AS BIGINT), 3) AS gram,
+                  CAST(count(*) AS BIGINT) AS tgt_cnt
+           FROM tg GROUP BY 1
+         ), model AS (
+           SELECT coalesce(raw.gram, tgt.gram) AS gram,
+                  coalesce(raw_cnt, 0) AS raw_cnt,
+                  coalesce(tgt_cnt, 0) AS tgt_cnt
+           FROM raw FULL JOIN tgt ON raw.gram = tgt.gram
+         ), scal AS (
+           SELECT CAST(sum(raw_cnt) AS BIGINT) AS raw_total,
+                  CAST(sum(tgt_cnt) AS BIGINT) AS tgt_total,
+                  count(*) AS v
+           FROM model
+         )
+         SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_grams,
+                round(sum(tf.tf * (
+                    ln(CAST(model.tgt_cnt + 1 AS DOUBLE)
+                       / CAST(scal.tgt_total + scal.v AS DOUBLE))
+                  - ln(CAST(model.raw_cnt + 1 AS DOUBLE)
+                       / CAST(scal.raw_total + scal.v AS DOUBLE))
+                )) / sum(tf.tf), 4) + 0.0 AS importance
+         FROM tf JOIN model USING (gram) CROSS JOIN scal GROUP BY 1""",
     // every document pairs with its planted exact twin at hamming 0 —
     // identical text means identical signature under any hash function
     "q80_simhash_exact" ->

@@ -374,6 +374,74 @@ object TextFunctions {
           .as("nll"))
   }
 
+  /**
+   * DSIR-style importance score (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): each document's average
+   * log-likelihood RATIO between a target (high-quality reference) char
+   * n-gram model and the raw corpus's own model —
+   * `Σ tf·[ln p_target(g) − ln p_raw(g)] / Σ tf`, add-one smoothed over
+   * the UNION vocabulary so unseen grams are finite under both models.
+   * Documents whose character statistics look like the target score
+   * high; the scores feed top-k selection or weighted sampling (the
+   * resampling half composes from `quantile_filter` / `sample`).
+   * Documents shorter than `n` characters produce no row, like
+   * [[charGramNll]].
+   *
+   * Scale shape mirrors charGramNll: the (doc, gram, tf) frame is a
+   * zero-shuffle [[graft.functions.expressions.ItemCounts]] projection
+   * (checkpointed once — the raw model and the scoring join both read
+   * it); both models reduce to vocabulary-bounded count frames
+   * (alphabet^n), merged with one full-outer join into a model frame
+   * that is checkpointed (scalars + scoring read it) and BROADCAST into
+   * the scoring join, so the corpus-side frame never reshuffles on gram;
+   * totals and vocab size ride a 1-row broadcast. The target corpus is
+   * scanned exactly once regardless of its size.
+   */
+  def importanceScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, target: org.apache.spark.sql.DataFrame,
+                      targetTextCol: String, n: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    def gramCounts(frame: org.apache.spark.sql.DataFrame, text: String,
+                   as: String): org.apache.spark.sql.DataFrame =
+      frame.select(lower(col(text)).as("__t"))
+        .where(col("__t").isNotNull && length(col("__t")) >= n)
+        .select(explode(graft.functions.expressions.ItemCounts(
+          graft.functions.expressions.CharNgramStrings(col("__t"), n))).as("kv"))
+        .groupBy(col("kv.item").as("gram"))
+        .agg(sum(col("kv.cnt")).as(as))
+    val t = df.select(col(idCol).as("doc_id"), lower(col(textCol)).as("__t"))
+      .where(col("__t").isNotNull && length(col("__t")) >= n)
+    val tf = graft.api.Checkpointing.checkpoint(
+      t.select(col("doc_id"), explode(graft.functions.expressions.ItemCounts(
+          graft.functions.expressions.CharNgramStrings(col("__t"), n))).as("kv"))
+        .select(col("doc_id"), col("kv.item").as("gram"), col("kv.cnt").as("tf")),
+      eager = false)
+    val raw = tf.groupBy("gram").agg(sum("tf").as("raw_cnt"))
+    val tgt = gramCounts(target, targetTextCol, "tgt_cnt")
+    // union vocabulary: both smoothed models share one V, so the ratio of
+    // two proper distributions stays a proper log-ratio
+    val model = graft.api.Checkpointing.checkpoint(
+      raw.join(tgt, Seq("gram"), "full_outer")
+        .select(col("gram"),
+          coalesce(col("raw_cnt"), lit(0L)).as("raw_cnt"),
+          coalesce(col("tgt_cnt"), lit(0L)).as("tgt_cnt")),
+      eager = false)
+    val scalars = model.agg(sum("raw_cnt").as("raw_total"),
+      sum("tgt_cnt").as("tgt_total"), count(lit(1)).as("v"))
+    tf.join(broadcast(model), Seq("gram")) // inner: every doc gram is in raw
+      .crossJoin(broadcast(scalars))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_grams"),
+        // + 0.0 collapses IEEE negative zero (a score rounding to -0.0
+        // stringifies differently from 0.0 in the driver's compare)
+        (round(sum(col("tf") * (
+          log((col("tgt_cnt") + lit(1L)).cast("double")
+            / (col("tgt_total") + col("v")).cast("double"))
+          - log((col("raw_cnt") + lit(1L)).cast("double")
+            / (col("raw_total") + col("v")).cast("double"))
+        )) / sum("tf"), 4) + lit(0.0)).as("importance"))
+  }
+
   /** The (doc, term, tf) frame consumed by SEVERAL downstream branches
     * (document frequencies, doc lengths, the final join). Handing each
     * branch the raw plan makes Catalyst tokenize and aggregate the whole

@@ -172,6 +172,50 @@ object ChargramNllTransform extends Transform {
 }
 
 /**
+ * importance_score — DSIR-style data selection signal: per-document
+ * average log-likelihood ratio between a target (high-quality reference)
+ * char n-gram model and the raw corpus's own model. See
+ * [[graft.functions.TextFunctions.importanceScore]] for the formula,
+ * smoothing, and the broadcast-model scale shape. The target is a
+ * registered view (same resolution as join's `rightDataset`), scanned
+ * exactly once.
+ *
+ * {{{
+ * - name: select-like-wikipedia
+ *   type: importance_score
+ *   options: {idColumn: doc_id, textColumn: text,
+ *             targetView: quality_reference, n: "3"}
+ * }}}
+ *
+ * Options: idColumn/textColumn/targetView required; targetTextColumn
+ * (default = textColumn), n (default 3). Output replaces the frame:
+ * (doc_id, n_grams, importance) — compose with `quantile_filter` or
+ * `sample` for the selection/resampling half.
+ */
+object ImportanceScoreTransform extends Transform {
+  val transformType = "importance_score"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq,
+      transformType)
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "textColumn", "targetView")
+    val n = config.options.get("n").map(_.toInt).getOrElse(3)
+    if (n < 1) throw new ConfigException(s"importance_score: n must be >= 1, got $n")
+    val target = ctx.spark.table(config.options("targetView"))
+    val targetText = config.options.getOrElse("targetTextColumn",
+      config.options("textColumn"))
+    if (!target.columns.exists(_.equalsIgnoreCase(targetText)))
+      throw new ConfigException(
+        s"importance_score: targetTextColumn '$targetText' not found in " +
+          s"targetView '${config.options("targetView")}'")
+    TextFunctions.importanceScore(input, config.options("idColumn"),
+      config.options("textColumn"), target, targetText, n)
+  }
+}
+
+/**
  * `url_normalize` — URL canonicalization (see
  * [[graft.functions.UrlFunctions.normalizeUrl]] for the exact step
  * order): the pass that runs before URL-keyed dedup and per-domain

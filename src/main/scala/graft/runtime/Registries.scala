@@ -84,6 +84,7 @@ object Registries {
     FillNaTransform.transformType            -> FillNaTransform,
     EntropyTransform.transformType    -> EntropyTransform,
     ChargramNllTransform.transformType -> ChargramNllTransform,
+    ImportanceScoreTransform.transformType -> ImportanceScoreTransform,
     graft.streaming.SessionizeTransform.transformType -> graft.streaming.SessionizeTransform,
     RegisterTransform.transformType   -> RegisterTransform))
 

@@ -145,6 +145,42 @@ class TextCorpusTransformsSpec extends SparkTestBase {
       t("chargram_nll", "idColumn" -> "doc_id", "textColumn" -> "text", "n" -> "0"), ctx)
   }
 
+  test("importance_score: target-like docs rank above off-target docs, " +
+    "smoothing keeps unseen grams finite, guided errors") {
+    // raw corpus: two "english-ish" docs, two digit-soup docs; target
+    // model = english-only reference
+    val raw = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the log"),
+      (3L, "0101 1010 0110 1001"), (4L, "9876 5432 1098 7654")
+    ).toDF("doc_id", "text")
+    Seq("the bird sat on the branch", "the fish swam past the log")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+      .createOrReplaceTempView("imp_target")
+    val out = ImportanceScoreTransform(raw,
+      t("importance_score", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "targetView" -> "imp_target", "n" -> "3"), ctx)
+    out.columns.toSeq shouldBe Seq("doc_id", "n_grams", "importance")
+    val scores = out.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    scores.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    // every english doc outranks every digit doc; no score is infinite
+    // (add-one smoothing covers grams the target never saw)
+    for (en <- Seq(1L, 2L); num <- Seq(3L, 4L))
+      scores(en) should be > scores(num)
+    all(scores.values) should not be Double.NegativeInfinity
+    // docs shorter than n drop, like chargram_nll
+    ImportanceScoreTransform(Seq((9L, "ab")).toDF("doc_id", "text"),
+      t("importance_score", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "targetView" -> "imp_target"), ctx).count() shouldBe 0
+    an[ConfigException] should be thrownBy ImportanceScoreTransform(raw,
+      t("importance_score", "idColumn" -> "doc_id", "textColumn" -> "text"), ctx)
+    an[ConfigException] should be thrownBy ImportanceScoreTransform(raw,
+      t("importance_score", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "targetView" -> "imp_target", "n" -> "0"), ctx)
+    an[ConfigException] should be thrownBy ImportanceScoreTransform(raw,
+      t("importance_score", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "targetView" -> "imp_target", "targetTextColumn" -> "nope"), ctx)
+  }
+
   test("sessionize gap parsing: units, whitespace, rejects garbage") {
     SessionizeTransform.durationMs("30 minutes") shouldBe 30 * 60000L
     SessionizeTransform.durationMs("10s") shouldBe 10000L
