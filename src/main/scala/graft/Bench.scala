@@ -100,9 +100,13 @@ object Bench {
     * `queries` carries the per-query MIN (the scored statistic, least
     * sensitive to one-sided noise); `passes` carries every pass so noise
     * is visible instead of judgeable-as-regression; `load_avg_1m` stamps
-    * the shared-box contention level sampled just before the run. */
+    * the shared-box contention level sampled just before the run.
+    * `startLoad` is deliberately REQUIRED: a defaulted loadAvg() here
+    * would sample at render time — mostly the bench's own 8 threads —
+    * and the wrong figure would be indistinguishable from a correct
+    * pre-run stamp in the artifact. */
   def render(results: List[(String, List[Double])], sfDir: String,
-             startLoad: Double = loadAvg()): (String, String) = {
+             startLoad: Double): (String, String) = {
     // Verify's escaper, shared: an sfDir with a backslash or quote would
     // otherwise invalidate EVERY redundant JSON channel at once (the r8
     // "parsed: null" failure mode, re-created by the report itself)

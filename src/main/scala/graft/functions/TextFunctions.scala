@@ -352,17 +352,27 @@ object TextFunctions {
    * per-document reduction whose partial aggregation collapses each doc
    * before its exchange (explode preserves row locality).
    */
+  /** The (doc_id, gram, tf) char n-gram frame — the ONE place encoding
+    * the gram contract (lowercasing, the >= n length gate that drops
+    * short docs, per-row repeat collapse in the native
+    * [[graft.functions.expressions.ItemCounts]] pass — see charGramNll's
+    * scale note). charGramNll and importanceScore both build their
+    * models from it; a semantics change here keeps their oracles (q79,
+    * q129) in lockstep instead of silently diverging. */
+  private def charGramTermFrequencies(df: org.apache.spark.sql.DataFrame,
+                                      idCol: org.apache.spark.sql.Column,
+                                      textCol: String, n: Int)
+      : org.apache.spark.sql.DataFrame =
+    df.select(idCol.as("doc_id"), lower(col(textCol)).as("__t"))
+      .where(col("__t").isNotNull && length(col("__t")) >= n)
+      .select(col("doc_id"), explode(graft.functions.expressions.ItemCounts(
+        graft.functions.expressions.CharNgramStrings(col("__t"), n))).as("kv"))
+      .select(col("doc_id"), col("kv.item").as("gram"), col("kv.cnt").as("tf"))
+
   def charGramNll(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                   n: Int = 3): org.apache.spark.sql.DataFrame = {
-    val t = df.select(col(idCol).as("doc_id"), lower(col(textCol)).as("__t"))
-      .where(col("__t").isNotNull && length(col("__t")) >= n)
-    // native one-pass gram expression — the transform(sequence, substring)
-    // Column form is interpreted lambda eval (see CharNgramStrings docs)
     val tf = graft.api.Checkpointing.checkpoint(
-      t.select(col("doc_id"), explode(graft.functions.expressions.ItemCounts(
-          graft.functions.expressions.CharNgramStrings(col("__t"), n))).as("kv"))
-        .select(col("doc_id"), col("kv.item").as("gram"), col("kv.cnt").as("tf")),
-      eager = false)
+      charGramTermFrequencies(df, col(idCol), textCol, n), eager = false)
     val cnt = tf.groupBy("gram").agg(sum("tf").as("cnt"))
     // integer-identical to summing tf directly, and one fewer tf consumer
     val total = cnt.agg(sum("cnt").as("total"))
@@ -401,23 +411,13 @@ object TextFunctions {
                       textCol: String, target: org.apache.spark.sql.DataFrame,
                       targetTextCol: String, n: Int = 3)
       : org.apache.spark.sql.DataFrame = {
-    def gramCounts(frame: org.apache.spark.sql.DataFrame, text: String,
-                   as: String): org.apache.spark.sql.DataFrame =
-      frame.select(lower(col(text)).as("__t"))
-        .where(col("__t").isNotNull && length(col("__t")) >= n)
-        .select(explode(graft.functions.expressions.ItemCounts(
-          graft.functions.expressions.CharNgramStrings(col("__t"), n))).as("kv"))
-        .groupBy(col("kv.item").as("gram"))
-        .agg(sum(col("kv.cnt")).as(as))
-    val t = df.select(col(idCol).as("doc_id"), lower(col(textCol)).as("__t"))
-      .where(col("__t").isNotNull && length(col("__t")) >= n)
     val tf = graft.api.Checkpointing.checkpoint(
-      t.select(col("doc_id"), explode(graft.functions.expressions.ItemCounts(
-          graft.functions.expressions.CharNgramStrings(col("__t"), n))).as("kv"))
-        .select(col("doc_id"), col("kv.item").as("gram"), col("kv.cnt").as("tf")),
-      eager = false)
+      charGramTermFrequencies(df, col(idCol), textCol, n), eager = false)
     val raw = tf.groupBy("gram").agg(sum("tf").as("raw_cnt"))
-    val tgt = gramCounts(target, targetTextCol, "tgt_cnt")
+    // the target needs no per-doc identity — a constant id rides through
+    // the shared gram builder and grouping by gram sums it away
+    val tgt = charGramTermFrequencies(target, lit(0L), targetTextCol, n)
+      .groupBy("gram").agg(sum("tf").as("tgt_cnt"))
     // union vocabulary: both smoothed models share one V, so the ratio of
     // two proper distributions stays a proper log-ratio
     val model = graft.api.Checkpointing.checkpoint(

@@ -376,8 +376,12 @@ object MixTransform extends graft.api.Transform {
         val alpha = try alphaSpec.toDouble catch { case _: NumberFormatException =>
           throw new graft.api.ConfigException(
             s"mix: temperature must be a number, got '$alphaSpec'") }
-        if (alpha < 0) throw new graft.api.ConfigException(
-          s"mix: temperature must be >= 0, got $alpha")
+        // NaN passes a plain < check and Infinity overflows pow — both
+        // would surface as an opaque NumberFormatException from BigDecimal
+        // deep in the weight loop instead of a guided error
+        if (!java.lang.Double.isFinite(alpha) || alpha < 0)
+          throw new graft.api.ConfigException(
+            s"mix: temperature must be a finite number >= 0, got $alpha")
         // every observed group gets a derived weight and null-group rows
         // drop, so a default could never apply — reject it rather than
         // silently ignoring the option
@@ -387,27 +391,39 @@ object MixTransform extends graft.api.Transform {
               "observed group gets a derived weight and null-group rows drop")
         val maxGroups = config.options.get("maxGroups").map(_.toInt).getOrElse(1000)
         // bounded driver collect: one narrow count-by-group aggregate,
-        // O(|groups|) rows (languages/domains — small by construction)
+        // O(|groups|) rows (languages/domains — small by construction).
+        // The limit makes the bound REAL: without it, a misconfigured
+        // high-cardinality group column would OOM the driver before the
+        // maxGroups check could fire
         val counts = input.where(col(group).isNotNull)
           .groupBy(col(group).cast("string").as("__g")).count()
+          .limit(maxGroups + 1)
           .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
         if (counts.length > maxGroups) throw new graft.api.ConfigException(
-          s"mix: temperature derived ${counts.length} group weights, over " +
-            s"maxGroups=$maxGroups — use explicit weights (or raise " +
-            "maxGroups) for high-cardinality mixtures")
+          s"mix: temperature derived over maxGroups=$maxGroups group " +
+            "weights — use explicit weights (or raise maxGroups) for " +
+            "high-cardinality mixtures")
         val z = counts.map { case (_, n) => math.pow(n, alpha) }.sum
         val budget = config.options.get("budgetRows").map { b =>
           try b.toDouble catch { case _: NumberFormatException =>
             throw new graft.api.ConfigException(
               s"mix: budgetRows must be a number, got '$b'") }
         }.getOrElse(counts.map(_._2).sum)
-        if (budget <= 0 && counts.nonEmpty) throw new graft.api.ConfigException(
-          s"mix: budgetRows must be positive, got $budget")
+        if (counts.nonEmpty && !(java.lang.Double.isFinite(budget) && budget > 0))
+          throw new graft.api.ConfigException(
+            s"mix: budgetRows must be a finite positive number, got $budget")
         // 4-decimal rounding makes the realized mixture reproducible
         // across engines (ulp-level pow/sum differences would otherwise
         // flip a bucket threshold); mixtures never need finer rates
         val weights = counts.map { case (g, n) =>
-          g -> BigDecimal(budget * math.pow(n, alpha) / (z * n))
+          val rw = budget * math.pow(n, alpha) / (z * n)
+          // pow overflow (huge alpha × big groups → Inf/Inf = NaN) must
+          // fail guided, not as BigDecimal's NumberFormatException
+          if (!java.lang.Double.isFinite(rw)) throw new graft.api.ConfigException(
+            s"mix: derived weight for group '$g' is not finite " +
+              s"($rw) — temperature $alpha overflows at this group-size " +
+              "range; use a smaller temperature or explicit weights")
+          g -> BigDecimal(rw)
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
         }.toSeq.sortBy(_._1)
         SampleTransform.mixSample(input, group, weights, default = 0.0,

@@ -43,7 +43,7 @@ class HarnessLoudnessSpec extends SparkTestBase {
   test("Bench JSON escapes sfDir and query names (a backslash or quote " +
     "would invalidate every redundant report channel at once)") {
     val (big, compact) = Bench.render(
-      List("good_q" -> List(0.5)), """C:\data\sf"0.1""")
+      List("good_q" -> List(0.5)), """C:\data\sf"0.1""", 0.0)
     for (line <- Seq(big, compact)) {
       val parsed = com.fasterxml.jackson.databind.json.JsonMapper.builder()
         .build().readTree(line)
@@ -67,7 +67,7 @@ class HarnessLoudnessSpec extends SparkTestBase {
     byName("bad_q") shouldBe Nil                  // failure sentinel
     byName("good_q") should have size 2           // one entry per timed pass
     all(byName("good_q")) should be >= 0.0
-    val (big, compact) = Bench.render(results, "sfX")
+    val (big, compact) = Bench.render(results, "sfX", 0.0)
     big should include(""""bad_q":-1.0000""")
     big should include(""""failed":["bad_q"]""")
     // per-pass array visible in the report: "good_q":[a,b] inside "passes"
@@ -81,7 +81,7 @@ class HarnessLoudnessSpec extends SparkTestBase {
 
   test("Bench with no failures emits an empty failed list; queries carry " +
     "the per-query min of the passes") {
-    val (big, compact) = Bench.render(List("good_q" -> List(0.7, 0.5)), "sfX")
+    val (big, compact) = Bench.render(List("good_q" -> List(0.7, 0.5)), "sfX", 0.0)
     big should include(""""failed":[]""")
     big should include(""""good_q":0.5000""")
     big should include(""""passes":{"good_q":[0.7000,0.5000]}""")
@@ -90,7 +90,7 @@ class HarnessLoudnessSpec extends SparkTestBase {
 
   test("Bench reports stamp the 1-minute load average in both JSON lines " +
     "(shared-box contention must be readable from the artifact)") {
-    val (big, compact) = Bench.render(List("good_q" -> List(0.5)), "sfX")
+    val (big, compact) = Bench.render(List("good_q" -> List(0.5)), "sfX", Bench.loadAvg())
     val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
     for (line <- Seq(big, compact)) {
       val load = mapper.readTree(line).get("load_avg_1m")
@@ -118,7 +118,7 @@ class HarnessLoudnessSpec extends SparkTestBase {
 
   test("Bench writes the full report to a file artifact") {
     val out = tmpDir("benchout")
-    val (big, _) = Bench.render(List("good_q" -> List(0.5)), "sfX")
+    val (big, _) = Bench.render(List("good_q" -> List(0.5)), "sfX", 0.0)
     Bench.writeArtifact(out, big)
     val onDisk = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/bench.json")).trim

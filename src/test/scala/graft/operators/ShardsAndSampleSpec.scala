@@ -312,6 +312,16 @@ class ShardsAndSampleSpec extends SparkTestBase {
         "temperature" -> "0.5", "defaultWeight" -> "1"), ctx)
     an[graft.api.ConfigException] should be thrownBy MixTransform(d,
       t("mix", "on" -> "doc_id", "groupBy" -> "grp", "temperature" -> "-1"), ctx)
+    // NaN parses via toDouble and slips past a plain < 0 check; Infinity
+    // overflows pow — both must fail guided, not as BigDecimal crashes
+    an[graft.api.ConfigException] should be thrownBy MixTransform(d,
+      t("mix", "on" -> "doc_id", "groupBy" -> "grp", "temperature" -> "NaN"), ctx)
+    an[graft.api.ConfigException] should be thrownBy MixTransform(d,
+      t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+        "temperature" -> "Infinity"), ctx)
+    an[graft.api.ConfigException] should be thrownBy MixTransform(d,
+      t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+        "temperature" -> "1", "budgetRows" -> "NaN"), ctx)
     an[graft.api.ConfigException] should be thrownBy MixTransform(d,
       t("mix", "on" -> "doc_id", "groupBy" -> "doc_id",
         "temperature" -> "0.5", "maxGroups" -> "10"), ctx)
