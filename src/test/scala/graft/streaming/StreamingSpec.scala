@@ -223,6 +223,38 @@ class StreamingSpec extends SparkTestBase {
     q.lastProgress.stateOperators shouldBe empty
   }
 
+  test("benchmark decontamination on a stream: the bloom path is a " +
+    "stateless per-row filter (sketch built once from the static side)") {
+    val in = tmpDir("decon-stream-in")
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "docs.txt"), Seq(
+      """{"id": 1, "t": "the secret benchmark question about rivers"}""",
+      """{"id": 2, "t": "ordinary training text with no overlap at all"}""",
+      """{"id": 3, "t": "completely unrelated prose for the corpus"}""")
+      .mkString("\n").getBytes)
+    Seq("the secret benchmark question about rivers and lakes")
+      .toDF("text").createOrReplaceTempView("eval_set_stream")
+    val cfg = PipelineConfig(
+      pipelineId = "decon-stream",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("kafka-file", Map("path" -> in, "topic" -> "docs")),
+      transformations = List(
+        TransformConfig("parse", "map", Map(
+          "expressions" -> ("id:CAST(get_json_object(value, '$.id') AS BIGINT)," +
+            "text:get_json_object(value, '$.t')"),
+          "project" -> "true")),
+        TransformConfig("decon", "decontaminate", Map(
+          "idColumn" -> "id", "textColumn" -> "text",
+          "benchDataset" -> "eval_set_stream", "method" -> "bloom"))),
+      sink = SinkConfig("memory", Map("queryName" -> "decon_stream_out")),
+      streaming = Some(StreamingConfig(checkpointLocation = Some(tmpDir("ckpt-decon")))))
+    val q = executor.start(cfg)
+    q.awaitTermination(60000)
+    val out = spark.table("decon_stream_out")
+    // the doc sharing a 3-gram with the eval set drops; clean docs pass
+    out.select("id").as[Long].collect().toSet shouldBe Set(2L, 3L)
+    q.lastProgress.stateOperators shouldBe empty
+  }
+
   test("watermark drops late data: rows behind the watermark never reach the sink") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
