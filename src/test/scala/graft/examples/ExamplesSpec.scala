@@ -378,6 +378,24 @@ class ExamplesSpec extends SparkTestBase {
     out.select("split").distinct().count() shouldBe 3
   }
 
+  test("quickstart-22: DSIR selection — importance scoring against an " +
+    "English target skews the kept half toward English") {
+    run("quickstart-22-dsir-selection.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-22-out")
+    out.columns.toSeq should contain theSameElementsAs
+      Seq("doc_id", "lang", "text", "importance")
+    val in = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // top-half gate: roughly half the corpus survives (approx percentile)
+    out.count().toDouble shouldBe in.count() / 2.0 +- in.count() * 0.1
+    // the selection must skew toward the target language: English's share
+    // of the kept set exceeds its share of the raw corpus
+    def enShare(df: org.apache.spark.sql.DataFrame) =
+      df.where("lang = 'en'").count().toDouble / df.count()
+    enShare(out) should be > enShare(in) + 0.1
+    // every kept doc carries its (finite) score
+    out.where("importance IS NULL OR isnan(importance)").count() shouldBe 0
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
