@@ -403,7 +403,6 @@ object MixTransform extends graft.api.Transform {
           s"mix: temperature derived over maxGroups=$maxGroups group " +
             "weights — use explicit weights (or raise maxGroups) for " +
             "high-cardinality mixtures")
-        val z = counts.map { case (_, n) => math.pow(n, alpha) }.sum
         val budget = config.options.get("budgetRows").map { b =>
           try b.toDouble catch { case _: NumberFormatException =>
             throw new graft.api.ConfigException(
@@ -412,23 +411,35 @@ object MixTransform extends graft.api.Transform {
         if (counts.nonEmpty && !(java.lang.Double.isFinite(budget) && budget > 0))
           throw new graft.api.ConfigException(
             s"mix: budgetRows must be a finite positive number, got $budget")
-        // 4-decimal rounding makes the realized mixture reproducible
-        // across engines (ulp-level pow/sum differences would otherwise
-        // flip a bucket threshold); mixtures never need finer rates
-        val weights = counts.map { case (g, n) =>
-          val rw = budget * math.pow(n, alpha) / (z * n)
-          // pow overflow (huge alpha × big groups → Inf/Inf = NaN) must
-          // fail guided, not as BigDecimal's NumberFormatException
-          if (!java.lang.Double.isFinite(rw)) throw new graft.api.ConfigException(
-            s"mix: derived weight for group '$g' is not finite " +
-              s"($rw) — temperature $alpha overflows at this group-size " +
-              "range; use a smaller temperature or explicit weights")
-          g -> BigDecimal(rw)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        }.toSeq.sortBy(_._1)
-        SampleTransform.mixSample(input, group, weights, default = 0.0,
-          bucket, buckets)
+        SampleTransform.mixSample(input, group,
+          MixTransform.temperatureWeights(counts.toSeq, alpha, budget),
+          default = 0.0, bucket, buckets)
     }
+  }
+
+  /** The pure half of temperature mode — per-group rates
+    * w_d = B·n_d^α / (Z·n_d), Z = Σ n_g^α, rounded to 4 decimals so the
+    * realized mixture is reproducible across engines (ulp-level pow/sum
+    * differences would otherwise flip a bucket threshold; mixtures never
+    * need finer rates). Factored out of the transform so the algebraic
+    * invariants (Σ w_d·n_d ≈ B; α = 1 is the natural mixture; α = 0
+    * equalizes expected group sizes) are property-testable without a
+    * Spark job per case. */
+  private[operators] def temperatureWeights(counts: Seq[(String, Double)],
+                                            alpha: Double, budget: Double)
+      : Seq[(String, Double)] = {
+    val z = counts.map { case (_, n) => math.pow(n, alpha) }.sum
+    counts.map { case (g, n) =>
+      val rw = budget * math.pow(n, alpha) / (z * n)
+      // pow overflow (huge alpha × big groups → Inf/Inf = NaN) must
+      // fail guided, not as BigDecimal's NumberFormatException
+      if (!java.lang.Double.isFinite(rw)) throw new graft.api.ConfigException(
+        s"mix: derived weight for group '$g' is not finite " +
+          s"($rw) — temperature $alpha overflows at this group-size " +
+          "range; use a smaller temperature or explicit weights")
+      g -> BigDecimal(rw)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sortBy(_._1)
   }
 }
 
