@@ -710,6 +710,15 @@ object SparkEntry {
           "weights" -> "en:0.5,de:1.0,fr:0.25", "method" -> "mod",
           "buckets" -> "100"))
         .select("doc_id", "lang")),
+    // weighted sampling without replacement (Efraimidis-Spirakis
+    // exponential race), P(selected) ∝ n_chars: the uniform is the md5
+    // hex prefix (52 exact bits), so DuckDB re-derives identical race
+    // keys and the exact winner set
+    "q130_sample_weighted" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("sample", "on" -> "doc_id", "weightColumn" -> "n_chars",
+          "k" -> "100", "seed" -> "7"))
+        .select("doc_id", "lang")),
     // temperature-scaled mixing (mT5/XLM-R style): per-language rates
     // derived as B*n^alpha/(Z*n), rounded to 4 decimals inside the
     // operator so the oracle re-derives bit-identical rates; duplicates
@@ -2316,6 +2325,18 @@ object SparkEntry {
          WHERE (lang = 'en' AND doc_id % 100 < 50)
             OR lang = 'de'
             OR (lang = 'fr' AND doc_id % 100 < 25)""",
+    // the exponential race re-derived: identical u from the md5 prefix
+    // (hex cast + the same exact (v+0.5)/2^52), identical -ln(u)/w keys,
+    // k smallest win with the same id tie-break
+    "q130_sample_weighted" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  -ln((CAST(CONCAT('0x',
+                         substr(md5(CONCAT('7', ':', CAST(doc_id AS VARCHAR))), 1, 13))
+                       AS BIGINT) + 0.5) / 4503599627370496.0)
+                    / CAST(n_chars AS DOUBLE) AS race_key
+           FROM documents WHERE n_chars > 0)
+         ORDER BY race_key, doc_id LIMIT 100""",
     // temperature mixing re-derived end-to-end: same 4-decimal weight
     // rounding as the operator, same floor/threshold copy arithmetic,
     // copies materialized by unnesting the scalar generate_series list

@@ -168,6 +168,16 @@ object SampleTransform extends Transform {
     val keyName = config.options.get("on").orElse(config.options.get("column"))
       .getOrElse { required(config, "on"); "" }
     val key = col(keyName)
+    // the weighted race neither buckets nor hashes, so it must dodge
+    // bucketFor entirely (method=mod would spuriously reject string ids)
+    if (config.options.contains("weightColumn")) {
+      val others = Seq("keep", "splits", "probColumn", "perGroup")
+        .filter(config.options.contains)
+      require(others.isEmpty,
+        s"sample: weightColumn cannot combine with ${others.mkString("/")} — " +
+          "exactly one of keep | splits | probColumn | perGroup | weightColumn")
+      return weightedSample(input, config, keyName)
+    }
     val stratified = config.options.contains("perGroup")
     val (bucket, buckets) = bucketFor(config, key,
       defaultBuckets = if (stratified) 1000003 else 100)
@@ -219,6 +229,56 @@ object SampleTransform extends Transform {
         "sample needs exactly one of 'keep' (filter), 'splits' (label), " +
           "'probColumn' (importance sampling), or 'perGroup' (stratified)")
     }
+  }
+
+  /**
+   * Weighted sampling WITHOUT replacement of exactly `k` rows,
+   * P(selected) ∝ `weightColumn` — the Efraimidis–Spirakis exponential
+   * race: each row draws a deterministic uniform u from its id (the
+   * shuffle transform's engine-portable md5 trick: 13 hex chars = 52
+   * exact mantissa bits, so u is bit-identical on any engine) and races
+   * with key = -ln(u)/w; the k SMALLEST keys win. This is the resampling
+   * half of importance-based selection (`importance_score` → exponentiate
+   * → weighted sample) and the principled replacement for "sort by
+   * score, take top k" when diversity matters. Rows with null/NaN/≤ 0
+   * weight can never be selected. `groupBy` switches to a per-group k.
+   *
+   * Scale shape: the race key is a zero-shuffle projection; selection is
+   * the bounded-heap [[graft.ann.TopKAggregator]] partial aggregation
+   * (every map task reduces to ≤ k candidates before the exchange) and
+   * the winner set broadcast-semi-joins back — the same never-a-window
+   * shape as stratified sampling. Same seed + ids + weights ⇒ the same
+   * sample on every run, retry, and engine.
+   */
+  private def weightedSample(input: DataFrame, config: TransformConfig,
+                             keyName: String): DataFrame = {
+    required(config, "k")
+    val k = try config.options("k").toInt catch { case _: NumberFormatException =>
+      throw new graft.api.ConfigException(
+        s"sample: k must be an integer, got '${config.options("k")}'") }
+    if (k <= 0) throw new graft.api.ConfigException(s"sample: k must be positive, got $k")
+    val wName = config.options("weightColumn")
+    if (!input.columns.exists(_.equalsIgnoreCase(wName)))
+      throw new graft.api.ConfigException(
+        s"sample: weightColumn '$wName' not found in input")
+    val w = col(wName).cast("double")
+    val seed = config.options.getOrElse("seed", "0").toLong
+    // engine-portable uniform in (0,1): the md5 hex prefix parsed as an
+    // integer is exact at 52 bits, and (v + 0.5)/2^52 is exact binary
+    // arithmetic — any engine re-derives the identical double from
+    // (seed, id) alone
+    val u = (conv(substring(md5(concat_ws(":",
+        lit(seed.toString), col(keyName).cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    // smallest -ln(u)/w wins; non-positive/NaN weights map to null and are
+    // dropped inside the selector (they must never be sampled, even when
+    // fewer than k valid rows exist)
+    val raceKey = when(w > 0 && !isnan(w), -log(u) / w)
+    val groups = config.options.get("groupBy")
+      .map(graft.config.ExprUtils.parseColumns).getOrElse(Nil)
+    // the aggregator keeps HIGHEST first (ties: id asc) → negate so the
+    // smallest race key wins, ties deterministically toward smaller ids
+    BoundedTopK.semiJoinTopK(input, groups, negate(raceKey), keyName, k)
   }
 
   /** The deterministic bucket shared by sample/mix: pmod(xxhash64(key,

@@ -264,6 +264,54 @@ class ShardsAndSampleSpec extends SparkTestBase {
       d, t("mix", "on" -> "doc_id", "groupBy" -> "grp", "weights" -> "en:-1"), ctx)
   }
 
+  test("weighted sample: exponential race selects exactly k, skews toward " +
+    "heavy weights, never picks non-positive weights, and is seed-stable") {
+    // 400 light rows (w=1) + 100 heavy rows (w=50): heavy mass ~ 92.6%
+    val d = (0 until 500).map(i =>
+      (i.toLong, if (i < 400) 1.0 else 50.0)).toDF("doc_id", "w")
+    def sel(frame: org.apache.spark.sql.DataFrame, opts: (String, String)*) =
+      SampleTransform(frame, t("sample", (Seq("on" -> "doc_id",
+        "weightColumn" -> "w", "k" -> "100") ++ opts): _*), ctx)
+    val out = sel(d, "seed" -> "7")
+    out.count() shouldBe 100
+    // P(selected) ∝ w: the heavy tenth of rows should dominate the sample
+    out.where("doc_id >= 400").count().toDouble should be > 60.0
+    // deterministic: same seed reproduces the set, a new seed moves it
+    sel(d, "seed" -> "7").select("doc_id").as[Long].collect().toSet shouldBe
+      out.select("doc_id").as[Long].collect().toSet
+    sel(d, "seed" -> "8").select("doc_id").as[Long].collect().toSet should not be
+      out.select("doc_id").as[Long].collect().toSet
+    // zero/negative/null weights can never win, even when k exceeds the
+    // valid row count
+    val mixed = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0), (4L, Double.NaN))
+      .toDF("doc_id", "w").union(Seq((5L, null.asInstanceOf[java.lang.Double]))
+        .toDF("doc_id", "w"))
+    sel(mixed).select("doc_id").as[Long].collect().toSeq shouldBe Seq(1L)
+    // never a global window: bounded-heap partial aggregation
+    out.queryExecution.executedPlan.toString should not include "Window"
+    // guided errors: missing/invalid k, unknown column, mode combos
+    an[graft.api.ConfigException] should be thrownBy SampleTransform(d,
+      t("sample", "on" -> "doc_id", "weightColumn" -> "w"), ctx)
+    an[graft.api.ConfigException] should be thrownBy SampleTransform(d,
+      t("sample", "on" -> "doc_id", "weightColumn" -> "w", "k" -> "0"), ctx)
+    an[graft.api.ConfigException] should be thrownBy SampleTransform(d,
+      t("sample", "on" -> "doc_id", "weightColumn" -> "nope", "k" -> "5"), ctx)
+    an[IllegalArgumentException] should be thrownBy SampleTransform(d,
+      t("sample", "on" -> "doc_id", "weightColumn" -> "w", "k" -> "5",
+        "keep" -> "3"), ctx)
+  }
+
+  test("weighted sample with groupBy: an independent race per group") {
+    val d = (0 until 300).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", 1.0 + i % 5))
+      .toDF("doc_id", "grp", "w")
+    val out = SampleTransform(d, t("sample", "on" -> "doc_id",
+      "weightColumn" -> "w", "k" -> "20", "groupBy" -> "grp"), ctx)
+    out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("a" -> 20L, "b" -> 20L)
+  }
+
   test("mix temperature: derives n^alpha weights — natural at 1, equalizing " +
     "at 0, budget-scaled, reproducible, and guided errors on misuse") {
     // 300 en / 100 de / 0-null rows: sizes chosen so every derived weight
