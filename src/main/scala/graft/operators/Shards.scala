@@ -261,14 +261,24 @@ object SampleTransform extends Transform {
     if (!input.columns.exists(_.equalsIgnoreCase(wName)))
       throw new graft.api.ConfigException(
         s"sample: weightColumn '$wName' not found in input")
+    // guided type check: a string/struct weight would otherwise die as an
+    // unguided ANSI cast error mid-job (or, ANSI off, silently null every
+    // race key and emit an empty sample)
+    val wType = input.schema(
+      input.columns.find(_.equalsIgnoreCase(wName)).get).dataType
+    if (!wType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      throw new graft.api.ConfigException(
+        s"sample: weightColumn '$wName' must be numeric, got ${wType.typeName}")
     val w = col(wName).cast("double")
-    val seed = config.options.getOrElse("seed", "0").toLong
+    val seed = try config.options.getOrElse("seed", "0").toLong catch {
+      case _: NumberFormatException => throw new graft.api.ConfigException(
+        s"sample: seed must be an integer, got '${config.options("seed")}'") }
     // engine-portable uniform in (0,1): the md5 hex prefix parsed as an
     // integer is exact at 52 bits, and (v + 0.5)/2^52 is exact binary
     // arithmetic — any engine re-derives the identical double from
     // (seed, id) alone
-    val u = (conv(substring(md5(concat_ws(":",
-        lit(seed.toString), col(keyName).cast("string"))), 1, 13), 16, 10)
+    val u = (conv(substring(
+        Shuffle.portableSeededHash(seed, col(keyName)), 1, 13), 16, 10)
       .cast("long").cast("double") + lit(0.5)) / lit(4503599627370496.0)
     // smallest -ln(u)/w wins; non-positive/NaN weights map to null and are
     // dropped inside the selector (they must never be sampled, even when
@@ -526,6 +536,14 @@ object MixTransform extends graft.api.Transform {
  * (that is a SinglePartition exchange — a non-starter at 100 TB).
  */
 object Shuffle {
+  /** The ONE engine-portable seeded hash recipe: md5 over "seed:id" with
+    * the id cast to its canonical string form. Oracle-load-bearing in TWO
+    * places — the shuffle order (q84) and the weighted-sample race keys
+    * (q130) both re-derive it in DuckDB — so the separator and seed
+    * encoding must never drift between call sites. */
+  private[operators] def portableSeededHash(seed: Long, id: Column): Column =
+    md5(concat_ws(":", lit(seed.toString), id.cast("string")))
+
   def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 0L,
                            hashFn: String = "md5", withPosition: Boolean = true,
                            numPartitions: Int = 0): DataFrame = {
@@ -533,7 +551,7 @@ object Shuffle {
     val n = if (numPartitions > 0) numPartitions
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val h = hashFn match {
-      case "md5"      => md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+      case "md5"      => portableSeededHash(seed, col(idCol))
       case "xxhash64" => xxhash64(col(idCol), lit(seed))
       case other => throw new IllegalArgumentException(
         s"shuffle hash must be md5|xxhash64, got '$other'")

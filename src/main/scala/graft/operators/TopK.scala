@@ -21,7 +21,8 @@ import graft.config.{ExprUtils, TransformConfig}
  *
  * Ties are deterministic: (score, id) is a total order — score
  * descending (or ascending with `direction: asc`), id ascending.
- * `idColumn` must be integral or string (UUID doc ids) and unique.
+ * `idColumn` must be integral or string (UUID doc ids) and unique WITHIN
+ * its group (the winner join-back is group-qualified).
  *
  * {{{
  * - name: best-docs-per-lang
@@ -60,8 +61,9 @@ object TopKTransform extends Transform {
  * stratified `sample` mode): every map task reduces its partition to ≤ k
  * candidates per group before the exchange, the tiny winner-id set
  * broadcast-semi-joins back — zero full-data shuffles, never a per-group
- * window sort. Ordering is (score DESC, id ASC), a total order for unique
- * ids — for string ids, ASC is lexicographic (binary) order. Null scores,
+ * window sort. Ordering is (score DESC, id ASC), a total order for ids
+ * unique within their group — for string ids, ASC is lexicographic
+ * (binary) order. Null scores,
  * NaN scores (which would break the heap's strict-weak ordering) and null
  * ids are excluded up front.
  *
@@ -86,7 +88,7 @@ private[operators] object BoundedTopK {
         shape(input, groupCols, score, idName, k, topk, identity, broadcastWinners)
       case dt => throw new ConfigException(
         s"grouped selection idColumn '$idName' must be integral or string " +
-          s"and unique, got ${dt.typeName} — cast it upstream")
+          s"and unique within its group, got ${dt.typeName} — cast it upstream")
     }
   }
 
@@ -99,20 +101,30 @@ private[operators] object BoundedTopK {
     // (PackSequences, Resample, Shards, TokenCap) — without it a leaked
     // __s/__id/__sel_id input column dies as an ambiguous-reference
     // AnalysisException
+    val selGroups = groupCols.map("__sel_" + _)
     ExprUtils.requireNoHelperCollision("grouped selection", input.columns,
-      "__s", "__id", "__sel_id")
+      Seq("__s", "__id", "__sel_id") ++ selGroups: _*)
     val scored = input.select(groupCols.map(col) ++ Seq(
       score.cast("double").as("__s"), castId(col(idName)).as("__id")): _*)
       .where(col("__s").isNotNull && !isnan(col("__s")) && col("__id").isNotNull)
     val grouped = if (groupCols.isEmpty) scored.groupBy()
                   else scored.groupBy(groupCols.map(col): _*)
+    // winners carry their GROUP alongside the id: ids only need to be
+    // unique within a group, so the join-back must be group-qualified — on
+    // id alone, an id that repeats across groups (per-language doc ids)
+    // would pull every same-id row in OTHER groups past their own race
     val selected = grouped.agg(topk(col("__s"), col("__id")).as("tk"))
-      .select(explode(col("tk.items")).as("s"))
-      .select(col("s.id").as("__sel_id"))
+      .select(groupCols.map(col) :+ explode(col("tk.items")).as("s"): _*)
+      .select(groupCols.zip(selGroups).map { case (g, sg) => col(g).as(sg) } :+
+        col("s.id").as("__sel_id"): _*)
     // |groups| x k winners must fit the driver/broadcast for the hint to
     // be safe — a 10M-domain groupBy at k=100 is a billion ids. Set
     // broadcast="false" to fall back to a shuffled semi-join instead.
     val winners = if (broadcastWinners) broadcast(selected) else selected
-    input.join(winners, castId(col(idName)) === col("__sel_id"), "left_semi")
+    // <=> on the group columns: a NULL group is a real group in groupBy
+    // semantics, and = would silently drop its winners
+    val cond = groupCols.zip(selGroups).map { case (g, sg) => col(g) <=> col(sg) }
+      .foldLeft(castId(col(idName)) === col("__sel_id"))(_ && _)
+    input.join(winners, cond, "left_semi")
   }
 }

@@ -301,7 +301,8 @@ class ShardsAndSampleSpec extends SparkTestBase {
         "keep" -> "3"), ctx)
   }
 
-  test("weighted sample with groupBy: an independent race per group") {
+  test("weighted sample with groupBy: an independent race per group, " +
+    "correct even when ids repeat ACROSS groups") {
     val d = (0 until 300).map(i =>
       (i.toLong, if (i % 3 == 0) "a" else "b", 1.0 + i % 5))
       .toDF("doc_id", "grp", "w")
@@ -310,6 +311,23 @@ class ShardsAndSampleSpec extends SparkTestBase {
     out.groupBy("grp").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
       Map("a" -> 20L, "b" -> 20L)
+    // per-group ids: doc_id 0..99 exists in BOTH groups. The winner
+    // join-back is group-qualified, so a's winner id must never pull b's
+    // same-id row past b's own race — exactly k per group, still
+    val dup = (0 until 100).flatMap(i =>
+      Seq((i.toLong, "a", 1.0), (i.toLong, "b", 1.0))).toDF("doc_id", "grp", "w")
+    val dupOut = SampleTransform(dup, t("sample", "on" -> "doc_id",
+      "weightColumn" -> "w", "k" -> "10", "groupBy" -> "grp"), ctx)
+    dupOut.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("a" -> 10L, "b" -> 10L)
+    // guided errors for the remaining option surface: malformed seed,
+    // non-numeric weight column
+    an[graft.api.ConfigException] should be thrownBy SampleTransform(d,
+      t("sample", "on" -> "doc_id", "weightColumn" -> "w", "k" -> "5",
+        "seed" -> "7x"), ctx)
+    an[graft.api.ConfigException] should be thrownBy SampleTransform(d,
+      t("sample", "on" -> "doc_id", "weightColumn" -> "grp", "k" -> "5"), ctx)
   }
 
   test("mix temperature: derives n^alpha weights — natural at 1, equalizing " +
