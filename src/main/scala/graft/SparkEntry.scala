@@ -305,7 +305,7 @@ object SparkEntry {
 
   // lazy val, not def: Bench/Verify touch the registry several times per
   // run (key validation, filtering, measurement) and a def rebuilt the
-  // full 127-entry closure map — including the string-built oracle SQL —
+  // full 130-entry closure map — including the string-built oracle SQL —
   // on every access
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 aggregation transformer (9 fns + expression aggregates) ----
