@@ -316,7 +316,11 @@ object Ann {
     // and skipping the check would let `nClusters: 40` silently consume a
     // 64-centroid store — the exact "assignments silently mean something
     // else" failure the stamps exist to prevent
-    val missing = Seq("list_id", "vec", "cb_n_lists", "cb_kmeans_iters")
+    // cb_rows is required too: codebookFrame has always written it, so no
+    // legacy store without it can exist — a store re-projected without the
+    // row-count stamp has silently lost the only defense against tail
+    // truncation that the dense-sequence check cannot see
+    val missing = Seq("list_id", "vec", "cb_n_lists", "cb_kmeans_iters", "cb_rows")
       .filterNot(store.columns.contains)
     if (missing.nonEmpty) {
       // braces around the throw matter: a bare block following a `throw
@@ -374,7 +378,7 @@ object Ann {
     // the dense check alone cannot see a store that lost its TAIL (rows
     // 0..31 of a 64-centroid build are still dense) — the produced-count
     // stamp makes truncation loud
-    if (store.columns.contains("cb_rows")) {
+    locally {
       val wantRows = store.select(col("cb_rows").cast("int")).distinct().collect()
         .map(r => if (r.isNullAt(0)) "null" else r.getInt(0).toString).sorted
       if (wantRows.exists(_ != rows.length.toString))

@@ -70,7 +70,11 @@ case class TokenSignals(child: Expression, stops: Seq[String],
     while (i < n) {
       // internal callers feed split() output (never null elements), but the
       // expression is constructible over any array<string> — skip nulls
-      // rather than NPE, matching ItemCounts
+      // rather than NPE, matching ItemCounts. Null slots DO count toward
+      // `n` by design (size() parity, pinned by spec): n must agree with
+      // SQL size() so oracle re-derivations line up, and the ratio signals
+      // (mean length, stopword rate) are only consumed over split() output
+      // where null slots cannot occur.
       if (input.isNullAt(i)) { i += 1 }
       else {
       val w = input.getUTF8String(i)
@@ -194,7 +198,9 @@ object LineSignals {
     var bullets = 0; var ellipsis = 0
     var i = 0
     while (i < n) {
-      // same null-element guard as TokenSignals.compute
+      // same null-element guard as TokenSignals.compute — and same size()
+      // parity: null slots count toward n by design, internal split()
+      // callers never produce them
       if (input.isNullAt(i)) { i += 1 }
       else {
       val b = input.getUTF8String(i).getBytes

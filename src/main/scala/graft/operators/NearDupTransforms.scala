@@ -432,6 +432,18 @@ object DecontaminateTransform extends Transform {
         // fixed helper name like every other helper-column operator
         graft.config.ExprUtils.requireNoHelperCollision(
           "decontaminate", input.columns, "__bsh")
+        // the null-id branch's broadcast side (every distinct bench shingle
+        // hash gathered into ONE array row) is built at execution time —
+        // when the schema proves the id column can never be null, skip the
+        // whole subplan instead of paying the bench aggregation + broadcast
+        // (and the single-row array-size exposure) on every run
+        val idNullable = input.schema.fields
+          .find(f => ctx.spark.sessionState.analyzer.resolver(f.name, id))
+          .forall(_.nullable)
+        if (!idNullable) {
+          val hits = Dedup.contaminationHits(input, bench, id, text, benchText, n)
+          input.join(hits.select(col(id)), Seq(id), "left_anti")
+        } else {
         val nonNull = input.where(col(id).isNotNull)
         val hits = Dedup.contaminationHits(nonNull, bench, id, text, benchText, n)
         val kept = nonNull.join(hits.select(col(id)), Seq(id), "left_anti")
@@ -446,6 +458,7 @@ object DecontaminateTransform extends Transform {
             col("__bsh"))), lit(0)) === 0)
           .drop("__bsh")
         kept.unionByName(keptNull)
+        }
       // fixed-size bloom sketch instead of the exact broadcast set — for
       // benchmark suites too large to broadcast; false positives only drop
       // clean docs (never keep contaminated ones). Builds the sketch at

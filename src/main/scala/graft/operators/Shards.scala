@@ -465,10 +465,15 @@ object MixTransform extends graft.api.Transform {
         // The limit makes the bound REAL: without it, a misconfigured
         // high-cardinality group column would OOM the driver before the
         // maxGroups check could fire
+        // sorted by group name: collect() order is nondeterministic and
+        // the Z / default-budget sums below are floating-point (order-
+        // dependent at the ulp level) — a rate within an ulp of a 0.00005
+        // rounding boundary must not flip across runs
         val counts = input.where(col(group).isNotNull)
           .groupBy(col(group).cast("string").as("__g")).count()
           .limit(maxGroups + 1)
           .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+          .sortBy(_._1)
         if (counts.length > maxGroups) throw new graft.api.ConfigException(
           s"mix: temperature derived over maxGroups=$maxGroups group " +
             "weights — use explicit weights (or raise maxGroups) for " +
@@ -495,9 +500,13 @@ object MixTransform extends graft.api.Transform {
     * invariants (Σ w_d·n_d ≈ B; α = 1 is the natural mixture; α = 0
     * equalizes expected group sizes) are property-testable without a
     * Spark job per case. */
-  private[operators] def temperatureWeights(counts: Seq[(String, Double)],
+  private[operators] def temperatureWeights(countsIn: Seq[(String, Double)],
                                             alpha: Double, budget: Double)
       : Seq[(String, Double)] = {
+    // order-independent by construction: Z is a floating-point sum, so the
+    // same multiset of counts must derive the same rates no matter how the
+    // caller's collect() happened to order them
+    val counts = countsIn.sortBy(_._1)
     val z = counts.map { case (_, n) => math.pow(n, alpha) }.sum
     counts.map { case (g, n) =>
       val rw = budget * math.pow(n, alpha) / (z * n)

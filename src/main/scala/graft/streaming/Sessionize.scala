@@ -42,17 +42,36 @@ object Sessionize {
           } else {
             val sorted = batch.toSeq.sortBy(_.ts.getTime)
             var open = state.getOption
+            // accumulator for late-but-admitted events older than the open
+            // session by more than the gap: they can never rejoin it, but
+            // consecutive ones within `gap` of EACH OTHER are one session
+            // under the batch gaps-and-islands semantics — emitting each as
+            // a singleton would be a batch/streaming divergence. Sorted
+            // order makes too-old events a prefix (extending the open
+            // session back only lowers the threshold), so a single running
+            // accumulator suffices.
+            var tooOld: Option[OpenSession] = None
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
                 case Some(s) if t < s.startMs - gapMs =>
-                  // a late-but-admitted event OLDER than the open session
-                  // by more than the gap can never belong to it (its
-                  // nearest member is >= gap away) — swallowing it would
-                  // emit one session spanning a silent hole wider than the
-                  // gap. It becomes its own, already-over session.
-                  closed += emit(userId, OpenSession(t, t, 1, e.value), gapMs)
+                  // OLDER than the open session by more than the gap: can
+                  // never belong to it (its nearest member is >= gap away)
+                  // — swallowing it would emit one session spanning a
+                  // silent hole wider than the gap. Merge with the running
+                  // too-old session if within gap, else close that one and
+                  // start another.
+                  tooOld match {
+                    case Some(o) if t <= o.lastMs + gapMs =>
+                      tooOld = Some(o.copy(lastMs = t, n = o.n + 1,
+                        total = o.total + e.value))
+                    case Some(o) =>
+                      closed += emit(userId, o, gapMs)
+                      tooOld = Some(OpenSession(t, t, 1, e.value))
+                    case None =>
+                      tooOld = Some(OpenSession(t, t, 1, e.value))
+                  }
                 case Some(s) if t <= s.lastMs + gapMs =>
                   // a late-but-admitted event may predate the open
                   // session's start (within the gap) — extend the start
@@ -67,6 +86,10 @@ object Sessionize {
                   open = Some(OpenSession(t, t, 1, e.value))
               }
             }
+            // the too-old accumulator is always already-over: each member
+            // is > gap older than the open session's start, so the merged
+            // run's last event still is — it can never reconnect
+            tooOld.foreach(o => closed += emit(userId, o, gapMs))
             open.foreach { s =>
               state.update(s)
               // floor at watermark + 1: Spark filters late rows against

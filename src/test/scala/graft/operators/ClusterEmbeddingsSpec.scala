@@ -180,6 +180,16 @@ class ClusterEmbeddingsSpec extends SparkTestBase {
       ClusterEmbeddingsTransform(df, TransformConfig("c", "cluster_embeddings",
         Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
           "codebookView" -> "cb_nostamps")), ctx).collect()
+    // cb_rows alone missing is ALSO rejected (codebookFrame always writes
+    // it, so a store re-projected without it lost the only tail-truncation
+    // defense the dense-sequence check cannot provide)
+    store.drop("cb_rows").createOrReplaceTempView("cb_norowstamp")
+    val eNoRows = intercept[ConfigException] {
+      ClusterEmbeddingsTransform(df, TransformConfig("c", "cluster_embeddings",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "codebookView" -> "cb_norowstamp")), ctx).collect()
+    }
+    eNoRows.getMessage should include("cb_rows")
     // mixed centroid dimensionalities are store corruption, not data
     store.selectExpr("list_id",
         "CASE WHEN list_id = 1 THEN slice(vec, 1, 2) ELSE vec END AS vec",
