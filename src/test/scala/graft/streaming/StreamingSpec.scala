@@ -382,9 +382,13 @@ class StreamingSpec extends SparkTestBase {
         ("1", Some(ts("12:05:00")), None),      // null value: counts as 0
         ("1", None, Some(99.0)))                 // null ts: dropped, no NPE
       q.processAllAvailable()
-      // a late event older than the open session start by > gap becomes
-      // its own closed session, not a 55-minute silent hole
-      mem.addData(("1", Some(ts("11:00:00")), Some(7.0)))
+      // late events older than the open session start by > gap become
+      // their own closed session, not a 55-minute silent hole — and two
+      // of them within `gap` of EACH OTHER merge into ONE session (batch
+      // gaps-and-islands parity), not two singletons
+      mem.addData(
+        ("1", Some(ts("11:00:00")), Some(7.0)),
+        ("1", Some(ts("11:05:00")), Some(3.0)))
       q.processAllAvailable()
       mem.addData(("9", Some(ts("15:00:00")), Some(0.0)))
       q.processAllAvailable()
@@ -394,7 +398,7 @@ class StreamingSpec extends SparkTestBase {
         .select(col("user_id"), col("session_start").cast("string"),
           col("n_events"), col("total_value"))
         .as[(String, String, Long, Double)].collect().toSet
-      rows should contain(("1", "2024-01-01 11:00:00", 1L, 7.0)) // split off
+      rows should contain(("1", "2024-01-01 11:00:00", 2L, 10.0)) // split off, merged
       rows should contain(("1", "2024-01-01 12:00:00", 2L, 1.0)) // null v = 0
       rows.count(_._1 == "1") shouldBe 2
     } finally q.stop()
