@@ -1,0 +1,92 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.text.Bpe
+
+/**
+ * Native Catalyst expression: BPE-encode a text column against a trained
+ * merges table ([[graft.text.Bpe]]) — returns the token array (with the
+ * `</w>` end-of-word markers); `size(...)` of it is the tokenizer-exact
+ * token count that `token_cap`/`pack_sequences` budget with.
+ *
+ * Why a custom Expression (the [[TokenSignals]] case): the greedy merge
+ * walk is genuinely imperative — no composition of built-in functions
+ * expresses "repeatedly merge the lowest-rank adjacent pair" — and a
+ * Scala UDF would pay serialization per row. The merges list rides into
+ * generated code as ONE reference object (O(numMerges) strings per
+ * executor, broadcast-for-free through the plan), so encoding is a pure
+ * zero-shuffle projection.
+ *
+ * Per-executor word→tokens memo: corpus word frequency is Zipfian, so
+ * almost every occurrence hits the memo and a 100 TB encode pays the
+ * merge walk once per DISTINCT word per executor. The memo is a
+ * ConcurrentHashMap (expression instances are shared across a stage's
+ * tasks) hard-capped at [[BpeEncode.MemoMax]] entries — beyond that new
+ * words encode unmemoized rather than grow executor memory unboundedly.
+ */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode expects a string column, got ${other.simpleString}")
+  }
+
+  @transient private lazy val rank = Bpe.ranks(merges)
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+
+  def compute(input: UTF8String): GenericArrayData = {
+    val out = Array.newBuilder[UTF8String]
+    Bpe.words(input.toString).foreach { w =>
+      val cached = memo.get(w)
+      val toks =
+        if (cached != null) cached
+        else {
+          val enc = Bpe.encodeWord(w, rank).map(UTF8String.fromString)
+          if (memo.size() < BpeEncode.MemoMax) memo.put(w, enc)
+          enc
+        }
+      out ++= toks
+    }
+    new GenericArrayData(out.result().asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the instance carries the merges + memo — reference it (TokenSignals
+    // pattern), keeping the row loop inside whole-stage codegen
+    val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeEncode {
+  /** Memo hard cap: 64k distinct words ≈ a few MB of token arrays —
+    * covers any realistic vocabulary's hot set while bounding executor
+    * memory against adversarial high-entropy corpora. */
+  val MemoMax = 65536
+
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeEncode(GraftBridge.expression(text), merges))
+
+  /** Tokenizer-exact token count. */
+  def count(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.functions.size(apply(text, merges))
+}

@@ -1,0 +1,368 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Byte-pair-encoding subword tokenizer — trainable, persistable, and
+ * consumed as a zero-shuffle per-row encode. Public-knowledge algorithm
+ * (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+ * Words with Subword Units"): start from characters, repeatedly merge the
+ * most frequent adjacent symbol pair, record the merge order; encoding
+ * replays the merges. This closes the engine's last token-accounting gap:
+ * `token_cap`, `pack_sequences` and the token signals previously budgeted
+ * in whitespace/char PROXIES, but production training pipelines budget in
+ * TOKENIZER tokens (reference scope: the engine's per-document metric
+ * surface, e.g. /root/reference/src/main/scala/com/etl/transformer/
+ * MapTransformer.scala:40-52 — the reference has no subword tokenizer at
+ * all; this is part of the LLM-pipeline superset).
+ *
+ * == Determinism contract (the oracle surface) ==
+ *
+ *   - pre-tokenization: split on Java-regex `\s+` after stripping
+ *     leading/trailing `[ \t\n\f\r]` (exactly
+ *     [[graft.functions.TextFunctions]]' whitespace set), case
+ *     PRESERVED — no lowercasing, no punctuation splitting;
+ *   - a word is its sequence of Unicode CODE POINTS (never UTF-16
+ *     units — a surrogate pair is one symbol) plus a trailing
+ *     end-of-word symbol `</w>`;
+ *   - each training step merges the pair with the highest corpus
+ *     count; ties break to the LEXICOGRAPHICALLY SMALLEST (left,
+ *     right) under UTF-8 byte order (== code-point order) — so the
+ *     same word-frequency table trains the same merges in any engine;
+ *   - training stops at `numMerges` merges or when the best pair's
+ *     count drops below `minCount` (default 2 — a pair seen once
+ *     generalizes to nothing).
+ *
+ * == Scale shape ==
+ *
+ * Training touches the corpus ONCE: a word-frequency aggregate (one
+ * hash-keyed shuffle with map-side partials) truncated to the
+ * `maxWords` most frequent words — the classic BPE-from-word-dict
+ * formulation; the merge loop itself runs driver-side over that bounded
+ * table (O(maxWords·avgWordLen) state, the same bounded-driver-read
+ * class as [[graft.ann.Ann.codebookFrame]]'s k-means). Encoding
+ * broadcasts the merges table (O(numMerges) strings) inside a codegen'd
+ * Catalyst expression ([[graft.functions.expressions.BpeEncode]]) — a
+ * pure projection, zero shuffles, with a per-executor word→tokens memo
+ * so a 100 TB corpus pays the merge walk once per DISTINCT word per
+ * executor, not once per occurrence.
+ */
+object Bpe {
+  /** End-of-word marker, a separate trailing symbol (Sennrich 2016 §3.2).
+    * Kept on emitted tokens so detokenization stays possible. */
+  val Eow = "</w>"
+
+  /** The shared pre-tokenizer: Java `\s+` split after stripping the
+    * engine's whitespace set. Empty/blank text → no words. */
+  def words(text: String): Array[String] = {
+    val stripped = stripWs(text)
+    if (stripped.isEmpty) Array.empty else stripped.split("\\s+")
+  }
+
+  private def stripWs(s: String): String = {
+    var i = 0; var j = s.length
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+      c == '\f' || c == '\r'
+    while (i < j && ws(s.charAt(i))) i += 1
+    while (j > i && ws(s.charAt(j - 1))) j -= 1
+    s.substring(i, j)
+  }
+
+  /** A word's initial symbol sequence: one string per Unicode code point
+    * (a surrogate PAIR is one symbol) plus the trailing [[Eow]]. */
+  def wordSymbols(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out += Eow
+    out.result()
+  }
+
+  /** UTF-8 byte order == code-point order: the tie-break comparison every
+    * engine can reproduce (Java String.compareTo is UTF-16 order, which
+    * DISAGREES with code-point order between non-BMP and U+E000..U+FFFF). */
+  private[text] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def pairLess(a: (String, String), b: (String, String)): Boolean =
+    if (a._1 != b._1) utf8Less(a._1, b._1)
+    else a._2 != b._2 && utf8Less(a._2, b._2)
+
+  /**
+   * The pure trainer: word-frequency table → ordered merges. Deterministic
+   * by the contract above regardless of `wordCounts` order. Incremental
+   * pair bookkeeping (only words containing the merged pair are revisited)
+   * keeps a `numMerges`-deep train over a large dictionary near-linear in
+   * total symbols rather than O(numMerges · dictionary).
+   */
+  def train(wordCounts: Seq[(String, Long)], numMerges: Int,
+            minCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"bpe: numMerges must be >= 0, got $numMerges")
+    require(minCount >= 1, s"bpe: minCount must be >= 1, got $minCount")
+    // duplicate words would double-count pairs silently — a malformed
+    // word table is caller error, not data
+    val syms: Array[Array[String]] =
+      wordCounts.map { case (w, _) => wordSymbols(w) }.toArray
+    val freq: Array[Long] = wordCounts.map(_._2).toArray
+    require(freq.forall(_ >= 0), "bpe: word counts must be >= 0")
+
+    val pairCounts = new java.util.HashMap[(String, String), Long]()
+    val pairWords = new java.util.HashMap[(String, String),
+      java.util.TreeSet[Integer]]()
+    def addPair(p: (String, String), wi: Int, c: Long): Unit = {
+      pairCounts.merge(p, c, (a, b) => a + b)
+      pairWords.computeIfAbsent(p, _ => new java.util.TreeSet[Integer]())
+        .add(wi)
+    }
+    def wordPairs(s: Array[String])(f: ((String, String)) => Unit): Unit = {
+      var i = 0
+      while (i + 1 < s.length) { f((s(i), s(i + 1))); i += 1 }
+    }
+    var wi = 0
+    while (wi < syms.length) {
+      val c = freq(wi)
+      if (c > 0) wordPairs(syms(wi))(p => addPair(p, wi, c))
+      wi += 1
+    }
+
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      // full scan for the max: O(live pairs) per merge, deterministic
+      // under the total (count desc, utf8 lex asc) order no matter the
+      // hash-map iteration order
+      var best: (String, String) = null
+      var bestC = 0L
+      val it = pairCounts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        if (c > bestC || (c == bestC && best != null && pairLess(e.getKey, best)))
+          { best = e.getKey; bestC = c }
+      }
+      if (best == null || bestC < minCount) done = true
+      else {
+        merges += best
+        val merged = best._1 + best._2
+        val affected = pairWords.get(best)
+        if (affected != null) {
+          // TreeSet iteration = ascending word index: order does not
+          // affect the commutative count updates, but determinism is
+          // cheap insurance
+          val ai = affected.iterator()
+          val idxs = Array.newBuilder[Int]
+          while (ai.hasNext) idxs += ai.next().intValue()
+          idxs.result().foreach { w =>
+            val old = syms(w)
+            // a stale index (word no longer contains the pair after an
+            // earlier merge) rebuilds identically — subtract+add is a
+            // no-op, never a corruption
+            val nw = mergeOnce(old, best._1, best._2, merged)
+            if (!(nw eq old)) {
+              val c = freq(w)
+              if (c > 0) {
+                wordPairs(old) { p =>
+                  val left = pairCounts.merge(p, -c, (a, b) => a + b)
+                  if (left <= 0) pairCounts.remove(p)
+                }
+                wordPairs(nw)(p => addPair(p, w, c))
+              }
+              syms(w) = nw
+            }
+          }
+        }
+        pairCounts.remove(best)
+        m += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** One left-to-right non-overlapping pass replacing every (l, r)
+    * adjacency by `lr`. Returns the SAME array instance when the pair
+    * never occurs (cheap no-change check for stale indexes). */
+  private def mergeOnce(s: Array[String], l: String, r: String,
+                        lr: String): Array[String] = {
+    var i = 0; var found = false
+    while (!found && i + 1 < s.length) {
+      if (s(i) == l && s(i + 1) == r) found = true else i += 1
+    }
+    if (!found) return s
+    val out = Array.newBuilder[String]
+    var j = 0
+    while (j < s.length) {
+      if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+        out += lr; j += 2
+      } else { out += s(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** Rank lookup for the encoder. */
+  def ranks(merges: Seq[(String, String)]): java.util.HashMap[(String, String), Int] = {
+    val m = new java.util.HashMap[(String, String), Int]()
+    merges.zipWithIndex.foreach { case (p, i) => m.put(p, i) }
+    m
+  }
+
+  /**
+   * Greedy encode of one word: repeatedly merge the LOWEST-RANK pair
+   * present (all its occurrences, left to right) until none remains —
+   * for merges produced by [[train]] this equals replaying the merges
+   * in rank order, because a merge can only create pairs containing its
+   * own output symbol, which any containing merge must outrank.
+   */
+  def encodeWord(word: String,
+                 rank: java.util.HashMap[(String, String), Int]): Array[String] = {
+    var s = wordSymbols(word)
+    var loop = true
+    while (loop && s.length > 1) {
+      var bestRank = Int.MaxValue
+      var bl: String = null; var br: String = null
+      var i = 0
+      while (i + 1 < s.length) {
+        val r = rank.get((s(i), s(i + 1)))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bl = s(i); br = s(i + 1)
+        }
+        i += 1
+      }
+      if (bl == null) loop = false
+      else s = mergeOnce(s, bl, br, bl + br)
+    }
+    s
+  }
+
+  /** Encode full text: pre-tokenize, encode each word, concatenate. */
+  def encode(text: String,
+             rank: java.util.HashMap[(String, String), Int]): Array[String] = {
+    val out = Array.newBuilder[String]
+    words(text).foreach(w => out ++= encodeWord(w, rank))
+    out.result()
+  }
+
+  // ---------------------------------------------------------------- store
+
+  /**
+   * Train over a corpus column and return the persistable MERGES STORE
+   * frame — one row per merge: (merge_rank, lhs, rhs) plus the parameter
+   * stamps it was trained with (`bpe_num_merges`/`bpe_min_count`/
+   * `bpe_max_words`, RLE'd to ~nothing in parquet) and the PRODUCED merge
+   * count `bpe_rows` (can be < numMerges when the pair supply dries up —
+   * [[loadMerges]] checks it against the loaded row count so a store that
+   * silently lost tail rows cannot pass). Write it after corpus build N;
+   * run N+1 re-loads the parquet and tokenizes against it via a view —
+   * the [[graft.ann.Ann.codebookFrame]] incremental pattern, applied to
+   * the tokenizer so token budgets stay comparable across runs.
+   *
+   * The corpus pass is ONE word-frequency aggregate truncated to the
+   * `maxWords` most frequent words (ties to the utf8-smaller word, so
+   * the truncation boundary is engine-stable); everything after is
+   * bounded driver work.
+   */
+  def mergesFrame(corpus: DataFrame, textCol: String, numMerges: Int = 1000,
+                  maxWords: Int = 100000, minCount: Long = 2L): DataFrame = {
+    require(maxWords >= 1, s"bpe: maxWords must be >= 1, got $maxWords")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // the same \s+ / strip semantics as words(): trim the engine
+    // whitespace set, split, drop empties (blank docs produce one "" slot)
+    val wc = corpus
+      .select(explode(split(trim(col(textCol), " \t\n\u000B\f\r"), "\\s+"))
+        .as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy("__w").count()
+      .orderBy(col("count").desc, col("__w").asc)
+      .limit(maxWords)
+      .as[(String, Long)].collect()
+    // collect() after orderBy preserves the sort, but train() is
+    // order-independent anyway — double determinism
+    val merges = train(wc.toSeq, numMerges, minCount)
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("merge_rank", "lhs", "rhs")
+      .select(col("merge_rank"), col("lhs"), col("rhs"),
+        lit(numMerges).as("bpe_num_merges"),
+        lit(minCount).as("bpe_min_count"),
+        lit(maxWords).as("bpe_max_words"),
+        lit(merges.length).as("bpe_rows"))
+  }
+
+  /**
+   * Load + validate a persisted [[mergesFrame]] store back into the
+   * ordered merges list (O(numMerges) driver read). The loud-store
+   * contract shared with the signature/gram/codebook stores: required
+   * stamp columns, single-valued stamps that match what the caller
+   * requests (`want*` empty = "whatever the store was built with"), a
+   * dense non-null 0..n-1 rank sequence, and a row count equal to the
+   * produced-count stamp — a hole, duplicate, or lost tail would make
+   * every token count silently mean something else.
+   */
+  def loadMerges(store: DataFrame, wantNumMerges: Option[Int] = None,
+                 wantMinCount: Option[Long] = None): Seq[(String, String)] = {
+    val missing = Seq("merge_rank", "lhs", "rhs", "bpe_num_merges",
+        "bpe_min_count", "bpe_max_words", "bpe_rows")
+      .filterNot(store.columns.contains)
+    if (missing.nonEmpty) {
+      throw new graft.api.ConfigException(
+        s"bpe merges store is missing column(s) ${missing.mkString(", ")} — " +
+          "expected the mergesFrame layout (merge_rank, lhs, rhs, bpe_*); " +
+          "rebuild the store with the bpe_train transform")
+    }
+    // DISTINCT stamp set (tiny partial-agg job): a mixed store (two runs'
+    // outputs appended) must fail here, not produce interleaved merges
+    val stamps = store.select(
+        col("bpe_num_merges").cast("int"), col("bpe_min_count").cast("long"),
+        col("bpe_max_words").cast("int"), col("bpe_rows").cast("int"))
+      .distinct().collect()
+    if (stamps.length != 1 || stamps.head.anyNull)
+      throw new graft.api.ConfigException(
+        "bpe merges store carries mixed or null parameter stamps — an " +
+          "appended or hand-edited store cannot prove one training run; " +
+          "rebuild it with a single bpe_train pass")
+    val (gotNm, gotMc) = (stamps.head.getInt(0), stamps.head.getLong(1))
+    val mism = Seq(
+      wantNumMerges.filter(_ != gotNm).map(w => s"numMerges $w vs store $gotNm"),
+      wantMinCount.filter(_ != gotMc).map(w => s"minCount $w vs store $gotMc")
+    ).flatten
+    if (mism.nonEmpty)
+      throw new graft.api.ConfigException(
+        s"bpe merges store parameter mismatch: ${mism.mkString("; ")} — " +
+          "token counts against a differently-trained vocabulary would " +
+          "silently mean something else; rebuild the store or align the " +
+          "parameters")
+    val rows = store.select(col("merge_rank").cast("int"), col("lhs"), col("rhs"))
+      .orderBy("merge_rank").collect()
+    if (rows.length != stamps.head.getInt(3))
+      throw new graft.api.ConfigException(
+        s"bpe merges store row-count stamp says ${stamps.head.getInt(3)} " +
+          s"merges but ${rows.length} loaded — the store lost or grew rows " +
+          "(partial overwrite or a filtered view); rebuild it")
+    val bad = rows.zipWithIndex.collectFirst {
+      case (r, i) if r.isNullAt(0) || r.getInt(0) != i ||
+        r.isNullAt(1) || r.isNullAt(2) => i
+    }
+    if (bad.isDefined)
+      throw new graft.api.ConfigException(
+        s"bpe merges store ranks are not a dense, non-null 0..${rows.length - 1} " +
+          s"sequence (first problem at position ${bad.get}) — a hole or " +
+          "duplicate would silently reorder every later merge")
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+}
