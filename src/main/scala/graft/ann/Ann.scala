@@ -316,10 +316,13 @@ object Ann {
     // and skipping the check would let `nClusters: 40` silently consume a
     // 64-centroid store — the exact "assignments silently mean something
     // else" failure the stamps exist to prevent
-    // cb_rows is required too: codebookFrame has always written it, so no
-    // legacy store without it can exist — a store re-projected without the
-    // row-count stamp has silently lost the only defense against tail
-    // truncation that the dense-sequence check cannot see
+    // cb_rows is required too — an INTENTIONAL compatibility break for
+    // stores persisted by early codebookFrame builds that predate the
+    // stamp: such a store cannot prove it kept its tail (the row-count
+    // stamp is the only defense against truncation that the dense-
+    // sequence check cannot see), so it must be rebuilt once rather than
+    // loaded forever with that check silently skipped. The error below
+    // names the rebuild path.
     val missing = Seq("list_id", "vec", "cb_n_lists", "cb_kmeans_iters", "cb_rows")
       .filterNot(store.columns.contains)
     if (missing.nonEmpty) {

@@ -86,10 +86,24 @@ object Sessionize {
                   open = Some(OpenSession(t, t, 1, e.value))
               }
             }
-            // the too-old accumulator is always already-over: each member
-            // is > gap older than the open session's start, so the merged
-            // run's last event still is — it can never reconnect
-            tooOld.foreach(o => closed += emit(userId, o, gapMs))
+            // the too-old run was classified against the open session's
+            // start AT THE TIME — but a later late-but-admitted event can
+            // extend that start backwards to within `gap` of the run
+            // (gap=10m, open start 12:00, batch [11:49, 11:56]: 11:49 is
+            // too-old against 11:50, then 11:56 pulls the start to 11:56,
+            // 11:49 + gap >= 11:56). Batch gaps-and-islands semantics see
+            // ONE session there; emitting the run as its own closed
+            // session would overlap the still-open one. Re-check against
+            // the FINAL start and merge when reconnected (sorted order
+            // makes the run strictly older, so it extends the start).
+            val stillOld = (tooOld, open) match {
+              case (Some(o), Some(s)) if o.lastMs + gapMs >= s.startMs =>
+                open = Some(s.copy(startMs = math.min(o.startMs, s.startMs),
+                  n = s.n + o.n, total = s.total + o.total))
+                None
+              case _ => tooOld
+            }
+            stillOld.foreach(o => closed += emit(userId, o, gapMs))
             open.foreach { s =>
               state.update(s)
               // floor at watermark + 1: Spark filters late rows against

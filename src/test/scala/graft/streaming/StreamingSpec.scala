@@ -404,6 +404,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sessionize re-merges a too-old run when a later in-batch " +
+    "event extends the open session back to within gap of it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val mem = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessions(
+      mem.toDS().withWatermark("ts", "2 hours").as[Sessionize.Event],
+      gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("sessmerge-ckpt"))
+      .format("memory").queryName("sessmerge_out").start()
+    try {
+      mem.addData(
+        Sessionize.Event("1", ts("12:00:00"), 1.0),
+        Sessionize.Event("1", ts("12:05:00"), 2.0))
+      q.processAllAvailable()
+      // one late batch: 11:45 classifies too-old against the open start
+      // (12:00 - gap = 11:50), then 11:52 is admitted and pulls the start
+      // back to 11:52 — leaving 11:45 within gap of it. Batch
+      // gaps-and-islands semantics: ONE session 11:45..12:05, so the
+      // too-old run must re-merge instead of closing as an overlapping
+      // separate session
+      mem.addData(
+        Sessionize.Event("1", ts("11:45:00"), 4.0),
+        Sessionize.Event("1", ts("11:52:00"), 8.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event("9", ts("15:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event("9", ts("18:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessmerge_out").as[Sessionize.Session].collect()
+        .filter(_.user_id == "1")
+        .map(s => (s.session_start.toString, s.n_events, s.total_value)).toSet
+      rows shouldBe Set(("2024-01-01 11:45:00.0", 4L, 15.0))
+    } finally q.stop()
+  }
+
   test("streaming executor validates transforms and sinks BEFORE starting " +
     "the query, like the batch executor") {
     // a misconfigured foreachBatch sink (jdbc missing url/dbtable) must
