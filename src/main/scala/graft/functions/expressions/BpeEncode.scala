@@ -32,7 +32,8 @@ import graft.text.Bpe
  * tasks) hard-capped at [[BpeEncode.MemoMax]] entries — beyond that new
  * words encode unmemoized rather than grow executor memory unboundedly.
  */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+                     memoMax: Int = BpeEncode.MemoMax)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -55,7 +56,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
         if (cached != null) cached
         else {
           val enc = Bpe.encodeWord(w, rank).map(UTF8String.fromString)
-          if (memo.size() < BpeEncode.MemoMax) memo.put(w, enc)
+          if (memo.size() < memoMax) memo.put(w, enc)
           enc
         }
       out ++= toks

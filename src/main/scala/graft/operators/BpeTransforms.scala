@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.{ConfigException, RunContext, Transform}
+import graft.config.TransformConfig
+import graft.functions.expressions.BpeEncode
+import graft.text.Bpe
+
+/**
+ * The BPE tokenizer as declarative pipeline transforms — the build/consume
+ * pair every other persisted store in the engine ships (signature store,
+ * gram store, codebook store), applied to the tokenizer so token budgets
+ * are TOKENIZER-exact instead of whitespace-proxy:
+ *
+ * {{{
+ * # run N: train once, persist the merges store
+ * - name: train-tokenizer
+ *   type: bpe_train
+ *   options: {textColumn: text, numMerges: "16000"}
+ * # (file sink writes the store parquet)
+ *
+ * # run N+1: tokenize/count against the persisted store
+ * - name: load-merges
+ *   type: register
+ *   options: {viewName: v_merges, path: /stores/bpe, format: parquet}
+ * - name: count-tokens
+ *   type: bpe_token_count
+ *   options: {textColumn: text, mergesView: v_merges}
+ * }}}
+ *
+ * Scale shape (see [[graft.text.Bpe]]): training is ONE word-frequency
+ * aggregate truncated to `maxWords` + a bounded driver merge loop;
+ * encoding is a zero-shuffle codegen'd projection with the O(numMerges)
+ * merges list riding into generated code as one broadcast reference
+ * object and a per-executor word→tokens memo. Loading the store is an
+ * O(numMerges) bounded driver read with the loud-store stamp contract —
+ * the same accepted driver-read class as the codebook/signature loads.
+ */
+object BpeTransforms {
+  /** Resolve `mergesView` to the validated ordered merges list. The view
+    * must already be registered (the `register` transform or a prior
+    * `createOrReplaceTempView`); `numMerges`/`minCount` options, when
+    * present, must match the store's training stamps. */
+  def mergesFromView(config: TransformConfig, ctx: RunContext,
+                     tname: String): Seq[(String, String)] = {
+    val view = config.options("mergesView")
+    val store =
+      try ctx.spark.table(view)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new ConfigException(
+          s"$tname: mergesView '$view' is not a registered view/table — " +
+            s"register the persisted bpe_train store first (${e.getMessage})")
+      }
+    Bpe.loadMerges(store,
+      wantNumMerges = config.options.get("numMerges").map(_.toInt),
+      wantMinCount = config.options.get("minCount").map(_.toLong))
+  }
+}
+
+/**
+ * `bpe_train` — train a BPE vocabulary over the corpus and REPLACE the
+ * frame with the persistable merges store ([[Bpe.mergesFrame]] layout:
+ * merge_rank, lhs, rhs + parameter stamps), the `minhash_signatures` /
+ * `codebook` store-build shape: the pipeline's sink persists it; later
+ * runs consume it via `mergesView`.
+ *
+ * Options: `textColumn` (required); `numMerges` (default 1000);
+ * `maxWords` (default 100000 — the word-frequency table truncation, ties
+ * broken to the utf8-smaller word); `minCount` (default 2 — training
+ * stops when the best pair drops below it).
+ */
+object BpeTrainTransform extends Transform {
+  val transformType = "bpe_train"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema, config.options.get("textColumn").toSeq, transformType)
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "textColumn")
+    try Bpe.mergesFrame(input, config.options("textColumn"),
+      numMerges = config.options.get("numMerges").map(_.toInt).getOrElse(1000),
+      maxWords = config.options.get("maxWords").map(_.toInt).getOrElse(100000),
+      minCount = config.options.get("minCount").map(_.toLong).getOrElse(2L))
+    catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+  }
+}
+
+/**
+ * `bpe_tokenize` — append the BPE token array (with `</w>` end-of-word
+ * markers, so detokenization stays possible) encoded against a persisted
+ * merges store. Options: `textColumn`, `mergesView` (required);
+ * `outputColumn` (default `bpe_tokens`); `numMerges`/`minCount` stamp
+ * checks (optional — must match the store's training parameters).
+ */
+object BpeTokenizeTransform extends Transform {
+  val transformType = "bpe_tokenize"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema, config.options.get("textColumn").toSeq, transformType)
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "textColumn", "mergesView")
+    val out = config.options.getOrElse("outputColumn", "bpe_tokens")
+    if (input.columns.contains(out)) throw new ConfigException(
+      s"$transformType: output column '$out' already exists in the input — " +
+        "set outputColumn to a fresh name")
+    val merges = BpeTransforms.mergesFromView(config, ctx, transformType)
+    input.withColumn(out, BpeEncode(col(config.options("textColumn")), merges))
+  }
+}
+
+/**
+ * `bpe_token_count` — append the tokenizer-exact token count (what
+ * `token_cap`/`pack_sequences`/`mix` budgets should run on). Options as
+ * [[BpeTokenizeTransform]]; `outputColumn` defaults to `n_bpe_tokens`.
+ */
+object BpeTokenCountTransform extends Transform {
+  val transformType = "bpe_token_count"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema, config.options.get("textColumn").toSeq, transformType)
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "textColumn", "mergesView")
+    val out = config.options.getOrElse("outputColumn", "n_bpe_tokens")
+    if (input.columns.contains(out)) throw new ConfigException(
+      s"$transformType: output column '$out' already exists in the input — " +
+        "set outputColumn to a fresh name")
+    val merges = BpeTransforms.mergesFromView(config, ctx, transformType)
+    input.withColumn(out, BpeEncode.count(col(config.options("textColumn")), merges))
+  }
+}

@@ -129,24 +129,54 @@ object PackSequencesTransform extends Transform {
       "pack_sequences")
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
-    required(config, "idColumn", "weightColumn", "seqLen")
+    required(config, "idColumn", "seqLen")
     val groups = config.options.get("groupBy").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val nParts = config.options.get("numPartitions").map(_.toInt).getOrElse(0)
+    // the sequence weight: a pre-computed weightColumn, or tokenizer-exact
+    // BPE tokens via mergesView + textColumn (spans mode only — emit=text
+    // cuts by CHARACTER offsets, so its weight must be char length, and a
+    // token-weighted substring would silently be nonsense)
+    val (staged, weightCol, derived) =
+      (config.options.get("weightColumn"), config.options.get("mergesView")) match {
+        case (Some(w), None) => (input, w, false)
+        case (None, Some(_)) =>
+          required(config, "textColumn")
+          if (config.options.getOrElse("emit", "spans") != "spans")
+            throw new ConfigException(
+              "pack_sequences: mergesView packs in BPE tokens and only " +
+                "emits spans — emit=text needs character weights " +
+                "(weightColumn = char length)")
+          graft.config.ExprUtils.requireNoHelperCollision(
+            "pack_sequences", input.columns.toSeq, "__bpe_w")
+          val merges = BpeTransforms.mergesFromView(config, ctx, transformType)
+          (input.withColumn("__bpe_w",
+            graft.functions.expressions.BpeEncode.count(
+              col(config.options("textColumn")), merges).cast("long")),
+            "__bpe_w", true)
+        case (Some(_), Some(_)) => throw new ConfigException(
+          "pack_sequences: weightColumn and mergesView are mutually " +
+            "exclusive — sequences pack in exactly one weight definition")
+        case (None, None) => throw new ConfigException(
+          "pack_sequences: needs weightColumn, or mergesView + textColumn " +
+            "for tokenizer-exact packing")
+      }
     val build = config.options.getOrElse("emit", "spans") match {
       case "spans" => () => PackSequences.packGrouped(
-        input, config.options("idColumn"), config.options("weightColumn"),
+        staged, config.options("idColumn"), weightCol,
         groups, config.options("seqLen").toLong, nParts)
       case "text" => () => PackSequences.materialize(
-        input, config.options("idColumn"),
+        staged, config.options("idColumn"),
         config.options.getOrElse("textColumn",
           throw new ConfigException("pack_sequences: emit=text requires 'textColumn'")),
-        config.options("weightColumn"),
+        weightCol,
         config.options("seqLen").toLong, nParts, groups)
       case other => throw new ConfigException(
         s"pack_sequences: emit must be spans|text, got '$other'")
     }
-    try build()
-    catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+    val packed =
+      try build()
+      catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+    if (derived) packed.drop(weightCol) else packed
   }
 }

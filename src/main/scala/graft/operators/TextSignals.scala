@@ -47,7 +47,20 @@ object TextSignalsTransform extends Transform {
     required(config, "textColumn")
     val text = col(config.options("textColumn"))
     val n = config.options.get("ngramSize").map(_.toInt).getOrElse(2)
-    val all = builders(n)
+    // `mergesView` (a registered bpe_train store) upgrades the bpe_tokens
+    // signal from the regex-proxy estimate to the TOKENIZER-EXACT count —
+    // still one zero-shuffle projection (the codegen'd BpeEncode
+    // expression), so the one-pass signal shape is unchanged
+    val exactBpe: Option[Column => Column] =
+      config.options.get("mergesView").map { _ =>
+        val merges = BpeTransforms.mergesFromView(config, ctx, transformType)
+        (c: Column) => graft.functions.expressions.BpeEncode.count(c, merges)
+      }
+    val all = builders(n).map {
+      case ("bpe_tokens", out, _) if exactBpe.isDefined =>
+        ("bpe_tokens", out, exactBpe.get)
+      case other => other
+    }
     val picked = config.options.get("signals") match {
       case None => all
       case Some(spec) =>

@@ -102,20 +102,43 @@ object TokenCap {
  *             budget: "200000000", budgets: "books:-, code:50000000"}
  * }}}
  *
- * Options: `idColumn`, `weightColumn`, `budget` required; `groupBy`
- * (absent → one global cap); `budgets` per-group overrides
- * (`group:budget,...`); `seed` (0); `numPartitions` (session shuffle
- * partitions).
+ * Options: `idColumn`, `budget` required; the weight is either a
+ * pre-computed `weightColumn` OR tokenizer-exact via `mergesView` +
+ * `textColumn` (a registered `bpe_train` store — the budget then counts
+ * real BPE tokens, computed inline as a zero-shuffle codegen projection
+ * and dropped after the cap); `groupBy` (absent → one global cap);
+ * `budgets` per-group overrides (`group:budget,...`); `seed` (0);
+ * `numPartitions` (session shuffle partitions).
  */
 object TokenCapTransform extends Transform {
   val transformType = "token_cap"
   override def validate(config: TransformConfig,
                         schema: org.apache.spark.sql.types.StructType): List[String] =
     Validate.columnsExist(schema,
-      Seq("idColumn", "weightColumn", "groupBy").flatMap(config.options.get), "token_cap")
+      Seq("idColumn", "weightColumn", "textColumn", "groupBy")
+        .flatMap(config.options.get), "token_cap")
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
-    required(config, "idColumn", "weightColumn", "budget")
+    required(config, "idColumn", "budget")
+    val (staged, weightCol, derived) =
+      (config.options.get("weightColumn"), config.options.get("mergesView")) match {
+        case (Some(w), None) => (input, w, false)
+        case (None, Some(_)) =>
+          required(config, "textColumn")
+          graft.config.ExprUtils.requireNoHelperCollision(
+            "token_cap", input.columns.toSeq, "__bpe_w")
+          val merges = BpeTransforms.mergesFromView(config, ctx, transformType)
+          (input.withColumn("__bpe_w",
+            graft.functions.expressions.BpeEncode.count(
+              col(config.options("textColumn")), merges).cast("long")),
+            "__bpe_w", true)
+        case (Some(_), Some(_)) => throw new ConfigException(
+          "token_cap: weightColumn and mergesView are mutually exclusive — " +
+            "a cap budgets exactly one weight definition")
+        case (None, None) => throw new ConfigException(
+          "token_cap: needs weightColumn, or mergesView + textColumn for " +
+            "tokenizer-exact budgets")
+      }
     val overrides = config.options.get("budgets").map { spec =>
       spec.split(",").map(_.trim).filter(_.nonEmpty).map { p =>
         p.split(":") match {
@@ -131,15 +154,19 @@ object TokenCapTransform extends Transform {
         }
       }.toMap
     }.getOrElse(Map.empty[String, Long])
-    try TokenCap.capByBudget(
-      input,
-      config.options("idColumn"),
-      config.options("weightColumn"),
-      config.options.getOrElse("groupBy", ""),
-      config.options("budget").toLong,
-      overrides,
-      config.options.get("seed").map(_.toLong).getOrElse(0L),
-      config.options.get("numPartitions").map(_.toInt).getOrElse(0))
-    catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+    val capped =
+      try TokenCap.capByBudget(
+        staged,
+        config.options("idColumn"),
+        weightCol,
+        config.options.getOrElse("groupBy", ""),
+        config.options("budget").toLong,
+        overrides,
+        config.options.get("seed").map(_.toLong).getOrElse(0L),
+        config.options.get("numPartitions").map(_.toInt).getOrElse(0))
+      catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+    // the derived BPE weight is cap plumbing, not output schema — run
+    // bpe_token_count beforehand to carry the count downstream
+    if (derived) capped.drop(weightCol) else capped
   }
 }

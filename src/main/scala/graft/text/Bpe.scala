@@ -215,10 +215,13 @@ object Bpe {
     out.result()
   }
 
-  /** Rank lookup for the encoder. */
-  def ranks(merges: Seq[(String, String)]): java.util.HashMap[(String, String), Int] = {
-    val m = new java.util.HashMap[(String, String), Int]()
-    merges.zipWithIndex.foreach { case (p, i) => m.put(p, i) }
+  /** Rank lookup for the encoder. The value type must be the BOXED
+    * Integer: with scala.Int, a missing pair's java null unboxes to 0 —
+    * every un-trained pair would silently claim rank 0 and whole words
+    * would collapse into single tokens (caught by BpeSpec's goldens). */
+  def ranks(merges: Seq[(String, String)]): java.util.HashMap[(String, String), Integer] = {
+    val m = new java.util.HashMap[(String, String), Integer]()
+    merges.zipWithIndex.foreach { case (p, i) => m.put(p, Integer.valueOf(i)) }
     m
   }
 
@@ -230,7 +233,7 @@ object Bpe {
    * own output symbol, which any containing merge must outrank.
    */
   def encodeWord(word: String,
-                 rank: java.util.HashMap[(String, String), Int]): Array[String] = {
+                 rank: java.util.HashMap[(String, String), Integer]): Array[String] = {
     var s = wordSymbols(word)
     var loop = true
     while (loop && s.length > 1) {
@@ -252,7 +255,7 @@ object Bpe {
 
   /** Encode full text: pre-tokenize, encode each word, concatenate. */
   def encode(text: String,
-             rank: java.util.HashMap[(String, String), Int]): Array[String] = {
+             rank: java.util.HashMap[(String, String), Integer]): Array[String] = {
     val out = Array.newBuilder[String]
     words(text).foreach(w => out ++= encodeWord(w, rank))
     out.result()

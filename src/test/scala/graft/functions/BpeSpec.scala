@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.api.ConfigException
+import graft.functions.expressions.BpeEncode
+import graft.text.Bpe
+
+/** The BPE tokenizer core: golden train/encode values (independently
+  * re-derived by tools/gen_golden_bpe.py — a from-the-paper Python
+  * implementation, not a port), the UTF-8 tie-break and surrogate-pair
+  * contracts, the greedy-equals-replay property, the memo cap, and the
+  * loud-store loadMerges contract. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // the classic subword-paper word mixture; goldens from gen_golden_bpe.py
+  private val corpus =
+    Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+  private val goldenMerges = Seq(
+    ("e", "s"), ("es", "t"), ("est", "</w>"),
+    ("l", "o"), ("lo", "w"), ("e", "w"))
+
+  test("train reproduces the independently-derived golden merges, in order") {
+    Bpe.train(corpus, numMerges = 6) shouldBe goldenMerges
+    // input order must not matter (the determinism contract)
+    Bpe.train(corpus.reverse, numMerges = 6) shouldBe goldenMerges
+    // truncation: fewer merges = a prefix, never a different order
+    Bpe.train(corpus, numMerges = 3) shouldBe goldenMerges.take(3)
+  }
+
+  test("encodeWord matches the golden segmentations, including unseen words") {
+    val rank = Bpe.ranks(goldenMerges)
+    Bpe.encodeWord("lowest", rank).toSeq shouldBe Seq("low", "est</w>")
+    Bpe.encodeWord("low", rank).toSeq shouldBe Seq("low", "</w>")
+    Bpe.encodeWord("newest", rank).toSeq shouldBe Seq("n", "ew", "est</w>")
+    Bpe.encodeWord("wider", rank).toSeq shouldBe
+      Seq("w", "i", "d", "e", "r", "</w>")
+    Bpe.encode("low lowest  newest", rank).toSeq shouldBe
+      Seq("low", "</w>", "low", "est</w>", "n", "ew", "est</w>")
+  }
+
+  test("tie-break is UTF-8 byte order, which disagrees with UTF-16 order " +
+    "between non-BMP and U+E000..U+FFFF") {
+    // "" < "𐀀" (U+10000) in code-point/UTF-8 order, but
+    // Java String.compareTo says the OPPOSITE (surrogate D800 < E000)
+    "".compareTo("𐀀") should be > 0 // the trap exists
+    val words = Seq(("x", 2L), ("𐀀x", 2L))
+    // (x,</w>) count 4 merges first; then (,x</w>) ties
+    // (𐀀,x</w>) at 2 and must win under UTF-8 order
+    Bpe.train(words, numMerges = 2, minCount = 2) shouldBe
+      Seq(("x", "</w>"), ("", "x</w>"))
+  }
+
+  test("a surrogate pair is ONE symbol, and encoding round-trips it") {
+    Bpe.wordSymbols("a𐀀b").toSeq shouldBe
+      Seq("a", "𐀀", "b", "</w>")
+    val rank = Bpe.ranks(Seq(("a", "𐀀")))
+    Bpe.encodeWord("a𐀀b", rank).toSeq shouldBe
+      Seq("a𐀀", "b", "</w>")
+  }
+
+  test("minCount stops training: a pair below it never merges") {
+    Bpe.train(Seq(("ab", 1L)), numMerges = 5, minCount = 2) shouldBe Nil
+    Bpe.train(Seq(("ab", 1L)), numMerges = 5, minCount = 1) should not be empty
+    // and the stop is mid-stream, not just at the start: the tail pairs
+    // of a Zipf-ish table fall below minCount after the head merges
+    val m = Bpe.train(Seq(("aaaa", 9L), ("bc", 1L)), numMerges = 10, minCount = 2)
+    m.foreach { case (l, r) => (l + r) should not include "bc" }
+  }
+
+  test("property: greedy encode equals replaying the trained merges in " +
+    "rank order, and always round-trips the word (seeded random corpora)") {
+    def replay(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var s = Bpe.wordSymbols(word).toSeq
+      merges.foreach { case (l, r) =>
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += (l + r); i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        s = out.result()
+      }
+      s
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val words = (1 to 12).map { _ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val counts = words.map(w => (w, 1L + rnd.nextInt(9)))
+      val merges = Bpe.train(counts, numMerges = 8, minCount = 2)
+      val rank = Bpe.ranks(merges)
+      (words ++ Seq("abc", "ccc", "ba")).foreach { w =>
+        val enc = Bpe.encodeWord(w, rank).toSeq
+        withClue(s"word $w merges $merges: ") {
+          enc shouldBe replay(w, merges)
+          enc.mkString shouldBe (w + "</w>")
+        }
+      }
+    }
+  }
+
+  test("BpeEncode expression encodes through codegen and respects the memo cap") {
+    val df = Seq("low lowest", "newest newest", "low", "  ", "wider low")
+      .toDF("text")
+    val out = df.select(
+        BpeEncode(col("text"), goldenMerges).as("toks"),
+        BpeEncode.count(col("text"), goldenMerges).as("n"))
+      .as[(Seq[String], Int)].collect()
+    out(0)._1 shouldBe Seq("low", "</w>", "low", "est</w>")
+    out(1)._1 shouldBe Seq("n", "ew", "est</w>", "n", "ew", "est</w>")
+    out(3)._1 shouldBe Nil // blank text → zero tokens, not [""]
+    out.foreach { case (t, n) => n shouldBe t.size }
+    // a full memo (cap 1) must not change results — new words just skip it
+    val capped = org.apache.spark.sql.GraftBridge.column(
+      BpeEncode(org.apache.spark.sql.GraftBridge.expression(col("text")),
+        goldenMerges, memoMax = 1))
+    df.select(capped.as("toks")).as[Seq[String]].collect().toSeq shouldBe
+      out.map(_._1).toSeq
+    // null-safe: null text encodes to null, not an NPE
+    Seq[Option[String]](Some("low"), None).toDF("text")
+      .select(BpeEncode(col("text"), goldenMerges))
+      .collect().map(_.isNullAt(0)).toSeq shouldBe Seq(false, true)
+  }
+
+  test("mergesFrame persists the stamped store and loadMerges round-trips it") {
+    val docs = Seq("low low low low low lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest").toDF("text")
+    val store = Bpe.mergesFrame(docs, "text", numMerges = 6, maxWords = 100)
+    val dir = tmpDir("bpe-store")
+    store.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    Bpe.loadMerges(loaded) shouldBe goldenMerges
+    Bpe.loadMerges(loaded, wantNumMerges = Some(6), wantMinCount = Some(2L)) shouldBe
+      goldenMerges
+  }
+
+  test("loadMerges fails LOUDLY on every malformed-store shape") {
+    val docs = Seq("low low low low low lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest").toDF("text")
+    val store = Bpe.mergesFrame(docs, "text", numMerges = 6, maxWords = 100)
+
+    val missing = intercept[ConfigException] {
+      Bpe.loadMerges(store.drop("bpe_rows"))
+    }
+    missing.getMessage should include ("bpe_rows")
+
+    val mixed = intercept[ConfigException] {
+      Bpe.loadMerges(store.union(
+        Bpe.mergesFrame(docs, "text", numMerges = 3, maxWords = 100)))
+    }
+    mixed.getMessage should include ("mixed")
+
+    val mismatch = intercept[ConfigException] {
+      Bpe.loadMerges(store, wantNumMerges = Some(99))
+    }
+    mismatch.getMessage should include ("numMerges 99")
+
+    val lostTail = intercept[ConfigException] {
+      Bpe.loadMerges(store.where(col("merge_rank") < 4))
+    }
+    lostTail.getMessage should include ("lost or grew rows")
+
+    val hole = intercept[ConfigException] {
+      // spread ranks: count stamp still matches, but the sequence has
+      // holes — the dense-sequence check must catch it
+      Bpe.loadMerges(store.withColumn("merge_rank", col("merge_rank") * 2))
+    }
+    hole.getMessage should include ("dense")
+  }
+
+  test("train stops when the pair supply dries up and the store stamps the " +
+    "PRODUCED count, which can be below numMerges") {
+    val docs = Seq("aa aa aa").toDF("text")
+    val store = Bpe.mergesFrame(docs, "text", numMerges = 50, maxWords = 10)
+    val rows = store.collect()
+    rows.length should be < 50
+    rows.foreach(_.getAs[Int]("bpe_rows") shouldBe rows.length)
+    Bpe.loadMerges(store).length shouldBe rows.length
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.api.{ConfigException, RunContext}
+import graft.config.TransformConfig
+
+/** The declarative BPE surface: the bpe_train → persist → register →
+  * bpe_tokenize/bpe_token_count store cycle, the tokenizer-exact
+  * mergesView mode of token_cap / pack_sequences / text_signals, and the
+  * guided failure modes. */
+class BpeTransformSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ctx = RunContext(spark, "t", "r")
+  private def t(typ: String, opts: (String, String)*) =
+    TransformConfig(s"$typ-t", typ, opts.toMap)
+  private def ap(df: org.apache.spark.sql.DataFrame, tc: TransformConfig) =
+    graft.runtime.Registries.transforms().get(tc.transformType).apply(df, tc, ctx)
+
+  private def corpus = Seq(
+    (1L, "low lowest low", "web"),
+    (2L, "newest newest wider", "web"),
+    (3L, "low low low lower lower widest", "code"),
+    (4L, "newest newest newest newest widest widest", "code")
+  ).toDF("doc_id", "text", "source")
+
+  /** Train through the registry, persist, read back, register the view —
+    * the full store cycle every consumer test goes through. */
+  private def registeredStore(name: String, opts: (String, String)*): String = {
+    val store = ap(corpus, t("bpe_train",
+      (Seq("textColumn" -> "text") ++ opts): _*))
+    val dir = tmpDir(s"bpe-$name")
+    store.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView(name)
+    name
+  }
+
+  test("bpe_train → persist → register → bpe_tokenize/bpe_token_count, " +
+    "and the count equals the token array size") {
+    val view = registeredStore("v_bpe1", "numMerges" -> "6")
+    val toks = ap(corpus, t("bpe_tokenize",
+      "textColumn" -> "text", "mergesView" -> view))
+    toks.columns should contain ("bpe_tokens")
+    val counted = ap(toks, t("bpe_token_count",
+      "textColumn" -> "text", "mergesView" -> view))
+    counted.where(col("n_bpe_tokens") =!=
+        org.apache.spark.sql.functions.size(col("bpe_tokens")))
+      .count() shouldBe 0L
+    // the trained merges compress: fewer tokens than characters, more
+    // than whitespace words
+    val r = counted
+      .select(sum(col("n_bpe_tokens")).cast("long"),
+        sum(org.apache.spark.sql.functions.length(col("text"))).cast("long"))
+      .as[(Long, Long)].head()
+    r._1 should be < r._2
+    // tokens concatenate back to the words (</w> marks word ends)
+    val detok = toks.select(
+        trim(regexp_replace(concat_ws("", col("bpe_tokens")), "</w>", " ")),
+        regexp_replace(col("text"), "\\s+", " "))
+      .as[(String, String)].collect()
+    detok.foreach { case (d, orig) => d shouldBe orig }
+  }
+
+  test("token_cap with mergesView equals token_cap over a pre-computed " +
+    "BPE count column, and the helper weight stays out of the schema") {
+    val view = registeredStore("v_bpe2", "numMerges" -> "6")
+    val withCount = ap(corpus, t("bpe_token_count",
+      "textColumn" -> "text", "mergesView" -> view))
+    val viaView = ap(corpus, t("token_cap",
+      "idColumn" -> "doc_id", "textColumn" -> "text", "mergesView" -> view,
+      "groupBy" -> "source", "budget" -> "8"))
+    val viaColumn = ap(withCount, t("token_cap",
+      "idColumn" -> "doc_id", "weightColumn" -> "n_bpe_tokens",
+      "groupBy" -> "source", "budget" -> "8"))
+    viaView.columns.toSeq shouldBe corpus.columns.toSeq // no helper leak
+    viaView.select("doc_id").as[Long].collect().toSet shouldBe
+      viaColumn.select("doc_id").as[Long].collect().toSet
+  }
+
+  test("pack_sequences with mergesView packs in tokenizer-exact tokens") {
+    val view = registeredStore("v_bpe3", "numMerges" -> "6")
+    val withCount = ap(corpus, t("bpe_token_count",
+      "textColumn" -> "text", "mergesView" -> view))
+    val viaView = ap(corpus, t("pack_sequences",
+      "idColumn" -> "doc_id", "textColumn" -> "text", "mergesView" -> view,
+      "seqLen" -> "5"))
+    val viaColumn = ap(withCount, t("pack_sequences",
+      "idColumn" -> "doc_id", "weightColumn" -> "n_bpe_tokens",
+      "seqLen" -> "5"))
+    val key = Seq("doc_id", "seq_id", "tok_start", "tok_end", "pos_in_seq")
+    viaView.select(key.head, key.tail: _*).collect().toSet shouldBe
+      viaColumn.select(key.head, key.tail: _*).collect().toSet
+    // exactly-N invariant in BPE tokens: every sequence but the last
+    // carries seqLen units
+    val spans = viaView.groupBy("seq_id")
+      .agg(sum(col("tok_end") - col("tok_start")).as("units"))
+    val maxSeq = spans.agg(max("seq_id")).as[Long].head()
+    spans.where(col("seq_id") =!= maxSeq).where(col("units") =!= 5)
+      .count() shouldBe 0L
+  }
+
+  test("text_signals with mergesView reports the tokenizer-exact " +
+    "bpe_tokens signal instead of the regex proxy") {
+    val view = registeredStore("v_bpe4", "numMerges" -> "6")
+    val exact = ap(corpus, t("text_signals",
+      "textColumn" -> "text", "signals" -> "bpe_tokens",
+      "mergesView" -> view))
+    val viaCount = ap(corpus, t("bpe_token_count",
+      "textColumn" -> "text", "mergesView" -> view))
+    exact.select("doc_id", "n_bpe_tokens").collect().toSet shouldBe
+      viaCount.select("doc_id", "n_bpe_tokens").collect().toSet
+  }
+
+  test("guided failures: mode conflicts, unknown views, stamp mismatches, " +
+    "and output collisions") {
+    val view = registeredStore("v_bpe5", "numMerges" -> "6")
+    intercept[ConfigException] { // both weight definitions
+      ap(corpus, t("token_cap", "idColumn" -> "doc_id",
+        "weightColumn" -> "doc_id", "mergesView" -> view, "budget" -> "5"))
+    }.getMessage should include ("mutually exclusive")
+    intercept[ConfigException] { // neither weight definition
+      ap(corpus, t("token_cap", "idColumn" -> "doc_id", "budget" -> "5"))
+    }.getMessage should include ("weightColumn")
+    intercept[ConfigException] { // mergesView needs textColumn
+      ap(corpus, t("token_cap", "idColumn" -> "doc_id",
+        "mergesView" -> view, "budget" -> "5"))
+    }.getMessage should include ("textColumn")
+    intercept[ConfigException] { // unregistered view
+      ap(corpus, t("bpe_tokenize",
+        "textColumn" -> "text", "mergesView" -> "nope_view"))
+    }.getMessage should include ("nope_view")
+    intercept[ConfigException] { // stamp mismatch fails loud
+      ap(corpus, t("bpe_token_count", "textColumn" -> "text",
+        "mergesView" -> view, "numMerges" -> "999"))
+    }.getMessage should include ("numMerges 999")
+    intercept[ConfigException] { // token-weighted substring is nonsense
+      ap(corpus, t("pack_sequences", "idColumn" -> "doc_id",
+        "textColumn" -> "text", "mergesView" -> view,
+        "seqLen" -> "5", "emit" -> "text"))
+    }.getMessage should include ("emit=text")
+    intercept[ConfigException] { // output column collision
+      ap(corpus.withColumn("bpe_tokens", lit(1)), t("bpe_tokenize",
+        "textColumn" -> "text", "mergesView" -> view))
+    }.getMessage should include ("already exists")
+  }
+}
