@@ -78,6 +78,41 @@ object SparkEntry {
       tmp
     })
 
+  /** Persisted BPE merges store for q131/q132, memoized per source dir:
+    * run-N scaffolding (the store normally comes from yesterday's
+    * bpe_train pipeline) — the consumers read ONLY this parquet, never
+    * re-train. Built through the registry transform so the library path
+    * is what's exercised. */
+  private val bpeStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedBpeStore(s: SparkSession, dir: String): String =
+    bpeStoreDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("bpemerges").toString
+      ap(tab(s, d, "documents"),
+        t("bpe_train", "textColumn" -> "text", "numMerges" -> "300"))
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
+  /** BPE merges store trained on a DISJOINT planted alphabet (Greek) for
+    * q133: none of its merges can fire on the ASCII corpus, so encoding
+    * provably degenerates to one token per code point + one `</w>` per
+    * word — arithmetic DuckDB re-derives exactly. One global store (its
+    * content never depends on the source dir). */
+  private val bpeDisjointStoreDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedBpeDisjointStore(s: SparkSession): String =
+    bpeDisjointStoreDir.computeIfAbsent("global", { _ =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("bpemerges0").toString
+      val planted = Seq.fill(4)(Seq("αβ", "αβγ", "γβα").mkString(" "))
+      ap(planted.toDF("text"),
+        t("bpe_train", "textColumn" -> "text", "numMerges" -> "8",
+          "minCount" -> "2"))
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   /** Persisted k-means codebook store for q125, memoized per source dir:
     * run-N scaffolding (the store normally comes from yesterday's
     * `codebook` pipeline) — q125 itself trains NOTHING and pays no
@@ -1766,6 +1801,66 @@ object SparkEntry {
       // inner join emits matches on arrival; the trailing no-data batch
       // would only expire state this drain never revisits
       runStreamToTable(s, joined, "q73_out", noDataBatch = false)
+    }),
+
+    // ---------------- BPE tokenizer (train / store / encode) ----------
+    // lossless-roundtrip oracle over the REAL trained store: every
+    // document's token sequence concatenates back to its whitespace-
+    // normalized text (`</w>` marks word ends) — a segmentation-validity
+    // property DuckDB checks exactly; merge ORDER is pinned by q134's
+    // golden-train oracle and BpeSpec's goldens/properties
+    "q131_bpe_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(stagedBpeStore(s, dir))
+        .createOrReplaceTempView("q131_merges")
+      ap(tab(s, dir, "documents").where(col("text").isNotNull),
+        t("bpe_tokenize", "textColumn" -> "text",
+          "mergesView" -> "q131_merges"))
+        .select(col("doc_id"),
+          trim(regexp_replace(concat_ws("", col("bpe_tokens")),
+            "</w>", " ")).as("detok"))
+    }),
+    // token_cap budgeting in REAL trained-BPE tokens — the production
+    // "cap each source at N tokenizer tokens" path end-to-end. The kept
+    // set depends on subword counts DuckDB cannot re-derive → rows-only;
+    // q133 is the deterministic exact twin (same transform, same
+    // mergesView plumbing and cap window, a store whose token arithmetic
+    // IS SQL-expressible)
+    "q132_token_cap_bpe" -> ((s, dir) => {
+      s.read.parquet(stagedBpeStore(s, dir))
+        .createOrReplaceTempView("q132_merges")
+      ap(tab(s, dir, "documents"),
+        t("token_cap", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "mergesView" -> "q132_merges", "groupBy" -> "source",
+          "budget" -> "500"))
+        .select("doc_id", "source")
+    }),
+    // the exact twin: a store trained on a disjoint planted alphabet, so
+    // the per-document BPE weight provably equals
+    // codepoints(text minus whitespace) + word count — DuckDB re-derives
+    // the weights AND the full seeded cap window
+    "q133_token_cap_bpe_exact" -> ((s, dir) => {
+      s.read.parquet(stagedBpeDisjointStore(s))
+        .createOrReplaceTempView("q133_merges")
+      ap(tab(s, dir, "documents"),
+        t("token_cap", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "mergesView" -> "q133_merges", "groupBy" -> "source",
+          "budget" -> "3000"))
+        .select("doc_id", "source")
+    }),
+    // golden-train oracle: the classic subword-paper corpus trained
+    // through the registry transform; expected merges independently
+    // re-derived from the published algorithm by tools/gen_golden_bpe.py
+    // (pure-Python, not a port) and inlined as VALUES
+    "q134_bpe_train_golden" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val docs = Seq("low low low low low", "lower lower",
+        "newest newest newest newest newest newest",
+        "widest widest widest").toDF("text")
+      ap(docs, t("bpe_train", "textColumn" -> "text", "numMerges" -> "6"))
+        .select(col("merge_rank").cast("int").as("merge_rank"),
+          col("lhs"), col("rhs"))
     })
   )
 
@@ -3472,6 +3567,31 @@ object SparkEntry {
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          WHERE (time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL '1 hour')::TIMESTAMP
                <= (SELECT max(ts)::TIMESTAMP - INTERVAL '1 hour' FROM events)
-         GROUP BY 1, 2, 3"""
+         GROUP BY 1, 2, 3""",
+
+    // q131: tokens-concatenate-back-to-the-text — the BPE segmentation
+    // invariant (q132 stays rows-only: real subword counts are not SQL)
+    "q131_bpe_roundtrip" ->
+      """SELECT doc_id,
+                trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS detok
+         FROM documents WHERE text IS NOT NULL""",
+    // q133: disjoint-alphabet store ⇒ BPE weight = non-whitespace code
+    // points + word count; then the q92 cap window verbatim
+    "q133_token_cap_bpe_exact" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  coalesce(sum(length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g'))
+                               + len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+'))) OVER (
+                    PARTITION BY source
+                    ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM documents
+         ) WHERE cb < 3000""",
+    // q134: goldens from tools/gen_golden_bpe.py (independent Python
+    // re-derivation of Sennrich 2016 under the UTF-8 tie-break contract)
+    "q134_bpe_train_golden" ->
+      """SELECT * FROM (VALUES (0, 'e', 's'), (1, 'es', 't'),
+           (2, 'est', '</w>'), (3, 'l', 'o'), (4, 'lo', 'w'), (5, 'e', 'w'))
+         AS t(merge_rank, lhs, rhs)"""
   )
 }
