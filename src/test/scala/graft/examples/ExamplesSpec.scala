@@ -396,6 +396,53 @@ class ExamplesSpec extends SparkTestBase {
     out.where("importance IS NULL OR isnan(importance)").count() shouldBe 0
   }
 
+  test("quickstart-23: nightly curation increment against four persisted " +
+    "stores — dedup chain, quality gate, mixture, BPE-packed shards") {
+    import org.apache.spark.sql.functions._
+    // run N: the store builders (signature, gram, codebook, tokenizer) —
+    // each its own pipeline. History scope matters: the signature and
+    // gram stores cover YESTERDAY'S corpus (the reference half) only —
+    // a store covering tonight's documents would correctly flag the
+    // whole increment as already seen.
+    run("quickstart-23-history-signatures.yaml")
+    run("quickstart-19-gram-store-build.yaml")
+    run("quickstart-20-codebook-build.yaml")
+    run("quickstart-23-bpe-store.yaml")
+    // stage the increment: the non-reference half, plus one planted
+    // duplicate per dedup stage — a verbatim IN-increment copy (only
+    // exact dedup can drop it) and re-idd copies of STORED history whose
+    // text is unique inside the increment (only minhash-vs-store can)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val half = docs.where("doc_id >= 250")
+    val inCopy = half.where("doc_id < 260")
+      .withColumn("doc_id", col("doc_id") + 600000L)
+    val histCopy = docs.where("doc_id < 10")
+      .withColumn("doc_id", col("doc_id") + 500000L)
+    half.unionByName(inCopy).unionByName(histCopy).write.mode("overwrite")
+      .parquet("/tmp/graft-examples/quickstart-23-increment")
+    run("quickstart-23-nightly-curation.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-23-out")
+    out.count() should be > 0L
+    // both planted duplicate families are gone, each via its stage
+    out.where("doc_id >= 500000").count() shouldBe 0
+    // the packed/sharded layout in BPE tokens, token count carried along
+    out.columns should contain allOf ("seq_id", "tok_start", "tok_end",
+      "pos_in_seq", "shard_id", "n_bpe_tokens")
+    // spans respect the 256-token sequences and the exactly-N invariant
+    out.where("tok_end - tok_start > 256 OR tok_start < 0").count() shouldBe 0
+    val maxSeq = out.agg(max("seq_id")).head().getLong(0)
+    out.where(s"seq_id <> $maxSeq").groupBy("seq_id")
+      .agg(sum(expr("tok_end - tok_start")).as("units"))
+      .where("units <> 256").count() shouldBe 0
+    // only reference-half survivors with embeddings remain, and lineage
+    // names the store-backed stages
+    out.where("doc_id < 250").count() shouldBe 0
+    val lineage = out.select("_lineage").as[String].head()
+    lineage should include ("dedup_minhash")
+    lineage should include ("pack_sequences")
+    lineage should include ("shard")
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
