@@ -1462,6 +1462,37 @@ object SparkEntry {
         t("importance_score", "idColumn" -> "doc_id", "textColumn" -> "text",
           "targetView" -> "q129_target", "n" -> "3"))
     }),
+    // the DSIR selection recipe (Xie et al. 2023 §2.3) COMPOSED, as one
+    // declarative pipeline: importance log-ratio → exponentiate into a
+    // sampling weight (rounded to 4 decimals so both engines hold the
+    // identical double) → Efraimidis–Spirakis weighted draw without
+    // replacement, P(keep) ∝ exp(importance). The oracle re-derives the
+    // whole chain in SQL — scoring model, weight, race keys, winner set —
+    // so a drift in ANY stage (or in how the executor composes them)
+    // breaks the match, not just a drift inside one operator.
+    "q135_dsir_weighted_select" -> ((s, dir) => {
+      import graft.config._
+      val cfg = PipelineConfig(
+        pipelineId = "q135-dsir-weighted-select",
+        source = SourceConfig("file",
+          Map("path" -> s"$dir/documents.parquet", "format" -> "parquet")),
+        transformations = List(
+          TransformConfig("target", "register", Map(
+            "viewName" -> "q135_target",
+            "path" -> s"$dir/documents.parquet", "format" -> "parquet",
+            "condition" -> "lang = 'en'")),
+          TransformConfig("score", "importance_score", Map(
+            "idColumn" -> "doc_id", "textColumn" -> "text",
+            "targetView" -> "q135_target", "n" -> "3")),
+          TransformConfig("weigh", "map", Map(
+            "expressions" -> "dsir_w:round(exp(importance), 4)")),
+          TransformConfig("draw", "sample", Map(
+            "on" -> "doc_id", "weightColumn" -> "dsir_w",
+            "k" -> "100", "seed" -> "11"))),
+        sink = SinkConfig("file", Map("path" -> "/tmp/graft-unused")))
+      new graft.runtime.PipelineExecutor().compose(cfg)(s)
+        .select("doc_id", "dsir_w")
+    }),
     // the simhash PIPELINE made oracle-checkable: maxHamming=0 over the
     // corpus unioned with an exact twin of itself (ids shifted), restricted
     // to the planted twin pairs. A twin is found iff the whole pipeline —
@@ -3136,6 +3167,59 @@ object SparkEntry {
                        / CAST(scal.raw_total + scal.v AS DOUBLE))
                 )) / sum(tf.tf), 4) + 0.0 AS importance
          FROM tf JOIN model USING (gram) CROSS JOIN scal GROUP BY 1""",
+    // q129's scoring chain verbatim, then the composition: weight =
+    // round(exp(importance), 4) (the 4-decimal round is what lets two
+    // engines' libm exp() agree bit-for-bit), race keys from the same
+    // md5-prefix uniform as q130 (seed 11), k smallest win, id tie-break
+    "q135_dsir_weighted_select" ->
+      """WITH d AS (
+           SELECT doc_id, lower(text) AS t FROM documents
+           WHERE text IS NOT NULL AND length(lower(text)) >= 3
+         ), g AS (
+           SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+           FROM d
+         ), tf AS (
+           SELECT doc_id, substr(t, CAST(i AS BIGINT), 3) AS gram, count(*) AS tf
+           FROM g GROUP BY 1, 2
+         ), raw AS (
+           SELECT gram, CAST(sum(tf) AS BIGINT) AS raw_cnt FROM tf GROUP BY 1
+         ), td AS (
+           SELECT lower(text) AS t FROM documents
+           WHERE lang = 'en' AND text IS NOT NULL AND length(lower(text)) >= 3
+         ), tg AS (
+           SELECT t, unnest(generate_series(1, length(t) - 2)) AS i FROM td
+         ), tgt AS (
+           SELECT substr(t, CAST(i AS BIGINT), 3) AS gram,
+                  CAST(count(*) AS BIGINT) AS tgt_cnt
+           FROM tg GROUP BY 1
+         ), model AS (
+           SELECT coalesce(raw.gram, tgt.gram) AS gram,
+                  coalesce(raw_cnt, 0) AS raw_cnt,
+                  coalesce(tgt_cnt, 0) AS tgt_cnt
+           FROM raw FULL JOIN tgt ON raw.gram = tgt.gram
+         ), scal AS (
+           SELECT CAST(sum(raw_cnt) AS BIGINT) AS raw_total,
+                  CAST(sum(tgt_cnt) AS BIGINT) AS tgt_total,
+                  count(*) AS v
+           FROM model
+         ), sel AS (
+           SELECT tf.doc_id,
+                  round(exp(round(sum(tf.tf * (
+                      ln(CAST(model.tgt_cnt + 1 AS DOUBLE)
+                         / CAST(scal.tgt_total + scal.v AS DOUBLE))
+                    - ln(CAST(model.raw_cnt + 1 AS DOUBLE)
+                         / CAST(scal.raw_total + scal.v AS DOUBLE))
+                  )) / sum(tf.tf), 4) + 0.0), 4) AS dsir_w
+           FROM tf JOIN model USING (gram) CROSS JOIN scal GROUP BY 1
+         )
+         SELECT doc_id, dsir_w FROM (
+           SELECT doc_id, dsir_w,
+                  -ln((CAST(CONCAT('0x',
+                         substr(md5(CONCAT('11', ':', CAST(doc_id AS VARCHAR))), 1, 13))
+                       AS BIGINT) + 0.5) / 4503599627370496.0)
+                    / dsir_w AS race_key
+           FROM sel WHERE dsir_w > 0)
+         ORDER BY race_key, doc_id LIMIT 100""",
     // every document pairs with its planted exact twin at hamming 0 —
     // identical text means identical signature under any hash function
     "q80_simhash_exact" ->
