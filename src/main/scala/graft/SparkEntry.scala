@@ -1890,8 +1890,64 @@ object SparkEntry {
         "newest newest newest newest newest newest",
         "widest widest widest").toDF("text")
       ap(docs, t("bpe_train", "textColumn" -> "text", "numMerges" -> "6"))
+        .where(col("kind") === "merge") // the store also carries alpha rows
         .select(col("merge_rank").cast("int").as("merge_rank"),
           col("lhs"), col("rhs"))
+    }),
+    // token-ID roundtrip over the REAL trained store: encode to input_ids,
+    // detokenize through the bpe_vocab id assignment, and DuckDB checks
+    // the reconstruction equals the whitespace-normalized text — one
+    // mis-assigned id, an <unk> substitution (incomplete alphabet), or an
+    // encode/vocab disagreement breaks the match on that document
+    "q136_bpe_ids_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(stagedBpeStore(s, dir))
+        .createOrReplaceTempView("q136_merges")
+      // the declarative vocab surface; O(vocab) driver read, like the
+      // store load itself
+      val vocab = ap(tab(s, dir, "documents").limit(1),
+          t("bpe_vocab", "mergesView" -> "q136_merges"))
+        .orderBy("token_id").collect().map(_.getString(1)).toSeq
+      ap(tab(s, dir, "documents").where(col("text").isNotNull),
+        t("bpe_tokenize", "textColumn" -> "text",
+          "mergesView" -> "q136_merges", "emit" -> "ids"))
+        .select(col("doc_id"),
+          trim(regexp_replace(concat_ws("",
+            transform(col("input_ids"),
+              i => element_at(typedLit(vocab), i + 1))),
+            "</w>", " ")).as("detok"))
+    }),
+    // the training-export artifact end-to-end: pack_sequences
+    // emit=input_ids against the DISJOINT-alphabet store (q133's trick:
+    // no merge fires on ASCII, so the per-document id count provably
+    // equals code points + word count) — DuckDB re-derives every
+    // sequence's composition (id count, document count, weight) from the
+    // same prefix-sum arithmetic as q110. Array CONTENT is pinned by
+    // q136's roundtrip and the BpeTransformSpec losslessness test.
+    "q137_pack_input_ids" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(stagedBpeDisjointStore(s))
+        .createOrReplaceTempView("q137_merges")
+      ap(tab(s, dir, "documents"),
+        t("pack_sequences", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "mergesView" -> "q137_merges", "seqLen" -> "4096",
+          "emit" -> "input_ids"))
+        .select(col("seq_id"),
+          size(col("input_ids")).cast("long").as("n_ids"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("seq_weight").cast("long").as("seq_weight"))
+    }),
+    // golden-vocab oracle: the q134 corpus's id assignment (<unk>=0,
+    // alphabet in UTF-8 order, merge products in merge order)
+    // independently re-derived by tools/gen_golden_bpe.py's vocab()
+    "q138_bpe_vocab_golden" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Seq("low low low low low", "lower lower",
+        "newest newest newest newest newest newest",
+        "widest widest widest").toDF("text")
+      ap(docs, t("bpe_train", "textColumn" -> "text", "numMerges" -> "6"))
+        .createOrReplaceTempView("q138_merges")
+      ap(docs, t("bpe_vocab", "mergesView" -> "q138_merges"))
     })
   )
 
@@ -3676,6 +3732,47 @@ object SparkEntry {
     "q134_bpe_train_golden" ->
       """SELECT * FROM (VALUES (0, 'e', 's'), (1, 'es', 't'),
            (2, 'est', '</w>'), (3, 'l', 'o'), (4, 'lo', 'w'), (5, 'e', 'w'))
-         AS t(merge_rank, lhs, rhs)"""
+         AS t(merge_rank, lhs, rhs)""",
+    // q136: ids detokenize back to the normalized text (q131's invariant,
+    // now THROUGH the token-id assignment — an <unk> substitution or a
+    // mis-assigned id breaks the match)
+    "q136_bpe_ids_roundtrip" ->
+      """SELECT doc_id,
+                trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS detok
+         FROM documents WHERE text IS NOT NULL""",
+    // q137: disjoint-alphabet store ⇒ per-doc id count = code points +
+    // word count (q133's weight), then q110's exact span arithmetic
+    // aggregated per sequence
+    "q137_pack_input_ids" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g'))
+                    + len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS w,
+                  CAST(coalesce(sum(length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g'))
+                               + len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+'))) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cb
+           FROM documents
+         ), s AS (
+           SELECT doc_id, w, cb,
+                  unnest(range(cb // 4096, (cb + w - 1) // 4096 + 1)) AS seq_id
+           FROM c WHERE w > 0
+         ), spans AS (
+           SELECT CAST(seq_id AS BIGINT) AS seq_id,
+                  least(w, (seq_id + 1) * 4096 - cb)
+                    - greatest(0, seq_id * 4096 - cb) AS units
+           FROM s
+         )
+         SELECT seq_id, CAST(sum(units) AS BIGINT) AS n_ids,
+                count(*) AS n_docs, CAST(sum(units) AS BIGINT) AS seq_weight
+         FROM spans GROUP BY seq_id""",
+    // q138: golden vocab from tools/gen_golden_bpe.py's vocab()
+    "q138_bpe_vocab_golden" ->
+      """SELECT * FROM (VALUES (0, '<unk>'), (1, '</w>'), (2, 'd'), (3, 'e'),
+           (4, 'i'), (5, 'l'), (6, 'n'), (7, 'o'), (8, 'r'), (9, 's'),
+           (10, 't'), (11, 'w'), (12, 'es'), (13, 'est'), (14, 'est</w>'),
+           (15, 'lo'), (16, 'low'), (17, 'ew'))
+         AS t(token_id, token)"""
   )
 }

@@ -91,3 +91,72 @@ object BpeEncode {
   def count(text: Column, merges: Seq[(String, String)]): Column =
     org.apache.spark.sql.functions.size(apply(text, merges))
 }
+
+/**
+ * [[BpeEncode]]'s id-emitting sibling: the token-ID array (`array<int>`)
+ * — the `input_ids` a training run actually consumes — encoded against a
+ * merges list and its [[Bpe.loadVocab]] vocabulary. Symbols outside the
+ * vocabulary (characters the training corpus never contained) map to
+ * [[Bpe.Unk]]'s id 0. Same codegen/memo shape as [[BpeEncode]]; the memo
+ * holds the final int arrays, so the per-word cost after warmup is one
+ * map hit regardless of vocabulary size.
+ */
+case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
+                        vocab: IndexedSeq[String],
+                        memoMax: Int = BpeEncode.MemoMax)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_ids expects a string column, got ${other.simpleString}")
+  }
+
+  @transient private lazy val rank = Bpe.ranks(merges)
+  @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    // FIRST id wins on a duplicate product — the loadVocab contract
+    vocab.zipWithIndex.foreach { case (t, i) => m.putIfAbsent(t, i) }
+    m
+  }
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+  def compute(input: UTF8String): GenericArrayData = {
+    val out = Array.newBuilder[Int]
+    Bpe.words(input.toString).foreach { w =>
+      val cached = memo.get(w)
+      val enc =
+        if (cached != null) cached
+        else {
+          val e = Bpe.encodeWord(w, rank).map { t =>
+            val id = ids.get(t)
+            if (id == null) 0 else id.intValue()
+          }
+          if (memo.size() < memoMax) memo.put(w, e)
+          e
+        }
+      out ++= enc
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncodeIds", this, classOf[BpeEncodeIds].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeEncodeIds {
+  def apply(text: Column, merges: Seq[(String, String)],
+            vocab: IndexedSeq[String]): Column =
+    GraftBridge.column(BpeEncodeIds(GraftBridge.expression(text), merges, vocab))
+}

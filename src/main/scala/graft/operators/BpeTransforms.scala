@@ -39,24 +39,37 @@ import graft.text.Bpe
  * the same accepted driver-read class as the codebook/signature loads.
  */
 object BpeTransforms {
-  /** Resolve `mergesView` to the validated ordered merges list. The view
-    * must already be registered (the `register` transform or a prior
-    * `createOrReplaceTempView`); `numMerges`/`minCount` options, when
-    * present, must match the store's training stamps. */
-  def mergesFromView(config: TransformConfig, ctx: RunContext,
-                     tname: String): Seq[(String, String)] = {
+  /** Resolve `mergesView` to the registered store frame. The view must
+    * already be registered (the `register` transform or a prior
+    * `createOrReplaceTempView`). */
+  def storeFromView(config: TransformConfig, ctx: RunContext,
+                    tname: String): org.apache.spark.sql.DataFrame = {
     val view = config.options("mergesView")
-    val store =
-      try ctx.spark.table(view)
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new ConfigException(
-          s"$tname: mergesView '$view' is not a registered view/table — " +
-            s"register the persisted bpe_train store first (${e.getMessage})")
-      }
-    Bpe.loadMerges(store,
+    try ctx.spark.table(view)
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new ConfigException(
+        s"$tname: mergesView '$view' is not a registered view/table — " +
+          s"register the persisted bpe_train store first (${e.getMessage})")
+    }
+  }
+
+  /** Resolve `mergesView` to the validated ordered merges list;
+    * `numMerges`/`minCount` options, when present, must match the
+    * store's training stamps. */
+  def mergesFromView(config: TransformConfig, ctx: RunContext,
+                     tname: String): Seq[(String, String)] =
+    Bpe.loadMerges(storeFromView(config, ctx, tname),
       wantNumMerges = config.options.get("numMerges").map(_.toInt),
       wantMinCount = config.options.get("minCount").map(_.toLong))
-  }
+
+  /** Resolve `mergesView` to (merges, vocab) — for the id-emitting
+    * encode paths. One validated store read feeds both. */
+  def mergesAndVocabFromView(config: TransformConfig, ctx: RunContext,
+                             tname: String)
+      : (Seq[(String, String)], IndexedSeq[String]) =
+    Bpe.loadMergesAndVocab(storeFromView(config, ctx, tname),
+      wantNumMerges = config.options.get("numMerges").map(_.toInt),
+      wantMinCount = config.options.get("minCount").map(_.toLong))
 }
 
 /**
@@ -88,11 +101,15 @@ object BpeTrainTransform extends Transform {
 }
 
 /**
- * `bpe_tokenize` — append the BPE token array (with `</w>` end-of-word
- * markers, so detokenization stays possible) encoded against a persisted
- * merges store. Options: `textColumn`, `mergesView` (required);
- * `outputColumn` (default `bpe_tokens`); `numMerges`/`minCount` stamp
- * checks (optional — must match the store's training parameters).
+ * `bpe_tokenize` — append the BPE encoding against a persisted merges
+ * store: `emit: tokens` (default) appends the token STRING array (with
+ * `</w>` end-of-word markers, so detokenization stays possible);
+ * `emit: ids` appends the token-ID `array<int>` under the
+ * [[graft.text.Bpe.loadVocab]] id assignment — the `input_ids` a
+ * training run consumes (out-of-vocabulary symbols map to `<unk>` = 0).
+ * Options: `textColumn`, `mergesView` (required); `outputColumn`
+ * (default `bpe_tokens` / `input_ids` by emit); `numMerges`/`minCount`
+ * stamp checks (optional — must match the store's training parameters).
  */
 object BpeTokenizeTransform extends Transform {
   val transformType = "bpe_tokenize"
@@ -102,12 +119,44 @@ object BpeTokenizeTransform extends Transform {
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "textColumn", "mergesView")
-    val out = config.options.getOrElse("outputColumn", "bpe_tokens")
+    val emit = config.options.getOrElse("emit", "tokens")
+    val out = config.options.getOrElse("outputColumn",
+      if (emit == "ids") "input_ids" else "bpe_tokens")
     if (input.columns.contains(out)) throw new ConfigException(
       s"$transformType: output column '$out' already exists in the input — " +
         "set outputColumn to a fresh name")
-    val merges = BpeTransforms.mergesFromView(config, ctx, transformType)
-    input.withColumn(out, BpeEncode(col(config.options("textColumn")), merges))
+    val text = col(config.options("textColumn"))
+    emit match {
+      case "tokens" =>
+        val merges = BpeTransforms.mergesFromView(config, ctx, transformType)
+        input.withColumn(out, BpeEncode(text, merges))
+      case "ids" =>
+        val (merges, vocab) =
+          BpeTransforms.mergesAndVocabFromView(config, ctx, transformType)
+        input.withColumn(out,
+          graft.functions.expressions.BpeEncodeIds(text, merges, vocab))
+      case other => throw new ConfigException(
+        s"$transformType: emit must be tokens|ids, got '$other'")
+    }
+  }
+}
+
+/**
+ * `bpe_vocab` — REPLACE the frame with the (token_id, token) vocabulary
+ * derived from a persisted merges store ([[graft.text.Bpe.loadVocab]]:
+ * `<unk>`=0, alphabet in UTF-8 order, merge products in merge order) —
+ * the export/join-back surface: persist it beside the id-encoded corpus
+ * and any engine detokenizes `input_ids` with a plain join. Options:
+ * `mergesView` (required); `numMerges`/`minCount` stamp checks.
+ */
+object BpeVocabTransform extends Transform {
+  val transformType = "bpe_vocab"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "mergesView")
+    graft.text.Bpe.vocabFrame(
+      BpeTransforms.storeFromView(config, ctx, transformType),
+      wantNumMerges = config.options.get("numMerges").map(_.toInt),
+      wantMinCount = config.options.get("minCount").map(_.toLong))
   }
 }
 

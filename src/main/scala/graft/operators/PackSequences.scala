@@ -98,6 +98,39 @@ object PackSequences {
         count(lit(1)).as("n_docs"),
         sum(col("tok_end") - col("tok_start")).as("seq_weight"))
   }
+
+  /**
+   * Materialize the packed sequences as TRAINING ROWS: one row per
+   * sequence with the fixed-length `input_ids` array assembled from the
+   * documents' token-id arrays (`idsCol`, `array<int>`) — the artifact a
+   * training run memory-maps. The packing weight IS `size(idsCol)`, so
+   * spans and array slices can never disagree; every sequence except the
+   * last carries exactly `seqLen` ids.
+   *
+   * Scale shape: [[materialize]]'s — the prefix sum + ONE hash exchange
+   * on `seq_id`, per-sequence assembly an ordered in-group fold bounded
+   * at `seqLen` ids per group, no window, no skew.
+   */
+  def materializeIds(df: DataFrame, idCol: String, idsCol: String,
+                     seqLen: Long, numPartitions: Int = 0,
+                     groupCols: Seq[String] = Nil): DataFrame = {
+    graft.config.ExprUtils.requireNoHelperCollision(
+      "pack_sequences", df.columns.toSeq, "__piece", "__w_ids")
+    val staged = df.withColumn("__w_ids", size(col(idsCol)).cast("long"))
+    val spans = packGrouped(staged, idCol, "__w_ids", groupCols, seqLen,
+      numPartitions)
+    spans
+      .withColumn("__piece", slice(col(idsCol),
+        (col("tok_start") + 1).cast("int"),
+        (col("tok_end") - col("tok_start")).cast("int")))
+      .groupBy((groupCols :+ "seq_id").map(col): _*)
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("pos_in_seq"), col("__piece")))),
+          s => s.getField("__piece"))).as("input_ids"),
+        count(lit(1)).as("n_docs"),
+        sum(col("tok_end") - col("tok_start")).as("seq_weight"))
+  }
 }
 
 /**
@@ -112,9 +145,12 @@ object PackSequences {
  * Options: `idColumn` (unique — it is the concatenation order),
  * `weightColumn` (integral), `seqLen` required; `numPartitions`
  * (default: session shuffle partitions); `emit` = `spans` (default — one
- * row per (document, sequence) overlap) or `text` (one row per sequence
+ * row per (document, sequence) overlap), `text` (one row per sequence
  * with the ordered concatenation — requires `textColumn`, and
- * `weightColumn` must be its character length); `groupBy` (comma list —
+ * `weightColumn` must be its character length), or `input_ids` (one
+ * TRAINING ROW per sequence: the fixed-length token-id array encoded
+ * against `mergesView` + `textColumn` — weight is the id count by
+ * construction, so `weightColumn` is rejected); `groupBy` (comma list —
  * pack per stratum: the prefix sum and `seq_id` restart per group, so a
  * sequence never mixes two strata).
  */
@@ -133,6 +169,26 @@ object PackSequencesTransform extends Transform {
     val groups = config.options.get("groupBy").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val nParts = config.options.get("numPartitions").map(_.toInt).getOrElse(0)
+    if (config.options.getOrElse("emit", "spans") == "input_ids") {
+      // the training-export path: ids encoded against the tokenizer store,
+      // weight = size(ids) by construction — an independent weightColumn
+      // could only contradict the arrays it slices
+      if (config.options.contains("weightColumn")) throw new ConfigException(
+        "pack_sequences: emit=input_ids derives its weight from the " +
+          "encoded ids — weightColumn does not apply")
+      required(config, "textColumn", "mergesView")
+      graft.config.ExprUtils.requireNoHelperCollision(
+        "pack_sequences", input.columns.toSeq, "__bpe_ids")
+      val (merges, vocab) =
+        BpeTransforms.mergesAndVocabFromView(config, ctx, transformType)
+      val staged = input.withColumn("__bpe_ids",
+        graft.functions.expressions.BpeEncodeIds(
+          col(config.options("textColumn")), merges, vocab))
+      return try PackSequences.materializeIds(staged,
+        config.options("idColumn"), "__bpe_ids",
+        config.options("seqLen").toLong, nParts, groups)
+      catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+    }
     // the sequence weight: a pre-computed weightColumn, or tokenizer-exact
     // BPE tokens via mergesView + textColumn (spans mode only — emit=text
     // cuts by CHARACTER offsets, so its weight must be char length, and a
@@ -172,7 +228,7 @@ object PackSequencesTransform extends Transform {
         weightCol,
         config.options("seqLen").toLong, nParts, groups)
       case other => throw new ConfigException(
-        s"pack_sequences: emit must be spans|text, got '$other'")
+        s"pack_sequences: emit must be spans|text|input_ids, got '$other'")
     }
     val packed =
       try build()

@@ -265,12 +265,15 @@ object Bpe {
 
   /**
    * Train over a corpus column and return the persistable MERGES STORE
-   * frame — one row per merge: (merge_rank, lhs, rhs) plus the parameter
-   * stamps it was trained with (`bpe_num_merges`/`bpe_min_count`/
-   * `bpe_max_words`, RLE'd to ~nothing in parquet) and the PRODUCED merge
-   * count `bpe_rows` (can be < numMerges when the pair supply dries up —
-   * [[loadMerges]] checks it against the loaded row count so a store that
-   * silently lost tail rows cannot pass). Write it after corpus build N;
+   * frame — one row per merge (kind='merge': merge_rank, lhs, rhs) plus
+   * one row per ALPHABET symbol (kind='alpha': rank in UTF-8 order,
+   * lhs=symbol, rhs=null — what [[loadVocab]] needs to assign stable
+   * dense token ids), the parameter stamps it was trained with
+   * (`bpe_num_merges`/`bpe_min_count`/`bpe_max_words`, RLE'd to ~nothing
+   * in parquet) and the PRODUCED counts `bpe_rows`/`bpe_alpha_rows`
+   * (merges can be < numMerges when the pair supply dries up —
+   * [[loadMerges]] checks both against the loaded row counts so a store
+   * that silently lost tail rows cannot pass). Write it after corpus build N;
    * run N+1 re-loads the parquet and tokenizes against it via a view —
    * the [[graft.ann.Ann.codebookFrame]] incremental pattern, applied to
    * the tokenizer so token budgets stay comparable across runs.
@@ -286,25 +289,47 @@ object Bpe {
     val spark = corpus.sparkSession
     import spark.implicits._
     // the same \s+ / strip semantics as words(): trim the engine
-    // whitespace set, split, drop empties (blank docs produce one "" slot)
-    val wc = corpus
+    // whitespace set, split, drop empties (blank docs produce one "" slot).
+    // The distinct-word count frame feeds TWO consumers (top-maxWords for
+    // training, the full alphabet) — lazily checkpointed so the corpus is
+    // tokenized and aggregated ONCE (the tfidf sharedTf pattern).
+    val wcFull = graft.api.Checkpointing.checkpoint(corpus
       .select(explode(split(trim(col(textCol), " \t\n\u000B\f\r"), "\\s+"))
         .as("__w"))
       .where(col("__w") =!= "")
-      .groupBy("__w").count()
+      .groupBy("__w").count(),
+      eager = false)
+    val wc = wcFull
       .orderBy(col("count").desc, col("__w").asc)
       .limit(maxWords)
       .as[(String, Long)].collect()
     // collect() after orderBy preserves the sort, but train() is
     // order-independent anyway — double determinism
     val merges = train(wc.toSeq, numMerges, minCount)
-    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
-      .toDF("merge_rank", "lhs", "rhs")
-      .select(col("merge_rank"), col("lhs"), col("rhs"),
+    // the ALPHABET: every initial symbol (code point + Eow) of every
+    // DISTINCT corpus word — derived from the FULL word set, not the
+    // truncated training table, so a rare character outside the
+    // top-maxWords words still gets a token id instead of <unk>. A
+    // zero-merge BpeEncode IS wordSymbols(), so the symbol explode
+    // reuses the codegen'd encoder; the distinct set is alphabet-sized
+    // (bounded by Unicode), a trivial driver read.
+    val alpha = wcFull
+      .select(explode(graft.functions.expressions.BpeEncode(col("__w"), Nil))
+        .as("sym"))
+      .distinct().as[String].collect()
+      .sortWith(utf8Less)
+    val alphaRows = alpha.toSeq.zipWithIndex.map { case (s, i) =>
+      ("alpha", i, s, null: String) }
+    val mergeRows = merges.zipWithIndex.map { case ((l, r), i) =>
+      ("merge", i, l, r) }
+    (alphaRows ++ mergeRows)
+      .toDF("kind", "merge_rank", "lhs", "rhs")
+      .select(col("kind"), col("merge_rank"), col("lhs"), col("rhs"),
         lit(numMerges).as("bpe_num_merges"),
         lit(minCount).as("bpe_min_count"),
         lit(maxWords).as("bpe_max_words"),
-        lit(merges.length).as("bpe_rows"))
+        lit(merges.length).as("bpe_rows"),
+        lit(alpha.length).as("bpe_alpha_rows"))
   }
 
   /**
@@ -318,21 +343,72 @@ object Bpe {
    * every token count silently mean something else.
    */
   def loadMerges(store: DataFrame, wantNumMerges: Option[Int] = None,
-                 wantMinCount: Option[Long] = None): Seq[(String, String)] = {
-    val missing = Seq("merge_rank", "lhs", "rhs", "bpe_num_merges",
-        "bpe_min_count", "bpe_max_words", "bpe_rows")
+                 wantMinCount: Option[Long] = None): Seq[(String, String)] =
+    loadStore(store, wantNumMerges, wantMinCount)._2
+
+  /** The id 0 token: any symbol outside the trained vocabulary (a
+    * character the training corpus never contained) encodes to this id. */
+  val Unk = "<unk>"
+
+  /**
+   * The token-id VOCABULARY derived from a persisted [[mergesFrame]]
+   * store, position = id: `[[Unk]]` at 0, then the alphabet in UTF-8
+   * order (store alpha ranks), then each merge's product in merge order
+   * (a product string two merge paths both produce keeps its FIRST id —
+   * later duplicates are skipped, exactly once, on every engine). The
+   * rule is a pure function of the store, so ids persisted by one run
+   * and ids computed by the next can never disagree without the loud
+   * stamp checks firing first.
+   */
+  def loadVocab(store: DataFrame, wantNumMerges: Option[Int] = None,
+                wantMinCount: Option[Long] = None): IndexedSeq[String] =
+    loadMergesAndVocab(store, wantNumMerges, wantMinCount)._2
+
+  /** One validated store read feeding both the encoder (merges) and the
+    * id assignment (vocab). */
+  def loadMergesAndVocab(store: DataFrame, wantNumMerges: Option[Int] = None,
+                         wantMinCount: Option[Long] = None)
+      : (Seq[(String, String)], IndexedSeq[String]) = {
+    val (alpha, merges) = loadStore(store, wantNumMerges, wantMinCount)
+    val out = Vector.newBuilder[String]
+    val seen = new java.util.HashSet[String]()
+    def add(t: String): Unit = if (seen.add(t)) out += t
+    add(Unk)
+    alpha.foreach(add)
+    merges.foreach { case (l, r) => add(l + r) }
+    (merges, out.result())
+  }
+
+  /** [[loadVocab]] as a (token_id, token) frame — the export/join-back
+    * surface (detokenize persisted id sequences in plain SQL). */
+  def vocabFrame(store: DataFrame, wantNumMerges: Option[Int] = None,
+                 wantMinCount: Option[Long] = None): DataFrame = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    loadVocab(store, wantNumMerges, wantMinCount).zipWithIndex
+      .map { case (t, i) => (i, t) }.toDF("token_id", "token")
+  }
+
+  /** Shared validated read: (alphabet in rank order, merges in rank
+    * order). All the loud-store checks live here. */
+  private def loadStore(store: DataFrame, wantNumMerges: Option[Int],
+                        wantMinCount: Option[Long])
+      : (Seq[String], Seq[(String, String)]) = {
+    val missing = Seq("kind", "merge_rank", "lhs", "rhs", "bpe_num_merges",
+        "bpe_min_count", "bpe_max_words", "bpe_rows", "bpe_alpha_rows")
       .filterNot(store.columns.contains)
     if (missing.nonEmpty) {
       throw new graft.api.ConfigException(
         s"bpe merges store is missing column(s) ${missing.mkString(", ")} — " +
-          "expected the mergesFrame layout (merge_rank, lhs, rhs, bpe_*); " +
-          "rebuild the store with the bpe_train transform")
+          "expected the mergesFrame layout (kind, merge_rank, lhs, rhs, " +
+          "bpe_*); rebuild the store with the bpe_train transform")
     }
     // DISTINCT stamp set (tiny partial-agg job): a mixed store (two runs'
     // outputs appended) must fail here, not produce interleaved merges
     val stamps = store.select(
         col("bpe_num_merges").cast("int"), col("bpe_min_count").cast("long"),
-        col("bpe_max_words").cast("int"), col("bpe_rows").cast("int"))
+        col("bpe_max_words").cast("int"), col("bpe_rows").cast("int"),
+        col("bpe_alpha_rows").cast("int"))
       .distinct().collect()
     if (stamps.length != 1 || stamps.head.anyNull)
       throw new graft.api.ConfigException(
@@ -350,22 +426,37 @@ object Bpe {
           "token counts against a differently-trained vocabulary would " +
           "silently mean something else; rebuild the store or align the " +
           "parameters")
-    val rows = store.select(col("merge_rank").cast("int"), col("lhs"), col("rhs"))
-      .orderBy("merge_rank").collect()
-    if (rows.length != stamps.head.getInt(3))
+    val rows = store.select(col("kind"), col("merge_rank").cast("int"),
+        col("lhs"), col("rhs"))
+      .orderBy("kind", "merge_rank").collect() // 'alpha' < 'merge'
+    val (alphaRows, rest) = rows.partition(r =>
+      !r.isNullAt(0) && r.getString(0) == "alpha")
+    val mergeRows = rest.filter(r => !r.isNullAt(0) && r.getString(0) == "merge")
+    if (mergeRows.length + alphaRows.length != rows.length)
       throw new graft.api.ConfigException(
-        s"bpe merges store row-count stamp says ${stamps.head.getInt(3)} " +
-          s"merges but ${rows.length} loaded — the store lost or grew rows " +
-          "(partial overwrite or a filtered view); rebuild it")
-    val bad = rows.zipWithIndex.collectFirst {
-      case (r, i) if r.isNullAt(0) || r.getInt(0) != i ||
-        r.isNullAt(1) || r.isNullAt(2) => i
+        "bpe merges store contains rows whose kind is neither 'alpha' nor " +
+          "'merge' — a hand-edited or corrupted store; rebuild it")
+    def checkDense(kind: String, rs: Array[org.apache.spark.sql.Row],
+                   want: Int, rhsNullable: Boolean): Unit = {
+      if (rs.length != want)
+        throw new graft.api.ConfigException(
+          s"bpe merges store row-count stamp says $want $kind rows but " +
+            s"${rs.length} loaded — the store lost or grew rows (partial " +
+            "overwrite or a filtered view); rebuild it")
+      val bad = rs.zipWithIndex.collectFirst {
+        case (r, i) if r.isNullAt(1) || r.getInt(1) != i ||
+          r.isNullAt(2) || (!rhsNullable && r.isNullAt(3)) => i
+      }
+      if (bad.isDefined)
+        throw new graft.api.ConfigException(
+          s"bpe merges store $kind ranks are not a dense, non-null " +
+            s"0..${rs.length - 1} sequence (first problem at position " +
+            s"${bad.get}) — a hole or duplicate would silently reorder " +
+            "every later entry")
     }
-    if (bad.isDefined)
-      throw new graft.api.ConfigException(
-        s"bpe merges store ranks are not a dense, non-null 0..${rows.length - 1} " +
-          s"sequence (first problem at position ${bad.get}) — a hole or " +
-          "duplicate would silently reorder every later merge")
-    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+    checkDense("merge", mergeRows, stamps.head.getInt(3), rhsNullable = false)
+    checkDense("alpha", alphaRows, stamps.head.getInt(4), rhsNullable = true)
+    (alphaRows.map(_.getString(2)).toSeq,
+      mergeRows.map(r => (r.getString(2), r.getString(3))).toSeq)
   }
 }

@@ -174,13 +174,72 @@ class BpeSpec extends SparkTestBase {
     hole.getMessage should include ("dense")
   }
 
+  // goldens from gen_golden_bpe.py's vocab(): <unk>=0, alphabet in UTF-8
+  // order, merge products in merge order
+  private val goldenVocab = Vector("<unk>", "</w>", "d", "e", "i", "l", "n",
+    "o", "r", "s", "t", "w", "es", "est", "est</w>", "lo", "low", "ew")
+
+  test("loadVocab assigns the independently-derived golden token ids") {
+    val docs = Seq("low low low low low lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest").toDF("text")
+    val store = Bpe.mergesFrame(docs, "text", numMerges = 6, maxWords = 100)
+    Bpe.loadVocab(store) shouldBe goldenVocab
+    // the (token_id, token) frame is the same assignment
+    Bpe.vocabFrame(store).orderBy("token_id")
+      .as[(Int, String)].collect().toSeq shouldBe
+      goldenVocab.zipWithIndex.map { case (t, i) => (i, t) }
+    // a duplicate merge PRODUCT keeps its first id and is skipped once:
+    // hand-build a store where ranks 1 and 2 both produce "ab"
+    import org.apache.spark.sql.functions.{lit => l}
+    val dup = spark.createDataFrame(Seq(
+        ("alpha", 0, "</w>", null: String), ("alpha", 1, "a", null: String),
+        ("alpha", 2, "b", null: String), ("alpha", 3, "c", null: String),
+        ("merge", 0, "b", "c"), ("merge", 1, "a", "b"), ("merge", 2, "ab", "")))
+      .toDF("kind", "merge_rank", "lhs", "rhs")
+      .withColumn("bpe_num_merges", l(3)).withColumn("bpe_min_count", l(2L))
+      .withColumn("bpe_max_words", l(10)).withColumn("bpe_rows", l(3))
+      .withColumn("bpe_alpha_rows", l(4))
+    // merge 1 makes "ab"; merge 2 ("ab" + "") makes "ab" again → skipped
+    Bpe.loadVocab(dup) shouldBe
+      Vector("<unk>", "</w>", "a", "b", "c", "bc", "ab")
+  }
+
+  test("BpeEncodeIds emits the golden id arrays; out-of-vocabulary " +
+    "symbols map to <unk>=0; ids always mirror the string tokens") {
+    import graft.functions.expressions.BpeEncodeIds
+    val df = Seq("low lowest", "newest", "zap", "  ").toDF("text")
+    val out = df.select(
+        BpeEncodeIds(col("text"), goldenMerges, goldenVocab).as("ids"),
+        BpeEncode(col("text"), goldenMerges).as("toks"))
+      .as[(Seq[Int], Seq[String])].collect()
+    out(0)._1 shouldBe Seq(16, 1, 16, 14)      // low </w> low est</w>
+    out(1)._1 shouldBe Seq(6, 17, 14)          // n ew est</w>
+    out(2)._1 shouldBe Seq(0, 0, 0, 1)         // z a p unseen → <unk>; </w> known
+    out(3)._1 shouldBe Nil                     // blank → zero ids
+    // the mirror property on every row: ids == tokens mapped through vocab
+    val idOf = goldenVocab.zipWithIndex.toMap
+    out.foreach { case (ids, toks) =>
+      ids shouldBe toks.map(t => idOf.getOrElse(t, 0))
+    }
+    // null-safe
+    Seq[Option[String]](Some("low"), None).toDF("text")
+      .select(BpeEncodeIds(col("text"), goldenMerges, goldenVocab))
+      .collect().map(_.isNullAt(0)).toSeq shouldBe Seq(false, true)
+  }
+
   test("train stops when the pair supply dries up and the store stamps the " +
     "PRODUCED count, which can be below numMerges") {
     val docs = Seq("aa aa aa").toDF("text")
     val store = Bpe.mergesFrame(docs, "text", numMerges = 50, maxWords = 10)
-    val rows = store.collect()
-    rows.length should be < 50
-    rows.foreach(_.getAs[Int]("bpe_rows") shouldBe rows.length)
-    Bpe.loadMerges(store).length shouldBe rows.length
+    val mergeRows = store.where(col("kind") === "merge").collect()
+    mergeRows.length should be < 50
+    store.collect().foreach(_.getAs[Int]("bpe_rows") shouldBe mergeRows.length)
+    Bpe.loadMerges(store).length shouldBe mergeRows.length
+    // the alphabet rides beside the merges: {a, </w>}, UTF-8 order
+    val alphaRows = store.where(col("kind") === "alpha")
+      .orderBy("merge_rank").collect()
+    alphaRows.map(_.getAs[String]("lhs")).toSeq shouldBe Seq("</w>", "a")
+    store.collect().foreach(_.getAs[Int]("bpe_alpha_rows") shouldBe 2)
   }
 }

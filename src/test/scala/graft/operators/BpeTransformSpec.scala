@@ -113,6 +113,68 @@ class BpeTransformSpec extends SparkTestBase {
       viaCount.select("doc_id", "n_bpe_tokens").collect().toSet
   }
 
+  test("bpe_tokenize emit=ids + bpe_vocab: every id array detokenizes " +
+    "back to the string tokens through the persisted vocabulary") {
+    val view = registeredStore("v_bpe6", "numMerges" -> "6")
+    val both = ap(ap(corpus, t("bpe_tokenize",
+        "textColumn" -> "text", "mergesView" -> view)),
+      t("bpe_tokenize", "textColumn" -> "text", "mergesView" -> view,
+        "emit" -> "ids"))
+    both.columns should contain allOf ("bpe_tokens", "input_ids")
+    val vocab = ap(corpus, t("bpe_vocab", "mergesView" -> view))
+    vocab.columns.toSeq shouldBe Seq("token_id", "token")
+    // <unk> holds id 0, every id is in-range, and mapping each id back
+    // through the vocab reproduces the string tokens row-for-row
+    vocab.where("token_id = 0").select("token")
+      .as[String].head() shouldBe "<unk>"
+    val v = vocab.orderBy("token_id").as[(Int, String)].collect().map(_._2)
+    both.select("bpe_tokens", "input_ids").as[(Seq[String], Seq[Int])]
+      .collect().foreach { case (toks, ids) =>
+        ids.map(v(_)) shouldBe toks // corpus words: no <unk> substitution
+      }
+    // an out-of-vocabulary character maps to <unk>=0, never an error
+    val oov = ap(Seq((9L, "zzz", "web")).toDF("doc_id", "text", "source"),
+      t("bpe_tokenize", "textColumn" -> "text", "mergesView" -> view,
+        "emit" -> "ids"))
+    oov.select("input_ids").as[Seq[Int]].head() shouldBe
+      Seq(0, 0, 0, v.indexOf("</w>"))
+  }
+
+  test("pack_sequences emit=input_ids materializes fixed-length training " +
+    "rows whose concatenation equals the corpus's id stream") {
+    val view = registeredStore("v_bpe7", "numMerges" -> "6")
+    val packed = ap(corpus, t("pack_sequences",
+      "idColumn" -> "doc_id", "textColumn" -> "text", "mergesView" -> view,
+      "seqLen" -> "5", "emit" -> "input_ids"))
+    packed.columns.toSeq should contain theSameElementsAs
+      Seq("seq_id", "input_ids", "n_docs", "seq_weight")
+    // exactly-N: every sequence but the last holds exactly 5 ids, and
+    // seq_weight agrees with the array it describes
+    val rows = packed.orderBy("seq_id")
+      .as[(Long, Seq[Int], Long, Long)].collect()
+    rows.init.foreach { case (_, ids, _, w) =>
+      ids.size shouldBe 5; w shouldBe 5 }
+    rows.last._2.size shouldBe rows.last._4
+    // lossless: the concatenation of sequences in seq_id order IS the
+    // concatenation of per-document id arrays in doc_id order
+    val stream = ap(corpus, t("bpe_tokenize", "textColumn" -> "text",
+        "mergesView" -> view, "emit" -> "ids"))
+      .orderBy("doc_id").as[(Long, String, String, Seq[Int])]
+      .collect().flatMap(_._4).toSeq
+    rows.flatMap(_._2).toSeq shouldBe stream
+    // weightColumn contradicts the derived ids → guided rejection
+    intercept[ConfigException] {
+      ap(corpus, t("pack_sequences", "idColumn" -> "doc_id",
+        "textColumn" -> "text", "mergesView" -> view, "seqLen" -> "5",
+        "emit" -> "input_ids", "weightColumn" -> "doc_id"))
+    }.getMessage should include ("weightColumn does not apply")
+    // and input_ids without the tokenizer store is meaningless
+    intercept[ConfigException] {
+      ap(corpus, t("pack_sequences", "idColumn" -> "doc_id",
+        "textColumn" -> "text", "seqLen" -> "5", "emit" -> "input_ids"))
+    }.getMessage should include ("mergesView")
+  }
+
   test("guided failures: mode conflicts, unknown views, stamp mismatches, " +
     "and output collisions") {
     val view = registeredStore("v_bpe5", "numMerges" -> "6")

@@ -78,6 +78,20 @@ def encode(word, merges):
     return syms
 
 
+def vocab(word_counts, merges):
+    """Token-id assignment: <unk>=0, then the alphabet (every initial
+    symbol of every corpus word) in UTF-8 byte order, then each merge's
+    product in merge order, duplicates keeping their FIRST id."""
+    alpha = sorted({s for w, _ in word_counts for s in word_symbols(w)},
+                   key=lambda s: s.encode("utf-8"))
+    out, seen = [], set()
+    for t in ["<unk>"] + alpha + [l + r for l, r in merges]:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
 if __name__ == "__main__":
     # the planted q134 corpus: the classic subword-paper word mixture
     corpus = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
@@ -87,3 +101,10 @@ if __name__ == "__main__":
         print(f"  ({i}, '{l}', '{r}')")
     for probe in ["lowest", "low", "newest", "wider"]:
         print(f"encode({probe!r}) = {encode(probe, merges)}")
+    v = vocab(corpus, merges)
+    print("vocab (token_id, token):")
+    for i, t in enumerate(v):
+        print(f"  ({i}, '{t}')")
+    ids = {t: i for i, t in enumerate(v)}
+    for probe in ["lowest", "low", "newest", "zap"]:
+        print(f"ids({probe!r}) = {[ids.get(t, 0) for t in encode(probe, merges)]}")
