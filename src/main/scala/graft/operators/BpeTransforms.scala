@@ -143,18 +143,24 @@ object BpeTokenizeTransform extends Transform {
 
 /**
  * `bpe_vocab` — REPLACE the frame with the (token_id, token) vocabulary
- * derived from a persisted merges store ([[graft.text.Bpe.loadVocab]]:
- * `<unk>`=0, alphabet in UTF-8 order, merge products in merge order) —
- * the export/join-back surface: persist it beside the id-encoded corpus
- * and any engine detokenizes `input_ids` with a plain join. Options:
- * `mergesView` (required); `numMerges`/`minCount` stamp checks.
+ * derived from a merges store ([[graft.text.Bpe.loadVocab]]: `<unk>`=0,
+ * alphabet in UTF-8 order, merge products in merge order) — the
+ * export/join-back surface: persist it beside the id-encoded corpus and
+ * any engine detokenizes `input_ids` with a plain join. The store is
+ * the INPUT frame by default (pipeline source = the persisted store
+ * parquet — the natural export pipeline shape, and the input frame is
+ * actually consumed, which keeps the executor's input observation
+ * meaningful); `mergesView` names a registered view instead. Options:
+ * `numMerges`/`minCount` stamp checks.
  */
 object BpeVocabTransform extends Transform {
   val transformType = "bpe_vocab"
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
-    required(config, "mergesView")
-    graft.text.Bpe.vocabFrame(
-      BpeTransforms.storeFromView(config, ctx, transformType),
+    val store =
+      if (config.options.contains("mergesView"))
+        BpeTransforms.storeFromView(config, ctx, transformType)
+      else input
+    graft.text.Bpe.vocabFrame(store,
       wantNumMerges = config.options.get("numMerges").map(_.toInt),
       wantMinCount = config.options.get("minCount").map(_.toLong))
   }

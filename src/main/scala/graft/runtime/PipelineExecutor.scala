@@ -131,9 +131,23 @@ final class PipelineExecutor(
       // plan.in observes the POST-quality frame (the quality gate runs its
       // own actions with early-out limits, which would corrupt a pre-split
       // observation), so raw extracted = observed + rows the gate removed.
-      val observedIn = inObs.get.get("rows").map(_.toString.toLong).getOrElse(-1L)
+      // BOUNDED reads, never Observation.get: a transform chain that
+      // REPLACES the source frame with one not derived from it (bpe_vocab
+      // reading a store view; any future store-export transform) never
+      // executes the observed input plan, so its metrics never arrive and
+      // a blocking get deadlocks the pipeline AFTER its write succeeded.
+      // The listener is async, so poll briefly (getOrEmpty waits ~100 ms
+      // per call) and fall back to the -1 "unobserved" sentinel.
+      def observedRows(obs: Observation): Option[Long] = {
+        import org.apache.spark.sql.GraftBridge.observationOrEmpty
+        val deadline = System.nanoTime() + 2000000000L // 2 s
+        var m = observationOrEmpty(obs)
+        while (m.isEmpty && System.nanoTime() < deadline) m = observationOrEmpty(obs)
+        m.get("rows").map(_.toString.toLong)
+      }
+      val observedIn = observedRows(inObs).getOrElse(-1L)
       val extracted = if (observedIn < 0) -1L else observedIn + math.max(plan.failedRows, 0L)
-      val loaded = outObs.get.get("rows").map(_.toString.toLong)
+      val loaded = observedRows(outObs)
         .filter(_ >= 0).orElse(Some(loadResult.recordsWritten)).getOrElse(-1L)
       ExecutionMetrics(config.pipelineId, runId, "SUCCESS",
         extracted, loaded, plan.failedRows, (System.nanoTime() - t0) / 1000000,

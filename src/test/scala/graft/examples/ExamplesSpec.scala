@@ -443,6 +443,41 @@ class ExamplesSpec extends SparkTestBase {
     lineage should include ("shard")
   }
 
+  test("quickstart-24: training export — sharded fixed-length input_ids " +
+    "rows + vocab sidecar, detokenizable back to the corpus") {
+    import org.apache.spark.sql.functions._
+    run("quickstart-23-bpe-store.yaml")   // run N: train the tokenizer
+    run("quickstart-24-vocab-export.yaml")
+    run("quickstart-24-training-export.yaml")
+    val vocab = spark.read.parquet("/tmp/graft-examples/quickstart-24-vocab")
+    vocab.columns.toSeq shouldBe Seq("token_id", "token")
+    vocab.where("token_id = 0").select("token").as[String].head() shouldBe "<unk>"
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-24-out")
+    out.columns should contain allOf ("seq_id", "input_ids", "n_docs",
+      "seq_weight", "shard_id")
+    // exactly-N: every sequence but the last is exactly 256 ids
+    val maxSeq = out.agg(max("seq_id")).head().getLong(0)
+    out.where(s"seq_id <> $maxSeq AND size(input_ids) <> 256")
+      .count() shouldBe 0
+    // no <unk> leaked: the tokenizer was trained on this corpus, so every
+    // symbol has an id — a 0 in the export means the alphabet lost rows
+    out.where(array_contains(col("input_ids"), 0)).count() shouldBe 0
+    // lossless: concatenating all sequences in seq_id order and
+    // detokenizing through the exported vocab reproduces the normalized
+    // corpus text laid end-to-end in doc_id order
+    val v = vocab.orderBy("token_id").select("token").as[String].collect()
+    val packedText = out.orderBy("seq_id")
+      .select(explode(col("input_ids")).as("id"))
+      .as[Int].collect().map(v(_)).mkString
+      .replace("</w>", " ").trim
+    val corpusText = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .where("text IS NOT NULL AND length(trim(text)) > 0")
+      .orderBy("doc_id").select("text").as[String].collect()
+      .map(_.trim.replaceAll("[ \t\n\f\r]+", " ")).mkString(" ")
+    packedText shouldBe corpusText
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)

@@ -11,6 +11,46 @@ class PipelineExecutorSpec extends SparkTestBase {
   private val executor = new PipelineExecutor()
   private val sf = "/root/testdata/sf0.001"
 
+  test("a transform chain that REPLACES the source frame completes instead " +
+    "of deadlocking on the orphaned input observation, and loaded falls " +
+    "back to the write count") {
+    // bpe_vocab with mergesView drops the observed source frame entirely:
+    // its metrics never arrive, so a blocking Observation.get would hang
+    // the pipeline forever AFTER its write succeeded (caught live by
+    // quickstart-24's first draft)
+    val storeDir = tmpDir("exec-orphan-store")
+    graft.text.Bpe.mergesFrame(
+        Seq("low low low low", "lowest lowest").toDF("text"), "text",
+        numMerges = 3, maxWords = 100)
+      .write.mode("overwrite").parquet(storeDir)
+    spark.read.parquet(storeDir).createOrReplaceTempView("v_exec_orphan")
+    val out = tmpDir("exec-orphan-out")
+    val yaml =
+      s"""pipelineId: it-orphaned-observation
+         |source:
+         |  type: file
+         |  options: {path: $sf/region.parquet, format: parquet}
+         |transformations:
+         |  - name: vocab
+         |    type: bpe_vocab
+         |    options: {mergesView: v_exec_orphan}
+         |sink:
+         |  type: file
+         |  writeMode: overwrite
+         |  options: {path: $out}
+         |""".stripMargin
+    val t0 = System.nanoTime()
+    val m = executor.execute(new YamlConfigParser().parse(yaml))
+    withClue(m.error.getOrElse("")) { m.status shouldBe "SUCCESS" }
+    // bounded wait, not a hang: well under the old infinite block (the
+    // poll gives up after ~2 s)
+    (System.nanoTime() - t0) / 1e9 should be < 30.0
+    m.recordsExtracted shouldBe -1L // honestly unobserved, never a guess
+    val vocabRows = spark.read.parquet(out).count()
+    vocabRows should be > 0L
+    m.recordsLoaded shouldBe vocabRows // the write-count fallback
+  }
+
   test("scenario-1 shape: parquet → filter → aggregation → parquet, metrics from one action") {
     val out = tmpDir("exec-out")
     val yaml =
