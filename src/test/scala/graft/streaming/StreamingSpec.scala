@@ -137,6 +137,54 @@ class StreamingSpec extends SparkTestBase {
       Set(("https://a.com/x", "a.com"), ("http://c.com/z", "c.com"))
   }
 
+  test("tokenizer-exact budget gating runs unchanged on a stream: " +
+    "bpe_token_count + filter + bpe_tokenize emit=ids, zero state") {
+    import spark.implicits._
+    // the persisted store from "yesterday's" batch train — loaded once at
+    // plan time (O(numMerges) driver read), then the encode is a pure
+    // per-row projection: nothing for the state store to hold
+    val storeDir = tmpDir("stream-bpe-store")
+    graft.text.Bpe.mergesFrame(
+        Seq("low low low low low lower lower",
+          "newest newest newest newest newest newest",
+          "widest widest widest").toDF("text"), "text",
+        numMerges = 6, maxWords = 100)
+      .write.mode("overwrite").parquet(storeDir)
+    spark.read.parquet(storeDir).createOrReplaceTempView("v_stream_bpe")
+    val in = tmpDir("bpe-stream-in")
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "docs.txt"), Seq(
+      """{"id": 1, "t": "low lowest"}""",
+      """{"id": 2, "t": "newest newest newest"}""",
+      """{"id": 3, "t": "low"}""")
+      .mkString("\n").getBytes)
+    val cfg = PipelineConfig(
+      pipelineId = "bpe-stream",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("kafka-file", Map("path" -> in, "topic" -> "docs")),
+      transformations = List(
+        TransformConfig("parse", "map", Map(
+          "expressions" -> ("id:cast(get_json_object(value, '$.id') as bigint)," +
+            "text:get_json_object(value, '$.t')"),
+          "project" -> "true")),
+        TransformConfig("count", "bpe_token_count", Map(
+          "textColumn" -> "text", "mergesView" -> "v_stream_bpe")),
+        TransformConfig("gate", "filter", Map(
+          "condition" -> "n_bpe_tokens >= 4")),
+        TransformConfig("ids", "bpe_tokenize", Map(
+          "textColumn" -> "text", "mergesView" -> "v_stream_bpe",
+          "emit" -> "ids"))),
+      sink = SinkConfig("memory", Map("queryName" -> "bpe_stream_out")),
+      streaming = Some(StreamingConfig(checkpointLocation = Some(tmpDir("ckpt-bpe")))))
+    executor.start(cfg).awaitTermination(60000)
+    val out = spark.table("bpe_stream_out")
+    // doc 3 ("low" = 2 tokens) fails the 4-token gate; survivors carry the
+    // SAME ids the batch encode produces (golden: gen_golden_bpe.py)
+    out.orderBy("id").select("id", "n_bpe_tokens", "input_ids")
+      .as[(Long, Int, Seq[Int])].collect().toSeq shouldBe Seq(
+        (1L, 4, Seq(16, 1, 16, 14)),   // low </w> low est</w>
+        (2L, 9, Seq(6, 17, 14, 6, 17, 14, 6, 17, 14)))
+  }
+
   test("foreachBatch path drives a batch sink (kafka-file double) per epoch") {
     val out = tmpDir("stream-kafka-out")
     val cfg = PipelineConfig(
