@@ -94,6 +94,22 @@ object SparkEntry {
       tmp
     })
 
+  /** Persisted line-hash store for q140, memoized per source dir: run-N
+    * scaffolding (the store normally comes from yesterday's
+    * `line_signatures` pipeline over the ingested corpus) — q140 drops
+    * history's lines reading ONLY this parquet, never reference text. */
+  private val lineStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedLineStore(s: SparkSession, dir: String): String =
+    lineStoreDirs.computeIfAbsent(dir, { d =>
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("linestore").toString
+      ap(relined(s, d).where(col("doc_id") < 100),
+        t("line_signatures", "textColumn" -> "text"))
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   /** BPE merges store trained on a DISJOINT planted alphabet (Greek) for
     * q133: none of its merges can fire on the ASCII corpus, so encoding
     * provably degenerates to one token per code point + one `</w>` per
@@ -762,6 +778,15 @@ object SparkEntry {
       ap(tab(s, dir, "documents"),
         t("mix", "on" -> "doc_id", "groupBy" -> "lang",
           "temperature" -> "0.5", "method" -> "mod", "buckets" -> "100"))
+        .select("doc_id", "lang")),
+    // q128 with group sizes measured in TOKENS (Σ n_chars), not documents
+    // — the balance-by-training-tokens knob; same 4-decimal rate rounding,
+    // same exact copy arithmetic, re-derived end-to-end by the oracle
+    "q139_mix_temperature_tokens" -> ((s, dir) =>
+      ap(tab(s, dir, "documents"),
+        t("mix", "on" -> "doc_id", "groupBy" -> "lang",
+          "temperature" -> "0.5", "weightColumn" -> "n_chars",
+          "method" -> "mod", "buckets" -> "100"))
         .select("doc_id", "lang")),
     // reproducible train/val/test assignment: every row labeled by its
     // deterministic bucket's slice (mod path oracled; hash path spec'd)
@@ -1571,6 +1596,27 @@ object SparkEntry {
         .select(col("n_chars"), (col("n_chars") + 200L).as("n_chars_shifted"))
       ap(cur, t("drift", "columns" -> "n_chars,n_chars_shifted",
         "referenceView" -> "q114_reference"))
+    }),
+    // q113 through the PERSISTED line-hash store: the reference half
+    // reduces ONCE to the stamped distinct-sha store parquet (built by the
+    // line_signatures transform, memoized like every other staged store)
+    // and the increment consumes it via signatureView — identical expected
+    // output to q113, but this run never reads reference TEXT
+    "q140_dedup_lines_store" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val lined = relined(s, dir)
+      s.read.parquet(stagedLineStore(s, dir))
+        .createOrReplaceTempView("q140_store")
+      val boiler = lined.where(col("doc_id") < 100)
+        .select(col("doc_id").as("rid"), expr("split(text, chr(10))[0]").as("b"))
+      val inc = lined.where(col("doc_id") >= 100)
+        .withColumn("rid", col("doc_id") % 100)
+        .join(broadcast(boiler), Seq("rid"))
+        .withColumn("text", concat(col("b"), lit("\n"), col("text")))
+        .drop("rid", "b")
+      ap(inc, t("dedup_lines", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "signatureView" -> "q140_store"))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
     }),
     // incremental LINE dedup: increment docs re-lined into 8-word lines
     // (q81's construction) and prefixed with a boilerplate line drawn from
@@ -2523,6 +2569,25 @@ object SparkEntry {
     // rounding as the operator, same floor/threshold copy arithmetic,
     // copies materialized by unnesting the scalar generate_series list
     // (empty at c = 0, so zero-weight rows drop)
+    // q139: q128's derivation with n = Σ n_chars per group (token-weighted
+    // temperature), zero/null-sum groups excluded like the operator
+    "q139_mix_temperature_tokens" ->
+      """SELECT doc_id, lang FROM (
+           WITH counts AS (
+             SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS n
+             FROM documents WHERE lang IS NOT NULL GROUP BY lang
+             HAVING sum(n_chars) > 0),
+           tot AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS b FROM counts),
+           wts AS (SELECT lang, round(b * pow(n, 0.5) / (z * n), 4) AS w
+                   FROM counts, tot),
+           cop AS (SELECT d.doc_id, d.lang,
+                     CAST(floor(w) AS BIGINT)
+                       + CASE WHEN d.doc_id % 100 < round((w - floor(w)) * 100)
+                              THEN 1 ELSE 0 END AS c
+                   FROM documents d JOIN wts USING (lang))
+           SELECT doc_id, lang,
+                  unnest(generate_series(1, CAST(c AS BIGINT))) AS i
+           FROM cop)""",
     "q128_mix_temperature" ->
       """SELECT doc_id, lang FROM (
            WITH counts AS (
@@ -3568,6 +3633,39 @@ object SparkEntry {
                 s.n_ref, t.n_cur AS n_current
          FROM j JOIN stats s ON s.c = j.c JOIN tot t ON t.c = j.c
          GROUP BY 1, s.n_ref, t.n_cur""",
+    // q140: identical semantics to q113 — the store carries exactly the
+    // reference half's distinct line hashes, so the expected output is
+    // the same relational restatement
+    "q140_dedup_lines_store" ->
+      """WITH lined AS (
+           SELECT doc_id,
+                  [array_to_string(ws[i*8+1 : i*8+8], ' ')
+                   FOR i IN range(0, ((len(ws) - 1) // 8) + 1)] AS ls
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         ), rel AS (
+           SELECT doc_id, array_to_string(ls, chr(10)) AS text, ls FROM lined
+         ), refl AS (
+           SELECT DISTINCT unnest(ls) AS ln FROM rel WHERE doc_id < 100
+         ), boiler AS (
+           SELECT doc_id AS rid, ls[1] AS b FROM rel WHERE doc_id < 100
+         ), inc AS (
+           SELECT r.doc_id, b.b || chr(10) || r.text AS text
+           FROM rel r JOIN boiler b ON b.rid = r.doc_id % 100
+           WHERE r.doc_id >= 100
+         ), lines AS (
+           SELECT doc_id,
+                  unnest(string_split(text, chr(10))) AS ln,
+                  unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+           FROM inc
+         ), kept AS (
+           SELECT doc_id, ln, pos FROM lines
+           WHERE length(ln) < 1 OR ln NOT IN (SELECT ln FROM refl)
+         ), rebuilt AS (
+           SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text
+           FROM kept GROUP BY doc_id
+         )
+         SELECT i.doc_id, md5(coalesce(r.text, '')) AS text_md5
+         FROM inc i LEFT JOIN rebuilt r USING (doc_id)""",
     // q81's re-lining, the same planted boilerplate prefix, then the
     // anti-join + ordered rebuild restated relationally
     "q113_dedup_lines_against" ->

@@ -109,6 +109,69 @@ object LineDedup {
     rebuild(df, kept, idCol, textCol, separator)
   }
 
+  /** The persistable LINE-HASH STORE: the distinct sha-256 of every
+    * qualifying line of the reference corpus, parameter-stamped
+    * (`ld_min_length`/`ld_separator` — RLE'd to ~nothing in parquet).
+    * Write it after corpus build N; increments then drop
+    * already-ingested lines via [[dedupLinesAgainstSignatures]] without
+    * ever re-reading reference text — the line-level member of the
+    * signature/gram/codebook/merges store family. The distinct shuffle
+    * is paid ONCE at build time, amortized over every increment. */
+  def lineSignatures(ref: DataFrame, textCol: String,
+                     separator: String = "\n", minLength: Int = 1): DataFrame = {
+    require(separator.nonEmpty, "dedupLines: separator must be non-empty")
+    require(minLength >= 1, s"dedupLines: minLength must be >= 1, got $minLength")
+    val sep = java.util.regex.Pattern.quote(separator)
+    ref.select(explode(split(col(textCol), sep, -1)).as("__ln"))
+      .where(length(col("__ln")) >= minLength)
+      .select(sha2(col("__ln"), 256).as("lh")).distinct()
+      .withColumn("ld_min_length", lit(minLength))
+      .withColumn("ld_separator", lit(separator))
+  }
+
+  /** [[dedupLinesAgainst]] with the reference side read from a PERSISTED
+    * [[lineSignatures]] store — the loud-store contract shared with the
+    * minhash/gram/merges stores: required stamp columns, single-valued
+    * stamps matching this run's parameters (a separator or minLength
+    * mismatch would hash different lines and silently drop nothing — the
+    * worst failure mode for a boilerplate gate). */
+  def dedupLinesAgainstSignatures(df: DataFrame, idCol: String, textCol: String,
+                                  store: DataFrame, separator: String = "\n",
+                                  minLength: Int = 1): DataFrame = {
+    require(separator.nonEmpty, "dedupLines: separator must be non-empty")
+    require(minLength >= 1, s"dedupLines: minLength must be >= 1, got $minLength")
+    val missing = Seq("lh", "ld_min_length", "ld_separator")
+      .filterNot(store.columns.contains)
+    if (missing.nonEmpty)
+      throw new graft.api.ConfigException(
+        s"line signature store is missing column(s) ${missing.mkString(", ")} — " +
+          "expected the lineSignatures layout (lh, ld_*); rebuild the store " +
+          "with the line_signatures transform")
+    val stamps = store.select(col("ld_min_length").cast("int"), col("ld_separator"))
+      .distinct().collect()
+    if (stamps.length != 1 || stamps.head.anyNull)
+      throw new graft.api.ConfigException(
+        "line signature store carries mixed or null parameter stamps — an " +
+          "appended or hand-edited store cannot prove one build; rebuild it " +
+          "with a single line_signatures pass")
+    val (gotMin, gotSep) = (stamps.head.getInt(0), stamps.head.getString(1))
+    if (gotMin != minLength || gotSep != separator)
+      throw new graft.api.ConfigException(
+        s"line signature store was built with minLength=$gotMin, " +
+          s"separator=${gotSep.replace("\n", "\\n")} but this run requests " +
+          s"minLength=$minLength, separator=${separator.replace("\n", "\\n")} — " +
+          "mismatched parameters would hash different lines and silently " +
+          "drop nothing; rebuild the store or align the parameters")
+    val sep = java.util.regex.Pattern.quote(separator)
+    val lines = df.where(col(idCol).isNotNull).select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), sep, -1)).as(Seq("__pos", "__ln")))
+    val kept = lines
+      .withColumn("__h",
+        when(length(col("__ln")) >= minLength, sha2(col("__ln"), 256)))
+      .join(store.select(col("lh").as("__h")), Seq("__h"), "left_anti")
+    rebuild(df, kept, idCol, textCol, separator)
+  }
+
   /** WITHIN-document variant: keep each participating line's first
     * occurrence inside its own document (Gopher-style repetition
     * removal). Pure per-row compute — a zero-shuffle codegen'd projection
@@ -141,7 +204,10 @@ object LineDedup {
  * `referenceTextColumn`), corpus scope switches to INCREMENTAL mode:
  * drop lines already present in the named reference corpus instead of
  * deduping within the input — the line-level counterpart of
- * `dedup_against`.
+ * `dedup_against`. With `signatureView` instead, the reference is a
+ * PERSISTED line-hash store (the [[LineDedup.lineSignatures]] layout,
+ * built by the `line_signatures` transform) — the increment drops
+ * history's lines without ever re-reading history's text.
  */
 object LineDedupTransform extends Transform {
   val transformType = "dedup_lines"
@@ -156,6 +222,12 @@ object LineDedupTransform extends Transform {
     // parse inside the try: {minLength: "two"} gets the guided
     // ConfigException (NumberFormatException IS an IllegalArgumentException)
     val minLength = config.options.get("minLength").map(_.toInt).getOrElse(1)
+    if (config.options.contains("referenceView") &&
+        config.options.contains("signatureView"))
+      throw new ConfigException(
+        "dedup_lines: referenceView and signatureView are mutually " +
+          "exclusive — the reference is either a text corpus or a " +
+          "precomputed line-hash store, not both")
     config.options.getOrElse("scope", "corpus") match {
       case "corpus" if config.options.contains("referenceView") =>
         required(config, "idColumn", "textColumn")
@@ -165,15 +237,23 @@ object LineDedupTransform extends Transform {
           ctx.spark.table(config.options("referenceView")),
           config.options.getOrElse("referenceTextColumn", text),
           separator = separator, minLength = minLength)
+      case "corpus" if config.options.contains("signatureView") =>
+        required(config, "idColumn", "textColumn")
+        LineDedup.dedupLinesAgainstSignatures(input,
+          config.options("idColumn"), config.options("textColumn"),
+          ctx.spark.table(config.options("signatureView")),
+          separator = separator, minLength = minLength)
       case "corpus" =>
         required(config, "idColumn", "textColumn")
         LineDedup.dedupLines(input,
           config.options("idColumn"), config.options("textColumn"),
           separator = separator, minLength = minLength)
       case "document" =>
-        if (config.options.contains("referenceView")) throw new ConfigException(
-          "dedup_lines: referenceView requires scope: corpus (document scope " +
-            "dedups within each row only — it never consults a reference)")
+        if (config.options.contains("referenceView") ||
+            config.options.contains("signatureView")) throw new ConfigException(
+          "dedup_lines: referenceView/signatureView require scope: corpus " +
+            "(document scope dedups within each row only — it never " +
+            "consults a reference)")
         required(config, "textColumn")
         LineDedup.dedupLinesInDoc(input, config.options("textColumn"),
           separator = separator, minLength = minLength)
@@ -181,5 +261,30 @@ object LineDedupTransform extends Transform {
         s"dedup_lines scope must be corpus|document, got '$other'")
     }
     } catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+  }
+}
+
+/**
+ * Producer half of the persisted line-hash loop: REPLACE the frame with
+ * the [[LineDedup.lineSignatures]] store (distinct sha-256 line hashes +
+ * parameter stamps) for a file sink to persist. Run it at the end of
+ * corpus build N; run N+1 registers the parquet and passes it to
+ * `dedup_lines` via `signatureView` — increments drop already-ingested
+ * boilerplate without re-scanning history. Options: `textColumn`
+ * (required); `separator` (default newline), `minLength` (default 1) —
+ * both stamped into the store and enforced at consume time.
+ */
+object LineSignaturesTransform extends Transform {
+  val transformType = "line_signatures"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    graft.operators.Validate.columnsExist(schema,
+      config.options.get("textColumn").toSeq, transformType)
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "textColumn")
+    try LineDedup.lineSignatures(input, config.options("textColumn"),
+      separator = config.options.getOrElse("separator", "\n"),
+      minLength = config.options.get("minLength").map(_.toInt).getOrElse(1))
+    catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
   }
 }

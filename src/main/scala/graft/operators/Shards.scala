@@ -418,6 +418,15 @@ object SampleTransform extends Transform {
  * engine-reproducible (the DuckDB oracle re-derives bit-identical rates);
  * rows whose group is NULL drop (they are not part of any mixture).
  *
+ * `weightColumn` (temperature mode only) switches the group size n_d
+ * from row counts to Σ weightColumn — balance the mixture by TOKENS
+ * instead of documents (a token count from `bpe_token_count`, `n_chars`,
+ * any numeric weight): what temperature sampling actually operates on is
+ * a group's share of the training tokens, and the two differ wherever
+ * document length correlates with language/domain. `budgetRows` is then
+ * a budget in the same weight units. Zero/null-sum groups derive weight
+ * 0 and their rows drop.
+ *
  * Scale shape: the derivation adds ONE narrow count-by-group aggregate
  * collected to the driver — O(|groups|) state, the codebook/stamp-check
  * exception pattern — then the usual zero-shuffle projection + bounded
@@ -439,6 +448,10 @@ object MixTransform extends graft.api.Transform {
       case (None, None) => throw new graft.api.ConfigException(
         "mix: one of weights or temperature is required")
       case (Some(spec), None) =>
+        if (config.options.contains("weightColumn"))
+          throw new graft.api.ConfigException(
+            "mix: weightColumn only applies with temperature — explicit " +
+              "weights already state the mixture, group sizes never enter")
         val default = config.options.get("defaultWeight").map(_.toDouble).getOrElse(0.0)
         SampleTransform.mixSample(input, group,
           SampleTransform.parseWeights(spec), default, bucket, buckets)
@@ -469,10 +482,31 @@ object MixTransform extends graft.api.Transform {
         // the Z / default-budget sums below are floating-point (order-
         // dependent at the ulp level) — a rate within an ulp of a 0.00005
         // rounding boundary must not flip across runs
+        // group size = row count, or Σ weightColumn when set — the
+        // "balance the mixture by TOKENS, not documents" knob (what
+        // temperature sampling actually operates on in mT5/XLM-R: a
+        // language's share of the TRAINING TOKENS). Zero/null-sum groups
+        // derive weight 0 and their rows drop — a group with no weight
+        // has nothing to contribute to a weighted mixture.
+        val sizeExpr = config.options.get("weightColumn") match {
+          case None => count(lit(1)).cast("double")
+          case Some(w) =>
+            val wcol = input.columns.find(_.equalsIgnoreCase(w)).getOrElse(
+              throw new graft.api.ConfigException(
+                s"mix: weightColumn '$w' not found in input"))
+            if (!input.schema(wcol).dataType
+                .isInstanceOf[org.apache.spark.sql.types.NumericType])
+              throw new graft.api.ConfigException(
+                s"mix: weightColumn '$w' must be numeric, got " +
+                  input.schema(wcol).dataType.typeName)
+            coalesce(sum(col(wcol).cast("double")), lit(0.0))
+        }
         val counts = input.where(col(group).isNotNull)
-          .groupBy(col(group).cast("string").as("__g")).count()
+          .groupBy(col(group).cast("string").as("__g"))
+          .agg(sizeExpr.as("__n"))
           .limit(maxGroups + 1)
-          .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+          .collect().map(r => (r.getString(0), r.getDouble(1)))
+          .filter(_._2 > 0)
           .sortBy(_._1)
         if (counts.length > maxGroups) throw new graft.api.ConfigException(
           s"mix: temperature derived over maxGroups=$maxGroups group " +

@@ -116,6 +116,55 @@ class LineDedupSpec extends SparkTestBase {
     out(1L) shouldBe "zz\nbbbb"
   }
 
+  test("signature-store mode equals against-reference mode and never reads " +
+    "reference text; the loud-store contract fires on every malformed shape") {
+    import org.apache.spark.sql.functions.col
+    val ref = Seq((1L, "boiler plate\nlegal footer"), (2L, "nav bar")).toDF("rid", "text")
+    val storeDir = tmpDir("line-store")
+    LineSignaturesTransform(ref, TransformConfig("t", "line_signatures",
+      Map("textColumn" -> "text")), ctx)
+      .write.mode("overwrite").parquet(storeDir)
+    val store = spark.read.parquet(storeDir)
+    store.columns.toSeq should contain theSameElementsAs
+      Seq("lh", "ld_min_length", "ld_separator")
+    store.columns.contains("text") shouldBe false // the whole point
+    store.createOrReplaceTempView("line_store")
+    val inc = Seq(
+      (10L, "boiler plate\nfresh alpha\nnav bar"),
+      (11L, "fresh beta\nfresh beta\nlegal footer"),
+      (12L, "boiler plate"),
+      (13L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def viaStore = LineDedupTransform(inc, TransformConfig("t", "dedup_lines",
+      Map("idColumn" -> "doc_id", "textColumn" -> "text",
+        "signatureView" -> "line_store")), ctx)
+    viaStore.as[(Long, String)].collect().toMap shouldBe
+      LineDedupTransform(inc, TransformConfig("t", "dedup_lines",
+        Map("idColumn" -> "doc_id", "textColumn" -> "text",
+          "referenceView" -> "line_ref_eq")), {
+        ref.createOrReplaceTempView("line_ref_eq"); ctx
+      }).as[(Long, String)].collect().toMap
+    // loud contract: missing column / mixed stamps / parameter mismatch /
+    // both reference kinds at once
+    intercept[graft.api.ConfigException] {
+      LineDedup.dedupLinesAgainstSignatures(inc, "doc_id", "text",
+        store.drop("ld_separator"))
+    }.getMessage should include ("ld_separator")
+    intercept[graft.api.ConfigException] {
+      LineDedup.dedupLinesAgainstSignatures(inc, "doc_id", "text",
+        store.union(store.withColumn("ld_min_length",
+          org.apache.spark.sql.functions.lit(7))))
+    }.getMessage should include ("mixed")
+    intercept[graft.api.ConfigException] {
+      LineDedup.dedupLinesAgainstSignatures(inc, "doc_id", "text",
+        store, minLength = 5)
+    }.getMessage should include ("minLength=5")
+    intercept[graft.api.ConfigException] {
+      LineDedupTransform(inc, TransformConfig("t", "dedup_lines",
+        Map("idColumn" -> "doc_id", "textColumn" -> "text",
+          "referenceView" -> "line_ref_eq", "signatureView" -> "line_store")), ctx)
+    }.getMessage should include ("mutually exclusive")
+  }
+
   test("document scope rejects referenceView instead of silently ignoring it") {
     val d = Seq((1L, "a\nb")).toDF("doc_id", "text")
     an[graft.api.ConfigException] should be thrownBy LineDedupTransform(d,

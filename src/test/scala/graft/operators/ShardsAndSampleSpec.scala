@@ -393,6 +393,48 @@ class ShardsAndSampleSpec extends SparkTestBase {
         "temperature" -> "0.5", "maxGroups" -> "10"), ctx)
   }
 
+  test("mix temperature weightColumn: group sizes in TOKENS, not documents " +
+    "— zero/null-sum groups drop; guided misuse errors") {
+    // 100 en docs of 9 tokens each vs 300 de docs of 1: by DOCUMENTS de
+    // dominates 3:1, by TOKENS en dominates 3:1 — alpha=0 must equalize
+    // token shares, so the derived rates differ from the count-based run
+    val d = (0 until 400).map { i =>
+      if (i % 4 == 0) (i.toLong, "en", 9L) else (i.toLong, "de", 1L)
+    }.toDF("doc_id", "grp", "toks")
+    // alpha = 1 in token units: w_d = B*n_d/(Z*n_d) = 1 — identity
+    MixTransform(d, t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+      "temperature" -> "1", "weightColumn" -> "toks",
+      "method" -> "mod", "buckets" -> "100"), ctx).count() shouldBe 400
+    // alpha = 0: n_en = 900, n_de = 300, B = 1200, Z = 2 →
+    // w_en = 1200/(2*900) = 0.6667, w_de = 1200/(2*300) = 2.0: en keeps
+    // (id%100 < 67), de doubles — token-equalized, document counts ignored
+    val eq = MixTransform(d, t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+      "temperature" -> "0", "weightColumn" -> "toks",
+      "method" -> "mod", "buckets" -> "100"), ctx)
+    eq.where("grp = 'en'").select("doc_id").as[Long].collect().toSet shouldBe
+      (0 until 400).filter(i => i % 4 == 0 && i % 100 < 67).map(_.toLong).toSet
+    eq.where("grp = 'de'").groupBy("doc_id").count()
+      .select("count").as[Long].collect().toSet shouldBe Set(2L)
+    // a zero-token group derives weight 0 and its rows drop
+    val withZero = d.withColumn("toks",
+      when(col("grp") === "de", lit(0L)).otherwise(col("toks")))
+    MixTransform(withZero, t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+      "temperature" -> "1", "weightColumn" -> "toks",
+      "method" -> "mod", "buckets" -> "100"), ctx)
+      .where("grp = 'de'").count() shouldBe 0
+    // guided: unknown / non-numeric weight column, and weightColumn with
+    // explicit weights (group sizes never enter that mode)
+    an[graft.api.ConfigException] should be thrownBy MixTransform(d,
+      t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+        "temperature" -> "1", "weightColumn" -> "nope"), ctx)
+    an[graft.api.ConfigException] should be thrownBy MixTransform(d,
+      t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+        "temperature" -> "1", "weightColumn" -> "grp"), ctx)
+    an[graft.api.ConfigException] should be thrownBy MixTransform(d,
+      t("mix", "on" -> "doc_id", "groupBy" -> "grp",
+        "weights" -> "en:1.0", "weightColumn" -> "toks"), ctx)
+  }
+
   test("shuffle: seeded permutation — exact, stable, seed-dependent, windowless") {
     val d = docs(500)
     val out = ShuffleTransform(d,
