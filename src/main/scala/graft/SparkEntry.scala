@@ -571,6 +571,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           col("n_bpe_tokens").as("n_bpe"), col("n_chars").as("len_chars"))
     }),
+    // Gopher's top n-gram character coverage (the "same slogan 400 times"
+    // repetition signal): elected gram maximizes (count, char length),
+    // covered chars / normalized length, capped at 1 — re-derived row-
+    // for-row by the oracle's group-and-rank restatement
+    "q141_top_ngram_signal" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      ap(tab(s, dir, "documents").where(col("text").isNotNull),
+        t("text_signals", "textColumn" -> "text", "signals" -> "top_ngrams",
+          "ngramSize" -> "2"))
+        .select("doc_id", "top_ngram_frac")
+    }),
     "q24_text_quality" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       ap(tab(s, dir, "documents"),
@@ -2204,6 +2215,38 @@ object SparkEntry {
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
          count(*) AS n_rows
          FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag, l_linestatus""",
+    // q141: per-doc bigram frequencies → rank by (count, length) → covered
+    // chars over the space-joined token length, capped at 1; < n tokens
+    // (and blank docs) score 0.0 like the operator
+    "q141_top_ngram_signal" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents WHERE text IS NOT NULL
+         ), g AS (
+           SELECT doc_id, toks,
+                  CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+                       ELSE [array_to_string(toks[i:i+1], ' ')
+                             FOR i IN range(1, len(toks))]
+                  END AS ngs
+           FROM t
+         ), e AS (
+           SELECT doc_id, unnest(ngs) AS ng FROM g
+         ), c AS (
+           SELECT doc_id, ng, count(*) AS c FROM e GROUP BY 1, 2
+         ), top AS (
+           SELECT doc_id, c, length(ng) AS l,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY c DESC, length(ng) DESC) AS rn
+           FROM c
+         )
+         SELECT t.doc_id,
+                CASE WHEN len(t.toks) < 2 THEN 0.0
+                     ELSE round(least(1.0, CAST(top.c * top.l AS DOUBLE)
+                            / greatest(length(array_to_string(t.toks, ' ')), 1)), 4)
+                END AS top_ngram_frac
+         FROM t JOIN top ON top.doc_id = t.doc_id AND top.rn = 1""",
     "q23_text_stats" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0

@@ -487,6 +487,33 @@ object TextFunctions {
   /** [[dupNgramFraction]] at the single-word level. */
   def dupWordFraction(text: Column): Column = dupNgramFraction(text, 1)
 
+  /** Gopher §A1.1 "top n-gram character fraction": the share of the
+    * document's whitespace-normalized characters covered by occurrences
+    * of its single MOST FREQUENT word n-gram — the repetition signal that
+    * catches "same slogan 400 times" pages [[dupNgramFraction]] can
+    * under-read (one dominant gram vs many scattered repeats). Exact
+    * contract, engine-reproducible: tokens = [[tokens]] (lowercased,
+    * `\s+`); the elected gram maximizes (count, char length) — further
+    * ties cannot change the fraction; covered = count × gram length
+    * (single separator spaces included), denominator = the space-joined
+    * token string's length; overlapping occurrences can overcount, so the
+    * result caps at 1.0; docs with fewer than n tokens score 0.0 (the
+    * measure is undefined, and a short doc must not read as maximally
+    * repetitive). One per-row projection over [[wordNgrams]] +
+    * [[graft.functions.expressions.ItemCounts]] — zero shuffle. */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val top = array_max(transform(
+      graft.functions.expressions.ItemCounts(wordNgrams(text, n)),
+      x => struct(x.getField("cnt").as("c"),
+        length(x.getField("item")).cast("long").as("l"))))
+    val denom = length(array_join(t, " ")).cast("double")
+    when(length(wsStrip(text)) === 0 || size(t) < n, 0.0).otherwise(
+      round(least(lit(1.0),
+        (top.getField("c") * top.getField("l")).cast("double")
+          / greatest(denom, lit(1.0))), 4))
+  }
+
   /** Word n-gram array ("a b c", 2 → ["a b", "b c"]); docs shorter than n
     * tokens get a single shingle of the whole text. */
   def wordNgrams(text: Column, n: Int): Column = {

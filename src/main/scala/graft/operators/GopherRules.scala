@@ -27,6 +27,9 @@ import graft.functions.TextFunctions
  *   alpha_words      fraction of tokens containing a letter below min
  *   stopwords        fewer DISTINCT hits than minStopwords from the fixed
  *                    Gopher set {the, be, to, of, and, that, have, with}
+ *   top_ngram        top n-gram character fraction above max (OPT-IN —
+ *                    the default threshold 1.0 can never fire; Gopher
+ *                    arms it at n ∈ {2,3,4} with 0.20/0.18/0.16)
  */
 object GopherRules {
 
@@ -38,7 +41,11 @@ object GopherRules {
       minMeanWordLength: Double = 3.0, maxMeanWordLength: Double = 10.0,
       maxSymbolRatio: Double = 0.1, maxBulletFraction: Double = 0.9,
       maxEllipsisFraction: Double = 0.3, minAlphaFraction: Double = 0.8,
-      minStopwords: Int = 2)
+      minStopwords: Int = 2,
+      // top_ngrams is OPT-IN (the fraction caps at 1.0, so the 1.0
+      // default can never fire): Gopher applies it at n ∈ {2,3,4} with
+      // 0.20/0.18/0.16 — set maxTopNgramFraction (+ topNgramSize) to arm
+      maxTopNgramFraction: Double = 1.0, topNgramSize: Int = 2)
 
   /** Stage the two single-pass signal structs
     * ([[graft.functions.expressions.TokenSignals]] /
@@ -81,7 +88,7 @@ object GopherRules {
       ts.getField("alpha").cast("double") / nWords)
     val stopHits = ts.getField("distinct_stop_hits")
 
-    val fail = when(text.isNull || length(trim(text)) === 0, "empty")
+    val base = when(text.isNull || length(trim(text)) === 0, "empty")
       .when(nWords < th.minWords || nWords > th.maxWords, "word_count")
       .when(meanLen < th.minMeanWordLength || meanLen > th.maxMeanWordLength,
         "mean_word_length")
@@ -90,6 +97,13 @@ object GopherRules {
       .when(ellipsisFrac > th.maxEllipsisFraction, "ellipsis_lines")
       .when(alphaFrac < th.minAlphaFraction, "alpha_words")
       .when(stopHits < th.minStopwords, "stopwords")
+    // the branch only exists when ARMED: a fraction capped at 1.0 cannot
+    // exceed the 1.0 default, and an always-false branch would still make
+    // every unarmed run pay the per-row n-gram count walk
+    val fail = (if (th.maxTopNgramFraction < 1.0)
+        base.when(TextFunctions.topNgramFraction(text, th.topNgramSize)
+          > th.maxTopNgramFraction, "top_ngram")
+      else base)
       .otherwise(lit(null).cast("string"))
     staged.withColumn(failCol, fail).drop("__gopher_ts", "__gopher_ls")
   }
@@ -120,7 +134,8 @@ object GopherRules {
  *
  * `mode: annotate (default) | filter`; every threshold overridable:
  * minWords/maxWords, minMeanWordLength/maxMeanWordLength, maxSymbolRatio,
- * maxBulletFraction, maxEllipsisFraction, minAlphaFraction, minStopwords.
+ * maxBulletFraction, maxEllipsisFraction, minAlphaFraction, minStopwords,
+ * maxTopNgramFraction (+ topNgramSize — opt-in repetition rule).
  */
 object GopherRulesTransform extends Transform {
   val transformType = "quality_rules"
@@ -150,7 +165,9 @@ object GopherRulesTransform extends Transform {
       maxBulletFraction = d("maxBulletFraction", 0.9),
       maxEllipsisFraction = d("maxEllipsisFraction", 0.3),
       minAlphaFraction = d("minAlphaFraction", 0.8),
-      minStopwords = i("minStopwords", 2).toInt)
+      minStopwords = i("minStopwords", 2).toInt,
+      maxTopNgramFraction = d("maxTopNgramFraction", 1.0),
+      topNgramSize = i("topNgramSize", 2).toInt)
     val textCol = o("textColumn")
     o.getOrElse("mode", "annotate") match {
       case "annotate" => GopherRules.annotate(input, textCol, th)

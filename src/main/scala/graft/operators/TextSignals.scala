@@ -41,7 +41,8 @@ object TextSignalsTransform extends Transform {
     ("lang",           "lang_pred",      langId _),
     ("fingerprint",    "fingerprint",    fingerprint _),
     ("dup_words",      "dup_word_frac",  dupWordFraction _),
-    ("dup_ngrams",     "dup_ngram_frac", (c: Column) => dupNgramFraction(c, ngramSize)))
+    ("dup_ngrams",     "dup_ngram_frac", (c: Column) => dupNgramFraction(c, ngramSize)),
+    ("top_ngrams",     "top_ngram_frac", (c: Column) => topNgramFraction(c, ngramSize)))
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "textColumn")

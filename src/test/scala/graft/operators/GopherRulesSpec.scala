@@ -99,6 +99,41 @@ class GopherRulesSpec extends SparkTestBase {
       "d_n IS DISTINCT FROM d_h").count() shouldBe 0
   }
 
+  test("top_ngram repetition rule: OFF by default, armed by threshold; " +
+    "the signal matches the published definition on planted docs") {
+    import graft.functions.TextFunctions.topNgramFraction
+    import org.apache.spark.sql.functions.col
+    // "spam spam ... spam" (one dominant bigram) vs prose: the signal
+    // separates them; dup_ngram_frac alone also fires on scattered
+    // repeats, which is why the rule exists separately in Gopher
+    val slogan = Seq.fill(30)("buy cheap pills now").mkString(" ")
+    val d = Seq((1L, good), (2L, slogan)).toDF("doc_id", "text")
+    val frac = d.select(col("doc_id"), topNgramFraction(col("text"), 2))
+      .as[(Long, Double)].collect().toMap
+    frac(2L) should be > 0.2
+    frac(1L) should be < 0.2
+    // "pills now" and "cheap pills" etc. tie at count 30 under
+    // (count, length); "now buy" reaches only 29 — elected gram must be a
+    // length-11 count-30 one: 330/length(normalized)
+    val norm = slogan.trim.replaceAll("\\s+", " ")
+    frac(2L) shouldBe BigDecimal(30.0 * 11 / norm.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // short/degenerate docs never read as maximally repetitive
+    d.sparkSession.createDataFrame(Seq((3L, "single"), (4L, "  "))).toDF("doc_id", "text")
+      .select(col("doc_id"), topNgramFraction(col("text"), 2))
+      .as[(Long, Double)].collect().toMap.values.toSet shouldBe Set(0.0)
+    // unarmed (default): the slogan doc passes quality_rules' other gates
+    // here, so it must be KEPT; armed at Gopher's 0.2 it fails top_ngram
+    val unarmed = annotate(Seq((2L, slogan)),
+      "minWords" -> "5", "minStopwords" -> "0")
+    unarmed(2L) shouldBe (true, "pass")
+    val armed = annotate(Seq((1L, good), (2L, slogan)),
+      "minWords" -> "5", "minStopwords" -> "0",
+      "maxTopNgramFraction" -> "0.2")
+    armed(2L) shouldBe (false, "top_ngram")
+    armed(1L) shouldBe (true, "pass")
+  }
+
   test("zero-shuffle plan; config errors fail fast") {
     val d = Seq((1L, good)).toDF("doc_id", "text")
     val out = GopherRules.annotate(d, "text")
