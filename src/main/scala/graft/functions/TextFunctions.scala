@@ -499,20 +499,14 @@ object TextFunctions {
     * token string's length; overlapping occurrences can overcount, so the
     * result caps at 1.0; docs with fewer than n tokens score 0.0 (the
     * measure is undefined, and a short doc must not read as maximally
-    * repetitive). One per-row projection over [[wordNgrams]] +
-    * [[graft.functions.expressions.ItemCounts]] — zero shuffle. */
-  def topNgramFraction(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    val top = array_max(transform(
-      graft.functions.expressions.ItemCounts(wordNgrams(text, n)),
-      x => struct(x.getField("cnt").as("c"),
-        length(x.getField("item")).cast("long").as("l"))))
-    val denom = length(array_join(t, " ")).cast("double")
-    when(length(wsStrip(text)) === 0 || size(t) < n, 0.0).otherwise(
-      round(least(lit(1.0),
-        (top.getField("c") * top.getField("l")).cast("double")
-          / greatest(denom, lit(1.0))), 4))
-  }
+    * repetitive). One native single-pass codegen'd projection
+    * ([[graft.functions.expressions.TopNgramFraction]]) — zero shuffle.
+    * The equivalent Column-HOF spelling lives in GopherRulesSpec as the
+    * parity reference: referenced from `when`/`getField` branches it
+    * re-ran the interpreted n-gram walk per reference (measured 7.8 s →
+    * 0.2 s at sf0.1 for the native form). */
+  def topNgramFraction(text: Column, n: Int): Column =
+    graft.functions.expressions.TopNgramFraction(text, n)
 
   /** Word n-gram array ("a b c", 2 → ["a b", "b c"]); docs shorter than n
     * tokens get a single shingle of the whole text. */

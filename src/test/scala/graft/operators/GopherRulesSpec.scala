@@ -134,6 +134,50 @@ class GopherRulesSpec extends SparkTestBase {
     armed(1L) shouldBe (true, "pass")
   }
 
+  test("native TopNgramFraction matches the Column-HOF reference form " +
+    "over the real corpus (n = 1, 2, 3) and encodes through codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.{tokens, wordNgrams}
+    // the reference spelling the native expression replaced (kept here,
+    // not in the hot path: each when/getField reference re-ran the
+    // interpreted HOF walk — measured 7.8 s → 0.2 s at sf0.1)
+    def hofForm(text: org.apache.spark.sql.Column, n: Int) = {
+      val t = tokens(text)
+      val top = array_max(transform(
+        graft.functions.expressions.ItemCounts(wordNgrams(text, n)),
+        x => struct(x.getField("cnt").as("c"),
+          org.apache.spark.sql.functions.length(x.getField("item")).cast("long").as("l"))))
+      val denom = org.apache.spark.sql.functions.length(array_join(t, " ")).cast("double")
+      // null-in-null-out explicitly: without the guard, least(1.0, null)
+      // SKIPS the null and the reference form leaks 1.0 for null text —
+      // the bug the native expression's nullSafeEval doesn't have
+      when(text.isNull, lit(null).cast("double"))
+        .when(org.apache.spark.sql.functions.length(
+          trim(text, " \t\n\u000B\f\r")) === 0
+          || org.apache.spark.sql.functions.size(t) < n, 0.0)
+        .otherwise(round(least(lit(1.0),
+          (top.getField("c") * top.getField("l")).cast("double")
+            / greatest(denom, lit(1.0))), 4))
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where("text IS NOT NULL")
+    for (n <- Seq(1, 2, 3)) {
+      docs.select(
+          graft.functions.TextFunctions.topNgramFraction(col("text"), n).as("a"),
+          hofForm(col("text"), n).as("b"))
+        .where("a IS DISTINCT FROM b").count() shouldBe 0
+    }
+    // adversarial edges: surrogate pairs (code-point lengths), blank,
+    // null, exactly-n tokens, repeated single token
+    val edge = Seq("𝔘𝔫𝔦 𝔘𝔫𝔦 x", "a b", "a a a a", " ", null.asInstanceOf[String])
+      .toDF("text")
+    val diff = edge.select(col("text"),
+        graft.functions.TextFunctions.topNgramFraction(col("text"), 2).as("a"),
+        hofForm(col("text"), 2).as("b"))
+      .where("a IS DISTINCT FROM b").collect()
+    withClue(diff.mkString("; ")) { diff.length shouldBe 0 }
+  }
+
   test("zero-shuffle plan; config errors fail fast") {
     val d = Seq((1L, good)).toDF("doc_id", "text")
     val out = GopherRules.annotate(d, "text")
