@@ -843,6 +843,22 @@ object SparkEntry {
       ap(rep, t("dedup_lines", "textColumn" -> "text", "scope" -> "document"))
         .select("doc_id", "text")
     }),
+    // Gopher duplicate-line + duplicate-line-character fractions over
+    // q90's planted construction (each doc's first 8-word line appended
+    // twice): the native one-walk DupLineStats vs DuckDB's list-ops
+    // restatement (repeats = n - distinct; repeat chars = total chars -
+    // distinct first-occurrence chars)
+    "q142_dup_line_signals" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val lined = relined(s, dir)
+      val rep = lined.withColumn("text",
+        concat_ws("\n", col("text"),
+          element_at(split(col("text"), "\n"), 1),
+          element_at(split(col("text"), "\n"), 1)))
+      ap(rep, t("text_signals", "textColumn" -> "text",
+        "signals" -> "dup_lines,dup_line_chars"))
+        .select("doc_id", "dup_line_frac", "dup_line_char_frac")
+    }),
     // Gopher-rule quality gate (annotate mode): planted symbol soup
     // (doc_id % 7) and ellipsis-ended lines (% 13) exercise the
     // symbol_ratio and ellipsis_lines rules on top of the corpus's own
@@ -2827,6 +2843,34 @@ object SparkEntry {
     "q87_frequent_items" ->
       """SELECT source AS item, CAST(count(*) AS BIGINT) AS est_count
          FROM documents GROUP BY source""",
+    // q142: q90's lined+planted-repeat construction; dup lines = n −
+    // distinct, dup chars = total − Σ distinct first-occurrence lengths;
+    // empty lines never participate (minLength 1)
+    "q142_dup_line_signals" ->
+      """WITH lined AS (
+           SELECT doc_id,
+                  [array_to_string(ws[i*8+1 : i*8+8], ' ')
+                   FOR i IN range(0, ((len(ws) - 1) // 8) + 1)] AS ls
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         ), rep AS (
+           SELECT doc_id, list_append(list_append(ls, ls[1]), ls[1]) AS ls
+           FROM lined
+         ), q AS (
+           SELECT doc_id, list_filter(ls, l -> length(l) >= 1) AS ql FROM rep
+         ), m AS (
+           SELECT doc_id,
+                  len(ql) AS nl, len(list_distinct(ql)) AS nd,
+                  coalesce(list_sum(list_transform(ql, l -> length(l))), 0) AS tc,
+                  coalesce(list_sum(list_transform(list_distinct(ql),
+                    l -> length(l))), 0) AS dc
+           FROM q
+         )
+         SELECT doc_id,
+                CASE WHEN nl = 0 THEN 0.0
+                     ELSE round(CAST(nl - nd AS DOUBLE) / nl, 4) END AS dup_line_frac,
+                CASE WHEN tc = 0 THEN 0.0
+                     ELSE round(CAST(tc - dc AS DOUBLE) / tc, 4) END AS dup_line_char_frac
+         FROM m""",
     // same 8-word lined construction as q81; document scope = keep a
     // line's FIRST in-list position (list_position = own index), short
     // (here: only empty) lines always kept

@@ -508,6 +508,33 @@ object TextFunctions {
   def topNgramFraction(text: Column, n: Int): Column =
     graft.functions.expressions.TopNgramFraction(text, n)
 
+  /** Gopher §A1.1 duplicate line fraction: repeats-of-an-earlier-line /
+    * participating lines (≥ `minLength` code points), 0.0 for documents
+    * with no participating lines. One native walk
+    * ([[graft.functions.expressions.DupLineStats]]); `separator` "\n\n"
+    * gives the paragraph variant. */
+  def dupLineFraction(text: Column, separator: String = "\n",
+                      minLength: Int = 1): Column = {
+    val st = graft.functions.expressions.DupLineStats(
+      split(text, java.util.regex.Pattern.quote(separator), -1), minLength)
+    when(st.getField("n_lines") === 0, 0.0).otherwise(
+      round(st.getField("dup_lines").cast("double")
+        / st.getField("n_lines"), 4))
+  }
+
+  /** Gopher §A1.1 duplicate line CHARACTER fraction: characters inside
+    * repeated lines / characters inside all participating lines — the
+    * companion that weighs a few repeated LONG lines correctly where
+    * [[dupLineFraction]] under-reads them. */
+  def dupLineCharFraction(text: Column, separator: String = "\n",
+                          minLength: Int = 1): Column = {
+    val st = graft.functions.expressions.DupLineStats(
+      split(text, java.util.regex.Pattern.quote(separator), -1), minLength)
+    when(st.getField("total_chars") === 0, 0.0).otherwise(
+      round(st.getField("dup_chars").cast("double")
+        / st.getField("total_chars"), 4))
+  }
+
   /** Word n-gram array ("a b c", 2 → ["a b", "b c"]); docs shorter than n
     * tokens get a single shingle of the whole text. */
   def wordNgrams(text: Column, n: Int): Column = {

@@ -30,6 +30,10 @@ import graft.functions.TextFunctions
  *   top_ngram        top n-gram character fraction above max (OPT-IN —
  *                    the default threshold 1.0 can never fire; Gopher
  *                    arms it at n ∈ {2,3,4} with 0.20/0.18/0.16)
+ *   dup_lines        duplicate line fraction above max (OPT-IN; Gopher
+ *                    arms it at 0.30)
+ *   dup_line_chars   duplicate line character fraction above max
+ *                    (OPT-IN; Gopher arms it at 0.20)
  */
 object GopherRules {
 
@@ -45,7 +49,11 @@ object GopherRules {
       // top_ngrams is OPT-IN (the fraction caps at 1.0, so the 1.0
       // default can never fire): Gopher applies it at n ∈ {2,3,4} with
       // 0.20/0.18/0.16 — set maxTopNgramFraction (+ topNgramSize) to arm
-      maxTopNgramFraction: Double = 1.0, topNgramSize: Int = 2)
+      maxTopNgramFraction: Double = 1.0, topNgramSize: Int = 2,
+      // dup-line gates are OPT-IN too (a first occurrence is never a
+      // duplicate, so the fractions are strictly < 1 and the 1.0
+      // defaults can never fire); Gopher arms them at 0.30 / 0.20
+      maxDupLineFraction: Double = 1.0, maxDupLineCharFraction: Double = 1.0)
 
   /** Stage the two single-pass signal structs
     * ([[graft.functions.expressions.TokenSignals]] /
@@ -97,14 +105,23 @@ object GopherRules {
       .when(ellipsisFrac > th.maxEllipsisFraction, "ellipsis_lines")
       .when(alphaFrac < th.minAlphaFraction, "alpha_words")
       .when(stopHits < th.minStopwords, "stopwords")
-    // the branch only exists when ARMED: a fraction capped at 1.0 cannot
-    // exceed the 1.0 default, and an always-false branch would still make
-    // every unarmed run pay the per-row n-gram count walk
-    val fail = (if (th.maxTopNgramFraction < 1.0)
+    // repetition branches only exist when ARMED: their fractions cannot
+    // exceed (top_ngram) or reach (dup_line*) the 1.0 defaults, and an
+    // always-false branch would still make every unarmed run pay the
+    // per-row n-gram/line walks
+    val armed1 = if (th.maxTopNgramFraction < 1.0)
         base.when(TextFunctions.topNgramFraction(text, th.topNgramSize)
           > th.maxTopNgramFraction, "top_ngram")
-      else base)
-      .otherwise(lit(null).cast("string"))
+      else base
+    val armed2 = if (th.maxDupLineFraction < 1.0)
+        armed1.when(TextFunctions.dupLineFraction(text)
+          > th.maxDupLineFraction, "dup_lines")
+      else armed1
+    val armed3 = if (th.maxDupLineCharFraction < 1.0)
+        armed2.when(TextFunctions.dupLineCharFraction(text)
+          > th.maxDupLineCharFraction, "dup_line_chars")
+      else armed2
+    val fail = armed3.otherwise(lit(null).cast("string"))
     staged.withColumn(failCol, fail).drop("__gopher_ts", "__gopher_ls")
   }
 
@@ -135,7 +152,8 @@ object GopherRules {
  * `mode: annotate (default) | filter`; every threshold overridable:
  * minWords/maxWords, minMeanWordLength/maxMeanWordLength, maxSymbolRatio,
  * maxBulletFraction, maxEllipsisFraction, minAlphaFraction, minStopwords,
- * maxTopNgramFraction (+ topNgramSize — opt-in repetition rule).
+ * maxTopNgramFraction (+ topNgramSize), maxDupLineFraction,
+ * maxDupLineCharFraction (the opt-in repetition rules).
  */
 object GopherRulesTransform extends Transform {
   val transformType = "quality_rules"
@@ -167,7 +185,9 @@ object GopherRulesTransform extends Transform {
       minAlphaFraction = d("minAlphaFraction", 0.8),
       minStopwords = i("minStopwords", 2).toInt,
       maxTopNgramFraction = d("maxTopNgramFraction", 1.0),
-      topNgramSize = i("topNgramSize", 2).toInt)
+      topNgramSize = i("topNgramSize", 2).toInt,
+      maxDupLineFraction = d("maxDupLineFraction", 1.0),
+      maxDupLineCharFraction = d("maxDupLineCharFraction", 1.0))
     val textCol = o("textColumn")
     o.getOrElse("mode", "annotate") match {
       case "annotate" => GopherRules.annotate(input, textCol, th)

@@ -42,7 +42,9 @@ object TextSignalsTransform extends Transform {
     ("fingerprint",    "fingerprint",    fingerprint _),
     ("dup_words",      "dup_word_frac",  dupWordFraction _),
     ("dup_ngrams",     "dup_ngram_frac", (c: Column) => dupNgramFraction(c, ngramSize)),
-    ("top_ngrams",     "top_ngram_frac", (c: Column) => topNgramFraction(c, ngramSize)))
+    ("top_ngrams",     "top_ngram_frac", (c: Column) => topNgramFraction(c, ngramSize)),
+    ("dup_lines",      "dup_line_frac",  (c: Column) => dupLineFraction(c)),
+    ("dup_line_chars", "dup_line_char_frac", (c: Column) => dupLineCharFraction(c)))
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "textColumn")

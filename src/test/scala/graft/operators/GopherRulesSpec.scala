@@ -134,6 +134,41 @@ class GopherRulesSpec extends SparkTestBase {
     armed(1L) shouldBe (true, "pass")
   }
 
+  test("dup_lines / dup_line_chars rules: OFF by default, armed by " +
+    "threshold; character fraction catches long-line repeats the line " +
+    "fraction under-reads") {
+    import graft.functions.TextFunctions.{dupLineFraction, dupLineCharFraction}
+    import org.apache.spark.sql.functions.col
+    // 2 repeated lines of 10 → 8 distinct short lines: line frac = 2/10,
+    // but the repeated lines are LONG, so the char frac is much higher
+    val longLine = "this exact licensing boilerplate paragraph repeats on every page of the site"
+    val doc = (Seq(longLine) ++ (1 to 8).map(i => s"unique line $i") ++ Seq(longLine, longLine))
+      .mkString("\n")
+    val d = Seq((1L, doc)).toDF("doc_id", "text")
+    val fr = d.select(
+        dupLineFraction(col("text")).as("lf"),
+        dupLineCharFraction(col("text")).as("cf"))
+      .as[(Double, Double)].head()
+    fr._1 shouldBe 2.0 / 11 +- 1e-4          // 2 repeats of 11 lines
+    fr._2 should be > 0.4                     // but ~2.5x the line frac in CHARS
+    // empty lines never participate (no dilution), paragraphs via \n\n
+    d.select(dupLineFraction(col("text"), separator = "\n\n"))
+      .as[Double].head() shouldBe 0.0         // one paragraph, no repeats
+    Seq((2L, "a\n\n\n\na")).toDF("doc_id", "text")
+      .select(dupLineFraction(col("text")))
+      .as[Double].head() shouldBe 0.5         // ["a","","","","a"] → 1 dup of 2
+    // unarmed: kept; armed at Gopher's 0.20 char threshold: dup_line_chars
+    val base = Seq("minWords" -> "5", "minStopwords" -> "0",
+      "minAlphaFraction" -> "0.5")
+    annotate(Seq(1L -> doc), base: _*)(1L) shouldBe (true, "pass")
+    annotate(Seq(1L -> doc),
+      (base :+ ("maxDupLineCharFraction" -> "0.2")): _*)(1L) shouldBe
+      (false, "dup_line_chars")
+    annotate(Seq(1L -> doc),
+      (base :+ ("maxDupLineFraction" -> "0.1")): _*)(1L) shouldBe
+      (false, "dup_lines")
+  }
+
   test("native TopNgramFraction matches the Column-HOF reference form " +
     "over the real corpus (n = 1, 2, 3) and encodes through codegen") {
     import org.apache.spark.sql.functions._
