@@ -478,6 +478,19 @@ class ExamplesSpec extends SparkTestBase {
     packedText shouldBe corpusText
   }
 
+  test("every example YAML is exercised by this suite — a quickstart that " +
+    "no test runs is documentation that can silently rot") {
+    val yamls = new java.io.File("examples").listFiles()
+      .filter(_.getName.endsWith(".yaml")).map(_.getName).sorted
+    yamls should not be empty
+    val src = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "src/test/scala/graft/examples/ExamplesSpec.scala"))
+    val missing = yamls.filterNot(src.contains)
+    withClue(s"add a test running: ${missing.mkString(", ")} — ") {
+      missing shouldBe empty
+    }
+  }
+
   test("quickstart-3: declarative multi-source join partitioned by category") {
     val products = (1 to 20).map { i =>
       val cat = Seq("Electronics", "Clothing", "Books")(i % 3)
