@@ -228,6 +228,37 @@ class BpeSpec extends SparkTestBase {
       .collect().map(_.isNullAt(0)).toSeq shouldBe Seq(false, true)
   }
 
+  test("property: token ids round-trip through the vocab for EVERY corpus " +
+    "word at any merge depth, and out-of-alphabet symbols map to <unk> " +
+    "(seeded random corpora)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val words = (1 to 10).map { _ =>
+        (1 to (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      }.distinct
+      val docs = words.flatMap(w => Seq.fill(1 + rnd.nextInt(3))(w)).mkString(" ")
+      val store = Bpe.mergesFrame(Seq(docs).toDF("text"), "text",
+        numMerges = rnd.nextInt(10), maxWords = 100)
+      val (merges, vocab) = Bpe.loadMergesAndVocab(store)
+      val rank = Bpe.ranks(merges)
+      vocab.head shouldBe Bpe.Unk
+      vocab.distinct.size shouldBe vocab.size // ids are unique
+      val idOf = vocab.zipWithIndex.toMap
+      (words ++ Seq("zz", "xyzz")).foreach { w =>
+        val toks = Bpe.encodeWord(w, rank).toSeq
+        val ids = toks.map(t => idOf.getOrElse(t, 0))
+        if (words.contains(w)) withClue(s"word $w, merges $merges: ") {
+          // alphabet completeness: NO corpus word may lose information —
+          // every emitted token holds an id and the ids detokenize back
+          ids should not contain 0
+          ids.map(vocab(_)).mkString shouldBe (w + "</w>")
+        }
+        // characters outside the a..d training alphabet map to <unk>
+        if (w.exists(c => c > 'd')) ids should contain (0)
+      }
+    }
+  }
+
   test("train stops when the pair supply dries up and the store stamps the " +
     "PRODUCED count, which can be below numMerges") {
     val docs = Seq("aa aa aa").toDF("text")
