@@ -150,7 +150,9 @@ object PackSequences {
  * `weightColumn` must be its character length), or `input_ids` (one
  * TRAINING ROW per sequence: the fixed-length token-id array encoded
  * against `mergesView` + `textColumn` — weight is the id count by
- * construction, so `weightColumn` is rejected); `groupBy` (comma list —
+ * construction, so `weightColumn` is rejected; `appendId` appends one
+ * separator token id after every non-empty document, the GPT-2/Pile
+ * end-of-text convention); `groupBy` (comma list —
  * pack per stratum: the prefix sum and `seq_id` restart per group, so a
  * sequence never mixes two strata).
  */
@@ -181,9 +183,21 @@ object PackSequencesTransform extends Transform {
         "pack_sequences", input.columns.toSeq, "__bpe_ids")
       val (merges, vocab) =
         BpeTransforms.mergesAndVocabFromView(config, ctx, transformType)
-      val staged = input.withColumn("__bpe_ids",
-        graft.functions.expressions.BpeEncodeIds(
-          col(config.options("textColumn")), merges, vocab))
+      val encoded = graft.functions.expressions.BpeEncodeIds(
+        col(config.options("textColumn")), merges, vocab)
+      // appendId: the GPT-2/Pile end-of-text convention — one separator
+      // token id after every NON-empty document, so the model can learn
+      // document boundaries inside sequences that cross them. The id is
+      // caller-chosen (typically reserved at vocab size, or <unk>=0);
+      // empty documents stay empty (a separator-only doc would be noise)
+      val withSep = config.options.get("appendId").map { v =>
+        val sep = try v.toInt catch { case _: NumberFormatException =>
+          throw new ConfigException(
+            s"pack_sequences: appendId must be an integer token id, got '$v'") }
+        when(size(encoded) > 0,
+          concat(encoded, array(lit(sep)))).otherwise(encoded)
+      }.getOrElse(encoded)
+      val staged = input.withColumn("__bpe_ids", withSep)
       return try PackSequences.materializeIds(staged,
         config.options("idColumn"), "__bpe_ids",
         config.options("seqLen").toLong, nParts, groups)

@@ -162,6 +162,30 @@ class BpeTransformSpec extends SparkTestBase {
       .orderBy("doc_id").as[(Long, String, String, Seq[Int])]
       .collect().flatMap(_._4).toSeq
     rows.flatMap(_._2).toSeq shouldBe stream
+    // appendId: the end-of-text separator convention — exactly one
+    // separator after every (non-empty) document, counted in the weights
+    val sep = 9999
+    val withSep = ap(corpus, t("pack_sequences",
+      "idColumn" -> "doc_id", "textColumn" -> "text", "mergesView" -> view,
+      "seqLen" -> "5", "emit" -> "input_ids", "appendId" -> sep.toString))
+    val sepStream = withSep.orderBy("seq_id")
+      .as[(Long, Seq[Int], Long, Long)].collect().flatMap(_._2).toSeq
+    sepStream.count(_ == sep) shouldBe corpus.count()
+    // removing the separators leaves exactly the plain id stream
+    sepStream.filterNot(_ == sep) shouldBe stream
+    // an empty document gets NO separator (a separator-only doc is noise)
+    val withEmpty = corpus.unionByName(
+      Seq((9L, "   ", "web")).toDF("doc_id", "text", "source"))
+    ap(withEmpty, t("pack_sequences",
+      "idColumn" -> "doc_id", "textColumn" -> "text", "mergesView" -> view,
+      "seqLen" -> "5", "emit" -> "input_ids", "appendId" -> sep.toString))
+      .as[(Long, Seq[Int], Long, Long)].collect()
+      .flatMap(_._2).count(_ == sep) shouldBe corpus.count()
+    intercept[ConfigException] {
+      ap(corpus, t("pack_sequences", "idColumn" -> "doc_id",
+        "textColumn" -> "text", "mergesView" -> view, "seqLen" -> "5",
+        "emit" -> "input_ids", "appendId" -> "eos"))
+    }.getMessage should include ("appendId")
     // weightColumn contradicts the derived ids → guided rejection
     intercept[ConfigException] {
       ap(corpus, t("pack_sequences", "idColumn" -> "doc_id",
