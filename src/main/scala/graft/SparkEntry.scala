@@ -1976,19 +1976,14 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       s.read.parquet(stagedBpeStore(s, dir))
         .createOrReplaceTempView("q136_merges")
-      // the declarative vocab surface; O(vocab) driver read, like the
-      // store load itself
-      val vocab = ap(tab(s, dir, "documents").limit(1),
-          t("bpe_vocab", "mergesView" -> "q136_merges"))
-        .orderBy("token_id").collect().map(_.getString(1)).toSeq
-      ap(tab(s, dir, "documents").where(col("text").isNotNull),
+      // encode → decode through the DECLARATIVE pair (bpe_tokenize
+      // emit=ids, bpe_detokenize): both legs read the persisted store
+      val ids = ap(tab(s, dir, "documents").where(col("text").isNotNull),
         t("bpe_tokenize", "textColumn" -> "text",
           "mergesView" -> "q136_merges", "emit" -> "ids"))
-        .select(col("doc_id"),
-          trim(regexp_replace(concat_ws("",
-            transform(col("input_ids"),
-              i => element_at(typedLit(vocab), i + 1))),
-            "</w>", " ")).as("detok"))
+      ap(ids, t("bpe_detokenize", "idsColumn" -> "input_ids",
+          "mergesView" -> "q136_merges"))
+        .select(col("doc_id"), col("detok_text").as("detok"))
     }),
     // the training-export artifact end-to-end: pack_sequences
     // emit=input_ids against the DISJOINT-alphabet store (q133's trick:

@@ -160,3 +160,66 @@ object BpeEncodeIds {
             vocab: IndexedSeq[String]): Column =
     GraftBridge.column(BpeEncodeIds(GraftBridge.expression(text), merges, vocab))
 }
+
+/**
+ * The INVERSE of [[BpeEncodeIds]]: map a token-id array back to
+ * whitespace-normalized text through the vocabulary (`</w>` markers
+ * become the word separator; out-of-range ids render as [[Bpe.Unk]] so a
+ * corrupted id is VISIBLE in the output, never an exception). With
+ * [[BpeEncodeIds]]'s roundtrip contract (q136), decode(encode(text)) is
+ * the whitespace-normalized text for any in-alphabet corpus.
+ */
+case class BpeDecodeIds(child: Expression, vocab: IndexedSeq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode_ids expects array<int> (the token-id column), got ${other.simpleString}")
+  }
+
+  def compute(input: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder()
+    val n = input.numElements()
+    var i = 0
+    while (i < n) {
+      // null slots render as <unk> too — a hole must be visible
+      val tok =
+        if (input.isNullAt(i)) Bpe.Unk
+        else {
+          val id = input.getInt(i)
+          if (id >= 0 && id < vocab.length) vocab(id) else Bpe.Unk
+        }
+      sb.append(tok)
+      i += 1
+    }
+    // </w> marks word ends: separator, then strip the separator spaces at
+    // the ends (ONLY ' ' — a Java trim would also eat control chars that
+    // legitimately live inside words). Leading spaces only occur for
+    // corrupted ids (a bare </w> token first), but those must still
+    // render cleanly.
+    val out = sb.toString.replace(Bpe.Eow, " ")
+    var a = 0; var b = out.length
+    while (a < b && out.charAt(a) == ' ') a += 1
+    while (b > a && out.charAt(b - 1) == ' ') b -= 1
+    UTF8String.fromString(out.substring(a, b))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeDecodeIds", this, classOf[BpeDecodeIds].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeDecodeIds {
+  def apply(ids: Column, vocab: IndexedSeq[String]): Column =
+    GraftBridge.column(BpeDecodeIds(GraftBridge.expression(ids), vocab))
+}

@@ -142,6 +142,35 @@ object BpeTokenizeTransform extends Transform {
 }
 
 /**
+ * `bpe_detokenize` — append the text decoded from a token-id array
+ * (`bpe_tokenize emit=ids` / `pack_sequences emit=input_ids` output)
+ * through the store's vocabulary: `</w>` markers become word separators,
+ * out-of-range or null ids render as `<unk>` so corruption is VISIBLE,
+ * never an exception. The inspection/debugging inverse of the id encode
+ * — decode(encode(text)) is the whitespace-normalized text (q136).
+ * Options: `idsColumn`, `mergesView` (required); `outputColumn` (default
+ * `detok_text`); `numMerges`/`minCount` stamp checks.
+ */
+object BpeDetokenizeTransform extends Transform {
+  val transformType = "bpe_detokenize"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema, config.options.get("idsColumn").toSeq, transformType)
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idsColumn", "mergesView")
+    val out = config.options.getOrElse("outputColumn", "detok_text")
+    if (input.columns.contains(out)) throw new ConfigException(
+      s"$transformType: output column '$out' already exists in the input — " +
+        "set outputColumn to a fresh name")
+    val (_, vocab) =
+      BpeTransforms.mergesAndVocabFromView(config, ctx, transformType)
+    input.withColumn(out, graft.functions.expressions.BpeDecodeIds(
+      col(config.options("idsColumn")), vocab))
+  }
+}
+
+/**
  * `bpe_vocab` — REPLACE the frame with the (token_id, token) vocabulary
  * derived from a merges store ([[graft.text.Bpe.loadVocab]]: `<unk>`=0,
  * alphabet in UTF-8 order, merge products in merge order) — the

@@ -140,6 +140,37 @@ class BpeTransformSpec extends SparkTestBase {
       Seq(0, 0, 0, v.indexOf("</w>"))
   }
 
+  test("bpe_detokenize inverts the id encode; corrupted ids render as " +
+    "<unk>, never an exception") {
+    import org.apache.spark.sql.functions._
+    val view = registeredStore("v_bpe8", "numMerges" -> "6")
+    val round = ap(ap(corpus, t("bpe_tokenize", "textColumn" -> "text",
+        "mergesView" -> view, "emit" -> "ids")),
+      t("bpe_detokenize", "idsColumn" -> "input_ids", "mergesView" -> view))
+    // decode(encode(text)) == whitespace-normalized text, per document
+    round.where("detok_text <> regexp_replace(trim(text), '\\\\s+', ' ')")
+      .count() shouldBe 0L
+    // out-of-range / negative / null-array ids are VISIBLE, not fatal
+    val dirty = Seq(
+      (1L, Seq(999999, -3)), (2L, Seq.empty[Int]),
+      (3L, null.asInstanceOf[Seq[Int]])).toDF("doc_id", "input_ids")
+    val out = ap(dirty, t("bpe_detokenize", "idsColumn" -> "input_ids",
+        "mergesView" -> view))
+      .orderBy("doc_id").select("detok_text").as[String].collect()
+    out(0) shouldBe "<unk><unk>"
+    out(1) shouldBe ""
+    out(2) shouldBe null
+    // guided: missing view / output collision
+    intercept[ConfigException] {
+      ap(dirty, t("bpe_detokenize", "idsColumn" -> "input_ids",
+        "mergesView" -> "nope_view"))
+    }.getMessage should include ("nope_view")
+    intercept[ConfigException] {
+      ap(dirty.withColumn("detok_text", lit("x")),
+        t("bpe_detokenize", "idsColumn" -> "input_ids", "mergesView" -> view))
+    }.getMessage should include ("already exists")
+  }
+
   test("pack_sequences emit=input_ids materializes fixed-length training " +
     "rows whose concatenation equals the corpus's id stream") {
     val view = registeredStore("v_bpe7", "numMerges" -> "6")
