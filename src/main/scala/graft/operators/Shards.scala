@@ -501,17 +501,19 @@ object MixTransform extends graft.api.Transform {
                   input.schema(wcol).dataType.typeName)
             coalesce(sum(col(wcol).cast("double")), lit(0.0))
         }
-        val counts = input.where(col(group).isNotNull)
+        val rawCounts = input.where(col(group).isNotNull)
           .groupBy(col(group).cast("string").as("__g"))
           .agg(sizeExpr.as("__n"))
           .limit(maxGroups + 1)
           .collect().map(r => (r.getString(0), r.getDouble(1)))
-          .filter(_._2 > 0)
-          .sortBy(_._1)
-        if (counts.length > maxGroups) throw new graft.api.ConfigException(
+        // cardinality guard BEFORE the zero-sum filter: filtering first
+        // could shrink a truncated result back under the limit, silently
+        // dropping arbitrary groups past the truncation instead of failing
+        if (rawCounts.length > maxGroups) throw new graft.api.ConfigException(
           s"mix: temperature derived over maxGroups=$maxGroups group " +
             "weights — use explicit weights (or raise maxGroups) for " +
             "high-cardinality mixtures")
+        val counts = rawCounts.filter(_._2 > 0).sortBy(_._1)
         val budget = config.options.get("budgetRows").map { b =>
           try b.toDouble catch { case _: NumberFormatException =>
             throw new graft.api.ConfigException(

@@ -422,6 +422,14 @@ class ShardsAndSampleSpec extends SparkTestBase {
       "temperature" -> "1", "weightColumn" -> "toks",
       "method" -> "mod", "buckets" -> "100"), ctx)
       .where("grp = 'de'").count() shouldBe 0
+    // maxGroups fires on raw cardinality even when zero-sum groups would
+    // shrink the filtered set back under the limit — truncation must
+    // never silently drop groups
+    an[graft.api.ConfigException] should be thrownBy MixTransform(
+      d.withColumn("toks", when(col("doc_id") % 2 === 0, lit(0L)).otherwise(lit(1L))),
+      t("mix", "on" -> "doc_id", "groupBy" -> "doc_id",
+        "temperature" -> "1", "weightColumn" -> "toks",
+        "maxGroups" -> "250"), ctx)
     // guided: unknown / non-numeric weight column, and weightColumn with
     // explicit weights (group sizes never enter that mode)
     an[graft.api.ConfigException] should be thrownBy MixTransform(d,
