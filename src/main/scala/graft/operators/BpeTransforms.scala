@@ -53,23 +53,38 @@ object BpeTransforms {
     }
   }
 
-  /** Resolve `mergesView` to the validated ordered merges list;
+  /** Resolve `mergesView` to the full validated [[Bpe.Loaded]] bundle
+    * (merges + alphabet + byte-fallback stamp — vocab derives lazily);
     * `numMerges`/`minCount` options, when present, must match the
-    * store's training stamps. */
-  def mergesFromView(config: TransformConfig, ctx: RunContext,
-                     tname: String): Seq[(String, String)] =
-    Bpe.loadMerges(storeFromView(config, ctx, tname),
+    * store's training stamps. ONE validated store read per transform. */
+  def loadedFromView(config: TransformConfig, ctx: RunContext,
+                     tname: String): Bpe.Loaded =
+    Bpe.load(storeFromView(config, ctx, tname),
       wantNumMerges = config.options.get("numMerges").map(_.toInt),
       wantMinCount = config.options.get("minCount").map(_.toLong))
 
-  /** Resolve `mergesView` to (merges, vocab) — for the id-emitting
-    * encode paths. One validated store read feeds both. */
-  def mergesAndVocabFromView(config: TransformConfig, ctx: RunContext,
-                             tname: String)
-      : (Seq[(String, String)], IndexedSeq[String]) =
-    Bpe.loadMergesAndVocab(storeFromView(config, ctx, tname),
-      wantNumMerges = config.options.get("numMerges").map(_.toInt),
-      wantMinCount = config.options.get("minCount").map(_.toLong))
+  /** Resolve `mergesView` to the validated ordered merges list. */
+  def mergesFromView(config: TransformConfig, ctx: RunContext,
+                     tname: String): Seq[(String, String)] =
+    loadedFromView(config, ctx, tname).merges
+
+  /** Shared `oovColumn` option: when set, append the per-row
+    * out-of-alphabet codepoint count ([[graft.functions.expressions
+    * .BpeOovCount]]) — exactly the `<unk>` ids a non-fallback id-encode
+    * would emit, and under byteFallback the codepoints that took the byte
+    * path. The encode-drift observability every store consumer shares. */
+  def withOovColumn(df: DataFrame, config: TransformConfig,
+                    loaded: Bpe.Loaded, text: org.apache.spark.sql.Column,
+                    tname: String): DataFrame =
+    config.options.get("oovColumn") match {
+      case None => df
+      case Some(out) =>
+        if (df.columns.contains(out)) throw new ConfigException(
+          s"$tname: oovColumn '$out' already exists in the input — " +
+            "set it to a fresh name")
+        df.withColumn(out,
+          graft.functions.expressions.BpeOovCount(text, loaded))
+    }
 }
 
 /**
@@ -82,7 +97,12 @@ object BpeTransforms {
  * Options: `textColumn` (required); `numMerges` (default 1000);
  * `maxWords` (default 100000 — the word-frequency table truncation, ties
  * broken to the utf8-smaller word); `minCount` (default 2 — training
- * stops when the best pair drops below it).
+ * stops when the best pair drops below it); `byteFallback` (default
+ * false — true seeds the 256 `<0xNN>` UTF-8 byte tokens into the
+ * alphabet and stamps the store, so EVERY later encode against it
+ * decomposes unseen codepoints into byte tokens instead of `<unk>`: the
+ * GPT-2/SentencePiece cross-corpus safety property, essential when the
+ * store trains on run N and encodes run N+1's never-seen data).
  */
 object BpeTrainTransform extends Transform {
   val transformType = "bpe_train"
@@ -92,10 +112,18 @@ object BpeTrainTransform extends Transform {
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "textColumn")
+    val bff = config.options.get("byteFallback") match {
+      case None => false
+      case Some("true") => true
+      case Some("false") => false
+      case Some(other) => throw new ConfigException(
+        s"bpe_train: byteFallback must be true|false, got '$other'")
+    }
     try Bpe.mergesFrame(input, config.options("textColumn"),
       numMerges = config.options.get("numMerges").map(_.toInt).getOrElse(1000),
       maxWords = config.options.get("maxWords").map(_.toInt).getOrElse(100000),
-      minCount = config.options.get("minCount").map(_.toLong).getOrElse(2L))
+      minCount = config.options.get("minCount").map(_.toLong).getOrElse(2L),
+      byteFallback = bff)
     catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
   }
 }
@@ -109,7 +137,14 @@ object BpeTrainTransform extends Transform {
  * training run consumes (out-of-vocabulary symbols map to `<unk>` = 0).
  * Options: `textColumn`, `mergesView` (required); `outputColumn`
  * (default `bpe_tokens` / `input_ids` by emit); `numMerges`/`minCount`
- * stamp checks (optional — must match the store's training parameters).
+ * stamp checks (optional — must match the store's training parameters);
+ * `oovColumn` (append the per-row out-of-alphabet codepoint count — the
+ * encode-drift metric); `onOov` = `unk` (default — out-of-vocabulary
+ * symbols map to id 0) or `fail` (refuse the encode loudly on the first
+ * OOV symbol — the drift GUARD; emit=ids only, since string tokens have
+ * no OOV). A store trained with `byteFallback=true` decomposes unseen
+ * codepoints into byte tokens automatically (the stamp rides in the
+ * store — no option here), so it never produces `<unk>` or trips `fail`.
  */
 object BpeTokenizeTransform extends Transform {
   val transformType = "bpe_tokenize"
@@ -125,19 +160,28 @@ object BpeTokenizeTransform extends Transform {
     if (input.columns.contains(out)) throw new ConfigException(
       s"$transformType: output column '$out' already exists in the input — " +
         "set outputColumn to a fresh name")
+    val failOnOov = config.options.get("onOov") match {
+      case None | Some("unk") => false
+      case Some("fail") => true
+      case Some(other) => throw new ConfigException(
+        s"$transformType: onOov must be unk|fail, got '$other'")
+    }
     val text = col(config.options("textColumn"))
-    emit match {
+    val loaded = BpeTransforms.loadedFromView(config, ctx, transformType)
+    val encoded = emit match {
       case "tokens" =>
-        val merges = BpeTransforms.mergesFromView(config, ctx, transformType)
-        input.withColumn(out, BpeEncode(text, merges))
+        if (config.options.contains("onOov")) throw new ConfigException(
+          s"$transformType: onOov applies to emit=ids only — string tokens " +
+            "carry out-of-alphabet symbols verbatim (use oovColumn to " +
+            "observe them)")
+        input.withColumn(out, BpeEncode(text, loaded))
       case "ids" =>
-        val (merges, vocab) =
-          BpeTransforms.mergesAndVocabFromView(config, ctx, transformType)
         input.withColumn(out,
-          graft.functions.expressions.BpeEncodeIds(text, merges, vocab))
+          graft.functions.expressions.BpeEncodeIds(text, loaded, failOnOov))
       case other => throw new ConfigException(
         s"$transformType: emit must be tokens|ids, got '$other'")
     }
+    BpeTransforms.withOovColumn(encoded, config, loaded, text, transformType)
   }
 }
 
@@ -163,10 +207,9 @@ object BpeDetokenizeTransform extends Transform {
     if (input.columns.contains(out)) throw new ConfigException(
       s"$transformType: output column '$out' already exists in the input — " +
         "set outputColumn to a fresh name")
-    val (_, vocab) =
-      BpeTransforms.mergesAndVocabFromView(config, ctx, transformType)
+    val loaded = BpeTransforms.loadedFromView(config, ctx, transformType)
     input.withColumn(out, graft.functions.expressions.BpeDecodeIds(
-      col(config.options("idsColumn")), vocab))
+      col(config.options("idsColumn")), loaded))
   }
 }
 
@@ -212,7 +255,10 @@ object BpeTokenCountTransform extends Transform {
     if (input.columns.contains(out)) throw new ConfigException(
       s"$transformType: output column '$out' already exists in the input — " +
         "set outputColumn to a fresh name")
-    val merges = BpeTransforms.mergesFromView(config, ctx, transformType)
-    input.withColumn(out, BpeEncode.count(col(config.options("textColumn")), merges))
+    val text = col(config.options("textColumn"))
+    val loaded = BpeTransforms.loadedFromView(config, ctx, transformType)
+    BpeTransforms.withOovColumn(
+      input.withColumn(out, BpeEncode.count(text, loaded)),
+      config, loaded, text, transformType)
   }
 }

@@ -50,21 +50,8 @@ object TextSignalsTransform extends Transform {
     required(config, "textColumn")
     val text = col(config.options("textColumn"))
     val n = config.options.get("ngramSize").map(_.toInt).getOrElse(2)
-    // `mergesView` (a registered bpe_train store) upgrades the bpe_tokens
-    // signal from the regex-proxy estimate to the TOKENIZER-EXACT count —
-    // still one zero-shuffle projection (the codegen'd BpeEncode
-    // expression), so the one-pass signal shape is unchanged
-    val exactBpe: Option[Column => Column] =
-      config.options.get("mergesView").map { _ =>
-        val merges = BpeTransforms.mergesFromView(config, ctx, transformType)
-        (c: Column) => graft.functions.expressions.BpeEncode.count(c, merges)
-      }
-    val all = builders(n).map {
-      case ("bpe_tokens", out, _) if exactBpe.isDefined =>
-        ("bpe_tokens", out, exactBpe.get)
-      case other => other
-    }
-    val picked = config.options.get("signals") match {
+    val all = builders(n)
+    val picked0 = config.options.get("signals") match {
       case None => all
       case Some(spec) =>
         val names = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -74,6 +61,28 @@ object TextSignalsTransform extends Transform {
           s"text_signals: unknown signal(s) ${bad.mkString(", ")} " +
             s"(available: ${all.map(_._1).mkString(", ")})")
         names.map(nm => all.find(_._1 == nm).get)
+    }
+    // `mergesView` (a registered bpe_train store) upgrades the bpe_tokens
+    // signal from the regex-proxy estimate to the TOKENIZER-EXACT count —
+    // still one zero-shuffle projection (the codegen'd BpeEncode
+    // expression), so the one-pass signal shape is unchanged. The store is
+    // loaded only AFTER the signal pick: set-but-unused would otherwise
+    // silently pay a driver-side store read for nothing — that's a config
+    // contradiction, so it fails with a guided error instead.
+    val picked = config.options.get("mergesView") match {
+      case None => picked0
+      case Some(_) =>
+        if (!picked0.exists(_._1 == "bpe_tokens")) throw new ConfigException(
+          "text_signals: mergesView is set but the bpe_tokens signal is " +
+            "not selected — the store would be loaded and never used; add " +
+            "bpe_tokens to `signals` or drop mergesView")
+        val loaded = BpeTransforms.loadedFromView(config, ctx, transformType)
+        val exact = (c: Column) =>
+          graft.functions.expressions.BpeEncode.count(c, loaded)
+        picked0.map {
+          case ("bpe_tokens", out, _) => ("bpe_tokens", out, exact)
+          case other => other
+        }
     }
     picked.foldLeft(input) { case (df, (_, out, build)) =>
       df.withColumn(out, build(text))

@@ -127,10 +127,10 @@ object TokenCapTransform extends Transform {
           required(config, "textColumn")
           graft.config.ExprUtils.requireNoHelperCollision(
             "token_cap", input.columns.toSeq, "__bpe_w")
-          val merges = BpeTransforms.mergesFromView(config, ctx, transformType)
+          val loaded = BpeTransforms.loadedFromView(config, ctx, transformType)
           (input.withColumn("__bpe_w",
             graft.functions.expressions.BpeEncode.count(
-              col(config.options("textColumn")), merges).cast("long")),
+              col(config.options("textColumn")), loaded).cast("long")),
             "__bpe_w", true)
         case (Some(_), Some(_)) => throw new ConfigException(
           "token_cap: weightColumn and mergesView are mutually exclusive — " +

@@ -137,10 +137,27 @@ final class PipelineExecutor(
       // executes the observed input plan, so its metrics never arrive and
       // a blocking get deadlocks the pipeline AFTER its write succeeded.
       // The listener is async, so poll briefly (getOrEmpty waits ~100 ms
-      // per call) and fall back to the -1 "unobserved" sentinel.
+      // per call) and fall back to the -1 "unobserved" sentinel. The
+      // deadline is configurable (`spark.graft.observationTimeoutMs`,
+      // default 2000): on a busy driver the QueryExecutionListener can lag
+      // past any fixed window AFTER the write committed, and a normal
+      // pipeline would then spuriously report extracted=-1 — raise the
+      // knob where metrics completeness matters more than a few seconds of
+      // post-write latency (the orphaned-plan case still only ever costs
+      // ONE timeout per run, on the input observation).
+      val obsTimeoutMs = {
+        val raw = spark.conf.get("spark.graft.observationTimeoutMs", "2000")
+        val v = try raw.toLong catch { case _: NumberFormatException =>
+          throw new ConfigException(
+            s"spark.graft.observationTimeoutMs must be a non-negative " +
+              s"integer of milliseconds, got '$raw'") }
+        if (v < 0) throw new ConfigException(
+          s"spark.graft.observationTimeoutMs must be >= 0, got $v")
+        v
+      }
       def observedRows(obs: Observation): Option[Long] = {
         import org.apache.spark.sql.GraftBridge.observationOrEmpty
-        val deadline = System.nanoTime() + 2000000000L // 2 s
+        val deadline = System.nanoTime() + obsTimeoutMs * 1000000L
         var m = observationOrEmpty(obs)
         while (m.isEmpty && System.nanoTime() < deadline) m = observationOrEmpty(obs)
         m.get("rows").map(_.toString.toLong)

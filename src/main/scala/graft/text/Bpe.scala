@@ -53,6 +53,41 @@ object Bpe {
     * Kept on emitted tokens so detokenization stays possible. */
   val Eow = "</w>"
 
+  /** The 256 byte-fallback tokens, `<0x00>`..`<0xFF>` — seeded into a
+    * `byteFallback=true` store's alphabet so any codepoint the training
+    * corpus never contained can decompose into its UTF-8 bytes at encode
+    * time instead of collapsing to `<unk>` (the GPT-2/SentencePiece
+    * byte-fallback idea). Multi-char strings, so they can never collide
+    * with the single-codepoint corpus alphabet or [[Eow]]. */
+  val ByteTokens: IndexedSeq[String] =
+    (0 until 256).map(b => f"<0x$b%02X>")
+
+  private val byteTokenIndex: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    ByteTokens.zipWithIndex.foreach { case (t, i) => m.put(t, Integer.valueOf(i)) }
+    m
+  }
+
+  /** The byte value a token string denotes, or -1 when it is not one of
+    * the 256 [[ByteTokens]] (exact match only). */
+  def byteTokenValue(tok: String): Int = {
+    val v = byteTokenIndex.get(tok)
+    if (v == null) -1 else v.intValue()
+  }
+
+  /** Merge PRODUCTS that spell a reserved token (`<0xNN>` or `<unk>`).
+    * Under byte fallback such a product would alias the reserved id:
+    * encode emits the merged symbol, the id lookup finds the reserved
+    * token, and detokenize reinterprets it as a raw byte / unk — silent
+    * corruption of exactly the corpora fallback exists to protect. Only a
+    * corpus whose TEXT contains literal `<0xNN>`/`<unk>` strings trained
+    * deep enough to fully re-merge them can produce one; [[mergesFrame]]
+    * refuses loudly at train time for `byteFallback=true` stores. */
+  private[graft] def reservedCollisions(merges: Seq[(String, String)]): Seq[String] =
+    merges.map { case (l, r) => l + r }
+      .filter(p => byteTokenValue(p) >= 0 || p == Unk)
+      .distinct
+
   /** The shared pre-tokenizer: Java `\s+` split after stripping the
     * engine's whitespace set. Empty/blank text → no words. */
   def words(text: String): Array[String] = {
@@ -78,6 +113,35 @@ object Bpe {
       val cp = word.codePointAt(i)
       val n = Character.charCount(cp)
       out += word.substring(i, i + n)
+      i += n
+    }
+    out += Eow
+    out.result()
+  }
+
+  /** [[wordSymbols]] under byte fallback: a codepoint OUTSIDE `alphaSet`
+    * (the trained store's alphabet) decomposes into its UTF-8 bytes as
+    * [[ByteTokens]] — every one of which a `byteFallback=true` store seeds
+    * into the alphabet, so the symbol (and its token id) always exists and
+    * encode(text) of a corpus the tokenizer never saw carries ZERO `<unk>`.
+    * An unpaired surrogate (no valid UTF-8) encodes as the UTF-8
+    * encoder's replacement byte `?` — visible, never an exception — the
+    * same convention the decoder applies (U+FFFD) to malformed byte runs;
+    * well-formed text (every real corpus) is unaffected. */
+  def wordSymbolsFallback(word: String,
+                          alphaSet: java.util.HashSet[String]): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      val sym = word.substring(i, i + n)
+      if (alphaSet.contains(sym)) out += sym
+      else {
+        val bytes = sym.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var b = 0
+        while (b < bytes.length) { out += ByteTokens(bytes(b) & 0xff); b += 1 }
+      }
       i += n
     }
     out += Eow
@@ -233,8 +297,19 @@ object Bpe {
    * own output symbol, which any containing merge must outrank.
    */
   def encodeWord(word: String,
-                 rank: java.util.HashMap[(String, String), Integer]): Array[String] = {
-    var s = wordSymbols(word)
+                 rank: java.util.HashMap[(String, String), Integer]): Array[String] =
+    encodeWord(word, rank, null)
+
+  /** [[encodeWord]] with byte fallback: `alphaSet` non-null switches the
+    * initial decomposition to [[wordSymbolsFallback]] (out-of-alphabet
+    * codepoints become UTF-8 byte tokens before the merge walk — a byte
+    * token participates in merges only if the store was trained with some,
+    * which a corpus-alphabet store never is). */
+  def encodeWord(word: String,
+                 rank: java.util.HashMap[(String, String), Integer],
+                 alphaSet: java.util.HashSet[String]): Array[String] = {
+    var s = if (alphaSet == null) wordSymbols(word)
+            else wordSymbolsFallback(word, alphaSet)
     var loop = true
     while (loop && s.length > 1) {
       var bestRank = Int.MaxValue
@@ -284,7 +359,8 @@ object Bpe {
    * bounded driver work.
    */
   def mergesFrame(corpus: DataFrame, textCol: String, numMerges: Int = 1000,
-                  maxWords: Int = 100000, minCount: Long = 2L): DataFrame = {
+                  maxWords: Int = 100000, minCount: Long = 2L,
+                  byteFallback: Boolean = false): DataFrame = {
     require(maxWords >= 1, s"bpe: maxWords must be >= 1, got $maxWords")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -303,6 +379,15 @@ object Bpe {
       .orderBy(col("count").desc, col("__w").asc)
       .limit(maxWords)
       .as[(String, Long)].collect()
+    // an empty/blank corpus must fail HERE, at train time, with its real
+    // cause — a zero-row store would otherwise persist fine and only blow
+    // up at the NEXT run's loadStore with a misleading "mixed or null
+    // parameter stamps" error (the stamp distinct over zero rows is empty)
+    if (wc.isEmpty)
+      throw new graft.api.ConfigException(
+        s"bpe_train: corpus column '$textCol' produced no words (every row " +
+          "null, empty, or whitespace-only) — a tokenizer cannot be trained " +
+          "on an empty word table; check the source filter or the column name")
     // collect() after orderBy preserves the sort, but train() is
     // order-independent anyway — double determinism
     val merges = train(wc.toSeq, numMerges, minCount)
@@ -313,11 +398,27 @@ object Bpe {
     // zero-merge BpeEncode IS wordSymbols(), so the symbol explode
     // reuses the codegen'd encoder; the distinct set is alphabet-sized
     // (bounded by Unicode), a trivial driver read.
-    val alpha = wcFull
+    val corpusAlpha = wcFull
       .select(explode(graft.functions.expressions.BpeEncode(col("__w"), Nil))
         .as("sym"))
       .distinct().as[String].collect()
-      .sortWith(utf8Less)
+    // byteFallback seeds the 256 byte tokens into the alphabet — multi-char
+    // strings, so they can never collide with the single-codepoint corpus
+    // symbols or Eow; the union sorts back into one UTF-8-ordered rank
+    // sequence, keeping loadVocab's id rule a pure function of the store
+    val alpha = (if (byteFallback) (corpusAlpha ++ ByteTokens).distinct
+                 else corpusAlpha).sortWith(utf8Less)
+    if (byteFallback) {
+      val colliding = reservedCollisions(merges)
+      if (colliding.nonEmpty)
+        throw new graft.api.ConfigException(
+          s"bpe_train: byteFallback=true but merge product(s) " +
+            s"${colliding.distinct.mkString(", ")} collide with reserved " +
+            "byte-fallback/<unk> tokens (the corpus contains those literal " +
+            "strings and numMerges is deep enough to re-assemble them) — " +
+            "lower numMerges, pre-clean the corpus, or train without " +
+            "byteFallback")
+    }
     val alphaRows = alpha.toSeq.zipWithIndex.map { case (s, i) =>
       ("alpha", i, s, null: String) }
     val mergeRows = merges.zipWithIndex.map { case ((l, r), i) =>
@@ -329,7 +430,8 @@ object Bpe {
         lit(minCount).as("bpe_min_count"),
         lit(maxWords).as("bpe_max_words"),
         lit(merges.length).as("bpe_rows"),
-        lit(alpha.length).as("bpe_alpha_rows"))
+        lit(alpha.length).as("bpe_alpha_rows"),
+        lit(byteFallback).as("bpe_byte_fallback"))
   }
 
   /**
@@ -344,7 +446,33 @@ object Bpe {
    */
   def loadMerges(store: DataFrame, wantNumMerges: Option[Int] = None,
                  wantMinCount: Option[Long] = None): Seq[(String, String)] =
-    loadStore(store, wantNumMerges, wantMinCount)._2
+    load(store, wantNumMerges, wantMinCount).merges
+
+  /**
+   * Everything one validated store read yields: the alphabet and merges in
+   * rank order plus the `byteFallback` training stamp — the bundle the
+   * encode/decode expressions configure from, so a consumer can never pair
+   * a byte-fallback store with a non-fallback encoder (the failure the
+   * stamp exists to prevent). `vocab` derives the id assignment lazily
+   * (the [[loadVocab]] rule).
+   */
+  final case class Loaded(alpha: Seq[String], merges: Seq[(String, String)],
+                          byteFallback: Boolean) {
+    lazy val vocab: IndexedSeq[String] = {
+      val out = Vector.newBuilder[String]
+      val seen = new java.util.HashSet[String]()
+      def add(t: String): Unit = if (seen.add(t)) out += t
+      add(Unk)
+      alpha.foreach(add)
+      merges.foreach { case (l, r) => add(l + r) }
+      out.result()
+    }
+  }
+
+  /** One validated store read → the full [[Loaded]] bundle. */
+  def load(store: DataFrame, wantNumMerges: Option[Int] = None,
+           wantMinCount: Option[Long] = None): Loaded =
+    loadStore(store, wantNumMerges, wantMinCount)
 
   /** The id 0 token: any symbol outside the trained vocabulary (a
     * character the training corpus never contained) encodes to this id. */
@@ -362,21 +490,15 @@ object Bpe {
    */
   def loadVocab(store: DataFrame, wantNumMerges: Option[Int] = None,
                 wantMinCount: Option[Long] = None): IndexedSeq[String] =
-    loadMergesAndVocab(store, wantNumMerges, wantMinCount)._2
+    load(store, wantNumMerges, wantMinCount).vocab
 
   /** One validated store read feeding both the encoder (merges) and the
     * id assignment (vocab). */
   def loadMergesAndVocab(store: DataFrame, wantNumMerges: Option[Int] = None,
                          wantMinCount: Option[Long] = None)
       : (Seq[(String, String)], IndexedSeq[String]) = {
-    val (alpha, merges) = loadStore(store, wantNumMerges, wantMinCount)
-    val out = Vector.newBuilder[String]
-    val seen = new java.util.HashSet[String]()
-    def add(t: String): Unit = if (seen.add(t)) out += t
-    add(Unk)
-    alpha.foreach(add)
-    merges.foreach { case (l, r) => add(l + r) }
-    (merges, out.result())
+    val l = load(store, wantNumMerges, wantMinCount)
+    (l.merges, l.vocab)
   }
 
   /** [[loadVocab]] as a (token_id, token) frame — the export/join-back
@@ -389,11 +511,14 @@ object Bpe {
       .map { case (t, i) => (i, t) }.toDF("token_id", "token")
   }
 
-  /** Shared validated read: (alphabet in rank order, merges in rank
-    * order). All the loud-store checks live here. */
+  /** Shared validated read: alphabet + merges in rank order plus the
+    * byte-fallback stamp. All the loud-store checks live here.
+    * `bpe_byte_fallback` is OPTIONAL for compatibility with stores written
+    * before the stamp existed — absent means false (those stores were
+    * trained without fallback by construction); present, it must be one
+    * non-null value like every other stamp. */
   private def loadStore(store: DataFrame, wantNumMerges: Option[Int],
-                        wantMinCount: Option[Long])
-      : (Seq[String], Seq[(String, String)]) = {
+                        wantMinCount: Option[Long]): Loaded = {
     val missing = Seq("kind", "merge_rank", "lhs", "rhs", "bpe_num_merges",
         "bpe_min_count", "bpe_max_words", "bpe_rows", "bpe_alpha_rows")
       .filterNot(store.columns.contains)
@@ -405,10 +530,13 @@ object Bpe {
     }
     // DISTINCT stamp set (tiny partial-agg job): a mixed store (two runs'
     // outputs appended) must fail here, not produce interleaved merges
+    val hasBff = store.columns.contains("bpe_byte_fallback")
     val stamps = store.select(
         col("bpe_num_merges").cast("int"), col("bpe_min_count").cast("long"),
         col("bpe_max_words").cast("int"), col("bpe_rows").cast("int"),
-        col("bpe_alpha_rows").cast("int"))
+        col("bpe_alpha_rows").cast("int"),
+        (if (hasBff) col("bpe_byte_fallback") else lit(false))
+          .cast("boolean").as("bpe_byte_fallback"))
       .distinct().collect()
     if (stamps.length != 1 || stamps.head.anyNull)
       throw new graft.api.ConfigException(
@@ -416,6 +544,7 @@ object Bpe {
           "appended or hand-edited store cannot prove one training run; " +
           "rebuild it with a single bpe_train pass")
     val (gotNm, gotMc) = (stamps.head.getInt(0), stamps.head.getLong(1))
+    val byteFallback = stamps.head.getBoolean(5)
     val mism = Seq(
       wantNumMerges.filter(_ != gotNm).map(w => s"numMerges $w vs store $gotNm"),
       wantMinCount.filter(_ != gotMc).map(w => s"minCount $w vs store $gotMc")
@@ -456,7 +585,24 @@ object Bpe {
     }
     checkDense("merge", mergeRows, stamps.head.getInt(3), rhsNullable = false)
     checkDense("alpha", alphaRows, stamps.head.getInt(4), rhsNullable = true)
-    (alphaRows.map(_.getString(2)).toSeq,
-      mergeRows.map(r => (r.getString(2), r.getString(3))).toSeq)
+    val alpha = alphaRows.map(_.getString(2)).toSeq
+    if (byteFallback) {
+      // the fallback contract is only sound when every byte token has an
+      // id — a filtered/hand-edited store missing one would quietly turn
+      // fallback encodes into <unk> again, the exact failure the stamp
+      // promises away
+      val alphaSet = new java.util.HashSet[String](java.util.Arrays.asList(
+        alpha: _*))
+      val lost = ByteTokens.filterNot(alphaSet.contains)
+      if (lost.nonEmpty)
+        throw new graft.api.ConfigException(
+          s"bpe merges store is stamped byteFallback=true but its alphabet " +
+            s"is missing ${lost.length} of the 256 byte tokens (first: " +
+            s"${lost.head}) — a filtered or hand-edited store; rebuild it " +
+            "with bpe_train byteFallback=true")
+    }
+    Loaded(alpha,
+      mergeRows.map(r => (r.getString(2), r.getString(3))).toSeq,
+      byteFallback)
   }
 }
