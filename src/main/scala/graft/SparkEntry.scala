@@ -129,6 +129,25 @@ object SparkEntry {
       tmp
     })
 
+  /** The q133 planted store retrained with byteFallback for q143: every
+    * codepoint of the ASCII corpus is OUTSIDE its Greek alphabet, so the
+    * encode provably takes the byte path for all of them — the
+    * train-on-A / encode-on-B pattern with ZERO `<unk>` and an exact
+    * detokenize roundtrip (the cross-corpus safety property). */
+  private val bpeFallbackStoreDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedBpeFallbackStore(s: SparkSession): String =
+    bpeFallbackStoreDir.computeIfAbsent("global", { _ =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("bpemergesbf").toString
+      val planted = Seq.fill(4)(Seq("αβ", "αβγ", "γβα").mkString(" "))
+      ap(planted.toDF("text"),
+        t("bpe_train", "textColumn" -> "text", "numMerges" -> "8",
+          "minCount" -> "2", "byteFallback" -> "true"))
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   /** Persisted k-means codebook store for q125, memoized per source dir:
     * run-N scaffolding (the store normally comes from yesterday's
     * `codebook` pipeline) — q125 itself trains NOTHING and pays no
@@ -2016,6 +2035,83 @@ object SparkEntry {
       ap(docs, t("bpe_train", "textColumn" -> "text", "numMerges" -> "6"))
         .createOrReplaceTempView("q138_merges")
       ap(docs, t("bpe_vocab", "mergesView" -> "q138_merges"))
+    }),
+    // the cross-corpus safety property end-to-end: a byteFallback store
+    // trained on a DISJOINT (Greek) corpus encodes the real documents —
+    // every codepoint unseen — with ZERO <unk> (n_unk), an observed OOV
+    // count DuckDB re-derives exactly (every non-whitespace, non-Greek
+    // codepoint took the byte path), and a detokenize that reconstructs
+    // the whitespace-normalized text THROUGH the byte tokens
+    "q143_bpe_byte_fallback" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(stagedBpeFallbackStore(s))
+        .createOrReplaceTempView("q143_merges")
+      val ids = ap(tab(s, dir, "documents").where(col("text").isNotNull),
+        t("bpe_tokenize", "textColumn" -> "text",
+          "mergesView" -> "q143_merges", "emit" -> "ids",
+          "oovColumn" -> "n_oov"))
+      ap(ids, t("bpe_detokenize", "idsColumn" -> "input_ids",
+          "mergesView" -> "q143_merges"))
+        .select(col("doc_id"), col("detok_text").as("detok"),
+          size(filter(col("input_ids"), id => id === 0)).as("n_unk"),
+          col("n_oov").cast("long").as("n_oov"))
+    }),
+    // the rectangular training tensor end-to-end: pack_sequences
+    // emit=input_ids + padId + emitMask over the golden corpus — DuckDB
+    // pins every padded row BYTE-IDENTICALLY (ids and mask as CSV) from
+    // tools/gen_golden_bpe.py's independent pack_padded() re-derivation
+    "q144_pack_padded_golden" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val docs = Seq((1L, "low low low low low"), (2L, "lower lower"),
+        (3L, "newest newest newest newest newest newest"),
+        (4L, "widest widest widest")).toDF("doc_id", "text")
+      ap(docs, t("bpe_train", "textColumn" -> "text", "numMerges" -> "6"))
+        .createOrReplaceTempView("q144_merges")
+      ap(docs, t("pack_sequences", "idColumn" -> "doc_id",
+          "textColumn" -> "text", "mergesView" -> "q144_merges",
+          "seqLen" -> "7", "emit" -> "input_ids",
+          "padId" -> "-1", "emitMask" -> "true"))
+        .select(col("seq_id").cast("long").as("seq_id"),
+          array_join(transform(col("input_ids"),
+            x => x.cast("string")), ",").as("ids_csv"),
+          array_join(transform(col("attention_mask"),
+            x => x.cast("string")), ",").as("mask_csv"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("seq_weight").cast("long").as("seq_weight"))
+    }),
+    // tokenizer-exact text_signals: against the disjoint-alphabet store
+    // the bpe_tokens signal provably equals non-whitespace code points +
+    // word count (q133's arithmetic) — DuckDB re-derives the SIGNAL
+    // itself, closing the "bpe_tokens is a regex proxy" gap with an
+    // oracle instead of a spec-only claim
+    "q145_text_signals_bpe_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(stagedBpeDisjointStore(s))
+        .createOrReplaceTempView("q145_merges")
+      ap(tab(s, dir, "documents").where(col("text").isNotNull),
+        t("text_signals", "textColumn" -> "text",
+          "signals" -> "bpe_tokens", "mergesView" -> "q145_merges"))
+        .select(col("doc_id"),
+          col("n_bpe_tokens").cast("long").as("n_bpe_tokens"))
+    }),
+    // the Gopher token-budget gate in TOKENIZER-exact tokens: every
+    // always-on rule relaxed to never fire, so the kept set is exactly
+    // "token count in [200, 500]" — which the disjoint store makes
+    // SQL-derivable (the q133 weight arithmetic inside a BETWEEN)
+    "q146_gopher_bpe_tokens" -> ((s, dir) => {
+      s.read.parquet(stagedBpeDisjointStore(s))
+        .createOrReplaceTempView("q146_merges")
+      ap(tab(s, dir, "documents"),
+        t("quality_rules", "textColumn" -> "text", "mode" -> "filter",
+          "mergesView" -> "q146_merges",
+          "minBpeTokens" -> "200", "maxBpeTokens" -> "500",
+          "minWords" -> "0", "maxWords" -> "1000000000",
+          "minMeanWordLength" -> "0", "maxMeanWordLength" -> "1000000000",
+          "maxSymbolRatio" -> "1000000000", "maxBulletFraction" -> "2",
+          "maxEllipsisFraction" -> "2", "minAlphaFraction" -> "0",
+          "minStopwords" -> "0"))
+        .select("doc_id", "source")
     })
   )
 
@@ -3953,6 +4049,44 @@ object SparkEntry {
            (4, 'i'), (5, 'l'), (6, 'n'), (7, 'o'), (8, 'r'), (9, 's'),
            (10, 't'), (11, 'w'), (12, 'es'), (13, 'est'), (14, 'est</w>'),
            (15, 'lo'), (16, 'low'), (17, 'ew'))
-         AS t(token_id, token)"""
+         AS t(token_id, token)""",
+    // q143: disjoint byteFallback store ⇒ zero <unk>, the detok roundtrip
+    // through byte tokens, and an OOV count = non-whitespace non-Greek
+    // codepoints (the training alphabet is exactly {α,β,γ})
+    "q143_bpe_byte_fallback" ->
+      """SELECT doc_id,
+                trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS detok,
+                CAST(0 AS INT) AS n_unk,
+                CAST(length(regexp_replace(text, '[ \t\n\x0b\f\rαβγ]', '', 'g'))
+                  AS BIGINT) AS n_oov
+         FROM documents WHERE text IS NOT NULL""",
+    // q144: goldens from tools/gen_golden_bpe.py's pack_padded()
+    // (independent slicing re-derivation of the padded tensor layout)
+    "q144_pack_padded_golden" ->
+      """SELECT * FROM (VALUES
+           (0, '16,1,16,1,16,1,16',  '1,1,1,1,1,1,1', 1, 7),
+           (1, '1,16,1,16,3,8,1',    '1,1,1,1,1,1,1', 2, 7),
+           (2, '16,3,8,1,6,17,14',   '1,1,1,1,1,1,1', 2, 7),
+           (3, '6,17,14,6,17,14,6',  '1,1,1,1,1,1,1', 1, 7),
+           (4, '17,14,6,17,14,6,17', '1,1,1,1,1,1,1', 1, 7),
+           (5, '14,11,4,2,14,11,4',  '1,1,1,1,1,1,1', 2, 7),
+           (6, '2,14,11,4,2,14,-1',  '1,1,1,1,1,1,0', 1, 6))
+         AS t(seq_id, ids_csv, mask_csv, n_docs, seq_weight)""",
+    // q145: disjoint-alphabet store ⇒ the bpe_tokens SIGNAL = non-
+    // whitespace code points + word count (q133's weight arithmetic)
+    "q145_text_signals_bpe_exact" ->
+      """SELECT doc_id,
+                CAST(length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g'))
+                  + len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+'))
+                  AS BIGINT) AS n_bpe_tokens
+         FROM documents WHERE text IS NOT NULL""",
+    // q146: with every always-on rule relaxed, the Gopher filter keeps
+    // exactly the docs whose tokenizer-exact count is in [200, 500]
+    "q146_gopher_bpe_tokens" ->
+      """SELECT doc_id, source FROM documents
+         WHERE text IS NOT NULL
+           AND length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g'))
+               + len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+'))
+               BETWEEN 200 AND 500"""
   )
 }

@@ -27,6 +27,11 @@ import graft.functions.TextFunctions
  *   alpha_words      fraction of tokens containing a letter below min
  *   stopwords        fewer DISTINCT hits than minStopwords from the fixed
  *                    Gopher set {the, be, to, of, and, that, have, with}
+ *   bpe_token_count  tokenizer-exact BPE token count outside
+ *                    [minBpeTokens, maxBpeTokens] (OPT-IN — requires a
+ *                    registered `mergesView` tokenizer store; the
+ *                    token-budget gate a training pipeline applies in
+ *                    REAL tokenizer tokens, not the word proxy)
  *   top_ngram        top n-gram character fraction above max (OPT-IN —
  *                    the default threshold 1.0 can never fire; Gopher
  *                    arms it at n ∈ {2,3,4} with 0.20/0.18/0.16)
@@ -53,7 +58,11 @@ object GopherRules {
       // dup-line gates are OPT-IN too (a first occurrence is never a
       // duplicate, so the fractions are strictly < 1 and the 1.0
       // defaults can never fire); Gopher arms them at 0.30 / 0.20
-      maxDupLineFraction: Double = 1.0, maxDupLineCharFraction: Double = 1.0)
+      maxDupLineFraction: Double = 1.0, maxDupLineCharFraction: Double = 1.0,
+      // OPT-IN tokenizer-exact token budget: only meaningful with a
+      // mergesView store (annotate/applyFilter's bpeCount), and the
+      // defaults can never fire
+      minBpeTokens: Long = 0L, maxBpeTokens: Long = Long.MaxValue)
 
   /** Stage the two single-pass signal structs
     * ([[graft.functions.expressions.TokenSignals]] /
@@ -68,18 +77,29 @@ object GopherRules {
     * The composable filter-lambda forms (a regex per token/line,
     * interpreted) remain in GopherRulesSpec as the parity reference. */
   private def withFail(df: DataFrame, textCol: String, th: Thresholds,
-                       failCol: String): DataFrame = {
+                       failCol: String,
+                       bpeCount: Option[Column => Column]): DataFrame = {
     // staged helper names are fixed — a same-named input column would be
     // silently overwritten then dropped (the repo-standard guard)
     graft.config.ExprUtils.requireNoHelperCollision("quality_rules",
-      df.columns, "__gopher_ts", "__gopher_ls", "__gopher_fail0")
+      df.columns, "__gopher_ts", "__gopher_ls", "__gopher_bpe",
+      "__gopher_fail0")
     val text = col(textCol)
-    val staged = df
+    val staged0 = df
       .withColumn("__gopher_ts", graft.functions.expressions.TokenSignals(
         TextFunctions.tokens(text), Nil, gopherStopwords, Nil,
         withFingerprint = false))
       .withColumn("__gopher_ls",
         graft.functions.expressions.LineSignals(split(text, "\n")))
+    // the token count is referenced twice by its rule (min and max),
+    // and conditional branches are exempt from codegen subexpression
+    // elimination — stage it like the signal structs so the encode walk
+    // runs ONCE per row
+    val staged = bpeCount match {
+      case Some(cnt) => staged0.withColumn("__gopher_bpe",
+        coalesce(cnt(text).cast("long"), lit(0L)))
+      case None => staged0
+    }
     val ts = col("__gopher_ts"); val ls = col("__gopher_ls")
     val nToks = ts.getField("n")
     val nWords = when(length(trim(text)) === 0, 0).otherwise(nToks)
@@ -105,14 +125,24 @@ object GopherRules {
       .when(ellipsisFrac > th.maxEllipsisFraction, "ellipsis_lines")
       .when(alphaFrac < th.minAlphaFraction, "alpha_words")
       .when(stopHits < th.minStopwords, "stopwords")
+    // the token-budget rule exists only when a tokenizer store is wired
+    // in (the transform arms bpeCount together with the thresholds) —
+    // evaluated right after the count-family rules, before the opt-in
+    // repetition gates
+    val armedBpe = bpeCount match {
+      case Some(_) => base.when(
+        col("__gopher_bpe") < th.minBpeTokens ||
+          col("__gopher_bpe") > th.maxBpeTokens, "bpe_token_count")
+      case None => base
+    }
     // repetition branches only exist when ARMED: their fractions cannot
     // exceed (top_ngram) or reach (dup_line*) the 1.0 defaults, and an
     // always-false branch would still make every unarmed run pay the
     // per-row n-gram/line walks
     val armed1 = if (th.maxTopNgramFraction < 1.0)
-        base.when(TextFunctions.topNgramFraction(text, th.topNgramSize)
+        armedBpe.when(TextFunctions.topNgramFraction(text, th.topNgramSize)
           > th.maxTopNgramFraction, "top_ngram")
-      else base
+      else armedBpe
     val armed2 = if (th.maxDupLineFraction < 1.0)
         armed1.when(TextFunctions.dupLineFraction(text)
           > th.maxDupLineFraction, "dup_lines")
@@ -122,21 +152,26 @@ object GopherRules {
           > th.maxDupLineCharFraction, "dup_line_chars")
       else armed2
     val fail = armed3.otherwise(lit(null).cast("string"))
-    staged.withColumn(failCol, fail).drop("__gopher_ts", "__gopher_ls")
+    staged.withColumn(failCol, fail)
+      .drop("__gopher_ts", "__gopher_ls", "__gopher_bpe")
   }
 
-  /** Annotate: append `gopher_keep` + `gopher_fail` (first failing rule). */
+  /** Annotate: append `gopher_keep` + `gopher_fail` (first failing rule).
+    * `bpeCount` (a tokenizer-exact count builder, from a registered
+    * mergesView store) arms the opt-in `bpe_token_count` rule. */
   def annotate(df: DataFrame, textCol: String,
-               th: Thresholds = Thresholds()): DataFrame =
-    withFail(df, textCol, th, "__gopher_fail0")
+               th: Thresholds = Thresholds(),
+               bpeCount: Option[Column => Column] = None): DataFrame =
+    withFail(df, textCol, th, "__gopher_fail0", bpeCount)
       .withColumn("gopher_keep", col("__gopher_fail0").isNull)
       .withColumn("gopher_fail", col("__gopher_fail0"))
       .drop("__gopher_fail0")
 
   /** Filter: keep only rows passing every rule. */
   def applyFilter(df: DataFrame, textCol: String,
-                  th: Thresholds = Thresholds()): DataFrame =
-    withFail(df, textCol, th, "__gopher_fail0")
+                  th: Thresholds = Thresholds(),
+                  bpeCount: Option[Column => Column] = None): DataFrame =
+    withFail(df, textCol, th, "__gopher_fail0", bpeCount)
       .where(col("__gopher_fail0").isNull).drop("__gopher_fail0")
 }
 
@@ -153,7 +188,13 @@ object GopherRules {
  * minWords/maxWords, minMeanWordLength/maxMeanWordLength, maxSymbolRatio,
  * maxBulletFraction, maxEllipsisFraction, minAlphaFraction, minStopwords,
  * maxTopNgramFraction (+ topNgramSize), maxDupLineFraction,
- * maxDupLineCharFraction (the opt-in repetition rules).
+ * maxDupLineCharFraction (the opt-in repetition rules);
+ * minBpeTokens/maxBpeTokens + `mergesView` (a registered bpe_train
+ * store) arm the opt-in `bpe_token_count` rule — the token budget in
+ * TOKENIZER-exact tokens, one staged zero-shuffle encode per row.
+ * Setting the thresholds without the store (nothing to count with) or
+ * the store without a threshold (loaded but never used) is a config
+ * contradiction and fails with a guided error.
  */
 object GopherRulesTransform extends Transform {
   val transformType = "quality_rules"
@@ -187,11 +228,30 @@ object GopherRulesTransform extends Transform {
       maxTopNgramFraction = d("maxTopNgramFraction", 1.0),
       topNgramSize = i("topNgramSize", 2).toInt,
       maxDupLineFraction = d("maxDupLineFraction", 1.0),
-      maxDupLineCharFraction = d("maxDupLineCharFraction", 1.0))
+      maxDupLineCharFraction = d("maxDupLineCharFraction", 1.0),
+      minBpeTokens = i("minBpeTokens", 0L),
+      maxBpeTokens = i("maxBpeTokens", Long.MaxValue))
+    val tokenGateArmed =
+      o.contains("minBpeTokens") || o.contains("maxBpeTokens")
+    val bpeCount: Option[Column => Column] = o.get("mergesView") match {
+      case None if tokenGateArmed => throw new ConfigException(
+        "quality_rules: minBpeTokens/maxBpeTokens need a mergesView " +
+          "tokenizer store to count with — register the persisted " +
+          "bpe_train store and set mergesView")
+      case None => None
+      case Some(_) if !tokenGateArmed => throw new ConfigException(
+        "quality_rules: mergesView is set but neither minBpeTokens nor " +
+          "maxBpeTokens is — the store would be loaded and never used; " +
+          "set a token threshold or drop mergesView")
+      case Some(_) =>
+        val loaded = BpeTransforms.loadedFromView(config, ctx, transformType)
+        Some((c: Column) =>
+          graft.functions.expressions.BpeEncode.count(c, loaded))
+    }
     val textCol = o("textColumn")
     o.getOrElse("mode", "annotate") match {
-      case "annotate" => GopherRules.annotate(input, textCol, th)
-      case "filter"   => GopherRules.applyFilter(input, textCol, th)
+      case "annotate" => GopherRules.annotate(input, textCol, th, bpeCount)
+      case "filter"   => GopherRules.applyFilter(input, textCol, th, bpeCount)
       case other => throw new ConfigException(
         s"quality_rules mode must be annotate|filter, got '$other'")
     }

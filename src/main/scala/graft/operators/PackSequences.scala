@@ -110,16 +110,30 @@ object PackSequences {
    * Scale shape: [[materialize]]'s — the prefix sum + ONE hash exchange
    * on `seq_id`, per-sequence assembly an ordered in-group fold bounded
    * at `seqLen` ids per group, no window, no skew.
+   *
+   * `padId` fills the one short sequence per group (the last) up to
+   * `seqLen`, and `withMask` (requires `padId`) appends the matching
+   * `attention_mask` array (1 per real id, 0 per pad) — together they
+   * make EVERY row a fixed-length rectangular tensor pair, the layout a
+   * training run memory-maps directly. `seq_weight` keeps counting REAL
+   * ids, so the pre-pad arithmetic stays oracle-checkable. Both are pure
+   * per-row projections on the already-aggregated frame — the plan shape
+   * is unchanged.
    */
   def materializeIds(df: DataFrame, idCol: String, idsCol: String,
                      seqLen: Long, numPartitions: Int = 0,
-                     groupCols: Seq[String] = Nil): DataFrame = {
+                     groupCols: Seq[String] = Nil,
+                     padId: Option[Int] = None,
+                     withMask: Boolean = false): DataFrame = {
+    require(!withMask || padId.isDefined,
+      "pack_sequences: attention_mask only makes sense for padded " +
+        "(rectangular) sequences — set padId with emitMask")
     graft.config.ExprUtils.requireNoHelperCollision(
       "pack_sequences", df.columns.toSeq, "__piece", "__w_ids")
     val staged = df.withColumn("__w_ids", size(col(idsCol)).cast("long"))
     val spans = packGrouped(staged, idCol, "__w_ids", groupCols, seqLen,
       numPartitions)
-    spans
+    val packed = spans
       .withColumn("__piece", slice(col(idsCol),
         (col("tok_start") + 1).cast("int"),
         (col("tok_end") - col("tok_start")).cast("int")))
@@ -130,6 +144,16 @@ object PackSequences {
           s => s.getField("__piece"))).as("input_ids"),
         count(lit(1)).as("n_docs"),
         sum(col("tok_end") - col("tok_start")).as("seq_weight"))
+    val nPad = (lit(seqLen) - size(col("input_ids"))).cast("int")
+    val padded = padId match {
+      case None => packed
+      case Some(p) => packed.withColumn("input_ids",
+        concat(col("input_ids"), array_repeat(lit(p), nPad)))
+    }
+    if (!withMask) padded
+    else padded.withColumn("attention_mask", concat(
+      array_repeat(lit(1), col("seq_weight").cast("int")),
+      array_repeat(lit(0), (lit(seqLen) - col("seq_weight")).cast("int"))))
   }
 }
 
@@ -152,7 +176,11 @@ object PackSequences {
  * against `mergesView` + `textColumn` — weight is the id count by
  * construction, so `weightColumn` is rejected; `appendId` appends one
  * separator token id after every non-empty document, the GPT-2/Pile
- * end-of-text convention); `groupBy` (comma list —
+ * end-of-text convention; `padId` fills the final short sequence per
+ * group to exactly `seqLen`, and `emitMask: "true"` — requires `padId` —
+ * appends the matching `attention_mask` array of 1s/0s, so every row is
+ * a rectangular tensor pair a training run memory-maps directly);
+ * `groupBy` (comma list —
  * pack per stratum: the prefix sum and `seq_id` restart per group, so a
  * sequence never mixes two strata).
  */
@@ -181,10 +209,9 @@ object PackSequencesTransform extends Transform {
       required(config, "textColumn", "mergesView")
       graft.config.ExprUtils.requireNoHelperCollision(
         "pack_sequences", input.columns.toSeq, "__bpe_ids")
-      val (merges, vocab) =
-        BpeTransforms.mergesAndVocabFromView(config, ctx, transformType)
+      val loaded = BpeTransforms.loadedFromView(config, ctx, transformType)
       val encoded = graft.functions.expressions.BpeEncodeIds(
-        col(config.options("textColumn")), merges, vocab)
+        col(config.options("textColumn")), loaded)
       // appendId: the GPT-2/Pile end-of-text convention — one separator
       // token id after every NON-empty document, so the model can learn
       // document boundaries inside sequences that cross them. The id is
@@ -197,11 +224,27 @@ object PackSequencesTransform extends Transform {
         when(size(encoded) > 0,
           concat(encoded, array(lit(sep)))).otherwise(encoded)
       }.getOrElse(encoded)
+      val padId = config.options.get("padId").map { v =>
+        try v.toInt catch { case _: NumberFormatException =>
+          throw new ConfigException(
+            s"pack_sequences: padId must be an integer token id, got '$v'") }
+      }
+      val emitMask = config.options.get("emitMask") match {
+        case None | Some("false") => false
+        case Some("true") => true
+        case Some(other) => throw new ConfigException(
+          s"pack_sequences: emitMask must be true|false, got '$other'")
+      }
       val staged = input.withColumn("__bpe_ids", withSep)
       return try PackSequences.materializeIds(staged,
         config.options("idColumn"), "__bpe_ids",
-        config.options("seqLen").toLong, nParts, groups)
+        config.options("seqLen").toLong, nParts, groups, padId, emitMask)
       catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+    }
+    Seq("padId", "emitMask").filter(config.options.contains).foreach { o =>
+      throw new ConfigException(
+        s"pack_sequences: $o applies to emit=input_ids only — spans carry " +
+          "offsets, and text packs by characters")
     }
     // the sequence weight: a pre-computed weightColumn, or tokenizer-exact
     // BPE tokens via mergesView + textColumn (spans mode only — emit=text
@@ -219,10 +262,10 @@ object PackSequencesTransform extends Transform {
                 "(weightColumn = char length)")
           graft.config.ExprUtils.requireNoHelperCollision(
             "pack_sequences", input.columns.toSeq, "__bpe_w")
-          val merges = BpeTransforms.mergesFromView(config, ctx, transformType)
+          val loaded = BpeTransforms.loadedFromView(config, ctx, transformType)
           (input.withColumn("__bpe_w",
             graft.functions.expressions.BpeEncode.count(
-              col(config.options("textColumn")), merges).cast("long")),
+              col(config.options("textColumn")), loaded).cast("long")),
             "__bpe_w", true)
         case (Some(_), Some(_)) => throw new ConfigException(
           "pack_sequences: weightColumn and mergesView are mutually " +

@@ -453,22 +453,26 @@ class ExamplesSpec extends SparkTestBase {
     vocab.columns.toSeq shouldBe Seq("token_id", "token")
     vocab.where("token_id = 0").select("token").as[String].head() shouldBe "<unk>"
     val out = spark.read.parquet("/tmp/graft-examples/quickstart-24-out")
-    out.columns should contain allOf ("seq_id", "input_ids", "n_docs",
-      "seq_weight", "shard_id")
-    // exactly-N: every sequence but the last is exactly 256 ids
-    val maxSeq = out.agg(max("seq_id")).head().getLong(0)
-    out.where(s"seq_id <> $maxSeq AND size(input_ids) <> 256")
+    out.columns should contain allOf ("seq_id", "input_ids",
+      "attention_mask", "n_docs", "seq_weight", "shard_id")
+    // RECTANGULAR: every row (the padded final one included) is exactly
+    // 256 ids with a matching mask; mask 1s count the real ids
+    out.where("size(input_ids) <> 256 OR size(attention_mask) <> 256")
+      .count() shouldBe 0
+    out.where(
+      "aggregate(attention_mask, 0, (a, x) -> a + x) <> seq_weight")
       .count() shouldBe 0
     // no <unk> leaked: the tokenizer was trained on this corpus, so every
     // symbol has an id — a 0 in the export means the alphabet lost rows
+    // (pads are -1, unambiguous by construction)
     out.where(array_contains(col("input_ids"), 0)).count() shouldBe 0
-    // lossless: concatenating all sequences in seq_id order and
-    // detokenizing through the exported vocab reproduces the normalized
-    // corpus text laid end-to-end in doc_id order
+    // lossless: concatenating all sequences in seq_id order, dropping the
+    // pads, and detokenizing through the exported vocab reproduces the
+    // normalized corpus text laid end-to-end in doc_id order
     val v = vocab.orderBy("token_id").select("token").as[String].collect()
     val packedText = out.orderBy("seq_id")
       .select(explode(col("input_ids")).as("id"))
-      .as[Int].collect().map(v(_)).mkString
+      .as[Int].collect().filter(_ >= 0).map(v(_)).mkString
       .replace("</w>", " ").trim
     val corpusText = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

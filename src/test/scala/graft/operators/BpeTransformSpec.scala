@@ -230,6 +230,49 @@ class BpeTransformSpec extends SparkTestBase {
     }.getMessage should include ("mergesView")
   }
 
+  test("pack_sequences padId + emitMask emit RECTANGULAR tensors: every " +
+    "row exactly seqLen ids, mask 1s cover the real ids, pads carry 0s") {
+    val view = registeredStore("v_bpe11", "numMerges" -> "6")
+    val packed = ap(corpus, t("pack_sequences",
+      "idColumn" -> "doc_id", "textColumn" -> "text", "mergesView" -> view,
+      "seqLen" -> "5", "emit" -> "input_ids",
+      "padId" -> "-1", "emitMask" -> "true"))
+    packed.columns.toSeq should contain theSameElementsAs
+      Seq("seq_id", "input_ids", "attention_mask", "n_docs", "seq_weight")
+    val rows = packed.orderBy("seq_id")
+      .as[(Long, Seq[Int], Long, Long, Seq[Int])].collect()
+    rows.foreach { case (_, ids, _, w, mask) =>
+      ids.size shouldBe 5         // rectangular: EVERY row, not just full ones
+      mask.size shouldBe 5
+      mask.count(_ == 1) shouldBe w
+      mask shouldBe (Seq.fill(w.toInt)(1) ++ Seq.fill(5 - w.toInt)(0))
+      ids.drop(w.toInt).foreach(_ shouldBe -1) // pads after the real ids
+      ids.take(w.toInt).foreach(_ should not be -1)
+    }
+    // stripping pads leaves exactly the unpadded stream (losslessness)
+    val plain = ap(corpus, t("pack_sequences",
+      "idColumn" -> "doc_id", "textColumn" -> "text", "mergesView" -> view,
+      "seqLen" -> "5", "emit" -> "input_ids"))
+      .orderBy("seq_id").as[(Long, Seq[Int], Long, Long)]
+      .collect().flatMap(_._2).toSeq
+    rows.flatMap(_._2).filterNot(_ == -1).toSeq shouldBe plain
+    // guided failures: mask without pad, pad outside emit=input_ids
+    intercept[ConfigException] {
+      ap(corpus, t("pack_sequences", "idColumn" -> "doc_id",
+        "textColumn" -> "text", "mergesView" -> view, "seqLen" -> "5",
+        "emit" -> "input_ids", "emitMask" -> "true"))
+    }.getMessage should include ("padId")
+    intercept[ConfigException] {
+      ap(corpus, t("pack_sequences", "idColumn" -> "doc_id",
+        "weightColumn" -> "doc_id", "seqLen" -> "5", "padId" -> "-1"))
+    }.getMessage should include ("emit=input_ids")
+    intercept[ConfigException] {
+      ap(corpus, t("pack_sequences", "idColumn" -> "doc_id",
+        "textColumn" -> "text", "mergesView" -> view, "seqLen" -> "5",
+        "emit" -> "input_ids", "padId" -> "none"))
+    }.getMessage should include ("padId")
+  }
+
   test("guided failures: mode conflicts, unknown views, stamp mismatches, " +
     "and output collisions") {
     val view = registeredStore("v_bpe5", "numMerges" -> "6")
@@ -261,5 +304,58 @@ class BpeTransformSpec extends SparkTestBase {
       ap(corpus.withColumn("bpe_tokens", lit(1)), t("bpe_tokenize",
         "textColumn" -> "text", "mergesView" -> view))
     }.getMessage should include ("already exists")
+  }
+
+  test("bpe_train byteFallback → store cycle: cross-corpus encode emits " +
+    "zero <unk>, oovColumn observes the fallback codepoints, and " +
+    "detokenize reconstructs the unseen corpus") {
+    val view = registeredStore("v_bpe9", "numMerges" -> "6",
+      "byteFallback" -> "true")
+    // a corpus entirely outside the low/newest training alphabet
+    val unseen = Seq((1L, "zq 漢字", "web"), (2L, "low zq", "web"))
+      .toDF("doc_id", "text", "source")
+    val ids = ap(unseen, t("bpe_tokenize", "textColumn" -> "text",
+      "mergesView" -> view, "emit" -> "ids", "oovColumn" -> "n_oov"))
+    ids.columns should contain ("n_oov")
+    val rows = ap(ids, t("bpe_detokenize", "idsColumn" -> "input_ids",
+        "mergesView" -> view))
+      .orderBy("doc_id")
+      .select("input_ids", "n_oov", "detok_text", "text")
+      .as[(Seq[Int], Int, String, String)].collect()
+    rows.foreach { case (idArr, _, detok, text) =>
+      idArr should not contain 0
+      detok shouldBe text
+    }
+    rows.map(_._2).toSeq shouldBe Seq(4, 2) // z,q,漢,字 then z,q
+    // guided option failures
+    intercept[ConfigException] {
+      ap(corpus, t("bpe_train", "textColumn" -> "text",
+        "byteFallback" -> "maybe"))
+    }.getMessage should include ("byteFallback")
+    intercept[ConfigException] { // onOov applies to ids only
+      ap(corpus, t("bpe_tokenize", "textColumn" -> "text",
+        "mergesView" -> view, "onOov" -> "fail"))
+    }.getMessage should include ("emit=ids")
+    intercept[ConfigException] {
+      ap(corpus, t("bpe_tokenize", "textColumn" -> "text",
+        "mergesView" -> view, "emit" -> "ids", "onOov" -> "explode"))
+    }.getMessage should include ("onOov")
+    intercept[ConfigException] { // oovColumn collision
+      ap(corpus.withColumn("n_oov", lit(1)), t("bpe_token_count",
+        "textColumn" -> "text", "mergesView" -> view, "oovColumn" -> "n_oov"))
+    }.getMessage should include ("n_oov")
+  }
+
+  test("text_signals rejects a mergesView that would be loaded and never " +
+    "used (bpe_tokens not selected)") {
+    val view = registeredStore("v_bpe10", "numMerges" -> "6")
+    intercept[ConfigException] {
+      ap(corpus, t("text_signals", "textColumn" -> "text",
+        "signals" -> "tokens,chars", "mergesView" -> view))
+    }.getMessage should include ("bpe_tokens")
+    // and the valid pairing still works with an explicit signal list
+    ap(corpus, t("text_signals", "textColumn" -> "text",
+      "signals" -> "chars,bpe_tokens", "mergesView" -> view))
+      .columns should contain allOf ("n_chars", "n_bpe_tokens")
   }
 }

@@ -235,4 +235,42 @@ class GopherRulesSpec extends SparkTestBase {
       TransformConfig("g", "quality_rules", Map("textColumn" -> "nope")),
       d.schema) should not be empty
   }
+
+  test("bpe_token_count rule: OFF without a store, armed by mergesView + " +
+    "thresholds, tokenizer-exact, and the contradictions fail loudly") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq((1L, "low low low lowest lowest newest"),
+      (2L, good + " " + good), (3L, good))
+    val corpus = texts.toDF("doc_id", "text")
+    val store = graft.text.Bpe.mergesFrame(corpus, "text", numMerges = 6)
+    store.createOrReplaceTempView("v_gopher_bpe")
+    // exact counts from the engine's own count expression (the parity
+    // surface q145 oracles independently)
+    val counts = corpus.withColumn("n",
+        graft.functions.expressions.BpeEncode.count(col("text"),
+          graft.text.Bpe.load(store)))
+      .select("doc_id", "n").as[(Long, Int)].collect().toMap
+    val gate = annotate(texts,
+      "mergesView" -> "v_gopher_bpe",
+      "minBpeTokens" -> (counts(1L) + 1).toString, // doc 1 under the floor
+      "maxBpeTokens" -> (counts(2L) - 1).toString, // doc 2 over the cap
+      "minWords" -> "0", "minMeanWordLength" -> "0",
+      "maxMeanWordLength" -> "100", "minAlphaFraction" -> "0",
+      "minStopwords" -> "0")
+    gate(1L) shouldBe ((false, "bpe_token_count"))
+    gate(2L) shouldBe ((false, "bpe_token_count"))
+    // doc 3 sits between the planted bounds → passes the token gate
+    counts(3L) should (be > counts(1L) and be < counts(2L))
+    gate(3L)._1 shouldBe true
+    // guided contradictions: thresholds without a store / store unused
+    an[ConfigException] should be thrownBy annotate(
+      Seq((1L, good)), "minBpeTokens" -> "5")
+    an[ConfigException] should be thrownBy annotate(
+      Seq((1L, good)), "mergesView" -> "v_gopher_bpe")
+    // the staged count column collides loudly like the other helpers
+    an[ConfigException] should be thrownBy GopherRulesTransform(
+      corpus.withColumn("__gopher_bpe", lit(1)),
+      TransformConfig("g", "quality_rules", Map("textColumn" -> "text",
+        "mergesView" -> "v_gopher_bpe", "minBpeTokens" -> "1")), ctx)
+  }
 }

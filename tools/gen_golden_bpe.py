@@ -92,6 +92,26 @@ def vocab(word_counts, merges):
     return out
 
 
+def pack_padded(doc_ids_stream, seq_len, pad_id):
+    """Expected pack_sequences emit=input_ids + padId + emitMask layout
+    for the q144 golden oracle: documents laid end-to-end in id order,
+    cut every seq_len ids, the final short sequence padded with pad_id
+    and every row carrying the 1/0 attention mask. Independent
+    re-derivation (plain slicing), not the engine's prefix-sum."""
+    stream, bounds = [], []
+    for doc_id, ids in doc_ids_stream:
+        bounds.append((len(stream), len(stream) + len(ids)))
+        stream.extend(ids)
+    out = []
+    for s in range(0, len(stream), seq_len):
+        ids = stream[s:s + seq_len]
+        w = len(ids)
+        n_docs = sum(1 for a, b in bounds if a < s + w and b > s and a != b)
+        out.append((s // seq_len, ids + [pad_id] * (seq_len - w),
+                    [1] * w + [0] * (seq_len - w), n_docs, w))
+    return out
+
+
 if __name__ == "__main__":
     # the planted q134 corpus: the classic subword-paper word mixture
     corpus = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
@@ -108,3 +128,17 @@ if __name__ == "__main__":
     ids = {t: i for i, t in enumerate(v)}
     for probe in ["lowest", "low", "newest", "zap"]:
         print(f"ids({probe!r}) = {[ids.get(t, 0) for t in encode(probe, merges)]}")
+
+    # q144 golden: the q134 corpus as 4 documents, packed at seqLen=7
+    # with padId=-1 and the attention mask
+    docs = [(1, "low low low low low"), (2, "lower lower"),
+            (3, "newest newest newest newest newest newest"),
+            (4, "widest widest widest")]
+    def doc_ids(text):
+        return [ids.get(t, 0) for w in text.split() for t in encode(w, merges)]
+    packed = pack_padded([(d, doc_ids(t)) for d, t in docs],
+                         seq_len=7, pad_id=-1)
+    print("packed (seq_id, ids_csv, mask_csv, n_docs, seq_weight):")
+    for seq_id, ids_row, mask, n_docs, w in packed:
+        print(f"  ({seq_id}, '{','.join(map(str, ids_row))}', "
+              f"'{','.join(map(str, mask))}', {n_docs}, {w}),")
