@@ -2112,6 +2112,20 @@ object SparkEntry {
           "maxEllipsisFraction" -> "2", "minAlphaFraction" -> "0",
           "minStopwords" -> "0"))
         .select("doc_id", "source")
+    }),
+    // token-unit chunking (context windows a model actually sees): the
+    // disjoint store makes each doc's token count = code points + words,
+    // so DuckDB re-derives the whole chunk grid — count, ids, and every
+    // window's length including the short tail
+    "q147_chunk_tokens" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(stagedBpeDisjointStore(s))
+        .createOrReplaceTempView("q147_merges")
+      ap(tab(s, dir, "documents").where(col("text").isNotNull),
+        t("chunk", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "unit" -> "tokens", "mergesView" -> "q147_merges",
+          "size" -> "50", "overlap" -> "10"))
+        .select(col("doc_id"), col("chunk_id"), col("chunk_len"))
     })
   )
 
@@ -4087,6 +4101,24 @@ object SparkEntry {
          WHERE text IS NOT NULL
            AND length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g'))
                + len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+'))
-               BETWEEN 200 AND 500"""
+               BETWEEN 200 AND 500""",
+    // q147: disjoint store ⇒ token count = the q133 weight; the chunk
+    // grid (1 if w<=size else ceil((w-size)/stride)+1, window length
+    // least(size, w - i*stride)) re-derived in plain SQL
+    "q147_chunk_tokens" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g'))
+                    + len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS w
+           FROM documents WHERE text IS NOT NULL
+         ), n AS (
+           SELECT doc_id, w,
+                  CASE WHEN w <= 50 THEN 1
+                       ELSE (w - 50 + 39) // 40 + 1 END AS nchunks
+           FROM c
+         )
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                CAST(least(50, w - chunk_id * 40) AS INT) AS chunk_len
+         FROM (SELECT doc_id, w, unnest(range(nchunks)) AS chunk_id FROM n)"""
   )
 }

@@ -61,4 +61,56 @@ class ChunkSpec extends SparkTestBase {
     val chunked = Seq((1L, "x", 0L)).toDF("id", "t", "chunk_id")
     intercept[ConfigException] { chunk(chunked, "size" -> "5", "keep" -> "chunk_id") }
   }
+
+  /** A tokenizer store over a tiny corpus, registered for unit=tokens. */
+  private def tokenStore(name: String): String = {
+    graft.text.Bpe.mergesFrame(
+      Seq("low low low low low lower lower newest newest newest " +
+        "newest newest newest widest widest widest").toDF("text"),
+      "text", numMerges = 6).createOrReplaceTempView(name)
+    name
+  }
+
+  test("unit=tokens: windows over the BPE id stream — same grid " +
+    "arithmetic, token-boundary cuts, ids + detokenized text emitted") {
+    val view = tokenStore("v_chunk_bpe")
+    // "low lowest newest low" → ids per golden: low,</w> | low,est</w> |
+    // n,ew,est</w> | low,</w> = 9 tokens
+    val df = Seq((1L, "low lowest newest low")).toDF("id", "t")
+    val out = chunk(df, "unit" -> "tokens", "mergesView" -> view,
+      "size" -> "4", "overlap" -> "1") // stride 3 → ceil((9-4)/3)+1 = 3
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_ids", "chunk_text", "chunk_len")
+      .as[(Long, Seq[Int], String, Int)].collect()
+    out.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L)
+    // the windows tile the 9-token stream with 1-token overlap
+    val stream = out.head._2 ++ out.tail.flatMap(_._2.drop(1))
+    stream.size shouldBe 9
+    out.dropRight(1).foreach(_._4 shouldBe 4)
+    out.last._4 shouldBe 3 // 9 - 2*3
+    // detok of each window: [low </w> low est</w>] [est</w> n ew est</w>]
+    // [est</w> low </w>] — subword pieces rejoin without a space
+    out.map(_._3).toSeq shouldBe Seq("low lowest", "est newest", "est low")
+    // short/empty/null follow the char-mode contract
+    val edge = chunk(Seq((1L, "low"), (2L, ""), (3L, null))
+        .toDF("id", "t"),
+      "unit" -> "tokens", "mergesView" -> view, "size" -> "4")
+      .select("id", "chunk_len").as[(Long, Int)].collect().toMap
+    edge(1L) shouldBe 2  // low </w> → one short chunk
+    edge(2L) shouldBe 0  // empty → one empty chunk
+    edge.contains(3L) shouldBe false // null → no chunks
+    // zero-shuffle plan in token mode too
+    chunk(df, "unit" -> "tokens", "mergesView" -> view, "size" -> "4")
+      .queryExecution.executedPlan.toString should not include "Exchange"
+    // guided contradictions
+    intercept[ConfigException] {
+      chunk(df, "unit" -> "tokens", "size" -> "4")
+    }.getMessage should include ("mergesView")
+    intercept[ConfigException] {
+      chunk(df, "mergesView" -> view, "size" -> "4")
+    }.getMessage should include ("unit")
+    intercept[ConfigException] {
+      chunk(df, "unit" -> "lines", "size" -> "4")
+    }.getMessage should include ("chars|tokens")
+  }
 }
