@@ -32,6 +32,15 @@ import org.apache.spark.sql.execution.window.WindowExec
  *    that boundary and adds serialization per row. The engine's rule is
  *    "functions, not UDFs" — the one sanctioned exception is
  *    compression_ratio's Deflater.
+ *  - **exact-percentile** (warn): a `percentile`/`median` AGGREGATE holds
+ *    every distinct (value, count) pair of its group in the final
+ *    reducer — the ONE aggregate whose state does not shrink with scale.
+ *    Grouped over bounded-cardinality values it is survivable; GLOBAL
+ *    (no grouping) over a 100 TB column it concentrates the column's
+ *    distinct values in one buffer. The sketch spelling
+ *    (`approx_percentile` / the KLL `quantile_sketch` transform /
+ *    `quantile_filter`'s default) is the scale path — exact is for
+ *    oracle-exactness and small frames (docs/SCALE.md).
  *  - **exchange-count** (info): number of shuffle exchanges — the
  *    quantity to minimize; one per declared wide operation is expected,
  *    more usually means a lost partitioning.
@@ -72,7 +81,23 @@ object PlanLint {
     val out = Seq.newBuilder[Finding]
     var exchanges = 0
     val udfs = Seq.newBuilder[String]
+    // exact percentiles: counted on FINAL/COMPLETE aggregate nodes only
+    // (a partial+final pair is one logical aggregate, not two findings)
+    var pctGlobal = 0; var pctGrouped = 0
     visit(plan) { node =>
+      node match {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          import org.apache.spark.sql.catalyst.expressions.aggregate._
+          val exact = a.aggregateExpressions.count { ae =>
+            (ae.mode == Final || ae.mode == Complete) &&
+              ae.aggregateFunction.isInstanceOf[Percentile]
+          }
+          if (exact > 0) {
+            if (a.groupingExpressions.isEmpty) pctGlobal += exact
+            else pctGrouped += exact
+          }
+        case _ => ()
+      }
       node match {
         case _: CartesianProductExec =>
           out += Finding("cartesian-product", "error",
@@ -102,6 +127,15 @@ object PlanLint {
       out += Finding("udf", "warn",
         s"${udfList.size} ScalaUDF call(s) (${udfList.distinct.mkString(", ")}) break " +
           "whole-stage codegen at their boundary — prefer native functions/expressions")
+    if (pctGlobal + pctGrouped > 0)
+      out += Finding("exact-percentile", "warn",
+        s"${pctGlobal + pctGrouped} exact percentile/median aggregate(s)" +
+          (if (pctGlobal > 0) s", $pctGlobal GLOBAL (ungrouped — the whole " +
+            "column's distinct values concentrate in one final buffer)"
+           else "") +
+          " — state is O(distinct values) per group and does not shrink " +
+          "with scale; prefer approx_percentile / quantile_sketch at " +
+          "volume (docs/SCALE.md)")
     if (exchanges > 0)
       out += Finding("exchange-count", "info",
         s"$exchanges shuffle exchange(s) — expected: one per declared wide operation")

@@ -59,6 +59,29 @@ class PlanLintSpec extends SparkTestBase {
     assert(agg.exists(f => f.rule == "exchange-count" && f.detail.startsWith("1 ")))
   }
 
+  test("exact percentile warns (GLOBAL flagged); approx_percentile does not") {
+    val d = spark.range(100).withColumn("g", col("id") % 3)
+    // ungrouped exact percentile: the whole column's distinct values land
+    // in ONE final buffer — the finding must call out GLOBAL
+    val global = PlanLint.audit(d.agg(expr("percentile(id, 0.5)")))
+    val gf = global.filter(_.rule == "exact-percentile")
+    assert(gf.size == 1 && gf.head.severity == "warn", s"got: $global")
+    assert(gf.head.detail.contains("GLOBAL"))
+    // partial+final is ONE logical aggregate — the count must be 1, not 2
+    assert(gf.head.detail.startsWith("1 "), s"double-counted: ${gf.head.detail}")
+    // grouped exact percentile still warns, but without the GLOBAL callout
+    val grouped = PlanLint.audit(
+      d.groupBy("g").agg(expr("percentile(id, 0.5)")))
+    val grf = grouped.filter(_.rule == "exact-percentile")
+    assert(grf.size == 1 && !grf.head.detail.contains("GLOBAL"))
+    // the sketch spelling is the sanctioned scale path — no finding
+    assert(!PlanLint.audit(d.agg(expr("approx_percentile(id, 0.5)")))
+      .exists(_.rule == "exact-percentile"))
+    // median is sugar over the same O(distinct) state
+    assert(PlanLint.audit(d.groupBy("g").agg(expr("median(id)")))
+      .exists(_.rule == "exact-percentile"))
+  }
+
   test("anti-patterns inside subquery plans are not hidden from the gate") {
     val d = (1 to 10).map(i => (i, i % 3)).toDF("x", "g")
     d.createOrReplaceTempView("lint_outer")
