@@ -1723,10 +1723,28 @@ object SparkEntry {
     // DataSketches HLL stays in sparse mode, where the estimate is EXACT —
     // events has 150 users, lgK=12. (The merge path and the
     // beyond-sparse-regime error bound are spec-tested.)
-    "q74_sketch_ndv" -> ((s, dir) => ap(ap(tab(s, dir, "events"),
-      t("sketch", "columns" -> "user_id", "groupBy" -> "event_type")),
-      t("sketch", "columns" -> "user_id", "mode" -> "estimate"))
-      .select("event_type", "user_id_ndv")),
+    // The HLL ESTIMATE cannot be pinned cross-engine at scale (at sf0.1
+    // user_id NDV is ~1500/group and DataSketches reads 1480 where DuckDB's
+    // own sketch reads 1500 — both correct within their error bounds), so
+    // the oracle-checked surface is the CONTRACT: the exact NDV plus a
+    // boolean asserting the estimate landed within 3×RSE (~5% at lgK=12).
+    // The sketch build/estimate path still runs in full; only the
+    // engine-specific estimate value stays out of the hash.
+    "q74_sketch_ndv" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val est = ap(ap(tab(s, dir, "events"),
+        t("sketch", "columns" -> "user_id", "groupBy" -> "event_type")),
+        t("sketch", "columns" -> "user_id", "mode" -> "estimate"))
+        .select(col("event_type"), col("user_id_ndv"))
+      val exact = tab(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct("user_id").as("user_id_ndv_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"),
+          col("user_id_ndv_exact").cast("long").as("user_id_ndv_exact"),
+          (abs(col("user_id_ndv") - col("user_id_ndv_exact")) <=
+            greatest(ceil(col("user_id_ndv_exact") * 0.05), lit(1)))
+            .as("ndv_within_rse"))
+    }),
     // time-series resample with gap filling: per-user 6-hour buckets, every
     // interval between a user's first and last event present (missing
     // buckets → count 0). 6-hour buckets are epoch-aligned in BOTH engines.
@@ -2405,11 +2423,13 @@ object SparkEntry {
            FROM t
          )
          SELECT m.doc_id,
-                round(least(len::DOUBLE / 500.0, 1.0) * 0.3
+                round(CAST(CAST(
+                  least(len::DOUBLE / 500.0, 1.0) * 0.3
                       + least(stop_r * 3.0, 1.0) * 0.3
                       + greatest(0.0, 1.0 - punct_r * 4.0) * 0.2
                       + (CASE WHEN mean_tok BETWEEN 3.0 AND 9.0
-                              THEN 1.0 ELSE 0.4 END) * 0.2, 4) AS quality,
+                              THEN 1.0 ELSE 0.4 END) * 0.2
+                  AS VARCHAR) AS DECIMAL(38,18)), 4)::DOUBLE AS quality,
                 (CASE WHEN (list_sort([
                    {'s': len(list_filter(toks, w -> list_contains(
                       ['the','and','of','to','in','is','that','it','for','with'], w))), 'l': 'en'},
@@ -2438,8 +2458,16 @@ object SparkEntry {
          JOIN read_parquet('/root/repo/src/test/resources/golden/q24_fingerprint.parquet') g
            ON g.doc_id = m.doc_id AND g.text_md5 = md5(m.text)""",
     // quality composite mirrored term-for-term, left-associative like the
-    // Spark Column expression; round(,4) is safe cross-engine because no
-    // IEEE double is exactly a 5-decimal boundary. langid = struct greatest
+    // Spark Column expression. round(,4) is NOT directly portable: the
+    // composite's terms are exact decimals (weights 0.3/0.2, ratios over
+    // small integers), so real docs land mathematically ON 5-decimal
+    // boundaries (sf0.1 doc 768 = 0.66475). Spark's round() is
+    // BigDecimal.valueOf(d) — the SHORTEST decimal repr — then HALF_UP
+    // ("0.66475" → 0.6648), while DuckDB rounds the binary value
+    // (0.66474999…995 → 0.6647). The oracle replicates Spark exactly:
+    // CAST(x AS VARCHAR) is DuckDB's shortest repr, the DECIMAL(38,18)
+    // parse is exact, and decimal round() is HALF_UP — verified equal to
+    // java.math.BigDecimal for ±0.66475. langid = struct greatest
     // over (hits, lang) — equal scores break toward the larger lang code
     // in BOTH engines (field-order lexicographic struct comparison).
     "q109_text_quality_sql" ->
@@ -2464,11 +2492,13 @@ object SparkEntry {
            FROM t
          )
          SELECT doc_id,
-                round(least(len::DOUBLE / 500.0, 1.0) * 0.3
+                round(CAST(CAST(
+                  least(len::DOUBLE / 500.0, 1.0) * 0.3
                       + least(stop_r * 3.0, 1.0) * 0.3
                       + greatest(0.0, 1.0 - punct_r * 4.0) * 0.2
                       + (CASE WHEN mean_tok BETWEEN 3.0 AND 9.0
-                              THEN 1.0 ELSE 0.4 END) * 0.2, 4) AS quality,
+                              THEN 1.0 ELSE 0.4 END) * 0.2
+                  AS VARCHAR) AS DECIMAL(38,18)), 4)::DOUBLE AS quality,
                 (CASE WHEN (list_sort([
                    {'s': len(list_filter(toks, w -> list_contains(
                       ['the','and','of','to','in','is','that','it','for','with'], w))), 'l': 'en'},
@@ -3932,9 +3962,12 @@ object SparkEntry {
                 round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
                            ELSE (o_totalprice - mu) / sd END, 4) AS o_totalprice_scaled
          FROM orders CROSS JOIN s""",
-    // sparse-regime HLL is exact, so the estimate equals count(DISTINCT)
+    // the estimate is engine-specific past the sketch's exact regime (the
+    // old `estimate = count(DISTINCT)` oracle broke at sf0.1), so DuckDB
+    // pins the exact NDV and the within-3×RSE contract boolean instead
     "q74_sketch_ndv" ->
-      """SELECT event_type, count(DISTINCT user_id) AS user_id_ndv
+      """SELECT event_type, count(DISTINCT user_id) AS user_id_ndv_exact,
+         TRUE AS ndv_within_rse
          FROM events GROUP BY event_type""",
     // bucket + per-key dense grid + left join; gaps coalesce to 0 events
     "q72_resample" ->
