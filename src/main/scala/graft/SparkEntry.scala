@@ -1533,6 +1533,33 @@ object SparkEntry {
         t("importance_score", "idColumn" -> "doc_id", "textColumn" -> "text",
           "targetView" -> "q129_target", "n" -> "3"))
     }),
+    // the TRAINED language-id store: per-(lang, trigram) counts over the
+    // labeled corpus, minCount-pruned, parameter-stamped — DuckDB
+    // re-derives every row from the same substr grid as q79
+    "q148_chargram_lm" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      ap(tab(s, dir, "documents"),
+        t("chargram_lm", "labelColumn" -> "lang", "textColumn" -> "text",
+          "n" -> "3", "minCount" -> "2"))
+        .select(col("label"), col("gram"), col("cnt").cast("long").as("cnt"),
+          col("clm_n").cast("int").as("clm_n"),
+          col("clm_min_count").cast("long").as("clm_min_count"))
+    }),
+    // trained language classification end-to-end: train the q148 store
+    // in-query, classify the same corpus, and DuckDB re-derives the full
+    // add-one-smoothed argmax (matched mass + all-unseen grid term,
+    // struct-max tie-break) term-for-term
+    "q149_lang_classify" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      ap(tab(s, dir, "documents"),
+        t("chargram_lm", "labelColumn" -> "lang", "textColumn" -> "text",
+          "n" -> "3", "minCount" -> "2"))
+        .createOrReplaceTempView("q149_model")
+      ap(tab(s, dir, "documents"),
+        t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "modelView" -> "q149_model", "scoreColumn" -> "lang_score"))
+        .select("doc_id", "lang_pred", "lang_score")
+    }),
     // the DSIR selection recipe (Xie et al. 2023 §2.3) COMPOSED, as one
     // declarative pipeline: importance log-ratio → exponentiate into a
     // sampling weight (rounded to 4 decimals so both engines hold the
@@ -3510,6 +3537,76 @@ object SparkEntry {
                        / CAST(scal.raw_total + scal.v AS DOUBLE))
                 )) / sum(tf.tf), 4) + 0.0 AS importance
          FROM tf JOIN model USING (gram) CROSS JOIN scal GROUP BY 1""",
+    // per-(lang, trigram) counts: q79's substr grid grouped by the label,
+    // minCount=2 floor, constant stamps
+    "q148_chargram_lm" ->
+      """WITH d AS (
+           SELECT lang, lower(text) AS t FROM documents
+           WHERE text IS NOT NULL AND length(lower(text)) >= 3
+         ), g AS (
+           SELECT lang, t, unnest(generate_series(1, length(t) - 2)) AS i
+           FROM d
+         )
+         SELECT lang AS label, substr(t, CAST(i AS BIGINT), 3) AS gram,
+                CAST(count(*) AS BIGINT) AS cnt,
+                3 AS clm_n, CAST(2 AS BIGINT) AS clm_min_count
+         FROM g GROUP BY 1, 2 HAVING count(*) >= 2""",
+    // the full trained classify restated: q148's model, per-label totals
+    // + union vocab size, per-doc matched smoothed mass, the docs×labels
+    // grid filling in the all-unseen term for zero-match labels, and the
+    // same max-over-(score,label)-structs argmax; gram-less docs fall out
+    // of the grid and coalesce to 'und' with a null score
+    "q149_lang_classify" ->
+      """WITH md AS (
+           SELECT lang, lower(text) AS t FROM documents
+           WHERE text IS NOT NULL AND length(lower(text)) >= 3
+         ), mg AS (
+           SELECT lang, t, unnest(generate_series(1, length(t) - 2)) AS i
+           FROM md
+         ), model AS (
+           SELECT lang AS label, substr(t, CAST(i AS BIGINT), 3) AS gram,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM mg GROUP BY 1, 2 HAVING count(*) >= 2
+         ), totals AS (
+           SELECT label, CAST(sum(cnt) AS BIGINT) AS total FROM model GROUP BY 1
+         ), vocab AS (
+           SELECT CAST(count(DISTINCT gram) AS BIGINT) AS v FROM model
+         ), dd AS (
+           SELECT doc_id, lower(text) AS t FROM documents
+           WHERE text IS NOT NULL AND length(lower(text)) >= 3
+         ), g AS (
+           SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+           FROM dd
+         ), tf AS (
+           SELECT doc_id, substr(t, CAST(i AS BIGINT), 3) AS gram,
+                  CAST(count(*) AS BIGINT) AS tf
+           FROM g GROUP BY 1, 2
+         ), doctot AS (
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams FROM tf GROUP BY 1
+         ), matched AS (
+           SELECT tf.doc_id, model.label,
+                  sum(tf.tf * ln(CAST(model.cnt + 1 AS DOUBLE)
+                                 / CAST(totals.total + vocab.v AS DOUBLE))) AS mll,
+                  CAST(sum(tf.tf) AS BIGINT) AS mtf
+           FROM tf JOIN model USING (gram) JOIN totals USING (label)
+                CROSS JOIN vocab
+           GROUP BY 1, 2
+         ), scores AS (
+           SELECT doctot.doc_id, totals.label,
+                  coalesce(matched.mll, 0.0)
+                  + (doctot.n_grams - coalesce(matched.mtf, 0))
+                    * ln(1.0 / CAST(totals.total + vocab.v AS DOUBLE)) AS score
+           FROM doctot CROSS JOIN totals CROSS JOIN vocab
+           LEFT JOIN matched ON matched.doc_id = doctot.doc_id
+                            AND matched.label = totals.label
+         ), best AS (
+           SELECT doc_id, max(struct_pack(s := score, l := label)) AS b
+           FROM scores GROUP BY 1
+         )
+         SELECT docs.doc_id,
+                coalesce(best.b.l, 'und') AS lang_pred,
+                round(best.b.s, 4) AS lang_score
+         FROM documents docs LEFT JOIN best USING (doc_id)""",
     // q129's scoring chain verbatim, then the composition: weight =
     // round(exp(importance), 4) (the 4-decimal round is what lets two
     // engines' libm exp() agree bit-for-bit), race keys from the same

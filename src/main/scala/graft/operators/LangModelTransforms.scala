@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.api.{ConfigException, RunContext, Transform}
+import graft.config.TransformConfig
+import graft.text.ChargramLm
+
+/**
+ * chargram_lm — train the per-label character n-gram language-model
+ * STORE from a labeled corpus: one (label, gram) aggregation, stamped
+ * with `clm_n`/`clm_min_count`, persisted via an ordinary file sink and
+ * consumed by `lang_classify` in later runs (the merges / codebook /
+ * signature store family; see [[graft.text.ChargramLm.modelFrame]] for
+ * the scale shape and the loud-failure contract).
+ *
+ * {{{
+ * - name: lang-model
+ *   type: chargram_lm
+ *   options: {labelColumn: lang, textColumn: text, n: "3", minCount: "2"}
+ * }}}
+ */
+object ChargramLmTransform extends Transform {
+  val transformType = "chargram_lm"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("labelColumn").toSeq ++ config.options.get("textColumn").toSeq,
+      transformType)
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "labelColumn", "textColumn")
+    try ChargramLm.modelFrame(input, config.options("labelColumn"),
+      config.options("textColumn"),
+      n = config.options.get("n").map(_.toInt).getOrElse(3),
+      minCount = config.options.get("minCount").map(_.toLong).getOrElse(1L))
+    catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }
+  }
+}
+
+/**
+ * lang_classify — append the TRAINED language prediction from a
+ * registered `chargram_lm` store (`modelView`): add-one-smoothed
+ * log-likelihood per label, argmax appended as `outputColumn` (default
+ * `lang_pred`), optional `scoreColumn` with the rounded best score.
+ * `n`/`minCount`, when given, must match the store's training stamps;
+ * `maxLabels` (default 1000) guards the docs × labels scoring grid.
+ * Documents with no grams (null / shorter than the store's n) and
+ * null-id documents classify as `"und"` — the `langId` convention. See
+ * [[graft.text.ChargramLm.classify]] for the broadcast-model plan shape.
+ *
+ * {{{
+ * - name: lang
+ *   type: lang_classify
+ *   options: {idColumn: doc_id, textColumn: text, modelView: lang_model}
+ * }}}
+ */
+object LangClassifyTransform extends Transform {
+  val transformType = "lang_classify"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq,
+      transformType)
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "textColumn", "modelView")
+    val view = config.options("modelView")
+    val store =
+      try ctx.spark.table(view)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new ConfigException(
+          s"$transformType: modelView '$view' is not a registered view/table — " +
+            s"register the persisted chargram_lm store first (${e.getMessage})")
+      }
+    val loaded = ChargramLm.load(store,
+      wantN = config.options.get("n").map(_.toInt),
+      wantMinCount = config.options.get("minCount").map(_.toLong),
+      maxLabels = config.options.get("maxLabels").map(_.toInt).getOrElse(1000))
+    val out = config.options.getOrElse("outputColumn", "lang_pred")
+    val scoreCol = config.options.get("scoreColumn")
+    (out +: scoreCol.toSeq).foreach { c =>
+      if (input.columns.exists(_.equalsIgnoreCase(c))) throw new ConfigException(
+        s"$transformType: output column '$c' already exists on the input — " +
+          "rename via outputColumn/scoreColumn instead of silently overwriting")
+    }
+    ChargramLm.classify(input, config.options("idColumn"),
+      config.options("textColumn"), loaded, out, scoreCol)
+  }
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.api.{ConfigException, RunContext}
+import graft.config.TransformConfig
+import graft.text.ChargramLm
+
+class LangModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ctx = RunContext(spark, "t", "r")
+  private def t(tp: String, opts: (String, String)*) = TransformConfig("x", tp, opts.toMap)
+
+  // three "languages" with disjoint character inventories, so trigram
+  // evidence separates them with wide margins
+  private def labeled = Seq(
+    ("en", "the thin then theft tenth"),
+    ("en", "net ten tent tenet hen"),
+    ("el", "αλφα βητα γαμμα δελτα"),
+    ("el", "ταβλα αλβα γαλα βαλτα"),
+    ("zh", "这是 一个 中文 文本 样本"),
+    ("zh", "中文 样本 文本 这个 一个")).toDF("lang", "text")
+
+  private def trainStore(n: String = "2", minCount: String = "1") =
+    ChargramLmTransform(labeled,
+      t("chargram_lm", "labelColumn" -> "lang", "textColumn" -> "text",
+        "n" -> n, "minCount" -> minCount), ctx)
+
+  test("train → classify: held-out docs land on their language; no-gram and null-id docs are 'und'") {
+    trainStore().createOrReplaceTempView("lm_basic")
+    val docs = Seq(
+      (1L, "tenth then net"),        // en trigram mass
+      (2L, "γαμμα αλφα"),            // el
+      (3L, "中文 这个 样本"),          // zh
+      (4L, "x"),                     // shorter than n → no grams
+      (5L, null.asInstanceOf[String]) // null text
+    ).toDF("doc_id", "text")
+      .union(Seq((null.asInstanceOf[java.lang.Long], "the then tenth"))
+        .toDF("doc_id", "text"))     // null id → cannot join back
+    val out = LangClassifyTransform(docs,
+      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "modelView" -> "lm_basic", "scoreColumn" -> "lang_score"), ctx)
+    out.columns should contain allOf ("lang_pred", "lang_score")
+    val preds = out.collect().map(r =>
+      Option(r.getAs[java.lang.Long]("doc_id")).map(_.toLong) ->
+        r.getAs[String]("lang_pred")).toMap
+    preds(Some(1L)) shouldBe "en"
+    preds(Some(2L)) shouldBe "el"
+    preds(Some(3L)) shouldBe "zh"
+    preds(Some(4L)) shouldBe "und"
+    preds(Some(5L)) shouldBe "und"
+    preds(None) shouldBe "und"
+    // scores exist exactly where a prediction exists
+    out.where(col("lang_pred") =!= "und")
+      .where(col("lang_score").isNull).count() shouldBe 0L
+    out.where(col("lang_pred") === "und")
+      .where(col("lang_score").isNotNull).count() shouldBe 0L
+  }
+
+  test("store: stamped layout, parquet round-trip classifies identically") {
+    val store = trainStore()
+    store.columns.toSeq shouldBe Seq("label", "gram", "cnt", "clm_n", "clm_min_count")
+    store.select("clm_n", "clm_min_count").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq shouldBe Seq((2, 1L))
+    val dir = tmpDir("lmstore")
+    store.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("lm_rt")
+    store.createOrReplaceTempView("lm_mem")
+    val docs = Seq((1L, "tenth then"), (2L, "αλφα γαλα")).toDF("doc_id", "text")
+    def classify(view: String) = LangClassifyTransform(docs,
+      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "modelView" -> view), ctx)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    classify("lm_rt") shouldBe classify("lm_mem")
+    classify("lm_rt") shouldBe Map(1L -> "en", 2L -> "el")
+  }
+
+  test("a zero-match label still competes through its all-unseen smoothed mass") {
+    // model: 'big' has far more gram mass than 'small'; a doc matching
+    // NOTHING must score both labels (grid), and the argmax must favor
+    // the label whose smoothed unseen term is larger (smaller total)
+    val d = Seq(("big", "aaaa aaab aaba abaa baaa aabb abba bbaa abab baba"),
+        ("small", "cc")).toDF("lang", "text")
+    ChargramLmTransform(d, t("chargram_lm",
+        "labelColumn" -> "lang", "textColumn" -> "text", "n" -> "2"), ctx)
+      .createOrReplaceTempView("lm_grid")
+    val out = LangClassifyTransform(Seq((1L, "zzzz zzz")).toDF("doc_id", "text"),
+      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "modelView" -> "lm_grid"), ctx)
+      .select("lang_pred").as[String].head()
+    // every doc gram is unseen under BOTH labels: score(L) =
+    // n_grams · ln(1/(total_L + V)) — maximized by the smaller total
+    out shouldBe "small"
+  }
+
+  test("tie-break: equal scores resolve toward the larger label (the langId convention)") {
+    // two labels trained on identical text → identical totals and counts
+    // → every doc scores them equally; max(struct(score, label)) must
+    // pick the lexicographically larger label deterministically
+    val d = Seq(("aa", "xyxy xyx"), ("bb", "xyxy xyx")).toDF("lang", "text")
+    ChargramLmTransform(d, t("chargram_lm",
+        "labelColumn" -> "lang", "textColumn" -> "text", "n" -> "2"), ctx)
+      .createOrReplaceTempView("lm_tie")
+    LangClassifyTransform(Seq((1L, "xy yx")).toDF("doc_id", "text"),
+      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "modelView" -> "lm_tie"), ctx)
+      .select("lang_pred").as[String].head() shouldBe "bb"
+  }
+
+  test("minCount prunes label-local rare grams; stamp mismatches and bad stores fail loudly") {
+    val pruned = trainStore(minCount = "3")
+    // minCount=3 keeps only grams seen >= 3 times within their label
+    pruned.where(col("cnt") < 3).count() shouldBe 0L
+    pruned.createOrReplaceTempView("lm_pruned")
+    // consume-side stamp expectations must match training stamps
+    val docs = Seq((1L, "tenth")).toDF("doc_id", "text")
+    (the[ConfigException] thrownBy LangClassifyTransform(docs,
+      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "modelView" -> "lm_pruned", "n" -> "3"), ctx))
+      .getMessage should include ("trained with n=2")
+    (the[ConfigException] thrownBy LangClassifyTransform(docs,
+      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "modelView" -> "lm_pruned", "minCount" -> "1"), ctx))
+      .getMessage should include ("minCount=3")
+    // unregistered view / wrong layout / mixed stamps
+    (the[ConfigException] thrownBy LangClassifyTransform(docs,
+      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "modelView" -> "lm_nope"), ctx))
+      .getMessage should include ("not a registered view")
+    Seq(("en", "th", 2L)).toDF("label", "gram", "cnt")
+      .createOrReplaceTempView("lm_bad_layout")
+    (the[ConfigException] thrownBy LangClassifyTransform(docs,
+      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "modelView" -> "lm_bad_layout"), ctx))
+      .getMessage should include ("missing column")
+    trainStore(n = "2").union(trainStore(n = "3"))
+      .createOrReplaceTempView("lm_mixed")
+    (the[ConfigException] thrownBy LangClassifyTransform(docs,
+      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "modelView" -> "lm_mixed"), ctx))
+      .getMessage should include ("mixed or null parameter stamps")
+    // maxLabels guard names the grid
+    trainStore().createOrReplaceTempView("lm_guard")
+    (the[ConfigException] thrownBy LangClassifyTransform(docs,
+      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "modelView" -> "lm_guard", "maxLabels" -> "2"), ctx))
+      .getMessage should include ("maxLabels")
+  }
+
+  test("train-time loud failures: null/blank labels, empty gram table, output collisions") {
+    // null label: fails in-plan (raise_error rides the one training
+    // pass), surfaced through Spark's execution exception chain
+    val nullLab = Seq(("en", "the then"), (null.asInstanceOf[String], "oops"))
+      .toDF("lang", "text")
+    val ex = intercept[Exception] {
+      ChargramLmTransform(nullLab, t("chargram_lm",
+        "labelColumn" -> "lang", "textColumn" -> "text"), ctx).count()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10).flatMap(e => Option(e.getMessage)).mkString(" | ")
+    messages should include ("null/blank labels")
+    // empty gram table (every text shorter than n) fails at TRAIN time
+    // with the real cause, not at the first load
+    val short = Seq(("en", "ab"), ("de", "cd")).toDF("lang", "text")
+    (the[ConfigException] thrownBy ChargramLmTransform(short,
+      t("chargram_lm", "labelColumn" -> "lang", "textColumn" -> "text",
+        "n" -> "5"), ctx))
+      .getMessage should include ("no (label, gram) pair survived")
+    // output-column collision refuses instead of silently overwriting
+    trainStore().createOrReplaceTempView("lm_coll")
+    val withPred = Seq((1L, "tenth", "x")).toDF("doc_id", "text", "lang_pred")
+    (the[ConfigException] thrownBy LangClassifyTransform(withPred,
+      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "modelView" -> "lm_coll"), ctx))
+      .getMessage should include ("already exists")
+  }
+
+  test("plan shape: the store broadcasts into the gram match — the corpus never exchanges on gram") {
+    trainStore().createOrReplaceTempView("lm_plan")
+    val docs = Seq((1L, "tenth then net"), (2L, "γαμμα αλφα")).toDF("doc_id", "text")
+    val out = LangClassifyTransform(docs,
+      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "modelView" -> "lm_plan"), ctx)
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include ("BroadcastHashJoin")
+    // no exchange may partition on the gram key: the only hash exchanges
+    // are id-keyed (__cid) aggregations and the final id append join
+    val gramExchange = "Exchange hashpartitioning\\(gram".r
+    gramExchange.findFirstIn(plan) shouldBe None
+  }
+}
