@@ -19,6 +19,13 @@ import graft.text.ChargramLm
  *   type: chargram_lm
  *   options: {labelColumn: lang, textColumn: text, n: "3", minCount: "2"}
  * }}}
+ *
+ * `minCount` scales with corpus size: at volume a floor of 2+ bounds the
+ * store against hapax noise, but on a SMALL corpus it starves the model
+ * (most grams occur once) and classification degenerates toward the
+ * all-unseen term, where the smallest-total label wins every document —
+ * keep 1 for small strata (measured: quickstart-25's 10-doc corpus
+ * predicts everything as the sparsest label at minCount=2).
  */
 object ChargramLmTransform extends Transform {
   val transformType = "chargram_lm"

@@ -286,6 +286,54 @@ class ExamplesSpec extends SparkTestBase {
     out.count() shouldBe 0 // every increment row is a verbatim dup of history
   }
 
+  test("quickstart-25: language model trained in run N classifies an " +
+    "unlabeled corpus in run N+1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // stage the LABELED training corpus: the synthetic testdata's `lang`
+    // column is decorative (every row is the same English word salad), so
+    // the example trains on genuinely multilingual staged text
+    val labeled = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and runs away with the morning paper"),
+      ("en", "this is another sentence written in plain english about nothing in particular"),
+      ("de", "der schnelle braune fuchs springt über den faulen hund und läuft mit der zeitung davon"),
+      ("de", "dies ist ein weiterer deutscher satz über nichts besonderes geschrieben"),
+      ("fr", "le renard brun rapide saute par dessus le chien paresseux et s'enfuit avec le journal"),
+      ("fr", "ceci est une autre phrase écrite en français qui ne parle de rien de particulier"),
+      ("es", "el rápido zorro marrón salta sobre el perro perezoso y huye con el periódico"),
+      ("es", "esta es otra frase escrita en español que no trata de nada en particular"),
+      ("zh", "敏捷的棕色狐狸跳过懒狗 带着早报跑掉了 这是一个中文句子"),
+      ("zh", "这是另一个用中文写的句子 没有什么特别的内容 只是一个样本")
+    ).toDF("lang", "text")
+    labeled.write.mode("overwrite")
+      .parquet("/tmp/graft-examples/quickstart-25-labeled")
+    // run N: persist the per-(lang, trigram) count store
+    run("quickstart-25-lang-model-train.yaml")
+    val store = spark.read.parquet("/tmp/graft-examples/quickstart-25-lang-model")
+    store.columns.toSeq should contain allOf ("label", "gram", "cnt", "clm_n")
+    store.columns.contains("text") shouldBe false // counts only, never text
+    store.select("label").distinct().count() shouldBe 5 // en/de/fr/es/zh
+    // stage the UNLABELED held-out corpus: new sentences, same languages
+    val heldOut = Seq(
+      (1L, "en", "a lazy dog sleeps while the quick fox runs through the morning"),
+      (2L, "de", "über den hund springt der braune fuchs mit der schnellen zeitung"),
+      (3L, "fr", "le chien paresseux dort pendant que le renard rapide s'enfuit"),
+      (4L, "es", "el perro perezoso duerme mientras el zorro rápido huye"),
+      (5L, "zh", "狐狸跳过狗 带着报纸跑掉 中文样本句子"),
+      (6L, "en", "x")) // shorter than n: no grams → 'und'
+      .toDF("doc_id", "true_lang", "text")
+    heldOut.select("doc_id", "text").write.mode("overwrite")
+      .parquet("/tmp/graft-examples/quickstart-25-unlabeled")
+    // run N+1: classify against the store — no labeled text read
+    run("quickstart-25-lang-classify.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-25-out")
+    out.columns should contain allOf ("lang_pred", "lang_score")
+    val preds = out.select("doc_id", "lang_pred").as[(Long, String)]
+      .collect().toMap
+    preds shouldBe Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "zh", 6L -> "und")
+  }
+
   test("quickstart-18: span decontamination then span dedup — spans excised, " +
     "documents never dropped for contamination") {
     import org.apache.spark.sql.functions._
