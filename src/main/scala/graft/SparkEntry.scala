@@ -1556,7 +1556,7 @@ object SparkEntry {
           "n" -> "3", "minCount" -> "2"))
         .createOrReplaceTempView("q149_model")
       ap(tab(s, dir, "documents"),
-        t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        t("lang_classify", "textColumn" -> "text",
           "modelView" -> "q149_model", "scoreColumn" -> "lang_score"))
         .select("doc_id", "lang_pred", "lang_score")
     }),

@@ -49,27 +49,34 @@ object ChargramLmTransform extends Transform {
  * registered `chargram_lm` store (`modelView`): add-one-smoothed
  * log-likelihood per label, argmax appended as `outputColumn` (default
  * `lang_pred`), optional `scoreColumn` with the rounded best score.
- * `n`/`minCount`, when given, must match the store's training stamps;
- * `maxLabels` (default 1000) guards the docs × labels scoring grid.
- * Documents with no grams (null / shorter than the store's n) and
- * null-id documents classify as `"und"` — the `langId` convention. See
- * [[graft.text.ChargramLm.classify]] for the broadcast-model plan shape.
+ * ONE zero-shuffle codegen'd projection against the broadcast model
+ * object ([[graft.text.ChargramLm.classify]]). `n`/`minCount`, when
+ * given, must match the store's training stamps; `maxLabels` (default
+ * 1000) bounds the per-row score vector and `maxModelRows` (default
+ * 5000000) the one driver collect. Documents with no grams (null /
+ * shorter than the store's n) classify as `"und"` — the `langId`
+ * convention.
  *
  * {{{
  * - name: lang
  *   type: lang_classify
- *   options: {idColumn: doc_id, textColumn: text, modelView: lang_model}
+ *   options: {textColumn: text, modelView: lang_model}
  * }}}
  */
 object LangClassifyTransform extends Transform {
   val transformType = "lang_classify"
   override def validate(config: TransformConfig,
                         schema: org.apache.spark.sql.types.StructType): List[String] =
-    Validate.columnsExist(schema,
-      config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq,
+    Validate.columnsExist(schema, config.options.get("textColumn").toSeq,
       transformType)
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
-    required(config, "idColumn", "textColumn", "modelView")
+    required(config, "textColumn", "modelView")
+    // scoring is per-row — an id plays no role; accepting one silently
+    // would imply join semantics that don't exist (set-but-unused options
+    // are config contradictions, the text_signals/mergesView discipline)
+    if (config.options.contains("idColumn")) throw new ConfigException(
+      s"$transformType: idColumn is not an option — classification is a " +
+        "per-row projection and needs no id; drop the option")
     val view = config.options("modelView")
     val store =
       try ctx.spark.table(view)
@@ -81,7 +88,9 @@ object LangClassifyTransform extends Transform {
     val loaded = ChargramLm.load(store,
       wantN = config.options.get("n").map(_.toInt),
       wantMinCount = config.options.get("minCount").map(_.toLong),
-      maxLabels = config.options.get("maxLabels").map(_.toInt).getOrElse(1000))
+      maxLabels = config.options.get("maxLabels").map(_.toInt).getOrElse(1000),
+      maxModelRows = config.options.get("maxModelRows").map(_.toLong)
+        .getOrElse(5000000L))
     val out = config.options.getOrElse("outputColumn", "lang_pred")
     val scoreCol = config.options.get("scoreColumn")
     (out +: scoreCol.toSeq).foreach { c =>
@@ -89,7 +98,6 @@ object LangClassifyTransform extends Transform {
         s"$transformType: output column '$c' already exists on the input — " +
           "rename via outputColumn/scoreColumn instead of silently overwriting")
     }
-    ChargramLm.classify(input, config.options("idColumn"),
-      config.options("textColumn"), loaded, out, scoreCol)
+    ChargramLm.classify(input, config.options("textColumn"), loaded, out, scoreCol)
   }
 }

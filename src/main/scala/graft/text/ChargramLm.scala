@@ -24,11 +24,12 @@ import graft.api.ConfigException
  *    rows) — the codebook-class driver-read size, not corpus-sized.
  *  - [[classify]] (the `lang_classify` transform): score every document
  *    against every label under add-one smoothing over the store's union
- *    vocabulary and append the argmax label. The store BROADCASTS; the
- *    corpus is tokenized once into a checkpointed zero-shuffle
- *    [[graft.functions.expressions.ItemCounts]] gram frame (the
- *    charGramNll / DSIR pattern) and pays two id-keyed aggregations —
- *    the corpus never exchanges on gram.
+ *    vocabulary and append the argmax label — ONE zero-shuffle codegen'd
+ *    projection against the broadcast
+ *    [[graft.functions.expressions.LangLmModel]] reference object (the
+ *    BpeEncode merges-object pattern): the smoothed likelihood factors
+ *    so unmatched grams fold into a per-label constant, and a document
+ *    scores all labels in a single pass over its own gram stream.
  *
  * Scoring: log-likelihood of the document's gram multiset under each
  * label's smoothed unigram-of-grams model,
@@ -39,8 +40,7 @@ import graft.api.ConfigException
  * LARGER label string (max over (score, label) structs) — the exact
  * convention `langId` and its q109 oracle established. Documents that
  * produce no grams (null text, or shorter than `n` chars) classify as
- * `"und"`, like `langId`; null-id documents also yield `"und"` (the id
- * is the append-join key).
+ * `"und"`, like `langId`.
  */
 object ChargramLm {
 
@@ -100,22 +100,26 @@ object ChargramLm {
     counts
   }
 
-  /** A validated store: the slim gram frame plus the driver-side scoring
-    * constants (per-label totals and the union vocabulary size). */
-  final case class Loaded(grams: DataFrame, labelTotals: Map[String, Long],
-                          vocabSize: Long, n: Int, minCount: Long)
+  /** A validated store, fully materialized into the scoring reference
+    * object (the [[graft.functions.expressions.BpeEncode]] merges-object
+    * class of driver state — the store is vocab-bounded by construction). */
+  final case class Loaded(model: graft.functions.expressions.LangLmModel,
+                          n: Int, minCount: Long)
 
   /**
-   * Load + validate a persisted [[modelFrame]] store: required columns,
-   * single-valued stamps, optional caller expectations (`wantN` /
-   * `wantMinCount` must match the training stamps — a mismatched `n`
-   * would slice different grams and score garbage), and a `maxLabels`
-   * guard (the per-label totals are DRIVER state and the classify plan
-   * is a docs × labels grid — thousands of labels is a different
-   * algorithm, so fail with guidance instead of degrading silently).
+   * Load + validate a persisted [[modelFrame]] store into the in-memory
+   * scoring model: required columns, single-valued stamps, optional
+   * caller expectations (`wantN` / `wantMinCount` must match the training
+   * stamps — a mismatched `n` would slice different grams and score
+   * garbage), a `maxLabels` guard (per-label state rides every row's
+   * score vector), and a `maxModelRows` guard on the ONE driver collect
+   * (the store is ≤ labels · alphabet^n rows by construction — the
+   * merges/codebook driver-read class — but a mis-pointed view must fail
+   * with guidance, never OOM the driver).
    */
   def load(store: DataFrame, wantN: Option[Int] = None,
-           wantMinCount: Option[Long] = None, maxLabels: Int = 1000): Loaded = {
+           wantMinCount: Option[Long] = None, maxLabels: Int = 1000,
+           maxModelRows: Long = 5000000L): Loaded = {
     val missing = Seq("label", "gram", "cnt", "clm_n", "clm_min_count")
       .filterNot(store.columns.contains)
     if (missing.nonEmpty) throw new ConfigException(
@@ -136,78 +140,69 @@ object ChargramLm {
     wantMinCount.filter(_ != gotMin).foreach { w => throw new ConfigException(
       s"chargram_lm store was trained with minCount=$gotMin but this run " +
         s"requests minCount=$w; rebuild the store or align minCount") }
-    // one driver read: per-label totals + union vocab size (label count is
-    // bounded by maxLabels, each row two scalars — the codebook read class)
-    val totRows = store.groupBy("label").agg(sum("cnt").as("total")).collect()
-    if (totRows.length > maxLabels) throw new ConfigException(
-      s"chargram_lm store carries ${totRows.length} labels, above " +
-        s"maxLabels=$maxLabels — per-label totals are driver state and the " +
-        "classify plan is a documents × labels grid; a label set this wide " +
-        "needs a different layout (raise maxLabels only if the grid is " +
-        "genuinely intended)")
-    if (totRows.isEmpty) throw new ConfigException(
+    val nRows = store.count()
+    if (nRows > maxModelRows) throw new ConfigException(
+      s"chargram_lm store holds $nRows gram rows, above " +
+        s"maxModelRows=$maxModelRows — the model is one driver/broadcast " +
+        "object (labels × vocabulary ln-tables); a store this wide is " +
+        "either a mis-pointed view or needs a coarser n/minCount")
+    if (nRows == 0L) throw new ConfigException(
       "chargram_lm store holds zero gram rows — rebuild it with the " +
         "chargram_lm transform")
-    val v = store.select(countDistinct("gram")).head().getLong(0)
-    Loaded(store.select("label", "gram", "cnt"),
-      totRows.map(r => r.getString(0) -> r.getLong(1)).toMap, v, gotN, gotMin)
+    val rows = store.select(col("label").cast("string"), col("gram"),
+      col("cnt").cast("long")).collect()
+    val labels = rows.map(_.getString(0)).distinct.sorted
+    if (labels.length > maxLabels) throw new ConfigException(
+      s"chargram_lm store carries ${labels.length} labels, above " +
+        s"maxLabels=$maxLabels — every row scores a labels-wide vector, so " +
+        "a label set this wide is a different algorithm; raise maxLabels " +
+        "only if that cost is genuinely intended")
+    val labelIdx = labels.zipWithIndex.toMap
+    val totals = new Array[Long](labels.length)
+    rows.foreach(r => totals(labelIdx(r.getString(0))) += r.getLong(2))
+    val v = rows.iterator.map(_.getString(1)).toSet.size
+    val lnDen = totals.map(t => math.log((t + v).toDouble))
+    // gram → per-label ln(cnt+1), precomputed once (no libm in the row loop)
+    val byGram = new scala.collection.mutable.HashMap[String, Array[Double]]()
+    rows.foreach { r =>
+      val vec = byGram.getOrElseUpdate(r.getString(1),
+        new Array[Double](labels.length))
+      vec(labelIdx(r.getString(0))) = math.log((r.getLong(2) + 1L).toDouble)
+    }
+    val (keys, vals) = byGram.toArray.unzip
+    Loaded(new graft.functions.expressions.LangLmModel(labels, lnDen, keys, vals),
+      gotN, gotMin)
   }
 
   /**
    * Append the model's argmax label (`outCol`) — and optionally the
    * rounded best log-likelihood (`scoreCol`) — to `df`.
    *
-   * Plan shape (the 100 TB contract): the corpus is gram-sliced ONCE into
-   * a lazily checkpointed zero-shuffle (id, gram, tf) frame; the store's
-   * gram rows BROADCAST into the match join, so the corpus never
-   * exchanges on gram; per-(doc, label) matched mass is one id+label
-   * aggregation with map-side partials, doc gram totals one id-keyed
-   * aggregation over the same checkpointed frame; the docs × labels grid
-   * (labels bounded by [[load]]'s maxLabels) fills in the all-unseen
-   * smoothed mass so a label with zero matches still competes; the final
-   * append is one id-keyed join. Driver state: the label-totals map only.
+   * Plan shape (the 100 TB contract): ONE zero-shuffle codegen'd
+   * projection. The whole smoothed per-label log-likelihood factors as
+   * `Σ_occurrences ln(cnt+1) − n_grams · ln(total_L + V)` (the unmatched
+   * grams' mass folds into the per-label constant), so a document scores
+   * every label in a single pass over its own gram stream against the
+   * broadcast [[graft.functions.expressions.LangLmModel]] — no explode,
+   * no (doc, label) aggregation, no join-back. The first implementation
+   * paid three shuffles for the same numbers; classifying 100 TB now
+   * costs exactly one scan. Ties break toward the LARGER label (the
+   * langId / q109 struct-max convention); documents with no grams
+   * (null text, or shorter than the store's n) classify `"und"`.
    */
-  def classify(df: DataFrame, idCol: String, textCol: String, loaded: Loaded,
+  def classify(df: DataFrame, textCol: String, loaded: Loaded,
                outCol: String = "lang_pred",
                scoreCol: Option[String] = None): DataFrame = {
-    val labelTotals = loaded.labelTotals.toSeq.sortBy(_._1)
-    val v = loaded.vocabSize
-    val spark = df.sparkSession
-    import spark.implicits._
-    val totalsDf = labelTotals.toDF("label", "__total")
-    val tf = graft.api.Checkpointing.checkpoint(
-      gramFrequencies(df.where(col(idCol).isNotNull), col(idCol), "__cid",
-        textCol, loaded.n),
-      eager = false)
-    val docTot = tf.groupBy("__cid").agg(sum("tf").as("__n_grams"))
-    // matched mass: smoothed ln-term per stored (label, gram) the doc hits
-    val perLabel = tf.join(broadcast(loaded.grams), Seq("gram"))
-      .join(broadcast(totalsDf), Seq("label"))
-      .groupBy("__cid", "label")
-      .agg(sum(col("tf") * log((col("cnt") + lit(1L)).cast("double")
-             / (col("__total") + lit(v)).cast("double"))).as("__mll"),
-           sum("tf").as("__mtf"))
-    // docs × labels grid: labels a doc matched nowhere still score their
-    // all-unseen mass — dropping them would hand the argmax to whichever
-    // label happened to share one gram
-    val scores = docTot.crossJoin(broadcast(totalsDf))
-      .join(perLabel, Seq("__cid", "label"), "left")
-      .select(col("__cid"), col("label"),
-        (coalesce(col("__mll"), lit(0.0))
-          + (col("__n_grams") - coalesce(col("__mtf"), lit(0L)))
-            * log(lit(1.0) / (col("__total") + lit(v)).cast("double")))
-          .as("__score"))
-    // ties break toward the LARGER label — the langId / q109 convention
-    val best = scores.groupBy("__cid")
-      .agg(max(struct(col("__score"), col("label"))).as("__best"))
-      .select(col("__cid"),
-        col("__best.label").as("__pred"),
-        round(col("__best.__score"), 4).as("__pscore"))
-    val joined = df.join(best, df(idCol) === best("__cid"), "left")
-      .withColumn(outCol, coalesce(col("__pred"), lit("und")))
-    scoreCol.fold(joined.drop("__cid", "__pred", "__pscore")) { sc =>
-      joined.withColumn(sc, col("__pscore"))
-        .drop("__cid", "__pred", "__pscore")
+    val helper = "__lang_scores"
+    require(!df.columns.exists(_.equalsIgnoreCase(helper)),
+      s"classify: input already carries the helper column $helper")
+    val scored = df.withColumn(helper,
+      graft.functions.expressions.LangScores(col(textCol), loaded.model, loaded.n))
+    val withPred = scored
+      .withColumn(outCol, coalesce(col(helper).getField("label"), lit("und")))
+    scoreCol.fold(withPred.drop(helper)) { sc =>
+      withPred.withColumn(sc, round(col(helper).getField("score"), 4))
+        .drop(helper)
     }
   }
 }

@@ -28,7 +28,7 @@ class LangModelSpec extends SparkTestBase {
       t("chargram_lm", "labelColumn" -> "lang", "textColumn" -> "text",
         "n" -> n, "minCount" -> minCount), ctx)
 
-  test("train → classify: held-out docs land on their language; no-gram and null-id docs are 'und'") {
+  test("train → classify: held-out docs land on their language; no-gram docs are 'und'") {
     trainStore().createOrReplaceTempView("lm_basic")
     val docs = Seq(
       (1L, "tenth then net"),        // en trigram mass
@@ -38,9 +38,9 @@ class LangModelSpec extends SparkTestBase {
       (5L, null.asInstanceOf[String]) // null text
     ).toDF("doc_id", "text")
       .union(Seq((null.asInstanceOf[java.lang.Long], "the then tenth"))
-        .toDF("doc_id", "text"))     // null id → cannot join back
+        .toDF("doc_id", "text"))     // null id: per-row scoring needs no id
     val out = LangClassifyTransform(docs,
-      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+      t("lang_classify", "textColumn" -> "text",
         "modelView" -> "lm_basic", "scoreColumn" -> "lang_score"), ctx)
     out.columns should contain allOf ("lang_pred", "lang_score")
     val preds = out.collect().map(r =>
@@ -51,12 +51,17 @@ class LangModelSpec extends SparkTestBase {
     preds(Some(3L)) shouldBe "zh"
     preds(Some(4L)) shouldBe "und"
     preds(Some(5L)) shouldBe "und"
-    preds(None) shouldBe "und"
+    preds(None) shouldBe "en" // classification is per-row — no id needed
     // scores exist exactly where a prediction exists
     out.where(col("lang_pred") =!= "und")
       .where(col("lang_score").isNull).count() shouldBe 0L
     out.where(col("lang_pred") === "und")
       .where(col("lang_score").isNotNull).count() shouldBe 0L
+    // idColumn is not an option — per-row scoring has no id to join on
+    (the[ConfigException] thrownBy LangClassifyTransform(docs,
+      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "modelView" -> "lm_basic"), ctx))
+      .getMessage should include ("idColumn is not an option")
   }
 
   test("store: stamped layout, parquet round-trip classifies identically") {
@@ -70,7 +75,7 @@ class LangModelSpec extends SparkTestBase {
     store.createOrReplaceTempView("lm_mem")
     val docs = Seq((1L, "tenth then"), (2L, "αλφα γαλα")).toDF("doc_id", "text")
     def classify(view: String) = LangClassifyTransform(docs,
-      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+      t("lang_classify", "textColumn" -> "text",
         "modelView" -> view), ctx)
       .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
     classify("lm_rt") shouldBe classify("lm_mem")
@@ -87,7 +92,7 @@ class LangModelSpec extends SparkTestBase {
         "labelColumn" -> "lang", "textColumn" -> "text", "n" -> "2"), ctx)
       .createOrReplaceTempView("lm_grid")
     val out = LangClassifyTransform(Seq((1L, "zzzz zzz")).toDF("doc_id", "text"),
-      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+      t("lang_classify", "textColumn" -> "text",
         "modelView" -> "lm_grid"), ctx)
       .select("lang_pred").as[String].head()
     // every doc gram is unseen under BOTH labels: score(L) =
@@ -104,7 +109,7 @@ class LangModelSpec extends SparkTestBase {
         "labelColumn" -> "lang", "textColumn" -> "text", "n" -> "2"), ctx)
       .createOrReplaceTempView("lm_tie")
     LangClassifyTransform(Seq((1L, "xy yx")).toDF("doc_id", "text"),
-      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+      t("lang_classify", "textColumn" -> "text",
         "modelView" -> "lm_tie"), ctx)
       .select("lang_pred").as[String].head() shouldBe "bb"
   }
@@ -117,34 +122,34 @@ class LangModelSpec extends SparkTestBase {
     // consume-side stamp expectations must match training stamps
     val docs = Seq((1L, "tenth")).toDF("doc_id", "text")
     (the[ConfigException] thrownBy LangClassifyTransform(docs,
-      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+      t("lang_classify", "textColumn" -> "text",
         "modelView" -> "lm_pruned", "n" -> "3"), ctx))
       .getMessage should include ("trained with n=2")
     (the[ConfigException] thrownBy LangClassifyTransform(docs,
-      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+      t("lang_classify", "textColumn" -> "text",
         "modelView" -> "lm_pruned", "minCount" -> "1"), ctx))
       .getMessage should include ("minCount=3")
     // unregistered view / wrong layout / mixed stamps
     (the[ConfigException] thrownBy LangClassifyTransform(docs,
-      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+      t("lang_classify", "textColumn" -> "text",
         "modelView" -> "lm_nope"), ctx))
       .getMessage should include ("not a registered view")
     Seq(("en", "th", 2L)).toDF("label", "gram", "cnt")
       .createOrReplaceTempView("lm_bad_layout")
     (the[ConfigException] thrownBy LangClassifyTransform(docs,
-      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+      t("lang_classify", "textColumn" -> "text",
         "modelView" -> "lm_bad_layout"), ctx))
       .getMessage should include ("missing column")
     trainStore(n = "2").union(trainStore(n = "3"))
       .createOrReplaceTempView("lm_mixed")
     (the[ConfigException] thrownBy LangClassifyTransform(docs,
-      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+      t("lang_classify", "textColumn" -> "text",
         "modelView" -> "lm_mixed"), ctx))
       .getMessage should include ("mixed or null parameter stamps")
     // maxLabels guard names the grid
     trainStore().createOrReplaceTempView("lm_guard")
     (the[ConfigException] thrownBy LangClassifyTransform(docs,
-      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+      t("lang_classify", "textColumn" -> "text",
         "modelView" -> "lm_guard", "maxLabels" -> "2"), ctx))
       .getMessage should include ("maxLabels")
   }
@@ -172,22 +177,29 @@ class LangModelSpec extends SparkTestBase {
     trainStore().createOrReplaceTempView("lm_coll")
     val withPred = Seq((1L, "tenth", "x")).toDF("doc_id", "text", "lang_pred")
     (the[ConfigException] thrownBy LangClassifyTransform(withPred,
-      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
+      t("lang_classify", "textColumn" -> "text",
         "modelView" -> "lm_coll"), ctx))
       .getMessage should include ("already exists")
   }
 
-  test("plan shape: the store broadcasts into the gram match — the corpus never exchanges on gram") {
+  test("plan shape: classify is ONE zero-shuffle codegen'd projection — no exchange, no join, no generate") {
     trainStore().createOrReplaceTempView("lm_plan")
-    val docs = Seq((1L, "tenth then net"), (2L, "γαμμα αλφα")).toDF("doc_id", "text")
+    // a LOCAL relation would constant-fold the whole projection away
+    // (ConvertToLocalRelation) — plant the docs behind a parquet scan
+    val dir = tmpDir("lmplan")
+    Seq((1L, "tenth then net"), (2L, "γαμμα αλφα")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
     val out = LangClassifyTransform(docs,
-      t("lang_classify", "idColumn" -> "doc_id", "textColumn" -> "text",
-        "modelView" -> "lm_plan"), ctx)
+      t("lang_classify", "textColumn" -> "text",
+        "modelView" -> "lm_plan", "scoreColumn" -> "lang_score"), ctx)
     val plan = out.queryExecution.executedPlan.toString
-    plan should include ("BroadcastHashJoin")
-    // no exchange may partition on the gram key: the only hash exchanges
-    // are id-keyed (__cid) aggregations and the final id append join
-    val gramExchange = "Exchange hashpartitioning\\(gram".r
-    gramExchange.findFirstIn(plan) shouldBe None
+    // the model rides as a reference object: classifying 100 TB costs
+    // exactly one scan — the first implementation's explode + two
+    // aggregations + join-back must never come back
+    plan should not include "Exchange"
+    plan should not include "Join"
+    plan should not include "Generate"
+    plan should include ("lang_scores") // the native expression, codegen'd
   }
 }
