@@ -22,6 +22,12 @@ import graft.config.TransformConfig
  *   type: filter
  *   options: {condition: "quality_score > 0.5 AND dup_word_frac < 0.3"}
  * }}}
+ *
+ * Store-backed upgrades (same one-pass zero-shuffle shape, loaded only
+ * when their signal is selected — set-but-unused fails): `mergesView`
+ * makes `bpe_tokens` tokenizer-exact; `langModelView` (a registered
+ * `chargram_lm` store) makes `lang` the TRAINED per-label prediction
+ * instead of the fixed 5-language stopword heuristic.
  */
 object TextSignalsTransform extends Transform {
   val transformType = "text_signals"
@@ -69,7 +75,7 @@ object TextSignalsTransform extends Transform {
     // loaded only AFTER the signal pick: set-but-unused would otherwise
     // silently pay a driver-side store read for nothing — that's a config
     // contradiction, so it fails with a guided error instead.
-    val picked = config.options.get("mergesView") match {
+    val picked1 = config.options.get("mergesView") match {
       case None => picked0
       case Some(_) =>
         if (!picked0.exists(_._1 == "bpe_tokens")) throw new ConfigException(
@@ -81,6 +87,36 @@ object TextSignalsTransform extends Transform {
           graft.functions.expressions.BpeEncode.count(c, loaded)
         picked0.map {
           case ("bpe_tokens", out, _) => ("bpe_tokens", out, exact)
+          case other => other
+        }
+    }
+    // `langModelView` (a registered chargram_lm store) upgrades the lang
+    // signal from the fixed 5-language stopword heuristic to the TRAINED
+    // per-label model — still one zero-shuffle projection (the codegen'd
+    // LangScores expression), same lang_pred column, 'und' for gram-less
+    // docs. Same set-but-unused discipline as mergesView.
+    val picked = config.options.get("langModelView") match {
+      case None => picked1
+      case Some(view) =>
+        if (!picked1.exists(_._1 == "lang")) throw new ConfigException(
+          "text_signals: langModelView is set but the lang signal is not " +
+            "selected — the store would be loaded and never used; add " +
+            "lang to `signals` or drop langModelView")
+        val store =
+          try ctx.spark.table(view)
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            throw new ConfigException(
+              s"text_signals: langModelView '$view' is not a registered " +
+                s"view/table — register the persisted chargram_lm store " +
+                s"first (${e.getMessage})")
+          }
+        val lm = graft.text.ChargramLm.load(store)
+        val trained = (c: Column) => coalesce(
+          graft.functions.expressions.LangScores(c, lm.model, lm.n)
+            .getField("label"),
+          lit("und"))
+        picked1.map {
+          case ("lang", out, _) => ("lang", out, trained)
           case other => other
         }
     }

@@ -182,6 +182,37 @@ class LangModelSpec extends SparkTestBase {
       .getMessage should include ("already exists")
   }
 
+  test("text_signals langModelView: the lang signal equals lang_classify's trained prediction") {
+    trainStore().createOrReplaceTempView("lm_sig")
+    val docs = Seq((1L, "tenth then net"), (2L, "γαμμα αλφα"),
+      (3L, "中文 样本"), (4L, "x")).toDF("doc_id", "text")
+    val viaSignal = TextSignalsTransform(docs,
+      t("text_signals", "textColumn" -> "text", "signals" -> "lang,chars",
+        "langModelView" -> "lm_sig"), ctx)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    val viaClassify = LangClassifyTransform(docs,
+      t("lang_classify", "textColumn" -> "text", "modelView" -> "lm_sig"), ctx)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    viaSignal shouldBe viaClassify
+    viaSignal(1L) shouldBe "en"
+    viaSignal(4L) shouldBe "und"
+    // the heuristic default differs (fixed 5-language stopword lists know
+    // nothing of the planted Greek corpus) — the upgrade is observable
+    val heuristic = TextSignalsTransform(docs,
+      t("text_signals", "textColumn" -> "text", "signals" -> "lang"), ctx)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    heuristic(2L) should not be "el"
+    // set-but-unused is a config contradiction, like mergesView
+    (the[ConfigException] thrownBy TextSignalsTransform(docs,
+      t("text_signals", "textColumn" -> "text", "signals" -> "chars",
+        "langModelView" -> "lm_sig"), ctx))
+      .getMessage should include ("lang signal is not selected")
+    (the[ConfigException] thrownBy TextSignalsTransform(docs,
+      t("text_signals", "textColumn" -> "text", "signals" -> "lang",
+        "langModelView" -> "lm_missing"), ctx))
+      .getMessage should include ("not a registered view")
+  }
+
   test("plan shape: classify is ONE zero-shuffle codegen'd projection — no exchange, no join, no generate") {
     trainStore().createOrReplaceTempView("lm_plan")
     // a LOCAL relation would constant-fold the whole projection away

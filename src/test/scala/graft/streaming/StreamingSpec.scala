@@ -185,6 +185,49 @@ class StreamingSpec extends SparkTestBase {
         (2L, 9, Seq(6, 17, 14, 6, 17, 14, 6, 17, 14)))
   }
 
+  test("trained language routing runs unchanged on a stream: " +
+    "lang_classify from a persisted store + filter, zero state") {
+    import spark.implicits._
+    // the persisted model from "yesterday's" batch train — one bounded
+    // driver read at plan time, then classification is a pure per-row
+    // projection: nothing for the state store to hold
+    val storeDir = tmpDir("stream-lm-store")
+    graft.text.ChargramLm.modelFrame(
+        Seq(("en", "the thin then theft tenth net ten tent"),
+          ("el", "αλφα βητα γαμμα δελτα γαλα")).toDF("lang", "text"),
+        "lang", "text", n = 2)
+      .write.mode("overwrite").parquet(storeDir)
+    spark.read.parquet(storeDir).createOrReplaceTempView("v_stream_lm")
+    val in = tmpDir("lm-stream-in")
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "docs.txt"), Seq(
+      """{"id": 1, "t": "tenth then net"}""",
+      """{"id": 2, "t": "γαμμα αλφα"}""",
+      """{"id": 3, "t": "x"}""")
+      .mkString("\n").getBytes)
+    val cfg = PipelineConfig(
+      pipelineId = "lm-stream",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("kafka-file", Map("path" -> in, "topic" -> "docs")),
+      transformations = List(
+        TransformConfig("parse", "map", Map(
+          "expressions" -> ("id:cast(get_json_object(value, '$.id') as bigint)," +
+            "text:get_json_object(value, '$.t')"),
+          "project" -> "true")),
+        TransformConfig("lang", "lang_classify", Map(
+          "textColumn" -> "text", "modelView" -> "v_stream_lm")),
+        TransformConfig("route", "filter", Map(
+          "condition" -> "lang_pred <> 'und'"))),
+      sink = SinkConfig("memory", Map("queryName" -> "lm_stream_out")),
+      streaming = Some(StreamingConfig(checkpointLocation = Some(tmpDir("ckpt-lm")))))
+    executor.start(cfg).awaitTermination(60000)
+    val out = spark.table("lm_stream_out")
+    // the gram-less doc routes out as 'und'; survivors carry the SAME
+    // predictions the batch classify produces
+    out.orderBy("id").select("id", "lang_pred")
+      .as[(Long, String)].collect().toSeq shouldBe Seq(
+        (1L, "en"), (2L, "el"))
+  }
+
   test("foreachBatch path drives a batch sink (kafka-file double) per epoch") {
     val out = tmpDir("stream-kafka-out")
     val cfg = PipelineConfig(
