@@ -1560,6 +1560,21 @@ object SparkEntry {
           "modelView" -> "q149_model", "scoreColumn" -> "lang_score"))
         .select("doc_id", "lang_pred", "lang_score")
     }),
+    // the CCNet-style perplexity gate: every document's smoothed NLL under
+    // a PERSISTED single-label reference model (trained on the en slice),
+    // one zero-shuffle projection — DuckDB re-derives model, smoothing and
+    // the factored ln(total+V) − Σln(cnt+1)/n_grams score exactly
+    "q150_nll_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      ap(tab(s, dir, "documents").where(col("lang") === "en")
+          .withColumn("ref_label", lit("ref")),
+        t("chargram_lm", "labelColumn" -> "ref_label", "textColumn" -> "text",
+          "n" -> "3", "minCount" -> "2"))
+        .createOrReplaceTempView("q150_model")
+      ap(tab(s, dir, "documents"),
+        t("chargram_nll", "textColumn" -> "text", "modelView" -> "q150_model"))
+        .select("doc_id", "nll")
+    }),
     // the DSIR selection recipe (Xie et al. 2023 §2.3) COMPOSED, as one
     // declarative pipeline: importance log-ratio → exponentiate into a
     // sampling weight (rounded to 4 decimals so both engines hold the
@@ -3607,6 +3622,46 @@ object SparkEntry {
                 coalesce(best.b.l, 'und') AS lang_pred,
                 round(best.b.s, 4) AS lang_score
          FROM documents docs LEFT JOIN best USING (doc_id)""",
+    // single-label reference model from the en slice (q148's grid +
+    // minCount=2), then the factored smoothed score per document:
+    // nll = ln(total+V) − Σ_occurrences ln(cnt+1) / n_grams
+    "q150_nll_gate" ->
+      """WITH md AS (
+           SELECT lower(text) AS t FROM documents
+           WHERE lang = 'en' AND text IS NOT NULL AND length(lower(text)) >= 3
+         ), mg AS (
+           SELECT t, unnest(generate_series(1, length(t) - 2)) AS i FROM md
+         ), model AS (
+           SELECT substr(t, CAST(i AS BIGINT), 3) AS gram,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM mg GROUP BY 1 HAVING count(*) >= 2
+         ), scal AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM model
+         ), dd AS (
+           SELECT doc_id, lower(text) AS t FROM documents
+           WHERE text IS NOT NULL AND length(lower(text)) >= 3
+         ), g AS (
+           SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+           FROM dd
+         ), tf AS (
+           SELECT doc_id, substr(t, CAST(i AS BIGINT), 3) AS gram,
+                  CAST(count(*) AS BIGINT) AS tf
+           FROM g GROUP BY 1, 2
+         ), per_doc AS (
+           SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS m,
+                  sum(CASE WHEN model.cnt IS NULL THEN 0.0
+                           ELSE tf.tf * ln(CAST(model.cnt + 1 AS DOUBLE)) END) AS acc
+           FROM tf LEFT JOIN model USING (gram)
+           GROUP BY 1
+         )
+         SELECT docs.doc_id,
+                round(ln(CAST(scal.total + scal.v AS DOUBLE))
+                      - per_doc.acc / per_doc.m, 4) AS nll
+         FROM documents docs
+         LEFT JOIN per_doc ON per_doc.doc_id = docs.doc_id
+         CROSS JOIN scal""",
     // q129's scoring chain verbatim, then the composition: weight =
     // round(exp(importance), 4) (the 4-decimal round is what lets two
     // engines' libm exp() agree bit-for-bit), race keys from the same

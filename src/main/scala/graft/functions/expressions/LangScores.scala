@@ -122,3 +122,67 @@ object LangScores {
   def apply(text: Column, model: LangLmModel, n: Int): Column =
     GraftBridge.column(LangScores(GraftBridge.expression(text), model, n))
 }
+
+/**
+ * Per-row add-one-smoothed char-n-gram NLL under ONE stored label — the
+ * CCNet-style perplexity gate against a persisted reference model
+ * (chargram_lm's `modelView` mode), as the same zero-shuffle codegen'd
+ * projection as [[LangScores]]:
+ * `nll = ln(total_L + V) − (Σ_occurrences ln(cnt_L + 1)) / n_grams`
+ * (the factored form of −Σ tf·ln((cnt+1)/(total+V)) / Σ tf). NULL when
+ * the lowercased text yields no grams. Smoothed, unlike the self-mode
+ * corpus NLL (whose model by construction contains every doc gram).
+ */
+case class LmNll(child: Expression, model: LangLmModel, labelIdx: Int, n: Int)
+    extends UnaryExpression {
+  require(labelIdx >= 0 && labelIdx < model.labels.length)
+  require(n >= 1, s"lm_nll: n must be >= 1, got $n")
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "lm_nll"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lm_nll expects a string input, got ${other.simpleString}")
+  }
+
+  def compute(input: UTF8String): Any = {
+    val grams = CharNgramStrings.compute(input.toLowerCase, n)
+    val m = grams.numElements()
+    if (m == 0) return null
+    val table = model.table
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      val v = table.get(grams.getUTF8String(i))
+      if (v != null) acc += v(labelIdx)
+      i += 1
+    }
+    java.lang.Double.valueOf(model.lnDen(labelIdx) - acc / m)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lmNll", this, classOf[LmNll].getName)
+    val boxed = ctx.freshName("lmNllVal")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $boxed = $ref.compute($c);
+      if ($boxed == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ((java.lang.Double) $boxed).doubleValue();
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LmNll {
+  def apply(text: Column, model: LangLmModel, labelIdx: Int, n: Int): Column =
+    GraftBridge.column(LmNll(GraftBridge.expression(text), model, labelIdx, n))
+}

@@ -156,18 +156,77 @@ object CollocationsTransform extends Transform {
   }
 }
 
+/**
+ * Two modes:
+ *  - SELF (default): the corpus is its own model — returns the reduced
+ *    (id, n_grams, nll) frame, unsmoothed (the model contains every doc
+ *    gram by construction).
+ *  - `modelView` (a registered `chargram_lm` store): the CCNet-style
+ *    perplexity gate against a PERSISTED reference model — appends an
+ *    add-one-smoothed `nll` column per row (NULL for gram-less docs) as
+ *    one zero-shuffle codegen'd projection, so gating 100 TB against
+ *    yesterday's reference LM costs exactly one scan and no id is
+ *    needed. Multi-label stores require `label` naming which model to
+ *    score under; `n`, when given, must match the store's stamp;
+ *    `outputColumn` defaults to `nll`. The smoothed store-mode score and
+ *    the unsmoothed self-mode score are intentionally different
+ *    statistics — a store trained on the corpus itself will NOT
+ *    reproduce self-mode numbers.
+ */
 object ChargramNllTransform extends Transform {
   val transformType = "chargram_nll"
   override def validate(config: TransformConfig,
                         schema: org.apache.spark.sql.types.StructType): List[String] =
     Validate.columnsExist(schema,
-      config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq, "chargram_nll")
+      (if (config.options.contains("modelView")) Nil
+       else config.options.get("idColumn").toSeq) ++
+        config.options.get("textColumn").toSeq, "chargram_nll")
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
-    required(config, "idColumn", "textColumn")
-    val n = config.options.get("n").map(_.toInt).getOrElse(3)
-    if (n < 1) throw new ConfigException(s"chargram_nll: n must be >= 1, got $n")
-    TextFunctions.charGramNll(input, config.options("idColumn"),
-      config.options("textColumn"), n)
+    import org.apache.spark.sql.functions._
+    required(config, "textColumn")
+    config.options.get("modelView") match {
+      case None =>
+        required(config, "idColumn")
+        val n = config.options.get("n").map(_.toInt).getOrElse(3)
+        if (n < 1) throw new ConfigException(s"chargram_nll: n must be >= 1, got $n")
+        TextFunctions.charGramNll(input, config.options("idColumn"),
+          config.options("textColumn"), n)
+      case Some(view) =>
+        // per-row scoring against the stored model: no id plays a role
+        if (config.options.contains("idColumn")) throw new ConfigException(
+          "chargram_nll: idColumn has no effect with modelView — store-mode " +
+            "scoring is a per-row projection; drop the option")
+        val store =
+          try ctx.spark.table(view)
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            throw new ConfigException(
+              s"chargram_nll: modelView '$view' is not a registered " +
+                s"view/table — register the persisted chargram_lm store " +
+                s"first (${e.getMessage})")
+          }
+        val lm = graft.text.ChargramLm.load(store,
+          wantN = config.options.get("n").map(_.toInt))
+        val idx = config.options.get("label") match {
+          case Some(l) =>
+            val i = lm.model.labels.indexOf(l)
+            if (i < 0) throw new ConfigException(
+              s"chargram_nll: label '$l' is not in the store (labels: " +
+                s"${lm.model.labels.mkString(", ")})")
+            i
+          case None =>
+            if (lm.model.labels.length != 1) throw new ConfigException(
+              s"chargram_nll: the store carries ${lm.model.labels.length} " +
+                s"labels (${lm.model.labels.mkString(", ")}) — name which " +
+                "one to score under via `label`")
+            0
+        }
+        val out = config.options.getOrElse("outputColumn", "nll")
+        if (input.columns.exists(_.equalsIgnoreCase(out))) throw new ConfigException(
+          s"chargram_nll: output column '$out' already exists on the input — " +
+            "rename via outputColumn instead of silently overwriting")
+        input.withColumn(out, round(graft.functions.expressions.LmNll(
+          col(config.options("textColumn")), lm.model, idx, lm.n), 4))
+    }
   }
 }
 

@@ -213,6 +213,45 @@ class LangModelSpec extends SparkTestBase {
       .getMessage should include ("not a registered view")
   }
 
+  test("chargram_nll modelView: smoothed per-row NLL under a persisted reference model, golden value") {
+    // single-label store, n=2, from "abab": grams ab(2) ba(1) → total=3, V=2
+    val ref = Seq(("ref", "abab")).toDF("lang", "text")
+    ChargramLmTransform(ref, t("chargram_lm", "labelColumn" -> "lang",
+      "textColumn" -> "text", "n" -> "2"), ctx)
+      .createOrReplaceTempView("lm_nll_store")
+    val docs = Seq((1L, "aba"), (2L, "zz"), (3L, "x")).toDF("doc_id", "text")
+    val out = ChargramNllTransform(docs, t("chargram_nll",
+      "textColumn" -> "text", "modelView" -> "lm_nll_store"), ctx)
+      .select("doc_id", "nll").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    // doc 1 "aba": grams ab, ba → nll = ln(3+2) − (ln(2+1)+ln(1+1))/2
+    val expected1 = math.log(5.0) - (math.log(3.0) + math.log(2.0)) / 2.0
+    out(1L).get shouldBe (math.rint(expected1 * 1e4) / 1e4 +- 1e-9)
+    // doc 2 "zz": one gram, unseen → nll = ln(5) − ln(1)/1 = ln(5)
+    out(2L).get shouldBe (math.rint(math.log(5.0) * 1e4) / 1e4 +- 1e-9)
+    out(3L) shouldBe None // shorter than n: no grams → null
+    // a multi-label store must name which model to score under
+    trainStore().createOrReplaceTempView("lm_nll_multi")
+    (the[ConfigException] thrownBy ChargramNllTransform(docs, t("chargram_nll",
+      "textColumn" -> "text", "modelView" -> "lm_nll_multi"), ctx))
+      .getMessage should include ("name which one")
+    // ...and the named label must exist
+    (the[ConfigException] thrownBy ChargramNllTransform(docs, t("chargram_nll",
+      "textColumn" -> "text", "modelView" -> "lm_nll_multi",
+      "label" -> "xx"), ctx))
+      .getMessage should include ("not in the store")
+    // naming a label works and differs per model
+    val en = ChargramNllTransform(docs, t("chargram_nll",
+      "textColumn" -> "text", "modelView" -> "lm_nll_multi",
+      "label" -> "en"), ctx).select("nll").collect()
+    en.length shouldBe 3
+    // idColumn has no effect in store mode — reject it loudly
+    (the[ConfigException] thrownBy ChargramNllTransform(docs, t("chargram_nll",
+      "idColumn" -> "doc_id", "textColumn" -> "text",
+      "modelView" -> "lm_nll_store"), ctx))
+      .getMessage should include ("idColumn has no effect")
+  }
+
   test("plan shape: classify is ONE zero-shuffle codegen'd projection — no exchange, no join, no generate") {
     trainStore().createOrReplaceTempView("lm_plan")
     // a LOCAL relation would constant-fold the whole projection away
