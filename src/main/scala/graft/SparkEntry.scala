@@ -1575,6 +1575,21 @@ object SparkEntry {
         t("chargram_nll", "textColumn" -> "text", "modelView" -> "q150_model"))
         .select("doc_id", "nll")
     }),
+    // DSIR against a PERSISTED target model: a minCount=1 single-label
+    // chargram_lm store holds exactly the gram counts q129 derives from
+    // its target corpus, so the store path must reproduce q129's scores
+    // bit-for-bit at 4 decimals — the oracle IS q129's SQL
+    "q151_dsir_store" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      ap(tab(s, dir, "documents").where(col("lang") === "en")
+          .withColumn("ref_label", lit("tgt")),
+        t("chargram_lm", "labelColumn" -> "ref_label", "textColumn" -> "text",
+          "n" -> "3", "minCount" -> "1"))
+        .createOrReplaceTempView("q151_model")
+      ap(tab(s, dir, "documents"),
+        t("importance_score", "idColumn" -> "doc_id", "textColumn" -> "text",
+          "targetModelView" -> "q151_model", "n" -> "3"))
+    }),
     // the DSIR selection recipe (Xie et al. 2023 §2.3) COMPOSED, as one
     // declarative pipeline: importance log-ratio → exponentiate into a
     // sampling weight (rounded to 4 decimals so both engines hold the
@@ -3513,6 +3528,47 @@ object SparkEntry {
     // full-outer model merge, add-one smoothing over the union vocab,
     // the same length-normalized log-ratio and 4-decimal rounding
     "q129_importance_score" ->
+      """WITH d AS (
+           SELECT doc_id, lower(text) AS t FROM documents
+           WHERE text IS NOT NULL AND length(lower(text)) >= 3
+         ), g AS (
+           SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+           FROM d
+         ), tf AS (
+           SELECT doc_id, substr(t, CAST(i AS BIGINT), 3) AS gram, count(*) AS tf
+           FROM g GROUP BY 1, 2
+         ), raw AS (
+           SELECT gram, CAST(sum(tf) AS BIGINT) AS raw_cnt FROM tf GROUP BY 1
+         ), td AS (
+           SELECT lower(text) AS t FROM documents
+           WHERE lang = 'en' AND text IS NOT NULL AND length(lower(text)) >= 3
+         ), tg AS (
+           SELECT t, unnest(generate_series(1, length(t) - 2)) AS i FROM td
+         ), tgt AS (
+           SELECT substr(t, CAST(i AS BIGINT), 3) AS gram,
+                  CAST(count(*) AS BIGINT) AS tgt_cnt
+           FROM tg GROUP BY 1
+         ), model AS (
+           SELECT coalesce(raw.gram, tgt.gram) AS gram,
+                  coalesce(raw_cnt, 0) AS raw_cnt,
+                  coalesce(tgt_cnt, 0) AS tgt_cnt
+           FROM raw FULL JOIN tgt ON raw.gram = tgt.gram
+         ), scal AS (
+           SELECT CAST(sum(raw_cnt) AS BIGINT) AS raw_total,
+                  CAST(sum(tgt_cnt) AS BIGINT) AS tgt_total,
+                  count(*) AS v
+           FROM model
+         )
+         SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_grams,
+                round(sum(tf.tf * (
+                    ln(CAST(model.tgt_cnt + 1 AS DOUBLE)
+                       / CAST(scal.tgt_total + scal.v AS DOUBLE))
+                  - ln(CAST(model.raw_cnt + 1 AS DOUBLE)
+                       / CAST(scal.raw_total + scal.v AS DOUBLE))
+                )) / sum(tf.tf), 4) + 0.0 AS importance
+         FROM tf JOIN model USING (gram) CROSS JOIN scal GROUP BY 1""",
+    // the store path must reproduce q129 exactly (same model, same math)
+    "q151_dsir_store" ->
       """WITH d AS (
            SELECT doc_id, lower(text) AS t FROM documents
            WHERE text IS NOT NULL AND length(lower(text)) >= 3

@@ -410,14 +410,26 @@ object TextFunctions {
   def importanceScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String, target: org.apache.spark.sql.DataFrame,
                       targetTextCol: String, n: Int = 3)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    // the target needs no per-doc identity — a constant id rides through
+    // the shared gram builder and grouping by gram sums it away
+    importanceScoreFromCounts(df, idCol, textCol,
+      charGramTermFrequencies(target, lit(0L), targetTextCol, n)
+        .groupBy("gram").agg(sum("tf").as("tgt_cnt")), n)
+
+  /** [[importanceScore]] with the target MODEL handed in as a
+    * (gram, tgt_cnt) count frame — the persisted-store path (a
+    * single-label `chargram_lm` store IS this frame), so the nightly
+    * pattern never re-scans the target corpus: run N trains the target
+    * model once, every later run pays zero target-side scans. */
+  def importanceScoreFromCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+                                textCol: String,
+                                tgtCounts: org.apache.spark.sql.DataFrame,
+                                n: Int = 3): org.apache.spark.sql.DataFrame = {
     val tf = graft.api.Checkpointing.checkpoint(
       charGramTermFrequencies(df, col(idCol), textCol, n), eager = false)
     val raw = tf.groupBy("gram").agg(sum("tf").as("raw_cnt"))
-    // the target needs no per-doc identity — a constant id rides through
-    // the shared gram builder and grouping by gram sums it away
-    val tgt = charGramTermFrequencies(target, lit(0L), targetTextCol, n)
-      .groupBy("gram").agg(sum("tf").as("tgt_cnt"))
+    val tgt = tgtCounts.select(col("gram"), col("tgt_cnt").cast("long").as("tgt_cnt"))
     // union vocabulary: both smoothed models share one V, so the ratio of
     // two proper distributions stays a proper log-ratio
     val model = graft.api.Checkpointing.checkpoint(

@@ -237,7 +237,10 @@ object ChargramNllTransform extends Transform {
  * [[graft.functions.TextFunctions.importanceScore]] for the formula,
  * smoothing, and the broadcast-model scale shape. The target is a
  * registered view (same resolution as join's `rightDataset`), scanned
- * exactly once.
+ * exactly once — or, with `targetModelView`, ZERO times: a persisted
+ * single-label `chargram_lm` store IS the target's (gram, cnt) model,
+ * so run N trains it once and every nightly increment skips the
+ * target-side scan entirely (the store-family amortization).
  *
  * {{{
  * - name: select-like-wikipedia
@@ -246,8 +249,11 @@ object ChargramNllTransform extends Transform {
  *             targetView: quality_reference, n: "3"}
  * }}}
  *
- * Options: idColumn/textColumn/targetView required; targetTextColumn
- * (default = textColumn), n (default 3). Output replaces the frame:
+ * Options: idColumn/textColumn required, plus exactly ONE of targetView
+ * (a corpus; targetTextColumn defaults to textColumn) or
+ * targetModelView (a chargram_lm store; its n stamp must match, its
+ * minCount pruning is part of the model, multi-label stores name the
+ * target via targetLabel); n (default 3). Output replaces the frame:
  * (doc_id, n_grams, importance) — compose with `quantile_filter` or
  * `sample` for the selection/resampling half.
  */
@@ -259,18 +265,65 @@ object ImportanceScoreTransform extends Transform {
       config.options.get("idColumn").toSeq ++ config.options.get("textColumn").toSeq,
       transformType)
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
-    required(config, "idColumn", "textColumn", "targetView")
+    import org.apache.spark.sql.functions._
+    required(config, "idColumn", "textColumn")
     val n = config.options.get("n").map(_.toInt).getOrElse(3)
     if (n < 1) throw new ConfigException(s"importance_score: n must be >= 1, got $n")
-    val target = ctx.spark.table(config.options("targetView"))
-    val targetText = config.options.getOrElse("targetTextColumn",
-      config.options("textColumn"))
-    if (!target.columns.exists(_.equalsIgnoreCase(targetText)))
-      throw new ConfigException(
-        s"importance_score: targetTextColumn '$targetText' not found in " +
-          s"targetView '${config.options("targetView")}'")
-    TextFunctions.importanceScore(input, config.options("idColumn"),
-      config.options("textColumn"), target, targetText, n)
+    (config.options.get("targetView"), config.options.get("targetModelView")) match {
+      case (Some(_), Some(_)) => throw new ConfigException(
+        "importance_score: targetView and targetModelView are mutually " +
+          "exclusive — the target model comes from the corpus OR from a " +
+          "persisted chargram_lm store, not both")
+      case (None, None) => throw new ConfigException(
+        s"importance_score transform '${config.name}' missing required " +
+          "option(s): targetView (a corpus) or targetModelView (a " +
+          "persisted chargram_lm store)")
+      case (Some(view), None) =>
+        val target = ctx.spark.table(view)
+        val targetText = config.options.getOrElse("targetTextColumn",
+          config.options("textColumn"))
+        if (!target.columns.exists(_.equalsIgnoreCase(targetText)))
+          throw new ConfigException(
+            s"importance_score: targetTextColumn '$targetText' not found in " +
+              s"targetView '$view'")
+        TextFunctions.importanceScore(input, config.options("idColumn"),
+          config.options("textColumn"), target, targetText, n)
+      case (None, Some(view)) =>
+        // the persisted-store path: the target corpus was reduced to its
+        // (gram, cnt) model ONCE at store-build time — this run pays zero
+        // target-side scans. The store's counts ARE the target model
+        // (minCount pruning included); the n stamp must match this run's.
+        if (config.options.contains("targetTextColumn")) throw new ConfigException(
+          "importance_score: targetTextColumn has no effect with " +
+            "targetModelView — the store already holds gram counts; drop " +
+            "the option")
+        val store =
+          try ctx.spark.table(view)
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            throw new ConfigException(
+              s"importance_score: targetModelView '$view' is not a " +
+                s"registered view/table — register the persisted " +
+                s"chargram_lm store first (${e.getMessage})")
+          }
+        val lm = graft.text.ChargramLm.load(store, wantN = Some(n))
+        val label = config.options.get("targetLabel") match {
+          case Some(l) =>
+            if (!lm.model.labels.contains(l)) throw new ConfigException(
+              s"importance_score: targetLabel '$l' is not in the store " +
+                s"(labels: ${lm.model.labels.mkString(", ")})")
+            l
+          case None =>
+            if (lm.model.labels.length != 1) throw new ConfigException(
+              s"importance_score: the store carries ${lm.model.labels.length} " +
+                s"labels (${lm.model.labels.mkString(", ")}) — name which " +
+                "one is the target via `targetLabel`")
+            lm.model.labels.head
+        }
+        TextFunctions.importanceScoreFromCounts(input,
+          config.options("idColumn"), config.options("textColumn"),
+          store.where(col("label") === label)
+            .select(col("gram"), col("cnt").as("tgt_cnt")), n)
+    }
   }
 }
 

@@ -181,6 +181,51 @@ class TextCorpusTransformsSpec extends SparkTestBase {
         "targetView" -> "imp_target", "targetTextColumn" -> "nope"), ctx)
   }
 
+  test("importance_score targetModelView: a persisted minCount=1 store reproduces " +
+    "the corpus-mode scores exactly, with guided errors") {
+    val raw = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the log"),
+      (3L, "0101 1010 0110 1001")).toDF("doc_id", "text")
+    val targetDocs = Seq("the bird sat on the branch", "the fish swam past the log")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    targetDocs.createOrReplaceTempView("imp_tv")
+    // single-label minCount=1 store over the SAME target corpus
+    val store = ChargramLmTransform(
+      targetDocs.withColumn("lab", org.apache.spark.sql.functions.lit("tgt")),
+      t("chargram_lm", "labelColumn" -> "lab", "textColumn" -> "text",
+        "n" -> "3", "minCount" -> "1"), ctx)
+    store.createOrReplaceTempView("imp_store")
+    def scores(opts: (String, String)*) = ImportanceScoreTransform(raw,
+      t("importance_score", (Seq("idColumn" -> "doc_id",
+        "textColumn" -> "text", "n" -> "3") ++ opts): _*), ctx)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    scores("targetModelView" -> "imp_store") shouldBe
+      scores("targetView" -> "imp_tv")
+    // guided errors: both targets, n-stamp mismatch, dangling
+    // targetTextColumn, multi-label store without targetLabel
+    an[ConfigException] should be thrownBy scores(
+      "targetView" -> "imp_tv", "targetModelView" -> "imp_store")
+    (the[ConfigException] thrownBy ImportanceScoreTransform(raw,
+      t("importance_score", "idColumn" -> "doc_id", "textColumn" -> "text",
+        "targetModelView" -> "imp_store", "n" -> "2"), ctx))
+      .getMessage should include ("trained with n=3")
+    (the[ConfigException] thrownBy scores(
+      "targetModelView" -> "imp_store", "targetTextColumn" -> "text"))
+      .getMessage should include ("targetTextColumn has no effect")
+    ChargramLmTransform(
+      Seq(("a", "the cat sat"), ("b", "le chat assis")).toDF("lab", "text"),
+      t("chargram_lm", "labelColumn" -> "lab", "textColumn" -> "text",
+        "n" -> "3"), ctx).createOrReplaceTempView("imp_multi")
+    (the[ConfigException] thrownBy scores("targetModelView" -> "imp_multi"))
+      .getMessage should include ("targetLabel")
+    (the[ConfigException] thrownBy scores(
+      "targetModelView" -> "imp_multi", "targetLabel" -> "zz"))
+      .getMessage should include ("not in the store")
+    // naming a valid label works
+    scores("targetModelView" -> "imp_multi", "targetLabel" -> "a")
+      .keySet shouldBe Set(1L, 2L, 3L)
+  }
+
   test("sessionize gap parsing: units, whitespace, rejects garbage") {
     SessionizeTransform.durationMs("30 minutes") shouldBe 30 * 60000L
     SessionizeTransform.durationMs("10s") shouldBe 10000L
