@@ -359,7 +359,7 @@ object TextFunctions {
     * scale note). charGramNll and importanceScore both build their
     * models from it; a semantics change here keeps their oracles (q79,
     * q129) in lockstep instead of silently diverging. */
-  private def charGramTermFrequencies(df: org.apache.spark.sql.DataFrame,
+  private[graft] def charGramTermFrequencies(df: org.apache.spark.sql.DataFrame,
                                       idCol: org.apache.spark.sql.Column,
                                       textCol: String, n: Int)
       : org.apache.spark.sql.DataFrame =

@@ -104,8 +104,12 @@ object BpeEncode {
     * stamp rides along, so a fallback store always gets a fallback
     * encoder. */
   def apply(text: Column, loaded: Bpe.Loaded): Column =
+    // the alphabet only steers the FALLBACK decomposition — for the common
+    // non-fallback store it would ride the expression (serialization,
+    // case-class equality on every plan transform) entirely unread
     GraftBridge.column(BpeEncode(GraftBridge.expression(text), loaded.merges,
-      MemoMax, loaded.alpha, loaded.byteFallback))
+      MemoMax, if (loaded.byteFallback) loaded.alpha else Nil,
+      loaded.byteFallback))
 
   /** Tokenizer-exact token count. */
   def count(text: Column, merges: Seq[(String, String)]): Column =
@@ -203,8 +207,10 @@ object BpeEncodeIds {
     apply(text, loaded, failOnOov = false)
 
   def apply(text: Column, loaded: Bpe.Loaded, failOnOov: Boolean): Column =
+    // alpha unread unless byteFallback — see BpeEncode.apply
     GraftBridge.column(BpeEncodeIds(GraftBridge.expression(text), loaded.merges,
-      loaded.vocab, BpeEncode.MemoMax, loaded.alpha, loaded.byteFallback,
+      loaded.vocab, BpeEncode.MemoMax,
+      if (loaded.byteFallback) loaded.alpha else Nil, loaded.byteFallback,
       failOnOov))
 }
 

@@ -77,14 +77,8 @@ object LangClassifyTransform extends Transform {
     if (config.options.contains("idColumn")) throw new ConfigException(
       s"$transformType: idColumn is not an option — classification is a " +
         "per-row projection and needs no id; drop the option")
-    val view = config.options("modelView")
-    val store =
-      try ctx.spark.table(view)
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new ConfigException(
-          s"$transformType: modelView '$view' is not a registered view/table — " +
-            s"register the persisted chargram_lm store first (${e.getMessage})")
-      }
+    val store = Stores.fromView(ctx, config.options("modelView"),
+      "modelView", transformType, "chargram_lm")
     val loaded = ChargramLm.load(store,
       wantN = config.options.get("n").map(_.toInt),
       wantMinCount = config.options.get("minCount").map(_.toLong),

@@ -196,16 +196,11 @@ object ChargramNllTransform extends Transform {
         if (config.options.contains("idColumn")) throw new ConfigException(
           "chargram_nll: idColumn has no effect with modelView — store-mode " +
             "scoring is a per-row projection; drop the option")
-        val store =
-          try ctx.spark.table(view)
-          catch { case e: org.apache.spark.sql.AnalysisException =>
-            throw new ConfigException(
-              s"chargram_nll: modelView '$view' is not a registered " +
-                s"view/table — register the persisted chargram_lm store " +
-                s"first (${e.getMessage})")
-          }
+        val store = Stores.fromView(ctx, view, "modelView",
+          transformType, "chargram_lm")
         val lm = graft.text.ChargramLm.load(store,
-          wantN = config.options.get("n").map(_.toInt))
+          wantN = config.options.get("n").map(_.toInt),
+          wantMinCount = config.options.get("minCount").map(_.toLong))
         val idx = config.options.get("label") match {
           case Some(l) =>
             val i = lm.model.labels.indexOf(l)
@@ -297,14 +292,8 @@ object ImportanceScoreTransform extends Transform {
           "importance_score: targetTextColumn has no effect with " +
             "targetModelView — the store already holds gram counts; drop " +
             "the option")
-        val store =
-          try ctx.spark.table(view)
-          catch { case e: org.apache.spark.sql.AnalysisException =>
-            throw new ConfigException(
-              s"importance_score: targetModelView '$view' is not a " +
-                s"registered view/table — register the persisted " +
-                s"chargram_lm store first (${e.getMessage})")
-          }
+        val store = Stores.fromView(ctx, view, "targetModelView",
+          transformType, "chargram_lm")
         val lm = graft.text.ChargramLm.load(store, wantN = Some(n))
         val label = config.options.get("targetLabel") match {
           case Some(l) =>

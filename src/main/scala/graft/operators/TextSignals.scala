@@ -102,14 +102,8 @@ object TextSignalsTransform extends Transform {
           "text_signals: langModelView is set but the lang signal is not " +
             "selected — the store would be loaded and never used; add " +
             "lang to `signals` or drop langModelView")
-        val store =
-          try ctx.spark.table(view)
-          catch { case e: org.apache.spark.sql.AnalysisException =>
-            throw new ConfigException(
-              s"text_signals: langModelView '$view' is not a registered " +
-                s"view/table — register the persisted chargram_lm store " +
-                s"first (${e.getMessage})")
-          }
+        val store = Stores.fromView(ctx, view, "langModelView",
+          transformType, "chargram_lm")
         val lm = graft.text.ChargramLm.load(store)
         val trained = (c: Column) => coalesce(
           graft.functions.expressions.LangScores(c, lm.model, lm.n)

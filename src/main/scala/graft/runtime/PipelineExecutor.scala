@@ -124,6 +124,22 @@ final class PipelineExecutor(
         case other => throw new ConfigException(
           s"spark.graft.planLint must be off|warn|fail, got '$other'")
       }
+      // parsed BEFORE the write: a malformed knob must fail the run while
+      // it is still side-effect-free — failing after sink.write() reports
+      // FAILURE for a committed write, and an orchestrated retry then
+      // double-writes append-mode sinks
+      val obsTimeoutMs = {
+        val raw = spark.conf.get("spark.graft.observationTimeoutMs", "2000")
+        val v = try raw.toLong catch { case _: NumberFormatException =>
+          throw new ConfigException(
+            s"spark.graft.observationTimeoutMs must be a non-negative " +
+              s"integer of milliseconds, got '$raw'") }
+        if (v < 0) throw new ConfigException(
+          s"spark.graft.observationTimeoutMs must be >= 0, got $v")
+        // clamp so the nanos multiply below cannot overflow a huge knob
+        // into a negative deadline (= no polling at all)
+        math.min(v, Long.MaxValue / 2000000L)
+      }
       val tw0 = System.nanoTime()
       val loadResult = sink.write(stamped, config.sink, ctx)
       val writeMs = (System.nanoTime() - tw0) / 1000000
@@ -144,17 +160,8 @@ final class PipelineExecutor(
       // pipeline would then spuriously report extracted=-1 — raise the
       // knob where metrics completeness matters more than a few seconds of
       // post-write latency (the orphaned-plan case still only ever costs
-      // ONE timeout per run, on the input observation).
-      val obsTimeoutMs = {
-        val raw = spark.conf.get("spark.graft.observationTimeoutMs", "2000")
-        val v = try raw.toLong catch { case _: NumberFormatException =>
-          throw new ConfigException(
-            s"spark.graft.observationTimeoutMs must be a non-negative " +
-              s"integer of milliseconds, got '$raw'") }
-        if (v < 0) throw new ConfigException(
-          s"spark.graft.observationTimeoutMs must be >= 0, got $v")
-        v
-      }
+      // ONE timeout per run, on the input observation). The knob itself is
+      // parsed before the write (side-effect-free failure), above.
       def observedRows(obs: Observation): Option[Long] = {
         import org.apache.spark.sql.GraftBridge.observationOrEmpty
         val deadline = System.nanoTime() + obsTimeoutMs * 1000000L

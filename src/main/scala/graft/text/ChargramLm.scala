@@ -44,17 +44,16 @@ import graft.api.ConfigException
  */
 object ChargramLm {
 
-  /** Lowercased char-n-gram (gram, tf) frame per key — the SAME gram
-    * semantics as `chargram_nll`/`importance_score` (lower → length ≥ n
-    * → one-pass native gram slicing), re-stated here because label keys
-    * replace doc ids at train time. */
+  /** Lowercased char-n-gram (gram, tf) frame per key — DELEGATES to the
+    * one shared gram builder (`TextFunctions.charGramTermFrequencies`),
+    * so the chargram_lm store can never silently drift from the
+    * chargram_nll / importance_score gram stream it is documented to
+    * share; only the key column is renamed (labels replace doc ids at
+    * train time). */
   private def gramFrequencies(df: DataFrame, keyCol: Column, keyName: String,
                               textCol: String, n: Int): DataFrame =
-    df.select(keyCol.as(keyName), lower(col(textCol)).as("__t"))
-      .where(col("__t").isNotNull && length(col("__t")) >= n)
-      .select(col(keyName), explode(graft.functions.expressions.ItemCounts(
-        graft.functions.expressions.CharNgramStrings(col("__t"), n))).as("kv"))
-      .select(col(keyName), col("kv.item").as("gram"), col("kv.cnt").as("tf"))
+    graft.functions.TextFunctions.charGramTermFrequencies(df, keyCol, textCol, n)
+      .withColumnRenamed("doc_id", keyName)
 
   /**
    * The persistable MODEL STORE: per-(label, gram) counts over the
@@ -151,7 +150,12 @@ object ChargramLm {
         "chargram_lm transform")
     val rows = store.select(col("label").cast("string"), col("gram"),
       col("cnt").cast("long")).collect()
-    val labels = rows.map(_.getString(0)).distinct.sorted
+    // UTF-8 BYTE order, not String.compareTo's UTF-16 code-unit order:
+    // LangScores' ascending `>=` scan makes the LAST label win ties, and
+    // the claimed convention (Spark struct max / DuckDB max — both binary
+    // collation) diverges from UTF-16 exactly where Bpe.utf8Less documents
+    // (non-BMP codepoints vs U+E000..U+FFFF)
+    val labels = rows.map(_.getString(0)).distinct.sortWith(Bpe.utf8Less)
     if (labels.length > maxLabels) throw new ConfigException(
       s"chargram_lm store carries ${labels.length} labels, above " +
         s"maxLabels=$maxLabels — every row scores a labels-wide vector, so " +
@@ -194,8 +198,9 @@ object ChargramLm {
                outCol: String = "lang_pred",
                scoreCol: Option[String] = None): DataFrame = {
     val helper = "__lang_scores"
-    require(!df.columns.exists(_.equalsIgnoreCase(helper)),
-      s"classify: input already carries the helper column $helper")
+    if (df.columns.exists(_.equalsIgnoreCase(helper))) throw new ConfigException(
+      s"lang_classify: input already carries the helper column $helper — " +
+        "rename it before classifying")
     val scored = df.withColumn(helper,
       graft.functions.expressions.LangScores(col(textCol), loaded.model, loaded.n))
     val withPred = scored
