@@ -332,6 +332,14 @@ class ExamplesSpec extends SparkTestBase {
       .collect().toMap
     preds shouldBe Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
       5L -> "zh", 6L -> "und")
+    // the en-model perplexity signal from the SAME store: lowest for the
+    // English doc, null only for the gram-less one
+    val nll = out.select("doc_id", "en_nll").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    nll(6L) shouldBe None
+    val defined = nll.collect { case (k, Some(v)) => k -> v }
+    defined.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+    defined.minBy(_._2)._1 shouldBe 1L
   }
 
   test("quickstart-18: span decontamination then span dedup — spans excised, " +
