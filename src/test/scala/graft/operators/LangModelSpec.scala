@@ -252,6 +252,75 @@ class LangModelSpec extends SparkTestBase {
       .getMessage should include ("idColumn has no effect")
   }
 
+  test("property: LangScores equals an independent in-JVM reference on seeded random corpora") {
+    // random labeled corpora over mixed 1/2/3-byte alphabets, random docs
+    // (in-vocab, out-of-vocab, and mixed); the reference re-implements the
+    // smoothed argmax DIRECTLY from the collected store rows in the same
+    // factored accumulation order, so scores must be bit-identical and
+    // predictions equal — including the larger-label tie rule
+    val rnd = new scala.util.Random(29)
+    val pools = Seq(('a' to 'f').map(_.toString), Seq("α", "β", "γ"),
+      Seq("的", "是", "不"))
+    def word(pool: Seq[String]): String =
+      (1 to (2 + rnd.nextInt(4))).map(_ => pool(rnd.nextInt(pool.size))).mkString
+    for (round <- 1 to 5) {
+      val nLabels = 2 + rnd.nextInt(3)
+      val labeled = (0 until nLabels).flatMap { li =>
+        val pool = pools(li % pools.length)
+        (1 to 3).map(_ => (s"L$li",
+          (1 to (2 + rnd.nextInt(4))).map(_ => word(pool)).mkString(" ")))
+      }.toDF("lang", "text")
+      val store = ChargramLmTransform(labeled, t("chargram_lm",
+        "labelColumn" -> "lang", "textColumn" -> "text", "n" -> "2"), ctx)
+      store.createOrReplaceTempView(s"lm_prop_$round")
+      // the independent reference, from the raw store rows
+      val rows = store.select("label", "gram", "cnt").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val labels = rows.map(_._1).distinct.sorted // ASCII labels: order moot
+      val totals = labels.map(l => rows.filter(_._1 == l).map(_._3).sum)
+      val v = rows.map(_._2).distinct.length
+      val lnNum = rows.groupBy(_._2).map { case (g, rs) =>
+        g -> labels.map(l => rs.find(_._1 == l)
+          .map(r => math.log((r._3 + 1L).toDouble)).getOrElse(0.0))
+      }
+      val lnDen = totals.map(t0 => math.log((t0 + v).toDouble))
+      def reference(text: String): Option[(String, Double)] = {
+        val low = text.toLowerCase
+        val grams = low.sliding(2).filter(_.length == 2).toSeq
+        if (grams.isEmpty) return None
+        val acc = Array.fill(labels.length)(0.0)
+        grams.foreach(g => lnNum.get(g).foreach { vec =>
+          var j = 0; while (j < acc.length) { acc(j) += vec(j); j += 1 } })
+        var best = 0; var bs = acc(0) - grams.length * lnDen(0)
+        for (j <- 1 until labels.length) {
+          val s = acc(j) - grams.length * lnDen(j)
+          if (s >= bs) { best = j; bs = s }
+        }
+        Some((labels(best), math.rint(bs * 1e4) / 1e4))
+      }
+      val docs = ((1 to 10).map { i =>
+        val pool = pools(rnd.nextInt(pools.length))
+        (i.toLong, (1 to (1 + rnd.nextInt(4))).map(_ => word(pool)).mkString(" "))
+      } :+ (99L, "zz99")).toDF("doc_id", "text") // out-of-vocab doc too
+      val got = LangClassifyTransform(docs, t("lang_classify",
+        "textColumn" -> "text", "modelView" -> s"lm_prop_$round",
+        "scoreColumn" -> "s"), ctx)
+        .select("doc_id", "text", "lang_pred", "s").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+      got.foreach { case (id, text, pred, score) =>
+        withClue(s"round $round doc $id '$text': ") {
+          reference(text) match {
+            case None => pred shouldBe "und"
+            case Some((expLabel, expScore)) =>
+              pred shouldBe expLabel
+              score shouldBe Some(expScore)
+          }
+        }
+      }
+    }
+  }
+
   test("plan shape: classify is ONE zero-shuffle codegen'd projection — no exchange, no join, no generate") {
     trainStore().createOrReplaceTempView("lm_plan")
     // a LOCAL relation would constant-fold the whole projection away
