@@ -1590,6 +1590,27 @@ object SparkEntry {
         t("importance_score", "idColumn" -> "doc_id", "textColumn" -> "text",
           "targetModelView" -> "q151_model", "n" -> "3"))
     }),
+    // HTML boilerplate stripping over a synthesized page wrapper (the
+    // corpus carries no natural markup, like q50's PII): script/style/
+    // comment/doctype removal, block tags → newlines, tag strip, the
+    // conservative entity decode (&amp; last), collapse + trim — DuckDB
+    // replays the identical RE2-safe chain; newlines flattened to ' | '
+    // on BOTH sides for the stringified compare
+    "q152_html_strip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val wrapped = tab(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), concat(
+          lit("<!DOCTYPE html><html><head><style>p{color:red}</style>" +
+            "<script>var x=1<2;</script></head><body><!-- "),
+          col("doc_id").cast("string"),
+          lit(" --><h1>Doc &amp; &lt;title&gt;</h1><p>"), col("text"),
+          lit("</p><ul><li>alpha</li><li>beta</li></ul></body></html>"))
+          .as("text"))
+      ap(wrapped, t("html_strip", "columns" -> "text",
+        "collapseWhitespace" -> "true", "trim" -> "true"))
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\n", " | ").as("clean"))
+    }),
     // the DSIR selection recipe (Xie et al. 2023 §2.3) COMPOSED, as one
     // declarative pipeline: importance log-ratio → exponentiate into a
     // sampling weight (rounded to 4 decimals so both engines hold the
@@ -3567,6 +3588,45 @@ object SparkEntry {
                        / CAST(scal.raw_total + scal.v AS DOUBLE))
                 )) / sum(tf.tf), 4) + 0.0 AS importance
          FROM tf JOIN model USING (gram) CROSS JOIN scal GROUP BY 1""",
+    // the same synthesized wrapper, the same fixed regexp chain (RE2
+    // semantics in both engines), newlines flattened identically
+    "q152_html_strip" ->
+      """WITH w AS (
+           SELECT doc_id,
+             '<!DOCTYPE html><html><head><style>p{color:red}</style>' ||
+             '<script>var x=1<2;</script></head><body><!-- ' ||
+             doc_id::VARCHAR || ' --><h1>Doc &amp; &lt;title&gt;</h1><p>' ||
+             text ||
+             '</p><ul><li>alpha</li><li>beta</li></ul></body></html>' AS t
+           FROM documents WHERE text IS NOT NULL
+         ), s AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(t,
+               '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g'),
+               '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g'),
+               '(?s)<!--.*?-->', '', 'g'),
+               '(?i)<!DOCTYPE[^>]*>', '', 'g'),
+               '(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table)\b[^>]*/?>',
+                 chr(10), 'g'),
+               '(?s)</?[A-Za-z][^>]*>', '', 'g') AS t
+           FROM w
+         ), e AS (
+           SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+           FROM s
+         ), c AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+               '[ \t\x0B\f\r]+', ' ', 'g'),
+               ' ?\n ?', chr(10), 'g'),
+               '\n{3,}', chr(10) || chr(10), 'g'),
+               '^\s+|\s+$', '', 'g') AS t
+           FROM e
+         )
+         SELECT doc_id, replace(t, chr(10), ' | ') AS clean FROM c""",
     // the store path must reproduce q129 exactly (same model, same math)
     "q151_dsir_store" ->
       """WITH d AS (
