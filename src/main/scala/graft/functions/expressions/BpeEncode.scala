@@ -227,21 +227,22 @@ object BpeEncodeIds {
  * decode(encode(text)) is the whitespace-normalized text for any
  * in-alphabet corpus.
  *
- * == Marker-collision caveat (the known roundtrip edge) ==
+ * == Marker collisions (resolved by escaping) ==
  *
- * Decoding is textual: a document whose TEXT literally contains the
- * 4-char marker string `</w>` (all four chars in-alphabet for most real
- * corpora) reconstructs with that literal replaced by a space — the
- * marker and the literal are indistinguishable in the token stream by
- * construction. Same class: a merge product that literally spells
- * `<unk>` aliases id 0, and under byteFallback a literal `<0xNN>` that
- * training fully re-merged would alias a byte token — [[Bpe.mergesFrame]]
- * refuses the latter at train time for fallback stores; the `</w>` /
- * `<unk>` cases are inherent to marker-in-band tokenizers (GPT-2's
- * byte-alphabet sidesteps it by never emitting marker STRINGS) and are
- * the documented boundary of the roundtrip contract: corpora containing
- * literal marker strings detokenize to a whitespace-equivalent, not
- * byte-identical, reconstruction.
+ * Decoding is textual, so a document whose TEXT literally contains the
+ * 4-char marker string `</w>` would be indistinguishable from a word
+ * boundary in the concatenated token stream. The pre-tokenizer therefore
+ * ESCAPES the whole marker family at encode/train time
+ * ([[Bpe.escapeMarkers]]: `</w{k}>` → `</w{k+1}>`, injective), and this
+ * decoder inverts it ([[Bpe.unescapeMarkers]]) after the marker
+ * replacement — decode(encode(text)) is the whitespace-normalized text
+ * even when the text is full of literal markers. The remaining benign
+ * alias: a merge product that literally spells `<unk>` maps to id 0,
+ * which decodes back to the SAME string `<unk>` (textually lossless; it
+ * only blurs OOV accounting for corpora that both contain the literal
+ * and re-merge it). Under byteFallback a literal `<0xNN>` that training
+ * fully re-merged would alias a byte token — [[Bpe.mergesFrame]] refuses
+ * that at train time for fallback stores.
  */
 case class BpeDecodeIds(child: Expression, vocab: IndexedSeq[String],
                         byteFallback: Boolean = false)
@@ -292,8 +293,10 @@ case class BpeDecodeIds(child: Expression, vocab: IndexedSeq[String],
     // the ends (ONLY ' ' — a Java trim would also eat control chars that
     // legitimately live inside words). Leading spaces only occur for
     // corrupted ids (a bare </w> token first), but those must still
-    // render cleanly.
-    val out = sb.toString.replace(Bpe.Eow, " ")
+    // render cleanly. Every `</w>` here IS a marker — encode escaped the
+    // literal family (Bpe.escapeMarkers), so the textual replace is sound;
+    // unescapeMarkers then restores literal `</w{k}>` text exactly.
+    val out = Bpe.unescapeMarkers(sb.toString.replace(Bpe.Eow, " "))
     var a = 0; var b = out.length
     while (a < b && out.charAt(a) == ' ') a += 1
     while (b > a && out.charAt(b - 1) == ' ') b -= 1

@@ -186,3 +186,79 @@ object LmNll {
   def apply(text: Column, model: LangLmModel, labelIdx: Int, n: Int): Column =
     GraftBridge.column(LmNll(GraftBridge.expression(text), model, labelIdx, n))
 }
+
+/**
+ * Store-drift observability for chargram_lm consumers — the
+ * [[BpeOovCount]] discipline stated for gram models: the fraction of a
+ * row's gram OCCURRENCES absent from the store's union vocabulary
+ * (0.0 = fully covered, 1.0 = the model has never seen any of this text;
+ * NULL when the text yields no grams, mirroring the scorers). A model
+ * trained on corpus A scoring corpus B drifts LOUDLY through this column
+ * (`avg(unseen)` over a run) instead of silently degrading into
+ * smoothed-constant scores. `failAbove` (NaN = off) arms the per-row
+ * threshold guard: a row whose unseen mass exceeds it refuses the run
+ * with guidance — for pipelines that would rather stop than classify
+ * garbage. Zero-shuffle codegen'd projection against the same broadcast
+ * [[LangLmModel]], same scale shape as the scorers.
+ */
+case class LmUnseenFrac(child: Expression, model: LangLmModel, n: Int,
+                        failAbove: Double = Double.NaN)
+    extends UnaryExpression {
+  require(n >= 1, s"lm_unseen_frac: n must be >= 1, got $n")
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "lm_unseen_frac"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lm_unseen_frac expects a string input, got ${other.simpleString}")
+  }
+
+  def compute(input: UTF8String): Any = {
+    val grams = CharNgramStrings.compute(input.toLowerCase, n)
+    val m = grams.numElements()
+    if (m == 0) return null
+    val table = model.table
+    var unseen = 0
+    var i = 0
+    while (i < m) {
+      if (table.get(grams.getUTF8String(i)) == null) unseen += 1
+      i += 1
+    }
+    val frac = unseen.toDouble / m
+    if (!failAbove.isNaN && frac > failAbove) throw new graft.api.TransformException(
+      f"lm_unseen_frac: a row's text has $frac%.4f of its gram occurrences " +
+        s"outside the store's vocabulary, above maxUnseenFrac=$failAbove — " +
+        "the corpus has drifted outside what the model was trained on; " +
+        "retrain the store on representative data, raise the threshold, " +
+        "or drop the guard and watch the unseen column instead")
+    java.lang.Double.valueOf(frac)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lmUnseenFrac", this, classOf[LmUnseenFrac].getName)
+    val boxed = ctx.freshName("lmUnseenVal")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $boxed = $ref.compute($c);
+      if ($boxed == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ((java.lang.Double) $boxed).doubleValue();
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LmUnseenFrac {
+  def apply(text: Column, model: LangLmModel, n: Int,
+            failAbove: Double): Column =
+    GraftBridge.column(LmUnseenFrac(GraftBridge.expression(text), model, n,
+      failAbove))
+}

@@ -79,7 +79,9 @@ object BpeTransforms {
     config.options.get("oovColumn") match {
       case None => df
       case Some(out) =>
-        if (df.columns.contains(out)) throw new ConfigException(
+        // case-INSENSITIVE: Spark's withColumn resolves case-insensitively,
+        // so N_OOV vs n_oov would slip a .contains check and be replaced
+        if (df.columns.exists(_.equalsIgnoreCase(out))) throw new ConfigException(
           s"$tname: oovColumn '$out' already exists in the input — " +
             "set it to a fresh name")
         df.withColumn(out,

@@ -45,6 +45,51 @@ object ChargramLmTransform extends Transform {
 }
 
 /**
+ * Shared `unseenColumn` / `maxUnseenFrac` plumbing for every chargram_lm
+ * store CONSUMER (`lang_classify`, `chargram_nll` modelView) — the
+ * [[BpeTransforms.withOovColumn]] drift-observability discipline stated
+ * for gram models: a store trained on corpus A scoring corpus B must
+ * drift LOUDLY, either as a watched fraction column or as a per-row
+ * threshold guard, never as silently degraded scores.
+ */
+private[operators] object LmDrift {
+  /** Append `unseenColumn` (rounded per-row unseen-gram fraction, armed
+    * with the optional `maxUnseenFrac` per-row guard) when configured.
+    * `maxUnseenFrac` without `unseenColumn` is refused: the guard rides
+    * the emitted column's expression — with no column, Catalyst would
+    * prune the guard out of the plan and it would never fire. */
+  def withUnseenColumn(df: DataFrame, config: TransformConfig,
+                       loaded: ChargramLm.Loaded, textCol: String,
+                       tname: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, round}
+    val threshold = config.options.get("maxUnseenFrac").map { raw =>
+      val v = try raw.toDouble catch { case _: NumberFormatException =>
+        throw new ConfigException(
+          s"$tname: maxUnseenFrac must be a number in [0, 1], got '$raw'") }
+      if (v < 0.0 || v > 1.0) throw new ConfigException(
+        s"$tname: maxUnseenFrac must be in [0, 1], got $v")
+      v
+    }
+    config.options.get("unseenColumn") match {
+      case None =>
+        threshold.foreach { _ => throw new ConfigException(
+          s"$tname: maxUnseenFrac is set but unseenColumn is not — the " +
+            "guard rides the unseen-fraction column's expression, so " +
+            "without a column it would be pruned out of the plan and " +
+            "never fire; name the column via unseenColumn") }
+        df
+      case Some(out) =>
+        if (df.columns.exists(_.equalsIgnoreCase(out))) throw new ConfigException(
+          s"$tname: unseenColumn '$out' already exists on the input — " +
+            "set it to a fresh name")
+        df.withColumn(out, round(graft.functions.expressions.LmUnseenFrac(
+          col(textCol), loaded.model, loaded.n,
+          threshold.getOrElse(Double.NaN)), 4))
+    }
+  }
+}
+
+/**
  * lang_classify — append the TRAINED language prediction from a
  * registered `chargram_lm` store (`modelView`): add-one-smoothed
  * log-likelihood per label, argmax appended as `outputColumn` (default
@@ -84,14 +129,30 @@ object LangClassifyTransform extends Transform {
       wantMinCount = config.options.get("minCount").map(_.toLong),
       maxLabels = config.options.get("maxLabels").map(_.toInt).getOrElse(1000),
       maxModelRows = config.options.get("maxModelRows").map(_.toLong)
-        .getOrElse(5000000L))
+        .getOrElse(5000000L),
+      maxModelCells = config.options.get("maxModelCells").map(_.toLong)
+        .getOrElse(32000000L))
     val out = config.options.getOrElse("outputColumn", "lang_pred")
     val scoreCol = config.options.get("scoreColumn")
+    // outputColumn == scoreColumn is a self-collision the per-input checks
+    // below cannot see: withColumn(scoreCol) would silently overwrite the
+    // prediction with the rounded score (Spark resolves case-insensitively)
+    scoreCol.filter(_.equalsIgnoreCase(out)).foreach { c =>
+      throw new ConfigException(
+        s"$transformType: outputColumn and scoreColumn are both '$c' — the " +
+          "score would silently overwrite the prediction; give them " +
+          "distinct names")
+    }
     (out +: scoreCol.toSeq).foreach { c =>
       if (input.columns.exists(_.equalsIgnoreCase(c))) throw new ConfigException(
         s"$transformType: output column '$c' already exists on the input — " +
           "rename via outputColumn/scoreColumn instead of silently overwriting")
     }
-    ChargramLm.classify(input, config.options("textColumn"), loaded, out, scoreCol)
+    // drift observability LAST: classify's outputs are real columns by
+    // then, so a colliding unseenColumn is caught by the exists check
+    LmDrift.withUnseenColumn(
+      ChargramLm.classify(input, config.options("textColumn"), loaded, out,
+        scoreCol),
+      config, loaded, config.options("textColumn"), transformType)
   }
 }

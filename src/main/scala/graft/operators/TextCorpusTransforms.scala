@@ -187,6 +187,14 @@ object ChargramNllTransform extends Transform {
     config.options.get("modelView") match {
       case None =>
         required(config, "idColumn")
+        // self-mode's model contains every corpus gram by construction —
+        // an unseen fraction is identically 0, so accepting the options
+        // would imply drift tracking that cannot exist (set-but-unused)
+        Seq("unseenColumn", "maxUnseenFrac").filter(config.options.contains)
+          .foreach { o => throw new ConfigException(
+            s"chargram_nll: $o only applies with modelView — the self-mode " +
+              "model is built FROM this corpus, so nothing is ever unseen; " +
+              "drop the option or score against a persisted store") }
         val n = config.options.get("n").map(_.toInt).getOrElse(3)
         if (n < 1) throw new ConfigException(s"chargram_nll: n must be >= 1, got $n")
         TextFunctions.charGramNll(input, config.options("idColumn"),
@@ -219,8 +227,10 @@ object ChargramNllTransform extends Transform {
         if (input.columns.exists(_.equalsIgnoreCase(out))) throw new ConfigException(
           s"chargram_nll: output column '$out' already exists on the input — " +
             "rename via outputColumn instead of silently overwriting")
-        input.withColumn(out, round(graft.functions.expressions.LmNll(
-          col(config.options("textColumn")), lm.model, idx, lm.n), 4))
+        LmDrift.withUnseenColumn(
+          input.withColumn(out, round(graft.functions.expressions.LmNll(
+            col(config.options("textColumn")), lm.model, idx, lm.n), 4)),
+          config, lm, config.options("textColumn"), transformType)
     }
   }
 }

@@ -88,11 +88,53 @@ object Bpe {
       .filter(p => byteTokenValue(p) >= 0 || p == Unk)
       .distinct
 
+  /** Escape regex: the whole marker FAMILY `</w+>`, not just the marker —
+    * escaping only `</w>` itself would map distinct inputs onto each other
+    * (`</w>` → `</ww>` colliding with a literal `</ww>`). */
+  private val markerFamily = java.util.regex.Pattern.compile("</(w+)>")
+  private val escapedFamily = java.util.regex.Pattern.compile("</w(w+)>")
+
+  /**
+   * Marker-collision escaping (one word → one word): every literal
+   * `</w{k}>` (k ≥ 1) gains one `w`. INJECTIVE over the whole family, so
+   * [[unescapeMarkers]] restores it exactly, and the escaped stream never
+   * contains the exact marker string [[Eow]] — which makes the decoder's
+   * textual `replace(Eow, " ")` sound: every `</w>` in a decoded token
+   * stream is a TRUE word-end marker, never document text. Without this,
+   * text literally containing `</w>` decoded with that literal turned
+   * into a space — decode(encode(text)) silently corrupted exactly the
+   * web-ish corpora most likely to contain markup. Train and encode
+   * share the escape (mergesFrame's Spark-side `regexp_replace` mirrors
+   * this pattern), so merges learned over escaped words apply to escaped
+   * encode streams. Non-marker text (every byte of the TPC-H corpus, and
+   * virtually all real text) takes the indexOf fast path untouched.
+   */
+  def escapeMarkers(word: String): String =
+    if (word.indexOf("</w") < 0) word
+    else markerFamily.matcher(word).replaceAll("</$1w>")
+
+  /** The exact inverse of [[escapeMarkers]] on the marker-replaced decode
+    * stream: `</w{k}>` (k ≥ 2) loses one `w`. Applied by the decoder AFTER
+    * `replace(Eow, " ")` — at that point every surviving `</ww+>` is an
+    * escaped literal, and the pattern contains no space so the marker
+    * replacement can neither create nor destroy a match. */
+  def unescapeMarkers(text: String): String =
+    if (text.indexOf("</ww") < 0) text
+    else escapedFamily.matcher(text).replaceAll("</$1>")
+
   /** The shared pre-tokenizer: Java `\s+` split after stripping the
-    * engine's whitespace set. Empty/blank text → no words. */
+    * engine's whitespace set, then marker-collision escaping per word
+    * ([[escapeMarkers]] — markers never span whitespace, so per-word ==
+    * whole-text). Empty/blank text → no words. */
   def words(text: String): Array[String] = {
     val stripped = stripWs(text)
-    if (stripped.isEmpty) Array.empty else stripped.split("\\s+")
+    if (stripped.isEmpty) Array.empty
+    else {
+      val ws = stripped.split("\\s+")
+      // fast path for the fast path: scan once, escape only when needed
+      if (stripped.indexOf("</w") < 0) ws
+      else ws.map(escapeMarkers)
+    }
   }
 
   private def stripWs(s: String): String = {
@@ -371,8 +413,12 @@ object Bpe {
     // tokenized and aggregated ONCE (the tfidf sharedTf pattern).
     val wcFull = graft.api.Checkpointing.checkpoint(corpus
       .select(explode(split(trim(col(textCol), " \t\n\u000B\f\r"), "\\s+"))
-        .as("__w"))
-      .where(col("__w") =!= "")
+        .as("__w0"))
+      .where(col("__w0") =!= "")
+      // the Spark-side mirror of words()'s escapeMarkers: train and encode
+      // MUST see the same character stream, or merges learned over raw
+      // `</w>` literals would never fire on the escaped encode stream
+      .select(regexp_replace(col("__w0"), "</(w+)>", "</$1w>").as("__w"))
       .groupBy("__w").count(),
       eager = false)
     val wc = wcFull
@@ -397,7 +443,11 @@ object Bpe {
     // top-maxWords words still gets a token id instead of <unk>. A
     // zero-merge BpeEncode IS wordSymbols(), so the symbol explode
     // reuses the codegen'd encoder; the distinct set is alphabet-sized
-    // (bounded by Unicode), a trivial driver read.
+    // (bounded by Unicode), a trivial driver read. (BpeEncode re-runs
+    // words()' escapeMarkers on the already-escaped __w — escaping is not
+    // idempotent, but it is char-set-preserving (only adds 'w's), and the
+    // alphabet is a set of single CODEPOINTS, so the double pass is
+    // harmless here and only here.)
     val corpusAlpha = wcFull
       .select(explode(graft.functions.expressions.BpeEncode(col("__w"), Nil))
         .as("sym"))

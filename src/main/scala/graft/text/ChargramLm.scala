@@ -111,14 +111,24 @@ object ChargramLm {
    * caller expectations (`wantN` / `wantMinCount` must match the training
    * stamps — a mismatched `n` would slice different grams and score
    * garbage), a `maxLabels` guard (per-label state rides every row's
-   * score vector), and a `maxModelRows` guard on the ONE driver collect
+   * score vector), a `maxModelRows` guard on the ONE driver collect
    * (the store is ≤ labels · alphabet^n rows by construction — the
    * merges/codebook driver-read class — but a mis-pointed view must fail
-   * with guidance, never OOM the driver).
+   * with guidance, never OOM the driver), and a `maxModelCells` guard on
+   * the product that ACTUALLY allocates: the in-memory model is dense —
+   * one labels-length double vector per DISTINCT gram — so its footprint
+   * is `distinct_grams × labels × 8 B` on the driver AND in every
+   * executor's deserialized plan. maxModelRows and maxLabels each bound
+   * one factor but not the product (a store with label-disjoint
+   * vocabularies can pass both yet need tens of GB); the cell guard
+   * bounds the real allocation. The 32M-cell default is ~256 MB of
+   * doubles — far above any realistic language-ID model (100k grams ×
+   * 100 labels = 10M cells), far below an executor OOM.
    */
   def load(store: DataFrame, wantN: Option[Int] = None,
            wantMinCount: Option[Long] = None, maxLabels: Int = 1000,
-           maxModelRows: Long = 5000000L): Loaded = {
+           maxModelRows: Long = 5000000L,
+           maxModelCells: Long = 32000000L): Loaded = {
     val missing = Seq("label", "gram", "cnt", "clm_n", "clm_min_count")
       .filterNot(store.columns.contains)
     if (missing.nonEmpty) throw new ConfigException(
@@ -162,9 +172,29 @@ object ChargramLm {
         "a label set this wide is a different algorithm; raise maxLabels " +
         "only if that cost is genuinely intended")
     val labelIdx = labels.zipWithIndex.toMap
+    // duplicate-(label, gram) guard: a store appended twice from the SAME
+    // build carries identical clm_* stamps, so the mixed-stamp check above
+    // cannot see it — but totals would double-count while byGram keeps one
+    // copy's ln(cnt+1), silently skewing every score (the Bpe.loadStore
+    // checkDense discipline, stated for the (label, gram) key)
+    if (rows.iterator.map(r => (r.getString(0), r.getString(1))).toSet.size
+        != rows.length) throw new ConfigException(
+      "chargram_lm store carries duplicate (label, gram) rows — an " +
+        "appended or unioned store double-counts gram mass and skews " +
+        "every score; rebuild it with a single chargram_lm pass")
+    val v = rows.iterator.map(_.getString(1)).toSet.size
+    // the DENSE-ALLOCATION guard: everything below this line allocates
+    // distinct_grams × labels doubles — fail on the product, not a factor
+    if (v.toLong * labels.length > maxModelCells) throw new ConfigException(
+      s"chargram_lm store spans $v distinct grams × ${labels.length} " +
+        s"labels = ${v.toLong * labels.length} model cells, above " +
+        s"maxModelCells=$maxModelCells — the scoring model is DENSE " +
+        "(one labels-wide double vector per distinct gram, ~8 B/cell, " +
+        "held on the driver and in every executor's deserialized plan); " +
+        "coarsen n/minCount, split the label set, or raise maxModelCells " +
+        "only if that memory is genuinely intended")
     val totals = new Array[Long](labels.length)
     rows.foreach(r => totals(labelIdx(r.getString(0))) += r.getLong(2))
-    val v = rows.iterator.map(_.getString(1)).toSet.size
     val lnDen = totals.map(t => math.log((t + v).toDouble))
     // gram → per-label ln(cnt+1), precomputed once (no libm in the row loop)
     val byGram = new scala.collection.mutable.HashMap[String, Array[Double]]()

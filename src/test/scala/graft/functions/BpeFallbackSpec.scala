@@ -117,18 +117,20 @@ class BpeFallbackSpec extends SparkTestBase {
       .as[String].head() shouldBe "a?b"
   }
 
-  test("string-token encode takes the same fallback path, and " +
-    "detokenizing literal marker text is the documented boundary") {
+  test("string-token encode takes the same fallback path, and literal " +
+    "marker text roundtrips through the escape (the closed former boundary)") {
     val toks = Seq("hi αβ").toDF("text")
       .select(BpeEncode(col("text"), greekLoaded))
       .as[Seq[String]].head()
     toks.take(3) shouldBe Seq("<0x68>", "<0x69>", Bpe.Eow)
     toks.drop(3).mkString shouldBe ("αβ" + Bpe.Eow) // trained merges apply
-    // text literally containing "</w>" reconstructs with a space there —
-    // marker and literal are indistinguishable in-band (BpeDecodeIds doc)
+    // text literally containing "</w>" used to reconstruct with a space
+    // there (marker and literal were indistinguishable in-band); the
+    // pre-tokenizer's marker escaping (Bpe.escapeMarkers) now keeps them
+    // apart, so the roundtrip holds even through the byte-fallback path
     Seq("a</w>b").toDF("text")
       .select(BpeDecodeIds(BpeEncodeIds(col("text"), greekLoaded), greekLoaded))
-      .as[String].head() shouldBe "a b"
+      .as[String].head() shouldBe "a</w>b"
   }
 
   test("BpeOovCount counts out-of-alphabet codepoints — the <unk> count a " +

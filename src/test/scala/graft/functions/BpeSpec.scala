@@ -259,6 +259,80 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("marker escaping: the </w+> family gains a w at pre-tokenization, " +
+    "unescape inverts it, and the escaped stream never holds the marker") {
+    // goldens across the family boundary
+    Bpe.escapeMarkers("x</w>y") shouldBe "x</ww>y"
+    Bpe.escapeMarkers("x</ww>y") shouldBe "x</www>y"
+    Bpe.escapeMarkers("</w></w>") shouldBe "</ww></ww>"
+    Bpe.escapeMarkers("plain") shouldBe "plain"
+    Bpe.escapeMarkers("</W>") shouldBe "</W>"   // case-sensitive: not the marker
+    Bpe.escapeMarkers("</wb>") shouldBe "</wb>" // not in the family
+    Bpe.escapeMarkers("x</w") shouldBe "x</w"   // unterminated: untouched
+    Bpe.unescapeMarkers("x</ww>y") shouldBe "x</w>y"
+    Bpe.unescapeMarkers("x</www>y") shouldBe "x</ww>y"
+    // words() applies it per word
+    Bpe.words("a</w>b c").toSeq shouldBe Seq("a</ww>b", "c")
+    // property: unescape(escape(s)) == s, and escape(s) never contains the
+    // exact marker, over adversarial marker-dense strings
+    val rng = new scala.util.Random(20260816)
+    val pieces = Array("</w>", "</ww>", "</wwww>", "<", ">", "/", "w", "a",
+      "</", "w>", "</w", " x ")
+    (1 to 300).foreach { _ =>
+      val s = (1 to rng.nextInt(8)).map(_ => pieces(rng.nextInt(pieces.length))).mkString
+      val e = Bpe.escapeMarkers(s)
+      withClue(s"input '$s' escaped '$e': ") {
+        Bpe.unescapeMarkers(e) shouldBe s
+        // the escaped form never contains the exact marker UNLESS the raw
+        // adjacency "</" + "w>" (etc.) re-forms one across piece bounds —
+        // escapeMarkers runs on the JOINED string, so it can't: assert flat
+        e should not include Bpe.Eow
+      }
+    }
+  }
+
+  test("decode(encode(text)) survives literal </w> and <unk> in the text " +
+    "— the marker-collision roundtrip, through the real expressions") {
+    import graft.functions.expressions.{BpeEncodeIds, BpeDecodeIds}
+    // a corpus dense in the exact marker, its escaped sibling, and <unk>;
+    // deep numMerges so training fully re-merges the literals (the
+    // adversarial case: vocab gains marker-spelling and <unk>-spelling
+    // products)
+    val docs = Seq(
+      "the tag </w> closes a word",
+      "escaped </ww> and deeper </www> variants",
+      "an <unk> literal and another <unk>",
+      "</w></w> adjacent markers",
+      "plain text with no markup").toDF("text")
+    val store = Bpe.mergesFrame(docs, "text", numMerges = 400,
+      maxWords = 1000, minCount = 1L)
+    val loaded = Bpe.load(store)
+    // the adversarial premise holds: training fully re-merged the ESCAPED
+    // literals, so vocab tokens carry `</ww…` strings — the tokens that,
+    // without escaping, would have spelled the exact marker and been eaten
+    // by decode's textual replace
+    loaded.vocab.exists(_.contains("</ww")) shouldBe true
+    val out = docs
+      .withColumn("ids", BpeEncodeIds(col("text"), loaded))
+      .withColumn("rt", BpeDecodeIds(col("ids"), loaded))
+      .select("text", "rt").as[(String, String)].collect()
+    out.foreach { case (text, rt) =>
+      rt shouldBe text.trim.split("\\s+").mkString(" ")
+    }
+    // same under byteFallback (markers + unseen codepoints together)
+    val fbStore = Bpe.mergesFrame(docs, "text", numMerges = 20,
+      maxWords = 1000, minCount = 1L, byteFallback = true)
+    val fb = Bpe.load(fbStore)
+    val unseen = Seq("漢字 </w> mixed", "<unk> 中 </ww>").toDF("text")
+    val fbOut = unseen
+      .withColumn("ids", BpeEncodeIds(col("text"), fb))
+      .withColumn("rt", BpeDecodeIds(col("ids"), fb))
+      .select("text", "rt").as[(String, String)].collect()
+    fbOut.foreach { case (text, rt) =>
+      rt shouldBe text.trim.split("\\s+").mkString(" ")
+    }
+  }
+
   test("train stops when the pair supply dries up and the store stamps the " +
     "PRODUCED count, which can be below numMerges") {
     val docs = Seq("aa aa aa").toDF("text")

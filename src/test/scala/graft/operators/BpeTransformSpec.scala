@@ -344,6 +344,11 @@ class BpeTransformSpec extends SparkTestBase {
       ap(corpus.withColumn("n_oov", lit(1)), t("bpe_token_count",
         "textColumn" -> "text", "mergesView" -> view, "oovColumn" -> "n_oov"))
     }.getMessage should include ("n_oov")
+    intercept[ConfigException] { // …and case-INSENSITIVELY: withColumn
+      // resolves N_OOV == n_oov, so the guard must too
+      ap(corpus.withColumn("N_OOV", lit(1)), t("bpe_token_count",
+        "textColumn" -> "text", "mergesView" -> view, "oovColumn" -> "n_oov"))
+    }.getMessage should include ("n_oov")
   }
 
   test("text_signals rejects a mergesView that would be loaded and never " +

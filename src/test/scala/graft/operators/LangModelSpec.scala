@@ -154,6 +154,96 @@ class LangModelSpec extends SparkTestBase {
       .getMessage should include ("maxLabels")
   }
 
+  test("load guards bound the DENSE allocation and refuse appended stores") {
+    val docs = Seq((1L, "tenth")).toDF("doc_id", "text")
+    // maxModelCells guards the product that actually allocates
+    // (distinct_grams × labels), which maxModelRows/maxLabels each miss:
+    // this store passes maxLabels=3 and any row cap, yet a tiny cell
+    // budget must refuse it naming the grid
+    trainStore().createOrReplaceTempView("lm_cells")
+    (the[ConfigException] thrownBy LangClassifyTransform(docs,
+      t("lang_classify", "textColumn" -> "text",
+        "modelView" -> "lm_cells", "maxModelCells" -> "10"), ctx))
+      .getMessage should include ("maxModelCells")
+    // a store appended to itself carries IDENTICAL stamps, so the
+    // mixed-stamp check cannot see it — the duplicate-(label, gram) guard
+    // must, or totals double-count while byGram keeps one copy
+    trainStore().union(trainStore()).createOrReplaceTempView("lm_dup")
+    (the[ConfigException] thrownBy LangClassifyTransform(docs,
+      t("lang_classify", "textColumn" -> "text",
+        "modelView" -> "lm_dup"), ctx))
+      .getMessage should include ("duplicate (label, gram)")
+    // outputColumn == scoreColumn would silently overwrite the prediction
+    // with the rounded score; refused case-insensitively
+    trainStore().createOrReplaceTempView("lm_selfcoll")
+    (the[ConfigException] thrownBy LangClassifyTransform(docs,
+      t("lang_classify", "textColumn" -> "text", "modelView" -> "lm_selfcoll",
+        "outputColumn" -> "pred", "scoreColumn" -> "PRED"), ctx))
+      .getMessage should include ("distinct names")
+  }
+
+  test("unseenColumn / maxUnseenFrac: store drift is observable and guardable " +
+    "on both chargram_lm consumers") {
+    trainStore().createOrReplaceTempView("lm_drift")
+    // corpus B: one in-vocabulary doc, one ENTIRELY out-of-alphabet doc
+    // (cyrillic — the store trained on latin/greek/cjk), one no-gram doc
+    val docs = Seq(
+      (1L, "the thin"), // an exact substring of a training doc: every
+                        // bigram (space-spanning ones included) is stored
+      (2L, "дом мир снег"),
+      (3L, "x")).toDF("doc_id", "text")
+    val out = LangClassifyTransform(docs,
+      t("lang_classify", "textColumn" -> "text", "modelView" -> "lm_drift",
+        "unseenColumn" -> "unseen_frac"), ctx)
+    val fr = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      Option(r.getAs[java.lang.Double]("unseen_frac")).map(_.toDouble)).toMap
+    fr(1L).get shouldBe 0.0       // every bigram trained
+    fr(2L).get shouldBe 1.0       // the model has never seen ANY gram
+    fr(3L) shouldBe None          // no grams → null, like the scorers
+    // the same plumbing on chargram_nll's modelView mode
+    val nll = graft.runtime.Registries.transforms().get("chargram_nll").apply(docs,
+      t("chargram_nll", "textColumn" -> "text", "modelView" -> "lm_drift",
+        "label" -> "en", "unseenColumn" -> "unseen_frac"), ctx)
+    nll.columns should contain ("unseen_frac")
+    nll.where(col("doc_id") === 2L).select("unseen_frac")
+      .head().getDouble(0) shouldBe 1.0
+    // the armed guard refuses the drifted row with guidance
+    val ex = intercept[Exception] {
+      LangClassifyTransform(docs,
+        t("lang_classify", "textColumn" -> "text", "modelView" -> "lm_drift",
+          "unseenColumn" -> "unseen_frac", "maxUnseenFrac" -> "0.5"), ctx)
+        .collect()
+    }
+    Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+      .flatMap(e => Option(e.getMessage)).mkString(" | ") should
+      include ("maxUnseenFrac=0.5")
+    // …and passes untouched when every row is under the threshold
+    LangClassifyTransform(docs.where(col("doc_id") =!= 2L),
+      t("lang_classify", "textColumn" -> "text", "modelView" -> "lm_drift",
+        "unseenColumn" -> "unseen_frac", "maxUnseenFrac" -> "0.5"), ctx)
+      .count() shouldBe 2L
+    // config contradictions fail with guidance
+    (the[ConfigException] thrownBy LangClassifyTransform(docs,
+      t("lang_classify", "textColumn" -> "text", "modelView" -> "lm_drift",
+        "maxUnseenFrac" -> "0.5"), ctx))
+      .getMessage should include ("unseenColumn")
+    (the[ConfigException] thrownBy LangClassifyTransform(docs,
+      t("lang_classify", "textColumn" -> "text", "modelView" -> "lm_drift",
+        "unseenColumn" -> "unseen", "maxUnseenFrac" -> "1.5"), ctx))
+      .getMessage should include ("[0, 1]")
+    (the[ConfigException] thrownBy LangClassifyTransform(
+      docs.withColumn("UNSEEN", lit(1)),
+      t("lang_classify", "textColumn" -> "text", "modelView" -> "lm_drift",
+        "unseenColumn" -> "unseen"), ctx))
+      .getMessage should include ("already exists")
+    // self-mode chargram_nll has no store to drift from
+    (the[ConfigException] thrownBy graft.runtime.Registries.transforms()
+      .get("chargram_nll")
+      .apply(docs, t("chargram_nll", "idColumn" -> "doc_id",
+        "textColumn" -> "text", "unseenColumn" -> "u"), ctx))
+      .getMessage should include ("only applies with modelView")
+  }
+
   test("train-time loud failures: null/blank labels, empty gram table, output collisions") {
     // null label: fails in-plan (raise_error rides the one training
     // pass), surfaced through Spark's execution exception chain
