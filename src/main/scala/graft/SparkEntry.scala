@@ -1464,6 +1464,37 @@ object SparkEntry {
             v => floor(v.cast("double") * 10000).cast("long").cast("string")),
             ",").as("luma"))
     }),
+    // REAL audio decode, golden-real oracle (the q31 discipline for the
+    // audio modality): each doc gets a deterministic synthetic PCM16 WAV
+    // (rate/channels/length and every sample derived from doc_id alone),
+    // the chain WAV-encodes → javax.sound-decodes → frame-samples, and
+    // the fixture generator (tools/gen_golden_q153.py) computes every
+    // expected value straight from the sample formula WITHOUT any audio
+    // library — the round-trip only matches if the decode genuinely
+    // parses the RIFF container and reads PCM samples
+    "q153_multimodal_audio" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val wav = udf((id: Long) => graft.multimodal.Multimodal.syntheticWavPcm16(
+        id, 8000 + (id % 3).toInt * 2000, 1 + (id % 2).toInt,
+        800 + (id * 13 % 1600).toInt))
+      val media = graft.multimodal.Multimodal.asMediaFrame(
+        tab(s, dir, "documents").where("doc_id < 100")
+          .select(col("doc_id"), wav(col("doc_id")).as("bytes"),
+            concat(lit("mem://wav/"), col("doc_id")).as("uri")),
+        "doc_id", "bytes", "audio", "uri")
+      val frames = graft.multimodal.Multimodal.sampleFrames(media, everyMs = 50)
+      graft.multimodal.Multimodal.extractFeatures(media)
+        .join(frames.groupBy("media_id").count()
+          .withColumnRenamed("count", "n_frames"), Seq("media_id"))
+        .select(col("media_id"),
+          col("width").as("sample_rate"), col("height").as("channels"),
+          col("duration_ms"), col("n_frames"),
+          // 16-bin mean-|amplitude| envelope, integer-scaled like q31's
+          // luma grid (floor ×1e6 — envelope values are ≤ 2048/32768)
+          array_join(transform(col("feature"),
+            v => floor(v.cast("double") * 1000000).cast("long").cast("string")),
+            ",").as("envelope"))
+    }),
 
     // ---- reshape: pivot / unpivot / set ops ----
     // explicit pivot values → single scan, one shuffle, schema known
@@ -2673,6 +2704,21 @@ object SparkEntry {
                 g.r_width, g.r_height, g.n_frames, g.luma
          FROM documents d
          JOIN read_parquet('/root/repo/src/test/resources/golden/q31_multimodal.parquet') g
+           ON g.doc_id = d.doc_id
+         WHERE d.doc_id < 100""",
+    // the audio decode is REAL (javax.sound.sampled over PCM16 WAVs the
+    // query synthesizes from doc_id alone): the oracle joins a committed
+    // fixture of rate/channels/duration + 16-bin |amplitude| envelopes
+    // recomputed by an INDEPENDENT Python reimplementation of the same
+    // sample formula (tools/gen_golden_q153.py, no audio library) — it
+    // matches only if the Spark side truly parses the RIFF container and
+    // reads PCM samples. Keyed on doc_id only (q31's reasoning: payloads
+    // derive from the id, never from text, so text drift cannot stale it)
+    "q153_multimodal_audio" ->
+      """SELECT d.doc_id AS media_id, g.sample_rate, g.channels,
+                g.duration_ms, g.n_frames, g.envelope
+         FROM documents d
+         JOIN read_parquet('/root/repo/src/test/resources/golden/q153_multimodal_audio.parquet') g
            ON g.doc_id = d.doc_id
          WHERE d.doc_id < 100""",
     // q42's shingle semantics, compared as SET FINGERPRINTS (sorted

@@ -14,14 +14,18 @@ import org.apache.spark.sql.types._
  * IMAGE decode/resize are REAL (JDK-only `javax.imageio` — PNG/JPEG/GIF/
  * BMP, no external codecs needed): [[ImageIODecoder]] returns true pixel
  * dimensions plus a 4×4 downsampled mean-luma feature grid, and
- * [[ImageIOResizer]] rescales and re-encodes losslessly as PNG. A payload
- * ImageIO cannot parse yields the explicit (-1, -1) sentinel rather than
- * fake dimensions. Audio/video byte→sample decode remains the documented
- * STUB seam ([[StubDecoder]] — no JDK codec exists): deterministic fake
- * dimensions/features from a payload hash, so the Spark-side contract —
- * schema, batch iteration shape, partition sizing, null handling — stays
- * testable; swapping in a JNI/FFmpeg decoder changes only the function
- * body marked STUB.
+ * [[ImageIOResizer]] rescales and re-encodes losslessly as PNG. AUDIO
+ * decode is REAL too (JDK-only `javax.sound.sampled` — WAV/AIFF/AU
+ * PCM, no external codecs needed): [[WavPcmDecoder]] returns the true
+ * sample rate / channel count / duration plus a 16-bin mean-absolute-
+ * amplitude envelope over the PCM sample stream. A payload the JDK
+ * cannot parse yields the explicit (-1, -1) sentinel rather than fake
+ * dimensions. VIDEO byte→sample decode remains the one documented STUB
+ * seam ([[StubDecoder]] — the JDK ships no video codec): deterministic
+ * fake dimensions/features from a payload hash, so the Spark-side
+ * contract — schema, batch iteration shape, partition sizing, null
+ * handling — stays testable; swapping in a JNI/FFmpeg decoder changes
+ * only the function body marked STUB.
  */
 object Multimodal {
 
@@ -96,11 +100,13 @@ object Multimodal {
     * independently computable by the golden-fixture generator). Images
     * have duration 0. An IMAGE payload ImageIO cannot parse returns the
     * explicit `(-1, -1, 0, empty)` sentinel — never fake dimensions.
-    * Non-image modalities delegate to [[StubDecoder]] (the remaining
-    * documented stub seam: the JDK ships no audio/video codec). */
+    * Audio delegates to the REAL [[WavPcmDecoder]]; video to
+    * [[StubDecoder]] (the remaining documented stub seam: the JDK ships
+    * no video codec). */
   object ImageIODecoder extends MediaDecoder {
     private val Grid = 4
     def decode(modality: String, content: Array[Byte]): (Int, Int, Long, Array[Float]) = {
+      if (modality == "audio") return WavPcmDecoder.decode(modality, content)
       if (modality != "image") return StubDecoder.decode(modality, content)
       val img =
         if (content.isEmpty) null
@@ -140,6 +146,117 @@ object Multimodal {
       }
       (w, h, 0L, feat)
     }
+  }
+
+  /** REAL audio decode via JDK `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, PCM payloads — no external codec needed): reports
+    * `width` = sample rate (Hz), `height` = channel count,
+    * `duration_ms` = frames·1000/rate (floor — integer division on both
+    * the decode and fixture sides), and a 16-bin mean-absolute-amplitude
+    * envelope as the feature vector: bin b covers sample frames
+    * `[b·F/16, (b+1)·F/16)` (the image grid's block bounds, channels
+    * pooled within a frame), value = (Σ|sample| / count) / 32768 — the
+    * int16 full scale, so 0.0 is silence and 1.0 a square wave at full
+    * amplitude. Integer-valued double sums are exact (≤ 2^53), so the
+    * value is bit-identical to the golden generator's integer-sum
+    * arithmetic (the [[ImageIODecoder]] float-parity discipline).
+    * Only PCM_SIGNED 16-bit payloads are scored — anything the JDK
+    * cannot parse (or a non-16-bit/unsigned encoding) yields the
+    * explicit `(-1, -1, 0, empty)` sentinel, never fake dimensions.
+    * Non-audio modalities delegate to [[ImageIODecoder]]'s routing. */
+  object WavPcmDecoder extends MediaDecoder {
+    private val Bins = 16
+    def decode(modality: String, content: Array[Byte]): (Int, Int, Long, Array[Float]) = {
+      if (modality != "audio") return ImageIODecoder.decode(modality, content)
+      if (content.isEmpty) return (-1, -1, 0L, Array.empty[Float])
+      val parsed =
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(content))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                || fmt.getSampleSizeInBits != 16) null
+            else {
+              val bytes = in.readAllBytes()
+              Some((fmt.getSampleRate.toInt, fmt.getChannels,
+                fmt.isBigEndian, bytes))
+            }
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => null }
+      if (parsed == null || parsed.isEmpty) return (-1, -1, 0L, Array.empty[Float])
+      val (rate, channels, bigEndian, bytes) = parsed.get
+      val frameBytes = channels * 2
+      val frames = bytes.length / frameBytes
+      if (rate <= 0 || channels <= 0 || frames == 0)
+        return (-1, -1, 0L, Array.empty[Float])
+      val durMs = frames.toLong * 1000L / rate
+      def sample(frame: Int, ch: Int): Int = {
+        val i = (frame * channels + ch) * 2
+        if (bigEndian) (bytes(i) << 8) | (bytes(i + 1) & 0xFF)
+        else (bytes(i + 1) << 8) | (bytes(i) & 0xFF)
+      }
+      val feat = new Array[Float](Bins)
+      var b = 0
+      while (b < Bins) {
+        val f0 = b * frames / Bins
+        val f1 = math.min(frames, math.max(f0 + 1, (b + 1) * frames / Bins))
+        var sum = 0.0; var n = 0L
+        var f = f0
+        while (f < f1) {
+          var c = 0
+          while (c < channels) {
+            sum += math.abs(sample(f, c)); c += 1; n += 1
+          }
+          f += 1
+        }
+        feat(b) = if (n == 0) 0f else ((sum / n) / 32768.0).toFloat
+        b += 1
+      }
+      (rate, channels, durMs, feat)
+    }
+  }
+
+  /** Deterministic synthetic 16-bit PCM WAV — the audio counterpart of
+    * [[syntheticImagePng]], and like it the scaffolding BOTH the verify
+    * query and its INDEPENDENT golden generator derive from: sample
+    * (frame i, channel c) = ((seed·31 + i·7 + c·11) mod 4096) − 2048.
+    * The container is hand-assembled RIFF/WAVE/fmt/data (this method
+    * must not itself go through `javax.sound.sampled`, or the decode
+    * test would only prove the JDK roundtrips its own writer); the
+    * fixture side (tools/gen_golden_q153.py) computes duration and the
+    * 16-bin envelope straight from the sample formula with no audio
+    * library, so the decode only matches if [[WavPcmDecoder]] genuinely
+    * parses the container and reads PCM samples. */
+  def syntheticWavPcm16(seed: Long, sampleRate: Int, channels: Int,
+                        nFrames: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames > 0,
+      s"syntheticWavPcm16: positive rate/channels/frames required, got " +
+        s"$sampleRate/$channels/$nFrames")
+    val dataLen = nFrames * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = java.lang.Math.floorMod(seed * 31 + i * 7 + c * 11, 4096L).toInt - 2048
+        buf.putShort(v.toShort)
+        c += 1
+      }
+      i += 1
+    }
+    buf.array()
   }
 
   /**

@@ -74,6 +74,61 @@ class MultimodalSpec extends SparkTestBase {
     fr.head.getAs[Array[Byte]]("frame") shouldBe flat
   }
 
+  test("REAL audio decode: rate/channels/duration and 16-bin amplitude " +
+    "envelope from an actual PCM16 WAV; undecodable payloads get the -1 sentinel") {
+    // a constant-amplitude mono wave: every envelope bin is exactly
+    // |v|/32768 — build the PCM by hand, not via the synthetic generator,
+    // so the expected value needs no formula replication
+    val nFrames = 1600
+    val buf = java.nio.ByteBuffer.allocate(44 + nFrames * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + nFrames * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(16000).putInt(32000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(nFrames * 2)
+    (0 until nFrames).foreach(i => buf.putShort(if (i % 2 == 0) 1024 else -1024))
+    val constant = buf.array()
+    val synthetic = Multimodal.syntheticWavPcm16(5L, 10000, 2, 900)
+    val frame = Multimodal.asMediaFrame(
+      Seq((1L, constant, "mem://const"), (2L, synthetic, "mem://synth"),
+          (3L, "not a wav".getBytes("UTF-8"), "mem://junk"))
+        .toDF("id", "bytes", "uri"),
+      "id", "bytes", "audio", "uri")
+    val rows = Multimodal.extractFeatures(frame).orderBy("media_id").collect()
+    rows(0).getAs[Int]("width") shouldBe 16000       // sample rate
+    rows(0).getAs[Int]("height") shouldBe 1          // channels
+    rows(0).getAs[Long]("duration_ms") shouldBe 100L // 1600/16000 s
+    rows(0).getAs[Seq[Float]]("feature") shouldBe
+      Seq.fill(16)((1024.0 / 32768.0).toFloat)
+    // the synthetic generator roundtrips its declared geometry
+    rows(1).getAs[Int]("width") shouldBe 10000
+    rows(1).getAs[Int]("height") shouldBe 2
+    rows(1).getAs[Long]("duration_ms") shouldBe 90L
+    // spot-check envelope bin 0 against the sample formula: frames
+    // [0, 56), channels pooled, |((5*31 + 7i + 11c) % 4096) - 2048|
+    val expect0 = {
+      val vals = for (i <- 0 until (900 / 16); c <- 0 until 2)
+        yield math.abs(java.lang.Math.floorMod(5L * 31 + i * 7 + c * 11, 4096L).toInt - 2048)
+      ((vals.sum.toDouble / vals.size) / 32768.0).toFloat
+    }
+    rows(1).getAs[Seq[Float]]("feature").head shouldBe expect0
+    // junk bytes under the audio modality: loud sentinel, not fake dims
+    rows(2).getAs[Int]("width") shouldBe -1
+    rows(2).getAs[Seq[Float]]("feature") shouldBe empty
+    // audio frame sampling: real duration drives the 50ms grid
+    Multimodal.sampleFrames(frame.where("media_id = 1"), everyMs = 50)
+      .count() shouldBe 3L // 0, 50, 100 ms
+    // a non-PCM16 encoding (8-bit) is refused with the sentinel, never
+    // misread: flip bits-per-sample in a copy of the constant wave
+    val eightBit = constant.clone()
+    eightBit(34) = 8 // fmt chunk bitsPerSample LE low byte
+    val r8 = Multimodal.extractFeatures(Multimodal.asMediaFrame(
+        Seq((9L, eightBit, "mem://8bit")).toDF("id", "bytes", "uri"),
+        "id", "bytes", "audio", "uri")).collect().head
+    r8.getAs[Int]("width") shouldBe -1
+  }
+
   test("resize keeps the media schema, re-encodes payload, updates metadata") {
     val resized = Multimodal.resize(media, 128, 96)
     resized.schema.simpleString shouldBe Multimodal.mediaSchema.simpleString
