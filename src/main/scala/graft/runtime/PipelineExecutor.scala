@@ -164,6 +164,12 @@ final class PipelineExecutor(
       // parsed before the write (side-effect-free failure), above.
       def observedRows(obs: Observation): Option[Long] = {
         import org.apache.spark.sql.GraftBridge.observationOrEmpty
+        // 0 = metrics poll DISABLED (the infinitely-slow-listener limit):
+        // even the first getRowOrEmpty call waits ~100 ms, so a literal
+        // zero deadline must mean "don't wait at all", not "wait once" —
+        // extracted degrades to the honest -1 and loaded to the write
+        // count, deterministically
+        if (obsTimeoutMs == 0L) return None
         val deadline = System.nanoTime() + obsTimeoutMs * 1000000L
         var m = observationOrEmpty(obs)
         while (m.isEmpty && System.nanoTime() < deadline) m = observationOrEmpty(obs)

@@ -51,6 +51,44 @@ class PipelineExecutorSpec extends SparkTestBase {
     m.recordsLoaded shouldBe vocabRows // the write-count fallback
   }
 
+  test("observation deadline knob: a listener slower than the window reports " +
+    "-1 (the old fixed-2s failure mode), the configurable deadline saves it, " +
+    "and a malformed knob fails BEFORE the write") {
+    val in = tmpDir("obs-in");
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("v", "s")
+      .write.mode("overwrite").parquet(in)
+    def cfg(out: String) = PipelineConfig(
+      pipelineId = "obs-knob",
+      source = SourceConfig("file", Map("path" -> in)),
+      sink = SinkConfig("file", Map("path" -> out), WriteMode.Overwrite))
+    // deadline 0 ms stands in for ANY listener lag beyond the window —
+    // exactly what a fixed 2 s poll did to a lagging driver: the pipeline
+    // SUCCEEDS (metrics must never fail a committed write) but extracted
+    // degrades to the honest -1 sentinel
+    spark.conf.set("spark.graft.observationTimeoutMs", "0")
+    try {
+      val starved = executor.execute(cfg(tmpDir("obs-out-starved")))
+      starved.status shouldBe "SUCCESS"
+      starved.recordsExtracted shouldBe -1L
+      starved.recordsLoaded shouldBe 3L // write-count fallback, not -1
+    } finally spark.conf.unset("spark.graft.observationTimeoutMs")
+    // the default window is enough for a local listener: true count
+    val healthy = executor.execute(cfg(tmpDir("obs-out-healthy")))
+    healthy.status shouldBe "SUCCESS"
+    healthy.recordsExtracted shouldBe 3L
+    // a malformed knob fails while the run is still side-effect-free —
+    // failing after sink.write() would report FAILURE for a committed
+    // write and an orchestrated retry would then double-write appends
+    val neverWritten = tmpDir("obs-out-never") + "-sub"
+    spark.conf.set("spark.graft.observationTimeoutMs", "soon")
+    try {
+      val bad = executor.execute(cfg(neverWritten))
+      bad.status shouldBe "FAILED"
+      bad.error.getOrElse("") should include ("observationTimeoutMs")
+      new java.io.File(neverWritten).exists() shouldBe false
+    } finally spark.conf.unset("spark.graft.observationTimeoutMs")
+  }
+
   test("scenario-1 shape: parquet → filter → aggregation → parquet, metrics from one action") {
     val out = tmpDir("exec-out")
     val yaml =

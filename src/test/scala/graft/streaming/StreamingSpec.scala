@@ -413,6 +413,65 @@ class StreamingSpec extends SparkTestBase {
       .as[(Long, String, Double)].collect() shouldBe after1
   }
 
+  test("same-checkpoint restart: resumed offsets skip consumed epochs, new " +
+    "input flows, the upsert table converges") {
+    // the OTHER half of the recovery story (the test above proves a fresh-
+    // checkpoint full replay converges): stop a micro-batch pipeline, add
+    // new input, restart with the SAME checkpointLocation — old epochs
+    // must NOT be reprocessed (batch ids resume past run 1's and the
+    // restarted run reads ONLY the new file's rows) and the keyed sink
+    // must end correct (update applied, new key added, old keys intact)
+    val db = new graft.testkit.FakeJdbcDb(spark, tmpDir("restart-db"))
+    Seq((0L, "seed", 0.0)).toDF("event_id", "metric", "v")
+      .write.parquet(db.tablePath("metrics"))
+    val in = tmpDir("restart-in")
+    Seq((1L, "cpu", 1.0), (2L, "cpu", 2.0), (3L, "mem", 8.0))
+      .toDF("event_id", "metric", "v")
+      .write.mode("overwrite").parquet(in + "/batch1")
+    val ckpt = tmpDir("restart-ckpt") // ONE checkpoint for both runs
+    val sinks = graft.runtime.Registries.sinks()
+    sinks.register("postgres", db.sink)
+    val streamingExec = new StreamingExecutor(sinks = sinks)
+    def cfg = PipelineConfig(
+      pipelineId = "stream-restart",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("file", Map(
+        // glob over epoch subdirs so run 2 discovers files added later
+        "path" -> (in + "/*"), "format" -> "parquet",
+        "schema" -> "event_id BIGINT, metric STRING, v DOUBLE")),
+      sink = SinkConfig("postgres",
+        Map("url" -> "jdbc:postgresql://h/db", "dbtable" -> "metrics",
+          "primaryKey" -> "event_id"),
+        WriteMode.Upsert),
+      streaming = Some(StreamingConfig(checkpointLocation = Some(ckpt))))
+
+    val q1 = streamingExec.start(cfg)
+    q1.awaitTermination(60000)
+    val run1Batches = q1.recentProgress.map(_.batchId)
+    val run1Rows = q1.recentProgress.map(_.numInputRows).sum
+    run1Rows shouldBe 3L
+    db.read("metrics").count() shouldBe 4L // seed + 3
+
+    // between runs: one updated key (3 gets a new v) and one new key (4)
+    Seq((3L, "mem", 9.5), (4L, "gpu", 4.0))
+      .toDF("event_id", "metric", "v")
+      .write.mode("overwrite").parquet(in + "/batch2")
+
+    val q2 = streamingExec.start(cfg)
+    q2.awaitTermination(60000)
+    // offsets resumed: every restarted batch id is beyond run 1's, and
+    // the run ingests ONLY the new file's rows — nothing re-read
+    val run2Progress = q2.recentProgress.filter(_.numInputRows > 0)
+    run2Progress should not be empty
+    all(run2Progress.map(_.batchId)) should be > run1Batches.max
+    q2.recentProgress.map(_.numInputRows).sum shouldBe 2L
+    // the table ends correct: update applied, insert added, rest intact
+    db.read("metrics").orderBy("event_id")
+      .as[(Long, String, Double)].collect().toSeq shouldBe Seq(
+        (0L, "seed", 0.0), (1L, "cpu", 1.0), (2L, "cpu", 2.0),
+        (3L, "mem", 9.5), (4L, "gpu", 4.0))
+  }
+
   test("flatMapGroupsWithState sessionization: sessions emit on gap or watermark timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
