@@ -1495,6 +1495,75 @@ object SparkEntry {
             v => floor(v.cast("double") * 1000000).cast("long").cast("string")),
             ",").as("envelope"))
     }),
+    // the published web-curation recipe COMPOSED as ONE YAML pipeline
+    // (quickstart-26 ships the same chain): html wrap → html_strip →
+    // normalize_text → text_signals gate → Gopher quality_rules →
+    // cross-doc line dedup → drop fully-boilerplate docs → exact near-dup
+    // (threshold 1.0) → per-source token_cap → pack_sequences. Every
+    // stage is individually oracled elsewhere (q152/q85/q23/q91/q81/
+    // q108/q92/q110); this entry oracles the COMPOSITION — a drift in any
+    // stage, in stage ORDER, or in how the executor chains them breaks
+    // the match, not just a drift inside one operator.
+    "q154_curation_pipeline" -> ((s, dir) => {
+      val yaml =
+        s"""pipelineId: q154-curation-pipeline
+           |source:
+           |  type: file
+           |  options: {path: $dir/documents.parquet, format: parquet}
+           |transformations:
+           |  - name: nonnull
+           |    type: filter
+           |    options: {condition: "text IS NOT NULL"}
+           |  - name: wrap
+           |    type: map
+           |    options:
+           |      expressions: "text:concat('<!DOCTYPE html><html><head><style>p{color:red}</style><script>var x=1<2;</script></head><body><!-- ', cast(doc_id as string), ' --><h1>Doc &amp; &lt;title&gt;</h1><p>', text, '</p><ul><li>alpha</li><li>beta</li></ul></body></html>')"
+           |  - name: strip
+           |    type: html_strip
+           |    options: {columns: text, collapseWhitespace: "true", trim: "true"}
+           |  - name: nfc
+           |    type: normalize_text
+           |    options: {columns: text, form: NFC}
+           |  - name: signals
+           |    type: text_signals
+           |    options: {textColumn: text, signals: "tokens"}
+           |  - name: gate
+           |    type: filter
+           |    options: {condition: "n_tokens >= 18"}
+           |  - name: gopher
+           |    type: quality_rules
+           |    options: {textColumn: text, mode: filter, minWords: "12", minMeanWordLength: "2.5", maxMeanWordLength: "12.0", minAlphaFraction: "0.55", minStopwords: "1"}
+           |  - name: boilerplate
+           |    type: dedup_lines
+           |    options: {idColumn: doc_id, textColumn: text}
+           |  - name: drop-emptied
+           |    type: filter
+           |    options: {condition: "length(text) > 0"}
+           |  - name: neardup
+           |    type: dedup_minhash
+           |    options: {idColumn: doc_id, textColumn: text, threshold: "1.0"}
+           |  - name: project
+           |    type: map
+           |    options: {expressions: "text:text", project: "true", keep: "doc_id,source"}
+           |  - name: reweigh
+           |    type: text_signals
+           |    options: {textColumn: text, signals: "tokens"}
+           |  - name: caps
+           |    type: token_cap
+           |    options: {idColumn: doc_id, weightColumn: n_tokens, groupBy: source, budget: "400"}
+           |  - name: pack
+           |    type: pack_sequences
+           |    options: {idColumn: doc_id, weightColumn: n_tokens, seqLen: "256"}
+           |sink:
+           |  type: file
+           |  writeMode: overwrite
+           |  options: {path: /tmp/graft-unused}
+           |""".stripMargin
+      val cfg = new graft.config.YamlConfigParser().parse(yaml)
+      new graft.runtime.PipelineExecutor().compose(cfg)(s)
+        .select("doc_id", "source", "seq_id", "tok_start", "tok_end",
+          "pos_in_seq")
+    }),
 
     // ---- reshape: pivot / unpivot / set ops ----
     // explicit pivot values → single scan, one shuffle, schema known
@@ -2527,7 +2596,7 @@ object SparkEntry {
                        ELSE (len - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
                             / len END AS punct_r,
                   CASE WHEN len(toks) = 0 THEN 0.0
-                       ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+                       ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE
                             / len(toks) END AS mean_tok
            FROM t
          )
@@ -2596,7 +2665,7 @@ object SparkEntry {
                        ELSE (len - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
                             / len END AS punct_r,
                   CASE WHEN len(toks) = 0 THEN 0.0
-                       ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+                       ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE
                             / len(toks) END AS mean_tok
            FROM t
          )
@@ -2721,6 +2790,147 @@ object SparkEntry {
          JOIN read_parquet('/root/repo/src/test/resources/golden/q153_multimodal_audio.parquet') g
            ON g.doc_id = d.doc_id
          WHERE d.doc_id < 100""",
+    // the COMPOSED curation pipeline: every stage's proven oracle
+    // fragment chained as CTEs in the same order the YAML chains the
+    // transforms — q152's strip chain, q85's nfc, q23's token count
+    // (restated as \S+ because post-strip text carries real newlines and
+    // tokenCount strips the full whitespace set, not just spaces), q91's
+    // Gopher rules at this pipeline's thresholds, q81's first-occurrence
+    // line election on REAL \n lines, the shingle-fingerprint template's
+    // threshold-1.0 statement, q92's seeded cap window, q110's packing
+    // arithmetic. Stage order is part of the statement.
+    "q154_curation_pipeline" ->
+      ("""WITH w AS (
+           SELECT doc_id, source,
+             '<!DOCTYPE html><html><head><style>p{color:red}</style>' ||
+             '<script>var x=1<2;</script></head><body><!-- ' ||
+             doc_id::VARCHAR || ' --><h1>Doc &amp; &lt;title&gt;</h1><p>' ||
+             text ||
+             '</p><ul><li>alpha</li><li>beta</li></ul></body></html>' AS t
+           FROM documents WHERE text IS NOT NULL
+         ), st AS (
+           SELECT doc_id, source,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(t,
+               '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g'),
+               '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g'),
+               '(?s)<!--.*?-->', '', 'g'),
+               '(?i)<!DOCTYPE[^>]*>', '', 'g'),
+               '(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table)\b[^>]*/?>',
+                 chr(10), 'g'),
+               '(?s)</?[A-Za-z][^>]*>', '', 'g') AS t
+           FROM w
+         ), en AS (
+           SELECT doc_id, source,
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+           FROM st
+         ), cl AS (
+           SELECT doc_id, source,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+               '[ \t\x0B\f\r]+', ' ', 'g'),
+               ' ?\n ?', chr(10), 'g'),
+               '\n{3,}', chr(10) || chr(10), 'g'),
+               '^\s+|\s+$', '', 'g') AS t
+           FROM en
+         ), nrm AS (
+           SELECT doc_id, source, nfc_normalize(t) AS t FROM cl
+         ), gated AS (
+           SELECT * FROM nrm
+           WHERE len(regexp_extract_all(t, '\S+')) >= 18
+         ), gsig AS (
+           SELECT doc_id, source, t,
+                  regexp_split_to_array(lower(trim(t)), '\s+') AS toks,
+                  string_split(t, chr(10)) AS ls
+           FROM gated
+         ), gq AS (
+           SELECT doc_id, source, t,
+                  CASE WHEN length(trim(t)) = 0 THEN 0 ELSE len(toks) END AS n_words,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE list_sum(list_transform(toks, x -> length(x)))
+                            * 1.0 / len(toks) END AS mean_len,
+                  len(regexp_extract_all(t, '#|\.\.\.|…')) AS n_sym,
+                  len(ls) AS n_lines,
+                  len(list_filter(ls,
+                      l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
+                  len(list_filter(ls,
+                      l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS n_ellip,
+                  len(list_filter(toks,
+                      x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                  len(list_intersect(toks, ['the','be','to','of','and',
+                                            'that','have','with'])) AS stop_hits
+           FROM gsig
+         ), quality AS (
+           SELECT doc_id, source, t FROM gq
+           WHERE NOT (t IS NULL OR length(trim(t)) = 0)
+             AND NOT (n_words < 12 OR n_words > 100000)
+             AND NOT (mean_len < 2.5 OR mean_len > 12.0)
+             AND NOT ((CASE WHEN n_words = 0 THEN 0.0
+                       ELSE n_sym * 1.0 / n_words END) > 0.1)
+             AND NOT ((CASE WHEN n_lines = 0 THEN 0.0
+                       ELSE n_bullet * 1.0 / n_lines END) > 0.9)
+             AND NOT ((CASE WHEN n_lines = 0 THEN 0.0
+                       ELSE n_ellip * 1.0 / n_lines END) > 0.3)
+             AND NOT ((CASE WHEN n_words = 0 THEN 0.0
+                       ELSE n_alpha * 1.0 / n_words END) < 0.55)
+             AND NOT (stop_hits < 1)
+         ), lined AS (
+           SELECT doc_id, source, unnest(generate_series(1, len(ls))) AS pos, ls
+           FROM (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM quality)
+         ), lx AS (
+           SELECT doc_id, source, pos, ls[pos] AS ln FROM lined
+         ), surv AS (
+           SELECT ln, min(struct_pack(id := doc_id, p := pos)) AS first
+           FROM lx WHERE length(ln) >= 1 GROUP BY ln
+         ), lkept AS (
+           SELECT x.doc_id, x.source, x.pos, x.ln
+           FROM lx x LEFT JOIN surv sv ON sv.ln = x.ln AND length(x.ln) >= 1
+           WHERE sv.ln IS NULL OR (sv.first.id = x.doc_id AND sv.first.p = x.pos)
+         ), rebuilt AS (
+           SELECT q.doc_id, q.source, coalesce(k.t2, '') AS t
+           FROM quality q LEFT JOIN (
+             SELECT doc_id, array_to_string(list(ln ORDER BY pos), chr(10)) AS t2
+             FROM lkept GROUP BY doc_id) k USING (doc_id)
+         ), nonempty AS (
+           SELECT doc_id, source, t AS text FROM rebuilt WHERE length(t) > 0
+         ), """ +
+        shingleFpCtes("nonempty", "doc_id, source") +
+        """, deduped AS (
+           SELECT doc_id, source, text FROM (
+             SELECT doc_id, source, text,
+                    min(doc_id) OVER (PARTITION BY fp) AS keeper
+             FROM (SELECT f.doc_id, f.source, f.fp, n.text
+                   FROM fp f JOIN nonempty n USING (doc_id))
+           ) WHERE doc_id = keeper
+         ), weighted AS (
+           SELECT doc_id, source,
+                  len(regexp_extract_all(text, '\S+')) AS w
+           FROM deduped
+         ), capped AS (
+           SELECT doc_id, source, w FROM (
+             SELECT doc_id, source, w,
+                    coalesce(sum(w) OVER (PARTITION BY source
+                      ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             FROM weighted
+           ) WHERE cb < 400
+         ), pc AS (
+           SELECT doc_id, source, w,
+                  CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cb
+           FROM capped
+         ), ps AS (
+           SELECT doc_id, source, w, cb,
+                  unnest(range(cb // 256, (cb + w - 1) // 256 + 1)) AS seq_id
+           FROM pc WHERE w > 0
+         )
+         SELECT doc_id, source, CAST(seq_id AS BIGINT) AS seq_id,
+                CAST(greatest(0, seq_id * 256 - cb) AS BIGINT) AS tok_start,
+                CAST(least(w, (seq_id + 1) * 256 - cb) AS BIGINT) AS tok_end,
+                CAST(greatest(0, cb - seq_id * 256) AS BIGINT) AS pos_in_seq
+         FROM ps"""),
     // q42's shingle semantics, compared as SET FINGERPRINTS (sorted
     // distinct shingles joined on chr(30) — a byte no shingle can contain):
     // at threshold 1.0 the minhash path drops exactly the increment docs

@@ -538,6 +538,40 @@ class ExamplesSpec extends SparkTestBase {
     packedText shouldBe corpusText
   }
 
+  test("quickstart-26: the composed curation pipeline — every stage " +
+    "participates, the output is packed spans, and the composed plan is " +
+    "PlanLint error-clean") {
+    import org.apache.spark.sql.functions._
+    val cfg = parser.parseFile("examples/quickstart-26-curation-pipeline.yaml")
+    // the COMPOSED plan carries no lint errors (no cartesian product, no
+    // global window) — the composition interacts cleanly, not just the
+    // stages in isolation
+    val composed = executor.compose(cfg)(spark)
+    val findings = graft.plans.PlanLint.audit(composed)
+    withClue(findings.mkString("; ")) {
+      findings.filter(_.severity == "error") shouldBe empty
+    }
+    run("quickstart-26-curation-pipeline.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-26-out")
+    out.columns should contain allOf ("doc_id", "source", "seq_id",
+      "tok_start", "tok_end", "pos_in_seq")
+    val docs = out.select("doc_id").distinct().count()
+    docs should be > 0L
+    // the per-source cap binds: far fewer docs than the corpus
+    docs should be < spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    // packing arithmetic: every span fits the 256-token grid
+    out.where("tok_end <= tok_start OR pos_in_seq >= 256 OR tok_start < 0")
+      .count() shouldBe 0
+    // every sequence except (possibly) the last is exactly full: the
+    // spans landing in one seq_id cover 256 positions
+    val full = out.groupBy("seq_id")
+      .agg(sum(col("tok_end") - col("tok_start")).as("covered"))
+    val maxSeq = full.agg(max("seq_id")).head().getLong(0)
+    full.where(col("seq_id") < maxSeq && col("covered") =!= 256)
+      .count() shouldBe 0
+  }
+
   test("every example YAML is exercised by this suite — a quickstart that " +
     "no test runs is documentation that can silently rot") {
     val yamls = new java.io.File("examples").listFiles()
