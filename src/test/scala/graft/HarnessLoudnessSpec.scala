@@ -154,4 +154,35 @@ class HarnessLoudnessSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$out/bench.json")).trim
     onDisk shouldBe big
   }
+
+  test("BenchLongDoc.derive: factor-k corpus is deterministic, k lines per " +
+    "doc, boilerplate every 4th slot, ~k× token mass at fixed row count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "s1", "en", "alpha beta gamma"),
+                   (2L, "s2", "de", "delta epsilon"),
+                   (3L, "s3", "fr", null: String))
+      .toDF("doc_id", "source", "lang", "text")
+    val d = BenchLongDoc.derive(docs, 8)
+    d.count() shouldBe 2 // null text excluded
+    val row = d.where("doc_id = 1").select("text").as[String].head()
+    val lines = row.split("\n", -1)
+    lines.length shouldBe 8
+    lines(0) shouldBe "alpha beta gamma r0"
+    lines(3) should include ("shared boilerplate")
+    lines(7) should include ("shared boilerplate")
+    lines(6) shouldBe "alpha beta gamma r6"
+    // deterministic: same bytes on a second derivation
+    BenchLongDoc.derive(docs, 8).where("doc_id = 1")
+      .select("text").as[String].head() shouldBe row
+    // mass grows with k while rows stay fixed (the exact multiple depends
+    // on text length vs the fixed boilerplate line, so only the lower
+    // bound is structural)
+    val m1 = BenchLongDoc.derive(docs, 1).agg(sum(org.apache.spark.sql.functions.length(col("text"))))
+      .head().getLong(0)
+    val m8 = d.agg(sum(org.apache.spark.sql.functions.length(col("text")))).head().getLong(0)
+    m8 should be > m1 * 4
+    // n_chars is the real length (the pack_sequences weight column)
+    d.where("length(text) <> n_chars").count() shouldBe 0
+  }
 }
