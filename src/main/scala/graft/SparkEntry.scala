@@ -1524,6 +1524,9 @@ object SparkEntry {
            |  - name: nfc
            |    type: normalize_text
            |    options: {columns: text, form: NFC}
+           |  - name: staged
+           |    type: materialize
+           |    options: {}
            |  - name: signals
            |    type: text_signals
            |    options: {textColumn: text, signals: "tokens"}

@@ -49,6 +49,47 @@ object RegisterTransform extends graft.api.Transform {
   }
 }
 
+/**
+ * materialize — a RECOMPUTE BARRIER between pipeline stages: truncates
+ * the frame's lineage via [[graft.api.Checkpointing.checkpoint]] (the
+ * session's `spark.graft.checkpoint` mode — `local` by default,
+ * `reliable` for executor-loss-safe cluster jobs), so everything
+ * upstream evaluates ONCE and everything downstream reads the
+ * materialized rows. Semantically the identity.
+ *
+ * Why a pipeline needs it: Catalyst freely INLINES a projected
+ * expression into every downstream reference — a cleaned-text column
+ * built by an html_strip → normalize_text chain gets its whole
+ * regex/NFC tower re-evaluated inside each later gate's filter (and
+ * pushed into the scan's DataFilters), multiplying the most expensive
+ * per-row work in the pipeline by the number of rules that read it
+ * (measured on the q154 composition: the un-barriered plan re-ran the
+ * strip chain per Gopher rule — 9.5 s where ~3 s is the honest cost).
+ * Place `materialize` right after the expensive text-rewrite stages;
+ * the 100 TB shape is unchanged (one extra write of the already-shuffled
+ * partitioning, no new exchange).
+ *
+ * Options: `eager` (default false — materializes lazily on first use,
+ * so --dry-run / compose stay side-effect-free).
+ */
+object MaterializeTransform extends Transform {
+  val transformType = "materialize"
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    val eager = config.options.get("eager") match {
+      case None => false
+      case Some(v) if v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false") =>
+        v.toBoolean
+      case Some(v) => throw new ConfigException(
+        s"materialize: eager must be true|false, got '$v'")
+    }
+    val unknown = config.options.keySet -- Set("eager")
+    if (unknown.nonEmpty) throw new ConfigException(
+      s"materialize: unknown option(s) ${unknown.mkString(", ")} — only " +
+        "`eager` is accepted")
+    graft.api.Checkpointing.checkpoint(input, eager)
+  }
+}
+
 /** sort — global orderBy. A full range-shuffle; at scale prefer
   * sortWithinPartitions (`global=false`) unless a total order is required. */
 object SortTransform extends Transform {

@@ -45,6 +45,46 @@ class TransformSpec extends SparkTestBase {
       sales.schema) should have size 1
   }
 
+  test("materialize: identity result, upstream expression tower evaluated " +
+    "ONCE (not inlined per downstream reference), guided option errors") {
+    import org.apache.spark.sql.functions._
+    // a BUILT-IN rewrite chain — exactly the class Catalyst freely inlines
+    // into every consumer (it never duplicates UDFs, but regexp chains it
+    // does: the q154 measurement showed the html_strip tower re-run per
+    // Gopher rule and pushed into the scan's DataFilters)
+    // parquet-backed, not a local Seq: ConvertToLocalRelation would fold
+    // the whole query into a LocalTableScan and hide the plan shape
+    val dir = tmpDir("materialize-src")
+    sales.write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir).withColumn("txt",
+      regexp_replace(regexp_replace(col("product"), "w", "W"), "t$", "T"))
+    def consume(df: org.apache.spark.sql.DataFrame) = df
+      .where(org.apache.spark.sql.functions.length(col("txt")) > 1)
+      .select(col("txt"), upper(col("txt")).as("u"))
+    def regexpCount(df: org.apache.spark.sql.DataFrame): Int =
+      "regexp_replace".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // un-barriered: the chain appears multiple times in the physical plan
+    // (inlined into the filter AND each projection reference)
+    regexpCount(consume(base)) should be > 2
+    // barriered: the rewrite happened BEFORE the lineage cut — the
+    // downstream plan carries no regexp at all, and results are identical
+    val staged = MaterializeTransform(base, tc("materialize"), ctx)
+    regexpCount(consume(staged)) shouldBe 0
+    consume(staged).collect().map(_.toSeq).sortBy(_.toString) shouldBe
+      consume(base).collect().map(_.toSeq).sortBy(_.toString)
+    // identity: same rows/schema as the un-barriered frame
+    staged.columns shouldBe base.columns
+    staged.count() shouldBe base.count()
+    // guided errors: bad eager value, unknown options
+    (the[ConfigException] thrownBy MaterializeTransform(base,
+      tc("materialize", "eager" -> "maybe"), ctx))
+      .getMessage should include ("eager")
+    (the[ConfigException] thrownBy MaterializeTransform(base,
+      tc("materialize", "mode" -> "local"), ctx))
+      .getMessage should include ("unknown option")
+  }
+
   test("filter: condition semantics + idempotency + empty input") {
     val df = Seq(("alice", 35, "active"), ("bob", 28, "active"), ("carol", 40, "inactive"))
       .toDF("username", "age", "status")
