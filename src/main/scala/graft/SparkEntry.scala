@@ -1495,6 +1495,52 @@ object SparkEntry {
             v => floor(v.cast("double") * 1000000).cast("long").cast("string")),
             ",").as("envelope"))
     }),
+    // REAL animated-GIF decode, golden-real oracle (the q31/q153
+    // discipline for TIMED image media): each doc gets a deterministic
+    // synthetic animated GIF (dims/frames/delay and every pixel derived
+    // from doc_id alone), the chain GIF-encodes → multi-frame
+    // javax.imageio-decodes → samples the 50 ms frame grid → re-decodes
+    // the MIDDLE sampled frame as a still, and the fixture generator
+    // (tools/gen_golden_q155.py) computes every expected value — duration
+    // from the delay stamps, frame count, frame-0 AND mid-frame luma
+    // grids — straight from the pixel formula with no image library: the
+    // mid-frame grid only matches if frame SELECTION walks real delays
+    "q155_multimodal_gif" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val gif = udf((id: Long) => graft.multimodal.Multimodal.syntheticAnimatedGif(
+        id, 8 + (id % 8).toInt, 8 + (id * 3 % 8).toInt,
+        2 + (id % 3).toInt, 5 + (id % 4).toInt * 5))
+      val media = graft.multimodal.Multimodal.asMediaFrame(
+        tab(s, dir, "documents").where("doc_id < 100")
+          .select(col("doc_id"), gif(col("doc_id")).as("bytes"),
+            concat(lit("mem://gif/"), col("doc_id")).as("uri")),
+        "doc_id", "bytes", "image", "uri")
+      val frames = graft.multimodal.Multimodal.sampleFrames(media, everyMs = 50)
+      val counts = frames.groupBy("media_id").count()
+        .withColumnRenamed("count", "n_frames")
+      // the MIDDLE sampled frame, re-decoded as a standalone still: its
+      // luma grid pins which GIF frame the sampler actually returned
+      val mid = graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.asMediaFrame(
+            frames.join(counts, Seq("media_id"))
+              .where(col("frame_idx") === (col("n_frames") / 2).cast("int"))
+              .select(col("media_id").as("mid_id"), col("frame").as("bytes"),
+                concat(lit("mem://gif-mid/"), col("media_id")).as("uri")),
+            "mid_id", "bytes", "image", "uri"))
+        .select(col("media_id"),
+          array_join(transform(col("feature"),
+            v => floor(v.cast("double") * 10000).cast("long").cast("string")),
+            ",").as("luma_mid"))
+      graft.multimodal.Multimodal.extractFeatures(media)
+        .join(counts, Seq("media_id"))
+        .join(mid, Seq("media_id"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("duration_ms"), col("n_frames"),
+          array_join(transform(col("feature"),
+            v => floor(v.cast("double") * 10000).cast("long").cast("string")),
+            ",").as("luma0"),
+          col("luma_mid"))
+    }),
     // the published web-curation recipe COMPOSED as ONE YAML pipeline
     // (quickstart-26 ships the same chain): html wrap → html_strip →
     // normalize_text → text_signals gate → Gopher quality_rules →
@@ -2791,6 +2837,21 @@ object SparkEntry {
                 g.duration_ms, g.n_frames, g.envelope
          FROM documents d
          JOIN read_parquet('/root/repo/src/test/resources/golden/q153_multimodal_audio.parquet') g
+           ON g.doc_id = d.doc_id
+         WHERE d.doc_id < 100""",
+    // the animated-GIF decode is REAL (multi-frame javax.imageio over
+    // GIFs the query synthesizes from doc_id alone): the oracle joins a
+    // committed fixture of dims/duration/frame-count + frame-0 and
+    // MID-FRAME luma grids recomputed by an INDEPENDENT Python
+    // reimplementation of the pixel formula (tools/gen_golden_q155.py,
+    // no image library) — the mid-frame grid matches only if frame
+    // selection genuinely walks the per-frame delay stamps. Keyed on
+    // doc_id only (q31's reasoning)
+    "q155_multimodal_gif" ->
+      """SELECT d.doc_id AS media_id, g.width, g.height, g.duration_ms,
+                g.n_frames, g.luma0, g.luma_mid
+         FROM documents d
+         JOIN read_parquet('/root/repo/src/test/resources/golden/q155_multimodal_gif.parquet') g
            ON g.doc_id = d.doc_id
          WHERE d.doc_id < 100""",
     // the COMPOSED curation pipeline: every stage's proven oracle

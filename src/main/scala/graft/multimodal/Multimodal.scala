@@ -14,7 +14,10 @@ import org.apache.spark.sql.types._
  * IMAGE decode/resize are REAL (JDK-only `javax.imageio` — PNG/JPEG/GIF/
  * BMP, no external codecs needed): [[ImageIODecoder]] returns true pixel
  * dimensions plus a 4×4 downsampled mean-luma feature grid, and
- * [[ImageIOResizer]] rescales and re-encodes losslessly as PNG. AUDIO
+ * [[ImageIOResizer]] rescales and re-encodes losslessly as PNG. ANIMATED
+ * GIFs are REAL timed media: duration = Σ per-frame GraphicControl
+ * delays, and [[ImageFrameSampler]] samples the actual frame covering a
+ * timestamp (re-encoded as a standalone PNG still). AUDIO
  * decode is REAL too (JDK-only `javax.sound.sampled` — WAV/AIFF/AU
  * PCM, no external codecs needed): [[WavPcmDecoder]] returns the true
  * sample rate / channel count / duration plus a 16-bin mean-absolute-
@@ -108,6 +111,17 @@ object Multimodal {
     def decode(modality: String, content: Array[Byte]): (Int, Int, Long, Array[Float]) = {
       if (modality == "audio") return WavPcmDecoder.decode(modality, content)
       if (modality != "image") return StubDecoder.decode(modality, content)
+      // animated GIFs are REAL timed media: duration = Σ frame delays,
+      // dimensions + luma grid from frame 0 (the [[sampleFrames]] grid
+      // then walks the real frames through [[ImageFrameSampler]])
+      if (isGif(content)) {
+        GifMedia.read(content) match {
+          case Some((frames, delays)) =>
+            val f0 = frames.head
+            return (f0.getWidth, f0.getHeight, delays.sum, lumaGrid(f0))
+          case None => return (-1, -1, 0L, Array.empty[Float])
+        }
+      }
       val img =
         if (content.isEmpty) null
         else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
@@ -116,6 +130,13 @@ object Multimodal {
         // one crafted image must yield the sentinel, not abort the job
         catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return (-1, -1, 0L, Array.empty[Float])
+      val w = img.getWidth; val h = img.getHeight
+      (w, h, 0L, lumaGrid(img))
+    }
+
+    /** The 4×4 mean-luma grid over one frame — shared by the still-image
+      * and animated-GIF-frame-0 paths. */
+    private[multimodal] def lumaGrid(img: java.awt.image.BufferedImage): Array[Float] = {
       val w = img.getWidth; val h = img.getHeight
       val feat = new Array[Float](Grid * Grid)
       var ci = 0
@@ -144,8 +165,152 @@ object Multimodal {
         }
         ci += 1
       }
-      (w, h, 0L, feat)
+      feat
     }
+  }
+
+  /** True when the payload is a GIF container (GIF87a/GIF89a magic). */
+  private[multimodal] def isGif(b: Array[Byte]): Boolean =
+    b.length > 6 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+      b(2) == 'F'.toByte && b(3) == '8'.toByte
+
+  /** REAL animated-GIF reading via JDK `javax.imageio`'s multi-frame
+    * reader: every frame image plus its GraphicControlExtension delay
+    * (centiseconds → ms; a frame with no/zero delay contributes 0 — the
+    * degrade-gracefully convention for foreign single-frame GIFs).
+    * None for anything the reader cannot parse — callers fall back to
+    * their single-image / sentinel paths. */
+  private[multimodal] object GifMedia {
+    def read(content: Array[Byte])
+        : Option[(IndexedSeq[java.awt.image.BufferedImage], IndexedSeq[Long])] = {
+      if (!isGif(content)) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            if (n <= 0) return None
+            val frames = Vector.newBuilder[java.awt.image.BufferedImage]
+            val delays = Vector.newBuilder[Long]
+            var i = 0
+            while (i < n) {
+              frames += reader.read(i)
+              delays += delayMs(reader.getImageMetadata(i))
+              i += 1
+            }
+            Some((frames.result(), delays.result()))
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    private def delayMs(meta: javax.imageio.metadata.IIOMetadata): Long = {
+      val fmt = "javax_imageio_gif_image_1.0"
+      if (!meta.getMetadataFormatNames.contains(fmt)) return 0L
+      val root = meta.getAsTree(fmt)
+      val kids = root.getChildNodes
+      var i = 0
+      while (i < kids.getLength) {
+        val k = kids.item(i)
+        if (k.getNodeName == "GraphicControlExtension") {
+          val at = k.getAttributes.getNamedItem("delayTime")
+          if (at != null) {
+            return try math.max(0L, at.getNodeValue.toLong) * 10L
+            catch { case _: NumberFormatException => 0L }
+          }
+        }
+        i += 1
+      }
+      0L
+    }
+  }
+
+  /** Deterministic synthetic animated grayscale GIF — the multi-frame
+    * counterpart of [[syntheticImagePng]]: frame f's pixel (x, y) has
+    * gray value `(seed·31 + x·7 + y·13 + f·17) mod 256`, every frame
+    * stamped with the same `delayCs` (centiseconds) GraphicControl
+    * delay. Grayscale fits GIF's 256-entry palette exactly, so the
+    * LZW roundtrip is pixel-lossless and the golden generator
+    * (tools/gen_golden_q155.py) can recompute every luma value straight
+    * from the formula with no image library. */
+  def syntheticAnimatedGif(seed: Long, w: Int, h: Int, nFrames: Int,
+                           delayCs: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0 && delayCs > 0,
+      s"syntheticAnimatedGif: positive dims/frames/delay required, got " +
+        s"${w}x$h frames=$nFrames delay=$delayCs")
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // an EXPLICIT identity gray palette (index i → sRGB (i,i,i)):
+    // TYPE_BYTE_GRAY would round pixels through the linear-gray color
+    // space on setRGB/getRGB, breaking the formula's exact values
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = java.lang.Math.floorMod(
+              seed * 31 + x * 7 + y * 13 + f * 17, 256L).toInt
+            img.getRaster.setSample(x, y, 0, v)
+            x += 1
+          }
+          y += 1
+        }
+        val meta = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+          writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        // an EXPLICIT identity LocalColorTable: without it the JDK writer
+        // keeps the raster's raw indices but emits its default web-safe
+        // palette — pixels silently remap (measured: gray 7 decoded as 51)
+        val lct = new javax.imageio.metadata.IIOMetadataNode("LocalColorTable")
+        lct.setAttribute("sizeOfLocalColorTable", "256")
+        lct.setAttribute("sortFlag", "FALSE")
+        var ci = 0
+        while (ci < 256) {
+          val e = new javax.imageio.metadata.IIOMetadataNode("ColorTableEntry")
+          e.setAttribute("index", ci.toString)
+          e.setAttribute("red", ci.toString)
+          e.setAttribute("green", ci.toString)
+          e.setAttribute("blue", ci.toString)
+          lct.appendChild(e)
+          ci += 1
+        }
+        root.appendChild(lct)
+        val gce = new javax.imageio.metadata.IIOMetadataNode(
+          "GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delayCs.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, meta), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
   }
 
   /** REAL audio decode via JDK `javax.sound.sampled` (WAV/AIFF/AU
@@ -379,13 +544,42 @@ object Multimodal {
     }
   }
 
-  /** An image IS its only frame: image payloads come back verbatim (the
-    * real contract — duration 0 means exactly one frame at ts 0);
-    * audio/video delegate to [[StubFrameSampler]] (no JDK codec). */
+  /** A STILL image is its only frame: the payload comes back verbatim
+    * (duration 0 means exactly one frame at ts 0). An ANIMATED GIF
+    * samples its REAL frames: the frame whose delay window contains
+    * `tsMs` (past the end → the last frame), re-encoded as PNG — each
+    * emitted frame is a standalone still the rest of the image pipeline
+    * (decode, resize) consumes directly. frameAt re-reads the container
+    * per sampled ts (the iterator-to-iterator shape holds no per-payload
+    * cache), so a k-frame GIF sampled k times decodes O(k²) frames —
+    * bounded by `maxFrames` ≤ 64, and GIFs this path exists for are
+    * small; a JNI/FFmpeg sampler would swap in with per-payload state.
+    * Audio/video delegate to [[StubFrameSampler]] (no JDK codec). */
   object ImageFrameSampler extends FrameSampler {
-    def frameAt(modality: String, content: Array[Byte], tsMs: Long): Array[Byte] =
-      if (modality == "image") content
-      else StubFrameSampler.frameAt(modality, content, tsMs)
+    def frameAt(modality: String, content: Array[Byte], tsMs: Long): Array[Byte] = {
+      if (modality != "image") return StubFrameSampler.frameAt(modality, content, tsMs)
+      if (!isGif(content)) return content
+      GifMedia.read(content) match {
+        case None => content // undecodable GIF: verbatim, like a still
+        case Some((frames, delays)) =>
+          var idx = 0; var cum = 0L
+          while (idx < frames.length - 1 && cum + delays(idx) <= tsMs) {
+            cum += delays(idx); idx += 1
+          }
+          // copy to plain RGB before encoding: the JDK PNG writer mangles
+          // a GIF reader's INDEXED frames (measured: raw palette indices
+          // written as gray samples — pixel 47 came back 119); drawImage
+          // resolves every pixel through the palette exactly
+          val f = frames(idx)
+          val rgb = new java.awt.image.BufferedImage(
+            f.getWidth, f.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = rgb.createGraphics()
+          try g.drawImage(f, 0, 0, null) finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(rgb, "png", bos)
+          bos.toByteArray
+      }
+    }
   }
 
   /** Deterministic synthetic grayscale PNG — the scaffolding both the q31
@@ -432,10 +626,13 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0); val modality = r.getString(1)
         val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-        // images have no time axis — skip the full ImageIO decode + luma
-        // scan that would only be thrown away to read durMs = 0
+        // STILL images have no time axis — skip the full ImageIO decode +
+        // luma scan that would only be thrown away to read durMs = 0;
+        // animated GIFs (magic-sniffed) carry real durations and go
+        // through the decoder like any timed medium
         val durMs =
-          if (modality == "image") 0L else decoder.decode(modality, bytes)._3
+          if (modality == "image" && !isGif(bytes)) 0L
+          else decoder.decode(modality, bytes)._3
         val n = math.min(maxFrames.toLong, durMs / everyMs + 1).toInt
         (0 until n).iterator.map { idx =>
           val ts = idx * everyMs

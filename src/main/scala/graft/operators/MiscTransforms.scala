@@ -86,6 +86,13 @@ object MaterializeTransform extends Transform {
     if (unknown.nonEmpty) throw new ConfigException(
       s"materialize: unknown option(s) ${unknown.mkString(", ")} — only " +
         "`eager` is accepted")
+    // a streaming frame cannot checkpoint its lineage (Spark would throw a
+    // deep AnalysisException at start); say it in pipeline terms instead
+    if (input.isStreaming) throw new ConfigException(
+      "materialize: not available in a micro-batch pipeline — lineage " +
+        "checkpointing is a batch concept; streaming recovery is the " +
+        "streaming.checkpointLocation's job, and per-batch plans are " +
+        "re-optimized anyway")
     graft.api.Checkpointing.checkpoint(input, eager)
   }
 }

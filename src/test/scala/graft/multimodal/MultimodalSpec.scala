@@ -129,6 +129,48 @@ class MultimodalSpec extends SparkTestBase {
     r8.getAs[Int]("width") shouldBe -1
   }
 
+  test("REAL animated-GIF decode: duration from frame delays, frame " +
+    "sampling returns the RIGHT frame's pixels; stills keep duration 0") {
+    // 3 frames × 50 cs = 1500 ms; frame f pixel (x,y) = (7x+13y+17f)%256
+    val gif = Multimodal.syntheticAnimatedGif(0L, 8, 8, nFrames = 3, delayCs = 50)
+    val still = Multimodal.syntheticImagePng(0, 8, 8)
+    val frame = Multimodal.asMediaFrame(
+      Seq((1L, gif, "mem://anim"), (2L, still, "mem://still"))
+        .toDF("id", "bytes", "uri"),
+      "id", "bytes", "image", "uri")
+    val rows = Multimodal.extractFeatures(frame).orderBy("media_id").collect()
+    rows(0).getAs[Int]("width") shouldBe 8
+    rows(0).getAs[Long]("duration_ms") shouldBe 1500L
+    rows(1).getAs[Long]("duration_ms") shouldBe 0L // stills stay timeless
+    // frame-0 luma from the formula: cell (0,0) = mean over x,y in [0,2)
+    val expect00 = (for (y <- 0 until 2; x <- 0 until 2)
+      yield (7 * x + 13 * y) % 256).sum / 4.0
+    rows(0).getAs[Seq[Float]]("feature").head shouldBe expect00.toFloat
+    // sampling at 500 ms strides over a 1500 ms clip: the grid is
+    // dur/every + 1 points (0, 500, 1000, 1500 — the operator's
+    // established contract, endpoint included); decoding each emitted
+    // PNG recovers the RIGHT frame's formula, the endpoint clamping to
+    // the last frame
+    val sampled = Multimodal.sampleFrames(frame.where("media_id = 1"),
+      everyMs = 500).orderBy("frame_idx").collect()
+    sampled.map(_.getAs[Long]("ts_ms")).toSeq shouldBe
+      Seq(0L, 500L, 1000L, 1500L)
+    sampled.foreach { r =>
+      val f = math.min(2L, r.getAs[Long]("ts_ms") / 500L).toInt
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame")))
+      // pixel (3, 2) of frame f: (7*3 + 13*2 + 17*f) % 256, grayscale
+      (img.getRGB(3, 2) & 0xFF) shouldBe (7 * 3 + 13 * 2 + 17 * f) % 256
+    }
+    // past-the-end timestamps clamp to the LAST frame (never an exception)
+    val last = Multimodal.ImageFrameSampler.frameAt("image", gif, 99999L)
+    val lastImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(last))
+    (lastImg.getRGB(0, 0) & 0xFF) shouldBe (17 * 2) % 256
+    // a still image sampled returns the payload verbatim (one frame)
+    Multimodal.ImageFrameSampler.frameAt("image", still, 0L) shouldBe still
+  }
+
   test("resize keeps the media schema, re-encodes payload, updates metadata") {
     val resized = Multimodal.resize(media, 128, 96)
     resized.schema.simpleString shouldBe Multimodal.mediaSchema.simpleString

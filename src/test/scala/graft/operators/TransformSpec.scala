@@ -83,6 +83,14 @@ class TransformSpec extends SparkTestBase {
     (the[ConfigException] thrownBy MaterializeTransform(base,
       tc("materialize", "mode" -> "local"), ctx))
       .getMessage should include ("unknown option")
+    // streaming frames refuse with a pipeline-level message, not Spark's
+    // deep AnalysisException at query start
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    (the[ConfigException] thrownBy MaterializeTransform(
+      mem.toDF(), tc("materialize"), ctx))
+      .getMessage should include ("micro-batch")
   }
 
   test("filter: condition semantics + idempotency + empty input") {
