@@ -1495,6 +1495,33 @@ object SparkEntry {
             v => floor(v.cast("double") * 1000000).cast("long").cast("string")),
             ",").as("envelope"))
     }),
+    // REAL audio resample, golden-real oracle: q153's synthetic WAVs
+    // (every sample from the doc_id formula) resampled to 6 kHz mono by
+    // the linear-interpolation/mixdown DSP, then re-decoded; the fixture
+    // generator (tools/gen_golden_q156.py) replays mixdown → interp →
+    // half-up rounding → envelope straight from the sample formula with
+    // no audio library — the match only holds if the resampler's
+    // arithmetic (and the output WAV container it hand-assembles) is
+    // exactly as stated
+    "q156_multimodal_resample" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val wav = udf((id: Long) => graft.multimodal.Multimodal.syntheticWavPcm16(
+        id, 8000 + (id % 3).toInt * 2000, 1 + (id % 2).toInt,
+        800 + (id * 13 % 1600).toInt))
+      val media = graft.multimodal.Multimodal.asMediaFrame(
+        tab(s, dir, "documents").where("doc_id < 100")
+          .select(col("doc_id"), wav(col("doc_id")).as("bytes"),
+            concat(lit("mem://wav/"), col("doc_id")).as("uri")),
+        "doc_id", "bytes", "audio", "uri")
+      graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.resize(media, 6000, 1))
+        .select(col("media_id"),
+          col("width").as("sample_rate"), col("height").as("channels"),
+          col("duration_ms"),
+          array_join(transform(col("feature"),
+            v => floor(v.cast("double") * 1000000).cast("long").cast("string")),
+            ",").as("envelope"))
+    }),
     // REAL animated-GIF decode, golden-real oracle (the q31/q153
     // discipline for TIMED image media): each doc gets a deterministic
     // synthetic animated GIF (dims/frames/delay and every pixel derived
@@ -2837,6 +2864,19 @@ object SparkEntry {
                 g.duration_ms, g.n_frames, g.envelope
          FROM documents d
          JOIN read_parquet('/root/repo/src/test/resources/golden/q153_multimodal_audio.parquet') g
+           ON g.doc_id = d.doc_id
+         WHERE d.doc_id < 100""",
+    // the audio resample is REAL DSP (linear interpolation + channel
+    // mixdown over the parsed PCM16 stream, re-assembled as a WAV): the
+    // oracle joins a fixture whose every envelope value was recomputed by
+    // an INDEPENDENT Python replay of mixdown → interpolation → half-up
+    // rounding from the sample formula (tools/gen_golden_q156.py, no
+    // audio library). Keyed on doc_id only (q31's reasoning)
+    "q156_multimodal_resample" ->
+      """SELECT d.doc_id AS media_id, g.sample_rate, g.channels,
+                g.duration_ms, g.envelope
+         FROM documents d
+         JOIN read_parquet('/root/repo/src/test/resources/golden/q156_multimodal_resample.parquet') g
            ON g.doc_id = d.doc_id
          WHERE d.doc_id < 100""",
     // the animated-GIF decode is REAL (multi-frame javax.imageio over

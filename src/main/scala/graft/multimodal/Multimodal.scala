@@ -331,25 +331,31 @@ object Multimodal {
     * Non-audio modalities delegate to [[ImageIODecoder]]'s routing. */
   object WavPcmDecoder extends MediaDecoder {
     private val Bins = 16
+
+    /** Parse a PCM_SIGNED 16-bit payload through `javax.sound.sampled`:
+      * (sampleRate, channels, bigEndian, raw sample bytes). None for
+      * anything the JDK cannot read or a non-PCM16 encoding — shared by
+      * the decoder and [[WavPcmResizer]]. */
+    private[multimodal] def parsePcm16(content: Array[Byte])
+        : Option[(Int, Int, Boolean, Array[Byte])] = {
+      if (content.isEmpty) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              || fmt.getSampleSizeInBits != 16) None
+          else Some((fmt.getSampleRate.toInt, fmt.getChannels,
+            fmt.isBigEndian, in.readAllBytes()))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
     def decode(modality: String, content: Array[Byte]): (Int, Int, Long, Array[Float]) = {
       if (modality != "audio") return ImageIODecoder.decode(modality, content)
-      if (content.isEmpty) return (-1, -1, 0L, Array.empty[Float])
-      val parsed =
-        try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(content))
-          try {
-            val fmt = in.getFormat
-            if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-                || fmt.getSampleSizeInBits != 16) null
-            else {
-              val bytes = in.readAllBytes()
-              Some((fmt.getSampleRate.toInt, fmt.getChannels,
-                fmt.isBigEndian, bytes))
-            }
-          } finally in.close()
-        } catch { case scala.util.control.NonFatal(_) => null }
-      if (parsed == null || parsed.isEmpty) return (-1, -1, 0L, Array.empty[Float])
+      val parsed = parsePcm16(content)
+      if (parsed.isEmpty) return (-1, -1, 0L, Array.empty[Float])
       val (rate, channels, bigEndian, bytes) = parsed.get
       val frameBytes = channels * 2
       val frames = bytes.length / frameBytes
@@ -459,6 +465,82 @@ object Multimodal {
     }
   }
 
+  /** REAL audio resample — the audio "resize": for an audio payload,
+    * `targetW` is the target SAMPLE RATE (Hz) and `targetH` the target
+    * CHANNEL COUNT (the resize signature's honest audio reading;
+    * `extractFeatures` reports the same mapping back as width/height).
+    * The JDK ships no rate-conversion SPI, so the DSP is done here
+    * directly on the parsed PCM16 stream: channel mixdown first
+    * (stereo→mono by average, 1→k by duplication), then linear
+    * interpolation onto the target rate's sample grid — output frame j
+    * reads source position `j · srcRate / dstRate` and rounds
+    * half-up (`Math.rint`-free: floor(v + 0.5), engine-reproducible),
+    * preserving duration to the frame granularity. Output is a fresh
+    * hand-assembled PCM16 WAV ([[syntheticWavPcm16]]'s container), so a
+    * re-decode reports exactly the target rate/channels. Payloads the
+    * WAV parser rejects (and non-audio modalities) delegate to
+    * [[ImageIOResizer]]'s routing. Linear interpolation is the honest
+    * baseline (alias-free only below Nyquist of the TARGET rate — the
+    * usual caveat); a polyphase filter would swap in behind the same
+    * signature. */
+  object WavPcmResizer extends MediaResizer {
+    def resize(modality: String, content: Array[Byte], targetW: Int,
+               targetH: Int): Array[Byte] = {
+      if (modality != "audio")
+        return ImageIOResizer.resize(modality, content, targetW, targetH)
+      val parsed = WavPcmDecoder.parsePcm16(content)
+      if (parsed.isEmpty || targetW <= 0 || targetH <= 0)
+        return StubResizer.resize(modality, content, targetW, targetH)
+      val (srcRate, srcCh, bigEndian, bytes) = parsed.get
+      val frames = bytes.length / (srcCh * 2)
+      if (frames == 0 || srcRate <= 0)
+        return StubResizer.resize(modality, content, targetW, targetH)
+      def sample(frame: Int, ch: Int): Int = {
+        val i = (frame * srcCh + ch) * 2
+        if (bigEndian) (bytes(i) << 8) | (bytes(i + 1) & 0xFF)
+        else (bytes(i + 1) << 8) | (bytes(i) & 0xFF)
+      }
+      // mixdown to ONE intermediate channel stream per target channel:
+      // src mono → every target channel reads it; src multi → average
+      def mixed(frame: Int): Double = {
+        var s = 0.0; var c = 0
+        while (c < srcCh) { s += sample(frame, c); c += 1 }
+        s / srcCh
+      }
+      val outFrames = math.max(1,
+        (frames.toLong * targetW / srcRate).toInt)
+      val out = new Array[Short](outFrames)
+      var j = 0
+      while (j < outFrames) {
+        val pos = j.toDouble * srcRate / targetW
+        val i0 = math.min(frames - 1, pos.toInt)
+        val i1 = math.min(frames - 1, i0 + 1)
+        val frac = pos - i0
+        val v = mixed(i0) * (1.0 - frac) + mixed(i1) * frac
+        out(j) = math.max(-32768.0, math.min(32767.0,
+          math.floor(v + 0.5))).toShort
+        j += 1
+      }
+      val buf = java.nio.ByteBuffer.allocate(44 + outFrames * targetH * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataLen = outFrames * targetH * 2
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(targetH.toShort)
+        .putInt(targetW).putInt(targetW * targetH * 2)
+        .putShort((targetH * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      j = 0
+      while (j < outFrames) {
+        var c = 0
+        while (c < targetH) { buf.putShort(out(j)); c += 1 }
+        j += 1
+      }
+      buf.array()
+    }
+  }
+
   /** REAL image resize via JDK `javax.imageio` + `Graphics2D`: decode,
     * bilinear-rescale to (targetW, targetH), re-encode as PNG (lossless —
     * a decode of the output reports exactly the target dimensions).
@@ -496,7 +578,7 @@ object Multimodal {
    * partition — the batch shape a real image pipeline needs.
    */
   def resize(media: DataFrame, targetW: Int, targetH: Int,
-             resizer: MediaResizer = ImageIOResizer): DataFrame = {
+             resizer: MediaResizer = WavPcmResizer): DataFrame = {
     // fail on the driver — a non-positive target would crash inside
     // executor tasks (BufferedImage rejects 0) with an opaque stack trace,
     // while the stub path would silently "succeed" with 16-byte payloads

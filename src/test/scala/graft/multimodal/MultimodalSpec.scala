@@ -129,6 +129,72 @@ class MultimodalSpec extends SparkTestBase {
     r8.getAs[Int]("width") shouldBe -1
   }
 
+  test("REAL audio resample: rate conversion by linear interpolation, " +
+    "channel mixdown/duplication, duration preserved, re-decodable") {
+    // constant-amplitude mono 16 kHz, 100 ms (1600 frames), value 1024
+    val nFrames = 1600
+    val buf = java.nio.ByteBuffer.allocate(44 + nFrames * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + nFrames * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(16000).putInt(32000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(nFrames * 2)
+    (0 until nFrames).foreach(_ => buf.putShort(1024))
+    val mono16k = buf.array()
+    val media = Multimodal.asMediaFrame(
+      Seq((1L, mono16k, "mem://a")).toDF("id", "bytes", "uri"),
+      "id", "bytes", "audio", "uri")
+    // resample to 8 kHz stereo: (targetW, targetH) = (rate, channels)
+    val out = Multimodal.extractFeatures(Multimodal.resize(media, 8000, 2))
+      .collect().head
+    out.getAs[Int]("width") shouldBe 8000
+    out.getAs[Int]("height") shouldBe 2
+    out.getAs[Long]("duration_ms") shouldBe 100L // duration preserved
+    // a constant wave survives interpolation and mixdown exactly
+    out.getAs[Seq[Float]]("feature") shouldBe
+      Seq.fill(16)((1024.0 / 32768.0).toFloat)
+    // interpolation arithmetic on a LINEAR ramp (interp of linear is
+    // exact): 0..99 at 1 kHz down to 500 Hz → every other sample
+    val ramp = {
+      val b = java.nio.ByteBuffer.allocate(44 + 100 * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 200)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+        .putInt(1000).putInt(2000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(200)
+      (0 until 100).foreach(i => b.putShort(i.toShort))
+      b.array()
+    }
+    val down = Multimodal.WavPcmResizer.resize("audio", ramp, 500, 1)
+    val parsed = Multimodal.WavPcmDecoder.parsePcm16(down).get
+    parsed._1 shouldBe 500
+    val samples = (0 until 50).map { j =>
+      val i = j * 2
+      ((parsed._4(i + 1) << 8) | (parsed._4(i) & 0xFF)).toShort.toInt
+    }
+    samples.toSeq shouldBe (0 until 50).map(_ * 2)
+    // stereo→mono mixdown averages channels: ch0=1000, ch1=3000 → 2000
+    val stereo = {
+      val b = java.nio.ByteBuffer.allocate(44 + 100 * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 400)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(2)
+        .putInt(1000).putInt(4000).putShort(4).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(400)
+      (0 until 100).foreach { _ => b.putShort(1000); b.putShort(3000) }
+      b.array()
+    }
+    val monoOut = Multimodal.WavPcmResizer.resize("audio", stereo, 1000, 1)
+    val mp = Multimodal.WavPcmDecoder.parsePcm16(monoOut).get
+    ((mp._4(1) << 8) | (mp._4(0) & 0xFF)).toShort.toInt shouldBe 2000
+    // undecodable audio degrades to the stub resizer, never an exception
+    Multimodal.WavPcmResizer.resize("audio",
+      "not audio".getBytes("UTF-8"), 8000, 1).length should be > 0
+  }
+
   test("REAL animated-GIF decode: duration from frame delays, frame " +
     "sampling returns the RIGHT frame's pixels; stills keep duration 0") {
     // 3 frames × 50 cs = 1500 ms; frame f pixel (x,y) = (7x+13y+17f)%256
