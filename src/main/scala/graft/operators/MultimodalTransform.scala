@@ -12,10 +12,12 @@ import graft.multimodal.Multimodal
  * canonical media frame and runs one of the partition-wise codec operations
  * ([[Multimodal.extractFeatures]] / [[Multimodal.resize]] /
  * [[Multimodal.sampleFrames]]) — the YAML surface for the multimodal
- * family, mirroring how `dedup_embedding` exposes the ANN engine. Codecs
- * are the documented stub seam (this image ships none); the Spark-side
+ * family, mirroring how `dedup_embedding` exposes the ANN engine. Image
+ * decode/resize, animated-GIF duration/frame sampling, and audio
+ * decode/resample are REAL (JDK codecs + in-house PCM DSP); only video
+ * byte→sample decode remains the documented stub seam. The Spark-side
  * plumbing — schema, iterator-to-iterator decode, streamwise 1→N frame
- * explode — is the real, tested production shape.
+ * explode — is the tested production shape throughout.
  *
  * {{{
  * - name: image-features
@@ -50,9 +52,25 @@ object MultimodalTransform extends Transform {
       sourceUriCol = uriCol)
     config.options("operation") match {
       case "features" => Multimodal.extractFeatures(media)
-      case "resize" => Multimodal.resize(media,
-        targetW = config.options.get("targetW").map(_.toInt).getOrElse(224),
-        targetH = config.options.get("targetH").map(_.toInt).getOrElse(224))
+      case "resize" =>
+        // audio reads (targetW, targetH) as (sampleRate, channels): the
+        // 224×224 IMAGE defaults would silently mean "resample to 224 Hz,
+        // 224 channels" — require explicit values and a sane channel count
+        if (modality == "audio") {
+          Seq("targetW", "targetH").filterNot(config.options.contains)
+            .foreach { k => throw new graft.api.ConfigException(
+              s"multimodal: resize on audio reads targetW/targetH as " +
+                s"sampleRate/channels — set $k explicitly (the 224-pixel " +
+                "image defaults are not a sample rate)") }
+          val ch = config.options("targetH").toInt
+          if (ch < 1 || ch > 16) throw new graft.api.ConfigException(
+            s"multimodal: resize on audio got targetH=$ch channels — " +
+              "outside [1, 16]; targetH is the CHANNEL count for audio " +
+              "(did you pass image pixel dimensions?)")
+        }
+        Multimodal.resize(media,
+          targetW = config.options.get("targetW").map(_.toInt).getOrElse(224),
+          targetH = config.options.get("targetH").map(_.toInt).getOrElse(224))
       case "frames" => Multimodal.sampleFrames(media,
         everyMs = config.options.get("everyMs").map(_.toLong).getOrElse(1000L),
         maxFrames = config.options.get("maxFrames").map(_.toInt).getOrElse(64))

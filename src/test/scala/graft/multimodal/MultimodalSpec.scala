@@ -193,6 +193,27 @@ class MultimodalSpec extends SparkTestBase {
     // undecodable audio degrades to the stub resizer, never an exception
     Multimodal.WavPcmResizer.resize("audio",
       "not audio".getBytes("UTF-8"), 8000, 1).length should be > 0
+    // the declarative transform refuses the image-pixel defaults for
+    // audio (224x224 would silently mean "224 Hz, 224 channels")
+    import graft.config.TransformConfig
+    import graft.api.RunContext
+    val ctx = RunContext(spark, "mm", "t")
+    val raw = Seq((1L, mono16k)).toDF("id", "bytes")
+    def t(opts: (String, String)*) = TransformConfig("mm", "multimodal", opts.toMap)
+    (the[graft.api.ConfigException] thrownBy graft.operators.MultimodalTransform(
+      raw, t("operation" -> "resize", "idColumn" -> "id",
+        "bytesColumn" -> "bytes", "modality" -> "audio"), ctx))
+      .getMessage should include ("sampleRate/channels")
+    (the[graft.api.ConfigException] thrownBy graft.operators.MultimodalTransform(
+      raw, t("operation" -> "resize", "idColumn" -> "id",
+        "bytesColumn" -> "bytes", "modality" -> "audio",
+        "targetW" -> "8000", "targetH" -> "224"), ctx))
+      .getMessage should include ("[1, 16]")
+    // and runs with honest audio targets
+    graft.operators.MultimodalTransform(raw,
+      t("operation" -> "resize", "idColumn" -> "id", "bytesColumn" -> "bytes",
+        "modality" -> "audio", "targetW" -> "8000", "targetH" -> "1"), ctx)
+      .count() shouldBe 1L
   }
 
   test("REAL animated-GIF decode: duration from frame delays, frame " +
