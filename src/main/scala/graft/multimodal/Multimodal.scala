@@ -178,8 +178,12 @@ object Multimodal {
     * reader: every frame image plus its GraphicControlExtension delay
     * (centiseconds → ms; a frame with no/zero delay contributes 0 — the
     * degrade-gracefully convention for foreign single-frame GIFs).
-    * None for anything the reader cannot parse — callers fall back to
-    * their single-image / sentinel paths. */
+    * Frames come back AS STORED — no disposal compositing — so a foreign
+    * inter-frame-optimized GIF yields partial-rect stills for frames > 0
+    * (full-frame GIFs, including everything [[syntheticAnimatedGif]]
+    * writes, are unaffected); compositing would slot in here if corpora
+    * need it. None for anything the reader cannot parse — callers fall
+    * back to their single-image / sentinel paths. */
   private[multimodal] object GifMedia {
     def read(content: Array[Byte])
         : Option[(IndexedSeq[java.awt.image.BufferedImage], IndexedSeq[Long])] = {
