@@ -93,7 +93,7 @@ object BenchLongDoc {
         "seqLen" -> "4096")))
 
   def main(args: Array[String]): Unit = {
-    val cpus = math.max(2, Runtime.getRuntime.availableProcessors() - 0)
+    val cpus = math.max(2, Runtime.getRuntime.availableProcessors())
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -93,7 +93,11 @@ object MaterializeTransform extends Transform {
         "checkpointing is a batch concept; streaming recovery is the " +
         "streaming.checkpointLocation's job, and per-batch plans are " +
         "re-optimized anyway")
-    graft.api.Checkpointing.checkpoint(input, eager)
+    // compose/--dry-run promise "nothing evaluated": an eager checkpoint
+    // would run the upstream job at PLAN time — force lazy there (the
+    // barrier's plan shape is identical either way)
+    graft.api.Checkpointing.checkpoint(input,
+      eager && ctx.runId != "compose")
   }
 }
 

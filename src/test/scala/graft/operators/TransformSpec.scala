@@ -91,6 +91,19 @@ class TransformSpec extends SparkTestBase {
     (the[ConfigException] thrownBy MaterializeTransform(
       mem.toDF(), tc("materialize"), ctx))
       .getMessage should include ("micro-batch")
+    // eager materializes NOW under a real run (a throwing upstream blows
+    // up immediately) but is forced lazy under compose/--dry-run, whose
+    // contract is "nothing evaluated at plan time"
+    val bomb = udf((s: String) => {
+      throw new RuntimeException("boom"); s: String })
+    // parquet-backed (NOT the local Seq: ConvertToLocalRelation would
+    // evaluate the udf at optimization time and mask the contrast)
+    val explosive = spark.read.parquet(dir).withColumn("b", bomb(col("product")))
+    an[Exception] should be thrownBy MaterializeTransform(
+      explosive, tc("materialize", "eager" -> "true"), ctx)
+    noException should be thrownBy MaterializeTransform(
+      explosive, tc("materialize", "eager" -> "true"),
+      RunContext(spark, "t", "compose"))
   }
 
   test("filter: condition semantics + idempotency + empty input") {
