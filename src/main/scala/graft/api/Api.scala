@@ -19,7 +19,13 @@ final case class RunContext(
     /** The executor's source registry, so transforms that read secondary
       * sources (register) see user-registered source types; None falls back
       * to the built-in registry. */
-    sources: Option[Registry[Source]] = None)
+    sources: Option[Registry[Source]] = None,
+    /** False when the run promises "nothing written, nothing evaluated"
+      * (compose / --dry-run): transforms with optional eager behavior
+      * (e.g. materialize's eager checkpoint) must stay lazy. This is the
+      * executor's buildPlan sideEffects flag threaded to transforms — test
+      * it, never the runId string. */
+    sideEffects: Boolean = true)
 
 final case class ValidationError(component: String, message: String)
 

@@ -95,9 +95,10 @@ object MaterializeTransform extends Transform {
         "re-optimized anyway")
     // compose/--dry-run promise "nothing evaluated": an eager checkpoint
     // would run the upstream job at PLAN time — force lazy there (the
-    // barrier's plan shape is identical either way)
+    // barrier's plan shape is identical either way). ctx.sideEffects is
+    // the executor's buildPlan flag, not a runId string match.
     graft.api.Checkpointing.checkpoint(input,
-      eager && ctx.runId != "compose")
+      eager && ctx.sideEffects)
   }
 }
 

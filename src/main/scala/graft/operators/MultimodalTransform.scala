@@ -33,6 +33,26 @@ import graft.multimodal.Multimodal
  */
 object MultimodalTransform extends Transform {
   val transformType = "multimodal"
+
+  /** Numeric options fail as ConfigException-with-guidance (the LmDrift
+    * maxUnseenFrac discipline), not a raw NumberFormatException from
+    * deep inside the operator. */
+  private def intOption(config: TransformConfig, key: String,
+                        default: => Int): Int =
+    config.options.get(key).map { raw =>
+      try raw.trim.toInt catch { case _: NumberFormatException =>
+        throw new graft.api.ConfigException(
+          s"multimodal: $key must be an integer, got '$raw'") }
+    }.getOrElse(default)
+
+  private def longOption(config: TransformConfig, key: String,
+                         default: => Long): Long =
+    config.options.get(key).map { raw =>
+      try raw.trim.toLong catch { case _: NumberFormatException =>
+        throw new graft.api.ConfigException(
+          s"multimodal: $key must be an integer, got '$raw'") }
+    }.getOrElse(default)
+
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "operation", "idColumn", "bytesColumn")
     val id = config.options("idColumn")
@@ -62,18 +82,18 @@ object MultimodalTransform extends Transform {
               s"multimodal: resize on audio reads targetW/targetH as " +
                 s"sampleRate/channels — set $k explicitly (the 224-pixel " +
                 "image defaults are not a sample rate)") }
-          val ch = config.options("targetH").toInt
+          val ch = intOption(config, "targetH", 224)
           if (ch < 1 || ch > 16) throw new graft.api.ConfigException(
             s"multimodal: resize on audio got targetH=$ch channels — " +
               "outside [1, 16]; targetH is the CHANNEL count for audio " +
               "(did you pass image pixel dimensions?)")
         }
         Multimodal.resize(media,
-          targetW = config.options.get("targetW").map(_.toInt).getOrElse(224),
-          targetH = config.options.get("targetH").map(_.toInt).getOrElse(224))
+          targetW = intOption(config, "targetW", 224),
+          targetH = intOption(config, "targetH", 224))
       case "frames" => Multimodal.sampleFrames(media,
-        everyMs = config.options.get("everyMs").map(_.toLong).getOrElse(1000L),
-        maxFrames = config.options.get("maxFrames").map(_.toInt).getOrElse(64))
+        everyMs = longOption(config, "everyMs", 1000L),
+        maxFrames = intOption(config, "maxFrames", 64))
       case other => throw new IllegalArgumentException(
         s"multimodal operation must be features|resize|frames, got '$other'")
     }

@@ -212,7 +212,8 @@ final class PipelineExecutor(
     * just the frame, so an internal persist would be impossible to
     * unpersist — persist the returned frame yourself if you want caching. */
   def compose(config: PipelineConfig)(implicit spark: SparkSession): DataFrame = {
-    val ctx = RunContext(spark, config.pipelineId, "compose", Some(sources))
+    val ctx = RunContext(spark, config.pipelineId, "compose", Some(sources),
+      sideEffects = false)
     // sideEffects = false: compose (and --dry-run on top of it) promises
     // "nothing written, nothing evaluated" — the quality gate's FRAME
     // shape (quarantined rows filtered out, duplicate extras dropped) is

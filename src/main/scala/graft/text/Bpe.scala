@@ -122,6 +122,16 @@ object Bpe {
     if (text.indexOf("</ww") < 0) text
     else escapedFamily.matcher(text).replaceAll("</$1>")
 
+  /** Version of the pre-tokenizer's marker-escaping scheme, stamped into
+    * every [[mergesFrame]] as `bpe_escape_version` and validated on load:
+    * a store trained BEFORE the `</w{k}>` escaping existed (version 0 —
+    * the stamp column is absent) learned merges over RAW marker literals
+    * that can never fire on the escaped encode stream, and decoding its
+    * token streams would silently rewrite a legitimate `</ww>` to `</w>`
+    * via [[unescapeMarkers]]. Loading such a store fails loudly with
+    * rebuild guidance instead of degrading silently. */
+  val EscapeVersion = 1
+
   /** The shared pre-tokenizer: Java `\s+` split after stripping the
     * engine's whitespace set, then marker-collision escaping per word
     * ([[escapeMarkers]] — markers never span whitespace, so per-word ==
@@ -481,7 +491,8 @@ object Bpe {
         lit(maxWords).as("bpe_max_words"),
         lit(merges.length).as("bpe_rows"),
         lit(alpha.length).as("bpe_alpha_rows"),
-        lit(byteFallback).as("bpe_byte_fallback"))
+        lit(byteFallback).as("bpe_byte_fallback"),
+        lit(EscapeVersion).as("bpe_escape_version"))
   }
 
   /**
@@ -581,12 +592,19 @@ object Bpe {
     // DISTINCT stamp set (tiny partial-agg job): a mixed store (two runs'
     // outputs appended) must fail here, not produce interleaved merges
     val hasBff = store.columns.contains("bpe_byte_fallback")
+    val hasEsc = store.columns.contains("bpe_escape_version")
     val stamps = store.select(
         col("bpe_num_merges").cast("int"), col("bpe_min_count").cast("long"),
         col("bpe_max_words").cast("int"), col("bpe_rows").cast("int"),
         col("bpe_alpha_rows").cast("int"),
         (if (hasBff) col("bpe_byte_fallback") else lit(false))
-          .cast("boolean").as("bpe_byte_fallback"))
+          .cast("boolean").as("bpe_byte_fallback"),
+        // absent stamp = version 0: a store trained before marker
+        // escaping existed (checked below — unlike bpe_byte_fallback,
+        // "absent" here is NOT compatible: its merges were learned over
+        // raw `</w>` literals)
+        (if (hasEsc) col("bpe_escape_version") else lit(0))
+          .cast("int").as("bpe_escape_version"))
       .distinct().collect()
     if (stamps.length != 1 || stamps.head.anyNull)
       throw new graft.api.ConfigException(
@@ -595,6 +613,16 @@ object Bpe {
           "rebuild it with a single bpe_train pass")
     val (gotNm, gotMc) = (stamps.head.getInt(0), stamps.head.getLong(1))
     val byteFallback = stamps.head.getBoolean(5)
+    val escVer = stamps.head.getInt(6)
+    if (escVer != EscapeVersion)
+      throw new graft.api.ConfigException(
+        s"bpe merges store carries escape-version stamp $escVer but this " +
+          s"engine's pre-tokenizer is at version $EscapeVersion — merges " +
+          "learned over a differently-escaped character stream would never " +
+          "fire (and decodes would corrupt literal `</w{k}>` text); " +
+          "rebuild the store with bpe_train" +
+          (if (escVer == 0) " (version 0 = trained before marker escaping " +
+            "existed: the stamp column is absent)" else ""))
     val mism = Seq(
       wantNumMerges.filter(_ != gotNm).map(w => s"numMerges $w vs store $gotNm"),
       wantMinCount.filter(_ != gotMc).map(w => s"minCount $w vs store $gotMc")

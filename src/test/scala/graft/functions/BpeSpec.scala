@@ -200,9 +200,31 @@ class BpeSpec extends SparkTestBase {
       .withColumn("bpe_num_merges", l(3)).withColumn("bpe_min_count", l(2L))
       .withColumn("bpe_max_words", l(10)).withColumn("bpe_rows", l(3))
       .withColumn("bpe_alpha_rows", l(4))
+      .withColumn("bpe_escape_version", l(Bpe.EscapeVersion))
     // merge 1 makes "ab"; merge 2 ("ab" + "") makes "ab" again → skipped
     Bpe.loadVocab(dup) shouldBe
       Vector("<unk>", "</w>", "a", "b", "c", "bc", "ab")
+  }
+
+  test("a store without the escape-version stamp (trained before marker " +
+    "escaping existed) is refused with rebuild guidance, as is a stamp " +
+    "from a different escaping scheme") {
+    val docs = Seq("low low lower").toDF("text")
+    val store = Bpe.mergesFrame(docs, "text", numMerges = 2, maxWords = 10)
+    // current stores carry the stamp and load fine
+    store.select("bpe_escape_version").distinct().collect()
+      .map(_.getInt(0)).toSeq shouldBe Seq(Bpe.EscapeVersion)
+    Bpe.loadMerges(store) should not be empty
+    // version 0 = the stamp column is absent (pre-escaping store)
+    val v0 = store.drop("bpe_escape_version")
+    val e0 = intercept[graft.api.ConfigException] { Bpe.loadMerges(v0) }
+    e0.getMessage should include("escape-version stamp 0")
+    e0.getMessage should include("rebuild")
+    // a future/foreign escaping scheme is refused the same way
+    import org.apache.spark.sql.functions.{lit => l}
+    val v9 = store.withColumn("bpe_escape_version", l(9))
+    val e9 = intercept[graft.api.ConfigException] { Bpe.loadMerges(v9) }
+    e9.getMessage should include("escape-version stamp 9")
   }
 
   test("BpeEncodeIds emits the golden id arrays; out-of-vocabulary " +

@@ -214,6 +214,17 @@ class MultimodalSpec extends SparkTestBase {
       t("operation" -> "resize", "idColumn" -> "id", "bytesColumn" -> "bytes",
         "modality" -> "audio", "targetW" -> "8000", "targetH" -> "1"), ctx)
       .count() shouldBe 1L
+    // non-numeric numeric options fail as ConfigException-with-guidance,
+    // not a raw NumberFormatException from inside the operator
+    for ((op, key, bad) <- Seq(
+        ("resize", "targetH", "two"), ("resize", "targetW", "224px"),
+        ("frames", "everyMs", "1s"), ("frames", "maxFrames", "many"))) {
+      (the[graft.api.ConfigException] thrownBy graft.operators.MultimodalTransform(
+        raw, t("operation" -> op, "idColumn" -> "id", "bytesColumn" -> "bytes",
+          "modality" -> "audio", "targetW" -> "8000", "targetH" -> "1",
+          key -> bad), ctx))
+        .getMessage should include (s"$key must be an integer")
+    }
   }
 
   test("REAL animated-GIF decode: duration from frame delays, frame " +

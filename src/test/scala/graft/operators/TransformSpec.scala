@@ -101,9 +101,15 @@ class TransformSpec extends SparkTestBase {
     val explosive = spark.read.parquet(dir).withColumn("b", bomb(col("product")))
     an[Exception] should be thrownBy MaterializeTransform(
       explosive, tc("materialize", "eager" -> "true"), ctx)
+    // the lazy-under-compose contract rides the ctx.sideEffects flag the
+    // executor threads through buildPlan — NOT the runId string, so a
+    // caller whose runId happens to be "compose" still gets eager
     noException should be thrownBy MaterializeTransform(
       explosive, tc("materialize", "eager" -> "true"),
-      RunContext(spark, "t", "compose"))
+      RunContext(spark, "t", "any-run-id", sideEffects = false))
+    an[Exception] should be thrownBy MaterializeTransform(
+      explosive, tc("materialize", "eager" -> "true"),
+      RunContext(spark, "t", "compose", sideEffects = true))
   }
 
   test("filter: condition semantics + idempotency + empty input") {
