@@ -1568,6 +1568,55 @@ object SparkEntry {
             ",").as("luma0"),
           col("luma_mid"))
     }),
+    // REAL video decode, golden-real oracle (the q31/q153/q155
+    // discipline for the VIDEO modality): each doc gets a deterministic
+    // synthetic MJPEG-in-AVI clip (dims/frames/fps and every 16x16 tile
+    // value derived from doc_id alone; the container is hand-assembled
+    // RIFF, the frames are quality-1.0 JPEGs whose constant 16-aligned
+    // tiles roundtrip bit-exactly), the chain AVI-parses → JPEG-decodes →
+    // samples the 50 ms frame grid → re-decodes the MIDDLE sampled frame
+    // as a still, and the fixture generator (tools/gen_golden_q157.py)
+    // computes every expected value — duration from the strh clock,
+    // sample count, frame-0 AND mid-frame luma grids — straight from the
+    // tile formula with no video/image library: the mid-frame grid only
+    // matches if frame SELECTION walks the real frame clock and the
+    // pixels only match if the JPEGs are genuinely decoded
+    "q157_multimodal_video" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val avi = udf((id: Long) => graft.multimodal.Multimodal.syntheticMjpegAvi(
+        id, 16 * (2 + (id % 2).toInt), 16 * (1 + (id % 3).toInt),
+        2 + (id % 4).toInt, 10 + (id % 3).toInt * 5))
+      val media = graft.multimodal.Multimodal.asMediaFrame(
+        tab(s, dir, "documents").where("doc_id < 100")
+          .select(col("doc_id"), avi(col("doc_id")).as("bytes"),
+            concat(lit("mem://avi/"), col("doc_id")).as("uri")),
+        "doc_id", "bytes", "video", "uri")
+      val frames = graft.multimodal.Multimodal.sampleFrames(media, everyMs = 50)
+      val counts = frames.groupBy("media_id").count()
+        .withColumnRenamed("count", "n_frames")
+      // the MIDDLE sampled frame, re-decoded as a standalone still: its
+      // luma grid pins which clip frame the sampler actually returned
+      val mid = graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.asMediaFrame(
+            frames.join(counts, Seq("media_id"))
+              .where(col("frame_idx") === (col("n_frames") / 2).cast("int"))
+              .select(col("media_id").as("mid_id"), col("frame").as("bytes"),
+                concat(lit("mem://avi-mid/"), col("media_id")).as("uri")),
+            "mid_id", "bytes", "image", "uri"))
+        .select(col("media_id"),
+          array_join(transform(col("feature"),
+            v => floor(v.cast("double") * 10000).cast("long").cast("string")),
+            ",").as("luma_mid"))
+      graft.multimodal.Multimodal.extractFeatures(media)
+        .join(counts, Seq("media_id"))
+        .join(mid, Seq("media_id"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("duration_ms"), col("n_frames"),
+          array_join(transform(col("feature"),
+            v => floor(v.cast("double") * 10000).cast("long").cast("string")),
+            ",").as("luma0"),
+          col("luma_mid"))
+    }),
     // the published web-curation recipe COMPOSED as ONE YAML pipeline
     // (quickstart-26 ships the same chain): html wrap → html_strip →
     // normalize_text → text_signals gate → Gopher quality_rules →
@@ -2892,6 +2941,23 @@ object SparkEntry {
                 g.n_frames, g.luma0, g.luma_mid
          FROM documents d
          JOIN read_parquet('/root/repo/src/test/resources/golden/q155_multimodal_gif.parquet') g
+           ON g.doc_id = d.doc_id
+         WHERE d.doc_id < 100""",
+    // the video decode is REAL (hand-parsed RIFF/AVI container + per-frame
+    // javax.imageio JPEG decode over clips the query synthesizes from
+    // doc_id alone): the oracle joins a committed fixture of decoded
+    // dims/clock duration/sample count + frame-0 and MID-FRAME luma grids
+    // recomputed by an INDEPENDENT Python reimplementation of the tile
+    // formula (tools/gen_golden_q157.py, no video/image library — sound
+    // because quality-1.0 JPEGs of 16-aligned constant tiles roundtrip
+    // bit-exactly). The mid-frame grid matches only if frame selection
+    // genuinely walks the strh frame clock. Keyed on doc_id only (q31's
+    // reasoning)
+    "q157_multimodal_video" ->
+      """SELECT d.doc_id AS media_id, g.width, g.height, g.duration_ms,
+                g.n_frames, g.luma0, g.luma_mid
+         FROM documents d
+         JOIN read_parquet('/root/repo/src/test/resources/golden/q157_multimodal_video.parquet') g
            ON g.doc_id = d.doc_id
          WHERE d.doc_id < 100""",
     // the COMPOSED curation pipeline: every stage's proven oracle

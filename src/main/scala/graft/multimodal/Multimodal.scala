@@ -21,14 +21,16 @@ import org.apache.spark.sql.types._
  * decode is REAL too (JDK-only `javax.sound.sampled` — WAV/AIFF/AU
  * PCM, no external codecs needed): [[WavPcmDecoder]] returns the true
  * sample rate / channel count / duration plus a 16-bin mean-absolute-
- * amplitude envelope over the PCM sample stream. A payload the JDK
- * cannot parse yields the explicit (-1, -1) sentinel rather than fake
- * dimensions. VIDEO byte→sample decode remains the one documented STUB
- * seam ([[StubDecoder]] — the JDK ships no video codec): deterministic
- * fake dimensions/features from a payload hash, so the Spark-side
- * contract — schema, batch iteration shape, partition sizing, null
- * handling — stays testable; swapping in a JNI/FFmpeg decoder changes
- * only the function body marked STUB.
+ * amplitude envelope over the PCM sample stream. VIDEO decode is REAL
+ * for MJPEG-in-AVI ([[AviMjpeg]] — RIFF container parse + per-frame
+ * ImageIO JPEG decode, no external codecs needed): true frame
+ * dimensions, duration from the stream clock × indexed frame count,
+ * frame-0 luma grid, and per-timestamp frame sampling. A payload the
+ * JDK cannot parse yields the explicit (-1, -1) sentinel rather than
+ * fake dimensions — including non-MJPEG video codecs (H.264 etc.),
+ * which would need a JNI/FFmpeg decoder behind the same
+ * [[MediaDecoder]] signature. [[StubDecoder]] remains only for
+ * modality strings outside image/audio/video.
  */
 object Multimodal {
 
@@ -82,8 +84,11 @@ object Multimodal {
   }
 
   /** STUB: deterministic fake decode — dimensions and an 8-dim "feature"
-    * derived from a rolling hash of the payload bytes. Replace with a real
-    * codec (??? boundary) without touching the plumbing. */
+    * derived from a rolling hash of the payload bytes. Since the real
+    * [[AviMjpeg]] video path landed, this is reached only for modality
+    * strings outside image/audio/video (the declarative transform
+    * refuses those up front); library callers wiring a custom modality
+    * replace it via the [[MediaDecoder]] seam. */
   object StubDecoder extends MediaDecoder {
     def decode(modality: String, content: Array[Byte]): (Int, Int, Long, Array[Float]) = {
       val h = byteFold(1125899906842597L, content) // not a real decode
@@ -103,22 +108,40 @@ object Multimodal {
     * independently computable by the golden-fixture generator). Images
     * have duration 0. An IMAGE payload ImageIO cannot parse returns the
     * explicit `(-1, -1, 0, empty)` sentinel — never fake dimensions.
-    * Audio delegates to the REAL [[WavPcmDecoder]]; video to
-    * [[StubDecoder]] (the remaining documented stub seam: the JDK ships
-    * no video codec). */
+    * Audio delegates to the REAL [[WavPcmDecoder]]; video to the REAL
+    * [[AviMjpeg]] parser (MJPEG-in-AVI: RIFF container parse + per-frame
+    * ImageIO JPEG decode — width/height from the decoded frame 0,
+    * duration from the strh clock × indexed frame count, luma grid over
+    * frame 0's pixels; anything unparseable → the sentinel). Only a
+    * modality string that is none of image/audio/video falls through to
+    * [[StubDecoder]]. */
   object ImageIODecoder extends MediaDecoder {
     private val Grid = 4
     def decode(modality: String, content: Array[Byte]): (Int, Int, Long, Array[Float]) = {
       if (modality == "audio") return WavPcmDecoder.decode(modality, content)
+      if (modality == "video") {
+        AviMjpeg.read(content).flatMap { v =>
+          v.frame(0).map(f0 =>
+            (f0.getWidth, f0.getHeight, v.durationMs, lumaGrid(f0)))
+        } match {
+          case Some(r) => return r
+          case None => return (-1, -1, 0L, Array.empty[Float])
+        }
+      }
       if (modality != "image") return StubDecoder.decode(modality, content)
-      // animated GIFs are REAL timed media: duration = Σ frame delays,
-      // dimensions + luma grid from frame 0 (the [[sampleFrames]] grid
-      // then walks the real frames through [[ImageFrameSampler]])
+      // animated GIFs are REAL timed media: duration = Σ frame delays
+      // (metadata-only walk, no pixel decode), dimensions = the logical
+      // screen, luma grid from the COMPOSITED frame 0 (the
+      // [[sampleFrames]] grid then walks the real frames through
+      // [[ImageFrameSampler]])
       if (isGif(content)) {
-        GifMedia.read(content) match {
-          case Some((frames, delays)) =>
-            val f0 = frames.head
-            return (f0.getWidth, f0.getHeight, delays.sum, lumaGrid(f0))
+        GifMedia.readMeta(content) match {
+          case Some(meta) =>
+            GifMedia.compositedFrame(content, 0) match {
+              case Some(f0) =>
+                return (meta.width, meta.height, meta.durationMs, lumaGrid(f0))
+              case None => return (-1, -1, 0L, Array.empty[Float])
+            }
           case None => return (-1, -1, 0L, Array.empty[Float])
         }
       }
@@ -175,18 +198,58 @@ object Multimodal {
       b(2) == 'F'.toByte && b(3) == '8'.toByte
 
   /** REAL animated-GIF reading via JDK `javax.imageio`'s multi-frame
-    * reader: every frame image plus its GraphicControlExtension delay
-    * (centiseconds → ms; a frame with no/zero delay contributes 0 — the
-    * degrade-gracefully convention for foreign single-frame GIFs).
-    * Frames come back AS STORED — no disposal compositing — so a foreign
-    * inter-frame-optimized GIF yields partial-rect stills for frames > 0
-    * (full-frame GIFs, including everything [[syntheticAnimatedGif]]
-    * writes, are unaffected); compositing would slot in here if corpora
-    * need it. None for anything the reader cannot parse — callers fall
-    * back to their single-image / sentinel paths. */
+    * reader, split into a METADATA-ONLY pass and an on-demand COMPOSITED
+    * frame read so a foreign/hostile payload can never exhaust executor
+    * heap:
+    *
+    *  - [[readMeta]] walks per-frame metadata (GraphicControlExtension
+    *    delay/disposal/transparency + ImageDescriptor rect) without
+    *    decoding a single pixel; duration and frame selection run off it.
+    *  - [[compositedFrame]] decodes exactly the frames needed to DISPLAY
+    *    index `idx` per the GIF89a disposal model (doNotDispose /
+    *    restoreToBackgroundColor / restoreToPrevious, partial-rect frames
+    *    drawn at their ImageDescriptor offset onto a logical-screen
+    *    canvas), holding one canvas + one frame at a time. A frame that
+    *    covers the full canvas with no transparency resets the
+    *    composition, so the loop starts at the LAST such frame ≤ idx —
+    *    O(1) decodes for full-frame GIFs (everything
+    *    [[syntheticAnimatedGif]] writes), O(run-of-partial-frames) for
+    *    optimized ones.
+    *  - Both passes are capped at [[MaxFrames]] frames: a crafted GIF
+    *    with thousands of frames contributes only its first MaxFrames to
+    *    duration/sampling — a documented hostile-input ceiling, loudly
+    *    bounded rather than silently unbounded.
+    *
+    * Delay semantics unchanged: centiseconds → ms; a frame with no/zero
+    * delay contributes 0 (the degrade-gracefully convention for foreign
+    * single-frame GIFs). None for anything the reader cannot parse —
+    * callers fall back to their single-image / sentinel paths. */
   private[multimodal] object GifMedia {
-    def read(content: Array[Byte])
-        : Option[(IndexedSeq[java.awt.image.BufferedImage], IndexedSeq[Long])] = {
+    /** Hard ceiling on frames considered per payload (4× the sampling
+      * grid's 64-frame default): bounds both the metadata walk and the
+      * compositing loop against hostile frame counts. */
+    val MaxFrames = 256
+
+    /** Pixel cap for the logical screen (width·height): a crafted
+      * 65535×65535 screen descriptor would otherwise allocate a 17 GB
+      * ARGB canvas per row in flight. 64 MP ≈ 256 MB canvas, far above
+      * any real GIF. */
+    val MaxCanvasPixels: Long = 64L * 1024 * 1024
+
+    final case class FrameMeta(delayMs: Long, disposal: String,
+                               left: Int, top: Int, width: Int, height: Int,
+                               transparent: Boolean) {
+      /** True when displaying this frame makes every earlier frame
+        * invisible: full-canvas rect, no transparent palette entry. */
+      def coversCanvas(cw: Int, ch: Int): Boolean =
+        !transparent && left == 0 && top == 0 && width >= cw && height >= ch
+    }
+    final case class Meta(width: Int, height: Int, frames: IndexedSeq[FrameMeta]) {
+      def durationMs: Long = frames.iterator.map(_.delayMs).sum
+    }
+
+    private def withReader[A](content: Array[Byte])(
+        f: javax.imageio.ImageReader => Option[A]): Option[A] = {
       if (!isGif(content)) return None
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -195,42 +258,142 @@ object Multimodal {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
           if (!readers.hasNext) return None
           val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val n = reader.getNumImages(true)
-            if (n <= 0) return None
-            val frames = Vector.newBuilder[java.awt.image.BufferedImage]
-            val delays = Vector.newBuilder[Long]
-            var i = 0
-            while (i < n) {
-              frames += reader.read(i)
-              delays += delayMs(reader.getImageMetadata(i))
-              i += 1
-            }
-            Some((frames.result(), delays.result()))
-          } finally reader.dispose()
+          try { reader.setInput(iis); f(reader) } finally reader.dispose()
         } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
-    private def delayMs(meta: javax.imageio.metadata.IIOMetadata): Long = {
-      val fmt = "javax_imageio_gif_image_1.0"
-      if (!meta.getMetadataFormatNames.contains(fmt)) return 0L
-      val root = meta.getAsTree(fmt)
-      val kids = root.getChildNodes
-      var i = 0
-      while (i < kids.getLength) {
-        val k = kids.item(i)
-        if (k.getNodeName == "GraphicControlExtension") {
-          val at = k.getAttributes.getNamedItem("delayTime")
-          if (at != null) {
-            return try math.max(0L, at.getNodeValue.toLong) * 10L
-            catch { case _: NumberFormatException => 0L }
+    /** Metadata-only read: logical-screen dims (grown to cover any
+      * frame rect, so off-screen frames stay drawable) + per-frame
+      * delay/disposal/rect/transparency. No pixel data is decoded. */
+    def readMeta(content: Array[Byte]): Option[Meta] =
+      withReader(content)(readMetaOf)
+
+    /** The frame as DISPLAYED at index `idx`: frames composited per their
+      * disposal methods onto a logical-screen ARGB canvas (undrawn /
+      * disposed-to-background pixels are transparent → luma 0). Memory is
+      * one canvas + one decoded frame; decodes start at the last
+      * canvas-covering frame ≤ idx. */
+    def compositedFrame(content: Array[Byte], idx: Int)
+        : Option[java.awt.image.BufferedImage] = withReader(content) { reader =>
+      readMetaOf(reader).flatMap { meta =>
+        if (idx < 0 || idx >= meta.frames.length) None
+        else try {
+          val start = (idx to 0 by -1).find(i =>
+            meta.frames(i).coversCanvas(meta.width, meta.height)).getOrElse(0)
+          var canvas = new java.awt.image.BufferedImage(
+            meta.width, meta.height, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          var i = start
+          while (i <= idx) {
+            val fm = meta.frames(i)
+            // restoreToPrevious reverts to the canvas BEFORE this frame
+            // drew — snapshot only when the disposal actually needs it
+            val snapshot =
+              if (i < idx && fm.disposal == "restoreToPrevious") {
+                val c = new java.awt.image.BufferedImage(
+                  meta.width, meta.height,
+                  java.awt.image.BufferedImage.TYPE_INT_ARGB)
+                val g = c.createGraphics()
+                try g.drawImage(canvas, 0, 0, null) finally g.dispose()
+                Some(c)
+              } else None
+            val frame = reader.read(i)
+            val g = canvas.createGraphics()
+            try g.drawImage(frame, fm.left, fm.top, null) finally g.dispose()
+            if (i < idx) fm.disposal match {
+              case "restoreToBackgroundColor" =>
+                // GIF background "color" renders as transparent in every
+                // modern viewer (the background index is palette-local)
+                val g2 = canvas.createGraphics()
+                try {
+                  g2.setComposite(java.awt.AlphaComposite.Clear)
+                  g2.fillRect(fm.left, fm.top, fm.width, fm.height)
+                } finally g2.dispose()
+              case "restoreToPrevious" => snapshot.foreach(canvas = _)
+              case _ => () // none / doNotDispose / unknown: leave as drawn
+            }
+            i += 1
           }
-        }
-        i += 1
+          Some(canvas)
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
-      0L
+    }
+
+    /** [[readMeta]] body against an already-open reader (shared by the
+      * compositing pass so one open serves both metadata and pixels). */
+    private def readMetaOf(reader: javax.imageio.ImageReader): Option[Meta] =
+      try {
+        val n = math.min(reader.getNumImages(true), MaxFrames)
+        if (n <= 0) None
+        else {
+          val frames = Vector.tabulate(n) { i =>
+            frameMeta(reader.getImageMetadata(i),
+              reader.getWidth(i), reader.getHeight(i))
+          }
+          val (sw, sh) = screenDims(reader)
+          val w = math.max(sw, frames.iterator.map(f => f.left + f.width).max)
+          val h = math.max(sh, frames.iterator.map(f => f.top + f.height).max)
+          if (w.toLong * h > MaxCanvasPixels) None
+          else Some(Meta(w, h, frames))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def screenDims(reader: javax.imageio.ImageReader): (Int, Int) =
+      try {
+        val sm = reader.getStreamMetadata
+        val fmt = "javax_imageio_gif_stream_1.0"
+        if (sm == null || !sm.getMetadataFormatNames.contains(fmt)) (0, 0)
+        else {
+          val kids = sm.getAsTree(fmt).getChildNodes
+          var i = 0
+          while (i < kids.getLength) {
+            val k = kids.item(i)
+            if (k.getNodeName == "LogicalScreenDescriptor") {
+              val at = k.getAttributes
+              def v(name: String): Int = {
+                val a = at.getNamedItem(name)
+                if (a == null) 0
+                else try math.max(0, a.getNodeValue.toInt)
+                catch { case _: NumberFormatException => 0 }
+              }
+              return (v("logicalScreenWidth"), v("logicalScreenHeight"))
+            }
+            i += 1
+          }
+          (0, 0)
+        }
+      } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+
+    private def frameMeta(meta: javax.imageio.metadata.IIOMetadata,
+                          w: Int, h: Int): FrameMeta = {
+      val fmt = "javax_imageio_gif_image_1.0"
+      var delay = 0L; var disposal = "none"; var transparent = false
+      var left = 0; var top = 0
+      if (meta.getMetadataFormatNames.contains(fmt)) {
+        val kids = meta.getAsTree(fmt).getChildNodes
+        var i = 0
+        while (i < kids.getLength) {
+          val k = kids.item(i)
+          def attr(name: String): Option[String] =
+            Option(k.getAttributes.getNamedItem(name)).map(_.getNodeValue)
+          k.getNodeName match {
+            case "GraphicControlExtension" =>
+              delay = attr("delayTime")
+                .flatMap(_.toLongOption).map(d => math.max(0L, d) * 10L)
+                .getOrElse(0L)
+              disposal = attr("disposalMethod").getOrElse("none")
+              transparent = attr("transparentColorFlag").exists(_.toBoolean)
+            case "ImageDescriptor" =>
+              left = attr("imageLeftPosition").flatMap(_.toIntOption)
+                .map(math.max(0, _)).getOrElse(0)
+              top = attr("imageTopPosition").flatMap(_.toIntOption)
+                .map(math.max(0, _)).getOrElse(0)
+            case _ => ()
+          }
+          i += 1
+        }
+      }
+      FrameMeta(delay, disposal, left, top, w, h, transparent)
     }
   }
 
@@ -403,6 +566,14 @@ object Multimodal {
     * 16-bin envelope straight from the sample formula with no audio
     * library, so the decode only matches if [[WavPcmDecoder]] genuinely
     * parses the container and reads PCM samples. */
+  /** Deterministic synthetic MJPEG-in-AVI clip — see [[AviMjpeg.synthetic]]
+    * (hand-assembled RIFF/AVI container, bit-exact 16×16-tile JPEG frames,
+    * the scaffolding the q157 verify query and its independent golden
+    * generator both derive from). */
+  def syntheticMjpegAvi(seed: Long, w: Int, h: Int, nFrames: Int,
+                        rate: Int, scale: Int = 1): Array[Byte] =
+    AviMjpeg.synthetic(seed, w, h, nFrames, rate, scale)
+
   def syntheticWavPcm16(seed: Long, sampleRate: Int, channels: Int,
                         nFrames: Int): Array[Byte] = {
     require(sampleRate > 0 && channels > 0 && nFrames > 0,
@@ -632,38 +803,61 @@ object Multimodal {
 
   /** A STILL image is its only frame: the payload comes back verbatim
     * (duration 0 means exactly one frame at ts 0). An ANIMATED GIF
-    * samples its REAL frames: the frame whose delay window contains
-    * `tsMs` (past the end → the last frame), re-encoded as PNG — each
-    * emitted frame is a standalone still the rest of the image pipeline
-    * (decode, resize) consumes directly. frameAt re-reads the container
-    * per sampled ts (the iterator-to-iterator shape holds no per-payload
-    * cache), so a k-frame GIF sampled k times decodes O(k²) frames —
-    * bounded by `maxFrames` ≤ 64, and GIFs this path exists for are
-    * small; a JNI/FFmpeg sampler would swap in with per-payload state.
-    * Audio/video delegate to [[StubFrameSampler]] (no JDK codec). */
+    * samples its REAL frames AS DISPLAYED: the frame whose delay window
+    * contains `tsMs` (past the end → the last frame), composited per the
+    * GIF disposal model ([[GifMedia.compositedFrame]] — an optimized
+    * partial-rect frame samples as the full composed still, not a
+    * fragment) and re-encoded as PNG — each emitted frame is a
+    * standalone still the rest of the image pipeline (decode, resize)
+    * consumes directly. frameAt re-reads the container per sampled ts
+    * (the iterator-to-iterator shape holds no per-payload cache): frame
+    * selection is a metadata-only walk, and compositing decodes from the
+    * last canvas-covering frame — O(1) decodes per sample for full-frame
+    * GIFs, one canvas + one frame resident either way; a JNI/FFmpeg
+    * sampler would swap in with per-payload state. VIDEO samples REAL
+    * MJPEG-AVI frames ([[AviMjpeg]]: metadata-only chunk index, one
+    * JPEG decoded per sample, the frame on screen at `tsMs` per the
+    * strh clock); audio delegates to [[StubFrameSampler]] (a PCM
+    * "frame" has no still-image reading). */
   object ImageFrameSampler extends FrameSampler {
+    /** Flatten to plain RGB and PNG-encode — shared by the GIF and AVI
+      * paths: the JDK PNG writer mangles INDEXED frames (measured: raw
+      * palette indices written as gray samples — pixel 47 came back
+      * 119), and flattening an ARGB canvas makes undrawn pixels black —
+      * the same "transparent = luma 0" convention the decoder's grid
+      * uses. */
+    private def pngStill(f: java.awt.image.BufferedImage): Array[Byte] = {
+      val rgb = new java.awt.image.BufferedImage(
+        f.getWidth, f.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = rgb.createGraphics()
+      try g.drawImage(f, 0, 0, null) finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(rgb, "png", bos)
+      bos.toByteArray
+    }
+
     def frameAt(modality: String, content: Array[Byte], tsMs: Long): Array[Byte] = {
+      if (modality == "video") {
+        // each emitted frame is a standalone PNG still; unparseable
+        // payloads come back verbatim (the undecodable-GIF convention)
+        return AviMjpeg.read(content)
+          .flatMap(v => v.frame(v.frameIndexAt(tsMs)))
+          .map(pngStill).getOrElse(content)
+      }
       if (modality != "image") return StubFrameSampler.frameAt(modality, content, tsMs)
       if (!isGif(content)) return content
-      GifMedia.read(content) match {
+      GifMedia.readMeta(content) match {
         case None => content // undecodable GIF: verbatim, like a still
-        case Some((frames, delays)) =>
+        case Some(meta) =>
           var idx = 0; var cum = 0L
-          while (idx < frames.length - 1 && cum + delays(idx) <= tsMs) {
-            cum += delays(idx); idx += 1
+          while (idx < meta.frames.length - 1 &&
+              cum + meta.frames(idx).delayMs <= tsMs) {
+            cum += meta.frames(idx).delayMs; idx += 1
           }
-          // copy to plain RGB before encoding: the JDK PNG writer mangles
-          // a GIF reader's INDEXED frames (measured: raw palette indices
-          // written as gray samples — pixel 47 came back 119); drawImage
-          // resolves every pixel through the palette exactly
-          val f = frames(idx)
-          val rgb = new java.awt.image.BufferedImage(
-            f.getWidth, f.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = rgb.createGraphics()
-          try g.drawImage(f, 0, 0, null) finally g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(rgb, "png", bos)
-          bos.toByteArray
+          GifMedia.compositedFrame(content, idx) match {
+            case None => content
+            case Some(f) => pngStill(f)
+          }
       }
     }
   }

@@ -13,11 +13,13 @@ import graft.multimodal.Multimodal
  * ([[Multimodal.extractFeatures]] / [[Multimodal.resize]] /
  * [[Multimodal.sampleFrames]]) — the YAML surface for the multimodal
  * family, mirroring how `dedup_embedding` exposes the ANN engine. Image
- * decode/resize, animated-GIF duration/frame sampling, and audio
- * decode/resample are REAL (JDK codecs + in-house PCM DSP); only video
- * byte→sample decode remains the documented stub seam. The Spark-side
- * plumbing — schema, iterator-to-iterator decode, streamwise 1→N frame
- * explode — is the tested production shape throughout.
+ * decode/resize, animated-GIF compositing/duration/frame sampling,
+ * audio decode/resample, and MJPEG-in-AVI video decode/frame sampling
+ * are all REAL (JDK codecs + in-house RIFF/PCM parsing and DSP);
+ * payloads no JDK codec can parse (e.g. H.264 video) yield the explicit
+ * (-1, -1) sentinel, never fake dimensions. The Spark-side plumbing —
+ * schema, iterator-to-iterator decode, streamwise 1→N frame explode —
+ * is the tested production shape throughout.
  *
  * {{{
  * - name: image-features

@@ -269,6 +269,141 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.ImageFrameSampler.frameAt("image", still, 0L) shouldBe still
   }
 
+  /** Write an animated GIF where each frame is a constant-gray rect at an
+    * explicit ImageDescriptor offset with an explicit disposal method —
+    * the inter-frame-optimized shape foreign GIFs use. Identity gray
+    * palette (the syntheticAnimatedGif trick) keeps pixel values exact. */
+  private def optimizedGif(
+      frames: Seq[(Int, Int, Int, Int, String, Int)], delayCs: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for ((w, h, left, top, disposal, gray) <- frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        for (y <- 0 until h; x <- 0 until w)
+          img.getRaster.setSample(x, y, 0, gray)
+        val meta = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+          writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val lct = new javax.imageio.metadata.IIOMetadataNode("LocalColorTable")
+        lct.setAttribute("sizeOfLocalColorTable", "256")
+        lct.setAttribute("sortFlag", "FALSE")
+        for (ci <- 0 until 256) {
+          val e = new javax.imageio.metadata.IIOMetadataNode("ColorTableEntry")
+          e.setAttribute("index", ci.toString)
+          e.setAttribute("red", ci.toString)
+          e.setAttribute("green", ci.toString)
+          e.setAttribute("blue", ci.toString)
+          lct.appendChild(e)
+        }
+        root.appendChild(lct)
+        val gce = new javax.imageio.metadata.IIOMetadataNode(
+          "GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disposal)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delayCs.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        // the frame's placement on the logical screen — what makes this
+        // GIF "optimized": frames > 0 carry only their changed rect
+        val desc = new javax.imageio.metadata.IIOMetadataNode("ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        desc.setAttribute("imageWidth", w.toString)
+        desc.setAttribute("imageHeight", h.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        root.appendChild(desc)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("GIF disposal compositing: partial-rect frames sample as the full " +
+    "composed still under doNotDispose / restoreToBackgroundColor / " +
+    "restoreToPrevious") {
+    // screen 8x8 (from frame 0); then three optimized partial frames
+    val gif = optimizedGif(Seq(
+      (8, 8, 0, 0, "doNotDispose", 10),              // f0: full canvas
+      (4, 4, 2, 2, "restoreToBackgroundColor", 200), // f1: patch, then clear
+      (2, 2, 0, 0, "restoreToPrevious", 50),         // f2: corner, then revert
+      (1, 1, 7, 7, "none", 99)),                     // f3: single pixel
+      delayCs = 10)
+    def gray(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+      val p = img.getRGB(x, y)
+      if ((p >>> 24) == 0) -1 else p & 0xFF // -1 = transparent (never drawn)
+    }
+    val meta = Multimodal.GifMedia.readMeta(gif).get
+    meta.width shouldBe 8
+    meta.height shouldBe 8
+    meta.frames.map(_.disposal) shouldBe Vector("doNotDispose",
+      "restoreToBackgroundColor", "restoreToPrevious", "none")
+    meta.frames.map(f => (f.left, f.top)) shouldBe
+      Vector((0, 0), (2, 2), (0, 0), (7, 7))
+    meta.durationMs shouldBe 400L
+    def at(i: Int) = Multimodal.GifMedia.compositedFrame(gif, i).get
+    // display(0): the full frame
+    gray(at(0), 0, 0) shouldBe 10
+    gray(at(0), 3, 3) shouldBe 10
+    // display(1): f0 still visible outside the patch, 200 inside it
+    val d1 = at(1)
+    gray(d1, 0, 0) shouldBe 10
+    gray(d1, 3, 3) shouldBe 200
+    gray(d1, 5, 5) shouldBe 200
+    gray(d1, 6, 6) shouldBe 10
+    // display(2): f1's rect was restored to background (transparent),
+    // f2's 2x2 corner drawn on top of the remaining f0 canvas
+    val d2 = at(2)
+    gray(d2, 0, 0) shouldBe 50
+    gray(d2, 1, 1) shouldBe 50
+    gray(d2, 3, 3) shouldBe -1 // cleared by f1's disposal, never redrawn
+    gray(d2, 6, 6) shouldBe 10
+    // display(3): f2 was restored-to-previous (its corner vanishes),
+    // f3's single pixel lands at (7,7)
+    val d3 = at(3)
+    gray(d3, 0, 0) shouldBe 10
+    gray(d3, 3, 3) shouldBe -1
+    gray(d3, 7, 7) shouldBe 99
+    // the SAMPLER surfaces the composed stills (flattened: transparent →
+    // black), not stored fragments: ts 250 ms lands in f2's window
+    val png = Multimodal.ImageFrameSampler.frameAt("image", gif, 250L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    img.getWidth shouldBe 8 // full canvas, not f2's stored 2x2
+    (img.getRGB(0, 0) & 0xFF) shouldBe 50
+    (img.getRGB(3, 3) & 0xFF) shouldBe 0  // transparent flattens to black
+    (img.getRGB(6, 6) & 0xFF) shouldBe 10
+    // and extractFeatures reports the composited frame 0 + full duration
+    val feat = Multimodal.ImageIODecoder.decode("image", gif)
+    feat._1 shouldBe 8
+    feat._3 shouldBe 400L
+    feat._4.head shouldBe 10f // cell (0,0) of the composed f0
+  }
+
+  test("hostile GIFs are bounded: frame count capped at GifMedia.MaxFrames " +
+    "for duration and sampling; oversized screen descriptors are refused") {
+    // 300 1x1 frames: metadata walk and duration stop at MaxFrames=256
+    val many = optimizedGif(
+      (0 until 300).map(i => (1, 1, 0, 0, "none", i % 256)), delayCs = 10)
+    val meta = Multimodal.GifMedia.readMeta(many).get
+    meta.frames.length shouldBe Multimodal.GifMedia.MaxFrames
+    meta.durationMs shouldBe Multimodal.GifMedia.MaxFrames * 100L
+    // compositing past the cap is refused, inside it works
+    Multimodal.GifMedia.compositedFrame(many, 299) shouldBe None
+    Multimodal.GifMedia.compositedFrame(many, 0) should not be None
+  }
+
   test("resize keeps the media schema, re-encodes payload, updates metadata") {
     val resized = Multimodal.resize(media, 128, 96)
     resized.schema.simpleString shouldBe Multimodal.mediaSchema.simpleString
@@ -282,22 +417,81 @@ class MultimodalSpec extends SparkTestBase {
     bytes(0) should not equal bytes(1)
   }
 
-  test("frame sampling: images yield one frame, audio/video one per interval, bounded") {
+  test("frame sampling: images yield one frame, video one per interval, bounded") {
+    // a REAL clip: 48 frames at 12 fps = 4000 ms → 1000 ms grid = 5 points
+    val avi = Multimodal.syntheticMjpegAvi(9L, 16, 16, nFrames = 48, rate = 12)
     val video = Multimodal.asMediaFrame(
-      Seq((9L, "some-video-payload", "s3://bucket/v.mp4")).toDF("id", "body", "uri")
-        .select(col("id"), encode(col("body"), "UTF-8").as("bytes"), col("uri")),
+      Seq((9L, avi, "s3://bucket/v.avi")).toDF("id", "bytes", "uri"),
       "id", "bytes", "video", "uri")
     val frames = Multimodal.sampleFrames(video, everyMs = 1000, maxFrames = 16)
     frames.schema shouldBe Multimodal.frameSchema
     val n = frames.count()
-    n should be >= 2L   // stub durations are >= 1000 ms for video
-    n should be <= 16L  // maxFrames cap
+    n shouldBe 5L // 0..4000 ms inclusive
     frames.select("ts_ms").as[Long].collect().sorted shouldBe
       (0L until n).map(_ * 1000L).toArray
+    // an UNPARSEABLE video payload decodes to the sentinel (duration 0)
+    // → exactly one frame, returned verbatim — never stub fabrication
+    val junk = Multimodal.asMediaFrame(
+      Seq((1L, "some-video-payload", "s3://bucket/v.mp4")).toDF("id", "body", "uri")
+        .select(col("id"), encode(col("body"), "UTF-8").as("bytes"), col("uri")),
+      "id", "bytes", "video", "uri")
+    val junkFrames = Multimodal.sampleFrames(junk, everyMs = 1000).collect()
+    junkFrames.length shouldBe 1
+    new String(junkFrames.head.getAs[Array[Byte]]("frame"),
+      "UTF-8") shouldBe "some-video-payload"
     // images: single frame at ts 0
     Multimodal.sampleFrames(media, everyMs = 1000)
       .groupBy("media_id").count().select("count").as[Long].collect()
       .foreach(_ shouldBe 1L)
+  }
+
+  test("REAL MJPEG-in-AVI decode: container parse, strh clock duration, " +
+    "per-frame JPEG pixels, mid-stream sampling, sentinel on junk") {
+    // 5 frames at 10 fps, 32x16: tile (qx,qy) of frame f has gray
+    // (3*31 + 7qx + 13qy + 17f) % 256
+    val avi = Multimodal.syntheticMjpegAvi(3L, 32, 16, nFrames = 5, rate = 10)
+    def tile(qx: Int, qy: Int, f: Int): Int =
+      java.lang.Math.floorMod(3L * 31 + 7 * qx + 13 * qy + 17 * f, 256L).toInt
+    val v = AviMjpeg.read(avi).get
+    v.frameCount shouldBe 5
+    v.durationMs shouldBe 500L
+    // frame clock: ts → floor(ts·rate/1000·scale), clamped at the end
+    v.frameIndexAt(0L) shouldBe 0
+    v.frameIndexAt(99L) shouldBe 0
+    v.frameIndexAt(100L) shouldBe 1
+    v.frameIndexAt(250L) shouldBe 2
+    v.frameIndexAt(99999L) shouldBe 4
+    // JPEG pixels are BIT-EXACT at q=1.0 with 16-aligned constant tiles
+    for (f <- 0 until 5) {
+      val img = v.frame(f).get
+      img.getWidth shouldBe 32
+      img.getHeight shouldBe 16
+      (img.getRGB(0, 0) & 0xFF) shouldBe tile(0, 0, f)
+      (img.getRGB(17, 3) & 0xFF) shouldBe tile(1, 0, f)
+      (img.getRGB(31, 15) & 0xFF) shouldBe tile(1, 0, f)
+    }
+    // decoder routing: true dims, strh duration, frame-0 luma grid
+    val (w, h, dur, feat) = Multimodal.ImageIODecoder.decode("video", avi)
+    (w, h, dur) shouldBe ((32, 16, 500L))
+    feat.length shouldBe 16
+    feat(0) shouldBe tile(0, 0, 0).toFloat  // cell (0,0): inside tile 0
+    feat(3) shouldBe tile(1, 0, 0).toFloat  // cell (0,3): x in [24,32) → qx 1
+    // sampler: the emitted PNG still carries the RIGHT frame's pixels
+    val png = Multimodal.ImageFrameSampler.frameAt("video", avi, 250L)
+    val still = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    (still.getRGB(0, 0) & 0xFF) shouldBe tile(0, 0, 2)
+    (still.getRGB(20, 5) & 0xFF) shouldBe tile(1, 0, 2)
+    // junk payloads: the explicit sentinel, never fake dimensions
+    val junk = Multimodal.ImageIODecoder.decode("video", "nope".getBytes("UTF-8"))
+    (junk._1, junk._2, junk._3) shouldBe ((-1, -1, 0L))
+    junk._4 shouldBe empty
+    // a RIFF that is not AVI (the WAV container) is refused too
+    Multimodal.ImageIODecoder.decode("video",
+      Multimodal.syntheticWavPcm16(1L, 8000, 1, 100))._1 shouldBe -1
+    // truncated mid-chunk: parse stops cleanly at the damage
+    Multimodal.ImageIODecoder.decode("video",
+      avi.take(avi.length / 2))._1 should (be(-1).or(be(32)))
   }
 
   test("null payloads decode as empty bytes instead of crashing") {
