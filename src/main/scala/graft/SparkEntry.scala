@@ -1496,13 +1496,15 @@ object SparkEntry {
             ",").as("envelope"))
     }),
     // REAL audio resample, golden-real oracle: q153's synthetic WAVs
-    // (every sample from the doc_id formula) resampled to 6 kHz mono by
-    // the linear-interpolation/mixdown DSP, then re-decoded; the fixture
-    // generator (tools/gen_golden_q156.py) replays mixdown → interp →
-    // half-up rounding → envelope straight from the sample formula with
-    // no audio library — the match only holds if the resampler's
-    // arithmetic (and the output WAV container it hand-assembles) is
-    // exactly as stated
+    // (every sample from the doc_id formula) resampled to 6 kHz mono —
+    // mixdown, then the ANTI-ALIASING integer-quantized windowed-sinc
+    // low-pass (armed on every row here: all source rates exceed 6 kHz),
+    // then linear interpolation — and re-decoded; the fixture generator
+    // (tools/gen_golden_q156.py) replays mixdown → exact-integer FIR →
+    // interp → half-up rounding → envelope straight from the sample
+    // formula with no audio library — the match only holds if the
+    // resampler's DSP (and the output WAV container it hand-assembles)
+    // is exactly as stated
     "q156_multimodal_resample" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val wav = udf((id: Long) => graft.multimodal.Multimodal.syntheticWavPcm16(
@@ -2915,12 +2917,14 @@ object SparkEntry {
          JOIN read_parquet('/root/repo/src/test/resources/golden/q153_multimodal_audio.parquet') g
            ON g.doc_id = d.doc_id
          WHERE d.doc_id < 100""",
-    // the audio resample is REAL DSP (linear interpolation + channel
-    // mixdown over the parsed PCM16 stream, re-assembled as a WAV): the
-    // oracle joins a fixture whose every envelope value was recomputed by
-    // an INDEPENDENT Python replay of mixdown → interpolation → half-up
-    // rounding from the sample formula (tools/gen_golden_q156.py, no
-    // audio library). Keyed on doc_id only (q31's reasoning)
+    // the audio resample is REAL DSP (channel mixdown + anti-aliasing
+    // integer-quantized windowed-sinc low-pass + linear interpolation
+    // over the parsed PCM16 stream, re-assembled as a WAV): the oracle
+    // joins a fixture whose every envelope value was recomputed by an
+    // INDEPENDENT Python replay of mixdown → exact-integer FIR →
+    // interpolation → half-up rounding from the sample formula
+    // (tools/gen_golden_q156.py, no audio library). Keyed on doc_id only
+    // (q31's reasoning)
     "q156_multimodal_resample" ->
       """SELECT d.doc_id AS media_id, g.sample_rate, g.channels,
                 g.duration_ms, g.envelope

@@ -646,19 +646,32 @@ object Multimodal {
     * `extractFeatures` reports the same mapping back as width/height).
     * The JDK ships no rate-conversion SPI, so the DSP is done here
     * directly on the parsed PCM16 stream: channel mixdown first
-    * (stereo→mono by average, 1→k by duplication), then linear
-    * interpolation onto the target rate's sample grid — output frame j
-    * reads source position `j · srcRate / dstRate` and rounds
-    * half-up (`Math.rint`-free: floor(v + 0.5), engine-reproducible),
-    * preserving duration to the frame granularity. Output is a fresh
-    * hand-assembled PCM16 WAV ([[syntheticWavPcm16]]'s container), so a
-    * re-decode reports exactly the target rate/channels. Payloads the
-    * WAV parser rejects (and non-audio modalities) delegate to
-    * [[ImageIOResizer]]'s routing. Linear interpolation is the honest
-    * baseline (alias-free only below Nyquist of the TARGET rate — the
-    * usual caveat); a polyphase filter would swap in behind the same
-    * signature. */
+    * (stereo→mono by average, 1→k by duplication), then — when
+    * DOWNSAMPLING — an anti-aliasing low-pass (content above the target
+    * Nyquist would otherwise fold into the band at full amplitude):
+    * a Hann-windowed sinc FIR at cutoff dstRate/2, half-width
+    * [[FilterHalfWidth]] taps, edge samples clamped (replicated).
+    * Tap values are INTEGER-QUANTIZED at 2^20 and normalized by their
+    * exact integer sum, so the convolution runs in exact Long
+    * arithmetic and the result is bit-reproducible by the
+    * golden-fixture generator's integer replay (the WavPcmDecoder
+    * float-parity discipline) — and DC gain is exactly 1, so constant
+    * signals pass through untouched. Then linear interpolation onto the
+    * target rate's sample grid — output frame j reads source position
+    * `j · srcRate / dstRate` and rounds half-up (`Math.rint`-free:
+    * floor(v + 0.5), engine-reproducible), preserving duration to the
+    * frame granularity. Upsampling applies no filter (nothing can
+    * alias). Output is a fresh hand-assembled PCM16 WAV
+    * ([[syntheticWavPcm16]]'s container), so a re-decode reports
+    * exactly the target rate/channels. Payloads the WAV parser rejects
+    * (and non-audio modalities) delegate to [[ImageIOResizer]]'s
+    * routing. */
   object WavPcmResizer extends MediaResizer {
+    /** Half-width K of the anti-aliasing FIR (2K+1 taps, Hann window
+      * zeroing the edges): ~44 dB stopband with a transition band of
+      * ≈ 3.3/(2K+1) of the source rate — the classic windowed-sinc
+      * trade-off; raise for sharper cutoff at linearly more CPU. */
+    val FilterHalfWidth = 16
     def resize(modality: String, content: Array[Byte], targetW: Int,
                targetH: Int): Array[Byte] = {
       if (modality != "audio")
@@ -682,6 +695,44 @@ object Multimodal {
         while (c < srcCh) { s += sample(frame, c); c += 1 }
         s / srcCh
       }
+      // anti-aliasing low-pass, DOWNSAMPLING ONLY: integer-quantized
+      // Hann-windowed sinc over the channel-SUM stream (exact Long
+      // convolution; edge frames clamp-replicate), normalized by the
+      // exact tap sum then the channel count — two IEEE divisions the
+      // fixture generator replays bit-identically. StrictMath keeps the
+      // tap values platform-independent.
+      val filteredMixed: Int => Double =
+        if (targetW >= srcRate) mixed
+        else {
+          val k = FilterHalfWidth
+          val fc = targetW / (2.0 * srcRate)
+          val q = new Array[Long](2 * k + 1)
+          var t = -k
+          while (t <= k) {
+            val c =
+              if (t == 0) 2 * fc
+              else StrictMath.sin(2 * math.Pi * fc * t) / (math.Pi * t)
+            val w = 0.5 + 0.5 * StrictMath.cos(math.Pi * t / k.toDouble)
+            q(t + k) = math.floor(c * w * (1 << 20) + 0.5).toLong
+            t += 1
+          }
+          val sumQ = q.sum
+          def chanSum(frame: Int): Long = {
+            val f = math.max(0, math.min(frames - 1, frame))
+            var s = 0L; var c = 0
+            while (c < srcCh) { s += sample(f, c); c += 1 }
+            s
+          }
+          val m = new Array[Double](frames)
+          var i = 0
+          while (i < frames) {
+            var acc = 0L; var tt = -k
+            while (tt <= k) { acc += q(tt + k) * chanSum(i + tt); tt += 1 }
+            m(i) = acc.toDouble / sumQ / srcCh
+            i += 1
+          }
+          m(_)
+        }
       val outFrames = math.max(1,
         (frames.toLong * targetW / srcRate).toInt)
       val out = new Array[Short](outFrames)
@@ -691,7 +742,7 @@ object Multimodal {
         val i0 = math.min(frames - 1, pos.toInt)
         val i1 = math.min(frames - 1, i0 + 1)
         val frac = pos - i0
-        val v = mixed(i0) * (1.0 - frac) + mixed(i1) * frac
+        val v = filteredMixed(i0) * (1.0 - frac) + filteredMixed(i1) * frac
         out(j) = math.max(-32768.0, math.min(32767.0,
           math.floor(v + 0.5))).toShort
         j += 1

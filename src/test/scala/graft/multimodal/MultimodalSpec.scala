@@ -174,7 +174,15 @@ class MultimodalSpec extends SparkTestBase {
       val i = j * 2
       ((parsed._4(i + 1) << 8) | (parsed._4(i) & 0xFF)).toShort.toInt
     }
-    samples.toSeq shouldBe (0 until 50).map(_ * 2)
+    // the anti-aliasing FIR is symmetric with EXACT integer-sum DC
+    // normalization, so a linear ramp passes through EXACTLY in the
+    // interior (first moment is zero by tap symmetry); only the
+    // clamp-replicated edge region (K source samples wide) may deviate,
+    // and then only slightly
+    val k = Multimodal.WavPcmResizer.FilterHalfWidth
+    val interior = (k / 2) until (50 - k / 2 - 1)
+    interior.foreach { j => samples(j) shouldBe j * 2 }
+    samples.indices.foreach { j => math.abs(samples(j) - j * 2) should be <= 5 }
     // stereo→mono mixdown averages channels: ch0=1000, ch1=3000 → 2000
     val stereo = {
       val b = java.nio.ByteBuffer.allocate(44 + 100 * 4)
@@ -193,6 +201,35 @@ class MultimodalSpec extends SparkTestBase {
     // undecodable audio degrades to the stub resizer, never an exception
     Multimodal.WavPcmResizer.resize("audio",
       "not audio".getBytes("UTF-8"), 8000, 1).length should be > 0
+    // ANTI-ALIASING: a tone ABOVE the target Nyquist must be attenuated,
+    // not folded into the band at full amplitude; a tone BELOW it passes.
+    // 8 kHz source → 6 kHz target (Nyquist 3000 Hz): 3500 Hz would alias
+    // to 2500 Hz unfiltered (mean |x| ≈ 2/π · A ≈ 1273 for A = 2000).
+    def tone(hz: Double): Array[Byte] = {
+      val n = 2000
+      val b = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(n * 2)
+      (0 until n).foreach { i =>
+        b.putShort(math.round(2000 * math.sin(2 * math.Pi * hz * i / 8000)).toShort)
+      }
+      b.array()
+    }
+    def meanAbs(wav: Array[Byte]): Double = {
+      val p = Multimodal.WavPcmDecoder.parsePcm16(wav).get
+      val n = p._4.length / 2
+      (0 until n).map { i =>
+        math.abs(((p._4(2 * i + 1) << 8) | (p._4(2 * i) & 0xFF)).toShort.toInt)
+      }.sum.toDouble / n
+    }
+    val aliasOut = Multimodal.WavPcmResizer.resize("audio", tone(3500), 6000, 1)
+    meanAbs(aliasOut) should be < 320.0 // ≥ 12 dB down vs the 1273 fold-in
+    val passOut = Multimodal.WavPcmResizer.resize("audio", tone(1000), 6000, 1)
+    meanAbs(passOut) should be > 1000.0 // in-band content survives
     // the declarative transform refuses the image-pixel defaults for
     // audio (224x224 would silently mean "224 Hz, 224 channels")
     import graft.config.TransformConfig
