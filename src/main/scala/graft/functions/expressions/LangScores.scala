@@ -12,33 +12,60 @@ import org.apache.spark.unsafe.types.UTF8String
 /**
  * The trained language-ID model as ONE serializable reference object —
  * the [[BpeEncode]] merges-object pattern. Labels ride sorted ascending;
- * `lnNum(gram)(i)` holds ln(cnt_i(gram) + 1) so a label lacking the gram
- * contributes exactly 0 (ln 1) and grams absent from the store entirely
- * need no lookup at all; `lnDen(i)` holds ln(total_i + V). The smoothed
+ * each gram carries a SPARSE (labelIdx, ln(cnt+1)) pair list (label
+ * indices ascending), so a label lacking the gram contributes exactly 0
+ * (ln 1) with no storage at all and grams absent from the store entirely
+ * need no lookup; `lnDen(i)` holds ln(total_i + V). The smoothed
  * per-label log-likelihood then factors as
- * `score_i = Σ_occurrences lnNum(gram)(i) − n_grams · lnDen(i)` —
+ * `score_i = Σ_occurrences lnNum(gram, i) − n_grams · lnDen(i)` —
  * algebraically identical to Σ tf·ln((cnt+1)/(total+V)) for matched
  * grams plus the all-unseen mass for the rest, with the per-gram ln
  * PRECOMPUTED at model build (no libm call in the row loop).
+ *
+ * Sparsity is the scale contract: footprint is O(store rows), NOT
+ * distinct_grams × labels, so a label-disjoint store (every label its
+ * own vocabulary) costs the same memory as a shared-vocabulary one —
+ * the former dense representation needed the `maxModelCells` ceiling
+ * precisely because that product exploded while every factor looked
+ * bounded. Score values are IDENTICAL to the dense path's (the dense
+ * cells this layout drops were exact 0.0 contributions).
  *
  * Serialization ships plain String/Array fields; the UTF8String-keyed
  * lookup table builds lazily once per executor.
  */
 final class LangLmModel(val labels: Array[String], val lnDen: Array[Double],
-                        gramKeys: Array[String], gramLnNum: Array[Array[Double]])
+                        gramKeys: Array[String],
+                        gramLabelIdx: Array[Array[Int]],
+                        gramLnNum: Array[Array[Double]])
     extends Serializable {
   require(labels.length == lnDen.length)
-  require(gramKeys.length == gramLnNum.length)
+  require(gramKeys.length == gramLabelIdx.length &&
+    gramKeys.length == gramLnNum.length)
   def vocabSize: Int = gramKeys.length
-  @transient lazy val table: java.util.HashMap[UTF8String, Array[Double]] = {
-    val m = new java.util.HashMap[UTF8String, Array[Double]](gramKeys.length * 2)
+  /** Total stored (labelIdx, ln) pairs — the model's real footprint unit:
+    * equals the store's row count, NOT distinct_grams × labels. */
+  def storedPairs: Long = {
+    var s = 0L; var i = 0
+    while (i < gramLabelIdx.length) { s += gramLabelIdx(i).length; i += 1 }
+    s
+  }
+  @transient lazy val table: java.util.HashMap[UTF8String, LangLmModel.Entry] = {
+    val m = new java.util.HashMap[UTF8String, LangLmModel.Entry](gramKeys.length * 2)
     var i = 0
     while (i < gramKeys.length) {
-      m.put(UTF8String.fromString(gramKeys(i)), gramLnNum(i))
+      m.put(UTF8String.fromString(gramKeys(i)),
+        new LangLmModel.Entry(gramLabelIdx(i), gramLnNum(i)))
       i += 1
     }
     m
   }
+}
+
+object LangLmModel {
+  /** One gram's sparse per-label numerators: `idx` ASCENDING label
+    * indices, `ln(k)` = ln(cnt_{idx(k)}(gram) + 1). Ascending order is
+    * load-bearing: [[LmNll]] binary-searches it. */
+  final class Entry(val idx: Array[Int], val ln: Array[Double])
 }
 
 /**
@@ -79,10 +106,12 @@ case class LangScores(child: Expression, model: LangLmModel, n: Int)
     val table = model.table
     var i = 0
     while (i < m) {
-      val v = table.get(grams.getUTF8String(i))
-      if (v != null) {
-        var j = 0
-        while (j < nL) { acc(j) += v(j); j += 1 }
+      val e = table.get(grams.getUTF8String(i))
+      if (e != null) {
+        // sparse: touch only the labels that stored this gram (absent
+        // labels contribute ln(1) = 0 exactly, as the dense path did)
+        var k = 0
+        while (k < e.idx.length) { acc(e.idx(k)) += e.ln(k); k += 1 }
       }
       i += 1
     }
@@ -156,8 +185,12 @@ case class LmNll(child: Expression, model: LangLmModel, labelIdx: Int, n: Int)
     var acc = 0.0
     var i = 0
     while (i < m) {
-      val v = table.get(grams.getUTF8String(i))
-      if (v != null) acc += v(labelIdx)
+      val e = table.get(grams.getUTF8String(i))
+      if (e != null) {
+        // the sparse idx array is ascending by contract — binary search
+        val p = java.util.Arrays.binarySearch(e.idx, labelIdx)
+        if (p >= 0) acc += e.ln(p)
+      }
       i += 1
     }
     java.lang.Double.valueOf(model.lnDen(labelIdx) - acc / m)

@@ -98,9 +98,12 @@ private[operators] object LmDrift {
  * object ([[graft.text.ChargramLm.classify]]). `n`/`minCount`, when
  * given, must match the store's training stamps; `maxLabels` (default
  * 1000) bounds the per-row score vector and `maxModelRows` (default
- * 5000000) the one driver collect. Documents with no grams (null /
- * shorter than the store's n) classify as `"und"` — the `langId`
- * convention.
+ * 5000000) the one driver collect AND the whole in-memory model (the
+ * scoring representation is sparse — O(store rows), one (labelIdx, ln)
+ * pair per row — so no separate cell ceiling exists; the dense-era
+ * `maxModelCells` option is refused with guidance). Documents with no
+ * grams (null / shorter than the store's n) classify as `"und"` — the
+ * `langId` convention.
  *
  * {{{
  * - name: lang
@@ -124,14 +127,21 @@ object LangClassifyTransform extends Transform {
         "per-row projection and needs no id; drop the option")
     val store = Stores.fromView(ctx, config.options("modelView"),
       "modelView", transformType, "chargram_lm")
+    // the scoring model is sparse (O(store rows)); the dense-era cell
+    // ceiling no longer guards anything, and silently accepting it would
+    // imply a bound that isn't enforced (set-but-unused options are
+    // config contradictions, the idColumn discipline above)
+    if (config.options.contains("maxModelCells")) throw new ConfigException(
+      s"$transformType: maxModelCells was the DENSE scoring model's " +
+        "grams × labels ceiling; the model is now sparse — its footprint " +
+        "is O(store rows), bounded by maxModelRows — so the option no " +
+        "longer guards anything; drop it (or tighten maxModelRows)")
     val loaded = ChargramLm.load(store,
       wantN = config.options.get("n").map(_.toInt),
       wantMinCount = config.options.get("minCount").map(_.toLong),
       maxLabels = config.options.get("maxLabels").map(_.toInt).getOrElse(1000),
       maxModelRows = config.options.get("maxModelRows").map(_.toLong)
-        .getOrElse(5000000L),
-      maxModelCells = config.options.get("maxModelCells").map(_.toLong)
-        .getOrElse(32000000L))
+        .getOrElse(5000000L))
     val out = config.options.getOrElse("outputColumn", "lang_pred")
     val scoreCol = config.options.get("scoreColumn")
     // outputColumn == scoreColumn is a self-collision the per-input checks

@@ -111,24 +111,21 @@ object ChargramLm {
    * caller expectations (`wantN` / `wantMinCount` must match the training
    * stamps — a mismatched `n` would slice different grams and score
    * garbage), a `maxLabels` guard (per-label state rides every row's
-   * score vector), a `maxModelRows` guard on the ONE driver collect
+   * score vector), and a `maxModelRows` guard on the ONE driver collect
    * (the store is ≤ labels · alphabet^n rows by construction — the
    * merges/codebook driver-read class — but a mis-pointed view must fail
-   * with guidance, never OOM the driver), and a `maxModelCells` guard on
-   * the product that ACTUALLY allocates: the in-memory model is dense —
-   * one labels-length double vector per DISTINCT gram — so its footprint
-   * is `distinct_grams × labels × 8 B` on the driver AND in every
-   * executor's deserialized plan. maxModelRows and maxLabels each bound
-   * one factor but not the product (a store with label-disjoint
-   * vocabularies can pass both yet need tens of GB); the cell guard
-   * bounds the real allocation. The 32M-cell default is ~256 MB of
-   * doubles — far above any realistic language-ID model (100k grams ×
-   * 100 labels = 10M cells), far below an executor OOM.
+   * with guidance, never OOM the driver). maxModelRows bounds the WHOLE
+   * in-memory model: the scoring representation is SPARSE — each gram
+   * carries only its stored (labelIdx, ln(cnt+1)) pairs, one pair per
+   * store row — so footprint is O(rows · ~16 B) regardless of how
+   * label-disjoint the vocabularies are. (The former dense layout
+   * allocated distinct_grams × labels doubles and needed a separate
+   * `maxModelCells` ceiling for exactly that product; the sparse model
+   * lifted it — scores are identical, the dropped cells were exact 0.0.)
    */
   def load(store: DataFrame, wantN: Option[Int] = None,
            wantMinCount: Option[Long] = None, maxLabels: Int = 1000,
-           maxModelRows: Long = 5000000L,
-           maxModelCells: Long = 32000000L): Loaded = {
+           maxModelRows: Long = 5000000L): Loaded = {
     val missing = Seq("label", "gram", "cnt", "clm_n", "clm_min_count")
       .filterNot(store.columns.contains)
     if (missing.nonEmpty) throw new ConfigException(
@@ -183,28 +180,34 @@ object ChargramLm {
         "appended or unioned store double-counts gram mass and skews " +
         "every score; rebuild it with a single chargram_lm pass")
     val v = rows.iterator.map(_.getString(1)).toSet.size
-    // the DENSE-ALLOCATION guard: everything below this line allocates
-    // distinct_grams × labels doubles — fail on the product, not a factor
-    if (v.toLong * labels.length > maxModelCells) throw new ConfigException(
-      s"chargram_lm store spans $v distinct grams × ${labels.length} " +
-        s"labels = ${v.toLong * labels.length} model cells, above " +
-        s"maxModelCells=$maxModelCells — the scoring model is DENSE " +
-        "(one labels-wide double vector per distinct gram, ~8 B/cell, " +
-        "held on the driver and in every executor's deserialized plan); " +
-        "coarsen n/minCount, split the label set, or raise maxModelCells " +
-        "only if that memory is genuinely intended")
     val totals = new Array[Long](labels.length)
     rows.foreach(r => totals(labelIdx(r.getString(0))) += r.getLong(2))
     val lnDen = totals.map(t => math.log((t + v).toDouble))
-    // gram → per-label ln(cnt+1), precomputed once (no libm in the row loop)
-    val byGram = new scala.collection.mutable.HashMap[String, Array[Double]]()
+    // gram → SPARSE (labelIdx, ln(cnt+1)) pairs, precomputed once (no
+    // libm in the row loop): one pair per store row, so the model costs
+    // O(rows) regardless of how label-disjoint the vocabularies are —
+    // a dense grams × labels layout here needed a separate cell ceiling
+    val byGram = new scala.collection.mutable.HashMap[
+      String, scala.collection.mutable.ArrayBuffer[(Int, Double)]]()
     rows.foreach { r =>
-      val vec = byGram.getOrElseUpdate(r.getString(1),
-        new Array[Double](labels.length))
-      vec(labelIdx(r.getString(0))) = math.log((r.getLong(2) + 1L).toDouble)
+      byGram.getOrElseUpdate(r.getString(1),
+        new scala.collection.mutable.ArrayBuffer[(Int, Double)](4)) +=
+        ((labelIdx(r.getString(0)), math.log((r.getLong(2) + 1L).toDouble)))
     }
-    val (keys, vals) = byGram.toArray.unzip
-    Loaded(new graft.functions.expressions.LangLmModel(labels, lnDen, keys, vals),
+    val keys = new Array[String](byGram.size)
+    val idxs = new Array[Array[Int]](byGram.size)
+    val lns = new Array[Array[Double]](byGram.size)
+    var gi = 0
+    byGram.foreach { case (g, pairs) =>
+      // ascending label index is the Entry contract (LmNll binary-searches)
+      val sorted = pairs.sortInPlace()(Ordering.by(_._1))
+      keys(gi) = g
+      idxs(gi) = sorted.iterator.map(_._1).toArray
+      lns(gi) = sorted.iterator.map(_._2).toArray
+      gi += 1
+    }
+    Loaded(new graft.functions.expressions.LangLmModel(
+        labels, lnDen, keys, idxs, lns),
       gotN, gotMin)
   }
 

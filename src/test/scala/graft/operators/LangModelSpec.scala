@@ -154,17 +154,42 @@ class LangModelSpec extends SparkTestBase {
       .getMessage should include ("maxLabels")
   }
 
-  test("load guards bound the DENSE allocation and refuse appended stores") {
+  test("the sparse model carries label-disjoint stores past the old dense " +
+    "ceiling; the obsolete maxModelCells knob refuses with guidance; " +
+    "appended stores are refused") {
     val docs = Seq((1L, "tenth")).toDF("doc_id", "text")
-    // maxModelCells guards the product that actually allocates
-    // (distinct_grams × labels), which maxModelRows/maxLabels each miss:
-    // this store passes maxLabels=3 and any row cap, yet a tiny cell
-    // budget must refuse it naming the grid
+    // the spec corpus's labels have DISJOINT character inventories, so
+    // distinct_grams × labels (the dense allocation this store needed
+    // under the old layout) is ~3× its row count — under the old
+    // maxModelCells=10-style budget below rows×labels this refused; the
+    // sparse model's footprint is O(rows), so it loads and classifies
     trainStore().createOrReplaceTempView("lm_cells")
+    val loaded = ChargramLm.load(spark.table("lm_cells"))
+    val rowsInStore = spark.table("lm_cells").count()
+    loaded.model.vocabSize.toLong should be <= rowsInStore // sparse: per-row pairs
+    LangClassifyTransform(docs,
+      t("lang_classify", "textColumn" -> "text",
+        "modelView" -> "lm_cells"), ctx)
+      .select("lang_pred").as[String].head() shouldBe "en"
+    // the dense-era knob no longer guards anything — refused, not ignored
     (the[ConfigException] thrownBy LangClassifyTransform(docs,
       t("lang_classify", "textColumn" -> "text",
         "modelView" -> "lm_cells", "maxModelCells" -> "10"), ctx))
-      .getMessage should include ("maxModelCells")
+      .getMessage should include ("sparse")
+    // QUANTITATIVE sparsity: a fully label-disjoint store (every label
+    // its own vocabulary) holds exactly rows pairs in memory, while the
+    // dense layout allocated rows × labels cells — 60× here, the blow-up
+    // the old ceiling existed to catch. 60 labels × 25 disjoint 2-grams:
+    val disjoint = (for (l <- 0 until 60; g <- 0 until 25) yield
+      (f"l$l%02d", f"${('a' + l % 26).toChar}${(g + l) % 97}%02d" + l + "_" + g,
+        (g + 1).toLong)).toDF("label", "gram", "cnt")
+      .withColumn("clm_n", lit(2)).withColumn("clm_min_count", lit(1L))
+    val big = ChargramLm.load(disjoint)
+    big.model.labels.length shouldBe 60
+    big.model.storedPairs shouldBe 1500L        // O(rows), not rows × labels
+    big.model.vocabSize shouldBe 1500           // disjoint vocabularies
+    // 1500 × 60 = 90000 dense cells would have tripped a 64k-cell budget;
+    // the sparse model needs no such ceiling at all
     // a store appended to itself carries IDENTICAL stamps, so the
     // mixed-stamp check cannot see it — the duplicate-(label, gram) guard
     // must, or totals double-count while byGram keeps one copy
