@@ -1619,6 +1619,62 @@ object SparkEntry {
             ",").as("luma0"),
           col("luma_mid"))
     }),
+    // the published DSIR + trained-language-ID recipe (quickstart-22/25)
+    // COMPOSED as ONE YAML pipeline, oracled end-to-end (the q154/q135
+    // discipline): lang_classify against a persisted chargram_lm store →
+    // keep the predicted-English slice → importance_score against a
+    // persisted single-label TARGET store (raw model derived from the
+    // filtered pipeline frame, exactly the composed semantics) →
+    // quantile_filter keeps the top half by importance → weighted
+    // Efraimidis–Spirakis draw with P(keep) ∝ exp(importance). Every
+    // stage is individually oracled elsewhere (q149/q151/q86/q130/q135);
+    // this entry oracles the COMPOSITION — the DuckDB CTE chains those
+    // proven statements in pipeline order, so a drift in any stage, in
+    // stage ORDER, or in how the executor chains them breaks the match
+    "q158_dsir_lang_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      ap(tab(s, dir, "documents"),
+        t("chargram_lm", "labelColumn" -> "lang", "textColumn" -> "text",
+          "n" -> "3", "minCount" -> "2"))
+        .createOrReplaceTempView("q158_lang_model")
+      ap(tab(s, dir, "documents").where(col("lang") === "en")
+          .withColumn("ref_label", lit("tgt")),
+        t("chargram_lm", "labelColumn" -> "ref_label", "textColumn" -> "text",
+          "n" -> "3", "minCount" -> "1"))
+        .createOrReplaceTempView("q158_target_model")
+      val yaml =
+        s"""pipelineId: q158-dsir-lang-pipeline
+           |source:
+           |  type: file
+           |  options: {path: $dir/documents.parquet, format: parquet}
+           |transformations:
+           |  - name: classify
+           |    type: lang_classify
+           |    options: {textColumn: text, modelView: q158_lang_model}
+           |  - name: keep-en
+           |    type: filter
+           |    options: {condition: "lang_pred = 'en'"}
+           |  - name: score
+           |    type: importance_score
+           |    options: {idColumn: doc_id, textColumn: text, targetModelView: q158_target_model, n: "3"}
+           |  - name: gate
+           |    type: quantile_filter
+           |    options: {column: importance, lower: "0.5", exact: "true"}
+           |  - name: weigh
+           |    type: map
+           |    options: {expressions: "dsir_w:round(exp(importance), 4)"}
+           |  - name: draw
+           |    type: sample
+           |    options: {"on": doc_id, weightColumn: dsir_w, k: "50", seed: "11"}
+           |sink:
+           |  type: file
+           |  writeMode: overwrite
+           |  options: {path: /tmp/graft-unused}
+           |""".stripMargin
+      val cfg = new graft.config.YamlConfigParser().parse(yaml)
+      new graft.runtime.PipelineExecutor().compose(cfg)(s)
+        .select("doc_id", "importance", "dsir_w")
+    }),
     // the published web-curation recipe COMPOSED as ONE YAML pipeline
     // (quickstart-26 ships the same chain): html wrap → html_strip →
     // normalize_text → text_signals gate → Gopher quality_rules →
@@ -2964,6 +3020,118 @@ object SparkEntry {
          JOIN read_parquet('/root/repo/src/test/resources/golden/q157_multimodal_video.parquet') g
            ON g.doc_id = d.doc_id
          WHERE d.doc_id < 100""",
+    // the COMPOSED DSIR + lang-classify pipeline: the proven oracle
+    // fragments chained as CTEs in pipeline order — q149's trained
+    // classify (model → totals/vocab → per-doc smoothed scores →
+    // struct-max argmax) elects the predicted-English slice, q151's DSIR
+    // statement rescores it (raw model from the FILTERED slice — the
+    // composed semantics — target from the true-en minCount=1 store),
+    // q86's quantile_cont(0.5) gate keeps the top half, and q130/q135's
+    // md5-prefix race with weight = round(exp(importance), 4), seed 11,
+    // k = 50 smallest keys, id tie-break elects the final set. Stage
+    // order is part of the statement.
+    "q158_dsir_lang_pipeline" ->
+      """WITH md AS (
+           SELECT lang, lower(text) AS t FROM documents
+           WHERE text IS NOT NULL AND length(lower(text)) >= 3
+         ), mg AS (
+           SELECT lang, t, unnest(generate_series(1, length(t) - 2)) AS i
+           FROM md
+         ), model AS (
+           SELECT lang AS label, substr(t, CAST(i AS BIGINT), 3) AS gram,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM mg GROUP BY 1, 2 HAVING count(*) >= 2
+         ), totals AS (
+           SELECT label, CAST(sum(cnt) AS BIGINT) AS total FROM model GROUP BY 1
+         ), vocab AS (
+           SELECT CAST(count(DISTINCT gram) AS BIGINT) AS v FROM model
+         ), dd AS (
+           SELECT doc_id, lower(text) AS t FROM documents
+           WHERE text IS NOT NULL AND length(lower(text)) >= 3
+         ), g AS (
+           SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+           FROM dd
+         ), tf AS (
+           SELECT doc_id, substr(t, CAST(i AS BIGINT), 3) AS gram,
+                  CAST(count(*) AS BIGINT) AS tf
+           FROM g GROUP BY 1, 2
+         ), doctot AS (
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams FROM tf GROUP BY 1
+         ), matched AS (
+           SELECT tf.doc_id, model.label,
+                  sum(tf.tf * ln(CAST(model.cnt + 1 AS DOUBLE)
+                                 / CAST(totals.total + vocab.v AS DOUBLE))) AS mll,
+                  CAST(sum(tf.tf) AS BIGINT) AS mtf
+           FROM tf JOIN model USING (gram) JOIN totals USING (label)
+                CROSS JOIN vocab
+           GROUP BY 1, 2
+         ), scores AS (
+           SELECT doctot.doc_id, totals.label,
+                  coalesce(matched.mll, 0.0)
+                  + (doctot.n_grams - coalesce(matched.mtf, 0))
+                    * ln(1.0 / CAST(totals.total + vocab.v AS DOUBLE)) AS score
+           FROM doctot CROSS JOIN totals CROSS JOIN vocab
+           LEFT JOIN matched ON matched.doc_id = doctot.doc_id
+                            AND matched.label = totals.label
+         ), best AS (
+           SELECT doc_id, max(struct_pack(s := score, l := label)) AS b
+           FROM scores GROUP BY 1
+         ), sel AS (
+           SELECT dd.doc_id, dd.t
+           FROM dd JOIN best USING (doc_id)
+           WHERE best.b.l = 'en'
+         ), sg AS (
+           SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+           FROM sel
+         ), stf AS (
+           SELECT doc_id, substr(t, CAST(i AS BIGINT), 3) AS gram,
+                  count(*) AS tf
+           FROM sg GROUP BY 1, 2
+         ), raw AS (
+           SELECT gram, CAST(sum(tf) AS BIGINT) AS raw_cnt FROM stf GROUP BY 1
+         ), td AS (
+           SELECT lower(text) AS t FROM documents
+           WHERE lang = 'en' AND text IS NOT NULL AND length(lower(text)) >= 3
+         ), tg AS (
+           SELECT t, unnest(generate_series(1, length(t) - 2)) AS i FROM td
+         ), tgt AS (
+           SELECT substr(t, CAST(i AS BIGINT), 3) AS gram,
+                  CAST(count(*) AS BIGINT) AS tgt_cnt
+           FROM tg GROUP BY 1
+         ), dsmodel AS (
+           SELECT coalesce(raw.gram, tgt.gram) AS gram,
+                  coalesce(raw_cnt, 0) AS raw_cnt,
+                  coalesce(tgt_cnt, 0) AS tgt_cnt
+           FROM raw FULL JOIN tgt ON raw.gram = tgt.gram
+         ), scal AS (
+           SELECT CAST(sum(raw_cnt) AS BIGINT) AS raw_total,
+                  CAST(sum(tgt_cnt) AS BIGINT) AS tgt_total,
+                  count(*) AS v
+           FROM dsmodel
+         ), imp AS (
+           SELECT stf.doc_id,
+                  round(sum(stf.tf * (
+                      ln(CAST(dsmodel.tgt_cnt + 1 AS DOUBLE)
+                         / CAST(scal.tgt_total + scal.v AS DOUBLE))
+                    - ln(CAST(dsmodel.raw_cnt + 1 AS DOUBLE)
+                         / CAST(scal.raw_total + scal.v AS DOUBLE))
+                  )) / sum(stf.tf), 4) + 0.0 AS importance
+           FROM stf JOIN dsmodel USING (gram) CROSS JOIN scal GROUP BY 1
+         ), thr AS (
+           SELECT quantile_cont(importance, 0.5) AS lo FROM imp
+         ), wts AS (
+           SELECT imp.doc_id, imp.importance,
+                  round(exp(imp.importance), 4) AS dsir_w
+           FROM imp, thr WHERE imp.importance >= thr.lo
+         )
+         SELECT doc_id, importance, dsir_w FROM (
+           SELECT doc_id, importance, dsir_w,
+                  -ln((CAST(CONCAT('0x',
+                         substr(md5(CONCAT('11', ':', CAST(doc_id AS VARCHAR))), 1, 13))
+                       AS BIGINT) + 0.5) / 4503599627370496.0)
+                    / dsir_w AS race_key
+           FROM wts WHERE dsir_w > 0)
+         ORDER BY race_key, doc_id LIMIT 50""",
     // the COMPOSED curation pipeline: every stage's proven oracle
     // fragment chained as CTEs in the same order the YAML chains the
     // transforms — q152's strip chain, q85's nfc, q23's token count
