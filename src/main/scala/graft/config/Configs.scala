@@ -96,6 +96,14 @@ final case class StreamingConfig(
     // unbounded stream; without one, plain dropDuplicates (state grows
     // with distinct keys — only for bounded backfills).
     dedupColumns: Option[String] = None,
+    // State-store backend for stateful operators: "hdfs" (default —
+    // Spark's in-heap HDFSBackedStateStoreProvider), "rocksdb" (the
+    // off-heap RocksDBStateStoreProvider — the large-state choice:
+    // sessionization / stream-stream joins whose state exceeds executor
+    // heap), or a fully-qualified provider class. Session-level by
+    // necessity (Spark pins it at query planning); the checkpoint
+    // recovery contract is identical across providers (spec-proven).
+    stateStoreProvider: Option[String] = None,
     // Stateful-operator partition count for THIS query (sets the session's
     // shuffle partitions before start; sticky for the query's lifetime via
     // the offset log). Size to key cardinality: a stream with thousands of

@@ -127,6 +127,7 @@ final class YamlConfigParser(credentials: CredentialProvider = EnvCredentialProv
       trigger = str(m, "trigger"),
       outputMode = str(m, "outputMode").getOrElse("append"),
       dedupColumns = str(m, "dedupColumns"),
+      stateStoreProvider = str(m, "stateStoreProvider"),
       shufflePartitions = int(m, "shufflePartitions"))
 
   // ---- helpers ----

@@ -42,6 +42,24 @@ final class StreamingExecutor(
     // pipeline owns its session for its lifetime
     st.shufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    // state-store backend (same session-level lifecycle): "rocksdb" for
+    // large-state sessionization / stream-stream joins whose state would
+    // blow the heap under the default in-heap provider; recovery
+    // semantics are provider-independent (the checkpoint's offset/commit
+    // logs drive replay either way — StreamingSpec proves it for both)
+    st.stateStoreProvider.foreach { p =>
+      val cls = p.trim match {
+        case "hdfs" => "org.apache.spark.sql.execution.streaming.state." +
+          "HDFSBackedStateStoreProvider"
+        case "rocksdb" => "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"
+        case fqcn if fqcn.contains('.') => fqcn
+        case other => throw new ConfigException(
+          s"streaming.stateStoreProvider must be hdfs|rocksdb or a " +
+            s"fully-qualified StateStoreProvider class, got '$other'")
+      }
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
 
     // fail-fast validation BEFORE the query starts, mirroring the batch
     // executor: without it a misconfigured sink/transform only surfaced

@@ -472,6 +472,67 @@ class StreamingSpec extends SparkTestBase {
         (3L, "mem", 9.5), (4L, "gpu", 4.0))
   }
 
+  test("STATEFUL recovery is provider-independent: streaming-dedup state " +
+    "survives a same-checkpoint restart under BOTH the hdfs and rocksdb " +
+    "state stores; bad provider values refuse with guidance") {
+    // the restart test above proves OFFSET recovery on a stateless
+    // pipeline; this one proves the stateful half — dropDuplicates state
+    // written by run 1 must suppress run 2's replayed key — and runs the
+    // identical contract under each stateStoreProvider backend
+    for (provider <- Seq("hdfs", "rocksdb")) {
+      val in = tmpDir(s"ssr-in-$provider")
+      val out = tmpDir(s"ssr-out-$provider")
+      val ckpt = tmpDir(s"ssr-ckpt-$provider")
+      Seq((1L, "cpu"), (2L, "cpu"), (3L, "mem"))
+        .toDF("event_id", "metric")
+        .write.mode("overwrite").parquet(in + "/batch1")
+      def cfg = PipelineConfig(
+        pipelineId = s"stateful-restart-$provider",
+        executionMode = ExecutionMode.MicroBatch,
+        source = SourceConfig("file", Map(
+          "path" -> (in + "/*"), "format" -> "parquet",
+          "schema" -> "event_id BIGINT, metric STRING")),
+        sink = SinkConfig("file", Map("path" -> out)),
+        streaming = Some(StreamingConfig(
+          checkpointLocation = Some(ckpt),
+          dedupColumns = Some("event_id"),
+          stateStoreProvider = Some(provider))))
+      executor.start(cfg).awaitTermination(60000)
+      // the knob actually landed in the session (Spark pins it per query)
+      val pinned = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      if (provider == "rocksdb") pinned should include ("RocksDB")
+      else pinned should include ("HDFSBacked")
+      spark.read.parquet(out).count() shouldBe 3L
+      // run 2 replays key 3 (must be suppressed BY RECOVERED STATE) and
+      // introduces key 4 (must flow)
+      Seq((3L, "mem"), (4L, "gpu")).toDF("event_id", "metric")
+        .write.mode("overwrite").parquet(in + "/batch2")
+      executor.start(cfg).awaitTermination(60000)
+      val rows = spark.read.parquet(out)
+      rows.count() shouldBe 4L
+      rows.groupBy("event_id").count().where("count > 1").count() shouldBe 0L
+      rows.select("event_id").as[Long].collect().sorted shouldBe
+        Array(1L, 2L, 3L, 4L)
+    }
+    // unknown provider strings refuse before any query starts
+    val bad = PipelineConfig(
+      pipelineId = "bad-provider",
+      executionMode = ExecutionMode.MicroBatch,
+      source = SourceConfig("file", Map(
+        "path" -> eventsDir, "format" -> "parquet",
+        "schema" -> "ts TIMESTAMP, metric STRING, v DOUBLE")),
+      sink = SinkConfig("memory", Map("queryName" -> "nope_out")),
+      streaming = Some(StreamingConfig(
+        checkpointLocation = Some(tmpDir("bad-ckpt")),
+        stateStoreProvider = Some("leveldb"))))
+    (the[graft.api.ConfigException] thrownBy executor.start(bad))
+      .getMessage should include ("hdfs|rocksdb")
+    // the knob is deliberately sticky per session (a streaming pipeline
+    // owns its session) — restore the default so later tests in this
+    // SHARED spec session exercise the stock provider
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("flatMapGroupsWithState sessionization: sessions emit on gap or watermark timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
