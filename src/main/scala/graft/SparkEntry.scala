@@ -1619,6 +1619,51 @@ object SparkEntry {
             ",").as("luma0"),
           col("luma_mid"))
     }),
+    // REAL video RESIZE, golden-real oracle: constant-frame synthetic
+    // clips (w=h=16, one 16×16 tile — frame f is everywhere
+    // (id·31+f·17) mod 256) resized to 24×24 by the per-frame
+    // MJPEG-rescale-and-reassemble path, then re-decoded and
+    // frame-sampled like q157. Constant frames make the pixel values
+    // provable without an image library: bilinear of a constant is the
+    // constant, and quality-1.0 JPEG of a constant roundtrips exactly at
+    // ANY dimensions — so the oracle pins target dims, the PRESERVED
+    // frame clock (duration/sample count unchanged by resize), and the
+    // per-frame constants surviving decode → rescale → re-encode →
+    // re-decode
+    "q159_multimodal_video_resize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val avi = udf((id: Long) => graft.multimodal.Multimodal.syntheticMjpegAvi(
+        id, 16, 16, 2 + (id % 4).toInt, 10 + (id % 3).toInt * 5))
+      val media = graft.multimodal.Multimodal.asMediaFrame(
+        tab(s, dir, "documents").where("doc_id < 100")
+          .select(col("doc_id"), avi(col("doc_id")).as("bytes"),
+            concat(lit("mem://avi-rs/"), col("doc_id")).as("uri")),
+        "doc_id", "bytes", "video", "uri")
+      val resized = graft.multimodal.Multimodal.resize(media, 24, 24)
+      val frames = graft.multimodal.Multimodal.sampleFrames(resized, everyMs = 50)
+      val counts = frames.groupBy("media_id").count()
+        .withColumnRenamed("count", "n_frames")
+      val mid = graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.asMediaFrame(
+            frames.join(counts, Seq("media_id"))
+              .where(col("frame_idx") === (col("n_frames") / 2).cast("int"))
+              .select(col("media_id").as("mid_id"), col("frame").as("bytes"),
+                concat(lit("mem://avi-rs-mid/"), col("media_id")).as("uri")),
+            "mid_id", "bytes", "image", "uri"))
+        .select(col("media_id"),
+          array_join(transform(col("feature"),
+            v => floor(v.cast("double") * 10000).cast("long").cast("string")),
+            ",").as("luma_mid"))
+      graft.multimodal.Multimodal.extractFeatures(resized)
+        .join(counts, Seq("media_id"))
+        .join(mid, Seq("media_id"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("duration_ms"), col("n_frames"),
+          array_join(transform(col("feature"),
+            v => floor(v.cast("double") * 10000).cast("long").cast("string")),
+            ",").as("luma0"),
+          col("luma_mid"))
+    }),
     // the published DSIR + trained-language-ID recipe (quickstart-22/25)
     // COMPOSED as ONE YAML pipeline, oracled end-to-end (the q154/q135
     // discipline): lang_classify against a persisted chargram_lm store →
@@ -3018,6 +3063,22 @@ object SparkEntry {
                 g.n_frames, g.luma0, g.luma_mid
          FROM documents d
          JOIN read_parquet('/root/repo/src/test/resources/golden/q157_multimodal_video.parquet') g
+           ON g.doc_id = d.doc_id
+         WHERE d.doc_id < 100""",
+    // the video RESIZE is REAL (per-frame MJPEG decode → bilinear
+    // rescale → q=1.0 JPEG re-encode → container reassembly with the
+    // same clock): the oracle joins a fixture computed with NO image
+    // library from the constant-frame formula — sound because bilinear
+    // of a constant is the constant and q=1.0 JPEG of a constant
+    // roundtrips exactly at any dims; the preserved duration/sample
+    // count pin the reassembled clock, the constants pin every frame
+    // surviving the decode → rescale → re-encode → re-decode chain.
+    // Keyed on doc_id only (q31's reasoning)
+    "q159_multimodal_video_resize" ->
+      """SELECT d.doc_id AS media_id, g.width, g.height, g.duration_ms,
+                g.n_frames, g.luma0, g.luma_mid
+         FROM documents d
+         JOIN read_parquet('/root/repo/src/test/resources/golden/q159_multimodal_video_resize.parquet') g
            ON g.doc_id = d.doc_id
          WHERE d.doc_id < 100""",
     // the COMPOSED DSIR + lang-classify pipeline: the proven oracle

@@ -140,6 +140,105 @@ private[multimodal] object AviMjpeg {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  // ------------------------------------------------------------- resize
+
+  /** REAL video resize: decode each indexed MJPEG frame, bilinear-rescale
+    * to (targetW, targetH) via Graphics2D, re-encode at JPEG quality 1.0,
+    * and reassemble the RIFF/AVI container with the SAME frame clock —
+    * duration and frame count are preserved, a re-decode reports exactly
+    * the target dimensions. One frame resident at a time (the
+    * [[Video.frame]] on-demand shape). None when the payload is not a
+    * parseable MJPEG-AVI or any frame fails to decode — the caller
+    * degrades to its stub path rather than emitting a half-real clip. */
+  def resizeClip(content: Array[Byte], targetW: Int,
+                 targetH: Int): Option[Array[Byte]] = {
+    if (targetW <= 0 || targetH <= 0) return None
+    read(content).flatMap { v =>
+      try {
+        val jpegs = new Array[Array[Byte]](v.frameCount)
+        var i = 0
+        while (i < v.frameCount) {
+          v.frame(i) match {
+            case None => return None
+            case Some(img) =>
+              val out = new java.awt.image.BufferedImage(
+                targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, targetW, targetH, null)
+              } finally g.dispose()
+              jpegs(i) = encodeJpeg(out)
+          }
+          i += 1
+        }
+        Some(assemble(jpegs.toIndexedSeq, targetW, targetH,
+          v.rate.toInt, v.scale.toInt))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** JPEG-encode at quality 1.0 (all-ones quant tables — flat 8×8 blocks
+    * roundtrip bit-exactly; see [[synthetic]]'s exactness argument). */
+  private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Hand-assemble the RIFF/AVI container around per-frame JPEG payloads
+    * (MJPG vids stream, stream 0, `00dc` chunks padded to even). Shared
+    * by [[synthetic]] and [[resizeClip]]. */
+  private def assemble(jpegs: IndexedSeq[Array[Byte]], w: Int, h: Int,
+                       rate: Int, scale: Int): Array[Byte] = {
+    val nFrames = jpegs.length
+    def pad(n: Int) = n + (n & 1)
+    val moviBody = 4 + jpegs.map(j => 8 + pad(j.length)).sum
+    val strlBody = 4 + (8 + 56) + (8 + 40)               // strh + strf
+    val hdrlBody = 4 + (8 + 56) + (8 + strlBody)         // avih + LIST strl
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String) = buf.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); buf.putInt(riffBody); cc("AVI ")
+    cc("LIST"); buf.putInt(hdrlBody); cc("hdrl")
+    cc("avih"); buf.putInt(56)
+    buf.putInt((1000000L * scale / rate).toInt)          // dwMicroSecPerFrame
+      .putInt(0).putInt(0).putInt(0)                     // maxBytesPerSec, padding, flags
+      .putInt(nFrames).putInt(0).putInt(1).putInt(0)     // totalFrames, initial, streams, sugBuf
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)           // dwReserved[4]
+    cc("LIST"); buf.putInt(strlBody); cc("strl")
+    cc("strh"); buf.putInt(56)
+    cc("vids"); cc("MJPG")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0)      // flags, priority, language, initialFrames
+      .putInt(scale).putInt(rate)                        // dwScale, dwRate
+      .putInt(0).putInt(nFrames).putInt(0)               // start, length, sugBuf
+      .putInt(-1).putInt(0)                              // quality, sampleSize
+      .putShort(0).putShort(0)                           // rcFrame left, top
+      .putShort(w.toShort).putShort(h.toShort)           // rcFrame right, bottom
+    cc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h)                   // biSize, biWidth, biHeight
+      .putShort(1).putShort(24)                          // biPlanes, biBitCount
+    cc("MJPG")                                           // biCompression
+    buf.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); buf.putInt(moviBody); cc("movi")
+    jpegs.foreach { j =>
+      cc("00dc"); buf.putInt(j.length); buf.put(j)
+      if ((j.length & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
   // ------------------------------------------------------------ synthetic
 
   /**
@@ -185,54 +284,8 @@ private[multimodal] object AviMjpeg {
         }
         y += 1
       }
-      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-      val p = wr.getDefaultWriteParam
-      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      p.setCompressionQuality(1.0f)
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      try {
-        wr.setOutput(ios)
-        wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
-      } finally { wr.dispose(); ios.close() }
-      bos.toByteArray
+      encodeJpeg(img)
     }
-
-    def pad(n: Int) = n + (n & 1)
-    val moviBody = 4 + jpegs.map(j => 8 + pad(j.length)).sum
-    val strlBody = 4 + (8 + 56) + (8 + 40)               // strh + strf
-    val hdrlBody = 4 + (8 + 56) + (8 + strlBody)         // avih + LIST strl
-    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
-    val buf = java.nio.ByteBuffer.allocate(8 + riffBody)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def cc(s: String) = buf.put(s.getBytes("US-ASCII"))
-    cc("RIFF"); buf.putInt(riffBody); cc("AVI ")
-    cc("LIST"); buf.putInt(hdrlBody); cc("hdrl")
-    cc("avih"); buf.putInt(56)
-    buf.putInt((1000000L * scale / rate).toInt)          // dwMicroSecPerFrame
-      .putInt(0).putInt(0).putInt(0)                     // maxBytesPerSec, padding, flags
-      .putInt(nFrames).putInt(0).putInt(1).putInt(0)     // totalFrames, initial, streams, sugBuf
-      .putInt(w).putInt(h)
-      .putInt(0).putInt(0).putInt(0).putInt(0)           // dwReserved[4]
-    cc("LIST"); buf.putInt(strlBody); cc("strl")
-    cc("strh"); buf.putInt(56)
-    cc("vids"); cc("MJPG")
-    buf.putInt(0).putShort(0).putShort(0).putInt(0)      // flags, priority, language, initialFrames
-      .putInt(scale).putInt(rate)                        // dwScale, dwRate
-      .putInt(0).putInt(nFrames).putInt(0)               // start, length, sugBuf
-      .putInt(-1).putInt(0)                              // quality, sampleSize
-      .putShort(0).putShort(0)                           // rcFrame left, top
-      .putShort(w.toShort).putShort(h.toShort)           // rcFrame right, bottom
-    cc("strf"); buf.putInt(40)
-    buf.putInt(40).putInt(w).putInt(h)                   // biSize, biWidth, biHeight
-      .putShort(1).putShort(24)                          // biPlanes, biBitCount
-    cc("MJPG")                                           // biCompression
-    buf.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
-    cc("LIST"); buf.putInt(moviBody); cc("movi")
-    jpegs.foreach { j =>
-      cc("00dc"); buf.putInt(j.length); buf.put(j)
-      if ((j.length & 1) == 1) buf.put(0.toByte)
-    }
-    buf.array()
+    assemble(jpegs, w, h, rate, scale)
   }
 }

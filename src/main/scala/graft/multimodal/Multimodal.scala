@@ -770,11 +770,19 @@ object Multimodal {
   /** REAL image resize via JDK `javax.imageio` + `Graphics2D`: decode,
     * bilinear-rescale to (targetW, targetH), re-encode as PNG (lossless —
     * a decode of the output reports exactly the target dimensions).
-    * Undecodable image payloads and non-image modalities delegate to
-    * [[StubResizer]] (documented stub seam), so the pipeline keeps
+    * VIDEO payloads resize for REAL too when they parse as MJPEG-AVI
+    * ([[AviMjpeg.resizeClip]]: every frame decoded, bilinear-rescaled,
+    * re-encoded at JPEG quality 1.0, container reassembled with the same
+    * frame clock — duration and frame count preserved, a re-decode
+    * reports the target dimensions). Undecodable payloads and other
+    * modalities delegate to [[StubResizer]], so the pipeline keeps
     * flowing for media the JDK has no codec for. */
   object ImageIOResizer extends MediaResizer {
     def resize(modality: String, content: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      if (modality == "video") {
+        return AviMjpeg.resizeClip(content, targetW, targetH)
+          .getOrElse(StubResizer.resize(modality, content, targetW, targetH))
+      }
       val img =
         if (modality != "image" || content.isEmpty) null
         else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))

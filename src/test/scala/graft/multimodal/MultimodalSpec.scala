@@ -531,6 +531,41 @@ class MultimodalSpec extends SparkTestBase {
       avi.take(avi.length / 2))._1 should (be(-1).or(be(32)))
   }
 
+  test("REAL MJPEG-AVI resize: every frame rescaled and re-encoded, frame " +
+    "clock preserved, a re-decode reports the target dims; junk degrades " +
+    "to the stub") {
+    // constant 16x16 frames (a single tile): bilinear of a constant is
+    // the constant and q=1.0 JPEG of a constant is exact at ANY dims, so
+    // the resized pixels provably carry the source values
+    val clip = Multimodal.syntheticMjpegAvi(5L, 16, 16, nFrames = 4, rate = 10)
+    val out = Multimodal.ImageIOResizer.resize("video", clip, 24, 24)
+    val v = AviMjpeg.read(out).get
+    v.frameCount shouldBe 4
+    (v.rate, v.scale) shouldBe ((10L, 1L))
+    v.durationMs shouldBe 400L
+    for (f <- 0 until 4) {
+      val img = v.frame(f).get
+      (img.getWidth, img.getHeight) shouldBe ((24, 24))
+      val want = java.lang.Math.floorMod(5L * 31 + f * 17, 256L).toInt
+      (img.getRGB(0, 0) & 0xFF) shouldBe want
+      (img.getRGB(23, 23) & 0xFF) shouldBe want
+    }
+    // junk video payloads degrade to the stub resizer, never an exception
+    Multimodal.ImageIOResizer.resize("video",
+      "junk".getBytes("UTF-8"), 8, 8).length should be > 0
+    // the partition-wise resize operator routes video through the real
+    // clip resize: re-decode of its output reports the target dims and
+    // the preserved clock duration
+    val media = Multimodal.asMediaFrame(
+      Seq((1L, clip, "mem://v")).toDF("id", "bytes", "uri"),
+      "id", "bytes", "video", "uri")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.resize(media, 24, 24)).collect().head
+    feats.getAs[Int]("width") shouldBe 24
+    feats.getAs[Int]("height") shouldBe 24
+    feats.getAs[Long]("duration_ms") shouldBe 400L
+  }
+
   test("null payloads decode as empty bytes instead of crashing") {
     val withNull = media.withColumn("content",
       when(col("media_id") === 2, lit(null).cast("binary")).otherwise(col("content")))
