@@ -452,6 +452,63 @@ class ExamplesSpec extends SparkTestBase {
     out.where("importance IS NULL OR isnan(importance)").count() shouldBe 0
   }
 
+  test("quickstart-27: the composed selection recipe — trained language " +
+    "gate, DSIR against a persisted target, quantile gate, weighted draw") {
+    import org.apache.spark.sql.functions._
+    // the target model: curated English sentences (what good data looks
+    // like) — the store carries gram counts, never this text
+    Seq(
+      "the quick brown fox jumps over the lazy dog every single morning",
+      "a well written english paragraph flows from one idea to the next",
+      "the morning paper arrives before sunrise and the town slowly wakes")
+      .toDF("text").write.mode("overwrite")
+      .parquet("/tmp/graft-examples/quickstart-27-target-corpus")
+    run("quickstart-27-target-model-train.yaml")
+    val store = spark.read.parquet("/tmp/graft-examples/quickstart-27-target-model")
+    store.select("label").distinct().as[String].collect() shouldBe Array("tgt")
+    // the raw corpus: english docs (ids < 100) + german docs (ids >= 100);
+    // the language model is quickstart-25's persisted store (run above —
+    // suites run in file order, but stage it here defensively if absent)
+    if (!new java.io.File("/tmp/graft-examples/quickstart-25-lang-model").exists()) {
+      Seq(
+        ("en", "the quick brown fox jumps over the lazy dog and runs away with the morning paper"),
+        ("en", "this is another sentence written in plain english about nothing in particular"),
+        ("de", "der schnelle braune fuchs springt über den faulen hund und läuft mit der zeitung davon"),
+        ("de", "dies ist ein weiterer deutscher satz über nichts besonderes geschrieben"))
+        .toDF("lang", "text").write.mode("overwrite")
+        .parquet("/tmp/graft-examples/quickstart-25-labeled")
+      run("quickstart-25-lang-model-train.yaml")
+    }
+    val en = Seq(
+      "the lazy dog sleeps while the quick fox runs through the town",
+      "the paper said nothing in particular about the quiet morning",
+      "a fox and a dog ran over the hill before the sun was up",
+      "every morning the town wakes slowly to the sound of the paper",
+      "this sentence is written in plain english and flows quite well",
+      "the next idea arrives before the last one has fully settled")
+    val de = Seq(
+      "der faule hund schläft während der schnelle fuchs durch die stadt läuft",
+      "die zeitung schrieb nichts besonderes über den ruhigen morgen",
+      "jeden morgen erwacht die stadt langsam mit der zeitung")
+    (en.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      de.zipWithIndex.map { case (t, i) => (100L + i, t) })
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet("/tmp/graft-examples/quickstart-27-corpus")
+    run("quickstart-27-dsir-lang-select.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-27-out")
+    out.columns.toSeq should contain theSameElementsAs
+      Seq("doc_id", "text", "importance", "dsir_w")
+    out.count() should be > 0L
+    out.count() should be <= 8L // the draw's k
+    // the language gate held: every survivor is from the English block
+    out.where("doc_id >= 100").count() shouldBe 0L
+    // the quantile gate held: at most half the english docs survive
+    out.count() should be <= (en.length / 2 + 1).toLong
+    // weights are the documented transform of the score
+    out.where("abs(dsir_w - round(exp(importance), 4)) > 1e-9")
+      .count() shouldBe 0L
+  }
+
   test("quickstart-23: nightly curation increment against four persisted " +
     "stores — dedup chain, quality gate, mixture, BPE-packed shards") {
     import org.apache.spark.sql.functions._
