@@ -367,6 +367,31 @@ class LangModelSpec extends SparkTestBase {
       .getMessage should include ("idColumn has no effect")
   }
 
+  test("chargram_nll modelView, MULTI-label store: the NAMED label's sparse " +
+    "entries are the ones scored — golden values differ per label") {
+    // hand-built two-label store sharing gram 'ab' with different counts:
+    // the sparse per-gram (labelIdx, ln) pairs for 'ab' hold BOTH labels,
+    // so a binary-search/ordering bug would score the other label's count
+    // and these exact values would catch it
+    import org.apache.spark.sql.functions.lit
+    val store = Seq(
+      ("en", "ab", 3L), ("en", "ba", 1L),
+      ("de", "ab", 1L), ("de", "cd", 5L))
+      .toDF("label", "gram", "cnt")
+      .withColumn("clm_n", lit(2)).withColumn("clm_min_count", lit(1L))
+    store.createOrReplaceTempView("lm_nll_two")
+    val docs = Seq((1L, "abcd")).toDF("doc_id", "text") // grams: ab, bc, cd
+    // V = 3 (ab, ba, cd); totals: en = 4, de = 6; bc unseen under both
+    def nllFor(label: String): Double =
+      ChargramNllTransform(docs, t("chargram_nll", "textColumn" -> "text",
+        "modelView" -> "lm_nll_two", "label" -> label), ctx)
+        .select("nll").collect().head.getDouble(0)
+    val enExpect = math.log(7.0) - (math.log(4.0) + 0.0 + math.log(1.0)) / 3.0
+    val deExpect = math.log(9.0) - (math.log(2.0) + 0.0 + math.log(6.0)) / 3.0
+    nllFor("en") shouldBe (math.rint(enExpect * 1e4) / 1e4 +- 1e-9)
+    nllFor("de") shouldBe (math.rint(deExpect * 1e4) / 1e4 +- 1e-9)
+  }
+
   test("property: LangScores equals an independent in-JVM reference on seeded random corpora") {
     // random labeled corpora over mixed 1/2/3-byte alphabets, random docs
     // (in-vocab, out-of-vocab, and mixed); the reference re-implements the
