@@ -1524,6 +1524,44 @@ object SparkEntry {
             v => floor(v.cast("double") * 1000000).cast("long").cast("string")),
             ",").as("envelope"))
     }),
+    // REAL audio frame sampling, golden-real oracle: an audio "frame" is
+    // the 1-second PCM window starting at the sampled timestamp (clamped
+    // to the payload), re-assembled as a standalone WAV — the chain
+    // samples q153's synthetic WAVs on the 50 ms grid, re-DECODES the
+    // MIDDLE sampled window as audio, and the fixture generator
+    // (tools/gen_golden_q160.py) computes the window's start frame,
+    // clamped length, duration and 16-bin envelope straight from the
+    // sample formula with no audio library — the envelope only matches
+    // if the emitted window genuinely carries the source samples from
+    // the right offset
+    "q160_multimodal_audio_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val wav = udf((id: Long) => graft.multimodal.Multimodal.syntheticWavPcm16(
+        id, 8000 + (id % 3).toInt * 2000, 1 + (id % 2).toInt,
+        800 + (id * 13 % 1600).toInt))
+      val media = graft.multimodal.Multimodal.asMediaFrame(
+        tab(s, dir, "documents").where("doc_id < 100")
+          .select(col("doc_id"), wav(col("doc_id")).as("bytes"),
+            concat(lit("mem://wavf/"), col("doc_id")).as("uri")),
+        "doc_id", "bytes", "audio", "uri")
+      val frames = graft.multimodal.Multimodal.sampleFrames(media, everyMs = 50)
+      val counts = frames.groupBy("media_id").count()
+        .withColumnRenamed("count", "n_frames")
+      graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.asMediaFrame(
+            frames.join(counts, Seq("media_id"))
+              .where(col("frame_idx") === (col("n_frames") / 2).cast("int"))
+              .select(col("media_id").as("mid_id"), col("frame").as("bytes"),
+                concat(lit("mem://wavf-mid/"), col("media_id")).as("uri")),
+            "mid_id", "bytes", "audio", "uri"))
+        .join(counts, Seq("media_id"))
+        .select(col("media_id"),
+          col("width").as("sample_rate"), col("height").as("channels"),
+          col("duration_ms"), col("n_frames"),
+          array_join(transform(col("feature"),
+            v => floor(v.cast("double") * 1000000).cast("long").cast("string")),
+            ",").as("envelope"))
+    }),
     // REAL animated-GIF decode, golden-real oracle (the q31/q153
     // discipline for TIMED image media): each doc gets a deterministic
     // synthetic animated GIF (dims/frames/delay and every pixel derived
@@ -3046,6 +3084,21 @@ object SparkEntry {
                 g.n_frames, g.luma0, g.luma_mid
          FROM documents d
          JOIN read_parquet('/root/repo/src/test/resources/golden/q155_multimodal_gif.parquet') g
+           ON g.doc_id = d.doc_id
+         WHERE d.doc_id < 100""",
+    // the audio FRAME sampling is REAL (a 1-second PCM window from the
+    // sampled timestamp, re-assembled as a WAV): the oracle joins a
+    // fixture whose window offset, clamped length, duration and envelope
+    // were recomputed by an INDEPENDENT Python replay of the sampler's
+    // contract from the sample formula (tools/gen_golden_q160.py, no
+    // audio library) — the envelope only matches if the emitted window
+    // carries the source samples from the right offset. Keyed on doc_id
+    // only (q31's reasoning)
+    "q160_multimodal_audio_frames" ->
+      """SELECT d.doc_id AS media_id, g.sample_rate, g.channels,
+                g.duration_ms, g.n_frames, g.envelope
+         FROM documents d
+         JOIN read_parquet('/root/repo/src/test/resources/golden/q160_multimodal_audio_frames.parquet') g
            ON g.doc_id = d.doc_id
          WHERE d.doc_id < 100""",
     // the video decode is REAL (hand-parsed RIFF/AVI container + per-frame

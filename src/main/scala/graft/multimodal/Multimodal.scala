@@ -876,9 +876,20 @@ object Multimodal {
     * sampler would swap in with per-payload state. VIDEO samples REAL
     * MJPEG-AVI frames ([[AviMjpeg]]: metadata-only chunk index, one
     * JPEG decoded per sample, the frame on screen at `tsMs` per the
-    * strh clock); audio delegates to [[StubFrameSampler]] (a PCM
-    * "frame" has no still-image reading). */
+    * strh clock). AUDIO samples REAL PCM windows: an audio "frame" is
+    * the [[AudioFrameWindowMs]]-long sample window starting at `tsMs`
+    * (clamped to the payload), re-assembled as a standalone PCM16 WAV
+    * at the source rate/channels — each emitted frame is a playable
+    * clip the rest of the audio pipeline (decode, resample) consumes
+    * directly. Unparseable payloads come back verbatim (the
+    * undecodable-GIF convention); only modality strings outside
+    * image/audio/video reach [[StubFrameSampler]]. */
   object ImageFrameSampler extends FrameSampler {
+    /** Length of an audio "frame": the 1-second window is the
+      * conventional unit for clip-level features (ASR/audio-tagging
+      * pipelines window at 0.96–1 s); windows past the payload end
+      * clamp to the remaining samples. */
+    val AudioFrameWindowMs = 1000L
     /** Flatten to plain RGB and PNG-encode — shared by the GIF and AVI
       * paths: the JDK PNG writer mangles INDEXED frames (measured: raw
       * palette indices written as gray samples — pixel 47 came back
@@ -903,6 +914,7 @@ object Multimodal {
           .flatMap(v => v.frame(v.frameIndexAt(tsMs)))
           .map(pngStill).getOrElse(content)
       }
+      if (modality == "audio") return audioWindow(content, tsMs)
       if (modality != "image") return StubFrameSampler.frameAt(modality, content, tsMs)
       if (!isGif(content)) return content
       GifMedia.readMeta(content) match {
@@ -918,6 +930,49 @@ object Multimodal {
             case Some(f) => pngStill(f)
           }
       }
+    }
+
+    /** The REAL audio frame: PCM sample frames
+      * `[ts·rate/1000, min(frames, start + rate·WindowMs/1000))`
+      * (start clamped to the last frame, so every timestamp the duration
+      * grid emits yields a non-empty clip) re-assembled as a standalone
+      * little-endian PCM16 WAV at the source rate/channels — samples go
+      * through the decoder's accessor, so big-endian sources (AIFF/AU)
+      * emit the same values. Unparseable payloads: verbatim. */
+    private def audioWindow(content: Array[Byte], tsMs: Long): Array[Byte] = {
+      val parsed = WavPcmDecoder.parsePcm16(content)
+      if (parsed.isEmpty) return content
+      val (rate, channels, bigEndian, bytes) = parsed.get
+      val frameBytes = channels * 2
+      val frames = bytes.length / frameBytes
+      if (rate <= 0 || channels <= 0 || frames == 0) return content
+      val start = math.min(frames - 1L,
+        math.max(0L, tsMs) * rate / 1000L).toInt
+      val end = math.min(frames.toLong,
+        start + AudioFrameWindowMs * rate / 1000L).toInt
+      val n = math.max(1, end - start)
+      def sample(frame: Int, ch: Int): Int = {
+        val i = (frame * channels + ch) * 2
+        if (bigEndian) (bytes(i) << 8) | (bytes(i + 1) & 0xFF)
+        else (bytes(i + 1) << 8) | (bytes(i) & 0xFF)
+      }
+      val dataLen = n * channels * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort)
+        .putInt(rate).putInt(rate * channels * 2)
+        .putShort((channels * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var f = start
+      while (f < start + n) {
+        var c = 0
+        while (c < channels) { buf.putShort(sample(f, c).toShort); c += 1 }
+        f += 1
+      }
+      buf.array()
     }
   }
 

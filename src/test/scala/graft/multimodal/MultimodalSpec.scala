@@ -531,6 +531,51 @@ class MultimodalSpec extends SparkTestBase {
       avi.take(avi.length / 2))._1 should (be(-1).or(be(32)))
   }
 
+  test("REAL audio frame sampling: a 1-second PCM window from the sampled " +
+    "timestamp, re-assembled as a playable WAV at the source rate; " +
+    "end-of-payload clamps; junk comes back verbatim") {
+    // 16 kHz mono ramp: sample i = i % 4096 - 2048 over 2 s (32000 frames)
+    val n = 32000
+    val b = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(16000).putInt(32000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    (0 until n).foreach(i => b.putShort((i % 4096 - 2048).toShort))
+    val wav = b.array()
+    // window at ts 500 ms: frames [8000, 24000) — one full second
+    val win = Multimodal.ImageFrameSampler.frameAt("audio", wav, 500L)
+    val (rate, ch, _, dur, feat) = {
+      val d = Multimodal.WavPcmDecoder.decode("audio", win)
+      (d._1, d._2, 0, d._3, d._4)
+    }
+    (rate, ch) shouldBe ((16000, 1))
+    dur shouldBe 1000L
+    feat.length shouldBe 16
+    // the window carries the SOURCE samples from the right offset: its
+    // first sample is source frame 8000 → 8000 % 4096 - 2048 = 1856
+    val p = Multimodal.WavPcmDecoder.parsePcm16(win).get
+    ((p._4(1) << 8) | (p._4(0) & 0xFF)).toShort.toInt shouldBe
+      (8000 % 4096 - 2048)
+    // past-the-end timestamps clamp to the final sample frame
+    val tail = Multimodal.ImageFrameSampler.frameAt("audio", wav, 99999L)
+    Multimodal.WavPcmDecoder.parsePcm16(tail).get._4.length shouldBe 2 // 1 frame
+    // unparseable audio: verbatim, never fabricated bytes
+    val junk = "not audio".getBytes("UTF-8")
+    Multimodal.ImageFrameSampler.frameAt("audio", junk, 0L) shouldBe junk
+    // the sampleFrames operator emits these windows on the duration grid
+    val media = Multimodal.asMediaFrame(
+      Seq((1L, wav, "mem://aw")).toDF("id", "bytes", "uri"),
+      "id", "bytes", "audio", "uri")
+    val rows = Multimodal.sampleFrames(media, everyMs = 1000).collect()
+    rows.length shouldBe 3 // 0, 1000, 2000 ms over a 2 s clip
+    val last = Multimodal.WavPcmDecoder.decode("audio",
+      rows.maxBy(_.getAs[Int]("frame_idx")).getAs[Array[Byte]]("frame"))
+    last._3 should be < 1000L // clamped tail window
+  }
+
   test("REAL MJPEG-AVI resize: every frame rescaled and re-encoded, frame " +
     "clock preserved, a re-decode reports the target dims; junk degrades " +
     "to the stub") {
