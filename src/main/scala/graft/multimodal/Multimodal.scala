@@ -27,10 +27,10 @@ import org.apache.spark.sql.types._
  * dimensions, duration from the stream clock × indexed frame count,
  * frame-0 luma grid, and per-timestamp frame sampling. A payload the
  * JDK cannot parse yields the explicit (-1, -1) sentinel rather than
- * fake dimensions — including non-MJPEG video codecs (H.264 etc.),
- * which would need a JNI/FFmpeg decoder behind the same
- * [[MediaDecoder]] signature. [[StubDecoder]] remains only for
- * modality strings outside image/audio/video.
+ * fake dimensions — including non-MJPEG video codecs (H.264 etc.) and
+ * modality strings outside image/audio/video, which need a custom
+ * decoder behind the same [[MediaDecoder]] signature (a JNI/FFmpeg
+ * wrapper slots in through extractFeatures' decoder parameter).
  */
 object Multimodal {
 
@@ -84,11 +84,11 @@ object Multimodal {
   }
 
   /** STUB: deterministic fake decode — dimensions and an 8-dim "feature"
-    * derived from a rolling hash of the payload bytes. Since the real
-    * [[AviMjpeg]] video path landed, this is reached only for modality
-    * strings outside image/audio/video (the declarative transform
-    * refuses those up front); library callers wiring a custom modality
-    * replace it via the [[MediaDecoder]] seam. */
+    * derived from a rolling hash of the payload bytes. NOT reachable
+    * from any default routing (unknown modalities sentinel instead):
+    * this exists as the plumbing-test double and the worked example of
+    * the [[MediaDecoder]] seam a custom modality wires through
+    * extractFeatures' decoder parameter. */
   object StubDecoder extends MediaDecoder {
     def decode(modality: String, content: Array[Byte]): (Int, Int, Long, Array[Float]) = {
       val h = byteFold(1125899906842597L, content) // not a real decode
@@ -112,9 +112,11 @@ object Multimodal {
     * [[AviMjpeg]] parser (MJPEG-in-AVI: RIFF container parse + per-frame
     * ImageIO JPEG decode — width/height from the decoded frame 0,
     * duration from the strh clock × indexed frame count, luma grid over
-    * frame 0's pixels; anything unparseable → the sentinel). Only a
-    * modality string that is none of image/audio/video falls through to
-    * [[StubDecoder]]. */
+    * frame 0's pixels; anything unparseable → the sentinel). A modality
+    * string that is none of image/audio/video sentinels too — fabricating
+    * dimensions for a modality this decoder has no codec for would be
+    * the one dishonest output left; custom modalities wire a custom
+    * [[MediaDecoder]]. */
   object ImageIODecoder extends MediaDecoder {
     private val Grid = 4
     def decode(modality: String, content: Array[Byte]): (Int, Int, Long, Array[Float]) = {
@@ -128,7 +130,10 @@ object Multimodal {
           case None => return (-1, -1, 0L, Array.empty[Float])
         }
       }
-      if (modality != "image") return StubDecoder.decode(modality, content)
+      // a modality string outside image/audio/video: the sentinel, never
+      // fabricated dimensions — a custom modality needs a custom
+      // [[MediaDecoder]] wired through extractFeatures' decoder seam
+      if (modality != "image") return (-1, -1, 0L, Array.empty[Float])
       // animated GIFs are REAL timed media: duration = Σ frame delays
       // (metadata-only walk, no pixel decode), dimensions = the logical
       // screen, luma grid from the COMPOSITED frame 0 (the
@@ -915,7 +920,9 @@ object Multimodal {
           .map(pngStill).getOrElse(content)
       }
       if (modality == "audio") return audioWindow(content, tsMs)
-      if (modality != "image") return StubFrameSampler.frameAt(modality, content, tsMs)
+      // unknown modality: verbatim (the degrade-gracefully convention) —
+      // a custom modality wires a custom [[FrameSampler]]
+      if (modality != "image") return content
       if (!isGif(content)) return content
       GifMedia.readMeta(content) match {
         case None => content // undecodable GIF: verbatim, like a still

@@ -526,6 +526,11 @@ class MultimodalSpec extends SparkTestBase {
     // a RIFF that is not AVI (the WAV container) is refused too
     Multimodal.ImageIODecoder.decode("video",
       Multimodal.syntheticWavPcm16(1L, 8000, 1, 100))._1 shouldBe -1
+    // an unknown modality string sentinels in the DEFAULT decoder (no
+    // fabricated dims) and samples verbatim — custom modalities wire a
+    // custom MediaDecoder/FrameSampler through the seams
+    Multimodal.ImageIODecoder.decode("pointcloud", avi)._1 shouldBe -1
+    Multimodal.ImageFrameSampler.frameAt("pointcloud", avi, 0L) shouldBe avi
     // truncated mid-chunk: parse stops cleanly at the damage
     Multimodal.ImageIODecoder.decode("video",
       avi.take(avi.length / 2))._1 should (be(-1).or(be(32)))
