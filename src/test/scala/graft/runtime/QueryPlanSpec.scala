@@ -115,6 +115,35 @@ class QueryPlanSpec extends SparkTestBase {
     p should include("partial_count")
   }
 
+  test("q158 composed DSIR pipeline: scoring rides broadcast models — no " +
+    "cartesian product, no gram-keyed shuffle of the corpus, one bounded " +
+    "top-k draw") {
+    // the composed plan's 100 TB shape: lang_classify is a codegen'd
+    // projection against a broadcast model object (no join/exchange for
+    // scoring), importance_score's model join broadcasts the
+    // vocab-bounded gram frame, and the weighted draw is a bounded-heap
+    // top-k (TakeOrderedAndProject), never a global Sort
+    val df = graft.SparkEntry.queries("q158_dsir_lang_pipeline")(spark, sf)
+    val p = plan(df)
+    (p should not).include("CartesianProduct")
+    // the k-winner race is the bounded-heap aggregator + BROADCAST
+    // semi-join of winner ids (BoundedTopK.semiJoinTopK) — never a
+    // global sort of the corpus
+    p should include regex "BroadcastHashJoin .*LeftSemi"
+    (p should not).include("GlobalSort")
+    // scoring never exchanges the corpus on gram: every gram-side join in
+    // the plan is broadcast (the corpus-side exchanges that remain are
+    // the quantile gate's single-column agg and the draw)
+    (p should not).include("SortMergeJoin")
+    // nested-loop joins appear only as BROADCAST 1-row stats-frame
+    // attaches (model scalars, the quantile threshold — the accepted
+    // crossJoin(broadcast(statsFrame)) pattern): every occurrence must
+    // build the broadcast side, never stream×stream
+    val nlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    nlj should not be empty // the threshold attach is expected
+    all(nlj) should include ("BuildRight")
+  }
+
   test("the executor's composed pipeline keeps everything in one plan (filter reaches scan through map+agg)") {
     import graft.config._
     val cfg = PipelineConfig(
