@@ -1702,6 +1702,51 @@ object SparkEntry {
             ",").as("luma0"),
           col("luma_mid"))
     }),
+    // REAL perceptual image hashing, golden-real oracle: each doc gets a
+    // deterministic synthetic PNG with seed = doc_id % 50 (docs i and
+    // i+50 carry IDENTICAL images — q162's planted twins), the chain
+    // PNG-encodes → decodes → computes the 64-bit dHash (8×9 block-mean
+    // luma grid, bit = left-mean > right-mean), and the fixture
+    // generator (tools/gen_golden_q161.py) recomputes every hash
+    // straight from the pixel formula with no image library — the match
+    // only holds if the hash genuinely reads decoded pixels through the
+    // exact documented grid arithmetic
+    "q161_image_dhash" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val png = udf((id: Long) => {
+        val seed = id % 50
+        graft.multimodal.Multimodal.syntheticImagePng(
+          seed, 16 + (seed % 16).toInt, 16 + (seed * 3 % 16).toInt)
+      })
+      graft.multimodal.Multimodal.imageHashes(
+        graft.multimodal.Multimodal.asMediaFrame(
+          tab(s, dir, "documents").where("doc_id < 100")
+            .select(col("doc_id"), png(col("doc_id")).as("bytes"),
+              concat(lit("mem://png/"), col("doc_id")).as("uri")),
+          "doc_id", "bytes", "image", "uri"))
+        .select(col("media_id"), col("dhash"))
+    }),
+    // perceptual image DEDUP end-to-end: q161's images (docs i and i+50
+    // identical → hamming-0 twins) through the dedup_image transform —
+    // dHash signatures, pigeonhole hamming blocking (guaranteed recall
+    // within the budget), greedy pair-drop removal. The oracle re-derives
+    // the SURVIVOR SET from the committed q161 hash fixture in SQL
+    // (bit_count(xor(h_a, h_b)) <= 3 pairs, drop every larger id) — it
+    // matches only if Spark's hashes equal the fixture AND the blocking
+    // found every in-budget pair
+    "q162_image_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val png = udf((id: Long) => {
+        val seed = id % 50
+        graft.multimodal.Multimodal.syntheticImagePng(
+          seed, 16 + (seed % 16).toInt, 16 + (seed * 3 % 16).toInt)
+      })
+      ap(tab(s, dir, "documents").where("doc_id < 100")
+          .select(col("doc_id"), png(col("doc_id")).as("bytes")),
+        t("dedup_image", "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+          "maxHamming" -> "3"))
+        .select("doc_id")
+    }),
     // the published DSIR + trained-language-ID recipe (quickstart-22/25)
     // COMPOSED as ONE YAML pipeline, oracled end-to-end (the q154/q135
     // discipline): lang_classify against a persisted chargram_lm store →
@@ -3134,6 +3179,32 @@ object SparkEntry {
          JOIN read_parquet('/root/repo/src/test/resources/golden/q159_multimodal_video_resize.parquet') g
            ON g.doc_id = d.doc_id
          WHERE d.doc_id < 100""",
+    // the perceptual hash is REAL (decoded pixels through the documented
+    // 8×9 block-mean gradient grid): the oracle joins a fixture whose
+    // every hash was recomputed by an INDEPENDENT Python reimplementation
+    // of the pixel formula (tools/gen_golden_q161.py, no image library).
+    // Keyed on doc_id only (q31's reasoning)
+    "q161_image_dhash" ->
+      """SELECT d.doc_id AS media_id, g.dhash
+         FROM documents d
+         JOIN read_parquet('/root/repo/src/test/resources/golden/q161_image_dhash.parquet') g
+           ON g.doc_id = d.doc_id
+         WHERE d.doc_id < 100""",
+    // image near-dup removal re-derived END TO END from the committed
+    // hash fixture: pairs = bit_count(xor) <= 3 over all id pairs (the
+    // blocking's guaranteed-recall contract makes exhaustive SQL pairing
+    // the honest oracle), survivors = ids that are nobody's
+    // larger-id duplicate (the transform's greedy pair-drop)
+    "q162_image_neardup" ->
+      """SELECT d.doc_id
+         FROM documents d
+         WHERE d.doc_id < 100 AND NOT EXISTS (
+           SELECT 1
+           FROM read_parquet('/root/repo/src/test/resources/golden/q161_image_dhash.parquet') a
+           JOIN read_parquet('/root/repo/src/test/resources/golden/q161_image_dhash.parquet') b
+             ON a.doc_id < b.doc_id
+            AND bit_count(xor(a.dhash, b.dhash)) <= 3
+           WHERE b.doc_id = d.doc_id)""",
     // the COMPOSED DSIR + lang-classify pipeline: the proven oracle
     // fragments chained as CTEs in pipeline order — q149's trained
     // classify (model → totals/vocab → per-doc smoothed scores →

@@ -367,21 +367,36 @@ object Dedup {
   }
 
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
-    // adaptive pigeonhole blocking: maxHamming+1 chunks guarantee a pair
-    // within the distance shares >= 1 intact chunk (a FIXED 4-chunk layout
-    // silently lost every hamming-4+ pair whose flips straddled all four
-    // chunks). At the default maxHamming=3 this is the same 4x16-bit
-    // layout as before, bit for bit. Wider distances mean narrower chunks
-    // and fatter buckets — the cap observer makes that cost visible.
+                      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+    hammingNearDups(simhashSignatures(df, idCol, textCol),
+      maxHamming, maxBucketSize, "simhash")
+
+  /**
+   * Generic 64-bit-signature near-dup pairs under a hamming budget — the
+   * engine shared by text SimHash ([[simhashNearDups]]) and perceptual
+   * image hashes (`dedup_image` over [[graft.multimodal.Multimodal.dHash64]]):
+   * input is a slim `(doc_id, sig)` frame, output `(id_a < id_b, hamming)`.
+   *
+   * Adaptive pigeonhole blocking: maxHamming+1 chunks guarantee a pair
+   * within the distance shares >= 1 intact chunk (a FIXED 4-chunk layout
+   * silently lost every hamming-4+ pair whose flips straddled all four
+   * chunks). At the default maxHamming=3 this is the same 4x16-bit
+   * layout as before, bit for bit. Wider distances mean narrower chunks
+   * and fatter buckets — the cap observer makes that cost visible.
+   * RECALL IS GUARANTEED within the budget (pigeonhole), up to buckets
+   * dropped by `maxBucketSize` — which the observer reports.
+   */
+  def hammingNearDups(signatures: DataFrame, maxHamming: Int = 3,
+                      maxBucketSize: Int = 10000,
+                      tag: String = "hamming"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
-      s"simhashNearDups: maxHamming must be in [0, 15] — blocking needs " +
+      s"${tag}NearDups: maxHamming must be in [0, 15] — blocking needs " +
         s"maxHamming+1 chunks of a 64-bit signature and chunks narrower " +
         s"than 4 bits degenerate into all-collide buckets, got $maxHamming")
-    // null signatures (null text) can never pair — without this filter they
-    // explode into null-chunk rows each, fire bogus mega-bucket cap
-    // warnings, and ride the shuffle for nothing
-    val sigs = simhashSignatures(df, idCol, textCol).where(col("sig").isNotNull)
+    // null signatures (null text / undecodable media) can never pair —
+    // without this filter they explode into null-chunk rows each, fire
+    // bogus mega-bucket cap warnings, and ride the shuffle for nothing
+    val sigs = signatures.where(col("sig").isNotNull)
     // static chunk array (count fixed at plan time) — stays codegen'd,
     // unlike the transform(sequence(...)) HOF form it replaces, which
     // evaluated interpreted per row
@@ -404,7 +419,7 @@ object Dedup {
     val chunked = graft.runtime.BucketCapObserver.observeCap(
         chunked0.withColumn("bucket_n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ch"))),
-        "simhash", "bucket_n", maxBucketSize)
+        tag, "bucket_n", maxBucketSize)
       .filter(col("bucket_n") <= maxBucketSize)
       .select("doc_id", "sig", "chunk", "ch")
     val l = chunked.select(col("chunk"), col("ch"), col("doc_id").as("id_a"), col("sig").as("sig_a"))

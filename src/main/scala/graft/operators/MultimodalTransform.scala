@@ -28,10 +28,11 @@ import graft.multimodal.Multimodal
  *             modality: image}
  * }}}
  *
- * Options: operation features|resize|frames and idColumn/bytesColumn
+ * Options: operation features|resize|frames|hash and idColumn/bytesColumn
  * required; modality (default image), sourceUriColumn (default the id),
  * targetW/targetH (resize, default 224), everyMs (frames, default 1000),
- * maxFrames (default 64).
+ * maxFrames (default 64). `hash` emits the 64-bit perceptual dHash per
+ * payload (NULL when undecodable) — the signature `dedup_image` blocks on.
  */
 object MultimodalTransform extends Transform {
   val transformType = "multimodal"
@@ -96,8 +97,11 @@ object MultimodalTransform extends Transform {
       case "frames" => Multimodal.sampleFrames(media,
         everyMs = longOption(config, "everyMs", 1000L),
         maxFrames = intOption(config, "maxFrames", 64))
+      // perceptual hash: (media_id, dhash) — the slim frame image dedup
+      // joins on (see dedup_image for the end-to-end removal)
+      case "hash" => Multimodal.imageHashes(media)
       case other => throw new IllegalArgumentException(
-        s"multimodal operation must be features|resize|frames, got '$other'")
+        s"multimodal operation must be features|resize|frames|hash, got '$other'")
     }
   }
 }

@@ -257,6 +257,44 @@ object SimhashDedupTransform extends NearDupTransform {
       maxBucketSize = intOpt(config, "maxBucketSize", 10000))
 }
 
+/** Perceptual IMAGE near-dup removal over a binary media column: each
+  * payload's representative still (image / animated-GIF frame 0 composite /
+  * MJPEG-AVI frame 0) reduces to a 64-bit dHash
+  * ([[graft.multimodal.Multimodal.dHash64]] — horizontal luma-gradient
+  * signs, robust to re-encoding, mild rescales and brightness shifts),
+  * and candidates block through the SAME pigeonhole hamming engine as
+  * text SimHash ([[graft.dedup.Dedup.hammingNearDups]] — guaranteed
+  * recall within the budget, mega-buckets capped). Options: idColumn +
+  * bytesColumn (required; the id must cast to a non-null long — the
+  * media-frame contract), modality image|video (default image),
+  * maxHamming (default 3), maxBucketSize (default 10000), plus the
+  * shared survivor/survivorColumn election. Undecodable payloads hash
+  * NULL and never pair (they are kept — dropping what we cannot read is
+  * a quality gate's decision, not dedup's). Scale shape: only the slim
+  * (id, dhash) frame ever shuffles; media bytes stay in their scan. */
+object ImageDedupTransform extends NearDupTransform {
+  val transformType = "dedup_image"
+  override protected def contentOption: String = "bytesColumn"
+  protected def pairs(input: DataFrame, id: String, bytesCol: String,
+                      config: TransformConfig): DataFrame = {
+    val modality = config.options.getOrElse("modality", "image")
+      .toLowerCase(java.util.Locale.ROOT)
+    if (modality != "image" && modality != "video")
+      throw new ConfigException(
+        s"$transformType: modality must be image|video (the modalities " +
+          s"with a visual still to hash), got '${config.options("modality")}'")
+    val media = graft.multimodal.Multimodal.asMediaFrame(
+      input, id, bytesCol, modality = modality, sourceUriCol = id)
+    Dedup.hammingNearDups(
+      graft.multimodal.Multimodal.imageHashes(media)
+        .withColumnRenamed("media_id", "doc_id")
+        .withColumnRenamed("dhash", "sig"),
+      maxHamming = intOpt(config, "maxHamming", 3),
+      maxBucketSize = intOpt(config, "maxBucketSize", 10000),
+      tag = "image")
+  }
+}
+
 /** Embedding-cosine near-dup removal over an Array[Float] vector column:
   * options vecColumn (required), threshold/bits/tables/maxBucketSize
   * (defaults as in [[graft.ann.Ann.cosineNearDups]]). Inherits the

@@ -616,6 +616,63 @@ class MultimodalSpec extends SparkTestBase {
     feats.getAs[Long]("duration_ms") shouldBe 400L
   }
 
+  test("REAL perceptual dHash: equal images hash equal, brightness shifts " +
+    "are invariant, a local edit flips few bits, undecodable hashes NULL; " +
+    "dedup_image removes the planted twins through the hamming engine") {
+    def png(seed: Long) = Multimodal.syntheticImagePng(seed, 24, 24)
+    val h1 = Multimodal.dHash64("image", png(7)).get
+    Multimodal.dHash64("image", png(7)).get shouldBe h1 // deterministic
+    Multimodal.dHash64("image", png(8)).get should not be h1
+    // GLOBAL brightness shift: every pixel +40 (clamped off — keep <216
+    // sources? formula wraps mod 256, so build a custom flat-gradient
+    // image instead): gradient image vs the same +40 — identical dHash
+    def gradient(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(27, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 27) {
+        val v = math.min(255, x * 7 + shift)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    Multimodal.dHash64("image", gradient(0)) shouldBe
+      Multimodal.dHash64("image", gradient(40))
+    // a LOCAL edit (one corner patch) flips few gradient bits
+    def patched(): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png(7)))
+      for (y <- 0 until 3; x <- 0 until 3) img.setRGB(x, y, 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val hp = Multimodal.dHash64("image", patched()).get
+    // a 3x3 corner edit can move at most the gradient bits whose block
+    // boundaries it touches — near-dup territory, never a rehash
+    java.lang.Long.bitCount(h1 ^ hp) should be <= 6
+    // undecodable → None; video stills hash via AVI frame 0
+    Multimodal.dHash64("image", "junk".getBytes("UTF-8")) shouldBe None
+    Multimodal.dHash64("video",
+      Multimodal.syntheticMjpegAvi(7L, 32, 16, 2, 10)) should not be None
+    // END TO END: docs 0..9 where image seed = id % 5 (twins at i, i+5),
+    // dedup_image drops every larger twin and keeps the undecodable row
+    import org.apache.spark.sql.functions._
+    val pngUdf = udf((id: Long) => png(id % 5))
+    val docs = (0L until 10L).toDF("doc_id")
+      .select(col("doc_id"), pngUdf(col("doc_id")).as("bytes"))
+      .union(Seq((99L, "not an image".getBytes("UTF-8")))
+        .toDF("doc_id", "bytes"))
+    val kept = graft.operators.ImageDedupTransform(docs,
+      graft.config.TransformConfig("d", "dedup_image", Map(
+        "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+        "maxHamming" -> "0")),
+      graft.api.RunContext(spark, "t", "r"))
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(0L, 1L, 2L, 3L, 4L, 99L)
+  }
+
   test("null payloads decode as empty bytes instead of crashing") {
     val withNull = media.withColumn("content",
       when(col("media_id") === 2, lit(null).cast("binary")).otherwise(col("content")))
