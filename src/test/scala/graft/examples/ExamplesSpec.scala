@@ -629,6 +629,26 @@ class ExamplesSpec extends SparkTestBase {
       .count() shouldBe 0
   }
 
+  test("quickstart-28: perceptual image dedup — near-duplicate payloads " +
+    "collapse to one copy, undecodable rows survive") {
+    import org.apache.spark.sql.functions._
+    // stage a crawl shard: 12 images over 4 distinct scenes (seed = id%4)
+    // plus one unreadable payload
+    val png = udf((id: Long) =>
+      graft.multimodal.Multimodal.syntheticImagePng(id % 4, 32, 24))
+    (0L until 12L).toDF("img_id")
+      .select(col("img_id"), png(col("img_id")).as("payload"))
+      .union(Seq((99L, "corrupted-bytes".getBytes("UTF-8")))
+        .toDF("img_id", "payload"))
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-examples/quickstart-28-images")
+    run("quickstart-28-image-dedup.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-28-out")
+    // one survivor per scene (the smallest id) + the unreadable row
+    out.select("img_id").as[Long].collect().sorted shouldBe
+      Array(0L, 1L, 2L, 3L, 99L)
+  }
+
   test("every example YAML is exercised by this suite — a quickstart that " +
     "no test runs is documentation that can silently rot") {
     val yamls = new java.io.File("examples").listFiles()
