@@ -1747,6 +1747,48 @@ object SparkEntry {
           "maxHamming" -> "3"))
         .select("doc_id")
     }),
+    // REAL perceptual AUDIO hashing, golden-real oracle: each doc gets a
+    // deterministic synthetic WAV with seed = doc_id % 50 (docs i and
+    // i+50 carry IDENTICAL clips — q164's planted twins), the chain
+    // WAV-encodes → parses → computes the 64-bit aHash (65 equal
+    // time-window mean-|amplitude| envelope, bit = left > right), and
+    // the fixture generator (tools/gen_golden_q163.py) recomputes every
+    // hash straight from the sample formula with no audio library
+    "q163_audio_ahash" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val wav = udf((id: Long) => {
+        val seed = id % 50
+        graft.multimodal.Multimodal.syntheticWavPcm16(
+          seed, 8000 + (seed % 3).toInt * 2000, 1 + (seed % 2).toInt,
+          800 + (seed * 13 % 1600).toInt)
+      })
+      graft.multimodal.Multimodal.imageHashes(
+        graft.multimodal.Multimodal.asMediaFrame(
+          tab(s, dir, "documents").where("doc_id < 100")
+            .select(col("doc_id"), wav(col("doc_id")).as("bytes"),
+              concat(lit("mem://awav/"), col("doc_id")).as("uri")),
+          "doc_id", "bytes", "audio", "uri"))
+        .select(col("media_id"), col("dhash").as("ahash"))
+    }),
+    // perceptual AUDIO dedup end-to-end (the q162 discipline for sound):
+    // q163's clips through dedup_audio — aHash signatures, pigeonhole
+    // hamming blocking, greedy pair-drop. The oracle re-derives the
+    // survivor set from the committed q163 fixture by exhaustive
+    // bit_count(xor) pairing
+    "q164_audio_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val wav = udf((id: Long) => {
+        val seed = id % 50
+        graft.multimodal.Multimodal.syntheticWavPcm16(
+          seed, 8000 + (seed % 3).toInt * 2000, 1 + (seed % 2).toInt,
+          800 + (seed * 13 % 1600).toInt)
+      })
+      ap(tab(s, dir, "documents").where("doc_id < 100")
+          .select(col("doc_id"), wav(col("doc_id")).as("bytes")),
+        t("dedup_audio", "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+          "maxHamming" -> "2"))
+        .select("doc_id")
+    }),
     // the published DSIR + trained-language-ID recipe (quickstart-22/25)
     // COMPOSED as ONE YAML pipeline, oracled end-to-end (the q154/q135
     // discipline): lang_classify against a persisted chargram_lm store →
@@ -3204,6 +3246,31 @@ object SparkEntry {
            JOIN read_parquet('/root/repo/src/test/resources/golden/q161_image_dhash.parquet') b
              ON a.doc_id < b.doc_id
             AND bit_count(xor(a.dhash, b.dhash)) <= 3
+           WHERE b.doc_id = d.doc_id)""",
+    // the audio perceptual hash is REAL (parsed PCM samples through the
+    // documented 65-window envelope-gradient grid): the oracle joins a
+    // fixture recomputed by an INDEPENDENT Python reimplementation of
+    // the sample formula (tools/gen_golden_q163.py, no audio library).
+    // Keyed on doc_id only (q31's reasoning)
+    "q163_audio_ahash" ->
+      """SELECT d.doc_id AS media_id, g.ahash
+         FROM documents d
+         JOIN read_parquet('/root/repo/src/test/resources/golden/q163_audio_ahash.parquet') g
+           ON g.doc_id = d.doc_id
+         WHERE d.doc_id < 100""",
+    // audio near-dup removal re-derived end to end from the committed
+    // hash fixture (the q162 statement for sound): pairs =
+    // bit_count(xor) <= 2 over all id pairs, survivors = ids that are
+    // nobody's larger-id duplicate
+    "q164_audio_neardup" ->
+      """SELECT d.doc_id
+         FROM documents d
+         WHERE d.doc_id < 100 AND NOT EXISTS (
+           SELECT 1
+           FROM read_parquet('/root/repo/src/test/resources/golden/q163_audio_ahash.parquet') a
+           JOIN read_parquet('/root/repo/src/test/resources/golden/q163_audio_ahash.parquet') b
+             ON a.doc_id < b.doc_id
+            AND bit_count(xor(a.ahash, b.ahash)) <= 2
            WHERE b.doc_id = d.doc_id)""",
     // the COMPOSED DSIR + lang-classify pipeline: the proven oracle
     // fragments chained as CTEs in pipeline order — q149's trained

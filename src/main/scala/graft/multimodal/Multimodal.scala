@@ -913,11 +913,64 @@ object Multimodal {
       hash
     }
 
+  /**
+   * REAL perceptual AUDIO hash — the dHash idea on the time axis: the
+   * PCM stream splits into 65 equal sample-frame windows, each reduced
+   * to its mean |amplitude| (channels pooled — exact integer sums, the
+   * WavPcmDecoder envelope arithmetic), and bit `k` is set iff
+   * `mean(k) > mean(k+1)` (strict) — 64 envelope-gradient sign bits.
+   * Gradient signs are invariant to any positive gain change (volume
+   * normalization, format-conversion level shifts) and robust to mild
+   * re-encoding, which makes this the screening signature for
+   * near-identical audio clips; pair with
+   * [[graft.dedup.Dedup.hammingNearDups]] for corpus-scale audio dedup.
+   * None for anything the PCM16 parser rejects — a hash fabricated from
+   * bytes would pair garbage. Clips shorter than 65 frames still hash
+   * (empty windows mean 0 — the min-1-frame guard keeps windows
+   * non-empty whenever frames ≥ 65). */
+  def aHash64(content: Array[Byte]): Option[Long] =
+    WavPcmDecoder.parsePcm16(content).flatMap { case (rate, channels, bigEndian, bytes) =>
+      val frameBytes = channels * 2
+      val frames = bytes.length / frameBytes
+      if (rate <= 0 || channels <= 0 || frames == 0) None
+      else {
+        def sample(frame: Int, ch: Int): Int = {
+          val i = (frame * channels + ch) * 2
+          if (bigEndian) (bytes(i) << 8) | (bytes(i + 1) & 0xFF)
+          else (bytes(i + 1) << 8) | (bytes(i) & 0xFF)
+        }
+        val means = new Array[Double](65)
+        var b = 0
+        while (b < 65) {
+          val f0 = b * frames / 65
+          val f1 = math.min(frames, math.max(f0 + 1, (b + 1) * frames / 65))
+          var sum = 0.0; var n = 0L
+          var f = f0
+          while (f < f1) {
+            var c = 0
+            while (c < channels) { sum += math.abs(sample(f, c)); c += 1; n += 1 }
+            f += 1
+          }
+          means(b) = if (n == 0) 0.0 else sum / n
+          b += 1
+        }
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (means(k) > means(k + 1)) hash |= (1L << k)
+          k += 1
+        }
+        Some(hash)
+      }
+    }
+
   /** Per-payload perceptual hashes: `(media_id, dhash)` with NULL for
     * undecodable payloads (they can never pair — the null-signature
-    * convention [[graft.dedup.Dedup.hammingNearDups]] filters). The slim
-    * frame this emits is all the image-dedup join ever shuffles — media
-    * bytes stay in their scan. */
+    * convention [[graft.dedup.Dedup.hammingNearDups]] filters). Audio
+    * payloads hash via [[aHash64]] (envelope gradients), visual
+    * modalities via [[dHash64]] (luma gradients). The slim frame this
+    * emits is all the media-dedup join ever shuffles — media bytes stay
+    * in their scan. */
   def imageHashes(media: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -927,7 +980,10 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0); val modality = r.getString(1)
         val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-        Row(id, dHash64(modality, bytes).map(Long.box).orNull)
+        val hash =
+          if (modality == "audio") aHash64(bytes)
+          else dHash64(modality, bytes)
+        Row(id, hash.map(Long.box).orNull)
       }
     }(enc)
   }

@@ -295,6 +295,33 @@ object ImageDedupTransform extends NearDupTransform {
   }
 }
 
+/** Perceptual AUDIO near-dup removal over a binary media column: each
+  * PCM16 payload (WAV/AIFF/AU) reduces to a 64-bit aHash
+  * ([[graft.multimodal.Multimodal.aHash64]] — envelope-gradient signs
+  * over 65 equal time windows, invariant to any positive gain change
+  * and robust to mild re-encoding), blocked through the same
+  * guaranteed-recall hamming engine as text SimHash and image dHash.
+  * Options: idColumn + bytesColumn (required; long-castable id),
+  * maxHamming (default 3), maxBucketSize (default 10000), plus the
+  * shared survivor election. Unparseable payloads hash NULL and are
+  * kept. Only the slim (id, hash) frame shuffles. */
+object AudioDedupTransform extends NearDupTransform {
+  val transformType = "dedup_audio"
+  override protected def contentOption: String = "bytesColumn"
+  protected def pairs(input: DataFrame, id: String, bytesCol: String,
+                      config: TransformConfig): DataFrame = {
+    val media = graft.multimodal.Multimodal.asMediaFrame(
+      input, id, bytesCol, modality = "audio", sourceUriCol = id)
+    Dedup.hammingNearDups(
+      graft.multimodal.Multimodal.imageHashes(media)
+        .withColumnRenamed("media_id", "doc_id")
+        .withColumnRenamed("dhash", "sig"),
+      maxHamming = intOpt(config, "maxHamming", 3),
+      maxBucketSize = intOpt(config, "maxBucketSize", 10000),
+      tag = "audio")
+  }
+}
+
 /** Embedding-cosine near-dup removal over an Array[Float] vector column:
   * options vecColumn (required), threshold/bits/tables/maxBucketSize
   * (defaults as in [[graft.ann.Ann.cosineNearDups]]). Inherits the

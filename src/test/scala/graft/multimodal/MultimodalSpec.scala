@@ -673,6 +673,54 @@ class MultimodalSpec extends SparkTestBase {
     kept shouldBe Array(0L, 1L, 2L, 3L, 4L, 99L)
   }
 
+  test("REAL perceptual aHash: equal clips hash equal, positive gain is " +
+    "invariant, unparseable hashes NULL; dedup_audio removes planted twins") {
+    def wav(seed: Long, gain: Int = 1) = {
+      val n = 2000
+      val b = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(n * 2)
+      (0 until n).foreach { i =>
+        b.putShort((((seed * 31 + i * 7) % 4096 - 2048) * gain).toShort)
+      }
+      b.array()
+    }
+    val h1 = Multimodal.aHash64(wav(7)).get
+    Multimodal.aHash64(wav(7)).get shouldBe h1       // deterministic
+    Multimodal.aHash64(wav(8)).get should not be h1  // content-dependent
+    // positive gain scales every window mean equally — hash invariant
+    // (the property that makes aHash survive volume normalization)
+    Multimodal.aHash64(wav(7, gain = 8)).get shouldBe h1
+    Multimodal.aHash64("not audio".getBytes("UTF-8")) shouldBe None
+    // END TO END: ids 0..9 with clip seed = id % 5 (twins at i, i+5) plus
+    // an unparseable row — dedup_audio drops every larger twin, keeps junk
+    import org.apache.spark.sql.functions._
+    val wavUdf = udf((id: Long) => wav(id % 5))
+    val docs = (0L until 10L).toDF("doc_id")
+      .select(col("doc_id"), wavUdf(col("doc_id")).as("bytes"))
+      .union(Seq((99L, "static".getBytes("UTF-8"))).toDF("doc_id", "bytes"))
+    val kept = graft.operators.AudioDedupTransform(docs,
+      graft.config.TransformConfig("d", "dedup_audio", Map(
+        "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+        "maxHamming" -> "0")),
+      graft.api.RunContext(spark, "t", "r"))
+      .select("doc_id").as[Long].collect().sorted
+    // expected survivors derived from the hash function itself (similar
+    // sawtooth clips can legitimately collide at hamming 0 ACROSS seeds —
+    // first id of each hash class survives, the greedy pair-drop policy)
+    val hashes = (0L until 10L).map(id => id -> Multimodal.aHash64(wav(id % 5)).get)
+    val expect = hashes.filter { case (id, h) =>
+      !hashes.exists { case (j, hj) => j < id && hj == h } }.map(_._1)
+    kept shouldBe (expect :+ 99L).sorted.toArray
+    // the PLANTED twins are always among the dropped
+    kept should contain (0L)
+    Seq(5L, 6L, 7L, 8L, 9L).foreach(id => kept.contains(id) shouldBe false)
+  }
+
   test("null payloads decode as empty bytes instead of crashing") {
     val withNull = media.withColumn("content",
       when(col("media_id") === 2, lit(null).cast("binary")).otherwise(col("content")))
