@@ -1789,6 +1789,53 @@ object SparkEntry {
           "maxHamming" -> "2"))
         .select("doc_id")
     }),
+    // REAL temporal VIDEO hashing, golden-real oracle: each doc gets a
+    // deterministic synthetic MJPEG-AVI with seed = doc_id % 50 (docs i
+    // and i+50 carry IDENTICAL clips — q166's planted twins), the chain
+    // container-assembles → RIFF-parses → JPEG-decodes EVERY frame →
+    // computes the 64-bit tHash (65 equal frame windows of mean frame
+    // luma, bit = left > right) plus the frame-0 dHash, and the fixture
+    // generator (tools/gen_golden_q165.py) recomputes both hashes
+    // straight from the tile formula with no video/image library (sound
+    // because q=1.0 JPEGs of 16-aligned constant tiles roundtrip
+    // bit-exactly — the q157 argument). The temporal hash matches only
+    // if the walk reads every frame's real pixels in frame order
+    "q165_video_thash" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val avi = udf((id: Long) => {
+        val seed = id % 50
+        graft.multimodal.Multimodal.syntheticMjpegAvi(
+          seed, 16 * (2 + (seed % 2)).toInt, 16 * (1 + (seed % 3)).toInt,
+          40 + (seed * 7 % 60).toInt, 10 + (seed % 3).toInt * 5)
+      })
+      graft.multimodal.Multimodal.videoHashes(
+        graft.multimodal.Multimodal.asMediaFrame(
+          tab(s, dir, "documents").where("doc_id < 100")
+            .select(col("doc_id"), avi(col("doc_id")).as("bytes"),
+              concat(lit("mem://avi/"), col("doc_id")).as("uri")),
+          "doc_id", "bytes", "video", "uri"))
+        .select(col("media_id"), col("thash"), col("dhash"))
+    }),
+    // perceptual VIDEO dedup end-to-end (the q162/q164 discipline for
+    // timed visual media): q165's clips through dedup_video — temporal
+    // tHash blocking through the shared guaranteed-recall hamming
+    // engine, spatial frame-0 dHash confirm on every candidate pair,
+    // greedy pair-drop. The oracle re-derives the survivor set from the
+    // committed q165 fixture by exhaustive pairing on BOTH hash budgets
+    "q166_video_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val avi = udf((id: Long) => {
+        val seed = id % 50
+        graft.multimodal.Multimodal.syntheticMjpegAvi(
+          seed, 16 * (2 + (seed % 2)).toInt, 16 * (1 + (seed % 3)).toInt,
+          40 + (seed * 7 % 60).toInt, 10 + (seed % 3).toInt * 5)
+      })
+      ap(tab(s, dir, "documents").where("doc_id < 100")
+          .select(col("doc_id"), avi(col("doc_id")).as("bytes")),
+        t("dedup_video", "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+          "maxHamming" -> "2", "maxSpatialHamming" -> "2"))
+        .select("doc_id")
+    }),
     // the published DSIR + trained-language-ID recipe (quickstart-22/25)
     // COMPOSED as ONE YAML pipeline, oracled end-to-end (the q154/q135
     // discipline): lang_classify against a persisted chargram_lm store →
@@ -3271,6 +3318,34 @@ object SparkEntry {
            JOIN read_parquet('/root/repo/src/test/resources/golden/q163_audio_ahash.parquet') b
              ON a.doc_id < b.doc_id
             AND bit_count(xor(a.ahash, b.ahash)) <= 2
+           WHERE b.doc_id = d.doc_id)""",
+    // both video perceptual hashes are REAL (every frame's decoded
+    // pixels through the documented 65-window luma-trajectory grid +
+    // the frame-0 dHash grid): the oracle joins a fixture recomputed by
+    // an INDEPENDENT Python reimplementation of the tile formula
+    // (tools/gen_golden_q165.py, no video/image library). Keyed on
+    // doc_id only (q31's reasoning)
+    "q165_video_thash" ->
+      """SELECT d.doc_id AS media_id, g.thash, g.dhash
+         FROM documents d
+         JOIN read_parquet('/root/repo/src/test/resources/golden/q165_video_thash.parquet') g
+           ON g.doc_id = d.doc_id
+         WHERE d.doc_id < 100""",
+    // video near-dup removal re-derived end to end from the committed
+    // hash fixture (the q162/q164 statement for timed visual media):
+    // pairs must clear BOTH budgets — bit_count(xor(thash)) <= 2
+    // (temporal blocking) AND bit_count(xor(dhash)) <= 2 (spatial
+    // confirm) — survivors = ids that are nobody's larger-id duplicate
+    "q166_video_neardup" ->
+      """SELECT d.doc_id
+         FROM documents d
+         WHERE d.doc_id < 100 AND NOT EXISTS (
+           SELECT 1
+           FROM read_parquet('/root/repo/src/test/resources/golden/q165_video_thash.parquet') a
+           JOIN read_parquet('/root/repo/src/test/resources/golden/q165_video_thash.parquet') b
+             ON a.doc_id < b.doc_id
+            AND bit_count(xor(a.thash, b.thash)) <= 2
+            AND bit_count(xor(a.dhash, b.dhash)) <= 2
            WHERE b.doc_id = d.doc_id)""",
     // the COMPOSED DSIR + lang-classify pipeline: the proven oracle
     // fragments chained as CTEs in pipeline order — q149's trained

@@ -988,6 +988,137 @@ object Multimodal {
     }(enc)
   }
 
+  /** Hard ceiling on frames a temporal hash reads per payload: bounds
+    * the per-payload decode work against a crafted frame flood (the
+    * [[GifMedia.MaxFrames]] convention) while staying far above the
+    * 65-window resolution the hash can actually distinguish. */
+  val TemporalHashMaxFrames: Int = 256
+
+  /** Mean luma of one decoded frame — the [[dHash64]] pixel arithmetic
+    * ((r+g+b)/3.0 per pixel, exact integer-valued double sums for gray
+    * frames) pooled over the whole frame. */
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth; val h = img.getHeight
+    var sum = 0.0; var n = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3.0
+        x += 1; n += 1
+      }
+      y += 1
+    }
+    if (n == 0) 0.0 else sum / n
+  }
+
+  /**
+   * REAL temporal perceptual hash for TIMED VISUAL media — [[aHash64]]'s
+   * envelope idea with mean FRAME LUMA as the envelope: the clip's frame
+   * sequence splits into 65 equal windows, each reduced to the mean of
+   * its frames' mean lumas (per-frame mean via the [[dHash64]] pixel
+   * arithmetic — exact and replayable by a no-library fixture generator),
+   * and bit `k` is set iff `mean(k) > mean(k+1)` (strict) — 64
+   * luma-trajectory gradient signs. Two re-encodes of the same clip hash
+   * close; two clips sharing a first frame but diverging later do NOT
+   * (the failure mode of frame-0-only [[dHash64]] screening). Supported
+   * containers: MJPEG-in-AVI (`video` payloads via [[AviMjpeg]]) and
+   * animated GIF (`image` payloads via [[GifMedia]]'s disposal-composited
+   * frames). Frames read are capped at [[TemporalHashMaxFrames]] — a
+   * loudly-bounded hostile-input ceiling. None for anything unparseable,
+   * for still (non-GIF) images (a single frame has no trajectory to
+   * sign — [[dHash64]] is the screening hash there), and for any frame
+   * that fails to decode — a hash fabricated from partial reads would
+   * pair garbage. Clips shorter than 65 frames still hash (shared
+   * windows repeat a frame's mean — equal neighbors sign 0, the
+   * [[aHash64]] short-clip convention). */
+  def tHash64(modality: String, content: Array[Byte]): Option[Long] = {
+    val frameMeans: Option[Array[Double]] = modality match {
+      case "video" =>
+        AviMjpeg.read(content).flatMap { vid =>
+          val n = math.min(vid.frameCount, TemporalHashMaxFrames)
+          if (n <= 0) None
+          else {
+            val ms = new Array[Double](n)
+            var i = 0; var ok = true
+            while (ok && i < n) {
+              vid.frame(i) match {
+                case Some(img) => ms(i) = meanLuma(img); i += 1
+                case None => ok = false
+              }
+            }
+            if (ok) Some(ms) else None
+          }
+        }
+      case "image" if isGif(content) =>
+        GifMedia.readMeta(content).flatMap { meta =>
+          val n = math.min(meta.frames.length, TemporalHashMaxFrames)
+          if (n <= 0) None
+          else {
+            val ms = new Array[Double](n)
+            var i = 0; var ok = true
+            while (ok && i < n) {
+              GifMedia.compositedFrame(content, i) match {
+                case Some(img) => ms(i) = meanLuma(img); i += 1
+                case None => ok = false
+              }
+            }
+            if (ok) Some(ms) else None
+          }
+        }
+      case _ => None
+    }
+    frameMeans.map { ms =>
+      val frames = ms.length
+      val means = new Array[Double](65)
+      var b = 0
+      while (b < 65) {
+        val f0 = b * frames / 65
+        val f1 = math.min(frames, math.max(f0 + 1, (b + 1) * frames / 65))
+        var sum = 0.0; var n = 0L
+        var f = f0
+        while (f < f1) { sum += ms(f); f += 1; n += 1 }
+        means(b) = if (n == 0) 0.0 else sum / n
+        b += 1
+      }
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (means(k) > means(k + 1)) hash |= (1L << k)
+        k += 1
+      }
+      hash
+    }
+  }
+
+  /** Per-payload VIDEO perceptual signature pair: `(media_id, thash,
+    * dhash)` — the temporal luma-trajectory hash ([[tHash64]]) plus the
+    * spatial frame-0 hash ([[dHash64]]), each NULL when its side is
+    * unparseable (NULL never pairs). Video dedup blocks on the temporal
+    * hash and confirms on the spatial one: temporal alone would pair
+    * different clips with the same brightness drift, spatial alone pairs
+    * clips that merely share a first frame. The decode cost is
+    * O(min(frames, [[TemporalHashMaxFrames]])) JPEG reads per payload —
+    * the signature pass is the expensive stage by design, and the slim
+    * two-long frame it emits is all the dedup join ever shuffles; media
+    * bytes stay in their scan. */
+  def videoHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("thash", LongType),
+      StructField("dhash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "modality", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val modality = r.getString(1)
+        val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+        Row(id, tHash64(modality, bytes).map(Long.box).orNull,
+          dHash64(modality, bytes).map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
   /** One sampled frame: (media_id, frame_idx, ts_ms, frame bytes). */
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -322,6 +322,54 @@ object AudioDedupTransform extends NearDupTransform {
   }
 }
 
+/** Perceptual VIDEO near-dup removal over a binary media column — the
+  * two-hash screening a crawl-video pipeline needs: each MJPEG-AVI
+  * payload reduces to a ([[graft.multimodal.Multimodal.tHash64]]
+  * temporal luma-trajectory hash, [[graft.multimodal.Multimodal.dHash64]]
+  * spatial frame-0 hash) signature pair, candidates block through the
+  * guaranteed-recall pigeonhole hamming engine on the TEMPORAL hash
+  * (spatial-only screening pairs clips that merely share a first frame),
+  * and each candidate pair must ALSO agree spatially (temporal-only
+  * screening pairs different clips with the same brightness drift).
+  * Options: idColumn + bytesColumn (required; long-castable id),
+  * maxHamming (temporal budget, default 3), maxSpatialHamming (confirm
+  * budget, default = maxHamming), maxBucketSize (default 10000), plus
+  * the shared survivor election. Payloads missing either hash
+  * (unparseable container, undecodable frame) never pair and are kept.
+  * Scale shape: the expensive stage is the signature pass —
+  * O(min(frames, TemporalHashMaxFrames)) JPEG decodes per payload,
+  * computed ONCE behind a lazy checkpoint (three consumers: the blocking
+  * frame and both sides of the spatial-confirm join would otherwise each
+  * re-decode the corpus); only the slim (id, thash, dhash) frame ever
+  * shuffles, and the confirm joins are id-keyed against the near-dup-
+  * sized pair frame. */
+object VideoDedupTransform extends NearDupTransform {
+  val transformType = "dedup_video"
+  override protected def contentOption: String = "bytesColumn"
+  protected def pairs(input: DataFrame, id: String, bytesCol: String,
+                      config: TransformConfig): DataFrame = {
+    val media = graft.multimodal.Multimodal.asMediaFrame(
+      input, id, bytesCol, modality = "video", sourceUriCol = id)
+    val maxTemporal = intOpt(config, "maxHamming", 3)
+    val hashes = graft.api.Checkpointing.checkpoint(
+      graft.multimodal.Multimodal.videoHashes(media), eager = false)
+    val temporalPairs = Dedup.hammingNearDups(
+      hashes.select(col("media_id").as("doc_id"), col("thash").as("sig")),
+      maxHamming = maxTemporal,
+      maxBucketSize = intOpt(config, "maxBucketSize", 10000),
+      tag = "video")
+    val spatial = hashes.where(col("dhash").isNotNull)
+    temporalPairs
+      .join(spatial.select(col("media_id").as("id_a"), col("dhash").as("__sa")),
+        Seq("id_a"))
+      .join(spatial.select(col("media_id").as("id_b"), col("dhash").as("__sb")),
+        Seq("id_b"))
+      .where(bit_count(col("__sa").bitwiseXOR(col("__sb"))) <=
+        intOpt(config, "maxSpatialHamming", maxTemporal))
+      .select("id_a", "id_b", "hamming")
+  }
+}
+
 /** Embedding-cosine near-dup removal over an Array[Float] vector column:
   * options vecColumn (required), threshold/bits/tables/maxBucketSize
   * (defaults as in [[graft.ann.Ann.cosineNearDups]]). Inherits the

@@ -721,6 +721,80 @@ class MultimodalSpec extends SparkTestBase {
     Seq(5L, 6L, 7L, 8L, 9L).foreach(id => kept.contains(id) shouldBe false)
   }
 
+  test("REAL temporal tHash: twins hash equal, trajectory-dependent, " +
+    "stills/junk hash None, GIFs walk composited frames; dedup_video " +
+    "blocks on the temporal hash and confirms on the spatial one") {
+    def clip(seed: Long, frames: Int = 40) =
+      Multimodal.syntheticMjpegAvi(seed, 32, 16, frames, 10)
+    val t1 = Multimodal.tHash64("video", clip(7)).get
+    Multimodal.tHash64("video", clip(7)).get shouldBe t1       // deterministic
+    Multimodal.tHash64("video", clip(8)).get should not be t1  // content-dependent
+    // same frame 0, different trajectory (8 vs 80 frames): the temporal
+    // hash separates what frame-0 dHash cannot — the clip-share-a-
+    // thumbnail failure mode of spatial-only screening
+    val shortClip = clip(7, frames = 8); val longClip = clip(7, frames = 80)
+    Multimodal.dHash64("video", shortClip) shouldBe
+      Multimodal.dHash64("video", longClip)
+    Multimodal.tHash64("video", shortClip) should not be
+      Multimodal.tHash64("video", longClip)
+    // stills have no trajectory to sign; junk has no container
+    Multimodal.tHash64("image",
+      Multimodal.syntheticImagePng(7, 24, 24)) shouldBe None
+    Multimodal.tHash64("video", "junk".getBytes("UTF-8")) shouldBe None
+    // animated GIFs are timed visual media too — the composited-frame walk
+    val gif = Multimodal.syntheticAnimatedGif(7, 20, 12, 6, 4)
+    Multimodal.tHash64("image", gif) should not be None
+    Multimodal.tHash64("image",
+      Multimodal.syntheticAnimatedGif(7, 20, 12, 6, 4)) shouldBe
+      Multimodal.tHash64("image", gif)
+    // END TO END: ids 0..9 with clip seed = id % 5 (twins at i, i+5) plus
+    // a junk row — dedup_video drops every larger twin, keeps junk (NULL
+    // hashes never pair)
+    import org.apache.spark.sql.functions._
+    val clipUdf = udf((id: Long) => clip(id % 5))
+    val docs = (0L until 10L).toDF("doc_id")
+      .select(col("doc_id"), clipUdf(col("doc_id")).as("bytes"))
+      .union(Seq((99L, "static".getBytes("UTF-8"))).toDF("doc_id", "bytes"))
+    val kept = graft.operators.VideoDedupTransform(docs,
+      graft.config.TransformConfig("d", "dedup_video", Map(
+        "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+        "maxHamming" -> "0", "maxSpatialHamming" -> "0")),
+      graft.api.RunContext(spark, "t", "r"))
+      .select("doc_id").as[Long].collect().sorted
+    // expected survivors derived from the hash pair itself (cross-seed
+    // clips can legitimately collide — first id of each class survives)
+    val sigs = (0L until 10L).map(id => (id,
+      Multimodal.tHash64("video", clip(id % 5)).get,
+      Multimodal.dHash64("video", clip(id % 5)).get))
+    val expect = sigs.filter { case (id, t, d) =>
+      !sigs.exists { case (j, tj, dj) => j < id && tj == t && dj == d }
+    }.map(_._1)
+    kept shouldBe (expect :+ 99L).sorted.toArray
+    kept should contain (0L)
+    Seq(5L, 6L, 7L, 8L, 9L).foreach(id => kept.contains(id) shouldBe false)
+    // SPATIAL CONFIRM: fixture-formula seeds 32 and 49 are temporal
+    // near-twins (luma trajectories 1 bit apart) whose frame-0 layouts
+    // differ by 10 gradient bits — exactly the different-clips-with-the-
+    // same-brightness-drift case the confirm exists for. Within the
+    // spatial budget the pair drops one; one notch tighter keeps both.
+    def fClip(seed: Long) = Multimodal.syntheticMjpegAvi(
+      seed, 16 * (2 + (seed % 2)).toInt, 16 * (1 + (seed % 3)).toInt,
+      40 + (seed * 7 % 60).toInt, 10 + (seed % 3).toInt * 5)
+    val (ca, cb) = (fClip(32), fClip(49))
+    java.lang.Long.bitCount(Multimodal.tHash64("video", ca).get ^
+      Multimodal.tHash64("video", cb).get) shouldBe 1
+    java.lang.Long.bitCount(Multimodal.dHash64("video", ca).get ^
+      Multimodal.dHash64("video", cb).get) shouldBe 10
+    val two = Seq((32L, ca), (49L, cb)).toDF("doc_id", "bytes")
+    def survivors(spatial: Int): Long = graft.operators.VideoDedupTransform(
+      two, graft.config.TransformConfig("d", "dedup_video", Map(
+        "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+        "maxHamming" -> "1", "maxSpatialHamming" -> spatial.toString)),
+      graft.api.RunContext(spark, "t", "r")).count()
+    survivors(10) shouldBe 1
+    survivors(9) shouldBe 2
+  }
+
   test("null payloads decode as empty bytes instead of crashing") {
     val withNull = media.withColumn("content",
       when(col("media_id") === 2, lit(null).cast("binary")).otherwise(col("content")))
