@@ -1836,6 +1836,44 @@ object SparkEntry {
           "maxHamming" -> "2", "maxSpatialHamming" -> "2"))
         .select("doc_id")
     }),
+    // REAL media quality signals, golden-real oracle over ALL THREE
+    // modalities in one frame (doc_id % 3 → image PNG / audio WAV /
+    // video MJPEG-AVI, each from its proven synthetic formula): visual
+    // rows score brightness (mean luma) / contrast (luma stddev) /
+    // sharpness (mean |horizontal gradient| — the blur proxy), audio
+    // rows score rms / clip_frac / silence_frac, each modality's
+    // inapplicable side coalesced to the -1.0 sentinel for the compare.
+    // The fixture generator (tools/gen_golden_q167.py) recomputes every
+    // signal straight from the pixel/tile/sample formulas with no media
+    // library — the match only holds if the scores read real decoded
+    // pixels and PCM samples through the exact documented arithmetic
+    "q167_media_signals" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val payload = udf((id: Long) => (id % 3) match {
+        case 0L => graft.multimodal.Multimodal.syntheticImagePng(
+          id, 16 + (id % 16).toInt, 16 + (id * 3 % 16).toInt)
+        case 1L => graft.multimodal.Multimodal.syntheticWavPcm16(
+          id, 8000 + (id % 3).toInt * 2000, 1 + (id % 2).toInt,
+          800 + (id * 13 % 1600).toInt)
+        case _ => graft.multimodal.Multimodal.syntheticMjpegAvi(
+          id, 16 * (2 + (id % 2)).toInt, 16 * (1 + (id % 3)).toInt,
+          2 + (id % 4).toInt, 10 + (id % 3).toInt * 5)
+      })
+      graft.multimodal.Multimodal.mediaSignals(
+        tab(s, dir, "documents").where("doc_id < 99")
+          .select(col("doc_id").as("media_id"),
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+            payload(col("doc_id")).as("content")))
+        .select(col("media_id"), col("modality"), col("width"),
+          col("height"), col("duration_ms"),
+          coalesce(col("brightness"), lit(-1.0)).as("brightness"),
+          coalesce(col("contrast"), lit(-1.0)).as("contrast"),
+          coalesce(col("sharpness"), lit(-1.0)).as("sharpness"),
+          coalesce(col("rms"), lit(-1.0)).as("rms"),
+          coalesce(col("clip_frac"), lit(-1.0)).as("clip_frac"),
+          coalesce(col("silence_frac"), lit(-1.0)).as("silence_frac"))
+    }),
     // the published DSIR + trained-language-ID recipe (quickstart-22/25)
     // COMPOSED as ONE YAML pipeline, oracled end-to-end (the q154/q135
     // discipline): lang_classify against a persisted chargram_lm store →
@@ -3347,6 +3385,20 @@ object SparkEntry {
             AND bit_count(xor(a.thash, b.thash)) <= 2
             AND bit_count(xor(a.dhash, b.dhash)) <= 2
            WHERE b.doc_id = d.doc_id)""",
+    // every media quality signal is REAL (decoded pixels / PCM samples
+    // through the documented brightness/contrast/sharpness and
+    // rms/clip/silence arithmetic): the oracle joins a fixture
+    // recomputed by an INDEPENDENT Python reimplementation of the
+    // pixel/tile/sample formulas (tools/gen_golden_q167.py, no media
+    // library). Keyed on doc_id only (q31's reasoning)
+    "q167_media_signals" ->
+      """SELECT d.doc_id AS media_id, g.modality, g.width, g.height,
+                g.duration_ms, g.brightness, g.contrast, g.sharpness,
+                g.rms, g.clip_frac, g.silence_frac
+         FROM documents d
+         JOIN read_parquet('/root/repo/src/test/resources/golden/q167_media_signals.parquet') g
+           ON g.doc_id = d.doc_id
+         WHERE d.doc_id < 99""",
     // the COMPOSED DSIR + lang-classify pipeline: the proven oracle
     // fragments chained as CTEs in pipeline order — q149's trained
     // classify (model → totals/vocab → per-doc smoothed scores →

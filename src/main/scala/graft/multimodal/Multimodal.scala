@@ -1119,6 +1119,133 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-payload quality signals: dims/duration plus the modality's
+    * scoring columns (visual: brightness/contrast/sharpness; audio:
+    * rms/clip_frac/silence_frac); the inapplicable side is NULL. */
+  val signalSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("brightness", DoubleType),
+    StructField("contrast", DoubleType),
+    StructField("sharpness", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("clip_frac", DoubleType),
+    StructField("silence_frac", DoubleType)))
+
+  /** (brightness, contrast, sharpness) of one decoded still — the
+    * [[dHash64]] pixel arithmetic: brightness = mean luma (0..255),
+    * contrast = population stddev of luma, sharpness = mean |horizontal
+    * luma gradient| (a blur proxy: soft re-encodes and upscales flatten
+    * it; 0 for single-column images). Integer-valued double sums are
+    * exact (≤ 2^53), divided once — replayable by a no-library fixture
+    * generator. */
+  private def visualSignals(img: java.awt.image.BufferedImage)
+      : (Double, Double, Double) = {
+    val w = img.getWidth; val h = img.getHeight
+    var sum = 0.0; var sumSq = 0.0; var gsum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0; var prev = 0.0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val l = ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3.0
+        sum += l; sumSq += l * l
+        if (x > 0) gsum += math.abs(l - prev)
+        prev = l
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val mean = sum / n
+    val contrast = math.sqrt(math.max(0.0, sumSq / n - mean * mean))
+    val sharpness = if (w > 1) gsum / ((w - 1).toLong * h) else 0.0
+    (mean, contrast, sharpness)
+  }
+
+  /**
+   * Per-payload QUALITY SIGNALS — the [[graft.operators.TextSignalsTransform]]
+   * idea for media, the score→gate shape a crawl-media curation pipeline
+   * runs before spending decode/embedding budget downstream:
+   *
+   *  - visual payloads (image / animated-GIF composite / MJPEG-AVI frame
+   *    0 via [[decodeStill]]): `brightness` (mean luma — near-black /
+   *    blown-out screens), `contrast` (luma population stddev — flat
+   *    color cards score ~0), `sharpness` (mean |horizontal luma
+   *    gradient| — the blur proxy); `duration_ms` from the GIF delay sum
+   *    or the AVI strh clock (0 for stills).
+   *  - audio payloads (PCM16 via [[WavPcmDecoder.parsePcm16]], channels
+   *    pooled): `rms` (mean power, 0..1 of int16 full scale — silence
+   *    screens ~0), `clip_frac` (fraction of samples at |s| ≥ `clipAbs`
+   *    — hard-clipped rips), `silence_frac` (fraction at |s| <
+   *    `silenceAbs` — dead air).
+   *
+   * Undecodable payloads report the honest `(-1, -1, 0, NULL…)` sentinel
+   * — a quality gate drops or routes them EXPLICITLY, never on fabricated
+   * scores. One zero-shuffle partition-wise pass; the slim numeric frame
+   * it emits is what downstream gates join/filter on, media bytes stay
+   * in their scan. */
+  def mediaSignals(media: DataFrame, silenceAbs: Int = 328,
+                   clipAbs: Int = 32704): DataFrame = {
+    require(silenceAbs >= 0 && clipAbs > silenceAbs && clipAbs <= 32768,
+      s"mediaSignals: need 0 <= silenceAbs < clipAbs <= 32768, got " +
+        s"silenceAbs=$silenceAbs clipAbs=$clipAbs")
+    val enc = org.apache.spark.sql.Encoders.row(signalSchema)
+    media.select("media_id", "modality", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val modality = r.getString(1)
+        val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+        val (w, h, dur, vis, aud) =
+          if (modality == "audio") {
+            WavPcmDecoder.parsePcm16(bytes) match {
+              case Some((rate, channels, bigEndian, pcm))
+                  if rate > 0 && channels > 0 && pcm.length >= channels * 2 =>
+                val frameBytes = channels * 2
+                val frames = pcm.length / frameBytes
+                val n = frames.toLong * channels
+                var sumSq = 0.0; var clipped = 0L; var silent = 0L
+                var i = 0
+                while (i < frames * channels) {
+                  val off = i * 2
+                  val s =
+                    if (bigEndian) (pcm(off) << 8) | (pcm(off + 1) & 0xFF)
+                    else (pcm(off + 1) << 8) | (pcm(off) & 0xFF)
+                  val a = math.abs(s)
+                  sumSq += s.toDouble * s
+                  if (a >= clipAbs) clipped += 1
+                  if (a < silenceAbs) silent += 1
+                  i += 1
+                }
+                (rate, channels, frames.toLong * 1000L / rate, None,
+                  Some((math.sqrt(sumSq / n) / 32768.0,
+                    clipped.toDouble / n, silent.toDouble / n)))
+              case _ => (-1, -1, 0L, None, None)
+            }
+          } else decodeStill(modality, bytes) match {
+            case Some(img) =>
+              val d = modality match {
+                case "video" => AviMjpeg.read(bytes).map(_.durationMs).getOrElse(0L)
+                case _ if isGif(bytes) =>
+                  GifMedia.readMeta(bytes).map(_.durationMs).getOrElse(0L)
+                case _ => 0L
+              }
+              (img.getWidth, img.getHeight, d, Some(visualSignals(img)), None)
+            case None => (-1, -1, 0L, None, None)
+          }
+        Row(id, modality, w, h, dur,
+          vis.map(v => Double.box(v._1)).orNull,
+          vis.map(v => Double.box(v._2)).orNull,
+          vis.map(v => Double.box(v._3)).orNull,
+          aud.map(a => Double.box(a._1)).orNull,
+          aud.map(a => Double.box(a._2)).orNull,
+          aud.map(a => Double.box(a._3)).orNull)
+      }
+    }(enc)
+  }
+
   /** One sampled frame: (media_id, frame_idx, ts_ms, frame bytes). */
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -28,11 +28,15 @@ import graft.multimodal.Multimodal
  *             modality: image}
  * }}}
  *
- * Options: operation features|resize|frames|hash and idColumn/bytesColumn
- * required; modality (default image), sourceUriColumn (default the id),
- * targetW/targetH (resize, default 224), everyMs (frames, default 1000),
- * maxFrames (default 64). `hash` emits the 64-bit perceptual dHash per
- * payload (NULL when undecodable) — the signature `dedup_image` blocks on.
+ * Options: operation features|resize|frames|hash|signals and
+ * idColumn/bytesColumn required; modality (default image), sourceUriColumn
+ * (default the id), targetW/targetH (resize, default 224), everyMs
+ * (frames, default 1000), maxFrames (default 64). `hash` emits the 64-bit
+ * perceptual dHash per payload (NULL when undecodable) — the signature
+ * `dedup_image` blocks on. `signals` emits per-payload quality scores
+ * ([[Multimodal.mediaSignals]] — visual brightness/contrast/sharpness,
+ * audio rms/clip_frac/silence_frac; silenceAbs default 328 ≈ 1% FS,
+ * clipAbs default 32704 — the score→gate shape `text_signals` gives text.
  */
 object MultimodalTransform extends Transform {
   val transformType = "multimodal"
@@ -100,8 +104,20 @@ object MultimodalTransform extends Transform {
       // perceptual hash: (media_id, dhash) — the slim frame image dedup
       // joins on (see dedup_image for the end-to-end removal)
       case "hash" => Multimodal.imageHashes(media)
+      // quality signals: the text_signals idea for media — score columns
+      // a downstream quality_rules/filter gate consumes (visual
+      // brightness/contrast/sharpness, audio rms/clip_frac/silence_frac)
+      case "signals" =>
+        val silence = intOption(config, "silenceAbs", 328)
+        val clip = intOption(config, "clipAbs", 32704)
+        if (silence < 0 || clip <= silence || clip > 32768)
+          throw new graft.api.ConfigException(
+            s"multimodal: signals needs 0 <= silenceAbs < clipAbs <= 32768 " +
+              s"(int16 absolute-amplitude thresholds), got " +
+              s"silenceAbs=$silence clipAbs=$clip")
+        Multimodal.mediaSignals(media, silenceAbs = silence, clipAbs = clip)
       case other => throw new IllegalArgumentException(
-        s"multimodal operation must be features|resize|frames|hash, got '$other'")
+        s"multimodal operation must be features|resize|frames|hash|signals, got '$other'")
     }
   }
 }

@@ -795,6 +795,102 @@ class MultimodalSpec extends SparkTestBase {
     survivors(9) shouldBe 2
   }
 
+  test("media quality signals: visual brightness/contrast/sharpness, " +
+    "audio rms/clip/silence, timed duration, honest undecodable sentinel; " +
+    "the transform validates its thresholds") {
+    def gray(v: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def ramp(w: Int, h: Int): Array[Byte] = { // luma = 5x: gradient 5 everywhere
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = x * 5
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def wav(sample: Int => Int, n: Int = 400): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(n * 2)
+      (0 until n).foreach(i => b.putShort(sample(i).toShort))
+      b.array()
+    }
+    def frame(bytes: Array[Byte], modality: String) = Multimodal.asMediaFrame(
+      Seq((1L, bytes, "mem://sig")).toDF("id", "bytes", "uri"),
+      "id", "bytes", modality, "uri")
+    def sig(bytes: Array[Byte], modality: String) =
+      Multimodal.mediaSignals(frame(bytes, modality)).collect().head
+    // flat gray card: brightness = the value, zero contrast, zero sharpness
+    val flat = sig(gray(77, 20, 10), "image")
+    flat.getAs[Int]("width") shouldBe 20
+    flat.getAs[Long]("duration_ms") shouldBe 0L
+    flat.getAs[Double]("brightness") shouldBe 77.0
+    flat.getAs[Double]("contrast") shouldBe 0.0
+    flat.getAs[Double]("sharpness") shouldBe 0.0
+    flat.isNullAt(flat.fieldIndex("rms")) shouldBe true
+    // horizontal ramp (luma 5x): every gradient step is 5 — sharpness 5.0
+    val r = sig(ramp(10, 6), "image")
+    r.getAs[Double]("brightness") shouldBe 22.5
+    r.getAs[Double]("sharpness") shouldBe 5.0
+    r.getAs[Double]("contrast") should be > 14.0
+    // full-scale square wave: clipped throughout, never silent, rms ≈ FS
+    val clipped = sig(wav(i => if (i % 2 == 0) 32767 else -32768), "audio")
+    clipped.getAs[Double]("clip_frac") shouldBe 1.0
+    clipped.getAs[Double]("silence_frac") shouldBe 0.0
+    clipped.getAs[Double]("rms") should be > 0.999
+    clipped.isNullAt(clipped.fieldIndex("brightness")) shouldBe true
+    // digital silence: zero power, all-silent
+    val silent = sig(wav(_ => 0), "audio")
+    silent.getAs[Double]("rms") shouldBe 0.0
+    silent.getAs[Double]("silence_frac") shouldBe 1.0
+    silent.getAs[Double]("clip_frac") shouldBe 0.0
+    silent.getAs[Long]("duration_ms") shouldBe 50L // 400 frames @ 8 kHz
+    // timed visual payloads report their clock duration
+    sig(Multimodal.syntheticAnimatedGif(7, 20, 12, 4, 5), "image")
+      .getAs[Long]("duration_ms") shouldBe 200L
+    sig(Multimodal.syntheticMjpegAvi(3, 32, 16, 4, 20), "video")
+      .getAs[Long]("duration_ms") shouldBe 200L
+    // undecodable → the honest sentinel, no fabricated scores
+    val junk = sig("junk".getBytes("UTF-8"), "image")
+    junk.getAs[Int]("width") shouldBe -1
+    junk.isNullAt(junk.fieldIndex("brightness")) shouldBe true
+    junk.isNullAt(junk.fieldIndex("rms")) shouldBe true
+    // transform wiring + threshold validation
+    import graft.config.TransformConfig
+    import graft.api.RunContext
+    val ctx = RunContext(spark, "mm", "t")
+    val raw = Seq((1L, gray(10, 16, 16))).toDF("id", "bytes")
+    def tc(opts: (String, String)*) = TransformConfig("mm", "multimodal",
+      Map("operation" -> "signals", "idColumn" -> "id",
+        "bytesColumn" -> "bytes") ++ opts.toMap)
+    graft.operators.MultimodalTransform(raw, tc(), ctx)
+      .schema shouldBe Multimodal.signalSchema
+    the[graft.api.ConfigException] thrownBy
+      graft.operators.MultimodalTransform(raw,
+        tc("silenceAbs" -> "400", "clipAbs" -> "300"), ctx) should
+      have message ("multimodal: signals needs 0 <= silenceAbs < clipAbs " +
+        "<= 32768 (int16 absolute-amplitude thresholds), got " +
+        "silenceAbs=400 clipAbs=300")
+    the[graft.api.ConfigException] thrownBy
+      graft.operators.MultimodalTransform(raw,
+        tc("clipAbs" -> "lots"), ctx) should
+      have message "multimodal: clipAbs must be an integer, got 'lots'"
+  }
+
   test("null payloads decode as empty bytes instead of crashing") {
     val withNull = media.withColumn("content",
       when(col("media_id") === 2, lit(null).cast("binary")).otherwise(col("content")))
