@@ -1874,6 +1874,62 @@ object SparkEntry {
           coalesce(col("clip_frac"), lit(-1.0)).as("clip_frac"),
           coalesce(col("silence_frac"), lit(-1.0)).as("silence_frac"))
     }),
+    // the MEDIA curation recipe COMPOSED as ONE YAML pipeline (the q154
+    // statement for media): score (multimodal signals) → drop the
+    // undecodable (width > 0 — junk payloads report the -1 sentinel) →
+    // quality-gate on contrast/sharpness/brightness → join the survivors
+    // back to their bytes → perceptual dedup_image (planted twins at
+    // i/i+50) → project ids. The oracle re-derives the END-TO-END
+    // survivor set from a fixture whose signals AND hashes were
+    // recomputed from the pixel formula by an independent Python script
+    // (tools/gen_golden_q168.py): gate in SQL, then exhaustive
+    // bit_count(xor) pairing WITHIN the gate survivors — a drift in any
+    // stage, in stage order, or in how compose chains them breaks it
+    "q168_media_curation" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val png = udf((id: Long) => {
+        if (id % 10 == 7) "crawl junk: not an image payload".getBytes("UTF-8")
+        else {
+          val seed = id % 50
+          graft.multimodal.Multimodal.syntheticImagePng(
+            seed, 16 + (seed % 16).toInt, 16 + (seed * 3 % 16).toInt)
+        }
+      })
+      tab(s, dir, "documents").where("doc_id < 100")
+        .select(col("doc_id"), png(col("doc_id")).as("bytes"))
+        .createOrReplaceTempView("q168_media")
+      val yaml =
+        """pipelineId: q168-media-curation
+          |source:
+          |  type: table
+          |  options: {table: q168_media}
+          |transformations:
+          |  - name: signals
+          |    type: multimodal
+          |    options: {operation: signals, idColumn: doc_id, bytesColumn: bytes}
+          |  - name: decodable
+          |    type: filter
+          |    options: {condition: "width > 0"}
+          |  - name: quality-gate
+          |    type: filter
+          |    options: {condition: "contrast >= 71.0 AND sharpness >= 12.5 AND brightness BETWEEN 16.0 AND 240.0"}
+          |  - name: rejoin
+          |    type: join
+          |    options: {rightDataset: q168_media, leftKey: media_id, rightKey: doc_id, joinType: inner}
+          |  - name: neardup
+          |    type: dedup_image
+          |    options: {idColumn: media_id, bytesColumn: bytes, maxHamming: "3"}
+          |  - name: ids
+          |    type: map
+          |    options: {expressions: "doc_id:media_id", project: "true"}
+          |sink:
+          |  type: file
+          |  writeMode: overwrite
+          |  options: {path: /tmp/graft-unused}
+          |""".stripMargin
+      val cfg = new graft.config.YamlConfigParser().parse(yaml)
+      new graft.runtime.PipelineExecutor().compose(cfg)(s).select("doc_id")
+    }),
     // the published DSIR + trained-language-ID recipe (quickstart-22/25)
     // COMPOSED as ONE YAML pipeline, oracled end-to-end (the q154/q135
     // discipline): lang_classify against a persisted chargram_lm store →
@@ -3399,6 +3455,29 @@ object SparkEntry {
          JOIN read_parquet('/root/repo/src/test/resources/golden/q167_media_signals.parquet') g
            ON g.doc_id = d.doc_id
          WHERE d.doc_id < 99""",
+    // the composed media-curation survivor set re-derived end to end
+    // from the committed fixture (signals + hashes recomputed from the
+    // pixel formula by tools/gen_golden_q168.py): the gate CTE replays
+    // decodability + the quality thresholds, and the near-dup pair
+    // universe is the GATE SURVIVORS (the composed semantics — dedup
+    // sees only what the gate passed), exhaustive bit_count(xor) <= 3
+    "q168_media_curation" ->
+      """WITH pass AS (
+           SELECT doc_id, dhash
+           FROM read_parquet('/root/repo/src/test/resources/golden/q168_media_curation.parquet')
+           WHERE ok AND contrast >= 71.0 AND sharpness >= 12.5
+             AND brightness BETWEEN 16.0 AND 240.0
+         )
+         SELECT d.doc_id
+         FROM documents d
+         JOIN pass p ON p.doc_id = d.doc_id
+         WHERE d.doc_id < 100 AND NOT EXISTS (
+           SELECT 1
+           FROM pass a
+           JOIN pass b
+             ON a.doc_id < b.doc_id
+            AND bit_count(xor(a.dhash, b.dhash)) <= 3
+           WHERE b.doc_id = d.doc_id)""",
     // the COMPOSED DSIR + lang-classify pipeline: the proven oracle
     // fragments chained as CTEs in pipeline order — q149's trained
     // classify (model → totals/vocab → per-doc smoothed scores →

@@ -649,6 +649,36 @@ class ExamplesSpec extends SparkTestBase {
       Array(0L, 1L, 2L, 3L, 99L)
   }
 
+  test("quickstart-29: composed media curation — junk drops at the decode " +
+    "gate, flat cards at the quality gate, near-dup scenes collapse") {
+    import org.apache.spark.sql.functions._
+    val png = udf((id: Long) =>
+      graft.multimodal.Multimodal.syntheticImagePng(id % 4, 32, 24))
+    // a zero-contrast flat card: decodable, but no curation pipeline
+    // wants a solid color block
+    val flat = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32)
+        img.setRGB(x, y, (128 << 16) | (128 << 8) | 128)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    (0L until 12L).toDF("img_id")
+      .select(col("img_id"), png(col("img_id")).as("payload"))
+      .union(Seq((97L, "corrupted-bytes".getBytes("UTF-8")), (98L, flat))
+        .toDF("img_id", "payload"))
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-examples/quickstart-29-media")
+    run("quickstart-29-media-curation.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-29-out")
+    // junk fails decodable (width = -1 sentinel), the flat card fails the
+    // contrast gate, and each of the 4 scenes keeps its smallest id
+    out.select("img_id").as[Long].collect().sorted shouldBe
+      Array(0L, 1L, 2L, 3L)
+  }
+
   test("every example YAML is exercised by this suite — a quickstart that " +
     "no test runs is documentation that can silently rot") {
     val yamls = new java.io.File("examples").listFiles()
