@@ -876,42 +876,46 @@ object Multimodal {
    * engine) for corpus-scale image dedup. None for undecodable payloads —
    * a hash fabricated from bytes would pair garbage. */
   def dHash64(modality: String, content: Array[Byte]): Option[Long] =
-    decodeStill(modality, content).map { img =>
-      val w = img.getWidth; val h = img.getHeight
-      val means = Array.ofDim[Double](8, 9)
-      var r = 0
-      while (r < 8) {
-        val y0 = r * h / 8
-        val y1 = math.min(h, math.max(y0 + 1, (r + 1) * h / 8))
-        var c = 0
-        while (c < 9) {
-          val x0 = c * w / 9
-          val x1 = math.min(w, math.max(x0 + 1, (c + 1) * w / 9))
-          var sum = 0.0; var n = 0L
-          var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) {
-              val rgb = img.getRGB(x, y)
-              sum += ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3.0
-              x += 1; n += 1
-            }
-            y += 1
+    decodeStill(modality, content).map(dHashOf)
+
+  /** The dHash grid over an already-decoded still — shared by
+    * [[dHash64]] and [[videoHashes]]'s single-parse walk. */
+  private def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val means = Array.ofDim[Double](8, 9)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8
+      val y1 = math.min(h, math.max(y0 + 1, (r + 1) * h / 8))
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9
+        val x1 = math.min(w, math.max(x0 + 1, (c + 1) * w / 9))
+        var sum = 0.0; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3.0
+            x += 1; n += 1
           }
-          means(r)(c) = if (n == 0) 0.0 else sum / n
-          c += 1
+          y += 1
         }
-        r += 1
+        means(r)(c) = if (n == 0) 0.0 else sum / n
+        c += 1
       }
-      var hash = 0L
-      var k = 0
-      while (k < 64) {
-        val rr = k / 8; val cc = k % 8
-        if (means(rr)(cc) > means(rr)(cc + 1)) hash |= (1L << k)
-        k += 1
-      }
-      hash
+      r += 1
     }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      val rr = k / 8; val cc = k % 8
+      if (means(rr)(cc) > means(rr)(cc + 1)) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
 
   /**
    * REAL perceptual AUDIO hash — the dHash idea on the time axis: the
@@ -1069,27 +1073,31 @@ object Multimodal {
         }
       case _ => None
     }
-    frameMeans.map { ms =>
-      val frames = ms.length
-      val means = new Array[Double](65)
-      var b = 0
-      while (b < 65) {
-        val f0 = b * frames / 65
-        val f1 = math.min(frames, math.max(f0 + 1, (b + 1) * frames / 65))
-        var sum = 0.0; var n = 0L
-        var f = f0
-        while (f < f1) { sum += ms(f); f += 1; n += 1 }
-        means(b) = if (n == 0) 0.0 else sum / n
-        b += 1
-      }
-      var hash = 0L
-      var k = 0
-      while (k < 64) {
-        if (means(k) > means(k + 1)) hash |= (1L << k)
-        k += 1
-      }
-      hash
+    frameMeans.map(tHashOfMeans)
+  }
+
+  /** The 65-window gradient signing over a per-frame mean-luma sequence —
+    * shared by [[tHash64]] and [[videoHashes]]'s single-parse walk. */
+  private def tHashOfMeans(ms: Array[Double]): Long = {
+    val frames = ms.length
+    val means = new Array[Double](65)
+    var b = 0
+    while (b < 65) {
+      val f0 = b * frames / 65
+      val f1 = math.min(frames, math.max(f0 + 1, (b + 1) * frames / 65))
+      var sum = 0.0; var n = 0L
+      var f = f0
+      while (f < f1) { sum += ms(f); f += 1; n += 1 }
+      means(b) = if (n == 0) 0.0 else sum / n
+      b += 1
     }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (means(k) > means(k + 1)) hash |= (1L << k)
+      k += 1
+    }
+    hash
   }
 
   /** Per-payload VIDEO perceptual signature pair: `(media_id, thash,
@@ -1113,8 +1121,33 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0); val modality = r.getString(1)
         val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-        Row(id, tHash64(modality, bytes).map(Long.box).orNull,
-          dHash64(modality, bytes).map(Long.box).orNull)
+        // video payloads: parse the container ONCE and decode each frame
+        // once — frame 0 feeds both the spatial grid and the first mean
+        // (the generic tHash64+dHash64 pair would re-parse and re-decode
+        // frame 0; the signature pass is the job's dominant cost)
+        val (th, dh) =
+          if (modality == "video") AviMjpeg.read(bytes) match {
+            case Some(vid) if vid.frameCount > 0 =>
+              val n = math.min(vid.frameCount, TemporalHashMaxFrames)
+              val ms = new Array[Double](n)
+              var d: Option[Long] = None
+              var i = 0; var ok = true
+              while (ok && i < n) {
+                vid.frame(i) match {
+                  case Some(img) =>
+                    if (i == 0) d = Some(dHashOf(img))
+                    ms(i) = meanLuma(img); i += 1
+                  case None => ok = false
+                }
+              }
+              // a mid-stream undecodable frame voids the TEMPORAL hash
+              // (partial trajectories pair garbage) but frame 0's spatial
+              // hash stands — dHash64's frame-0-only contract exactly
+              (if (ok) Some(tHashOfMeans(ms)) else None, d)
+            case _ => (None, None)
+          }
+          else (tHash64(modality, bytes), dHash64(modality, bytes))
+        Row(id, th.map(Long.box).orNull, dh.map(Long.box).orNull)
       }
     }(enc)
   }

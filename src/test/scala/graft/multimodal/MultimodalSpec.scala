@@ -747,6 +747,14 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.tHash64("image",
       Multimodal.syntheticAnimatedGif(7, 20, 12, 6, 4)) shouldBe
       Multimodal.tHash64("image", gif)
+    // the fused single-parse videoHashes walk equals the per-payload
+    // tHash64/dHash64 pair (parity of the one-decode-per-frame path)
+    val vh = Multimodal.videoHashes(Multimodal.asMediaFrame(
+      Seq((1L, clip(7), "u"), (2L, "junk".getBytes("UTF-8"), "u"))
+        .toDF("id", "bytes", "uri"), "id", "bytes", "video", "uri"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    vh(1L) shouldBe ((t1, Multimodal.dHash64("video", clip(7)).get))
+    vh(2L) shouldBe ((null, null))
     // END TO END: ids 0..9 with clip seed = id % 5 (twins at i, i+5) plus
     // a junk row — dedup_video drops every larger twin, keeps junk (NULL
     // hashes never pair)
