@@ -324,6 +324,65 @@ object Multimodal {
       }
     }
 
+    /** Forward-compositing walk — ONE reader, ONE rolling canvas, each
+      * frame's pixel data decoded EXACTLY ONCE: `visit(idx, canvas)` is
+      * invoked with the canvas exactly as frame `idx` displays (identical
+      * to [[compositedFrame]]`(content, idx)` — a full-cover opaque frame
+      * overwrites every canvas pixel, so the rolling composition and the
+      * start-at-last-cover replay agree; pinned by spec), for idx `0 until
+      * min(frames, maxFrames)`. The canvas is the LIVE buffer and mutates
+      * after visit returns — consumers reduce immediately (mean luma, a
+      * hash grid), never retain it. Returns `Some((meta, visited))`:
+      * `visited < min(frames, maxFrames)` means a mid-stream frame failed
+      * to decode (earlier visits already happened); None when the
+      * container itself cannot be parsed. This is the O(frames) path the
+      * per-index [[compositedFrame]] loop cannot give (each call re-opens
+      * the reader and re-composites — O(run²) over a walk). */
+    def walkComposited(content: Array[Byte], maxFrames: Int)(
+        visit: (Int, java.awt.image.BufferedImage) => Unit)
+        : Option[(Meta, Int)] = withReader(content) { reader =>
+      readMetaOf(reader).map { meta =>
+        val n = math.min(meta.frames.length, math.max(0, maxFrames))
+        val canvas = new java.awt.image.BufferedImage(
+          meta.width, meta.height, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        var cur = canvas
+        var i = 0; var ok = true
+        while (ok && i < n) {
+          val fm = meta.frames(i)
+          val snapshot =
+            if (i < n - 1 && fm.disposal == "restoreToPrevious") {
+              val c = new java.awt.image.BufferedImage(
+                meta.width, meta.height,
+                java.awt.image.BufferedImage.TYPE_INT_ARGB)
+              val g = c.createGraphics()
+              try g.drawImage(cur, 0, 0, null) finally g.dispose()
+              Some(c)
+            } else None
+          try {
+            val frame = reader.read(i)
+            val g = cur.createGraphics()
+            try g.drawImage(frame, fm.left, fm.top, null) finally g.dispose()
+            visit(i, cur)
+            // frame i's disposal applies BEFORE frame i+1 draws; the
+            // visited canvas shows frame i as displayed (no disposal) —
+            // compositedFrame's `if (i < idx)` condition exactly
+            fm.disposal match {
+              case "restoreToBackgroundColor" =>
+                val g2 = cur.createGraphics()
+                try {
+                  g2.setComposite(java.awt.AlphaComposite.Clear)
+                  g2.fillRect(fm.left, fm.top, fm.width, fm.height)
+                } finally g2.dispose()
+              case "restoreToPrevious" => snapshot.foreach(cur = _)
+              case _ => () // none / doNotDispose / unknown: leave as drawn
+            }
+            i += 1
+          } catch { case scala.util.control.NonFatal(_) => ok = false }
+        }
+        (meta, i)
+      }
+    }
+
     /** [[readMeta]] body against an already-open reader (shared by the
       * compositing pass so one open serves both metadata and pixels). */
     private def readMetaOf(reader: javax.imageio.ImageReader): Option[Meta] =
@@ -1056,20 +1115,15 @@ object Multimodal {
           }
         }
       case "image" if isGif(content) =>
-        GifMedia.readMeta(content).flatMap { meta =>
+        // one reader, one rolling canvas, each frame decoded once —
+        // the per-index compositedFrame loop this replaces re-opened and
+        // re-composited per frame (O(run²) over the walk)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+        GifMedia.walkComposited(content, TemporalHashMaxFrames) {
+          (_, canvas) => buf += meanLuma(canvas)
+        }.flatMap { case (meta, visited) =>
           val n = math.min(meta.frames.length, TemporalHashMaxFrames)
-          if (n <= 0) None
-          else {
-            val ms = new Array[Double](n)
-            var i = 0; var ok = true
-            while (ok && i < n) {
-              GifMedia.compositedFrame(content, i) match {
-                case Some(img) => ms(i) = meanLuma(img); i += 1
-                case None => ok = false
-              }
-            }
-            if (ok) Some(ms) else None
-          }
+          if (n > 0 && visited == n) Some(buf.toArray) else None
         }
       case _ => None
     }
@@ -1257,16 +1311,35 @@ object Multimodal {
                     clipped.toDouble / n, silent.toDouble / n)))
               case _ => (-1, -1, 0L, None, None)
             }
-          } else decodeStill(modality, bytes) match {
-            case Some(img) =>
-              val d = modality match {
-                case "video" => AviMjpeg.read(bytes).map(_.durationMs).getOrElse(0L)
-                case _ if isGif(bytes) =>
-                  GifMedia.readMeta(bytes).map(_.durationMs).getOrElse(0L)
-                case _ => 0L
+          } else modality match {
+            // timed visual payloads parse their container ONCE: frame 0
+            // and the clock duration come out of the same walk (the
+            // decodeStill-then-reparse-for-duration form ran the full
+            // RIFF/GIF metadata scan twice per row)
+            case "video" =>
+              AviMjpeg.read(bytes).flatMap(v => v.frame(0).map(img =>
+                (img.getWidth, img.getHeight, v.durationMs,
+                  Option(visualSignals(img))))) match {
+                case Some((vw, vh, d, s)) => (vw, vh, d, s, None)
+                case None => (-1, -1, 0L, None, None)
               }
-              (img.getWidth, img.getHeight, d, Some(visualSignals(img)), None)
-            case None => (-1, -1, 0L, None, None)
+            case "image" if isGif(bytes) =>
+              var sig: Option[(Double, Double, Double)] = None
+              var dims = (-1, -1)
+              GifMedia.walkComposited(bytes, 1) { (_, canvas) =>
+                dims = (canvas.getWidth, canvas.getHeight)
+                sig = Some(visualSignals(canvas))
+              } match {
+                case Some((meta, visited)) if visited >= 1 =>
+                  (dims._1, dims._2, meta.durationMs, sig, None)
+                case _ => (-1, -1, 0L, None, None)
+              }
+            case _ => decodeStill(modality, bytes) match {
+              case Some(img) =>
+                (img.getWidth, img.getHeight, 0L,
+                  Some(visualSignals(img)), None)
+              case None => (-1, -1, 0L, None, None)
+            }
           }
         Row(id, modality, w, h, dur,
           vis.map(v => Double.box(v._1)).orNull,

@@ -36,7 +36,7 @@ import graft.multimodal.Multimodal
  * `dedup_image` blocks on. `signals` emits per-payload quality scores
  * ([[Multimodal.mediaSignals]] — visual brightness/contrast/sharpness,
  * audio rms/clip_frac/silence_frac; silenceAbs default 328 ≈ 1% FS,
- * clipAbs default 32704 — the score→gate shape `text_signals` gives text.
+ * clipAbs default 32704) — the score→gate shape `text_signals` gives text.
  */
 object MultimodalTransform extends Transform {
   val transformType = "multimodal"

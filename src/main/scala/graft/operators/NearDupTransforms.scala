@@ -351,6 +351,14 @@ object VideoDedupTransform extends NearDupTransform {
     val media = graft.multimodal.Multimodal.asMediaFrame(
       input, id, bytesCol, modality = "video", sourceUriCol = id)
     val maxTemporal = intOpt(config, "maxHamming", 3)
+    // hammingNearDups validates the temporal budget; the spatial confirm
+    // must be just as loud — a negative budget would silently make
+    // bit_count(xor) <= k false for EVERY pair (no dedup at all)
+    val maxSpatial = intOpt(config, "maxSpatialHamming", maxTemporal)
+    if (maxSpatial < 0 || maxSpatial > 64)
+      throw new ConfigException(
+        s"$transformType: maxSpatialHamming must be in [0, 64] (bits of " +
+          s"the 64-bit frame-0 dHash two clips may differ by), got $maxSpatial")
     val hashes = graft.api.Checkpointing.checkpoint(
       graft.multimodal.Multimodal.videoHashes(media), eager = false)
     val temporalPairs = Dedup.hammingNearDups(
@@ -364,8 +372,7 @@ object VideoDedupTransform extends NearDupTransform {
         Seq("id_a"))
       .join(spatial.select(col("media_id").as("id_b"), col("dhash").as("__sb")),
         Seq("id_b"))
-      .where(bit_count(col("__sa").bitwiseXOR(col("__sb"))) <=
-        intOpt(config, "maxSpatialHamming", maxTemporal))
+      .where(bit_count(col("__sa").bitwiseXOR(col("__sb"))) <= maxSpatial)
       .select("id_a", "id_b", "hamming")
   }
 }

@@ -426,6 +426,21 @@ class MultimodalSpec extends SparkTestBase {
     feat._1 shouldBe 8
     feat._3 shouldBe 400L
     feat._4.head shouldBe 10f // cell (0,0) of the composed f0
+    // the O(frames) forward walk composes pixel-identical canvases to the
+    // per-index replay — across ALL THREE disposal methods
+    val walked = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    val Some((wmeta, visited)) = Multimodal.GifMedia.walkComposited(gif, 64) {
+      (_, canvas) =>
+        walked += (for (y <- 0 until 8; x <- 0 until 8)
+          yield canvas.getRGB(x, y)).toArray
+    }: @unchecked
+    visited shouldBe 4
+    wmeta.durationMs shouldBe 400L
+    for (i <- 0 until 4) {
+      val replay = (for (y <- 0 until 8; x <- 0 until 8)
+        yield at(i).getRGB(x, y)).toArray
+      withClue(s"frame $i: ") { walked(i) shouldBe replay }
+    }
   }
 
   test("hostile GIFs are bounded: frame count capped at GifMedia.MaxFrames " +
@@ -801,6 +816,16 @@ class MultimodalSpec extends SparkTestBase {
       graft.api.RunContext(spark, "t", "r")).count()
     survivors(10) shouldBe 1
     survivors(9) shouldBe 2
+    // a nonsense spatial budget fails LOUDLY — a negative value would
+    // silently disable dedup (bit_count <= -k is false for every pair)
+    the[graft.api.ConfigException] thrownBy
+      graft.operators.VideoDedupTransform(two,
+        graft.config.TransformConfig("d", "dedup_video", Map(
+          "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+          "maxSpatialHamming" -> "-3")),
+        graft.api.RunContext(spark, "t", "r")) should have message (
+      "dedup_video: maxSpatialHamming must be in [0, 64] (bits of the " +
+        "64-bit frame-0 dHash two clips may differ by), got -3")
   }
 
   test("media quality signals: visual brightness/contrast/sharpness, " +
