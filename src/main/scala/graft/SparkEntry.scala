@@ -1930,6 +1930,28 @@ object SparkEntry {
       val cfg = new graft.config.YamlConfigParser().parse(yaml)
       new graft.runtime.PipelineExecutor().compose(cfg)(s).select("doc_id")
     }),
+    // PRODUCT QUANTIZATION retrieval (Jégou et al., TPAMI 2011 — the
+    // billion-scale ANN path: m byte codes per vector + per-query lookup
+    // tables), q116's planted-twin guarantee: a corpus vector's own code
+    // word minimizes every ADC term, so a query's identical twin attains
+    // the global-minimum ADC distance; byte-code-grade cells
+    // (nCentroids = 256 → 256^8 cells over 64 dims) keep quantization-
+    // cell ties below the candidate budget, and the exact cosine re-rank
+    // orders (self, twin) as ranks 1..2 — self first by the id tie-break
+    // at cosine 1.0, with q30's planted-corpus fact (max natural pair
+    // cosine ≈ 0.51) excluding everything else
+    "q169_ann_pq_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      val queries = emb.where("vec_id < 5")
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ann.Ann.pqTopK(emb.unionByName(twins), queries,
+        "vec_id", "embedding", "query_id", 2,
+        m = 8, nCentroids = 256, kmeansIters = 2, candidateFactor = 8)
+        .select("query_id", "vec_id", "rank")
+    }),
     // the published DSIR + trained-language-ID recipe (quickstart-22/25)
     // COMPOSED as ONE YAML pipeline, oracled end-to-end (the q154/q135
     // discipline): lang_classify against a persisted chargram_lm store →
@@ -3478,6 +3500,15 @@ object SparkEntry {
              ON a.doc_id < b.doc_id
             AND bit_count(xor(a.dhash, b.dhash)) <= 3
            WHERE b.doc_id = d.doc_id)""",
+    // the PQ planted-twin guarantee (q116's statement): self-code ADC
+    // minimality ⇒ guaranteed candidate recall for identical twins, exact
+    // re-rank + id tie-break ⇒ ranks 1..2 = (self, twin) exactly
+    "q169_ann_pq_exact" ->
+      """SELECT vec_id AS query_id, vec_id, 1 AS rank
+         FROM embeddings WHERE vec_id < 5
+         UNION ALL
+         SELECT vec_id AS query_id, vec_id + 2000000 AS vec_id, 2 AS rank
+         FROM embeddings WHERE vec_id < 5""",
     // the COMPOSED DSIR + lang-classify pipeline: the proven oracle
     // fragments chained as CTEs in pipeline order — q149's trained
     // classify (model → totals/vocab → per-doc smoothed scores →

@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, Column, Encoders}
+import org.apache.spark.sql.{DataFrame, Column, Encoders, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -427,6 +427,232 @@ object Ann {
       bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
     else ivfWithCentroids(corpus, queries, idCol, vecCol, queryIdCol,
       k, centroids, nProbe)
+  }
+
+  /**
+   * Product-quantization codebooks: the vector space splits into `m`
+   * contiguous subspaces of dim/m components and each subspace trains its
+   * own `k`-centroid L2 codebook (plain Lloyd — PQ quantizes raw
+   * subvectors, so EUCLIDEAN assignment and unnormalized means, unlike
+   * the spherical IVF refinement). Jégou, Douze, Schmid, "Product
+   * Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+   * billion-scale ANN representation: a 64-dim float vector becomes m
+   * byte-sized codes (32× smaller at m=8, k=16), and distances against a
+   * query need only m table lookups.
+   *
+   * Scale shape: ONE bounded deterministic hash-ordered sample collection
+   * (the [[kmeansCentroids]] contract — O(sample·dim) driver memory),
+   * then every subspace refines LOCALLY over its slice of that sample —
+   * the corpus is never rescanned per subspace. Deterministic end to end:
+   * hash-ordered sample, left-to-right sums, lower-index tie-break.
+   * Requires dim divisible by m (fail fast — a ragged split would
+   * silently quantize a torn subspace). */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 8, k: Int = 16, kmeansIters: Int = 3,
+                  refineSampleSize: Int = DefaultRefineSample)
+      : Array[Array[Array[Float]]] = {
+    require(m >= 1, s"pqCodebooks: m must be >= 1, got $m")
+    require(k >= 1, s"pqCodebooks: k must be >= 1, got $k")
+    val sampleN = if (kmeansIters > 0) math.max(k, refineSampleSize) else k
+    val sample = sampledCodebook(corpus, idCol, vecCol, sampleN)
+    require(sample.nonEmpty, "pqCodebooks: corpus has no valid vectors")
+    val dim = sample(0).length
+    require(dim % m == 0,
+      s"pqCodebooks: vector dim $dim is not divisible by m=$m subspaces")
+    val sd = dim / m
+    Array.tabulate(m) { j =>
+      val sub = sample.collect { case v if v.length == dim =>
+        java.util.Arrays.copyOfRange(v, j * sd, (j + 1) * sd) }
+      val init = sub.take(k)
+      if (init.length <= 1 || kmeansIters <= 0) init
+      else refineCentroidsL2(sub, init, kmeansIters)
+    }
+  }
+
+  /** Driver-local EUCLIDEAN Lloyd rounds (the PQ counterpart of the
+    * spherical [[refineCentroids]]): min-L2 assignment with lower-index
+    * tie-break, plain (unnormalized) means, empty cells keep their
+    * previous centroid, dim-mismatched sample vectors excluded. */
+  private def refineCentroidsL2(sample: Array[Array[Float]],
+                                init: Array[Array[Float]],
+                                iters: Int): Array[Array[Float]] = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      val dim = cents(0).length
+      val acc = Array.fill(cents.length)(new Array[Double](dim))
+      val cnt = new Array[Long](cents.length)
+      sample.foreach { v => if (v.length == dim) {
+        var best = -1
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cv = cents(c)
+          var d = 0.0; var i = 0
+          while (i < dim) {
+            val t = v(i).toDouble - cv(i); d += t * t; i += 1
+          }
+          if (!d.isNaN && d < bestD) { best = c; bestD = d }
+          c += 1
+        }
+        if (best >= 0) {
+          var i = 0
+          while (i < dim) { acc(best)(i) += v(i); i += 1 }
+          cnt(best) += 1
+        }
+      } }
+      cents = cents.indices.map { c =>
+        if (cnt(c) == 0L) cents(c)
+        else acc(c).map(x => (x / cnt(c)).toFloat)
+      }.toArray
+    }
+    cents
+  }
+
+  /** One vector's PQ code word: per subspace, the index of its L2-nearest
+    * centroid (lower index on exact ties). */
+  private def pqEncode(v: Array[Float],
+                       cbs: Array[Array[Array[Float]]]): Array[Int] = {
+    val m = cbs.length
+    val sd = cbs(0)(0).length
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = cbs(j)
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cv = cb(c)
+        var d = 0.0; var i = 0
+        while (i < sd) {
+          val t = v(j * sd + i).toDouble - cv(i); d += t * t; i += 1
+        }
+        if (d < bestD) { best = c; bestD = d }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    codes
+  }
+
+  /**
+   * Product-quantization top-k with asymmetric-distance (ADC) candidate
+   * generation and EXACT cosine re-rank — the billion-scale retrieval
+   * shape ([[pqCodebooks]]'s citation):
+   *
+   *  1. the corpus encodes ONCE into a slim (vec_id, m codes) frame —
+   *     the only thing the candidate scan ever reads (a 64-dim corpus
+   *     shrinks 32× at the m=8/k=16 defaults; persist the codes frame at
+   *     production scale the way minhash signatures persist),
+   *  2. each query precomputes its m×k lookup table of partial squared
+   *     distances ONCE PER PARTITION (queries are small and broadcast —
+   *     the per-pair cost is m table lookups, never a dim-length loop),
+   *  3. per-query top-(k·candidateFactor) candidates by lowest ADC
+   *     distance ride the same bounded-heap partial aggregation as every
+   *     other ANN method (no corpus shuffle, no global sort),
+   *  4. candidates re-rank by exact cosine against their true vectors
+   *     (the candidate frame is queries×k·candidateFactor — the corpus
+   *     joins it by id, broadcast-small).
+   *
+   * A corpus vector's own code word minimizes every ADC term (its codes
+   * ARE the per-subspace argmins), so identical planted twins attain the
+   * GLOBAL-MINIMUM ADC distance — their candidate recall is bounded only
+   * by quantization-cell ties (corpus vectors sharing the query's full
+   * code word tie at that minimum, and the (sim, id) tie-break admits the
+   * lowest ids first). A coarse codebook over clustered data can put a
+   * whole cluster in one cell, so size the knobs to the data:
+   * `candidateFactor` (default 8) buys tie headroom linearly,
+   * `nCentroids` (default 16; 256 = the standard byte-code PQ) shrinks
+   * cells exponentially. Degenerate codebooks (single centroid —
+   * sub-2-row corpora) fall back to [[bruteForceTopK]], like IVF. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, queryIdCol: String, k: Int,
+             m: Int = 8, nCentroids: Int = 16, kmeansIters: Int = 3,
+             candidateFactor: Int = 8,
+             refineSampleSize: Int = DefaultRefineSample,
+             codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    require(k >= 1, s"pqTopK: k must be >= 1, got $k")
+    require(candidateFactor >= 1,
+      s"pqTopK: candidateFactor must be >= 1, got $candidateFactor")
+    val cbs = codebooks.getOrElse(pqCodebooks(corpus, idCol, vecCol,
+      m, nCentroids, kmeansIters, refineSampleSize))
+    if (cbs.exists(_.length <= 1))
+      return bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
+    val mm = cbs.length
+    val dim = mm * cbs(0)(0).length
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.types._
+    val bc = spark.sparkContext.broadcast(cbs)
+    val vidType = corpus.schema(idCol).dataType
+    val qidType = queries.schema(queryIdCol).dataType
+    // 1) slim code frame: the candidate scan never touches vectors again
+    val codesSchema = StructType(Seq(
+      StructField("vec_id", vidType),
+      StructField("codes", ArrayType(IntegerType, containsNull = false))))
+    val codes = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<float>").as("v"))
+      .where(col("vec_id").isNotNull && col("v").isNotNull &&
+        forall(col("v"), x => x.isNotNull))
+      .mapPartitions { rows =>
+        val cb = bc.value
+        rows.flatMap { r =>
+          val v = r.getSeq[Float](1).toArray
+          if (v.length != dim) Iterator.empty
+          else Iterator.single(Row(r.get(0), pqEncode(v, cb).toSeq))
+        }
+      }(Encoders.row(codesSchema))
+    // queries ride the driver (small by the same contract that broadcasts
+    // them in every other method); null/ragged query vectors drop like
+    // null corpus vectors do
+    val qArr = queries
+      .select(col(queryIdCol), col(vecCol).cast("array<float>").as("qv"))
+      .where(col(queryIdCol).isNotNull && col("qv").isNotNull &&
+        forall(col("qv"), x => x.isNotNull))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+      .filter(_._2.length == dim)
+    val bq = spark.sparkContext.broadcast(qArr)
+    // 2)+3) ADC scan: sim = -distance so the shared (sim DESC, vec_id ASC)
+    // heap ranks lowest distance first with the id tie-break
+    val scoredSchema = StructType(Seq(
+      StructField("query_id", qidType),
+      StructField("vec_id", vidType),
+      StructField("sim", DoubleType)))
+    val scored = codes.mapPartitions { rows =>
+      val cb = bc.value; val qs = bq.value
+      val sd = cb(0)(0).length
+      val luts = qs.map { case (_, qv) =>
+        Array.tabulate(cb.length) { j =>
+          val sub = cb(j)
+          Array.tabulate(sub.length) { c =>
+            var d = 0.0; var i = 0
+            while (i < sd) {
+              val t = qv(j * sd + i).toDouble - sub(c)(i); d += t * t; i += 1
+            }
+            d
+          }
+        }
+      }
+      rows.flatMap { r =>
+        val cd = r.getSeq[Int](1)
+        qs.indices.iterator.map { qi =>
+          val lut = luts(qi)
+          var adc = 0.0; var j = 0
+          while (j < cb.length) { adc += lut(j)(cd(j)); j += 1 }
+          Row(qs(qi)._1, r.get(0), -adc)
+        }
+      }
+    }(Encoders.row(scoredSchema))
+    val cands = topKPerQuery(scored, k * candidateFactor)
+      .select("query_id", "vec_id")
+    // 4) exact re-rank: true vectors join the SMALL candidate frame
+    val rescored = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(queries.select(
+        col(queryIdCol).as("query_id"), col(vecCol).as("qvec"))), Seq("query_id"))
+      .withColumn("sim", cosine(col("cvec"), col("qvec")))
+    topKPerQuery(rescored.select("query_id", "vec_id", "sim"), k)
   }
 
   /**

@@ -23,13 +23,16 @@ import graft.config.TransformConfig
  * }}}
  *
  * Options: `idColumn`/`vecColumn`/`queriesView` required; `method:
- * brute (default) | lsh | ivf`; `queryIdColumn` (default = idColumn),
+ * brute (default) | lsh | ivf | pq`; `queryIdColumn` (default = idColumn),
  * `queryVecColumn` (default = vecColumn), `k` (10). LSH: `bits` (12),
  * `tables` (4). IVF: `nLists` (64), `nProbe` (8), `kmeansIters` (0), or
  * `codebookView` naming a persisted [[graft.ann.Ann.codebookFrame]]
  * store — the run then pays no codebook sampling scan, and
  * `nLists`/`kmeansIters` (when given) assert against the store's
- * parameter stamp, failing fast on a mismatch.
+ * parameter stamp, failing fast on a mismatch. PQ
+ * ([[graft.ann.Ann.pqTopK]] — product-quantization ADC candidates +
+ * exact cosine re-rank): `m` (8 subspaces), `nCentroids` (16 per
+ * subspace), `kmeansIters` (3), `candidateFactor` (8).
  *
  * Scale shape (inherited from [[graft.ann.Ann]]): queries broadcast in
  * every method; brute is one corpus scan with a per-query bounded-heap
@@ -74,6 +77,11 @@ object AnnTopKTransform extends Transform {
       case "brute" => graft.ann.Ann.bruteForceTopK(input, q, id, vec, qid, k)
       case "lsh" => graft.ann.Ann.lshTopK(input, q, id, vec, qid, k,
         bits = intOpt(config, "bits", 12), tables = intOpt(config, "tables", 4))
+      case "pq" => graft.ann.Ann.pqTopK(input, q, id, vec, qid, k,
+        m = intOpt(config, "m", 8),
+        nCentroids = intOpt(config, "nCentroids", 16),
+        kmeansIters = intOpt(config, "kmeansIters", 3),
+        candidateFactor = intOpt(config, "candidateFactor", 8))
       case "ivf" => config.options.get("codebookView") match {
         case Some(view) => graft.ann.Ann.ivfTopKWithCodebook(input, q, id, vec,
           qid, k, ctx.spark.table(view),
@@ -86,7 +94,7 @@ object AnnTopKTransform extends Transform {
           kmeansIters = intOpt(config, "kmeansIters", 0))
       }
       case other => throw new ConfigException(
-        s"ann_topk: method must be brute|lsh|ivf, got '$other'")
+        s"ann_topk: method must be brute|lsh|ivf|pq, got '$other'")
     }
   }
 

@@ -57,6 +57,46 @@ class AnnSpec extends SparkTestBase {
     recall should be >= 0.7
   }
 
+  test("PQ top-k: twin recall is guaranteed, high recall vs brute force, " +
+    "codebooks fail fast on a ragged split, tiny corpora fall back") {
+    val queries = corpus.where("vec_id IN (0, 1, 2, 3)")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // self is always rank 1 (its own code word minimizes every ADC term;
+    // exact re-rank at cosine 1.0, id tie-break)
+    val top = Ann.pqTopK(corpus, queries, "vec_id", "embedding", "query_id",
+      10, m = 4, nCentroids = 8, kmeansIters = 2)
+    top.where("rank = 1").select("query_id", "vec_id").as[(Long, Long)]
+      .collect().foreach { case (q, v) => v shouldBe q }
+    // ADC candidates + exact re-rank track brute force on clustered data
+    val exact = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", 10).select("query_id", "vec_id").as[(Long, Long)]
+      .collect().toSet
+    val approx = top.select("query_id", "vec_id").as[(Long, Long)]
+      .collect().toSet
+    (exact.intersect(approx).size.toDouble / exact.size) should be >= 0.7
+    // an identical PLANTED twin attains the global-minimum ADC distance;
+    // its recall is bounded only by quantization-cell ties, so the
+    // candidate budget must cover the tie group (this corpus clusters ~51
+    // vectors per family — candidateFactor 32 → 64 candidates ≥ any cell)
+    val twins = corpus.where("vec_id < 4")
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val withTwins = Ann.pqTopK(corpus.unionByName(twins), queries,
+      "vec_id", "embedding", "query_id", 2, m = 4, nCentroids = 8,
+      kmeansIters = 2, candidateFactor = 32)
+    withTwins.select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().sorted.toSeq shouldBe (0L until 4L).flatMap(q =>
+        Seq((q, q, 1L), (q, q + 1000L, 2L)))
+    // dim 16 does not split into 5 subspaces — loud, not a torn quantizer
+    the[IllegalArgumentException] thrownBy
+      Ann.pqCodebooks(corpus, "vec_id", "embedding", m = 5) should
+      have message ("requirement failed: pqCodebooks: vector dim 16 is " +
+        "not divisible by m=5 subspaces")
+    // sub-2-row corpora degenerate to brute force, like IVF
+    val tiny = Seq((1L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    Ann.pqTopK(tiny, queries, "vec_id", "embedding", "query_id", 1)
+      .count() shouldBe 4L
+  }
+
   test("k-means refinement: quantization cost drops, recall does not regress") {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
