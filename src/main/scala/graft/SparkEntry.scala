@@ -181,6 +181,24 @@ object SparkEntry {
       tmp
     })
 
+  /** Persisted PQ codebook store for q170 over the twin-augmented
+    * embedding corpus, memoized per source dir — q170's retrieval trains
+    * nothing and encodes against ONLY this parquet. */
+  private val q170StoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedPqCodebookStore(s: SparkSession, dir: String): String =
+    q170StoreDirs.computeIfAbsent(dir, { d =>
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("q170pq").toString
+      val emb = tab(s, d, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      graft.ann.Ann.pqCodebookFrame(emb.unionByName(twins), "vec_id",
+          "embedding", m = 8, k = 256, kmeansIters = 2)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   /** The q118/q119/q125 planted corpus: 40 ids carrying 4 orthogonal
     * one-hot families (vec_id % 4) — the construction whose clustering
     * outcome is provable, not probabilistic (see q118's comment). */
@@ -1952,6 +1970,30 @@ object SparkEntry {
         m = 8, nCentroids = 256, kmeansIters = 2, candidateFactor = 8)
         .select("query_id", "vec_id", "rank")
     }),
+    // q169's guarantee through the DECLARATIVE ann_topk surface AND the
+    // persisted PQ codebook store (the q127 statement for PQ): the run
+    // trains nothing — codes come from yesterday's pqCodebookFrame
+    // parquet (stamp-asserted m/nCentroids/kmeansIters), twins still
+    // attain the global-minimum ADC under ANY codebook, exact re-rank
+    // orders (self, twin)
+    "q170_ann_pq_store_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      val corpus = emb.unionByName(twins)
+      emb.where("vec_id < 5")
+        .select(col("vec_id").as("query_id"), col("embedding"))
+        .createOrReplaceTempView("q170_queries")
+      s.read.parquet(stagedPqCodebookStore(s, dir))
+        .createOrReplaceTempView("q170_codebook")
+      ap(corpus, t("ann_topk",
+        "method" -> "pq", "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "queriesView" -> "q170_queries", "queryIdColumn" -> "query_id",
+        "k" -> "2", "codebookView" -> "q170_codebook",
+        "m" -> "8", "nCentroids" -> "256"))
+        .select("query_id", "vec_id", "rank")
+    }),
     // the published DSIR + trained-language-ID recipe (quickstart-22/25)
     // COMPOSED as ONE YAML pipeline, oracled end-to-end (the q154/q135
     // discipline): lang_classify against a persisted chargram_lm store →
@@ -3504,6 +3546,14 @@ object SparkEntry {
     // minimality ⇒ guaranteed candidate recall for identical twins, exact
     // re-rank + id tie-break ⇒ ranks 1..2 = (self, twin) exactly
     "q169_ann_pq_exact" ->
+      """SELECT vec_id AS query_id, vec_id, 1 AS rank
+         FROM embeddings WHERE vec_id < 5
+         UNION ALL
+         SELECT vec_id AS query_id, vec_id + 2000000 AS vec_id, 2 AS rank
+         FROM embeddings WHERE vec_id < 5""",
+    // the same planted-twin statement through the declarative route +
+    // persisted PQ codebook store
+    "q170_ann_pq_store_exact" ->
       """SELECT vec_id AS query_id, vec_id, 1 AS rank
          FROM embeddings WHERE vec_id < 5
          UNION ALL

@@ -656,6 +656,107 @@ object Ann {
   }
 
   /**
+   * Persistable PRODUCT-QUANTIZATION codebook store — the
+   * [[codebookFrame]] contract for [[pqCodebooks]]: one row per
+   * (subspace, centroid) plus the parameters it was trained with,
+   * stamped as `pq_m` / `pq_k` / `pq_kmeans_iters` / `pq_sub_dim` /
+   * `pq_rows` (RLE'd to ~nothing in parquet). Write it after corpus
+   * build N; run N+1 re-loads the parquet and passes it to [[pqTopK]]
+   * (`codebookView` on the `ann_topk` transform) — the run then pays no
+   * sampling scan, and yesterday's codes frames stay comparable to
+   * today's (retraining would silently re-cell every vector). O(m·k·
+   * subDim) — trivially small; the same loud stamp-mismatch contract as
+   * every other graft store applies on read. */
+  def pqCodebookFrame(corpus: DataFrame, idCol: String, vecCol: String,
+                      m: Int = 8, k: Int = 16, kmeansIters: Int = 3,
+                      refineSampleSize: Int = DefaultRefineSample): DataFrame = {
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, k, kmeansIters,
+      refineSampleSize)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = for {
+      (cb, j) <- cbs.zipWithIndex
+      (v, c) <- cb.zipWithIndex
+    } yield (j, c, v.toSeq)
+    val total = rows.length
+    rows.toSeq.toDF("subspace", "list_id", "vec")
+      .select(col("subspace"), col("list_id"),
+        col("vec").cast("array<float>"),
+        lit(m).as("pq_m"), lit(k).as("pq_k"),
+        lit(kmeansIters).as("pq_kmeans_iters"),
+        lit(cbs(0)(0).length).as("pq_sub_dim"),
+        // the PRODUCED row count: a store that lost tail rows (partial
+        // overwrite, a LIMITed view) cannot pass the dense-grid check
+        // with a shrunken codebook
+        lit(total).as("pq_rows"))
+  }
+
+  /** Load + validate a persisted [[pqCodebookFrame]] store into the
+    * driver codebook array (O(m·k·subDim) — the bounded driver read
+    * class of [[loadCodebook]]). Fails fast on missing stamps, a stamp
+    * that disagrees with what the caller requests (`want*` empty =
+    * "whatever the store was built with"), a row count that disagrees
+    * with `pq_rows`, and any hole in the (subspace, list_id) grid — a
+    * hole would silently renumber centroids and re-cell every encoded
+    * vector. Subspaces must all carry the same centroid count (the
+    * [[pqCodebooks]] construction guarantees it; a store that lost one
+    * subspace's tail is corrupt, not smaller). */
+  def loadPqCodebooks(store: DataFrame, wantM: Option[Int] = None,
+                      wantK: Option[Int] = None,
+                      wantKmeansIters: Option[Int] = None)
+      : Array[Array[Array[Float]]] = {
+    val stamps = Seq("pq_m", "pq_k", "pq_kmeans_iters", "pq_sub_dim", "pq_rows")
+    val missing = stamps.filterNot(store.columns.contains)
+    require(missing.isEmpty,
+      s"loadPqCodebooks: store is missing stamp column(s) " +
+        s"${missing.mkString(", ")} — not a pqCodebookFrame store")
+    val rows = store.select(col("subspace").cast("int"),
+        col("list_id").cast("int"), col("vec").cast("array<float>"),
+        col("pq_m").cast("int"), col("pq_k").cast("int"),
+        col("pq_kmeans_iters").cast("int"), col("pq_sub_dim").cast("int"),
+        col("pq_rows").cast("int"))
+      .collect()
+    require(rows.nonEmpty, "loadPqCodebooks: store is empty")
+    val (sm, sk, si, sd, sr) = (rows(0).getInt(3), rows(0).getInt(4),
+      rows(0).getInt(5), rows(0).getInt(6), rows(0).getInt(7))
+    require(rows.forall(r => r.getInt(3) == sm && r.getInt(4) == sk &&
+      r.getInt(5) == si && r.getInt(6) == sd && r.getInt(7) == sr),
+      "loadPqCodebooks: store carries CONFLICTING parameter stamps — " +
+        "two trainings' rows mixed in one store")
+    require(rows.length == sr,
+      s"loadPqCodebooks: store has ${rows.length} rows but was written " +
+        s"with pq_rows=$sr — rows were lost or duplicated")
+    def check(name: String, want: Option[Int], got: Int): Unit =
+      want.foreach(w => require(w == got,
+        s"loadPqCodebooks: store was trained with $name=$got but the " +
+          s"caller requests $name=$w — retrain or drop the override"))
+    check("m", wantM, sm)
+    check("k", wantK, sk)
+    check("kmeansIters", wantKmeansIters, si)
+    val bySub = rows.groupBy(_.getInt(0))
+    require(bySub.keySet == (0 until sm).toSet,
+      s"loadPqCodebooks: store covers subspaces " +
+        s"${bySub.keySet.toSeq.sorted.mkString(",")} but pq_m=$sm demands " +
+        s"exactly 0..${sm - 1}")
+    val perSub = sr / sm
+    Array.tabulate(sm) { j =>
+      val sub = bySub(j)
+      val ids = sub.map(_.getInt(1)).sorted.toSeq
+      require(ids == (0 until perSub),
+        s"loadPqCodebooks: subspace $j has list_ids " +
+          s"${ids.take(5).mkString(",")}… — not the dense 0..${perSub - 1} " +
+          "grid (a hole would silently renumber every later centroid)")
+      sub.sortBy(_.getInt(1)).map { r =>
+        val v = r.getSeq[Float](2).toArray
+        require(v.length == sd,
+          s"loadPqCodebooks: subspace $j centroid ${r.getInt(1)} has dim " +
+            s"${v.length} but pq_sub_dim=$sd")
+        v
+      }
+    }
+  }
+
+  /**
    * Spherical k-means (Lloyd) refinement of an IVF codebook: per round,
    * assign every sampled vector to its cosine-nearest centroid and replace
    * each centroid with its members' normalized mean. Tightens the

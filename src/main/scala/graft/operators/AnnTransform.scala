@@ -67,21 +67,35 @@ object AnnTopKTransform extends Transform {
     val k = intOpt(config, "k", 10)
     if (k < 1) throw new ConfigException(s"ann_topk: k must be >= 1, got $k")
     val method = config.options.getOrElse("method", "brute")
-    // codebookView only parameterizes IVF — with brute/lsh the user almost
-    // certainly meant method: ivf; reject rather than silently ignore
-    if (method != "ivf" && config.options.contains("codebookView"))
+    // codebookView only parameterizes IVF and PQ — with brute/lsh the user
+    // almost certainly meant one of those; reject rather than silently
+    // ignore
+    if (method != "ivf" && method != "pq" && config.options.contains("codebookView"))
       throw new ConfigException(
-        "ann_topk: codebookView only applies with method: ivf — " +
+        "ann_topk: codebookView only applies with method: ivf|pq — " +
           s"method '$method' never consults a codebook")
     method match {
       case "brute" => graft.ann.Ann.bruteForceTopK(input, q, id, vec, qid, k)
       case "lsh" => graft.ann.Ann.lshTopK(input, q, id, vec, qid, k,
         bits = intOpt(config, "bits", 12), tables = intOpt(config, "tables", 4))
-      case "pq" => graft.ann.Ann.pqTopK(input, q, id, vec, qid, k,
-        m = intOpt(config, "m", 8),
-        nCentroids = intOpt(config, "nCentroids", 16),
-        kmeansIters = intOpt(config, "kmeansIters", 3),
-        candidateFactor = intOpt(config, "candidateFactor", 8))
+      case "pq" =>
+        // a persisted pqCodebookFrame store skips the sampling scan and
+        // keeps yesterday's cells comparable; m/nCentroids/kmeansIters
+        // (when given) assert against its parameter stamp
+        val stored = config.options.get("codebookView").map { view =>
+          graft.ann.Ann.loadPqCodebooks(ctx.spark.table(view),
+            wantM = config.options.get("m").map(_ => intOpt(config, "m", 0)),
+            wantK = config.options.get("nCentroids")
+              .map(_ => intOpt(config, "nCentroids", 0)),
+            wantKmeansIters = config.options.get("kmeansIters")
+              .map(_ => intOpt(config, "kmeansIters", 0)))
+        }
+        graft.ann.Ann.pqTopK(input, q, id, vec, qid, k,
+          m = intOpt(config, "m", 8),
+          nCentroids = intOpt(config, "nCentroids", 16),
+          kmeansIters = intOpt(config, "kmeansIters", 3),
+          candidateFactor = intOpt(config, "candidateFactor", 8),
+          codebooks = stored)
       case "ivf" => config.options.get("codebookView") match {
         case Some(view) => graft.ann.Ann.ivfTopKWithCodebook(input, q, id, vec,
           qid, k, ctx.spark.table(view),

@@ -97,6 +97,59 @@ class AnnSpec extends SparkTestBase {
       .count() shouldBe 4L
   }
 
+  test("PQ codebook store: roundtrip parity with direct training, loud " +
+    "stamp/row-count/grid failures on a corrupt or mismatched store") {
+    val direct = Ann.pqCodebooks(corpus, "vec_id", "embedding",
+      m = 4, k = 8, kmeansIters = 2)
+    val store = Ann.pqCodebookFrame(corpus, "vec_id", "embedding",
+      m = 4, k = 8, kmeansIters = 2)
+    val loaded = Ann.loadPqCodebooks(store)
+    loaded.map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      direct.map(_.map(_.toSeq).toSeq).toSeq
+    // a caller asserting different training parameters fails fast
+    (the[IllegalArgumentException] thrownBy
+      Ann.loadPqCodebooks(store, wantK = Some(16))).getMessage should
+      include ("trained with k=8 but the caller requests k=16")
+    // lost rows cannot pass the pq_rows check
+    (the[IllegalArgumentException] thrownBy Ann.loadPqCodebooks(
+      store.where("NOT (subspace = 2 AND list_id = 3)"))).getMessage should
+      include ("rows were lost or duplicated")
+    // a stamp-less frame is not a store
+    (the[IllegalArgumentException] thrownBy
+      Ann.loadPqCodebooks(store.drop("pq_k"))).getMessage should
+      include ("missing stamp column(s) pq_k")
+    // the declarative route consumes the store (no sampling scan) and
+    // matches the inline-trained search exactly
+    import graft.config.TransformConfig
+    import graft.api.RunContext
+    val ctx = RunContext(spark, "ann", "t")
+    store.createOrReplaceTempView("pq_store_spec")
+    corpus.where("vec_id IN (0, 1)")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .createOrReplaceTempView("pq_queries_spec")
+    val viaStore = graft.operators.AnnTopKTransform(corpus,
+      TransformConfig("a", "ann_topk", Map(
+        "method" -> "pq", "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "queriesView" -> "pq_queries_spec", "queryIdColumn" -> "query_id",
+        "k" -> "5", "codebookView" -> "pq_store_spec")), ctx)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    val inline = Ann.pqTopK(corpus,
+      spark.table("pq_queries_spec"), "vec_id", "embedding", "query_id", 5,
+      m = 4, nCentroids = 8, kmeansIters = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    viaStore shouldBe inline
+    // a store stamped with different params than the options assert fails
+    (the[IllegalArgumentException] thrownBy graft.operators.AnnTopKTransform(
+      corpus, TransformConfig("a", "ann_topk", Map(
+        "method" -> "pq", "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "queriesView" -> "pq_queries_spec", "queryIdColumn" -> "query_id",
+        "k" -> "5", "codebookView" -> "pq_store_spec",
+        "nCentroids" -> "32")), ctx)).getMessage should
+      include ("trained with k=8 but the caller requests k=32")
+  }
+
   test("k-means refinement: quantization cost drops, recall does not regress") {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
