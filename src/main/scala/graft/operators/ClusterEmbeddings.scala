@@ -124,3 +124,34 @@ object CodebookTransform extends Transform {
       nLists, config.options.get("kmeansIters").map(_.toInt).getOrElse(3))
   }
 }
+
+/** `pq_codebook` — train and persist PRODUCT-QUANTIZATION codebooks
+  * ([[graft.ann.Ann.pqCodebookFrame]] — m per-subspace L2 Lloyd
+  * codebooks off one bounded hash-ordered sample; `pq_*` parameter
+  * stamps). Output REPLACES the frame: one row per (subspace, centroid).
+  * Tomorrow's `ann_topk` `method: pq` runs consume it via `codebookView`
+  * — no sampling scan, cells comparable across runs (the PQ analogue of
+  * `codebook` for IVF). Options: `idColumn`/`vecColumn` required; `m`
+  * (8), `nCentroids` (16; 256 = byte-code PQ), `kmeansIters` (3). */
+object PqCodebookTransform extends Transform {
+  val transformType = "pq_codebook"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("vecColumn").toSeq,
+      transformType)
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "vecColumn")
+    def intOpt(key: String, dflt: Int): Int =
+      config.options.get(key).map { v =>
+        try v.toInt catch { case _: NumberFormatException =>
+          throw new ConfigException(
+            s"pq_codebook: $key must be an integer, got '$v'") }
+      }.getOrElse(dflt)
+    graft.ann.Ann.pqCodebookFrame(input,
+      config.options("idColumn"), config.options("vecColumn"),
+      m = intOpt("m", 8), k = intOpt("nCentroids", 16),
+      kmeansIters = intOpt("kmeansIters", 3))
+  }
+}

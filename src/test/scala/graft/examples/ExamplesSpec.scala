@@ -679,6 +679,32 @@ class ExamplesSpec extends SparkTestBase {
       Array(0L, 1L, 2L, 3L)
   }
 
+  test("quickstart-30: PQ codebooks persisted in run N, retrieval consumes " +
+    "them in run N+1 without a sampling scan — self is rank 1, store " +
+    "equals in-process training") {
+    import org.apache.spark.sql.functions._
+    run("quickstart-30-pq-store.yaml")
+    val store = spark.read.parquet("/tmp/graft-examples/quickstart-30-pq")
+    store.columns.toSeq should contain allOf ("subspace", "list_id", "vec",
+      "pq_m", "pq_k", "pq_kmeans_iters", "pq_sub_dim", "pq_rows")
+    store.count() shouldBe 64 // 4 subspaces x 16 centroids
+    run("quickstart-30-pq-search.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-30-out")
+    out.groupBy("query_id").count().select("count").as[Long].collect()
+      .foreach(_ shouldBe 5L)
+    out.where("rank = 1").select("query_id", "vec_id").as[(Long, Long)]
+      .collect().foreach { case (q, v) => v shouldBe q }
+    // the store IS the training run, persisted: identical to in-process
+    // pqCodebooks with the same parameters
+    val loaded = graft.ann.Ann.loadPqCodebooks(store)
+    val direct = graft.ann.Ann.pqCodebooks(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", m = 4, k = 16, kmeansIters = 2)
+    loaded.map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      direct.map(_.map(_.toSeq).toSeq).toSeq
+  }
+
   test("every example YAML is exercised by this suite — a quickstart that " +
     "no test runs is documentation that can silently rot") {
     val yamls = new java.io.File("examples").listFiles()
