@@ -589,28 +589,44 @@ object Ann {
     val codesSchema = StructType(Seq(
       StructField("vec_id", vidType),
       StructField("codes", ArrayType(IntegerType, containsNull = false))))
+    // NaN/Inf components drop like null components: pqEncode would
+    // otherwise default a poisoned subspace to code 0 (NaN never wins a
+    // comparison), hand the row a finite ADC score that burns candidate
+    // slots, and only vanish at the re-rank — topKPerQuery's NaN contract,
+    // enforced where the candidates are made
+    def finiteVec(c: Column): Column = c.isNotNull &&
+      forall(c, x => x.isNotNull && !isnan(x) &&
+        x > lit(Float.NegativeInfinity) && x < lit(Float.PositiveInfinity))
+    // a dim-mismatched vector is STORE DRIFT, not a skippable row: the
+    // pq_* stamps can't see the corpus side, so a silently-dropped
+    // mismatch (embedding space changed since the store was trained)
+    // would emit an EMPTY result with no error — fail with guidance
+    def dimCheck(kind: String, id: Any, got: Int): Unit =
+      require(got == dim,
+        s"pqTopK: $kind vector (id=$id) has dim $got but the codebooks " +
+          s"quantize dim $dim (m·subDim) — the embedding space changed " +
+          "since the PQ store was trained; retrain the store (or filter " +
+          "mixed-dim rows first if they are expected)")
     val codes = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<float>").as("v"))
-      .where(col("vec_id").isNotNull && col("v").isNotNull &&
-        forall(col("v"), x => x.isNotNull))
+      .where(col("vec_id").isNotNull && finiteVec(col("v")))
       .mapPartitions { rows =>
         val cb = bc.value
-        rows.flatMap { r =>
+        rows.map { r =>
           val v = r.getSeq[Float](1).toArray
-          if (v.length != dim) Iterator.empty
-          else Iterator.single(Row(r.get(0), pqEncode(v, cb).toSeq))
+          dimCheck("corpus", r.get(0), v.length)
+          Row(r.get(0), pqEncode(v, cb).toSeq)
         }
       }(Encoders.row(codesSchema))
     // queries ride the driver (small by the same contract that broadcasts
-    // them in every other method); null/ragged query vectors drop like
-    // null corpus vectors do
+    // them in every other method); null/non-finite query vectors drop
+    // like null corpus vectors do
     val qArr = queries
       .select(col(queryIdCol), col(vecCol).cast("array<float>").as("qv"))
-      .where(col(queryIdCol).isNotNull && col("qv").isNotNull &&
-        forall(col("qv"), x => x.isNotNull))
+      .where(col(queryIdCol).isNotNull && finiteVec(col("qv")))
       .collect()
       .map(r => (r.get(0), r.getSeq[Float](1).toArray))
-      .filter(_._2.length == dim)
+    qArr.foreach { case (qid0, v) => dimCheck("query", qid0, v.length) }
     val bq = spark.sparkContext.broadcast(qArr)
     // 2)+3) ADC scan: sim = -distance so the shared (sim DESC, vec_id ASC)
     // heap ranks lowest distance first with the id tie-break
@@ -619,6 +635,10 @@ object Ann {
       StructField("vec_id", vidType),
       StructField("sim", DoubleType)))
     val scored = codes.mapPartitions { rows =>
+      // an empty partition must not pay LUT construction
+      // (|queries|·m·k·subDim double ops for nothing)
+      if (!rows.hasNext) Iterator.empty
+      else {
       val cb = bc.value; val qs = bq.value
       val sd = cb(0)(0).length
       val luts = qs.map { case (_, qv) =>
@@ -642,15 +662,25 @@ object Ann {
           Row(qs(qi)._1, r.get(0), -adc)
         }
       }
+      }
     }(Encoders.row(scoredSchema))
     val cands = topKPerQuery(scored, k * candidateFactor)
       .select("query_id", "vec_id")
-    // 4) exact re-rank: true vectors join the SMALL candidate frame
+    // 4) exact re-rank: true vectors join the SMALL candidate frame. The
+    // query vectors are the ALREADY-COLLECTED, already-validated qArr
+    // localized back into a frame — re-using the input `queries` plan
+    // here would evaluate its whole subtree a second time (a filtered
+    // scan, an expensive upstream transform)
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qArr.map { case (qid0, v) =>
+        Row(qid0, v.toSeq) }: _*),
+      StructType(Seq(
+        StructField("query_id", qidType),
+        StructField("qvec", ArrayType(FloatType)))))
     val rescored = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
       .join(broadcast(cands), Seq("vec_id"))
-      .join(broadcast(queries.select(
-        col(queryIdCol).as("query_id"), col(vecCol).as("qvec"))), Seq("query_id"))
+      .join(broadcast(qLocal), Seq("query_id"))
       .withColumn("sim", cosine(col("cvec"), col("qvec")))
     topKPerQuery(rescored.select("query_id", "vec_id", "sim"), k)
   }
@@ -703,7 +733,8 @@ object Ann {
     * subspace's tail is corrupt, not smaller). */
   def loadPqCodebooks(store: DataFrame, wantM: Option[Int] = None,
                       wantK: Option[Int] = None,
-                      wantKmeansIters: Option[Int] = None)
+                      wantKmeansIters: Option[Int] = None,
+                      kName: String = "k")
       : Array[Array[Array[Float]]] = {
     val stamps = Seq("pq_m", "pq_k", "pq_kmeans_iters", "pq_sub_dim", "pq_rows")
     val missing = stamps.filterNot(store.columns.contains)
@@ -730,8 +761,11 @@ object Ann {
       want.foreach(w => require(w == got,
         s"loadPqCodebooks: store was trained with $name=$got but the " +
           s"caller requests $name=$w — retrain or drop the override"))
+    // kName: the mismatch message must name the knob THE CALLER types —
+    // the declarative route spells k "nCentroids" (ann_topk already has a
+    // k option meaning top-k)
     check("m", wantM, sm)
-    check("k", wantK, sk)
+    check(kName, wantK, sk)
     check("kmeansIters", wantKmeansIters, si)
     val bySub = rows.groupBy(_.getInt(0))
     require(bySub.keySet == (0 until sm).toSet,

@@ -55,6 +55,26 @@ trait Transform {
       throw new ConfigException(
         s"${transformType} transform '${config.name}' missing required option(s): ${missing.mkString(", ")}")
   }
+
+  /** Numeric option with a guided error (the one helper every operator
+    * family used to re-implement): a typo'd `k: "lots"` fails as a
+    * ConfigException naming the transform and the option, not a raw
+    * NumberFormatException from deep inside the operator. */
+  protected def intOption(config: TransformConfig, key: String,
+                          default: => Int): Int =
+    config.options.get(key).map { v =>
+      try v.trim.toInt catch { case _: NumberFormatException =>
+        throw new ConfigException(
+          s"$transformType: $key must be an integer, got '$v'") }
+    }.getOrElse(default)
+
+  protected def longOption(config: TransformConfig, key: String,
+                           default: => Long): Long =
+    config.options.get(key).map { v =>
+      try v.trim.toLong catch { case _: NumberFormatException =>
+        throw new ConfigException(
+          s"$transformType: $key must be an integer, got '$v'") }
+    }.getOrElse(default)
 }
 
 final case class LoadResult(

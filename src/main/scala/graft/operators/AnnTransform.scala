@@ -64,7 +64,7 @@ object AnnTopKTransform extends Transform {
     val q = queries.select(
       org.apache.spark.sql.functions.col(qid).as(qid),
       org.apache.spark.sql.functions.col(qvec).as(vec))
-    val k = intOpt(config, "k", 10)
+    val k = intOption(config, "k", 10)
     if (k < 1) throw new ConfigException(s"ann_topk: k must be >= 1, got $k")
     val method = config.options.getOrElse("method", "brute")
     // codebookView only parameterizes IVF and PQ — with brute/lsh the user
@@ -77,45 +77,40 @@ object AnnTopKTransform extends Transform {
     method match {
       case "brute" => graft.ann.Ann.bruteForceTopK(input, q, id, vec, qid, k)
       case "lsh" => graft.ann.Ann.lshTopK(input, q, id, vec, qid, k,
-        bits = intOpt(config, "bits", 12), tables = intOpt(config, "tables", 4))
+        bits = intOption(config, "bits", 12), tables = intOption(config, "tables", 4))
       case "pq" =>
         // a persisted pqCodebookFrame store skips the sampling scan and
         // keeps yesterday's cells comparable; m/nCentroids/kmeansIters
         // (when given) assert against its parameter stamp
         val stored = config.options.get("codebookView").map { view =>
           graft.ann.Ann.loadPqCodebooks(ctx.spark.table(view),
-            wantM = config.options.get("m").map(_ => intOpt(config, "m", 0)),
+            wantM = config.options.get("m").map(_ => intOption(config, "m", 0)),
             wantK = config.options.get("nCentroids")
-              .map(_ => intOpt(config, "nCentroids", 0)),
+              .map(_ => intOption(config, "nCentroids", 0)),
             wantKmeansIters = config.options.get("kmeansIters")
-              .map(_ => intOpt(config, "kmeansIters", 0)))
+              .map(_ => intOption(config, "kmeansIters", 0)),
+            kName = "nCentroids")
         }
         graft.ann.Ann.pqTopK(input, q, id, vec, qid, k,
-          m = intOpt(config, "m", 8),
-          nCentroids = intOpt(config, "nCentroids", 16),
-          kmeansIters = intOpt(config, "kmeansIters", 3),
-          candidateFactor = intOpt(config, "candidateFactor", 8),
+          m = intOption(config, "m", 8),
+          nCentroids = intOption(config, "nCentroids", 16),
+          kmeansIters = intOption(config, "kmeansIters", 3),
+          candidateFactor = intOption(config, "candidateFactor", 8),
           codebooks = stored)
       case "ivf" => config.options.get("codebookView") match {
         case Some(view) => graft.ann.Ann.ivfTopKWithCodebook(input, q, id, vec,
           qid, k, ctx.spark.table(view),
-          nProbe = intOpt(config, "nProbe", 8),
-          wantNLists = config.options.get("nLists").map(_ => intOpt(config, "nLists", 0)),
-          wantKmeansIters = config.options.get("kmeansIters").map(_ => intOpt(config, "kmeansIters", 0)))
+          nProbe = intOption(config, "nProbe", 8),
+          wantNLists = config.options.get("nLists").map(_ => intOption(config, "nLists", 0)),
+          wantKmeansIters = config.options.get("kmeansIters").map(_ => intOption(config, "kmeansIters", 0)))
         case None => graft.ann.Ann.ivfTopK(input, q, id, vec, qid, k,
-          nLists = intOpt(config, "nLists", 64),
-          nProbe = intOpt(config, "nProbe", 8),
-          kmeansIters = intOpt(config, "kmeansIters", 0))
+          nLists = intOption(config, "nLists", 64),
+          nProbe = intOption(config, "nProbe", 8),
+          kmeansIters = intOption(config, "kmeansIters", 0))
       }
       case other => throw new ConfigException(
         s"ann_topk: method must be brute|lsh|ivf|pq, got '$other'")
     }
   }
 
-  // guided error for a non-numeric option, not a bare NumberFormatException
-  private def intOpt(config: TransformConfig, key: String, dflt: Int): Int =
-    config.options.get(key).map { v =>
-      try v.toInt catch { case _: NumberFormatException =>
-        throw new ConfigException(s"ann_topk: $key must be an integer, got '$v'") }
-    }.getOrElse(dflt)
 }

@@ -116,12 +116,12 @@ object CodebookTransform extends Transform {
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "idColumn", "vecColumn")
-    val nLists = config.options.get("nLists").map(_.toInt).getOrElse(64)
+    val nLists = intOption(config, "nLists", 64)
     if (nLists < 1)
       throw new ConfigException(s"codebook: nLists must be >= 1, got $nLists")
     graft.ann.Ann.codebookFrame(input,
       config.options("idColumn"), config.options("vecColumn"),
-      nLists, config.options.get("kmeansIters").map(_.toInt).getOrElse(3))
+      nLists, intOption(config, "kmeansIters", 3))
   }
 }
 
@@ -143,15 +143,10 @@ object PqCodebookTransform extends Transform {
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "idColumn", "vecColumn")
-    def intOpt(key: String, dflt: Int): Int =
-      config.options.get(key).map { v =>
-        try v.toInt catch { case _: NumberFormatException =>
-          throw new ConfigException(
-            s"pq_codebook: $key must be an integer, got '$v'") }
-      }.getOrElse(dflt)
     graft.ann.Ann.pqCodebookFrame(input,
       config.options("idColumn"), config.options("vecColumn"),
-      m = intOpt("m", 8), k = intOpt("nCentroids", 16),
-      kmeansIters = intOpt("kmeansIters", 3))
+      m = intOption(config, "m", 8),
+      k = intOption(config, "nCentroids", 16),
+      kmeansIters = intOption(config, "kmeansIters", 3))
   }
 }

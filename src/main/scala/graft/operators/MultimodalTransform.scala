@@ -41,25 +41,6 @@ import graft.multimodal.Multimodal
 object MultimodalTransform extends Transform {
   val transformType = "multimodal"
 
-  /** Numeric options fail as ConfigException-with-guidance (the LmDrift
-    * maxUnseenFrac discipline), not a raw NumberFormatException from
-    * deep inside the operator. */
-  private def intOption(config: TransformConfig, key: String,
-                        default: => Int): Int =
-    config.options.get(key).map { raw =>
-      try raw.trim.toInt catch { case _: NumberFormatException =>
-        throw new graft.api.ConfigException(
-          s"multimodal: $key must be an integer, got '$raw'") }
-    }.getOrElse(default)
-
-  private def longOption(config: TransformConfig, key: String,
-                         default: => Long): Long =
-    config.options.get(key).map { raw =>
-      try raw.trim.toLong catch { case _: NumberFormatException =>
-        throw new graft.api.ConfigException(
-          s"multimodal: $key must be an integer, got '$raw'") }
-    }.getOrElse(default)
-
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "operation", "idColumn", "bytesColumn")
     val id = config.options("idColumn")

@@ -142,10 +142,7 @@ abstract class NearDupTransform extends Transform {
   // guided errors for non-numeric options, not a context-free
   // NumberFormatException from deep inside the matcher
   protected def intOpt(config: TransformConfig, key: String, dflt: Int): Int =
-    config.options.get(key).map { v =>
-      try v.toInt catch { case _: NumberFormatException =>
-        throw new ConfigException(s"$transformType: $key must be an integer, got '$v'") }
-    }.getOrElse(dflt)
+    intOption(config, key, dflt)
   protected def doubleOpt(config: TransformConfig, key: String, dflt: Double): Double =
     config.options.get(key).map { v =>
       try v.toDouble catch { case _: NumberFormatException =>

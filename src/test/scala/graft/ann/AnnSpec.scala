@@ -91,6 +91,29 @@ class AnnSpec extends SparkTestBase {
       Ann.pqCodebooks(corpus, "vec_id", "embedding", m = 5) should
       have message ("requirement failed: pqCodebooks: vector dim 16 is " +
         "not divisible by m=5 subspaces")
+    // STORE DRIFT fails loudly, never as an empty result: vectors whose
+    // dim disagrees with the codebooks' m·subDim (the embedding space
+    // changed since training — the pq_* stamps can't see the corpus side)
+    def allMessages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + allMessages(t.getCause)
+    val q8 = Seq((0L, Array.fill(8)(1.0f))).toDF("query_id", "embedding")
+    allMessages(intercept[Exception] {
+      Ann.pqTopK(corpus, q8, "vec_id", "embedding", "query_id", 2,
+        m = 4, nCentroids = 8, kmeansIters = 0)
+    }) should include ("quantize dim 16")
+    val mixed = corpus.unionByName(
+      Seq((9999L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding"))
+    allMessages(intercept[Exception] {
+      Ann.pqTopK(mixed, queries, "vec_id", "embedding", "query_id", 2,
+        m = 4, nCentroids = 8, kmeansIters = 0).collect()
+    }) should include ("quantize dim 16")
+    // NaN-poisoned vectors drop at the CANDIDATE scan (topKPerQuery's NaN
+    // contract) — they never burn candidate slots with a fake code-0 ADC
+    val poisoned = corpus.unionByName(
+      Seq((8888L, Array.fill(16)(Float.NaN))).toDF("vec_id", "embedding"))
+    Ann.pqTopK(poisoned, queries, "vec_id", "embedding", "query_id", 10,
+      m = 4, nCentroids = 8, kmeansIters = 2)
+      .where("vec_id = 8888").count() shouldBe 0L
     // sub-2-row corpora degenerate to brute force, like IVF
     val tiny = Seq((1L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
     Ann.pqTopK(tiny, queries, "vec_id", "embedding", "query_id", 1)
@@ -147,7 +170,8 @@ class AnnSpec extends SparkTestBase {
         "queriesView" -> "pq_queries_spec", "queryIdColumn" -> "query_id",
         "k" -> "5", "codebookView" -> "pq_store_spec",
         "nCentroids" -> "32")), ctx)).getMessage should
-      include ("trained with k=8 but the caller requests k=32")
+      include ("trained with nCentroids=8 but the caller requests " +
+        "nCentroids=32")
   }
 
   test("k-means refinement: quantization cost drops, recall does not regress") {
