@@ -41,42 +41,175 @@ object Bench {
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
-  /** Timed passes over `queries`. Returns (name → every pass time in
+  /** Timed passes over `queries`, CYCLE-ordered: pass 1 of every query
+    * runs before pass 2 of any query. Returns (name → every pass time in
     * seconds, in run order; Nil for a query that threw) in sorted-name
     * order. ALL passes are kept (not just the min): per-pass spread is the
     * only way a report reader can tell shared-box noise (one 7 s pass next
-    * to a 1 s pass) from a genuine regression (every pass slow). Factored
-    * out of main so a spec can inject a deliberately-broken query and
-    * assert the failure sentinel. */
+    * to a 1 s pass) from a genuine regression (every pass slow).
+    *
+    * Cycle ordering is what makes min-of-N actually reject transient
+    * contention: the old per-query back-to-back scheduling put a query's
+    * passes inside the same ~1 s window, so one CPU spike inflated BOTH
+    * samples of exactly one query and the min faithfully recorded the
+    * spike as that query's time (round 15's phantom q87 "regression":
+    * passes [0.527, 0.529] on a load-0.09 box, unreproducible — identical
+    * code re-measured 0.10–0.19 s). With cycles, a spike lands on
+    * DIFFERENT queries in different passes and the min discards it. The
+    * recompile tax cycles would otherwise pay (a 170-query registry blows
+    * the default 100-entry codegen cache between two executions of the
+    * same plan) is bought off by main's
+    * `spark.sql.codegen.cache.maxEntries` bump.
+    *
+    * Factored out of main so a spec can inject a deliberately-broken
+    * query and assert the failure sentinel, and assert the cycle order.
+    * `warmup=false` skips the untimed warmup pass — for extra guard
+    * cycles over an already-hot registry ([[measureGuarded]]). */
   def measure(spark: SparkSession,
               queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-              sfDir: String, runs: Int): List[(String, List[Double])] = {
+              sfDir: String, runs: Int,
+              warmup: Boolean = true): List[(String, List[Double])] = {
     // NonFatal only, here and below: a driver OOM must abort the bench
     // loudly — scoring it as one query's -1 and continuing would time
     // every later query in a heap-exhausted JVM (the round-7 "15 broken
     // queries" symptom, but with misleading slow times instead)
     val names = queries.keys.toList.sorted
-    names.foreach { name =>                       // untimed warmup
+    if (warmup) names.foreach { name =>           // untimed warmup
       try force(queries(name)(spark, sfDir))
       catch { case scala.util.control.NonFatal(_) => }
     }
-    names.map { name =>
-      var failed = false
-      val passes = List.newBuilder[Double]
-      var i = 0
-      // stop timing a query at its FIRST failure: a slow-to-throw query
-      // would otherwise burn runs × time-to-throw of bench wall-clock for
-      // a guaranteed failure score
-      while (i < runs && !failed) {
-        val t0 = System.nanoTime()
-        try {
-          force(queries(name)(spark, sfDir))
-          passes += (System.nanoTime() - t0) / 1e9
-        } catch { case scala.util.control.NonFatal(_) => failed = true }
-        i += 1
-      }
-      name -> (if (failed) Nil else passes.result())
+    val passes = names.map(n => n -> List.newBuilder[Double]).toMap
+    val failed = scala.collection.mutable.Set[String]()
+    for (_ <- 1 to runs; name <- names if !failed(name)) {
+      // skip a query at its FIRST failure: a slow-to-throw query would
+      // otherwise burn runs × time-to-throw of bench wall-clock for a
+      // guaranteed failure score
+      val t0 = System.nanoTime()
+      try {
+        force(queries(name)(spark, sfDir))
+        passes(name) += (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(_) => failed += name }
     }
+    names.map(n => n -> (if (failed(n)) Nil else passes(n).result()))
+  }
+
+  /** A query whose pass spread exceeds BOTH bounds is contention-suspect:
+    * 3× relative (the ratio a genuine plan change essentially never
+    * produces between two executions of the same warm plan) AND 0.3 s
+    * absolute (sub-0.1 s queries jitter past 3× on scheduler noise
+    * alone). Under [[measure]]'s cycle ordering, transient mid-run
+    * contention lands on different queries in different cycles, so this
+    * spread signature is exactly what a contention spike leaves behind. */
+  val SuspectSpreadFactor = 3.0
+  val SuspectSpreadFloorSec = 0.3
+
+  /** CPU share of the box spent OUTSIDE this JVM, in [0,1]; -1 where the
+    * com.sun.management bean is unavailable. THE mid-run contention
+    * signal: the 1-minute load average cannot be sampled after a run —
+    * it mostly reads the bench's own executor threads and takes minutes
+    * to decay — while this figure isolates other processes and responds
+    * in seconds. */
+  def externalCpu(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val sysL = os.getCpuLoad; val proc = os.getProcessCpuLoad
+        if (sysL < 0 || proc < 0) -1.0 else math.max(0.0, sysL - proc)
+      case _ => -1.0
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  /** External CPU share above this marks the box still-contended. 0.15 =
+    * at least ~5 of the 32 cores busy outside the bench JVM. */
+  val ExternalCpuThreshold = 0.15
+
+  /** Bounded wait for the EXTERNAL CPU share to fall below
+    * [[ExternalCpuThreshold]]; returns the last sample. The instantaneous
+    * analogue of [[waitForQuiet]] (which gates the pre-run 1-min load —
+    * too slow-decaying to re-check after the bench's own work). */
+  def waitForExtQuiet(maxWaitSec: Int, pollSec: Int = 5,
+                      sample: () => Double = externalCpu _): Double = {
+    var l = sample()
+    var waited = 0
+    while (l > ExternalCpuThreshold && waited < maxWaitSec) {
+      println(f"#bench waiting: external_cpu=$l%.2f > $ExternalCpuThreshold%.2f " +
+        s"(${waited}s of ${maxWaitSec}s max)")
+      Console.out.flush()
+      Thread.sleep(pollSec * 1000L)
+      waited += pollSec.max(1)
+      l = sample()
+    }
+    l
+  }
+
+  /** [[measure]] plus the mid-run contention guard. The quiet-START gate
+    * cannot see load that arrives after it passes — round 15's driver
+    * artifact recorded a 143 s total that a quiet re-run disproved at
+    * 85 s. Two detectors, two responses:
+    *
+    *  - pass-spread suspects (see [[SuspectSpreadFactor]]): a transient
+    *    spike under cycle ordering inflates single passes of a few
+    *    queries → after an external-CPU-quiet wait, ONLY those queries
+    *    re-run (cheap), giving each min a quiet sample;
+    *  - a loud post-run [[externalCpu]] with NO suspects: contention is
+    *    sustained and may have inflated every pass uniformly → the FULL
+    *    registry re-runs one cycle after the quiet wait.
+    *
+    * Up to `maxExtraCycles` rounds; gives up — stamping, not spinning —
+    * if the box never settles. Returns (results, last external-CPU
+    * sample, extra cycles run). `extSample` is injectable so a spec can
+    * script a contention arrival without loading the box. */
+  def measureGuarded(spark: SparkSession,
+                     queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+                     sfDir: String, runs: Int,
+                     extSample: () => Double = externalCpu _,
+                     maxExtraCycles: Int = 2,
+                     settleWaitSec: Int = 240): (List[(String, List[Double])], Double, Int) = {
+    def suspects(rs: List[(String, List[Double])]): Set[String] =
+      rs.collect { case (n, ps) if ps.size >= 2 &&
+        ps.max / ps.min.max(1e-9) > SuspectSpreadFactor &&
+        ps.max - ps.min > SuspectSpreadFloorSec => n }.toSet
+    var results = measure(spark, queries, sfDir, runs)
+    var extras = 0
+    var ext = extSample()
+    var settled = true
+    // a query re-run once is never re-run again: its quiet extra pass
+    // WIDENS the spread (quiet min next to the contended max), so without
+    // this set the same suspects would re-trigger every round
+    var reran = Set.empty[String]
+    var sustainedDone = false
+    def pending(): Set[String] = suspects(results) -- reran
+    while (settled && extras < maxExtraCycles &&
+           (pending().nonEmpty || (ext > ExternalCpuThreshold && !sustainedDone))) {
+      val l = waitForExtQuiet(settleWaitSec, sample = extSample)
+      if (l > ExternalCpuThreshold) {
+        // never settled: an extra cycle would be as contended as the run
+        // it is meant to correct — stamp the loud sample and stop
+        settled = false
+        ext = l
+      } else {
+        val sus = pending()
+        // spread suspects re-run alone; a loud-ext-no-suspects end means
+        // sustained (uniform) contention — every live query re-runs once
+        val alive = results.collect { case (n, ps) if ps.nonEmpty => n }.toSet
+        val rerun = if (sus.nonEmpty) sus & alive
+                    else { sustainedDone = true; alive }
+        println(s"#bench contention guard: re-running ${rerun.size} " +
+          s"quer${if (rerun.size == 1) "y" else "ies"} after quiet wait")
+        Console.out.flush()
+        val extra = measure(spark,
+          queries.view.filterKeys(rerun).toMap, sfDir, 1, warmup = false).toMap
+        results = results.map { case (n, ps) =>
+          extra.get(n) match {
+            case Some(Nil)  => n -> Nil          // threw in the guard cycle:
+            case Some(more) => n -> (ps ++ more) // ANY-pass failure scores -1
+            case None       => n -> ps           // not re-run / already failed
+          }
+        }
+        reran ++= rerun
+        extras += 1
+        ext = extSample()
+      }
+    }
+    (results, ext, extras)
   }
 
   private def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
@@ -136,7 +269,8 @@ object Bench {
     * and the wrong figure would be indistinguishable from a correct
     * pre-run stamp in the artifact. */
   def render(results: List[(String, List[Double])], sfDir: String,
-             startLoad: Double): (String, String) = {
+             startLoad: Double, endExternalCpu: Double = -1.0,
+             extraCycles: Int = 0): (String, String) = {
     // Verify's escaper, shared: an sfDir with a backslash or quote would
     // otherwise invalidate EVERY redundant JSON channel at once (the r8
     // "parsed: null" failure mode, re-created by the report itself)
@@ -155,10 +289,17 @@ object Bench {
     val load = fmt(startLoad)
     // explicit contended marker, not just the raw stamp: two rounds of
     // phantom 30% regressions were committed because readers (human and
-    // judge alike) had to remember the threshold — the artifact now says it
-    val cont = (startLoad > ContendedLoadThreshold).toString
-    val big = s"""{"queries":$qs,"passes":$passes,"sf":${Verify.q(sfDir)},"failed":$failed,"load_avg_1m":$load,"contended":$cont,"metric":"total","unit":"sec","value":${fmt(total)}}"""
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${bad.size},"failed":$failed,"load_avg_1m":$load,"contended":$cont,"sf":${Verify.q(sfDir)}}"""
+    // judge alike) had to remember the threshold — the artifact now says
+    // it. BOTH ends gate it: a quiet start with a loud end is the round-15
+    // driver-artifact failure mode (contention arrived mid-run, and the
+    // guard never got a quiet window to correct it). endExternalCpu is
+    // [[externalCpu]]'s [0,1] share, thresholded on its own scale; -1 =
+    // not sampled (legacy caller) / can't-read — never reads as contended.
+    val cont = (startLoad > ContendedLoadThreshold ||
+      endExternalCpu > ExternalCpuThreshold).toString
+    val tail = s""""load_avg_1m":$load,"external_cpu_end":${fmt(endExternalCpu)},"extra_cycles":$extraCycles,"contended":$cont"""
+    val big = s"""{"queries":$qs,"passes":$passes,"sf":${Verify.q(sfDir)},"failed":$failed,$tail,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${bad.size},"failed":$failed,$tail,"sf":${Verify.q(sfDir)}}"""
     (big, compact)
   }
 
@@ -205,6 +346,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // static conf, effective because Bench owns the first session in
+      // this JVM: the default 100-entry codegen cache cannot hold a
+      // 170-query registry, so under measure()'s cycle ordering every
+      // pass would re-pay janino compilation (~50-300 ms per stage) that
+      // the old back-to-back ordering only paid on pass 1
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev-loop aid: SPARK_GRAFT_BENCH_ONLY=q88_dedup_semantic,q8_join_inner
@@ -229,8 +376,9 @@ object Bench {
     // a report that never needed adjudication beats a well-marked noisy one
     val quietWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "240").toInt
     val startLoad = waitForQuiet(quietWait)  // before warmup: pre-existing load
-    val results = measure(spark, queries, sfDir, runs)
-    val (big, compact) = render(results, sfDir, startLoad)
+    val (results, endExt, extraCycles) =
+      measureGuarded(spark, queries, sfDir, runs, settleWaitSec = quietWait)
+    val (big, compact) = render(results, sfDir, startLoad, endExt, extraCycles)
     // a filtered dev-loop run must never clobber the committed full
     // artifact (it did, twice) — partial reports land beside it
     writeArtifact(outDir + (if (only.isDefined) "/partial" else ""), big)

@@ -255,15 +255,27 @@ object Ann {
     * across runs/retries); O(nLists·dim) driver materialization. */
   private def sampledCodebook(corpus: DataFrame, idCol: String, vecCol: String,
                               nLists: Int): Array[Array[Float]] =
-    // null embeddings AND embeddings with null elements are excluded,
-    // matching the assignment expressions' null contract — getSeq[Float]
-    // would silently unbox a null slot to 0.0f and bake the fabricated
-    // zero into a (possibly persisted) centroid
+    // null embeddings, embeddings with null elements AND embeddings with
+    // NaN/Inf components are excluded — the same finite-vector contract
+    // the encode/query paths enforce. getSeq[Float] would silently unbox
+    // a null slot to 0.0f, and a NaN component taken into init becomes a
+    // DEAD centroid: NaN never wins an assignment comparison, so the cell
+    // stays empty through every Lloyd round (empty cells keep the previous
+    // centroid) and the poisoned vector persists into the (possibly
+    // stored) codebook, silently shrinking the effective centroid count
     corpus.select(col(idCol), col(vecCol))
-      .where(col(vecCol).isNotNull && forall(col(vecCol), x => x.isNotNull))
+      .where(col(vecCol).isNotNull &&
+        forall(col(vecCol), x => x.isNotNull && !isnan(x) &&
+          x > lit(Float.NegativeInfinity) && x < lit(Float.PositiveInfinity)))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nLists)
       .select(col(vecCol).cast("array<float>")).collect()
       .map(_.getSeq[Float](0).toArray)
+
+  /** PQ geometry version stamped into [[pqCodebookFrame]] stores as
+    * `pq_norm`: 1 = spherical (train + encode on L2-normalized vectors).
+    * Bump on any change to the normalization arithmetic — a store from a
+    * different geometry must fail the load, never silently re-cell. */
+  val PqNormSpherical: Int = 1
 
   /** Default Lloyd-refinement sample size: bounds driver memory at
     * sample·dim floats (16384 × 1024-dim ≈ 67 MB worst case, 4 MB at the
@@ -429,16 +441,41 @@ object Ann {
       k, centroids, nProbe)
   }
 
+  /** L2-normalize onto the unit sphere. An all-zero vector is returned
+    * unchanged: it has no direction to project (cosine against anything
+    * is 0, so the exact re-rank ranks it last anyway), and emitting NaNs
+    * from a 0/0 here would trip the NaN guards downstream. */
+  private def unitVec(v: Array[Float]): Array[Float] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+    if (n == 0.0) v
+    else {
+      val inv = 1.0 / math.sqrt(n)
+      val out = new Array[Float](v.length)
+      i = 0
+      while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
+      out
+    }
+  }
+
   /**
-   * Product-quantization codebooks: the vector space splits into `m`
-   * contiguous subspaces of dim/m components and each subspace trains its
-   * own `k`-centroid L2 codebook (plain Lloyd — PQ quantizes raw
-   * subvectors, so EUCLIDEAN assignment and unnormalized means, unlike
-   * the spherical IVF refinement). Jégou, Douze, Schmid, "Product
-   * Quantization for Nearest Neighbor Search", TPAMI 2011 — the
-   * billion-scale ANN representation: a 64-dim float vector becomes m
-   * byte-sized codes (32× smaller at m=8, k=16), and distances against a
-   * query need only m table lookups.
+   * SPHERICAL product-quantization codebooks: every training vector is
+   * L2-normalized onto the unit sphere FIRST, then the vector space
+   * splits into `m` contiguous subspaces of dim/m components and each
+   * subspace trains its own `k`-centroid L2 codebook (plain Lloyd —
+   * EUCLIDEAN assignment and unnormalized means over the normalized
+   * subvectors). Jégou, Douze, Schmid, "Product Quantization for Nearest
+   * Neighbor Search", TPAMI 2011 — the billion-scale ANN representation:
+   * a 64-dim float vector becomes m byte-sized codes (32× smaller at
+   * m=8, k=16), and distances against a query need only m table lookups.
+   *
+   * Spherical, because the engine's ANN contract is COSINE: on unit
+   * vectors ‖q−x‖² = 2 − 2·cos(q,x), so the L2-ADC candidate ranking is
+   * exactly the cosine ranking — without the normalization, a
+   * high-cosine neighbor with a different norm (a scaled copy of the
+   * query) sits at a large raw L2 distance and never enters the
+   * candidate set, silently biasing PQ recall vs the brute/lsh/ivf
+   * methods, which are all angle-based.
    *
    * Scale shape: ONE bounded deterministic hash-ordered sample collection
    * (the [[kmeansCentroids]] contract — O(sample·dim) driver memory),
@@ -460,9 +497,12 @@ object Ann {
     require(dim % m == 0,
       s"pqCodebooks: vector dim $dim is not divisible by m=$m subspaces")
     val sd = dim / m
+    // normalize the WHOLE vector once, then slice: subspace codebooks must
+    // all quantize the same point on the sphere, not per-subspace rescales
+    val unit = sample.collect { case v if v.length == dim => unitVec(v) }
     Array.tabulate(m) { j =>
-      val sub = sample.collect { case v if v.length == dim =>
-        java.util.Arrays.copyOfRange(v, j * sd, (j + 1) * sd) }
+      val sub = unit.map(v =>
+        java.util.Arrays.copyOfRange(v, j * sd, (j + 1) * sd))
       val init = sub.take(k)
       if (init.length <= 1 || kmeansIters <= 0) init
       else refineCentroidsL2(sub, init, kmeansIters)
@@ -554,9 +594,15 @@ object Ann {
    *     (the candidate frame is queries×k·candidateFactor — the corpus
    *     joins it by id, broadcast-small).
    *
-   * A corpus vector's own code word minimizes every ADC term (its codes
-   * ARE the per-subspace argmins), so identical planted twins attain the
-   * GLOBAL-MINIMUM ADC distance — their candidate recall is bounded only
+   * Candidates and re-rank agree on GEOMETRY: corpus and query vectors
+   * are L2-normalized before encode / LUT construction (spherical PQ —
+   * see [[pqCodebooks]]), so the L2-ADC candidate ordering approximates
+   * the cosine ordering the exact re-rank finishes with; any POSITIVE
+   * scale of a query (or of a corpus vector) encodes to the same code
+   * word as the unscaled original. A unit vector's own code word
+   * minimizes every ADC term (its codes ARE the per-subspace argmins),
+   * so planted twins — identical OR positively scaled — attain the
+   * GLOBAL-MINIMUM ADC distance; their candidate recall is bounded only
    * by quantization-cell ties (corpus vectors sharing the query's full
    * code word tie at that minimum, and the (sim, id) tie-break admits the
    * lowest ids first). A coarse codebook over clustered data can put a
@@ -615,7 +661,8 @@ object Ann {
         rows.map { r =>
           val v = r.getSeq[Float](1).toArray
           dimCheck("corpus", r.get(0), v.length)
-          Row(r.get(0), pqEncode(v, cb).toSeq)
+          // spherical PQ: codes live on the unit sphere, like the codebooks
+          Row(r.get(0), pqEncode(unitVec(v), cb).toSeq)
         }
       }(Encoders.row(codesSchema))
     // queries ride the driver (small by the same contract that broadcasts
@@ -627,7 +674,11 @@ object Ann {
       .collect()
       .map(r => (r.get(0), r.getSeq[Float](1).toArray))
     qArr.foreach { case (qid0, v) => dimCheck("query", qid0, v.length) }
-    val bq = spark.sparkContext.broadcast(qArr)
+    // the ADC side sees UNIT queries (spherical PQ — LUT distances must be
+    // sphere-to-sphere); the exact re-rank below keeps the raw qArr
+    // (cosine is scale-invariant, and the output should echo the input)
+    val bq = spark.sparkContext.broadcast(
+      qArr.map { case (qid0, v) => (qid0, unitVec(v)) })
     // 2)+3) ADC scan: sim = -distance so the shared (sim DESC, vec_id ASC)
     // heap ranks lowest distance first with the id tie-break
     val scoredSchema = StructType(Seq(
@@ -690,7 +741,7 @@ object Ann {
    * [[codebookFrame]] contract for [[pqCodebooks]]: one row per
    * (subspace, centroid) plus the parameters it was trained with,
    * stamped as `pq_m` / `pq_k` / `pq_kmeans_iters` / `pq_sub_dim` /
-   * `pq_rows` (RLE'd to ~nothing in parquet). Write it after corpus
+   * `pq_rows` / `pq_norm` (RLE'd to ~nothing in parquet). Write it after corpus
    * build N; run N+1 re-loads the parquet and passes it to [[pqTopK]]
    * (`codebookView` on the `ann_topk` transform) — the run then pays no
    * sampling scan, and yesterday's codes frames stay comparable to
@@ -718,7 +769,13 @@ object Ann {
         // the PRODUCED row count: a store that lost tail rows (partial
         // overwrite, a LIMITed view) cannot pass the dense-grid check
         // with a shrunken codebook
-        lit(total).as("pq_rows"))
+        lit(total).as("pq_rows"),
+        // geometry version: 1 = spherical (codebooks trained on, and codes
+        // assigned from, L2-normalized vectors). The loader REQUIRES this
+        // stamp — a store trained in raw space would silently re-cell
+        // every vector under the normalized encode path (the
+        // bpe_escape_version precedent)
+        lit(PqNormSpherical).as("pq_norm"))
   }
 
   /** Load + validate a persisted [[pqCodebookFrame]] store into the
@@ -736,24 +793,37 @@ object Ann {
                       wantKmeansIters: Option[Int] = None,
                       kName: String = "k")
       : Array[Array[Array[Float]]] = {
-    val stamps = Seq("pq_m", "pq_k", "pq_kmeans_iters", "pq_sub_dim", "pq_rows")
+    val stamps = Seq("pq_m", "pq_k", "pq_kmeans_iters", "pq_sub_dim",
+      "pq_rows", "pq_norm")
     val missing = stamps.filterNot(store.columns.contains)
     require(missing.isEmpty,
       s"loadPqCodebooks: store is missing stamp column(s) " +
-        s"${missing.mkString(", ")} — not a pqCodebookFrame store")
+        s"${missing.mkString(", ")} — not a pqCodebookFrame store" +
+        (if (missing == Seq("pq_norm"))
+          " (or one persisted before the spherical-PQ geometry stamp: " +
+            "its codebooks were trained in RAW space and would silently " +
+            "re-cell every vector under the normalized encode path — " +
+            "rebuild it once with cluster_embeddings mode=pq_codebook)"
+        else ""))
     val rows = store.select(col("subspace").cast("int"),
         col("list_id").cast("int"), col("vec").cast("array<float>"),
         col("pq_m").cast("int"), col("pq_k").cast("int"),
         col("pq_kmeans_iters").cast("int"), col("pq_sub_dim").cast("int"),
-        col("pq_rows").cast("int"))
+        col("pq_rows").cast("int"), col("pq_norm").cast("int"))
       .collect()
     require(rows.nonEmpty, "loadPqCodebooks: store is empty")
     val (sm, sk, si, sd, sr) = (rows(0).getInt(3), rows(0).getInt(4),
       rows(0).getInt(5), rows(0).getInt(6), rows(0).getInt(7))
     require(rows.forall(r => r.getInt(3) == sm && r.getInt(4) == sk &&
-      r.getInt(5) == si && r.getInt(6) == sd && r.getInt(7) == sr),
+      r.getInt(5) == si && r.getInt(6) == sd && r.getInt(7) == sr &&
+      r.getInt(8) == rows(0).getInt(8)),
       "loadPqCodebooks: store carries CONFLICTING parameter stamps — " +
         "two trainings' rows mixed in one store")
+    require(rows(0).getInt(8) == PqNormSpherical,
+      s"loadPqCodebooks: store was trained with geometry version " +
+        s"pq_norm=${rows(0).getInt(8)} but this engine encodes with " +
+        s"pq_norm=$PqNormSpherical (spherical / L2-normalized) — " +
+        "rebuild the store with this engine version")
     require(rows.length == sr,
       s"loadPqCodebooks: store has ${rows.length} rows but was written " +
         s"with pq_rows=$sr — rows were lost or duplicated")

@@ -284,8 +284,17 @@ object Multimodal {
       readMetaOf(reader).flatMap { meta =>
         if (idx < 0 || idx >= meta.frames.length) None
         else try {
+          // a cover frame is a valid REPLAY RESTART only if its disposal
+          // doesn't reach back past it: restoreToPrevious reverts to the
+          // pre-draw canvas, which at a restart is blank but in the true
+          // forward composition is frames 0..s-1 — starting there would
+          // diverge from walkComposited for every index past s. At i ==
+          // idx the disposal never applies (frames display pre-disposal),
+          // so the target frame itself may restart regardless.
           val start = (idx to 0 by -1).find(i =>
-            meta.frames(i).coversCanvas(meta.width, meta.height)).getOrElse(0)
+            meta.frames(i).coversCanvas(meta.width, meta.height) &&
+              (i == idx ||
+                meta.frames(i).disposal != "restoreToPrevious")).getOrElse(0)
           var canvas = new java.awt.image.BufferedImage(
             meta.width, meta.height, java.awt.image.BufferedImage.TYPE_INT_ARGB)
           var i = start
@@ -1208,7 +1217,14 @@ object Multimodal {
 
   /** Per-payload quality signals: dims/duration plus the modality's
     * scoring columns (visual: brightness/contrast/sharpness; audio:
-    * rms/clip_frac/silence_frac); the inapplicable side is NULL. */
+    * rms/clip_frac/silence_frac); the inapplicable side is NULL.
+    *
+    * `width`/`height` are OVERLOADED by modality: pixels for visual
+    * payloads, but `sample rate (Hz)` / `channel count` for audio — the
+    * two decode-shape integers the modality actually has, reused so the
+    * generic `width > 0` decode gate covers every modality with one
+    * predicate. A consumer reading mixed-modality frames must branch on
+    * `modality` before interpreting them as pixels. */
   val signalSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType),
@@ -1268,7 +1284,10 @@ object Multimodal {
    *    pooled): `rms` (mean power, 0..1 of int16 full scale — silence
    *    screens ~0), `clip_frac` (fraction of samples at |s| ≥ `clipAbs`
    *    — hard-clipped rips), `silence_frac` (fraction at |s| <
-   *    `silenceAbs` — dead air).
+   *    `silenceAbs` — dead air). For audio rows `width` carries the
+   *    SAMPLE RATE and `height` the CHANNEL COUNT (see [[signalSchema]])
+   *    — the overload that keeps `width > 0` a modality-generic
+   *    decoded-OK gate.
    *
    * Undecodable payloads report the honest `(-1, -1, 0, NULL…)` sentinel
    * — a quality gate drops or routes them EXPLICITLY, never on fabricated

@@ -143,10 +143,19 @@ object PqCodebookTransform extends Transform {
 
   def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "idColumn", "vecColumn")
+    val m = intOption(config, "m", 8)
+    val nCentroids = intOption(config, "nCentroids", 16)
+    // guided ConfigException, not pqCodebooks' raw require: the YAML
+    // author typed the knob, so the error must speak YAML (the sibling
+    // CodebookTransform's nLists contract)
+    if (m < 1)
+      throw new ConfigException(s"pq_codebook: m must be >= 1, got $m")
+    if (nCentroids < 1)
+      throw new ConfigException(
+        s"pq_codebook: nCentroids must be >= 1, got $nCentroids")
     graft.ann.Ann.pqCodebookFrame(input,
       config.options("idColumn"), config.options("vecColumn"),
-      m = intOption(config, "m", 8),
-      k = intOption(config, "nCentroids", 16),
+      m = m, k = nCentroids,
       kmeansIters = intOption(config, "kmeansIters", 3))
   }
 }

@@ -155,6 +155,72 @@ class HarnessLoudnessSpec extends SparkTestBase {
     onDisk shouldBe big
   }
 
+  test("Bench passes are CYCLE-ordered — pass 1 of every query runs before " +
+    "pass 2 of any, so one transient spike cannot inflate BOTH samples of " +
+    "one query (the round-15 phantom-q87 scheduling hole)") {
+    val order = scala.collection.mutable.ArrayBuffer[String]()
+    def rec(tag: String): (SparkSession, String) => DataFrame = (s, _) => {
+      order += tag; s.range(1).toDF("id")
+    }
+    Bench.measure(spark, Map("a_q" -> rec("a"), "b_q" -> rec("b")),
+      "unused", runs = 2)
+    // warmup cycle, then timed cycle 1, then timed cycle 2
+    order.toList shouldBe List("a", "b", "a", "b", "a", "b")
+  }
+
+  test("Bench contention guard: a query with contaminated-pass spread is " +
+    "re-run ONCE after an external-CPU-quiet wait, and the scored min " +
+    "lands at the quiet sample") {
+    // simulate a ~0.8 s contention spike hitting exactly one timed pass:
+    // invocation 2 (= timed pass 1; invocation 1 is the warmup) sleeps
+    var calls = 0
+    val spiky: (SparkSession, String) => DataFrame = (s, _) => {
+      calls += 1
+      if (calls == 2) Thread.sleep(800)
+      s.range(1).toDF("id")
+    }
+    val ext = Iterator(0.0, 0.0, 0.0) // post-run, settle-wait, post-extra
+    val (results, endExt, extras) = Bench.measureGuarded(spark,
+      Map("spiky_q" -> spiky, "calm_q" -> good), "unused", runs = 2,
+      extSample = () => ext.next(), settleWaitSec = 0)
+    extras shouldBe 1
+    val byName = results.toMap
+    byName("spiky_q") should have size 3  // 2 cycles + 1 guard re-run
+    byName("calm_q") should have size 2   // not a suspect: never re-run
+    // the scored statistic discards the contaminated pass
+    byName("spiky_q").min should be < 0.3
+    byName("spiky_q").max should be > 0.8
+    endExt shouldBe 0.0
+    // and the guard TERMINATES even though the quiet re-run WIDENED the
+    // spread (a re-run suspect is never re-run again)
+    calls shouldBe 4
+  }
+
+  test("Bench contention guard: sustained external load with NO spread " +
+    "suspects re-runs the whole registry once; a box that never settles " +
+    "stamps the loud sample and gives up instead of spinning") {
+    // sustained: post-run ext loud, settles immediately, post-extra quiet
+    val ext1 = Iterator(0.6, 0.05, 0.05)
+    val (r1, e1, x1) = Bench.measureGuarded(spark,
+      Map("a_q" -> good, "b_q" -> good), "unused", runs = 2,
+      extSample = () => ext1.next(), settleWaitSec = 0)
+    x1 shouldBe 1
+    e1 shouldBe 0.05
+    all(r1.map(_._2.size)) shouldBe 3     // every query got the quiet cycle
+    // never settles: guard must stop with ZERO extra cycles, loud stamp
+    val (r2, e2, x2) = Bench.measureGuarded(spark,
+      Map("a_q" -> good), "unused", runs = 2,
+      extSample = () => 0.9, settleWaitSec = 0)
+    x2 shouldBe 0
+    e2 shouldBe 0.9
+    all(r2.map(_._2.size)) shouldBe 2
+    // a loud end sample marks the artifact contended on its own scale
+    val (big, _) = Bench.render(r2, "sfX", 0.0, e2, x2)
+    big should include(""""contended":true""")
+    big should include(""""external_cpu_end":0.9000""")
+    big should include(""""extra_cycles":0""")
+  }
+
   test("BenchLongDoc.derive: factor-k corpus is deterministic, k lines per " +
     "doc, boilerplate every 4th slot, ~k× token mass at fixed row count") {
     import spark.implicits._

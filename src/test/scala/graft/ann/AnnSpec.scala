@@ -86,6 +86,19 @@ class AnnSpec extends SparkTestBase {
     withTwins.select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
       .collect().sorted.toSeq shouldBe (0L until 4L).flatMap(q =>
         Seq((q, q, 1L), (q, q + 1000L, 2L)))
+    // SPHERICAL contract: a POSITIVELY SCALED copy of the query (cosine 1,
+    // huge raw L2 distance) normalizes to the query's unit vector, so it
+    // encodes to the query's own code word and attains the global-minimum
+    // ADC distance — raw-space PQ would never admit it to the candidates
+    val scaled = corpus.where("vec_id < 4")
+      .withColumn("vec_id", col("vec_id") + 2000L)
+      .withColumn("embedding", transform(col("embedding"), x => x * 25.0f))
+    val withScaled = Ann.pqTopK(corpus.unionByName(scaled), queries,
+      "vec_id", "embedding", "query_id", 2, m = 4, nCentroids = 8,
+      kmeansIters = 2, candidateFactor = 32)
+    withScaled.select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().sorted.toSeq shouldBe (0L until 4L).flatMap(q =>
+        Seq((q, q, 1L), (q, q + 2000L, 2L)))
     // dim 16 does not split into 5 subspaces — loud, not a torn quantizer
     the[IllegalArgumentException] thrownBy
       Ann.pqCodebooks(corpus, "vec_id", "embedding", m = 5) should
@@ -141,6 +154,24 @@ class AnnSpec extends SparkTestBase {
     (the[IllegalArgumentException] thrownBy
       Ann.loadPqCodebooks(store.drop("pq_k"))).getMessage should
       include ("missing stamp column(s) pq_k")
+    // a store that predates the spherical-geometry stamp names the
+    // rebuild path (its codebooks were trained in raw space)
+    (the[IllegalArgumentException] thrownBy
+      Ann.loadPqCodebooks(store.drop("pq_norm"))).getMessage should
+      include ("trained in RAW space")
+    // a store from a DIFFERENT geometry version fails the load — it would
+    // silently re-cell every vector under this engine's normalized encode
+    (the[IllegalArgumentException] thrownBy Ann.loadPqCodebooks(
+      store.withColumn("pq_norm", lit(0)))).getMessage should
+      include ("geometry version")
+    // NaN-poisoned corpus vectors never enter PQ training: the codebooks
+    // (and so the store) are identical with and without the poisoned row
+    val poisonedCorpus = corpus.unionByName(
+      Seq((7777L, Array.fill(16)(Float.NaN))).toDF("vec_id", "embedding"))
+    Ann.pqCodebooks(poisonedCorpus, "vec_id", "embedding",
+        m = 4, k = 8, kmeansIters = 2)
+      .map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      direct.map(_.map(_.toSeq).toSeq).toSeq
     // the declarative route consumes the store (no sampling scan) and
     // matches the inline-trained search exactly
     import graft.config.TransformConfig

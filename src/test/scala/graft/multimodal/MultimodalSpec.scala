@@ -443,6 +443,41 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("GIF replay restart skips a full-cover opaque frame whose disposal " +
+    "is restoreToPrevious — its post-disposal canvas reaches back past it, " +
+    "so restarting there diverges from the forward walk") {
+    val gif = optimizedGif(Seq(
+      (8, 8, 0, 0, "doNotDispose", 10),       // f0: full canvas, gray 10
+      (8, 8, 0, 0, "restoreToPrevious", 77),  // f1: FULL COVER, then revert
+      (2, 2, 0, 0, "none", 200)),             // f2: corner patch
+      delayCs = 10)
+    def gray(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+      val p = img.getRGB(x, y)
+      if ((p >>> 24) == 0) -1 else p & 0xFF
+    }
+    def at(i: Int) = Multimodal.GifMedia.compositedFrame(gif, i).get
+    // display(2): f1 reverted to f0's canvas (NOT to blank — a restart at
+    // the cover frame f1 would restore to transparent), f2's corner on top
+    val d2 = at(2)
+    gray(d2, 0, 0) shouldBe 200
+    gray(d2, 1, 1) shouldBe 200
+    gray(d2, 5, 5) shouldBe 10  // f0 shows through — the divergence pixel
+    // the target frame ITSELF may restart regardless of disposal (it
+    // displays pre-disposal): display(1) is f1's own full cover
+    gray(at(1), 5, 5) shouldBe 77
+    // and the per-index replay stays pixel-identical to the forward walk
+    val walked = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    Multimodal.GifMedia.walkComposited(gif, 64) { (_, canvas) =>
+      walked += (for (y <- 0 until 8; x <- 0 until 8)
+        yield canvas.getRGB(x, y)).toArray
+    }
+    for (i <- 0 until 3) {
+      val replay = (for (y <- 0 until 8; x <- 0 until 8)
+        yield at(i).getRGB(x, y)).toArray
+      withClue(s"frame $i: ") { walked(i) shouldBe replay }
+    }
+  }
+
   test("hostile GIFs are bounded: frame count capped at GifMedia.MaxFrames " +
     "for duration and sampling; oversized screen descriptors are refused") {
     // 300 1x1 frames: metadata walk and duration stop at MaxFrames=256

@@ -242,4 +242,16 @@ class ClusterEmbeddingsSpec extends SparkTestBase {
       Map("idColumn" -> "vec_id", "vecColumn" -> "nope")),
       vecs.toDF("vec_id", "embedding").schema) should not be empty
   }
+
+  test("pq_codebook rejects m/nCentroids < 1 with guided ConfigException, " +
+    "not a raw require failure") {
+    val df = vecs.toDF("vec_id", "embedding")
+    def pq(opts: (String, String)*) = PqCodebookTransform(df,
+      TransformConfig("p", "pq_codebook",
+        Map("idColumn" -> "vec_id", "vecColumn" -> "embedding") ++ opts), ctx)
+    (the[ConfigException] thrownBy pq("m" -> "0")).getMessage should
+      include ("pq_codebook: m must be >= 1, got 0")
+    (the[ConfigException] thrownBy pq("nCentroids" -> "0")).getMessage should
+      include ("pq_codebook: nCentroids must be >= 1, got 0")
+  }
 }
