@@ -199,6 +199,23 @@ object SparkEntry {
       tmp
     })
 
+  /** q172's staged COMBINED IVFADC store — the q170 memoization for
+    * [[graft.ann.Ann.ivfPqStoreFrame]]. */
+  private val q172StoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedIvfPqStore(s: SparkSession, dir: String): String =
+    q172StoreDirs.computeIfAbsent(dir, { d =>
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("q172ivfpq").toString
+      val emb = tab(s, d, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      graft.ann.Ann.ivfPqStoreFrame(emb.unionByName(twins), "vec_id",
+          "embedding", nLists = 16, m = 8, nCentroids = 256, kmeansIters = 2)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   /** The q118/q119/q125 planted corpus: 40 ids carrying 4 orthogonal
     * one-hot families (vec_id % 4) — the construction whose clustering
     * outcome is provable, not probabilistic (see q118's comment). */
@@ -1994,6 +2011,49 @@ object SparkEntry {
         "m" -> "8", "nCentroids" -> "256"))
         .select("query_id", "vec_id", "rank")
     }),
+    // IVFADC (Jégou et al. TPAMI 2011 §V — residual product quantization,
+    // the composition the paper ships at billion scale): coarse spherical
+    // IVF routes vectors to lists, PQ quantizes the RESIDUALS, and the
+    // ADC scan touches only each query's nProbe/nLists. The planted-twin
+    // statement composes: a twin assigns to the query's own top-1 list
+    // (always probed), its residual equals the query's, so its code word
+    // attains the global-minimum ADC within the probed set; exact cosine
+    // re-rank orders (self, twin) as ranks 1..2 like q169
+    "q171_ann_ivfpq_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      val queries = emb.where("vec_id < 5")
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ann.Ann.ivfPqTopK(emb.unionByName(twins), queries,
+        "vec_id", "embedding", "query_id", 2,
+        nLists = 16, nProbe = 4, m = 8, nCentroids = 256, kmeansIters = 2,
+        candidateFactor = 8)
+        .select("query_id", "vec_id", "rank")
+    }),
+    // q171 through the DECLARATIVE ann_topk surface AND the persisted
+    // COMBINED store (coarse centroids + residual codebooks, one
+    // ivfpq_* stamp family): the run trains nothing
+    "q172_ann_ivfpq_store_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      val corpus = emb.unionByName(twins)
+      emb.where("vec_id < 5")
+        .select(col("vec_id").as("query_id"), col("embedding"))
+        .createOrReplaceTempView("q172_queries")
+      s.read.parquet(stagedIvfPqStore(s, dir))
+        .createOrReplaceTempView("q172_codebook")
+      ap(corpus, t("ann_topk",
+        "method" -> "ivfpq", "idColumn" -> "vec_id",
+        "vecColumn" -> "embedding", "queriesView" -> "q172_queries",
+        "queryIdColumn" -> "query_id", "k" -> "2",
+        "codebookView" -> "q172_codebook",
+        "nLists" -> "16", "m" -> "8", "nCentroids" -> "256"))
+        .select("query_id", "vec_id", "rank")
+    }),
     // the published DSIR + trained-language-ID recipe (quickstart-22/25)
     // COMPOSED as ONE YAML pipeline, oracled end-to-end (the q154/q135
     // discipline): lang_classify against a persisted chargram_lm store →
@@ -3554,6 +3614,22 @@ object SparkEntry {
     // the same planted-twin statement through the declarative route +
     // persisted PQ codebook store
     "q170_ann_pq_store_exact" ->
+      """SELECT vec_id AS query_id, vec_id, 1 AS rank
+         FROM embeddings WHERE vec_id < 5
+         UNION ALL
+         SELECT vec_id AS query_id, vec_id + 2000000 AS vec_id, 2 AS rank
+         FROM embeddings WHERE vec_id < 5""",
+    // IVFADC: the twin assigns to the query's own (always-probed) top-1
+    // list with the query's residual — the q169 statement composed
+    "q171_ann_ivfpq_exact" ->
+      """SELECT vec_id AS query_id, vec_id, 1 AS rank
+         FROM embeddings WHERE vec_id < 5
+         UNION ALL
+         SELECT vec_id AS query_id, vec_id + 2000000 AS vec_id, 2 AS rank
+         FROM embeddings WHERE vec_id < 5""",
+    // the same statement through the declarative route + persisted
+    // COMBINED store
+    "q172_ann_ivfpq_store_exact" ->
       """SELECT vec_id AS query_id, vec_id, 1 AS rank
          FROM embeddings WHERE vec_id < 5
          UNION ALL

@@ -263,9 +263,13 @@ object Ann {
     // stays empty through every Lloyd round (empty cells keep the previous
     // centroid) and the poisoned vector persists into the (possibly
     // stored) codebook, silently shrinking the effective centroid count
+    // NaN needs no isnan(): Spark orders NaN GREATER than every value
+    // including +Inf, so `x < +Inf` excludes NaN and +Inf in one
+    // comparison and `x > -Inf` the other end — two branches per element
+    // on the full-corpus scan instead of four
     corpus.select(col(idCol), col(vecCol))
       .where(col(vecCol).isNotNull &&
-        forall(col(vecCol), x => x.isNotNull && !isnan(x) &&
+        forall(col(vecCol), x => x.isNotNull &&
           x > lit(Float.NegativeInfinity) && x < lit(Float.PositiveInfinity)))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nLists)
       .select(col(vecCol).cast("array<float>")).collect()
@@ -494,15 +498,27 @@ object Ann {
     val sample = sampledCodebook(corpus, idCol, vecCol, sampleN)
     require(sample.nonEmpty, "pqCodebooks: corpus has no valid vectors")
     val dim = sample(0).length
-    require(dim % m == 0,
-      s"pqCodebooks: vector dim $dim is not divisible by m=$m subspaces")
-    val sd = dim / m
     // normalize the WHOLE vector once, then slice: subspace codebooks must
     // all quantize the same point on the sphere, not per-subspace rescales
     val unit = sample.collect { case v if v.length == dim => unitVec(v) }
+    pqCodebooksFromSample(unit, m, k, kmeansIters, "pqCodebooks")
+  }
+
+  /** Per-subspace L2 Lloyd codebooks over an ALREADY-PREPARED training
+    * sample (unit vectors for flat spherical PQ, raw residuals for
+    * IVFADC — the caller owns the geometry). */
+  private def pqCodebooksFromSample(sample: Array[Array[Float]],
+                                    m: Int, k: Int, kmeansIters: Int,
+                                    caller: String)
+      : Array[Array[Array[Float]]] = {
+    require(sample.nonEmpty, s"$caller: no training vectors")
+    val dim = sample(0).length
+    require(dim % m == 0,
+      s"$caller: vector dim $dim is not divisible by m=$m subspaces")
+    val sd = dim / m
     Array.tabulate(m) { j =>
-      val sub = unit.map(v =>
-        java.util.Arrays.copyOfRange(v, j * sd, (j + 1) * sd))
+      val sub = sample.collect { case v if v.length == dim =>
+        java.util.Arrays.copyOfRange(v, j * sd, (j + 1) * sd) }
       val init = sub.take(k)
       if (init.length <= 1 || kmeansIters <= 0) init
       else refineCentroidsL2(sub, init, kmeansIters)
@@ -548,45 +564,22 @@ object Ann {
     cents
   }
 
-  /** One vector's PQ code word: per subspace, the index of its L2-nearest
-    * centroid (lower index on exact ties). */
-  private def pqEncode(v: Array[Float],
-                       cbs: Array[Array[Array[Float]]]): Array[Int] = {
-    val m = cbs.length
-    val sd = cbs(0)(0).length
-    val codes = new Array[Int](m)
-    var j = 0
-    while (j < m) {
-      val cb = cbs(j)
-      var best = 0; var bestD = Double.PositiveInfinity
-      var c = 0
-      while (c < cb.length) {
-        val cv = cb(c)
-        var d = 0.0; var i = 0
-        while (i < sd) {
-          val t = v(j * sd + i).toDouble - cv(i); d += t * t; i += 1
-        }
-        if (d < bestD) { best = c; bestD = d }
-        c += 1
-      }
-      codes(j) = best
-      j += 1
-    }
-    codes
-  }
-
   /**
    * Product-quantization top-k with asymmetric-distance (ADC) candidate
    * generation and EXACT cosine re-rank — the billion-scale retrieval
    * shape ([[pqCodebooks]]'s citation):
    *
-   *  1. the corpus encodes ONCE into a slim (vec_id, m codes) frame —
+   *  1. the corpus encodes ONCE into a slim (vec_id, m codes) frame
+   *     through the NATIVE [[graft.functions.expressions.PqEncode]] node
+   *     (whole-stage codegen; codebooks ride as a reference object) —
    *     the only thing the candidate scan ever reads (a 64-dim corpus
    *     shrinks 32× at the m=8/k=16 defaults; persist the codes frame at
    *     production scale the way minhash signatures persist),
-   *  2. each query precomputes its m×k lookup table of partial squared
-   *     distances ONCE PER PARTITION (queries are small and broadcast —
-   *     the per-pair cost is m table lookups, never a dim-length loop),
+   *  2. each query's m×k lookup table of partial squared distances is
+   *     built ONCE at the driver (queries are small by the contract that
+   *     broadcasts them in every method) and ships inside the
+   *     [[graft.functions.expressions.PqAdcNeg]] node — the per-pair
+   *     cost is m table lookups, never a dim-length loop,
    *  3. per-query top-(k·candidateFactor) candidates by lowest ADC
    *     distance ride the same bounded-heap partial aggregation as every
    *     other ANN method (no corpus shuffle, no global sort),
@@ -625,46 +618,30 @@ object Ann {
     if (cbs.exists(_.length <= 1))
       return bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
     val mm = cbs.length
-    val dim = mm * cbs(0)(0).length
+    val sd = cbs(0)(0).length
+    val dim = mm * sd
     val spark = corpus.sparkSession
     import org.apache.spark.sql.types._
-    val bc = spark.sparkContext.broadcast(cbs)
-    val vidType = corpus.schema(idCol).dataType
     val qidType = queries.schema(queryIdCol).dataType
-    // 1) slim code frame: the candidate scan never touches vectors again
-    val codesSchema = StructType(Seq(
-      StructField("vec_id", vidType),
-      StructField("codes", ArrayType(IntegerType, containsNull = false))))
-    // NaN/Inf components drop like null components: pqEncode would
+    // NaN/Inf components drop like null components: the encode would
     // otherwise default a poisoned subspace to code 0 (NaN never wins a
     // comparison), hand the row a finite ADC score that burns candidate
     // slots, and only vanish at the re-rank — topKPerQuery's NaN contract,
-    // enforced where the candidates are made
+    // enforced where the candidates are made. No isnan(): Spark orders
+    // NaN GREATER than +Inf, so `x < +Inf` excludes both in one branch
     def finiteVec(c: Column): Column = c.isNotNull &&
-      forall(c, x => x.isNotNull && !isnan(x) &&
+      forall(c, x => x.isNotNull &&
         x > lit(Float.NegativeInfinity) && x < lit(Float.PositiveInfinity))
-    // a dim-mismatched vector is STORE DRIFT, not a skippable row: the
-    // pq_* stamps can't see the corpus side, so a silently-dropped
-    // mismatch (embedding space changed since the store was trained)
-    // would emit an EMPTY result with no error — fail with guidance
-    def dimCheck(kind: String, id: Any, got: Int): Unit =
-      require(got == dim,
-        s"pqTopK: $kind vector (id=$id) has dim $got but the codebooks " +
-          s"quantize dim $dim (m·subDim) — the embedding space changed " +
-          "since the PQ store was trained; retrain the store (or filter " +
-          "mixed-dim rows first if they are expected)")
+    // 1) slim code frame through the NATIVE PqEncode node (codegen'd; the
+    // old mapPartitions paid an Encoders.row round-trip per corpus row —
+    // the engine's last hot loop outside codegen). Dim mismatch is STORE
+    // DRIFT and throws inside the node with guidance, never an empty
+    // result (the embedding space changed since the store was trained).
     val codes = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<float>").as("v"))
       .where(col("vec_id").isNotNull && finiteVec(col("v")))
-      .mapPartitions { rows =>
-        val cb = bc.value
-        rows.map { r =>
-          val v = r.getSeq[Float](1).toArray
-          dimCheck("corpus", r.get(0), v.length)
-          // spherical PQ: codes live on the unit sphere, like the codebooks
-          Row(r.get(0), pqEncode(unitVec(v), cb).toSeq)
-        }
-      }(Encoders.row(codesSchema))
+      .select(col("vec_id"),
+        graft.functions.expressions.PqEncode(col("v"), cbs).as("codes"))
     // queries ride the driver (small by the same contract that broadcasts
     // them in every other method); null/non-finite query vectors drop
     // like null corpus vectors do
@@ -673,48 +650,46 @@ object Ann {
       .where(col(queryIdCol).isNotNull && finiteVec(col("qv")))
       .collect()
       .map(r => (r.get(0), r.getSeq[Float](1).toArray))
-    qArr.foreach { case (qid0, v) => dimCheck("query", qid0, v.length) }
-    // the ADC side sees UNIT queries (spherical PQ — LUT distances must be
-    // sphere-to-sphere); the exact re-rank below keeps the raw qArr
-    // (cosine is scale-invariant, and the output should echo the input)
-    val bq = spark.sparkContext.broadcast(
-      qArr.map { case (qid0, v) => (qid0, unitVec(v)) })
-    // 2)+3) ADC scan: sim = -distance so the shared (sim DESC, vec_id ASC)
-    // heap ranks lowest distance first with the id tie-break
-    val scoredSchema = StructType(Seq(
-      StructField("query_id", qidType),
-      StructField("vec_id", vidType),
-      StructField("sim", DoubleType)))
-    val scored = codes.mapPartitions { rows =>
-      // an empty partition must not pay LUT construction
-      // (|queries|·m·k·subDim double ops for nothing)
-      if (!rows.hasNext) Iterator.empty
-      else {
-      val cb = bc.value; val qs = bq.value
-      val sd = cb(0)(0).length
-      val luts = qs.map { case (_, qv) =>
-        Array.tabulate(cb.length) { j =>
-          val sub = cb(j)
-          Array.tabulate(sub.length) { c =>
-            var d = 0.0; var i = 0
-            while (i < sd) {
-              val t = qv(j * sd + i).toDouble - sub(c)(i); d += t * t; i += 1
-            }
-            d
+    qArr.foreach { case (qid0, v) =>
+      require(v.length == dim,
+        s"pqTopK: query vector (id=$qid0) has dim ${v.length} but the " +
+          s"codebooks quantize dim $dim (m·subDim) — the embedding space " +
+          "changed since the PQ store was trained; retrain the store (or " +
+          "filter mixed-dim rows first if they are expected)") }
+    // 2) per-query m×k LUTs of partial squared distances, built ONCE at
+    // the driver from UNIT queries (spherical PQ — LUT distances must be
+    // sphere-to-sphere) and shipped as one reference object; the exact
+    // re-rank below keeps the raw qArr (cosine is scale-invariant, and
+    // the output should echo the input)
+    val luts: Array[Array[Array[Double]]] = qArr.map { case (_, v0) =>
+      val qv = unitVec(v0)
+      Array.tabulate(mm) { j =>
+        val sub = cbs(j)
+        Array.tabulate(sub.length) { c =>
+          var d = 0.0; var i = 0
+          while (i < sd) {
+            val t = qv(j * sd + i).toDouble - sub(c)(i); d += t * t; i += 1
           }
+          d
         }
       }
-      rows.flatMap { r =>
-        val cd = r.getSeq[Int](1)
-        qs.indices.iterator.map { qi =>
-          val lut = luts(qi)
-          var adc = 0.0; var j = 0
-          while (j < cb.length) { adc += lut(j)(cd(j)); j += 1 }
-          Row(qs(qi)._1, r.get(0), -adc)
-        }
-      }
-      }
-    }(Encoders.row(scoredSchema))
+    }
+    // 3) ADC scan: ONE native PqAdcNeg node per row (negated distances so
+    // the shared (sim DESC, vec_id ASC) heap ranks lowest distance first),
+    // posexplode'd to (query index, sim) and mapped back to query ids
+    // through a broadcast |queries|-row frame
+    val qIdx = spark.createDataFrame(
+      java.util.Arrays.asList(qArr.zipWithIndex.map { case ((qid0, _), i) =>
+        Row(i, qid0) }: _*),
+      StructType(Seq(
+        StructField("qi", IntegerType, nullable = false),
+        StructField("query_id", qidType))))
+    val scored = codes
+      .select(col("vec_id"), posexplode(
+        graft.functions.expressions.PqAdcNeg(col("codes"), luts))
+        .as(Seq("qi", "sim")))
+      .join(broadcast(qIdx), Seq("qi"))
+      .select("query_id", "vec_id", "sim")
     val cands = topKPerQuery(scored, k * candidateFactor)
       .select("query_id", "vec_id")
     // 4) exact re-rank: true vectors join the SMALL candidate frame. The
@@ -888,6 +863,303 @@ object Ann {
     val base = sample.take(nLists)
     if (base.length <= 1 || iters <= 0) base
     else refineCentroids(sample, base, iters)
+  }
+
+  /** Train both IVFADC halves off ONE bounded hash-ordered sample: the
+    * spherical coarse codebook, then RESIDUAL PQ codebooks over
+    * `unit(v) − centroid(assign(v))` of the same sample — the
+    * corpus is scanned exactly once however many quantizers train.
+    * Returns null when the corpus is too small to quantize (≤1 valid
+    * vector — callers fall back to brute force, the IVF convention). */
+  private def trainIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                         nLists: Int, m: Int, nCentroids: Int,
+                         kmeansIters: Int, refineSampleSize: Int)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val sampleN =
+      if (kmeansIters > 0) math.max(math.max(nLists, nCentroids), refineSampleSize)
+      else math.max(nLists, nCentroids)
+    val sample = sampledCodebook(corpus, idCol, vecCol, sampleN)
+    val base = sample.take(nLists)
+    if (base.length <= 1) return null
+    val cents =
+      if (kmeansIters > 0) refineCentroids(sample, base, kmeansIters) else base
+    val dim = cents(0).length
+    require(dim % m == 0,
+      s"ivfPqTopK: vector dim $dim is not divisible by m=$m subspaces")
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val residuals = sample.collect { case v if v.length == dim =>
+      graft.functions.expressions.IvfPqEncode.residual(
+        ArrayData.toArrayData(v), cents, isDouble = false)
+    }.collect { case r if r != null => r._2 }
+    (cents, pqCodebooksFromSample(residuals, m, nCentroids, kmeansIters,
+      "ivfPqTopK"))
+  }
+
+  /**
+   * IVFADC top-k — the composition the PQ paper actually ships at
+   * billion scale (Jégou, Douze, Schmid, TPAMI 2011 §V): a coarse
+   * spherical IVF codebook routes each vector to a list, PRODUCT
+   * QUANTIZATION trains on the RESIDUALS `unit(v) − centroid(list)`
+   * (far tighter than the raw distribution, so the same m·k cells
+   * resolve much finer), and the ADC candidate scan touches ONLY the
+   * lists each query probes — nProbe/nLists of the codes frame, where
+   * flat [[pqTopK]] scans all of it.
+   *
+   * Plan shape: encode is ONE fused native node
+   * ([[graft.functions.expressions.IvfPqEncode]] — assign + residual +
+   * code word, codegen'd, both codebooks as reference objects) into a
+   * slim (vec_id, list_id, codes) frame; the (list_id → probe) pairs of
+   * the collected queries broadcast-join it (the pruning step), and each
+   * surviving row pays one m-lookup [[graft.functions.expressions.PqAdcAt]]
+   * against its probe's residual LUT; candidates ride the shared
+   * bounded-heap top-k and re-rank by exact cosine, like every other
+   * method.
+   *
+   * The planted-twin guarantee composes: an identical (or positively
+   * scaled) twin assigns to the query's own nearest list — which nProbe
+   * ≥ 1 always probes — with residual equal to the query's, so its code
+   * word attains the global-minimum ADC distance within the probed set;
+   * recall is again bounded only by quantization-cell ties under the
+   * (sim DESC, id ASC) tie-break. Degenerate corpora fall back to
+   * [[bruteForceTopK]].
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, queryIdCol: String, k: Int,
+                nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, nCentroids: Int = 16, kmeansIters: Int = 3,
+                candidateFactor: Int = 8,
+                refineSampleSize: Int = DefaultRefineSample,
+                store: Option[(Array[Array[Float]], Array[Array[Array[Float]]])] = None)
+      : DataFrame = {
+    require(k >= 1, s"ivfPqTopK: k must be >= 1, got $k")
+    require(nProbe >= 1, s"ivfPqTopK: nProbe must be >= 1, got $nProbe")
+    require(candidateFactor >= 1,
+      s"ivfPqTopK: candidateFactor must be >= 1, got $candidateFactor")
+    val trained = store.getOrElse(trainIvfPq(corpus, idCol, vecCol,
+      nLists, m, nCentroids, kmeansIters, refineSampleSize))
+    if (trained == null || trained._1.length <= 1 ||
+        trained._2.exists(_.length <= 1))
+      return bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
+    val (cents, cbs) = trained
+    val mm = cbs.length
+    val sd = cbs(0)(0).length
+    val dim = mm * sd
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val qidType = queries.schema(queryIdCol).dataType
+    def finiteVec(c: Column): Column = c.isNotNull &&
+      forall(c, x => x.isNotNull &&
+        x > lit(Float.NegativeInfinity) && x < lit(Float.PositiveInfinity))
+    // slim (vec_id, list_id, codes) frame — ONE fused native encode node
+    val enc = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<float>").as("v"))
+      .where(col("vec_id").isNotNull && finiteVec(col("v")))
+      .select(col("vec_id"),
+        graft.functions.expressions.IvfPqEncode(col("v"), cents, cbs).as("e"))
+      .select(col("vec_id"), col("e.list_id").as("list_id"),
+        col("e.codes").as("codes"))
+    val qArr = queries
+      .select(col(queryIdCol), col(vecCol).cast("array<float>").as("qv"))
+      .where(col(queryIdCol).isNotNull && finiteVec(col("qv")))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    qArr.foreach { case (qid0, v) =>
+      require(v.length == dim,
+        s"ivfPqTopK: query vector (id=$qid0) has dim ${v.length} but the " +
+          s"store quantizes dim $dim (m·subDim) — the embedding space " +
+          "changed since the IVFPQ store was trained; retrain the store") }
+    // probe pairs + per-probe residual LUTs, built once at the driver:
+    // probe lists by the SAME ArgTopCentroids arithmetic the encode node
+    // assigns with, residual from the UNIT query (spherical contract)
+    val probeRows = new scala.collection.mutable.ArrayBuffer[Row]()
+    val lutsB = new scala.collection.mutable.ArrayBuffer[Array[Array[Double]]]()
+    qArr.foreach { case (qid0, v) =>
+      val probed = graft.functions.expressions.ArgTopCentroids.compute(
+        ArrayData.toArrayData(v), cents, nProbe, isDouble = false,
+        checkNulls = false)
+      if (probed != null) {
+        val qu = unitVec(v)
+        var p = 0
+        while (p < probed.numElements()) {
+          val li = probed.getInt(p)
+          val cv = cents(li)
+          val rq = Array.tabulate(dim)(i => qu(i).toDouble - cv(i))
+          lutsB += Array.tabulate(mm) { j =>
+            val sub = cbs(j)
+            Array.tabulate(sub.length) { c =>
+              val sv = sub(c)
+              var d = 0.0; var i = 0
+              while (i < sd) {
+                val t = rq(j * sd + i) - sv(i); d += t * t; i += 1
+              }
+              d
+            }
+          }
+          probeRows += Row(li, lutsB.length - 1, qid0)
+          p += 1
+        }
+      }
+    }
+    val luts = lutsB.toArray
+    val probeDf = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows.toSeq: _*),
+      StructType(Seq(
+        StructField("list_id", IntegerType, nullable = false),
+        StructField("pi", IntegerType, nullable = false),
+        StructField("query_id", qidType))))
+    // pruned ADC scan: rows survive ONLY into probes of their own list
+    val scored = enc.join(broadcast(probeDf), Seq("list_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.expressions.PqAdcAt(col("codes"), col("pi"), luts)
+          .as("sim"))
+    val cands = topKPerQuery(scored, k * candidateFactor)
+      .select("query_id", "vec_id")
+    // exact re-rank against the true vectors — pqTopK step 4 verbatim
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qArr.map { case (qid0, v) =>
+        Row(qid0, v.toSeq) }: _*),
+      StructType(Seq(
+        StructField("query_id", qidType),
+        StructField("qvec", ArrayType(FloatType)))))
+    val rescored = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(qLocal), Seq("query_id"))
+      .withColumn("sim", cosine(col("cvec"), col("qvec")))
+    topKPerQuery(rescored.select("query_id", "vec_id", "sim"), k)
+  }
+
+  /**
+   * Persistable COMBINED IVFADC store — both halves in one
+   * stamp-family frame: `part = 'ivf'` rows carry the coarse centroids
+   * (subspace 0, list_id = centroid id, vec of full dim), `part = 'pq'`
+   * rows the residual codebooks (subspace 0..m−1, list_id = centroid id
+   * within the subspace, vec of subDim). Stamps `ivfpq_n_lists` /
+   * `ivfpq_m` / `ivfpq_k` / `ivfpq_kmeans_iters` / `ivfpq_sub_dim` /
+   * `ivfpq_rows` / `ivfpq_norm` (RLE'd to ~nothing in parquet). Write it
+   * after corpus build N; run N+1 re-loads the parquet and passes it to
+   * `ann_topk method: ivfpq` via `codebookView` — no sampling scan, and
+   * yesterday's list assignments + code cells stay comparable to
+   * today's. O(nLists·dim + m·k·subDim) — trivially small.
+   */
+  def ivfPqStoreFrame(corpus: DataFrame, idCol: String, vecCol: String,
+                      nLists: Int = 16, m: Int = 8, nCentroids: Int = 16,
+                      kmeansIters: Int = 3,
+                      refineSampleSize: Int = DefaultRefineSample): DataFrame = {
+    val trained = trainIvfPq(corpus, idCol, vecCol, nLists, m, nCentroids,
+      kmeansIters, refineSampleSize)
+    require(trained != null,
+      "ivfPqStoreFrame: corpus has fewer than 2 valid vectors — nothing " +
+        "to quantize (and the search would fall back to brute force)")
+    val (cents, cbs) = trained
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ivfRows = cents.zipWithIndex.map { case (v, l) =>
+      ("ivf", 0, l, v.toSeq) }
+    val pqRows = for {
+      (cb, j) <- cbs.zipWithIndex
+      (v, c) <- cb.zipWithIndex
+    } yield ("pq", j, c, v.toSeq)
+    val rows = ivfRows ++ pqRows
+    rows.toSeq.toDF("part", "subspace", "list_id", "vec")
+      .select(col("part"), col("subspace"), col("list_id"),
+        col("vec").cast("array<float>"),
+        lit(cents.length).as("ivfpq_n_lists"),
+        lit(m).as("ivfpq_m"), lit(nCentroids).as("ivfpq_k"),
+        lit(kmeansIters).as("ivfpq_kmeans_iters"),
+        lit(cbs(0)(0).length).as("ivfpq_sub_dim"),
+        lit(rows.length).as("ivfpq_rows"),
+        lit(PqNormSpherical).as("ivfpq_norm"))
+  }
+
+  /** Load + validate a persisted [[ivfPqStoreFrame]] into the driver
+    * (centroids, residual codebooks) pair — the bounded driver read
+    * class of [[loadCodebook]]/[[loadPqCodebooks]], with the same loud
+    * failure contract: missing stamps, conflicting stamps, lost rows,
+    * grid holes in either part, a geometry version this engine doesn't
+    * encode with, and caller expectations that disagree with training. */
+  def loadIvfPqStore(store: DataFrame, wantNLists: Option[Int] = None,
+                     wantM: Option[Int] = None, wantK: Option[Int] = None,
+                     wantKmeansIters: Option[Int] = None)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val stamps = Seq("ivfpq_n_lists", "ivfpq_m", "ivfpq_k",
+      "ivfpq_kmeans_iters", "ivfpq_sub_dim", "ivfpq_rows", "ivfpq_norm")
+    val missing = (Seq("part", "subspace", "list_id", "vec") ++ stamps)
+      .filterNot(store.columns.contains)
+    require(missing.isEmpty,
+      s"loadIvfPqStore: store is missing column(s) ${missing.mkString(", ")} " +
+        "— not an ivfPqStoreFrame store")
+    val rows = store.select(col("part").cast("string"),
+        col("subspace").cast("int"), col("list_id").cast("int"),
+        col("vec").cast("array<float>"),
+        col("ivfpq_n_lists").cast("int"), col("ivfpq_m").cast("int"),
+        col("ivfpq_k").cast("int"), col("ivfpq_kmeans_iters").cast("int"),
+        col("ivfpq_sub_dim").cast("int"), col("ivfpq_rows").cast("int"),
+        col("ivfpq_norm").cast("int"))
+      .collect()
+    require(rows.nonEmpty, "loadIvfPqStore: store is empty")
+    val h = rows(0)
+    val (sl, sm, sk, si, sd, sr, sn) = (h.getInt(4), h.getInt(5), h.getInt(6),
+      h.getInt(7), h.getInt(8), h.getInt(9), h.getInt(10))
+    require(rows.forall(r => r.getInt(4) == sl && r.getInt(5) == sm &&
+      r.getInt(6) == sk && r.getInt(7) == si && r.getInt(8) == sd &&
+      r.getInt(9) == sr && r.getInt(10) == sn),
+      "loadIvfPqStore: store carries CONFLICTING parameter stamps — two " +
+        "trainings' rows mixed in one store")
+    require(sn == PqNormSpherical,
+      s"loadIvfPqStore: store was trained with geometry version " +
+        s"ivfpq_norm=$sn but this engine encodes with " +
+        s"ivfpq_norm=$PqNormSpherical — rebuild the store with this " +
+        "engine version")
+    require(rows.length == sr,
+      s"loadIvfPqStore: store has ${rows.length} rows but was written " +
+        s"with ivfpq_rows=$sr — rows were lost or duplicated")
+    def check(name: String, want: Option[Int], got: Int): Unit =
+      want.foreach(w => require(w == got,
+        s"loadIvfPqStore: store was trained with $name=$got but the " +
+          s"caller requests $name=$w — retrain or drop the override"))
+    check("nLists", wantNLists, sl)
+    check("m", wantM, sm)
+    check("nCentroids", wantK, sk)
+    check("kmeansIters", wantKmeansIters, si)
+    val (ivfRows, pqRows) = rows.partition(_.getString(0) == "ivf")
+    require(pqRows.forall(_.getString(0) == "pq"),
+      s"loadIvfPqStore: unknown part value(s) " +
+        s"${pqRows.map(_.getString(0)).filter(_ != "pq").distinct.mkString(", ")}")
+    require(ivfRows.map(_.getInt(2)).sorted.toSeq == (0 until sl),
+      s"loadIvfPqStore: ivf part has list_ids " +
+        s"${ivfRows.map(_.getInt(2)).sorted.take(5).mkString(",")}… — not " +
+        s"the dense 0..${sl - 1} grid (a hole would silently renumber " +
+        "every later centroid)")
+    val cents = ivfRows.sortBy(_.getInt(2)).map { r =>
+      val v = r.getSeq[Float](3).toArray
+      require(v.length == sm * sd,
+        s"loadIvfPqStore: centroid ${r.getInt(2)} has dim ${v.length} but " +
+          s"the stamps demand ${sm * sd} (m·subDim)")
+      v
+    }
+    val bySub = pqRows.groupBy(_.getInt(1))
+    require(bySub.keySet == (0 until sm).toSet,
+      s"loadIvfPqStore: pq part covers subspaces " +
+        s"${bySub.keySet.toSeq.sorted.mkString(",")} but ivfpq_m=$sm " +
+        s"demands exactly 0..${sm - 1}")
+    val perSub = pqRows.length / sm
+    val cbs = Array.tabulate(sm) { j =>
+      val sub = bySub(j)
+      require(sub.map(_.getInt(2)).sorted.toSeq == (0 until perSub),
+        s"loadIvfPqStore: subspace $j has list_ids " +
+          s"${sub.map(_.getInt(2)).sorted.take(5).mkString(",")}… — not " +
+          s"the dense 0..${perSub - 1} grid")
+      sub.sortBy(_.getInt(2)).map { r =>
+        val v = r.getSeq[Float](3).toArray
+        require(v.length == sd,
+          s"loadIvfPqStore: subspace $j centroid ${r.getInt(2)} has dim " +
+            s"${v.length} but ivfpq_sub_dim=$sd")
+        v
+      }
+    }
+    (cents, cbs)
   }
 
   /** Driver-local Lloyd rounds over the collected sample. Per-centroid

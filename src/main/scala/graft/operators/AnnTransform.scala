@@ -23,16 +23,21 @@ import graft.config.TransformConfig
  * }}}
  *
  * Options: `idColumn`/`vecColumn`/`queriesView` required; `method:
- * brute (default) | lsh | ivf | pq`; `queryIdColumn` (default = idColumn),
- * `queryVecColumn` (default = vecColumn), `k` (10). LSH: `bits` (12),
- * `tables` (4). IVF: `nLists` (64), `nProbe` (8), `kmeansIters` (0), or
- * `codebookView` naming a persisted [[graft.ann.Ann.codebookFrame]]
- * store — the run then pays no codebook sampling scan, and
- * `nLists`/`kmeansIters` (when given) assert against the store's
- * parameter stamp, failing fast on a mismatch. PQ
+ * brute (default) | lsh | ivf | pq | ivfpq`; `queryIdColumn` (default =
+ * idColumn), `queryVecColumn` (default = vecColumn), `k` (10). LSH:
+ * `bits` (12), `tables` (4). IVF: `nLists` (64), `nProbe` (8),
+ * `kmeansIters` (0), or `codebookView` naming a persisted
+ * [[graft.ann.Ann.codebookFrame]] store — the run then pays no codebook
+ * sampling scan, and `nLists`/`kmeansIters` (when given) assert against
+ * the store's parameter stamp, failing fast on a mismatch. PQ
  * ([[graft.ann.Ann.pqTopK]] — product-quantization ADC candidates +
  * exact cosine re-rank): `m` (8 subspaces), `nCentroids` (16 per
- * subspace), `kmeansIters` (3), `candidateFactor` (8).
+ * subspace), `kmeansIters` (3), `candidateFactor` (8). IVFPQ
+ * ([[graft.ann.Ann.ivfPqTopK]] — residual product quantization, the
+ * billion-scale composition: ADC scans only the probed nProbe/nLists of
+ * the codes frame): the IVF knobs (`nLists` default 16, `nProbe` 4) plus
+ * the PQ knobs, with `codebookView` naming a persisted COMBINED
+ * [[graft.ann.Ann.ivfPqStoreFrame]] store.
  *
  * Scale shape (inherited from [[graft.ann.Ann]]): queries broadcast in
  * every method; brute is one corpus scan with a per-query bounded-heap
@@ -70,9 +75,10 @@ object AnnTopKTransform extends Transform {
     // codebookView only parameterizes IVF and PQ — with brute/lsh the user
     // almost certainly meant one of those; reject rather than silently
     // ignore
-    if (method != "ivf" && method != "pq" && config.options.contains("codebookView"))
+    if (method != "ivf" && method != "pq" && method != "ivfpq" &&
+        config.options.contains("codebookView"))
       throw new ConfigException(
-        "ann_topk: codebookView only applies with method: ivf|pq — " +
+        "ann_topk: codebookView only applies with method: ivf|pq|ivfpq — " +
           s"method '$method' never consults a codebook")
     method match {
       case "brute" => graft.ann.Ann.bruteForceTopK(input, q, id, vec, qid, k)
@@ -108,8 +114,29 @@ object AnnTopKTransform extends Transform {
           nProbe = intOption(config, "nProbe", 8),
           kmeansIters = intOption(config, "kmeansIters", 0))
       }
+      case "ivfpq" =>
+        // a persisted COMBINED ivfPqStoreFrame skips the sampling scan;
+        // every knob given alongside it asserts against the stamps
+        val stored = config.options.get("codebookView").map { view =>
+          graft.ann.Ann.loadIvfPqStore(ctx.spark.table(view),
+            wantNLists = config.options.get("nLists")
+              .map(_ => intOption(config, "nLists", 0)),
+            wantM = config.options.get("m").map(_ => intOption(config, "m", 0)),
+            wantK = config.options.get("nCentroids")
+              .map(_ => intOption(config, "nCentroids", 0)),
+            wantKmeansIters = config.options.get("kmeansIters")
+              .map(_ => intOption(config, "kmeansIters", 0)))
+        }
+        graft.ann.Ann.ivfPqTopK(input, q, id, vec, qid, k,
+          nLists = intOption(config, "nLists", 16),
+          nProbe = intOption(config, "nProbe", 4),
+          m = intOption(config, "m", 8),
+          nCentroids = intOption(config, "nCentroids", 16),
+          kmeansIters = intOption(config, "kmeansIters", 3),
+          candidateFactor = intOption(config, "candidateFactor", 8),
+          store = stored)
       case other => throw new ConfigException(
-        s"ann_topk: method must be brute|lsh|ivf|pq, got '$other'")
+        s"ann_topk: method must be brute|lsh|ivf|pq|ivfpq, got '$other'")
     }
   }
 

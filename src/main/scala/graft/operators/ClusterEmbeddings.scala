@@ -159,3 +159,35 @@ object PqCodebookTransform extends Transform {
       kmeansIters = intOption(config, "kmeansIters", 3))
   }
 }
+
+/** `ivfpq_codebook` — train and persist the COMBINED IVFADC store
+  * ([[graft.ann.Ann.ivfPqStoreFrame]]: spherical coarse centroids +
+  * RESIDUAL product-quantization codebooks off ONE bounded hash-ordered
+  * sample; `ivfpq_*` parameter stamps). Output REPLACES the frame.
+  * Tomorrow's `ann_topk method: ivfpq` runs consume it via
+  * `codebookView` — no sampling scan, list assignments and code cells
+  * comparable across runs. Options: `idColumn`/`vecColumn` required;
+  * `nLists` (16), `m` (8), `nCentroids` (16), `kmeansIters` (3). */
+object IvfPqCodebookTransform extends Transform {
+  val transformType = "ivfpq_codebook"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("vecColumn").toSeq,
+      transformType)
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "vecColumn")
+    val nLists = intOption(config, "nLists", 16)
+    val m = intOption(config, "m", 8)
+    val nCentroids = intOption(config, "nCentroids", 16)
+    for ((name, v) <- Seq("nLists" -> nLists, "m" -> m,
+        "nCentroids" -> nCentroids) if v < 1)
+      throw new ConfigException(
+        s"$transformType: $name must be >= 1, got $v")
+    graft.ann.Ann.ivfPqStoreFrame(input,
+      config.options("idColumn"), config.options("vecColumn"),
+      nLists = nLists, m = m, nCentroids = nCentroids,
+      kmeansIters = intOption(config, "kmeansIters", 3))
+  }
+}

@@ -131,6 +131,99 @@ class AnnSpec extends SparkTestBase {
     val tiny = Seq((1L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
     Ann.pqTopK(tiny, queries, "vec_id", "embedding", "query_id", 1)
       .count() shouldBe 4L
+    // encode + ADC scan are NATIVE plan nodes (codebooks/LUTs as reference
+    // objects inside codegen), not a mapPartitions island: the plan names
+    // them and carries no SerializeFromObject/DeserializeToObject pair.
+    // Parquet-backed corpus, or ConvertToLocalRelation constant-folds the
+    // encode away before the physical plan exists
+    val planDir = java.nio.file.Files.createTempDirectory("pqplan").toString
+    corpus.write.mode("overwrite").parquet(planDir)
+    val plan = Ann.pqTopK(spark.read.parquet(planDir), queries,
+      "vec_id", "embedding", "query_id", 2, m = 4, nCentroids = 8,
+      kmeansIters = 1).queryExecution.executedPlan.toString
+    plan should include ("pq_encode")
+    plan should include ("pq_adc_neg")
+    plan should not include "DeserializeToObject"
+  }
+
+  test("IVFADC (ivfpq): planted twins — identical AND positively scaled — " +
+    "are recalled at ranks 1..2, recall tracks brute force, degenerate " +
+    "corpora fall back, store round-trip matches inline training") {
+    val queries = corpus.where("vec_id IN (0, 1, 2, 3)")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // identical twin: assigns to the query's own (always probed) top-1
+    // list with the query's residual → global-minimum ADC in the probed
+    // set; exact re-rank orders (self, twin)
+    val twins = corpus.where("vec_id < 4")
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val withTwins = Ann.ivfPqTopK(corpus.unionByName(twins), queries,
+      "vec_id", "embedding", "query_id", 2, nLists = 8, nProbe = 2,
+      m = 4, nCentroids = 8, kmeansIters = 2, candidateFactor = 32)
+    withTwins.select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().sorted.toSeq shouldBe (0L until 4L).flatMap(q =>
+        Seq((q, q, 1L), (q, q + 1000L, 2L)))
+    // positively scaled twin: same unit vector → same list, same residual
+    val scaled = corpus.where("vec_id < 4")
+      .withColumn("vec_id", col("vec_id") + 2000L)
+      .withColumn("embedding", transform(col("embedding"), x => x * 25.0f))
+    Ann.ivfPqTopK(corpus.unionByName(scaled), queries,
+      "vec_id", "embedding", "query_id", 2, nLists = 8, nProbe = 2,
+      m = 4, nCentroids = 8, kmeansIters = 2, candidateFactor = 32)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().sorted.toSeq shouldBe (0L until 4L).flatMap(q =>
+        Seq((q, q, 1L), (q, q + 2000L, 2L)))
+    // recall vs brute force on the clustered corpus
+    val exact = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", 10).select("query_id", "vec_id").as[(Long, Long)]
+      .collect().toSet
+    val approx = Ann.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", 10, nLists = 8, nProbe = 4, m = 4, nCentroids = 8,
+      kmeansIters = 2).select("query_id", "vec_id").as[(Long, Long)]
+      .collect().toSet
+    (exact.intersect(approx).size.toDouble / exact.size) should be >= 0.7
+    // sub-2-row corpora degenerate to brute force
+    val tiny = Seq((1L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    Ann.ivfPqTopK(tiny, queries, "vec_id", "embedding", "query_id", 1)
+      .count() shouldBe 4L
+    // combined store round-trip: loaded halves equal inline training,
+    // and the searches match exactly
+    val store = Ann.ivfPqStoreFrame(corpus, "vec_id", "embedding",
+      nLists = 8, m = 4, nCentroids = 8, kmeansIters = 2)
+    val (cents, cbs) = Ann.loadIvfPqStore(store)
+    val viaStore = Ann.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", 5, nProbe = 2, store = Some((cents, cbs)))
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    val inline = Ann.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", 5, nLists = 8, nProbe = 2, m = 4, nCentroids = 8,
+      kmeansIters = 2).select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    viaStore shouldBe inline
+    // loud store failures: caller mismatch, lost rows, missing stamp,
+    // foreign geometry version
+    (the[IllegalArgumentException] thrownBy
+      Ann.loadIvfPqStore(store, wantNLists = Some(64))).getMessage should
+      include ("trained with nLists=8 but the caller requests nLists=64")
+    (the[IllegalArgumentException] thrownBy Ann.loadIvfPqStore(
+      store.where("NOT (part = 'pq' AND subspace = 2 AND list_id = 3)")))
+      .getMessage should include ("rows were lost or duplicated")
+    (the[IllegalArgumentException] thrownBy
+      Ann.loadIvfPqStore(store.drop("ivfpq_k"))).getMessage should
+      include ("missing column(s) ivfpq_k")
+    (the[IllegalArgumentException] thrownBy Ann.loadIvfPqStore(
+      store.withColumn("ivfpq_norm", lit(0)))).getMessage should
+      include ("geometry version")
+    // encode is ONE fused native node; the scan is pruned through the
+    // broadcast probe-pair join (plan shows both)
+    val planDir = java.nio.file.Files.createTempDirectory("ivfpqplan").toString
+    corpus.write.mode("overwrite").parquet(planDir)
+    val plan = Ann.ivfPqTopK(spark.read.parquet(planDir), queries,
+      "vec_id", "embedding", "query_id", 2, nLists = 8, nProbe = 2,
+      m = 4, nCentroids = 8, kmeansIters = 1)
+      .queryExecution.executedPlan.toString
+    plan should include ("ivfpq_encode")
+    plan should include ("pq_adc_at")
+    plan should not include "DeserializeToObject"
   }
 
   test("PQ codebook store: roundtrip parity with direct training, loud " +

@@ -705,6 +705,39 @@ class ExamplesSpec extends SparkTestBase {
       direct.map(_.map(_.toSeq).toSeq).toSeq
   }
 
+  test("quickstart-31: combined IVFADC store persisted in run N, retrieval " +
+    "probes it in run N+1 without a sampling scan — self is rank 1, store " +
+    "equals in-process training") {
+    import org.apache.spark.sql.functions._
+    run("quickstart-31-ivfpq-store.yaml")
+    val store = spark.read.parquet("/tmp/graft-examples/quickstart-31-ivfpq")
+    store.columns.toSeq should contain allOf ("part", "subspace", "list_id",
+      "vec", "ivfpq_n_lists", "ivfpq_m", "ivfpq_k", "ivfpq_kmeans_iters",
+      "ivfpq_sub_dim", "ivfpq_rows", "ivfpq_norm")
+    store.where("part = 'ivf'").count() shouldBe 8
+    store.where("part = 'pq'").count() shouldBe 64 // 4 subspaces x 16
+    run("quickstart-31-ivfpq-search.yaml")
+    val out = spark.read.parquet("/tmp/graft-examples/quickstart-31-out")
+    out.groupBy("query_id").count().select("count").as[Long].collect()
+      .foreach(_ shouldBe 5L)
+    out.where("rank = 1").select("query_id", "vec_id").as[(Long, Long)]
+      .collect().foreach { case (q, v) => v shouldBe q }
+    // the store IS the training run, persisted: the loaded halves drive
+    // the same search as inline training with the same parameters
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.where("vec_id < 3")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val viaStore = graft.ann.Ann.ivfPqTopK(emb, q, "vec_id", "embedding",
+      "query_id", 5, nProbe = 3,
+      store = Some(graft.ann.Ann.loadIvfPqStore(store)))
+      .as[(Long, Long, Long)].collect().toSet
+    val inline = graft.ann.Ann.ivfPqTopK(emb, q, "vec_id", "embedding",
+      "query_id", 5, nLists = 8, nProbe = 3, m = 4, nCentroids = 16,
+      kmeansIters = 2).as[(Long, Long, Long)].collect().toSet
+    viaStore shouldBe inline
+  }
+
   test("every example YAML is exercised by this suite — a quickstart that " +
     "no test runs is documentation that can silently rot") {
     val yamls = new java.io.File("examples").listFiles()
