@@ -1782,6 +1782,34 @@ object SparkEntry {
           "maxHamming" -> "3"))
         .select("doc_id")
     }),
+    // INCREMENTAL perceptual image dedup against a PERSISTED signature
+    // store (the q117/q140 store discipline for media): run N persists
+    // docs [0,30)'s dHashes via the media_signatures transform; run N+1
+    // dedups docs [50,100) against that parquet WITHOUT re-parsing a
+    // historical payload — seeds 0..29 have exact (hamming-0) twins in
+    // the store and drop, seeds 30..49 survive unless within the hamming
+    // budget of a stored hash. The oracle replays both halves from the
+    // committed q161 dHash fixture
+    "q173_dedup_image_store" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val png = udf((id: Long) => {
+        val seed = id % 50
+        graft.multimodal.Multimodal.syntheticImagePng(
+          seed, 16 + (seed % 16).toInt, 16 + (seed * 3 % 16).toInt)
+      })
+      val history = tab(s, dir, "documents").where("doc_id < 30")
+        .select(col("doc_id"), png(col("doc_id")).as("bytes"))
+      ap(history, t("media_signatures", "idColumn" -> "doc_id",
+        "bytesColumn" -> "bytes", "modality" -> "image"))
+        .createOrReplaceTempView("q173_store")
+      val increment = tab(s, dir, "documents")
+        .where("doc_id >= 50 AND doc_id < 100")
+        .select(col("doc_id"), png(col("doc_id")).as("bytes"))
+      ap(increment, t("dedup_image", "idColumn" -> "doc_id",
+        "bytesColumn" -> "bytes", "maxHamming" -> "3",
+        "signatureView" -> "q173_store"))
+        .select("doc_id")
+    }),
     // REAL perceptual AUDIO hashing, golden-real oracle: each doc gets a
     // deterministic synthetic WAV with seed = doc_id % 50 (docs i and
     // i+50 carry IDENTICAL clips — q164's planted twins), the chain
@@ -3512,6 +3540,19 @@ object SparkEntry {
              ON a.doc_id < b.doc_id
             AND bit_count(xor(a.dhash, b.dhash)) <= 3
            WHERE b.doc_id = d.doc_id)""",
+    // incremental image dedup vs the persisted store, replayed from the
+    // SAME committed dHash fixture on both sides: an increment doc
+    // survives iff no history doc (doc_id < 30) is within hamming 3
+    "q173_dedup_image_store" ->
+      """SELECT d.doc_id
+         FROM documents d
+         WHERE d.doc_id >= 50 AND d.doc_id < 100 AND NOT EXISTS (
+           SELECT 1
+           FROM read_parquet('/root/repo/src/test/resources/golden/q161_image_dhash.parquet') n
+           JOIN read_parquet('/root/repo/src/test/resources/golden/q161_image_dhash.parquet') h
+             ON h.doc_id < 30
+            AND bit_count(xor(n.dhash, h.dhash)) <= 3
+           WHERE n.doc_id = d.doc_id)""",
     // the audio perceptual hash is REAL (parsed PCM samples through the
     // documented 65-window envelope-gradient grid): the oracle joins a
     // fixture recomputed by an INDEPENDENT Python reimplementation of

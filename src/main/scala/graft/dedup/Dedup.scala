@@ -396,6 +396,24 @@ object Dedup {
     // null signatures (null text / undecodable media) can never pair —
     // without this filter they explode into null-chunk rows each, fire
     // bogus mega-bucket cap warnings, and ride the shuffle for nothing
+    val chunked = hammingChunked(signatures, maxHamming, maxBucketSize, tag)
+    val l = chunked.select(col("chunk"), col("ch"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk"), col("ch"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "ch")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** The shared pigeonhole blocking half of the hamming engine: null
+    * signatures dropped, maxHamming+1 chunk columns exploded, mega-
+    * buckets capped (and observed) before any join touches them. */
+  private def hammingChunked(signatures: DataFrame, maxHamming: Int,
+                             maxBucketSize: Int, tag: String): DataFrame = {
+    // null signatures (null text / undecodable media) can never pair —
+    // without this filter they explode into null-chunk rows each, fire
+    // bogus mega-bucket cap warnings, and ride the shuffle for nothing
     val sigs = signatures.where(col("sig").isNotNull)
     // static chunk array (count fixed at plan time) — stays codegen'd,
     // unlike the transform(sequence(...)) HOF form it replaces, which
@@ -416,19 +434,48 @@ object Dedup {
     // is O(bucket²) — the one quadratic risk in this pipeline at scale.
     // Buckets above the cap are whole near-dup mega-clusters; production
     // pipelines drop (or route to exact-dedup) rather than pair them.
-    val chunked = graft.runtime.BucketCapObserver.observeCap(
+    graft.runtime.BucketCapObserver.observeCap(
         chunked0.withColumn("bucket_n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ch"))),
         tag, "bucket_n", maxBucketSize)
       .filter(col("bucket_n") <= maxBucketSize)
       .select("doc_id", "sig", "chunk", "ch")
-    val l = chunked.select(col("chunk"), col("ch"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val r = chunked.select(col("chunk"), col("ch"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "ch")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+  }
+
+  /**
+   * INCREMENTAL hamming near-dup against a PERSISTED signature store —
+   * the [[minhashNearDupsAgainstSignatures]] statement for the 64-bit
+   * perceptual-hash family (SimHash text, image dHash, audio aHash,
+   * video tHash): returns the (id, hamming) hits of `newSigs` rows
+   * within `maxHamming` bits of ANY store signature. At 100 TB this is
+   * the difference between re-parsing (and re-decoding) all of
+   * history's media per increment and reading a slim (doc_id, sig)
+   * parquet. Both sides block through the same capped pigeonhole
+   * chunking as the self-join form — recall within the budget stays
+   * guaranteed, mega-buckets stay loud. The same-id pair is NOT special:
+   * an id present in both frames pairs with its own stored signature
+   * (hamming 0), which is exactly what an increment re-ingesting
+   * yesterday's row wants.
+   */
+  def hammingNearDupsAgainstSignatures(newSigs: DataFrame, store: DataFrame,
+                                       maxHamming: Int = 3,
+                                       maxBucketSize: Int = 10000,
+                                       tag: String = "hamming")
+      : DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"${tag}NearDupsAgainstSignatures: maxHamming must be in [0, 15], " +
+        s"got $maxHamming")
+    val l = hammingChunked(newSigs, maxHamming, maxBucketSize, s"$tag-new")
+      .select(col("chunk"), col("ch"), col("doc_id").as("id"),
+        col("sig").as("sig_new"))
+    val r = hammingChunked(store, maxHamming, maxBucketSize, s"$tag-store")
+      .select(col("chunk"), col("ch"), col("doc_id").as("ref_id"),
+        col("sig").as("sig_ref"))
+    l.join(r, Seq("chunk", "ch"))
+      .dropDuplicates("id", "ref_id")
+      .withColumn("hamming", bit_count(col("sig_new").bitwiseXOR(col("sig_ref"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("id", "ref_id", "hamming")
   }
 
   /**

@@ -1189,30 +1189,120 @@ object Multimodal {
         // (the generic tHash64+dHash64 pair would re-parse and re-decode
         // frame 0; the signature pass is the job's dominant cost)
         val (th, dh) =
-          if (modality == "video") AviMjpeg.read(bytes) match {
-            case Some(vid) if vid.frameCount > 0 =>
-              val n = math.min(vid.frameCount, TemporalHashMaxFrames)
-              val ms = new Array[Double](n)
-              var d: Option[Long] = None
-              var i = 0; var ok = true
-              while (ok && i < n) {
-                vid.frame(i) match {
-                  case Some(img) =>
-                    if (i == 0) d = Some(dHashOf(img))
-                    ms(i) = meanLuma(img); i += 1
-                  case None => ok = false
-                }
-              }
-              // a mid-stream undecodable frame voids the TEMPORAL hash
-              // (partial trajectories pair garbage) but frame 0's spatial
-              // hash stands — dHash64's frame-0-only contract exactly
-              (if (ok) Some(tHashOfMeans(ms)) else None, d)
-            case _ => (None, None)
-          }
+          if (modality == "video") videoHashPair(bytes)
           else (tHash64(modality, bytes), dHash64(modality, bytes))
         Row(id, th.map(Long.box).orNull, dh.map(Long.box).orNull)
       }
     }(enc)
+  }
+
+  /** Video payload → (temporal tHash, frame-0 spatial dHash) with ONE
+    * container parse and one decode per frame — frame 0 feeds both the
+    * spatial grid and the first mean (the generic tHash64+dHash64 pair
+    * would re-parse and re-decode; the signature pass is the job's
+    * dominant cost). A mid-stream undecodable frame voids the TEMPORAL
+    * hash (partial trajectories pair garbage) but frame 0's spatial hash
+    * stands — dHash64's frame-0-only contract exactly. */
+  private def videoHashPair(bytes: Array[Byte]): (Option[Long], Option[Long]) =
+    AviMjpeg.read(bytes) match {
+      case Some(vid) if vid.frameCount > 0 =>
+        val n = math.min(vid.frameCount, TemporalHashMaxFrames)
+        val ms = new Array[Double](n)
+        var d: Option[Long] = None
+        var i = 0; var ok = true
+        while (ok && i < n) {
+          vid.frame(i) match {
+            case Some(img) =>
+              if (i == 0) d = Some(dHashOf(img))
+              ms(i) = meanLuma(img); i += 1
+            case None => ok = false
+          }
+        }
+        (if (ok) Some(tHashOfMeans(ms)) else None, d)
+      case _ => (None, None)
+    }
+
+  /** Version of the perceptual-hash arithmetic stamped into
+    * [[mediaSignatures]] stores as `ms_version` — bump on ANY change to
+    * dHash64/aHash64/tHash64 so a store hashed under older arithmetic
+    * fails the load instead of silently pairing against incomparable
+    * bits. */
+  val MediaSigVersion: Int = 1
+
+  /**
+   * Persistable perceptual-SIGNATURE store for a media corpus — the
+   * [[graft.dedup.Dedup.minhashSignatures]] statement for media: one row
+   * per payload carrying the modality's blocking hash (`sig` = image
+   * dHash / audio aHash / video temporal tHash) plus video's spatial
+   * confirm hash (`sig2` = frame-0 dHash; NULL for other modalities),
+   * stamped with the payload's `modality` and the hash-arithmetic
+   * version. Write it after corpus build N; run N+1 re-loads the parquet
+   * and passes it to `dedup_image`/`dedup_audio`/`dedup_video` via
+   * `signatureView` — the increment then dedups against history without
+   * re-parsing a single historical container (the signature pass — one
+   * parse + O(min(frames, 256)) decodes per payload — is the job's
+   * dominant cost, and it never repeats). Undecodable payloads store
+   * NULL hashes and never pair, the dedup transforms' contract. ONE
+   * parse per payload (video's two hashes come out of the same walk);
+   * only the slim (id, sig, sig2) frame ever leaves the scan.
+   */
+  def mediaSignatures(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("modality", StringType),
+      StructField("sig", LongType),
+      StructField("sig2", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "modality", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val modality = r.getString(1)
+        val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+        val (sig, sig2): (Option[Long], Option[Long]) = modality match {
+          case "audio" => (aHash64(bytes), None)
+          case "video" => videoHashPair(bytes)
+          case _       => (dHash64(modality, bytes), None)
+        }
+        Row(id, modality, sig.map(Long.box).orNull, sig2.map(Long.box).orNull)
+      }
+    }(enc).withColumn("ms_version", lit(MediaSigVersion))
+  }
+
+  /** Load + validate a persisted [[mediaSignatures]] store for a
+    * `wantModality` dedup pass. Fails with guidance on missing columns,
+    * a hash-arithmetic version this engine doesn't compute (pairing
+    * across versions silently compares incomparable bits), and rows of
+    * another modality (an image store fed to dedup_audio would pair
+    * dHashes against aHashes — same silent-garbage class). Returns the
+    * slim (doc_id, sig, sig2) frame; the caller never touches history's
+    * payload bytes. */
+  def loadMediaSignatures(store: DataFrame, wantModality: String,
+                          caller: String): DataFrame = {
+    val missing = Seq("doc_id", "modality", "sig", "sig2", "ms_version")
+      .filterNot(store.columns.contains)
+    if (missing.nonEmpty) throw new graft.api.ConfigException(
+      s"$caller: signature store is missing column(s) " +
+        s"${missing.mkString(", ")} — expected the mediaSignatures layout " +
+        "(doc_id, modality, sig, sig2, ms_version); rebuild the store " +
+        "with the media_signatures transform")
+    val bad = store.select(col("ms_version").cast("int").as("v"),
+        col("modality").cast("string").as("m"))
+      .where(col("v").isNull || col("v") =!= lit(MediaSigVersion) ||
+        col("m").isNull || col("m") =!= lit(wantModality))
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      val v = if (r.isNullAt(0)) "null" else r.getInt(0).toString
+      val m = if (r.isNullAt(1)) "null" else r.getString(1)
+      throw new graft.api.ConfigException(
+        s"$caller: signature store carries (ms_version=$v, modality=$m) " +
+          s"rows but this run pairs (ms_version=$MediaSigVersion, " +
+          s"modality=$wantModality) hashes — pairing across hash versions " +
+          "or modalities compares incomparable bits and silently reports " +
+          "garbage; rebuild the store with the media_signatures transform " +
+          "on the right corpus")
+    }
+    store.select(col("doc_id").cast("long").as("doc_id"),
+      col("sig").cast("long").as("sig"),
+      col("sig2").cast("long").as("sig2"))
   }
 
   /** Per-payload quality signals: dims/duration plus the modality's

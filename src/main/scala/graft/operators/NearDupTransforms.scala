@@ -254,6 +254,24 @@ object SimhashDedupTransform extends NearDupTransform {
       maxBucketSize = intOpt(config, "maxBucketSize", 10000))
 }
 
+/** Shared plumbing for the media dedup family's `signatureView`
+  * (incremental) mode — the [[MinhashDedupTransform]] discipline: the
+  * reference is a PERSISTED [[graft.multimodal.Multimodal.mediaSignatures]]
+  * store (typically yesterday's `media_signatures` output re-loaded from
+  * parquet), so the increment dedups against history without re-parsing
+  * a single historical container. Survivor options are rejected (the
+  * reference always survives; it is not part of the frame). */
+private[operators] object MediaSigIncrement {
+  def rejectSurvivorOpts(transformType: String, config: TransformConfig): Unit =
+    Seq("survivor", "survivorColumn", "survivorOrder")
+      .filter(config.options.contains).foreach { opt =>
+        throw new ConfigException(
+          s"$transformType: $opt does not apply with signatureView — the " +
+            "reference is not part of the frame, so there is no election " +
+            "to run")
+      }
+}
+
 /** Perceptual IMAGE near-dup removal over a binary media column: each
   * payload's representative still (image / animated-GIF frame 0 composite /
   * MJPEG-AVI frame 0) reduces to a 64-bit dHash
@@ -272,16 +290,21 @@ object SimhashDedupTransform extends NearDupTransform {
 object ImageDedupTransform extends NearDupTransform {
   val transformType = "dedup_image"
   override protected def contentOption: String = "bytesColumn"
-  protected def pairs(input: DataFrame, id: String, bytesCol: String,
-                      config: TransformConfig): DataFrame = {
+
+  private def checkedModality(config: TransformConfig): String = {
     val modality = config.options.getOrElse("modality", "image")
       .toLowerCase(java.util.Locale.ROOT)
     if (modality != "image" && modality != "video")
       throw new ConfigException(
         s"$transformType: modality must be image|video (the modalities " +
           s"with a visual still to hash), got '${config.options("modality")}'")
+    modality
+  }
+
+  protected def pairs(input: DataFrame, id: String, bytesCol: String,
+                      config: TransformConfig): DataFrame = {
     val media = graft.multimodal.Multimodal.asMediaFrame(
-      input, id, bytesCol, modality = modality, sourceUriCol = id)
+      input, id, bytesCol, modality = checkedModality(config), sourceUriCol = id)
     Dedup.hammingNearDups(
       graft.multimodal.Multimodal.imageHashes(media)
         .withColumnRenamed("media_id", "doc_id")
@@ -290,6 +313,39 @@ object ImageDedupTransform extends NearDupTransform {
       maxBucketSize = intOpt(config, "maxBucketSize", 10000),
       tag = "image")
   }
+
+  /** With `signatureView`: INCREMENTAL mode against a persisted
+    * [[graft.multimodal.Multimodal.mediaSignatures]] store — drop input
+    * payloads whose frame-0 dHash is within maxHamming of any stored
+    * signature, without re-parsing history. For `modality: video` the
+    * store side pairs on `sig2` (a video store's `sig` is the TEMPORAL
+    * hash; frame-0 spatial lives in sig2). */
+  override def apply(input: DataFrame, config: TransformConfig,
+                     ctx: RunContext): DataFrame =
+    config.options.get("signatureView") match {
+      case None => super.apply(input, config, ctx)
+      case Some(view) =>
+        MediaSigIncrement.rejectSurvivorOpts(transformType, config)
+        required(config, "idColumn", "bytesColumn")
+        val id = config.options("idColumn")
+        val modality = checkedModality(config)
+        val media = graft.multimodal.Multimodal.asMediaFrame(
+          input, id, config.options("bytesColumn"), modality = modality,
+          sourceUriCol = id)
+        val newSigs = graft.multimodal.Multimodal.imageHashes(media)
+          .select(col("media_id").as("doc_id"), col("dhash").as("sig"))
+        val store = graft.multimodal.Multimodal.loadMediaSignatures(
+          ctx.spark.table(view), modality, transformType)
+        val storeSigs =
+          if (modality == "video")
+            store.select(col("doc_id"), col("sig2").as("sig"))
+          else store.select("doc_id", "sig")
+        val hits = Dedup.hammingNearDupsAgainstSignatures(newSigs, storeSigs,
+          maxHamming = intOpt(config, "maxHamming", 3),
+          maxBucketSize = intOpt(config, "maxBucketSize", 10000),
+          tag = "image")
+        input.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
+    }
 }
 
 /** Perceptual AUDIO near-dup removal over a binary media column: each
@@ -317,6 +373,32 @@ object AudioDedupTransform extends NearDupTransform {
       maxBucketSize = intOpt(config, "maxBucketSize", 10000),
       tag = "audio")
   }
+
+  /** With `signatureView`: INCREMENTAL mode — drop input payloads whose
+    * aHash is within maxHamming of any stored audio signature, without
+    * re-parsing history ([[ImageDedupTransform]]'s contract). */
+  override def apply(input: DataFrame, config: TransformConfig,
+                     ctx: RunContext): DataFrame =
+    config.options.get("signatureView") match {
+      case None => super.apply(input, config, ctx)
+      case Some(view) =>
+        MediaSigIncrement.rejectSurvivorOpts(transformType, config)
+        required(config, "idColumn", "bytesColumn")
+        val id = config.options("idColumn")
+        val media = graft.multimodal.Multimodal.asMediaFrame(
+          input, id, config.options("bytesColumn"), modality = "audio",
+          sourceUriCol = id)
+        val newSigs = graft.multimodal.Multimodal.imageHashes(media)
+          .select(col("media_id").as("doc_id"), col("dhash").as("sig"))
+        val store = graft.multimodal.Multimodal.loadMediaSignatures(
+          ctx.spark.table(view), "audio", transformType)
+        val hits = Dedup.hammingNearDupsAgainstSignatures(newSigs,
+          store.select("doc_id", "sig"),
+          maxHamming = intOpt(config, "maxHamming", 3),
+          maxBucketSize = intOpt(config, "maxBucketSize", 10000),
+          tag = "audio")
+        input.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
+    }
 }
 
 /** Perceptual VIDEO near-dup removal over a binary media column — the
@@ -371,6 +453,86 @@ object VideoDedupTransform extends NearDupTransform {
         Seq("id_b"))
       .where(bit_count(col("__sa").bitwiseXOR(col("__sb"))) <= maxSpatial)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** With `signatureView`: INCREMENTAL mode — block input clips' temporal
+    * tHashes against the store's `sig`, confirm each hit spatially
+    * (input frame-0 dHash vs store `sig2`), drop the confirmed, all
+    * without re-parsing (or re-decoding a single frame of) history. */
+  override def apply(input: DataFrame, config: TransformConfig,
+                     ctx: RunContext): DataFrame =
+    config.options.get("signatureView") match {
+      case None => super.apply(input, config, ctx)
+      case Some(view) =>
+        MediaSigIncrement.rejectSurvivorOpts(transformType, config)
+        required(config, "idColumn", "bytesColumn")
+        val id = config.options("idColumn")
+        val maxTemporal = intOpt(config, "maxHamming", 3)
+        val maxSpatial = intOpt(config, "maxSpatialHamming", maxTemporal)
+        if (maxSpatial < 0 || maxSpatial > 64)
+          throw new ConfigException(
+            s"$transformType: maxSpatialHamming must be in [0, 64], got " +
+              s"$maxSpatial")
+        val media = graft.multimodal.Multimodal.asMediaFrame(
+          input, id, config.options("bytesColumn"), modality = "video",
+          sourceUriCol = id)
+        // ONE parse per input payload serves the temporal block and the
+        // spatial confirm (the self-join mode's lazy-checkpoint shape)
+        val hashes = graft.api.Checkpointing.checkpoint(
+          graft.multimodal.Multimodal.videoHashes(media), eager = false)
+        val store = graft.multimodal.Multimodal.loadMediaSignatures(
+          ctx.spark.table(view), "video", transformType)
+        val temporalHits = Dedup.hammingNearDupsAgainstSignatures(
+          hashes.select(col("media_id").as("doc_id"), col("thash").as("sig")),
+          store.select("doc_id", "sig"),
+          maxHamming = maxTemporal,
+          maxBucketSize = intOpt(config, "maxBucketSize", 10000),
+          tag = "video")
+        val confirmed = temporalHits
+          .join(hashes.where(col("dhash").isNotNull)
+            .select(col("media_id").as("id"), col("dhash").as("__sa")), Seq("id"))
+          .join(store.where(col("sig2").isNotNull)
+            .select(col("doc_id").as("ref_id"), col("sig2").as("__sb")),
+            Seq("ref_id"))
+          .where(bit_count(col("__sa").bitwiseXOR(col("__sb"))) <= maxSpatial)
+        input.join(confirmed.select(col("id").as(id)).distinct(),
+          Seq(id), "left_anti")
+    }
+}
+
+/** Producer half of the persisted media-signature loop
+  * ([[MinhashSignaturesTransform]] for media): projects a binary media
+  * column to the [[graft.multimodal.Multimodal.mediaSignatures]] store
+  * layout — (doc_id, modality, sig, sig2, ms_version), where `sig` is
+  * the modality's blocking hash (image dHash / audio aHash / video
+  * temporal tHash) and `sig2` video's frame-0 spatial confirm hash —
+  * for a file sink to persist. Run it at the end of corpus build N; run
+  * N+1 loads the parquet, registers it as a view, and passes it to
+  * `dedup_image`/`dedup_audio`/`dedup_video` via `signatureView`: the
+  * increment then dedups against history without re-parsing a single
+  * historical container. Options: idColumn/bytesColumn required;
+  * modality image|audio|video (default image). ONE parse per payload;
+  * output REPLACES the frame. */
+object MediaSignaturesTransform extends Transform {
+  val transformType = "media_signatures"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++
+        config.options.get("bytesColumn").toSeq,
+      transformType)
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "bytesColumn")
+    val modality = config.options.getOrElse("modality", "image")
+      .toLowerCase(java.util.Locale.ROOT)
+    if (!Set("image", "audio", "video").contains(modality))
+      throw new ConfigException(
+        s"$transformType: modality must be image|audio|video, got " +
+          s"'${config.options("modality")}'")
+    graft.multimodal.Multimodal.mediaSignatures(
+      graft.multimodal.Multimodal.asMediaFrame(
+        input, config.options("idColumn"), config.options("bytesColumn"),
+        modality = modality, sourceUriCol = config.options("idColumn")))
   }
 }
 

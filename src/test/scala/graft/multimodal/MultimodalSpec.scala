@@ -723,6 +723,111 @@ class MultimodalSpec extends SparkTestBase {
     kept shouldBe Array(0L, 1L, 2L, 3L, 4L, 99L)
   }
 
+  test("media_signatures store + signatureView: the increment dedups " +
+    "against persisted hashes without re-parsing history, drift (wrong " +
+    "modality / hash version / missing stamps) fails loudly, survivor " +
+    "options are rejected") {
+    import org.apache.spark.sql.functions._
+    val ctx = graft.api.RunContext(spark, "t", "r")
+    def png(seed: Long) = Multimodal.syntheticImagePng(seed, 24, 24)
+    val pngUdf = udf((id: Long) => png(id % 5))
+    // history: ids 0..2 (seeds 0..2) persisted as signatures
+    val history = (0L until 3L).toDF("doc_id")
+      .select(col("doc_id"), pngUdf(col("doc_id")).as("bytes"))
+    val store = graft.operators.MediaSignaturesTransform(history,
+      graft.config.TransformConfig("s", "media_signatures", Map(
+        "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+        "modality" -> "image")), ctx)
+    store.columns.toSeq should contain allOf ("doc_id", "modality", "sig",
+      "sig2", "ms_version")
+    store.where("sig IS NULL").count() shouldBe 0
+    store.createOrReplaceTempView("msig_store")
+    // increment: ids 10..19 (seeds 0..4) + one undecodable row. Seeds
+    // 0..2 have exact twins in the store and drop; 3..4 survive; the
+    // undecodable row hashes NULL and is kept
+    val inc = (10L until 20L).toDF("doc_id")
+      .select(col("doc_id"), pngUdf(col("doc_id")).as("bytes"))
+      .union(Seq((99L, "not an image".getBytes("UTF-8")))
+        .toDF("doc_id", "bytes"))
+    val kept = graft.operators.ImageDedupTransform(inc,
+      graft.config.TransformConfig("d", "dedup_image", Map(
+        "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+        "maxHamming" -> "0", "signatureView" -> "msig_store")), ctx)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(13L, 14L, 18L, 19L, 99L)
+    // AUDIO: same loop through aHash signatures. Expected survivors are
+    // derived from the hash function itself (sawtooth clips can collide
+    // at hamming 0 across seeds — the self-join spec's discipline)
+    def wavOf(id: Long) = Multimodal.syntheticWavPcm16(id % 3, 8000, 1, 8000)
+    val wavUdf = udf((id: Long) => wavOf(id))
+    val audioHist = (0L until 2L).toDF("doc_id")
+      .select(col("doc_id"), wavUdf(col("doc_id")).as("bytes"))
+    graft.operators.MediaSignaturesTransform(audioHist,
+      graft.config.TransformConfig("s", "media_signatures", Map(
+        "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+        "modality" -> "audio")), ctx)
+      .createOrReplaceTempView("msig_audio")
+    val audioInc = (10L until 16L).toDF("doc_id")
+      .select(col("doc_id"), wavUdf(col("doc_id")).as("bytes"))
+    val histHashes = (0L until 2L).map(id => Multimodal.aHash64(wavOf(id)).get).toSet
+    val audioExpect = (10L until 16L)
+      .filterNot(id => histHashes.contains(Multimodal.aHash64(wavOf(id)).get))
+      .toArray
+    graft.operators.AudioDedupTransform(audioInc,
+      graft.config.TransformConfig("d", "dedup_audio", Map(
+        "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+        "maxHamming" -> "0", "signatureView" -> "msig_audio")), ctx)
+      .select("doc_id").as[Long].collect().sorted shouldBe audioExpect
+    // the PLANTED exact twins (seed ∈ history's {0, 1}) always drop
+    audioExpect.contains(12L) shouldBe false // seed 0
+    audioExpect.contains(10L) shouldBe false // seed 1
+    // VIDEO: temporal block on sig + spatial confirm on sig2
+    def aviOf(id: Long) = Multimodal.syntheticMjpegAvi(id % 3, 32, 16, 3, 10)
+    val aviUdf = udf((id: Long) => aviOf(id))
+    val vidHist = (0L until 2L).toDF("doc_id")
+      .select(col("doc_id"), aviUdf(col("doc_id")).as("bytes"))
+    val vstore = graft.operators.MediaSignaturesTransform(vidHist,
+      graft.config.TransformConfig("s", "media_signatures", Map(
+        "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+        "modality" -> "video")), ctx)
+    vstore.where("sig IS NULL OR sig2 IS NULL").count() shouldBe 0
+    vstore.createOrReplaceTempView("msig_video")
+    val vidInc = (10L until 16L).toDF("doc_id")
+      .select(col("doc_id"), aviUdf(col("doc_id")).as("bytes"))
+    val vHist = (0L until 2L).map { id =>
+      (Multimodal.tHash64("video", aviOf(id)).get,
+        Multimodal.dHash64("video", aviOf(id)).get) }.toSet
+    val vidExpect = (10L until 16L).filterNot { id =>
+      vHist.contains((Multimodal.tHash64("video", aviOf(id)).get,
+        Multimodal.dHash64("video", aviOf(id)).get)) }.toArray
+    graft.operators.VideoDedupTransform(vidInc,
+      graft.config.TransformConfig("d", "dedup_video", Map(
+        "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+        "maxHamming" -> "0", "signatureView" -> "msig_video")), ctx)
+      .select("doc_id").as[Long].collect().sorted shouldBe vidExpect
+    vidExpect.contains(12L) shouldBe false
+    vidExpect.contains(10L) shouldBe false
+    // DRIFT is loud: wrong modality, foreign hash version, lost stamps,
+    // and survivor options with a reference that is not in the frame
+    def imgDedup(view: String, extra: (String, String)*) =
+      graft.operators.ImageDedupTransform(inc,
+        graft.config.TransformConfig("d", "dedup_image", Map(
+          "idColumn" -> "doc_id", "bytesColumn" -> "bytes",
+          "signatureView" -> view) ++ extra), ctx).collect()
+    (the[graft.api.ConfigException] thrownBy
+      imgDedup("msig_audio")).getMessage should include ("modality=image")
+    store.withColumn("ms_version", lit(99))
+      .createOrReplaceTempView("msig_v99")
+    (the[graft.api.ConfigException] thrownBy
+      imgDedup("msig_v99")).getMessage should include ("hash versions")
+    store.drop("ms_version").createOrReplaceTempView("msig_nostamp")
+    (the[graft.api.ConfigException] thrownBy
+      imgDedup("msig_nostamp")).getMessage should include ("ms_version")
+    (the[graft.api.ConfigException] thrownBy
+      imgDedup("msig_store", "survivor" -> "cluster")).getMessage should
+      include ("does not apply with signatureView")
+  }
+
   test("REAL perceptual aHash: equal clips hash equal, positive gain is " +
     "invariant, unparseable hashes NULL; dedup_audio removes planted twins") {
     def wav(seed: Long, gain: Int = 1) = {
