@@ -649,6 +649,38 @@ class ExamplesSpec extends SparkTestBase {
       Array(0L, 1L, 2L, 3L, 99L)
   }
 
+  test("quickstart-32: media signatures persisted in run N, the crawl " +
+    "increment dedups against them in run N+1 without re-parsing history") {
+    import org.apache.spark.sql.functions._
+    val png = udf((id: Long) =>
+      graft.multimodal.Multimodal.syntheticImagePng(id % 4, 32, 24))
+    // run N's corpus: reuse quickstart-28's staged shard (scenes 0..3)
+    (0L until 12L).toDF("img_id")
+      .select(col("img_id"), png(col("img_id")).as("payload"))
+      .union(Seq((99L, "corrupted-bytes".getBytes("UTF-8")))
+        .toDF("img_id", "payload"))
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-examples/quickstart-28-images")
+    run("quickstart-32-media-signatures.yaml")
+    val sigs = spark.read.parquet("/tmp/graft-examples/quickstart-32-sigs")
+    sigs.count() shouldBe 13
+    sigs.where("sig IS NULL").count() shouldBe 1 // the corrupted payload
+    // run N+1's increment: scenes 2..5 — 2 and 3 are in history, 4 and 5
+    // are new (seed = id%6 over 100..105)
+    val png6 = udf((id: Long) =>
+      graft.multimodal.Multimodal.syntheticImagePng(id % 6, 32, 24))
+    (100L until 106L).toDF("img_id")
+      .select(col("img_id"), png6(col("img_id")).as("payload"))
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-examples/quickstart-32-increment")
+    run("quickstart-32-incremental-dedup.yaml")
+    // ids 100..103 have seeds 4,5,0,1 → 102/103 drop (history scenes
+    // 0/1), 104/105 seeds 2,3 drop (history scenes 2/3), 100/101 survive
+    spark.read.parquet("/tmp/graft-examples/quickstart-32-out")
+      .select("img_id").as[Long].collect().sorted shouldBe
+      Array(100L, 101L)
+  }
+
   test("quickstart-29: composed media curation — junk drops at the decode " +
     "gate, flat cards at the quality gate, near-dup scenes collapse") {
     import org.apache.spark.sql.functions._
