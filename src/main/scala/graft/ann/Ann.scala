@@ -506,7 +506,15 @@ object Ann {
 
   /** Per-subspace L2 Lloyd codebooks over an ALREADY-PREPARED training
     * sample (unit vectors for flat spherical PQ, raw residuals for
-    * IVFADC — the caller owns the geometry). */
+    * IVFADC — the caller owns the geometry).
+    *
+    * Subspaces train CONCURRENTLY on a bounded driver pool: each
+    * subspace's Lloyd rounds read only its own slice and write only its
+    * own codebook, so the result is bit-identical to the sequential
+    * loop in any schedule — and the training burst (sample·k·subDim·m
+    * double ops per round; ~1B at the byte-code q169 settings, the
+    * dominant cost of an inline-trained PQ query) drops from one core
+    * to min(m, cores). */
   private def pqCodebooksFromSample(sample: Array[Array[Float]],
                                     m: Int, k: Int, kmeansIters: Int,
                                     caller: String)
@@ -516,12 +524,27 @@ object Ann {
     require(dim % m == 0,
       s"$caller: vector dim $dim is not divisible by m=$m subspaces")
     val sd = dim / m
-    Array.tabulate(m) { j =>
+    def trainOne(j: Int): Array[Array[Float]] = {
       val sub = sample.collect { case v if v.length == dim =>
         java.util.Arrays.copyOfRange(v, j * sd, (j + 1) * sd) }
       val init = sub.take(k)
       if (init.length <= 1 || kmeansIters <= 0) init
       else refineCentroidsL2(sub, init, kmeansIters)
+    }
+    if (m == 1) Array(trainOne(0))
+    else {
+      val out = new Array[Array[Array[Float]]](m)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(m, Runtime.getRuntime.availableProcessors()))
+      try {
+        val futures = (0 until m).map { j =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = out(j) = trainOne(j)
+          })
+        }
+        futures.foreach(_.get()) // rethrows a subspace's failure here
+      } finally pool.shutdownNow()
+      out
     }
   }
 
