@@ -199,6 +199,27 @@ object SparkEntry {
       tmp
     })
 
+  /** q174's staged PQ CODES store — the corpus of q169/q170, encoded
+    * ONCE against the q170 codebook store ([[graft.ann.Ann.pqCodesFrame]]
+    * via the pq_encode transform) and persisted; q174's retrieval then
+    * trains nothing AND encodes nothing. */
+  private val q174CodesDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedPqCodesStore(s: SparkSession, dir: String): String =
+    q174CodesDirs.computeIfAbsent(dir, { d =>
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("q174codes").toString
+      val emb = tab(s, d, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      val cbs = graft.ann.Ann.loadPqCodebooks(
+        s.read.parquet(stagedPqCodebookStore(s, d)))
+      graft.ann.Ann.pqCodesFrame(emb.unionByName(twins), "vec_id",
+          "embedding", cbs)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   /** q172's staged COMBINED IVFADC store — the q170 memoization for
     * [[graft.ann.Ann.ivfPqStoreFrame]]. */
   private val q172StoreDirs =
@@ -2039,6 +2060,34 @@ object SparkEntry {
         "m" -> "8", "nCentroids" -> "256"))
         .select("query_id", "vec_id", "rank")
     }),
+    // the FULLY-persisted PQ retrieval: codebooks from yesterday's
+    // pq_codebook store AND the corpus from yesterday's pq_encode codes
+    // store — the run trains NOTHING and encodes NOTHING (the candidate
+    // phase's only full-width corpus read disappears; only the exact
+    // re-rank touches true vectors, against the broadcast-small
+    // candidate frame). The codes store's pq_cb_hash fingerprint proves
+    // it was encoded under exactly this codebook; the twin statement is
+    // q169's
+    "q174_ann_pq_codes_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      val corpus = emb.unionByName(twins)
+      emb.where("vec_id < 5")
+        .select(col("vec_id").as("query_id"), col("embedding"))
+        .createOrReplaceTempView("q174_queries")
+      s.read.parquet(stagedPqCodebookStore(s, dir))
+        .createOrReplaceTempView("q174_codebook")
+      s.read.parquet(stagedPqCodesStore(s, dir))
+        .createOrReplaceTempView("q174_codes")
+      ap(corpus, t("ann_topk",
+        "method" -> "pq", "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "queriesView" -> "q174_queries", "queryIdColumn" -> "query_id",
+        "k" -> "2", "codebookView" -> "q174_codebook",
+        "codesView" -> "q174_codes"))
+        .select("query_id", "vec_id", "rank")
+    }),
     // IVFADC (Jégou et al. TPAMI 2011 §V — residual product quantization,
     // the composition the paper ships at billion scale): coarse spherical
     // IVF routes vectors to lists, PQ quantizes the RESIDUALS, and the
@@ -3655,6 +3704,14 @@ object SparkEntry {
     // the same planted-twin statement through the declarative route +
     // persisted PQ codebook store
     "q170_ann_pq_store_exact" ->
+      """SELECT vec_id AS query_id, vec_id, 1 AS rank
+         FROM embeddings WHERE vec_id < 5
+         UNION ALL
+         SELECT vec_id AS query_id, vec_id + 2000000 AS vec_id, 2 AS rank
+         FROM embeddings WHERE vec_id < 5""",
+    // the fully-persisted route (codebook + codes stores): q169's twin
+    // statement, trains nothing, encodes nothing
+    "q174_ann_pq_codes_exact" ->
       """SELECT vec_id AS query_id, vec_id, 1 AS rank
          FROM embeddings WHERE vec_id < 5
          UNION ALL

@@ -632,10 +632,14 @@ object Ann {
              m: Int = 8, nCentroids: Int = 16, kmeansIters: Int = 3,
              candidateFactor: Int = 8,
              refineSampleSize: Int = DefaultRefineSample,
-             codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+             codebooks: Option[Array[Array[Array[Float]]]] = None,
+             codesStore: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"pqTopK: k must be >= 1, got $k")
     require(candidateFactor >= 1,
       s"pqTopK: candidateFactor must be >= 1, got $candidateFactor")
+    require(codesStore.isEmpty || codebooks.nonEmpty,
+      "pqTopK: a codes store is only meaningful against the codebook it " +
+        "was encoded under — pass the loaded codebooks alongside it")
     val cbs = codebooks.getOrElse(pqCodebooks(corpus, idCol, vecCol,
       m, nCentroids, kmeansIters, refineSampleSize))
     if (cbs.exists(_.length <= 1))
@@ -655,16 +659,23 @@ object Ann {
     def finiteVec(c: Column): Column = c.isNotNull &&
       forall(c, x => x.isNotNull &&
         x > lit(Float.NegativeInfinity) && x < lit(Float.PositiveInfinity))
-    // 1) slim code frame through the NATIVE PqEncode node (codegen'd; the
-    // old mapPartitions paid an Encoders.row round-trip per corpus row —
-    // the engine's last hot loop outside codegen). Dim mismatch is STORE
-    // DRIFT and throws inside the node with guidance, never an empty
-    // result (the embedding space changed since the store was trained).
-    val codes = corpus
-      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<float>").as("v"))
-      .where(col("vec_id").isNotNull && finiteVec(col("v")))
-      .select(col("vec_id"),
-        graft.functions.expressions.PqEncode(col("v"), cbs).as("codes"))
+    // 1) slim code frame: a persisted codes store (validated against THIS
+    // codebook's fingerprint) skips the encode scan entirely — at
+    // production scale the encode is the only full-width corpus read the
+    // candidate phase has. Otherwise encode through the NATIVE PqEncode
+    // node (codegen'd; the old mapPartitions paid an Encoders.row
+    // round-trip per corpus row — the engine's last hot loop outside
+    // codegen). Dim mismatch is STORE DRIFT and throws inside the node
+    // with guidance, never an empty result (the embedding space changed
+    // since the store was trained).
+    val codes = codesStore match {
+      case Some(store) => loadPqCodes(store, cbs)
+      case None => corpus
+        .select(col(idCol).as("vec_id"), col(vecCol).cast("array<float>").as("v"))
+        .where(col("vec_id").isNotNull && finiteVec(col("v")))
+        .select(col("vec_id"),
+          graft.functions.expressions.PqEncode(col("v"), cbs).as("codes"))
+    }
     // queries ride the driver (small by the same contract that broadcasts
     // them in every other method); null/non-finite query vectors drop
     // like null corpus vectors do
@@ -886,6 +897,104 @@ object Ann {
     val base = sample.take(nLists)
     if (base.length <= 1 || iters <= 0) base
     else refineCentroids(sample, base, iters)
+  }
+
+  /** Deterministic 64-bit fingerprint of a PQ codebook's exact float
+    * bits (FNV-1a over every centroid component, subspace-major). Codes
+    * are meaningless outside the codebook that assigned them, and two
+    * trainings can share every parameter stamp while producing different
+    * centroids (different corpus day, different sample) — the
+    * fingerprint is what lets a persisted CODES store prove it was
+    * encoded under the codebook the query is about to scan with. */
+  def pqCodebookHash(cbs: Array[Array[Array[Float]]]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(x: Int): Unit = {
+      var i = 0
+      while (i < 4) {
+        h ^= (x >>> (i * 8)) & 0xFF
+        h *= 0x100000001b3L
+        i += 1
+      }
+    }
+    var j = 0
+    while (j < cbs.length) {
+      val cb = cbs(j)
+      var c = 0
+      while (c < cb.length) {
+        val cv = cb(c)
+        var t = 0
+        while (t < cv.length) { mix(java.lang.Float.floatToIntBits(cv(t))); t += 1 }
+        c += 1
+      }
+      j += 1
+    }
+    h
+  }
+
+  /**
+   * Persistable PQ CODES store — the OTHER half of the incremental PQ
+   * story: [[pqCodebookFrame]] persists the quantizer, this persists the
+   * quantized corpus, and a run that loads both trains NOTHING and
+   * ENCODES NOTHING (the encode is the candidate phase's only full-width
+   * corpus read; at 100 TB it dominates the query). One slim row per
+   * vector — (vec_id, codes) — stamped with the encode geometry
+   * (`pq_codes_m` / `pq_codes_sub_dim` / `pq_codes_norm`) and, load-
+   * bearing, `pq_cb_hash`: the [[pqCodebookHash]] fingerprint of the
+   * exact codebook floats, so a codes frame can NEVER silently scan
+   * under a retrained codebook with identical parameters (the cells
+   * would mean something else — the worst silent-garbage class). Null /
+   * non-finite vectors are excluded, exactly as the inline encode
+   * excludes them.
+   */
+  def pqCodesFrame(corpus: DataFrame, idCol: String, vecCol: String,
+                   cbs: Array[Array[Array[Float]]]): DataFrame = {
+    def finiteVec(c: Column): Column = c.isNotNull &&
+      forall(c, x => x.isNotNull &&
+        x > lit(Float.NegativeInfinity) && x < lit(Float.PositiveInfinity))
+    corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<float>").as("v"))
+      .where(col("vec_id").isNotNull && finiteVec(col("v")))
+      .select(col("vec_id"),
+        graft.functions.expressions.PqEncode(col("v"), cbs).as("codes"),
+        lit(cbs.length).as("pq_codes_m"),
+        lit(cbs(0)(0).length).as("pq_codes_sub_dim"),
+        lit(PqNormSpherical).as("pq_codes_norm"),
+        lit(pqCodebookHash(cbs)).as("pq_cb_hash"))
+  }
+
+  /** Validate a persisted [[pqCodesFrame]] against the codebook about to
+    * scan it and return the slim (vec_id, codes) frame. The stamp checks
+    * are all driver-cheap column/limit probes — the corpus-sized frame
+    * itself is never collected. */
+  private def loadPqCodes(store: DataFrame,
+                          cbs: Array[Array[Array[Float]]]): DataFrame = {
+    val missing = Seq("vec_id", "codes", "pq_codes_m", "pq_codes_sub_dim",
+      "pq_codes_norm", "pq_cb_hash").filterNot(store.columns.contains)
+    require(missing.isEmpty,
+      s"pqTopK: codes store is missing column(s) ${missing.mkString(", ")} " +
+        "— not a pqCodesFrame store; rebuild it with the pq_encode " +
+        "transform")
+    val want = (cbs.length, cbs(0)(0).length, PqNormSpherical,
+      pqCodebookHash(cbs))
+    val bad = store.select(col("pq_codes_m").cast("int"),
+        col("pq_codes_sub_dim").cast("int"), col("pq_codes_norm").cast("int"),
+        col("pq_cb_hash").cast("long"))
+      .where(col("pq_codes_m").isNull || col("pq_codes_m") =!= want._1 ||
+        col("pq_codes_sub_dim").isNull || col("pq_codes_sub_dim") =!= want._2 ||
+        col("pq_codes_norm").isNull || col("pq_codes_norm") =!= want._3 ||
+        col("pq_cb_hash").isNull || col("pq_cb_hash") =!= want._4)
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      throw new IllegalArgumentException(
+        s"pqTopK: codes store carries (m=${r.get(0)}, subDim=${r.get(1)}, " +
+          s"norm=${r.get(2)}, cb_hash=${r.get(3)}) rows but the loaded " +
+          s"codebook demands (m=${want._1}, subDim=${want._2}, " +
+          s"norm=${want._3}, cb_hash=${want._4}) — the codes were encoded " +
+          "under a DIFFERENT codebook (retrained, or different " +
+          "parameters); re-encode the corpus with pq_encode against this " +
+          "codebook store")
+    }
+    store.select(col("vec_id"), col("codes"))
   }
 
   /** Train both IVFADC halves off ONE bounded hash-ordered sample: the

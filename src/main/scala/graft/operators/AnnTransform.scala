@@ -80,6 +80,10 @@ object AnnTopKTransform extends Transform {
       throw new ConfigException(
         "ann_topk: codebookView only applies with method: ivf|pq|ivfpq — " +
           s"method '$method' never consults a codebook")
+    if (method != "pq" && config.options.contains("codesView"))
+      throw new ConfigException(
+        "ann_topk: codesView only applies with method: pq — " +
+          s"method '$method' never reads a pre-encoded codes frame")
     method match {
       case "brute" => graft.ann.Ann.bruteForceTopK(input, q, id, vec, qid, k)
       case "lsh" => graft.ann.Ann.lshTopK(input, q, id, vec, qid, k,
@@ -97,12 +101,23 @@ object AnnTopKTransform extends Transform {
               .map(_ => intOption(config, "kmeansIters", 0)),
             kName = "nCentroids")
         }
+        // a persisted pqCodesFrame store (pq_encode output) additionally
+        // skips the ENCODE scan; it is only meaningful against the exact
+        // codebook it was encoded under, so codebookView is required
+        // with it and the store's pq_cb_hash fingerprint is asserted
+        val codes = config.options.get("codesView").map { view =>
+          if (stored.isEmpty) throw new ConfigException(
+            "ann_topk: codesView requires codebookView — a codes store " +
+              "is only meaningful against the exact codebook it was " +
+              "encoded under (its pq_cb_hash stamp is checked)")
+          ctx.spark.table(view)
+        }
         graft.ann.Ann.pqTopK(input, q, id, vec, qid, k,
           m = intOption(config, "m", 8),
           nCentroids = intOption(config, "nCentroids", 16),
           kmeansIters = intOption(config, "kmeansIters", 3),
           candidateFactor = intOption(config, "candidateFactor", 8),
-          codebooks = stored)
+          codebooks = stored, codesStore = codes)
       case "ivf" => config.options.get("codebookView") match {
         case Some(view) => graft.ann.Ann.ivfTopKWithCodebook(input, q, id, vec,
           qid, k, ctx.spark.table(view),

@@ -160,6 +160,32 @@ object PqCodebookTransform extends Transform {
   }
 }
 
+/** `pq_encode` — quantize a corpus against a PERSISTED PQ codebook store
+  * ([[graft.ann.Ann.pqCodesFrame]]): one slim (vec_id, codes) row per
+  * vector, stamped with the encode geometry and the codebook's float-
+  * level fingerprint (`pq_cb_hash`). Output REPLACES the frame; persist
+  * it with a file sink. Tomorrow's `ann_topk method: pq` runs pass it
+  * back via `codesView` (alongside the same `codebookView`) and then
+  * train NOTHING and encode NOTHING — the candidate phase's only
+  * full-width corpus read disappears. Options: `idColumn`/`vecColumn`/
+  * `codebookView` required. */
+object PqEncodeTransform extends Transform {
+  val transformType = "pq_encode"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("vecColumn").toSeq,
+      transformType)
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "vecColumn", "codebookView")
+    val cbs = graft.ann.Ann.loadPqCodebooks(
+      ctx.spark.table(config.options("codebookView")), kName = "nCentroids")
+    graft.ann.Ann.pqCodesFrame(input,
+      config.options("idColumn"), config.options("vecColumn"), cbs)
+  }
+}
+
 /** `ivfpq_codebook` — train and persist the COMBINED IVFADC store
   * ([[graft.ann.Ann.ivfPqStoreFrame]]: spherical coarse centroids +
   * RESIDUAL product-quantization codebooks off ONE bounded hash-ordered

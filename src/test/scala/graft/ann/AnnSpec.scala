@@ -265,6 +265,34 @@ class AnnSpec extends SparkTestBase {
         m = 4, k = 8, kmeansIters = 2)
       .map(_.map(_.toSeq).toSeq).toSeq shouldBe
       direct.map(_.map(_.toSeq).toSeq).toSeq
+    // PERSISTED CODES: searching through a pqCodesFrame store matches
+    // the inline-encode search exactly, and a codes frame encoded under
+    // a DIFFERENT codebook (same parameters, different floats) fails
+    // the pq_cb_hash fingerprint instead of silently scanning garbage
+    val codesStore = Ann.pqCodesFrame(corpus, "vec_id", "embedding", direct)
+    val qs2 = corpus.where("vec_id IN (0, 1)")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val viaCodes = Ann.pqTopK(corpus, qs2, "vec_id", "embedding",
+      "query_id", 5, codebooks = Some(direct),
+      codesStore = Some(codesStore))
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    val inlineEnc = Ann.pqTopK(corpus, qs2, "vec_id", "embedding",
+      "query_id", 5, codebooks = Some(direct))
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    viaCodes shouldBe inlineEnc
+    val retrained = Ann.pqCodebooks(corpus.where("vec_id >= 20"),
+      "vec_id", "embedding", m = 4, k = 8, kmeansIters = 2)
+    (the[IllegalArgumentException] thrownBy Ann.pqTopK(corpus, qs2,
+      "vec_id", "embedding", "query_id", 5, codebooks = Some(retrained),
+      codesStore = Some(codesStore)).collect()).getMessage should
+      include ("encoded under a DIFFERENT codebook")
+    // a codes store without its codebook is meaningless — rejected
+    (the[IllegalArgumentException] thrownBy Ann.pqTopK(corpus, qs2,
+      "vec_id", "embedding", "query_id", 5,
+      codesStore = Some(codesStore))).getMessage should
+      include ("pass the loaded codebooks alongside it")
     // the declarative route consumes the store (no sampling scan) and
     // matches the inline-trained search exactly
     import graft.config.TransformConfig
