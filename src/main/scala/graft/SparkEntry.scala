@@ -220,6 +220,25 @@ object SparkEntry {
       tmp
     })
 
+  /** q175's staged IVFADC CODES store — q174's statement for the
+    * composed quantizer. */
+  private val q175CodesDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedIvfPqCodesStore(s: SparkSession, dir: String): String =
+    q175CodesDirs.computeIfAbsent(dir, { d =>
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("q175codes").toString
+      val emb = tab(s, d, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      val (cents, cbs) = graft.ann.Ann.loadIvfPqStore(
+        s.read.parquet(stagedIvfPqStore(s, d)))
+      graft.ann.Ann.ivfPqCodesFrame(emb.unionByName(twins), "vec_id",
+          "embedding", cents, cbs)
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   /** q172's staged COMBINED IVFADC store — the q170 memoization for
     * [[graft.ann.Ann.ivfPqStoreFrame]]. */
   private val q172StoreDirs =
@@ -2131,6 +2150,29 @@ object SparkEntry {
         "nLists" -> "16", "m" -> "8", "nCentroids" -> "256"))
         .select("query_id", "vec_id", "rank")
     }),
+    // the FULLY-persisted IVFADC route: combined store (q172) + codes
+    // store (ivfpq_encode output, both-halves fingerprint) — trains
+    // nothing, encodes nothing; q171's twin statement
+    "q175_ann_ivfpq_codes_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = tab(s, dir, "embeddings")
+      val twins = emb.where("vec_id < 5")
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      val corpus = emb.unionByName(twins)
+      emb.where("vec_id < 5")
+        .select(col("vec_id").as("query_id"), col("embedding"))
+        .createOrReplaceTempView("q175_queries")
+      s.read.parquet(stagedIvfPqStore(s, dir))
+        .createOrReplaceTempView("q175_codebook")
+      s.read.parquet(stagedIvfPqCodesStore(s, dir))
+        .createOrReplaceTempView("q175_codes")
+      ap(corpus, t("ann_topk",
+        "method" -> "ivfpq", "idColumn" -> "vec_id",
+        "vecColumn" -> "embedding", "queriesView" -> "q175_queries",
+        "queryIdColumn" -> "query_id", "k" -> "2",
+        "codebookView" -> "q175_codebook", "codesView" -> "q175_codes"))
+        .select("query_id", "vec_id", "rank")
+    }),
     // the published DSIR + trained-language-ID recipe (quickstart-22/25)
     // COMPOSED as ONE YAML pipeline, oracled end-to-end (the q154/q135
     // discipline): lang_classify against a persisted chargram_lm store →
@@ -3720,6 +3762,14 @@ object SparkEntry {
     // IVFADC: the twin assigns to the query's own (always-probed) top-1
     // list with the query's residual — the q169 statement composed
     "q171_ann_ivfpq_exact" ->
+      """SELECT vec_id AS query_id, vec_id, 1 AS rank
+         FROM embeddings WHERE vec_id < 5
+         UNION ALL
+         SELECT vec_id AS query_id, vec_id + 2000000 AS vec_id, 2 AS rank
+         FROM embeddings WHERE vec_id < 5""",
+    // the fully-persisted IVFADC route (combined + codes stores):
+    // trains nothing, encodes nothing, q171's statement
+    "q175_ann_ivfpq_codes_exact" ->
       """SELECT vec_id AS query_id, vec_id, 1 AS rank
          FROM embeddings WHERE vec_id < 5
          UNION ALL

@@ -906,8 +906,19 @@ object Ann {
     * centroids (different corpus day, different sample) — the
     * fingerprint is what lets a persisted CODES store prove it was
     * encoded under the codebook the query is about to scan with. */
-  def pqCodebookHash(cbs: Array[Array[Array[Float]]]): Long = {
-    var h = 0xcbf29ce484222325L
+  def pqCodebookHash(cbs: Array[Array[Array[Float]]]): Long =
+    fnvFloats(0xcbf29ce484222325L, cbs.iterator.flatMap(_.iterator))
+
+  /** The [[pqCodebookHash]] statement for the COMBINED IVFADC quantizer:
+    * fingerprints the coarse centroids THEN the residual codebooks, so
+    * retraining either half re-fingerprints the pair. */
+  def ivfPqStoreHash(cents: Array[Array[Float]],
+                     cbs: Array[Array[Array[Float]]]): Long =
+    fnvFloats(fnvFloats(0xcbf29ce484222325L, cents.iterator),
+      cbs.iterator.flatMap(_.iterator))
+
+  private def fnvFloats(h0: Long, arrays: Iterator[Array[Float]]): Long = {
+    var h = h0
     def mix(x: Int): Unit = {
       var i = 0
       while (i < 4) {
@@ -916,17 +927,9 @@ object Ann {
         i += 1
       }
     }
-    var j = 0
-    while (j < cbs.length) {
-      val cb = cbs(j)
-      var c = 0
-      while (c < cb.length) {
-        val cv = cb(c)
-        var t = 0
-        while (t < cv.length) { mix(java.lang.Float.floatToIntBits(cv(t))); t += 1 }
-        c += 1
-      }
-      j += 1
+    arrays.foreach { cv =>
+      var t = 0
+      while (t < cv.length) { mix(java.lang.Float.floatToIntBits(cv(t))); t += 1 }
     }
     h
   }
@@ -997,6 +1000,71 @@ object Ann {
     store.select(col("vec_id"), col("codes"))
   }
 
+  /**
+   * Persistable IVFADC CODES store — [[pqCodesFrame]] for the composed
+   * quantizer: one slim (vec_id, list_id, codes) row per vector, stamped
+   * with the encode geometry and `ivfpq_cb_hash` (the
+   * [[ivfPqStoreHash]] fingerprint over BOTH halves). A run that loads
+   * the combined store AND this frame trains nothing and encodes
+   * nothing; the probed-list join prunes the pre-encoded frame exactly
+   * as it prunes a fresh encode.
+   */
+  def ivfPqCodesFrame(corpus: DataFrame, idCol: String, vecCol: String,
+                      cents: Array[Array[Float]],
+                      cbs: Array[Array[Array[Float]]]): DataFrame = {
+    def finiteVec(c: Column): Column = c.isNotNull &&
+      forall(c, x => x.isNotNull &&
+        x > lit(Float.NegativeInfinity) && x < lit(Float.PositiveInfinity))
+    corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<float>").as("v"))
+      .where(col("vec_id").isNotNull && finiteVec(col("v")))
+      .select(col("vec_id"),
+        graft.functions.expressions.IvfPqEncode(col("v"), cents, cbs).as("e"))
+      .select(col("vec_id"), col("e.list_id").as("list_id"),
+        col("e.codes").as("codes"),
+        lit(cbs.length).as("ivfpq_codes_m"),
+        lit(cbs(0)(0).length).as("ivfpq_codes_sub_dim"),
+        lit(PqNormSpherical).as("ivfpq_codes_norm"),
+        lit(ivfPqStoreHash(cents, cbs)).as("ivfpq_cb_hash"))
+  }
+
+  /** Validate a persisted [[ivfPqCodesFrame]] against the quantizer
+    * about to scan it ([[loadPqCodes]]'s contract, both-halves
+    * fingerprint). */
+  private def loadIvfPqCodes(store: DataFrame, cents: Array[Array[Float]],
+                             cbs: Array[Array[Array[Float]]]): DataFrame = {
+    val missing = Seq("vec_id", "list_id", "codes", "ivfpq_codes_m",
+      "ivfpq_codes_sub_dim", "ivfpq_codes_norm", "ivfpq_cb_hash")
+      .filterNot(store.columns.contains)
+    require(missing.isEmpty,
+      s"ivfPqTopK: codes store is missing column(s) " +
+        s"${missing.mkString(", ")} — not an ivfPqCodesFrame store; " +
+        "rebuild it with the ivfpq_encode transform")
+    val want = (cbs.length, cbs(0)(0).length, PqNormSpherical,
+      ivfPqStoreHash(cents, cbs))
+    val bad = store.select(col("ivfpq_codes_m").cast("int"),
+        col("ivfpq_codes_sub_dim").cast("int"),
+        col("ivfpq_codes_norm").cast("int"),
+        col("ivfpq_cb_hash").cast("long"))
+      .where(col("ivfpq_codes_m").isNull || col("ivfpq_codes_m") =!= want._1 ||
+        col("ivfpq_codes_sub_dim").isNull ||
+        col("ivfpq_codes_sub_dim") =!= want._2 ||
+        col("ivfpq_codes_norm").isNull ||
+        col("ivfpq_codes_norm") =!= want._3 ||
+        col("ivfpq_cb_hash").isNull || col("ivfpq_cb_hash") =!= want._4)
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      throw new IllegalArgumentException(
+        s"ivfPqTopK: codes store carries (m=${r.get(0)}, subDim=${r.get(1)}, " +
+          s"norm=${r.get(2)}, cb_hash=${r.get(3)}) rows but the loaded " +
+          s"store demands (m=${want._1}, subDim=${want._2}, " +
+          s"norm=${want._3}, cb_hash=${want._4}) — the codes were encoded " +
+          "under a DIFFERENT quantizer (either half retrained); re-encode " +
+          "the corpus with ivfpq_encode against this combined store")
+    }
+    store.select(col("vec_id"), col("list_id"), col("codes"))
+  }
+
   /** Train both IVFADC halves off ONE bounded hash-ordered sample: the
     * spherical coarse codebook, then RESIDUAL PQ codebooks over
     * `unit(v) − centroid(assign(v))` of the same sample — the
@@ -1061,12 +1129,17 @@ object Ann {
                 m: Int = 8, nCentroids: Int = 16, kmeansIters: Int = 3,
                 candidateFactor: Int = 8,
                 refineSampleSize: Int = DefaultRefineSample,
-                store: Option[(Array[Array[Float]], Array[Array[Array[Float]]])] = None)
+                store: Option[(Array[Array[Float]], Array[Array[Array[Float]]])] = None,
+                codesStore: Option[DataFrame] = None)
       : DataFrame = {
     require(k >= 1, s"ivfPqTopK: k must be >= 1, got $k")
     require(nProbe >= 1, s"ivfPqTopK: nProbe must be >= 1, got $nProbe")
     require(candidateFactor >= 1,
       s"ivfPqTopK: candidateFactor must be >= 1, got $candidateFactor")
+    require(codesStore.isEmpty || store.nonEmpty,
+      "ivfPqTopK: a codes store is only meaningful against the combined " +
+        "store it was encoded under — pass the loaded (centroids, " +
+        "codebooks) alongside it")
     val trained = store.getOrElse(trainIvfPq(corpus, idCol, vecCol,
       nLists, m, nCentroids, kmeansIters, refineSampleSize))
     if (trained == null || trained._1.length <= 1 ||
@@ -1083,14 +1156,19 @@ object Ann {
     def finiteVec(c: Column): Column = c.isNotNull &&
       forall(c, x => x.isNotNull &&
         x > lit(Float.NegativeInfinity) && x < lit(Float.PositiveInfinity))
-    // slim (vec_id, list_id, codes) frame — ONE fused native encode node
-    val enc = corpus
-      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<float>").as("v"))
-      .where(col("vec_id").isNotNull && finiteVec(col("v")))
-      .select(col("vec_id"),
-        graft.functions.expressions.IvfPqEncode(col("v"), cents, cbs).as("e"))
-      .select(col("vec_id"), col("e.list_id").as("list_id"),
-        col("e.codes").as("codes"))
+    // slim (vec_id, list_id, codes) frame — a persisted codes store
+    // (fingerprint-validated against THIS quantizer) skips the encode
+    // scan; otherwise ONE fused native encode node
+    val enc = codesStore match {
+      case Some(cs) => loadIvfPqCodes(cs, cents, cbs)
+      case None => corpus
+        .select(col(idCol).as("vec_id"), col(vecCol).cast("array<float>").as("v"))
+        .where(col("vec_id").isNotNull && finiteVec(col("v")))
+        .select(col("vec_id"),
+          graft.functions.expressions.IvfPqEncode(col("v"), cents, cbs).as("e"))
+        .select(col("vec_id"), col("e.list_id").as("list_id"),
+          col("e.codes").as("codes"))
+    }
     val qArr = queries
       .select(col(queryIdCol), col(vecCol).cast("array<float>").as("qv"))
       .where(col(queryIdCol).isNotNull && finiteVec(col("qv")))

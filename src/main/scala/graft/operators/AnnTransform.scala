@@ -80,9 +80,10 @@ object AnnTopKTransform extends Transform {
       throw new ConfigException(
         "ann_topk: codebookView only applies with method: ivf|pq|ivfpq — " +
           s"method '$method' never consults a codebook")
-    if (method != "pq" && config.options.contains("codesView"))
+    if (method != "pq" && method != "ivfpq" &&
+        config.options.contains("codesView"))
       throw new ConfigException(
-        "ann_topk: codesView only applies with method: pq — " +
+        "ann_topk: codesView only applies with method: pq|ivfpq — " +
           s"method '$method' never reads a pre-encoded codes frame")
     method match {
       case "brute" => graft.ann.Ann.bruteForceTopK(input, q, id, vec, qid, k)
@@ -142,6 +143,16 @@ object AnnTopKTransform extends Transform {
             wantKmeansIters = config.options.get("kmeansIters")
               .map(_ => intOption(config, "kmeansIters", 0)))
         }
+        // a persisted ivfPqCodesFrame additionally skips the encode scan;
+        // only meaningful against the exact combined store (both-halves
+        // ivfpq_cb_hash fingerprint asserted)
+        val codes = config.options.get("codesView").map { view =>
+          if (stored.isEmpty) throw new ConfigException(
+            "ann_topk: codesView requires codebookView — a codes store " +
+              "is only meaningful against the exact quantizer it was " +
+              "encoded under (its ivfpq_cb_hash stamp is checked)")
+          ctx.spark.table(view)
+        }
         graft.ann.Ann.ivfPqTopK(input, q, id, vec, qid, k,
           nLists = intOption(config, "nLists", 16),
           nProbe = intOption(config, "nProbe", 4),
@@ -149,7 +160,7 @@ object AnnTopKTransform extends Transform {
           nCentroids = intOption(config, "nCentroids", 16),
           kmeansIters = intOption(config, "kmeansIters", 3),
           candidateFactor = intOption(config, "candidateFactor", 8),
-          store = stored)
+          store = stored, codesStore = codes)
       case other => throw new ConfigException(
         s"ann_topk: method must be brute|lsh|ivf|pq|ivfpq, got '$other'")
     }

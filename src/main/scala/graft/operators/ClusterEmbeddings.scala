@@ -186,6 +186,31 @@ object PqEncodeTransform extends Transform {
   }
 }
 
+/** `ivfpq_encode` — quantize a corpus against a PERSISTED combined
+  * IVFADC store ([[graft.ann.Ann.ivfPqCodesFrame]]): one slim
+  * (vec_id, list_id, codes) row per vector, stamped with the encode
+  * geometry and the quantizer's both-halves fingerprint
+  * (`ivfpq_cb_hash`). Output REPLACES the frame. Tomorrow's `ann_topk
+  * method: ivfpq` runs pass it back via `codesView` (alongside the same
+  * `codebookView`) and train nothing, encode nothing. Options:
+  * `idColumn`/`vecColumn`/`codebookView` required. */
+object IvfPqEncodeTransform extends Transform {
+  val transformType = "ivfpq_encode"
+  override def validate(config: TransformConfig,
+                        schema: org.apache.spark.sql.types.StructType): List[String] =
+    Validate.columnsExist(schema,
+      config.options.get("idColumn").toSeq ++ config.options.get("vecColumn").toSeq,
+      transformType)
+
+  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+    required(config, "idColumn", "vecColumn", "codebookView")
+    val (cents, cbs) = graft.ann.Ann.loadIvfPqStore(
+      ctx.spark.table(config.options("codebookView")))
+    graft.ann.Ann.ivfPqCodesFrame(input,
+      config.options("idColumn"), config.options("vecColumn"), cents, cbs)
+  }
+}
+
 /** `ivfpq_codebook` — train and persist the COMBINED IVFADC store
   * ([[graft.ann.Ann.ivfPqStoreFrame]]: spherical coarse centroids +
   * RESIDUAL product-quantization codebooks off ONE bounded hash-ordered

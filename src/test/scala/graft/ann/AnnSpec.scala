@@ -199,6 +199,26 @@ class AnnSpec extends SparkTestBase {
       kmeansIters = 2).select("query_id", "vec_id", "rank")
       .as[(Long, Long, Long)].collect().toSet
     viaStore shouldBe inline
+    // PERSISTED CODES: the fully-persisted route (combined store + codes
+    // frame) matches the store-driven search exactly; a codes frame
+    // under a retrained quantizer fails the both-halves fingerprint
+    val vcodes = Ann.ivfPqCodesFrame(corpus, "vec_id", "embedding",
+      cents, cbs)
+    Ann.ivfPqTopK(corpus, queries, "vec_id", "embedding", "query_id", 5,
+      nProbe = 2, store = Some((cents, cbs)), codesStore = Some(vcodes))
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet shouldBe viaStore
+    val (rc, rcb) = Ann.loadIvfPqStore(Ann.ivfPqStoreFrame(
+      corpus.where("vec_id >= 20"), "vec_id", "embedding",
+      nLists = 8, m = 4, nCentroids = 8, kmeansIters = 2))
+    (the[IllegalArgumentException] thrownBy Ann.ivfPqTopK(corpus, queries,
+      "vec_id", "embedding", "query_id", 5, store = Some((rc, rcb)),
+      codesStore = Some(vcodes)).collect()).getMessage should
+      include ("encoded under a DIFFERENT quantizer")
+    (the[IllegalArgumentException] thrownBy Ann.ivfPqTopK(corpus, queries,
+      "vec_id", "embedding", "query_id", 5,
+      codesStore = Some(vcodes))).getMessage should
+      include ("pass the loaded (centroids, codebooks) alongside it")
     // loud store failures: caller mismatch, lost rows, missing stamp,
     // foreign geometry version
     (the[IllegalArgumentException] thrownBy
