@@ -107,6 +107,12 @@ object BenchLongDoc {
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
     val docs = spark.read.parquet(s"$base/documents.parquet")
 
+    // ambient load is sampled ONCE, before any of this JVM's own work:
+    // the second factor's artifact used to re-sample loadAvg() right
+    // after the first factor's timed passes and stamp ITSELF contended
+    // (r16 measured 2.77 on an idle box — all of it this process's
+    // not-yet-decayed 1-min average)
+    val startLoad = Bench.loadAvg()
     val factors = Seq(5, 50)
     factors.foreach { f =>
       derive(docs, f).repartition(spark.sparkContext.defaultParallelism)
@@ -119,9 +125,11 @@ object BenchLongDoc {
       .createOrReplaceTempView("ld_bpe_store")
 
     factors.foreach { f =>
-      val startLoad = Bench.loadAvg()
+      // mid-run contention is stamped through externalCpu (this JVM's
+      // own threads excluded), the same signal Bench.main's guard reads
       val results = Bench.measure(spark, queries, s"$out/f$f", runs)
-      val (big, compact) = Bench.render(results, s"$out/f$f", startLoad)
+      val (big, compact) = Bench.render(results, s"$out/f$f", startLoad,
+        endExternalCpu = Bench.externalCpu())
       Bench.perQueryLines(results).foreach(l => println(s"[f$f] $l"))
       println(compact)
       Bench.writeArtifact(s"$out/f$f", big)

@@ -101,15 +101,19 @@ object BenchVecDim {
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
     val src = spark.read.parquet(s"$base/embeddings.parquet")
 
+    // ambient load sampled ONCE before this JVM's own work — the second
+    // dim's artifact otherwise stamps itself contended with the first
+    // dim's not-yet-decayed 1-min average (the BenchLongDoc fix, shared)
+    val startLoad = Bench.loadAvg()
     val dims = Seq(64, 512)
     dims.foreach { d =>
       derive(src, d).repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$out/d$d/emb.parquet")
     }
     dims.foreach { d =>
-      val startLoad = Bench.loadAvg()
       val results = Bench.measure(spark, queries, s"$out/d$d", runs)
-      val (big, compact) = Bench.render(results, s"$out/d$d", startLoad)
+      val (big, compact) = Bench.render(results, s"$out/d$d", startLoad,
+        endExternalCpu = Bench.externalCpu())
       Bench.perQueryLines(results).foreach(l => println(s"[d$d] $l"))
       println(compact)
       Bench.writeArtifact(s"$out/d$d", big)
