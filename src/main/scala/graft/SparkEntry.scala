@@ -2173,6 +2173,45 @@ object SparkEntry {
         "codebookView" -> "q175_codebook", "codesView" -> "q175_codes"))
         .select("query_id", "vec_id", "rank")
     }),
+    // INCREMENTAL embedding dedup — the embedding-space dedup_against,
+    // closing the one near-dup family (embeddings) that had no
+    // incremental mode: reference = the planted orthogonal one-hot
+    // families (q118's provable corpus — 4 directions at positions 0..3),
+    // increment = fresh-id one-hot vectors at position vec_id % 5. A
+    // %5 ∈ {0..3} row is IDENTICAL to a whole reference family (cosine
+    // exactly 1; identical vectors share every hyperplane bucket, so
+    // recall is structural, not probabilistic) and must drop; a %5 == 4
+    // row is orthogonal to every reference row (cosine 0) and must
+    // survive. The oracle restates the survivors in SQL.
+    "q176_dedup_embedding_ref" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      plantedFamilies(s, dir).createOrReplaceTempView("q176_ref")
+      val inc = tab(s, dir, "embeddings").where("vec_id < 20")
+        .select((col("vec_id") + 5000000L).as("vec_id"), expr(
+          "transform(sequence(0, 7), i -> CAST(CASE WHEN i = vec_id % 5 " +
+            "THEN 1.0 ELSE 0.0 END AS FLOAT))").as("embedding"))
+      ap(inc, t("dedup_embedding", "idColumn" -> "vec_id",
+        "vecColumn" -> "embedding", "threshold" -> "0.95",
+        "referenceView" -> "q176_ref")).select("vec_id")
+    }),
+    // q176's statement through the SEMANTIC route (SemDeDup cells against
+    // a reference corpus): one codebook — trained on the reference —
+    // assigns both sides, so an identical twin lands in its stored copy's
+    // cell by the same (sim DESC, idx ASC) tie-break at every site; the
+    // orthogonal rows verify at cosine 0 and survive. Same provable
+    // outcome, different candidate engine.
+    "q177_dedup_semantic_ref" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      plantedFamilies(s, dir).createOrReplaceTempView("q177_ref")
+      val inc = tab(s, dir, "embeddings").where("vec_id < 20")
+        .select((col("vec_id") + 6000000L).as("vec_id"), expr(
+          "transform(sequence(0, 7), i -> CAST(CASE WHEN i = vec_id % 5 " +
+            "THEN 1.0 ELSE 0.0 END AS FLOAT))").as("embedding"))
+      ap(inc, t("dedup_semantic", "idColumn" -> "vec_id",
+        "vecColumn" -> "embedding", "threshold" -> "0.95",
+        "nClusters" -> "40", "kmeansIters" -> "2",
+        "referenceView" -> "q177_ref")).select("vec_id")
+    }),
     // the published DSIR + trained-language-ID recipe (quickstart-22/25)
     // COMPOSED as ONE YAML pipeline, oracled end-to-end (the q154/q135
     // discipline): lang_classify against a persisted chargram_lm store →
@@ -3775,6 +3814,18 @@ object SparkEntry {
          UNION ALL
          SELECT vec_id AS query_id, vec_id + 2000000 AS vec_id, 2 AS rank
          FROM embeddings WHERE vec_id < 5""",
+    // incremental embedding dedup vs the planted one-hot reference:
+    // %5 ∈ {0..3} increments duplicate a whole reference family (cosine
+    // exactly 1 — structural hyperplane recall) and drop; %5 == 4 rows
+    // are orthogonal to every reference vector and survive
+    "q176_dedup_embedding_ref" ->
+      """SELECT vec_id + 5000000 AS vec_id
+         FROM embeddings WHERE vec_id < 20 AND vec_id % 5 = 4""",
+    // the same survivor statement through SemDeDup cells (one codebook
+    // assigns both sides; orthogonal rows verify at cosine 0 and live)
+    "q177_dedup_semantic_ref" ->
+      """SELECT vec_id + 6000000 AS vec_id
+         FROM embeddings WHERE vec_id < 20 AND vec_id % 5 = 4""",
     // the same statement through the declarative route + persisted
     // COMBINED store
     "q172_ann_ivfpq_store_exact" ->

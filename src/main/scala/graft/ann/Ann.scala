@@ -1524,4 +1524,114 @@ object Ann {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Hyperplane-bucket one side of an incremental embedding-dedup join:
+    * bucket (deterministic seeded hyperplanes — IDENTICAL planes on both
+    * sides, so an identical vector lands in identical buckets in every
+    * table), then cap mega-buckets loudly per side before any join
+    * touches them (the [[cosineNearDups]] discipline, per frame). */
+  private def cappedBuckets(frame: DataFrame, idName: String, tables: Int,
+                            bits: Int, maxBucketSize: Int,
+                            tag: String): DataFrame =
+    graft.runtime.BucketCapObserver.observeCap(
+        withBuckets(frame, idName, "vec", tables, bits)
+          .select(col(idName), col("table_id"), col("bucket"))
+          .withColumn("bucket_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("table_id", "bucket"))),
+        tag, "bucket_n", maxBucketSize)
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select(idName, "table_id", "bucket")
+
+  /**
+   * INCREMENTAL embedding-cosine near-dup — [[cosineNearDups]] against a
+   * REFERENCE corpus instead of a self-join: the (id, ref_id, sim) hits
+   * of `increment` rows within cosine ≥ `threshold` of ANY reference row.
+   * The embedding-space counterpart of `dedup_against` /
+   * [[graft.dedup.Dedup.minhashNearDupsAgainst]]: dedup today's crawl
+   * increment against yesterday's 100 TB corpus without re-pairing (or
+   * re-reading the text of) history — the reference side is scanned once
+   * for its embeddings and only its slim (ref_id, table, bucket) frame
+   * plus candidate vectors ever shuffle.
+   *
+   * Both sides bucket through the SAME deterministic seeded hyperplanes,
+   * so an identical (or sign-preserved near-identical) vector collides
+   * with its stored copy in every table — planted-twin recall is
+   * structural, like the hamming/minhash incremental paths. Mega-buckets
+   * cap loudly PER SIDE before the join (the one quadratic risk). A row
+   * re-ingesting an id present in the reference pairs with its own stored
+   * vector (sim 1.0) — exactly what an increment replaying yesterday's
+   * row wants.
+   */
+  def cosineNearDupsAgainst(increment: DataFrame, reference: DataFrame,
+                            idCol: String, vecCol: String,
+                            refIdCol: String, refVecCol: String,
+                            threshold: Double, bits: Int = 8,
+                            tables: Int = 4,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val inc = increment.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val ref = reference.select(col(refIdCol).as("ref_id"),
+      col(refVecCol).as("vec"))
+    val l = cappedBuckets(inc, "id", tables, bits, maxBucketSize,
+      "hyperplane-new")
+    val r = cappedBuckets(ref, "ref_id", tables, bits, maxBucketSize,
+      "hyperplane-ref")
+    l.join(r, Seq("table_id", "bucket"))
+      .select("id", "ref_id").dropDuplicates("id", "ref_id")
+      .join(inc.select(col("id"), col("vec").as("va")), Seq("id"))
+      .join(ref.select(col("ref_id"), col("vec").as("vb")), Seq("ref_id"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id"), col("ref_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /**
+   * INCREMENTAL semantic near-dup — [[semanticNearDups]] against a
+   * REFERENCE corpus: the (id, ref_id, sim) hits of `increment` rows
+   * within cosine ≥ `threshold` of any reference row sharing their
+   * spherical k-means cell. Catches the paraphrase duplicates the
+   * hyperplane route ([[cosineNearDupsAgainst]]) hashes apart — the
+   * SemDeDup statement for nightly increments.
+   *
+   * ONE codebook assigns BOTH sides (passed in from a persisted
+   * [[codebookFrame]] store, or trained here on the REFERENCE — the
+   * stable distribution), so an identical vector lands in its stored
+   * copy's cell by construction; recall for true twins is bounded only
+   * by the per-side `maxClusterSize` cap, which fails loud via
+   * [[graft.runtime.BucketCapObserver]], never silently. Prefer the
+   * persisted-store route at scale: cells then ALSO stay comparable
+   * across runs and the reference sampling scan disappears.
+   */
+  def semanticNearDupsAgainst(increment: DataFrame, reference: DataFrame,
+                              idCol: String, vecCol: String,
+                              refIdCol: String, refVecCol: String,
+                              threshold: Double, nClusters: Int = 64,
+                              kmeansIters: Int = 3,
+                              maxClusterSize: Int = 1000,
+                              codebook: Option[Array[Array[Float]]] = None)
+      : DataFrame = {
+    import graft.functions.expressions.ArgTopCentroids
+    val inc = increment.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val ref = reference.select(col(refIdCol).as("ref_id"),
+      col(refVecCol).as("vec"))
+    val cents = codebook.getOrElse(
+      kmeansCentroids(ref, "ref_id", "vec", nClusters, kmeansIters))
+    def cappedCells(frame: DataFrame, idName: String, tag: String) =
+      graft.runtime.BucketCapObserver.observeCap(
+          frame.select(col(idName),
+            ArgTopCentroids(col("vec"), cents, 1).getItem(0).as("cluster_id"))
+            .withColumn("cluster_n", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("cluster_id"))),
+          tag, "cluster_n", maxClusterSize)
+        .filter(col("cluster_n") <= maxClusterSize)
+        .select(idName, "cluster_id")
+    cappedCells(inc, "id", "semantic_cell-new")
+      .join(cappedCells(ref, "ref_id", "semantic_cell-ref"), Seq("cluster_id"))
+      .select("id", "ref_id").dropDuplicates("id", "ref_id")
+      .join(inc.select(col("id"), col("vec").as("va")), Seq("id"))
+      .join(ref.select(col("ref_id"), col("vec").as("vb")), Seq("ref_id"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id"), col("ref_id"), round(col("sim"), 4).as("sim"))
+  }
 }

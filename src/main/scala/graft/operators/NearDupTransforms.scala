@@ -262,11 +262,12 @@ object SimhashDedupTransform extends NearDupTransform {
   * a single historical container. Survivor options are rejected (the
   * reference always survives; it is not part of the frame). */
 private[operators] object MediaSigIncrement {
-  def rejectSurvivorOpts(transformType: String, config: TransformConfig): Unit =
+  def rejectSurvivorOpts(transformType: String, config: TransformConfig,
+                         modeOption: String = "signatureView"): Unit =
     Seq("survivor", "survivorColumn", "survivorOrder")
       .filter(config.options.contains).foreach { opt =>
         throw new ConfigException(
-          s"$transformType: $opt does not apply with signatureView — the " +
+          s"$transformType: $opt does not apply with $modeOption — the " +
             "reference is not part of the frame, so there is no election " +
             "to run")
       }
@@ -541,7 +542,17 @@ object MediaSignaturesTransform extends Transform {
   * (defaults as in [[graft.ann.Ann.cosineNearDups]]). Inherits the
   * hyperplane-LSH bucketed shape: buckets are computed once into a slim
   * (table_id, bucket, doc_id) frame, mega-buckets are capped, and exact
-  * cosine runs only on surviving candidate pairs. */
+  * cosine runs only on surviving candidate pairs.
+  *
+  * With `referenceView` (+ optional `referenceIdColumn`/
+  * `referenceVecColumn`): INCREMENTAL mode
+  * ([[graft.ann.Ann.cosineNearDupsAgainst]]) — drop input rows whose
+  * embedding is cosine-≥-threshold close to ANY reference row, the
+  * embedding-space `dedup_against`: today's increment dedups against
+  * yesterday's corpus without re-pairing history (both sides bucket
+  * through the same deterministic hyperplanes; identical vectors always
+  * collide). Survivor options are rejected in incremental mode — the
+  * reference always survives; it is not part of the frame. */
 object EmbeddingDedupTransform extends NearDupTransform {
   val transformType = "dedup_embedding"
   override protected def contentOption: String = "vecColumn"
@@ -552,6 +563,27 @@ object EmbeddingDedupTransform extends NearDupTransform {
       bits = intOpt(config, "bits", 8),
       tables = intOpt(config, "tables", 4),
       maxBucketSize = intOpt(config, "maxBucketSize", 1000))
+
+  override def apply(input: DataFrame, config: TransformConfig,
+                     ctx: RunContext): DataFrame =
+    config.options.get("referenceView") match {
+      case None => super.apply(input, config, ctx)
+      case Some(view) =>
+        MediaSigIncrement.rejectSurvivorOpts(transformType, config,
+          modeOption = "referenceView")
+        required(config, "idColumn", "vecColumn")
+        val id = config.options("idColumn")
+        val vec = config.options("vecColumn")
+        val hits = graft.ann.Ann.cosineNearDupsAgainst(
+          input, ctx.spark.table(view), id, vec,
+          config.options.getOrElse("referenceIdColumn", id),
+          config.options.getOrElse("referenceVecColumn", vec),
+          threshold = doubleOpt(config, "threshold", 0.9),
+          bits = intOpt(config, "bits", 8),
+          tables = intOpt(config, "tables", 4),
+          maxBucketSize = intOpt(config, "maxBucketSize", 1000))
+        input.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
+    }
 }
 
 /** SemDeDup-style semantic near-dup removal (spherical k-means cells +
@@ -568,23 +600,57 @@ object EmbeddingDedupTransform extends NearDupTransform {
 object SemanticDedupTransform extends NearDupTransform {
   val transformType = "dedup_semantic"
   override protected def contentOption: String = "vecColumn"
-  protected def pairs(input: DataFrame, id: String, vec: String,
-                      config: TransformConfig): DataFrame = {
-    // `codebookView` reuses a persisted `codebook` store (the
-    // cluster_embeddings loop): no sampling scan, stable cells across
-    // runs, stamp mismatches fail fast via loadCodebook
-    val codebook = config.options.get("codebookView").map { view =>
-      graft.ann.Ann.loadCodebook(input.sparkSession.table(view),
+
+  /** `codebookView` reuses a persisted `codebook` store (the
+    * cluster_embeddings loop): no sampling scan, stable cells across
+    * runs, stamp mismatches fail fast via loadCodebook. */
+  private def storedCodebook(config: TransformConfig,
+                             spark: org.apache.spark.sql.SparkSession)
+      : Option[Array[Array[Float]]] =
+    config.options.get("codebookView").map { view =>
+      graft.ann.Ann.loadCodebook(spark.table(view),
         config.options.get("nClusters").map(_.toInt),
         config.options.get("kmeansIters").map(_.toInt))
     }
+
+  protected def pairs(input: DataFrame, id: String, vec: String,
+                      config: TransformConfig): DataFrame =
     graft.ann.Ann.semanticNearDups(input, id, vec,
       threshold = doubleOpt(config, "threshold", 0.9),
       nClusters = intOpt(config, "nClusters", 64),
       kmeansIters = intOpt(config, "kmeansIters", 3),
       maxClusterSize = intOpt(config, "maxClusterSize", 1000),
-      codebook = codebook)
-  }
+      codebook = storedCodebook(config, input.sparkSession))
+
+  /** With `referenceView` (+ optional `referenceIdColumn`/
+    * `referenceVecColumn`): INCREMENTAL mode
+    * ([[graft.ann.Ann.semanticNearDupsAgainst]]) — drop input rows
+    * semantically duplicate (same cell, cosine ≥ threshold) to ANY
+    * reference row. One codebook assigns both sides — from the
+    * `codebookView` store when given (preferred at scale: no sampling
+    * scan, cells comparable across runs), else trained on the reference.
+    * Survivor options are rejected in incremental mode. */
+  override def apply(input: DataFrame, config: TransformConfig,
+                     ctx: RunContext): DataFrame =
+    config.options.get("referenceView") match {
+      case None => super.apply(input, config, ctx)
+      case Some(view) =>
+        MediaSigIncrement.rejectSurvivorOpts(transformType, config,
+          modeOption = "referenceView")
+        required(config, "idColumn", "vecColumn")
+        val id = config.options("idColumn")
+        val vec = config.options("vecColumn")
+        val hits = graft.ann.Ann.semanticNearDupsAgainst(
+          input, ctx.spark.table(view), id, vec,
+          config.options.getOrElse("referenceIdColumn", id),
+          config.options.getOrElse("referenceVecColumn", vec),
+          threshold = doubleOpt(config, "threshold", 0.9),
+          nClusters = intOpt(config, "nClusters", 64),
+          kmeansIters = intOpt(config, "kmeansIters", 3),
+          maxClusterSize = intOpt(config, "maxClusterSize", 1000),
+          codebook = storedCodebook(config, ctx.spark))
+        input.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
+    }
 }
 
 /**

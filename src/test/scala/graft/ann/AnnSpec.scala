@@ -625,6 +625,62 @@ class AnnSpec extends SparkTestBase {
     uncapped.count() shouldBe (20L * 19 / 2)
   }
 
+  test("incremental cosine near-dup: twin vs reference drops, orthogonal survives, re-ingested id self-pairs") {
+    // reference = 3 orthogonal one-hots; increment = an identical twin of
+    // ref 0 (must hit: identical vectors share every hyperplane bucket),
+    // an orthogonal vector (must miss), and ref 1 re-ingested under its
+    // OWN id (must hit its stored copy — the replayed-increment contract)
+    val ref = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f))).toDF("ref_id", "vec")
+    val inc = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 0f, 0f, 1f)),
+      (1L, Array(0f, 1f, 0f, 0f))).toDF("id", "vec")
+    val hits = Ann.cosineNearDupsAgainst(inc, ref, "id", "vec", "ref_id", "vec",
+      threshold = 0.95, bits = 6, tables = 6)
+      .select("id", "ref_id").as[(Long, Long)].collect().toSet
+    hits should contain ((100L, 0L))
+    hits should contain ((1L, 1L))
+    hits.map(_._1) should not contain 101L
+  }
+
+  test("incremental cosine near-dup: per-side bucket caps block mega-buckets loudly, not quadratically") {
+    val same = Array.tabulate(8)(_.toFloat / 8f)
+    val ref = spark.range(300).select(col("id").as("ref_id"), typedlit(same).as("vec"))
+    val inc = spark.range(5).select((col("id") + 1000L).as("id"), typedlit(same).as("vec"))
+    // the reference side's bucket (300 identical rows) exceeds the cap →
+    // no pairs at all; with a generous cap every (inc, ref) pair verifies
+    Ann.cosineNearDupsAgainst(inc, ref, "id", "vec", "ref_id", "vec",
+      threshold = 0.9, bits = 6, tables = 4, maxBucketSize = 100)
+      .count() shouldBe 0
+    Ann.cosineNearDupsAgainst(inc, ref.limit(20), "id", "vec", "ref_id", "vec",
+      threshold = 0.9, bits = 6, tables = 4, maxBucketSize = 1000)
+      .count() shouldBe (5L * 20)
+  }
+
+  test("incremental semantic near-dup: one codebook assigns both sides; twin drops, orthogonal survives") {
+    val ref = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f))).toDF("ref_id", "vec")
+    val inc = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 0f, 0f, 1f))).toDF("id", "vec")
+    val hits = Ann.semanticNearDupsAgainst(inc, ref, "id", "vec", "ref_id", "vec",
+      threshold = 0.95, nClusters = 3, kmeansIters = 2)
+      .select("id", "ref_id").as[(Long, Long)].collect().toSet
+    hits should contain ((100L, 0L))
+    hits.map(_._1) should not contain 101L
+    // a persisted-codebook route (the incremental production shape) finds
+    // the same hits — cells from the store, no reference sampling scan
+    val store = Ann.codebookFrame(ref, "ref_id", "vec", nLists = 3, kmeansIters = 2)
+    val viaStore = Ann.semanticNearDupsAgainst(inc, ref, "id", "vec", "ref_id", "vec",
+      threshold = 0.95, nClusters = 3, kmeansIters = 2,
+      codebook = Some(Ann.loadCodebook(store, Some(3), Some(2))))
+      .select("id", "ref_id").as[(Long, Long)].collect().toSet
+    viaStore shouldBe hits
+  }
+
   test("int8 quantization: values in [-127,127], round-trip error <= scale/2, zero-vector safe") {
     import graft.functions.VectorFunctions._
     val withZero = corpus.unionByName(

@@ -649,6 +649,37 @@ class ExamplesSpec extends SparkTestBase {
       Array(0L, 1L, 2L, 3L, 99L)
   }
 
+  test("quickstart-33: codebook persisted in run N, the embedding increment " +
+    "dedups semantically against yesterday's corpus in run N+1") {
+    import org.apache.spark.sql.functions._
+    // run N's corpus: 8 one-hot embeddings over 4 orthogonal directions
+    // (vec_id % 4) — provable cells, like the q176/q177 oracle corpus
+    def oneHot(mod: Int) = expr(
+      s"transform(sequence(0, 7), i -> CAST(CASE WHEN i = vec_id % $mod " +
+        "THEN 1.0 ELSE 0.0 END AS FLOAT))")
+    spark.range(8).select(col("id").as("vec_id"))
+      .select(col("vec_id"), oneHot(4).as("embedding"))
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-examples/quickstart-33-corpus")
+    run("quickstart-33-embedding-codebook.yaml")
+    val cb = spark.read.parquet("/tmp/graft-examples/quickstart-33-codebook")
+    cb.count() shouldBe 4
+    cb.columns should contain allOf ("list_id", "vec", "cb_n_lists")
+    // run N+1's increment: directions vec_id % 6 over ids 100..105 —
+    // seeds 4,0,... : ids with direction 0..3 duplicate a whole history
+    // family (cosine exactly 1, same cell under the shared codebook),
+    // directions 4 and 5 are orthogonal to all of history and survive
+    spark.range(100, 106).select(col("id").as("vec_id"))
+      .select(col("vec_id"), oneHot(6).as("embedding"))
+      .write.mode("overwrite")
+      .parquet("/tmp/graft-examples/quickstart-33-increment")
+    run("quickstart-33-incremental-semantic.yaml")
+    // ids 100..105 have directions 4,5,0,1,2,3 → only 100/101 survive
+    spark.read.parquet("/tmp/graft-examples/quickstart-33-out")
+      .select("vec_id").as[Long].collect().sorted shouldBe
+      Array(100L, 101L)
+  }
+
   test("quickstart-32: media signatures persisted in run N, the crawl " +
     "increment dedups against them in run N+1 without re-parsing history") {
     import org.apache.spark.sql.functions._

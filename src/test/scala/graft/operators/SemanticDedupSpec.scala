@@ -70,6 +70,59 @@ class SemanticDedupSpec extends SparkTestBase {
     out.count() shouldBe 8 // nothing dropped — no cell may go quadratic
   }
 
+  test("referenceView: incremental semantic dedup drops rows duplicate to the " +
+    "reference, keeps the rest; survivor options rejected; codebookView composes") {
+    corpus.createOrReplaceTempView("sd_ref")
+    // 2001 duplicates reference row 1 exactly (must drop — identical
+    // vectors share a cell under any codebook); 2002 is orthogonal to
+    // every reference vector (must survive)
+    val inc = Seq(
+      2001L -> vec(1, 0, 0, 0), 2002L -> vec(0, 0, 0, 1)
+    ).toDF("vec_id", "embedding")
+    val out = run(inc, "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+      "threshold" -> "0.95", "nClusters" -> "2", "kmeansIters" -> "2",
+      "referenceView" -> "sd_ref").select("vec_id").as[Long].collect()
+    out shouldBe Array(2002L)
+    // the persisted-codebook production shape: same outcome, cells from
+    // the store (sampling scan gone), stamps asserted
+    graft.ann.Ann.codebookFrame(corpus, "vec_id", "embedding",
+      nLists = 2, kmeansIters = 2).createOrReplaceTempView("sd_ref_cb")
+    run(inc, "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+      "threshold" -> "0.95", "nClusters" -> "2", "kmeansIters" -> "2",
+      "referenceView" -> "sd_ref", "codebookView" -> "sd_ref_cb")
+      .select("vec_id").as[Long].collect() shouldBe Array(2002L)
+    val e = intercept[graft.api.ConfigException] {
+      run(inc, "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "referenceView" -> "sd_ref", "survivor" -> "cluster").collect()
+    }
+    e.getMessage should include("referenceView")
+  }
+
+  test("referenceView on dedup_embedding: hyperplane route drops twins, keeps " +
+    "orthogonals, honors reference column aliases") {
+    corpus.select($"vec_id".as("rid"), $"embedding".as("rvec"))
+      .createOrReplaceTempView("ed_ref")
+    val inc = Seq(
+      3001L -> vec(0, 1, 0, 0), 3002L -> vec(0, 0, 0, 1)
+    ).toDF("vec_id", "embedding")
+    val out = EmbeddingDedupTransform(inc,
+      TransformConfig("ed", "dedup_embedding", Map(
+        "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+        "threshold" -> "0.95", "bits" -> "6", "tables" -> "6",
+        "referenceView" -> "ed_ref", "referenceIdColumn" -> "rid",
+        "referenceVecColumn" -> "rvec")), ctx)
+      .select("vec_id").as[Long].collect()
+    out shouldBe Array(3002L)
+    val e = intercept[graft.api.ConfigException] {
+      EmbeddingDedupTransform(inc,
+        TransformConfig("ed", "dedup_embedding", Map(
+          "idColumn" -> "vec_id", "vecColumn" -> "embedding",
+          "referenceView" -> "ed_ref", "survivorColumn" -> "vec_id")), ctx)
+        .collect()
+    }
+    e.getMessage should include("referenceView")
+  }
+
   test("survivor=cluster routes through transitive components") {
     // chain: 1 ≈ 1001 (exact) and 1 ≈ 21 (0.995), 21-vs-1001 also 0.995 —
     // component {1, 21, 1001} keeps only min id 1
