@@ -31,6 +31,17 @@ object Checkpointing {
   // pipeline A had already set A's dir on the shared SparkContext
   @volatile private var appliedDir: Option[String] = None
 
+  /** [[checkpoint]] for MULTI-CONSUMER batch frames that may also flow
+    * through a streaming pipeline: a no-op on streaming frames (where
+    * localCheckpoint/checkpoint are unsupported and the consuming
+    * operator's own streaming error is the guided one), the lazy shared
+    * checkpoint otherwise. Use at the head of any transform that consumes
+    * its input more than once — without truncation a composed pipeline
+    * re-executes its whole upstream tower per consumer (measured on
+    * q154's html_strip + quality stack: 2-3× the stage's own cost). */
+  def shared(df: DataFrame): DataFrame =
+    if (df.isStreaming) df else checkpoint(df, eager = false)
+
   /** Truncate `df`'s lineage under the session-configured mode.
     * `eager = false` defers materialization to first use (the lazy shared
     * tf frame); `eager = true` materializes now (per-round loop frames). */

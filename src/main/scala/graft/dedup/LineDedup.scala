@@ -40,11 +40,19 @@ object LineDedup {
                  separator: String = "\n", minLength: Int = 1): DataFrame = {
     require(separator.nonEmpty, "dedupLines: separator must be non-empty")
     require(minLength >= 1, s"dedupLines: minLength must be >= 1, got $minLength")
+    // the input is consumed THREE times (survivor election, the keep
+    // join, and rebuild's id join) — without lineage truncation a
+    // composed pipeline re-executes its whole upstream tower per
+    // consumer (measured: dedup_lines after an html_strip + quality
+    // stack cost 3.4 s where the stage's own work is ~1 s). The lazy
+    // shared checkpoint (the tfidf pattern) materializes the frame on
+    // first use and every consumer reads the same blocks.
+    val staged = graft.api.Checkpointing.shared(df)
     // null-id docs cannot participate: the id is the survivor tie-break
     // AND the rebuild key, so a null id would elect un-rejoinable
     // survivors (disabling dedup for those lines corpus-wide) and blank
     // the doc's text on rebuild — they pass through verbatim instead
-    val lines = df.where(col(idCol).isNotNull).select(col(idCol).as("__id"),
+    val lines = staged.where(col(idCol).isNotNull).select(col(idCol).as("__id"),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(separator), -1)).as(Seq("__pos", "__ln")))
     val survivors = lines.where(length(col("__ln")) >= minLength)
@@ -56,7 +64,7 @@ object LineDedup {
     val kept = lines.join(survivors, Seq("__ln"), "left")
       .where(col("__sid").isNull ||
         (col("__id") === col("__sid") && col("__pos") === col("__spos")))
-    rebuild(df, kept, idCol, textCol, separator)
+    rebuild(staged, kept, idCol, textCol, separator)
   }
 
   /** Reassemble each document from its kept (__id, __pos, __ln) lines in
@@ -93,8 +101,11 @@ object LineDedup {
     require(separator.nonEmpty, "dedupLines: separator must be non-empty")
     require(minLength >= 1, s"dedupLines: minLength must be >= 1, got $minLength")
     val sep = java.util.regex.Pattern.quote(separator)
+    // consumed twice (line frame + rebuild's id join) — truncate lineage
+    // so a composed upstream tower executes once (the dedupLines fix)
+    val staged = graft.api.Checkpointing.shared(df)
     // null-id docs pass through verbatim — see dedupLines
-    val lines = df.where(col(idCol).isNotNull).select(col(idCol).as("__id"),
+    val lines = staged.where(col(idCol).isNotNull).select(col(idCol).as("__id"),
       posexplode(split(col(textCol), sep, -1)).as(Seq("__pos", "__ln")))
     val refHashes = ref
       .select(explode(split(col(refTextCol), sep, -1)).as("__ln"))
@@ -106,7 +117,7 @@ object LineDedup {
       .withColumn("__h",
         when(length(col("__ln")) >= minLength, sha2(col("__ln"), 256)))
       .join(refHashes, Seq("__h"), "left_anti")
-    rebuild(df, kept, idCol, textCol, separator)
+    rebuild(staged, kept, idCol, textCol, separator)
   }
 
   /** The persistable LINE-HASH STORE: the distinct sha-256 of every
@@ -163,13 +174,16 @@ object LineDedup {
           "mismatched parameters would hash different lines and silently " +
           "drop nothing; rebuild the store or align the parameters")
     val sep = java.util.regex.Pattern.quote(separator)
-    val lines = df.where(col(idCol).isNotNull).select(col(idCol).as("__id"),
+    // consumed twice (line frame + rebuild's id join) — truncate lineage
+    // so a composed upstream tower executes once (the dedupLines fix)
+    val staged = graft.api.Checkpointing.shared(df)
+    val lines = staged.where(col(idCol).isNotNull).select(col(idCol).as("__id"),
       posexplode(split(col(textCol), sep, -1)).as(Seq("__pos", "__ln")))
     val kept = lines
       .withColumn("__h",
         when(length(col("__ln")) >= minLength, sha2(col("__ln"), 256)))
       .join(store.select(col("lh").as("__h")), Seq("__h"), "left_anti")
-    rebuild(df, kept, idCol, textCol, separator)
+    rebuild(staged, kept, idCol, textCol, separator)
   }
 
   /** WITHIN-document variant: keep each participating line's first

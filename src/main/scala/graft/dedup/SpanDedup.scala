@@ -393,27 +393,33 @@ object SpanDedupTransform extends Transform {
       case other => throw new ConfigException(
         s"dedup_spans mode must be remove|report, got '$other'")
     }
+    // every branch consumes the input at least twice (the gram stream,
+    // corpus-scope dup counting, and remove-mode's rebuild join) — in a
+    // composed pipeline each consumer would re-execute the whole upstream
+    // tower without lineage truncation (the dedupLines/NearDupTransform
+    // fix, measured 2-3x stage cost on q154's stack)
+    val staged = graft.api.Checkpointing.shared(input)
     (ref, sig, method, report) match {
       case (Some((r, rt)), None, "bloom", false) =>
-        SpanDedup.removeSpansAgainstBloom(input, id, text, r, rt, n, fpp)
+        SpanDedup.removeSpansAgainstBloom(staged, id, text, r, rt, n, fpp)
       case (Some((r, rt)), None, "bloom", true) =>
-        SpanDedup.dupSpansAgainstBloom(input, id, text, r, rt, n, fpp)
+        SpanDedup.dupSpansAgainstBloom(staged, id, text, r, rt, n, fpp)
       case (Some((r, rt)), None, _, false) =>
-        SpanDedup.removeSpansAgainst(input, id, text, r, rt, n)
+        SpanDedup.removeSpansAgainst(staged, id, text, r, rt, n)
       case (Some((r, rt)), None, _, true) =>
-        SpanDedup.dupSpansAgainst(input, id, text, r, rt, n)
+        SpanDedup.dupSpansAgainst(staged, id, text, r, rt, n)
       case (None, Some(st), "bloom", false) =>
-        SpanDedup.removeSpansAgainstStoreBloom(input, id, text, st, n, fpp)
+        SpanDedup.removeSpansAgainstStoreBloom(staged, id, text, st, n, fpp)
       case (None, Some(st), "bloom", true) =>
-        SpanDedup.dupSpansAgainstStoreBloom(input, id, text, st, n, fpp)
+        SpanDedup.dupSpansAgainstStoreBloom(staged, id, text, st, n, fpp)
       case (None, Some(st), _, false) =>
-        SpanDedup.removeSpansAgainstStore(input, id, text, st, n)
+        SpanDedup.removeSpansAgainstStore(staged, id, text, st, n)
       case (None, Some(st), _, true) =>
-        SpanDedup.dupSpansAgainstStore(input, id, text, st, n)
+        SpanDedup.dupSpansAgainstStore(staged, id, text, st, n)
       case (None, None, _, false) =>
-        SpanDedup.removeDupSpans(input, id, text, n, minCount)
+        SpanDedup.removeDupSpans(staged, id, text, n, minCount)
       case (None, None, _, true) =>
-        SpanDedup.dupSpans(input, id, text, n, minCount)
+        SpanDedup.dupSpans(staged, id, text, n, minCount)
       case _ => throw new IllegalStateException("unreachable")
     }
     } catch { case e: IllegalArgumentException => throw new ConfigException(e.getMessage) }

@@ -46,8 +46,16 @@ abstract class NearDupTransform extends Transform {
         config.options.get("survivorColumn").toSeq,
       transformType)
 
-  def apply(input: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
+  def apply(input0: DataFrame, config: TransformConfig, ctx: RunContext): DataFrame = {
     required(config, "idColumn", contentOption)
+    // the input is consumed at least twice (the pair engine + the final
+    // left_anti keep join; survivor election adds a third read) — in a
+    // composed pipeline each consumer would otherwise re-execute the
+    // whole upstream tower (measured on q154: dedup_minhash after the
+    // html_strip + quality stack cost 1.4 s where its own work is
+    // ~0.5 s). The lazy shared checkpoint materializes the frame on
+    // first use; every consumer reads the same blocks.
+    val input = graft.api.Checkpointing.shared(input0)
     val id = config.options("idColumn")
     val content = config.options(contentOption)
     // quality-keyed survivor election: `survivorColumn` names a numeric
