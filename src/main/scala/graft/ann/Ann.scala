@@ -26,6 +26,41 @@ import graft.dedup.Dedup
  */
 object Ann {
 
+  /** Default cap on the queries side of EVERY ANN method. The whole family
+    * is built on a "queries are small" contract — brute/LSH/IVF broadcast
+    * the queries frame to every task, and PQ/IVFADC collect it to the
+    * driver and ship |queries|·m·k LUT doubles inside the task closure —
+    * so an unbounded queries frame is a driver/executor OOM, not a slow
+    * query. The contract is ENFORCED (the engine's loud-contract
+    * discipline), never documentation-only: exceeding it throws the
+    * guided error below naming this knob. Tune per driver size via the
+    * `maxQueries` parameter (`maxQueries` option on `ann_topk`);
+    * docs/SCALE.md documents the sizing math. */
+  val DefaultMaxQueries = 4096
+
+  /** The guided over-cap error every ANN method throws. */
+  private def oversizedQueries(method: String, cap: Int): Nothing =
+    throw new graft.api.ConfigException(
+      s"$method: the queries frame exceeds maxQueries=$cap rows — ANN " +
+        "queries broadcast to every task (PQ/IVFADC additionally collect " +
+        "them driver-side and ship per-query m×k lookup tables in the " +
+        "task closure), so an unbounded queries frame means a driver " +
+        "OOM, not a slow query. Batch the queries (at most maxQueries " +
+        "per call, union the results) or raise maxQueries deliberately " +
+        "if the driver is sized for it.")
+
+  /** Enforce the queries-side cap for the BROADCAST methods (brute/LSH/
+    * IVF), where the engine never collects the frame itself. ONE bounded
+    * job — limit(cap+1) guarantees the check can never scan more than
+    * cap+1 rows of the queries frame, no matter its true size. */
+  private def requireSmallQueries(queries: DataFrame, method: String,
+                                  maxQueries: Int): Unit = {
+    require(maxQueries >= 1,
+      s"$method: maxQueries must be >= 1, got $maxQueries")
+    if (queries.limit(maxQueries + 1).count() > maxQueries)
+      oversizedQueries(method, maxQueries)
+  }
+
   /**
    * Two-phase per-query top-k over a scored frame (query_id, vec_id, sim):
    * partial per-partition top-k via [[TopKAggregator]] (map-side reduction
@@ -123,7 +158,9 @@ object Ann {
     * the corpus scan (zero shuffle), then the two-phase top-k. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, queryIdCol: String,
-                     k: Int): DataFrame = {
+                     k: Int,
+                     maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    requireSmallQueries(queries, "bruteForceTopK", maxQueries)
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("qvec")))
     val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
@@ -153,7 +190,9 @@ object Ann {
     * recall, corpus joined on (table, bucket) instead of crossed. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
-              k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+              k: Int, bits: Int = 12, tables: Int = 4,
+              maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    requireSmallQueries(queries, "lshTopK", maxQueries)
     val c = withBuckets(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, tables, bits)
       .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"), col("table_id"), col("bucket"))
     val q = withBuckets(queries.select(col(queryIdCol), col(vecCol)), queryIdCol, vecCol, tables, bits)
@@ -186,7 +225,9 @@ object Ann {
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int, nLists: Int = 64, nProbe: Int = 8,
               kmeansIters: Int = 0,
-              refineSampleSize: Int = DefaultRefineSample): DataFrame = {
+              refineSampleSize: Int = DefaultRefineSample,
+              maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    requireSmallQueries(queries, "ivfTopK", maxQueries)
     // ONE sampling pass covers both the codebook init and (when refining)
     // the Lloyd sample: the first nLists rows of the larger hash-ordered
     // sample ARE exactly the nLists-row codebook (same ordering, same scan)
@@ -196,7 +237,8 @@ object Ann {
     // degenerate corpora (0 or 1 vectors): no codebook to probe — brute
     // force IS the IVF plan with one list, and it handles empty inputs
     if (sampled.length <= 1)
-      return bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
+      return bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k,
+        maxQueries = maxQueries)
     val centroids =
       if (kmeansIters > 0) refineCentroids(sample, sampled, kmeansIters)
       else sampled
@@ -437,10 +479,13 @@ object Ann {
                           idCol: String, vecCol: String, queryIdCol: String,
                           k: Int, store: DataFrame, nProbe: Int = 8,
                           wantNLists: Option[Int] = None,
-                          wantKmeansIters: Option[Int] = None): DataFrame = {
+                          wantKmeansIters: Option[Int] = None,
+                          maxQueries: Int = DefaultMaxQueries): DataFrame = {
+    requireSmallQueries(queries, "ivfTopKWithCodebook", maxQueries)
     val centroids = loadCodebook(store, wantNLists, wantKmeansIters)
     if (centroids.length <= 1)
-      bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
+      bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k,
+        maxQueries = maxQueries)
     else ivfWithCentroids(corpus, queries, idCol, vecCol, queryIdCol,
       k, centroids, nProbe)
   }
@@ -633,8 +678,11 @@ object Ann {
              candidateFactor: Int = 8,
              refineSampleSize: Int = DefaultRefineSample,
              codebooks: Option[Array[Array[Array[Float]]]] = None,
-             codesStore: Option[DataFrame] = None): DataFrame = {
+             codesStore: Option[DataFrame] = None,
+             maxQueries: Int = DefaultMaxQueries): DataFrame = {
     require(k >= 1, s"pqTopK: k must be >= 1, got $k")
+    require(maxQueries >= 1,
+      s"pqTopK: maxQueries must be >= 1, got $maxQueries")
     require(candidateFactor >= 1,
       s"pqTopK: candidateFactor must be >= 1, got $candidateFactor")
     require(codesStore.isEmpty || codebooks.nonEmpty,
@@ -643,7 +691,8 @@ object Ann {
     val cbs = codebooks.getOrElse(pqCodebooks(corpus, idCol, vecCol,
       m, nCentroids, kmeansIters, refineSampleSize))
     if (cbs.exists(_.length <= 1))
-      return bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
+      return bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k,
+        maxQueries = maxQueries)
     val mm = cbs.length
     val sd = cbs(0)(0).length
     val dim = mm * sd
@@ -679,11 +728,15 @@ object Ann {
     // queries ride the driver (small by the same contract that broadcasts
     // them in every other method); null/non-finite query vectors drop
     // like null corpus vectors do
+    // the cap rides the SAME collect job: limit(cap+1) bounds what can
+    // ever reach the driver, and one extra row proves the violation
     val qArr = queries
       .select(col(queryIdCol), col(vecCol).cast("array<float>").as("qv"))
       .where(col(queryIdCol).isNotNull && finiteVec(col("qv")))
+      .limit(maxQueries + 1)
       .collect()
       .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    if (qArr.length > maxQueries) oversizedQueries("pqTopK", maxQueries)
     qArr.foreach { case (qid0, v) =>
       require(v.length == dim,
         s"pqTopK: query vector (id=$qid0) has dim ${v.length} but the " +
@@ -1130,9 +1183,12 @@ object Ann {
                 candidateFactor: Int = 8,
                 refineSampleSize: Int = DefaultRefineSample,
                 store: Option[(Array[Array[Float]], Array[Array[Array[Float]]])] = None,
-                codesStore: Option[DataFrame] = None)
+                codesStore: Option[DataFrame] = None,
+                maxQueries: Int = DefaultMaxQueries)
       : DataFrame = {
     require(k >= 1, s"ivfPqTopK: k must be >= 1, got $k")
+    require(maxQueries >= 1,
+      s"ivfPqTopK: maxQueries must be >= 1, got $maxQueries")
     require(nProbe >= 1, s"ivfPqTopK: nProbe must be >= 1, got $nProbe")
     require(candidateFactor >= 1,
       s"ivfPqTopK: candidateFactor must be >= 1, got $candidateFactor")
@@ -1144,7 +1200,8 @@ object Ann {
       nLists, m, nCentroids, kmeansIters, refineSampleSize))
     if (trained == null || trained._1.length <= 1 ||
         trained._2.exists(_.length <= 1))
-      return bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k)
+      return bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k,
+        maxQueries = maxQueries)
     val (cents, cbs) = trained
     val mm = cbs.length
     val sd = cbs(0)(0).length
@@ -1169,11 +1226,14 @@ object Ann {
         .select(col("vec_id"), col("e.list_id").as("list_id"),
           col("e.codes").as("codes"))
     }
+    // cap rides the same collect job (see pqTopK)
     val qArr = queries
       .select(col(queryIdCol), col(vecCol).cast("array<float>").as("qv"))
       .where(col(queryIdCol).isNotNull && finiteVec(col("qv")))
+      .limit(maxQueries + 1)
       .collect()
       .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    if (qArr.length > maxQueries) oversizedQueries("ivfPqTopK", maxQueries)
     qArr.foreach { case (qid0, v) =>
       require(v.length == dim,
         s"ivfPqTopK: query vector (id=$qid0) has dim ${v.length} but the " +
@@ -1539,7 +1599,9 @@ object Ann {
           .withColumn("bucket_n", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window
               .partitionBy("table_id", "bucket"))),
-        tag, "bucket_n", maxBucketSize)
+        // cross-join path (increment × reference): the self-join
+        // n(n-1)/2 estimate is meaningless here — report the -1 sentinel
+        tag, "bucket_n", maxBucketSize, selfPairs = false)
       .filter(col("bucket_n") <= maxBucketSize)
       .select(idName, "table_id", "bucket")
 
@@ -1622,7 +1684,8 @@ object Ann {
             ArgTopCentroids(col("vec"), cents, 1).getItem(0).as("cluster_id"))
             .withColumn("cluster_n", count(lit(1)).over(
               org.apache.spark.sql.expressions.Window.partitionBy("cluster_id"))),
-          tag, "cluster_n", maxClusterSize)
+          // cross-join path: pairs_dropped is not computable per side
+          tag, "cluster_n", maxClusterSize, selfPairs = false)
         .filter(col("cluster_n") <= maxClusterSize)
         .select(idName, "cluster_id")
     cappedCells(inc, "id", "semantic_cell-new")

@@ -43,7 +43,10 @@ import graft.config.TransformConfig
  * every method; brute is one corpus scan with a per-query bounded-heap
  * partial top-k (no corpus shuffle); LSH joins on (table, bucket); IVF
  * assignment is a fused zero-shuffle argmax projection and the search
- * touches nProbe/nLists of the corpus.
+ * touches nProbe/nLists of the corpus. The queries side is CAPPED at
+ * `maxQueries` (default [[graft.ann.Ann.DefaultMaxQueries]], 4096) —
+ * every method broadcasts/collects it, so exceeding the cap throws the
+ * guided error instead of OOMing the driver; batch larger query sets.
  */
 object AnnTopKTransform extends Transform {
   val transformType = "ann_topk"
@@ -72,6 +75,11 @@ object AnnTopKTransform extends Transform {
     val k = intOption(config, "k", 10)
     if (k < 1) throw new ConfigException(s"ann_topk: k must be >= 1, got $k")
     val method = config.options.getOrElse("method", "brute")
+    // the ANN family's loud "queries are small" contract: every method
+    // broadcasts/collects the queries frame, so its size is capped — see
+    // graft.ann.Ann.DefaultMaxQueries and docs/SCALE.md
+    val maxQueries =
+      intOption(config, "maxQueries", graft.ann.Ann.DefaultMaxQueries)
     // codebookView only parameterizes IVF and PQ — with brute/lsh the user
     // almost certainly meant one of those; reject rather than silently
     // ignore
@@ -86,9 +94,11 @@ object AnnTopKTransform extends Transform {
         "ann_topk: codesView only applies with method: pq|ivfpq — " +
           s"method '$method' never reads a pre-encoded codes frame")
     method match {
-      case "brute" => graft.ann.Ann.bruteForceTopK(input, q, id, vec, qid, k)
+      case "brute" => graft.ann.Ann.bruteForceTopK(input, q, id, vec, qid, k,
+        maxQueries = maxQueries)
       case "lsh" => graft.ann.Ann.lshTopK(input, q, id, vec, qid, k,
-        bits = intOption(config, "bits", 12), tables = intOption(config, "tables", 4))
+        bits = intOption(config, "bits", 12), tables = intOption(config, "tables", 4),
+        maxQueries = maxQueries)
       case "pq" =>
         // a persisted pqCodebookFrame store skips the sampling scan and
         // keeps yesterday's cells comparable; m/nCentroids/kmeansIters
@@ -118,17 +128,19 @@ object AnnTopKTransform extends Transform {
           nCentroids = intOption(config, "nCentroids", 16),
           kmeansIters = intOption(config, "kmeansIters", 3),
           candidateFactor = intOption(config, "candidateFactor", 8),
-          codebooks = stored, codesStore = codes)
+          codebooks = stored, codesStore = codes, maxQueries = maxQueries)
       case "ivf" => config.options.get("codebookView") match {
         case Some(view) => graft.ann.Ann.ivfTopKWithCodebook(input, q, id, vec,
           qid, k, ctx.spark.table(view),
           nProbe = intOption(config, "nProbe", 8),
           wantNLists = config.options.get("nLists").map(_ => intOption(config, "nLists", 0)),
-          wantKmeansIters = config.options.get("kmeansIters").map(_ => intOption(config, "kmeansIters", 0)))
+          wantKmeansIters = config.options.get("kmeansIters").map(_ => intOption(config, "kmeansIters", 0)),
+          maxQueries = maxQueries)
         case None => graft.ann.Ann.ivfTopK(input, q, id, vec, qid, k,
           nLists = intOption(config, "nLists", 64),
           nProbe = intOption(config, "nProbe", 8),
-          kmeansIters = intOption(config, "kmeansIters", 0))
+          kmeansIters = intOption(config, "kmeansIters", 0),
+          maxQueries = maxQueries)
       }
       case "ivfpq" =>
         // a persisted COMBINED ivfPqStoreFrame skips the sampling scan;
@@ -160,7 +172,7 @@ object AnnTopKTransform extends Transform {
           nCentroids = intOption(config, "nCentroids", 16),
           kmeansIters = intOption(config, "kmeansIters", 3),
           candidateFactor = intOption(config, "candidateFactor", 8),
-          store = stored, codesStore = codes)
+          store = stored, codesStore = codes, maxQueries = maxQueries)
       case other => throw new ConfigException(
         s"ann_topk: method must be brute|lsh|ivf|pq|ivfpq, got '$other'")
     }

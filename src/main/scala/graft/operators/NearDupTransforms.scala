@@ -211,18 +211,21 @@ object MinhashDedupTransform extends NearDupTransform {
         val shingleSize = intOpt(config, "shingleSize", 3)
         val threshold = doubleOpt(config, "threshold", 0.5)
         val maxBucketSize = intOpt(config, "maxBucketSize", 1000)
+        // multi-consumer branch (signature pass + keep join): stage once
+        // so a composed upstream tower executes once, not per consumer
+        val staged = graft.api.Checkpointing.shared(input)
         val hits = (refView, sigView) match {
           case (Some(view), None) => Dedup.minhashNearDupsAgainst(
-            input, ctx.spark.table(view), id, text,
+            staged, ctx.spark.table(view), id, text,
             config.options.getOrElse("referenceIdColumn", id),
             config.options.getOrElse("referenceTextColumn", text),
             bands, rowsPerBand, shingleSize, threshold, maxBucketSize)
           case (None, Some(view)) => Dedup.minhashNearDupsAgainstSignatures(
-            input, ctx.spark.table(view), id, text,
+            staged, ctx.spark.table(view), id, text,
             bands, rowsPerBand, shingleSize, threshold, maxBucketSize)
           case _ => throw new IllegalStateException("unreachable")
         }
-        input.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
+        staged.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
     }
 }
 
@@ -338,8 +341,10 @@ object ImageDedupTransform extends NearDupTransform {
         required(config, "idColumn", "bytesColumn")
         val id = config.options("idColumn")
         val modality = checkedModality(config)
+        // two consumers (decode pass + keep join): stage once
+        val staged = graft.api.Checkpointing.shared(input)
         val media = graft.multimodal.Multimodal.asMediaFrame(
-          input, id, config.options("bytesColumn"), modality = modality,
+          staged, id, config.options("bytesColumn"), modality = modality,
           sourceUriCol = id)
         val newSigs = graft.multimodal.Multimodal.imageHashes(media)
           .select(col("media_id").as("doc_id"), col("dhash").as("sig"))
@@ -353,7 +358,7 @@ object ImageDedupTransform extends NearDupTransform {
           maxHamming = intOpt(config, "maxHamming", 3),
           maxBucketSize = intOpt(config, "maxBucketSize", 10000),
           tag = "image")
-        input.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
+        staged.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
     }
 }
 
@@ -394,8 +399,10 @@ object AudioDedupTransform extends NearDupTransform {
         MediaSigIncrement.rejectSurvivorOpts(transformType, config)
         required(config, "idColumn", "bytesColumn")
         val id = config.options("idColumn")
+        // two consumers (decode pass + keep join): stage once
+        val staged = graft.api.Checkpointing.shared(input)
         val media = graft.multimodal.Multimodal.asMediaFrame(
-          input, id, config.options("bytesColumn"), modality = "audio",
+          staged, id, config.options("bytesColumn"), modality = "audio",
           sourceUriCol = id)
         val newSigs = graft.multimodal.Multimodal.imageHashes(media)
           .select(col("media_id").as("doc_id"), col("dhash").as("sig"))
@@ -406,7 +413,7 @@ object AudioDedupTransform extends NearDupTransform {
           maxHamming = intOpt(config, "maxHamming", 3),
           maxBucketSize = intOpt(config, "maxBucketSize", 10000),
           tag = "audio")
-        input.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
+        staged.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
     }
 }
 
@@ -482,8 +489,10 @@ object VideoDedupTransform extends NearDupTransform {
           throw new ConfigException(
             s"$transformType: maxSpatialHamming must be in [0, 64], got " +
               s"$maxSpatial")
+        // two consumers (decode pass + keep join): stage once
+        val staged = graft.api.Checkpointing.shared(input)
         val media = graft.multimodal.Multimodal.asMediaFrame(
-          input, id, config.options("bytesColumn"), modality = "video",
+          staged, id, config.options("bytesColumn"), modality = "video",
           sourceUriCol = id)
         // ONE parse per input payload serves the temporal block and the
         // spatial confirm (the self-join mode's lazy-checkpoint shape)
@@ -504,7 +513,7 @@ object VideoDedupTransform extends NearDupTransform {
             .select(col("doc_id").as("ref_id"), col("sig2").as("__sb")),
             Seq("ref_id"))
           .where(bit_count(col("__sa").bitwiseXOR(col("__sb"))) <= maxSpatial)
-        input.join(confirmed.select(col("id").as(id)).distinct(),
+        staged.join(confirmed.select(col("id").as(id)).distinct(),
           Seq(id), "left_anti")
     }
 }
@@ -582,15 +591,20 @@ object EmbeddingDedupTransform extends NearDupTransform {
         required(config, "idColumn", "vecColumn")
         val id = config.options("idColumn")
         val vec = config.options("vecColumn")
+        // stage once: this branch consumes `input` three times (bucket
+        // assignment, the vector re-join inside the Against call, and the
+        // final keep join) — without truncation a composed upstream tower
+        // re-executes per consumer (the q154 lesson)
+        val staged = graft.api.Checkpointing.shared(input)
         val hits = graft.ann.Ann.cosineNearDupsAgainst(
-          input, ctx.spark.table(view), id, vec,
+          staged, ctx.spark.table(view), id, vec,
           config.options.getOrElse("referenceIdColumn", id),
           config.options.getOrElse("referenceVecColumn", vec),
           threshold = doubleOpt(config, "threshold", 0.9),
           bits = intOpt(config, "bits", 8),
           tables = intOpt(config, "tables", 4),
           maxBucketSize = intOpt(config, "maxBucketSize", 1000))
-        input.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
+        staged.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
     }
 }
 
@@ -648,8 +662,10 @@ object SemanticDedupTransform extends NearDupTransform {
         required(config, "idColumn", "vecColumn")
         val id = config.options("idColumn")
         val vec = config.options("vecColumn")
+        // multi-consumer branch: stage once (see EmbeddingDedupTransform)
+        val staged = graft.api.Checkpointing.shared(input)
         val hits = graft.ann.Ann.semanticNearDupsAgainst(
-          input, ctx.spark.table(view), id, vec,
+          staged, ctx.spark.table(view), id, vec,
           config.options.getOrElse("referenceIdColumn", id),
           config.options.getOrElse("referenceVecColumn", vec),
           threshold = doubleOpt(config, "threshold", 0.9),
@@ -657,7 +673,7 @@ object SemanticDedupTransform extends NearDupTransform {
           kmeansIters = intOpt(config, "kmeansIters", 3),
           maxClusterSize = intOpt(config, "maxClusterSize", 1000),
           codebook = storedCodebook(config, ctx.spark))
-        input.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
+        staged.join(hits.select(col("id").as(id)).distinct(), Seq(id), "left_anti")
     }
 }
 

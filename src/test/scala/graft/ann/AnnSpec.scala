@@ -698,4 +698,70 @@ class AnnSpec extends SparkTestBase {
     worst should be <= 0.5 + 1e-9
     q.where("vec_id = 999").select(col("scale")).as[Double].head() shouldBe 1.0
   }
+
+  test("maxQueries cap: every ANN method throws the guided error at cap+1 " +
+      "and succeeds at cap") {
+    // 6 queries; cap 5 must throw, cap 6 must succeed with identical
+    // results to the uncapped call (the cap must never change results)
+    val queries = corpus.where("vec_id < 6")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val runs: Seq[(String, Int => org.apache.spark.sql.DataFrame)] = Seq(
+      "bruteForceTopK" -> (cap => Ann.bruteForceTopK(
+        corpus, queries, "vec_id", "embedding", "query_id", 3,
+        maxQueries = cap)),
+      "lshTopK" -> (cap => Ann.lshTopK(
+        corpus, queries, "vec_id", "embedding", "query_id", 3,
+        bits = 6, tables = 2, maxQueries = cap)),
+      "ivfTopK" -> (cap => Ann.ivfTopK(
+        corpus, queries, "vec_id", "embedding", "query_id", 3,
+        nLists = 8, nProbe = 4, maxQueries = cap)),
+      "pqTopK" -> (cap => Ann.pqTopK(
+        corpus, queries, "vec_id", "embedding", "query_id", 3,
+        m = 4, nCentroids = 8, maxQueries = cap)),
+      "ivfPqTopK" -> (cap => Ann.ivfPqTopK(
+        corpus, queries, "vec_id", "embedding", "query_id", 3,
+        nLists = 4, nProbe = 2, m = 4, nCentroids = 8, maxQueries = cap)))
+    runs.foreach { case (name, run) =>
+      withClue(s"$name at cap+1: ") {
+        val e = intercept[graft.api.ConfigException](run(5).collect())
+        e.getMessage should include ("maxQueries=5")
+        e.getMessage should include (name)
+        e.getMessage should include ("Batch the queries")
+      }
+      withClue(s"$name at cap: ") {
+        val capped = run(6).orderBy("query_id", "rank")
+          .collect().map(_.toString)
+        val free = run(Ann.DefaultMaxQueries).orderBy("query_id", "rank")
+          .collect().map(_.toString)
+        capped should contain theSameElementsInOrderAs free
+      }
+    }
+  }
+
+  test("maxQueries cap: ivfTopKWithCodebook enforces it too, and the " +
+      "degenerate brute fallback inherits the caller's cap") {
+    val queries = corpus.where("vec_id < 6")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val store = Ann.codebookFrame(corpus, "vec_id", "embedding",
+      nLists = 8, kmeansIters = 0)
+    val e = intercept[graft.api.ConfigException] {
+      Ann.ivfTopKWithCodebook(corpus, queries, "vec_id", "embedding",
+        "query_id", 3, store, maxQueries = 5).collect()
+    }
+    e.getMessage should include ("ivfTopKWithCodebook")
+    e.getMessage should include ("maxQueries=5")
+    // degenerate PQ corpus (1 row -> single-centroid codebooks) falls back
+    // to brute force -- the cap must survive the fallback
+    val tiny = corpus.where("vec_id = 0")
+    val e2 = intercept[graft.api.ConfigException] {
+      Ann.pqTopK(tiny, queries, "vec_id", "embedding", "query_id", 1,
+        m = 4, nCentroids = 8, maxQueries = 5).collect()
+    }
+    e2.getMessage should include ("maxQueries=5")
+    // a nonsensical cap is rejected up front
+    intercept[IllegalArgumentException] {
+      Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+        "query_id", 3, maxQueries = 0)
+    }
+  }
 }
