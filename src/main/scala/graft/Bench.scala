@@ -224,6 +224,17 @@ object Bench {
     * was already running when the bench started. */
   val ContendedLoadThreshold = 1.5
 
+  /** Pre-run load the bounded wait actually holds out for — deliberately
+    * TIGHTER than [[ContendedLoadThreshold]]: r16's driver artifact
+    * started at load 1.39 ("not contended" by the 1.5 marker, but not
+    * quiet either) and landed 1.21× above the committed quiet total. The
+    * marker keeps meaning "someone else owns cores"; the TARGET means
+    * "start as quiet as the builder's evening runs" (their loads:
+    * 0.04–0.55). A box that never falls below the target inside the
+    * bounded wait still runs — the stamped start load then explains the
+    * delta instead of leaving it to adjudication. */
+  val QuietLoadTarget = 0.8
+
   /** 1-minute system load average, or -1 where the JVM can't read it.
     * Sampled BEFORE the first warmup pass, because this suite runs on a
     * SHARED box: an A/B this round showed identical code swinging
@@ -237,19 +248,19 @@ object Bench {
       .getSystemLoadAverage
     catch { case scala.util.control.NonFatal(_) => -1.0 }
 
-  /** Poll `sample` until it drops to [[ContendedLoadThreshold]] or
-    * `maxWaitSec` elapses, then return the LAST sample — the one the
-    * report stamps. Waiting (bounded) beats marking: a report from a
-    * quiet window needs no adjudication at all, while `"contended":true`
-    * still needs a re-run to learn the real numbers. Each poll prints a
-    * `#bench`-prefixed line so a stalled wait is visible in the capture,
-    * never a silent hang. */
+  /** Poll `sample` until it drops to [[QuietLoadTarget]] or `maxWaitSec`
+    * elapses, then return the LAST sample — the one the report stamps.
+    * Waiting (bounded) beats marking: a report from a quiet window needs
+    * no adjudication at all, while `"contended":true` (or a 0.8–1.5
+    * start load) still needs a re-run to learn the real numbers. Each
+    * poll prints a `#bench`-prefixed line so a stalled wait is visible
+    * in the capture, never a silent hang. */
   def waitForQuiet(maxWaitSec: Int, pollSec: Int = 15,
                    sample: () => Double = loadAvg _): Double = {
     var l = sample()
     var waited = 0
-    while (l > ContendedLoadThreshold && waited < maxWaitSec) {
-      println(f"#bench waiting: load_avg_1m=$l%.2f > $ContendedLoadThreshold%.1f " +
+    while (l > QuietLoadTarget && waited < maxWaitSec) {
+      println(f"#bench waiting: load_avg_1m=$l%.2f > $QuietLoadTarget%.1f " +
         s"(${waited}s of ${maxWaitSec}s max)")
       Console.out.flush()
       Thread.sleep(pollSec * 1000L)

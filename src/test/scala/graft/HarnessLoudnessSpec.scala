@@ -135,6 +135,17 @@ class HarnessLoudnessSpec extends SparkTestBase {
     calls shouldBe 4 // initial + one per elapsed second
   }
 
+  test("Bench quiet wait holds out for the TIGHT target, not just the " +
+    "contended marker: a 1.2-load box (r16's 1.39 pattern) keeps waiting") {
+    // below ContendedLoadThreshold (1.5) but above QuietLoadTarget (0.8):
+    // the r16 driver artifact started exactly here and ran 1.21x over the
+    // quiet committed total — the wait must not accept it
+    Bench.QuietLoadTarget should be < Bench.ContendedLoadThreshold
+    val falling = Iterator(1.2, 1.1, 0.7, 99.0)
+    Bench.waitForQuiet(maxWaitSec = 60, pollSec = 0,
+      sample = () => falling.next()) shouldBe 0.7
+  }
+
   test("Bench per-query lines are short, complete, and carry a running total") {
     val lines = Bench.perQueryLines(
       List("q_a" -> List(0.25, 0.3), "q_bad" -> Nil, "q_c" -> List(0.5)))

@@ -1,16 +1,21 @@
 #!/usr/bin/env python3
 """Cross-SF bench ratio gate: catches a super-linear operator mechanically.
 
-Usage: bench_ratio.py <small_bench.json> <big_bench.json> [--sf-step 10]
+Usage: bench_ratio.py <small_bench.json> <big_bench.json> [--sf-step N]
        [--max-ratio 15] [--out ratio.md]
 
 Reads two graft.Bench artifacts (the big one-line JSON with a "queries"
 map) taken at two scale factors, computes per-query time ratios for the
-step, and fails (exit 1) when any query grows faster than --max-ratio for
-a --sf-step x data step — linear scaling predicts ~sf-step x, so the
-default 15 leaves headroom for fixed overheads shifting between runs
-while still catching anything quadratic-ish (a 10x step on an O(n^2)
-operator shows ~100x).
+step, and fails (exit 1) when any query grows faster than --max-ratio.
+The data step is DERIVED from the artifacts' own "sf" stamps (the
+trailing sf<N> of each dir path) unless --sf-step overrides it, so the
+header can never mislabel the comparison (the r16 artifact said "10x
+data step" over a sf0.001 -> sf0.1 = 100x comparison; the gate was
+therefore stricter than labeled). Linear scaling predicts ~step x; the
+default max-ratio of 15 over the round-driver's 100x step demands
+STRONG sub-linearity (worst observed r16: 8.5x), which the engine's
+floor-dominated small-SF timings actually deliver — anything
+quadratic-ish shows ~10,000x on a 100x step and cannot hide.
 
 Small-side floor: sub-0.15 s timings at the small SF are dominated by
 fixed per-query overhead (job scheduling, parquet footers), so the
@@ -40,8 +45,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("small")
     ap.add_argument("big")
-    ap.add_argument("--sf-step", type=float, default=10.0,
-                    help="data-size multiple between the two runs")
+    ap.add_argument("--sf-step", type=float, default=None,
+                    help="data-size multiple between the two runs "
+                         "(default: derived from the artifacts' sf stamps)")
     ap.add_argument("--max-ratio", type=float, default=15.0,
                     help="fail when t_big/max(t_small, floor) exceeds this")
     ap.add_argument("--floor", type=float, default=0.15,
@@ -52,6 +58,15 @@ def main():
     args = ap.parse_args()
 
     small, big = load(args.small), load(args.big)
+    if args.sf_step is None:
+        import re
+        def sf_of(rep, path):
+            m = re.search(r"sf([0-9.]+)/?$", str(rep.get("sf", "")))
+            if not m:
+                sys.exit(f"{path}: cannot derive sf from stamp "
+                         f"{rep.get('sf')!r}; pass --sf-step explicitly")
+            return float(m.group(1))
+        args.sf_step = sf_of(big, args.big) / sf_of(small, args.small)
     sq = {k: v for k, v in small["queries"].items() if v >= 0}
     bq = {k: v for k, v in big["queries"].items() if v >= 0}
     only_small = sorted(set(sq) - set(bq))
