@@ -35,6 +35,79 @@ private[multimodal] object AviMjpeg {
     * sampling grid × any everyMs). */
   val MaxIndexFrames: Int = 1 << 18
 
+  /** Per-thread cached JPEG codec instances. The naive per-frame path
+    * (`ImageIO.read` / `getImageWritersByFormatName(...).next()`) pays,
+    * for EVERY frame: an SPI registry scan, a fresh reader/writer
+    * instantiation + dispose, and — because `ImageIO.getUseCache`
+    * defaults to true — a disk-backed temp-file cache stream per call.
+    * A video signature pass decodes O(min(frames, 256)) JPEGs per
+    * payload, so that per-call overhead dominates the actual DCT work on
+    * the small frames MJPEG carries. Same codec classes, same arithmetic,
+    * bit-identical pixels — this is purely call-overhead removal
+    * (optimization-guide §1.2 step 2: per-task work). */
+  private[multimodal] object JpegCodec {
+    // in-memory stream caches for every ImageIO path in the engine
+    // (GIF reader, PNG writer, generic ImageIO.read fallbacks): the
+    // default temp-FILE cache adds a disk round-trip per codec call
+    javax.imageio.ImageIO.setUseCache(false)
+
+    private val readerTl = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader = {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+        if (it.hasNext) it.next() else null
+      }
+    }
+    private val writerTl = new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter = {
+        val it = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+        if (it.hasNext) it.next() else null
+      }
+    }
+
+    /** Decode one frame's bytes. JPEG bytes go through the cached
+      * per-thread reader; anything the JPEG reader rejects (including
+      * non-JPEG image bytes in a hostile container) falls back to the
+      * generic `ImageIO.read` path, so every input decodes to exactly
+      * what the old per-call path produced. */
+    def decode(bytes: Array[Byte], off: Int,
+               len: Int): Option[java.awt.image.BufferedImage] = {
+      val r = readerTl.get()
+      if (r != null) {
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes, off, len))
+          try {
+            r.setInput(iis, true, true)
+            val img = r.read(0)
+            if (img != null) return Some(img)
+          } finally { r.setInput(null); iis.close() }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, off, len)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** JPEG-encode via the cached per-thread writer (memory-cached
+      * output stream, no temp file, no SPI scan). Same JDK encoder,
+      * same parameters → bit-identical bytes. */
+    def encode(img: java.awt.image.BufferedImage,
+               quality: Float): Array[Byte] = {
+      val wr = writerTl.get()
+      require(wr != null, "no JPEG ImageWriter SPI available")
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        wr.setOutput(ios)
+        wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { wr.setOutput(null); ios.close() }
+      bos.toByteArray
+    }
+  }
+
   final case class Video(rate: Long, scale: Long,
                          frames: IndexedSeq[(Int, Int)],
                          bytes: Array[Byte]) {
@@ -51,9 +124,7 @@ private[multimodal] object AviMjpeg {
     def frame(i: Int): Option[java.awt.image.BufferedImage] = {
       if (i < 0 || i >= frames.length) return None
       val (off, len) = frames(i)
-      try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes, off, len)))
-      catch { case scala.util.control.NonFatal(_) => None }
+      JpegCodec.decode(bytes, off, len)
     }
   }
 
@@ -181,19 +252,8 @@ private[multimodal] object AviMjpeg {
 
   /** JPEG-encode at quality 1.0 (all-ones quant tables — flat 8×8 blocks
     * roundtrip bit-exactly; see [[synthetic]]'s exactness argument). */
-  private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
-    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val p = wr.getDefaultWriteParam
-    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    p.setCompressionQuality(1.0f)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    try {
-      wr.setOutput(ios)
-      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    } finally { wr.dispose(); ios.close() }
-    bos.toByteArray
-  }
+  private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] =
+    JpegCodec.encode(img, 1.0f)
 
   /** Hand-assemble the RIFF/AVI container around per-frame JPEG payloads
     * (MJPG vids stream, stream 0, `00dc` chunks padded to even). Shared
@@ -270,6 +330,9 @@ private[multimodal] object AviMjpeg {
     require(nFrames > 0 && rate > 0 && scale > 0,
       s"syntheticMjpegAvi: positive frames/rate/scale required, got " +
         s"$nFrames/$rate/$scale")
+    // one bulk setRGB per frame: per-pixel setRGB pays a ColorModel
+    // dispatch per call; the bulk form writes the same sRGB values
+    val px = new Array[Int](w * h)
     val jpegs = (0 until nFrames).map { f =>
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -279,11 +342,12 @@ private[multimodal] object AviMjpeg {
         while (x < w) {
           val v = java.lang.Math.floorMod(
             seed * 31 + (x / 16) * 7 + (y / 16) * 13 + f * 17, 256L).toInt
-          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          px(y * w + x) = (v << 16) | (v << 8) | v
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, w, h, px, 0, w)
       encodeJpeg(img)
     }
     assemble(jpegs, w, h, rate, scale)

@@ -34,6 +34,37 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
+  // class-loading AviMjpeg.JpegCodec flips ImageIO's stream cache to
+  // in-memory for EVERY codec path in this file (GIF reader, PNG writer,
+  // generic ImageIO.read): the default is a disk temp FILE per call
+  private val _imageIoTuned: Unit = { AviMjpeg.JpegCodec; () }
+
+  /** PNG-encode via a cached per-thread writer — the per-call
+    * `ImageIO.write(img, "png", out)` path re-scans the SPI registry and
+    * instantiates a fresh writer per frame; same JDK encoder, default
+    * write param on both paths → identical bytes. */
+  private val pngWriterTl = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+      if (it.hasNext) it.next() else null
+    }
+  }
+  private[multimodal] def encodePng(
+      img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = pngWriterTl.get()
+    if (wr == null) { // no PNG SPI: the original generic path
+      javax.imageio.ImageIO.write(img, "png", bos)
+      return bos.toByteArray
+    }
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), null)
+    } finally { wr.setOutput(null); ios.close() }
+    bos.toByteArray
+  }
+
   /** media payload schema: binary blob + source metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -167,6 +198,9 @@ object Multimodal {
     private[multimodal] def lumaGrid(img: java.awt.image.BufferedImage): Array[Float] = {
       val w = img.getWidth; val h = img.getHeight
       val feat = new Array[Float](Grid * Grid)
+      // one bulk getRGB per (cell, row) segment — per-pixel getRGB pays a
+      // ColorModel dispatch per call; same sRGB values, same sums
+      val row = new Array[Int](w)
       var ci = 0
       while (ci < Grid) {
         val y0 = ci * h / Grid
@@ -178,11 +212,13 @@ object Multimodal {
           // integer-valued doubles sum exactly (≤ 2^53), so the mean is
           // bit-identical to the fixture generator's integer-sum division
           var sum = 0.0; var n = 0L
+          val seg = x1 - x0
           var y = y0
           while (y < y1) {
-            var x = x0
-            while (x < x1) {
-              val rgb = img.getRGB(x, y)
+            img.getRGB(x0, y, seg, 1, row, 0, seg)
+            var x = 0
+            while (x < seg) {
+              val rgb = row(x)
               sum += ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3.0
               x += 1; n += 1
             }
@@ -494,6 +530,9 @@ object Multimodal {
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
+      // one bulk raster write per frame: per-pixel setSample pays a
+      // SampleModel dispatch per call; same palette indices
+      val px = new Array[Byte](w * h)
       var f = 0
       while (f < nFrames) {
         val img = new java.awt.image.BufferedImage(
@@ -504,11 +543,12 @@ object Multimodal {
           while (x < w) {
             val v = java.lang.Math.floorMod(
               seed * 31 + x * 7 + y * 13 + f * 17, 256L).toInt
-            img.getRaster.setSample(x, y, 0, v)
+            px(y * w + x) = v.toByte
             x += 1
           }
           y += 1
         }
+        img.getRaster.setDataElements(0, 0, w, h, px)
         val meta = writer.getDefaultImageMetadata(
           javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
           writer.getDefaultWriteParam)
@@ -951,6 +991,8 @@ object Multimodal {
   private def dHashOf(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth; val h = img.getHeight
     val means = Array.ofDim[Double](8, 9)
+    // bulk getRGB per (cell, row) segment — see lumaGrid; values identical
+    val row = new Array[Int](w)
     var r = 0
     while (r < 8) {
       val y0 = r * h / 8
@@ -960,11 +1002,13 @@ object Multimodal {
         val x0 = c * w / 9
         val x1 = math.min(w, math.max(x0 + 1, (c + 1) * w / 9))
         var sum = 0.0; var n = 0L
+        val seg = x1 - x0
         var y = y0
         while (y < y1) {
-          var x = x0
-          while (x < x1) {
-            val rgb = img.getRGB(x, y)
+          img.getRGB(x0, y, seg, 1, row, 0, seg)
+          var x = 0
+          while (x < seg) {
+            val rgb = row(x)
             sum += ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3.0
             x += 1; n += 1
           }
@@ -1071,12 +1115,15 @@ object Multimodal {
     * frames) pooled over the whole frame. */
   private def meanLuma(img: java.awt.image.BufferedImage): Double = {
     val w = img.getWidth; val h = img.getHeight
+    // full-row bulk getRGB — see lumaGrid; values identical
+    val row = new Array[Int](w)
     var sum = 0.0; var n = 0L
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         sum += ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3.0
         x += 1; n += 1
       }
@@ -1338,12 +1385,15 @@ object Multimodal {
   private def visualSignals(img: java.awt.image.BufferedImage)
       : (Double, Double, Double) = {
     val w = img.getWidth; val h = img.getHeight
+    // full-row bulk getRGB — see lumaGrid; values identical
+    val row = new Array[Int](w)
     var sum = 0.0; var sumSq = 0.0; var gsum = 0.0
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0; var prev = 0.0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         val l = ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3.0
         sum += l; sumSq += l * l
         if (x > 0) gsum += math.abs(l - prev)
@@ -1471,6 +1521,17 @@ object Multimodal {
   trait FrameSampler extends Serializable {
     /** Extract the frame nearest `tsMs` from a video/audio payload. */
     def frameAt(modality: String, content: Array[Byte], tsMs: Long): Array[Byte]
+
+    /** Batched [[frameAt]] over one payload's whole sampling grid, so an
+      * implementation can parse the container ONCE per payload instead of
+      * once per timestamp (the [[sampleFrames]] hot path). Element i MUST
+      * equal `frameAt(modality, content, tss(i))`; the default delegates
+      * element-wise, so custom samplers keep their exact behavior. The
+      * iterator is consumed streamwise — implementations should keep at
+      * most one decoded frame resident. */
+    def framesAt(modality: String, content: Array[Byte],
+                 tss: Array[Long]): Iterator[Array[Byte]] =
+      tss.iterator.map(frameAt(modality, content, _))
   }
 
   /** STUB sampler: hash-derived deterministic fake frame bytes. */
@@ -1522,9 +1583,65 @@ object Multimodal {
         f.getWidth, f.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = rgb.createGraphics()
       try g.drawImage(f, 0, 0, null) finally g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(rgb, "png", bos)
-      bos.toByteArray
+      encodePng(rgb)
+    }
+
+    /** One container parse per payload (the batched contract): video
+      * parses the AVI index once and decodes each DISTINCT frame index
+      * once (`frameIndexAt` is monotone in ts, so repeats are adjacent —
+      * a one-slot memo suffices and memory stays one frame); animated
+      * GIFs run ONE composited walk for the whole grid (the per-timestamp
+      * path re-opens the reader and re-composites from the last cover
+      * frame — O(samples × run length) frame decodes). Every element is
+      * exactly `frameAt(modality, content, tss(i))`: same decode, same
+      * PNG encode; the GIF walk equals compositedFrame per index (pinned
+      * by spec), and any mid-walk decode failure falls back to the
+      * per-timestamp path, which can recover past a corrupt frame via a
+      * later cover-frame restart. */
+    override def framesAt(modality: String, content: Array[Byte],
+                          tss: Array[Long]): Iterator[Array[Byte]] = {
+      if (tss.isEmpty) return Iterator.empty
+      if (modality == "video") {
+        AviMjpeg.read(content) match {
+          case None => return tss.iterator.map(_ => content)
+          case Some(v) =>
+            var lastIdx = -1
+            var lastPng: Array[Byte] = null
+            return tss.iterator.map { ts =>
+              val idx = v.frameIndexAt(ts)
+              if (idx != lastIdx) {
+                lastIdx = idx
+                lastPng = v.frame(idx).map(pngStill).getOrElse(content)
+              }
+              lastPng
+            }
+        }
+      }
+      if (modality != "image" || !isGif(content))
+        return tss.iterator.map(frameAt(modality, content, _))
+      GifMedia.readMeta(content) match {
+        case None => tss.iterator.map(_ => content) // undecodable: verbatim
+        case Some(meta) =>
+          val idxs: Array[Int] = tss.map { ts =>
+            var idx = 0; var cum = 0L
+            while (idx < meta.frames.length - 1 &&
+                cum + meta.frames(idx).delayMs <= ts) {
+              cum += meta.frames(idx).delayMs; idx += 1
+            }
+            idx
+          }
+          val need = idxs.toSet
+          val maxNeed = idxs.max
+          val got = scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
+          GifMedia.walkComposited(content, maxNeed + 1) { (i, canvas) =>
+            if (need(i)) got(i) = pngStill(canvas)
+          } match {
+            case Some((_, visited)) if visited >= maxNeed + 1 =>
+              idxs.iterator.map(got(_))
+            case _ => // parse/decode failure: the exact per-ts semantics
+              tss.iterator.map(frameAt(modality, content, _))
+          }
+      }
     }
 
     def frameAt(modality: String, content: Array[Byte], tsMs: Long): Array[Byte] = {
@@ -1609,19 +1726,21 @@ object Multimodal {
   def syntheticImagePng(seed: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // one bulk setRGB — per-pixel setRGB pays a ColorModel dispatch per
+    // call; same sRGB values
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val v = java.lang.Math.floorMod(seed * 31 + x * 7 + y * 13, 256L).toInt
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        px(y * w + x) = (v << 16) | (v << 8) | v
         x += 1
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img.setRGB(0, 0, w, h, px, 0, w)
+    encodePng(img)
   }
 
   /**
@@ -1651,9 +1770,11 @@ object Multimodal {
           if (modality == "image" && !isGif(bytes)) 0L
           else decoder.decode(modality, bytes)._3
         val n = math.min(maxFrames.toLong, durMs / everyMs + 1).toInt
-        (0 until n).iterator.map { idx =>
-          val ts = idx * everyMs
-          Row(id, idx, ts, sampler.frameAt(modality, bytes, ts))
+        // batched sampler: ONE container parse per payload for the whole
+        // grid (framesAt contract) instead of one frameAt parse per ts
+        val tss = Array.tabulate(n)(idx => idx * everyMs)
+        sampler.framesAt(modality, bytes, tss).zipWithIndex.map {
+          case (frame, idx) => Row(id, idx, tss(idx), frame)
         }
       }
     }(enc)
