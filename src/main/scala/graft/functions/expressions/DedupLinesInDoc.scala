@@ -62,7 +62,24 @@ object DedupLinesInDoc {
   def compute(input: UTF8String, sep: UTF8String, minLength: Int): UTF8String = {
     val text = input.toString
     val s = sep.toString
-    val parts = text.split(java.util.regex.Pattern.quote(s), -1)
+    // literal-substring walk instead of split(Pattern.quote(s), -1): the
+    // regex form compiles a fresh Pattern PER ROW; the walk splits on the
+    // same non-overlapping left-to-right literal occurrences and keeps
+    // trailing empties exactly like the -1 limit
+    val parts: Array[String] =
+      if (s.isEmpty) text.split(java.util.regex.Pattern.quote(s), -1)
+      else {
+        val b = Array.newBuilder[String]
+        var from = 0
+        var i = text.indexOf(s, from)
+        while (i >= 0) {
+          b += text.substring(from, i)
+          from = i + s.length
+          i = text.indexOf(s, from)
+        }
+        b += text.substring(from)
+        b.result()
+      }
     val seen = new java.util.HashSet[String]()
     val out = new java.lang.StringBuilder(text.length)
     var wrote = false

@@ -42,7 +42,8 @@ case class TopNgramFraction(child: Expression, n: Int)
     // does), split on \s+
     val stripped = stripWs(input.toString)
     if (stripped.isEmpty) return 0.0
-    val toks = UTF8String.fromString(stripped).toLowerCase.toString.split("\\s+")
+    val toks = TopNgramFraction.wsSplit.split(
+      UTF8String.fromString(stripped).toLowerCase.toString)
     if (toks.length < n) return 0.0
     var sumLens = 0L
     // CODE POINTS, not UTF-16 units — Spark's length() counts chars
@@ -107,6 +108,9 @@ case class TopNgramFraction(child: Expression, n: Int)
 }
 
 object TopNgramFraction {
+  // hoisted: String.split("\\s+") re-compiles the Pattern per row
+  private[expressions] val wsSplit = java.util.regex.Pattern.compile("\\s+")
+
   def apply(text: Column, n: Int): Column =
     GraftBridge.column(TopNgramFraction(GraftBridge.expression(text), n))
 }

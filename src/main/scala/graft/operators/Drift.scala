@@ -68,28 +68,36 @@ object Drift {
     val stats = longForm(ref).groupBy("cname")
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
         count(lit(1)).as("n_ref"))
-    // left join: a current-side value whose column has NO reference stats
-    // lands in a null bin instead of being dropped, so n_current stays
-    // truthful even when the reference side is empty for that column
-    def binned(df: DataFrame): DataFrame =
-      longForm(df).join(broadcast(stats), Seq("cname"), "left")
-        .withColumn("bin",
-          when(col("lo").isNull, lit(null).cast("long")).otherwise(
-            // constant reference column: split matches-the-constant vs
-            // everything-else — one collapsed bin would make ANY current
-            // drift away from the constant invisible (psi = 0)
-            when(col("hi") === col("lo"),
-              when(col("x") === col("lo"), lit(0L)).otherwise(lit(1L))).otherwise(
-              least(lit(bins - 1L), greatest(lit(0L),
-                floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / bins)))))))
-        .groupBy("cname", "bin").agg(count(lit(1)).as("n"))
-    val p = binned(ref).withColumnRenamed("n", "n_p")
-    val q = binned(current).withColumnRenamed("n", "n_q")
+    // BOTH sides bin in ONE union pass tagged by side, aggregated once to
+    // (cname, bin, n_p, n_q) — the previous per-side binned() aggregations
+    // plus their full_outer re-join cost two extra exchanges and a join
+    // for the same counts (a row absent on one side is a 0 here exactly as
+    // na.fill(0) made it there). The stats join stays a broadcast left
+    // join: a current-side value whose column has NO reference stats lands
+    // in a null bin instead of being dropped, so n_current stays truthful
+    // even when the reference side is empty for that column.
+    val counts = longForm(ref).withColumn("__side", lit(0))
+      .unionByName(longForm(current).withColumn("__side", lit(1)))
+      .join(broadcast(stats), Seq("cname"), "left")
+      .withColumn("bin",
+        when(col("lo").isNull, lit(null).cast("long")).otherwise(
+          // constant reference column: split matches-the-constant vs
+          // everything-else — one collapsed bin would make ANY current
+          // drift away from the constant invisible (psi = 0)
+          when(col("hi") === col("lo"),
+            when(col("x") === col("lo"), lit(0L)).otherwise(lit(1L))).otherwise(
+            least(lit(bins - 1L), greatest(lit(0L),
+              floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / bins)))))))
+      .groupBy("cname", "bin")
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_p"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_q"))
     // n_current derives from the already-binned counts (null bin included)
-    // — no second scan of the current frame
-    val totQ = q.groupBy("cname").agg(sum(col("n_q")).as("n_cur"))
-    val psiPerCol = p.join(q.where(col("bin").isNotNull), Seq("cname", "bin"), "full_outer")
-      .na.fill(0L, Seq("n_p", "n_q"))
+    // — no second scan of the current frame. A column with ZERO current
+    // rows must have NO totQ row (the per-side shape this replaces had
+    // none), so its psi stays NULL instead of dividing by zero
+    val totQ = counts.groupBy("cname").agg(sum(col("n_q")).as("n_cur"))
+      .where(col("n_cur") > 0)
+    val psiPerCol = counts.where(col("bin").isNotNull)
       .join(stats.select("cname", "n_ref"), Seq("cname"))
       .join(totQ, Seq("cname"))
       .withColumn("pp", col("n_p").cast("double") / col("n_ref"))

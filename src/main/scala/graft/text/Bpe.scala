@@ -136,11 +136,15 @@ object Bpe {
     * engine's whitespace set, then marker-collision escaping per word
     * ([[escapeMarkers]] — markers never span whitespace, so per-word ==
     * whole-text). Empty/blank text → no words. */
+  // hoisted: String.split("\\s+") re-compiles the Pattern on EVERY call,
+  // and words() runs once per row in the encode hot path
+  private val wsSplit = java.util.regex.Pattern.compile("\\s+")
+
   def words(text: String): Array[String] = {
     val stripped = stripWs(text)
     if (stripped.isEmpty) Array.empty
     else {
-      val ws = stripped.split("\\s+")
+      val ws = wsSplit.split(stripped)
       // fast path for the fast path: scan once, escape only when needed
       if (stripped.indexOf("</w") < 0) ws
       else ws.map(escapeMarkers)
