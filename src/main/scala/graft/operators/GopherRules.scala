@@ -78,26 +78,38 @@ object GopherRules {
     * interpreted) remain in GopherRulesSpec as the parity reference. */
   private def withFail(df: DataFrame, textCol: String, th: Thresholds,
                        failCol: String,
-                       bpeCount: Option[Column => Column]): DataFrame = {
+                       bpeCount: Option[Column => Column],
+                       barrier: Boolean = false): DataFrame = {
     // staged helper names are fixed — a same-named input column would be
     // silently overwritten then dropped (the repo-standard guard)
     graft.config.ExprUtils.requireNoHelperCollision("quality_rules",
       df.columns, "__gopher_ts", "__gopher_ls", "__gopher_bpe",
       "__gopher_fail0")
     val text = col(textCol)
+    // `barrier` (filter mode): PushPredicateThroughNonJoin substitutes
+    // staged aliases into the pushed predicate with NO cost check, so the
+    // fail chain's several references re-ran the full token/line/encode
+    // walks per row (measured: 14 TokenSignals in the pushed plan, 3.3×
+    // the annotate cost; with a mergesView the BPE encode re-ran per
+    // threshold). EvalOnce pins each walk to its staging Project —
+    // identical values, one evaluation. Annotate mode stays transparent
+    // to the optimizer (its output columns feed arbitrary downstream
+    // pipelines that must keep pushing predicates toward the scan).
+    val once: Column => Column =
+      if (barrier) graft.functions.expressions.EvalOnce.apply else identity
     val staged0 = df
-      .withColumn("__gopher_ts", graft.functions.expressions.TokenSignals(
+      .withColumn("__gopher_ts", once(graft.functions.expressions.TokenSignals(
         TextFunctions.tokens(text), Nil, gopherStopwords, Nil,
-        withFingerprint = false))
+        withFingerprint = false)))
       .withColumn("__gopher_ls",
-        graft.functions.expressions.LineSignals(split(text, "\n")))
+        once(graft.functions.expressions.LineSignals(split(text, "\n"))))
     // the token count is referenced twice by its rule (min and max),
     // and conditional branches are exempt from codegen subexpression
     // elimination — stage it like the signal structs so the encode walk
     // runs ONCE per row
     val staged = bpeCount match {
       case Some(cnt) => staged0.withColumn("__gopher_bpe",
-        coalesce(cnt(text).cast("long"), lit(0L)))
+        once(coalesce(cnt(text).cast("long"), lit(0L))))
       case None => staged0
     }
     val ts = col("__gopher_ts"); val ls = col("__gopher_ls")
@@ -167,11 +179,13 @@ object GopherRules {
       .withColumn("gopher_fail", col("__gopher_fail0"))
       .drop("__gopher_fail0")
 
-  /** Filter: keep only rows passing every rule. */
+  /** Filter: keep only rows passing every rule. The staged signal walks
+    * carry the [[graft.functions.expressions.EvalOnce]] barrier so the
+    * pushed-down keep predicate cannot re-inline them per reference. */
   def applyFilter(df: DataFrame, textCol: String,
                   th: Thresholds = Thresholds(),
                   bpeCount: Option[Column => Column] = None): DataFrame =
-    withFail(df, textCol, th, "__gopher_fail0", bpeCount)
+    withFail(df, textCol, th, "__gopher_fail0", bpeCount, barrier = true)
       .where(col("__gopher_fail0").isNull).drop("__gopher_fail0")
 }
 
