@@ -84,11 +84,15 @@ object Bench {
       // skip a query at its FIRST failure: a slow-to-throw query would
       // otherwise burn runs × time-to-throw of bench wall-clock for a
       // guaranteed failure score
+      // label the timed jobs with the query name (guide §1.5) — also what
+      // keys the per-query task counter; warmup stays unlabeled/uncounted
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       try {
         force(queries(name)(spark, sfDir))
         passes(name) += (System.nanoTime() - t0) / 1e9
       } catch { case scala.util.control.NonFatal(_) => failed += name }
+      finally spark.sparkContext.setJobDescription(null)
     }
     names.map(n => n -> (if (failed(n)) Nil else passes(n).result()))
   }
@@ -212,6 +216,40 @@ object Bench {
     (results, ext, extras)
   }
 
+  /** Per-query task counter: [[measure]] sets the thread-local job
+    * description to the query name before each TIMED pass, stages inherit
+    * it, and tasks roll up per query here. Counts are TOTALS across every
+    * labeled pass (divide by the `passes` array length for per-pass
+    * tasks) and approximate by design: listener delivery is async (the
+    * reporting sleep in main bounds the drift) and streaming queries run
+    * micro-batch jobs on unlabeled executor threads, so they undercount.
+    * Purpose: the additive `"tasks"` report key lets the driver's 8- vs
+    * 32-core comparison check that scan/shuffle parallelism actually
+    * exists where the timing ratios say so. */
+  private[graft] class TaskCountListener extends org.apache.spark.scheduler.SparkListener {
+    private val stageQuery =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    private val counts =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    override def onStageSubmitted(
+        e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+      val desc = Option(e.properties)
+        .map(_.getProperty("spark.job.description")).orNull
+      if (desc != null) stageQuery.put(e.stageInfo.stageId, desc)
+    }
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val q = stageQuery.get(e.stageId)
+      if (q != null)
+        counts.computeIfAbsent(q,
+          _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    }
+    def snapshot: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      counts.asScala.map { case (k, v) => k -> v.get() }.toMap
+    }
+  }
+
   private def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
   private def minOf(passes: List[Double]): Double =
     if (passes.isEmpty) -1.0 else passes.min
@@ -281,7 +319,8 @@ object Bench {
     * pre-run stamp in the artifact. */
   def render(results: List[(String, List[Double])], sfDir: String,
              startLoad: Double, endExternalCpu: Double = -1.0,
-             extraCycles: Int = 0): (String, String) = {
+             extraCycles: Int = 0,
+             tasks: Map[String, Long] = Map.empty): (String, String) = {
     // Verify's escaper, shared: an sfDir with a backslash or quote would
     // otherwise invalidate EVERY redundant JSON channel at once (the r8
     // "parsed: null" failure mode, re-created by the report itself)
@@ -309,7 +348,15 @@ object Bench {
     val cont = (startLoad > ContendedLoadThreshold ||
       endExternalCpu > ExternalCpuThreshold).toString
     val tail = s""""load_avg_1m":$load,"external_cpu_end":${fmt(endExternalCpu)},"extra_cycles":$extraCycles,"contended":$cont"""
-    val big = s"""{"queries":$qs,"passes":$passes,"sf":${Verify.q(sfDir)},"failed":$failed,$tail,"metric":"total","unit":"sec","value":${fmt(total)}}"""
+    // additive "tasks" key (total tasks across this query's timed passes):
+    // parallelism evidence for the per-core-count comparison, absent when
+    // no listener was wired (specs, legacy callers)
+    val taskObj =
+      if (tasks.isEmpty) ""
+      else results.map { case (k, _) =>
+        Verify.q(k) + ":" + tasks.getOrElse(k, 0L) }
+        .mkString(""""tasks":{""", ",", "},")
+    val big = s"""{"queries":$qs,"passes":$passes,$taskObj"sf":${Verify.q(sfDir)},"failed":$failed,$tail,"metric":"total","unit":"sec","value":${fmt(total)}}"""
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"n_failed":${bad.size},"failed":$failed,$tail,"sf":${Verify.q(sfDir)}}"""
     (big, compact)
   }
@@ -386,10 +433,16 @@ object Bench {
     // wait (bounded) for a quiet window before sampling the pre-run load:
     // a report that never needed adjudication beats a well-marked noisy one
     val quietWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "240").toInt
+    val taskCounter = new TaskCountListener
+    spark.sparkContext.addSparkListener(taskCounter)
     val startLoad = waitForQuiet(quietWait)  // before warmup: pre-existing load
     val (results, endExt, extraCycles) =
       measureGuarded(spark, queries, sfDir, runs, settleWaitSec = quietWait)
-    val (big, compact) = render(results, sfDir, startLoad, endExt, extraCycles)
+    // listener delivery is async; a short drain keeps the task counts
+    // honest for the report (they are approximate by contract regardless)
+    Thread.sleep(2000)
+    val (big, compact) = render(results, sfDir, startLoad, endExt, extraCycles,
+      taskCounter.snapshot)
     // a filtered dev-loop run must never clobber the committed full
     // artifact (it did, twice) — partial reports land beside it
     writeArtifact(outDir + (if (only.isDefined) "/partial" else ""), big)

@@ -50,15 +50,25 @@ object Ann {
         "if the driver is sized for it.")
 
   /** Enforce the queries-side cap for the BROADCAST methods (brute/LSH/
-    * IVF), where the engine never collects the frame itself. ONE bounded
-    * job — limit(cap+1) guarantees the check can never scan more than
-    * cap+1 rows of the queries frame, no matter its true size. */
-  private def requireSmallQueries(queries: DataFrame, method: String,
-                                  maxQueries: Int): Unit = {
+    * IVF) and materialize the frame in the SAME bounded job: limit(cap+1)
+    * guarantees no more than cap+1 rows can ever reach the driver no
+    * matter the frame's true size, one extra row proves the violation,
+    * and the surviving rows come back as a driver-local relation. The
+    * broadcast build then starts from the local rows instead of
+    * re-executing the queries subtree — round 17's separate
+    * `limit(cap+1).count()` guard job (and the broadcast's second
+    * execution of the subtree) collapse into this one action, which is
+    * exactly the piggyback the PQ/IVFADC paths already had on their
+    * driver collect. Row order of the local relation is irrelevant:
+    * every consumer joins or buckets by value. */
+  private def boundedLocalQueries(queries: DataFrame, method: String,
+                                  maxQueries: Int): DataFrame = {
     require(maxQueries >= 1,
       s"$method: maxQueries must be >= 1, got $maxQueries")
-    if (queries.limit(maxQueries + 1).count() > maxQueries)
-      oversizedQueries(method, maxQueries)
+    val rows = queries.limit(maxQueries + 1).collect()
+    if (rows.length > maxQueries) oversizedQueries(method, maxQueries)
+    queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), queries.schema)
   }
 
   /**
@@ -160,8 +170,8 @@ object Ann {
                      idCol: String, vecCol: String, queryIdCol: String,
                      k: Int,
                      maxQueries: Int = DefaultMaxQueries): DataFrame = {
-    requireSmallQueries(queries, "bruteForceTopK", maxQueries)
-    val q = broadcast(queries.select(
+    val qLocal = boundedLocalQueries(queries, "bruteForceTopK", maxQueries)
+    val q = broadcast(qLocal.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("qvec")))
     val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
       .crossJoin(q)
@@ -192,10 +202,10 @@ object Ann {
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int, bits: Int = 12, tables: Int = 4,
               maxQueries: Int = DefaultMaxQueries): DataFrame = {
-    requireSmallQueries(queries, "lshTopK", maxQueries)
+    val qLocal = boundedLocalQueries(queries, "lshTopK", maxQueries)
     val c = withBuckets(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, tables, bits)
       .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"), col("table_id"), col("bucket"))
-    val q = withBuckets(queries.select(col(queryIdCol), col(vecCol)), queryIdCol, vecCol, tables, bits)
+    val q = withBuckets(qLocal.select(col(queryIdCol), col(vecCol)), queryIdCol, vecCol, tables, bits)
       .select(col(queryIdCol).as("query_id"), col(vecCol).as("qvec"), col("table_id"), col("bucket"))
     val cands = c.join(broadcast(q), Seq("table_id", "bucket"))
       .dropDuplicates("query_id", "vec_id")
@@ -227,7 +237,7 @@ object Ann {
               kmeansIters: Int = 0,
               refineSampleSize: Int = DefaultRefineSample,
               maxQueries: Int = DefaultMaxQueries): DataFrame = {
-    requireSmallQueries(queries, "ivfTopK", maxQueries)
+    val qLocal = boundedLocalQueries(queries, "ivfTopK", maxQueries)
     // ONE sampling pass covers both the codebook init and (when refining)
     // the Lloyd sample: the first nLists rows of the larger hash-ordered
     // sample ARE exactly the nLists-row codebook (same ordering, same scan)
@@ -236,13 +246,14 @@ object Ann {
     val sampled = sample.take(nLists)
     // degenerate corpora (0 or 1 vectors): no codebook to probe — brute
     // force IS the IVF plan with one list, and it handles empty inputs
+    // (its re-check over the already-local queries is job-free)
     if (sampled.length <= 1)
-      return bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k,
+      return bruteForceTopK(corpus, qLocal, idCol, vecCol, queryIdCol, k,
         maxQueries = maxQueries)
     val centroids =
       if (kmeansIters > 0) refineCentroids(sample, sampled, kmeansIters)
       else sampled
-    ivfWithCentroids(corpus, queries, idCol, vecCol, queryIdCol, k,
+    ivfWithCentroids(corpus, qLocal, idCol, vecCol, queryIdCol, k,
       centroids, nProbe)
   }
 
@@ -481,12 +492,12 @@ object Ann {
                           wantNLists: Option[Int] = None,
                           wantKmeansIters: Option[Int] = None,
                           maxQueries: Int = DefaultMaxQueries): DataFrame = {
-    requireSmallQueries(queries, "ivfTopKWithCodebook", maxQueries)
+    val qLocal = boundedLocalQueries(queries, "ivfTopKWithCodebook", maxQueries)
     val centroids = loadCodebook(store, wantNLists, wantKmeansIters)
     if (centroids.length <= 1)
-      bruteForceTopK(corpus, queries, idCol, vecCol, queryIdCol, k,
+      bruteForceTopK(corpus, qLocal, idCol, vecCol, queryIdCol, k,
         maxQueries = maxQueries)
-    else ivfWithCentroids(corpus, queries, idCol, vecCol, queryIdCol,
+    else ivfWithCentroids(corpus, qLocal, idCol, vecCol, queryIdCol,
       k, centroids, nProbe)
   }
 

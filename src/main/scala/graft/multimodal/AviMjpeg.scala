@@ -46,10 +46,12 @@ private[multimodal] object AviMjpeg {
     * bit-identical pixels — this is purely call-overhead removal
     * (optimization-guide §1.2 step 2: per-task work). */
   private[multimodal] object JpegCodec {
-    // in-memory stream caches for every ImageIO path in the engine
-    // (GIF reader, PNG writer, generic ImageIO.read fallbacks): the
-    // default temp-FILE cache adds a disk round-trip per codec call
-    javax.imageio.ImageIO.setUseCache(false)
+    // every engine codec call site constructs an EXPLICIT in-memory
+    // ImageIO stream (MemoryCacheImage{Input,Output}Stream) — the former
+    // `ImageIO.setUseCache(false)` here mutated JVM-global state as a
+    // class-load side effect, silently switching unrelated ImageIO users
+    // in the same JVM (user UDFs decoding very large images) from
+    // disk-backed to heap-backed caching
 
     private val readerTl = new ThreadLocal[javax.imageio.ImageReader] {
       override def initialValue(): javax.imageio.ImageReader = {
@@ -83,8 +85,12 @@ private[multimodal] object AviMjpeg {
           } finally { r.setInput(null); iis.close() }
         } catch { case scala.util.control.NonFatal(_) => () }
       }
+      // explicit in-memory stream: ImageIO.read(InputStream) would build
+      // a disk-backed temp-file cache stream per call under the default
+      // global useCache flag (which the engine no longer flips)
       try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes, off, len)))
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes, off, len))))
       catch { case scala.util.control.NonFatal(_) => None }
     }
 

@@ -34,10 +34,19 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
-  // class-loading AviMjpeg.JpegCodec flips ImageIO's stream cache to
-  // in-memory for EVERY codec path in this file (GIF reader, PNG writer,
-  // generic ImageIO.read): the default is a disk temp FILE per call
-  private val _imageIoTuned: Unit = { AviMjpeg.JpegCodec; () }
+  /** Generic still decode through an EXPLICIT in-memory ImageIO stream.
+    * `ImageIO.read(InputStream)` builds a disk-backed temp-file cache
+    * stream per call under the global default `useCache=true`; the engine
+    * used to flip that flag JVM-wide as a class-load side effect, which
+    * silently changed caching for unrelated ImageIO users in the same JVM
+    * (user UDFs decoding very large images). Every engine call site now
+    * constructs its own memory-cached stream instead — same codecs, same
+    * bytes, no global state. */
+  private[multimodal] def readImageInMemory(
+      content: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(content)))
 
   /** PNG-encode via a cached per-thread writer — the per-call
     * `ImageIO.write(img, "png", out)` path re-scans the SPI registry and
@@ -54,7 +63,8 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     val wr = pngWriterTl.get()
     if (wr == null) { // no PNG SPI: the original generic path
-      javax.imageio.ImageIO.write(img, "png", bos)
+      val ios0 = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, "png", ios0) finally ios0.close()
       return bos.toByteArray
     }
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
@@ -183,7 +193,7 @@ object Multimodal {
       }
       val img =
         if (content.isEmpty) null
-        else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        else try readImageInMemory(content)
         // JDK codecs throw RuntimeExceptions (IllegalArgument, AIOOBE,
         // CMMException, ...) on corrupt payloads, not just IOException —
         // one crafted image must yield the sentinel, not abort the job
@@ -293,7 +303,8 @@ object Multimodal {
         f: javax.imageio.ImageReader => Option[A]): Option[A] = {
       if (!isGif(content)) return None
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // explicit in-memory stream — see [[Multimodal.readImageInMemory]]
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(content))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -521,7 +532,8 @@ object Multimodal {
         s"${w}x$h frames=$nFrames delay=$delayCs")
     val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // explicit in-memory stream — see [[Multimodal.readImageInMemory]]
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     // an EXPLICIT identity gray palette (index i → sRGB (i,i,i)):
     // TYPE_BYTE_GRAY would round pixels through the linear-gray color
     // space on setRGB/getRGB, breaking the formula's exact values
@@ -898,7 +910,7 @@ object Multimodal {
       }
       val img =
         if (modality != "image" || content.isEmpty) null
-        else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        else try readImageInMemory(content)
         // JDK codecs throw RuntimeExceptions (IllegalArgument, AIOOBE,
         // CMMException, ...) on corrupt payloads, not just IOException —
         // one crafted image must yield the sentinel, not abort the job
@@ -912,9 +924,9 @@ object Multimodal {
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(img, 0, 0, targetW, targetH, null)
       } finally g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", bos)
-      bos.toByteArray
+      // cached per-thread PNG writer + explicit memory stream (same JDK
+      // encoder, default params → identical bytes)
+      encodePng(out)
     }
   }
 
@@ -963,8 +975,7 @@ object Multimodal {
     case "image" if isGif(content) => GifMedia.compositedFrame(content, 0)
     case "image" =>
       if (content.isEmpty) None
-      else try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(content)))
+      else try Option(readImageInMemory(content))
       catch { case scala.util.control.NonFatal(_) => None }
     case "video" => AviMjpeg.read(content).flatMap(_.frame(0))
     case _ => None
@@ -1528,7 +1539,9 @@ object Multimodal {
       * equal `frameAt(modality, content, tss(i))`; the default delegates
       * element-wise, so custom samplers keep their exact behavior. The
       * iterator is consumed streamwise — implementations should keep at
-      * most one decoded frame resident. */
+      * most one decoded frame resident, or a retained buffer bounded by
+      * an explicit byte cap with a fallback to the per-timestamp path
+      * (see [[ImageFrameSampler.MaxRetainedFrameBytes]]). */
     def framesAt(modality: String, content: Array[Byte],
                  tss: Array[Long]): Iterator[Array[Byte]] =
       tss.iterator.map(frameAt(modality, content, _))
@@ -1572,6 +1585,17 @@ object Multimodal {
       * pipelines window at 0.96–1 s); windows past the payload end
       * clamp to the remaining samples. */
     val AudioFrameWindowMs = 1000L
+
+    /** Byte cap on the PNGs the batched GIF walk may retain before
+      * emission (the walk visits frames in container order while the
+      * sampling grid may need many of them; emission starts after the
+      * walk). Past the cap the walk aborts and the grid falls back to
+      * the per-timestamp path — exact same frames, one resident at a
+      * time, at O(samples × run length) decode cost. */
+    val MaxRetainedFrameBytes: Long = 64L * 1024 * 1024
+    private val RetainCapAbort: RuntimeException =
+      new RuntimeException("gif framesAt retained-bytes cap exceeded")
+        with scala.util.control.NoStackTrace
     /** Flatten to plain RGB and PNG-encode — shared by the GIF and AVI
       * paths: the JDK PNG writer mangles INDEXED frames (measured: raw
       * palette indices written as gray samples — pixel 47 came back
@@ -1633,12 +1657,26 @@ object Multimodal {
           val need = idxs.toSet
           val maxNeed = idxs.max
           val got = scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
+          // BOUNDED retention: the batched walk buffers one PNG per
+          // distinct needed frame before emission — up to maxFrames
+          // stills of canvases up to MaxCanvasPixels, a multi-GB worst
+          // case per task on hostile inputs. Past the byte cap, abort
+          // the walk (the control throw reads as a mid-walk decode
+          // failure) and serve the grid through the exact per-timestamp
+          // path, which holds one canvas + one frame at a time.
+          var retainedBytes = 0L
           GifMedia.walkComposited(content, maxNeed + 1) { (i, canvas) =>
-            if (need(i)) got(i) = pngStill(canvas)
+            if (need(i)) {
+              val png = pngStill(canvas)
+              retainedBytes += png.length
+              if (retainedBytes > MaxRetainedFrameBytes) throw RetainCapAbort
+              got(i) = png
+            }
           } match {
             case Some((_, visited)) if visited >= maxNeed + 1 =>
               idxs.iterator.map(got(_))
-            case _ => // parse/decode failure: the exact per-ts semantics
+            case _ => // parse/decode failure or retention-cap abort: the
+              // exact per-ts semantics, one frame resident at a time
               tss.iterator.map(frameAt(modality, content, _))
           }
       }

@@ -64,129 +64,85 @@ object GopherRules {
       // defaults can never fire
       minBpeTokens: Long = 0L, maxBpeTokens: Long = Long.MaxValue)
 
-  /** Stage the two single-pass signal structs
-    * ([[graft.functions.expressions.TokenSignals]] /
-    * [[graft.functions.expressions.LineSignals]]) as real columns, derive
-    * the first-failing-rule chain from them in a SECOND projection, then
-    * drop the staging columns. The staging matters: the fail chain
-    * references each signal in several `when` branches, and conditional
-    * branches are exempt from codegen subexpression elimination — inlined,
-    * the token walk re-ran per reference (measured SLOWER than the
-    * interpreted-HOF form it replaced). CollapseProject keeps non-cheap
-    * multiply-referenced aliases staged, so each walk runs once per row.
+  /** The whole first-failing-rule chain as ONE deterministic expression
+    * ([[graft.functions.expressions.GopherFail]]). History of this shape
+    * (optimization-guide §4.4): the chain references each single-pass
+    * signal struct ([[graft.functions.expressions.TokenSignals]] /
+    * [[graft.functions.expressions.LineSignals]]) in several `when`
+    * branches; staged helper columns kept the walks single-eval in
+    * annotate mode, but `PushPredicateThroughNonJoin` re-inlined them
+    * into filter mode's pushed keep-predicate (measured: 14 TokenSignals
+    * per row, 3.3× the annotate cost), and the round-17 non-deterministic
+    * pin (`EvalOnce`) that stopped the re-inlining also blocked every
+    * LATER predicate from pushing past the gopher stage to the scan.
+    * Fused, each walk is a child expression evaluated at most once per
+    * row, the chain short-circuits in rule order (a doc failing
+    * word_count never pays the BPE encode), and the expression is
+    * honestly deterministic — pushdown-transparent in both directions.
     * The composable filter-lambda forms (a regex per token/line,
     * interpreted) remain in GopherRulesSpec as the parity reference. */
-  private def withFail(df: DataFrame, textCol: String, th: Thresholds,
-                       failCol: String,
-                       bpeCount: Option[Column => Column],
-                       barrier: Boolean = false): DataFrame = {
-    // staged helper names are fixed — a same-named input column would be
-    // silently overwritten then dropped (the repo-standard guard)
-    graft.config.ExprUtils.requireNoHelperCollision("quality_rules",
-      df.columns, "__gopher_ts", "__gopher_ls", "__gopher_bpe",
-      "__gopher_fail0")
+  private def failExpr(textCol: String, th: Thresholds,
+                       bpeCount: Option[Column => Column]): Column = {
     val text = col(textCol)
-    // `barrier` (filter mode): PushPredicateThroughNonJoin substitutes
-    // staged aliases into the pushed predicate with NO cost check, so the
-    // fail chain's several references re-ran the full token/line/encode
-    // walks per row (measured: 14 TokenSignals in the pushed plan, 3.3×
-    // the annotate cost; with a mergesView the BPE encode re-ran per
-    // threshold). EvalOnce pins each walk to its staging Project —
-    // identical values, one evaluation. Annotate mode stays transparent
-    // to the optimizer (its output columns feed arbitrary downstream
-    // pipelines that must keep pushing predicates toward the scan).
-    val once: Column => Column =
-      if (barrier) graft.functions.expressions.EvalOnce.apply else identity
-    val staged0 = df
-      .withColumn("__gopher_ts", once(graft.functions.expressions.TokenSignals(
+    graft.functions.expressions.GopherFail.column(
+      empty = text.isNull || (length(trim(text)) === 0),
+      ts = graft.functions.expressions.TokenSignals(
         TextFunctions.tokens(text), Nil, gopherStopwords, Nil,
-        withFingerprint = false)))
-      .withColumn("__gopher_ls",
-        once(graft.functions.expressions.LineSignals(split(text, "\n"))))
-    // the token count is referenced twice by its rule (min and max),
-    // and conditional branches are exempt from codegen subexpression
-    // elimination — stage it like the signal structs so the encode walk
-    // runs ONCE per row
-    val staged = bpeCount match {
-      case Some(cnt) => staged0.withColumn("__gopher_bpe",
-        once(coalesce(cnt(text).cast("long"), lit(0L))))
-      case None => staged0
-    }
-    val ts = col("__gopher_ts"); val ls = col("__gopher_ls")
-    val nToks = ts.getField("n")
-    val nWords = when(length(trim(text)) === 0, 0).otherwise(nToks)
-    val meanLen = when(nToks === 0, 0.0).otherwise(
-      ts.getField("sum_len").cast("double") / nToks)
-    val symbolRatio = when(nWords === 0, lit(0.0)).otherwise(
-      regexp_count(text, lit("#|\\.\\.\\.|…")).cast("double") / nWords)
-    val nLines = ls.getField("n")
-    val bulletFrac = when(nLines === 0, lit(0.0)).otherwise(
-      ls.getField("bullets").cast("double") / nLines)
-    val ellipsisFrac = when(nLines === 0, lit(0.0)).otherwise(
-      ls.getField("ellipsis").cast("double") / nLines)
-    val alphaFrac = when(nWords === 0, lit(0.0)).otherwise(
-      ts.getField("alpha").cast("double") / nWords)
-    val stopHits = ts.getField("distinct_stop_hits")
-
-    val base = when(text.isNull || length(trim(text)) === 0, "empty")
-      .when(nWords < th.minWords || nWords > th.maxWords, "word_count")
-      .when(meanLen < th.minMeanWordLength || meanLen > th.maxMeanWordLength,
-        "mean_word_length")
-      .when(symbolRatio > th.maxSymbolRatio, "symbol_ratio")
-      .when(bulletFrac > th.maxBulletFraction, "bullet_lines")
-      .when(ellipsisFrac > th.maxEllipsisFraction, "ellipsis_lines")
-      .when(alphaFrac < th.minAlphaFraction, "alpha_words")
-      .when(stopHits < th.minStopwords, "stopwords")
-    // the token-budget rule exists only when a tokenizer store is wired
-    // in (the transform arms bpeCount together with the thresholds) —
-    // evaluated right after the count-family rules, before the opt-in
-    // repetition gates
-    val armedBpe = bpeCount match {
-      case Some(_) => base.when(
-        col("__gopher_bpe") < th.minBpeTokens ||
-          col("__gopher_bpe") > th.maxBpeTokens, "bpe_token_count")
-      case None => base
-    }
-    // repetition branches only exist when ARMED: their fractions cannot
-    // exceed (top_ngram) or reach (dup_line*) the 1.0 defaults, and an
-    // always-false branch would still make every unarmed run pay the
-    // per-row n-gram/line walks
-    val armed1 = if (th.maxTopNgramFraction < 1.0)
-        armedBpe.when(TextFunctions.topNgramFraction(text, th.topNgramSize)
-          > th.maxTopNgramFraction, "top_ngram")
-      else armedBpe
-    val armed2 = if (th.maxDupLineFraction < 1.0)
-        armed1.when(TextFunctions.dupLineFraction(text)
-          > th.maxDupLineFraction, "dup_lines")
-      else armed1
-    val armed3 = if (th.maxDupLineCharFraction < 1.0)
-        armed2.when(TextFunctions.dupLineCharFraction(text)
-          > th.maxDupLineCharFraction, "dup_line_chars")
-      else armed2
-    val fail = armed3.otherwise(lit(null).cast("string"))
-    staged.withColumn(failCol, fail)
-      .drop("__gopher_ts", "__gopher_ls", "__gopher_bpe")
+        withFingerprint = false),
+      sym = regexp_count(text, lit("#|\\.\\.\\.|…")),
+      ls = graft.functions.expressions.LineSignals(split(text, "\n")),
+      bpe = bpeCount.map(cnt => coalesce(cnt(text).cast("long"), lit(0L))),
+      // repetition gates only exist when ARMED: their fractions cannot
+      // exceed (top_ngram) or reach (dup_line*) the 1.0 defaults, and an
+      // armed-but-never-firing child would still make every unarmed run
+      // pay the per-row n-gram/line walks
+      topNgram = if (th.maxTopNgramFraction < 1.0)
+        Some(TextFunctions.topNgramFraction(text, th.topNgramSize)) else None,
+      dupLine = if (th.maxDupLineFraction < 1.0)
+        Some(TextFunctions.dupLineFraction(text)) else None,
+      dupLineChar = if (th.maxDupLineCharFraction < 1.0)
+        Some(TextFunctions.dupLineCharFraction(text)) else None,
+      minWords = th.minWords, maxWords = th.maxWords,
+      minMeanWordLength = th.minMeanWordLength,
+      maxMeanWordLength = th.maxMeanWordLength,
+      maxSymbolRatio = th.maxSymbolRatio,
+      maxBulletFraction = th.maxBulletFraction,
+      maxEllipsisFraction = th.maxEllipsisFraction,
+      minAlphaFraction = th.minAlphaFraction,
+      minStopwords = th.minStopwords,
+      minBpeTokens = th.minBpeTokens, maxBpeTokens = th.maxBpeTokens,
+      maxTopNgramFraction = th.maxTopNgramFraction,
+      maxDupLineFraction = th.maxDupLineFraction,
+      maxDupLineCharFraction = th.maxDupLineCharFraction)
   }
 
   /** Annotate: append `gopher_keep` + `gopher_fail` (first failing rule).
     * `bpeCount` (a tokenizer-exact count builder, from a registered
-    * mergesView store) arms the opt-in `bpe_token_count` rule. */
+    * mergesView store) arms the opt-in `bpe_token_count` rule. The fused
+    * fail expression is staged once as a helper column (CollapseProject
+    * keeps non-cheap multiply-referenced aliases staged), so keep + fail
+    * share one evaluation per row. */
   def annotate(df: DataFrame, textCol: String,
                th: Thresholds = Thresholds(),
-               bpeCount: Option[Column => Column] = None): DataFrame =
-    withFail(df, textCol, th, "__gopher_fail0", bpeCount)
+               bpeCount: Option[Column => Column] = None): DataFrame = {
+    // the staged helper name is fixed — a same-named input column would
+    // be silently overwritten then dropped (the repo-standard guard)
+    graft.config.ExprUtils.requireNoHelperCollision("quality_rules",
+      df.columns, "__gopher_fail0")
+    df.withColumn("__gopher_fail0", failExpr(textCol, th, bpeCount))
       .withColumn("gopher_keep", col("__gopher_fail0").isNull)
       .withColumn("gopher_fail", col("__gopher_fail0"))
       .drop("__gopher_fail0")
+  }
 
-  /** Filter: keep only rows passing every rule. The staged signal walks
-    * carry the [[graft.functions.expressions.EvalOnce]] barrier so the
-    * pushed-down keep predicate cannot re-inline them per reference. */
+  /** Filter: keep only rows passing every rule — one deterministic
+    * predicate over the fused fail chain, no helper columns at all, so
+    * the optimizer can push it toward the scan and push every later
+    * predicate past it. */
   def applyFilter(df: DataFrame, textCol: String,
                   th: Thresholds = Thresholds(),
                   bpeCount: Option[Column => Column] = None): DataFrame =
-    withFail(df, textCol, th, "__gopher_fail0", bpeCount, barrier = true)
-      .where(col("__gopher_fail0").isNull).drop("__gopher_fail0")
+    df.where(failExpr(textCol, th, bpeCount).isNull)
 }
 
 /**

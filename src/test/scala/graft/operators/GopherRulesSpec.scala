@@ -227,9 +227,9 @@ class GopherRulesSpec extends SparkTestBase {
     an[ConfigException] should be thrownBy GopherRulesTransform(
       d, TransformConfig("g", "quality_rules",
         Map("textColumn" -> "text", "minWords" -> "50.9")), ctx)
-    // staged helper names collide loudly, never overwrite-then-drop
+    // the staged helper name collides loudly, never overwrite-then-drop
     an[ConfigException] should be thrownBy GopherRulesTransform(
-      d.withColumn("__gopher_ts", org.apache.spark.sql.functions.lit(1)),
+      d.withColumn("__gopher_fail0", org.apache.spark.sql.functions.lit(1)),
       TransformConfig("g", "quality_rules", Map("textColumn" -> "text")), ctx)
     GopherRulesTransform.validate(
       TransformConfig("g", "quality_rules", Map("textColumn" -> "nope")),
@@ -267,10 +267,81 @@ class GopherRulesSpec extends SparkTestBase {
       Seq((1L, good)), "minBpeTokens" -> "5")
     an[ConfigException] should be thrownBy annotate(
       Seq((1L, good)), "mergesView" -> "v_gopher_bpe")
-    // the staged count column collides loudly like the other helpers
+    // annotate's staged fail column collides loudly with armed BPE too
     an[ConfigException] should be thrownBy GopherRulesTransform(
-      corpus.withColumn("__gopher_bpe", lit(1)),
+      corpus.withColumn("__gopher_fail0", lit(1)),
       TransformConfig("g", "quality_rules", Map("textColumn" -> "text",
         "mergesView" -> "v_gopher_bpe", "minBpeTokens" -> "1")), ctx)
+  }
+
+  test("fused fail chain: filter mode evaluates each signal walk once and " +
+    "stays pushdown-transparent for later predicates") {
+    import org.apache.spark.sql.functions._
+    // parquet-backed input: a LocalRelation would be constant-folded by
+    // ConvertToLocalRelation (legal now that the chain is deterministic),
+    // leaving no plan to assert on
+    val tmp = java.nio.file.Files.createTempDirectory("gopherpush").toString
+    Seq((1L, good), (2L, "too short"), (3L, null: String))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(tmp)
+    val d = spark.read.parquet(tmp)
+    val th = GopherRules.Thresholds(minWords = 10)
+    // exactly ONE token walk / line walk in the whole optimized filter
+    // plan — the §4.4 duplication (14 TokenSignals in the pushed
+    // predicate) and its round-17 EvalOnce pin are both gone
+    val filtered = GopherRules.applyFilter(d, "text", th)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    withClue(opt) {
+      "tokensignals".r.findAllIn(opt.toLowerCase).size shouldBe 1
+      "linesignals".r.findAllIn(opt.toLowerCase).size shouldBe 1
+      opt.toLowerCase.contains("evalonce") shouldBe false
+    }
+    filtered.select("doc_id").as[Long].collect().toSeq shouldBe Seq(1L)
+    // a LATER predicate pushes through the gopher filter all the way to
+    // the parquet scan (the EvalOnce barrier blocked this)
+    val late = GopherRules.applyFilter(d, "text", th)
+      .where(col("doc_id") < 2L)
+    val plan = late.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should include("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,2)]")
+    }
+    late.select("doc_id").as[Long].collect().toSeq shouldBe Seq(1L)
+    // annotate + user filter on gopher_keep: the fused chain is a single
+    // expression, so the pushed predicate carries ONE token walk (not one
+    // per `when` branch as the alias-substituted chain did)
+    val annotated = GopherRules.annotate(d, "text", th).where(col("gopher_keep"))
+    val aopt = annotated.queryExecution.optimizedPlan.toString.toLowerCase
+    withClue(aopt) {
+      "tokensignals".r.findAllIn(aopt).size should be <= 2
+    }
+    annotated.select("doc_id").as[Long].collect().toSeq shouldBe Seq(1L)
+  }
+
+  test("fused fail chain: interpreted eval matches codegen over the " +
+    "planted rule corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      1L -> good, 2L -> (null: String), 3L -> "   ", 4L -> "too short",
+      5L -> good.split(" ").map(_ * 4).mkString(" "),
+      6L -> (good + " ###### ### #"),
+      7L -> good.split(" ").map("- " + _).mkString("\n"),
+      8L -> good.split(" ").map(_ + "...").mkString("\n"),
+      9L -> good.split(" ").map(_ => "123").mkString(" "),
+      10L -> good.replaceAll("\\b(the|and|to|with)\\b", "xx"))
+      .toDF("doc_id", "text")
+    val fused = GopherRules.annotate(docs, "text")
+      .select(col("doc_id"), col("gopher_fail"))
+    val viaCodegen = fused.collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val conf = spark.conf
+    val oldWs = conf.get("spark.sql.codegen.wholeStage", "true")
+    val oldFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val viaInterp = try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      fused.collect().map(r => (r.getLong(0), r.get(1))).toSet
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", oldWs)
+      conf.set("spark.sql.codegen.factoryMode", oldFm)
+    }
+    viaInterp shouldBe viaCodegen
   }
 }
