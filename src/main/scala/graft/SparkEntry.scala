@@ -451,7 +451,7 @@ object SparkEntry {
     * dimension tables stay unstaged. `SPARK_GRAFT_STAGED_PARTS` overrides
     * every table at once (1 = staging off) for A/B runs. */
   private val stagedTabPartsDefault: Map[String, Int] = Map(
-    "documents" -> 16, "lineitem" -> 16, "orders" -> 8,
+    "documents" -> 8, "lineitem" -> 16, "orders" -> 8,
     "events" -> 8, "embeddings" -> 4)
   private def stagedParts(name: String): Int =
     sys.env.get("SPARK_GRAFT_STAGED_PARTS").map(_.toInt.max(1))

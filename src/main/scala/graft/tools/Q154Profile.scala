@@ -46,6 +46,18 @@ object Q154Profile {
     }
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
+    // optional args(0): dump the GOPHER-PREFIX plan (stages through
+    // quality_rules filter) to a file — q154's FINAL plan starts at the
+    // materialize checkpoint's ExistingRDD, so the quality_rules stage is
+    // only visible in a prefix plan; this is the committed evidence that
+    // the fused fail chain evaluates one TokenSignals per row
+    if (args.nonEmpty) {
+      val gopherIdx = stages.indexWhere(_._1 == "gopher") + 1
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(args(0)),
+        pipe(gopherIdx).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      println(s"#q154 gopher-prefix plan -> ${args(0)}")
+    }
     // warmup full
     (1 to stages.length).foreach(n => force(pipe(n)))
     var prev = 0.0
